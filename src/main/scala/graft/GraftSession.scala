@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Scale posture (SURVEY.md §4): AQE on (runtime coalescing + skew-join
+  * splitting), shuffle partitions sized for the local harness (32) — on a
+  * real cluster this is overridden per deployment; `nanosAsLong` because the
+  * `events` table carries parquet TIMESTAMP(NANOS) which Spark otherwise
+  * refuses to read (we treat `ts` as nanos-since-epoch INT64 end-to-end).
+  */
+object GraftSession {
+
+  /** Apply the engine's standard configuration to any builder. */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val s = tune(SparkSession.builder().master(s"local[$cores]").appName(appName))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

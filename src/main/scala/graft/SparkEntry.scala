@@ -1,13 +1,449 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IntervalJoin, Multimodal, Similarity, TextAnalytics}
+import graft.sources.Tables
+
+/** Driver contract (SURVEY.md §7 + builder prompt).
+  *
+  * `queries` exposes one entry per implemented operator family from
+  * SURVEY.md §2 (names prefixed with the §2 id they re-express) plus the
+  * training-data-pipeline operators (dedup / similarity / text analysis /
+  * multimodal). `oracleSql` carries the DuckDB-equivalent SQL for every
+  * SQL-expressible query — column names and rounding are kept in exact
+  * sync with the Spark side (the driver hash-compares values after
+  * sorting columns by name).
+  *
+  * Precision policy: doubles are rounded at-or-above their true decimal
+  * precision (2dp inputs → sums rounded at 2, 4dp products at 4, 6dp at 6;
+  * ratios/quotients at 3-4). Rounding below true precision would sit on
+  * the half-up boundary and diverge between engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (multi-join revenue rollup) on sf=0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q5NationRevenue(spark, "/root/testdata/sf0.001")
+
+  // ---- helpers -----------------------------------------------------------
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+  private val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  // ---- §2.3 joins / §2.4 aggregations (TPC-H-shaped) ---------------------
+
+  private def q1Pricing(s: SparkSession, d: String): DataFrame =
+    T(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(revenue), 4).as("sum_disc"),
+        round(sum(revenue * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  private def q3TopOrders(s: SparkSession, d: String): DataFrame =
+    T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(round(sum(revenue), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  private def q5NationRevenue(s: SparkSession, d: String): DataFrame =
+    T(s, d, "region").filter(col("r_name") === "ASIA")
+      .join(T(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(T(s, d, "customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(T(s, d, "orders"), col("o_custkey") === col("c_custkey"))
+      .join(T(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(T(s, d, "supplier"),
+        col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(revenue), 4).as("revenue"))
+
+  private def j1InnerJoin(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+
+  private def j3LeftJoin(s: SparkSession, d: String): DataFrame =
+    T(s, d, "customer")
+      .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spent"))
+
+  private def jSemi(s: SparkSession, d: String): DataFrame =
+    T(s, d, "customer")
+      .join(
+        T(s, d, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  private def jAnti(s: SparkSession, d: String): DataFrame =
+    T(s, d, "customer")
+      .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** J2 parity: point-in-interval via the bin-key rewrite (IntervalJoin). */
+  private def j2IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val bands = T(s, d, "region").select(
+      col("r_regionkey").as("band_id"),
+      (col("r_regionkey") * 100.0).as("lo"),
+      (col("r_regionkey") * 100.0 + 100.0).as("hi"))
+    val ev = T(s, d, "events").select("event_id", "value")
+    IntervalJoin.pointInRange(ev, bands, "value", "lo", "hi",
+        binWidth = 50.0, broadcastRanges = true)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+  }
+
+  /** A1/A5 parity: group + collect_set + sort (brickhouse-collect shape). */
+  private def a1Collect(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders").groupBy("o_custkey")
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), "|")
+        .as("priorities"))
+
+  private def a2First(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders").groupBy("o_custkey")
+      .agg(
+        date_format(min("o_orderdate"), "yyyy-MM-dd").as("first_date"),
+        round(min("o_totalprice"), 2).as("min_price"))
+
+  private def a4Distinct(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+  private def so1Union(s: SparkSession, d: String): DataFrame =
+    T(s, d, "customer").select(
+        col("c_name").as("name"), round(col("c_acctbal"), 2).as("acctbal"),
+        col("c_nationkey").as("nationkey"), lit("customer").as("kind"))
+      .unionByName(T(s, d, "supplier").select(
+        col("s_name").as("name"), round(col("s_acctbal"), 2).as("acctbal"),
+        col("s_nationkey").as("nationkey"), lit("supplier").as("kind")))
+
+  /** P6/U4 parity: generator-style row explosion. */
+  private def p6Explode(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+
+  // ---- §2.5 windows ------------------------------------------------------
+
+  private def w1TopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(round(col("o_totalprice"), 2).desc, col("o_orderkey"))
+    T(s, d, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"), col("rn"))
+  }
+
+  private def w2RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    T(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        round(sum("value").over(w), 2).as("running_value"))
+  }
+
+  // ---- §2.7 scalar functions --------------------------------------------
+
+  private def f1Scalar(s: SparkSession, d: String): DataFrame =
+    T(s, d, "part").select(
+      col("p_partkey"),
+      upper(substring(col("p_name"), 1, 8)).as("name8"),
+      length(col("p_name")).cast("long").as("name_len"),
+      round(col("p_retailprice") * 1.1, 3).as("bumped"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+      (col("p_size") % 5).as("size_mod"))
+
+  private def f2Bucketize(s: SparkSession, d: String): DataFrame = {
+    val bucket = when(col("value") < 25, "a_lt25")
+      .when(col("value") < 50, "b_25_50")
+      .when(col("value") < 100, "c_50_100")
+      .when(col("value") < 200, "d_100_200")
+      .otherwise("e_200plus")
+    T(s, d, "events").groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+  }
+
+  private def f3Json(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("k_sum"),
+        count(when(col("k") > 50, 1)).as("n_high"))
+
+  // ---- §2.9 streaming (batch-equivalent; streaming twin in tests) --------
+
+  private def st1WindowAgg(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events")
+      .withColumn("hour_start", expr("(ts div 3600000000000) * 3600"))
+      .groupBy("hour_start", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+
+  // ---- training-data pipeline: dedup ------------------------------------
+
+  private def d1ExactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(T(s, d, "documents"), "doc_id", "text")
+
+  private def d2Jaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  private def d3MinHash(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLshPairs(T(s, d, "documents"), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  private def d4SimHash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashNearPairs(T(s, d, "documents"), "doc_id", "text", maxDist = 3)
+
+  // ---- training-data pipeline: text analysis ----------------------------
+
+  private def t1TokenStats(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.tokenStats(T(s, d, "documents"), "doc_id", "text")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .withColumn("n_chars", col("n_chars").cast("long"))
+
+  private def t2Quality(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.qualityScore(T(s, d, "documents"), "doc_id", "text")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+
+  private def t3LangId(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.langId(T(s, d, "documents"), "doc_id", "text")
+
+  private def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.fingerprints(T(s, d, "documents"), "doc_id", "text")
+
+  // ---- training-data pipeline: similarity search ------------------------
+
+  private def v1CosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    Similarity.cosineTopK(
+      emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+      "vec_id", "vec_id", "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def v2AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    Similarity.annLshTopK(
+      emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+      "vec_id", "vec_id", "embedding", k = 5, planes = 8)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  // ---- training-data pipeline: multimodal plumbing ----------------------
+
+  private def m1MediaMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractMeta(
+      s, Multimodal.withPayload(T(s, d, "documents"), "text"), "doc_id").toDF()
+
+  // ---- contract ----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q1_pricing_summary" -> (q1Pricing _),
+    "q3_top_orders" -> (q3TopOrders _),
+    "q5_nation_revenue" -> (q5NationRevenue _),
+    "j1_join_inner" -> (j1InnerJoin _),
+    "j3_join_left" -> (j3LeftJoin _),
+    "j6_join_semi" -> (jSemi _),
+    "j7_join_anti" -> (jAnti _),
+    "j2_interval_join" -> (j2IntervalJoin _),
+    "a1_group_collect" -> (a1Collect _),
+    "a2_group_first" -> (a2First _),
+    "a4_distinct" -> (a4Distinct _),
+    "so1_union" -> (so1Union _),
+    "p6_explode_tokens" -> (p6Explode _),
+    "w1_window_topk" -> (w1TopK _),
+    "w2_running_sum" -> (w2RunningSum _),
+    "f1_scalar_funcs" -> (f1Scalar _),
+    "f2_bucketize" -> (f2Bucketize _),
+    "f3_json_extract" -> (f3Json _),
+    "st1_window_agg" -> (st1WindowAgg _),
+    "d1_dedup_exact" -> (d1ExactDedup _),
+    "d2_ngram_jaccard" -> (d2Jaccard _),
+    "d3_minhash_lsh" -> (d3MinHash _),
+    "d4_simhash" -> (d4SimHash _),
+    "t1_token_stats" -> (t1TokenStats _),
+    "t2_quality_score" -> (t2Quality _),
+    "t3_lang_id" -> (t3LangId _),
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "v1_cosine_topk" -> (v1CosineTopK _),
+    "v2_ann_lsh" -> (v2AnnLsh _),
+    "m1_media_meta" -> (m1MediaMeta _))
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+    "j1_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "j3_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "j6_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+    "j7_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j2_interval_join" ->
+      """WITH bands AS (SELECT r_regionkey AS band_id, r_regionkey * 100.0 AS lo,
+        |    r_regionkey * 100.0 + 100.0 AS hi FROM region)
+        |SELECT band_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band_id""".stripMargin,
+    "a1_group_collect" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "a2_group_first" ->
+      """SELECT o_custkey, strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+        |  round(min(o_totalprice), 2) AS min_price
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "a4_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "so1_union" ->
+      """SELECT c_name AS name, round(c_acctbal, 2) AS acctbal,
+        |  c_nationkey AS nationkey, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name, round(s_acctbal, 2), s_nationkey, 'supplier' FROM supplier""".stripMargin,
+    "p6_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token""".stripMargin,
+    "w1_window_topk" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+        |    AS running_value
+        |FROM events""".stripMargin,
+    "f1_scalar_funcs" ->
+      """SELECT p_partkey, upper(substr(p_name, 1, 8)) AS name8,
+        |  length(p_name) AS name_len, round(p_retailprice * 1.1, 3) AS bumped,
+        |  concat_ws('-', p_brand, p_type) AS brand_type, p_size % 5 AS size_mod
+        |FROM part""".stripMargin,
+    "f2_bucketize" ->
+      """SELECT CASE WHEN value < 25 THEN 'a_lt25' WHEN value < 50 THEN 'b_25_50'
+        |    WHEN value < 100 THEN 'c_50_100' WHEN value < 200 THEN 'd_100_200'
+        |    ELSE 'e_200plus' END AS bucket,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1""".stripMargin,
+    "f3_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
+        |  count(*) FILTER (WHERE CAST(props->>'$.k' AS INTEGER) > 50) AS n_high
+        |FROM events GROUP BY event_type""".stripMargin,
+    "st1_window_agg" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d2_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |  round(c::DOUBLE / (ca.n + cb.n - c), 4) AS jaccard
+        |FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
+        |WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6""".stripMargin,
+    "t1_token_stats" ->
+      """SELECT doc_id AS id, len(w) AS n_tokens, length(text) AS n_chars,
+        |  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 4)
+        |    AS avg_token_len,
+        |  round(len(list_distinct(w))::DOUBLE / len(w), 4) AS uniq_ratio
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)""".stripMargin,
+    "t2_quality_score" ->
+      """SELECT doc_id AS id, len(w) AS n_tokens,
+        |  round(sr, 4) AS stop_ratio, round(ur, 4) AS uniq_ratio,
+        |  round(sr * 0.25 + ur * 0.5 + lok * 0.25, 4) AS quality
+        |FROM (SELECT doc_id, len(w) AS nt, w,
+        |    len(list_filter(w, t -> t IN ('the','a','to','of','and','in','on','for')))::DOUBLE
+        |      / len(w) AS sr,
+        |    len(list_distinct(w))::DOUBLE / len(w) AS ur,
+        |    CASE WHEN len(w) BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END AS lok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin,
+    "t3_lang_id" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN s_en = best AND best > 0 THEN 'en'
+        |       WHEN s_es = best AND best > 0 THEN 'es'
+        |       WHEN s_de = best AND best > 0 THEN 'de'
+        |       WHEN s_fr = best AND best > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM (SELECT doc_id, s_en, s_es, s_de, s_fr,
+        |    greatest(s_en, s_es, s_de, s_fr) AS best
+        |  FROM (SELECT doc_id,
+        |      len(list_filter(w, t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |      len(list_filter(w, t -> t IN ('el','la','de','que','es'))) AS s_es,
+        |      len(list_filter(w, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+        |      len(list_filter(w, t -> t IN ('le','la','et','les','est'))) AS s_fr
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id AS id, md5(lower(replace(text, ' ', ''))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "v1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT q_id, c_id,
+        |    round(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 3)
+        |      AS sim
+        |  FROM q CROSS JOIN c)
+        |SELECT q_id, c_id, sim, rank FROM
+        |  (SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin)
 }

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document deduplication operators for the training-data pipeline:
+  * exact (hash group-by), n-gram Jaccard (shingle-inverted-index join),
+  * MinHash + LSH banding, and SimHash near-dup blocking.
+  *
+  * All are expressed as shuffle-bounded DataFrame plans: the quadratic
+  * all-pairs comparison never materializes — candidate pairs come from
+  * equi-joins on shingles / band keys / simhash chunks, so at 100 TB the
+  * cost is the inverted-index shuffle, not |docs|².
+  */
+object Dedup {
+
+  /** Exact duplicate groups: md5(text) -> (digest, n_docs, canonical id). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(count("*").as("n_docs"), min(col(idCol)).as("canonical_id"))
+
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(
+        col(idCol).as("id"),
+        explode(TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+
+  /** All document pairs with n-word-shingle Jaccard >= threshold.
+    *
+    * |A ∩ B| via an inverted-index self-join on the shingle, |A ∪ B| from
+    * per-doc distinct-shingle counts — no array intersection on pairs, no
+    * cross join. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val counts = sh.groupBy("id").agg(count("*").as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count("*").as("n_common"))
+    inter
+      .join(counts.as("ca"), col("id_a") === col("ca.id"))
+      .join(counts.as("cb"), col("id_b") === col("cb.id"))
+      .select(
+        col("id_a"), col("id_b"),
+        (col("n_common") / (col("ca.n_sh") + col("cb.n_sh") - col("n_common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // Deterministic permutation coefficients for MinHash (seeded, stable
+  // across runs — required for reproducible signatures).
+  private val MinHashPrime = 4294967311L // first prime > 2^32
+  private def coeffs(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val a = Seq.fill(k)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val b = Seq.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** Per-doc MinHash signature over n-word shingles, as k concrete
+    * `mh0..mh{k-1}` columns.
+    *
+    * Relational formulation: explode distinct shingles, hash each once
+    * with xxhash64 (codegen'd), then compute all k universal-hash
+    * permutations (a*h + b mod p) as k `min` aggregates in a single
+    * hash-aggregate pass. One shuffle on the doc id; the signature comes
+    * out as aggregate output columns, so downstream projections can't
+    * re-inline (and re-compute) the signature expression — the
+    * higher-order-function formulation hit exactly that via
+    * CollapseProject, recomputing the k-permutation scan once per LSH band.
+    */
+  def minHashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame = {
+    val (as, bs) = coeffs(k, seed)
+    val sh = shingleRows(docs, idCol, textCol, n)
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(MinHashPrime)))
+    val aggs = (0 until k).map { i =>
+      min(pmod(col("h") * as(i) + bs(i), lit(MinHashPrime))).as(s"mh$i")
+    }
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs, verified.
+    *
+    * Signature -> `bands` band keys (xxhash64 over each signature slice)
+    * -> equi-join on (band index, band key) for candidate pairs -> exact
+    * shingle Jaccard on the candidates only (count-based, like
+    * [[ngramJaccardPairs]], no array materialization). Output schema
+    * matches [[ngramJaccardPairs]]; the LSH stage only bounds *recall*,
+    * never precision, because of the exact verify step.
+    */
+  def minHashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sigs = minHashSignatures(docs, idCol, textCol, n, k, seed)
+
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // Exact verify on candidates only: |A ∩ B| by joining the shingle
+    // rows of both sides, |A ∪ B| from per-doc counts.
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val counts = sh.groupBy("id").agg(count("*").as("n_sh"))
+    // (no broadcast hint: candidate volume is data-dependent — AQE
+    // converts to broadcast at runtime when the pair set is small)
+    val common = cand
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("id_a", "id_b").agg(count("*").as("n_common"))
+    common
+      .join(counts.as("ca"), col("id_a") === col("ca.id"))
+      .join(counts.as("cb"), col("id_b") === col("cb.id"))
+      .select(
+        col("id_a"), col("id_b"),
+        (col("n_common") / (col("ca.n_sh") + col("cb.n_sh") - col("n_common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document over whitespace tokens.
+    *
+    * Explode tokens -> xxhash64 once per token -> 64 signed bit-sums in one
+    * hash aggregate (codegen'd) -> reassemble the sign bits into a long.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(
+        col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val sums = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    sums.select(col("id"), sh.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist.
+    *
+    * Pigeonhole blocking: split the 64-bit hash into 4 16-bit chunks; any
+    * pair within Hamming distance 3 shares at least one exact chunk, so an
+    * equi-join on (chunk index, chunk value) finds all of them without a
+    * cross join; `bit_count(a ^ b)` verifies.
+    */
+  def simHashNearPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sh = simHash(docs, idCol, textCol)
+    val chunkStructs = (0 until 4).map { c =>
+      struct(lit(c).as("ci"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
+    }
+    val chunked = sh.select(
+        col("id"), col("simhash"),
+        explode(array(chunkStructs: _*)).as("ch"))
+      .select(col("id"), col("simhash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxDist)
+  }
+}

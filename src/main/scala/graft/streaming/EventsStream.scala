@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (reference S9 / §2.9, upgraded from the
+  * DStream `textFileStream` + `toDebugString` filename hack to a single
+  * incremental query with watermarking).
+  *
+  * The `events` table's `ts` is nanos-since-epoch INT64 (read with
+  * `nanosAsLong`); we derive a proper timestamp column for
+  * watermark/window semantics.
+  */
+object EventsStream {
+
+  /** Batch schema of the events table with ts as long nanos. */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def tsCol: org.apache.spark.sql.Column =
+    timestamp_micros((col("ts") / 1000).cast("long"))
+
+  /** File-source stream over a directory of events parquet. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("event_time", tsCol)
+
+  /** Tumbling-window per-type counts/sums with a 1-hour watermark —
+    * the streaming twin of SparkEntry's `st1_window_agg` batch query.
+    */
+  def windowedAgg(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Batch equivalent of [[windowedAgg]] for parity testing. */
+  def windowedAggBatch(events: DataFrame): DataFrame =
+    events.withColumn("event_time", tsCol)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
+}

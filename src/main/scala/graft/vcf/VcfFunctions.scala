@@ -1,0 +1,226 @@
+package graft.vcf
+
+/** Pure parse/scoring functions re-implementing the reference's scalar
+  * semantics (SURVEY.md §2.7) from scratch. Each is a plain Scala function
+  * usable inside typed `Dataset` transformations; the oracle-visible
+  * numeric quirks (floor-truncation rather than rounding, predictor
+  * precedence rules) are preserved exactly.
+  */
+object VcfFunctions {
+
+  /** Floor-truncate to p decimals — NOT rounding. The reference avoids
+    * BigDecimal and truncates (`steps/Parser.scala:81-85`); truncation is
+    * oracle-visible so we keep it.
+    */
+  def truncateAt(x: Double, p: Int): Double = {
+    val s = math.pow(10, p)
+    math.floor(x * s) / s
+  }
+
+  /** "." / "" → 0.0, else floor-truncated value (`steps/Parser.scala:74-80`). */
+  def removeDot(s: String, p: Int): Double =
+    if (s == null || s.isEmpty || s == ".") 0.0
+    else truncateAt(s.toDouble, p)
+
+  /** GQ banding — bucket edges per reference `steps/toSample.scala:15-30`. */
+  private val GqEdges = Vector(20, 25, 30, 35, 40, 45, 50, 70, 90, 99)
+  def gqBand(gq: Int): Int = {
+    var band = 0
+    var i = 0
+    while (i < GqEdges.length && gq >= GqEdges(i)) { band = GqEdges(i); i += 1 }
+    band
+  }
+
+  /** `"k=v;k2=v2"` INFO text → Map (reference `steps/toSample.scala:11-13`).
+    * Flag-style entries (no '=') map to "".
+    */
+  def infoToMap(info: String): Map[String, String] =
+    if (info == null || info.isEmpty) Map.empty
+    else info.split(";").iterator.map { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) kv -> "" else kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+
+  /** FORMAT/sample column pair → (gt, dp, gq, pl, ad).
+    *
+    * Generic zip of the FORMAT keys with the sample values instead of the
+    * reference's five hard-coded layouts (`steps/toSample.scala:32-45`).
+    * Quirk preserved: when MIN_DP is present it supplies dp (the reference
+    * reads the MIN_DP position as DP in the `GT:DP:GQ:MIN_DP:PL` layout).
+    */
+  def formatFields(format: String, sample: String): (String, Int, Int, String, String) = {
+    val keys = format.split(":")
+    val vals = sample.split(":")
+    val m = keys.iterator.zip(vals.iterator).toMap
+    def num(k: String): Int =
+      m.get(k).filter(v => v.nonEmpty && v != ".").map(_.toInt).getOrElse(0)
+    val dp = if (m.contains("MIN_DP")) num("MIN_DP") else num("DP")
+    (m.getOrElse("GT", "./."), dp, num("GQ"), m.getOrElse("PL", ""), m.getOrElse("AD", ""))
+  }
+
+  /** Allelic-depth "ref,alt,..." → alt fraction truncated at 3 decimals
+    * (reference `steps/toSample.scala:51-59`).
+    */
+  def adAltFraction(ad: String): Double = {
+    if (ad == null || ad.isEmpty) return 0.0
+    val parts = ad.split(",").filter(_.nonEmpty).map(_.toDouble)
+    if (parts.length < 2) return 0.0
+    val total = parts.sum
+    if (total == 0.0) 0.0 else truncateAt(parts(1) / total, 3)
+  }
+
+  /** `<NON_REF>` coverage rows take END from INFO, else the point position
+    * (reference `steps/toSample.scala:61-66`).
+    */
+  def endPos(alt: String, info: String, pos: Int): Int =
+    if (alt.endsWith("<NON_REF>"))
+      infoToMap(info).get("END").map(_.toInt).getOrElse(pos)
+    else pos
+
+  /** Haploid genotype promotion: "0"→"0/0", "1"→"1/1", diploid flag false
+    * for promoted calls (reference `steps/Parser.scala:238-248`).
+    */
+  def diploidize(gt: String): (String, Boolean) = gt match {
+    case "0" => ("0/0", false)
+    case "1" => ("1/1", false)
+    case g   => (g, true)
+  }
+
+  /** One emitted allele from a (possibly multi-allelic) genotype. */
+  case class AlleleSplit(alt: String, gt: String, genoTypeNumber: Int, multiallelic: Boolean)
+
+  /** Split a multi-allelic ALT by the genotype (reference
+    * `steps/Parser.scala:252-270`): one row per distinct non-zero allele in
+    * the GT; `1/2`-style calls double-emit, each normalized to `0/1`;
+    * homozygous non-ref normalizes to `1/1`; the `<NON_REF>` sentinel is
+    * dropped from the alt list.
+    */
+  def splitMultiallelic(alt: String, gtRaw: String): Seq[AlleleSplit] = {
+    val (gt, _) = diploidize(gtRaw)
+    val alts = alt.split(",").filter(_ != "<NON_REF>")
+    if (alts.isEmpty) return Nil
+    val digits = gt.split("[/|]").filter(d => d.nonEmpty && d != ".").map(_.toInt)
+    if (digits.isEmpty) return Nil
+    val multi = alts.length > 1
+    val nonZero = digits.filter(_ > 0).distinct
+    if (nonZero.isEmpty) {
+      // 0/0 reference call — keep a single row pointing at the first alt
+      Seq(AlleleSplit(alts(0), "0/0", 0, multi))
+    } else {
+      nonZero.toIndexedSeq.flatMap { a =>
+        if (a > alts.length) None
+        else {
+          val norm =
+            if (digits.count(_ == a) == 2) "1/1"
+            else "0/1" // het with ref, or het-alt pair (1/2) — each side emits 0/1
+          Some(AlleleSplit(alts(a - 1), norm, a, multi))
+        }
+      }
+    }
+  }
+
+  /** Extract the value list for `key=` from raw INFO text (reference
+    * `steps/Parser.scala:275-286`).
+    */
+  def infoValue(info: String, key: String): Option[String] =
+    infoToMap(info).get(key).filter(_.nonEmpty)
+
+  /** dbSNP rs ids from the ID column (reference `steps/Parser.scala:287-298`). */
+  def rsIds(id: String): Seq[String] =
+    if (id == null || id.isEmpty || id == ".") Nil
+    else id.split(";").filter(_.startsWith("rs")).toSeq
+
+  /** chrom code: numeric as-is, MT→23, X→24, Y→25 (reference
+    * `steps/gzToParquet.scala:24-31`).
+    */
+  def chromToInt(c: String): Int = c.stripPrefix("chr") match {
+    case "MT" | "M" => 23
+    case "X"        => 24
+    case "Y"        => 25
+    case n          => n.toInt
+  }
+
+  /** UMD pathogenicity label → single letter {P,B,D,U} (reference
+    * `steps/UMD.scala:29-37`; we diverge from its non-exhaustive match by
+    * defaulting unknown labels to "U" instead of throwing).
+    */
+  def umdLabel(label: String): String = label match {
+    case l if l == null || l.isEmpty          => "U"
+    case l if l.toLowerCase.contains("polym") => "B" // polymorphism → benign
+    case l if l.toLowerCase.contains("patho") => "P"
+    case l if l.toLowerCase.contains("damag") => "D"
+    case _                                    => "U"
+  }
+
+  // ---- snpEff ANN parsing -------------------------------------------------
+
+  private val ImpactRank = Map("HIGH" -> 1, "MODERATE" -> 2, "LOW" -> 3, "MODIFIER" -> 4)
+
+  /** Parse `ANN=` entries (pipe-delimited, 15+ fields, comma-separated
+    * alternatives; reference `steps/Parser.scala:299-327`), keeping — per
+    * transcript — only the highest-impact entry (HIGH > MODERATE > LOW >
+    * MODIFIER). Only entries whose allele matches `alt` are kept when
+    * `alt` is non-empty.
+    */
+  def parseAnn(annValue: String, alt: String, genoTypeNumber: Int): Seq[FunctionalEffect] = {
+    if (annValue == null || annValue.isEmpty) return Nil
+    val entries = annValue.split(",").iterator.flatMap { e =>
+      // split preserving trailing empties: ANN fields are positional
+      val f = e.split("\\|", -1)
+      if (f.length < 11) None
+      else if (alt.nonEmpty && f(0) != alt) None
+      else Some(FunctionalEffect(
+        effect = f(1), effect_impact = f(2), functional_class = f(5),
+        codon_change = f(9), amino_acid_change = f(10),
+        amino_acid_length = if (f.length > 13) f(13) else "",
+        gene_name = f(3), transcript_biotype = f(7), gene_coding = f(7),
+        transcript_id = f(6), exon_rank = if (f.length > 8) f(8) else "",
+        geno_type_number = genoTypeNumber))
+    }.toSeq
+    // per-transcript dedup keeping highest impact (lowest rank number)
+    entries.groupBy(_.transcript_id).valuesIterator.map { group =>
+      group.minBy(fe => ImpactRank.getOrElse(fe.effect_impact, 5))
+    }.toSeq.sortBy(fe => (ImpactRank.getOrElse(fe.effect_impact, 5), fe.transcript_id))
+  }
+
+  // ---- dbNSFP / ClinVar predictor rules ----------------------------------
+
+  /** Of a comma/`|`-separated score list keep min (SIFT: lower = more
+    * damaging) truncated at 3 decimals; reference `Parser.scala:159-164`.
+    */
+  def minScore(raw: String, p: Int = 3): Double = {
+    val vs = splitScores(raw)
+    if (vs.isEmpty) 0.0 else truncateAt(vs.min, p)
+  }
+
+  /** Max of a score list truncated (Polyphen/CADD: higher = worse). */
+  def maxScore(raw: String, p: Int = 3): Double = {
+    val vs = splitScores(raw)
+    if (vs.isEmpty) 0.0 else truncateAt(vs.max, p)
+  }
+
+  private def splitScores(raw: String): Seq[Double] =
+    if (raw == null || raw.isEmpty) Nil
+    else raw.split("[,|]").toSeq.filter(s => s.nonEmpty && s != ".").map(_.toDouble)
+
+  /** Prediction-letter precedence: first letter (in `order`) present in the
+    * raw list wins. SIFT: D>T; Polyphen: D>P>B; MutationTaster: A>D>N
+    * (reference `Parser.scala:87-116`).
+    */
+  def predByPrecedence(raw: String, order: Seq[String]): String = {
+    if (raw == null || raw.isEmpty) return ""
+    val present = raw.split("[,|]").filter(_.nonEmpty).toSet
+    order.find(present.contains).getOrElse("")
+  }
+
+  /** ClinVar CLNSIG encoding: codes containing both pathogenic (5) and
+    * likely-pathogenic (4) collapse to "9"; otherwise the first code wins
+    * (reference truth table `"5|4|0"→"9"`, `Parser.scala:107-116`).
+    */
+  def clinvarRules(clnsig: String): String = {
+    if (clnsig == null || clnsig.isEmpty) return ""
+    val codes = clnsig.split("[|,]").filter(_.nonEmpty)
+    if (codes.contains("5") && codes.contains("4")) "9"
+    else codes.headOption.getOrElse("")
+  }
+}

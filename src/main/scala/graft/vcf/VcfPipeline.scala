@@ -1,0 +1,151 @@
+package graft.vcf
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IntervalJoin
+
+/** The reference's batch DAG (SURVEY.md §3.1) rebuilt Spark-first:
+  *
+  * {{{
+  * gvcf text ── ingest ──▶ raw rows
+  * raw ── parse (typed flatMap) ── quality gates ──▶ parsedSamples
+  * parsedSamples ── <NON_REF> rows ──▶ coverage ranges
+  * distinct variant sites × ranges ── IntervalJoin bin rewrite ──▶ synthesized ref-calls
+  * parsed ∪ synthesized ── groupBy site ── collect_list(map(...)) ──▶ samples
+  * parsed ── explode effects ── groupBy site ── collect + first ──▶ effects
+  * effects ⟕ samples ── freq ──▶ variants (nested docs)
+  * }}}
+  *
+  * Every stage is a DataFrame/Dataset plan (Catalyst-optimizable,
+  * whole-stage codegen); the only typed lambda is the gVCF line parser
+  * itself. Stages write/read partitioned parquet by (chrom, band) when
+  * materialized — `partitionBy` replaces the reference's hand-built
+  * `chrom=C/band=B` paths (`steps/Parser.scala:199`).
+  */
+object VcfPipeline {
+
+  val GqMin = 19 // quality gates per reference (`steps/toRange.scala:33-34`)
+  val DpMin = 7
+
+  /** S1/S2: read gVCF text (gzip handled by codec), drop headers, parse to
+    * typed variants. `input_file_name()` supplies the sample id (replacing
+    * the reference's filename/`toDebugString` hacks).
+    */
+  def ingest(spark: SparkSession, paths: Seq[String], chrom: Int): Dataset[Variant] = {
+    import spark.implicits._
+    spark.read.textFile(paths: _*)
+      .select(col("value"), input_file_name().as("file"))
+      .as[(String, String)]
+      .flatMap { case (line, file) =>
+        val sampleId = file.split("/").last.split("\\.").head
+        VcfParser.parseLine(line, sampleId, chrom)
+      }
+  }
+
+  /** Quality gates (P3): gq > 19 && dp > 7, non-reference calls only. */
+  def qualityGate(parsed: Dataset[Variant]): Dataset[Variant] =
+    parsed.filter(col("sample.gq") > GqMin && col("sample.dp") > DpMin)
+
+  /** Coverage ranges: the `<NON_REF>`-only rows carry [pos, end_pos]
+    * intervals per sample (reference `steps/toRange.scala`).
+    */
+  def coverageRanges(parsed: DataFrame): DataFrame =
+    parsed.filter(col("alt") === "<NON_REF>" && col("end_pos") =!= 0)
+      .select(
+        col("chrom").as("r_chrom"), col("pos").as("r_start"),
+        col("end_pos").as("r_end"), col("sample.sampleId").as("r_sample"),
+        col("sample.dp").as("r_dp"), col("sample.gq").as("r_gq"))
+
+  /** J2: distinct variant sites × coverage ranges — which samples have
+    * reference coverage at each variant position. Bin-key rewrite, 1 Mbp
+    * bins (SURVEY.md §7.3) instead of the reference's row-explosion /
+    * hand-rolled merge join.
+    */
+  def intersect(sites: DataFrame, ranges: DataFrame, binWidth: Double = 1e6): DataFrame =
+    IntervalJoin.pointInRange(
+      sites, ranges,
+      pointCol = "pos", loCol = "r_start", hiCol = "r_end",
+      binWidth = binWidth,
+      extraEquiKeys = Seq(("chrom", "r_chrom")),
+      hiInclusive = true)
+
+  /** Synthesized reference-call rows for covered samples at variant sites
+    * (same 11-column shape the real calls collapse to).
+    */
+  def synthesizedRefCalls(parsed: DataFrame, binWidth: Double = 1e6): DataFrame = {
+    val sites = parsed.filter(col("alt") =!= "<NON_REF>")
+      .select("chrom", "pos", "ref", "alt", "indel").distinct()
+    val joined = intersect(sites, coverageRanges(parsed), binWidth)
+    joined.select(
+      col("chrom"), col("pos"), col("ref"), col("alt"), col("indel"),
+      lit("0/0").as("gt"), col("r_dp").as("dp"), col("r_gq").as("gq"),
+      lit("").as("pl"), lit("").as("ad"), lit(false).as("multiallelic"),
+      col("r_sample").as("sampleId"), lit(true).as("diploid"))
+  }
+
+  private def callColumns(parsed: DataFrame): DataFrame =
+    parsed.filter(col("alt") =!= "<NON_REF>").select(
+      col("chrom"), col("pos"), col("ref"), col("alt"), col("indel"),
+      col("sample.gt").as("gt"), col("sample.dp").as("dp"),
+      col("sample.gq").as("gq"), col("sample.pl").as("pl"),
+      col("sample.ad").as("ad"), col("sample.multiallelic").as("multiallelic"),
+      col("sample.sampleId").as("sampleId"), col("sample.diploid").as("diploid"))
+
+  /** A1: per-site genotype matrix → array of per-sample maps
+    * (`collect_list(map(...))` replaces the brickhouse Hive UDAF).
+    */
+  def sampleGroups(parsed: DataFrame, binWidth: Double = 1e6): DataFrame = {
+    val all = callColumns(parsed).unionByName(synthesizedRefCalls(parsed, binWidth))
+    all.groupBy("chrom", "pos", "ref", "alt", "indel")
+      .agg(collect_list(map(
+        lit("sample"), col("sampleId"), lit("gt"), col("gt"),
+        lit("dp"), col("dp").cast("string"), lit("gq"), col("gq").cast("string"),
+        lit("ad"), col("ad"), lit("multi"), col("multiallelic").cast("string"),
+        lit("diploid"), col("diploid").cast("string"))).as("samples"))
+  }
+
+  /** A2/A3: per-site effect array (exploded, deduped) + first-seen
+    * predictions/populations.
+    */
+  def effectGroups(parsed: DataFrame): DataFrame =
+    parsed.filter(col("alt") =!= "<NON_REF>")
+      .select(
+        col("chrom"), col("pos"), col("ref"), col("alt"),
+        explode_outer(col("effects")).as("effect"),
+        col("predictions"), col("populations"))
+      .groupBy("chrom", "pos", "ref", "alt")
+      .agg(
+        array_distinct(collect_list(col("effect"))).as("effects"),
+        first(col("predictions")).as("predictions"),
+        first(col("populations")).as("populations"))
+
+  /** U1: cohort allele frequency over the collected sample maps — sum of
+    * alt-allele digits / (2 × samples), floor-truncated to float like the
+    * reference's `freq` UDF (`steps/toVariant.scala:28-30`). Higher-order
+    * functions, no UDF.
+    */
+  def freqColumn(samples: Column): Column = {
+    val altCount = aggregate(samples, lit(0),
+      (acc, s) => acc +
+        when(element_at(s, "gt") === "1/1", 2)
+          .when(element_at(s, "gt") === "0/1", 1)
+          .otherwise(0))
+    (floor(altCount.cast("double") / (size(samples) * 2) * 1e6) / 1e6).cast("float")
+  }
+
+  /** J3 + U1: final nested per-variant document. */
+  def variants(parsed: DataFrame, binWidth: Double = 1e6): DataFrame = {
+    val samples = sampleGroups(parsed, binWidth)
+    val effects = effectGroups(parsed)
+    effects.join(samples, Seq("chrom", "pos", "ref", "alt"), "left")
+      .withColumn("freq", freqColumn(col("samples")))
+  }
+
+  /** S4: partitioned parquet sink — genomic band as a first-class derived
+    * column, `partitionBy` instead of hand-built paths.
+    */
+  def writePartitioned(df: DataFrame, dest: String, bandWidth: Long = 30000000L): Unit =
+    df.withColumn("band", (col("pos") / bandWidth).cast("int") * bandWidth.toInt)
+      .write.mode("overwrite").partitionBy("chrom", "band").parquet(dest)
+}
