@@ -27,6 +27,19 @@ object VcfParser {
     val (gtRaw, dp, gq, pl, ad) = formatFields(r.format, r.sample)
     val (gtDip, diploid) = diploidize(gtRaw)
     val end = endPos(r.alt, r.info, r.pos)
+
+    // Pure reference-coverage block: keep as an interval row (the input to
+    // the J2 intersection), never multi-allele split.
+    if (r.alt == "<NON_REF>") {
+      return Seq(Variant(
+        chrom = r.chrom, pos = r.pos, end_pos = end, ref = r.ref,
+        alt = "<NON_REF>", indel = false,
+        sample = SampleCall(gtDip, dp, gq, pl, ad, multiallelic = false,
+          sampleId = r.sampleId, diploid = diploid),
+        effects = Nil, predictions = emptyPredictions,
+        populations = emptyPopulations))
+    }
+
     val splits = splitMultiallelic(r.alt, gtDip)
 
     splits.map { s =>

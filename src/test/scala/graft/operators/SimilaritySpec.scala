@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.functions.VectorFunctions._
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("FloatDotProduct matches scala computation (eval + codegen)") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))
+    ).toDF("a", "b")
+    val got = df.select(fdot($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - (1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0)) < 1e-12)
+    assert(got(1) == 0.0)
+    // null propagation
+    val withNull = df.select(fdot(lit(null).cast("array<float>"), $"b"))
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
+  test("cosineTopK matches brute-force ranking on real embeddings") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+    val c = emb.filter($"vec_id" >= 3)
+    val got = Similarity.cosineTopK(q, c, "vec_id", "vec_id", "embedding", k = 4)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    // driver-side brute force
+    val qv = q.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val cv = c.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((qid, vec) <- qv) {
+      val want = cv.map { case (cid, cvec) =>
+        (cid, math.round(cos(vec, cvec) * 1000) / 1000.0)
+      }.sortBy { case (cid, s) => (-s, cid) }.take(4).map(_._1).toSeq
+      assert(got(qid) == want, s"query $qid")
+    }
+  }
+
+  test("annLshTopK returns exact-scored subset of candidates") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val c = emb.filter($"vec_id" >= 5)
+    val ann = Similarity.annLshTopK(q, c, "vec_id", "vec_id", "embedding", k = 3)
+    val rows = ann.select("q_id", "c_id", "sim").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // per-query at most k results, sims within [-1, 1]
+    rows.groupBy(_._1).foreach { case (_, rs) => assert(rs.length <= 3) }
+    assert(rows.forall { case (_, _, s) => s >= -1.0001 && s <= 1.0001 })
+    // every (q,c) sim equals the brute-force cosine (precision 1)
+    val brute = Similarity.cosineTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = Int.MaxValue)
+      .select("q_id", "c_id", "sim").as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(rows.forall { case (a, b, s) => brute((a, b)) == s })
+  }
+}

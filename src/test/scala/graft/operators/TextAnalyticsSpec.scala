@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat and the dog"),
+    (2L, "el perro y la casa es de la que"),
+    (3L, "zzz yyy xxx www")
+  ).toDF("doc_id", "text")
+
+  test("tokenStats computes counts and ratios") {
+    val r = TextAnalytics.tokenStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val d1 = r(1L)
+    assert(d1.getAs[Int]("n_tokens") == 5)
+    assert(d1.getAs[Int]("n_chars") == 19)
+    // tokens: the(3) cat(3) and(3) the(3) dog(3) -> avg 3.0
+    assert(d1.getAs[Double]("avg_token_len") == 3.0)
+    assert(d1.getAs[Double]("uniq_ratio") == 0.8) // 4 distinct / 5
+  }
+
+  test("qualityScore blends ratios deterministically") {
+    val r = TextAnalytics.qualityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // doc1: stop 3/5 ("the" x2, "and"), uniq 4/5, length<20 -> 0.5 weight
+    val want = math.rint((0.6 * 0.25 + 0.8 * 0.5 + 0.5 * 0.25) * 10000) / 10000
+    assert(r(1L).getAs[Double]("quality") == want)
+    assert(r(3L).getAs[Double]("stop_ratio") == 0.0)
+  }
+
+  test("langId picks marker language with precedence, und on no evidence") {
+    val r = TextAnalytics.langId(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "en")
+    assert(r(2L) == "es")
+    assert(r(3L) == "und")
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val two = Seq((1L, "Hello World"), (2L, "hello  world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalytics.fingerprints(two, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}
