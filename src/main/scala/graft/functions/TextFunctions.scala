@@ -15,6 +15,11 @@ object TextFunctions {
 
   /** Distinct n-word shingles of a token array. Empty when the doc has
     * fewer than n tokens (never a descending `sequence`).
+    *
+    * IMPORTANT: pass a *bound column* holding the token array (project
+    * `tokens(text)` into its own column first), not the `split` expression
+    * inline — the lambda reads the array 3n+ times, and an inlined split
+    * would be re-evaluated on every read (quadratic in document length).
     */
   def wordShingles(toks: Column, n: Int): Column = {
     val idx = sequence(lit(1), size(toks) - (n - 1))

@@ -21,10 +21,44 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("digest"))
       .agg(count("*").as("n_docs"), min(col(idCol)).as("canonical_id"))
 
-  private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(
-        col(idCol).as("id"),
-        explode(TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+  /** Ensure enough partitions to use the cluster for explode-heavy work.
+    * A no-op at real scale (many input splits); matters for the harness's
+    * single-row-group files, which Spark cannot split.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, p / 2)) df.repartition(p) else df
+  }
+
+  /** Exploded distinct shingles per doc, with the per-doc shingle count
+    * carried on every row (saves the separate count aggregation + joins)
+    * and a 64-bit shingle hash as the join key (smaller shuffle than the
+    * shingle string; collision odds across <2^32 distinct shingles are
+    * negligible and only perturb one candidate count by 1).
+    */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // Relational shingling: posexplode tokens, assemble each n-gram with
+    // window `lead`s, dedup per doc, then count per doc with a window.
+    // Fully codegen/window-exec (the higher-order-function formulation is
+    // interpreted expression-eval and lands in the unparallel scan stage —
+    // ~20µs per shingle vs this plan's vectorized path).
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(
+      col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val gram = concat_ws(" ", (col("t") +: (1 until n).map(k => lead(col("t"), k).over(w))): _*)
+    val complete = lead(col("t"), n - 1).over(w).isNotNull
+    val dedup = tok
+      .withColumn("sh", gram).withColumn("ok", complete)
+      .filter(col("ok"))
+      .select("id", "sh")
+      .dropDuplicates("id", "sh")
+    dedup.select(
+      col("id"),
+      count(lit(1)).over(Window.partitionBy("id")).cast("int").as("n_sh"),
+      xxhash64(col("sh")).as("shkey"))
+  }
 
   /** All document pairs with n-word-shingle Jaccard >= threshold.
     *
@@ -36,18 +70,19 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n)
-    val counts = sh.groupBy("id").agg(count("*").as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+    // shuffle_hash on both sides: identical child plans shuffle on the same
+    // key, so ReuseExchange evaluates the shingle generation once, not per
+    // join side (broadcast would re-run it for each side).
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shkey") === col("b.shkey") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count("*").as("n_common"))
-    inter
-      .join(counts.as("ca"), col("id_a") === col("ca.id"))
-      .join(counts.as("cb"), col("id_b") === col("cb.id"))
+      .agg(
+        count("*").as("n_common"),
+        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
       .select(
         col("id_a"), col("id_b"),
-        (col("n_common") / (col("ca.n_sh") + col("cb.n_sh") - col("n_common")))
-          .as("jaccard"))
+        (col("n_common") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -78,7 +113,7 @@ object Dedup {
       n: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame = {
     val (as, bs) = coeffs(k, seed)
     val sh = shingleRows(docs, idCol, textCol, n)
-      .withColumn("h", pmod(xxhash64(col("sh")), lit(MinHashPrime)))
+      .withColumn("h", pmod(col("shkey"), lit(MinHashPrime)))
     val aggs = (0 until k).map { i =>
       min(pmod(col("h") * as(i) + bs(i), lit(MinHashPrime))).as(s"mh$i")
     }
@@ -116,22 +151,21 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     // Exact verify on candidates only: |A ∩ B| by joining the shingle
-    // rows of both sides, |A ∪ B| from per-doc counts.
+    // rows of both sides (per-doc totals ride along on the shingle rows).
+    // No broadcast hint: candidate volume is data-dependent — AQE converts
+    // to broadcast at runtime when the pair set is small.
     val sh = shingleRows(docs, idCol, textCol, n)
-    val counts = sh.groupBy("id").agg(count("*").as("n_sh"))
-    // (no broadcast hint: candidate volume is data-dependent — AQE
-    // converts to broadcast at runtime when the pair set is small)
-    val common = cand
+    cand
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("id_a", "id_b").agg(count("*").as("n_common"))
-    common
-      .join(counts.as("ca"), col("id_a") === col("ca.id"))
-      .join(counts.as("cb"), col("id_b") === col("cb.id"))
+      .join(sh.as("sb"),
+        col("id_b") === col("sb.id") && col("sa.shkey") === col("sb.shkey"))
+      .groupBy("id_a", "id_b")
+      .agg(
+        count("*").as("n_common"),
+        first(col("sa.n_sh")).as("na"), first(col("sb.n_sh")).as("nb"))
       .select(
         col("id_a"), col("id_b"),
-        (col("n_common") / (col("ca.n_sh") + col("cb.n_sh") - col("n_common")))
-          .as("jaccard"))
+        (col("n_common") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -141,15 +175,20 @@ object Dedup {
     * hash aggregate (codegen'd) -> reassemble the sign bits into a long.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(
+    // Pre-aggregate to (id, token-hash, weight) first: the 64 bit-sums then
+    // run over distinct hashes per doc instead of every token occurrence —
+    // identical result (sign sums weighted by counts), much smaller input.
+    val th = spread(docs).select(
         col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .groupBy(col("id"), xxhash64(col("t")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    // sign = bit*2-1 as arithmetic (compact codegen: 64 branchless sums)
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1))
         .as(s"b$j")
     }
-    val sums = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sums = th.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     val sh = (0 until 64).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
