@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.FloatDotProduct
+import graft.vcf.VcfFunctions
+
+/** SQL-surface registration (§3.2 parity: the reference drives several
+  * stages through HiveQL strings — our engine exposes the same operations
+  * to `spark.sql` callers). Pure functions register as UDFs; the vector
+  * dot product registers as its native codegen expression.
+  */
+object SqlFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("gq_band", (gq: Int) => VcfFunctions.gqBand(gq))
+    spark.udf.register("truncate_at",
+      (x: Double, p: Int) => VcfFunctions.truncateAt(x, p))
+    spark.udf.register("umd_label", (s: String) => VcfFunctions.umdLabel(s))
+    spark.udf.register("chrom_to_int", (s: String) => VcfFunctions.chromToInt(s))
+    spark.udf.register("ad_alt_fraction",
+      (ad: String) => VcfFunctions.adAltFraction(ad))
+    // U1: cohort allele frequency over collected per-sample maps
+    spark.udf.register("cohort_freq", (samples: Seq[Map[String, String]]) => {
+      if (samples == null || samples.isEmpty) 0.0f
+      else {
+        val alt = samples.iterator.map(_.getOrElse("gt", "") match {
+          case "1/1" => 2
+          case "0/1" => 1
+          case _     => 0
+        }).sum
+        (math.floor(alt.toDouble / (2 * samples.size) * 1e6) / 1e6).toFloat
+      }
+    })
+    // native expression — stays inside whole-stage codegen from SQL too
+    ColumnBridge.registerExpression(spark, "fvec_dot",
+      exprs => FloatDotProduct(exprs(0), exprs(1)))
+  }
+}

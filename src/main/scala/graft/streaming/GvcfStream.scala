@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.vcf.{VcfParser, Variant}
+
+/** Streaming gVCF ingest (reference S9, `StreamGenomicsLoader.scala`):
+  * the DStream `textFileStream` + per-batch driver-side counting + the
+  * `rdd.toDebugString` filename hack, re-expressed as one Structured
+  * Streaming query — `readStream.text` + `input_file_name()` for
+  * provenance, the *same* typed parser as batch (unified API), and a
+  * partitioned parquet sink via `foreachBatch`.
+  */
+object GvcfStream {
+
+  /** Parse a micro-batched text stream of gVCF lines into typed variants.
+    * Sample id is derived from the source filename; chromosome from its
+    * `.chrN.` segment (falls back to 0).
+    */
+  def parse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .option("maxFilesPerTrigger", "100")
+      .text(dir)
+      .select(col("value"), input_file_name().as("file"))
+      .as[(String, String)]
+      .flatMap { case (line, file) =>
+        val name = file.split("/").last
+        val sampleId = name.split("\\.").head
+        val chrom = name.split("\\.").iterator
+          .find(_.startsWith("chr"))
+          .flatMap(s => scala.util.Try(
+            graft.vcf.VcfFunctions.chromToInt(s)).toOption)
+          .getOrElse(0)
+        VcfParser.parseLine(line, sampleId, chrom)
+      }
+      .toDF()
+  }
+
+  /** Run the ingest: 60 s micro-batches (reference batch interval) into
+    * band-partitioned parquet, exactly-once via checkpointing.
+    */
+  def run(spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    parse(spark, inDir).writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch
+            .withColumn("band", (col("pos") / 30000000L).cast("int"))
+            .write.mode("append").partitionBy("chrom", "band").parquet(outDir)
+        }
+      }
+      .start()
+}
