@@ -156,6 +156,67 @@ object SparkEntry {
         round(sum("value").over(w), 2).as("running_value"))
   }
 
+  private def w3LagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    T(s, d, "events")
+      .withColumn("tus", expr("ts div 1000"))
+      .select(
+        col("event_id"), col("user_id"),
+        (col("tus") - lag("tus", 1).over(w)).as("gap_us"),
+        lead("event_type", 1).over(w).as("next_type"))
+  }
+
+  /** Sessionization: a new session starts after a >30 min silence. */
+  private def w4Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    T(s, d, "events")
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("gap", col("tus") - lag("tus", 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > 1800000000L, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_sess").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  private def f4Rollup(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+
+  private def f5DateFuncs(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+
+  private def f6StringFuncs(s: SparkSession, d: String): DataFrame =
+    T(s, d, "part").select(
+      col("p_partkey"),
+      lower(col("p_type")).as("type_lower"),
+      regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+      lpad(col("p_brand"), 12, "*").as("brand_pad"),
+      reverse(col("p_name")).as("name_rev"),
+      trim(col("p_name")).as("name_trim"))
+
+  private def a5Stats(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events").groupBy("event_type")
+      .agg(
+        round(min("value"), 2).as("v_min"),
+        round(max("value"), 2).as("v_max"),
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n"))
+
+  private def j8Cross(s: SparkSession, d: String): DataFrame =
+    T(s, d, "region").crossJoin(T(s, d, "nation"))
+      .select(col("r_name"), col("n_name"),
+        (col("r_regionkey") === col("n_regionkey")).as("home"))
+
   // ---- §2.7 scalar functions --------------------------------------------
 
   private def f1Scalar(s: SparkSession, d: String): DataFrame =
@@ -270,6 +331,13 @@ object SparkEntry {
     "p6_explode_tokens" -> (p6Explode _),
     "w1_window_topk" -> (w1TopK _),
     "w2_running_sum" -> (w2RunningSum _),
+    "w3_lag_lead" -> (w3LagLead _),
+    "w4_sessionize" -> (w4Sessionize _),
+    "f4_rollup" -> (f4Rollup _),
+    "f5_date_funcs" -> (f5DateFuncs _),
+    "f6_string_funcs" -> (f6StringFuncs _),
+    "a5_stats" -> (a5Stats _),
+    "j8_cross_join" -> (j8Cross _),
     "f1_scalar_funcs" -> (f1Scalar _),
     "f2_bucketize" -> (f2Bucketize _),
     "f3_json_extract" -> (f3Json _),
@@ -363,6 +431,45 @@ object SparkEntry {
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
         |    AS running_value
         |FROM events""".stripMargin,
+    "w3_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  tus - lag(tus, 1) OVER w AS gap_us,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)""".stripMargin,
+    "w4_sessionize" ->
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM (SELECT user_id,
+        |    CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id,
+        |      tus - lag(tus, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |        AS gap
+        |    FROM (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events)))
+        |GROUP BY user_id""".stripMargin,
+    "f4_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "f5_date_funcs" ->
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+    "f6_string_funcs" ->
+      """SELECT p_partkey, lower(p_type) AS type_lower,
+        |  replace(p_type, ' ', '_') AS type_snake,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  reverse(p_name) AS name_rev, trim(p_name) AS name_trim
+        |FROM part""".stripMargin,
+    "a5_stats" ->
+      """SELECT event_type, round(min(value), 2) AS v_min,
+        |  round(max(value), 2) AS v_max,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "j8_cross_join" ->
+      """SELECT r_name, n_name, r_regionkey = n_regionkey AS home
+        |FROM region CROSS JOIN nation""".stripMargin,
     "f1_scalar_funcs" ->
       """SELECT p_partkey, upper(substr(p_name, 1, 8)) AS name8,
         |  length(p_name) AS name_len, round(p_retailprice * 1.1, 3) AS bumped,
