@@ -307,6 +307,16 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  private def v3AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    val cands = emb.filter(col("vec_id") >= 10)
+    val model = Similarity.ivfTrain(cands, "vec_id", "embedding", nlist = 8, iters = 2)
+    Similarity.annIvfTopK(
+      emb.filter(col("vec_id") < 10), cands,
+      "vec_id", "vec_id", "embedding", k = 5, model, nprobe = 3)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   // ---- training-data pipeline: multimodal plumbing ----------------------
 
   private def m1MediaMeta(s: SparkSession, d: String): DataFrame =
@@ -352,6 +362,7 @@ object SparkEntry {
     "t4_fingerprint" -> (t4Fingerprint _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
+    "v3_ann_ivf" -> (v3AnnIvf _),
     "m1_media_meta" -> (m1MediaMeta _))
 
   def oracleSql: Map[String, String] = ListMap(

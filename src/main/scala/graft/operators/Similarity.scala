@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,93 @@ object Similarity {
       when(fdot(col(vecCol), typedLit(hp)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     df.withColumn("bucket", bucket)
+  }
+
+  /** Trained IVF coarse quantizer: `nlist` centroids. Dimension-sized —
+    * lives on the driver and broadcasts into expressions as literals.
+    */
+  case class IvfModel(centroids: Seq[Seq[Float]]) {
+    def nlist: Int = centroids.size
+  }
+
+  /** Train an IVF coarse quantizer with seeded init + Lloyd iterations.
+    * Only centroid summaries (nlist × dim doubles) ever reach the driver;
+    * assignments and means stay distributed.
+    */
+  def ivfTrain(
+      df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 3, seed: Long = 42L): IvfModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // deterministic init: hash-order sample of nlist vectors
+    var centroids: Seq[Seq[Float]] = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(pmod(xxhash64(col("id") + seed), lit(1000003L)), col("id"))
+      .limit(nlist)
+      .select("v").as[Seq[Float]].collect().toSeq
+    for (_ <- 1 to iters) {
+      val assigned = df.withColumn("__c", nearestCentroid(col(vecCol), centroids))
+      val means = assigned
+        .select(col("__c"), posexplode(col(vecCol)).as(Seq("i", "x")))
+        .groupBy("__c", "i").agg(avg("x").as("m"))
+        .as[(Int, Int, Double)].collect()
+      val byCluster = means.groupBy(_._1)
+      centroids = centroids.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(ms) => ms.sortBy(_._2).map(_._3.toFloat).toSeq
+          case None     => centroids(c) // empty cluster keeps its centroid
+        }
+      }
+    }
+    IvfModel(centroids)
+  }
+
+  /** Index of the nearest centroid by squared L2 distance
+    * (argmin via array_min over (dist, idx) structs; ||x||² constant per
+    * row is dropped).
+    */
+  private def nearestCentroid(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x.toDouble * x).sum
+      struct((lit(c2) - lit(2.0) * fdot(vec, typedLit(c))).as("d"), lit(i).as("i"))
+    }
+    array_min(array(scored: _*)).getField("i")
+  }
+
+  /** The query-side probe list: indexes of the `nprobe` nearest centroids. */
+  private def probeList(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x.toDouble * x).sum
+      struct((lit(c2) - lit(2.0) * fdot(vec, typedLit(c))).as("d"), lit(i).as("i"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, nprobe), s => s.getField("i"))
+  }
+
+  /** IVF approximate top-k: candidates are bucketed by their nearest
+    * centroid (at scale: the partition/bucket key of the index); each
+    * query probes its `nprobe` nearest buckets and exact-scores only those
+    * candidates. `nprobe == nlist` degrades gracefully to exact search.
+    */
+  def annIvfTopK(
+      queries: DataFrame, candidates: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      k: Int, model: IvfModel, nprobe: Int = 4, roundTo: Int = 3): DataFrame = {
+    val c = candidates.select(
+      col(cIdCol).as("c_id"), col(vecCol).as("c_vec"),
+      fnorm(col(vecCol)).as("c_norm"),
+      nearestCentroid(col(vecCol), model.centroids).as("cluster"))
+    val q = queries.select(
+        col(qIdCol).as("q_id"), col(vecCol).as("q_vec"),
+        fnorm(col(vecCol)).as("q_norm"),
+        explode(probeList(col(vecCol), model.centroids, nprobe)).as("cluster"))
+    val scored = c.join(broadcast(q), Seq("cluster"))
+      .select(col("q_id"), col("c_id"),
+        round(fdot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), roundTo)
+          .as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
   }
 
   /** Approximate cosine top-k: score only candidates sharing the query's

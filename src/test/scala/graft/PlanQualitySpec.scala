@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IntervalJoin}
+import graft.sources.Tables
+
+/** Physical-plan assertions (SURVEY.md §4 scale posture): filters reach
+  * the parquet scan, projections prune columns, dimension joins
+  * broadcast, and no operator degenerates into a cartesian product.
+  * These guard the 100-TB shape of the plans, not just their results.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  private def planOf(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("filter + projection push into the parquet scan") {
+    val df = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"missing pushdown:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"missing column pruning:\n$plan")
+  }
+
+  test("dimension joins broadcast (no shuffle of the small side)") {
+    val plan = planOf(SparkEntry.queries("q5_nation_revenue")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("interval join stays an equi-join on the bin key") {
+    val plan = planOf(SparkEntry.queries("j2_interval_join")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("jaccard dedup never goes quadratic in the plan") {
+    val plan = planOf(Dedup.ngramJaccardPairs(
+      Tables.documents(spark, dir), "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("interval join with large range side uses the bin equi-join") {
+    import spark.implicits._
+    val pts = Seq((5L, 1L)).toDF("pos", "pid")
+    val rng = Seq((0L, 10L, 1L)).toDF("lo", "hi", "rid")
+    val plan = planOf(
+      IntervalJoin.pointInRange(pts, rng, "pos", "lo", "hi", 16, hiInclusive = true))
+    // equi-join on __graft bin key with range residual as join filter
+    assert(plan.contains("graft_pbin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"bin key join missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("whole-stage codegen covers the pricing rollup") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    df.collect() // AQE only shows codegen spans in the final executed plan
+    val plan = planOf(df)
+    // formatted explain marks whole-stage-codegen operators with '*'
+    assert(plan.contains("* HashAggregate"), s"no codegen span:\n$plan")
+  }
+}

@@ -49,6 +49,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF with nprobe == nlist equals exact brute force") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 4)
+    val c = emb.filter($"vec_id" >= 4)
+    val model = Similarity.ivfTrain(c, "vec_id", "embedding", nlist = 4, iters = 2)
+    assert(model.centroids.size == 4)
+    assert(model.centroids.forall(_.size == 64))
+    val exact = Similarity.cosineTopK(q, c, "vec_id", "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivfAll = Similarity.annIvfTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = 5, model, nprobe = 4)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivfAll == exact) // probing every bucket degrades to exhaustive
+    // partial probe: at most k per query, sims exact for what's returned
+    val ivf1 = Similarity.annIvfTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = 5, model, nprobe = 1)
+    assert(ivf1.groupBy("q_id").count().as[(Long, Long)].collect().forall(_._2 <= 5))
+  }
+
   test("annLshTopK returns exact-scored subset of candidates") {
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     val q = emb.filter($"vec_id" < 5)
