@@ -289,6 +289,12 @@ object SparkEntry {
   private def t4Fingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalytics.fingerprints(T(s, d, "documents"), "doc_id", "text")
 
+  private def t5BpeishTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.bpeishTokenCount(T(s, d, "documents"), "doc_id", "text")
+
+  private def t6Winnow(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.winnowFingerprints(T(s, d, "documents"), "doc_id", "text")
+
   // ---- training-data pipeline: similarity search ------------------------
 
   private def v1CosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -360,6 +366,8 @@ object SparkEntry {
     "t2_quality_score" -> (t2Quality _),
     "t3_lang_id" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_bpeish_tokens" -> (t5BpeishTokens _),
+    "t6_winnow_fingerprints" -> (t6Winnow _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -549,6 +557,12 @@ object SparkEntry {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id AS id, md5(lower(replace(text, ' ', ''))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "t5_bpeish_tokens" ->
+      """SELECT doc_id AS id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS bpeish_tokens
         |FROM documents""".stripMargin,
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v

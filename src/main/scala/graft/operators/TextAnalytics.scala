@@ -74,4 +74,62 @@ object TextAnalytics {
   /** Content fingerprint per doc (see [[TextFunctions.fingerprint]]). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fingerprint"))
+
+  /** BPE-ish token count: splits into letter runs, digit runs and single
+    * punctuation marks (the tokenizer-shaped pre-count used for corpus
+    * sizing). Class-based regex only — identical semantics in Java and
+    * RE2 engines, so it stays oracle-checkable.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0)))
+        .cast("long").as("bpeish_tokens"))
+
+  /** Winnowing fingerprints (rolling-hash document sketch): hash every
+    * k-char gram, keep the minimum hash of each sliding window of w
+    * grams, emit the distinct kept hashes. Guarantees any shared
+    * substring of length >= w + k - 1 contributes a shared fingerprint —
+    * the classic local-similarity sketch.
+    *
+    * Typed flatMap (P6-style parser lambda): the per-character rolling
+    * loop has no efficient Column-function form; everything around it
+    * stays relational.
+    */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null || text.length < k) Iterator.empty
+        else {
+          val n = text.length - k + 1
+          val hs = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            // polynomial rolling hash, stable across JVMs
+            var h = 1125899906842597L
+            var j = 0
+            while (j < k) { h = h * 31 + text.charAt(i + j); j += 1 }
+            hs(i) = h
+            i += 1
+          }
+          val kept = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var s = 0
+          while (s + w <= n) {
+            var m = hs(s); var j = s + 1
+            while (j < s + w) { if (hs(j) < m) m = hs(j); j += 1 }
+            kept += m
+            s += 1
+          }
+          kept.iterator.map(h => (id, h))
+        }
+      }
+      .toDF("id", "fp")
+  }
 }

@@ -27,4 +27,24 @@ object DocumentSink {
   def writeJson(variants: DataFrame, dest: String): Unit =
     toDocuments(variants)
       .write.mode("overwrite").partitionBy("chrom").json(dest)
+
+  /** The nested index mapping for the document shape (reference S8,
+    * `Elastic/Data.scala:34-93`, 8 shards / 0 replicas) — emitted as a
+    * JSON document; shipping it to a cluster is an ops concern outside
+    * the engine.
+    */
+  def indexMapping(shards: Int = 8, replicas: Int = 0): String =
+    s"""{
+       |  "settings": {"number_of_shards": $shards, "number_of_replicas": $replicas,
+       |    "refresh_interval": "1000ms"},
+       |  "mappings": {"properties": {
+       |    "chrom": {"type": "integer"}, "pos": {"type": "integer"},
+       |    "ref": {"type": "keyword"}, "alt": {"type": "keyword"},
+       |    "freq": {"type": "float"},
+       |    "samples": {"type": "nested"},
+       |    "effects": {"type": "nested"},
+       |    "predictions": {"type": "object"},
+       |    "populations": {"type": "object"}
+       |  }}
+       |}""".stripMargin
 }

@@ -42,6 +42,29 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(r(3L) == "und")
   }
 
+  test("bpeish token count separates words, numbers, punctuation") {
+    val df = Seq((1L, "hello world 42 times, ok!")).toDF("doc_id", "text")
+    val r = TextAnalytics.bpeishTokenCount(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("ws_tokens") == 5)
+    // hello, world, 42, times, ',', ok, '!'
+    assert(r.getAs[Long]("bpeish_tokens") == 7)
+  }
+
+  test("winnowing: identical docs share all fingerprints, long shared substring overlaps") {
+    val base = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    val df = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, "zzzz completely unrelated content with other words qqqq"),
+      (4L, "PREFIX " + base + " SUFFIX")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalytics.winnowFingerprints(df, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp(1L) == fp(2L))
+    assert((fp(1L) intersect fp(4L)).nonEmpty)  // shared substring -> shared prints
+    assert((fp(1L) intersect fp(3L)).isEmpty)
+  }
+
   test("fingerprint is whitespace/case invariant") {
     val two = Seq((1L, "Hello World"), (2L, "hello  world"), (3L, "other"))
       .toDF("doc_id", "text")

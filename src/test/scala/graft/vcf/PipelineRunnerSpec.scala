@@ -1,0 +1,40 @@
+package graft.vcf
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PipelineRunnerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("config-driven stage dispatch runs the full DAG through parquet IR") {
+    val root = Files.createTempDirectory("pipeline").toFile
+    val g1 = new java.io.File(root, "S1.chr1.vcf")
+    Files.write(g1.toPath,
+      ("#h\n" +
+        Seq("1", "150", "rs1", "G", "A,<NON_REF>", ".", ".", "DP=20",
+          "GT:AD:DP:GQ:PL", "0/1:12,8:20:45:99,0,88").mkString("\t") + "\n" +
+        Seq("1", "100", ".", "A", "<NON_REF>", ".", ".", "END=300",
+          "GT:DP:GQ:MIN_DP:PL", "0/0:30:60:22:0,60,900").mkString("\t") + "\n").getBytes)
+
+    val cfg = PipelineRunner.Config(
+      root = new java.io.File(root, "tables").getPath,
+      gvcfPaths = Seq(g1.getPath))
+    PipelineRunner.run(spark, cfg)
+
+    // every stage table materialized; restartable from any point
+    assert(spark.read.parquet(s"${cfg.root}/parsedSamples").count() == 2)
+    assert(spark.read.parquet(s"${cfg.root}/samples").count() == 1)
+    assert(spark.read.parquet(s"${cfg.root}/variants").count() == 1)
+    val doc = spark.read.json(s"${cfg.root}/documents").collect().head
+    assert(doc.getAs[Long]("pos") == 150)
+
+    // re-running only a downstream stage reuses the parquet IR
+    PipelineRunner.run(spark, cfg.copy(stages = Seq("variants", "publish")))
+    assert(spark.read.json(s"${cfg.root}/documents").count() == 1)
+
+    assert(DocumentSink.indexMapping().contains("\"number_of_shards\": 8"))
+  }
+}
