@@ -33,6 +33,9 @@ object SqlFunctions {
         (math.floor(alt.toDouble / (2 * samples.size) * 1e6) / 1e6).toFloat
       }
     })
+    // U2: merge population maps, recoding empty values to "0"
+    spark.udf.register("pop_normalize",
+      (maps: Seq[Map[String, String]]) => VcfFunctions.popNormalize(maps))
     // native expression — stays inside whole-stage codegen from SQL too
     ColumnBridge.registerExpression(spark, "fvec_dot",
       exprs => FloatDotProduct(exprs(0), exprs(1)))

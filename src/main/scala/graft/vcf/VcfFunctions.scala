@@ -152,9 +152,10 @@ object VcfFunctions {
     case _                                    => "U"
   }
 
-  // ---- snpEff ANN parsing -------------------------------------------------
+  // ---- snpEff ANN / EFF parsing ------------------------------------------
 
-  private val ImpactRank = Map("HIGH" -> 1, "MODERATE" -> 2, "LOW" -> 3, "MODIFIER" -> 4)
+  private[vcf] val ImpactRank =
+    Map("HIGH" -> 1, "MODERATE" -> 2, "LOW" -> 3, "MODIFIER" -> 4)
 
   /** Parse `ANN=` entries (pipe-delimited, 15+ fields, comma-separated
     * alternatives; reference `steps/Parser.scala:299-327`), keeping — per
@@ -182,6 +183,48 @@ object VcfFunctions {
       group.minBy(fe => ImpactRank.getOrElse(fe.effect_impact, 5))
     }.toSeq.sortBy(fe => (ImpactRank.getOrElse(fe.effect_impact, 5), fe.transcript_id))
   }
+
+  /** Parse legacy snpEff `EFF=effect(impact|functional_class|codon|aa|
+    * aa_len|gene|biotype|coding|transcript|exon[|genotype])` entries
+    * (reference `steps/toEffects.scala:71-115`; pre-ANN annotation
+    * format). Same dedup-by-transcript/highest-impact rule as ANN.
+    */
+  def parseEff(effValue: String, genoTypeNumber: Int): Seq[FunctionalEffect] = {
+    if (effValue == null || effValue.isEmpty) return Nil
+    val entries = effValue.split(",").iterator.flatMap { e =>
+      val p = e.indexOf('(')
+      if (p < 0 || !e.endsWith(")")) None
+      else {
+        val effect = e.substring(0, p)
+        val f = e.substring(p + 1, e.length - 1).split("\\|", -1)
+        if (f.length < 10) None
+        else Some(FunctionalEffect(
+          effect = effect, effect_impact = f(0), functional_class = f(1),
+          codon_change = f(2), amino_acid_change = f(3), amino_acid_length = f(4),
+          gene_name = f(5), transcript_biotype = f(6), gene_coding = f(7),
+          transcript_id = f(8), exon_rank = f(9),
+          geno_type_number = genoTypeNumber))
+      }
+    }.toSeq
+    entries.groupBy(_.transcript_id).valuesIterator.map { group =>
+      group.minBy(fe => ImpactRank.getOrElse(fe.effect_impact, 5))
+    }.toSeq.sortBy(fe => (ImpactRank.getOrElse(fe.effect_impact, 5), fe.transcript_id))
+  }
+
+  /** U2 `pop`: merge an array of population maps into one, recoding empty
+    * values to "0" (reference `steps/toElastic.scala:11`).
+    */
+  def popNormalize(maps: Seq[Map[String, String]]): Map[String, String] =
+    if (maps == null) Map.empty
+    else maps.foldLeft(Map.empty[String, String]) { (acc, m) =>
+      acc ++ m.map { case (k, v) => k -> (if (v == null || v.isEmpty) "0" else v) }
+    }
+
+  /** Zero-padded sample-name generator (reference `nameCreator`,
+    * `GenomicsLoader.scala:220-230`).
+    */
+  def sampleName(prefix: String, idx: Int, width: Int = 4): String =
+    s"$prefix%0${width}d".format(idx)
 
   // ---- dbNSFP / ClinVar predictor rules ----------------------------------
 

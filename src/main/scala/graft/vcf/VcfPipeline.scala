@@ -143,9 +143,12 @@ object VcfPipeline {
   }
 
   /** S4: partitioned parquet sink — genomic band as a first-class derived
-    * column, `partitionBy` instead of hand-built paths.
+    * column, `partitionBy` instead of hand-built paths (U5: the custom
+    * `BinPartitioner` becomes `repartitionByRange` on the derived key, so
+    * rows land clustered and each partition directory gets few files).
     */
   def writePartitioned(df: DataFrame, dest: String, bandWidth: Long = 30000000L): Unit =
     df.withColumn("band", (col("pos") / bandWidth).cast("int") * bandWidth.toInt)
+      .repartitionByRange(col("chrom"), col("band"), col("pos"))
       .write.mode("overwrite").partitionBy("chrom", "band").parquet(dest)
 }

@@ -159,6 +159,31 @@ class VcfFunctionsSpec extends AnyFunSuite {
     assert(chromToInt("chr7") == 7)
   }
 
+  test("parseEff parses legacy EFF entries with transcript dedup") {
+    val eff = "missense_variant(MODERATE|MISSENSE|gCa/gTa|A12V|100|G1|protein_coding|CODING|T1|3)" +
+      ",stop_gained(HIGH|NONSENSE|Cag/Tag|Q13*|100|G1|protein_coding|CODING|T1|3)" +
+      ",intron_variant(MODIFIER||||100|G1|protein_coding|CODING|T2|)"
+    val out = parseEff(eff, 1)
+    assert(out.length == 2)
+    val t1 = out.find(_.transcript_id == "T1").get
+    assert(t1.effect == "stop_gained" && t1.effect_impact == "HIGH")
+    assert(t1.gene_name == "G1" && t1.amino_acid_change == "Q13*")
+    assert(parseEff("", 1) == Nil)
+    assert(parseEff("garbage", 1) == Nil)
+  }
+
+  test("popNormalize merges maps recoding empties to 0") {
+    val out = popNormalize(Seq(
+      Map("af" -> "", "ac" -> "5"), Map("an" -> "", "af" -> "0.1")))
+    assert(out == Map("af" -> "0.1", "ac" -> "5", "an" -> "0"))
+    assert(popNormalize(null) == Map.empty)
+  }
+
+  test("sampleName zero-pads") {
+    assert(sampleName("S", 7) == "S0007")
+    assert(sampleName("Sample", 123, 6) == "Sample000123")
+  }
+
   test("umdLabel recodes with safe default") {
     assert(umdLabel("Pathogenic") == "P")
     assert(umdLabel("polymorphism") == "B")

@@ -29,6 +29,20 @@ class VcfPipelineSpec extends AnyFunSuite {
     Seq("1", "100", ".", "A", "<NON_REF>", ".", ".", "END=300",
       "GT:DP:GQ:MIN_DP:PL", "0/0:30:60:22:0,60,900").mkString("\t"))
 
+  test("gzip-compressed gVCF ingests transparently (S1 codec handling)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gvcfgz").toFile
+    val gz = new java.io.File(dir, "SZ.chr3.vcf.gz")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    out.write(("#header\n" +
+      Seq("3", "777", ".", "A", "T,<NON_REF>", ".", ".", "DP=15",
+        "GT:AD:DP:GQ:PL", "0/1:7,8:15:50:99,0,77").mkString("\t") + "\n").getBytes)
+    out.close()
+    val parsed = VcfPipeline.ingest(spark, Seq(gz.getPath), chrom = 3).collect()
+    assert(parsed.length == 1)
+    assert(parsed.head.pos == 777 && parsed.head.sample.sampleId == "SZ")
+  }
+
   test("two-sample cohort: parse, synthesize ref calls, group, freq") {
     import spark.implicits._
     val dir = Files.createTempDirectory("gvcf").toFile
