@@ -14,10 +14,20 @@ object Bench {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed generic warmup: JIT/codegen + parquet reader init, so the
-    // first measured query doesn't absorb JVM cold-start.
+    // Untimed generic warmup: JIT, codegen paths (agg/join/window/generate)
+    // and the parquet reader, so the first measured query of each shape
+    // doesn't absorb JVM cold-start. Warms plan shapes only — never the
+    // measured queries or the benchmark tables beyond a footer read.
     try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
+      val r = spark.range(100000)
+      r.selectExpr("sum(id)", "count(distinct id % 100)").collect()
+      r.selectExpr("id % 7 as k", "id as v").groupBy("k")
+        .agg(org.apache.spark.sql.functions.collect_list("v")).count()
+      r.join(spark.range(100), Seq("id")).count()
+      r.selectExpr("id % 10 as k", "id as v")
+        .selectExpr("k", "row_number() over (partition by k order by v) as rn")
+        .count()
+      r.selectExpr("explode(array(id, id+1))").count()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
