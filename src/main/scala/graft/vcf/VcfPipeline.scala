@@ -71,12 +71,22 @@ object VcfPipeline {
       hiInclusive = true)
 
   /** Synthesized reference-call rows for covered samples at variant sites
-    * (same 11-column shape the real calls collapse to).
+    * (same 11-column shape the real calls collapse to). A sample that
+    * already called the site never gets a synthesized 0/0 — in
+    * well-formed gVCF, blocks and calls are disjoint per sample, but the
+    * anti-join makes the stage robust to overlapping inputs.
     */
   def synthesizedRefCalls(parsed: DataFrame, binWidth: Double = 1e6): DataFrame = {
     val sites = parsed.filter(col("alt") =!= "<NON_REF>")
       .select("chrom", "pos", "ref", "alt", "indel").distinct()
+    val own = parsed.filter(col("alt") =!= "<NON_REF>").select(
+      col("chrom").as("o_chrom"), col("pos").as("o_pos"),
+      col("sample.sampleId").as("o_sample"))
     val joined = intersect(sites, coverageRanges(parsed), binWidth)
+      .join(own,
+        col("chrom") === col("o_chrom") && col("pos") === col("o_pos") &&
+          col("r_sample") === col("o_sample"),
+        "left_anti")
     joined.select(
       col("chrom"), col("pos"), col("ref"), col("alt"), col("indel"),
       lit("0/0").as("gt"), col("r_dp").as("dp"), col("r_gq").as("gq"),
