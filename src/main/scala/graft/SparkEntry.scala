@@ -272,6 +272,9 @@ object SparkEntry {
   private def d4SimHash(s: SparkSession, d: String): DataFrame =
     Dedup.simHashNearPairs(T(s, d, "documents"), "doc_id", "text", maxDist = 3)
 
+  private def d5EmbedNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), "vec_id", "embedding", 0.45)
+
   // ---- training-data pipeline: text analysis ----------------------------
 
   private def t1TokenStats(s: SparkSession, d: String): DataFrame =
@@ -362,6 +365,7 @@ object SparkEntry {
     "d2_ngram_jaccard" -> (d2Jaccard _),
     "d3_minhash_lsh" -> (d3MinHash _),
     "d4_simhash" -> (d4SimHash _),
+    "d5_embed_neardup" -> (d5EmbedNearDup _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2Quality _),
     "t3_lang_id" -> (t3LangId _),
@@ -524,6 +528,16 @@ object SparkEntry {
         |  round(c::DOUBLE / (ca.n + cb.n - c), 4) AS jaccard
         |FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
         |WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6""".stripMargin,
+    "d5_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3)
+        |    AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3)
+        |  >= 0.45""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id AS id, len(w) AS n_tokens, length(text) AS n_chars,
         |  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 4)

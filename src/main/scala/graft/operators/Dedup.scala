@@ -169,6 +169,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine(vec_a, vec_b) >= threshold, a < b. Exact form — broadcast one
+    * side, fused codegen dot kernel, no shuffle of the big side. At
+    * corpus scale, block candidates first with [[Similarity.annLshBuckets]]
+    * or an IVF assignment and verify exactly within blocks (identical
+    * output on well-separated corpora; the threshold only sees exact
+    * sims either way).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, roundTo: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val side = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("n"))
+    side.as("a")
+      .join(broadcast(side.as("b")), col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(fdot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), roundTo)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** 64-bit SimHash per document over whitespace tokens.
     *
     * Explode tokens -> xxhash64 once per token -> 64 signed bit-sums in one
