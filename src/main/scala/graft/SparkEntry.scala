@@ -247,6 +247,30 @@ object SparkEntry {
         sum("k").as("k_sum"),
         count(when(col("k") > 50, 1)).as("n_high"))
 
+  /** §2.7 toMap parity: build "k=v;..." text, parse with str_to_map,
+    * extract values back out (projected as strings for the oracle).
+    */
+  private def f7MapFuncs(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .withColumn("kv",
+        concat(lit("status="), col("o_orderstatus"),
+          lit(";prio="), col("o_orderpriority")))
+      .withColumn("m", expr("str_to_map(kv, ';', '=')"))
+      .select(
+        col("o_orderkey"),
+        element_at(col("m"), "status").as("status"),
+        element_at(col("m"), "prio").as("prio"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"))
+
+  /** HLL sketch counting (engine gain; approx value is engine-specific so
+    * the check is rows-only — the exact column is there for eyeballing).
+    */
+  private def a6ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events").groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id").as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+
   // ---- §2.9 streaming (batch-equivalent; streaming twin in tests) --------
 
   private def st1WindowAgg(s: SparkSession, d: String): DataFrame =
@@ -356,6 +380,8 @@ object SparkEntry {
     "f5_date_funcs" -> (f5DateFuncs _),
     "f6_string_funcs" -> (f6StringFuncs _),
     "a5_stats" -> (a5Stats _),
+    "a6_approx_distinct" -> (a6ApproxDistinct _),
+    "f7_map_funcs" -> (f7MapFuncs _),
     "j8_cross_join" -> (j8Cross _),
     "f1_scalar_funcs" -> (f1Scalar _),
     "f2_bucketize" -> (f2Bucketize _),
@@ -493,6 +519,14 @@ object SparkEntry {
     "j8_cross_join" ->
       """SELECT r_name, n_name, r_regionkey = n_regionkey AS home
         |FROM region CROSS JOIN nation""".stripMargin,
+    "f7_map_funcs" ->
+      """SELECT o_orderkey,
+        |  string_split(string_split(kv, ';')[1], '=')[2] AS status,
+        |  string_split(string_split(kv, ';')[2], '=')[2] AS prio,
+        |  CAST(len(string_split(kv, ';')) AS BIGINT) AS n_keys
+        |FROM (SELECT o_orderkey,
+        |    'status=' || o_orderstatus || ';prio=' || o_orderpriority AS kv
+        |  FROM orders)""".stripMargin,
     "f1_scalar_funcs" ->
       """SELECT p_partkey, upper(substr(p_name, 1, 8)) AS name8,
         |  length(p_name) AS name_len, round(p_retailprice * 1.1, 3) AS bumped,

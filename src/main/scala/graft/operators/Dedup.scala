@@ -183,7 +183,7 @@ object Dedup {
     import graft.functions.VectorFunctions._
     val side = df.select(
       col(idCol).as("id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("n"))
-    side.as("a")
+    spread(side).as("a")
       .join(broadcast(side.as("b")), col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful per-key operators (engine capability beyond the reference's
+  * stateless DStream ingest — SURVEY.md §2.9 "engine gains them free"):
+  * `KeyValueGroupedDataset.mapGroupsWithState` for incremental per-user
+  * aggregates across micro-batches, and a typed sessionizer.
+  */
+object StatefulOps {
+
+  case class Ev(user_id: Long, ts_us: Long, value: Double)
+  case class UserAgg(user_id: Long, n: Long, total: Double)
+  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+  /** Incremental per-user running aggregate, updated every micro-batch
+    * (Update output mode). State per key: (count, sum) — O(keys) memory.
+    */
+  def runningUserAgg(spark: SparkSession, ds: Dataset[Ev]): Dataset[UserAgg] = {
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
+          val next = evs.foldLeft(prev) { (a, e) =>
+            UserAgg(user, a.n + 1, a.total + e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  val DefaultGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  /** Batch sessionizer: split each user's event stream on silences longer
+    * than `gapUs`. Same semantics as the `w4_sessionize` SQL query;
+    * typed formulation for reuse inside `flatMapGroupsWithState`.
+    */
+  def sessionsBatch(
+      spark: SparkSession, ds: Dataset[Ev],
+      gapUs: Long = DefaultGapUs): Dataset[Session] = {
+    import spark.implicits._
+    ds.groupByKey(_.user_id).flatMapGroups { (user: Long, evs: Iterator[Ev]) =>
+      val sorted = evs.toIndexedSeq.sortBy(_.ts_us)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+        var start = sorted.head.ts_us
+        var last = start
+        var n = 0
+        for (e <- sorted) {
+          if (e.ts_us - last > gapUs) {
+            out += Session(user, start, last, n)
+            start = e.ts_us
+            n = 0
+          }
+          last = e.ts_us
+          n += 1
+        }
+        out += Session(user, start, last, n)
+        out.iterator
+      }
+    }
+  }
+
+  /** Streaming sessionizer: closes a session when the processing-time
+    * timeout fires after `gapUs` of silence for the key.
+    */
+  def sessionsStream(
+      spark: SparkSession, ds: Dataset[Ev],
+      gapUs: Long = DefaultGapUs): Dataset[Session] = {
+    import spark.implicits._
+    case class S(start: Long, last: Long, n: Int)
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(s)
+          } else {
+            val sorted = evs.toIndexedSeq.sortBy(_.ts_us)
+            var cur = state.getOption.getOrElse(
+              Session(user, sorted.head.ts_us, sorted.head.ts_us, 0))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            for (e <- sorted) {
+              if (e.ts_us - cur.end_us > gapUs && cur.n_events > 0) {
+                closed += cur
+                cur = Session(user, e.ts_us, e.ts_us, 0)
+              }
+              cur = cur.copy(end_us = e.ts_us, n_events = cur.n_events + 1)
+            }
+            state.update(cur)
+            state.setTimeoutDuration(gapUs / 1000)
+            closed.iterator
+          }
+      }
+  }
+}

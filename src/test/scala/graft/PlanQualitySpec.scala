@@ -66,6 +66,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("partition pruning on the (chrom, band) layout") {
+    import spark.implicits._
+    import graft.vcf.{SampleCall, Variant, VcfParser, VcfPipeline}
+    val parsed = Seq(
+      Variant(1, 150, 150, "G", "A", indel = false,
+        SampleCall("0/1", 20, 45, "", "", multiallelic = false, "S1", diploid = true),
+        Nil, VcfParser.emptyPredictions, VcfParser.emptyPopulations),
+      Variant(2, 31000077, 31000077, "C", "T", indel = false,
+        SampleCall("1/1", 25, 70, "", "", multiallelic = false, "S1", diploid = true),
+        Nil, VcfParser.emptyPredictions, VcfParser.emptyPopulations)
+    ).toDS()
+    val dest = java.nio.file.Files.createTempDirectory("prune").toString + "/t"
+    VcfPipeline.writePartitioned(parsed.toDF(), dest)
+    val q = spark.read.parquet(dest).filter($"chrom" === 2 && $"band" === 30000000)
+    val plan = planOf(q)
+    assert(plan.contains("PartitionFilters"), s"no partition filters:\n$plan")
+    assert(q.count() == 1)
+    // pruned read touches one partition directory only
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("chrom=1"))
+  }
+
   test("whole-stage codegen covers the pricing rollup") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
     df.collect() // AQE only shows codegen spans in the final executed plan
