@@ -45,9 +45,15 @@ object VcfParser {
     splits.map { s =>
       val indel = r.ref.length != 1 || s.alt.length != 1
       val attachAnnotations = s.genoTypeNumber == 1 && !s.multiallelic
+      // ANN preferred; legacy EFF= accepted when ANN is absent (the
+      // reference handled both annotation generations)
       val effects =
         if (attachAnnotations)
-          infoValue(r.info, "ANN").map(parseAnn(_, s.alt, s.genoTypeNumber)).getOrElse(Nil)
+          infoValue(r.info, "ANN") match {
+            case Some(ann) => parseAnn(ann, s.alt, s.genoTypeNumber)
+            case None => infoValue(r.info, "EFF")
+              .map(parseEff(_, s.genoTypeNumber)).getOrElse(Nil)
+          }
         else Nil
       val predictions =
         if (attachAnnotations) parsePredictions(r.info, r.id) else emptyPredictions

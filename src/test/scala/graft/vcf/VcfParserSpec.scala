@@ -55,6 +55,16 @@ class VcfParserSpec extends AnyFunSuite {
     assert(v.sample.gt == "0/0" && v.sample.dp == 22) // MIN_DP quirk
   }
 
+  test("legacy EFF annotations attach when ANN is absent") {
+    val line = Seq("5", "42", ".", "A", "G,<NON_REF>", ".", ".",
+      "DP=22;EFF=missense_variant(MODERATE|MISSENSE|aCa/aGa|T2R|90|GENE9|protein_coding|CODING|TR9|2)",
+      "GT:AD:DP:GQ:PL", "0/1:10,12:22:66:99,0,44").mkString("\t")
+    val out = VcfParser.parseLine(line, "S5", 5)
+    assert(out.length == 1)
+    assert(out.head.effects.map(_.transcript_id) == Seq("TR9"))
+    assert(out.head.effects.head.gene_name == "GENE9")
+  }
+
   test("header and malformed lines yield nothing") {
     assert(VcfParser.parseLine("#CHROM\tPOS", "S", 1).isEmpty)
     assert(VcfParser.parseLine("1\t2\t3", "S", 1).isEmpty)
