@@ -262,6 +262,27 @@ object SparkEntry {
         element_at(col("m"), "prio").as("prio"),
         size(map_keys(col("m"))).cast("long").as("n_keys"))
 
+  /** Exact interpolated percentiles (continuous quantiles). */
+  private def a7Percentiles(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events").groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+
+  /** Pivot: order counts by priority × status (expressed with the same
+    * conditional-aggregation form in the oracle).
+    */
+  private def f8Pivot(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders").groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
   /** HLL sketch counting (engine gain; approx value is engine-specific so
     * the check is rows-only — the exact column is there for eyeballing).
     */
@@ -381,7 +402,9 @@ object SparkEntry {
     "f6_string_funcs" -> (f6StringFuncs _),
     "a5_stats" -> (a5Stats _),
     "a6_approx_distinct" -> (a6ApproxDistinct _),
+    "a7_percentiles" -> (a7Percentiles _),
     "f7_map_funcs" -> (f7MapFuncs _),
+    "f8_pivot" -> (f8Pivot _),
     "j8_cross_join" -> (j8Cross _),
     "f1_scalar_funcs" -> (f1Scalar _),
     "f2_bucketize" -> (f2Bucketize _),
@@ -519,6 +542,18 @@ object SparkEntry {
     "j8_cross_join" ->
       """SELECT r_name, n_name, r_regionkey = n_regionkey AS home
         |FROM region CROSS JOIN nation""".stripMargin,
+    "a7_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "f8_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "f7_map_funcs" ->
       """SELECT o_orderkey,
         |  string_split(string_split(kv, ';')[1], '=')[2] AS status,
