@@ -320,6 +320,12 @@ object SparkEntry {
   private def d5EmbedNearDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), "vec_id", "embedding", 0.45)
 
+  private def d6DedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicateClusters(
+      Dedup.minHashLshPairs(T(s, d, "documents"), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.6)
+        .select("id_a", "id_b"))
+
   // ---- training-data pipeline: text analysis ----------------------------
 
   private def t1TokenStats(s: SparkSession, d: String): DataFrame =
@@ -415,6 +421,7 @@ object SparkEntry {
     "d3_minhash_lsh" -> (d3MinHash _),
     "d4_simhash" -> (d4SimHash _),
     "d5_embed_neardup" -> (d5EmbedNearDup _),
+    "d6_dedup_clusters" -> (d6DedupClusters _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2Quality _),
     "t3_lang_id" -> (t3LangId _),

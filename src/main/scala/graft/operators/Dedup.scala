@@ -192,6 +192,43 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Resolve pairwise duplicate edges into clusters: connected components
+    * by iterative min-label propagation (the same fixpoint GraphFrames'
+    * CC runs), so each near-dup group gets one canonical id = its
+    * smallest member. Converges in O(component diameter) rounds — near-dup
+    * clusters are shallow, so a handful; `maxIters` is a safety bound.
+    *
+    * Input: (id_a, id_b) edges. Output: (id, cluster) for every node that
+    * appears in an edge; cluster = min id of its component.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst").as("id2")).agg(min("cluster").as("nbr_min"))
+      val next = labels.join(prop, col("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .cache()
+      next.count() // materialize before comparing/unpersisting
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash per document over whitespace tokens.
     *
     * Explode tokens -> xxhash64 once per token -> 64 signed bit-sums in one

@@ -60,6 +60,39 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("duplicateClusters resolves edges into min-label components") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L,
+      5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("duplicateClusters agrees with union-find on real near-dup pairs") {
+    val real = spark.read.parquet(s"${graft.TestSpark.Sf0001}/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b")
+    val edges = pairs.as[(Long, Long)].collect()
+    assert(edges.nonEmpty)
+    // in-test union-find oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val got = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("simHash is deterministic and separates similar from different") {
     val h = Dedup.simHash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
