@@ -212,6 +212,22 @@ object SparkEntry {
         countDistinct("user_id").as("n_users"),
         count(lit(1)).as("n"))
 
+  /** As-of join: each event picks up the user's most recent prior order
+    * (union + window formulation — see operators.AsOfJoin; DuckDB's
+    * native ASOF JOIN is the oracle).
+    */
+  private def j9AsOf(s: SparkSession, d: String): DataFrame = {
+    val ev = T(s, d, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
+    val ord = T(s, d, "orders")
+      .groupBy(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("o_us"))
+      .agg(max("o_orderkey").as("last_orderkey"))
+    operators.AsOfJoin.lastPrior(ev, ord,
+        "user_id", "o_custkey", "tus", "o_us", Seq("last_orderkey"))
+      .select("event_id", "user_id", "last_orderkey")
+  }
+
   private def j8Cross(s: SparkSession, d: String): DataFrame =
     T(s, d, "region").crossJoin(T(s, d, "nation"))
       .select(col("r_name"), col("n_name"),
@@ -412,6 +428,7 @@ object SparkEntry {
     "f7_map_funcs" -> (f7MapFuncs _),
     "f8_pivot" -> (f8Pivot _),
     "j8_cross_join" -> (j8Cross _),
+    "j9_asof_join" -> (j9AsOf _),
     "f1_scalar_funcs" -> (f1Scalar _),
     "f2_bucketize" -> (f2Bucketize _),
     "f3_json_extract" -> (f3Json _),
@@ -561,6 +578,14 @@ object SparkEntry {
         |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "j9_asof_join" ->
+      """WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS o_us,
+        |    max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events)
+        |SELECT e.event_id, e.user_id, o.last_orderkey
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.tus >= o.o_us""".stripMargin,
     "f7_map_funcs" ->
       """SELECT o_orderkey,
         |  string_split(string_split(kv, ';')[1], '=')[2] AS status,

@@ -202,30 +202,37 @@ object Dedup {
     * appears in an edge; cluster = min id of its component.
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // localCheckpoint (eager) rather than cache: truncates the lineage so
+    // each iteration replans only the one-hop join, not the whole
+    // candidate-generation DAG again (iterative algorithms + AQE replan
+    // the full lineage per action otherwise).
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).cache()
+      .withColumn("cluster", col("id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val prop = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst").as("id2")).agg(min("cluster").as("nbr_min"))
-      val next = labels.join(prop, col("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"))
-        .cache()
-      next.count() // materialize before comparing/unpersisting
+      // two propagation hops per round (halves the driver round trips);
+      // convergence checked with a single action on the cached result
+      val next = {
+        val hop = (ls: DataFrame) => {
+          val prop = edges.join(ls, col("src") === col("id"))
+            .groupBy(col("dst").as("id2")).agg(min("cluster").as("nbr_min"))
+          ls.join(prop, col("id") === col("id2"), "left")
+            .select(col("id"),
+              least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+                .as("cluster"))
+        }
+        hop(hop(labels)).localCheckpoint()
+      }
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
     labels
   }
 
