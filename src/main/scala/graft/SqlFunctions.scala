@@ -20,7 +20,7 @@ object SqlFunctions {
     spark.udf.register("umd_label", (s: String) => VcfFunctions.umdLabel(s))
     spark.udf.register("chrom_to_int", (s: String) => VcfFunctions.chromToInt(s))
     spark.udf.register("ad_alt_fraction",
-      (ad: String) => VcfFunctions.adAltFraction(ad))
+      (ad: String, gt: String) => VcfFunctions.adAltFraction(ad, gt))
     // U1: cohort allele frequency over collected per-sample maps
     spark.udf.register("cohort_freq", (samples: Seq[Map[String, String]]) => {
       if (samples == null || samples.isEmpty) 0.0f

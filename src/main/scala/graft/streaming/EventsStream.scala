@@ -20,8 +20,12 @@ object EventsStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Integer division — `Column./` goes through double, and nanos-since-
+    * epoch exceeds double's 2^53 exact range, so `(ts / 1000).cast(long)`
+    * can land 1 µs off the `ts div 1000` used by the batch queries.
+    */
   def tsCol: org.apache.spark.sql.Column =
-    timestamp_micros((col("ts") / 1000).cast("long"))
+    timestamp_micros(expr("ts div 1000"))
 
   /** File-source stream over a directory of events parquet. */
   def read(spark: SparkSession, dir: String): DataFrame =

@@ -45,8 +45,9 @@ object VcfFunctions {
     *
     * Generic zip of the FORMAT keys with the sample values instead of the
     * reference's five hard-coded layouts (`steps/toSample.scala:32-45`).
-    * Quirk preserved: when MIN_DP is present it supplies dp (the reference
-    * reads the MIN_DP position as DP in the `GT:DP:GQ:MIN_DP:PL` layout).
+    * Quirks preserved from the `GT:DP:GQ:MIN_DP:PL` layout (coverage
+    * blocks): MIN_DP supplies dp, and GQ is stored *banded*
+    * (`gqBands(GQ)`, reference formatCase case 1) — on MIN_DP rows only.
     */
   def formatFields(format: String, sample: String): (String, Int, Int, String, String) = {
     val keys = format.split(":")
@@ -54,19 +55,30 @@ object VcfFunctions {
     val m = keys.iterator.zip(vals.iterator).toMap
     def num(k: String): Int =
       m.get(k).filter(v => v.nonEmpty && v != ".").map(_.toInt).getOrElse(0)
-    val dp = if (m.contains("MIN_DP")) num("MIN_DP") else num("DP")
-    (m.getOrElse("GT", "./."), dp, num("GQ"), m.getOrElse("PL", ""), m.getOrElse("AD", ""))
+    val minDp = m.contains("MIN_DP")
+    val dp = if (minDp) num("MIN_DP") else num("DP")
+    val gq = if (minDp) gqBand(num("GQ")) else num("GQ")
+    (m.getOrElse("GT", "./."), dp, gq, m.getOrElse("PL", ""), m.getOrElse("AD", ""))
   }
 
   /** Allelic-depth "ref,alt,..." → alt fraction truncated at 3 decimals
-    * (reference `steps/toSample.scala:51-59`).
+    * (reference `steps/toSample.scala:51-59`). The AD array is indexed by
+    * the genotype's alt digit (`adArray(gt.split("/")(1))`), so a `0/2`
+    * call reads the *second* alt's depth, not blindly `parts(1)`.
     */
-  def adAltFraction(ad: String): Double = {
+  def adAltFraction(ad: String, gt: String = "0/1"): Double = {
     if (ad == null || ad.isEmpty) return 0.0
     val parts = ad.split(",").filter(_.nonEmpty).map(_.toDouble)
     if (parts.length < 2) return 0.0
+    val digits = if (gt == null) Array.empty[String] else gt.split("[/|]")
+    val idx = if (digits.length < 2) 1
+      else digits(1) match {
+        case d if d.nonEmpty && d.forall(_.isDigit) => d.toInt
+        case _ => 1
+      }
+    if (idx >= parts.length) return 0.0
     val total = parts.sum
-    if (total == 0.0) 0.0 else truncateAt(parts(1) / total, 3)
+    if (total == 0.0) 0.0 else truncateAt(parts(idx) / total, 3)
   }
 
   /** `<NON_REF>` coverage rows take END from INFO, else the point position
@@ -140,16 +152,18 @@ object VcfFunctions {
     case n          => n.toInt
   }
 
-  /** UMD pathogenicity label → single letter {P,B,D,U} (reference
-    * `steps/UMD.scala:29-37`; we diverge from its non-exhaustive match by
-    * defaulting unknown labels to "U" instead of throwing).
+  /** UMD pathogenicity label → single letter, matching the reference's
+    * exact-string mapping (`steps/UMD.scala:29-37`): "Probably
+    * pathogenic"→P, "Polymorphism"→B, "Pathogenic"→D, "Probable
+    * polymorphism"→U. Sole deliberate divergence: unknown labels default
+    * to "U" instead of throwing (the reference's match is non-exhaustive).
     */
   def umdLabel(label: String): String = label match {
-    case l if l == null || l.isEmpty          => "U"
-    case l if l.toLowerCase.contains("polym") => "B" // polymorphism → benign
-    case l if l.toLowerCase.contains("patho") => "P"
-    case l if l.toLowerCase.contains("damag") => "D"
-    case _                                    => "U"
+    case "Probably pathogenic"  => "P"
+    case "Polymorphism"         => "B"
+    case "Pathogenic"           => "D"
+    case "Probable polymorphism" => "U"
+    case _                      => "U"
   }
 
   // ---- snpEff ANN / EFF parsing ------------------------------------------
@@ -158,30 +172,36 @@ object VcfFunctions {
     Map("HIGH" -> 1, "MODERATE" -> 2, "LOW" -> 3, "MODIFIER" -> 4)
 
   /** Parse `ANN=` entries (pipe-delimited, 15+ fields, comma-separated
-    * alternatives; reference `steps/Parser.scala:299-327`), keeping — per
-    * transcript — only the highest-impact entry (HIGH > MODERATE > LOW >
-    * MODIFIER). Only entries whose allele matches `alt` are kept when
-    * `alt` is non-empty.
+    * alternatives), reproducing the reference's field extraction exactly
+    * (`steps/Parser.scala:299-327`, 1-based `getOrEmpty`): `gene_coding`
+    * from field 12 (not the biotype field), `transcript_id` truncated to
+    * its last 15 chars, `amino_acid_length` as the denominator of the
+    * `pos/len` pair in field 13 (else ""), missing fields → "". Entries
+    * are then `distinct`-deduped and reduced per transcript keeping the
+    * entry the reference's ascending `points` sort puts first — unknown
+    * impacts rank 0, i.e. *before* HIGH, exactly as the reference's
+    * `getOrElse(_, 0)` does. Like the reference, no allele filtering:
+    * annotations attach only to non-multiallelic genotype-1 rows upstream,
+    * where every ANN entry describes the single alt.
     */
   def parseAnn(annValue: String, alt: String, genoTypeNumber: Int): Seq[FunctionalEffect] = {
     if (annValue == null || annValue.isEmpty) return Nil
-    val entries = annValue.split(",").iterator.flatMap { e =>
+    val entries = annValue.split(",").iterator.map { e =>
       // split preserving trailing empties: ANN fields are positional
       val f = e.split("\\|", -1)
-      if (f.length < 11) None
-      else if (alt.nonEmpty && f(0) != alt) None
-      else Some(FunctionalEffect(
-        effect = f(1), effect_impact = f(2), functional_class = f(5),
-        codon_change = f(9), amino_acid_change = f(10),
-        amino_acid_length = if (f.length > 13) f(13) else "",
-        gene_name = f(3), transcript_biotype = f(7), gene_coding = f(7),
-        transcript_id = f(6), exon_rank = if (f.length > 8) f(8) else "",
-        geno_type_number = genoTypeNumber))
-    }.toSeq
-    // per-transcript dedup keeping highest impact (lowest rank number)
+      def g(i: Int): String = if (i < f.length) f(i) else ""
+      val aaLen = g(13).split("/")
+      FunctionalEffect(
+        effect = g(1), effect_impact = g(2), functional_class = g(5),
+        codon_change = g(9), amino_acid_change = g(10),
+        amino_acid_length = if (aaLen.length == 2) aaLen(1) else "",
+        gene_name = g(3), transcript_biotype = g(7), gene_coding = g(12),
+        transcript_id = g(6).takeRight(15), exon_rank = g(8),
+        geno_type_number = genoTypeNumber)
+    }.toSeq.distinct
     entries.groupBy(_.transcript_id).valuesIterator.map { group =>
-      group.minBy(fe => ImpactRank.getOrElse(fe.effect_impact, 5))
-    }.toSeq.sortBy(fe => (ImpactRank.getOrElse(fe.effect_impact, 5), fe.transcript_id))
+      group.minBy(fe => ImpactRank.getOrElse(fe.effect_impact, 0))
+    }.toSeq.sortBy(fe => (ImpactRank.getOrElse(fe.effect_impact, 0), fe.transcript_id))
   }
 
   /** Parse legacy snpEff `EFF=effect(impact|functional_class|codon|aa|
@@ -256,14 +276,18 @@ object VcfFunctions {
     order.find(present.contains).getOrElse("")
   }
 
-  /** ClinVar CLNSIG encoding: codes containing both pathogenic (5) and
-    * likely-pathogenic (4) collapse to "9"; otherwise the first code wins
-    * (reference truth table `"5|4|0"→"9"`, `Parser.scala:107-116`).
+  /** ClinVar CLNSIG encoding, the reference's exact truth table
+    * (`Parser.scala:107-116`): pathogenic (5) + likely-pathogenic (4)
+    * together → "9"; 5 alone → "5"; 4 alone → "4"; any other multi-code
+    * list → "0"; a single non-5/4 code → "".
     */
   def clinvarRules(clnsig: String): String = {
     if (clnsig == null || clnsig.isEmpty) return ""
-    val codes = clnsig.split("[|,]").filter(_.nonEmpty)
+    val codes = clnsig.split("\\|")
     if (codes.contains("5") && codes.contains("4")) "9"
-    else codes.headOption.getOrElse("")
+    else if (codes.contains("5")) "5"
+    else if (codes.contains("4")) "4"
+    else if (codes.length > 1) "0"
+    else ""
   }
 }

@@ -24,9 +24,13 @@ object VcfParser {
   }
 
   def parseRaw(r: RawVcfRow): Seq[Variant] = {
-    val (gtRaw, dp, gq, pl, ad) = formatFields(r.format, r.sample)
+    val (gtRaw, dp, gq, pl, adRaw) = formatFields(r.format, r.sample)
     val (gtDip, diploid) = diploidize(gtRaw)
     val end = endPos(r.alt, r.info, r.pos)
+    // Sample.ad carries the alt-fraction string, not the raw AD list —
+    // reference `ADsplit(ad, gt)` at `steps/Parser.scala:227-228`, indexed
+    // by the genotype's alt digit ("" stays "" on coverage blocks).
+    val ad = if (adRaw.isEmpty) "" else adAltFraction(adRaw, gtDip).toString
 
     // Pure reference-coverage block: keep as an interval row (the input to
     // the J2 intersection), never multi-allele split.

@@ -43,9 +43,18 @@ object VcfPipeline {
       }
   }
 
-  /** Quality gates (P3): gq > 19 && dp > 7, non-reference calls only. */
+  /** Quality gates (P3) applied to every row — variant calls and
+    * `<NON_REF>` coverage blocks alike: gq > 19 && dp > 7, and
+    * multi-allelic split rows dropped, exactly as the reference gates
+    * parsedSamples on write (`steps/Parser.scala:199`:
+    * `multiallelic === false && dp > 7 && gq > 19`). Everything
+    * downstream (sampleGroups / effectGroups / freq) sees only
+    * bi-allelic, quality-passing rows, so cohort frequencies match.
+    */
   def qualityGate(parsed: Dataset[Variant]): Dataset[Variant] =
-    parsed.filter(col("sample.gq") > GqMin && col("sample.dp") > DpMin)
+    parsed.filter(
+      col("sample.multiallelic") === false &&
+        col("sample.gq") > GqMin && col("sample.dp") > DpMin)
 
   /** Coverage ranges: the `<NON_REF>`-only rows carry [pos, end_pos]
     * intervals per sample (reference `steps/toRange.scala`).

@@ -32,8 +32,8 @@ class UmdRoundTripSpec extends AnyFunSuite {
     val annotated = new java.io.File(dir, "annotated.txt")
     Files.write(annotated.toPath,
       ("NB_LINES 2\n" +
-        "1\t150\tG\tA\tPathogenic variant\n" +
-        "1\t400\tC\tT\tpolymorphism\n").getBytes)
+        "1\t150\tG\tA\tProbably pathogenic\n" +
+        "1\t400\tC\tT\tPolymorphism\n").getBytes)
 
     val umd = UmdAnnotation.parseAnnotated(spark, annotated.getPath)
     assert(umd.as[(Int, Int, String, String, String)].collect().toSet == Set(

@@ -44,10 +44,12 @@ class VcfFunctionsSpec extends AnyFunSuite {
     assert(gt == "0/1" && dp == 20 && gq == 45 && pl == "99,0,88" && ad == "12,8")
   }
 
-  test("formatFields prefers MIN_DP when present (reference quirk)") {
+  test("formatFields MIN_DP layout quirks: dp from MIN_DP, gq banded") {
     val (_, dp, gq, _, _) = formatFields("GT:DP:GQ:MIN_DP:PL", "0/0:25:60:18:0,60,900")
     assert(dp == 18)
-    assert(gq == 60)
+    assert(gq == 50) // gqBands(60) — reference stores banded GQ on coverage rows
+    val (_, dp2, gq2, _, _) = formatFields("GT:AD:DP:GQ:PL", "0/1:12,8:20:60:99,0,88")
+    assert(dp2 == 20 && gq2 == 60) // call rows keep raw GQ
   }
 
   test("formatFields tolerates missing keys and dots") {
@@ -55,11 +57,16 @@ class VcfFunctionsSpec extends AnyFunSuite {
     assert(gt == "./1" && dp == 0 && gq == 0)
   }
 
-  test("adAltFraction truncates at 3 decimals") {
-    assert(adAltFraction("25,2") == truncateAt(2.0 / 27.0, 3))
-    assert(adAltFraction("0,0") == 0.0)
-    assert(adAltFraction("") == 0.0)
-    assert(adAltFraction("10") == 0.0)
+  test("adAltFraction truncates at 3 decimals and indexes by alt digit") {
+    assert(adAltFraction("25,2", "0/1") == truncateAt(2.0 / 27.0, 3))
+    assert(adAltFraction("0,0", "0/1") == 0.0)
+    assert(adAltFraction("", "0/1") == 0.0)
+    assert(adAltFraction("10", "0/1") == 0.0)
+    // 0/2 reads the SECOND alt's depth (reference ADsplit gt indexing)
+    assert(adAltFraction("20,5,15", "0/2") == truncateAt(15.0 / 40.0, 3))
+    assert(adAltFraction("20,5,15", "1/1") == truncateAt(5.0 / 40.0, 3))
+    // alt digit beyond the AD list → 0.0 (reference would throw)
+    assert(adAltFraction("20,5", "0/3") == 0.0)
   }
 
   test("endPos takes END only for <NON_REF> rows") {
@@ -117,10 +124,27 @@ class VcfFunctionsSpec extends AnyFunSuite {
     assert(out.find(_.transcript_id == "T2").get.effect_impact == "MODIFIER")
   }
 
-  test("parseAnn filters by allele") {
-    val ann = "A|missense_variant|MODERATE|G|g|t|T1|pc|1/1|c|p|1|2|3|x" +
+  test("parseAnn reproduces reference field extraction") {
+    // fields: 0=allele 1=effect 2=impact 3=gene 5=func_class 6=transcript
+    // 7=biotype 8=exon 9=codon 10=aa_change 12=gene_coding 13=pos/len
+    val ann = "A|missense_variant|MODERATE|G1|g1|FC|ENST00000123456789|pc|" +
+      "2/5|c.1A>G|p.K1E|x|CODING|42/847|y"
+    val out = parseAnn(ann, "A", 1)
+    assert(out.length == 1)
+    val fe = out.head
+    assert(fe.transcript_id == "T00000123456789") // takeRight(15)
+    assert(fe.amino_acid_length == "847") // denominator of pos/len
+    assert(fe.gene_coding == "CODING") // field 12, not the biotype
+    assert(fe.transcript_biotype == "pc")
+    assert(fe.exon_rank == "2/5" && fe.codon_change == "c.1A>G")
+    // like the reference, no allele filter — both entries parse, dedup wins
+    val two = "A|missense_variant|MODERATE|G|g|t|T1|pc|1/1|c|p|1|2|3|x" +
       ",C|stop_gained|HIGH|G|g|t|T1|pc|1/1|c|p|1|2|3|x"
-    assert(parseAnn(ann, "A", 1).map(_.effect) == Seq("missense_variant"))
+    assert(parseAnn(two, "A", 1).map(_.effect) == Seq("stop_gained"))
+    // unknown impact ranks 0 → sorts before HIGH (reference getOrElse 0)
+    val unk = "A|weird_variant|ODD|G|g|t|T1|pc|1/1|c|p|1|2|3|x" +
+      ",C|stop_gained|HIGH|G|g|t|T1|pc|1/1|c|p|1|2|3|x"
+    assert(parseAnn(unk, "A", 1).map(_.effect_impact) == Seq("ODD"))
   }
 
   test("predictor precedence rules") {
@@ -137,11 +161,13 @@ class VcfFunctionsSpec extends AnyFunSuite {
     assert(minScore(".", 3) == 0.0)
   }
 
-  test("clinvarRules: 5&4 collapse to 9") {
+  test("clinvarRules: reference truth table") {
     assert(clinvarRules("5|4|0") == "9")
     assert(clinvarRules("4|5") == "9")
     assert(clinvarRules("5|5") == "5")
-    assert(clinvarRules("2") == "2")
+    assert(clinvarRules("4|0") == "4")
+    assert(clinvarRules("2|3") == "0") // multi-code without 5/4 → "0"
+    assert(clinvarRules("2") == "") // single non-5/4 code → ""
     assert(clinvarRules("") == "")
   }
 
@@ -184,10 +210,11 @@ class VcfFunctionsSpec extends AnyFunSuite {
     assert(sampleName("Sample", 123, 6) == "Sample000123")
   }
 
-  test("umdLabel recodes with safe default") {
-    assert(umdLabel("Pathogenic") == "P")
-    assert(umdLabel("polymorphism") == "B")
-    assert(umdLabel("probably damaging") == "D")
+  test("umdLabel: reference exact-string mapping, U for unknown") {
+    assert(umdLabel("Probably pathogenic") == "P")
+    assert(umdLabel("Polymorphism") == "B")
+    assert(umdLabel("Pathogenic") == "D")
+    assert(umdLabel("Probable polymorphism") == "U")
     assert(umdLabel("whatever") == "U")
     assert(umdLabel("") == "U")
   }
