@@ -17,6 +17,12 @@ object GraftSession {
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Coalesce by parallelism first, with a small floor: CPU-heavy stages
+    // (shingling, minhash, simhash bit-sums) have tiny byte volume, and the
+    // default 1 MiB floor collapses them to 1-2 tasks. At cluster scale the
+    // bytes/parallelism term dominates and this floor is never the binding
+    // constraint.
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

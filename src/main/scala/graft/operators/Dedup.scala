@@ -41,23 +41,30 @@ object Dedup {
     // window `lead`s, dedup per doc, then count per doc with a window.
     // Fully codegen/window-exec (the higher-order-function formulation is
     // interpreted expression-eval and lands in the unparallel scan stage —
-    // ~20µs per shingle vs this plan's vectorized path).
+    // ~20µs per shingle vs this plan's vectorized path). `spread` keeps the
+    // tokenize+explode out of an unsplittable single-file scan stage.
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(
-      col(idCol).as("id"),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
+    // Hash each token to a long *before* the window shuffle: the exchange
+    // then carries (id, pos, int64) instead of token strings, and the
+    // n-gram key is xxhash64 over n longs rather than a concat'd string —
+    // same shingle identity (modulo negligible 64-bit collisions), far
+    // cheaper to sort, lead over, and aggregate.
+    val tok = spread(docs).select(
+        col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
+      .select(col("id"), col("pos"), xxhash64(col("t")).as("th"))
     val w = Window.partitionBy("id").orderBy("pos")
-    val gram = concat_ws(" ", (col("t") +: (1 until n).map(k => lead(col("t"), k).over(w))): _*)
-    val complete = lead(col("t"), n - 1).over(w).isNotNull
+    val hs = col("th") +: (1 until n).map(k => lead(col("th"), k).over(w))
     val dedup = tok
-      .withColumn("sh", gram).withColumn("ok", complete)
+      .withColumn("shkey", xxhash64(hs: _*))
+      .withColumn("ok", hs.last.isNotNull)
       .filter(col("ok"))
-      .select("id", "sh")
-      .dropDuplicates("id", "sh")
+      .select("id", "shkey")
+      .dropDuplicates("id", "shkey")
     dedup.select(
       col("id"),
       count(lit(1)).over(Window.partitionBy("id")).cast("int").as("n_sh"),
-      xxhash64(col("sh")).as("shkey"))
+      col("shkey"))
   }
 
   /** All document pairs with n-word-shingle Jaccard >= threshold.
@@ -110,14 +117,16 @@ object Dedup {
     */
   def minHashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame = {
+      n: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame =
+    sigsFromShingles(shingleRows(docs, idCol, textCol, n), k, seed)
+
+  private def sigsFromShingles(sh: DataFrame, k: Int, seed: Long): DataFrame = {
     val (as, bs) = coeffs(k, seed)
-    val sh = shingleRows(docs, idCol, textCol, n)
-      .withColumn("h", pmod(col("shkey"), lit(MinHashPrime)))
+    val h = sh.withColumn("h", pmod(col("shkey"), lit(MinHashPrime)))
     val aggs = (0 until k).map { i =>
       min(pmod(col("h") * as(i) + bs(i), lit(MinHashPrime))).as(s"mh$i")
     }
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    h.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH near-duplicate pairs, verified.
@@ -135,7 +144,14 @@ object Dedup {
       threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sigs = minHashSignatures(docs, idCol, textCol, n, k, seed)
+    // The shingle table feeds three consumers with three different shuffle
+    // keys (signature agg on id; verify joins on id_a and (id_b, shkey)),
+    // so ReuseExchange can't share it — checkpoint it once instead of
+    // recomputing the tokenize/window/dedup pipeline per consumer. Local
+    // (executor-disk) checkpoint, not a cache: it also truncates lineage so
+    // AQE replans only the downstream stages.
+    val sh = shingleRows(docs, idCol, textCol, n).localCheckpoint()
+    val sigs = sigsFromShingles(sh, k, seed)
 
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
@@ -150,14 +166,17 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // Exact verify on candidates only: |A ∩ B| by joining the shingle
-    // rows of both sides (per-doc totals ride along on the shingle rows).
-    // No broadcast hint: candidate volume is data-dependent — AQE converts
-    // to broadcast at runtime when the pair set is small.
-    val sh = shingleRows(docs, idCol, textCol, n)
+    // Exact verify on candidates only: |A ∩ B| by joining the shingle rows
+    // of both sides (per-doc totals ride along on the shingle rows). Each
+    // side is first semi-joined down to docs that actually appear in a
+    // candidate pair, so the verify shuffle is proportional to the
+    // candidate set, not the corpus — at 100 TB candidates ≪ corpus. No
+    // broadcast hints: AQE picks broadcast when the pair set is small.
+    val sa = sh.join(cand.select(col("id_a").as("id")), Seq("id"), "left_semi")
+    val sb = sh.join(cand.select(col("id_b").as("id")), Seq("id"), "left_semi")
     cand
-      .join(sh.as("sa"), col("id_a") === col("sa.id"))
-      .join(sh.as("sb"),
+      .join(sa.as("sa"), col("id_a") === col("sa.id"))
+      .join(sb.as("sb"),
         col("id_b") === col("sb.id") && col("sa.shkey") === col("sb.shkey"))
       .groupBy("id_a", "id_b")
       .agg(
