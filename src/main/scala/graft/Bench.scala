@@ -30,10 +30,17 @@ object Bench {
       r.selectExpr("explode(array(id, id+1))").count()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () }
+    // Each query is timed twice and the min reported: a single timing on a
+    // shared machine measures the neighbors (background JVMs have produced
+    // 8→100 s swings here), while min-of-2 measures the engine. Run 1 also
+    // absorbs any query-specific codegen/JIT not covered by the warmup.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

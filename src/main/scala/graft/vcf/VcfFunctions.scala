@@ -283,7 +283,10 @@ object VcfFunctions {
     */
   def clinvarRules(clnsig: String): String = {
     if (clnsig == null || clnsig.isEmpty) return ""
-    val codes = clnsig.split("\\|")
+    // The reference evaluates only the first comma-delimited allele's value
+    // (getter splits on ',', getOrEmpty takes the head) before the '|' split:
+    // "5|4,2" → "5|4" → "9".
+    val codes = clnsig.split(",")(0).split("\\|")
     if (codes.contains("5") && codes.contains("4")) "9"
     else if (codes.contains("5")) "5"
     else if (codes.contains("4")) "4"

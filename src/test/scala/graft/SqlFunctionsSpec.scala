@@ -8,13 +8,18 @@ class SqlFunctionsSpec extends AnyFunSuite {
   test("registered scalar functions answer from SQL") {
     val r = spark.sql(
       """SELECT gq_band(47) AS b, truncate_at(0.9999, 3) AS t,
-        |  umd_label('Pathogenic') AS u, chrom_to_int('X') AS x,
-        |  ad_alt_fraction('25,2') AS f""".stripMargin).collect().head
+        |  umd_label('Pathogenic') AS u, umd_label('Probably pathogenic') AS u2,
+        |  chrom_to_int('X') AS x,
+        |  ad_alt_fraction('25,2', '0/1') AS f,
+        |  ad_alt_fraction('25,0,2', '0/2') AS f2""".stripMargin).collect().head
     assert(r.getAs[Int]("b") == 45)
     assert(r.getAs[Double]("t") == 0.999)
-    assert(r.getAs[String]("u") == "P")
+    assert(r.getAs[String]("u") == "D")
+    assert(r.getAs[String]("u2") == "P")
     assert(r.getAs[Int]("x") == 24)
     assert(r.getAs[Double]("f") == 0.074)
+    // GT 0/2 reads the second alt's depth: 2 / 27
+    assert(r.getAs[Double]("f2") == 0.074)
   }
 
   test("cohort_freq over collected sample maps") {

@@ -169,6 +169,9 @@ class VcfFunctionsSpec extends AnyFunSuite {
     assert(clinvarRules("2|3") == "0") // multi-code without 5/4 → "0"
     assert(clinvarRules("2") == "") // single non-5/4 code → ""
     assert(clinvarRules("") == "")
+    // multi-allele CLNSIG: only the first comma-delimited element counts
+    assert(clinvarRules("5|4,2") == "9")
+    assert(clinvarRules("2,5|4") == "")
   }
 
   test("rsIds parses dbSNP ids") {
