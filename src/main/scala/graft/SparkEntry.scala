@@ -333,8 +333,24 @@ object SparkEntry {
   private def d4SimHash(s: SparkSession, d: String): DataFrame =
     Dedup.simHashNearPairs(T(s, d, "documents"), "doc_id", "text", maxDist = 3)
 
+  /** d5 corpus: embeddings plus deterministic planted near-dups — copies of
+    * vec_id < 50 with the first two components zeroed (cosine vs the
+    * original ≈ 0.92-1.0; the background pair distribution tops out ≈ 0.6,
+    * so the 0.85 threshold sits in a wide empty margin — the regime where
+    * near-dup blocking is sound). Pure element selection, so Spark and the
+    * DuckDB oracle compute bit-identical sims.
+    */
+  private def d5Corpus(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") < 50).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      concat(array(lit(0.0f), lit(0.0f)), slice(col("embedding"), 3, 62))
+        .as("embedding"))
+    e.unionByName(planted)
+  }
+
   private def d5EmbedNearDup(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), "vec_id", "embedding", 0.45)
+    Dedup.embeddingNearDupPairs(d5Corpus(s, d), "vec_id", "embedding", 0.85)
 
   private def d6DedupClusters(s: SparkSession, d: String): DataFrame =
     Dedup.duplicateClusters(
@@ -630,7 +646,11 @@ object SparkEntry {
         |FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
         |WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6""".stripMargin,
     "d5_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (SELECT vec_id, v FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_concat([0.0::DOUBLE, 0.0::DOUBLE], v[3:])
+        |  FROM e0 WHERE vec_id < 50)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3)
@@ -638,7 +658,7 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3)
-        |  >= 0.45""".stripMargin,
+        |  >= 0.85""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id AS id, len(w) AS n_tokens, length(text) AS n_chars,
         |  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 4)

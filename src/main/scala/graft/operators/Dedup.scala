@@ -75,8 +75,25 @@ object Dedup {
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
+      n: Int = 3, threshold: Double = 0.6, maxDf: Int = 1000): DataFrame = {
+    // Hot-shingle cap: a shingle appearing in k documents contributes k²/2
+    // candidate rows on a single join key, so one ubiquitous "stop shingle"
+    // (boilerplate, licence headers) turns the inverted-index join quadratic
+    // on web-scale corpora. Shingles with document frequency > maxDf are
+    // dropped from the *index* only — per-doc totals (n_sh, the union
+    // denominator) are computed first, so surviving intersections score
+    // exactly; a capped shingle can only lower a pair's Jaccard, and at
+    // df > maxDf it carries ~no similarity signal. The df count is a window
+    // over the same key the self-join shuffles on, so it rides the
+    // exchange the join already needs.
+    import org.apache.spark.sql.expressions.Window
+    val sh0 = shingleRows(docs, idCol, textCol, n)
+    val sh =
+      if (maxDf <= 0) sh0
+      else sh0
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("shkey")))
+        .filter(col("df") <= maxDf)
+        .drop("df")
     // shuffle_hash on both sides: identical child plans shuffle on the same
     // key, so ReuseExchange evaluates the shingle generation once, not per
     // join side (broadcast would re-run it for each side).
@@ -189,14 +206,58 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
-    * cosine(vec_a, vec_b) >= threshold, a < b. Exact form — broadcast one
-    * side, fused codegen dot kernel, no shuffle of the big side. At
-    * corpus scale, block candidates first with [[Similarity.annLshBuckets]]
-    * or an IVF assignment and verify exactly within blocks (identical
-    * output on well-separated corpora; the threshold only sees exact
-    * sims either way).
+    * cosine(vec_a, vec_b) >= threshold, a < b — banded sign-LSH blocking
+    * with exact verification.
+    *
+    * Each vector gets `bands` × `planesPerBand`-bit bucket keys
+    * ([[Similarity.bandedSignKeys]]); candidate pairs come from an
+    * equi-join on (band, key), then only candidates are exactly cosine-
+    * scored and thresholded. Precision is exact by construction (the
+    * threshold only ever sees exact sims); recall is 1 - (1 - p^r)^b per
+    * pair at sign-agreement probability p = 1 - θ/π — with the defaults,
+    * a true near-dup pair at cosine 0.9 is missed with probability ~1e-6.
+    * At 100 TB the (band, key) pair is the shuffle/partition key: the
+    * join shuffles |corpus|·bands rows, never |corpus|² — the quadratic
+    * term is bounded by in-bucket candidate counts, and `planesPerBand`
+    * tunes bucket occupancy against recall.
     */
   def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, roundTo: Int = 3,
+      bands: Int = 32, planesPerBand: Int = 8,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val side = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("n"))
+    val keyed = spread(side).select(
+        col("id"),
+        posexplode(Similarity.bandedSignKeys(col("v"), bands, planesPerBand, dim, seed))
+          .as(Seq("band", "key")))
+    val cand = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // Exact verify on candidates only; each side semi-joined down to ids
+    // that appear in a candidate pair so the verify shuffle is ∝ candidates.
+    val va = side.join(cand.select(col("id_a").as("id")), Seq("id"), "left_semi")
+    val vb = side.join(cand.select(col("id_b").as("id")), Seq("id"), "left_semi")
+    cand
+      .join(va.as("x"), col("id_a") === col("x.id"))
+      .join(vb.as("y"), col("id_b") === col("y.id"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(fdot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")), roundTo)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Exact (all-pairs) form of [[embeddingNearDupPairs]]: broadcast one
+    * side, fused codegen dot kernel. O(n²·dim) flops — the oracle for the
+    * blocked path and the right tool only for small corpora.
+    */
+  def embeddingNearDupPairsExact(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, roundTo: Int = 3): DataFrame = {
     import graft.functions.VectorFunctions._
@@ -221,20 +282,30 @@ object Dedup {
     * appears in an edge; cluster = min id of its component.
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // localCheckpoint (eager) rather than cache: truncates the lineage so
-    // each iteration replans only the one-hop join, not the whole
-    // candidate-generation DAG again (iterative algorithms + AQE replan
-    // the full lineage per action otherwise).
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // The (possibly expensive) pair pipeline is localCheckpoint'd ONCE —
+    // eager, so it runs exactly one time; the doubled edge list and the
+    // label fixpoint all derive from the materialized pair set. Checkpoint
+    // rather than cache: it also truncates lineage, so each iteration
+    // replans only the one-hop join, not the candidate-generation DAG
+    // (iterative algorithms + AQE replan the full lineage per action
+    // otherwise).
+    val p0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint()
+    val edges = p0.unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint()
+    // Convergence probe: labels are monotone non-increasing, so the label
+    // sum strictly decreases until the fixpoint — one cheap aggregate over
+    // the just-checkpointed round output replaces the old join-and-compare
+    // action. decimal(38,0) so billions of 64-bit ids can't overflow.
+    def labelSum(ls: DataFrame): java.math.BigDecimal =
+      ls.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // two propagation hops per round (halves the driver round trips);
-      // convergence checked with a single action on the cached result
+      // two propagation hops per round (halves the driver round trips)
       val next = {
         val hop = (ls: DataFrame) => {
           val prop = edges.join(ls, col("src") === col("id"))
@@ -246,10 +317,10 @@ object Dedup {
         }
         hop(hop(labels)).localCheckpoint()
       }
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     labels

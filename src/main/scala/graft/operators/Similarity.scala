@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.functions.VectorFunctions._
 
@@ -62,6 +63,28 @@ object Similarity {
       when(fdot(col(vecCol), typedLit(hp)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     df.withColumn("bucket", bucket)
+  }
+
+  /** Banded sign-LSH keys: `bands` independent `planesPerBand`-bit bucket
+    * ids as an `array<long>` (index = band). Two vectors at angle θ share a
+    * given band with probability (1 - θ/π)^planesPerBand; over `bands`
+    * independent bands the miss probability decays geometrically, so
+    * recall at a target cosine threshold is tunable without giving up the
+    * equi-join blocking shape (posexplode → join on (band, key)). One
+    * fused native expression ([[graft.functions.SignBandKeys]]) — not
+    * bands × planesPerBand separate dot-product expressions.
+    */
+  def bandedSignKeys(
+      vec: Column, bands: Int, planesPerBand: Int,
+      dim: Int, seed: Long): Column = {
+    val flat = new Array[Float](bands * planesPerBand * dim)
+    for (b <- 0 until bands) {
+      val hps = hyperplanes(planesPerBand, dim, seed + 7919L * b)
+      for (p <- 0 until planesPerBand; i <- 0 until dim)
+        flat((b * planesPerBand + p) * dim + i) = hps(p)(i)
+    }
+    ColumnBridge.column(graft.functions.SignBandKeys(
+      ColumnBridge.expression(vec), flat, bands, planesPerBand, dim))
   }
 
   /** Trained IVF coarse quantizer: `nlist` centroids. Dimension-sized —

@@ -53,6 +53,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("embedding near-dup blocks via equi-join, no nested-loop") {
+    val plan = planOf(SparkEntry.queries("d5_embed_neardup")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"embedding near-dup degenerated to all-pairs:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("interval join with large range side uses the bin equi-join") {
     import spark.implicits._
     val pts = Seq((5L, 1L)).toDF("pos", "pid")

@@ -60,6 +60,52 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("ngramJaccardPairs df-cap removes ubiquitous-shingle candidate blowup") {
+    // 40 docs sharing exactly one 3-gram ("common shared phrase"), all other
+    // shingles unique per doc: without a cap every pair collides on that one
+    // key (C(40,2) candidate rows on a single shingle — the quadratic skew
+    // pattern); with the cap the hot shingle is dropped from the index.
+    val hot = (0 until 40).map { i =>
+      (i.toLong, s"unique$i alpha$i beta$i common shared phrase gamma$i delta$i")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(hot, "doc_id", "text",
+      n = 3, threshold = 0.0, maxDf = 0) // maxDf <= 0 disables the cap
+    val capped = Dedup.ngramJaccardPairs(hot, "doc_id", "text",
+      n = 3, threshold = 0.0, maxDf = 10)
+    assert(uncapped.count() == 40L * 39 / 2)
+    assert(capped.count() == 0)
+  }
+
+  test("ngramJaccardPairs default cap leaves the real-corpus answer unchanged") {
+    val real = spark.read.parquet(s"${graft.TestSpark.Sf0001}/documents.parquet")
+    val def_ = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val nocap = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.6, maxDf = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(def_ == nocap)
+    assert(def_.nonEmpty)
+  }
+
+  test("blocked embeddingNearDupPairs equals exact all-pairs on planted near-dups") {
+    val e = spark.read
+      .parquet(s"${graft.TestSpark.Sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // planted copies with the first two components zeroed: cosine vs the
+    // original ~0.92-1.0, far above the ~0.6 background — the separated
+    // regime blocking is designed for
+    val planted = e.filter($"vec_id" < 50).select(
+      ($"vec_id" + 100000L).as("vec_id"),
+      concat(array(lit(0.0f), lit(0.0f)), slice($"embedding", 3, 62))
+        .as("embedding"))
+    val corpus = e.unionByName(planted)
+    val exact = Dedup.embeddingNearDupPairsExact(corpus, "vec_id", "embedding", 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 50) // every planted copy pairs with its original
+    assert(blocked == exact)
+  }
+
   test("duplicateClusters resolves edges into min-label components") {
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (10L, 11L), (11L, 12L), (12L, 13L))
       .toDF("id_a", "id_b")
