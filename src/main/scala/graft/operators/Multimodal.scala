@@ -11,13 +11,13 @@ case class MediaMeta(
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata alongside.
   *
-  * The Spark-side contract is real and tested — schema, partition-sized
-  * batch iteration, typed output encoder. The *decode* itself is a
-  * clearly-marked deterministic STUB (`fakeDecode`): the real
-  * implementation would call an image/audio codec per batch, which is not
-  * available in this environment. Swapping the stub for a real decoder
-  * changes no plan shape: decode cost stays data-parallel, per-partition,
-  * with no shuffle.
+  * Decode is real where the JDK has a codec: image width/height via
+  * `javax.imageio` header reads (PNG/JPEG/BMP/GIF, no full pixel decode),
+  * WAV sample counts via a RIFF chunk walk. Video (and any payload the
+  * codecs reject — e.g. the harness's text-derived bytes) falls back to
+  * the deterministic `fakeDecode` stub so the operator stays total and
+  * reproducible. Either way the plan shape is identical: decode is
+  * data-parallel, per-partition, shuffle-free.
   */
 object Multimodal {
 
@@ -30,9 +30,9 @@ object Multimodal {
         element_at(typedLit(Seq("image", "audio", "video")),
           (pmod(xxhash64(col(srcCol)), lit(3)) + 1).cast("int")))
 
-  /** STUB decoder — deterministic fake features derived from the bytes.
-    * Replace with a real codec call (one codec init per partition, reused
-    * across the batch) when the native libraries are available.
+  /** STUB decoder — deterministic fake features derived from the bytes,
+    * used where no JDK codec applies (video) or the payload isn't a real
+    * media file (the harness derives payloads from text).
     */
   private def fakeDecode(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
@@ -42,6 +42,65 @@ object Multimodal {
       case _       => (0, 0, 1 + n % 48000) // audio: frames = samples
     }
   }
+
+  /** Image dimensions from the header only: an `ImageReader` reads
+    * width/height from the stream without decoding pixels — O(header)
+    * per payload, not O(pixels). Returns None for non-image bytes.
+    */
+  private[operators] def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    import javax.imageio.ImageIO
+    val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+        finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
+  /** WAV (RIFF) sample count via a chunk walk: find `fmt ` for
+    * channels/bits-per-sample, `data` for the payload size; frames =
+    * dataBytes / frameBytes. Returns None for non-WAV bytes.
+    */
+  private[operators] def wavFrames(bytes: Array[Byte]): Option[Int] = {
+    def le16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def le32(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+      ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var channels = 0
+    var bitsPerSample = 0
+    var dataSize = -1
+    while (off + 8 <= bytes.length && (dataSize < 0 || channels == 0)) {
+      val id = tag(off)
+      val sz = le32(off + 4)
+      if (id == "fmt " && off + 24 <= bytes.length) {
+        channels = le16(off + 10)
+        bitsPerSample = le16(off + 22)
+      } else if (id == "data") dataSize = sz
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    val frameBytes = channels * (bitsPerSample / 8)
+    if (dataSize >= 0 && frameBytes > 0) Some(dataSize / frameBytes) else None
+  }
+
+  /** Decode with the real codec when one applies; deterministic stub
+    * otherwise. Video has no JDK codec — always the stub.
+    */
+  private def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) =
+    kind match {
+      case "image" =>
+        imageDims(bytes).map { case (w, h) => (w, h, 1) }
+          .getOrElse(fakeDecode(kind, bytes))
+      case "audio" =>
+        wavFrames(bytes).map(f => (0, 0, f)).getOrElse(fakeDecode(kind, bytes))
+      case _ => fakeDecode(kind, bytes)
+    }
 
   /** Per-partition batched metadata extraction. `mapPartitions` (not a
     * per-row UDF) so a real decoder amortizes codec initialization across
@@ -57,7 +116,7 @@ object Multimodal {
         val id = r.getLong(0)
         val kind = r.getString(1)
         val bytes = r.getAs[Array[Byte]](2)
-        val (w, h, f) = fakeDecode(kind, bytes)
+        val (w, h, f) = decode(kind, bytes)
         md.reset()
         val digest = md.digest(bytes).map("%02x".format(_)).mkString
         MediaMeta(id, kind, bytes.length.toLong, digest, w, h, f)

@@ -103,12 +103,21 @@ object Similarity {
       nlist: Int = 16, iters: Int = 3, seed: Long = 42L): IvfModel = {
     val spark = df.sparkSession
     import spark.implicits._
-    // deterministic init: hash-order sample of nlist vectors
-    var centroids: Seq[Seq[Float]] = df
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .orderBy(pmod(xxhash64(col("id") + seed), lit(1000003L)), col("id"))
-      .limit(nlist)
-      .select("v").as[Seq[Float]].collect().toSeq
+    // Deterministic seeded init without a corpus-wide ordering: a hash
+    // filter keeps ~16×nlist expected rows (row-deterministic, so stable
+    // across partition layouts), and only that sliver is top-k'd for a
+    // reproducible order. The corpus-wide orderBy survives only as the
+    // fallback for the astronomically unlikely under-sample.
+    val sampleMod = 1000003L
+    val base = df.select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      pmod(xxhash64(col(idCol).cast("long") + seed), lit(sampleMod)).as("h"))
+    val n = math.max(1L, base.count())
+    val cut = math.max(1L, sampleMod * 16L * nlist / n)
+    def takeOrdered(d: org.apache.spark.sql.DataFrame): Seq[Seq[Float]] =
+      d.orderBy("h", "id").limit(nlist).select("v").as[Seq[Float]].collect().toSeq
+    var centroids: Seq[Seq[Float]] = takeOrdered(base.filter(col("h") < cut))
+    if (centroids.size < nlist) centroids = takeOrdered(base)
     for (_ <- 1 to iters) {
       val assigned = df.withColumn("__c", nearestCentroid(col(vecCol), centroids))
       val means = assigned

@@ -28,6 +28,60 @@ object DocumentSink {
     toDocuments(variants)
       .write.mode("overwrite").partitionBy("chrom").json(dest)
 
+  /** ES `_bulk` protocol body: one action line + one source line per
+    * document (reference bulk indexing, `GenomicsLoader.scala:208-213`).
+    * `_id` is the variant's natural key `chrom_pos_ref_alt`, so re-runs
+    * upsert instead of duplicating. Emitted as a one-column DataFrame of
+    * "action\nsource" strings — written with `.text()` the file IS a
+    * valid `_bulk` request body, byte-for-byte what the HTTP client posts.
+    */
+  def bulkLines(variants: DataFrame, index: String): DataFrame = {
+    val docs = toDocuments(variants)
+    docs.select(
+      concat(
+        lit("""{"index":{"_index":""""), lit(index), lit("""","_id":""""),
+        concat_ws("_", col("chrom"), col("pos"), col("ref"), col("alt")),
+        lit("\"}}\n"),
+        to_json(struct(docs.columns.map(col): _*))
+      ).as("value"))
+  }
+
+  /** Write the `_bulk` body as text files (NDJSON action/source pairs). */
+  def writeBulk(variants: DataFrame, dest: String, index: String = "variants"): Unit =
+    bulkLines(variants, index).write.mode("overwrite").text(dest)
+
+  /** POST the `_bulk` body to a live cluster, `batchSize` documents per
+    * request, one HTTP client per partition — opt-in via `esUrl` (there is
+    * deliberately no default: the engine never assumes a cluster exists).
+    * Executor-side and shuffle-free: each partition streams its own rows.
+    */
+  def postBulk(
+      variants: DataFrame, esUrl: String,
+      index: String = "variants", batchSize: Int = 500): Unit = {
+    val lines = bulkLines(variants, index)
+    lines.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val client = java.net.http.HttpClient.newHttpClient()
+      val uri = java.net.URI.create(s"$esUrl/_bulk")
+      val buf = new StringBuilder
+      var n = 0
+      def flush(): Unit = if (n > 0) {
+        val req = java.net.http.HttpRequest.newBuilder(uri)
+          .header("Content-Type", "application/x-ndjson")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(buf.toString))
+          .build()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() / 100 == 2, s"bulk indexing failed: ${resp.statusCode()}")
+        buf.clear(); n = 0
+      }
+      while (rows.hasNext) {
+        buf.append(rows.next().getString(0)).append('\n')
+        n += 1
+        if (n >= batchSize) flush()
+      }
+      flush()
+    }
+  }
+
   /** The nested index mapping for the document shape (reference S8,
     * `Elastic/Data.scala:34-93`, 8 shards / 0 replicas) — emitted as a
     * JSON document; shipping it to a cluster is an ops concern outside

@@ -12,6 +12,57 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PipelineRunner {
 
+  /** spark-submit entry point (reference `GenomicsLoader.main`,
+    * `GenomicsLoader.scala:45-99`: flag-driven chrom/pipeline overrides +
+    * a sample-sheet reader, `GenomicsLoader.scala:233-236`).
+    *
+    * {{{
+    * spark-submit --class graft.vcf.PipelineRunner graft.jar \
+    *   --root /data/tables --gvcf a.vcf.gz,b.vcf.gz \
+    *   [--sheet samples.txt] [--chrom 1] [--bin-width 1e6] \
+    *   [--stages parse,group,effects,variants,publish]
+    * }}}
+    *
+    * The session comes from `getOrCreate` and is not stopped here: under
+    * spark-submit the submitter owns the lifecycle (and shutdown hooks
+    * close it); embedded callers keep their session.
+    */
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args)
+    val spark = graft.GraftSession.tune(
+      SparkSession.builder().appName("graft-pipeline"),
+      shufflePartitions = 32).getOrCreate()
+    run(spark, cfg)
+  }
+
+  private[vcf] def parseArgs(args: Array[String]): Config = {
+    require(args.length % 2 == 0, s"flags come in --key value pairs: ${args.mkString(" ")}")
+    val m = args.grouped(2).collect { case Array(k, v) => k -> v }.toMap
+    val unknown = m.keySet -- Set("--root", "--gvcf", "--sheet", "--chrom",
+      "--bin-width", "--stages")
+    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
+    val fromSheet = m.get("--sheet").map(readSheet).getOrElse(Nil)
+    val base = Config(
+      root = m.getOrElse("--root", sys.error("--root <dir> is required")),
+      gvcfPaths =
+        m.get("--gvcf").map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          ++ fromSheet)
+    base.copy(
+      chrom = m.get("--chrom").map(_.toInt).getOrElse(base.chrom),
+      binWidth = m.get("--bin-width").map(_.toDouble).getOrElse(base.binWidth),
+      stages = m.get("--stages")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(base.stages))
+  }
+
+  /** Sample sheet: one gVCF path per line; blanks and `#` comments skipped
+    * (reference sample-sheet semantics).
+    */
+  private[vcf] def readSheet(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala.toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
   case class Config(
       root: String,
       gvcfPaths: Seq[String] = Nil,

@@ -124,6 +124,47 @@ object VcfPipeline {
         lit("diploid"), col("diploid").cast("string"))).as("samples"))
   }
 
+  /** SQL-text twin of [[sampleGroups]] (§3.2 parity: the reference drives
+    * this stage as a HiveQL string over a registered temp table,
+    * `steps/toSampleGrouped.scala:39` — a user porting that SQL must be
+    * able to run it here). Registers the unioned call table as a temp
+    * view and groups with `collect_list(map(...))` in SQL. Same logical
+    * plan shape as the DataFrame form; `VcfSqlTwinSpec` asserts equal
+    * results.
+    */
+  def sampleGroupsSql(parsed: DataFrame, binWidth: Double = 1e6): DataFrame = {
+    val spark = parsed.sparkSession
+    callColumns(parsed).unionByName(synthesizedRefCalls(parsed, binWidth))
+      .createOrReplaceTempView("graft_calls")
+    spark.sql(
+      """SELECT chrom, pos, ref, alt, indel,
+        |  collect_list(map(
+        |    'sample', sampleId, 'gt', gt,
+        |    'dp', CAST(dp AS STRING), 'gq', CAST(gq AS STRING),
+        |    'ad', ad, 'multi', CAST(multiallelic AS STRING),
+        |    'diploid', CAST(diploid AS STRING))) AS samples
+        |FROM graft_calls
+        |GROUP BY chrom, pos, ref, alt, indel""".stripMargin)
+  }
+
+  /** SQL-text twin of [[effectGroups]] (reference
+    * `steps/toEffectsGrouped.scala:24-38`): LATERAL VIEW OUTER explode +
+    * collect_list/first over a temp view.
+    */
+  def effectGroupsSql(parsed: DataFrame): DataFrame = {
+    val spark = parsed.sparkSession
+    parsed.createOrReplaceTempView("graft_parsed")
+    spark.sql(
+      """SELECT chrom, pos, ref, alt,
+        |  array_distinct(collect_list(effect)) AS effects,
+        |  first(predictions) AS predictions,
+        |  first(populations) AS populations
+        |FROM graft_parsed
+        |  LATERAL VIEW OUTER explode(effects) fx AS effect
+        |WHERE alt != '<NON_REF>'
+        |GROUP BY chrom, pos, ref, alt""".stripMargin)
+  }
+
   /** A2/A3: per-site effect array (exploded, deduped) + first-seen
     * predictions/populations.
     */

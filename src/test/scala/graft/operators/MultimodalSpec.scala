@@ -25,4 +25,50 @@ class MultimodalSpec extends AnyFunSuite {
       .map(m => m.id -> m).toMap
     assert(again == meta)
   }
+
+  test("real PNG payload decodes true dimensions through the pipeline") {
+    // genuine PNG bytes rendered in-memory — no fixture file needed
+    val img = new java.awt.image.BufferedImage(
+      17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+    assert(Multimodal.imageDims(png).contains((17, 9)))
+
+    val df = Seq((7L, png)).toDF("doc_id", "payload")
+      .withColumn(
+        "kind", org.apache.spark.sql.functions.lit("image"))
+    val meta = Multimodal.extractMeta(spark, df, "doc_id").collect().head
+    assert(meta.width == 17 && meta.height == 9 && meta.n_frames == 1)
+  }
+
+  test("real WAV header decodes the sample count") {
+    // minimal valid RIFF/WAVE: PCM fmt chunk + 100 frames of 16-bit stereo
+    val channels = 2
+    val bits = 16
+    val frames = 100
+    val dataSize = frames * channels * bits / 8
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort)
+      .putInt(44100).putInt(44100 * channels * bits / 8)
+      .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    val wav = bb.array()
+    assert(Multimodal.wavFrames(wav).contains(frames))
+
+    val df = Seq((8L, wav)).toDF("doc_id", "payload")
+      .withColumn(
+        "kind", org.apache.spark.sql.functions.lit("audio"))
+    val meta = Multimodal.extractMeta(spark, df, "doc_id").collect().head
+    assert(meta.n_frames == frames)
+  }
+
+  test("non-media bytes fall back to the deterministic stub") {
+    assert(Multimodal.imageDims("not an image".getBytes).isEmpty)
+    assert(Multimodal.wavFrames("not audio".getBytes).isEmpty)
+  }
 }

@@ -31,4 +31,40 @@ class DocumentSinkSpec extends AnyFunSuite {
     val raw = spark.read.text(dest + "/chrom=1").collect().head.getString(0)
     assert(raw.contains("\"freq\":0.5") && raw.contains("GENE1"))
   }
+
+  test("_bulk body round-trips as valid action/source NDJSON pairs") {
+    import spark.implicits._
+    val parsed = Seq(
+      Variant(1, 150, 150, "G", "A", indel = false,
+        SampleCall("0/1", 20, 45, "", "12,8", multiallelic = false, "S1", diploid = true),
+        Seq(FunctionalEffect("missense_variant", "MODERATE", "", "", "", "",
+          "GENE1", "pc", "pc", "TR1", "", 1)),
+        VcfParser.emptyPredictions, VcfParser.emptyPopulations),
+      Variant(2, 999, 999, "T", "C", indel = false,
+        SampleCall("1/1", 30, 60, "", "0,30", multiallelic = false, "S1", diploid = true),
+        Nil, VcfParser.emptyPredictions, VcfParser.emptyPopulations)
+    ).toDS()
+    val vars = VcfPipeline.variants(parsed.toDF(), binWidth = 1000)
+    val dest = Files.createTempDirectory("bulk").toFile.getPath + "/out"
+    DocumentSink.writeBulk(vars, dest, index = "variants_v1")
+
+    // the written files, concatenated, must be a valid _bulk request body:
+    // alternating action/source lines, each line standalone JSON
+    val lines = spark.read.text(dest).collect().map(_.getString(0))
+      .flatMap(_.split("\n"))
+    assert(lines.length == 4) // 2 docs × (action + source)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pairs = lines.grouped(2).toSeq
+    for (Array(action, source) <- pairs) {
+      val a = om.readTree(action)
+      val s = om.readTree(source)
+      assert(a.path("index").path("_index").asText() == "variants_v1")
+      val id = a.path("index").path("_id").asText()
+      // _id is the document's own natural key
+      assert(id == Seq(
+        s.path("chrom").asInt(), s.path("pos").asInt(),
+        s.path("ref").asText(), s.path("alt").asText()).mkString("_"))
+    }
+    assert(pairs.map(_(1)).exists(_.contains("GENE1")))
+  }
 }

@@ -37,4 +37,30 @@ class PipelineRunnerSpec extends AnyFunSuite {
 
     assert(DocumentSink.indexMapping().contains("\"number_of_shards\": 8"))
   }
+
+  test("main is spark-submittable: flags + sample sheet drive the DAG end-to-end") {
+    val root = Files.createTempDirectory("pipeline-cli").toFile
+    val g1 = new java.io.File(root, "S9.chr1.vcf")
+    Files.write(g1.toPath,
+      ("#h\n" +
+        Seq("1", "77", "rs9", "C", "T,<NON_REF>", ".", ".", "DP=22",
+          "GT:AD:DP:GQ:PL", "0/1:10,12:22:50:99,0,80").mkString("\t") + "\n").getBytes)
+    val sheet = new java.io.File(root, "samples.txt")
+    Files.write(sheet.toPath, s"# cohort sheet\n${g1.getPath}\n\n".getBytes)
+
+    val tables = new java.io.File(root, "tables").getPath
+    // TestSpark's session is picked up by main's getOrCreate
+    val _ = spark
+    PipelineRunner.main(Array(
+      "--root", tables, "--sheet", sheet.getPath,
+      "--chrom", "1", "--bin-width", "1000",
+      "--stages", "parse,group,effects,variants,publish"))
+    assert(spark.read.parquet(s"$tables/variants").count() == 1)
+    assert(spark.read.json(s"$tables/documents").collect().head.getAs[Long]("pos") == 77)
+
+    // flag parsing errors are loud
+    intercept[IllegalArgumentException] {
+      PipelineRunner.parseArgs(Array("--root", tables, "--bogus", "x"))
+    }
+  }
 }
