@@ -381,6 +381,25 @@ object SparkEntry {
   private def t6Winnow(s: SparkSession, d: String): DataFrame =
     TextAnalytics.winnowFingerprints(T(s, d, "documents"), "doc_id", "text")
 
+  private def t7TfIdf(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.tfIdfTopTerms(T(s, d, "documents"), "doc_id", "text", k = 5)
+
+  /** Full curation pipeline in one plan: language filter + quality gate +
+    * exact dedup with canonical selection — the end-to-end shape a
+    * training-data corpus pass takes.
+    */
+  private def c1Curation(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val q = TextAnalytics.qualityScore(docs, "doc_id", "text")
+      .select("id", "quality")
+    val l = TextAnalytics.langId(docs, "doc_id", "text")
+    val f = TextAnalytics.fingerprints(docs, "doc_id", "text")
+    f.join(q, "id").join(l, "id")
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min("id").as("canonical_id"))
+  }
+
   // ---- training-data pipeline: similarity search ------------------------
 
   private def v1CosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -461,6 +480,8 @@ object SparkEntry {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_bpeish_tokens" -> (t5BpeishTokens _),
     "t6_winnow_fingerprints" -> (t6Winnow _),
+    "t7_tfidf" -> (t7TfIdf _),
+    "c1_corpus_curation" -> (c1Curation _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -693,6 +714,50 @@ object SparkEntry {
     "t4_fingerprint" ->
       """SELECT doc_id AS id, md5(lower(replace(text, ' ', ''))) AS fingerprint
         |FROM documents""".stripMargin,
+    "t7_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term,
+        |    round(tf * ln(n.n_docs::DOUBLE / dfs.df), 4) AS score
+        |  FROM tf JOIN dfs USING (term) CROSS JOIN n)
+        |SELECT doc_id AS id, term, score, rank FROM
+        |  (SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+        |      AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+    "c1_corpus_curation" ->
+      """WITH q AS (SELECT doc_id, round(sr * 0.25 + ur * 0.5 + lok * 0.25, 4)
+        |      AS quality
+        |  FROM (SELECT doc_id,
+        |      len(list_filter(w, t -> t IN ('the','a','to','of','and','in','on','for')))::DOUBLE
+        |        / len(w) AS sr,
+        |      len(list_distinct(w))::DOUBLE / len(w) AS ur,
+        |      CASE WHEN len(w) BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END AS lok
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+        |l AS (SELECT doc_id,
+        |    CASE WHEN s_en = best AND best > 0 THEN 'en'
+        |         WHEN s_es = best AND best > 0 THEN 'es'
+        |         WHEN s_de = best AND best > 0 THEN 'de'
+        |         WHEN s_fr = best AND best > 0 THEN 'fr'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM (SELECT doc_id, s_en, s_es, s_de, s_fr,
+        |      greatest(s_en, s_es, s_de, s_fr) AS best
+        |    FROM (SELECT doc_id,
+        |        len(list_filter(w, t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |        len(list_filter(w, t -> t IN ('el','la','de','que','es'))) AS s_es,
+        |        len(list_filter(w, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+        |        len(list_filter(w, t -> t IN ('le','la','et','les','est'))) AS s_fr
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))),
+        |f AS (SELECT doc_id, md5(lower(replace(text, ' ', ''))) AS fingerprint
+        |  FROM documents)
+        |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS canonical_id
+        |FROM f JOIN q USING (doc_id) JOIN l USING (doc_id)
+        |WHERE lang_pred = 'en' AND quality >= 0.5
+        |GROUP BY fingerprint""".stripMargin,
     "t5_bpeish_tokens" ->
       """SELECT doc_id AS id,
         |  len(string_split(text, ' ')) AS ws_tokens,

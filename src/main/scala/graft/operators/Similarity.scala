@@ -183,6 +183,47 @@ object Similarity {
       .select("q_id", "c_id", "sim", "rank")
   }
 
+  /** Materialize the IVF index: candidates written as parquet partitioned
+    * by nearest-centroid cluster — the on-disk layout of the 100-TB path,
+    * where a probe reads `nprobe` partition directories instead of the
+    * corpus. `repartition(cluster)` first so each partition directory
+    * gets one file per shuffle partition, not one per input task.
+    */
+  def writeIvfIndex(
+      candidates: DataFrame, cIdCol: String, vecCol: String,
+      model: IvfModel, dest: String): Unit =
+    candidates.select(
+        col(cIdCol).as("c_id"), col(vecCol).as("c_vec"),
+        fnorm(col(vecCol)).as("c_norm"),
+        nearestCentroid(col(vecCol), model.centroids).as("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(dest)
+
+  /** Probe a materialized IVF index: identical scoring to [[annIvfTopK]],
+    * but the candidate side is the partitioned index scan and the
+    * broadcast probe list drives *dynamic partition pruning* — only the
+    * probed cluster directories are read (`SimilaritySpec` asserts the
+    * pruning subquery in the scan).
+    */
+  def annIvfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queries: DataFrame, qIdCol: String, vecCol: String,
+      k: Int, model: IvfModel, nprobe: Int = 4, roundTo: Int = 3): DataFrame = {
+    val c = spark.read.parquet(indexPath)
+    val q = queries.select(
+        col(qIdCol).as("q_id"), col(vecCol).as("q_vec"),
+        fnorm(col(vecCol)).as("q_norm"),
+        explode(probeList(col(vecCol), model.centroids, nprobe)).as("cluster"))
+    val scored = c.join(broadcast(q), Seq("cluster"))
+      .select(col("q_id"), col("c_id"),
+        round(fdot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), roundTo)
+          .as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+
   /** Approximate cosine top-k: score only candidates sharing the query's
     * LSH bucket. Recall < 1 by construction; precision 1 (exact scoring
     * within the bucket).

@@ -88,6 +88,35 @@ object TextAnalytics {
       size(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0)))
         .cast("long").as("bpeish_tokens"))
 
+  /** TF-IDF top-k terms per document. tf = in-doc term count; df rides a
+    * window over the term — the same key the per-term shuffle already
+    * hashes on; the corpus size N is a broadcast one-row aggregate (no
+    * driver action, stays one lazy plan). Scores are rounded *before*
+    * ranking with ties broken by term, so rankings are reproducible
+    * across engines and float orders. At scale this is two shuffles
+    * (term, then doc) over (id, term, count) rows — no arrays, no joins
+    * against the corpus.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn(
+      "df", count(lit(1)).over(Window.partitionBy("term")))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = withDf.crossJoin(broadcast(n))
+      .select(col("id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), roundTo)
+          .as("score"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("id", "term", "score", "rank")
+  }
+
   /** Winnowing fingerprints (rolling-hash document sketch): hash every
     * k-char gram, keep the minimum hash of each sliding window of w
     * grams, emit the distinct kept hashes. Guarantees any shared

@@ -85,4 +85,30 @@ class SimilaritySpec extends AnyFunSuite {
       .map { case (a, b, s) => (a, b) -> s }.toMap
     assert(rows.forall { case (a, b, s) => brute((a, b)) == s })
   }
+
+  test("materialized IVF index: dynamic partition pruning + same results as in-memory probe") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val c = emb.filter($"vec_id" >= 5)
+    val model = Similarity.ivfTrain(c, "vec_id", "embedding", nlist = 8, iters = 2)
+    val dest = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/index"
+    Similarity.writeIvfIndex(c, "vec_id", "embedding", model, dest)
+
+    val fromIndex = Similarity.annIvfTopKFromIndex(
+      spark, dest, q, "vec_id", "embedding", k = 4, model, nprobe = 3)
+    val inMemory = Similarity.annIvfTopK(
+      q, c, "vec_id", "vec_id", "embedding", k = 4, model, nprobe = 3)
+    val a = fromIndex.select("q_id", "c_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val b = inMemory.select("q_id", "c_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+
+    // the broadcast probe list must drive partition pruning on the index
+    // scan: only the probed cluster directories are read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the index scan:\n$plan")
+  }
 }

@@ -73,4 +73,21 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("tfIdf ranks rare discriminative terms above ubiquitous ones") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the log"),
+      (2L, "the bird flew over the log")
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    // "the" appears in every doc (idf = 0) so it can never rank; the
+    // doc-unique terms must lead
+    assert(got(0L).head == "cat" || got(0L).head == "mat")
+    assert(!got.values.flatten.toSet.contains("the"))
+    // deterministic tie-break: doc 0's top-2 are its unique terms sorted
+    assert(got(0L).toSet == Set("cat", "mat"))
+  }
 }
