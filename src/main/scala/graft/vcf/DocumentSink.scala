@@ -82,6 +82,35 @@ object DocumentSink {
     }
   }
 
+  /** Index lifecycle over REST (reference S8 index DDL): PUT the mapping
+    * to create, DELETE to drop. Driver-side single calls, opt-in via an
+    * explicit URL — returns the HTTP status so callers decide policy
+    * (e.g. 400 resource_already_exists on re-create).
+    */
+  def putIndex(
+      esUrl: String, index: String,
+      shards: Int = 8, replicas: Int = 0): Int = {
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(s"$esUrl/$index"))
+      .header("Content-Type", "application/json")
+      .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(
+        indexMapping(shards, replicas)))
+      .build()
+    java.net.http.HttpClient.newHttpClient()
+      .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      .statusCode()
+  }
+
+  /** Drop the index (reference `action = delete` path). */
+  def deleteIndex(esUrl: String, index: String): Int = {
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(s"$esUrl/$index"))
+      .DELETE().build()
+    java.net.http.HttpClient.newHttpClient()
+      .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      .statusCode()
+  }
+
   /** The nested index mapping for the document shape (reference S8,
     * `Elastic/Data.scala:34-93`, 8 shards / 0 replicas) — emitted as a
     * JSON document; shipping it to a cluster is an ops concern outside

@@ -67,4 +67,46 @@ class DocumentSinkSpec extends AnyFunSuite {
     }
     assert(pairs.map(_(1)).exists(_.contains("GENE1")))
   }
+
+  test("live HTTP path: index DDL + bulk POST against an in-process server") {
+    import spark.implicits._
+    // record every request an ES cluster would receive
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes, "UTF-8")
+      received.add((exchange.getRequestMethod, exchange.getRequestURI.getPath, body))
+      val resp = """{"acknowledged":true}""".getBytes
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, resp.length)
+      exchange.getResponseBody.write(resp)
+      exchange.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      assert(DocumentSink.putIndex(url, "variants_v1", shards = 4) == 200)
+      val parsed = Seq(
+        Variant(1, 150, 150, "G", "A", indel = false,
+          SampleCall("0/1", 20, 45, "", "12,8", multiallelic = false, "S1", diploid = true),
+          Nil, VcfParser.emptyPredictions, VcfParser.emptyPopulations)
+      ).toDS()
+      val vars = VcfPipeline.variants(parsed.toDF(), binWidth = 1000)
+      DocumentSink.postBulk(vars, url, index = "variants_v1", batchSize = 100)
+      assert(DocumentSink.deleteIndex(url, "variants_v1") == 200)
+
+      val reqs = received.toArray(Array.empty[(String, String, String)])
+      val Some(put) = reqs.find(_._1 == "PUT")
+      assert(put._2 == "/variants_v1")
+      assert(put._3.contains("\"number_of_shards\": 4"))
+      val bulks = reqs.filter(r => r._1 == "POST" && r._2 == "/_bulk")
+      assert(bulks.nonEmpty)
+      // bulk bodies are newline-terminated action/source pairs
+      val lines = bulks.flatMap(_._3.split("\n"))
+      assert(lines.length % 2 == 0)
+      assert(lines.head.contains("\"_index\":\"variants_v1\""))
+      assert(reqs.exists(r => r._1 == "DELETE" && r._2 == "/variants_v1"))
+    } finally server.stop(0)
+  }
 }
