@@ -386,15 +386,19 @@ object SparkEntry {
 
   /** Full curation pipeline in one plan: language filter + quality gate +
     * exact dedup with canonical selection — the end-to-end shape a
-    * training-data corpus pass takes.
+    * training-data corpus pass takes. All three signals are per-row
+    * Columns over the same scan, so the whole gate is ONE projection +
+    * filter + aggregate: no joins, one shuffle (`PlanQualitySpec` asserts
+    * the join-free plan).
     */
   private def c1Curation(s: SparkSession, d: String): DataFrame = {
-    val docs = T(s, d, "documents")
-    val q = TextAnalytics.qualityScore(docs, "doc_id", "text")
-      .select("id", "quality")
-    val l = TextAnalytics.langId(docs, "doc_id", "text")
-    val f = TextAnalytics.fingerprints(docs, "doc_id", "text")
-    f.join(q, "id").join(l, "id")
+    import graft.functions.TextFunctions
+    T(s, d, "documents")
+      .select(
+        col("doc_id").as("id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        TextAnalytics.qualityColumn(col("text")).as("quality"),
+        TextAnalytics.langIdColumn(col("text")).as("lang_pred"))
       .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min("id").as("canonical_id"))

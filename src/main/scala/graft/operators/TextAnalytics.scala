@@ -27,6 +27,19 @@ object TextAnalytics {
         .as("uniq_ratio"))
   }
 
+  /** The quality score as a plain Column over a text column — composable
+    * into single-pass pipelines (no per-operator join needed to combine
+    * with other per-row signals).
+    */
+  def qualityColumn(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val n = size(toks)
+    val stopRatio = stopwordCount(toks).cast("double") / n
+    val uniqRatio = size(array_distinct(toks)).cast("double") / n
+    val lengthOk = when(n.between(20, 5000), lit(1.0)).otherwise(lit(0.5))
+    round(stopRatio * 0.25 + uniqRatio * 0.5 + lengthOk * 0.25, 4)
+  }
+
   /** Heuristic quality score in [0,1]: blends stopword ratio (fluency
     * proxy), unique-token ratio (repetition penalty) and a length window.
     * Deliberately simple + fully SQL-expressible for the oracle.
@@ -36,14 +49,12 @@ object TextAnalytics {
     val n = size(toks)
     val stopRatio = stopwordCount(toks).cast("double") / n
     val uniqRatio = size(array_distinct(toks)).cast("double") / n
-    val lengthOk = when(n.between(20, 5000), lit(1.0)).otherwise(lit(0.5))
     docs.select(
       col(idCol).as("id"),
       n.as("n_tokens"),
       round(stopRatio, 4).as("stop_ratio"),
       round(uniqRatio, 4).as("uniq_ratio"),
-      round((stopRatio * 0.25 + uniqRatio * 0.5 + lengthOk * 0.25), 4)
-        .as("quality"))
+      qualityColumn(col(textCol)).as("quality"))
   }
 
   // Marker stopwords per language — tiny on purpose; the operator shape
@@ -55,21 +66,24 @@ object TextAnalytics {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "est"))
 
-  /** Heuristic language ID: per-language marker-token hit count, argmax
-    * with fixed precedence (en > es > de > fr), `und` when no evidence.
-    */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+  /** The language prediction as a plain Column (see [[langId]]). */
+  def langIdColumn(textCol: Column): Column = {
+    val toks = tokens(textCol)
     val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // precedence = declaration order: the when-chain checks en, then es, ...
-    val pred = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
-    docs.select(col(idCol).as("id"), pred.as("lang_pred"))
   }
+
+  /** Heuristic language ID: per-language marker-token hit count, argmax
+    * with fixed precedence (en > es > de > fr), `und` when no evidence.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), langIdColumn(col(textCol)).as("lang_pred"))
 
   /** Content fingerprint per doc (see [[TextFunctions.fingerprint]]). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =

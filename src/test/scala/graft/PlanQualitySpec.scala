@@ -53,6 +53,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("curation composite fuses all signals into one join-free pass") {
+    val plan = planOf(SparkEntry.queries("c1_corpus_curation")(spark, dir))
+    assert(!plan.contains("Join"), s"curation pipeline should not join:\n$plan")
+  }
+
   test("embedding near-dup blocks via equi-join, no nested-loop") {
     val plan = planOf(SparkEntry.queries("d5_embed_neardup")(spark, dir))
     assert(!plan.contains("BroadcastNestedLoopJoin"),
