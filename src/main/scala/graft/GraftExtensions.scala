@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{FloatDotProduct, SignBandKeys}
+import graft.operators.Similarity
+
+/** Session extension installing the engine's native expressions into the
+  * function registry at session build time — the deployment path for
+  * clusters the engine doesn't own:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * SELECT fvec_dot(a, b), sign_band_keys(v, 32, 8, 64, 42) FROM t
+  * }}}
+  *
+  * (Per-session registration for embedded callers stays available via
+  * `SqlFunctions.register`.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def lit[T](e: Expression, what: String): T = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null).asInstanceOf[T]
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fvec_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "fvec_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "fvec_dot(arrayFloat, arrayFloat)")
+        FloatDotProduct(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sign_band_keys"),
+      new ExpressionInfo(classOf[SignBandKeys].getName, "sign_band_keys"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5,
+          "sign_band_keys(vec, bands, planesPerBand, dim, seed)")
+        val bands = lit[Int](exprs(1), "bands")
+        val r = lit[Int](exprs(2), "planesPerBand")
+        val dim = lit[Int](exprs(3), "dim")
+        val seed = exprs(4).eval(null) match {
+          case i: Int  => i.toLong
+          case l: Long => l
+          case other   => throw new IllegalArgumentException(
+            s"seed must be an integer literal, got $other")
+        }
+        SignBandKeys(exprs(0), Similarity.flatPlanes(bands, r, dim, seed),
+          bands, r, dim)
+      }))
+  }
+}

@@ -74,18 +74,26 @@ object Similarity {
     * fused native expression ([[graft.functions.SignBandKeys]]) — not
     * bands × planesPerBand separate dot-product expressions.
     */
-  def bandedSignKeys(
-      vec: Column, bands: Int, planesPerBand: Int,
-      dim: Int, seed: Long): Column = {
+  /** The flattened bands × planesPerBand × dim hyperplane matrix
+    * (deterministic per seed) — shared by [[bandedSignKeys]] and the
+    * `sign_band_keys` SQL registration in [[graft.GraftExtensions]].
+    */
+  def flatPlanes(bands: Int, planesPerBand: Int, dim: Int, seed: Long): Array[Float] = {
     val flat = new Array[Float](bands * planesPerBand * dim)
     for (b <- 0 until bands) {
       val hps = hyperplanes(planesPerBand, dim, seed + 7919L * b)
       for (p <- 0 until planesPerBand; i <- 0 until dim)
         flat((b * planesPerBand + p) * dim + i) = hps(p)(i)
     }
-    ColumnBridge.column(graft.functions.SignBandKeys(
-      ColumnBridge.expression(vec), flat, bands, planesPerBand, dim))
+    flat
   }
+
+  def bandedSignKeys(
+      vec: Column, bands: Int, planesPerBand: Int,
+      dim: Int, seed: Long): Column =
+    ColumnBridge.column(graft.functions.SignBandKeys(
+      ColumnBridge.expression(vec),
+      flatPlanes(bands, planesPerBand, dim, seed), bands, planesPerBand, dim))
 
   /** Trained IVF coarse quantizer: `nlist` centroids. Dimension-sized —
     * lives on the driver and broadcasts into expressions as literals.
