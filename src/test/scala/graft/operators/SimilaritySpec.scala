@@ -111,4 +111,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning on the index scan:\n$plan")
   }
+
+  test("native expressions agree between codegen and interpreted evaluation") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .limit(50)
+    def run(): Map[Long, (Seq[Long], Double)] = emb.select(
+        $"vec_id",
+        Similarity.bandedSignKeys($"embedding", 8, 8, 64, 42L).as("k"),
+        fdot($"embedding", $"embedding").as("d"))
+      .as[(Long, Seq[Long], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = run()
+      assert(interpreted == codegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(codegen.nonEmpty)
+  }
 }
