@@ -109,7 +109,9 @@ object TextAnalytics {
     * ranking with ties broken by term, so rankings are reproducible
     * across engines and float orders. At scale this is two shuffles
     * (term, then doc) over (id, term, count) rows — no arrays, no joins
-    * against the corpus.
+    * against the corpus. (The plan shows one BroadcastNestedLoopJoin:
+    * that is the ONE-ROW corpus-size scalar attached to every row — an
+    * O(rows) broadcast of a single value, not a pair blowup.)
     */
   def tfIdfTopTerms(
       docs: DataFrame, idCol: String, textCol: String,
