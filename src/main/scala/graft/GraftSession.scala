@@ -12,8 +12,13 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply the engine's standard configuration to any builder. */
+  /** Apply the engine's standard configuration to any builder. New
+    * sessions built from it also get the native expressions installed
+    * ([[GraftExtensions]]) — no-op when the builder joins an existing
+    * session.
+    */
   def tune(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder = b
+    .withExtensions(new GraftExtensions())
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -432,6 +432,27 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** int8 embedding quantization round trip — the storage compression
+    * pass a 100-TB embedding corpus runs before indexing (4× smaller,
+    * exact per-vector scale). Output: per-vector scale + reconstruction
+    * error diagnostics, all single-pass projections.
+    */
+  private def v4QuantizeInt8(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = T(s, d, "embeddings")
+    val scale = int8Scale(col("embedding"))
+    e.select(col("vec_id"), scale.as("sc"), col("embedding").as("v"))
+      .select(col("vec_id"), col("sc"), col("v"),
+        int8Codes(col("v"), col("sc")).as("codes"))
+      .select(
+        col("vec_id"),
+        round(col("sc"), 6).as("scale"),
+        round(int8MaxAbsErr(col("v"), col("codes"), col("sc")), 6)
+          .as("max_abs_err"),
+        round(int8L2ErrRatio(col("v"), col("codes"), col("sc")), 6)
+          .as("l2_err_ratio"))
+  }
+
   // ---- training-data pipeline: multimodal plumbing ----------------------
 
   private def m1MediaMeta(s: SparkSession, d: String): DataFrame =
@@ -489,6 +510,7 @@ object SparkEntry {
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
+    "v4_quantize_int8" -> (v4QuantizeInt8 _),
     "m1_media_meta" -> (m1MediaMeta _))
 
   def oracleSql: Map[String, String] = ListMap(
@@ -768,6 +790,23 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
         |    AS bpeish_tokens
         |FROM documents""".stripMargin,
+    "v4_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-12)
+        |      AS sc
+        |  FROM e),
+        |c AS (SELECT vec_id, v, sc,
+        |    list_transform(v, x -> round(x / sc)) AS codes FROM s)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  round(list_max(
+        |    [abs(v[i] - codes[i] * sc) for i in range(1, len(v) + 1)]), 6)
+        |    AS max_abs_err,
+        |  round(sqrt(list_sum(
+        |    [(v[i] - codes[i] * sc) * (v[i] - codes[i] * sc)
+        |      for i in range(1, len(v) + 1)]))
+        |    / sqrt(list_dot_product(v, v)), 6) AS l2_err_ratio
+        |FROM c""".stripMargin,
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
         |    FROM embeddings WHERE vec_id < 10),

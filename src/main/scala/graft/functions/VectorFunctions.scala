@@ -140,4 +140,28 @@ object VectorFunctions {
 
   /** Cosine similarity between two array<float> columns. */
   def fcosine(a: Column, b: Column): Column = fdot(a, b) / (fnorm(a) * fnorm(b))
+
+  /** Symmetric int8 quantization scale for a vector: max|x| / 127, floored
+    * at 1e-12 so zero vectors quantize to zeros instead of NaN.
+    */
+  def int8Scale(v: Column): Column =
+    greatest(array_max(transform(v, x => abs(x))) / 127.0d, lit(1e-12))
+
+  /** Quantize to int8 codes with the symmetric per-vector scale —
+    * round(x / scale) lands in [-127, 127] by construction.
+    */
+  def int8Codes(v: Column, scale: Column): Column =
+    transform(v, x => round(x / scale).cast("int"))
+
+  /** Reconstruction diagnostics: max absolute error and the L2 error as a
+    * fraction of the vector norm — the two numbers that decide whether
+    * int8 storage is acceptable for a corpus.
+    */
+  def int8MaxAbsErr(v: Column, codes: Column, scale: Column): Column =
+    array_max(zip_with(v, codes, (x, q) => abs(x - q * scale)))
+
+  def int8L2ErrRatio(v: Column, codes: Column, scale: Column): Column =
+    sqrt(aggregate(
+      zip_with(v, codes, (x, q) => (x - q * scale) * (x - q * scale)),
+      lit(0.0d), (acc, e) => acc + e)) / fnorm(v)
 }
