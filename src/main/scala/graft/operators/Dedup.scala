@@ -298,9 +298,11 @@ object Dedup {
     // sum strictly decreases until the fixpoint — one cheap aggregate over
     // the just-checkpointed round output replaces the old join-and-compare
     // action. decimal(38,0) so billions of 64-bit ids can't overflow.
-    def labelSum(ls: DataFrame): java.math.BigDecimal =
-      ls.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
+    def labelSum(ls: DataFrame): java.math.BigDecimal = {
+      val s = ls.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty edge set
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0

@@ -106,6 +106,11 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked == exact)
   }
 
+  test("duplicateClusters tolerates an empty pair set") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+  }
+
   test("duplicateClusters resolves edges into min-label components") {
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (10L, 11L), (11L, 12L), (12L, 13L))
       .toDF("id_a", "id_b")
