@@ -21,11 +21,6 @@ import graft.operators.Similarity
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def lit[T](e: Expression, what: String): T = {
-    require(e.foldable, s"$what must be a literal")
-    e.eval(null).asInstanceOf[T]
-  }
-
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("fvec_dot"),
@@ -40,9 +35,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 5,
           "sign_band_keys(vec, bands, planesPerBand, dim, seed)")
-        val bands = lit[Int](exprs(1), "bands")
-        val r = lit[Int](exprs(2), "planesPerBand")
-        val dim = lit[Int](exprs(3), "dim")
+        def intArg(e: Expression, what: String): Int = {
+          require(e.foldable, s"$what must be a literal")
+          e.eval(null) match {
+            case i: Int  => i
+            case l: Long => require(l.isValidInt, s"$what out of range: $l"); l.toInt
+            case other   => throw new IllegalArgumentException(
+              s"$what must be an integer literal, got $other")
+          }
+        }
+        val bands = intArg(exprs(1), "bands")
+        val r = intArg(exprs(2), "planesPerBand")
+        val dim = intArg(exprs(3), "dim")
+        require(bands >= 1 && dim >= 1, "bands and dim must be >= 1")
+        require(r >= 1 && r <= 64, "planesPerBand must be in [1, 64] (long key bits)")
+        require(exprs(4).foldable, "seed must be a literal")
         val seed = exprs(4).eval(null) match {
           case i: Int  => i.toLong
           case l: Long => l

@@ -72,6 +72,14 @@ object Dedup {
     * |A ∩ B| via an inverted-index self-join on the shingle, |A ∪ B| from
     * per-doc distinct-shingle counts — no array intersection on pairs, no
     * cross join. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Exactness contract: exact for every pair whose shingles all have
+    * document frequency <= `maxDf`. Shingles above the cap are dropped
+    * from the index (union denominators stay exact), so a pair whose
+    * score depends on ubiquitous boilerplate shingles is scored lower and
+    * may fall below the threshold — the deliberate trade that keeps one
+    * hot shingle from generating df² candidate rows at corpus scale.
+    * `maxDf <= 0` disables the cap for fully exact (skew-exposed) output.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -227,6 +235,11 @@ object Dedup {
       bands: Int = 32, planesPerBand: Int = 8,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     import graft.functions.VectorFunctions._
+    // `side` is consumed three times with three shuffle keys (band keys,
+    // id_a fetch, id_b fetch). Unlike the shingle table in
+    // [[minHashLshPairs]] it is NOT checkpointed: it is a column-pruned
+    // scan + one fused norm — re-reading it costs less than materializing
+    // the whole vector corpus to executor disk and reading that back.
     val side = df.select(
       col(idCol).as("id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("n"))
     val keyed = spread(side).select(

@@ -47,9 +47,22 @@ object Multimodal {
     * width/height from the stream without decoding pixels — O(header)
     * per payload, not O(pixels). Returns None for non-image bytes.
     */
+  // Magic-byte signatures of the formats the JDK can read — checked before
+  // touching ImageIO so non-image payloads (the common case here) never pay
+  // for reader lookup or its temp-file stream cache.
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) || // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
   private[operators] def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
     import javax.imageio.ImageIO
+    if (!looksLikeImage(bytes)) return None
+    ImageIO.setUseCache(false) // keep header reads off the filesystem
     val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    if (iis == null) return None
     try {
       val readers = ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
@@ -79,6 +92,10 @@ object Multimodal {
     while (off + 8 <= bytes.length && (dataSize < 0 || channels == 0)) {
       val id = tag(off)
       val sz = le32(off + 4)
+      // A corrupt size with the sign bit set would stall or rewind the chunk
+      // walk (off += 8 + sz can stop advancing) — treat as non-WAV instead
+      // of spinning the executor task forever.
+      if (sz < 0) return None
       if (id == "fmt " && off + 24 <= bytes.length) {
         channels = le16(off + 10)
         bitsPerSample = le16(off + 22)

@@ -71,6 +71,12 @@ object DocumentSink {
           .build()
         val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
         require(resp.statusCode() / 100 == 2, s"bulk indexing failed: ${resp.statusCode()}")
+        // ES returns 200 with per-item failures flagged in the body
+        // ("errors":true) — e.g. 429 rejections under write backpressure.
+        // Silently accepting them would lose documents while the stream
+        // checkpoint commits; fail the task so Spark retries the partition.
+        require(!resp.body().contains("\"errors\":true"),
+          s"bulk response reported item failures: ${resp.body().take(500)}")
         buf.clear(); n = 0
       }
       while (rows.hasNext) {

@@ -37,7 +37,11 @@ object PipelineRunner {
 
   private[vcf] def parseArgs(args: Array[String]): Config = {
     require(args.length % 2 == 0, s"flags come in --key value pairs: ${args.mkString(" ")}")
-    val m = args.grouped(2).collect { case Array(k, v) => k -> v }.toMap
+    val kvs = args.grouped(2).collect { case Array(k, v) => k -> v }.toSeq
+    val dups = kvs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"repeated flags would be silently dropped: ${dups.mkString(", ")}")
+    val m = kvs.toMap
     val unknown = m.keySet -- Set("--root", "--gvcf", "--sheet", "--chrom",
       "--bin-width", "--stages")
     require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")

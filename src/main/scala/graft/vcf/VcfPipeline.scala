@@ -132,38 +132,46 @@ object VcfPipeline {
     * plan shape as the DataFrame form; `VcfSqlTwinSpec` asserts equal
     * results.
     */
-  def sampleGroupsSql(parsed: DataFrame, binWidth: Double = 1e6): DataFrame = {
-    val spark = parsed.sparkSession
-    callColumns(parsed).unionByName(synthesizedRefCalls(parsed, binWidth))
-      .createOrReplaceTempView("graft_calls")
-    spark.sql(
-      """SELECT chrom, pos, ref, alt, indel,
-        |  collect_list(map(
-        |    'sample', sampleId, 'gt', gt,
-        |    'dp', CAST(dp AS STRING), 'gq', CAST(gq AS STRING),
-        |    'ad', ad, 'multi', CAST(multiallelic AS STRING),
-        |    'diploid', CAST(diploid AS STRING))) AS samples
-        |FROM graft_calls
-        |GROUP BY chrom, pos, ref, alt, indel""".stripMargin)
+  /** Register under a unique name, analyze the SQL (eager in `spark.sql`),
+    * then drop the view: no fixed catalog name to clobber a caller's view
+    * or race a concurrent pipeline on the same session.
+    */
+  private def withTempView(df: DataFrame)(sql: String => String): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_v${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.createOrReplaceTempView(name)
+    try spark.sql(sql(name))
+    finally spark.catalog.dropTempView(name)
   }
+
+  def sampleGroupsSql(parsed: DataFrame, binWidth: Double = 1e6): DataFrame =
+    withTempView(callColumns(parsed)
+        .unionByName(synthesizedRefCalls(parsed, binWidth))) { v =>
+      s"""SELECT chrom, pos, ref, alt, indel,
+         |  collect_list(map(
+         |    'sample', sampleId, 'gt', gt,
+         |    'dp', CAST(dp AS STRING), 'gq', CAST(gq AS STRING),
+         |    'ad', ad, 'multi', CAST(multiallelic AS STRING),
+         |    'diploid', CAST(diploid AS STRING))) AS samples
+         |FROM $v
+         |GROUP BY chrom, pos, ref, alt, indel""".stripMargin
+    }
 
   /** SQL-text twin of [[effectGroups]] (reference
     * `steps/toEffectsGrouped.scala:24-38`): LATERAL VIEW OUTER explode +
     * collect_list/first over a temp view.
     */
-  def effectGroupsSql(parsed: DataFrame): DataFrame = {
-    val spark = parsed.sparkSession
-    parsed.createOrReplaceTempView("graft_parsed")
-    spark.sql(
-      """SELECT chrom, pos, ref, alt,
-        |  array_distinct(collect_list(effect)) AS effects,
-        |  first(predictions) AS predictions,
-        |  first(populations) AS populations
-        |FROM graft_parsed
-        |  LATERAL VIEW OUTER explode(effects) fx AS effect
-        |WHERE alt != '<NON_REF>'
-        |GROUP BY chrom, pos, ref, alt""".stripMargin)
-  }
+  def effectGroupsSql(parsed: DataFrame): DataFrame =
+    withTempView(parsed) { v =>
+      s"""SELECT chrom, pos, ref, alt,
+         |  array_distinct(collect_list(effect)) AS effects,
+         |  first(predictions) AS predictions,
+         |  first(populations) AS populations
+         |FROM $v
+         |  LATERAL VIEW OUTER explode(effects) fx AS effect
+         |WHERE alt != '<NON_REF>'
+         |GROUP BY chrom, pos, ref, alt""".stripMargin
+    }
 
   /** A2/A3: per-site effect array (exploded, deduped) + first-seen
     * predictions/populations.

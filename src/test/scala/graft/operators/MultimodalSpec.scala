@@ -71,4 +71,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageDims("not an image".getBytes).isEmpty)
     assert(Multimodal.wavFrames("not audio".getBytes).isEmpty)
   }
+
+  test("corrupt RIFF chunk sizes terminate instead of hanging the chunk walk") {
+    // chunk size 0xFFFFFFF8 reads as -8: off += 8 + sz + (sz & 1) would
+    // never advance — must return None, not spin
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+    assert(Multimodal.wavFrames(bb.array()).isEmpty)
+  }
 }

@@ -62,5 +62,10 @@ class PipelineRunnerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       PipelineRunner.parseArgs(Array("--root", tables, "--bogus", "x"))
     }
+    // repeated flags would silently drop a cohort file -> loud error
+    intercept[IllegalArgumentException] {
+      PipelineRunner.parseArgs(Array(
+        "--root", tables, "--gvcf", "a.vcf", "--gvcf", "b.vcf"))
+    }
   }
 }
