@@ -30,17 +30,21 @@ object Bench {
       r.selectExpr("explode(array(id, id+1))").count()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () }
-    // Each query is timed twice and the min reported: a single timing on a
-    // shared machine measures the neighbors (background JVMs have produced
-    // 8→100 s swings here), while min-of-2 measures the engine. Run 1 also
-    // absorbs any query-specific codegen/JIT not covered by the warmup.
+    // Each query is timed three times and the min reported: a single
+    // timing on a shared machine measures the neighbors (background JVMs
+    // have produced 8→100 s swings here), while min-of-3 measures the
+    // engine. Run 1 also absorbs query-specific codegen/JIT not covered
+    // by the warmup; the GC nudge between queries keeps checkpoint blocks
+    // released by earlier queries from taxing later ones.
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val t = Seq(once(), once(), once()).min
+      System.gc()
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
