@@ -358,6 +358,31 @@ object SparkEntry {
         n = 3, k = 64, bands = 16, threshold = 0.6)
         .select("id_a", "id_b"))
 
+  /** d8: SemDeDup over the planted-near-dup corpus — IVF-cluster the
+    * embeddings, keep one representative per within-cluster semantic
+    * near-dup group. Rows-only for the driver (the k-means quantizer has
+    * no SQL twin); `DedupSpec` proves the keep/drop contract against the
+    * exact all-pairs oracle on a constructed corpus.
+    */
+  private def d8SemDedup(s: SparkSession, d: String): DataFrame = {
+    val corpus = d5Corpus(s, d)
+    val model = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    Dedup.semanticDedup(corpus, "vec_id", "embedding", model, threshold = 0.85)
+  }
+
+  /** d7: the same min-label connected-components fixpoint as d6, but over
+    * the exact n-gram Jaccard pair graph (d2's edge set), which IS
+    * SQL-expressible — so the iterative clustering algorithm itself gets a
+    * full hash oracle (a DuckDB recursive CTE computing min reachable id
+    * per node), not just a rows-only check.
+    */
+  private def d7ClusterJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicateClusters(
+      Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.6)
+        .select("id_a", "id_b"))
+
   // ---- training-data pipeline: text analysis ----------------------------
 
   private def t1TokenStats(s: SparkSession, d: String): DataFrame =
@@ -383,6 +408,13 @@ object SparkEntry {
 
   private def t7TfIdf(s: SparkSession, d: String): DataFrame =
     TextAnalytics.tfIdfTopTerms(T(s, d, "documents"), "doc_id", "text", k = 5)
+
+  private def t8Repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.repetitionStats(T(s, d, "documents"), "doc_id", "text")
+
+  private def t9Pack(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.packingPlan(T(s, d, "documents"), "doc_id", "text",
+      streamCol = "source", budget = 2048)
 
   /** Full curation pipeline in one plan: language filter + quality gate +
     * exact dedup with canonical selection — the end-to-end shape a
@@ -499,6 +531,8 @@ object SparkEntry {
     "d4_simhash" -> (d4SimHash _),
     "d5_embed_neardup" -> (d5EmbedNearDup _),
     "d6_dedup_clusters" -> (d6DedupClusters _),
+    "d7_cluster_jaccard" -> (d7ClusterJaccard _),
+    "d8_semdedup" -> (d8SemDedup _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2Quality _),
     "t3_lang_id" -> (t3LangId _),
@@ -506,6 +540,8 @@ object SparkEntry {
     "t5_bpeish_tokens" -> (t5BpeishTokens _),
     "t6_winnow_fingerprints" -> (t6Winnow _),
     "t7_tfidf" -> (t7TfIdf _),
+    "t8_repetition" -> (t8Repetition _),
+    "t9_pack" -> (t9Pack _),
     "c1_corpus_curation" -> (c1Curation _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
@@ -692,6 +728,25 @@ object SparkEntry {
         |  round(c::DOUBLE / (ca.n + cb.n - c), 4) AS jaccard
         |FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
         |WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6""".stripMargin,
+    "d7_cluster_jaccard" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT ia, ib
+        |  FROM p JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
+        |  WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6),
+        |edges AS (SELECT ia AS src, ib AS dst FROM jp
+        |  UNION ALL SELECT ib, ia FROM jp),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id""".stripMargin,
     "d5_embed_neardup" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |e AS (SELECT vec_id, v FROM e0
@@ -754,6 +809,32 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
         |      AS rank
         |  FROM s) WHERE rank <= 5""".stripMargin,
+    "t8_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+        |    for i in range(1, len(w))]) AS g
+        |  FROM t WHERE len(w) >= 3),
+        |c2 AS (SELECT doc_id, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        |a2 AS (SELECT doc_id, max(c) AS m2, sum(c) AS n2 FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |    for i in range(1, len(w) - 1)]) AS g
+        |  FROM t WHERE len(w) >= 3),
+        |c3 AS (SELECT doc_id, count(*) AS c FROM g3 GROUP BY doc_id, g),
+        |a3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS d3,
+        |    sum(c) AS n3
+        |  FROM c3 GROUP BY doc_id)
+        |SELECT a2.doc_id AS id, round(m2::DOUBLE / n2, 4) AS top_bigram_frac,
+        |  round(d3::DOUBLE / n3, 4) AS dup_trigram_frac
+        |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id""".stripMargin,
+    "t9_pack" ->
+      """SELECT doc_id AS id, source AS stream,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  so // 2048 AS chunk, so % 2048 AS chunk_off
+        |FROM (SELECT doc_id, source, text,
+        |    coalesce(sum(len(string_split(text, ' '))::BIGINT) OVER
+        |      (PARTITION BY source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+        |  FROM documents)""".stripMargin,
     "c1_corpus_curation" ->
       """WITH q AS (SELECT doc_id, round(sr * 0.25 + ur * 0.5 + lok * 0.25, 4)
         |      AS quality

@@ -285,6 +285,41 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the embeddings with a trained IVF
+    * quantizer, then within each cluster drop every vector that has a
+    * smaller-id neighbor at cosine >= threshold — the min id of each
+    * semantic near-dup group survives as its representative.
+    * Cross-cluster near-dups are accepted misses (the SemDeDup
+    * approximation, same contract as the paper's per-cluster scan).
+    *
+    * Scale: the cluster id is the join/partition key, so pairwise scoring
+    * is bounded by cluster occupancy, never corpus². Size `nlist` so
+    * occupancy stays in the 10³-10⁴ range (occupancy² flops per cluster)
+    * and the quantizer itself stays driver-sized.
+    *
+    * Output: (id, cluster, kept) for every input row.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      model: Similarity.IvfModel, threshold: Double,
+      roundTo: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val side = Similarity.assignClusters(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", model)
+      .select(col("id"), col("v"), col("cluster"), fnorm(col("v")).as("n"))
+    val dup = spread(side).as("a")
+      .join(side.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") > col("b.id"))
+      .filter(
+        round(fdot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), roundTo)
+          >= threshold)
+      .select(col("a.id").as("id")).distinct()
+    side.select("id", "cluster")
+      .join(dup.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("dup").isNull.as("kept"))
+  }
+
   /** Resolve pairwise duplicate edges into clusters: connected components
     * by iterative min-label propagation (the same fixpoint GraphFrames'
     * CC runs), so each near-dup group gets one canonical id = its

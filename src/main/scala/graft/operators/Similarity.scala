@@ -143,6 +143,14 @@ object Similarity {
     IvfModel(centroids)
   }
 
+  /** The coarse-quantizer assignment as a projection: the input plus a
+    * `cluster` column holding each row's nearest-centroid index. Centroids
+    * ride into the plan as literals (driver-sized, nlist × dim), so the
+    * assignment is a codegen'd map — no join, no shuffle.
+    */
+  def assignClusters(df: DataFrame, vecCol: String, model: IvfModel): DataFrame =
+    df.withColumn("cluster", nearestCentroid(col(vecCol), model.centroids))
+
   /** Index of the nearest centroid by squared L2 distance
     * (argmin via array_min over (dist, idx) structs; ||x||² constant per
     * row is dropped).

@@ -57,6 +57,69 @@ object TextAnalytics {
       qualityColumn(col(textCol)).as("quality"))
   }
 
+  /** Gopher-style repetition metrics per document: the fraction of bigram
+    * instances taken by the single most frequent bigram, and the fraction
+    * of trigram instances whose trigram occurs more than once. High values
+    * flag boilerplate / degenerate generations for corpus filtering.
+    *
+    * Shape: one explode of tagged 2- and 3-gram structs from the same
+    * token array (single scan), a partial-agg groupBy on (id, k, gram),
+    * then a per-doc rollup — no per-doc O(n²) array lambda, no join
+    * between the two gram orders. Documents need >= 3 tokens to have both
+    * gram orders defined; shorter docs are excluded.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    val n = size(w)
+    def grams(k: Int): Column = transform(
+      sequence(lit(0), n - k),
+      i => struct(
+        lit(k).as("k"),
+        concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*).as("g")))
+    docs
+      .filter(n >= 3)
+      .select(col(idCol).as("id"), explode(concat(grams(2), grams(3))).as("gr"))
+      .select(col("id"), col("gr.k").as("k"), col("gr.g").as("g"))
+      .groupBy("id", "k", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        round(
+          max(when(col("k") === 2, col("c"))).cast("double") /
+            sum(when(col("k") === 2, col("c"))), 4).as("top_bigram_frac"),
+        round(
+          sum(when(col("k") === 3 && col("c") > 1, col("c")).otherwise(lit(0)))
+            .cast("double") /
+            sum(when(col("k") === 3, col("c"))), 4).as("dup_trigram_frac"))
+  }
+
+  /** Concat-then-chunk sequence packing: the pretraining data-prep step
+    * that concatenates a stream's documents in a deterministic order and
+    * cuts the token stream into fixed-size context windows. Each document
+    * is assigned the window its first token lands in (`chunk`) and its
+    * offset within that window (`chunk_off`) — with document-straddling
+    * allowed this is the exact packing, computed as a running token sum,
+    * not a sequential scan.
+    *
+    * Scale: one shuffle on the stream key; the in-window sort spills
+    * through Spark's window operator. The stream key sets the parallelism
+    * grain — pack per source/shard, not one global stream, at corpus
+    * scale (a single global stream cannot be packed in parallel by any
+    * engine without changing the order contract).
+    */
+  def packingPlan(
+      docs: DataFrame, idCol: String, textCol: String,
+      streamCol: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val before = Window.partitionBy("stream").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol).as("id"), col(streamCol).as("stream"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum("n_tokens").over(before), lit(0L)))
+      .select(col("id"), col("stream"), col("n_tokens"),
+        floor(col("start_off") / budget).cast("long").as("chunk"),
+        (col("start_off") % budget).as("chunk_off"))
+  }
+
   // Marker stopwords per language — tiny on purpose; the operator shape
   // (argmax of per-language evidence with a fixed precedence) is what the
   // engine provides, the lists are caller-tunable.

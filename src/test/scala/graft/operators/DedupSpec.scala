@@ -106,6 +106,35 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked == exact)
   }
 
+  test("semanticDedup drops exactly the non-min members of semantic groups") {
+    val dim = 8
+    def vec(axis: Int, unique: Int): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(axis) = 2.0f; a(unique) = 1.0f; a.toSeq
+    }
+    // Two blobs (axis 0 / axis 1); within-blob cosine = 4/5 = 0.8 < 0.85,
+    // cross-blob <= 0.2. Planted exact copies (ids 100, 105) are the only
+    // pairs above the 0.85 threshold. Identical vectors have identical
+    // centroid distances and argmin tie-break, so a copy always lands in
+    // its original's cluster — the drop contract is deterministic even if
+    // the quantizer splits the blobs badly.
+    val corpus = ((0 until 4).map(i => (i.toLong, vec(0, 2 + i))) ++
+      (4 until 8).map(i => (i.toLong, vec(1, 2 + i - 4))) ++
+      Seq((100L, vec(0, 2)), (105L, vec(1, 3)))).toDF("vec_id", "embedding")
+    val model = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+      nlist = 2, iters = 3)
+    val got = Dedup.semanticDedup(corpus, "vec_id", "embedding", model, 0.85)
+      .as[(Long, Int, Boolean)].collect()
+    assert(got.length == 10)
+    assert(got.filterNot(_._3).map(_._1).toSet == Set(100L, 105L))
+    // cross-check vs the exact all-pairs oracle: every dropped id is the
+    // larger side of an exact near-dup pair
+    val exact = Dedup.embeddingNearDupPairsExact(
+        corpus, "vec_id", "embedding", 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((0L, 100L), (5L, 105L)))
+  }
+
   test("duplicateClusters tolerates an empty pair set") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(empty).count() == 0)

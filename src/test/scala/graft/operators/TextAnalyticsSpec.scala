@@ -34,6 +34,38 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(r(3L).getAs[Double]("stop_ratio") == 0.0)
   }
 
+  test("repetitionStats: top-bigram and duplicate-trigram fractions") {
+    val reps = Seq(
+      (1L, "a b a b a b"), // bigrams: ab,ba,ab,ba,ab -> top 3/5; trigrams all dup -> 4/4
+      (2L, "x y z w"),     // bigrams distinct -> 1/3; trigrams distinct -> 0/2
+      (3L, "x y")          // < 3 tokens: excluded
+    ).toDF("doc_id", "text")
+    val r = TextAnalytics.repetitionStats(reps, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L).getAs[Double]("top_bigram_frac") == 0.6)
+    assert(r(1L).getAs[Double]("dup_trigram_frac") == 1.0)
+    assert(r(2L).getAs[Double]("top_bigram_frac") == 0.3333)
+    assert(r(2L).getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  test("packingPlan assigns chunk by start offset, independent per stream") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val d = Seq(
+      (1L, "a", words(4)),  // start 0  -> chunk 0, off 0
+      (2L, "a", words(5)),  // start 4  -> chunk 0, off 4
+      (3L, "a", words(4)),  // start 9  -> chunk 0, off 9 (straddles into 1)
+      (4L, "a", words(12)), // start 13 -> chunk 1, off 3
+      (5L, "b", words(11))  // own stream: start 0 -> chunk 0, off 0
+    ).toDF("doc_id", "src", "text")
+    val got = TextAnalytics.packingPlan(d, "doc_id", "text", "src", budget = 10)
+      .select("id", "chunk", "chunk_off").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> (0L, 0L), 2L -> (0L, 4L), 3L -> (0L, 9L),
+      4L -> (1L, 3L), 5L -> (0L, 0L)))
+  }
+
   test("langId picks marker language with precedence, und on no evidence") {
     val r = TextAnalytics.langId(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap
