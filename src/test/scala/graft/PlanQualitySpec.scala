@@ -65,6 +65,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("semantic dedup blocks on the cluster key, no nested-loop") {
+    val plan = planOf(SparkEntry.queries("d8_semdedup")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup degenerated to all-pairs:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  // formatted plans list each operator in the tree AND the details
+  // section — count the "(n) Exchange" detail headers, once per operator
+  private def exchangeCount(plan: String): Int =
+    """\(\d+\) Exchange""".r.findAllIn(plan).length
+
+  test("repetition metrics take exactly two shuffles (gram agg, doc rollup)") {
+    val plan = planOf(SparkEntry.queries("t8_repetition")(spark, dir))
+    assert(exchangeCount(plan) == 2,
+      s"expected 2 exchanges, got ${exchangeCount(plan)}:\n$plan")
+  }
+
+  test("sequence packing is one shuffle on the stream key") {
+    val plan = planOf(SparkEntry.queries("t9_pack")(spark, dir))
+    assert(exchangeCount(plan) == 1,
+      s"expected 1 exchange, got ${exchangeCount(plan)}:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("interval join with large range side uses the bin equi-join") {
     import spark.implicits._
     val pts = Seq((5L, 1L)).toDF("pos", "pid")
