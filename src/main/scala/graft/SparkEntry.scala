@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IntervalJoin, Multimodal, Similarity, TextAnalytics}
+import graft.operators.{Dedup, IntervalJoin, Multimodal, Sampling, Similarity, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -416,6 +416,12 @@ object SparkEntry {
     TextAnalytics.packingPlan(T(s, d, "documents"), "doc_id", "text",
       streamCol = "source", budget = 2048)
 
+  private def s1StratifiedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(
+      T(s, d, "documents").select("doc_id", "source"),
+      "doc_id", "source", k = 20)
+      .select(col("doc_id").as("id"), col("source"), col("sample_rank"))
+
   /** Full curation pipeline in one plan: language filter + quality gate +
     * exact dedup with canonical selection — the end-to-end shape a
     * training-data corpus pass takes. All three signals are per-row
@@ -542,6 +548,7 @@ object SparkEntry {
     "t7_tfidf" -> (t7TfIdf _),
     "t8_repetition" -> (t8Repetition _),
     "t9_pack" -> (t9Pack _),
+    "s1_stratified_sample" -> (s1StratifiedSample _),
     "c1_corpus_curation" -> (c1Curation _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
@@ -826,6 +833,12 @@ object SparkEntry {
         |SELECT a2.doc_id AS id, round(m2::DOUBLE / n2, 4) AS top_bigram_frac,
         |  round(d3::DOUBLE / n3, 4) AS dup_trigram_frac
         |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id""".stripMargin,
+    "s1_stratified_sample" ->
+      """SELECT doc_id AS id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('graft' || doc_id::VARCHAR), doc_id) AS sample_rank
+        |  FROM documents) WHERE sample_rank <= 20""".stripMargin,
     "t9_pack" ->
       """SELECT doc_id AS id, source AS stream,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -62,25 +62,42 @@ object TextAnalytics {
     * of trigram instances whose trigram occurs more than once. High values
     * flag boilerplate / degenerate generations for corpus filtering.
     *
-    * Shape: one explode of tagged 2- and 3-gram structs from the same
-    * token array (single scan), a partial-agg groupBy on (id, k, gram),
-    * then a per-doc rollup — no per-doc O(n²) array lambda, no join
-    * between the two gram orders. Documents need >= 3 tokens to have both
-    * gram orders defined; shorter docs are excluded.
+    * Shape: one explode of tagged 2- and 3-gram hashes from the same
+    * token array (single scan), a partial-agg groupBy on (id, k, hash),
+    * then a per-doc rollup — no join between the two gram orders. Grams
+    * are identified by a 64-bit xxhash of their tokens, not the gram
+    * string: counts only need gram identity, so nothing wider than a
+    * long is built or shuffled (same trick as the shingle index).
+    *
+    * The grams come from `zip_with` over the token array and its shifted
+    * slices — both arguments are bound once per row. (A
+    * `transform(sequence(...), i => element_at(w, i))` formulation
+    * captures `w` as an outer expression, which higher-order-function
+    * evaluation re-computes per element — quadratic in document length.)
+    *
+    * Documents need >= 3 tokens to have both gram orders defined;
+    * shorter docs are excluded.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = tokens(col(textCol))
     val n = size(w)
-    def grams(k: Int): Column = transform(
-      sequence(lit(0), n - k),
-      i => struct(
-        lit(k).as("k"),
-        concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*).as("g")))
+    // zip_with pads the shorter side with null; the when() turns padded
+    // tails into null grams (xxhash64 would silently skip a null field
+    // and mint a spurious 1-token gram otherwise), dropped after explode.
+    val bi = zip_with(w, slice(w, lit(2), n),
+      (a, b) => when(b.isNotNull,
+        struct(lit(2).as("k"), xxhash64(lit(2), a, b).as("h"))))
+    val pairs = zip_with(w, slice(w, lit(2), n), (a, b) => struct(a.as("a"), b.as("b")))
+    val tri = zip_with(pairs, slice(w, lit(3), n),
+      (p, c) => when(p.getField("b").isNotNull && c.isNotNull,
+        struct(lit(3).as("k"),
+          xxhash64(lit(3), p.getField("a"), p.getField("b"), c).as("h"))))
     docs
       .filter(n >= 3)
-      .select(col(idCol).as("id"), explode(concat(grams(2), grams(3))).as("gr"))
-      .select(col("id"), col("gr.k").as("k"), col("gr.g").as("g"))
-      .groupBy("id", "k", "g").agg(count(lit(1)).as("c"))
+      .select(col(idCol).as("id"), explode(concat(bi, tri)).as("gr"))
+      .filter(col("gr").isNotNull)
+      .select(col("id"), col("gr.k").as("k"), col("gr.h").as("h"))
+      .groupBy("id", "k", "h").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(
         round(
           max(when(col("k") === 2, col("c"))).cast("double") /
