@@ -842,7 +842,7 @@ object SparkEntry {
     "t9_pack" ->
       """SELECT doc_id AS id, source AS stream,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
-        |  so // 2048 AS chunk, so % 2048 AS chunk_off
+        |  (so // 2048)::BIGINT AS chunk, (so % 2048)::BIGINT AS chunk_off
         |FROM (SELECT doc_id, source, text,
         |    coalesce(sum(len(string_split(text, ' '))::BIGINT) OVER
         |      (PARTITION BY source ORDER BY doc_id

@@ -233,8 +233,17 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, roundTo: Int = 3,
       bands: Int = 32, planesPerBand: Int = 8,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
+      dim: Int = -1, seed: Long = 42L): DataFrame = {
     import graft.functions.VectorFunctions._
+    // Mirror the SQL registration's guard (GraftExtensions.scala): keys are
+    // packed into a Long, so >64 planes would silently alias key bits.
+    require(planesPerBand >= 1 && planesPerBand <= 64,
+      "planesPerBand must be in [1, 64] (long key bits)")
+    // dim <= 0 means "derive from the data": a shorter hardcoded default
+    // would silently truncate longer vectors for bucketing and break the
+    // documented recall formula. One column-pruned head() — driver-bounded.
+    val vdim =
+      if (dim > 0) dim else df.select(size(col(vecCol))).head.getInt(0)
     // `side` is consumed three times with three shuffle keys (band keys,
     // id_a fetch, id_b fetch). Unlike the shingle table in
     // [[minHashLshPairs]] it is NOT checkpointed: it is a column-pruned
@@ -244,7 +253,7 @@ object Dedup {
       col(idCol).as("id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("n"))
     val keyed = spread(side).select(
         col("id"),
-        posexplode(Similarity.bandedSignKeys(col("v"), bands, planesPerBand, dim, seed))
+        posexplode(Similarity.bandedSignKeys(col("v"), bands, planesPerBand, vdim, seed))
           .as(Seq("band", "key")))
     val cand = keyed.as("a")
       .join(keyed.as("b"),

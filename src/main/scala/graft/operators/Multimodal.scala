@@ -92,10 +92,10 @@ object Multimodal {
     while (off + 8 <= bytes.length && (dataSize < 0 || channels == 0)) {
       val id = tag(off)
       val sz = le32(off + 4)
-      // A corrupt size with the sign bit set would stall or rewind the chunk
-      // walk (off += 8 + sz can stop advancing) — treat as non-WAV instead
-      // of spinning the executor task forever.
-      if (sz < 0) return None
+      // A corrupt size — sign bit set, or large enough that `off += 8 + sz`
+      // overflows Int and rewinds the walk — would stall the loop or read
+      // past the buffer; treat either as non-WAV instead of failing the task.
+      if (sz < 0 || sz > bytes.length - off - 8) return None
       if (id == "fmt " && off + 24 <= bytes.length) {
         channels = le16(off + 10)
         bitsPerSample = le16(off + 22)

@@ -60,13 +60,18 @@ object DocumentSink {
       index: String = "variants", batchSize: Int = 500): Unit = {
     val lines = bulkLines(variants, index)
     lines.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val client = java.net.http.HttpClient.newHttpClient()
+      // Bounded timeouts: a hung endpoint must fail the task (so Spark
+      // retries it) rather than block the executor — and any streaming
+      // micro-batch behind it — indefinitely.
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(10)).build()
       val uri = java.net.URI.create(s"$esUrl/_bulk")
       val buf = new StringBuilder
       var n = 0
       def flush(): Unit = if (n > 0) {
         val req = java.net.http.HttpRequest.newBuilder(uri)
           .header("Content-Type", "application/x-ndjson")
+          .timeout(java.time.Duration.ofSeconds(60))
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(buf.toString))
           .build()
         val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -99,21 +104,25 @@ object DocumentSink {
     val req = java.net.http.HttpRequest
       .newBuilder(java.net.URI.create(s"$esUrl/$index"))
       .header("Content-Type", "application/json")
+      .timeout(java.time.Duration.ofSeconds(30))
       .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(
         indexMapping(shards, replicas)))
       .build()
-    java.net.http.HttpClient.newHttpClient()
-      .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    httpClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
       .statusCode()
   }
+
+  private def httpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
   /** Drop the index (reference `action = delete` path). */
   def deleteIndex(esUrl: String, index: String): Int = {
     val req = java.net.http.HttpRequest
       .newBuilder(java.net.URI.create(s"$esUrl/$index"))
+      .timeout(java.time.Duration.ofSeconds(30))
       .DELETE().build()
-    java.net.http.HttpClient.newHttpClient()
-      .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    httpClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
       .statusCode()
   }
 
