@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IntervalJoin, Multimodal, Sampling, Similarity, TextAnalytics}
+import graft.operators.{Decontamination, Dedup, IntervalJoin, Multimodal, Sampling, Similarity, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -383,6 +383,17 @@ object SparkEntry {
         n = 3, threshold = 0.6)
         .select("id_a", "id_b"))
 
+  /** d9: benchmark decontamination — benchmark = every 10th doc, corpus =
+    * the rest; a corpus doc is contaminated when it shares any 4-word
+    * shingle with a benchmark doc.
+    */
+  private def d9Decontam(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    Decontamination.flagContaminated(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)
+  }
+
   // ---- training-data pipeline: text analysis ----------------------------
 
   private def t1TokenStats(s: SparkSession, d: String): DataFrame =
@@ -421,6 +432,19 @@ object SparkEntry {
       T(s, d, "documents").select("doc_id", "source"),
       "doc_id", "source", k = 20)
       .select(col("doc_id").as("id"), col("source"), col("sample_rank"))
+
+  private def t10UnigramLogProb(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.unigramLogProb(T(s, d, "documents"), "doc_id", "text")
+
+  /** s2: pretraining mixture — src0 upsampled past its size (epoch
+    * repetition), src1 downsampled, src2 taken whole at sf0.01, src3
+    * partial; every other domain weighted 0.
+    */
+  private def s2DomainMix(s: SparkSession, d: String): DataFrame =
+    Sampling.domainMix(
+      T(s, d, "documents").select("doc_id", "source"), "doc_id", "source",
+      targets = Map("src0" -> 60, "src1" -> 10, "src2" -> 25, "src3" -> 40))
+      .select(col("id"), col("domain"), col("epoch"), col("mix_rank"))
 
   /** Full curation pipeline in one plan: language filter + quality gate +
     * exact dedup with canonical selection — the end-to-end shape a
@@ -539,6 +563,7 @@ object SparkEntry {
     "d6_dedup_clusters" -> (d6DedupClusters _),
     "d7_cluster_jaccard" -> (d7ClusterJaccard _),
     "d8_semdedup" -> (d8SemDedup _),
+    "d9_decontaminate" -> (d9Decontam _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2Quality _),
     "t3_lang_id" -> (t3LangId _),
@@ -548,7 +573,9 @@ object SparkEntry {
     "t7_tfidf" -> (t7TfIdf _),
     "t8_repetition" -> (t8Repetition _),
     "t9_pack" -> (t9Pack _),
+    "t10_unigram_logprob" -> (t10UnigramLogProb _),
     "s1_stratified_sample" -> (s1StratifiedSample _),
+    "s2_domain_mix" -> (s2DomainMix _),
     "c1_corpus_curation" -> (c1Curation _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
@@ -735,6 +762,22 @@ object SparkEntry {
         |  round(c::DOUBLE / (ca.n + cb.n - c), 4) AS jaccard
         |FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
         |WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6""".stripMargin,
+    "d9_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bm AS (SELECT DISTINCT unnest(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |     for i in range(1, len(w) - 2)]) AS s
+        |  FROM t WHERE doc_id % 10 = 0 AND len(w) >= 4),
+        |corp AS (SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |     for i in range(1, len(w) - 2)])) AS s
+        |  FROM t WHERE doc_id % 10 <> 0 AND len(w) >= 4),
+        |hits AS (SELECT doc_id, count(*) AS h FROM corp JOIN bm USING (s)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS id, coalesce(h, 0)::BIGINT AS n_hits,
+        |  coalesce(h, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+        |LEFT JOIN hits USING (doc_id)""".stripMargin,
     "d7_cluster_jaccard" ->
       """WITH RECURSIVE
         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -839,6 +882,32 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY md5('graft' || doc_id::VARCHAR), doc_id) AS sample_rank
         |  FROM documents) WHERE sample_rank <= 20""".stripMargin,
+    "s2_domain_mix" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('graft' || doc_id::VARCHAR), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, rn, n,
+        |    CASE source WHEN 'src0' THEN 60 WHEN 'src1' THEN 10
+        |      WHEN 'src2' THEN 25 WHEN 'src3' THEN 40 ELSE 0 END AS tgt
+        |  FROM r),
+        |e AS (SELECT doc_id, source, rn, n,
+        |    unnest(generate_series(0, (tgt - rn) // n)) AS epoch
+        |  FROM t WHERE rn <= tgt)
+        |SELECT doc_id AS id, source AS domain, epoch::BIGINT AS epoch,
+        |  (epoch * n + rn)::BIGINT AS mix_rank FROM e""".stripMargin,
+    "t10_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |c AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(tf) AS total FROM tf)
+        |SELECT doc_id AS id, sum(tf)::BIGINT AS n_tokens,
+        |  round(sum(tf * -ln(c.c::DOUBLE / tot.total)) / sum(tf), 4)
+        |    AS mean_nll
+        |FROM tf JOIN c USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     "t9_pack" ->
       """SELECT doc_id AS id, source AS stream,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -30,13 +30,15 @@ object Dedup {
     if (df.rdd.getNumPartitions < math.max(2, p / 2)) df.repartition(p) else df
   }
 
-  /** Exploded distinct shingles per doc, with the per-doc shingle count
-    * carried on every row (saves the separate count aggregation + joins)
-    * and a 64-bit shingle hash as the join key (smaller shuffle than the
-    * shingle string; collision odds across <2^32 distinct shingles are
-    * negligible and only perturb one candidate count by 1).
+  /** Distinct (id, shkey) rows: every distinct n-word shingle per doc,
+    * identified by a 64-bit xxhash of its token hashes — smaller to
+    * shuffle than the shingle string; collision odds across <2^32
+    * distinct shingles are negligible and only perturb one candidate
+    * count by 1. Shared by the Jaccard/MinHash family here and by
+    * [[Decontamination]].
     */
-  private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  private[operators] def shingleKeys(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // Relational shingling: posexplode tokens, assemble each n-gram with
     // window `lead`s, dedup per doc, then count per doc with a window.
     // Fully codegen/window-exec (the higher-order-function formulation is
@@ -55,13 +57,22 @@ object Dedup {
       .select(col("id"), col("pos"), xxhash64(col("t")).as("th"))
     val w = Window.partitionBy("id").orderBy("pos")
     val hs = col("th") +: (1 until n).map(k => lead(col("th"), k).over(w))
-    val dedup = tok
+    tok
       .withColumn("shkey", xxhash64(hs: _*))
       .withColumn("ok", hs.last.isNotNull)
       .filter(col("ok"))
       .select("id", "shkey")
       .dropDuplicates("id", "shkey")
-    dedup.select(
+  }
+
+  /** [[shingleKeys]] plus the per-doc distinct-shingle count carried on
+    * every row (saves the separate count aggregation + joins downstream;
+    * the count window partitions on `id` — the same key the dedup just
+    * shuffled on, so it rides the existing exchange).
+    */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    shingleKeys(docs, idCol, textCol, n).select(
       col("id"),
       count(lit(1)).over(Window.partitionBy("id")).cast("int").as("n_sh"),
       col("shkey"))

@@ -34,4 +34,44 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Epoch-aware domain mixing: draw EXACTLY `targets(domain)` rows per
+    * domain, upsampling by repetition when the target exceeds the domain's
+    * size — the "N epochs of Wikipedia, 0.3 epochs of web" mixture step of
+    * a pretraining data recipe, as one deterministic relational plan.
+    *
+    * Each domain's rows are ranked by the same seeded md5 permutation as
+    * [[stratifiedSample]]; the target is filled by cycling that
+    * permutation: output rank `m` (1-based, m <= target) maps to input
+    * rank `1 + (m-1) % n_domain` at `epoch = (m-1) / n_domain`. A domain
+    * with target <= size is a plain downsample (all epoch 0); a domain
+    * with target = 2.5 × size repeats every row twice and the permutation's
+    * first half a third time. Domains absent from `targets` emit nothing.
+    *
+    * Scale: one shuffle on the domain key; the per-domain rank is the
+    * spill-aware window sort and the repetition is a generated `sequence`
+    * explode — no driver loop, no join. Hot domains can pre-filter by
+    * hash prefix exactly as documented on [[stratifiedSample]].
+    *
+    * Output: (id, domain, epoch, mix_rank) with mix_rank in [1, target].
+    */
+  def domainMix(
+      df: DataFrame, idCol: String, domainCol: String,
+      targets: Map[String, Int], seed: String = "graft"): DataFrame = {
+    require(targets.values.forall(_ >= 0), "targets must be non-negative")
+    val key = md5(concat(lit(seed), col("id").cast("string")))
+    val rank = Window.partitionBy("domain").orderBy(key.asc, col("id").asc)
+    df.select(col(idCol).as("id"), col(domainCol).as("domain"))
+      .withColumn("rn", row_number().over(rank).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("domain")))
+      .withColumn("tgt",
+        coalesce(element_at(typedlit(targets), col("domain")), lit(0))
+          .cast("long"))
+      .filter(col("rn") <= col("tgt"))
+      // epochs this row appears in: e*n + rn <= tgt  ⇔  e <= (tgt-rn) div n
+      .select(col("id"), col("domain"), col("rn"), col("n"),
+        explode(sequence(lit(0L), expr("(tgt - rn) div n"))).as("epoch"))
+      .select(col("id"), col("domain"), col("epoch"),
+        (col("epoch") * col("n") + col("rn")).as("mix_rank"))
+  }
 }

@@ -213,6 +213,41 @@ object TextAnalytics {
       .select("id", "term", "score", "rank")
   }
 
+  /** Unigram log-probability score per document — the CCNet-style
+    * "perplexity" filter with the corpus itself as the language model:
+    * `mean_nll` = mean over token instances of -ln p(token), where
+    * p(token) = corpus count / corpus size. Low values = common fluent
+    * text; high values = rare-token soup — the tails both get reviewed
+    * or dropped in a curation pass.
+    *
+    * Shape (same skeleton as [[tfIdfTopTerms]]): per-doc term counts,
+    * global term counts as a window over the term — the key that shuffle
+    * already hashes on; the corpus size is a broadcast one-row aggregate
+    * (no driver action). Terms travel as 64-bit hashes: the NLL only
+    * needs term *identity*, so nothing wider than a long is shuffled.
+    * At 100 TB: two shuffles over (id, hash, count) rows, ~tokens-distinct
+    * in size, no joins against the corpus, no driver state.
+    */
+  def unigramLogProb(
+      docs: DataFrame, idCol: String, textCol: String,
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), xxhash64(col("term")).as("th"))
+      .agg(count(lit(1)).as("tf"))
+    val withC = tf.withColumn("c", sum("tf").over(Window.partitionBy("th")))
+    val tot = tf.agg(sum("tf").as("total"))
+    withC.crossJoin(broadcast(tot))
+      .groupBy("id")
+      .agg(
+        sum("tf").as("n_tokens"),
+        round(
+          sum(col("tf") * -log(col("c").cast("double") / col("total"))) /
+            sum("tf"),
+          roundTo).as("mean_nll"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document sketch): hash every
     * k-char gram, keep the minimum hash of each sliding window of w
     * grams, emit the distinct kept hashes. Guarantees any shared

@@ -53,6 +53,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("decontamination membership test broadcasts the benchmark set") {
+    val plan = planOf(SparkEntry.queries("d9_decontaminate")(spark, dir))
+    // the corpus-shingle -> benchmark-shingle probe must be map-side
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast probe:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+  }
+
   test("curation composite fuses all signals into one join-free pass") {
     val plan = planOf(SparkEntry.queries("c1_corpus_curation")(spark, dir))
     assert(!plan.contains("Join"), s"curation pipeline should not join:\n$plan")

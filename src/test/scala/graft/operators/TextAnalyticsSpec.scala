@@ -122,4 +122,22 @@ class TextAnalyticsSpec extends AnyFunSuite {
     // deterministic tie-break: doc 0's top-2 are its unique terms sorted
     assert(got(0L).toSet == Set("cat", "mat"))
   }
+
+  test("unigramLogProb: mean -ln p(token) under the corpus unigram model") {
+    // counts: a=2, b=2, c=1, total=5
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalytics.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    // doc 0: every token has p = 2/5 -> mean = ln(2.5)
+    assert(got(0L)._1 == 3L)
+    assert(got(0L)._2 == BigDecimal(math.log(2.5))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 1: (-ln(2/5) - ln(1/5)) / 2
+    val exp1 = (math.log(5.0 / 2) + math.log(5.0)) / 2
+    assert(got(1L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - exp1) < 5e-5)
+    // rare-token soup scores strictly higher than common-token text
+    assert(got(1L)._2 > got(0L)._2)
+  }
 }
