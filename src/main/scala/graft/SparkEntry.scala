@@ -517,9 +517,62 @@ object SparkEntry {
 
   // ---- training-data pipeline: multimodal plumbing ----------------------
 
+  /** v5: product-quantization storage pass — 8 subspaces × 16 centroids
+    * (32× compression at dim 64) with per-row relative reconstruction
+    * error. Rows-only (the per-subspace k-means has no SQL twin);
+    * `SimilaritySpec` proves encode ≡ brute-force argmin and the
+    * error-vs-codebook-size ordering.
+    */
+  private def v5PqRecon(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    Similarity.pqReconError(emb, "vec_id", "embedding", model)
+  }
+
+  /** v6: the PQ ADC search path — queries score candidates through
+    * per-query lookup tables against the m-byte codes only.
+    */
+  private def v6PqAdcTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    val cands = emb.filter(col("vec_id") >= 10)
+    val model = Similarity.pqTrain(cands, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    Similarity.pqTopK(
+      emb.filter(col("vec_id") < 10), cands,
+      "vec_id", "vec_id", "embedding", k = 5, model)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   private def m1MediaMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.extractMeta(
       s, Multimodal.withPayload(T(s, d, "documents"), "text"), "doc_id").toDF()
+
+  /** m2: perceptual image dedup over a synthesized PNG corpus — every
+    * embedding renders to a real 18×16 PNG (lossless round trip through
+    * the JDK codec), with a near-identical copy planted for vec_id < 25
+    * (one pixel nudged: at most one dHash bit, so the planted pair sits
+    * within Hamming distance 1 while unrelated images differ in ~32
+    * bits). Rows-only: DuckDB has no image codec.
+    */
+  private def m2ImageNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val imgs = T(s, d, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        def grid(bump: Boolean): Array[Array[Int]] =
+          Array.tabulate(16, 18) { (y, x) =>
+            val v = emb((y * 18 + x) % emb.length)
+            val g = 20 + (math.abs(v * 1000).toInt % 210)
+            if (bump && y == 0 && x == 0) g + 40 else g
+          }
+        val base = (id, Multimodal.grayPng(grid(bump = false)))
+        if (id < 25)
+          Seq(base, (id + 100000L, Multimodal.grayPng(grid(bump = true))))
+        else Seq(base)
+      }.toDF("vec_id", "payload")
+    Multimodal.imageNearDupPairs(s, imgs, "vec_id", maxDist = 6)
+  }
 
   // ---- contract ----------------------------------------------------------
 
@@ -581,7 +634,10 @@ object SparkEntry {
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
     "v4_quantize_int8" -> (v4QuantizeInt8 _),
-    "m1_media_meta" -> (m1MediaMeta _))
+    "v5_pq_recon" -> (v5PqRecon _),
+    "v6_pq_adc_topk" -> (v6PqAdcTopK _),
+    "m1_media_meta" -> (m1MediaMeta _),
+    "m2_image_neardup" -> (m2ImageNearDup _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q1_pricing_summary" ->

@@ -422,32 +422,53 @@ object Dedup {
     sums.select(col("id"), sh.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance <= maxDist.
+  /** All pairs of 64-bit hashes within Hamming distance `maxDist`,
+    * without a cross join — the generic blocking kernel behind
+    * [[simHashNearPairs]] and [[Multimodal.imageNearDupPairs]].
     *
-    * Pigeonhole blocking: split the 64-bit hash into 4 16-bit chunks; any
-    * pair within Hamming distance 3 shares at least one exact chunk, so an
-    * equi-join on (chunk index, chunk value) finds all of them without a
-    * cross join; `bit_count(a ^ b)` verifies.
+    * Pigeonhole blocking: split the 64 bits into `maxDist + 1` chunks;
+    * any pair within distance maxDist agrees exactly on at least one
+    * chunk, so an equi-join on (chunk index, chunk value) finds every
+    * such pair; `bit_count(a ^ b)` verifies exactly. At corpus scale the
+    * (chunk index, value) pair is the shuffle key — candidate cost is
+    * bounded by in-bucket occupancy, never |rows|². Narrower chunks
+    * (higher maxDist) mean fuller buckets: at maxDist 15 the chunks are
+    * 4 bits and blocking degenerates, hence the bound.
     */
-  def simHashNearPairs(
-      docs: DataFrame, idCol: String, textCol: String,
+  def hammingNearPairs(
+      hashes: DataFrame, idCol: String, hashCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sh = simHash(docs, idCol, textCol)
-    val chunkStructs = (0 until 4).map { c =>
+    require(maxDist >= 0 && maxDist <= 15,
+      "maxDist must be in [0, 15]: 64-bit keys give at most 16 usable chunks")
+    val nChunks = maxDist + 1
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
+    val sh = hashes.select(col(idCol).as("id"), col(hashCol).as("h64"))
+    val chunkStructs = (0 until nChunks).map { c =>
+      val lo = bounds(c)
+      val w = bounds(c + 1) - lo
+      val mask = if (w == 64) -1L else (1L << w) - 1
       struct(lit(c).as("ci"),
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
+        shiftrightunsigned(col("h64"), lo).bitwiseAND(lit(mask)).as("cv"))
     }
     val chunked = sh.select(
-        col("id"), col("simhash"),
+        col("id"), col("h64"),
         explode(array(chunkStructs: _*)).as("ch"))
-      .select(col("id"), col("simhash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+      .select(col("id"), col("h64"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
     chunked.as("a").join(chunked.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.h64").bitwiseXOR(col("b.h64"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist (the 4-chunk
+    * 16-bit blocking is [[hammingNearPairs]] at the default maxDist 3).
+    */
+  def simHashNearPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame =
+    hammingNearPairs(simHash(docs, idCol, textCol), "id", "simhash", maxDist)
 }

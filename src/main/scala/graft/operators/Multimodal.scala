@@ -119,6 +119,107 @@ object Multimodal {
       case _ => fakeDecode(kind, bytes)
     }
 
+  /** 64-bit perceptual difference hash (dHash) of an image payload:
+    * decode the pixels, average-pool to a 9×8 grayscale grid, emit one
+    * bit per horizontally adjacent cell pair (left brighter than right).
+    * Near-identical images (recompression, uniform brightness shifts,
+    * small edits) land within a few bits; unrelated images differ in
+    * ~half — the standard perceptual-dedup sketch.
+    *
+    * Pooling is an arithmetic mean over integer pixel blocks — NOT a
+    * Java2D `drawImage` resample — so the hash is deterministic across
+    * JVMs and render pipelines. None when no JDK codec decodes the bytes
+    * or the image is smaller than the 9×8 grid.
+    */
+  private[operators] def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (!looksLikeImage(bytes)) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val gw = 9; val gh = 8
+      val w = img.getWidth; val h = img.getHeight
+      if (w < gw || h < gh) return None
+      val sums = Array.ofDim[Double](gh, gw)
+      val cnts = Array.ofDim[Int](gh, gw)
+      var py = 0
+      while (py < h) {
+        val cy = py * gh / h
+        var px = 0
+        while (px < w) {
+          val cx = px * gw / w
+          val rgb = img.getRGB(px, py)
+          sums(cy)(cx) += 0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          cnts(cy)(cx) += 1
+          px += 1
+        }
+        py += 1
+      }
+      var bits = 0L
+      var i = 0
+      var y = 0
+      while (y < gh) {
+        var x = 0
+        while (x < gw - 1) {
+          if (sums(y)(x) / cnts(y)(x) > sums(y)(x + 1) / cnts(y)(x + 1))
+            bits |= 1L << i
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some(bits)
+    } catch { case _: Exception => None }
+  }
+
+  /** (id, dhash) for every payload a JDK image codec decodes; payloads
+    * that aren't images are dropped. Same shuffle-free per-partition
+    * batch shape as [[extractMeta]].
+    */
+  def imageDHashes(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) => dHash64(bytes).map(h => (id, h)) }
+      .toDF("id", "dhash")
+  }
+
+  /** Perceptual image near-duplicate pairs: dHash each payload, then the
+    * generic Hamming pigeonhole blocking ([[Dedup.hammingNearPairs]]) —
+    * decode is data-parallel and shuffle-free; the pair search shuffles
+    * |images|·(maxDist+1) chunk rows, never |images|².
+    */
+  def imageNearDupPairs(
+      spark: SparkSession, df: DataFrame, idCol: String,
+      maxDist: Int = 6): DataFrame =
+    Dedup.hammingNearPairs(imageDHashes(spark, df, idCol), "id", "dhash", maxDist)
+
+  /** Encode an 8-bit grayscale pixel grid as a real PNG (test fixtures +
+    * the harness's synthetic image corpus; lossless, so the decode side
+    * sees exactly these pixels).
+    */
+  def grayPng(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    // INT_RGB (not BYTE_GRAY): gray colorspace conversion would remap the
+    // stored bytes; with RGB the decode side reads back exactly `pixels`.
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = math.max(0, math.min(255, pixels(y)(x)))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Per-partition batched metadata extraction. `mapPartitions` (not a
     * per-row UDF) so a real decoder amortizes codec initialization across
     * the partition — the same batch shape `mapInPandas`/`mapInArrow` gives

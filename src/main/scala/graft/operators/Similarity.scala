@@ -240,6 +240,149 @@ object Similarity {
       .select("q_id", "c_id", "sim", "rank")
   }
 
+  /** Trained product quantizer: `m` subspaces, `ksub` centroids per
+    * subspace, each of dimension dim/m. Driver-sized (m × ksub × dsub
+    * floats) — rides into plans as literals, like [[IvfModel]].
+    */
+  case class PqModel(subCentroids: Seq[Seq[Seq[Float]]]) {
+    def m: Int = subCentroids.size
+    def ksub: Int = subCentroids.head.size
+    def dsub: Int = subCentroids.head.head.size
+  }
+
+  private def subSlice(vec: Column, j: Int, dsub: Int): Column =
+    slice(vec, j * dsub + 1, dsub)
+
+  /** Train a product quantizer (Jégou et al. 2011): independent k-means
+    * per subspace. All m subspaces train in ONE distributed plan per
+    * Lloyd iteration — assignments stay per-row projections (centroid
+    * literals, no join), the means come back as one
+    * groupBy(subspace, code, component) aggregate, and only
+    * m × ksub × dsub means ever reach the driver.
+    */
+  def pqTrain(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3, seed: Long = 42L): PqModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val dsub = dim / m
+    // Seeded hash-sliver init (same contract as ivfTrain: deterministic
+    // across partition layouts, no corpus-wide ordering on the main path).
+    val sampleMod = 1000003L
+    val base = df.select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      pmod(xxhash64(col(idCol).cast("long") + seed), lit(sampleMod)).as("h"))
+    val n = math.max(1L, base.count())
+    val cut = math.max(1L, sampleMod * 16L * ksub / n)
+    def takeOrdered(d: DataFrame): Seq[Seq[Float]] =
+      d.orderBy("h", "id").limit(ksub).select("v").as[Seq[Float]].collect().toSeq
+    var sample = takeOrdered(base.filter(col("h") < cut))
+    if (sample.size < ksub) sample = takeOrdered(base)
+    var model: Seq[Seq[Seq[Float]]] =
+      (0 until m).map(j => sample.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    for (_ <- 1 to iters) {
+      // one plan: explode (subspace, code, subvector), average per component
+      val subRows = (0 until m).map { j =>
+        val sv = subSlice(col(vecCol), j, dsub)
+        struct(lit(j).as("j"), nearestCentroid(sv, model(j)).as("c"), sv.as("sv"))
+      }
+      val means = df
+        .select(explode(array(subRows: _*)).as("s"))
+        .select(col("s.j").as("j"), col("s.c").as("c"),
+          posexplode(col("s.sv")).as(Seq("i", "x")))
+        .groupBy("j", "c", "i").agg(avg("x").as("mean"))
+        .as[(Int, Int, Int, Double)].collect()
+      val byJc = means.groupBy(t => (t._1, t._2))
+      model = (0 until m).map { j =>
+        (0 until ksub).map { c =>
+          byJc.get((j, c)) match {
+            case Some(ms) => ms.sortBy(_._3).map(_._4.toFloat).toSeq
+            case None     => model(j)(c) // empty cell keeps its centroid
+          }
+        }
+      }
+    }
+    PqModel(model)
+  }
+
+  /** Attach the `m`-byte PQ code (`array<int>`, one nearest-sub-centroid
+    * index per subspace) — a pure projection against centroid literals:
+    * codegen'd, no join, no shuffle. dim/m × compression vs the raw
+    * vector (the storage step between int8 scaling and IVF layout).
+    */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel): DataFrame =
+    df.withColumn("pq_code", array((0 until model.m).map { j =>
+      nearestCentroid(subSlice(col(vecCol), j, model.dsub), model.subCentroids(j))
+    }: _*))
+
+  /** The reconstructed vector for a PQ code column: concat of the coded
+    * sub-centroids (literal lookup table, per-row `element_at`).
+    */
+  def pqReconstruct(codeCol: Column, model: PqModel): Column =
+    concat((0 until model.m).map { j =>
+      element_at(typedLit(model.subCentroids(j)),
+        element_at(codeCol, j + 1) + 1)
+    }: _*)
+
+  /** PQ reconstruction diagnostics (the v4-int8 shape for PQ): per row,
+    * the code and the relative L2 reconstruction error
+    * ||v - recon|| / ||v||, computed from dot products — the raw and
+    * reconstructed vectors never co-shuffle.
+    */
+  def pqReconError(
+      df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, roundTo: Int = 4): DataFrame = {
+    val v = col(vecCol)
+    val r = pqReconstruct(col("pq_code"), model)
+    pqEncode(df, vecCol, model).select(
+      col(idCol).as("id"), col("pq_code"),
+      round(
+        sqrt(greatest(lit(0.0),
+          fdot(v, v) - lit(2.0) * fdot(v, r) + fdot(r, r))) / fnorm(v),
+        roundTo).as("recon_err"))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): each query scores candidates
+    * through its per-subspace lookup table — `sum_j lut[j][code_j]` —
+    * never touching the raw candidate vectors. The LUT (m × ksub doubles)
+    * is computed once per query row and broadcast with it; the candidate
+    * side streams (id, code) pairs only. At 100 TB that is the point of
+    * PQ: the scan reads m bytes per vector instead of dim floats, and the
+    * scoring is m array lookups instead of dim multiplies. Sims are the
+    * ADC approximation of cosine (query side exact, candidate side
+    * reconstructed), rounded before ranking for reproducibility.
+    */
+  def pqTopK(
+      queries: DataFrame, candidates: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      k: Int, model: PqModel, roundTo: Int = 3): DataFrame = {
+    val m = model.m; val dsub = model.dsub
+    // candidate side: code + reconstructed norm (both tiny), raw vec dropped
+    val c = pqEncode(candidates, vecCol, model)
+      .select(col(cIdCol).as("c_id"), col("pq_code"),
+        fnorm(pqReconstruct(col("pq_code"), model)).as("c_norm"))
+    val lut = array((0 until m).map { j =>
+      array((0 until model.ksub).map { kk =>
+        fdot(subSlice(col(vecCol), j, dsub), typedLit(model.subCentroids(j)(kk)))
+      }: _*)
+    }: _*)
+    val q = queries.select(
+      col(qIdCol).as("q_id"), lut.as("lut"), fnorm(col(vecCol)).as("q_norm"))
+    val adc = (0 until m).map { j =>
+      element_at(element_at(col("lut"), j + 1),
+        element_at(col("pq_code"), j + 1) + 1)
+    }.reduce(_ + _)
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+        round(adc / (col("q_norm") * col("c_norm")), roundTo).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+
   /** Approximate cosine top-k: score only candidates sharing the query's
     * LSH bucket. Recall < 1 by construction; precision 1 (exact scoring
     * within the bucket).

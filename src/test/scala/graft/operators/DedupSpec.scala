@@ -186,4 +186,23 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("hammingNearPairs matches brute force at wider chunk splits") {
+    val rnd = new scala.util.Random(3)
+    val hs = (1L to 60L).map(i => (i, rnd.nextLong()))
+    val planted = Seq(
+      (101L, hs(0)._2 ^ 0x3FL),    // 6 bits from id 1 — the blocking edge
+      (102L, hs(1)._2 ^ 0x8001L),  // 2 bits from id 2, straddling chunks
+      (103L, hs(2)._2))            // exact duplicate of id 3
+    val all = hs ++ planted
+    val got = Dedup.hammingNearPairs(all.toDF("id", "h"), "id", "h", maxDist = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val exp = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, d)).toSet
+    assert(got == exp)
+    assert(Set((1L, 101L), (2L, 102L), (3L, 103L)).subsetOf(
+      exp.map(p => (p._1, p._2))))
+  }
 }

@@ -82,4 +82,46 @@ class MultimodalSpec extends AnyFunSuite {
       .put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
     assert(Multimodal.wavFrames(bb.array()).isEmpty)
   }
+
+  private def gridPng(f: (Int, Int) => Int): Array[Byte] =
+    Multimodal.grayPng(Array.tabulate(16, 18)((y, x) => f(y, x)))
+
+  test("dHash: invariant to uniform brightness, far for unrelated images") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate(16, 18)((_, _) => 20 + rnd.nextInt(200))
+    val a = Multimodal.dHash64(Multimodal.grayPng(base)).get
+    // +10 on every pixel preserves every left/right comparison exactly
+    val brighter = Multimodal.dHash64(
+      Multimodal.grayPng(base.map(_.map(_ + 10)))).get
+    assert(a == brighter)
+    // one nudged pixel flips at most its cell's single left/right comparison
+    val nudged = base.map(_.clone())
+    nudged(0)(0) += 40
+    val b = Multimodal.dHash64(Multimodal.grayPng(nudged)).get
+    assert(java.lang.Long.bitCount(a ^ b) <= 1)
+    // an unrelated image is far away
+    val other = Multimodal.dHash64(
+      gridPng((y, x) => 20 + ((y * 31 + x * 17) % 200))).get
+    assert(java.lang.Long.bitCount(a ^ other) > 6)
+    // non-image and too-small payloads produce no hash
+    assert(Multimodal.dHash64("plain text".getBytes).isEmpty)
+    assert(Multimodal.dHash64(
+      Multimodal.grayPng(Array.tabulate(4, 4)((_, _) => 50))).isEmpty)
+  }
+
+  test("imageNearDupPairs finds exactly the planted perceptual pair") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.tabulate(16, 18)((_, _) => 20 + rnd.nextInt(200))
+    val near = base.map(_.clone()); near(2)(2) += 40
+    val rows = Seq(
+      1L -> Multimodal.grayPng(base),
+      2L -> Multimodal.grayPng(near),
+      3L -> gridPng((y, x) => 20 + ((y * 37 + x * 13) % 200)),
+      4L -> "not an image".getBytes) // dropped, not an error
+      .toDF("img_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(spark, rows, "img_id", maxDist = 6)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 <= 1)
+  }
 }

@@ -112,6 +112,61 @@ class SimilaritySpec extends AnyFunSuite {
       s"no dynamic partition pruning on the index scan:\n$plan")
   }
 
+  test("pqEncode matches brute-force per-subspace argmin") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 4, iters = 2)
+    assert(model.m == 8 && model.ksub == 4 && model.dsub == 8)
+    val coded = Similarity.pqEncode(emb.limit(40), "embedding", model)
+      .select($"vec_id", $"embedding", $"pq_code")
+      .as[(Long, Array[Float], Seq[Int])].collect()
+    for ((_, v, code) <- coded; j <- 0 until model.m) {
+      val sub = v.slice(j * model.dsub, (j + 1) * model.dsub)
+      val want = model.subCentroids(j).zipWithIndex.minBy { case (c, i) =>
+        (sub.zip(c).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum, i)
+      }._2
+      assert(code(j) == want, s"subspace $j")
+    }
+  }
+
+  test("pq reconstruction error shrinks as the codebook grows") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    def avgErr(ksub: Int): Double = {
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, ksub = ksub, iters = 2)
+      Similarity.pqReconError(emb, "vec_id", "embedding", model)
+        .agg(avg("recon_err")).as[Double].head()
+    }
+    val e1 = avgErr(1) // codebook = per-subspace mean — the floor baseline
+    val e16 = avgErr(16)
+    assert(e16 < e1, s"ksub=16 err $e16 not below ksub=1 err $e1")
+    assert(e16 > 0.0 && e1 < 1.5)
+  }
+
+  test("pqTopK ADC equals exact cosine when candidates are codebook points") {
+    // hand-built quantizer: 2 subspaces × 2 centroids, dsub = 2; candidates
+    // sit exactly on codebook combinations, so reconstruction is lossless
+    // and ADC must reproduce exact cosine ranking.
+    val model = Similarity.PqModel(Seq(
+      Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      Seq(Seq(1.0f, 1.0f), Seq(-1.0f, 2.0f))))
+    val cands = (for {
+      a <- model.subCentroids(0); b <- model.subCentroids(1)
+    } yield a ++ b).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val qs = Seq((100L, Array(0.3f, 0.9f, 1.0f, 0.5f)),
+      (101L, Array(-0.8f, 0.1f, -0.5f, 1.5f)))
+    val cdf = cands.toDF("vec_id", "embedding")
+    val qdf = qs.toDF("vec_id", "embedding")
+    val adc = Similarity.pqTopK(qdf, cdf, "vec_id", "vec_id", "embedding",
+        k = 3, model)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = Similarity.cosineTopK(qdf, cdf, "vec_id", "vec_id", "embedding",
+        k = 3)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(adc == exact)
+  }
+
   test("native expressions agree between codegen and interpreted evaluation") {
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
       .limit(50)
