@@ -128,12 +128,134 @@ case class SignBandKeys(
     copy(child = newChild)
 }
 
+/** Nearest-centroid codes for all `m` disjoint subspaces of a vector in
+  * ONE fused loop: code_j = argmin_c ||v[j·dsub..] − cent_{j,c}||², via the
+  * expanded form ||cent||² − 2·⟨subvec, cent⟩ (||subvec||² is constant per
+  * argmin). `codebook` is the flattened m × ksub × dsub centroid matrix,
+  * carried as a codegen reference object — the expression-tree form
+  * (m × ksub `struct(fdot(...))` nodes) exceeds janino's 64KB method limit
+  * at PQ sizes and silently falls back to interpreted eval (~ms/row); this
+  * is a tight codegen'd triple loop. Ties break to the lowest centroid
+  * index, matching `array_min` over (dist, idx) structs. With m = 1 this
+  * is plain nearest-centroid assignment (IVF); with m > 1 it is the PQ
+  * encoder.
+  */
+case class NearestSubCentroids(
+    child: Expression, codebook: Array[Float],
+    m: Int, ksub: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_sub_centroids"
+
+  /** Σ cent² per (subspace, centroid), summed in component order like the
+    * driver-side literal `c2` of the tree form it replaces.
+    */
+  @transient private lazy val cent2: Array[Double] = {
+    val out = new Array[Double](m * ksub)
+    var jc = 0
+    while (jc < m * ksub) {
+      var s = 0.0
+      var i = 0
+      while (i < dsub) { val x = codebook(jc * dsub + i).toDouble; s += x * x; i += 1 }
+      out(jc) = s
+      jc += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = Double.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < ksub) {
+        val off = (j * ksub + c) * dsub
+        var dot = 0.0
+        var i = 0
+        while (i < dsub && j * dsub + i < n) {
+          dot += v.getFloat(j * dsub + i).toDouble * codebook(off + i).toDouble
+          i += 1
+        }
+        val d = cent2(j * ksub + c) - 2.0 * dot
+        if (d < best) { best = d; bestC = c }
+        c += 1
+      }
+      codes(j) = bestC
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", codebook, "float[]")
+    val c2Ref = ctx.addReferenceObj("cent2", cent2, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val codes = ctx.freshName("codes")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      s"""
+         |int $n = $v.numElements();
+         |int[] $codes = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  double $best = Double.MAX_VALUE;
+         |  int $bestC = 0;
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    int $off = ($j * $ksub + $c) * $dsub;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $dsub && $j * $dsub + $i < $n; $i++) {
+         |      $dot += (double)$v.getFloat($j * $dsub + $i) * (double)$cbRef[$off + $i];
+         |    }
+         |    double $d = $c2Ref[$j * $ksub + $c] - 2.0 * $dot;
+         |    if ($d < $best) { $best = $d; $bestC = $c; }
+         |  }
+         |  $codes[$j] = $bestC;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** dot(a, b) over array<float>, double result. */
   def fdot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** array<int> of per-subspace nearest-centroid codes;
+    * `codebook(j)(c)` is centroid c of subspace j.
+    */
+  def nearestSubCentroids(vec: Column, codebook: Seq[Seq[Seq[Float]]]): Column = {
+    val m = codebook.size
+    val ksub = codebook.head.size
+    val dsub = codebook.head.head.size
+    require(codebook.forall(s => s.size == ksub && s.forall(_.size == dsub)),
+      "codebook must be a uniform m × ksub × dsub matrix")
+    ColumnBridge.column(NearestSubCentroids(
+      ColumnBridge.expression(vec),
+      codebook.flatten.flatten.toArray, m, ksub, dsub))
+  }
+
+  /** Index of the nearest centroid by squared L2 distance (the m = 1 case). */
+  def nearestCentroidIdx(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    element_at(nearestSubCentroids(vec, Seq(centroids)), 1)
 
   /** L2 norm of an array<float>. */
   def fnorm(a: Column): Column = sqrt(fdot(a, a))

@@ -151,17 +151,13 @@ object Similarity {
   def assignClusters(df: DataFrame, vecCol: String, model: IvfModel): DataFrame =
     df.withColumn("cluster", nearestCentroid(col(vecCol), model.centroids))
 
-  /** Index of the nearest centroid by squared L2 distance
-    * (argmin via array_min over (dist, idx) structs; ||x||² constant per
-    * row is dropped).
+  /** Index of the nearest centroid by squared L2 distance — the fused
+    * [[graft.functions.NearestSubCentroids]] loop (the expression-tree
+    * argmin form blows past janino's method-size limit at PQ/IVF widths
+    * and falls back to interpreted eval).
     */
-  private def nearestCentroid(vec: Column, centroids: Seq[Seq[Float]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x.toDouble * x).sum
-      struct((lit(c2) - lit(2.0) * fdot(vec, typedLit(c))).as("d"), lit(i).as("i"))
-    }
-    array_min(array(scored: _*)).getField("i")
-  }
+  private def nearestCentroid(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    nearestCentroidIdx(vec, centroids)
 
   /** The query-side probe list: indexes of the `nprobe` nearest centroids. */
   private def probeList(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column = {
@@ -283,15 +279,15 @@ object Similarity {
     var model: Seq[Seq[Seq[Float]]] =
       (0 until m).map(j => sample.map(v => v.slice(j * dsub, (j + 1) * dsub)))
     for (_ <- 1 to iters) {
-      // one plan: explode (subspace, code, subvector), average per component
-      val subRows = (0 until m).map { j =>
-        val sv = subSlice(col(vecCol), j, dsub)
-        struct(lit(j).as("j"), nearestCentroid(sv, model(j)).as("c"), sv.as("sv"))
-      }
+      // one plan: fused all-subspace assignment (single eval per row), then
+      // explode (subspace, code) and the subvector, average per component
       val means = df
-        .select(explode(array(subRows: _*)).as("s"))
-        .select(col("s.j").as("j"), col("s.c").as("c"),
-          posexplode(col("s.sv")).as(Seq("i", "x")))
+        .select(col(vecCol).as("v"),
+          nearestSubCentroids(col(vecCol), model).as("cs"))
+        .select(col("v"), posexplode(col("cs")).as(Seq("j", "c")))
+        .select(col("j"), col("c"),
+          posexplode(slice(col("v"), col("j") * dsub + 1, lit(dsub)))
+            .as(Seq("i", "x")))
         .groupBy("j", "c", "i").agg(avg("x").as("mean"))
         .as[(Int, Int, Int, Double)].collect()
       val byJc = means.groupBy(t => (t._1, t._2))
@@ -313,9 +309,7 @@ object Similarity {
     * vector (the storage step between int8 scaling and IVF layout).
     */
   def pqEncode(df: DataFrame, vecCol: String, model: PqModel): DataFrame =
-    df.withColumn("pq_code", array((0 until model.m).map { j =>
-      nearestCentroid(subSlice(col(vecCol), j, model.dsub), model.subCentroids(j))
-    }: _*))
+    df.withColumn("pq_code", nearestSubCentroids(col(vecCol), model.subCentroids))
 
   /** The reconstructed vector for a PQ code column: concat of the coded
     * sub-centroids (literal lookup table, per-row `element_at`).
