@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontamination, Dedup, IntervalJoin, Multimodal, Sampling, Similarity, TextAnalytics}
+import graft.operators.{Decontamination, Dedup, IntervalJoin, Layout, Multimodal, Sampling, Similarity, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -436,6 +436,35 @@ object SparkEntry {
   private def t10UnigramLogProb(s: SparkSession, d: String): DataFrame =
     TextAnalytics.unigramLogProb(T(s, d, "documents"), "doc_id", "text")
 
+  /** t11 corpus: documents with deterministic PII appended (the synthetic
+    * corpus contains none), so the scrub has real matches to find — the
+    * identical injection runs in the oracle SQL, making counts AND the
+    * redacted text hash-checkable.
+    */
+  private def t11PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val injected = T(s, d, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 555-867-530"),
+        pmod(col("doc_id"), lit(10)).cast("string"),
+        lit(" from 10.1.2."), pmod(col("doc_id"), lit(256)).cast("string"))
+        .as("text"))
+    TextAnalytics.redactPii(injected, "doc_id", "text")
+  }
+
+  /** f9: the Z-order bit interleave itself, oracle-checked — doc_id and
+    * n_chars min-max-scaled to 16-bit ints (pure integer arithmetic) and
+    * Morton-interleaved. The layout write built on it is spec'd in
+    * `LayoutSpec` (file-level min/max tightness on BOTH columns).
+    */
+  private def f9Zorder(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    docs.select(
+      col("doc_id").as("id"),
+      Layout.zValueScaled(docs, "doc_id", "n_chars", bits = 16).as("z"))
+  }
+
   /** s2: pretraining mixture — src0 upsampled past its size (epoch
     * repetition), src1 downsampled, src2 taken whole at sf0.01, src3
     * partial; every other domain weighted 0.
@@ -627,6 +656,8 @@ object SparkEntry {
     "t8_repetition" -> (t8Repetition _),
     "t9_pack" -> (t9Pack _),
     "t10_unigram_logprob" -> (t10UnigramLogProb _),
+    "t11_pii_redact" -> (t11PiiRedact _),
+    "f9_zorder" -> (f9Zorder _),
     "s1_stratified_sample" -> (s1StratifiedSample _),
     "s2_domain_mix" -> (s2DomainMix _),
     "c1_corpus_curation" -> (c1Curation _),
@@ -964,6 +995,36 @@ object SparkEntry {
         |    AS mean_nll
         |FROM tf JOIN c USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    "t11_pii_redact" ->
+      """WITH inj AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR
+        |      || '@mail.example.com or 555-867-530' || (doc_id % 10)::VARCHAR
+        |      || ' from 10.1.2.' || (doc_id % 256)::VARCHAR AS text
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+        |    AS n_emails,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT
+        |    AS n_phones,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM inj""".stripMargin,
+    "f9_zorder" ->
+      """WITH r AS (SELECT min(doc_id) AS amn, max(doc_id) AS amx,
+        |    min(n_chars) AS bmn, max(n_chars) AS bmx FROM documents)
+        |SELECT doc_id AS id,
+        |  list_sum([((sa >> i) & 1) * (1::BIGINT << (2*i))
+        |      + ((sb >> i) & 1) * (1::BIGINT << (2*i+1))
+        |    for i in range(0, 16)])::BIGINT AS z
+        |FROM (SELECT doc_id,
+        |    ((doc_id - amn) * 65535) // greatest(amx - amn, 1) AS sa,
+        |    ((n_chars - bmn) * 65535) // greatest(bmx - bmn, 1) AS sb
+        |  FROM documents CROSS JOIN r)""".stripMargin,
     "t9_pack" ->
       """SELECT doc_id AS id, source AS stream,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout for scan pruning — the Z-order
+  * (Morton-curve) clustering step of the 100-TB write path.
+  *
+  * Range-partitioning on ONE column gives tight per-file min/max stats on
+  * that column only; a predicate on any other column still reads every
+  * file. Interleaving the bits of two (rank-normalized) columns and
+  * range-partitioning on the interleaved value keeps every file tight on
+  * BOTH dimensions, so parquet footer stats (and partition-level min/max
+  * indexes at cluster scale) prune scans for predicates on either column.
+  * This is the layout trick behind Delta/Iceberg `OPTIMIZE ZORDER BY`,
+  * expressed as a plain Spark plan: scale the columns, fold the bit
+  * interleave, `repartitionByRange` on the z-value, write.
+  */
+object Layout {
+
+  /** Bit-interleave of two non-negative ints already scaled to
+    * `[0, 2^bits)`: bit i of `a` lands at output bit 2i, bit i of `b` at
+    * 2i+1. A folded sum of shift/mask terms — fixed `bits` literals, fully
+    * codegen'd, no UDF.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Integer min-max scaling of a column to `[0, 2^bits)`:
+    * `((x − mn) · (2^bits − 1)) div (mx − mn)` — pure integer arithmetic,
+    * so Spark and any SQL oracle agree bit-for-bit (no float rounding on
+    * the scaling path). `mn`/`mx` come from one tiny pre-aggregation; at
+    * corpus scale that is a metadata-sized job, not a data pass.
+    */
+  def scaleToBits(x: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val span = greatest(mx.cast("long") - mn.cast("long"), lit(1L))
+    val num = (x.cast("long") - mn.cast("long")) * lit((1L << bits) - 1)
+    // floor-div in exact integer arithmetic: strip the remainder first so
+    // the double division is exact (both operands and the quotient are
+    // integers < 2^53), then cast back — equivalent to SQL `num div span`
+    ((num - pmod(num, span)) / span).cast("long")
+  }
+
+  /** The z-value column for two numeric columns of `df`, rank-normalized
+    * by corpus min/max (collected once, driver-sized).
+    */
+  def zValueScaled(df: DataFrame, colA: String, colB: String, bits: Int = 16): Column = {
+    val r = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    zValue(
+      scaleToBits(col(colA), lit(r.getLong(0)), lit(r.getLong(1)), bits),
+      scaleToBits(col(colB), lit(r.getLong(2)), lit(r.getLong(3)), bits),
+      bits)
+  }
+
+  /** Z-order clustered write: range-partition on the interleaved value
+    * (sampled range boundaries — no global sort) into `numFiles` output
+    * files, each covering a compact rectangle of (colA, colB) space, so a
+    * selective predicate on either column touches few files.
+    */
+  def zorderWrite(
+      df: DataFrame, colA: String, colB: String,
+      dest: String, numFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("__z", zValueScaled(df, colA, colB, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z") // row groups inside each file stay tight too
+      .drop("__z")
+      .write.mode("overwrite").parquet(dest)
+}

@@ -292,4 +292,41 @@ object TextAnalytics {
       }
       .toDF("id", "fp")
   }
+
+  // ---- PII redaction ------------------------------------------------------
+
+  /** PII patterns kept to the RE2-compatible subset (no backrefs, no
+    * lookaround) so the same strings run verbatim in Spark (java.util.regex)
+    * and the DuckDB oracle (RE2) — pattern parity IS the correctness
+    * contract here.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redacted text as a composable Column: emails, then phone numbers,
+    * then IPv4 literals replaced by typed placeholder tokens. Order
+    * matters and is part of the contract — redacting emails first keeps
+    * the IP pattern from matching dotted digits inside a hostname. Pure
+    * `regexp_replace` chain: codegen'd, data-parallel, no shuffle.
+    */
+  def redactColumn(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val p = regexp_replace(e, PhoneRe, "<PHONE>")
+    regexp_replace(p, Ipv4Re, "<IP>")
+  }
+
+  /** Per-doc PII scrub: match counts (found on the ORIGINAL text) plus the
+    * redacted text. The counts make the scrub auditable — a corpus-level
+    * `sum(n_emails)` is the number a data-governance report wants.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol).as("id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      redactColumn(t).as("redacted"))
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("zValue interleaves bits (hand-checked + locality ordering)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+        Layout.zValue(col("a"), col("b"), bits = 16).as("z"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, z) => (a, b) -> z }.toMap
+    assert(got((0L, 0L)) == 0L)
+    assert(got((1L, 0L)) == 1L) // bit 0 of a -> output bit 0
+    assert(got((0L, 1L)) == 2L) // bit 0 of b -> output bit 1
+    // a=3 (011), b=5 (101): interleave -> b2 a2 b1 a1 b0 a0 = 1 0 0 1 1 1
+    assert(got((3L, 5L)) == 39L)
+    assert(got((65535L, 65535L)) == (1L << 32) - 1) // all 32 bits set
+  }
+
+  test("scaleToBits is pure integer math over the full range") {
+    val df = Seq(10L, 20L, 1000L).toDF("x")
+    val got = df.select(
+        Layout.scaleToBits(col("x"), lit(10L), lit(1000L), 16).as("s"))
+      .as[Long].collect().sorted
+    assert(got.head == 0L && got.last == 65535L)
+    assert(got(1) == (10L * 65535L) / 990L)
+    // degenerate span: constant column maps to 0, no division by zero
+    val const = Seq(7L, 7L).toDF("x")
+      .select(Layout.scaleToBits(col("x"), lit(7L), lit(7L), 16).as("s"))
+      .as[Long].collect()
+    assert(const.forall(_ == 0L))
+  }
+
+  test("zorderWrite: every file is tight on BOTH dimensions") {
+    // 64x64 grid, both axes uniform — a 1-D range partition on `a` leaves
+    // each file spanning ALL of `b`; the z-order layout must keep per-file
+    // spans a small fraction of the domain on both axes.
+    val n = 64
+    val grid = spark.range(n.toLong * n).select(
+      (col("id") % n).as("a"), (col("id") / n).cast("long").as("b"))
+    val dest = Files.createTempDirectory("zorder").toString
+    Layout.zorderWrite(grid, "a", "b", dest, numFiles = 16, bits = 6)
+
+    val files = new java.io.File(dest).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 8) // range partitioner actually split the space
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("a"), max("a"), min("b"), max("b")).head()
+      (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+    }
+    // every file covers a compact rectangle: each span at most half the
+    // domain (a 1-D layout would leave one axis at the full 63)
+    assert(spans.forall { case (sa, sb) => sa <= n / 2 && sb <= n / 2 })
+    // and the layout is lossless
+    assert(spark.read.parquet(dest).count() == n.toLong * n)
+  }
+}

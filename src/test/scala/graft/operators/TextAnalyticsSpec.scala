@@ -140,4 +140,25 @@ class TextAnalyticsSpec extends AnyFunSuite {
     // rare-token soup scores strictly higher than common-token text
     assert(got(1L)._2 > got(0L)._2)
   }
+
+  test("redactPii: counts on the original, typed placeholders in order") {
+    val pii = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or alice@a.io, call 555-123-4567"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255, no mail"),
+      (3L, "clean text with nothing to hide"),
+      // numeric host is no email (TLD must be alpha) but IS a dotted quad
+      (4L, "u@42.17.3.10 and 1234-567-8901 has no 3-3-4 boundary")
+    ).toDF("doc_id", "text")
+    val r = TextAnalytics.redactPii(pii, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == 2 && r(1L)._3 == 1 && r(1L)._4 == 0)
+    assert(r(1L)._5 == "mail <EMAIL> or <EMAIL>, call <PHONE>")
+    assert(r(2L)._2 == 0 && r(2L)._3 == 0 && r(2L)._4 == 2)
+    assert(r(2L)._5 == "server at <IP> and <IP>, no mail")
+    assert(r(3L)._5 == "clean text with nothing to hide")
+    // no alpha TLD -> not an email; \b kills the 4-3-4 phone; quad is an IP
+    assert(r(4L)._2 == 0 && r(4L)._3 == 0 && r(4L)._4 == 1)
+    assert(r(4L)._5 == "u@<IP> and 1234-567-8901 has no 3-3-4 boundary")
+  }
 }
