@@ -141,4 +141,30 @@ class PlanQualitySpec extends AnyFunSuite {
     // formatted explain marks whole-stage-codegen operators with '*'
     assert(plan.contains("* HashAggregate"), s"no codegen span:\n$plan")
   }
+
+  test("PQ encode is a fused projection inside codegen, no join") {
+    val df = SparkEntry.queries("v5_pq_recon")(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // the fused expression keeps the plan inside whole-stage codegen (the
+    // unrolled argmin tree used to blow janino's method limit and fall
+    // back to interpreted eval) and encoding stays join-free
+    assert(plan.contains("nearest_sub_centroids"), s"fused argmin missing:\n$plan")
+    assert(plan.contains("* Project"), s"encode outside codegen:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"PQ encode must not join:\n$plan")
+  }
+
+  test("perceptual image dedup blocks on hash chunks, no nested-loop") {
+    val df = SparkEntry.queries("m2_image_neardup")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"image near-dup must block, not cross-join:\n$plan")
+  }
+
+  test("PII scrub is a pure scan-side projection") {
+    val df = SparkEntry.queries("t11_pii_redact")(spark, dir)
+    val plan = planOf(df)
+    assert(exchangeCount(plan) == 0, s"redaction must not shuffle:\n$plan")
+  }
 }
