@@ -453,6 +453,14 @@ object SparkEntry {
     TextAnalytics.redactPii(injected, "doc_id", "text")
   }
 
+  /** s3: DSIR importance weights — target domain = every 10th doc (the
+    * same deterministic split d9 uses for its benchmark), scored against
+    * the rest of the corpus.
+    */
+  private def s3DsirWeights(s: SparkSession, d: String): DataFrame =
+    Sampling.importanceWeights(
+      T(s, d, "documents"), "doc_id", "text", col("doc_id") % 10 === 0)
+
   /** f9: the Z-order bit interleave itself, oracle-checked — doc_id and
     * n_chars min-max-scaled to 16-bit ints (pure integer arithmetic) and
     * Morton-interleaved. The layout write built on it is spec'd in
@@ -657,6 +665,7 @@ object SparkEntry {
     "t9_pack" -> (t9Pack _),
     "t10_unigram_logprob" -> (t10UnigramLogProb _),
     "t11_pii_redact" -> (t11PiiRedact _),
+    "s3_dsir_weights" -> (s3DsirWeights _),
     "f9_zorder" -> (f9Zorder _),
     "s1_stratified_sample" -> (s1StratifiedSample _),
     "s2_domain_mix" -> (s2DomainMix _),
@@ -994,6 +1003,25 @@ object SparkEntry {
         |  round(sum(tf * -ln(c.c::DOUBLE / tot.total)) / sum(tf), 4)
         |    AS mean_nll
         |FROM tf JOIN c USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+    "s3_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, doc_id % 10 = 0 AS tgt,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, tgt, term, count(*) AS tf
+        |  FROM toks GROUP BY 1, 2, 3),
+        |c AS (SELECT term,
+        |    sum(CASE WHEN tgt THEN tf ELSE 0 END) AS c_tgt,
+        |    sum(CASE WHEN NOT tgt THEN tf ELSE 0 END) AS c_raw
+        |  FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(CASE WHEN tgt THEN tf ELSE 0 END) AS n_tgt,
+        |    sum(CASE WHEN NOT tgt THEN tf ELSE 0 END) AS n_raw,
+        |    count(DISTINCT term) AS v FROM tf)
+        |SELECT doc_id AS id, sum(tf)::BIGINT AS n_tokens,
+        |  round(sum(tf * (ln((c.c_tgt + 1)::DOUBLE / (tot.n_tgt + tot.v))
+        |    - ln((c.c_raw + 1)::DOUBLE / (tot.n_raw + tot.v)))) / sum(tf), 4)
+        |    AS log_ratio
+        |FROM tf JOIN c USING (term) CROSS JOIN tot
+        |WHERE NOT tgt
         |GROUP BY doc_id""".stripMargin,
     "t11_pii_redact" ->
       """WITH inj AS (SELECT doc_id,

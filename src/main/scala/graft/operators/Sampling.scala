@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,5 +73,52 @@ object Sampling {
         explode(sequence(lit(0L), expr("(tgt - rn) div n"))).as("epoch"))
       .select(col("id"), col("domain"), col("epoch"),
         (col("epoch") * col("n") + col("rn")).as("mix_rank"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw-corpus
+    * document by its mean per-token log-likelihood ratio under two
+    * add-one-smoothed unigram models — the target distribution (rows
+    * where `targetCol`) vs the raw corpus (the rest). Positive
+    * `log_ratio` ⇒ the document looks more like the target domain than
+    * like the corpus; resampling by these weights (e.g. top-quota via
+    * [[stratifiedSample]] machinery, or Gumbel top-k) shifts the mixture
+    * toward the target.
+    *
+    * Scale: the same shape as `TextAnalytics.unigramLogProb` — one tf
+    * aggregation, per-term model counts as a window over the term hash
+    * (rides the tf shuffle's key), corpus totals as ONE broadcast scalar
+    * row. Terms are 64-bit hashes, never strings, on every shuffle.
+    *
+    * Output per raw-corpus doc: (id, n_tokens, log_ratio).
+    */
+  def importanceWeights(
+      docs: DataFrame, idCol: String, textCol: String, targetCol: Column,
+      roundTo: Int = 4): DataFrame = {
+    import graft.functions.TextFunctions
+    val tf = docs
+      .select(col(idCol).as("id"), targetCol.cast("boolean").as("tgt"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("tgt"), xxhash64(col("term")).as("th"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("th")
+    val withC = tf
+      .withColumn("c_tgt", sum(when(col("tgt"), col("tf")).otherwise(0L)).over(w))
+      .withColumn("c_raw", sum(when(!col("tgt"), col("tf")).otherwise(0L)).over(w))
+    val tot = tf.agg(
+      sum(when(col("tgt"), col("tf")).otherwise(0L)).as("n_tgt"),
+      sum(when(!col("tgt"), col("tf")).otherwise(0L)).as("n_raw"),
+      countDistinct("th").as("v"))
+    withC.filter(!col("tgt"))
+      .crossJoin(broadcast(tot))
+      .groupBy("id")
+      .agg(
+        sum("tf").as("n_tokens"),
+        round(
+          sum(col("tf") * (
+            log((col("c_tgt") + 1).cast("double") / (col("n_tgt") + col("v"))) -
+              log((col("c_raw") + 1).cast("double") / (col("n_raw") + col("v"))))) /
+            sum("tf"),
+          roundTo).as("log_ratio"))
   }
 }

@@ -59,4 +59,31 @@ class SamplingSpec extends AnyFunSuite {
       .filter($"src" === "a").select("doc_id").as[Long].collect().toSet
     assert(mix == strat)
   }
+
+  test("importanceWeights: target-like docs score higher, hand-checked NLL ratio") {
+    import org.apache.spark.sql.functions.col
+    // target model: all "wiki"; corpus docs: one wiki-ish, one web-ish
+    val docs = Seq(
+      (10L, "wiki wiki facts"),
+      (20L, "wiki facts"),
+      (1L, "wiki facts today"),
+      (2L, "spam click buy")
+    ).toDF("doc_id", "text")
+    val got = Sampling.importanceWeights(docs, "doc_id", "text",
+        col("doc_id") >= 10L)
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // only raw-corpus docs are scored
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 3L && got(2L)._1 == 3L)
+    assert(got(1L)._2 > 0 && got(2L)._2 < 0)
+    assert(got(1L)._2 > got(2L)._2)
+    // hand-check doc 1: counts tgt {wiki:3, facts:2}, raw {wiki:1, facts:1,
+    // today:1, spam:1, click:1, buy:1}; N_tgt=5, N_raw=6, V=6
+    def lr(ct: Long, cr: Long): Double =
+      math.log((ct + 1).toDouble / 11) - math.log((cr + 1).toDouble / 12)
+    val want1 = BigDecimal((lr(3, 1) + lr(2, 1) + lr(0, 1)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(1L)._2 - want1) < 1e-9, s"got ${got(1L)._2} want $want1")
+  }
 }
