@@ -461,6 +461,15 @@ object SparkEntry {
     Sampling.importanceWeights(
       T(s, d, "documents"), "doc_id", "text", col("doc_id") % 10 === 0)
 
+  /** s4: the DSIR loop closed — importance weights resampled via Gumbel
+    * top-k (probability ∝ exp(log_ratio), seeded portable noise).
+    */
+  private def s4GumbelTopK(s: SparkSession, d: String): DataFrame =
+    Sampling.gumbelTopK(
+      Sampling.importanceWeights(
+        T(s, d, "documents"), "doc_id", "text", col("doc_id") % 10 === 0),
+      "id", "log_ratio", k = 100)
+
   /** f9: the Z-order bit interleave itself, oracle-checked — doc_id and
     * n_chars min-max-scaled to 16-bit ints (pure integer arithmetic) and
     * Morton-interleaved. The layout write built on it is spec'd in
@@ -666,6 +675,7 @@ object SparkEntry {
     "t10_unigram_logprob" -> (t10UnigramLogProb _),
     "t11_pii_redact" -> (t11PiiRedact _),
     "s3_dsir_weights" -> (s3DsirWeights _),
+    "s4_gumbel_topk" -> (s4GumbelTopK _),
     "f9_zorder" -> (f9Zorder _),
     "s1_stratified_sample" -> (s1StratifiedSample _),
     "s2_domain_mix" -> (s2DomainMix _),
@@ -1023,7 +1033,32 @@ object SparkEntry {
         |FROM tf JOIN c USING (term) CROSS JOIN tot
         |WHERE NOT tgt
         |GROUP BY doc_id""".stripMargin,
-    "t11_pii_redact" ->
+        "s4_gumbel_topk" ->
+      """WITH toks AS (SELECT doc_id, doc_id % 10 = 0 AS tgt,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, tgt, term, count(*) AS tf
+        |  FROM toks GROUP BY 1, 2, 3),
+        |c AS (SELECT term,
+        |    sum(CASE WHEN tgt THEN tf ELSE 0 END) AS c_tgt,
+        |    sum(CASE WHEN NOT tgt THEN tf ELSE 0 END) AS c_raw
+        |  FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(CASE WHEN tgt THEN tf ELSE 0 END) AS n_tgt,
+        |    sum(CASE WHEN NOT tgt THEN tf ELSE 0 END) AS n_raw,
+        |    count(DISTINCT term) AS v FROM tf),
+        |wts AS (SELECT doc_id AS id,
+        |    round(sum(tf * (ln((c.c_tgt + 1)::DOUBLE / (tot.n_tgt + tot.v))
+        |      - ln((c.c_raw + 1)::DOUBLE / (tot.n_raw + tot.v)))) / sum(tf), 4)
+        |      AS log_ratio
+        |  FROM tf JOIN c USING (term) CROSS JOIN tot
+        |  WHERE NOT tgt GROUP BY doc_id),
+        |sc AS (SELECT id, round(log_ratio
+        |      - ln(-ln(((((id + 42) * 2654435761) % 4294967296)::DOUBLE + 0.5)
+        |        / 4294967296)), 4) AS score
+        |  FROM wts)
+        |SELECT id, score, row_number() OVER (ORDER BY score DESC, id)::BIGINT
+        |    AS sample_rank
+        |FROM sc ORDER BY score DESC, id LIMIT 100""".stripMargin,
+"t11_pii_redact" ->
       """WITH inj AS (SELECT doc_id,
         |    text || ' contact user' || doc_id::VARCHAR
         |      || '@mail.example.com or 555-867-530' || (doc_id % 10)::VARCHAR

@@ -121,4 +121,38 @@ object Sampling {
             sum("tf"),
           roundTo).as("log_ratio"))
   }
+
+  /** Gumbel top-k: draw `k` rows without replacement with probability
+    * ∝ exp(weight) — the standard trick (score = weight + Gumbel noise;
+    * take the top k) that turns log-space weights (e.g.
+    * [[importanceWeights]]' `log_ratio`) into an actual resample as ONE
+    * relational pass, no sequential draws.
+    *
+    * The noise is seeded and engine-portable: a Knuth multiplicative hash
+    * of the row id in exact integer arithmetic (any SQL engine computes
+    * the identical u), then g = −ln(−ln(u)). Scores are rounded before
+    * ranking with an id tiebreak, so the sample is reproducible across
+    * engines and float orders.
+    *
+    * Scale: `orderBy(...).limit(k)` plans as TakeOrderedAndProject —
+    * per-partition top-k then a driver-side merge of k·partitions rows;
+    * no global sort, no single-partition window.
+    */
+  def gumbelTopK(
+      df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 42L, roundTo: Int = 4): DataFrame = {
+    // seed offsets the id BEFORE the multiply — an additive post-multiply
+    // seed would only shift u by seed/2^32, reproducing the same sample
+    val h = pmod((col(idCol).cast("long") + lit(seed)) * lit(2654435761L),
+      lit(4294967296L))
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val score = round(col(weightCol) - log(-log(u)), roundTo)
+    val top = df.select(col(idCol).as("id"), score.as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+    // rank assignment runs over k rows only (post-limit), not the corpus
+    top.withColumn("sample_rank",
+      row_number().over(Window.orderBy(col("score").desc, col("id").asc))
+        .cast("long"))
+  }
 }

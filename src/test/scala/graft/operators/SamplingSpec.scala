@@ -86,4 +86,29 @@ class SamplingSpec extends AnyFunSuite {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(got(1L)._2 - want1) < 1e-9, s"got ${got(1L)._2} want $want1")
   }
+
+  test("gumbelTopK: deterministic, weight-sensitive, top-k planned (no global sort)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val pop = spark.range(1000L).select(
+      col("id"),
+      // one row with overwhelming log-weight, the rest tiny
+      when(col("id") === 7L, lit(50.0)).otherwise(lit(0.0)).as("w"))
+    val s1 = Sampling.gumbelTopK(pop, "id", "w", k = 10)
+      .as[(Long, Double, Long)].collect()
+    assert(s1.length == 10)
+    // rank 1 must be the dominant row: its score is w + g >= 50 + g_min,
+    // unreachable for w = 0 rows (max Gumbel of 1000 draws ~ ln(1000) ≈ 7)
+    assert(s1.minBy(_._3)._1 == 7L)
+    // same seed -> identical sample; different seed -> different noise
+    val s2 = Sampling.gumbelTopK(pop, "id", "w", k = 10)
+      .as[(Long, Double, Long)].collect()
+    assert(s1.toSeq == s2.toSeq)
+    val s3 = Sampling.gumbelTopK(pop, "id", "w", k = 10, seed = 99L)
+      .as[(Long, Double, Long)].collect()
+    assert(s1.map(_._1).toSet != s3.map(_._1).toSet)
+    // scale shape: per-partition top-k merge, not a corpus-wide sort
+    val plan = Sampling.gumbelTopK(pop, "id", "w", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
