@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontamination, Dedup, IntervalJoin, Layout, Multimodal, Sampling, Similarity, TextAnalytics}
+import graft.operators.{Decontamination, Dedup, IntervalJoin, Layout, Multimodal, Pca, Sampling, Similarity, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -590,6 +590,45 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** v7: per-dimension z-score standardization of the embedding corpus
+    * (the whitening pass before clustering / PCA) — exploded output so
+    * the oracle checks every component value.
+    */
+  private def v7Standardize(s: SparkSession, d: String): DataFrame =
+    Pca.standardize(T(s, d, "embeddings"), "vec_id", "embedding")
+
+  /** v8: the distributed d×d covariance matrix — the moment aggregate
+    * PCA trains on, oracle-checked entry by entry (the scale-critical
+    * distributed half of PCA; the driver eigensolve is bounded at d²).
+    */
+  private def v8PcaCov(s: SparkSession, d: String): DataFrame =
+    Pca.covariance(T(s, d, "embeddings"), "vec_id", "embedding")
+
+  /** v9: PCA projection onto the top-4 principal components. Rows-only
+    * (the eigensolve has no SQL twin); `PcaSpec` proves orthonormality,
+    * eigenvalue ordering, variance capture and an independent dense
+    * recomputation of the same basis.
+    */
+  private def v9PcaProject(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    Pca.project(emb, "vec_id", "embedding",
+      Pca.train(emb, "vec_id", "embedding", k = 4))
+  }
+
+  /** d10: segment-level exact dedup (CCNet-style line dedup over
+    * fixed 20-token segments — the corpus has no newlines, so the
+    * segmentation stands in for the line split).
+    */
+  private def d10SegmentDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.segmentDedup(T(s, d, "documents"), "doc_id", "text", segTokens = 20)
+
+  /** t12: sliding-window chunking (30-token windows, stride 20) — the
+    * RAG / context-window prep pass, shuffle-free.
+    */
+  private def t12Chunk(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.chunkDocs(T(s, d, "documents"), "doc_id", "text",
+      chunkSize = 30, stride = 20)
+
   private def m1MediaMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.extractMeta(
       s, Multimodal.withPayload(T(s, d, "documents"), "text"), "doc_id").toDF()
@@ -663,6 +702,7 @@ object SparkEntry {
     "d7_cluster_jaccard" -> (d7ClusterJaccard _),
     "d8_semdedup" -> (d8SemDedup _),
     "d9_decontaminate" -> (d9Decontam _),
+    "d10_segment_dedup" -> (d10SegmentDedup _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2Quality _),
     "t3_lang_id" -> (t3LangId _),
@@ -674,6 +714,7 @@ object SparkEntry {
     "t9_pack" -> (t9Pack _),
     "t10_unigram_logprob" -> (t10UnigramLogProb _),
     "t11_pii_redact" -> (t11PiiRedact _),
+    "t12_chunk" -> (t12Chunk _),
     "s3_dsir_weights" -> (s3DsirWeights _),
     "s4_gumbel_topk" -> (s4GumbelTopK _),
     "f9_zorder" -> (f9Zorder _),
@@ -686,6 +727,9 @@ object SparkEntry {
     "v4_quantize_int8" -> (v4QuantizeInt8 _),
     "v5_pq_recon" -> (v5PqRecon _),
     "v6_pq_adc_topk" -> (v6PqAdcTopK _),
+    "v7_standardize" -> (v7Standardize _),
+    "v8_pca_cov" -> (v8PcaCov _),
+    "v9_pca_project" -> (v9PcaProject _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_image_neardup" -> (m2ImageNearDup _))
 
@@ -1133,6 +1177,49 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
         |    AS bpeish_tokens
         |FROM documents""".stripMargin,
+    "d10_segment_dedup" ->
+      """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sg AS (SELECT id, ci::BIGINT AS seg_idx,
+        |    array_to_string(w[ci * 20 + 1 : ci * 20 + 20], ' ') AS seg
+        |  FROM (SELECT id, w,
+        |      unnest(generate_series(0, (len(w) - 1) // 20)) AS ci FROM d)),
+        |rn AS (SELECT id, seg_idx, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY id, seg_idx) AS rn
+        |  FROM sg)
+        |SELECT id, count(*)::BIGINT AS n_segs,
+        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx)
+        |    AS text_dedup
+        |FROM rn GROUP BY id""".stripMargin,
+    "t12_chunk" ->
+      """WITH ch AS (SELECT doc_id AS id, w, len(w) AS n,
+        |    unnest(generate_series(0,
+        |      CASE WHEN len(w) <= 30 THEN 0
+        |           ELSE (len(w) - 30 + 19) // 20 END)) AS ci
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |SELECT id, ci::BIGINT AS chunk_id,
+        |  least(30, n - ci * 20)::BIGINT AS n_chunk_tokens,
+        |  array_to_string(w[ci * 20 + 1 : ci * 20 + 30], ' ') AS chunk_text
+        |FROM ch""".stripMargin,
+    "v7_standardize" ->
+      """WITH e2 AS (SELECT id, (i - 1)::BIGINT AS dim, e[i]::DOUBLE AS v
+        |  FROM (SELECT vec_id AS id, embedding AS e,
+        |      unnest(generate_series(1, len(embedding))) AS i
+        |    FROM embeddings)),
+        |st AS (SELECT dim, avg(v) AS mu, stddev_pop(v) AS sd
+        |  FROM e2 GROUP BY 1)
+        |SELECT id, dim, round((v - mu) / sd, 4) AS z
+        |FROM e2 JOIN st USING (dim)""".stripMargin,
+    "v8_pca_cov" ->
+      """WITH e2 AS (SELECT id, (i - 1)::BIGINT AS dim, e[i]::DOUBLE AS v
+        |  FROM (SELECT vec_id AS id, embedding AS e,
+        |      unnest(generate_series(1, len(embedding))) AS i
+        |    FROM embeddings)),
+        |mu AS (SELECT dim, avg(v) AS mu FROM e2 GROUP BY 1),
+        |ct AS (SELECT id, dim, v - mu AS cv FROM e2 JOIN mu USING (dim))
+        |SELECT a.dim AS i, b.dim AS j, round(avg(a.cv * b.cv), 6) AS cov
+        |FROM ct a JOIN ct b USING (id) GROUP BY 1, 2""".stripMargin,
     "v4_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

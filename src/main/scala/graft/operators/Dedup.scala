@@ -16,6 +16,48 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Segment-level exact dedup (the CCNet / RefinedWeb "line dedup" pass,
+    * generalized): split every document into fixed-width token segments,
+    * keep only the canonical occurrence of each distinct segment — the
+    * minimal (doc, position) — and reassemble the surviving text in
+    * order. Boilerplate shared across documents (headers, footers,
+    * templated spans) survives exactly once, corpus-wide.
+    *
+    * Output per doc: total and kept segment counts plus the deduped text
+    * (null when every segment was a duplicate of an earlier doc's).
+    *
+    * Shape: two shuffles — a window keyed by the segment text to pick the
+    * canonical occurrence (the comparison an exact segment dedup cannot
+    * avoid; at corpus scale key it by a 128-bit digest instead to shuffle
+    * 16 bytes rather than the span), then the group-by-doc reassembly.
+    * The in-doc re-order runs over each doc's kept segments only
+    * (`array_sort` of a collected struct list), never a corpus sort.
+    */
+  def segmentDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFunctions.tokens(col(textCol))
+    val segs = docs
+      .select(col(idCol).cast("long").as("id"), toks.as("w"), size(toks).as("n"))
+      .select(col("id"), col("w"),
+        explode(sequence(lit(0),
+          floor((col("n") - 1).cast("double") / segTokens).cast("int"))).as("si"))
+      .select(col("id"), col("si").cast("long").as("seg_idx"),
+        concat_ws(" ", slice(col("w"), col("si") * segTokens + 1, lit(segTokens)))
+          .as("seg"))
+    val canon = Window.partitionBy("seg").orderBy("id", "seg_idx")
+    segs.withColumn("rn", row_number().over(canon))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        nullif(concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("rn") === 1, struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg"))), lit("")).as("text_dedup"))
+  }
+
   /** Exact duplicate groups: md5(text) -> (digest, n_docs, canonical id). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("digest"))

@@ -293,6 +293,36 @@ object TextAnalytics {
       .toDF("id", "fp")
   }
 
+  /** Sliding-window document chunking (the RAG / context-window prep step):
+    * cut each document's token stream into windows of `chunkSize` tokens
+    * advancing by `stride` (overlap = chunkSize - stride). Every token is
+    * covered; the last chunk may be short. Chunk count is pure integer
+    * arithmetic (`1 + ceil((n - chunkSize) / stride)` for n > chunkSize),
+    * so the segmentation is reproducible across engines.
+    *
+    * Shape: `explode(sequence(...))` then an array `slice` per chunk — a
+    * per-row map with no shuffle at all; chunking 100 TB is
+    * embarrassingly parallel and this plan keeps it that way.
+    */
+  def chunkDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 30, stride: Int = 20): DataFrame = {
+    require(stride > 0 && stride <= chunkSize,
+      s"stride $stride must be in [1, chunkSize $chunkSize]")
+    val toks = tokens(col(textCol))
+    val lastChunk = when(col("n") <= chunkSize, lit(0)).otherwise(
+      floor((col("n") - chunkSize + (stride - 1)).cast("double") / stride)
+        .cast("int"))
+    docs.select(col(idCol).as("id"), toks.as("w"), size(toks).as("n"))
+      .select(col("id"), col("w"), col("n"),
+        explode(sequence(lit(0), lastChunk)).as("ci"))
+      .select(col("id"), col("ci").cast("long").as("chunk_id"),
+        least(lit(chunkSize), col("n") - col("ci") * stride).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("w"), col("ci") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
   // ---- PII redaction ------------------------------------------------------
 
   /** PII patterns kept to the RE2-compatible subset (no backrefs, no

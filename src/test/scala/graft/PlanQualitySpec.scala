@@ -167,4 +167,32 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = planOf(df)
     assert(exchangeCount(plan) == 0, s"redaction must not shuffle:\n$plan")
   }
+
+  test("chunking is shuffle-free (explode + slice per row)") {
+    val df = SparkEntry.queries("t12_chunk")(spark, dir)
+    val plan = planOf(df)
+    assert(exchangeCount(plan) == 0, s"chunking must not shuffle:\n$plan")
+  }
+
+  test("standardize re-attaches the d per-dim moments by broadcast") {
+    val df = SparkEntry.queries("v7_standardize")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"moments must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("covariance self-join keys on the row id with partial aggregation") {
+    val df = SparkEntry.queries("v8_pca_cov")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"covariance must equi-join on id:\n$plan")
+    assert(plan.contains("HashAggregate"), s"missing partial agg:\n$plan")
+  }
+
+  test("segment dedup never goes quadratic (window + group-by only)") {
+    val df = SparkEntry.queries("d10_segment_dedup")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"segment dedup must not cross-join:\n$plan")
+  }
 }

@@ -205,4 +205,32 @@ class DedupSpec extends AnyFunSuite {
     assert(Set((1L, 101L), (2L, 102L), (3L, 103L)).subsetOf(
       exp.map(p => (p._1, p._2))))
   }
+
+  test("segmentDedup keeps the canonical occurrence of each segment") {
+    val A = "a1 a2 a3"; val B = "b1 b2 b3"; val C = "c1 c2 c3"
+    val docs = Seq(
+      (1L, s"$A $B"),  // both segments canonical
+      (2L, s"$B $C"),  // B already seen in doc 1
+      (3L, A),         // fully duplicated -> null text
+      (4L, s"$C $C")   // in-doc repeat, second occurrence dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 3)
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 2L, Some(s"$A $B"))))
+    assert(got(2L) == ((2L, 2L, 1L, Some(C))))
+    assert(got(3L) == ((3L, 1L, 0L, None)))
+    // C's canonical occurrence is (2, seg 1), so doc 4 keeps neither copy...
+    assert(got(4L) == ((4L, 2L, 0L, None)))
+    // ...but owns the canonical when it is the earliest doc for a segment
+    val solo = Seq((5L, s"$C $C")).toDF("doc_id", "text")
+    val g5 = Dedup.segmentDedup(solo, "doc_id", "text", segTokens = 3)
+      .as[(Long, Long, Long, Option[String])].collect()
+    assert(g5.toSeq == Seq((5L, 2L, 1L, Some(C))))
+    // short tail: a 4-token doc yields a 3-token and a 1-token segment
+    val tail = Seq((6L, "a1 a2 a3 a4")).toDF("doc_id", "text")
+    val g6 = Dedup.segmentDedup(tail, "doc_id", "text", segTokens = 3)
+      .as[(Long, Long, Long, Option[String])].collect()
+    assert(g6.toSeq == Seq((6L, 2L, 2L, Some("a1 a2 a3 a4"))))
+  }
 }

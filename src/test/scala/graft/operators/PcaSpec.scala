@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Equivalence specs for the embedding-statistics family: standardize
+  * against hand math, the distributed covariance against a dense local
+  * recomputation, and the PCA basis against its defining properties
+  * (orthonormality, eigen equation, per-component projected variance).
+  */
+class PcaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic anisotropic cloud: dominant direction along (1,1,0,...)
+  private val dim = 8
+  private lazy val vecs: Seq[(Long, Seq[Float])] =
+    (0L until 200L).map { i =>
+      val a = math.sin(i * 0.7) * 3.0
+      val b = math.cos(i * 1.3)
+      val v = Seq.tabulate(dim) { d =>
+        (a * (if (d < 2) 1.0 else 0.0) +
+          b * (if (d == 2) 1.0 else 0.0) +
+          0.1 * math.sin(i * 0.1 + d)).toFloat
+      }
+      (i, v)
+    }
+  private lazy val emb = vecs.toDF("vec_id", "embedding")
+
+  private def denseCov(): (Array[Double], Array[Array[Double]]) = {
+    val n = vecs.size
+    val mean = Array.tabulate(dim)(d => vecs.map(_._2(d).toDouble).sum / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      vecs.map { case (_, v) =>
+        (v(i) - mean(i)) * (v(j) - mean(j))
+      }.sum / n
+    }
+    (mean, cov)
+  }
+
+  test("standardize: zero mean, unit variance, hand-checked value") {
+    val z = Pca.standardize(emb, "vec_id", "embedding", roundTo = 6)
+      .as[(Long, Long, Double)].collect()
+    val byDim = z.groupBy(_._2)
+    assert(byDim.size == dim)
+    for ((_, rows) <- byDim) {
+      val m = rows.map(_._3).sum / rows.size
+      val v = rows.map(r => r._3 * r._3).sum / rows.size
+      assert(math.abs(m) < 1e-4, s"mean $m")
+      assert(math.abs(v - 1.0) < 1e-4, s"var $v")
+    }
+    val (mean, cov) = denseCov()
+    val want = (vecs.head._2(0) - mean(0)) / math.sqrt(cov(0)(0))
+    val got = z.find(r => r._1 == 0L && r._2 == 0L).get._3
+    assert(math.abs(got - want) < 1e-4)
+  }
+
+  test("covariance matches a dense local recomputation, and is symmetric") {
+    val got = Pca.covariance(emb, "vec_id", "embedding", roundTo = 8)
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => ((i.toInt, j.toInt), c) }.toMap
+    assert(got.size == dim * dim)
+    val (_, cov) = denseCov()
+    for (i <- 0 until dim; j <- 0 until dim) {
+      assert(math.abs(got((i, j)) - cov(i)(j)) < 1e-6, s"cov($i,$j)")
+      assert(got((i, j)) == got((j, i)))
+    }
+  }
+
+  test("train: orthonormal basis, eigen equation, descending eigenvalues") {
+    val k = 3
+    val m = Pca.train(emb, "vec_id", "embedding", k = k)
+    for (a <- 0 until k; b <- 0 until k) {
+      val dot = (0 until dim).map(i => m.components(a)(i) * m.components(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-6, s"<w$a,w$b> = $dot")
+    }
+    assert(m.eigenvalues.toSeq == m.eigenvalues.sortBy(-_).toSeq)
+    // eigen equation against the dense covariance: C w = lambda w
+    val (_, cov) = denseCov()
+    for (c <- 0 until k) {
+      val w = m.components(c)
+      val cw = Array.tabulate(dim)(i => (0 until dim).map(j => cov(i)(j) * w(j)).sum)
+      for (i <- 0 until dim)
+        assert(math.abs(cw(i) - m.eigenvalues(c) * w(i)) < 1e-4,
+          s"comp $c dim $i: ${cw(i)} vs ${m.eigenvalues(c) * w(i)}")
+    }
+  }
+
+  test("project: per-component variance ≈ eigenvalue, total variance bounded") {
+    val k = 3
+    val m = Pca.train(emb, "vec_id", "embedding", k = k)
+    val pcs = Pca.project(emb, "vec_id", "embedding", m, roundTo = 6)
+      .as[(Long, Seq[Double])].collect()
+    assert(pcs.length == vecs.size)
+    val (_, cov) = denseCov()
+    val total = (0 until dim).map(i => cov(i)(i)).sum
+    for (c <- 0 until k) {
+      val xs = pcs.map(_._2(c))
+      val mu = xs.sum / xs.length
+      val v = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+      assert(math.abs(v - m.eigenvalues(c)) < 1e-2 * math.max(1.0, m.eigenvalues(c)),
+        s"var(pc$c) $v vs ${m.eigenvalues(c)}")
+      assert(m.eigenvalues(c) <= total + 1e-9)
+    }
+  }
+}

@@ -161,4 +161,23 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(r(4L)._2 == 0 && r(4L)._3 == 0 && r(4L)._4 == 1)
     assert(r(4L)._5 == "u@<IP> and 1234-567-8901 has no 3-3-4 boundary")
   }
+
+  test("chunkDocs: sliding windows cover every token, overlap = size - stride") {
+    def text(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text(50)), (2L, text(10)), (3L, text(71)))
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.chunkDocs(docs, "doc_id", "text",
+        chunkSize = 30, stride = 20)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // n=50: chunks [1..30], [21..50]; n=10: one short chunk; n=71: 4 chunks
+    assert(got(1L).map(_._3).toSeq == Seq(30L, 30L))
+    assert(got(1L)(1)._4.startsWith("w21 ") && got(1L)(1)._4.endsWith(" w50"))
+    assert(got(2L).toSeq == Seq((2L, 0L, 10L, text(10))))
+    assert(got(3L).map(_._3).toSeq == Seq(30L, 30L, 30L, 11L))
+    assert(got(3L)(3)._4 == (61 to 71).map(i => s"w$i").mkString(" "))
+    // coverage: the set of tokens across chunks is exactly the document
+    val toks = got(3L).flatMap(_._4.split(" ")).toSet
+    assert(toks == (1 to 71).map(i => s"w$i").toSet)
+  }
 }
