@@ -615,6 +615,15 @@ object SparkEntry {
       Pca.train(emb, "vec_id", "embedding", k = 4))
   }
 
+  /** c2: FineWeb-style relative quality gate — keep the top half of each
+    * source by quality score, exact percent_rank form (the
+    * approx-cutoff scale path is spec'd equivalent in
+    * `TextAnalyticsSpec`).
+    */
+  private def c2QualityGate(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.qualityPercentileGate(
+      T(s, d, "documents"), "doc_id", "text", "source", keepFrac = 0.5)
+
   /** d10: segment-level exact dedup (CCNet-style line dedup over
     * fixed 20-token segments — the corpus has no newlines, so the
     * segmentation stands in for the line split).
@@ -721,6 +730,7 @@ object SparkEntry {
     "s1_stratified_sample" -> (s1StratifiedSample _),
     "s2_domain_mix" -> (s2DomainMix _),
     "c1_corpus_curation" -> (c1Curation _),
+    "c2_quality_gate" -> (c2QualityGate _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1177,6 +1187,22 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
         |    AS bpeish_tokens
         |FROM documents""".stripMargin,
+    "c2_quality_gate" ->
+      """WITH q AS (SELECT doc_id AS id, source AS grp,
+        |    round(sr * 0.25 + ur * 0.5 + lok * 0.25, 4) AS quality
+        |  FROM (SELECT doc_id, source,
+        |      len(list_filter(w, t -> t IN ('the','a','to','of','and','in','on','for')))::DOUBLE
+        |        / len(w) AS sr,
+        |      len(list_distinct(w))::DOUBLE / len(w) AS ur,
+        |      CASE WHEN len(w) BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END AS lok
+        |    FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+        |      FROM documents))),
+        |r AS (SELECT id, grp, quality,
+        |    percent_rank() OVER (PARTITION BY grp ORDER BY quality DESC, id)
+        |      AS pr
+        |  FROM q)
+        |SELECT id, grp, quality, round(pr, 6) AS pr FROM r
+        |WHERE pr <= 0.5""".stripMargin,
     "d10_segment_dedup" ->
       """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w
         |  FROM documents),

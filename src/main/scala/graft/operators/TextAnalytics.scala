@@ -293,6 +293,47 @@ object TextAnalytics {
       .toDF("id", "fp")
   }
 
+  /** Per-group relative quality gate (the FineWeb-style "keep the top
+    * X% per source" filter): percent_rank of the quality score within
+    * each group — scored descending with the id as tiebreak, so ranks
+    * are engine-reproducible — keeping rows at or below the cutoff.
+    *
+    * The exact form is a per-group sort; the group key caps parallelism,
+    * so at corpus scale use [[qualityCutoffGate]] (aggregate cutoffs,
+    * broadcast back) and reserve this one for oracle checks / small
+    * group counts.
+    */
+  def qualityPercentileGate(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      keepFrac: Double, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy(col("quality").desc, col("id").asc)
+    docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        qualityColumn(col(textCol)).as("quality"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= keepFrac)
+      .withColumn("pr", round(col("pr"), roundTo))
+  }
+
+  /** The scale path of [[qualityPercentileGate]]: per-group approximate
+    * quality cutoffs (one tiny groupBy — map-side partial sketches, no
+    * sort) broadcast back as a filter. Keeps every row whose quality
+    * clears its group's (1 - keepFrac) quantile; boundary ties can
+    * differ from the exact gate by at most the sketch error.
+    */
+  def qualityCutoffGate(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      keepFrac: Double, accuracy: Int = 10000): DataFrame = {
+    val q = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      qualityColumn(col(textCol)).as("quality"))
+    val cuts = q.groupBy("grp").agg(
+      percentile_approx(col("quality"), lit(1.0 - keepFrac), lit(accuracy))
+        .as("cut"))
+    q.join(broadcast(cuts), Seq("grp"))
+      .filter(col("quality") >= col("cut"))
+      .select("id", "grp", "quality")
+  }
+
   /** Sliding-window document chunking (the RAG / context-window prep step):
     * cut each document's token stream into windows of `chunkSize` tokens
     * advancing by `stride` (overlap = chunkSize - stride). Every token is

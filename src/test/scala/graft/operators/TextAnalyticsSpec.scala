@@ -162,6 +162,38 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(r(4L)._5 == "u@<IP> and 1234-567-8901 has no 3-3-4 boundary")
   }
 
+  test("quality gates: exact percentile vs approx cutoff agree, monotone per group") {
+    // two sources with distinct quality profiles (lengths vary -> distinct scores)
+    val docs = (1L to 30L).map { i =>
+      val n = 20 + (i * 7 % 25).toInt
+      (i, if (i % 2 == 0) "a" else "b",
+        (1 to n).map(j => if (j % 3 == 0) "the" else s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val exact = TextAnalytics.qualityPercentileGate(
+      docs, "doc_id", "text", "source", keepFrac = 0.5)
+      .as[(Long, String, Double, Double)].collect()
+    val approx = TextAnalytics.qualityCutoffGate(
+      docs, "doc_id", "text", "source", keepFrac = 0.5)
+      .as[(Long, String, Double)].collect()
+    // roughly half of each group survives the exact gate
+    val perGrp = exact.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perGrp("a") >= 7 && perGrp("a") <= 9, perGrp.toString)
+    assert(perGrp("b") >= 7 && perGrp("b") <= 9, perGrp.toString)
+    // monotone: every kept row outscores every dropped row of its group
+    val all = TextAnalytics.qualityScore(docs, "doc_id", "text")
+      .select("id", "quality").as[(Long, Double)].collect().toMap
+    for (gate <- Seq(exact.map(r => (r._1, r._2)).toSet,
+        approx.map(r => (r._1, r._2)).toSet); grp <- Seq("a", "b")) {
+      val ids = (1L to 30L).filter(i => (if (i % 2 == 0) "a" else "b") == grp)
+      val (kept, dropped) = ids.partition(i => gate.contains((i, grp)))
+      assert(kept.nonEmpty && dropped.nonEmpty)
+      assert(kept.map(all).min >= dropped.map(all).max,
+        s"$grp: kept min ${kept.map(all).min} < dropped max ${dropped.map(all).max}")
+    }
+    // high-accuracy sketch on a small corpus: the two gates keep the same set
+    assert(exact.map(r => (r._1, r._2)).toSet == approx.map(r => (r._1, r._2)).toSet)
+  }
+
   test("chunkDocs: sliding windows cover every token, overlap = size - stride") {
     def text(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, text(50)), (2L, text(10)), (3L, text(71)))
