@@ -631,6 +631,13 @@ object SparkEntry {
   private def d10SegmentDedup(s: SparkSession, d: String): DataFrame =
     Dedup.segmentDedup(T(s, d, "documents"), "doc_id", "text", segTokens = 20)
 
+  /** d11: exact-substring duplicate spans — maximal >= 20-token runs
+    * occurring more than once corpus-wide (ExactSubstr detection pass).
+    */
+  private def d11ExactSubstr(s: SparkSession, d: String): DataFrame =
+    Dedup.repeatedSubstringSpans(T(s, d, "documents"), "doc_id", "text",
+      minTokens = 20)
+
   /** t12: sliding-window chunking (30-token windows, stride 20) — the
     * RAG / context-window prep pass, shuffle-free.
     */
@@ -712,6 +719,7 @@ object SparkEntry {
     "d8_semdedup" -> (d8SemDedup _),
     "d9_decontaminate" -> (d9Decontam _),
     "d10_segment_dedup" -> (d10SegmentDedup _),
+    "d11_exact_substr" -> (d11ExactSubstr _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2Quality _),
     "t3_lang_id" -> (t3LangId _),
@@ -1218,6 +1226,21 @@ object SparkEntry {
         |  string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx)
         |    AS text_dedup
         |FROM rn GROUP BY id""".stripMargin,
+    "d11_exact_substr" ->
+      """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT id, pos, array_to_string(w[pos : pos + 19], ' ') AS gram
+        |  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 19)) AS pos
+        |    FROM d WHERE len(w) >= 20)),
+        |r AS (SELECT id, pos FROM
+        |    (SELECT id, pos, count(*) OVER (PARTITION BY gram) AS cnt FROM g)
+        |  WHERE cnt > 1),
+        |s AS (SELECT id, pos,
+        |    pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+        |  FROM r)
+        |SELECT id, min(pos)::BIGINT AS span_start,
+        |  (max(pos) + 19)::BIGINT AS span_end, count(*)::BIGINT AS n_grams
+        |FROM s GROUP BY id, grp""".stripMargin,
     "t12_chunk" ->
       """WITH ch AS (SELECT doc_id AS id, w, len(w) AS n,
         |    unnest(generate_series(0,

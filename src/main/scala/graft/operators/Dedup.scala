@@ -58,6 +58,50 @@ object Dedup {
             x => x.getField("seg"))), lit("")).as("text_dedup"))
   }
 
+  /** Exact-substring duplicate spans (the ExactSubstr pass of Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed relationally): every maximal token run of length >= L
+    * that occurs more than once in the corpus (across documents or
+    * within one), reported per document as (span_start, span_end) token
+    * positions (1-based, inclusive). Composes with [[segmentDedup]]-style
+    * canonical selection when the caller wants removal rather than
+    * detection.
+    *
+    * Shape: every L-token gram is hashed at the scan (the L× blowup is
+    * CPU in the projection, never shuffled — the exchange carries only
+    * (id, pos, hash64)); duplicated grams come from a count over the
+    * gram hash (one shuffle, the suffix-array stand-in); maximal runs
+    * merge consecutive duplicated starts with the pos − row_number
+    * sessionize trick (one shuffle on the doc id). No suffix array, no
+    * driver state — at 100 TB this is two hash shuffles of 12-byte rows.
+    */
+  def repeatedSubstringSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = minTokens
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = docs
+      .select(col(idCol).cast("long").as("id"), toks.as("w"), size(toks).as("n"))
+      .filter(col("n") >= L)
+      .select(col("id"), col("w"),
+        explode(sequence(lit(1), col("n") - (L - 1))).as("pos"))
+      .select(col("id"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("w"), col("pos"), lit(L)))).as("gh"))
+    val dup = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("cnt") > 1)
+    dup
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("id").orderBy("pos")))
+      .groupBy("id", "grp")
+      .agg(
+        min("pos").cast("long").as("span_start"),
+        (max("pos") + (L - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("id", "span_start", "span_end", "n_grams")
+  }
+
   /** Exact duplicate groups: md5(text) -> (digest, n_docs, canonical id). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("digest"))

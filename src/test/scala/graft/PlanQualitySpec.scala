@@ -189,6 +189,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"missing partial agg:\n$plan")
   }
 
+  test("exact-substring spans: two hash shuffles, gram strings never shuffled") {
+    val df = SparkEntry.queries("d11_exact_substr")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"span detection must not cross-join:\n$plan")
+    // gram hashing happens scan-side: at most the gh window, the id
+    // window and the final agg move data
+    assert(exchangeCount(plan) <= 3, s"too many shuffles:\n$plan")
+  }
+
   test("segment dedup never goes quadratic (window + group-by only)") {
     val df = SparkEntry.queries("d10_segment_dedup")(spark, dir)
     val plan = planOf(df)

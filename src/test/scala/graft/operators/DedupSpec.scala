@@ -206,6 +206,30 @@ class DedupSpec extends AnyFunSuite {
       exp.map(p => (p._1, p._2))))
   }
 
+  test("repeatedSubstringSpans finds maximal shared runs, exact positions") {
+    def run(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val shared = run("s", 12) // a 12-token span planted in docs 1 and 2
+    val doc1 = run("a", 5) ++ shared ++ run("b", 7)   // shared at pos 6..17
+    val doc2 = run("c", 9) ++ shared ++ run("d", 3)   // shared at pos 10..21
+    val doc3 = run("e", 4) ++ run("f", 8) ++ run("e", 4) // no run >= 8 twice
+    val docs = Seq(
+      (1L, doc1.mkString(" ")), (2L, doc2.mkString(" ")),
+      (3L, doc3.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.repeatedSubstringSpans(docs, "doc_id", "text", minTokens = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // maximal span = the full 12 tokens: gram starts pos..pos+4 merge (5 grams)
+    assert(got == Set((1L, 6L, 17L, 5L), (2L, 10L, 21L, 5L)))
+    // within-doc repetition also counts as duplication
+    val selfRep = run("x", 10) ++ run("y", 6) ++ run("x", 10)
+    val d4 = Seq((4L, selfRep.mkString(" "))).toDF("doc_id", "text")
+    val g4 = Dedup.repeatedSubstringSpans(d4, "doc_id", "text", minTokens = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(g4 == Set((4L, 1L, 10L, 1L), (4L, 17L, 26L, 1L)))
+    // short docs (< minTokens) never contribute grams
+    val short = Seq((5L, "one two three")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSubstringSpans(short, "doc_id", "text", 8).count() == 0)
+  }
+
   test("segmentDedup keeps the canonical occurrence of each segment") {
     val A = "a1 a2 a3"; val B = "b1 b2 b3"; val C = "c1 c2 c3"
     val docs = Seq(
