@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalytics
+
+/** Streaming corpus curation: the ingest-time filter chain a training-data
+  * pipeline runs on documents as they arrive — language gate, absolute
+  * quality gate, PII redaction, content dedup within the watermark — as
+  * ONE unbounded plan built from the same Column expressions the batch
+  * operators use ([[TextAnalytics.qualityColumn]] / `langIdColumn` /
+  * `redactColumn`). One code path, two execution modes: the spec replays
+  * the stream against the batch operators and asserts identical output.
+  *
+  * Stateless stages (gates, redaction) are per-row projections — they
+  * scale exactly as their batch twins. The only stateful stage is the
+  * digest dedup, whose state is bounded by the watermark delay
+  * ([[StreamDedup.dropDuplicateContent]]) — the streaming stand-in for
+  * the corpus-wide canonical pass (which remains a batch job; a stream
+  * cannot hold corpus-lifetime dedup state).
+  */
+object CurationStream {
+
+  /** The curation predicate shared by both modes. */
+  def keep(textCol: Column, lang: String, minQuality: Double): Column =
+    TextAnalytics.langIdColumn(textCol) === lang &&
+      TextAnalytics.qualityColumn(textCol) >= minQuality
+
+  /** Curate a (possibly streaming) document frame: gate on language +
+    * quality, redact PII, dedup on redacted-content digest within the
+    * watermark. Emits (id, event time, quality, redacted text).
+    */
+  def curate(
+      docs: DataFrame, idCol: String, textCol: String,
+      eventTimeCol: String, delay: String,
+      lang: String = "en", minQuality: Double = 0.5): DataFrame = {
+    val gated = docs
+      .filter(keep(col(textCol), lang, minQuality))
+      .select(col(idCol).as("id"), col(eventTimeCol).as("ts"),
+        TextAnalytics.qualityColumn(col(textCol)).as("quality"),
+        TextAnalytics.redactColumn(col(textCol)).as("redacted"))
+    StreamDedup.dropDuplicateContent(gated, "ts", delay, "redacted")
+  }
+}
