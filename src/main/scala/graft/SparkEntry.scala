@@ -1114,9 +1114,14 @@ object SparkEntry {
         |  FROM tf JOIN c USING (term) CROSS JOIN tot
         |  WHERE NOT tgt GROUP BY doc_id),
         |sc AS (SELECT id, round(log_ratio
-        |      - ln(-ln(((((id + 42) * 2654435761) % 4294967296)::DOUBLE + 0.5)
-        |        / 4294967296)), 4) AS score
-        |  FROM wts)
+        |      - ln(-ln((xor(h2, h2 >> 16)::DOUBLE + 0.5) / 4294967296)), 4)
+        |      AS score
+        |  FROM (SELECT id, log_ratio,
+        |      (xor(h1, h1 >> 16) * 73244475) % 4294967296 AS h2
+        |    FROM (SELECT id, log_ratio,
+        |        (xor(h0, h0 >> 16) * 73244475) % 4294967296 AS h1
+        |      FROM (SELECT id, log_ratio,
+        |          (id % 4294967296 + 42) % 4294967296 AS h0 FROM wts))))
         |SELECT id, score, row_number() OVER (ORDER BY score DESC, id)::BIGINT
         |    AS sample_rank
         |FROM sc ORDER BY score DESC, id LIMIT 100""".stripMargin,

@@ -26,12 +26,16 @@ object Dedup {
     * Output per doc: total and kept segment counts plus the deduped text
     * (null when every segment was a duplicate of an earlier doc's).
     *
-    * Shape: two shuffles — a window keyed by the segment text to pick the
-    * canonical occurrence (the comparison an exact segment dedup cannot
-    * avoid; at corpus scale key it by a 128-bit digest instead to shuffle
-    * 16 bytes rather than the span), then the group-by-doc reassembly.
-    * The in-doc re-order runs over each doc's kept segments only
-    * (`array_sort` of a collected struct list), never a corpus sort.
+    * Shape: the canonical occurrence per segment is a `min(struct(id,
+    * pos))` aggregate — map-side partials collapse a boilerplate segment
+    * to ONE row per partition before it shuffles, so a segment occurring
+    * 10⁹ times costs 10⁹ CPU-side comparisons but never lands 10⁹ rows
+    * on one reducer (a `row_number` window over the segment would). The
+    * join back re-shuffles the segment rows; a hot key there is an
+    * equi-join AQE can skew-split — windows it cannot. Then one
+    * group-by-doc reassembly; the in-doc re-order runs over each doc's
+    * kept segments only (`array_sort` of a collected struct list), never
+    * a corpus sort.
     */
   def segmentDedup(
       docs: DataFrame, idCol: String, textCol: String,
@@ -46,16 +50,22 @@ object Dedup {
       .select(col("id"), col("si").cast("long").as("seg_idx"),
         concat_ws(" ", slice(col("w"), col("si") * segTokens + 1, lit(segTokens)))
           .as("seg"))
-    val canon = Window.partitionBy("seg").orderBy("id", "seg_idx")
-    segs.withColumn("rn", row_number().over(canon))
+    val canon = segs.groupBy("seg")
+      .agg(min(struct(col("id"), col("seg_idx"))).as("c"))
+    segs.join(canon, Seq("seg"))
+      .withColumn("keep",
+        col("c.id") === col("id") && col("c.seg_idx") === col("seg_idx"))
       .groupBy("id").agg(
         count(lit(1)).as("n_segs"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-        nullif(concat_ws(" ",
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ",
           transform(
             array_sort(collect_list(
-              when(col("rn") === 1, struct(col("seg_idx"), col("seg"))))),
-            x => x.getField("seg"))), lit("")).as("text_dedup"))
+              when(col("keep"), struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg"))).as("td"))
+      // null = nothing survived (kept-but-empty segments stay "")
+      .select(col("id"), col("n_segs"), col("n_kept"),
+        when(col("n_kept") > 0, col("td")).as("text_dedup"))
   }
 
   /** Exact-substring duplicate spans (the ExactSubstr pass of Lee et al.
@@ -69,11 +79,14 @@ object Dedup {
     *
     * Shape: every L-token gram is hashed at the scan (the L× blowup is
     * CPU in the projection, never shuffled — the exchange carries only
-    * (id, pos, hash64)); duplicated grams come from a count over the
-    * gram hash (one shuffle, the suffix-array stand-in); maximal runs
+    * (id, pos, hash64)); duplicated grams come from a count-aggregate
+    * over the gram hash — map-side partials collapse a corpus-wide
+    * boilerplate gram to one row per partition (a count *window* would
+    * sort every occurrence on one reducer) — semi-joined back against
+    * the gram rows (an equi-join AQE can skew-split); maximal runs
     * merge consecutive duplicated starts with the pos − row_number
     * sessionize trick (one shuffle on the doc id). No suffix array, no
-    * driver state — at 100 TB this is two hash shuffles of 12-byte rows.
+    * driver state — the exchanges carry 12-byte (id, pos, hash) rows.
     */
   def repeatedSubstringSpans(
       docs: DataFrame, idCol: String, textCol: String,
@@ -88,9 +101,9 @@ object Dedup {
         explode(sequence(lit(1), col("n") - (L - 1))).as("pos"))
       .select(col("id"), col("pos"),
         xxhash64(concat_ws(" ", slice(col("w"), col("pos"), lit(L)))).as("gh"))
-    val dup = grams
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gh")))
+    val dupKeys = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
+    val dup = grams.join(dupKeys.select("gh"), Seq("gh"), "left_semi")
     dup
       .withColumn("grp",
         col("pos") - row_number().over(Window.partitionBy("id").orderBy("pos")))

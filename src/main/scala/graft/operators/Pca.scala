@@ -44,12 +44,15 @@ object Pca {
         round((col("v") - col("mu")) / col("sd"), roundTo).as("z"))
   }
 
-  /** The centered exploded view: v - mean_dim (means broadcast back). */
+  /** The centered exploded view: (id, dim, cv = v - mean_dim, mu) with
+    * the means broadcast back — mu rides along so a consumer holding a
+    * materialized copy can read the mean without re-scanning the corpus.
+    */
   private def centered(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val ex = exploded(emb, idCol, vecCol)
     val mu = ex.groupBy("dim").agg(avg("v").as("mu"))
     ex.join(broadcast(mu), Seq("dim"))
-      .select(col("id"), col("dim"), (col("v") - col("mu")).as("cv"))
+      .select(col("id"), col("dim"), (col("v") - col("mu")).as("cv"), col("mu"))
   }
 
   /** The d×d population covariance matrix as (i, j, cov) rows:
@@ -63,8 +66,10 @@ object Pca {
     */
   def covariance(
       emb: DataFrame, idCol: String, vecCol: String,
-      roundTo: Int = 6): DataFrame = {
-    val c = centered(emb, idCol, vecCol)
+      roundTo: Int = 6): DataFrame =
+    covFromCentered(centered(emb, idCol, vecCol), roundTo)
+
+  private def covFromCentered(c: DataFrame, roundTo: Int): DataFrame = {
     val a = c.select(col("id"), col("dim").as("i"), col("cv").as("vi"))
     val b = c.select(col("id"), col("dim").as("j"), col("cv").as("vj"))
     a.join(b, Seq("id"))
@@ -116,16 +121,20 @@ object Pca {
   def train(
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 200): PcaModel = {
-    val ex = exploded(emb, idCol, vecCol)
-    val muRows = ex.groupBy("dim").agg(avg("v").as("mu")).collect()
-    val d = muRows.length
+    val d = emb.select(size(col(vecCol))).head.getInt(0)
+    require(k >= 1 && k <= d, s"k $k must be in [1, dim $d]")
+    // one materialization feeds both driver-bound moment reads: the mean
+    // (d rows, a tiny agg over the checkpointed view) and the covariance
+    // self-join's two consumers — without it the mean agg and each join
+    // side would re-run the explode over the corpus
+    val ctr = centered(emb, idCol, vecCol).localCheckpoint()
     val mean = new Array[Double](d)
-    muRows.foreach { case Row(dim: Long, mu: Double) => mean(dim.toInt) = mu }
+    ctr.groupBy("dim").agg(first("mu").as("mu")).collect()
+      .foreach { case Row(dim: Long, mu: Double) => mean(dim.toInt) = mu }
     val cov = Array.ofDim[Double](d, d)
-    covariance(emb, idCol, vecCol, roundTo = 12).collect().foreach {
+    covFromCentered(ctr, roundTo = 12).collect().foreach {
       case Row(i: Long, j: Long, c: Double) => cov(i.toInt)(j.toInt) = c
     }
-    require(k >= 1 && k <= d, s"k $k must be in [1, dim $d]")
     val comps = new Array[Array[Double]](k)
     val eigs = new Array[Double](k)
     for (c <- 0 until k) {

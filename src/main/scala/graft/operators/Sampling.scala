@@ -128,11 +128,15 @@ object Sampling {
     * [[importanceWeights]]' `log_ratio`) into an actual resample as ONE
     * relational pass, no sequential draws.
     *
-    * The noise is seeded and engine-portable: a Knuth multiplicative hash
-    * of the row id in exact integer arithmetic (any SQL engine computes
-    * the identical u), then g = −ln(−ln(u)). Scores are rounded before
-    * ranking with an id tiebreak, so the sample is reproducible across
-    * engines and float orders.
+    * The noise is seeded and engine-portable: a shift-xor-multiply
+    * integer mixer over the row id (two ((x ^ x>>16) · c) mod 2³²
+    * rounds + a final fold — full avalanche, so consecutive ids get
+    * independent-looking u, unlike a bare multiplicative hash whose
+    * u(id) is a lattice in id). Every intermediate stays below 2⁵⁹, so
+    * exact int64 arithmetic reproduces the identical u in any SQL
+    * engine at any id magnitude. Then g = −ln(−ln(u)); scores are
+    * rounded before ranking with an id tiebreak, so the sample is
+    * reproducible across engines and float orders.
     *
     * Scale: `orderBy(...).limit(k)` plans as TakeOrderedAndProject —
     * per-partition top-k then a driver-side merge of k·partitions rows;
@@ -141,10 +145,14 @@ object Sampling {
   def gumbelTopK(
       df: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: Long = 42L, roundTo: Int = 4): DataFrame = {
-    // seed offsets the id BEFORE the multiply — an additive post-multiply
-    // seed would only shift u by seed/2^32, reproducing the same sample
-    val h = pmod((col(idCol).cast("long") + lit(seed)) * lit(2654435761L),
-      lit(4294967296L))
+    // seed enters BEFORE the mixing rounds, so reseeding re-avalanches
+    // every u rather than shifting the sequence by a constant
+    val m = 4294967296L
+    def mix(x: Column): Column =
+      pmod(x.bitwiseXOR(shiftright(x, 16)) * lit(73244475L), lit(m))
+    val h0 = pmod(pmod(col(idCol).cast("long"), lit(m)) + lit(seed), lit(m))
+    val h2 = mix(mix(h0))
+    val h = h2.bitwiseXOR(shiftright(h2, 16))
     val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
     val score = round(col(weightCol) - log(-log(u)), roundTo)
     val top = df.select(col(idCol).as("id"), score.as("score"))

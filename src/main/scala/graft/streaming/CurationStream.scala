@@ -35,11 +35,17 @@ object CurationStream {
       docs: DataFrame, idCol: String, textCol: String,
       eventTimeCol: String, delay: String,
       lang: String = "en", minQuality: Double = 0.5): DataFrame = {
-    val gated = docs
-      .filter(keep(col(textCol), lang, minQuality))
-      .select(col(idCol).as("id"), col(eventTimeCol).as("ts"),
-        TextAnalytics.qualityColumn(col(textCol)).as("quality"),
-        TextAnalytics.redactColumn(col(textCol)).as("redacted"))
+    // signals are projected once and the gate filters the aliases —
+    // quality is not re-derived in both a predicate and a projection
+    // (Catalyst may still inline pushed-down predicates; keeping a
+    // single authored occurrence bounds the damage to that rewrite)
+    val scored = docs.select(col(idCol).as("id"), col(eventTimeCol).as("ts"),
+      TextAnalytics.langIdColumn(col(textCol)).as("lang"),
+      TextAnalytics.qualityColumn(col(textCol)).as("quality"),
+      TextAnalytics.redactColumn(col(textCol)).as("redacted"))
+    val gated = scored
+      .filter(col("lang") === lang && col("quality") >= minQuality)
+      .drop("lang")
     StreamDedup.dropDuplicateContent(gated, "ts", delay, "redacted")
   }
 }
