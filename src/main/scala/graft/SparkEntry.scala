@@ -615,6 +615,12 @@ object SparkEntry {
       Pca.train(emb, "vec_id", "embedding", k = 4))
   }
 
+  /** t13: token-distribution entropy per doc — the information-density
+    * quality signal.
+    */
+  private def t13TokenEntropy(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.tokenEntropy(T(s, d, "documents"), "doc_id", "text")
+
   /** c2: FineWeb-style relative quality gate — keep the top half of each
     * source by quality score, exact percent_rank form (the
     * approx-cutoff scale path is spec'd equivalent in
@@ -732,6 +738,7 @@ object SparkEntry {
     "t10_unigram_logprob" -> (t10UnigramLogProb _),
     "t11_pii_redact" -> (t11PiiRedact _),
     "t12_chunk" -> (t12Chunk _),
+    "t13_token_entropy" -> (t13TokenEntropy _),
     "s3_dsir_weights" -> (s3DsirWeights _),
     "s4_gumbel_topk" -> (s4GumbelTopK _),
     "f9_zorder" -> (f9Zorder _),
@@ -1256,6 +1263,15 @@ object SparkEntry {
         |  least(30, n - ci * 20)::BIGINT AS n_chunk_tokens,
         |  array_to_string(w[ci * 20 + 1 : ci * 20 + 30], ' ') AS chunk_text
         |FROM ch""".stripMargin,
+    "t13_token_entropy" ->
+      """WITH tf AS (SELECT id, term, count(*) AS tf
+        |  FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT id, sum(tf)::BIGINT AS n_tokens,
+        |  count(*)::BIGINT AS n_distinct,
+        |  round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS entropy
+        |FROM tf GROUP BY id""".stripMargin,
     "v7_standardize" ->
       """WITH e2 AS (SELECT id, (i - 1)::BIGINT AS dim, e[i]::DOUBLE AS v
         |  FROM (SELECT vec_id AS id, embedding AS e,

@@ -293,6 +293,31 @@ object TextAnalytics {
       .toDF("id", "fp")
   }
 
+  /** Per-document token-distribution entropy — the information-density
+    * quality signal: H = ln(n) − (Σ tf·ln tf)/n over token frequencies.
+    * 0 for a single repeated token, ln(n) for all-distinct tokens; low
+    * values flag degenerate generations that length/uniq ratios miss
+    * when the repetition is spread across a few tokens.
+    *
+    * One explode + two aggregations (term counts ride a (id, term)
+    * groupBy with map-side partials; the rollup is per doc) — the same
+    * shuffle skeleton as [[tfIdfTopTerms]] without the corpus-wide term
+    * pass.
+    */
+  def tokenEntropy(
+      docs: DataFrame, idCol: String, textCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("id").agg(
+      sum("tf").cast("long").as("n_tokens"),
+      count(lit(1)).cast("long").as("n_distinct"),
+      round(
+        log(sum("tf")) - sum(col("tf") * log(col("tf"))) / sum("tf"),
+        roundTo).as("entropy"))
+  }
+
   /** Per-group relative quality gate (the FineWeb-style "keep the top
     * X% per source" filter): percent_rank of the quality score within
     * each group — scored descending with the id as tiebreak, so ranks

@@ -162,6 +162,22 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(r(4L)._5 == "u@<IP> and 1234-567-8901 has no 3-3-4 boundary")
   }
 
+  test("tokenEntropy: 0 for repetition, ln(n) for distinct, hand value between") {
+    val docs = Seq(
+      (1L, "x x x x"),              // H = 0
+      (2L, "a b c d e"),            // H = ln 5
+      (3L, "a a b b c c c c")       // n=8: ln 8 - (2·2ln2 + 4ln4)/8
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.tokenEntropy(docs, "doc_id", "text", roundTo = 6)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 1L, 0.0)))
+    assert(math.abs(got(2L)._4 - math.log(5)) < 1e-6 && got(2L)._3 == 5L)
+    val h3 = math.log(8) - (2 * 2 * math.log(2) + 4 * math.log(4)) / 8
+    assert(math.abs(got(3L)._4 - h3) < 1e-6)
+    // spread-out repetition scores lower entropy than distinct text of equal length
+    assert(got(3L)._4 < math.log(8) && got(3L)._4 > 0)
+  }
+
   test("quality gates: exact percentile vs approx cutoff agree, monotone per group") {
     // two sources with distinct quality profiles (lengths vary -> distinct scores)
     val docs = (1L to 30L).map { i =>
