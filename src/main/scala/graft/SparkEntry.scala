@@ -644,6 +644,13 @@ object SparkEntry {
     Dedup.repeatedSubstringSpans(T(s, d, "documents"), "doc_id", "text",
       minTokens = 20)
 
+  /** d12: ExactSubstr removal — the corpus with every >= 20-token
+    * repeated run cut out (all occurrences, per the paper's default).
+    */
+  private def d12SubstrRemoved(s: SparkSession, d: String): DataFrame =
+    Dedup.removeRepeatedSubstrings(T(s, d, "documents"), "doc_id", "text",
+      minTokens = 20)
+
   /** t12: sliding-window chunking (30-token windows, stride 20) — the
     * RAG / context-window prep pass, shuffle-free.
     */
@@ -726,6 +733,7 @@ object SparkEntry {
     "d9_decontaminate" -> (d9Decontam _),
     "d10_segment_dedup" -> (d10SegmentDedup _),
     "d11_exact_substr" -> (d11ExactSubstr _),
+    "d12_substr_removed" -> (d12SubstrRemoved _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2Quality _),
     "t3_lang_id" -> (t3LangId _),
@@ -1253,6 +1261,33 @@ object SparkEntry {
         |SELECT id, min(pos)::BIGINT AS span_start,
         |  (max(pos) + 19)::BIGINT AS span_end, count(*)::BIGINT AS n_grams
         |FROM s GROUP BY id, grp""".stripMargin,
+    "d12_substr_removed" ->
+      """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT id, pos, array_to_string(w[pos : pos + 19], ' ') AS gram
+        |  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 19)) AS pos
+        |    FROM d WHERE len(w) >= 20)),
+        |r AS (SELECT id, pos FROM
+        |    (SELECT id, pos, count(*) OVER (PARTITION BY gram) AS cnt FROM g)
+        |  WHERE cnt > 1),
+        |sp AS (SELECT id, min(pos) AS span_start, max(pos) + 19 AS span_end
+        |  FROM (SELECT id, pos,
+        |      pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+        |    FROM r)
+        |  GROUP BY id, grp),
+        |t AS (SELECT id, pos, w[pos] AS tok
+        |  FROM (SELECT id, w, unnest(generate_series(1, len(w))) AS pos
+        |    FROM d)),
+        |k AS (SELECT id, pos, tok FROM t
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.id = t.id AND t.pos BETWEEN sp.span_start AND sp.span_end)),
+        |agg AS (SELECT id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        |  FROM k GROUP BY id)
+        |SELECT d2.doc_id AS id,
+        |  len(string_split(d2.text, ' '))::BIGINT AS n_tokens,
+        |  coalesce(agg.n_kept, 0)::BIGINT AS n_kept, agg.text_clean
+        |FROM documents d2 LEFT JOIN agg ON agg.id = d2.doc_id""".stripMargin,
     "t12_chunk" ->
       """WITH ch AS (SELECT doc_id AS id, w, len(w) AS n,
         |    unnest(generate_series(0,

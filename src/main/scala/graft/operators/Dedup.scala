@@ -16,6 +16,44 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** The removal half of ExactSubstr: cut every token that lies inside a
+    * repeated >= minTokens run ([[repeatedSubstringSpans]]) out of the
+    * corpus — ALL occurrences go (the paper's default; keeping one
+    * canonical copy is [[segmentDedup]]'s contract at segment
+    * granularity). Emits per doc the original/kept token counts and the
+    * cleaned text (null when everything was duplicated).
+    *
+    * Shape: the span table is tiny relative to the corpus (one row per
+    * maximal duplicated run); tokens anti-join it on the doc id with a
+    * position-range predicate — an equi-join on id with a residual
+    * filter, not a theta join — then one group-by-doc reassembly.
+    */
+  def removeRepeatedSubstrings(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20): DataFrame = {
+    val spans = repeatedSubstringSpans(docs, idCol, textCol, minTokens)
+      .select(col("id").as("sid"), col("span_start"), col("span_end"))
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      toks.as("w"), size(toks).cast("long").as("n_tokens"))
+    val kept = base
+      .select(col("id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
+      .join(spans,
+        col("id") === col("sid") &&
+          col("pos").between(col("span_start"), col("span_end")),
+        "left_anti")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("text_clean"))
+    base.select("id", "n_tokens")
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("text_clean"))
+  }
+
   /** Segment-level exact dedup (the CCNet / RefinedWeb "line dedup" pass,
     * generalized): split every document into fixed-width token segments,
     * keep only the canonical occurrence of each distinct segment — the

@@ -230,6 +230,30 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.repeatedSubstringSpans(short, "doc_id", "text", 8).count() == 0)
   }
 
+  test("removeRepeatedSubstrings cuts all occurrences, keeps the rest in order") {
+    def run(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val shared = run("s", 10)
+    val doc1 = run("a", 3) ++ shared ++ run("b", 4)  // span at pos 4..13
+    val doc2 = shared ++ run("c", 5)                  // span at pos 1..10
+    val doc3 = run("d", 6)                            // untouched (short, unique)
+    val docs = Seq(
+      (1L, doc1.mkString(" ")), (2L, doc2.mkString(" ")),
+      (3L, doc3.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSubstrings(docs, "doc_id", "text", minTokens = 8)
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 17L, 7L,
+      Some((run("a", 3) ++ run("b", 4)).mkString(" ")))))
+    assert(got(2L) == ((2L, 15L, 5L, Some(run("c", 5).mkString(" ")))))
+    assert(got(3L) == ((3L, 6L, 6L, Some(doc3.mkString(" ")))))
+    // a doc that is entirely one repeated run vanishes (null text)
+    val dup = Seq((4L, shared.mkString(" ")), (5L, shared.mkString(" ")))
+      .toDF("doc_id", "text")
+    val g4 = Dedup.removeRepeatedSubstrings(dup, "doc_id", "text", minTokens = 8)
+      .as[(Long, Long, Long, Option[String])].collect().toSet
+    assert(g4 == Set((4L, 10L, 0L, None), (5L, 10L, 0L, None)))
+  }
+
   test("segmentDedup keeps the canonical occurrence of each segment") {
     val A = "a1 a2 a3"; val B = "b1 b2 b3"; val C = "c1 c2 c3"
     val docs = Seq(
