@@ -483,10 +483,21 @@ object Dedup {
     * smallest member. Converges in O(component diameter) rounds — near-dup
     * clusters are shallow, so a handful; `maxIters` is a safety bound.
     *
+    * Small-graph fast path: the edge set is already materialized (the
+    * checkpoint below), so its count is free — when it fits
+    * `smallGraphEdges` and the ids are integral, connectivity resolves as
+    * driver-side union-find in one pass instead of paying several
+    * multi-stage fixpoint rounds for a toy graph. Same bounded-driver-
+    * state contract as the IVF centroids: the threshold caps memory, the
+    * distributed fixpoint remains the path for web-scale edge sets, and
+    * `DedupSpec` holds both paths to the same union-find oracle.
+    *
     * Input: (id_a, id_b) edges. Output: (id, cluster) for every node that
     * appears in an edge; cluster = min id of its component.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def duplicateClusters(
+      pairs: DataFrame, maxIters: Int = 20,
+      smallGraphEdges: Long = 1L << 20): DataFrame = {
     // The (possibly expensive) pair pipeline is localCheckpoint'd ONCE —
     // eager, so it runs exactly one time; the doubled edge list and the
     // label fixpoint all derive from the materialized pair set. Checkpoint
@@ -496,6 +507,30 @@ object Dedup {
     // otherwise).
     val p0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint()
+    val integralIds = p0.schema.fields.forall(f => f.dataType match {
+      case org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    if (integralIds && p0.count() <= smallGraphEdges) {
+      val spark = p0.sparkSession
+      import spark.implicits._
+      val es = p0.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "cluster")
+    }
     val edges = p0.unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint()

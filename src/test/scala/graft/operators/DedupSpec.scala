@@ -171,6 +171,11 @@ class DedupSpec extends AnyFunSuite {
       .map(x => x -> find(x)).toMap
     val got = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
     assert(got == want)
+    // force the distributed fixpoint (threshold 0) — must agree with the
+    // driver union-find fast path
+    val distributed = Dedup.duplicateClusters(pairs, smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == want)
   }
 
   test("simHash is deterministic and separates similar from different") {
