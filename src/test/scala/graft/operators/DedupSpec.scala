@@ -235,6 +235,22 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.repeatedSubstringSpans(short, "doc_id", "text", 8).count() == 0)
   }
 
+  test("segmentDedup is the identity on an all-unique corpus") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 50)
+      .map(i => (i.toLong,
+        (1 to (1 + rnd.nextInt(90))).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 10)
+      .as[(Long, Long, Long, Option[String])].collect()
+    val texts = docs.as[(Long, String)].collect().toMap
+    assert(got.length == 50)
+    got.foreach { case (id, nSegs, nKept, td) =>
+      assert(nSegs == nKept, s"doc $id lost segments without duplicates")
+      assert(td.contains(texts(id)), s"doc $id text changed")
+    }
+  }
+
   test("removeRepeatedSubstrings cuts all occurrences, keeps the rest in order") {
     def run(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
     val shared = run("s", 10)

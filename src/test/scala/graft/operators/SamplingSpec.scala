@@ -87,6 +87,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(got(1L)._2 - want1) < 1e-9, s"got ${got(1L)._2} want $want1")
   }
 
+  test("gumbelTopK noise is not a lattice in id (mixer regression)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Equal weights: selection depends on the noise alone. A linear
+    // (Weyl) hash u(id) = a·id + b (mod 1) selects ids forming a
+    // near-arithmetic set — by the three-distance theorem the sorted
+    // consecutive gaps take at most 3 distinct values. The avalanche
+    // mixer must produce many distinct gaps.
+    val pop = spark.range(2000L).select(col("id"), lit(0.0).as("w"))
+    val ids = Sampling.gumbelTopK(pop, "id", "w", k = 100)
+      .select("id").as[Long].collect().sorted
+    val gaps = ids.sliding(2).map(p => p(1) - p(0)).toSeq.distinct
+    assert(gaps.size > 10, s"only ${gaps.size} distinct gaps — lattice noise")
+  }
+
   test("gumbelTopK: deterministic, weight-sensitive, top-k planned (no global sort)") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val pop = spark.range(1000L).select(

@@ -162,6 +162,31 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(r(4L)._5 == "u@<IP> and 1234-567-8901 has no 3-3-4 boundary")
   }
 
+  test("chunkDocs properties: count formula, coverage, full non-last chunks") {
+    val rnd = new scala.util.Random(42)
+    val lens = Seq(1, 2, 19, 20, 21, 29, 30, 31, 49, 50, 51) ++
+      Seq.fill(60)(1 + rnd.nextInt(200))
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(j => s"d${i}_$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    for ((c, s) <- Seq((30, 20), (30, 30), (16, 7))) {
+      val byDoc = TextAnalytics.chunkDocs(docs, "doc_id", "text", c, s)
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      for ((n, i) <- lens.zipWithIndex) {
+        val chunks = byDoc(i.toLong)
+        val wantCount = if (n <= c) 1 else (n - c + s - 1) / s + 1
+        assert(chunks.length == wantCount, s"n=$n c=$c s=$s")
+        // token multiset coverage: chunk i holds tokens [i*s+1, i*s+c]
+        val covered = chunks.flatMap(_._4.split(" ")).toSet
+        assert(covered == (1 to n).map(j => s"d${i}_$j").toSet, s"n=$n c=$c s=$s")
+        // every non-last chunk is full; sizes match the reported count
+        chunks.dropRight(1).foreach(ch => assert(ch._3 == c))
+        chunks.foreach(ch => assert(ch._4.split(" ").length == ch._3))
+      }
+    }
+  }
+
   test("tokenEntropy: 0 for repetition, ln(n) for distinct, hand value between") {
     val docs = Seq(
       (1L, "x x x x"),              // H = 0
