@@ -324,27 +324,35 @@ object Dedup {
     // (executor-disk) checkpoint, not a cache: it also truncates lineage so
     // AQE replans only the downstream stages.
     val sh = shingleRows(docs, idCol, textCol, n).localCheckpoint()
-    val sigs = sigsFromShingles(sh, k, seed)
-
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
-    }
-    val banded = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-
+    val banded = bandKeyRows(sigsFromShingles(sh, k, seed), bands, k / bands)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    verifyJaccard(sh, cand, threshold)
+  }
 
-    // Exact verify on candidates only: |A ∩ B| by joining the shingle rows
-    // of both sides (per-doc totals ride along on the shingle rows). Each
-    // side is first semi-joined down to docs that actually appear in a
-    // candidate pair, so the verify shuffle is proportional to the
-    // candidate set, not the corpus — at 100 TB candidates ≪ corpus. No
-    // broadcast hints: AQE picks broadcast when the pair set is small.
+  /** The banded LSH keys of a signature frame as (id, band, key) rows. */
+  private def bandKeyRows(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
+    }
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Exact shingle-Jaccard verification of candidate pairs: |A ∩ B| by
+    * joining the shingle rows of both sides (per-doc totals ride along
+    * on the shingle rows). Each side is first semi-joined down to docs
+    * that actually appear in a candidate pair, so the verify shuffle is
+    * proportional to the candidate set, not the corpus — at 100 TB
+    * candidates ≪ corpus. No broadcast hints: AQE picks broadcast when
+    * the pair set is small.
+    */
+  private def verifyJaccard(
+      sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val sa = sh.join(cand.select(col("id_a").as("id")), Seq("id"), "left_semi")
     val sb = sh.join(cand.select(col("id_b").as("id")), Seq("id"), "left_semi")
     cand
@@ -359,6 +367,60 @@ object Dedup {
         col("id_a"), col("id_b"),
         (col("n_common") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Materialize the MinHash index of a corpus: the per-doc shingle rows
+    * and banded LSH keys as parquet, bands partitioned by `band` — the
+    * incremental-dedup layout. A daily increment then joins against the
+    * stored keys ([[minHashLshPairsIncremental]]) instead of re-sketching
+    * the whole corpus; at 100 TB the re-sketch is the cost that matters.
+    */
+  def writeMinHashIndex(
+      docs: DataFrame, idCol: String, textCol: String, dest: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, seed: Long = 42L): Unit = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val sh = shingleRows(docs, idCol, textCol, n).localCheckpoint()
+    sh.write.mode("overwrite").parquet(s"$dest/shingles")
+    bandKeyRows(sigsFromShingles(sh, k, seed), bands, k / bands)
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dest/bands")
+  }
+
+  /** Near-dup pairs of an increment against an existing corpus index
+    * (plus within the increment itself): every verified pair with at
+    * least one new doc. Index-internal pairs are already known and are
+    * not re-derived — the candidate join is increment-keys × (index ∪
+    * increment) keys, so its cost scales with the increment, not the
+    * corpus. Ids must be disjoint from the index's. Output schema matches
+    * [[minHashLshPairs]]; union with the index's own pair set to maintain
+    * the full near-dup relation incrementally.
+    */
+  def minHashLshPairsIncremental(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val newSh = shingleRows(newDocs, idCol, textCol, n).localCheckpoint()
+    val newBands = bandKeyRows(sigsFromShingles(newSh, k, seed), bands, k / bands)
+      .localCheckpoint()
+    val allBands = spark.read.parquet(s"$indexPath/bands")
+      .select("id", "band", "key").unionByName(newBands)
+    val newIds = newBands.select("id").distinct()
+    // a = the increment side only; pairs ordered (min, max) so schema and
+    // orientation match the batch operator regardless of id interleaving
+    val cand = newBands.as("a").join(allBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val allSh = spark.read.parquet(s"$indexPath/shingles")
+      .join(newIds.withColumnRenamed("id", "__nid"),
+        col("id") === col("__nid"), "left_anti") // increment shadows index
+      .unionByName(newSh)
+    verifyJaccard(allSh, cand, threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with

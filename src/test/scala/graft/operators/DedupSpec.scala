@@ -235,6 +235,25 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.repeatedSubstringSpans(short, "doc_id", "text", 8).count() == 0)
   }
 
+  test("incremental MinHash index: base pairs + increment pairs = full recompute") {
+    val real = spark.read.parquet(s"${graft.TestSpark.Sf0001}/documents.parquet")
+    val base = real.filter($"doc_id" % 2 === 0)
+    val inc = real.filter($"doc_id" % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    Dedup.writeMinHashIndex(base, "doc_id", "text", dir)
+    val basePairs = Dedup.minHashLshPairs(base, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val incPairs = Dedup.minHashLshPairsIncremental(
+        spark, dir, inc, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fullPairs = Dedup.minHashLshPairs(real, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fullPairs.nonEmpty)
+    // every incremental pair touches a new doc; the base set has the rest
+    assert(incPairs.forall(p => p._1 % 2 == 1 || p._2 % 2 == 1))
+    assert((basePairs ++ incPairs) == fullPairs)
+  }
+
   test("segmentDedup is the identity on an all-unique corpus") {
     val rnd = new scala.util.Random(7)
     val docs = (0 until 50)
