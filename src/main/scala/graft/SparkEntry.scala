@@ -621,6 +621,20 @@ object SparkEntry {
   private def t13TokenEntropy(s: SparkSession, d: String): DataFrame =
     TextAnalytics.tokenEntropy(T(s, d, "documents"), "doc_id", "text")
 
+  /** t14: URL extraction + domain normalization over a corpus with
+    * injected URLs (same injection pattern as t11 — the synthetic corpus
+    * carries none).
+    */
+  private def t14UrlStats(s: SparkSession, d: String): DataFrame = {
+    val injected = T(s, d, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" see https://Site"), col("doc_id") % 7, lit(".example.com/p/"),
+        col("doc_id"),
+        lit(" and http://mirror"), col("doc_id") % 3, lit(".example.org")
+      ).as("text"))
+    TextAnalytics.urlStats(injected, "doc_id", "text")
+  }
+
   /** c2: FineWeb-style relative quality gate — keep the top half of each
     * source by quality score, exact percent_rank form (the
     * approx-cutoff scale path is spec'd equivalent in
@@ -747,6 +761,7 @@ object SparkEntry {
     "t11_pii_redact" -> (t11PiiRedact _),
     "t12_chunk" -> (t12Chunk _),
     "t13_token_entropy" -> (t13TokenEntropy _),
+    "t14_url_stats" -> (t14UrlStats _),
     "s3_dsir_weights" -> (s3DsirWeights _),
     "s4_gumbel_topk" -> (s4GumbelTopK _),
     "f9_zorder" -> (f9Zorder _),
@@ -1298,6 +1313,21 @@ object SparkEntry {
         |  least(30, n - ci * 20)::BIGINT AS n_chunk_tokens,
         |  array_to_string(w[ci * 20 + 1 : ci * 20 + 30], ' ') AS chunk_text
         |FROM ch""".stripMargin,
+    "t14_url_stats" ->
+      """WITH inj AS (SELECT doc_id,
+        |    text || ' see https://Site' || (doc_id % 7)::VARCHAR
+        |      || '.example.com/p/' || doc_id::VARCHAR
+        |      || ' and http://mirror' || (doc_id % 3)::VARCHAR
+        |      || '.example.org' AS text
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  len(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)[^\s]*'))::BIGINT
+        |    AS n_urls,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_transform(
+        |      regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)[^\s]*', 1),
+        |      d -> lower(d)))), ',') AS domains
+        |FROM inj""".stripMargin,
     "t13_token_entropy" ->
       """WITH tf AS (SELECT id, term, count(*) AS tf
         |  FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term

@@ -389,6 +389,24 @@ object TextAnalytics {
           .as("chunk_text"))
   }
 
+  /** URL extraction + domain normalization (the web-pipeline primitive
+    * behind domain-level filtering policies): per doc the URL count and
+    * the sorted distinct lowercased domains, RE2-compatible pattern so
+    * the oracle runs it verbatim. Domains come out as one joined string —
+    * engine-comparable without array-hash semantics.
+    */
+  val UrlRe = "https?://([A-Za-z0-9.-]+)[^\\s]*"
+  def urlStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).cast("long")
+        .as("n_urls"),
+      array_join(
+        array_sort(array_distinct(
+          transform(regexp_extract_all(col(textCol), lit(UrlRe), lit(1)),
+            d => lower(d)))),
+        ",").as("domains"))
+
   // ---- PII redaction ------------------------------------------------------
 
   /** PII patterns kept to the RE2-compatible subset (no backrefs, no

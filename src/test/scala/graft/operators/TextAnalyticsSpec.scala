@@ -187,6 +187,19 @@ class TextAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("urlStats: counts, lowercased sorted distinct domains") {
+    val docs = Seq(
+      (1L, "read https://A.Example.com/x and https://a.example.com/y plus http://b.org/z"),
+      (2L, "no links here"),
+      (3L, "edge https://c.net")
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.urlStats(docs, "doc_id", "text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, "a.example.com,b.org")))
+    assert(got(2L) == ((2L, 0L, "")))
+    assert(got(3L) == ((3L, 1L, "c.net")))
+  }
+
   test("tokenEntropy: 0 for repetition, ln(n) for distinct, hand value between") {
     val docs = Seq(
       (1L, "x x x x"),              // H = 0
