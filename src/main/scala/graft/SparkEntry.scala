@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontamination, Dedup, IntervalJoin, Layout, Multimodal, Pca, Sampling, Similarity, TextAnalytics}
+import graft.operators.{Decontamination, Dedup, IntervalJoin, Layout, Multimodal, Pca, Sampling, Similarity, Snapshot, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -635,6 +635,20 @@ object SparkEntry {
     TextAnalytics.urlStats(injected, "doc_id", "text")
   }
 
+  /** c3: snapshot diff — two synthetic corpus versions carved from the
+    * documents table (old: ids ∤ 3; new: ids ∤ 5, every 7th text
+    * revised), classified added/removed/changed/unchanged by content
+    * fingerprint.
+    */
+  private def c3CorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val oldV = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+    val newV = docs.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"))
+    Snapshot.diff(oldV, newV, "doc_id", "text")
+  }
+
   /** c2: FineWeb-style relative quality gate — keep the top half of each
     * source by quality score, exact percent_rank form (the
     * approx-cutoff scale path is spec'd equivalent in
@@ -769,6 +783,7 @@ object SparkEntry {
     "s2_domain_mix" -> (s2DomainMix _),
     "c1_corpus_curation" -> (c1Curation _),
     "c2_quality_gate" -> (c2QualityGate _),
+    "c3_corpus_diff" -> (c3CorpusDiff _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1246,6 +1261,19 @@ object SparkEntry {
         |  FROM q)
         |SELECT id, grp, quality, round(pr, 6) AS pr FROM r
         |WHERE pr <= 0.5""".stripMargin,
+    "c3_corpus_diff" ->
+      """WITH o AS (SELECT doc_id AS id, md5(lower(replace(text, ' ', ''))) AS fp
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |n AS (SELECT doc_id AS id, md5(lower(replace(
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END,
+        |    ' ', ''))) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.id, n.id) AS id,
+        |  CASE WHEN o.id IS NULL THEN 'added'
+        |       WHEN n.id IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.id = n.id""".stripMargin,
     "d10_segment_dedup" ->
       """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w
         |  FROM documents),
