@@ -34,8 +34,13 @@ object Dedup {
     val spans = repeatedSubstringSpans(docs, idCol, textCol, minTokens)
       .select(col("id").as("sid"), col("span_start"), col("span_end"))
     val toks = TextFunctions.tokens(col(textCol))
+    // `base` feeds two plans (the explode/anti-join branch and the final
+    // n_tokens join) — checkpoint the tokenized frame once so the corpus
+    // is tokenized here a single time, not per consumer (the same
+    // multi-consumer rationale as the shingle table in minHashLshPairs).
     val base = docs.select(col(idCol).cast("long").as("id"),
       toks.as("w"), size(toks).cast("long").as("n_tokens"))
+      .localCheckpoint()
     val kept = base
       .select(col("id"), posexplode(col("w")).as(Seq("p0", "tok")))
       .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
@@ -316,7 +321,6 @@ object Dedup {
       n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
     // The shingle table feeds three consumers with three different shuffle
     // keys (signature agg on id; verify joins on id_a and (id_b, shkey)),
     // so ReuseExchange can't share it — checkpoint it once instead of
@@ -384,6 +388,13 @@ object Dedup {
     bandKeyRows(sigsFromShingles(sh, k, seed), bands, k / bands)
       .repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$dest/bands")
+    // Sketch hyperparameters ride with the index: an increment hashed
+    // with a different (n, k, bands, seed) produces band keys that never
+    // collide with the stored ones — near-dups silently vanish instead of
+    // erroring. The sidecar lets the incremental reader fail fast.
+    import docs.sparkSession.implicits._
+    Seq((n, k, bands, seed)).toDF("n", "k", "bands", "seed")
+      .coalesce(1).write.mode("overwrite").json(s"$dest/params")
   }
 
   /** Near-dup pairs of an increment against an existing corpus index
@@ -401,6 +412,16 @@ object Dedup {
       n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
+    // Refuse a hyperparameter mismatch with the stored index: different
+    // (n, k, bands, seed) means increment band keys never collide with
+    // the index's — a silent near-empty result, not an error, without
+    // this check. (n also pins the stored n_sh totals the verify uses.)
+    val p = spark.read.json(s"$indexPath/params").head()
+    val stored = (p.getAs[Long]("n"), p.getAs[Long]("k"),
+      p.getAs[Long]("bands"), p.getAs[Long]("seed"))
+    require(stored == ((n.toLong, k.toLong, bands.toLong, seed)),
+      s"MinHash index at $indexPath was written with (n, k, bands, seed) = " +
+        s"$stored but the caller passed (($n, $k, $bands, $seed))")
     val newSh = shingleRows(newDocs, idCol, textCol, n).localCheckpoint()
     val newBands = bandKeyRows(sigsFromShingles(newSh, k, seed), bands, k / bands)
       .localCheckpoint()
@@ -576,21 +597,37 @@ object Dedup {
     if (integralIds && p0.count() <= smallGraphEdges) {
       val spark = p0.sparkSession
       import spark.implicits._
+      // Unboxed union-find: sorted distinct ids -> dense index (binary
+      // search), parent as an Int array — ~24 bytes per node instead of
+      // the ~100+ a boxed Map costs, so the smallGraphEdges cap bounds
+      // real driver heap, not just entry counts. Index order equals id
+      // order, so min-index union preserves "cluster = min id".
       val es = p0.as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
+      val all = new Array[Long](es.length * 2)
+      var w = 0
+      es.foreach { e => all(w) = e._1; all(w + 1) = e._2; w += 2 }
+      java.util.Arrays.sort(all)
+      var m = 0
+      var i = 0
+      while (i < all.length) {
+        if (m == 0 || all(i) != all(m - 1)) { all(m) = all(i); m += 1 }
+        i += 1
+      }
+      val ids = java.util.Arrays.copyOf(all, m)
+      val parent = Array.tabulate(m)(identity)
+      def find(x: Int): Int = {
         var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        while (parent(r) != r) r = parent(r)
         var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
+      es.foreach { e =>
+        val ra = find(java.util.Arrays.binarySearch(ids, e._1))
+        val rb = find(java.util.Arrays.binarySearch(ids, e._2))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      return (0 until m).map(j => (ids(j), ids(find(j))))
         .toDF("id", "cluster")
     }
     val edges = p0.unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))

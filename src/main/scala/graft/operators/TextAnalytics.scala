@@ -299,16 +299,21 @@ object TextAnalytics {
     * values flag degenerate generations that length/uniq ratios miss
     * when the repetition is spread across a few tokens.
     *
-    * One explode + two aggregations (term counts ride a (id, term)
+    * One explode + two aggregations (term counts ride a (id, term-hash)
     * groupBy with map-side partials; the rollup is per doc) — the same
-    * shuffle skeleton as [[tfIdfTopTerms]] without the corpus-wide term
-    * pass.
+    * shuffle skeleton as [[tfIdfTopTerms]], minus the corpus-wide term
+    * pass. Entropy depends only on the tf multiset, never the token
+    * strings, so the shuffle key is xxhash64(term) — 8-byte keys on the
+    * exchange instead of raw tokens (the same hash-before-shuffle shape
+    * as [[Dedup]]'s shingle keys); unlike [[tfIdfTopTerms]] no term
+    * surfaces in the output, so nothing is lost.
     */
   def tokenEntropy(
       docs: DataFrame, idCol: String, textCol: String,
       roundTo: Int = 4): DataFrame = {
     val tf = docs
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     tf.groupBy("id").agg(
       sum("tf").cast("long").as("n_tokens"),
@@ -396,16 +401,19 @@ object TextAnalytics {
     * engine-comparable without array-hash semantics.
     */
   val UrlRe = "https?://([A-Za-z0-9.-]+)[^\\s]*"
-  def urlStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def urlStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // One regex pass serves both outputs: every match has a group 1, so
+    // size(group-1 array) == match count — the same extraction tree feeds
+    // n_urls and domains, and codegen subexpression elimination runs the
+    // scan once per row instead of twice.
+    val doms = regexp_extract_all(col(textCol), lit(UrlRe), lit(1))
     docs.select(
       col(idCol).as("id"),
-      size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).cast("long")
-        .as("n_urls"),
+      size(doms).cast("long").as("n_urls"),
       array_join(
-        array_sort(array_distinct(
-          transform(regexp_extract_all(col(textCol), lit(UrlRe), lit(1)),
-            d => lower(d)))),
+        array_sort(array_distinct(transform(doms, d => lower(d)))),
         ",").as("domains"))
+  }
 
   // ---- PII redaction ------------------------------------------------------
 
