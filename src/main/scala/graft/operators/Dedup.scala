@@ -328,12 +328,23 @@ object Dedup {
     // (executor-disk) checkpoint, not a cache: it also truncates lineage so
     // AQE replans only the downstream stages.
     val sh = shingleRows(docs, idCol, textCol, n).localCheckpoint()
+    // The band-key table feeds BOTH sides of the candidate self-join, and
+    // the two sides shuffle on the same (band, key) — but each side is a
+    // separate aliased subtree, so without materialization the signature
+    // aggregation (a full groupBy over the shingle table) executes once
+    // per side. Checkpointing `banded` (|docs| × bands rows of 3 longs —
+    // orders of magnitude smaller than the shingle table) runs it once.
     val banded = bandKeyRows(sigsFromShingles(sh, k, seed), bands, k / bands)
+      .localCheckpoint()
+    // `cand` is referenced three times by the verify step (two semi-joins
+    // + the pair join); materialize it so the LSH self-join runs once.
+    // Candidates ≈ true near-dup pairs — tiny relative to the corpus.
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .localCheckpoint()
     verifyJaccard(sh, cand, threshold)
   }
 
@@ -486,12 +497,16 @@ object Dedup {
         col("id"),
         posexplode(Similarity.bandedSignKeys(col("v"), bands, planesPerBand, vdim, seed))
           .as(Seq("band", "key")))
+    // Materialized for the same reason as [[minHashLshPairs]]' candidate
+    // set: verify references it three times, and without a checkpoint each
+    // reference re-runs the banded self-join.
     val cand = keyed.as("a")
       .join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .localCheckpoint()
     // Exact verify on candidates only; each side semi-joined down to ids
     // that appear in a candidate pair so the verify shuffle is ∝ candidates.
     val va = side.join(cand.select(col("id_a").as("id")), Seq("id"), "left_semi")
