@@ -255,11 +255,15 @@ object Dedup {
         .withColumn("df", count(lit(1)).over(Window.partitionBy("shkey")))
         .filter(col("df") <= maxDf)
         .drop("df")
-    // shuffle_hash on both sides: identical child plans shuffle on the same
-    // key, so ReuseExchange evaluates the shingle generation once, not per
-    // join side (broadcast would re-run it for each side).
-    sh.as("a")
-      .join(sh.as("b"),
+    // shuffle_hash hint on both sides: identical child plans shuffle on
+    // the same key, so ReuseExchange evaluates the shingle generation
+    // once, not per join side. Without the hint AQE broadcast-converts the
+    // join at small scale and the broadcast side re-runs the whole
+    // tokenize/window/dedup pipeline (measured 2× the query time at
+    // sf0.1); at corpus scale broadcasting a shingle index is off the
+    // table anyway, so pinning shuffle_hash loses nothing.
+    sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b").hint("shuffle_hash"),
         col("a.shkey") === col("b.shkey") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(
@@ -500,8 +504,12 @@ object Dedup {
     // Materialized for the same reason as [[minHashLshPairs]]' candidate
     // set: verify references it three times, and without a checkpoint each
     // reference re-runs the banded self-join.
-    val cand = keyed.as("a")
-      .join(keyed.as("b"),
+    // shuffle_hash: both sides are the identical band-key subtree, so the
+    // pinned shuffle is evaluated once (AQE stage reuse); a broadcast
+    // conversion would run the SignBandKeys projection over the corpus
+    // twice.
+    val cand = keyed.as("a").hint("shuffle_hash")
+      .join(keyed.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -563,8 +571,13 @@ object Dedup {
     val side = Similarity.assignClusters(
         df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", model)
       .select(col("id"), col("v"), col("cluster"), fnorm(col("v")).as("n"))
-    val dup = spread(side).as("a")
-      .join(side.as("b"),
+    // shuffle_hash: both join sides are the IDENTICAL cluster-assignment
+    // subtree (same `sp` val — exchange reuse needs canonically equal
+    // plans, so no per-side spread), letting AQE evaluate the argmin
+    // projection once instead of once per side under a broadcast.
+    val sp = spread(side)
+    val dup = sp.as("a").hint("shuffle_hash")
+      .join(sp.as("b").hint("shuffle_hash"),
         col("a.cluster") === col("b.cluster") && col("a.id") > col("b.id"))
       .filter(
         round(fdot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), roundTo)
@@ -740,7 +753,11 @@ object Dedup {
         col("id"), col("h64"),
         explode(array(chunkStructs: _*)).as("ch"))
       .select(col("id"), col("h64"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-    chunked.as("a").join(chunked.as("b"),
+    // shuffle_hash pins the self-join to two identical (ci, cv) shuffles
+    // that ReuseExchange/AQE-stage-reuse evaluate once; a broadcast
+    // conversion would re-run the upstream hash pipeline (e.g. SimHash's
+    // two aggregation passes) once per side.
+    chunked.as("a").hint("shuffle_hash").join(chunked.as("b").hint("shuffle_hash"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.id") < col("b.id"))
       .select(
