@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontamination, Dedup, IntervalJoin, Layout, Multimodal, Pca, Sampling, Similarity, Snapshot, TextAnalytics}
+import graft.operators.{BpeTrain, Decontamination, Dedup, IntervalJoin, Layout, Multimodal, Pca, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -649,6 +649,53 @@ object SparkEntry {
     Snapshot.diff(oldV, newV, "doc_id", "text")
   }
 
+  /** c4: corpus merge/upsert — apply a crawl increment (updates to every
+    * 7th doc, inserts under fresh ids from every 11th, tombstones for
+    * every 13th) to the corpus snapshot. Full oracle: the merge is one
+    * full-outer join DuckDB replicates exactly.
+    */
+  private def c4CorpusMerge(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents").select("doc_id", "text", "source")
+    val updates = docs
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+        col("source"), lit(false).as("deleted"))
+    val inserts = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        lit("crawl2").as("source"), lit(false).as("deleted"))
+    val deletes = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), col("text"), col("source"),
+        lit(true).as("deleted"))
+    Snapshot.applyIncrement(docs,
+      updates.unionByName(inserts).unionByName(deletes),
+      "doc_id", Some("deleted"))
+  }
+
+  /** s5: deterministic epoch shuffle — shard and within-shard order for
+    * epoch 1 over 8 shards. The shuffle key is exact BIGINT arithmetic
+    * (mod 2^31-1 affine rounds + xor-shifts), so the DuckDB oracle
+    * computes the identical placement.
+    */
+  private def s5ShardShuffle(s: SparkSession, d: String): DataFrame =
+    Sharding.epochShuffle(T(s, d, "documents"), "doc_id",
+      nShards = 8, epoch = 1L)
+
+  /** t15: Okapi BM25 of every document against a fixed query-term set —
+    * posting lists only ever shuffle; (N, avgdl, df) are broadcast
+    * aggregates.
+    */
+  private def t15Bm25(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.bm25(T(s, d, "documents"), "doc_id", "text",
+      Seq("table", "query", "spark"))
+
+  /** t16: distributed BPE vocabulary induction — 16 merge rounds over the
+    * corpus word vocabulary. Rows-only for the driver (the sequential
+    * argmax-merge loop has no SQL form); `BpeTrainSpec` pins the merge
+    * table to a plain-Scala reference implementation.
+    */
+  private def t16BpeMerges(s: SparkSession, d: String): DataFrame =
+    BpeTrain.learnMerges(T(s, d, "documents"), "text", numMerges = 16)
+
   /** c2: FineWeb-style relative quality gate — keep the top half of each
     * source by quality score, exact percent_rank form (the
     * approx-cutoff scale path is spec'd equivalent in
@@ -784,6 +831,10 @@ object SparkEntry {
     "c1_corpus_curation" -> (c1Curation _),
     "c2_quality_gate" -> (c2QualityGate _),
     "c3_corpus_diff" -> (c3CorpusDiff _),
+    "c4_corpus_merge" -> (c4CorpusMerge _),
+    "s5_shard_shuffle" -> (s5ShardShuffle _),
+    "t15_bm25" -> (t15Bm25 _),
+    "t16_bpe_merges" -> (t16BpeMerges _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1274,6 +1325,49 @@ object SparkEntry {
         |       WHEN o.fp = n.fp THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.id = n.id""".stripMargin,
+    "c4_corpus_merge" ->
+      """WITH c AS (SELECT doc_id, text, source FROM documents),
+        |inc AS (
+        |  SELECT doc_id, text || ' v2' AS text, source, false AS deleted
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, 'crawl2', false
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, source, true
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT coalesce(i.doc_id, c.doc_id) AS doc_id,
+        |  coalesce(i.text, c.text) AS text,
+        |  coalesce(i.source, c.source) AS source
+        |FROM c FULL OUTER JOIN inc i ON c.doc_id = i.doc_id
+        |WHERE coalesce(i.deleted, false) = false""".stripMargin,
+    "s5_shard_shuffle" ->
+      """WITH m AS (SELECT doc_id AS id,
+        |    (48271 * (doc_id % 2147483647) + 1) % 2147483647 AS x1
+        |  FROM documents),
+        |m2 AS (SELECT id, xor(x1, x1 >> 13) AS x2 FROM m),
+        |m3 AS (SELECT id, (69621 * x2 + 7) % 2147483647 AS x3 FROM m2),
+        |k AS (SELECT id, xor(x3, x3 >> 7) AS key FROM m3)
+        |SELECT id, (key % 8)::INTEGER AS shard, (key // 8)::BIGINT AS ord
+        |FROM k""".stripMargin,
+    "t15_bm25" ->
+      """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT count(*)::DOUBLE AS n_docs,
+        |    avg(len(w)::DOUBLE) AS avgdl FROM d),
+        |h AS (SELECT id, len::DOUBLE AS len, term, count(*)::DOUBLE AS tf
+        |  FROM (SELECT id, len(w) AS len, unnest(w) AS term FROM d)
+        |  WHERE term IN ('table', 'query', 'spark')
+        |  GROUP BY id, len, term),
+        |f AS (SELECT term, count(DISTINCT id)::DOUBLE AS df FROM h GROUP BY term)
+        |SELECT id, round(sum(
+        |    ln(1 + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
+        |    (h.tf * (1.2::DOUBLE + 1)) /
+        |    (h.tf + 1.2::DOUBLE *
+        |      (0.25::DOUBLE + (0.75::DOUBLE * h.len) / s.avgdl))), 4)
+        |  AS bm25
+        |FROM h CROSS JOIN s JOIN f ON h.term = f.term
+        |GROUP BY id""".stripMargin,
     "d10_segment_dedup" ->
       """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w
         |  FROM documents),

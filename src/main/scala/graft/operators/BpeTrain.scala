@@ -1,0 +1,150 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Distributed BPE vocabulary induction (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the tokenizer-training step of an LLM data
+  * pipeline, run on the corpus the tokenizer will serve.
+  *
+  * Classic word-level formulation: the unit of work is the WORD VOCABULARY
+  * (distinct word, corpus count) — bounded by distinct words, orders of
+  * magnitude smaller than the corpus — never the corpus itself. Each round:
+  *
+  *   1. adjacent-symbol pair counts, weighted by word count — a relational
+  *      explode + one hash aggregation over the vocab;
+  *   2. argmax pair as a single-row `max(struct(count, left, right))`
+  *      aggregate (count first, then lexicographic — deterministic
+  *      tie-break, no total sort, one driver-bound row);
+  *   3. rewrite each word's symbol array, merging non-overlapping
+  *      occurrences left-to-right — a typed map over vocab rows (the
+  *      in-array merge is inherently sequential; everything around it
+  *      stays relational), checkpointed every few rounds to keep the
+  *      plan bounded rather than O(numMerges) deep.
+  *
+  * At 100 TB: the corpus is read once (word counting); every subsequent
+  * round touches only the vocab table (~10^7-10^8 rows for web text), and
+  * driver traffic is one (pair, count) row per merge. numMerges Spark
+  * jobs is inherent to BPE's sequential-merge definition.
+  */
+object BpeTrain {
+
+  /** End-of-word sentinel symbol (kept multi-char so it can never collide
+    * with a real character symbol).
+    */
+  val EndOfWord = "</w>"
+
+  private[operators] def mergePair(
+      syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = new ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learned merge table: (rank, left, right, pair_count), rank 1 = first
+    * merge. Stops early when no pair reaches `minCount`.
+    */
+  def learnMerges(
+      docs: DataFrame, textCol: String,
+      numMerges: Int, minCount: Long = 2L,
+      checkpointEvery: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // (distinct word, corpus count) -> initial symbol seq: chars + </w>.
+    // The one corpus-wide pass; everything after runs on the vocab.
+    var vocab = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(
+        concat(split(col("word"), ""), array(lit(EndOfWord))).as("syms"),
+        col("wc"))
+      .as[(Seq[String], Long)]
+      .localCheckpoint()
+
+    val merges = ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      // pair counts: zip the symbol array against its own tail — pure
+      // column functions, one hash aggregate over the exploded pairs
+      val (cnt, l, r) = vocab.toDF("syms", "wc")
+        .select(col("wc"),
+          explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+            slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wc").as("cnt"))
+        .agg(max(struct(col("cnt"), col("l"), col("r"))).as("m"))
+        .select(col("m.cnt"), col("m.l"), col("m.r"))
+        .as[(Long, String, String)]
+        .head()
+      if (cnt < minCount) done = true
+      else {
+        merges += ((rank, l, r, cnt))
+        // Rewrites chain lazily; checkpoint every few rounds so the plan
+        // stays O(checkpointEvery) deep but the per-round job count stays
+        // 1 (the argmax), not 2 — within the window each argmax replays
+        // at most checkpointEvery cheap map passes over the vocab.
+        vocab = vocab.map { case (syms, wc) => (mergePair(syms, l, r), wc) }
+        if (rank % checkpointEvery == 0) vocab = vocab.localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Tokenize text with a learned merge list: per-word replay of the
+    * merges in rank order (the standard apply-BPE loop), emitted as
+    * (id, tokens). The merge table is driver-collected — it is the
+    * tokenizer model (30k-100k rows), broadcast implicitly via the
+    * closure; the corpus side is one typed map, no shuffle.
+    */
+  def applyMerges(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranked: Map[(String, String), Int] = merges
+      .select("rank", "left", "right")
+      .as[(Int, String, String)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).zipWithIndex.toMap // (l, r) -> priority
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id,
+          text.split(" ").filter(_.nonEmpty)
+            .flatMap(w => encodeWord(w, ranked)).toSeq)
+      }
+      .toDF("id", "tokens")
+  }
+
+  /** Apply-BPE loop for one word: repeatedly take the lowest-priority
+    * applicable merge, exactly as training ordered them. Object-level so
+    * the executor closure captures only the (serializable) merge map.
+    */
+  private[operators] def encodeWord(
+      word: String, ranked: Map[(String, String), Int]): Seq[String] = {
+    var syms: Seq[String] = word.split("").toSeq :+ EndOfWord
+    var changed = true
+    while (changed && syms.length > 1) {
+      val cand = syms.zip(syms.tail).flatMap(p => ranked.get(p).map(p -> _))
+      if (cand.isEmpty) changed = false
+      else {
+        val ((l, r), _) = cand.minBy(_._2)
+        syms = mergePair(syms, l, r)
+      }
+    }
+    syms
+  }
+}

@@ -451,4 +451,46 @@ object TextAnalytics {
       size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
       redactColumn(t).as("redacted"))
   }
+
+  /** BM25 relevance of every document against a fixed term set — the
+    * retrieval scorer behind both corpus search and similar-document
+    * mining, Okapi form:
+    * idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)),
+    * score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·len/avgdl)).
+    *
+    * Shape: tokenize once, keep per-doc length, filter to query terms
+    * BEFORE any aggregation (the only rows that ever shuffle are
+    * query-term hits — at 100 TB that's the posting lists, not the
+    * corpus); df per term and the global (N, avgdl) are broadcast one-row
+    * and |terms|-row aggregates. Docs with no query term score 0 and are
+    * not emitted — at corpus scale the output IS the candidate set.
+    */
+  def bm25(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      roundTo: Int = 4): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(
+        col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .select(col("id"), size(col("w")).cast("double").as("len"), col("w"))
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"), avg(col("len")).as("avgdl"))
+    val hits = toks
+      .select(col("id"), col("len"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("id", "len", "term").agg(count(lit(1)).as("tf"))
+    val df = hits.groupBy("term").agg(countDistinct("id").as("df"))
+    hits
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("term"),
+        (log(lit(1.0) +
+            (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(1 - b) + (lit(b) * col("len")) / col("avgdl"))))
+          .as("s"))
+      .groupBy("id")
+      .agg(round(sum("s"), roundTo).as("bm25"))
+  }
 }

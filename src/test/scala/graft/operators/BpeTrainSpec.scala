@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class BpeTrainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Independent plain-Scala BPE (Sennrich alg. 1) — the model the
+  // distributed operator must reproduce merge-for-merge.
+  private def refBpe(
+      words: Seq[String], numMerges: Int,
+      minCount: Long): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Seq[String], Long] = words
+      .groupBy(identity).map { case (w, ws) =>
+        (w.split("").toSeq :+ BpeTrain.EndOfWord) -> ws.size.toLong
+      }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var stop = false
+    while (rank <= numMerges && !stop) {
+      val counts = vocab.toSeq
+        .flatMap { case (s, c) => s.zip(s.tail).map(_ -> c) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      if (counts.isEmpty) stop = true
+      else {
+        // same tie-break as max(struct(cnt, l, r)): count, then l, then r
+        val ((l, r), cnt) = counts.maxBy { case ((l, r), c) => (c, l, r) }
+        if (cnt < minCount) stop = true
+        else {
+          out += ((rank, l, r, cnt))
+          vocab = vocab.map { case (s, c) =>
+            BpeTrain.mergePair(s, l, r) -> c
+          }
+          rank += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("hand-checked merges on a three-word corpus") {
+    val docs = Seq("aa aa ab").toDF("text")
+    val got = BpeTrain.learnMerges(docs, "text", numMerges = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    // (a,a) x2 beats (a,</w>) x2 on the r tie-break ('a' > '<')
+    assert(got == Seq((1, "a", "a", 2L), (2, "aa", BpeTrain.EndOfWord, 2L)))
+  }
+
+  test("merge table equals the reference implementation on sf0.001 docs") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val words = docs.selectExpr("explode(split(text, ' ')) AS w")
+      .filter("w <> ''").as[String].collect().toSeq
+    val expected = refBpe(words, numMerges = 12, minCount = 2L)
+    val got = BpeTrain.learnMerges(docs, "text", numMerges = 12)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == expected)
+  }
+
+  test("applyMerges reproduces the trained rewrite of training words") {
+    val docs = Seq("aa aa ab").toDF("text")
+    val merges = BpeTrain.learnMerges(docs, "text", numMerges = 2)
+    val enc = BpeTrain.applyMerges(
+        Seq((1L, "aa ab"), (2L, "aa aa")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(enc(1L) == Seq("aa</w>", "a", "b", BpeTrain.EndOfWord))
+    assert(enc(2L) == Seq("aa</w>", "aa</w>"))
+  }
+}

@@ -21,4 +21,28 @@ class SnapshotSpec extends AnyFunSuite {
       1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "added", 5L -> "unchanged"))
   }
+
+  test("applyIncrement upserts, inserts, tombstones, leaves the rest") {
+    val corpus = Seq(
+      (1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+      .toDF("doc_id", "text", "source")
+    val inc = Seq(
+      (2L, "two-v2", "a", false),  // update
+      (4L, "four", "c", false),    // insert
+      (3L, "ignored", "b", true))  // delete
+      .toDF("doc_id", "text", "source", "deleted")
+    val got = Snapshot.applyIncrement(corpus, inc, "doc_id", Some("deleted"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "one", "a"), (2L, "two-v2", "a"), (4L, "four", "c")))
+  }
+
+  test("applyIncrement null increment values inherit the corpus value") {
+    val corpus = Seq((1L, "keep", "a")).toDF("doc_id", "text", "source")
+    val inc = Seq((1L, null.asInstanceOf[String], "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Snapshot.applyIncrement(corpus, inc, "doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "keep", "b")))
+  }
 }

@@ -266,4 +266,31 @@ class TextAnalyticsSpec extends AnyFunSuite {
     val toks = got(3L).flatMap(_._4.split(" ")).toSet
     assert(toks == (1 to 71).map(i => s"w$i").toSet)
   }
+
+  test("bm25 matches a hand-computed Okapi model") {
+    val docs = Seq(
+      (1L, "spark query engine"),
+      (2L, "query query planner"),
+      (3L, "storage layer notes"),
+      (4L, "spark spark spark runtime")).toDF("doc_id", "text")
+    val got = TextAnalytics.bm25(docs, "doc_id", "text",
+        Seq("spark", "query"), k1 = 1.2, b = 0.75)
+      .as[(Long, Double)].collect().toMap
+    // independent scalar model
+    val lens = Map(1L -> 3.0, 2L -> 3.0, 3L -> 3.0, 4L -> 4.0)
+    val avgdl = lens.values.sum / 4
+    val n = 4.0
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, len: Double, df: Double) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * len) / avgdl))
+    val exp = Map(
+      1L -> (w(1, 3, 2) + w(1, 3, 2)), // spark df=2, query df=2
+      2L -> w(2, 3, 2),
+      4L -> w(3, 4, 2))
+    assert(got.keySet == exp.keySet) // doc 3 has no query term: absent
+    exp.foreach { case (id, v) =>
+      assert(got(id) == math.rint(v * 1e4) / 1e4 ||
+        math.abs(got(id) - v) < 5e-5, s"doc $id: ${got(id)} vs $v")
+    }
+  }
 }
