@@ -179,20 +179,24 @@ object Dedup {
     * count by 1. Shared by the Jaccard/MinHash family here and by
     * [[Decontamination]].
     */
-  private[operators] def shingleKeys(
+  /** Every n-gram occurrence as (id, shkey), pre-dedup — the shared
+    * tokenize/lead pipeline behind [[shingleKeys]] and [[shingleRows]].
+    *
+    * Relational shingling: posexplode tokens, assemble each n-gram with
+    * window `lead`s. Fully codegen/window-exec (the higher-order-function
+    * formulation is interpreted expression-eval and lands in the
+    * unparallel scan stage — ~20µs per shingle vs this plan's vectorized
+    * path). `spread` keeps the tokenize+explode out of an unsplittable
+    * single-file scan stage. Hash each token to a long *before* the
+    * window shuffle: the exchange then carries (id, pos, int64) instead
+    * of token strings, and the n-gram key is xxhash64 over n longs rather
+    * than a concat'd string — same shingle identity (modulo negligible
+    * 64-bit collisions), far cheaper to sort, lead over, and aggregate.
+    * Output is hash-partitioned by id (the lead window's exchange).
+    */
+  private def shingleOccurrences(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // Relational shingling: posexplode tokens, assemble each n-gram with
-    // window `lead`s, dedup per doc, then count per doc with a window.
-    // Fully codegen/window-exec (the higher-order-function formulation is
-    // interpreted expression-eval and lands in the unparallel scan stage —
-    // ~20µs per shingle vs this plan's vectorized path). `spread` keeps the
-    // tokenize+explode out of an unsplittable single-file scan stage.
     import org.apache.spark.sql.expressions.Window
-    // Hash each token to a long *before* the window shuffle: the exchange
-    // then carries (id, pos, int64) instead of token strings, and the
-    // n-gram key is xxhash64 over n longs rather than a concat'd string —
-    // same shingle identity (modulo negligible 64-bit collisions), far
-    // cheaper to sort, lead over, and aggregate.
     val tok = spread(docs).select(
         col(idCol).as("id"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
@@ -204,21 +208,25 @@ object Dedup {
       .withColumn("ok", hs.last.isNotNull)
       .filter(col("ok"))
       .select("id", "shkey")
-      .dropDuplicates("id", "shkey")
   }
 
+  private[operators] def shingleKeys(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleOccurrences(docs, idCol, textCol, n).dropDuplicates("id", "shkey")
+
   /** [[shingleKeys]] plus the per-doc distinct-shingle count carried on
-    * every row (saves the separate count aggregation + joins downstream;
-    * the count window partitions on `id` — the same key the dedup just
-    * shuffled on, so it rides the existing exchange).
+    * every row. One `collect_set` aggregation on the id — the key the
+    * lead window already partitioned on, so no exchange AND no re-sort
+    * (the count-*window* formulation this replaces forced a second
+    * partition-wide sort after the dedup aggregate destroyed the lead
+    * window's order). The set buffer is bounded by one document's
+    * distinct shingles — per-doc, never corpus-skewed.
     */
-  private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    shingleKeys(docs, idCol, textCol, n).select(
-      col("id"),
-      count(lit(1)).over(Window.partitionBy("id")).cast("int").as("n_sh"),
-      col("shkey"))
-  }
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleOccurrences(docs, idCol, textCol, n)
+      .groupBy("id").agg(collect_set(col("shkey")).as("ss"))
+      .select(col("id"), size(col("ss")).as("n_sh"),
+        explode(col("ss")).as("shkey"))
 
   /** All document pairs with n-word-shingle Jaccard >= threshold.
     *
@@ -244,17 +252,23 @@ object Dedup {
     // dropped from the *index* only — per-doc totals (n_sh, the union
     // denominator) are computed first, so surviving intersections score
     // exactly; a capped shingle can only lower a pair's Jaccard, and at
-    // df > maxDf it carries ~no similarity signal. The df count is a window
-    // over the same key the self-join shuffles on, so it rides the
-    // exchange the join already needs.
-    import org.apache.spark.sql.expressions.Window
+    // df > maxDf it carries ~no similarity signal. The HOT set (df >
+    // maxDf) comes from a count aggregate — map-side partials collapse a
+    // corpus-wide hot shingle to one (shkey, count) row per partition, so
+    // the df pass shuffles ~distinct-keys, never occurrences — and is
+    // anti-joined against the index BEFORE the self-join's exchange: the
+    // hot set is stop-shingle-sized, AQE broadcasts it, and the hot
+    // occurrences are dropped map-side without ever shuffling. (The
+    // count-window form this replaces sorted every occurrence of the hot
+    // key on a single reducer — the exact skew it existed to prevent.)
     val sh0 = shingleRows(docs, idCol, textCol, n)
     val sh =
       if (maxDf <= 0) sh0
-      else sh0
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("shkey")))
-        .filter(col("df") <= maxDf)
-        .drop("df")
+      else sh0.join(
+        sh0.groupBy("shkey").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select("shkey"),
+        Seq("shkey"), "left_anti")
     // shuffle_hash hint on both sides: identical child plans shuffle on
     // the same key, so ReuseExchange evaluates the shingle generation
     // once, not per join side. Without the hint AQE broadcast-converts the
