@@ -86,9 +86,11 @@ object Sampling {
     * toward the target.
     *
     * Scale: the same shape as `TextAnalytics.unigramLogProb` — one tf
-    * aggregation, per-term model counts as a window over the term hash
-    * (rides the tf shuffle's key), corpus totals as ONE broadcast scalar
-    * row. Terms are 64-bit hashes, never strings, on every shuffle.
+    * aggregation, per-term model counts as a map-side-collapsing
+    * aggregate joined back on the term hash (skew-splittable; a window
+    * over the hash would sort a stop word's rows on one reducer), corpus
+    * totals as ONE broadcast scalar row. Terms are 64-bit hashes, never
+    * strings, on every shuffle.
     *
     * Output per raw-corpus doc: (id, n_tokens, log_ratio).
     */
@@ -101,15 +103,21 @@ object Sampling {
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col("id"), col("tgt"), xxhash64(col("term")).as("th"))
       .agg(count(lit(1)).as("tf"))
-    val w = Window.partitionBy("th")
-    val withC = tf
-      .withColumn("c_tgt", sum(when(col("tgt"), col("tf")).otherwise(0L)).over(w))
-      .withColumn("c_raw", sum(when(!col("tgt"), col("tf")).otherwise(0L)).over(w))
+    // Model counts per term as an AGGREGATE joined back, not a window
+    // over th: a stop word's rows all hash to one th partition, and a
+    // window would sort them on a single reducer — the aggregate's
+    // map-side partials collapse the hot term to one row per partition
+    // and the join is AQE-skew-splittable. Only raw-corpus rows are
+    // scored, so the join's probe side is filtered before it shuffles.
+    val counts = tf.groupBy("th").agg(
+      sum(when(col("tgt"), col("tf")).otherwise(0L)).as("c_tgt"),
+      sum(when(!col("tgt"), col("tf")).otherwise(0L)).as("c_raw"))
     val tot = tf.agg(
       sum(when(col("tgt"), col("tf")).otherwise(0L)).as("n_tgt"),
       sum(when(!col("tgt"), col("tf")).otherwise(0L)).as("n_raw"),
       countDistinct("th").as("v"))
-    withC.filter(!col("tgt"))
+    tf.filter(!col("tgt"))
+      .join(counts, Seq("th"))
       .crossJoin(broadcast(tot))
       .groupBy("id")
       .agg(

@@ -182,9 +182,11 @@ object TextAnalytics {
       size(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0)))
         .cast("long").as("bpeish_tokens"))
 
-  /** TF-IDF top-k terms per document. tf = in-doc term count; df rides a
-    * window over the term — the same key the per-term shuffle already
-    * hashes on; the corpus size N is a broadcast one-row aggregate (no
+  /** TF-IDF top-k terms per document. tf = in-doc term count; df is a
+    * per-term aggregate joined back on the term — map-side partials
+    * collapse stop words before the exchange and the join skew-splits
+    * where a count window would sort a hot term's posting list on one
+    * reducer; the corpus size N is a broadcast one-row aggregate (no
     * driver action, stays one lazy plan). Scores are rounded *before*
     * ranking with ties broken by term, so rankings are reproducible
     * across engines and float orders. At scale this is two shuffles
@@ -200,8 +202,12 @@ object TextAnalytics {
     val tf = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn(
-      "df", count(lit(1)).over(Window.partitionBy("term")))
+    // df as an aggregate joined back rather than a count window over the
+    // term: a stop word's posting list would sort on one reducer under
+    // the window; the aggregate collapses it map-side and the join can
+    // skew-split (same rework rationale as Dedup's hot-shingle cap).
+    val withDf = tf.join(
+      tf.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"))
     val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     val scored = withDf.crossJoin(broadcast(n))
       .select(col("id"), col("term"),
@@ -221,10 +227,11 @@ object TextAnalytics {
     * or dropped in a curation pass.
     *
     * Shape (same skeleton as [[tfIdfTopTerms]]): per-doc term counts,
-    * global term counts as a window over the term — the key that shuffle
-    * already hashes on; the corpus size is a broadcast one-row aggregate
-    * (no driver action). Terms travel as 64-bit hashes: the NLL only
-    * needs term *identity*, so nothing wider than a long is shuffled.
+    * global term counts as a map-side-collapsing aggregate joined back
+    * on the term hash (no hot-term reducer sort); the corpus size is a
+    * broadcast one-row aggregate (no driver action). Terms travel as
+    * 64-bit hashes: the NLL only needs term *identity*, so nothing wider
+    * than a long is shuffled.
     * At 100 TB: two shuffles over (id, hash, count) rows, ~tokens-distinct
     * in size, no joins against the corpus, no driver state.
     */
@@ -236,7 +243,10 @@ object TextAnalytics {
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("id"), xxhash64(col("term")).as("th"))
       .agg(count(lit(1)).as("tf"))
-    val withC = tf.withColumn("c", sum("tf").over(Window.partitionBy("th")))
+    // corpus count per term: aggregate + join, not a window over th —
+    // the hot-term partition would sort on one reducer (see tfIdfTopTerms)
+    val withC = tf.join(
+      tf.groupBy("th").agg(sum("tf").as("c")), Seq("th"))
     val tot = tf.agg(sum("tf").as("total"))
     withC.crossJoin(broadcast(tot))
       .groupBy("id")
