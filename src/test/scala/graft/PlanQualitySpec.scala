@@ -205,4 +205,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"segment dedup must not cross-join:\n$plan")
   }
+
+  test("epoch shuffle is one codegen projection, zero exchanges") {
+    val plan = planOf(SparkEntry.queries("s5_shard_shuffle")(spark, dir))
+    assert(!plan.contains("Exchange"), s"epoch shuffle must not shuffle:\n$plan")
+    assert(plan.contains("* Project"), s"not codegen'd:\n$plan")
+  }
+
+  test("bm25 scan reads only the id and text columns") {
+    val plan = planOf(SparkEntry.queries("t15_bm25")(spark, dir))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"bm25 scan not pruned:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("per-term global counts are aggregates, not windows (no hot-key sort)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // windows partitioned by the term key would sort a stop word's whole
+    // posting list on one reducer; only doc-key windows (bounded per doc)
+    // are allowed in these plans
+    def windowKeys(q: String): Seq[String] = SparkEntry.queries(q)(spark, dir)
+      .queryExecution.sparkPlan
+      .collect { case w: WindowExec => w.partitionSpec.map(_.sql).mkString(",") }
+    assert(windowKeys("t10_unigram_logprob").isEmpty)
+    assert(windowKeys("s3_dsir_weights").isEmpty)
+    // t7 keeps its per-doc rank window; d2 its per-doc n-gram lead window
+    assert(windowKeys("t7_tfidf").forall(_.contains("id")))
+    assert(windowKeys("d2_ngram_jaccard").forall(_.contains("id")))
+  }
+
+  test("dedup self-joins reuse one exchange per side at runtime") {
+    val df = Dedup.ngramJaccardPairs(
+      Tables.documents(spark, dir), "doc_id", "text")
+    df.collect() // AQE stage reuse only shows in the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"self-join sides recompute the shingle pipeline:\n$plan")
+  }
 }
