@@ -763,6 +763,45 @@ object SparkEntry {
     Multimodal.imageNearDupPairs(s, imgs, "vec_id", maxDist = 6)
   }
 
+  /** m3: windowed audio features over a synthesized 16-bit PCM corpus —
+    * every embedding renders to a real mono WAV (each float scaled to a
+    * 16-bit sample, cycled to 400 frames), then per-128-frame RMS +
+    * zero-crossings. Real PCM math end-to-end; rows-only (DuckDB has no
+    * WAV parser).
+    */
+  private def m3AudioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wavs = T(s, d, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val samples = Array.tabulate(400) { i =>
+          (math.max(-1.0, math.min(1.0, emb(i % emb.length))) * 20000).toShort
+        }
+        (id, Multimodal.pcm16Wav(samples))
+      }.toDF("vec_id", "payload")
+    Multimodal.audioFeatures(s, wavs, "vec_id", windowFrames = 128)
+  }
+
+  /** m4: deterministic block-mean thumbnails of the m2 PNG corpus
+    * (6×6 grayscale, lossless PNG re-encode). Rows-only: no image codec
+    * in the oracle.
+    */
+  private def m4ImageThumbs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val imgs = T(s, d, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val grid = Array.tabulate(16, 18) { (y, x) =>
+          val v = emb((y * 18 + x) % emb.length)
+          20 + (math.abs(v * 1000).toInt % 210)
+        }
+        (id, Multimodal.grayPng(grid))
+      }.toDF("vec_id", "payload")
+    Multimodal.imageThumbnails(s, imgs, "vec_id", tw = 6, th = 6)
+      .select(col("id"), col("w"), col("h"), col("avg_lum"),
+        md5(col("thumb")).as("thumb_md5"))
+  }
+
   // ---- contract ----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -845,7 +884,9 @@ object SparkEntry {
     "v8_pca_cov" -> (v8PcaCov _),
     "v9_pca_project" -> (v9PcaProject _),
     "m1_media_meta" -> (m1MediaMeta _),
-    "m2_image_neardup" -> (m2ImageNearDup _))
+    "m2_image_neardup" -> (m2ImageNearDup _),
+    "m3_audio_features" -> (m3AudioFeatures _),
+    "m4_image_thumbs" -> (m4ImageThumbs _))
 
   def oracleSql: Map[String, String] = ListMap(
     "q1_pricing_summary" ->

@@ -75,11 +75,18 @@ object Multimodal {
     finally iis.close()
   }
 
-  /** WAV (RIFF) sample count via a chunk walk: find `fmt ` for
-    * channels/bits-per-sample, `data` for the payload size; frames =
-    * dataBytes / frameBytes. Returns None for non-WAV bytes.
+  /** Parsed WAV layout: where the PCM data lives and how to read it. */
+  private[operators] case class WavInfo(
+      channels: Int, bitsPerSample: Int, sampleRate: Int,
+      dataOff: Int, dataSize: Int) {
+    def frameBytes: Int = channels * (bitsPerSample / 8)
+    def frames: Int = if (frameBytes > 0) dataSize / frameBytes else 0
+  }
+
+  /** WAV (RIFF) chunk walk: `fmt ` for channels/rate/bits-per-sample,
+    * `data` for the PCM offset+size. Returns None for non-WAV bytes.
     */
-  private[operators] def wavFrames(bytes: Array[Byte]): Option[Int] = {
+  private[operators] def wavInfo(bytes: Array[Byte]): Option[WavInfo] = {
     def le16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
     def le32(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
       ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
@@ -88,6 +95,8 @@ object Multimodal {
     var off = 12
     var channels = 0
     var bitsPerSample = 0
+    var sampleRate = 0
+    var dataOff = -1
     var dataSize = -1
     while (off + 8 <= bytes.length && (dataSize < 0 || channels == 0)) {
       val id = tag(off)
@@ -98,13 +107,19 @@ object Multimodal {
       if (sz < 0 || sz > bytes.length - off - 8) return None
       if (id == "fmt " && off + 24 <= bytes.length) {
         channels = le16(off + 10)
+        sampleRate = le32(off + 12)
         bitsPerSample = le16(off + 22)
-      } else if (id == "data") dataSize = sz
+      } else if (id == "data") { dataOff = off + 8; dataSize = sz }
       off += 8 + sz + (sz & 1) // chunks are word-aligned
     }
-    val frameBytes = channels * (bitsPerSample / 8)
-    if (dataSize >= 0 && frameBytes > 0) Some(dataSize / frameBytes) else None
+    if (dataSize >= 0 && channels > 0 && bitsPerSample > 0)
+      Some(WavInfo(channels, bitsPerSample, sampleRate, dataOff, dataSize))
+    else None
   }
+
+  /** WAV (RIFF) sample count ([[wavInfo]] frames). */
+  private[operators] def wavFrames(bytes: Array[Byte]): Option[Int] =
+    wavInfo(bytes).filter(_.frameBytes > 0).map(_.frames)
 
   /** Decode with the real codec when one applies; deterministic stub
     * otherwise. Video has no JDK codec — always the stub.
@@ -131,47 +146,22 @@ object Multimodal {
     * JVMs and render pipelines. None when no JDK codec decodes the bytes
     * or the image is smaller than the 9×8 grid.
     */
-  private[operators] def dHash64(bytes: Array[Byte]): Option[Long] = {
-    if (!looksLikeImage(bytes)) return None
-    try {
-      javax.imageio.ImageIO.setUseCache(false)
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) return None
-      val gw = 9; val gh = 8
-      val w = img.getWidth; val h = img.getHeight
-      if (w < gw || h < gh) return None
-      val sums = Array.ofDim[Double](gh, gw)
-      val cnts = Array.ofDim[Int](gh, gw)
-      var py = 0
-      while (py < h) {
-        val cy = py * gh / h
-        var px = 0
-        while (px < w) {
-          val cx = px * gw / w
-          val rgb = img.getRGB(px, py)
-          sums(cy)(cx) += 0.299 * ((rgb >> 16) & 0xFF) +
-            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
-          cnts(cy)(cx) += 1
-          px += 1
-        }
-        py += 1
-      }
+  private[operators] def dHash64(bytes: Array[Byte]): Option[Long] =
+    poolGray(bytes, 9, 8).map { g =>
       var bits = 0L
       var i = 0
       var y = 0
-      while (y < gh) {
+      while (y < 8) {
         var x = 0
-        while (x < gw - 1) {
-          if (sums(y)(x) / cnts(y)(x) > sums(y)(x + 1) / cnts(y)(x + 1))
-            bits |= 1L << i
+        while (x < 8) {
+          if (g(y)(x) > g(y)(x + 1)) bits |= 1L << i
           i += 1
           x += 1
         }
         y += 1
       }
-      Some(bits)
-    } catch { case _: Exception => None }
-  }
+      bits
+    }
 
   /** (id, dhash) for every payload a JDK image codec decodes; payloads
     * that aren't images are dropped. Same shuffle-free per-partition
@@ -240,5 +230,138 @@ object Multimodal {
         MediaMeta(id, kind, bytes.length.toLong, digest, w, h, f)
       }
     }
+  }
+
+  /** First-channel 16-bit PCM samples of a WAV payload; None when the
+    * bytes aren't 16-bit PCM WAV.
+    */
+  private[operators] def wavSamples16(bytes: Array[Byte]): Option[Array[Short]] =
+    wavInfo(bytes).filter(i => i.bitsPerSample == 16 && i.frameBytes > 0)
+      .map { i =>
+        val out = new Array[Short](i.frames)
+        var f = 0
+        while (f < i.frames) {
+          val o = i.dataOff + f * i.frameBytes // channel 0 of the frame
+          out(f) = (((bytes(o) & 0xFF) | (bytes(o + 1) << 8))).toShort
+          f += 1
+        }
+        out
+      }
+
+  /** Windowed audio features over 16-bit PCM WAV payloads — a REAL
+    * feature-extract stage (no codec dependency: PCM is plain byte
+    * math): per window of `windowFrames` frames, RMS amplitude
+    * (normalized to [0, 1]) and the zero-crossing count. Non-WAV /
+    * non-16-bit payloads are dropped.
+    *
+    * Same shuffle-free per-partition batch shape as [[extractMeta]]; the
+    * window explode happens inside the typed flatMap, so a payload's
+    * rows never leave its partition. Output: (id, win, n_frames, rms,
+    * zero_crossings).
+    */
+  def audioFeatures(
+      spark: SparkSession, df: DataFrame, idCol: String,
+      windowFrames: Int = 1024): DataFrame = {
+    require(windowFrames > 0, "windowFrames must be positive")
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        wavSamples16(bytes).toSeq.flatMap { s =>
+          s.grouped(windowFrames).zipWithIndex.map { case (w, wi) =>
+            var sumSq = 0.0
+            var zc = 0
+            var j = 0
+            while (j < w.length) {
+              val v = w(j) / 32768.0
+              sumSq += v * v
+              if (j > 0 && ((w(j - 1) < 0) != (w(j) < 0))) zc += 1
+              j += 1
+            }
+            (id, wi, w.length,
+              math.rint(math.sqrt(sumSq / w.length) * 1e4) / 1e4, zc)
+          }
+        }
+      }
+      .toDF("id", "win", "n_frames", "rms", "zero_crossings")
+  }
+
+  /** Deterministic grayscale thumbnail of each image payload: integer
+    * block-mean pooling to `tw`×`th` (the [[dHash64]] pooling,
+    * generalized — NOT a Java2D resample, so bytes are identical across
+    * JVMs/render pipelines), re-encoded losslessly as PNG. Images
+    * smaller than the grid and non-images are dropped. Shuffle-free
+    * per-partition batch shape. Output: (id, w, h, thumb, avg_lum).
+    */
+  def imageThumbnails(
+      spark: SparkSession, df: DataFrame, idCol: String,
+      tw: Int = 8, th: Int = 8): DataFrame = {
+    require(tw > 0 && th > 0, "thumbnail dims must be positive")
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        poolGray(bytes, tw, th).map { g =>
+          val lum = g.flatten
+          (id, tw, th, grayPng(g),
+            math.rint(lum.sum.toDouble / lum.length * 100) / 100)
+        }
+      }
+      .toDF("id", "w", "h", "thumb", "avg_lum")
+  }
+
+  /** Block-mean grayscale pooling of an image payload to a w×h integer
+    * grid — shared by [[imageThumbnails]]; same arithmetic as the
+    * [[dHash64]] grid.
+    */
+  private[operators] def poolGray(
+      bytes: Array[Byte], gw: Int, gh: Int): Option[Array[Array[Int]]] = {
+    if (!looksLikeImage(bytes)) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w < gw || h < gh) return None
+      val sums = Array.ofDim[Double](gh, gw)
+      val cnts = Array.ofDim[Int](gh, gw)
+      var py = 0
+      while (py < h) {
+        val cy = py * gh / h
+        var px = 0
+        while (px < w) {
+          val cx = px * gw / w
+          val rgb = img.getRGB(px, py)
+          sums(cy)(cx) += 0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          cnts(cy)(cx) += 1
+          px += 1
+        }
+        py += 1
+      }
+      // rint, not truncation: the BT.601 weights sum to 1.0 only up to
+      // float error, so a uniform gray g would otherwise pool to g - 1
+      Some(Array.tabulate(gh, gw)((y, x) =>
+        math.rint(sums(y)(x) / cnts(y)(x)).toInt))
+    } catch { case _: Exception => None }
+  }
+
+  /** Encode 16-bit PCM samples as a minimal mono WAV (fixtures + the
+    * harness's synthetic audio corpus — the exact inverse of
+    * [[wavSamples16]]).
+    */
+  def pcm16Wav(samples: Array[Short], sampleRate: Int = 16000): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // frame bytes, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
   }
 }

@@ -124,4 +124,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
     assert(pairs.head._3 <= 1)
   }
+
+  test("pcm16Wav round-trips through wavInfo/wavSamples16") {
+    val samples = Array.tabulate(300)(i => (math.sin(i * 0.1) * 10000).toShort)
+    val wav = Multimodal.pcm16Wav(samples, sampleRate = 8000)
+    val info = Multimodal.wavInfo(wav).get
+    assert(info.channels == 1 && info.bitsPerSample == 16 &&
+      info.sampleRate == 8000 && info.frames == 300)
+    assert(Multimodal.wavSamples16(wav).get.toSeq == samples.toSeq)
+  }
+
+  test("audioFeatures: exact RMS and zero-crossings on constructed PCM") {
+    // window 1: constant +16384 (rms = 0.5, zc = 0);
+    // window 2: alternating ±16384 (rms = 0.5, zc = 99)
+    val samples = Array.tabulate(200) { i =>
+      if (i < 100) 16384.toShort
+      else if (i % 2 == 0) 16384.toShort else (-16384).toShort
+    }
+    val df = Seq((7L, Multimodal.pcm16Wav(samples)),
+        (8L, "junk".getBytes)) // dropped
+      .toDF("clip_id", "payload")
+    val got = Multimodal.audioFeatures(spark, df, "clip_id", windowFrames = 100)
+      .as[(Long, Int, Int, Double, Int)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((7L, 0, 100, 0.5, 0), (7L, 1, 100, 0.5, 99)))
+  }
+
+  test("imageThumbnails: block means of a two-tone image, junk dropped") {
+    // left half 40, right half 200 -> 2x2 thumb rows (40, 200)
+    val png = gridPng((_, x) => if (x < 9) 40 else 200)
+    val df = Seq((1L, png), (2L, Array[Byte](1, 2, 3))).toDF("img_id", "payload")
+    val got = Multimodal.imageThumbnails(spark, df, "img_id", tw = 2, th = 2)
+      .select("id", "w", "h", "avg_lum").as[(Long, Int, Int, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2, 2, 120.0)))
+    // thumbnail pixels are the exact block means, PNG round-tripped
+    val thumb = Multimodal.imageThumbnails(spark, df, "img_id", 2, 2)
+      .select("thumb").as[Array[Byte]].head()
+    assert(Multimodal.poolGray(thumb, 2, 2).get.map(_.toSeq).toSeq ==
+      Seq(Seq(40, 200), Seq(40, 200)))
+  }
 }
