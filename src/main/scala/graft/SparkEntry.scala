@@ -394,6 +394,19 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)
   }
 
+  /** d13: fuzzy (MinHash) benchmark decontamination — same split as d9
+    * but flagging near-matches at Jaccard >= 0.6, not just exact shingle
+    * overlap. Rows-only (LSH banding has no SQL twin);
+    * `DecontaminationSpec` pins it to planted near-copies.
+    */
+  private def d13NearDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    Decontamination.flagNearContaminated(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      n = 3, threshold = 0.6)
+  }
+
   // ---- training-data pipeline: text analysis ----------------------------
 
   private def t1TokenStats(s: SparkSession, d: String): DataFrame =
@@ -848,6 +861,7 @@ object SparkEntry {
     "d10_segment_dedup" -> (d10SegmentDedup _),
     "d11_exact_substr" -> (d11ExactSubstr _),
     "d12_substr_removed" -> (d12SubstrRemoved _),
+    "d13_near_decontam" -> (d13NearDecontam _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2Quality _),
     "t3_lang_id" -> (t3LangId _),

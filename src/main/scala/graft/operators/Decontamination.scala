@@ -43,4 +43,35 @@ object Decontamination {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Fuzzy decontamination (the Llama-style complement of the exact
+    * n-gram test): flag every corpus document whose shingle Jaccard
+    * against ANY benchmark document reaches `threshold` — catches
+    * reformatted/lightly-edited eval leaks a single shared shingle test
+    * would miss ranking, and tolerates benchmark paraphrase noise.
+    *
+    * Built on [[Dedup.minHashLshPairsBetween]]: the corpus is sketched
+    * once, candidates come from the banded equi-join (benchmark band
+    * keys broadcast at eval-suite sizes), and only candidates are
+    * exactly verified. Output per corpus doc: strongest benchmark match
+    * and how many benchmark docs matched.
+    */
+  def flagNearContaminated(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val pairs = Dedup.minHashLshPairsBetween(
+      corpus, idCol, textCol, benchmark, benchIdCol, benchTextCol,
+      n = n, threshold = threshold)
+    val hits = pairs.groupBy(col("id_a").as("id")).agg(
+      round(max(col("jaccard")), 4).as("max_jaccard"),
+      countDistinct(col("id_b")).as("n_bench_matches"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        coalesce(col("n_bench_matches"), lit(0L)).as("n_bench_matches"),
+        col("max_jaccard").isNotNull.as("contaminated"))
+  }
 }

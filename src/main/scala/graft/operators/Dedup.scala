@@ -366,6 +366,34 @@ object Dedup {
     verifyJaccard(sh, cand, threshold)
   }
 
+  /** Two-corpus MinHash-LSH: every verified pair (left doc, right doc)
+    * with shingle Jaccard >= threshold — the cross-corpus form of
+    * [[minHashLshPairs]] (fuzzy decontamination, cross-crawl dedup).
+    * Ids need not be disjoint across the two sides; `id_a` is always the
+    * left corpus, `id_b` the right. Same scale posture as the self-join
+    * form: banded candidates from an equi-join on (band, key), exact
+    * verification on candidates only, small intermediates materialized
+    * once. When the right side is benchmark-sized, AQE broadcasts its
+    * band keys — the left corpus never shuffles for the candidate join.
+    */
+  def minHashLshPairsBetween(
+      left: DataFrame, leftIdCol: String, leftTextCol: String,
+      right: DataFrame, rightIdCol: String, rightTextCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val shL = shingleRows(left, leftIdCol, leftTextCol, n).localCheckpoint()
+    val shR = shingleRows(right, rightIdCol, rightTextCol, n).localCheckpoint()
+    val bL = bandKeyRows(sigsFromShingles(shL, k, seed), bands, k / bands)
+    val bR = bandKeyRows(sigsFromShingles(shR, k, seed), bands, k / bands)
+    val cand = bL.as("a").join(bR.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint()
+    verifyJaccardBetween(shL, shR, cand, threshold)
+  }
+
   /** The banded LSH keys of a signature frame as (id, band, key) rows. */
   private def bandKeyRows(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
@@ -385,9 +413,14 @@ object Dedup {
     * the pair set is small.
     */
   private def verifyJaccard(
-      sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    val sa = sh.join(cand.select(col("id_a").as("id")), Seq("id"), "left_semi")
-    val sb = sh.join(cand.select(col("id_b").as("id")), Seq("id"), "left_semi")
+      sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardBetween(sh, sh, cand, threshold)
+
+  private def verifyJaccardBetween(
+      shA: DataFrame, shB: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = shA.join(cand.select(col("id_a").as("id")), Seq("id"), "left_semi")
+    val sb = shB.join(cand.select(col("id_b").as("id")), Seq("id"), "left_semi")
     cand
       .join(sa.as("sa"), col("id_a") === col("sa.id"))
       .join(sb.as("sb"),
