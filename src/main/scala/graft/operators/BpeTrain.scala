@@ -78,7 +78,11 @@ object BpeTrain {
     while (rank <= numMerges && !done) {
       // pair counts: zip the symbol array against its own tail — pure
       // column functions, one hash aggregate over the exploded pairs
-      val (cnt, l, r) = vocab.toDF("syms", "wc")
+      // head() as a Row, not a typed tuple: when every word is fully
+      // merged the pair table is empty and the global max aggregate
+      // returns one row holding a NULL struct — a typed decode would
+      // throw on the primitive Long instead of stopping cleanly.
+      val best = vocab.toDF("syms", "wc")
         .select(col("wc"),
           explode(arrays_zip(
             slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
@@ -87,10 +91,10 @@ object BpeTrain {
         .agg(sum("wc").as("cnt"))
         .agg(max(struct(col("cnt"), col("l"), col("r"))).as("m"))
         .select(col("m.cnt"), col("m.l"), col("m.r"))
-        .as[(Long, String, String)]
         .head()
-      if (cnt < minCount) done = true
+      if (best.isNullAt(0) || best.getLong(0) < minCount) done = true
       else {
+        val (cnt, l, r) = (best.getLong(0), best.getString(1), best.getString(2))
         merges += ((rank, l, r, cnt))
         // Rewrites chain lazily; checkpoint every few rounds so the plan
         // stays O(checkpointEvery) deep but the per-round job count stays

@@ -220,7 +220,11 @@ object Dedup {
     * (the count-*window* formulation this replaces forced a second
     * partition-wide sort after the dedup aggregate destroyed the lead
     * window's order). The set buffer is bounded by one document's
-    * distinct shingles — per-doc, never corpus-skewed.
+    * distinct shingles — per-doc, never corpus-skewed — which assumes
+    * documents of sane size: a multi-hundred-MB crawl artifact would
+    * build its whole shingle set in one aggregation buffer, so cap or
+    * chunk pathological documents upstream (TextAnalytics.chunkDocs)
+    * before corpus-wide dedup, as every major pipeline does anyway.
     */
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     shingleOccurrences(docs, idCol, textCol, n)

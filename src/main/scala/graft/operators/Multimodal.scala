@@ -141,8 +141,11 @@ object Multimodal {
     * small edits) land within a few bits; unrelated images differ in
     * ~half — the standard perceptual-dedup sketch.
     *
-    * Pooling is an arithmetic mean over integer pixel blocks — NOT a
-    * Java2D `drawImage` resample — so the hash is deterministic across
+    * Pooling is an arithmetic mean over integer pixel blocks
+    * ([[poolGray]], rint-rounded to ints — adjacent cells whose raw
+    * means differ by < 1 gray level compare equal, deliberately: such
+    * bits were noise) — NOT a Java2D `drawImage` resample — so the hash
+    * is deterministic across
     * JVMs and render pipelines. None when no JDK codec decodes the bytes
     * or the image is smaller than the 9×8 grid.
     */

@@ -62,12 +62,21 @@ object Sharding {
   def writeShards(
       docs: DataFrame, idCol: String,
       nShards: Int, epoch: Long, path: String): Unit = {
-    val placed = docs.join(
-      epochShuffle(docs, idCol, nShards, epoch)
-        .withColumnRenamed("id", idCol),
-      Seq(idCol))
+    require(nShards > 0, "nShards must be positive")
+    // shard/ord are computed INLINE — shuffleKey reads only the id, so a
+    // join against epochShuffle's projection would be a needless second
+    // corpus pass (and would duplicate rows under non-unique ids).
+    val key = shuffleKey(col(idCol).cast("long"), lit(epoch))
+    val placed = docs.withColumns(Map(
+      "shard" -> pmod(key, lit(nShards.toLong)).cast("int"),
+      "ord" -> key.divide(lit(nShards.toLong)).cast("long")))
     placed
-      .repartition(nShards, col("shard"))
+      // range-partition on the shard value: hash-partitioning nShards
+      // distinct values into nShards partitions collides (~1/e of tasks
+      // empty, others writing several shards serially); range boundaries
+      // over the integer shard id give ~one shard per task, which is the
+      // documented write-parallelism contract
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }

@@ -34,14 +34,20 @@ object Snapshot {
 
   /** Apply an increment to a corpus snapshot (the merge/upsert step of
     * incremental corpus maintenance): increment rows replace same-id
-    * corpus rows, new ids are inserted, and increment rows flagged in
-    * `deletedCol` (when given) tombstone the id out of the result.
-    * Both inputs must share the corpus schema (plus the optional flag).
+    * corpus rows (null increment values inherit the corpus value), new
+    * ids are inserted, and increment rows flagged in `deletedCol` (when
+    * given) tombstone the id out of the result. Both inputs must share
+    * the corpus schema (plus the optional flag).
     *
-    * One full-outer equi-join on the id — at 100 TB the increment side
-    * is small, so AQE broadcast-plans it and the corpus is never
-    * shuffled; columns are taken side-wise with `coalesce`, so the
-    * shuffle (when there is one) carries each column once.
+    * NOT one full-outer join: Spark cannot broadcast a full-outer hash
+    * join, so that shape would shuffle AND sort the entire corpus per
+    * increment. Instead: (a) corpus LEFT-joins the broadcast increment —
+    * map-side, one corpus scan, no corpus shuffle — handling updates,
+    * deletes and untouched rows; (b) inserts are the increment minus the
+    * matched-id set, where the matched ids come from a column-pruned
+    * id-only corpus scan semi-joined against the (small) increment —
+    * again map-side. At 100 TB the corpus is scanned, never shuffled;
+    * both joins broadcast increment-sized tables only.
     */
   def applyIncrement(
       corpus: DataFrame, increment: DataFrame,
@@ -49,16 +55,23 @@ object Snapshot {
     val dataCols = corpus.columns.filter(_ != idCol).toSeq
     val inc = deletedCol.fold(increment)(d =>
       increment.withColumnRenamed(d, "__del"))
-    val c = corpus.select(
-      col(idCol).as("__id") +: dataCols.map(n => col(n).as(s"__c_$n")): _*)
     val i = inc.select(
       col(idCol).as("__id") +:
         (dataCols.map(n => col(n).as(s"__i_$n")) :+
           (if (deletedCol.isDefined) col("__del") else lit(false))
             .as("__del")): _*)
-    c.join(i, Seq("__id"), "full_outer")
+    val fromCorpus = corpus
+      .join(broadcast(i), col(idCol) === col("__id"), "left")
       .filter(coalesce(col("__del"), lit(false)) === false)
-      .select(col("__id").as(idCol) +: dataCols.map(n =>
-        coalesce(col(s"__i_$n"), col(s"__c_$n")).as(n)): _*)
+      .select(col(idCol) +: dataCols.map(n =>
+        coalesce(col(s"__i_$n"), col(n)).as(n)): _*)
+    val matchedIds = corpus.select(col(idCol).as("__mid"))
+      .join(broadcast(i.select("__id")), col("__mid") === col("__id"), "left_semi")
+    val inserts = i
+      .join(broadcast(matchedIds), col("__id") === col("__mid"), "left_anti")
+      .filter(coalesce(col("__del"), lit(false)) === false)
+      .select(col("__id").as(idCol) +:
+        dataCols.map(n => col(s"__i_$n").as(n)): _*)
+    fromCorpus.unionByName(inserts)
   }
 }

@@ -480,14 +480,20 @@ object TextAnalytics {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       roundTo: Int = 4): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val toks = docs.select(
+    // One corpus scan: project each doc to (len, query-term hits only) and
+    // checkpoint that compact frame — it feeds both the (N, avgdl) global
+    // aggregate and the posting lists, and without materialization each
+    // consumer would re-tokenize the full corpus. Size ≈ one int + the
+    // per-doc hit tokens, corpus-scale-safe to store.
+    val compact = docs.select(
         col(idCol).as("id"), tokens(col(textCol)).as("w"))
-      .select(col("id"), size(col("w")).cast("double").as("len"), col("w"))
-    val stats = toks.agg(
+      .select(col("id"), size(col("w")).cast("double").as("len"),
+        filter(col("w"), t => t.isin(terms: _*)).as("hits"))
+      .localCheckpoint()
+    val stats = compact.agg(
       count(lit(1)).as("n_docs"), avg(col("len")).as("avgdl"))
-    val hits = toks
-      .select(col("id"), col("len"), explode(col("w")).as("term"))
-      .filter(col("term").isin(terms: _*))
+    val hits = compact
+      .select(col("id"), col("len"), explode(col("hits")).as("term"))
       .groupBy("id", "len", "term").agg(count(lit(1)).as("tf"))
     val df = hits.groupBy("term").agg(countDistinct("id").as("df"))
     hits

@@ -212,10 +212,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("* Project"), s"not codegen'd:\n$plan")
   }
 
-  test("bm25 scan reads only the id and text columns") {
+  test("bm25 runs off one materialized compact pass, joins broadcast") {
     val plan = planOf(SparkEntry.queries("t15_bm25")(spark, dir))
-    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
-      s"bm25 scan not pruned:\n$plan")
+    // the corpus is tokenized once into a checkpointed (id, len, hits)
+    // frame; every consumer reads that, not the parquet scan
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      s"bm25 consumers re-scan the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"df/stats not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
 
@@ -232,6 +235,14 @@ class PlanQualitySpec extends AnyFunSuite {
     // t7 keeps its per-doc rank window; d2 its per-doc n-gram lead window
     assert(windowKeys("t7_tfidf").forall(_.contains("id")))
     assert(windowKeys("d2_ngram_jaccard").forall(_.contains("id")))
+  }
+
+  test("corpus merge broadcasts the increment, never full-outer-shuffles") {
+    val plan = planOf(SparkEntry.queries("c4_corpus_merge")(spark, dir))
+    assert(!plan.contains("FullOuter"),
+      s"full-outer join cannot broadcast — corpus would shuffle+sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"increment not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled:\n$plan")
   }
 
   test("dedup self-joins reuse one exchange per side at runtime") {

@@ -59,6 +59,15 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("learnMerges stops cleanly when the vocabulary fully merges") {
+    // one word: after (a, </w>) merges, no pairs remain — rounds 2..10
+    // must stop on the empty pair table, not crash decoding a null argmax
+    val got = BpeTrain.learnMerges(Seq("a a a").toDF("text"), "text",
+        numMerges = 10)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", BpeTrain.EndOfWord, 3L)))
+  }
+
   test("applyMerges reproduces the trained rewrite of training words") {
     val docs = Seq("aa aa ab").toDF("text")
     val merges = BpeTrain.learnMerges(docs, "text", numMerges = 2)
