@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrain, Decontamination, Dedup, IntervalJoin, Layout, Multimodal, Pca, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
+import graft.operators.{BpeTrain, Decontamination, Dedup, IntervalJoin, Layout, Multimodal, Pca, Profiling, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -684,6 +684,13 @@ object SparkEntry {
       "doc_id", Some("deleted"))
   }
 
+  /** c5: per-column corpus profile (cardinalities, null rates, moments)
+    * over the documents table — the ingest pre-flight audit.
+    */
+  private def c5Profile(s: SparkSession, d: String): DataFrame =
+    Profiling.describe(T(s, d, "documents"),
+      Seq("doc_id", "lang", "source", "n_chars"))
+
   /** s5: deterministic epoch shuffle — shard and within-shard order for
     * epoch 1 over 8 shards. The shuffle key is exact BIGINT arithmetic
     * (mod 2^31-1 affine rounds + xor-shifts), so the DuckDB oracle
@@ -885,6 +892,7 @@ object SparkEntry {
     "c2_quality_gate" -> (c2QualityGate _),
     "c3_corpus_diff" -> (c3CorpusDiff _),
     "c4_corpus_merge" -> (c4CorpusMerge _),
+    "c5_profile" -> (c5Profile _),
     "s5_shard_shuffle" -> (s5ShardShuffle _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
@@ -1396,6 +1404,27 @@ object SparkEntry {
         |  coalesce(i.source, c.source) AS source
         |FROM c FULL OUTER JOIN inc i ON c.doc_id = i.doc_id
         |WHERE coalesce(i.deleted, false) = false""".stripMargin,
+    "c5_profile" ->
+      """SELECT 'doc_id' AS "column", count(*)::BIGINT AS n,
+        |  count(doc_id)::BIGINT AS n_nonnull,
+        |  count(DISTINCT doc_id)::BIGINT AS n_distinct,
+        |  min(doc_id)::VARCHAR AS min_val, max(doc_id)::VARCHAR AS max_val,
+        |  round(avg(doc_id), 4) AS mean,
+        |  round(stddev_pop(doc_id), 4) AS stddev
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*)::BIGINT, count(lang)::BIGINT,
+        |  count(DISTINCT lang)::BIGINT, min(lang), max(lang),
+        |  NULL::DOUBLE, NULL::DOUBLE FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*)::BIGINT, count(source)::BIGINT,
+        |  count(DISTINCT source)::BIGINT, min(source), max(source),
+        |  NULL::DOUBLE, NULL::DOUBLE FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*)::BIGINT, count(n_chars)::BIGINT,
+        |  count(DISTINCT n_chars)::BIGINT, min(n_chars)::VARCHAR,
+        |  max(n_chars)::VARCHAR, round(avg(n_chars), 4),
+        |  round(stddev_pop(n_chars), 4) FROM documents""".stripMargin,
     "s5_shard_shuffle" ->
       """WITH m AS (SELECT doc_id AS id,
         |    (48271 * (doc_id % 2147483647) + 1) % 2147483647 AS x1
