@@ -472,22 +472,49 @@ object Dedup {
     * [[minHashLshPairs]]; union with the index's own pair set to maintain
     * the full near-dup relation incrementally.
     */
-  def minHashLshPairsIncremental(
+  /** Fail fast when an index was sketched with different
+    * hyperparameters: mismatched (n, k, bands, seed) band keys never
+    * collide with the stored ones — near-dups silently vanish instead
+    * of erroring. (n also pins the stored n_sh totals the verify uses.)
+    */
+  private def requireIndexParams(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
-      newDocs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    // Refuse a hyperparameter mismatch with the stored index: different
-    // (n, k, bands, seed) means increment band keys never collide with
-    // the index's — a silent near-empty result, not an error, without
-    // this check. (n also pins the stored n_sh totals the verify uses.)
+      n: Int, k: Int, bands: Int, seed: Long): Unit = {
     val p = spark.read.json(s"$indexPath/params").head()
     val stored = (p.getAs[Long]("n"), p.getAs[Long]("k"),
       p.getAs[Long]("bands"), p.getAs[Long]("seed"))
     require(stored == ((n.toLong, k.toLong, bands.toLong, seed)),
       s"MinHash index at $indexPath was written with (n, k, bands, seed) = " +
         s"$stored but the caller passed (($n, $k, $bands, $seed))")
+  }
+
+  /** Append an increment's shingle rows and band keys to an existing
+    * index ([[writeMinHashIndex]] layout) — the maintenance half of
+    * continuous ingest: dedup the increment first
+    * ([[minHashLshPairsIncremental]]), then fold it into the index so
+    * the next increment sees it. Ids must be disjoint from the index's.
+    * Cost scales with the increment (its sketch + two appends); the
+    * stored corpus is never read or rewritten.
+    */
+  def appendToMinHashIndex(
+      docs: DataFrame, idCol: String, textCol: String, dest: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, seed: Long = 42L): Unit = {
+    require(k % bands == 0, "k must be divisible by bands")
+    requireIndexParams(docs.sparkSession, dest, n, k, bands, seed)
+    val sh = shingleRows(docs, idCol, textCol, n).localCheckpoint()
+    sh.write.mode("append").parquet(s"$dest/shingles")
+    bandKeyRows(sigsFromShingles(sh, k, seed), bands, k / bands)
+      .repartition(col("band"))
+      .write.mode("append").partitionBy("band").parquet(s"$dest/bands")
+  }
+
+  def minHashLshPairsIncremental(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    requireIndexParams(spark, indexPath, n, k, bands, seed)
     val newSh = shingleRows(newDocs, idCol, textCol, n).localCheckpoint()
     val newBands = bandKeyRows(sigsFromShingles(newSh, k, seed), bands, k / bands)
       .localCheckpoint()

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.TestSpark
+import graft.operators.Dedup
+
+class IndexStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streamed index maintenance emits the same pairs as a full batch recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def doc(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (1 to 25).map(_ => s"w${r.nextInt(300)}").mkString(" ")
+    }
+    // batch 1: docs 1-12 with an internal near-dup (2 ≈ 1);
+    // batch 2: docs 21-30 with a cross-batch near-dup (21 ≈ 5)
+    val b1 = (1L to 12L).map {
+      case 2L => (2L, doc(1).split(" ").take(23).mkString(" "))
+      case i  => (i, doc(i.toInt))
+    }
+    val b2 = (21L to 30L).map {
+      case 21L => (21L, doc(5).split(" ").drop(2).mkString(" "))
+      case i   => (i, doc(i.toInt))
+    }
+    val dir = Files.createTempDirectory("idxstream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexStream.run(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/index", s"$dir/pairs", s"$dir/ckpt", threshold = 0.5)
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minHashLshPairs(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamed == full)
+    assert(streamed.contains((1L, 2L)) && streamed.contains((5L, 21L)),
+      s"planted pairs missing from $streamed")
+
+    // the maintained index serves a post-hoc increment identical to a
+    // fresh one built from all streamed docs
+    val inc = Seq((40L, doc(9).split(" ").take(22).mkString(" ")))
+      .toDF("doc_id", "text")
+    val viaStream = Dedup.minHashLshPairsIncremental(
+        spark, s"$dir/index", inc, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaStream.contains((9L, 40L)))
+  }
+}
