@@ -371,6 +371,18 @@ object SparkEntry {
     Dedup.semanticDedup(corpus, "vec_id", "embedding", model, threshold = 0.85)
   }
 
+  /** s6: coverage-preserving diversity sample — per IVF cluster keep 10
+    * members split between the medoid region and the fringe. Rows-only
+    * (k-means quantizer has no SQL twin); `SamplingSpec` pins the
+    * geometry on a constructed corpus.
+    */
+  private def s6DiverseSample(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    val model = Similarity.ivfTrain(e, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    Sampling.diverseSample(e, "vec_id", "embedding", model, perCluster = 10)
+  }
+
   /** d7: the same min-label connected-components fixpoint as d6, but over
     * the exact n-gram Jaccard pair graph (d2's edge set), which IS
     * SQL-expressible — so the iterative clustering algorithm itself gets a
@@ -885,6 +897,7 @@ object SparkEntry {
     "t14_url_stats" -> (t14UrlStats _),
     "s3_dsir_weights" -> (s3DsirWeights _),
     "s4_gumbel_topk" -> (s4GumbelTopK _),
+    "s6_diverse_sample" -> (s6DiverseSample _),
     "f9_zorder" -> (f9Zorder _),
     "s1_stratified_sample" -> (s1StratifiedSample _),
     "s2_domain_mix" -> (s2DomainMix _),

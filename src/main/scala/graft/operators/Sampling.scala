@@ -171,4 +171,62 @@ object Sampling {
       row_number().over(Window.orderBy(col("score").desc, col("id").asc))
         .cast("long"))
   }
+
+  /** Coverage-preserving diversity sample over embedding clusters — the
+    * selection companion to SemDeDup's removal: per IVF cluster keep
+    * `perCluster` members, mixing the medoid region (nearest the
+    * centroid — prototypical examples) with the cluster fringe (farthest
+    * — hard/diverse examples), `fringeFrac` setting the split. Distance
+    * ties break on the id, so the sample is deterministic.
+    *
+    * Scale: the rank windows partition on the cluster id — the same
+    * bounded-occupancy key every IVF op shuffles on (size `nlist` for
+    * occupancy; see [[Similarity.ivfTrain]]) — and the distance is one
+    * fused codegen projection. One shuffle, no corpus sort.
+    *
+    * Output: (id, cluster, dist, role) for kept rows, role ∈
+    * {core, fringe}.
+    */
+  def diverseSample(
+      df: DataFrame, idCol: String, vecCol: String,
+      model: graft.operators.Similarity.IvfModel,
+      perCluster: Int, fringeFrac: Double = 0.5,
+      roundTo: Int = 4): DataFrame = {
+    require(perCluster > 0, "perCluster must be positive")
+    require(fringeFrac >= 0 && fringeFrac <= 1, "fringeFrac in [0,1]")
+    import graft.functions.VectorFunctions._
+    val assigned = Similarity.assignClusters(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", model)
+    val withDist = assigned.select(col("id"), col("cluster"),
+      round(centroidDist(col("v"), col("cluster"), model.centroids), roundTo)
+        .as("dist"))
+    val nFringe = math.round(perCluster * fringeFrac).toInt
+    val nCore = perCluster - nFringe
+    val asc = Window.partitionBy("cluster")
+      .orderBy(col("dist").asc, col("id").asc)
+    val desc = Window.partitionBy("cluster")
+      .orderBy(col("dist").desc, col("id").desc)
+    withDist
+      .withColumn("rn_core", row_number().over(asc))
+      .withColumn("rn_fringe", row_number().over(desc))
+      // a row taken by the core quota can't also fill a fringe slot
+      .filter(col("rn_core") <= nCore ||
+        (col("rn_fringe") <= nFringe && col("rn_core") > nCore))
+      .select(col("id"), col("cluster"), col("dist"),
+        when(col("rn_core") <= nCore, "core").otherwise("fringe").as("role"))
+  }
+
+  /** Squared L2 distance from a vector to its assigned centroid, as one
+    * codegen-friendly expression per cluster id.
+    */
+  private def centroidDist(
+      vec: Column, cluster: Column, centroids: Seq[Seq[Float]]): Column = {
+    import graft.functions.VectorFunctions._
+    val v2 = fdot(vec, vec)
+    centroids.zipWithIndex.foldLeft(lit(Double.NaN)) { case (acc, (c, i)) =>
+      val c2 = c.map(x => x.toDouble * x).sum
+      when(cluster === i,
+        v2 + lit(c2) - lit(2.0) * fdot(vec, typedLit(c))).otherwise(acc)
+    }
+  }
 }

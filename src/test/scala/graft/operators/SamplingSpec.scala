@@ -125,4 +125,36 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("diverseSample keeps medoid-region and fringe per cluster, deterministically") {
+    // two well-separated 1-D-ish clusters around (0,...) and (10,...):
+    // ids 0-19 at distance id*0.1 from origin, ids 100-119 likewise at 10
+    def vec(center: Float, off: Float) =
+      Array.tabulate(4)(j => if (j == 0) center + off else 0.0f)
+    val rows = (0 until 20).map(i => (i.toLong, vec(0f, i * 0.1f))) ++
+      (0 until 20).map(i => (100L + i, vec(10f, i * 0.1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val model = graft.operators.Similarity.IvfModel(
+      Seq(Seq.tabulate(4)(j => if (j == 0) 0f else 0f),
+        Seq.tabulate(4)(j => if (j == 0) 10f else 0f)))
+    val got = Sampling.diverseSample(df, "vec_id", "embedding", model,
+        perCluster = 6, fringeFrac = 0.5)
+      .as[(Long, Int, Double, String)].collect()
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster.keySet == Set(0, 1))
+    for ((c, rowsC) <- byCluster) {
+      assert(rowsC.length == 6, s"cluster $c kept ${rowsC.length}")
+      val base = if (c == 0) 0L else 100L
+      val core = rowsC.filter(_._4 == "core").map(_._1).toSet
+      val fringe = rowsC.filter(_._4 == "fringe").map(_._1).toSet
+      assert(core == Set(base, base + 1, base + 2), s"cluster $c core $core")
+      assert(fringe == Set(base + 17, base + 18, base + 19),
+        s"cluster $c fringe $fringe")
+    }
+    // deterministic: same inputs, same sample
+    val again = Sampling.diverseSample(df, "vec_id", "embedding", model,
+        perCluster = 6, fringeFrac = 0.5)
+      .as[(Long, Int, Double, String)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
