@@ -14,7 +14,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Persist `df` as a bucketed table (sorted within buckets on the same
-    * key, so joins skip both Exchange and Sort).
+    * key, so joins skip both Exchange and Sort). A parquet bloom filter
+    * is written for the bucket key: point lookups and semi-joins on the
+    * key then skip row groups the footer min/max can't exclude (high-
+    * cardinality keys hash-scatter, so min/max spans everything — the
+    * bloom filter is what actually prunes).
     */
   def writeBucketed(
       df: DataFrame, table: String, key: String,
@@ -23,6 +27,7 @@ object Bucketing {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(sorted.head, sorted.tail: _*)
+      .option(s"parquet.bloom.filter.enabled#$key", "true")
       .format("parquet")
       .saveAsTable(table)
   }
