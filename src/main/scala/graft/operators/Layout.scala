@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout for scan pruning — the Z-order
@@ -72,4 +72,36 @@ object Layout {
       .sortWithinPartitions("__z") // row groups inside each file stay tight too
       .drop("__z")
       .write.mode("overwrite").parquet(dest)
+
+  /** Compact a parquet directory's small files into ~`targetMB` files —
+    * the maintenance pass continuous ingest needs: micro-batch appends
+    * leave thousands of KB-sized files whose open/footer overhead
+    * eventually dominates scans. Sizes come from the file system (no
+    * data read to plan); the rewrite is one `repartition` whose file
+    * count = ceil(bytes / target), written to `dest` (never in place —
+    * Spark cannot overwrite its own input; swap directories atomically
+    * in the metastore/catalog layer above). Returns (filesBefore,
+    * filesAfter).
+    */
+  def compact(
+      spark: SparkSession, src: String, dest: String,
+      targetMB: Int = 512): (Int, Int) = {
+    require(targetMB > 0, "targetMB must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(src), true)
+    var nFiles = 0
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        nFiles += 1; bytes += f.getLen
+      }
+    }
+    val n = math.max(1L, (bytes + targetMB * 1024L * 1024L - 1) /
+      (targetMB * 1024L * 1024L)).toInt
+    spark.read.parquet(src).repartition(n)
+      .write.mode("overwrite").parquet(dest)
+    (nFiles, n)
+  }
 }

@@ -64,4 +64,20 @@ class LayoutSpec extends AnyFunSuite {
     // and the layout is lossless
     assert(spark.read.parquet(dest).count() == n.toLong * n)
   }
+
+  test("compact folds a many-small-file directory into the size-targeted count") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("compact-src").toString
+    val dest = java.nio.file.Files.createTempDirectory("compact-dst").toString
+    (1L to 2000L).toDF("v").repartition(40).write.mode("overwrite").parquet(src)
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(src) == 40)
+    val (before, after) = Layout.compact(spark, src, dest, targetMB = 512)
+    assert(before == 40)
+    assert(after == 1 && files(dest) == 1) // 40 tiny files fit one target file
+    // lossless
+    assert(spark.read.parquet(dest).as[Long].collect().sorted.toSeq ==
+      (1L to 2000L))
+  }
 }
