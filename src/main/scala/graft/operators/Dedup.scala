@@ -439,21 +439,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The (shingle rows, banded LSH keys) sketch of a document set, both
+    * localCheckpointed — compute once, feed every index/dedup consumer
+    * (the streaming path sketches each micro-batch exactly once and
+    * hands the result to both the incremental join and the index
+    * append).
+    */
+  def sketch(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val sh = shingleRows(docs, idCol, textCol, n).localCheckpoint()
+    val bk = bandKeyRows(sigsFromShingles(sh, k, seed), bands, k / bands)
+      .localCheckpoint()
+    (sh, bk)
+  }
+
   /** Materialize the MinHash index of a corpus: the per-doc shingle rows
-    * and banded LSH keys as parquet, bands partitioned by `band` — the
-    * incremental-dedup layout. A daily increment then joins against the
-    * stored keys ([[minHashLshPairsIncremental]]) instead of re-sketching
-    * the whole corpus; at 100 TB the re-sketch is the cost that matters.
+    * and banded LSH keys as parquet — the incremental-dedup layout.
+    * Shingles are partitioned by a `batch` column (0 for the initial
+    * build), bands by (`band`, `batch`): appends target one batch
+    * partition with dynamic overwrite, so a replayed append (streaming
+    * at-least-once) REPLACES its own partition instead of duplicating
+    * rows — duplicated shingle rows would silently inflate every later
+    * Jaccard verification. A daily increment then joins against the
+    * stored keys ([[minHashLshPairsIncremental]]) instead of
+    * re-sketching the whole corpus; at 100 TB the re-sketch is the cost
+    * that matters.
     */
   def writeMinHashIndex(
       docs: DataFrame, idCol: String, textCol: String, dest: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, seed: Long = 42L): Unit = {
-    require(k % bands == 0, "k must be divisible by bands")
-    val sh = shingleRows(docs, idCol, textCol, n).localCheckpoint()
-    sh.write.mode("overwrite").parquet(s"$dest/shingles")
-    bandKeyRows(sigsFromShingles(sh, k, seed), bands, k / bands)
+    val (sh, bk) = sketch(docs, idCol, textCol, n, k, bands, seed)
+    sh.withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$dest/shingles")
+    bk.withColumn("batch", lit(0L))
       .repartition(col("band"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$dest/bands")
+      .write.mode("overwrite").partitionBy("band", "batch")
+      .parquet(s"$dest/bands")
     // Sketch hyperparameters ride with the index: an increment hashed
     // with a different (n, k, bands, seed) produces band keys that never
     // collide with the stored ones — near-dups silently vanish instead of
@@ -488,36 +513,50 @@ object Dedup {
         s"$stored but the caller passed (($n, $k, $bands, $seed))")
   }
 
-  /** Append an increment's shingle rows and band keys to an existing
-    * index ([[writeMinHashIndex]] layout) — the maintenance half of
-    * continuous ingest: dedup the increment first
-    * ([[minHashLshPairsIncremental]]), then fold it into the index so
-    * the next increment sees it. Ids must be disjoint from the index's.
-    * Cost scales with the increment (its sketch + two appends); the
-    * stored corpus is never read or rewritten.
+  /** Fold an increment's sketch into an existing index
+    * ([[writeMinHashIndex]] layout) — the maintenance half of continuous
+    * ingest: dedup the increment first ([[minHashLshPairsIncremental]]),
+    * then append it so the next increment sees it. `batchId` scopes the
+    * write to one `batch` partition with dynamic overwrite — replaying
+    * the same batch (streaming at-least-once delivery) replaces its own
+    * rows instead of duplicating them, which would inflate later Jaccard
+    * counts. Ids must be disjoint from the index's; batchId must be
+    * unique per increment (> 0; 0 is the initial build). Pass
+    * `precomputed` ([[sketch]]) to avoid re-sketching a batch another
+    * consumer already sketched. The stored corpus is never read or
+    * rewritten.
     */
   def appendToMinHashIndex(
       docs: DataFrame, idCol: String, textCol: String, dest: String,
-      n: Int = 3, k: Int = 64, bands: Int = 16, seed: Long = 42L): Unit = {
+      batchId: Long,
+      n: Int = 3, k: Int = 64, bands: Int = 16, seed: Long = 42L,
+      precomputed: Option[(DataFrame, DataFrame)] = None): Unit = {
     require(k % bands == 0, "k must be divisible by bands")
+    require(batchId > 0, "batchId 0 is the initial writeMinHashIndex build")
     requireIndexParams(docs.sparkSession, dest, n, k, bands, seed)
-    val sh = shingleRows(docs, idCol, textCol, n).localCheckpoint()
-    sh.write.mode("append").parquet(s"$dest/shingles")
-    bandKeyRows(sigsFromShingles(sh, k, seed), bands, k / bands)
+    val (sh, bk) = precomputed.getOrElse(
+      sketch(docs, idCol, textCol, n, k, bands, seed))
+    sh.withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$dest/shingles")
+    bk.withColumn("batch", lit(batchId))
       .repartition(col("band"))
-      .write.mode("append").partitionBy("band").parquet(s"$dest/bands")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("band", "batch").parquet(s"$dest/bands")
   }
 
   def minHashLshPairsIncremental(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       newDocs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.6, seed: Long = 42L,
+      precomputed: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     requireIndexParams(spark, indexPath, n, k, bands, seed)
-    val newSh = shingleRows(newDocs, idCol, textCol, n).localCheckpoint()
-    val newBands = bandKeyRows(sigsFromShingles(newSh, k, seed), bands, k / bands)
-      .localCheckpoint()
+    val (newSh, newBands) = precomputed.getOrElse(
+      sketch(newDocs, idCol, textCol, n, k, bands, seed))
     val allBands = spark.read.parquet(s"$indexPath/bands")
       .select("id", "band", "key").unionByName(newBands)
     val newIds = newBands.select("id").distinct()
@@ -531,6 +570,7 @@ object Dedup {
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val allSh = spark.read.parquet(s"$indexPath/shingles")
+      .select("id", "n_sh", "shkey") // drop the batch partition column
       .join(newIds.withColumnRenamed("id", "__nid"),
         col("id") === col("__nid"), "left_anti") // increment shadows index
       .unionByName(newSh)

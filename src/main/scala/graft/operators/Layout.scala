@@ -87,21 +87,38 @@ object Layout {
       spark: SparkSession, src: String, dest: String,
       targetMB: Int = 512): (Int, Int) = {
     require(targetMB > 0, "targetMB must be positive")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(src), true)
+    // src's OWN filesystem: FileSystem.get(conf) resolves fs.defaultFS
+    // and throws Wrong-FS for the object-store paths this op targets
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val it = fs.listFiles(srcPath, true)
     var nFiles = 0
     var bytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        nFiles += 1; bytes += f.getLen
-      }
+      val p = f.getPath
+      // a hive-partitioned layout (dir=value segments) would be read
+      // with its partition values inlined and re-written FLAT, silently
+      // dropping the pruning layout — compact each partition directory
+      // instead
+      require(!p.getParent.getName.contains("="),
+        s"$src is hive-partitioned (${p.getParent.getName}); " +
+          "compact each partition directory separately")
+      if (p.getName.endsWith(".parquet")) { nFiles += 1; bytes += f.getLen }
     }
     val n = math.max(1L, (bytes + targetMB * 1024L * 1024L - 1) /
       (targetMB * 1024L * 1024L)).toInt
     spark.read.parquet(src).repartition(n)
       .write.mode("overwrite").parquet(dest)
-    (nFiles, n)
+    // report files actually written (empty partitions write no file),
+    // not the planned count
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val dit = destPath.getFileSystem(conf).listFiles(destPath, true)
+    var written = 0
+    while (dit.hasNext) {
+      if (dit.next().getPath.getName.endsWith(".parquet")) written += 1
+    }
+    (nFiles, written)
   }
 }

@@ -179,10 +179,15 @@ object Sampling {
     * — hard/diverse examples), `fringeFrac` setting the split. Distance
     * ties break on the id, so the sample is deterministic.
     *
-    * Scale: the rank windows partition on the cluster id — the same
-    * bounded-occupancy key every IVF op shuffles on (size `nlist` for
-    * occupancy; see [[Similarity.ivfTrain]]) — and the distance is one
-    * fused codegen projection. One shuffle, no corpus sort.
+    * Scale: one shuffle + ONE sort, both keyed on the cluster id (the
+    * fringe rank is derived from the ascending rank and the cluster
+    * size, not a second descending window/sort). Parallelism and
+    * per-task sort size are set by `nlist` — size it for occupancy
+    * 10³-10⁴ like every IVF op (see [[Dedup.semanticDedup]]); a
+    * handful of clusters over a huge corpus would funnel the sort into
+    * nlist tasks. The distance is a centroid-table lookup (`element_at`
+    * into literal arrays + the fused dot kernel), not an nlist-deep
+    * conditional chain.
     *
     * Output: (id, cluster, dist, role) for kept rows, role ∈
     * {core, fringe}.
@@ -204,29 +209,29 @@ object Sampling {
     val nCore = perCluster - nFringe
     val asc = Window.partitionBy("cluster")
       .orderBy(col("dist").asc, col("id").asc)
-    val desc = Window.partitionBy("cluster")
-      .orderBy(col("dist").desc, col("id").desc)
+    // cluster size via an unordered window over the same partition key:
+    // its required sort (cluster only) is a prefix of the rank window's,
+    // so the plan sorts ONCE; the fringe is the last nFringe ranks
     withDist
-      .withColumn("rn_core", row_number().over(asc))
-      .withColumn("rn_fringe", row_number().over(desc))
-      // a row taken by the core quota can't also fill a fringe slot
-      .filter(col("rn_core") <= nCore ||
-        (col("rn_fringe") <= nFringe && col("rn_core") > nCore))
+      .withColumn("rn", row_number().over(asc))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("rn") <= nCore || col("rn") > col("cnt") - nFringe)
       .select(col("id"), col("cluster"), col("dist"),
-        when(col("rn_core") <= nCore, "core").otherwise("fringe").as("role"))
+        when(col("rn") <= nCore, "core").otherwise("fringe").as("role"))
   }
 
-  /** Squared L2 distance from a vector to its assigned centroid, as one
-    * codegen-friendly expression per cluster id.
+  /** Squared L2 distance from a vector to its assigned centroid: lookup
+    * into centroid-table literals by cluster index + the fused dot
+    * kernel — one expression regardless of nlist (an nlist-deep
+    * when-chain would blow the janino method limit at real widths and
+    * fall back to interpreted eval; see `NearestSubCentroids`).
     */
   private def centroidDist(
       vec: Column, cluster: Column, centroids: Seq[Seq[Float]]): Column = {
     import graft.functions.VectorFunctions._
-    val v2 = fdot(vec, vec)
-    centroids.zipWithIndex.foldLeft(lit(Double.NaN)) { case (acc, (c, i)) =>
-      val c2 = c.map(x => x.toDouble * x).sum
-      when(cluster === i,
-        v2 + lit(c2) - lit(2.0) * fdot(vec, typedLit(c))).otherwise(acc)
-    }
+    val cents = typedLit(centroids)
+    val c2s = typedLit(centroids.map(c => c.map(x => x.toDouble * x).sum))
+    fdot(vec, vec) + element_at(c2s, cluster + 1) -
+      lit(2.0) * fdot(vec, element_at(cents, cluster + 1))
   }
 }

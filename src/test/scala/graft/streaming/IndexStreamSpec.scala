@@ -58,4 +58,24 @@ class IndexStreamSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(viaStream.contains((9L, 40L)))
   }
+
+  test("replayed index append replaces its batch partition, never duplicates") {
+    import spark.implicits._
+    def doc(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (1 to 25).map(_ => s"w${r.nextInt(300)}").mkString(" ")
+    }
+    val dir = Files.createTempDirectory("idxreplay").toString
+    val base = (1L to 8L).map(i => (i, doc(i.toInt))).toDF("doc_id", "text")
+    Dedup.writeMinHashIndex(base, "doc_id", "text", s"$dir/idx")
+    val incr = (11L to 14L).map(i => (i, doc(i.toInt))).toDF("doc_id", "text")
+    Dedup.appendToMinHashIndex(incr, "doc_id", "text", s"$dir/idx", batchId = 1L)
+    val shinglesOnce = spark.read.parquet(s"$dir/idx/shingles").count()
+    val bandsOnce = spark.read.parquet(s"$dir/idx/bands").count()
+    // at-least-once replay of the same micro-batch
+    Dedup.appendToMinHashIndex(incr, "doc_id", "text", s"$dir/idx", batchId = 1L)
+    assert(spark.read.parquet(s"$dir/idx/shingles").count() == shinglesOnce,
+      "replay duplicated shingle rows — Jaccard counts would inflate")
+    assert(spark.read.parquet(s"$dir/idx/bands").count() == bandsOnce)
+  }
 }
