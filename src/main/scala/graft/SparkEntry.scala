@@ -720,6 +720,12 @@ object SparkEntry {
     TextAnalytics.bm25(T(s, d, "documents"), "doc_id", "text",
       Seq("table", "query", "spark"))
 
+  /** t17: bigram-LM fluency score (KenLM-shaped corpus-as-model filter,
+    * add-one smoothing) — the bigram upgrade of t10.
+    */
+  private def t17BigramLogProb(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.bigramLogProb(T(s, d, "documents"), "doc_id", "text")
+
   /** t16: distributed BPE vocabulary induction — 16 merge rounds over the
     * corpus word vocabulary. Rows-only for the driver (the sequential
     * argmax-merge loop has no SQL form); `BpeTrainSpec` pins the merge
@@ -909,6 +915,7 @@ object SparkEntry {
     "s5_shard_shuffle" -> (s5ShardShuffle _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
+    "t17_bigram_logprob" -> (t17BigramLogProb _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1438,6 +1445,20 @@ object SparkEntry {
         |  count(DISTINCT n_chars)::BIGINT, min(n_chars)::VARCHAR,
         |  max(n_chars)::VARCHAR, round(avg(n_chars), 4),
         |  round(stddev_pop(n_chars), 4) FROM documents""".stripMargin,
+    "t17_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |v AS (SELECT count(DISTINCT t)::BIGINT AS v
+        |  FROM (SELECT unnest(w) AS t FROM d)),
+        |bi AS (SELECT id, w[i] AS l, w[i + 1] AS r
+        |  FROM (SELECT id, w, unnest(range(1, len(w))) AS i FROM d)),
+        |cb AS (SELECT l, r, count(*)::BIGINT AS c_bi FROM bi GROUP BY l, r),
+        |ch AS (SELECT l, count(*)::BIGINT AS c_hist FROM bi GROUP BY l)
+        |SELECT id, count(*)::BIGINT AS n_bigrams,
+        |  round(sum(-ln((cb.c_bi + 1)::DOUBLE / (ch.c_hist + v.v))) /
+        |    count(*), 4) AS mean_nll
+        |FROM bi JOIN cb USING (l, r) JOIN ch USING (l) CROSS JOIN v
+        |GROUP BY id""".stripMargin,
     "s5_shard_shuffle" ->
       """WITH m AS (SELECT doc_id AS id,
         |    (48271 * (doc_id % 2147483647) + 1) % 2147483647 AS x1

@@ -258,6 +258,46 @@ object TextAnalytics {
           roundTo).as("mean_nll"))
   }
 
+  /** Bigram log-probability score per document — the KenLM-shaped
+    * upgrade of [[unigramLogProb]]: mean over bigram instances of
+    * -ln p(w_i | w_{i-1}) with add-one smoothing,
+    * p = (c(bigram) + 1) / (c(history) + V), history counts taken over
+    * bigram-left positions and V = corpus distinct-token count. Low =
+    * fluent under the corpus LM; high = token soup. Docs with fewer
+    * than 2 tokens have no bigrams and are not emitted.
+    *
+    * Shape: bigrams assembled array-side (zip of the token array with
+    * its own tail — no window), counts as map-side-collapsing
+    * aggregates joined back on the bigram/history hashes (never a count
+    * window — a stop-word history would sort on one reducer), V and
+    * nothing else broadcast. Hashes shuffle, strings don't.
+    */
+  def bigramLogProb(
+      docs: DataFrame, idCol: String, textCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    val bi = toks
+      .select(col("id"), explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("l"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("r"))).as("p"))
+      .select(col("id"),
+        xxhash64(col("p.l")).as("lh"),
+        xxhash64(col("p.l"), col("p.r")).as("bh"))
+    val cbi = bi.groupBy("bh").agg(count(lit(1)).as("c_bi"))
+    val chist = bi.groupBy("lh").agg(count(lit(1)).as("c_hist"))
+    val v = toks.select(explode(col("w")).as("t"))
+      .agg(countDistinct("t").as("v"))
+    bi.join(cbi, Seq("bh")).join(chist, Seq("lh"))
+      .crossJoin(broadcast(v))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(
+          sum(-log((col("c_bi") + 1).cast("double") /
+            (col("c_hist") + col("v")))) / count(lit(1)),
+          roundTo).as("mean_nll"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document sketch): hash every
     * k-char gram, keep the minimum hash of each sliding window of w
     * grams, emit the distinct kept hashes. Guarantees any shared

@@ -267,6 +267,18 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(toks == (1 to 71).map(i => s"w$i").toSet)
   }
 
+  test("bigramLogProb matches hand-computed add-one bigram NLLs") {
+    // corpus: "a b a", "a b"; V = 2; c(a,b)=2, c(b,a)=1; hist a=2, b=1
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc1: -ln(3/4), -ln(2/3) -> mean 0.3466; doc2: -ln(3/4) = 0.2877
+    assert(got(1L) == ((2L, 0.3466)))
+    assert(got(2L) == ((1L, 0.2877)))
+    assert(!got.contains(3L)) // single token: no bigrams, not emitted
+  }
+
   test("bm25 matches a hand-computed Okapi model") {
     val docs = Seq(
       (1L, "spark query engine"),
