@@ -187,6 +187,51 @@ object SparkEntry {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n"), col("total"))
 
+  /** f10: GROUPING SETS — the general form behind rollup/cube; grouping
+    * ids disambiguate the null-vs-ALL ambiguity rollup papers over.
+    */
+  private def f10GroupingSets(s: SparkSession, d: String): DataFrame = {
+    val o = T(s, d, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             CAST(grouping(o_orderstatus) + 2 * grouping(o_orderpriority)
+               AS INT) AS gid,
+             count(1) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority))
+      """)
+  }
+
+  /** w5: RANGE-frame window — per-customer trailing-30-day order total
+    * and count over event time (a value range, not a row count — the
+    * frame type row-based windows can't express). The sum runs in
+    * DECIMAL so it is exact and order-insensitive: a double sum's
+    * low bits depend on frame iteration order and flip 2dp rounding at
+    * .005 boundaries between engines.
+    */
+  private def w5RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val o = T(s, d, "orders")
+    o.createOrReplaceTempView("orders_w5")
+    s.sql("""
+      SELECT o_custkey AS cust, o_orderkey AS okey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS timestamp)
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS sum_30d,
+             count(1) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS timestamp)
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+             ) AS n_30d
+      FROM orders_w5
+      """)
+  }
+
   private def f5DateFuncs(s: SparkSession, d: String): DataFrame =
     T(s, d, "orders")
       .groupBy(
@@ -861,6 +906,8 @@ object SparkEntry {
     "w3_lag_lead" -> (w3LagLead _),
     "w4_sessionize" -> (w4Sessionize _),
     "f4_rollup" -> (f4Rollup _),
+    "f10_grouping_sets" -> (f10GroupingSets _),
+    "w5_range_frame" -> (w5RangeFrame _),
     "f5_date_funcs" -> (f5DateFuncs _),
     "f6_string_funcs" -> (f6StringFuncs _),
     "a5_stats" -> (a5Stats _),
@@ -1445,6 +1492,26 @@ object SparkEntry {
         |  count(DISTINCT n_chars)::BIGINT, min(n_chars)::VARCHAR,
         |  max(n_chars)::VARCHAR, round(avg(n_chars), 4),
         |  round(stddev_pop(n_chars), 4) FROM documents""".stripMargin,
+    "f10_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  (grouping(o_orderstatus) + 2 * grouping(o_orderpriority))::INTEGER
+        |    AS gid,
+        |  count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))""".stripMargin,
+    "w5_range_frame" ->
+      """SELECT o_custkey AS cust, o_orderkey AS okey,
+        |  (sum(o_totalprice::DECIMAL(12,2)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate::TIMESTAMP
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        |  )::DOUBLE AS sum_30d,
+        |  count(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate::TIMESTAMP
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+        |  )::BIGINT AS n_30d
+        |FROM orders""".stripMargin,
     "t17_bigram_logprob" ->
       """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w
         |  FROM documents),
