@@ -64,7 +64,14 @@ object ScaleProbe {
       "t7_tfidf" -> (d =>
         TextAnalytics.tfIdfTopTerms(d, "doc_id", "text").count()),
       "t10_logprob" -> (d =>
-        TextAnalytics.unigramLogProb(d, "doc_id", "text").count()))
+        TextAnalytics.unigramLogProb(d, "doc_id", "text").count()),
+      "t17_bigram" -> (d =>
+        TextAnalytics.bigramLogProb(d, "doc_id", "text").count()),
+      "t15_bm25" -> (d =>
+        TextAnalytics.bm25(d, "doc_id", "text",
+          Seq("w100", "w2000", "w15000")).count()),
+      "d10_segments" -> (d =>
+        Dedup.segmentDedup(d, "doc_id", "text").count()))
 
     val scales = Iterator.iterate(maxDocs / 16)(_ * 4)
       .takeWhile(_ <= maxDocs).toSeq
