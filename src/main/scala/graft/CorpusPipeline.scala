@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, Sharding, TextAnalytics}
+
+/** Fluent facade over the training-data curation operators: the chain a
+  * pipeline author writes — gate → redact → dedup → chunk → weight →
+  * shard — as one expression, each stage the library operator it names.
+  * Everything stays a lazy DataFrame plan until an action/write; stages
+  * that must materialize intermediates (near-dedup's LSH candidates) do
+  * so internally, exactly as when called directly.
+  *
+  * {{{
+  * CorpusPipeline(docs, "doc_id", "text")
+  *   .gateQuality(minScore = 0.4)
+  *   .redactPii()
+  *   .dedupExact()
+  *   .dedupSegments(segTokens = 20)
+  *   .chunk(chunkSize = 512, stride = 384)
+  *   .df                      // or:
+  * CorpusPipeline(docs, "doc_id", "text")
+  *   .gateQuality(0.4).redactPii().dedupNear()
+  *   .writeShards("/corpus/epoch0", nShards = 1024, epoch = 0L)
+  * }}}
+  */
+final case class CorpusPipeline(
+    df: DataFrame, idCol: String, textCol: String) {
+
+  private def withText(c: Column): CorpusPipeline =
+    copy(df = df.withColumn(textCol, c))
+
+  /** Absolute quality gate ([[TextAnalytics.qualityColumn]] score). */
+  def gateQuality(minScore: Double): CorpusPipeline =
+    copy(df = df.filter(
+      TextAnalytics.qualityColumn(col(textCol)) >= minScore))
+
+  /** Keep only documents whose n-gram language id is in `langs`. */
+  def gateLanguage(langs: Seq[String]): CorpusPipeline =
+    copy(df = df.filter(
+      TextAnalytics.langIdColumn(col(textCol)).isin(langs: _*)))
+
+  /** Replace emails/phones/IPs with placeholders in the text column. */
+  def redactPii(): CorpusPipeline =
+    withText(TextAnalytics.redactColumn(col(textCol)))
+
+  /** Drop exact-content duplicates, keeping each group's min id. */
+  def dedupExact(): CorpusPipeline = {
+    val keep = Dedup.exactGroups(df, idCol, textCol)
+      .select(col("canonical_id").as("__keep"))
+    copy(df = df.join(keep, col(idCol) === col("__keep"), "left_semi"))
+  }
+
+  /** Drop near-duplicates (MinHash-LSH at `threshold`), keeping each
+    * cluster's min id.
+    */
+  def dedupNear(threshold: Double = 0.8): CorpusPipeline = {
+    val dropIds = Dedup.duplicateClusters(
+        Dedup.minHashLshPairs(df, idCol, textCol, threshold = threshold)
+          .select("id_a", "id_b"))
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__drop"))
+    copy(df = df.join(dropIds, col(idCol) === col("__drop"), "left_anti"))
+  }
+
+  /** Corpus-wide segment-level dedup; documents left empty are dropped. */
+  def dedupSegments(segTokens: Int = 20): CorpusPipeline = {
+    val deduped = Dedup.segmentDedup(df, idCol, textCol, segTokens)
+      .filter(col("n_kept") > 0)
+      .select(col("id").as(idCol), col("text_dedup").as(textCol))
+    copy(df = df.drop(textCol).join(deduped, Seq(idCol)))
+  }
+
+  /** Split into sliding-window chunks; the pipeline continues over
+    * chunks (id column becomes the chunk-scoped doc id, text the chunk).
+    */
+  def chunk(chunkSize: Int, stride: Int): CorpusPipeline = {
+    val c = TextAnalytics.chunkDocs(df, idCol, textCol, chunkSize, stride)
+      .select(col("id").as(idCol), col("chunk_id"),
+        col("chunk_text").as(textCol))
+    CorpusPipeline(c, idCol, textCol)
+  }
+
+  /** DSIR importance weights against a target predicate; adds
+    * `log_ratio` (and `n_tokens`) columns.
+    */
+  def weighted(target: Column): CorpusPipeline =
+    copy(df = df.join(
+      Sampling.importanceWeights(df, idCol, textCol, target)
+        .withColumnRenamed("id", idCol),
+      Seq(idCol)))
+
+  /** Materialize the current stage as `nShards` epoch-shuffled shard
+    * directories ([[Sharding.writeShards]]).
+    */
+  def writeShards(path: String, nShards: Int, epoch: Long): Unit =
+    Sharding.writeShards(df, idCol, nShards, epoch, path)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The fluent facade must compose to exactly what calling the operators
+  * directly produces — it is porcelain, not a second implementation.
+  */
+class CorpusPipelineFacadeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("facade chain ≡ direct operator composition on sf0.001 docs") {
+    val docs = Tables(spark, TestSpark.Sf0001, "documents")
+    val viaFacade = CorpusPipeline(docs, "doc_id", "text")
+      .gateQuality(0.4)
+      .redactPii()
+      .dedupSegments(segTokens = 20)
+      .chunk(chunkSize = 30, stride = 30)
+      .df
+    val curated = docs
+      .filter(operators.TextAnalytics.qualityColumn(col("text")) >= 0.4)
+      .withColumn("text", operators.TextAnalytics.redactColumn(col("text")))
+    val deduped = operators.Dedup
+      .segmentDedup(curated, "doc_id", "text", 20)
+      .filter(col("n_kept") > 0)
+      .select(col("id").as("doc_id"), col("text_dedup").as("text"))
+    val direct = operators.TextAnalytics
+      .chunkDocs(curated.drop("text").join(deduped, Seq("doc_id")),
+        "doc_id", "text", 30, 30)
+      .select(col("id"), col("chunk_id"), col("chunk_text"))
+    val a = viaFacade.select("doc_id", "chunk_id", "text")
+      .as[(Long, Long, String)].collect().toSet
+    val b = direct.as[(Long, Long, String)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("dedupExact and dedupNear keep canonical ids, writeShards lands") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unrelated text entirely"), (4L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val exact = CorpusPipeline(docs, "doc_id", "text").dedupExact()
+      .df.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exact == Seq(1L, 3L)) // min id per content group survives
+    val dir = Files.createTempDirectory("facade-shards").toString
+    CorpusPipeline(docs, "doc_id", "text").dedupExact()
+      .writeShards(dir, nShards = 2, epoch = 1L)
+    assert(spark.read.parquet(dir).select("doc_id").distinct().count() == 2L)
+  }
+}
