@@ -816,6 +816,17 @@ object SparkEntry {
     TextAnalytics.chunkDocs(T(s, d, "documents"), "doc_id", "text",
       chunkSize = 30, stride = 20)
 
+  /** v10: binary-quantized Hamming retrieval — sign-bit sketches (64×
+    * compression) brute-scanned with bit_count(xor). Rows-only;
+    * `SimilaritySpec` pins sketch packing and ranking; recall vs exact
+    * cosine is spec-checked on the planted near-dup corpus.
+    */
+  private def v10HammingTopK(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    Similarity.hammingTopK(
+      e.filter(col("vec_id") < 5), e, "vec_id", "vec_id", "embedding", k = 10)
+  }
+
   private def m1MediaMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.extractMeta(
       s, Multimodal.withPayload(T(s, d, "documents"), "text"), "doc_id").toDF()
@@ -972,6 +983,7 @@ object SparkEntry {
     "v7_standardize" -> (v7Standardize _),
     "v8_pca_cov" -> (v8PcaCov _),
     "v9_pca_project" -> (v9PcaProject _),
+    "v10_hamming_topk" -> (v10HammingTopK _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_image_neardup" -> (m2ImageNearDup _),
     "m3_audio_features" -> (m3AudioFeatures _),

@@ -48,6 +48,51 @@ object Similarity {
       .select("q_id", "c_id", "sim", "rank")
   }
 
+  /** Binary quantization: pack each dimension's sign bit into one long
+    * (dim <= 64) — 64× compression at dim 64, the cheapest embedding
+    * sketch: Hamming distance on the packed longs approximates angular
+    * distance (each agreeing sign bit is one hyperplane the pair
+    * doesn't straddle). Pure column expression; the per-dim fold is a
+    * higher-order `aggregate` — per-row dim ops on an already
+    * column-pruned scan, nothing wider than (id, long) downstream.
+    */
+  def binaryQuantize(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    // expr form: the Scala `shiftleft` overload only takes literal bit
+    // counts; the SQL function shifts by a column
+    df.select(col(idCol).as("id"),
+      expr(s"""aggregate(
+          sequence(0, size($vecCol) - 1), 0L,
+          (acc, j) -> acc | IF(element_at($vecCol, j + 1) > CAST(0 AS FLOAT),
+                               shiftleft(1L, j), 0L))""").as("sketch"))
+
+  /** Hamming top-k over binary sketches: brute scan of the packed
+    * corpus against broadcast query sketches — `bit_count(xor)` per
+    * candidate instead of dim float multiplies, the re-rank-free form
+    * of binary-quantized retrieval. Ties break on candidate id. Same
+    * scale posture as [[cosineTopK]] (corpus never shuffles; per-query
+    * rank window over ≤ |queries| × |corpus| scored rows — compose with
+    * [[Dedup.hammingNearPairs]]-style chunk blocking when the corpus
+    * outgrows the brute scan).
+    */
+  def hammingTopK(
+      queries: DataFrame, candidates: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = binaryQuantize(queries, qIdCol, vecCol)
+      .select(col("id").as("q_id"), col("sketch").as("q_sk"))
+    val c = binaryQuantize(candidates, cIdCol, vecCol)
+      .select(col("id").as("c_id"), col("sketch").as("c_sk"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+        bit_count(col("q_sk").bitwiseXOR(col("c_sk"))).as("hamming"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("hamming").asc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "hamming", "rank")
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-bit LSH. */
   private def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)

@@ -188,4 +188,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(codegen.nonEmpty)
   }
+
+  test("binaryQuantize packs sign bits; hammingTopK ranks by bit distance") {
+    // base = all-positive; variant j flips the first j dimensions
+    def vec(flips: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j < flips) -0.5f else 0.5f)
+    val corpus = (0 to 5).map(j => (j.toLong, vec(j))).toDF("vec_id", "embedding")
+    val sk = Similarity.binaryQuantize(corpus, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toMap
+    assert(sk(0L) == 0xFFL) // 8 positive dims -> low 8 bits set
+    assert(sk(3L) == 0xF8L) // first 3 flipped off
+    val top = Similarity.hammingTopK(
+        corpus.filter($"vec_id" === 0L), corpus,
+        "vec_id", "vec_id", "embedding", k = 6)
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._4)
+    // candidates come back in flip order with hamming = j
+    assert(top.map(r => (r._2, r._3)).toSeq ==
+      (0 to 5).map(j => (j.toLong, j)))
+  }
+
+  test("hamming top-1 recovers the planted near-dup's original") {
+    val emb = spark.read
+      .parquet(s"${graft.TestSpark.Sf0001}/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(60)
+    // planted copies: first two dims zeroed (the d5 corpus construction)
+    val planted = emb.filter($"vec_id" < 10).select(
+      ($"vec_id" + 100000L).as("vec_id"),
+      concat(array(lit(0.0f), lit(0.0f)), slice($"embedding", 3, 62))
+        .as("embedding"))
+    val top1 = Similarity.hammingTopK(
+        planted, emb, "vec_id", "vec_id", "embedding", k = 1)
+      .as[(Long, Long, Int, Long)].collect()
+    // sign sketch survives zeroing two dims: top-1 is the original
+    val hits = top1.count(r => r._2 == r._1 - 100000L)
+    assert(hits >= 8, s"only $hits/10 planted copies recovered: ${top1.toSeq}")
+  }
 }
