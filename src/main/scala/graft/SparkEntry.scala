@@ -771,6 +771,10 @@ object SparkEntry {
   private def t17BigramLogProb(s: SparkSession, d: String): DataFrame =
     TextAnalytics.bigramLogProb(T(s, d, "documents"), "doc_id", "text")
 
+  /** t18: Gopher document-quality signals — scan-side projections only. */
+  private def t18Gopher(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.gopherSignals(T(s, d, "documents"), "doc_id", "text")
+
   /** t16: distributed BPE vocabulary induction — 16 merge rounds over the
     * corpus word vocabulary. Rows-only for the driver (the sequential
     * argmax-merge loop has no SQL form); `BpeTrainSpec` pins the merge
@@ -974,6 +978,7 @@ object SparkEntry {
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t17_bigram_logprob" -> (t17BigramLogProb _),
+    "t18_gopher_signals" -> (t18Gopher _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1538,6 +1543,20 @@ object SparkEntry {
         |    count(*), 4) AS mean_nll
         |FROM bi JOIN cb USING (l, r) JOIN ch USING (l) CROSS JOIN v
         |GROUP BY id""".stripMargin,
+    "t18_gopher_signals" ->
+      """WITH d AS (SELECT doc_id AS id, text, string_split(text, ' ') AS w
+        |  FROM documents)
+        |SELECT id, len(w)::BIGINT AS n_words,
+        |  round((length(text) - (len(w) - 1))::DOUBLE / len(w), 4)
+        |    AS mean_word_len,
+        |  round(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]')))::DOUBLE
+        |    / len(w), 4) AS alpha_frac,
+        |  round(len(list_filter(w, t -> t IN
+        |    ('the', 'a', 'of', 'to', 'and', 'in', 'is')))::DOUBLE / len(w), 4)
+        |    AS stopword_frac,
+        |  round((length(text) - length(replace(text, '#', '')))::DOUBLE
+        |    / len(w), 4) AS hash_ratio
+        |FROM d""".stripMargin,
     "s5_shard_shuffle" ->
       """WITH m AS (SELECT doc_id AS id,
         |    (48271 * (doc_id % 2147483647) + 1) % 2147483647 AS x1

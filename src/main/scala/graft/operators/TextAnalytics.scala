@@ -258,6 +258,34 @@ object TextAnalytics {
           roundTo).as("mean_nll"))
   }
 
+  /** Gopher-style repetition-free quality signals (Rae et al. 2021,
+    * Table A1's doc-level rules, the ones a whitespace-token corpus can
+    * express): word count, mean word length, fraction of words with an
+    * alphabetic character, stop-word fraction, and hash-symbol ratio.
+    * Each is a pure scan-side projection — zero shuffles; a curation
+    * pass filters on them (e.g. alpha_frac >= 0.8, 3 <= mean_word_len
+    * <= 10, stopword_frac >= 0.01 for English web text).
+    */
+  def gopherSignals(
+      docs: DataFrame, idCol: String, textCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val w = tokens(col(textCol))
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    docs.select(
+      col(idCol).as("id"),
+      size(w).cast("long").as("n_words"),
+      round((length(col(textCol)) - (size(w) - 1)).cast("double") / size(w),
+        roundTo).as("mean_word_len"),
+      round(size(filter(w, t => t.rlike("[a-zA-Z]"))).cast("double") / size(w),
+        roundTo).as("alpha_frac"),
+      round(size(filter(w, t => t.isin(stop: _*))).cast("double") / size(w),
+        roundTo).as("stopword_frac"),
+      round((length(col(textCol)) -
+          length(regexp_replace(col(textCol), "#", ""))).cast("double") /
+          size(w),
+        roundTo).as("hash_ratio"))
+  }
+
   /** Bigram log-probability score per document — the KenLM-shaped
     * upgrade of [[unigramLogProb]]: mean over bigram instances of
     * -ln p(w_i | w_{i-1}) with add-one smoothing,

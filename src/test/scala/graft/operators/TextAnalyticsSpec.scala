@@ -267,6 +267,14 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(toks == (1 to 71).map(i => s"w$i").toSet)
   }
 
+  test("gopherSignals: hand-computed doc-quality fractions") {
+    val docs = Seq((1L, "the cat ### 42")).toDF("doc_id", "text")
+    val r = TextAnalytics.gopherSignals(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    // 4 words; chars 14 - 3 spaces = 11 -> 2.75; alpha 2/4; stop 1/4; # 3/4
+    assert(r == ((1L, 4L, 2.75, 0.5, 0.25, 0.75)))
+  }
+
   test("bigramLogProb matches hand-computed add-one bigram NLLs") {
     // corpus: "a b a", "a b"; V = 2; c(a,b)=2, c(b,a)=1; hist a=2, b=1
     val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "a"))
