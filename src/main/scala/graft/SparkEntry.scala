@@ -705,6 +705,23 @@ object SparkEntry {
     TextAnalytics.urlStats(injected, "doc_id", "text")
   }
 
+  /** t19: domain blocklist filter over the same injected-URL corpus as
+    * t14 — blocklist = site0/site1.example.com, so docs with
+    * doc_id % 7 ∈ {0, 1} are blocked. Broadcast set-overlap probe.
+    */
+  private def t19Blocklist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val injected = T(s, d, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" see https://Site"), col("doc_id") % 7, lit(".example.com/p/"),
+        col("doc_id"),
+        lit(" and http://mirror"), col("doc_id") % 3, lit(".example.org")
+      ).as("text"))
+    val bl = Seq("site0.example.com", "Site1.example.com").toDF("domain")
+    TextAnalytics.domainBlocklistFilter(injected, "doc_id", "text",
+      bl, "domain")
+  }
+
   /** c3: snapshot diff — two synthetic corpus versions carved from the
     * documents table (old: ids ∤ 3; new: ids ∤ 5, every 7th text
     * revised), classified added/removed/changed/unchanged by content
@@ -979,6 +996,7 @@ object SparkEntry {
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t17_bigram_logprob" -> (t17BigramLogProb _),
     "t18_gopher_signals" -> (t18Gopher _),
+    "t19_domain_blocklist" -> (t19Blocklist _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -1543,6 +1561,22 @@ object SparkEntry {
         |    count(*), 4) AS mean_nll
         |FROM bi JOIN cb USING (l, r) JOIN ch USING (l) CROSS JOIN v
         |GROUP BY id""".stripMargin,
+    "t19_domain_blocklist" ->
+      """WITH inj AS (SELECT doc_id,
+        |    text || ' see https://Site' || (doc_id % 7)::VARCHAR
+        |      || '.example.com/p/' || doc_id::VARCHAR
+        |      || ' and http://mirror' || (doc_id % 3)::VARCHAR
+        |      || '.example.org' AS text
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  len(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)[^\s]*'))::BIGINT
+        |    AS n_urls,
+        |  len(list_intersect(
+        |    list_distinct(list_transform(
+        |      regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)[^\s]*', 1),
+        |      d -> lower(d))),
+        |    ['site0.example.com', 'site1.example.com'])) > 0 AS blocked
+        |FROM inj""".stripMargin,
     "t18_gopher_signals" ->
       """WITH d AS (SELECT doc_id AS id, text, string_split(text, ' ') AS w
         |  FROM documents)

@@ -493,6 +493,29 @@ object TextAnalytics {
         ",").as("domains"))
   }
 
+  /** Domain blocklist filter (the UT1/adult-list stage of web curation):
+    * flag every document containing a link whose (lowercased) domain is
+    * on the blocklist. The blocklist is dimension-sized — it broadcasts;
+    * the corpus side is one `arrays_overlap` probe per row after the
+    * same single regex pass [[urlStats]] uses. Docs with no URLs are
+    * clean. Output: (id, n_urls, blocked).
+    */
+  def domainBlocklistFilter(
+      docs: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, domainCol: String): DataFrame = {
+    val doms = regexp_extract_all(col(textCol), lit(UrlRe), lit(1))
+    val bl = broadcast(
+      blocklist.agg(collect_set(lower(col(domainCol))).as("__bl")))
+    docs.select(
+        col(idCol).as("id"),
+        size(doms).cast("long").as("n_urls"),
+        array_distinct(transform(doms, d => lower(d))).as("__doms"))
+      .crossJoin(bl)
+      .select(col("id"), col("n_urls"),
+        coalesce(arrays_overlap(col("__doms"), col("__bl")), lit(false))
+          .as("blocked"))
+  }
+
   // ---- PII redaction ------------------------------------------------------
 
   /** PII patterns kept to the RE2-compatible subset (no backrefs, no

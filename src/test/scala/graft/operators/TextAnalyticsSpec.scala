@@ -267,6 +267,21 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(toks == (1 to 71).map(i => s"w$i").toSet)
   }
 
+  test("domainBlocklistFilter: case-folded overlap, URL-free docs clean") {
+    val docs = Seq(
+      (1L, "visit https://Bad.Example.COM/x now"),
+      (2L, "visit https://good.example.com/x now"),
+      (3L, "no links at all")).toDF("doc_id", "text")
+    val bl = Seq("bad.example.com").toDF("domain")
+    val got = TextAnalytics
+      .domainBlocklistFilter(docs, "doc_id", "text", bl, "domain")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((1L, false)))
+    assert(got(3L) == ((0L, false)))
+  }
+
   test("gopherSignals: hand-computed doc-quality fractions") {
     val docs = Seq((1L, "the cat ### 42")).toDF("doc_id", "text")
     val r = TextAnalytics.gopherSignals(docs, "doc_id", "text")
