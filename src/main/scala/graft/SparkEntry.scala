@@ -848,6 +848,17 @@ object SparkEntry {
       e.filter(col("vec_id") < 5), e, "vec_id", "vec_id", "embedding", k = 10)
   }
 
+  /** v11: two-stage retrieval — Hamming shortlist over packed sign
+    * sketches, exact cosine rerank. Rows-only; `SimilaritySpec` pins
+    * shortlist survival + rerank exactness on planted matches.
+    */
+  private def v11HammingRerank(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    Similarity.hammingRerankTopK(
+      e.filter(col("vec_id") < 5), e, "vec_id", "vec_id", "embedding",
+      k = 10, shortlist = 50)
+  }
+
   private def m1MediaMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.extractMeta(
       s, Multimodal.withPayload(T(s, d, "documents"), "text"), "doc_id").toDF()
@@ -1007,6 +1018,7 @@ object SparkEntry {
     "v8_pca_cov" -> (v8PcaCov _),
     "v9_pca_project" -> (v9PcaProject _),
     "v10_hamming_topk" -> (v10HammingTopK _),
+    "v11_hamming_rerank" -> (v11HammingRerank _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_image_neardup" -> (m2ImageNearDup _),
     "m3_audio_features" -> (m3AudioFeatures _),

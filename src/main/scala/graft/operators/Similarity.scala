@@ -93,6 +93,40 @@ object Similarity {
       .select("q_id", "c_id", "hamming", "rank")
   }
 
+  /** Two-stage retrieval: Hamming shortlist over the packed sign
+    * sketches, exact cosine rerank of the shortlist — the production
+    * binary-quantized serving pattern (scan cost = bit_count over 8
+    * bytes/candidate; float math only on `shortlist` rows per query).
+    * With `shortlist` ≳ 4-8× k the result matches exact [[cosineTopK]]
+    * except where quantization genuinely reorders near-ties
+    * (spec-checked on the harness corpus).
+    */
+  def hammingRerankTopK(
+      queries: DataFrame, candidates: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      k: Int, shortlist: Int, roundTo: Int = 3): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val short = hammingTopK(queries, candidates, qIdCol, cIdCol, vecCol,
+        shortlist)
+      .select(col("q_id"), col("c_id"))
+    // rerank: shortlist ids join back their vectors; both sides of the
+    // rerank are (queries × shortlist)-sized — AQE broadcasts them
+    val q = queries.select(
+      col(qIdCol).as("q_id"), col(vecCol).as("q_vec"),
+      fnorm(col(vecCol)).as("q_norm"))
+    val c = candidates.select(
+      col(cIdCol).as("c_id"), col(vecCol).as("c_vec"),
+      fnorm(col(vecCol)).as("c_norm"))
+    val scored = short.join(c, Seq("c_id")).join(q, Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(fdot(col("q_vec"), col("c_vec")) /
+          (col("q_norm") * col("c_norm")), roundTo).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-bit LSH. */
   private def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)

@@ -207,6 +207,34 @@ class SimilaritySpec extends AnyFunSuite {
       (0 to 5).map(j => (j.toLong, j)))
   }
 
+  test("hammingRerankTopK: clear winners survive the shortlist, rerank is exact") {
+    // On random background vectors near-ties legitimately reorder under
+    // sign quantization; the property that matters is that SEPARATED
+    // matches (the near-dup regime) always survive the Hamming shortlist
+    // and the exact rerank then puts them first with the true cosine.
+    val emb = spark.read
+      .parquet(s"${graft.TestSpark.Sf0001}/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(200)
+    val queries = emb.filter($"vec_id" < 6).select(
+      ($"vec_id" + 100000L).as("vec_id"),
+      concat(array(lit(0.0f), lit(0.0f)), slice($"embedding", 3, 62))
+        .as("embedding"))
+    val rr = Similarity.hammingRerankTopK(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 3, shortlist = 20)
+      .as[(Long, Long, Double, Long)].collect()
+    val top1 = rr.filter(_._4 == 1L).map(r => r._1 -> r).toMap
+    (0L until 6L).foreach { i =>
+      val r = top1(100000L + i)
+      assert(r._2 == i, s"query ${r._1}: top-1 ${r._2}, expected $i")
+      assert(r._3 > 0.85, s"rerank must carry the true cosine, got ${r._3}")
+    }
+    // rerank sims agree with the exact kernel on the same pairs
+    val exact = Similarity.cosineTopK(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 1)
+      .as[(Long, Long, Double, Int)].collect().map(r => r._1 -> r._3).toMap
+    top1.foreach { case (q, r) => assert(r._3 == exact(q)) }
+  }
+
   test("hamming top-1 recovers the planted near-dup's original") {
     val emb = spark.read
       .parquet(s"${graft.TestSpark.Sf0001}/embeddings.parquet")
