@@ -73,23 +73,46 @@ final case class CorpusPipeline(
   }
 
   /** Split into sliding-window chunks; the pipeline continues over
-    * chunks (id column becomes the chunk-scoped doc id, text the chunk).
+    * chunks with a UNIQUE chunk-scoped id in `idCol` (doc id shifted
+    * left 20 bits | chunk index — fails loudly past 2^20 chunks or ids
+    * ≥ 2^43, rather than silently colliding), the original doc id kept
+    * as `<idCol>_doc`, and every accumulated non-text column carried
+    * through. Downstream dedup/weight stages then operate per chunk,
+    * which is what a unique id means to them.
     */
   def chunk(chunkSize: Int, stride: Int): CorpusPipeline = {
-    val c = TextAnalytics.chunkDocs(df, idCol, textCol, chunkSize, stride)
-      .select(col("id").as(idCol), col("chunk_id"),
+    val chunks = TextAnalytics.chunkDocs(df, idCol, textCol, chunkSize, stride)
+      .select(col("id").as("__doc"), col("chunk_id"),
         col("chunk_text").as(textCol))
-    CorpusPipeline(c, idCol, textCol)
+    val meta = df.drop(textCol)
+    val cid = when(
+        col("chunk_id") < (1L << 20) &&
+          col("__doc").cast("long") < (1L << 43) &&
+          col("__doc").cast("long") >= 0,
+        shiftleft(col("__doc").cast("long"), 20)
+          .bitwiseOR(col("chunk_id")))
+      .otherwise(raise_error(lit(
+        "chunk(): composite id needs doc id in [0, 2^43) and < 2^20 chunks")))
+    val out = chunks.join(meta, col("__doc") === meta(idCol))
+      .drop(idCol)
+      .select((cid.as(idCol) +: col("__doc").as(s"${idCol}_doc") +:
+        chunks.columns.filter(c => c != "__doc" && c != "chunk_id")
+          .map(col).toSeq ++:
+        meta.columns.filter(_ != idCol).map(col).toSeq): _*)
+    CorpusPipeline(out, idCol, textCol)
   }
 
   /** DSIR importance weights against a target predicate; adds
-    * `log_ratio` (and `n_tokens`) columns.
+    * `log_ratio` and `n_tokens` columns to RAW-corpus rows — DSIR scores
+    * the raw corpus against the target model, so target-matching rows
+    * are not scored and keep null weights (a left join: they are NOT
+    * dropped).
     */
   def weighted(target: Column): CorpusPipeline =
     copy(df = df.join(
       Sampling.importanceWeights(df, idCol, textCol, target)
         .withColumnRenamed("id", idCol),
-      Seq(idCol)))
+      Seq(idCol), "left"))
 
   /** Materialize the current stage as `nShards` epoch-shuffled shard
     * directories ([[Sharding.writeShards]]).

@@ -1598,8 +1598,8 @@ object SparkEntry {
         |  round(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]')))::DOUBLE
         |    / len(w), 4) AS alpha_frac,
         |  round(len(list_filter(w, t -> t IN
-        |    ('the', 'a', 'of', 'to', 'and', 'in', 'is')))::DOUBLE / len(w), 4)
-        |    AS stopword_frac,
+        |    ('the', 'a', 'to', 'of', 'and', 'in', 'on', 'for')))::DOUBLE
+        |    / len(w), 4) AS stopword_frac,
         |  round((length(text) - length(replace(text, '#', '')))::DOUBLE
         |    / len(w), 4) AS hash_ratio
         |FROM d""".stripMargin,

@@ -270,7 +270,9 @@ object TextAnalytics {
       docs: DataFrame, idCol: String, textCol: String,
       roundTo: Int = 4): DataFrame = {
     val w = tokens(col(textCol))
-    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    // the ONE stop-word list (TextFunctions.StopWords) — the t18 oracle
+    // SQL inlines the same words; keep all three in sync
+    val stop = graft.functions.TextFunctions.StopWords
     docs.select(
       col(idCol).as("id"),
       size(w).cast("long").as("n_words"),
@@ -304,6 +306,11 @@ object TextAnalytics {
       docs: DataFrame, idCol: String, textCol: String,
       roundTo: Int = 4): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    // `bi` feeds three consumers with three different shuffle keys (the
+    // bigram count on bh, the history count on lh, the per-doc rollup) —
+    // checkpoint it once so the corpus is tokenized/exploded one time,
+    // not per consumer (the bm25/minHashLshPairs pattern); the V
+    // aggregate pays one extra column-pruned scan instead
     val bi = toks
       .select(col("id"), explode(arrays_zip(
         slice(col("w"), lit(1), size(col("w")) - 1).as("l"),
@@ -311,6 +318,7 @@ object TextAnalytics {
       .select(col("id"),
         xxhash64(col("p.l")).as("lh"),
         xxhash64(col("p.l"), col("p.r")).as("bh"))
+      .localCheckpoint()
     val cbi = bi.groupBy("bh").agg(count(lit(1)).as("c_bi"))
     val chist = bi.groupBy("lh").agg(count(lit(1)).as("c_hist"))
     val v = toks.select(explode(col("w")).as("t"))

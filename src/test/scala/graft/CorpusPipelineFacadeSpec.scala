@@ -33,10 +33,29 @@ class CorpusPipelineFacadeSpec extends AnyFunSuite {
       .chunkDocs(curated.drop("text").join(deduped, Seq("doc_id")),
         "doc_id", "text", 30, 30)
       .select(col("id"), col("chunk_id"), col("chunk_text"))
-    val a = viaFacade.select("doc_id", "chunk_id", "text")
+    // facade id = doc << 20 | chunk index, original doc id carried along
+    val a = viaFacade.select(col("doc_id_doc"),
+        col("doc_id").bitwiseAND(lit((1L << 20) - 1)).as("ci"), col("text"))
       .as[(Long, Long, String)].collect().toSet
     val b = direct.as[(Long, Long, String)].collect().toSet
     assert(a == b && a.nonEmpty)
+    // the chunk-scoped id is unique — downstream dedup keys on it
+    val ids = viaFacade.select("doc_id").as[Long].collect()
+    assert(ids.length == ids.distinct.length)
+    // non-text columns survive the chunk stage
+    assert(viaFacade.columns.contains("source"))
+  }
+
+  test("weighted keeps target rows with null weights (left join)") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val w = CorpusPipeline(docs, "doc_id", "text")
+      .weighted(col("doc_id") === 1L).df
+    assert(w.count() == 2L)
+    assert(w.filter(col("doc_id") === 1L)
+      .select("log_ratio").first().isNullAt(0))
+    assert(!w.filter(col("doc_id") === 2L)
+      .select("log_ratio").first().isNullAt(0))
   }
 
   test("dedupExact and dedupNear keep canonical ids, writeShards lands") {
