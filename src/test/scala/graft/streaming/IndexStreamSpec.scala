@@ -59,6 +59,51 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(viaStream.contains((9L, 40L)))
   }
 
+  test("restarted stream resumes from the checkpoint and keeps deduping") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def doc(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (1 to 25).map(_ => s"w${r.nextInt(300)}").mkString(" ")
+    }
+    val dir = Files.createTempDirectory("idxrestart").toString
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = IndexStream.run(mem1.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/index", s"$dir/pairs", s"$dir/ckpt",
+      threshold = 0.5)
+    try {
+      mem1.addData((1L to 10L).map(i => (i, doc(i.toInt))): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // new stream instance, same checkpoint: batch ids continue, the
+    // maintained index still serves cross-restart near-dups
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = IndexStream.run(mem2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/index", s"$dir/pairs", s"$dir/ckpt2",
+      threshold = 0.5)
+    try {
+      mem2.addData((21L, doc(4).split(" ").take(23).mkString(" ")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val pairs = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((4L, 21L)),
+      s"cross-restart near-dup not found in $pairs")
+  }
+
+  test("hyperparameter mismatch against a stored index fails fast") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("idxparams").toString
+    val base = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    Dedup.writeMinHashIndex(base, "doc_id", "text", s"$dir/idx", n = 3)
+    val inc = Seq((2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashLshPairsIncremental(
+        spark, s"$dir/idx", inc, "doc_id", "text", n = 4)
+    }
+    assert(e.getMessage.contains("was written with"))
+  }
+
   test("replayed index append replaces its batch partition, never duplicates") {
     import spark.implicits._
     def doc(seed: Int): String = {
