@@ -46,6 +46,23 @@ class CorpusPipelineFacadeSpec extends AnyFunSuite {
     assert(viaFacade.columns.contains("source"))
   }
 
+  test("dedupNear keeps each near-dup cluster's min id; gateLanguage filters") {
+    val base = (1 to 30).map(i => s"w${i * 7 % 97}").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.split(" ").take(27).mkString(" ")), // near-dup of 1
+      (3L, (40 to 70).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = CorpusPipeline(docs, "doc_id", "text")
+      .dedupNear(threshold = 0.6)
+      .df.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+    // language gate composes over the same frame
+    val gated = CorpusPipeline(docs, "doc_id", "text")
+      .gateLanguage(Seq("en", "unknown")).df.count()
+    assert(gated <= 3L)
+  }
+
   test("weighted keeps target rows with null weights (left join)") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
