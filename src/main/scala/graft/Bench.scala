@@ -46,10 +46,17 @@ object Bench {
       System.gc()
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // One compact JSON line (millisecond precision — r4's full-double
+    // line was long enough for the driver's artifact capture to truncate
+    // it), and the ONLY stdout line, printed first: nothing can precede
+    // or follow it, so neither head nor tail truncation can eat it and a
+    // whole-stdout json.loads still parses.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

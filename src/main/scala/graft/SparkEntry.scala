@@ -375,8 +375,15 @@ object SparkEntry {
         n = 3, k = 64, bands = 16, threshold = 0.6)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
+  /** d4: SimHash near-dup pairs with the portable (md5-derived) token
+    * hash so the DuckDB oracle recomputes the identical weighted
+    * bit-sums, signs and Hamming distances; the oracle cross-joins where
+    * the operator pigeonhole-blocks — same result set, proven exactly.
+    */
   private def d4SimHash(s: SparkSession, d: String): DataFrame =
-    Dedup.simHashNearPairs(T(s, d, "documents"), "doc_id", "text", maxDist = 3)
+    Dedup.simHashNearPairs(T(s, d, "documents"), "doc_id", "text",
+        maxDist = 3, tokenHash = Dedup.portableTokenHash)
+      .withColumn("hamming", col("hamming").cast("long"))
 
   /** d5 corpus: embeddings plus deterministic planted near-dups — copies of
     * vec_id < 50 with the first two components zeroed (cosine vs the
@@ -643,7 +650,12 @@ object SparkEntry {
     val emb = T(s, d, "embeddings")
     val model = Similarity.pqTrain(emb, "vec_id", "embedding",
       m = 8, ksub = 16, iters = 2)
+    // scalar columns only: the driver harness row-sorts every output, and
+    // an array column crashes that sort — the code array rides along as
+    // its canonical-JSON digest, still pinning the exact code assignment
     Similarity.pqReconError(emb, "vec_id", "embedding", model)
+      .select(col("id"), md5(to_json(col("pq_code"))).as("pq_code_md5"),
+        col("recon_err"))
   }
 
   /** v6: the PQ ADC search path — queries score candidates through
@@ -674,15 +686,21 @@ object SparkEntry {
   private def v8PcaCov(s: SparkSession, d: String): DataFrame =
     Pca.covariance(T(s, d, "embeddings"), "vec_id", "embedding")
 
-  /** v9: PCA projection onto the top-4 principal components. Rows-only
-    * (the eigensolve has no SQL twin); `PcaSpec` proves orthonormality,
-    * eigenvalue ordering, variance capture and an independent dense
-    * recomputation of the same basis.
+  /** v9: PCA projection onto the top-4 principal components, exploded to
+    * (id, component, value) scalars (the driver harness row-sorts every
+    * output; array columns crash that sort). Rows-only (the eigensolve
+    * has no SQL twin); `PcaSpec` proves orthonormality, eigenvalue
+    * ordering, variance capture and an independent dense recomputation
+    * of the same basis — and the integer-grid moments make the basis
+    * bit-stable run to run.
     */
   private def v9PcaProject(s: SparkSession, d: String): DataFrame = {
     val emb = T(s, d, "embeddings")
     Pca.project(emb, "vec_id", "embedding",
-      Pca.train(emb, "vec_id", "embedding", k = 4))
+        Pca.train(emb, "vec_id", "embedding", k = 4))
+      .select(col("id"), posexplode(col("pc")).as(Seq("component", "value")))
+      .select(col("id"), col("component").cast("long").as("component"),
+        col("value"))
   }
 
   /** t13: token-distribution entropy per doc — the information-density
@@ -838,19 +856,23 @@ object SparkEntry {
       chunkSize = 30, stride = 20)
 
   /** v10: binary-quantized Hamming retrieval — sign-bit sketches (64×
-    * compression) brute-scanned with bit_count(xor). Rows-only;
-    * `SimilaritySpec` pins sketch packing and ranking; recall vs exact
-    * cosine is spec-checked on the planted near-dup corpus.
+    * compression) brute-scanned with bit_count(xor). Full oracle: the
+    * sketches and distances are exact integer math, so DuckDB recomputes
+    * the identical ranking (hamming = #sign-disagreeing dims);
+    * `SimilaritySpec` additionally pins sketch packing and recall vs
+    * exact cosine on the planted near-dup corpus.
     */
   private def v10HammingTopK(s: SparkSession, d: String): DataFrame = {
     val e = T(s, d, "embeddings").select("vec_id", "embedding")
     Similarity.hammingTopK(
-      e.filter(col("vec_id") < 5), e, "vec_id", "vec_id", "embedding", k = 10)
+        e.filter(col("vec_id") < 5), e, "vec_id", "vec_id", "embedding", k = 10)
+      .withColumn("hamming", col("hamming").cast("long"))
   }
 
   /** v11: two-stage retrieval — Hamming shortlist over packed sign
-    * sketches, exact cosine rerank. Rows-only; `SimilaritySpec` pins
-    * shortlist survival + rerank exactness on planted matches.
+    * sketches, exact cosine rerank. Full oracle: shortlist is exact
+    * integer math, rerank is the oracle-proven v1 cosine form;
+    * `SimilaritySpec` pins shortlist survival + rerank exactness.
     */
   private def v11HammingRerank(s: SparkSession, d: String): DataFrame = {
     val e = T(s, d, "embeddings").select("vec_id", "embedding")
@@ -1191,6 +1213,30 @@ object SparkEntry {
     "d1_dedup_exact" ->
       """SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1""".stripMargin,
+    // d4 twin: same portable 60-bit md5 token hash (list_reduce folds the
+    // 15 hex chars exactly), same count-weighted ±1 bit-sums and sign
+    // pack; the pair set comes from an id<id cross join + bit_count(xor)
+    // — the operator's pigeonhole blocking provably finds the same pairs
+    "d4_simhash" ->
+      """WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |th AS (SELECT id,
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1
+        |                 for i in range(1, 16)]::BIGINT[],
+        |      (a, x) -> a * 16 + x) AS h,
+        |    count(*) AS cnt
+        |  FROM tok GROUP BY 1, 2),
+        |bs AS (SELECT id, j, sum(cnt * (((h >> j) & 1) * 2 - 1)) AS s
+        |  FROM th, (SELECT unnest(range(60)) AS j) bits
+        |  GROUP BY 1, 2),
+        |sh AS (SELECT id,
+        |    sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+        |      AS simhash
+        |  FROM bs GROUP BY 1)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |FROM sh a JOIN sh b ON a.id < b.id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "d2_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(
@@ -1721,24 +1767,38 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_distinct,
         |  round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS entropy
         |FROM tf GROUP BY id""".stripMargin,
+    // v7/v8 mirror Pca's determinism contract: moments as exact integer
+    // sums on the 1e7 quantization grid (order-independent in both
+    // engines), finishing mean/var/z math in double with the identical
+    // IEEE operation sequence — s2/n - (s1/n)*(s1/n), never a fused
+    // avg/stddev whose accumulation order the engine picks.
     "v7_standardize" ->
-      """WITH e2 AS (SELECT id, (i - 1)::BIGINT AS dim, e[i]::DOUBLE AS v
+      """WITH e2 AS (SELECT id, (i - 1)::BIGINT AS dim,
+        |    round(e[i]::DOUBLE * 10000000.0)::BIGINT AS vi
         |  FROM (SELECT vec_id AS id, embedding AS e,
         |      unnest(generate_series(1, len(embedding))) AS i
         |    FROM embeddings)),
-        |st AS (SELECT dim, avg(v) AS mu, stddev_pop(v) AS sd
+        |st AS (SELECT dim, sum(vi)::DOUBLE AS s1,
+        |    sum(vi::HUGEINT * vi)::DOUBLE AS s2, count(*) AS n
         |  FROM e2 GROUP BY 1)
-        |SELECT id, dim, round((v - mu) / sd, 4) AS z
+        |SELECT id, dim,
+        |  round((vi::DOUBLE - s1 / n)
+        |    / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS z
         |FROM e2 JOIN st USING (dim)""".stripMargin,
     "v8_pca_cov" ->
-      """WITH e2 AS (SELECT id, (i - 1)::BIGINT AS dim, e[i]::DOUBLE AS v
+      """WITH e2 AS (SELECT id, (i - 1)::BIGINT AS dim,
+        |    round(e[i]::DOUBLE * 10000000.0)::BIGINT AS vi
         |  FROM (SELECT vec_id AS id, embedding AS e,
         |      unnest(generate_series(1, len(embedding))) AS i
         |    FROM embeddings)),
-        |mu AS (SELECT dim, avg(v) AS mu FROM e2 GROUP BY 1),
-        |ct AS (SELECT id, dim, v - mu AS cv FROM e2 JOIN mu USING (dim))
-        |SELECT a.dim AS i, b.dim AS j, round(avg(a.cv * b.cv), 6) AS cov
-        |FROM ct a JOIN ct b USING (id) GROUP BY 1, 2""".stripMargin,
+        |m AS (SELECT dim, sum(vi)::DOUBLE AS s1 FROM e2 GROUP BY 1),
+        |p AS (SELECT a.dim AS i, b.dim AS j,
+        |    sum(a.vi::HUGEINT * b.vi)::DOUBLE AS sij, count(*) AS n
+        |  FROM e2 a JOIN e2 b USING (id) GROUP BY 1, 2)
+        |SELECT i, j,
+        |  round((sij / n - (mi.s1 / n) * (mj.s1 / n))
+        |    / 100000000000000.0, 6) AS cov
+        |FROM p JOIN m mi ON mi.dim = p.i JOIN m mj ON mj.dim = p.j""".stripMargin,
     "v4_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
@@ -1756,6 +1816,46 @@ object SparkEntry {
         |      for i in range(1, len(v) + 1)]))
         |    / sqrt(list_dot_product(v, v)), 6) AS l2_err_ratio
         |FROM c""".stripMargin,
+    // the Hamming family is exact integer math: hamming(q, c) counts the
+    // sign-disagreeing dimensions — identical to bit_count(xor) of the
+    // packed sketches without rebuilding the 64-bit pack (bit 63 would
+    // need unsigned shifts DuckDB's BIGINT sum can't carry)
+    "v10_hamming_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS v
+        |    FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS c_id, embedding AS v FROM embeddings),
+        |s AS (SELECT q_id, c_id,
+        |    len([i for i in range(1, len(q.v) + 1)
+        |         if (q.v[i] > 0) != (c.v[i] > 0)])::BIGINT AS hamming
+        |  FROM q CROSS JOIN c)
+        |SELECT q_id, c_id, hamming, rank FROM
+        |  (SELECT q_id, c_id, hamming,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, c_id)
+        |      AS rank
+        |  FROM s) WHERE rank <= 10""".stripMargin,
+    "v11_hamming_rerank" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |h AS (SELECT q_id, c_id,
+        |    len([i for i in range(1, len(q.v) + 1)
+        |         if (q.v[i] > 0) != (c.v[i] > 0)]) AS hamming
+        |  FROM q CROSS JOIN c),
+        |short AS (SELECT q_id, c_id FROM
+        |    (SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY hamming, c_id)
+        |        AS r
+        |    FROM h) WHERE r <= 50),
+        |s AS (SELECT q_id, c_id,
+        |    round(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 3)
+        |      AS sim
+        |  FROM short JOIN q USING (q_id) JOIN c USING (c_id))
+        |SELECT q_id, c_id, sim, rank FROM
+        |  (SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+        |  FROM s) WHERE rank <= 10""".stripMargin,
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
         |    FROM embeddings WHERE vec_id < 10),

@@ -813,19 +813,32 @@ object Dedup {
     labels
   }
 
+  /** 60-bit token hash every SQL engine can recompute: the first 15 hex
+    * chars of md5(token) as an integer (15, not 16 — 16 would need the
+    * unsigned 64-bit range signed BIGINT arithmetic can't carry). Slower
+    * than the default xxhash64 (crypto hash + string slice) — this is the
+    * cross-engine-reproducible variant for conformance checking; sign-bit
+    * statistics are insensitive to the 4 permanently-zero top bits.
+    */
+  val portableTokenHash: Column => Column = t =>
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** 64-bit SimHash per document over whitespace tokens.
     *
-    * Explode tokens -> xxhash64 once per token -> 64 signed bit-sums in one
-    * hash aggregate (codegen'd) -> reassemble the sign bits into a long.
+    * Explode tokens -> hash once per token (default xxhash64; pass
+    * [[portableTokenHash]] for a hash an external SQL oracle can
+    * recompute) -> 64 signed bit-sums in one hash aggregate (codegen'd)
+    * -> reassemble the sign bits into a long.
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
     // Pre-aggregate to (id, token-hash, weight) first: the 64 bit-sums then
     // run over distinct hashes per doc instead of every token occurrence —
     // identical result (sign sums weighted by counts), much smaller input.
     val th = spread(docs).select(
         col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .groupBy(col("id"), xxhash64(col("t")).as("h"))
+      .groupBy(col("id"), tokenHash(col("t")).as("h"))
       .agg(count(lit(1)).as("cnt"))
     // sign = bit*2-1 as arithmetic (compact codegen: 64 branchless sums)
     val bitSums = (0 until 64).map { j =>
@@ -890,6 +903,8 @@ object Dedup {
     */
   def simHashNearPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame =
-    hammingNearPairs(simHash(docs, idCol, textCol), "id", "simhash", maxDist)
+      maxDist: Int = 3,
+      tokenHash: Column => Column = c => xxhash64(c)): DataFrame =
+    hammingNearPairs(simHash(docs, idCol, textCol, tokenHash),
+      "id", "simhash", maxDist)
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorFunctions._
 
@@ -13,6 +14,17 @@ import graft.functions.VectorFunctions._
   * dimension-sized summaries (d means, d×d covariance entries, k×d
   * components) ever reach the driver; everything over the corpus is a
   * shuffle-bounded relational plan with map-side partial aggregation.
+  *
+  * Determinism contract: float sums are partition-order-dependent, so a
+  * plain `avg`/`stddev` over doubles can flip a value sitting on a
+  * rounding boundary between runs (and between engines). Every moment
+  * here is therefore computed on an integer grid — each component is
+  * quantized to `round(v * grid)` and summed in exact `decimal(38,0)`
+  * (order-independent), and only the final mean/variance/z arithmetic
+  * runs in double, on operands that are bit-identical across runs,
+  * partitionings and SQL engines. The grid (default 1e7) sits below
+  * float32 resolution for unit-scale embeddings, so the quantization
+  * error (≤ 5e-8 per component) is invisible at the output rounding.
   */
 object Pca {
 
@@ -25,8 +37,20 @@ object Pca {
       .select(col("id"), col("dim").cast("long").as("dim"),
         col("v").cast("double").as("v"))
 
+  /** The integer-grid view (id, dim, vi = round(v·grid) as decimal(38,0)):
+    * sums over vi are exact whatever the partition order, which is what
+    * makes every downstream moment reproducible. decimal(38,0) rather
+    * than long so second-moment sums can't wrap at corpus scale
+    * (1e9 rows × (1e7·v)² clears Long.MaxValue).
+    */
+  private def quantized(
+      emb: DataFrame, idCol: String, vecCol: String, grid: Double): DataFrame =
+    exploded(emb, idCol, vecCol).select(col("id"), col("dim"),
+      round(col("v") * grid, 0).cast(DecimalType(38, 0)).as("vi"))
+
   /** Per-dimension z-score standardization, exploded output
-    * (id, dim, z) with z = (v - mean_dim) / stddev_pop_dim.
+    * (id, dim, z) with z = (vi - mean_dim) / stddev_pop_dim on the
+    * quantization grid (scale cancels, so z is unit-free and exact).
     *
     * The d per-dimension moments come from one groupBy (map-side partials
     * collapse each partition to d rows) and re-attach via a broadcast
@@ -35,30 +59,27 @@ object Pca {
     */
   def standardize(
       emb: DataFrame, idCol: String, vecCol: String,
-      roundTo: Int = 4): DataFrame = {
-    val ex = exploded(emb, idCol, vecCol)
-    val stats = ex.groupBy("dim")
-      .agg(avg("v").as("mu"), stddev_pop("v").as("sd"))
-    ex.join(broadcast(stats), Seq("dim"))
+      roundTo: Int = 4, grid: Double = 1e7): DataFrame = {
+    val q = quantized(emb, idCol, vecCol, grid)
+    val stats = q.groupBy("dim").agg(
+      sum("vi").as("s1"),
+      sum(col("vi") * col("vi")).as("s2"),
+      count(lit(1)).as("n"))
+    // finishing math in double, on exact integer operands — written as
+    // s2/n - (s1/n)² (not a fused stddev) so the oracle SQL can mirror
+    // the exact same IEEE operation sequence
+    val mu = col("s1").cast("double") / col("n")
+    val sd = sqrt(col("s2").cast("double") / col("n") - mu * mu)
+    q.join(broadcast(stats), Seq("dim"))
       .select(col("id"), col("dim"),
-        round((col("v") - col("mu")) / col("sd"), roundTo).as("z"))
-  }
-
-  /** The centered exploded view: (id, dim, cv = v - mean_dim, mu) with
-    * the means broadcast back — mu rides along so a consumer holding a
-    * materialized copy can read the mean without re-scanning the corpus.
-    */
-  private def centered(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val ex = exploded(emb, idCol, vecCol)
-    val mu = ex.groupBy("dim").agg(avg("v").as("mu"))
-    ex.join(broadcast(mu), Seq("dim"))
-      .select(col("id"), col("dim"), (col("v") - col("mu")).as("cv"), col("mu"))
+        round((col("vi").cast("double") - mu) / sd, roundTo).as("z"))
   }
 
   /** The d×d population covariance matrix as (i, j, cov) rows:
-    * cov = mean over rows of (v_i - mu_i)(v_j - mu_j).
+    * cov = E[v_i v_j] - E[v_i]E[v_j] over the grid-quantized components,
+    * rescaled back to the input units.
     *
-    * Shape: self-join of the centered exploded view on the row id — the
+    * Shape: self-join of the quantized exploded view on the row id — the
     * shuffle moves 2·n·d rows (never n·d² : the d² blowup happens inside
     * the join's output stream and immediately collapses into the
     * (i, j) hash aggregate's map-side partials, ≤ d² rows per partition).
@@ -66,15 +87,27 @@ object Pca {
     */
   def covariance(
       emb: DataFrame, idCol: String, vecCol: String,
-      roundTo: Int = 6): DataFrame =
-    covFromCentered(centered(emb, idCol, vecCol), roundTo)
+      roundTo: Int = 6, grid: Double = 1e7): DataFrame = {
+    val q = quantized(emb, idCol, vecCol, grid)
+    val pair = pairMoments(q)
+    val m = q.groupBy("dim").agg(sum("vi").as("s1"))
+    val mi = m.select(col("dim").as("i"), col("s1").as("s1i"))
+    val mj = m.select(col("dim").as("j"), col("s1").as("s1j"))
+    val mui = col("s1i").cast("double") / col("n")
+    val muj = col("s1j").cast("double") / col("n")
+    pair.join(broadcast(mi), Seq("i")).join(broadcast(mj), Seq("j"))
+      .select(col("i"), col("j"),
+        round((col("sij").cast("double") / col("n") - mui * muj)
+          / lit(grid * grid), roundTo).as("cov"))
+  }
 
-  private def covFromCentered(c: DataFrame, roundTo: Int): DataFrame = {
-    val a = c.select(col("id"), col("dim").as("i"), col("cv").as("vi"))
-    val b = c.select(col("id"), col("dim").as("j"), col("cv").as("vj"))
+  /** Exact second-moment sums per dimension pair: (i, j, sij, n). */
+  private def pairMoments(q: DataFrame): DataFrame = {
+    val a = q.select(col("id"), col("dim").as("i"), col("vi").as("via"))
+    val b = q.select(col("id"), col("dim").as("j"), col("vi").as("vib"))
     a.join(b, Seq("id"))
       .groupBy("i", "j")
-      .agg(round(avg(col("vi") * col("vj")), roundTo).as("cov"))
+      .agg(sum(col("via") * col("vib")).as("sij"), count(lit(1)).as("n"))
   }
 
   /** Trained PCA basis: the corpus mean and the top-k principal
@@ -113,27 +146,37 @@ object Pca {
     (lambda, v)
   }
 
-  /** Train a top-k PCA: distributed mean + covariance (see
+  /** Train a top-k PCA: distributed exact integer moments (see
     * [[covariance]] for the shuffle contract), then power iteration with
     * deflation on the driver-side d×d matrix. Deterministic end to end —
-    * no random init, no sampling.
+    * no random init, no sampling, and the moments are aggregation-order-
+    * independent, so two runs (or two cluster layouts) produce the
+    * bit-identical basis.
     */
   def train(
       emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 200): PcaModel = {
+      k: Int, iters: Int = 200, grid: Double = 1e7): PcaModel = {
     val d = emb.select(size(col(vecCol))).head.getInt(0)
     require(k >= 1 && k <= d, s"k $k must be in [1, dim $d]")
-    // one materialization feeds both driver-bound moment reads: the mean
-    // (d rows, a tiny agg over the checkpointed view) and the covariance
-    // self-join's two consumers — without it the mean agg and each join
-    // side would re-run the explode over the corpus
-    val ctr = centered(emb, idCol, vecCol).localCheckpoint()
-    val mean = new Array[Double](d)
-    ctr.groupBy("dim").agg(first("mu").as("mu")).collect()
-      .foreach { case Row(dim: Long, mu: Double) => mean(dim.toInt) = mu }
+    // one materialization feeds both driver-bound moment reads (d first
+    // moments, d² second moments) — without it each collect would re-run
+    // the explode over the corpus
+    val q = quantized(emb, idCol, vecCol, grid).localCheckpoint()
+    val s1 = new Array[Double](d)
+    var n = 0L
+    q.groupBy("dim").agg(sum("vi").as("s1"), count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        s1(r.getAs[Long]("dim").toInt) = r.getAs[java.math.BigDecimal]("s1").doubleValue
+        n = r.getAs[Long]("n")
+      }
+    require(n > 0, "PCA train needs a non-empty corpus")
+    val mean = Array.tabulate(d)(i => s1(i) / n / grid)
     val cov = Array.ofDim[Double](d, d)
-    covFromCentered(ctr, roundTo = 12).collect().foreach {
-      case Row(i: Long, j: Long, c: Double) => cov(i.toInt)(j.toInt) = c
+    pairMoments(q).collect().foreach { r =>
+      val i = r.getAs[Long]("i").toInt
+      val j = r.getAs[Long]("j").toInt
+      val sij = r.getAs[java.math.BigDecimal]("sij").doubleValue
+      cov(i)(j) = (sij / n - (s1(i) / n) * (s1(j) / n)) / (grid * grid)
     }
     val comps = new Array[Array[Double]](k)
     val eigs = new Array[Double](k)
