@@ -536,6 +536,25 @@ object Dedup {
     requireIndexParams(docs.sparkSession, dest, n, k, bands, seed)
     val (sh, bk) = precomputed.getOrElse(
       sketch(docs, idCol, textCol, n, k, bands, seed))
+    // A replay may only overwrite ITS OWN docs: batch ids are unique
+    // within one checkpoint lineage, so a colliding id from a different
+    // lineage (e.g. a stream restarted with a fresh checkpoint) would
+    // silently dynamic-overwrite another increment's partition and drop
+    // its docs from the index. The check reads one partition's ids and
+    // only when that partition already exists — the normal append path
+    // costs an existence probe.
+    val spark = docs.sparkSession
+    val part = new org.apache.hadoop.fs.Path(s"$dest/shingles/batch=$batchId")
+    val pfs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (pfs.exists(part)) {
+      val stored = spark.read.parquet(part.toString).select("id").distinct()
+      val incoming = sh.select("id").distinct()
+      require(stored.except(incoming).isEmpty && incoming.except(stored).isEmpty,
+        s"shingles partition batch=$batchId at $dest already holds a " +
+          "DIFFERENT doc set — batch ids are only unique within one " +
+          "checkpoint lineage; a replay may only overwrite its own docs. " +
+          "Reuse the original checkpoint or start a fresh index path.")
+    }
     sh.withColumn("batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

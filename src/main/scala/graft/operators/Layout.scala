@@ -92,6 +92,7 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)
+    val root = fs.makeQualified(srcPath)
     val it = fs.listFiles(srcPath, true)
     var nFiles = 0
     var bytes = 0L
@@ -101,8 +102,10 @@ object Layout {
       // a hive-partitioned layout (dir=value segments) would be read
       // with its partition values inlined and re-written FLAT, silently
       // dropping the pruning layout — compact each partition directory
-      // instead
-      require(!p.getParent.getName.contains("="),
+      // instead. Only '=' directories STRICTLY BELOW the compaction root
+      // count: the root itself being a partition directory (compacting
+      // .../band=3 — the remediation this error suggests) is fine
+      require(p.getParent == root || !p.getParent.getName.contains("="),
         s"$src is hive-partitioned (${p.getParent.getName}); " +
           "compact each partition directory separately")
       if (p.getName.endsWith(".parquet")) { nFiles += 1; bytes += f.getLen }

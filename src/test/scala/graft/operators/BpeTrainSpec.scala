@@ -8,6 +8,21 @@ class BpeTrainSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // UTF-8 unsigned byte order — what Spark's UTF8String comparison (and
+  // so the operator's max(struct(cnt, l, r)) argmax) uses. Scala's
+  // default String ordering compares UTF-16 code units, which diverges
+  // for non-BMP symbols (surrogate range sorts above U+E000..U+FFFF in
+  // UTF-16 but below in UTF-8), so the reference model must not use it.
+  private val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    var res = 0
+    while (i < n && res == 0) { res = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+    if (res != 0) res else x.length - y.length
+  }
+
   // Independent plain-Scala BPE (Sennrich alg. 1) — the model the
   // distributed operator must reproduce merge-for-merge.
   private def refBpe(
@@ -27,7 +42,9 @@ class BpeTrainSpec extends AnyFunSuite {
       if (counts.isEmpty) stop = true
       else {
         // same tie-break as max(struct(cnt, l, r)): count, then l, then r
-        val ((l, r), cnt) = counts.maxBy { case ((l, r), c) => (c, l, r) }
+        // (strings in UTF-8 byte order, matching UTF8String)
+        val ((l, r), cnt) = counts.maxBy { case ((l, r), c) => (c, l, r) }(
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
         if (cnt < minCount) stop = true
         else {
           out += ((rank, l, r, cnt))

@@ -80,4 +80,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dest).as[Long].collect().sorted.toSeq ==
       (1L to 2000L))
   }
+
+  test("compact refuses a hive-partitioned root but accepts one partition dir") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact-hive").toString
+    val dest = java.nio.file.Files.createTempDirectory("compact-hive-dst").toString
+    (1L to 100L).map(i => (i, i % 3)).toDF("v", "p")
+      .repartition(4).write.mode("overwrite").partitionBy("p").parquet(root)
+    // whole partitioned tree: flat rewrite would drop the pruning layout
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, root, dest)
+    }
+    assert(e.getMessage.contains("hive-partitioned"))
+    // ONE partition directory — the remediation the error suggests — must
+    // pass the guard even though the directory's own name contains '='
+    val (before, after) = Layout.compact(spark, s"$root/p=1", dest)
+    assert(before >= 1 && after == 1)
+    assert(spark.read.parquet(dest).as[Long].collect().sorted.toSeq ==
+      (1L to 100L).filter(_ % 3 == 1))
+  }
 }

@@ -67,28 +67,72 @@ class IndexStreamSpec extends AnyFunSuite {
       (1 to 25).map(_ => s"w${r.nextInt(300)}").mkString(" ")
     }
     val dir = Files.createTempDirectory("idxrestart").toString
-    val mem1 = MemoryStream[(Long, String)]
-    val q1 = IndexStream.run(mem1.toDF().toDF("doc_id", "text"),
+    val mem = MemoryStream[(Long, String)]
+    val q1 = IndexStream.run(mem.toDF().toDF("doc_id", "text"),
       "doc_id", "text", s"$dir/index", s"$dir/pairs", s"$dir/ckpt",
       threshold = 0.5)
     try {
-      mem1.addData((1L to 10L).map(i => (i, doc(i.toInt))): _*)
+      mem.addData((1L to 10L).map(i => (i, doc(i.toInt))): _*)
       q1.processAllAvailable()
     } finally q1.stop()
-    // new stream instance, same checkpoint: batch ids continue, the
-    // maintained index still serves cross-restart near-dups
-    val mem2 = MemoryStream[(Long, String)]
-    val q2 = IndexStream.run(mem2.toDF().toDF("doc_id", "text"),
-      "doc_id", "text", s"$dir/index", s"$dir/pairs", s"$dir/ckpt2",
+    // new query over the SAME source and checkpoint — the real restart
+    // shape: committed offsets resume, so batch ids continue instead of
+    // restarting at 0, and the maintained index serves cross-restart
+    // near-dups
+    val q2 = IndexStream.run(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/index", s"$dir/pairs", s"$dir/ckpt",
       threshold = 0.5)
     try {
-      mem2.addData((21L, doc(4).split(" ").take(23).mkString(" ")))
+      mem.addData((21L, doc(4).split(" ").take(23).mkString(" ")))
       q2.processAllAvailable()
     } finally q2.stop()
     val pairs = spark.read.parquet(s"$dir/pairs")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((4L, 21L)),
       s"cross-restart near-dup not found in $pairs")
+  }
+
+  test("replayed bootstrap batch re-runs the full build, never the append path") {
+    import spark.implicits._
+    def doc(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (1 to 25).map(_ => s"w${r.nextInt(300)}").mkString(" ")
+    }
+    val dir = Files.createTempDirectory("idxbootreplay").toString
+    val docs = (1L to 8L).map(i => (i, doc(i.toInt))).toDF("doc_id", "text")
+    def process(batchId: Long): Unit =
+      IndexStream.processBatch(docs, batchId, "doc_id", "text",
+        s"$dir/index", s"$dir/pairs", s"$dir/ckpt",
+        n = 3, k = 64, bands = 16, threshold = 0.5, seed = 42L)
+    // bootstrap commits the index but (simulated crash) not the stream;
+    // at-least-once redelivers batch 0
+    process(0L)
+    val shinglesOnce = spark.read.parquet(s"$dir/index/shingles").count()
+    process(0L)
+    val after = spark.read.parquet(s"$dir/index/shingles")
+    assert(after.count() == shinglesOnce,
+      "bootstrap replay duplicated index rows — later Jaccard " +
+        "intersections would double-count every shared shingle")
+    assert(after.select("batch").distinct().as[Long].collect().toSeq == Seq(0L),
+      "bootstrap replay leaked docs into an append partition")
+  }
+
+  test("bootstrap batch id from a different checkpoint lineage fails fast") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("idxlineage").toString
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    IndexStream.processBatch(docs, 0L, "doc_id", "text",
+      s"$dir/index", s"$dir/pairs", s"$dir/ckpt",
+      n = 3, k = 64, bands = 16, threshold = 0.5, seed = 42L)
+    // a FRESH checkpoint restarts batch ids at 0: indistinguishable from
+    // a replay except by lineage, so it must error, not reset the index
+    val e = intercept[IllegalArgumentException] {
+      IndexStream.processBatch(
+        Seq((2L, "p q r s t u v w")).toDF("doc_id", "text"), 0L,
+        "doc_id", "text", s"$dir/index", s"$dir/pairs", s"$dir/ckpt2",
+        n = 3, k = 64, bands = 16, threshold = 0.5, seed = 42L)
+    }
+    assert(e.getMessage.contains("different checkpoint lineage"))
   }
 
   test("hyperparameter mismatch against a stored index fails fast") {
@@ -122,5 +166,14 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/idx/shingles").count() == shinglesOnce,
       "replay duplicated shingle rows — Jaccard counts would inflate")
     assert(spark.read.parquet(s"$dir/idx/bands").count() == bandsOnce)
+    // a DIFFERENT doc set under an existing batch id is a lineage
+    // collision, not a replay — overwriting would drop the stored
+    // increment's docs from the index
+    val other = (21L to 23L).map(i => (i, doc(i.toInt))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToMinHashIndex(other, "doc_id", "text", s"$dir/idx",
+        batchId = 1L)
+    }
+    assert(e.getMessage.contains("DIFFERENT doc set"))
   }
 }
