@@ -1332,6 +1332,30 @@ object SparkEntry {
     "t4_fingerprint" ->
       """SELECT doc_id AS id, md5(lower(replace(text, ' ', ''))) AS fingerprint
         |FROM documents""".stripMargin,
+    // t6 twin: the k=8/w=4 winnow — the polynomial rolling hash's signed
+    // 64-bit wraparound is simulated in HUGEINT mod 2^64 then mapped back
+    // to the signed range; window minima via a 4-row frame. charAt
+    // (UTF-16 unit) vs unicode() (code point) agree because the corpus
+    // is printable ASCII — non-BMP text would diverge.
+    "t6_winnow_fingerprints" ->
+      """WITH g AS (SELECT id, i, list_reduce(
+        |    [1125899906842597::HUGEINT] ||
+        |    [unicode(substr(t, i + j, 1))::HUGEINT for j in range(0, 8)],
+        |    (a, x) -> (a * 31 + x) % 18446744073709551616::HUGEINT) AS hu
+        |  FROM (SELECT doc_id AS id, text AS t,
+        |          unnest(generate_series(1, len(text) - 7)) AS i
+        |        FROM documents WHERE len(text) >= 8)),
+        |h AS (SELECT id, i,
+        |    (CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |          THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT
+        |      AS hv
+        |  FROM g),
+        |wmin AS (SELECT id, i,
+        |    min(hv) OVER (PARTITION BY id ORDER BY i
+        |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        |    count(*) OVER (PARTITION BY id) AS n
+        |  FROM h)
+        |SELECT DISTINCT id, m AS fp FROM wmin WHERE i <= n - 3""".stripMargin,
     "t7_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |    FROM documents),
