@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrain, Decontamination, Dedup, IntervalJoin, Layout, Multimodal, Pca, Profiling, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
+import graft.operators.{BpeTrain, Decontamination, Dedup, IntervalJoin, Layout, Multimodal, Pca, Profiling, Retrieval, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -881,6 +881,36 @@ object SparkEntry {
       k = 10, shortlist = 50)
   }
 
+  /** h1: hybrid retrieval — reciprocal-rank fusion of a dense cosine
+    * top-30 and a binary-sketch Hamming top-30 per query (the
+    * two-retriever ensemble RAG serving stacks run). Full oracle: both
+    * input rankings are the oracle-proven v1/v10 forms and the fusion
+    * sums decimal-exact contributions.
+    */
+  private def h1HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+    val dense = Similarity.cosineTopK(
+      q, e, "vec_id", "vec_id", "embedding", k = 30)
+    val sketch = Similarity.hammingTopK(
+      q, e, "vec_id", "vec_id", "embedding", k = 30)
+    Retrieval.rrfFuse(Seq(dense, sketch), "q_id", "c_id", "rank",
+      k0 = 60, topK = 10)
+  }
+
+  /** s7: temperature-flattened (τ = 2) domain mixture over a skewed
+    * domain split (70/20/10 by doc_id mod 10) — low-resource domains
+    * upweighted toward √-share. Full oracle: targets are exact integer/
+    * decimal math, row choice is the md5 permutation.
+    */
+  private def s7TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents").select(col("doc_id"),
+      when(col("doc_id") % 10 < 7, "web")
+        .when(col("doc_id") % 10 < 9, "books")
+        .otherwise("code").as("domain"))
+    Sampling.temperatureResample(docs, "doc_id", "domain", budget = 200)
+  }
+
   private def m1MediaMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.extractMeta(
       s, Multimodal.withPayload(T(s, d, "documents"), "text"), "doc_id").toDF()
@@ -1025,6 +1055,8 @@ object SparkEntry {
     "c4_corpus_merge" -> (c4CorpusMerge _),
     "c5_profile" -> (c5Profile _),
     "s5_shard_shuffle" -> (s5ShardShuffle _),
+    "s7_temperature_mix" -> (s7TemperatureMix _),
+    "h1_hybrid_rrf" -> (h1HybridRrf _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t17_bigram_logprob" -> (t17BigramLogProb _),
@@ -1840,6 +1872,62 @@ object SparkEntry {
         |      for i in range(1, len(v) + 1)]))
         |    / sqrt(list_dot_product(v, v)), 6) AS l2_err_ratio
         |FROM c""".stripMargin,
+    // h1 twin: the v1 (cosine) and v10 (Hamming) ranking forms, fused by
+    // decimal-exact reciprocal-rank contributions
+    "h1_hybrid_rrf" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |dense AS (SELECT q_id, c_id, rank FROM
+        |    (SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+        |        AS rank
+        |     FROM (SELECT q_id, c_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v))
+        |            * sqrt(list_dot_product(c.v, c.v))), 3) AS sim
+        |       FROM q CROSS JOIN c) s0) r0
+        |  WHERE rank <= 30),
+        |ham AS (SELECT q_id, c_id, rank FROM
+        |    (SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY h, c_id) AS rank
+        |     FROM (SELECT q_id, c_id,
+        |        len([i for i in range(1, len(q.v) + 1)
+        |             if (q.v[i] > 0) != (c.v[i] > 0)]) AS h
+        |       FROM q CROSS JOIN c) s1) r1
+        |  WHERE rank <= 30),
+        |u AS (SELECT * FROM dense UNION ALL SELECT * FROM ham),
+        |f AS (SELECT q_id, c_id AS id,
+        |    sum(round(1.0 / (rank + 60), 9)::DECIMAL(18,9)) AS s,
+        |    count(*) AS n_lists
+        |  FROM u GROUP BY 1, 2)
+        |SELECT q_id, id, rrf, n_lists, fused_rank FROM
+        |  (SELECT q_id, id, s::DOUBLE AS rrf, n_lists,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY s DESC, id)
+        |      AS fused_rank
+        |  FROM f) WHERE fused_rank <= 10""".stripMargin,
+    // s7 twin: identical CASE domain split, √count weights summed in
+    // decimal, floor(budget·w/Z) targets, md5-permutation row choice
+    "s7_temperature_mix" ->
+      """WITH docs AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 10 < 7 THEN 'web'
+        |         WHEN doc_id % 10 < 9 THEN 'books'
+        |         ELSE 'code' END AS domain
+        |  FROM documents),
+        |w AS (SELECT domain, round(sqrt(count(*)::DOUBLE), 9)::DECIMAL(18,9)
+        |    AS w
+        |  FROM docs GROUP BY 1),
+        |z AS (SELECT sum(w) AS z FROM w),
+        |t AS (SELECT domain,
+        |    floor(200.0 * (w::DOUBLE) / (z.z::DOUBLE))::BIGINT AS tgt
+        |  FROM w CROSS JOIN z),
+        |r AS (SELECT id, domain,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY md5('graft' || id::VARCHAR), id) AS sample_rank
+        |  FROM docs)
+        |SELECT id, domain, sample_rank FROM r JOIN t USING (domain)
+        |WHERE sample_rank <= tgt""".stripMargin,
     // the Hamming family is exact integer math: hamming(q, c) counts the
     // sign-disagreeing dimensions — identical to bit_count(xor) of the
     // packed sketches without rebuilding the 64-bit pack (bit 63 would

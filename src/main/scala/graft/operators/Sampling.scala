@@ -75,6 +75,52 @@ object Sampling {
         (col("epoch") * col("n") + col("rn")).as("mix_rank"))
   }
 
+  /** Temperature-flattened domain mixture at τ = 2: resample `budget`
+    * rows so domain d's share is ∝ √cnt_d instead of cnt_d — the
+    * standard low-resource-upweighting step of a multilingual /
+    * multi-domain pretraining mix (sampling exponent α = 1/τ; τ = 2 is
+    * pinned because √ is the one power IEEE 754 guarantees correctly
+    * rounded, so every engine computes the identical targets — an
+    * arbitrary τ via pow() could differ by 1 ulp between libm
+    * implementations and flip a floor()).
+    *
+    * Targets are exact integer math on deterministic operands: per-domain
+    * counts (exact), w_d = round(√cnt_d, 9) summed in decimal (exact in
+    * any aggregation order), tgt_d = floor(budget · w_d / Z) in double
+    * (identical IEEE op sequence everywhere). Row selection inside each
+    * domain is the seeded md5 permutation of [[stratifiedSample]].
+    * Σ tgt_d ≤ budget (each floor loses < 1 row).
+    *
+    * Scale: one count aggregate (map-side partials, #domains rows), one
+    * broadcast join of the targets, one per-domain window — the same
+    * posture as [[stratifiedSample]], including its hot-stratum
+    * hash-prefix pre-filter escape hatch.
+    *
+    * Output: (id, domain, sample_rank), sample_rank 1..tgt_d per domain.
+    */
+  def temperatureResample(
+      df: DataFrame, idCol: String, domainCol: String,
+      budget: Int, seed: String = "graft"): DataFrame = {
+    require(budget >= 1, s"budget must be positive (got $budget)")
+    val rows = df.select(col(idCol).cast("long").as("id"),
+      col(domainCol).as("domain"))
+    val w = rows.groupBy("domain").agg(count(lit(1)).as("n"))
+      .select(col("domain"),
+        round(sqrt(col("n").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("w"))
+    val z = w.agg(sum("w").as("z"))
+    val tgt = w.crossJoin(broadcast(z))
+      .select(col("domain"),
+        floor(lit(budget.toDouble) * col("w").cast("double")
+          / col("z").cast("double")).as("tgt"))
+    val key = md5(concat(lit(seed), col("id").cast("string")))
+    val rank = Window.partitionBy("domain").orderBy(key.asc, col("id").asc)
+    rows.withColumn("sample_rank", row_number().over(rank).cast("long"))
+      .join(broadcast(tgt), Seq("domain"))
+      .filter(col("sample_rank") <= col("tgt"))
+      .select("id", "domain", "sample_rank")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw-corpus
     * document by its mean per-token log-likelihood ratio under two

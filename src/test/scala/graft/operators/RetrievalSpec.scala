@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def lists(a: Seq[(Long, Long, Long)], b: Seq[(Long, Long, Long)]) =
+    Seq(a.toDF("q", "d", "r"), b.toDF("q", "d", "r"))
+
+  test("rrfFuse matches the hand-computed RRF scores and order") {
+    // list A: q1 -> (10 @1, 20 @2); list B: q1 -> (20 @1, 30 @2)
+    val fused = Retrieval.rrfFuse(
+        lists(Seq((1L, 10L, 1L), (1L, 20L, 2L)),
+              Seq((1L, 20L, 1L), (1L, 30L, 2L))),
+        "q", "d", "r", k0 = 60, topK = 10)
+      .as[(Long, Long, Double, Long, Long)].collect()
+      .sortBy(_._5)
+    val want = Seq(
+      // doc 20 in both lists: 1/62 + 1/61; docs 10/30 single-list
+      (1L, 20L, sc.round9(1.0 / 62) + sc.round9(1.0 / 61), 2L, 1L),
+      (1L, 10L, sc.round9(1.0 / 61), 1L, 2L),
+      (1L, 30L, sc.round9(1.0 / 62), 1L, 3L))
+    assert(fused.length == 3)
+    fused.zip(want).foreach { case (got, w) =>
+      assert(got._1 == w._1 && got._2 == w._2 && got._4 == w._4 &&
+        got._5 == w._5, s"$got vs $w")
+      assert(math.abs(got._3 - w._3) < 1e-12, s"score $got vs $w")
+    }
+  }
+
+  test("rrfFuse breaks exact score ties on the document id") {
+    // doc 6 @1 in A only, doc 5 @1 in B only: equal scores, 5 ranks first
+    val fused = Retrieval.rrfFuse(
+        lists(Seq((1L, 6L, 1L)), Seq((1L, 5L, 1L))),
+        "q", "d", "r", k0 = 60, topK = 10)
+      .as[(Long, Long, Double, Long, Long)].collect().sortBy(_._5)
+    assert(fused.map(f => (f._2, f._5)).toSeq == Seq((5L, 1L), (6L, 2L)))
+  }
+
+  test("rrfFuse keeps queries independent and honors topK") {
+    val a = (1L to 40L).map(d => (1L, d, d)) ++ (1L to 40L).map(d => (2L, d, 41L - d))
+    val b = (1L to 40L).map(d => (1L, d, d))
+    val fused = Retrieval.rrfFuse(lists(a, b), "q", "d", "r", topK = 5)
+      .as[(Long, Long, Double, Long, Long)].collect()
+    assert(fused.count(_._1 == 1L) == 5 && fused.count(_._1 == 2L) == 5)
+    // q1: both lists agree doc 1 is best; q2: its list is reversed, and
+    // the shared list pulls doc 40 (rank 1 in A-for-q2, rank 40 in B...
+    // B has no q2 rows, so q2 is A alone: doc 40 first)
+    assert(fused.find(f => f._1 == 1L && f._5 == 1L).get._2 == 1L)
+    assert(fused.find(f => f._1 == 2L && f._5 == 1L).get._2 == 40L)
+  }
+
+  private object sc {
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+}

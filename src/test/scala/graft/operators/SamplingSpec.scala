@@ -60,6 +60,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(mix == strat)
   }
 
+  test("temperatureResample flattens a skewed mix to hand-computed √-share targets") {
+    // a: 50 rows, b: 10 rows; raw share 83/17, √-share ≈ 69/31.
+    // w_a = round(√50, 9), w_b = round(√10, 9); tgt_d = floor(12·w_d/Z).
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (wa, wb) = (r9(math.sqrt(50.0)), r9(math.sqrt(10.0)))
+    val z = wa + wb
+    val (tgtA, tgtB) =
+      (math.floor(12.0 * wa / z).toLong, math.floor(12.0 * wb / z).toLong)
+    val got = Sampling.temperatureResample(rows, "doc_id", "src", budget = 12)
+      .as[(Long, String, Long)].collect()
+    val byDomain = got.groupBy(_._2)
+    assert(byDomain("a").length == tgtA && byDomain("b").length == tgtB)
+    assert(tgtA + tgtB <= 12)
+    // sample_rank covers 1..tgt per domain; chosen ids are the md5
+    // permutation's prefix — identical to stratifiedSample's at the same k
+    assert(byDomain("a").map(_._3).sorted.toSeq == (1L to tgtA))
+    assert(byDomain("b").map(_._3).sorted.toSeq == (1L to tgtB))
+    val strat = Sampling.stratifiedSample(rows, "doc_id", "src", k = tgtA.toInt)
+      .filter($"src" === "a").select("doc_id").as[Long].collect().toSet
+    assert(byDomain("a").map(_._1).toSet == strat)
+  }
+
   test("importanceWeights: target-like docs score higher, hand-checked NLL ratio") {
     import org.apache.spark.sql.functions.col
     // target model: all "wiki"; corpus docs: one wiki-ish, one web-ish
