@@ -911,6 +911,35 @@ object SparkEntry {
     Sampling.temperatureResample(docs, "doc_id", "domain", budget = 200)
   }
 
+  /** v12: ANN recall@10 — the Hamming sketch retriever scored per query
+    * against exact cosine ground truth. Full oracle: both rankings are
+    * the oracle-proven v1/v10 forms and recall divides two small exact
+    * integers.
+    */
+  private def v12AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(
+      q, e, "vec_id", "vec_id", "embedding", k = 10)
+    val approx = Similarity.hammingTopK(
+      q, e, "vec_id", "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(approx, exact, k = 10)
+  }
+
+  /** c6: token-budget corpus selection — the quality-ordered greedy
+    * prefix whose token sum fits a 15k budget (the "best N-token mix"
+    * step of assembling a training set). Full oracle: the kept set
+    * equals DuckDB's global running-sum prefix — the operator's bucket
+    * decomposition regroups the sum's terms without reordering them.
+    */
+  private def c6TokenBudget(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalytics.qualityScore(
+      T(s, d, "documents"), "doc_id", "text")
+    Sampling.tokenBudgetSelect(
+        scored, "id", "quality", "n_tokens", budget = 15000L)
+      .withColumnRenamed("score", "quality")
+  }
+
   private def m1MediaMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.extractMeta(
       s, Multimodal.withPayload(T(s, d, "documents"), "text"), "doc_id").toDF()
@@ -1057,6 +1086,8 @@ object SparkEntry {
     "s5_shard_shuffle" -> (s5ShardShuffle _),
     "s7_temperature_mix" -> (s7TemperatureMix _),
     "h1_hybrid_rrf" -> (h1HybridRrf _),
+    "v12_ann_recall" -> (v12AnnRecall _),
+    "c6_token_budget" -> (c6TokenBudget _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t17_bigram_logprob" -> (t17BigramLogProb _),
@@ -1928,6 +1959,60 @@ object SparkEntry {
         |  FROM docs)
         |SELECT id, domain, sample_rank FROM r JOIN t USING (domain)
         |WHERE sample_rank <= tgt""".stripMargin,
+    // v12 twin: v1-form cosine truth vs v10-form Hamming retrieval,
+    // recall = exact small-integer division
+    "v12_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |dense AS (SELECT q_id, c_id FROM
+        |    (SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+        |        AS rank
+        |     FROM (SELECT q_id, c_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v))
+        |            * sqrt(list_dot_product(c.v, c.v))), 3) AS sim
+        |       FROM q CROSS JOIN c) s0) r0
+        |  WHERE rank <= 10),
+        |ham AS (SELECT q_id, c_id FROM
+        |    (SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY h, c_id) AS rank
+        |     FROM (SELECT q_id, c_id,
+        |        len([i for i in range(1, len(q.v) + 1)
+        |             if (q.v[i] > 0) != (c.v[i] > 0)]) AS h
+        |       FROM q CROSS JOIN c) s1) r1
+        |  WHERE rank <= 10),
+        |truth AS (SELECT q_id, count(*) AS n_truth FROM dense GROUP BY 1),
+        |hits AS (SELECT q_id, count(*) AS n_hits FROM dense d
+        |  WHERE EXISTS (SELECT 1 FROM ham h
+        |    WHERE h.q_id = d.q_id AND h.c_id = d.c_id)
+        |  GROUP BY 1)
+        |SELECT q_id, n_truth, coalesce(n_hits, 0)::BIGINT AS n_hits,
+        |  round(coalesce(n_hits, 0)::DOUBLE / n_truth, 4) AS recall
+        |FROM truth LEFT JOIN hits USING (q_id)""".stripMargin,
+    // c6 twin: the t2 quality form ordered (quality desc, id), kept while
+    // the running token sum fits the budget — the operator's bucket
+    // decomposition regroups exactly this prefix
+    "c6_token_budget" ->
+      """WITH scored AS (SELECT doc_id AS id,
+        |    round(sr * 0.25 + ur * 0.5 + lok * 0.25, 4) AS quality,
+        |    len(w) AS n_tokens
+        |  FROM (SELECT doc_id, w,
+        |      len(list_filter(w, t -> t IN
+        |        ('the','a','to','of','and','in','on','for')))::DOUBLE
+        |        / len(w) AS sr,
+        |      len(list_distinct(w))::DOUBLE / len(w) AS ur,
+        |      CASE WHEN len(w) BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END
+        |        AS lok
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |      FROM documents))),
+        |r AS (SELECT id, quality, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY quality DESC, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM scored)
+        |SELECT id, quality, n_tokens FROM r WHERE run <= 15000""".stripMargin,
     // the Hamming family is exact integer math: hamming(q, c) counts the
     // sign-disagreeing dimensions — identical to bit_count(xor) of the
     // packed sketches without rebuilding the 64-bit pack (bit 63 would

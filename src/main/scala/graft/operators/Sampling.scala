@@ -121,6 +121,73 @@ object Sampling {
       .select("id", "domain", "sample_rank")
   }
 
+  /** Greedy token-budget corpus selection: walk documents in
+    * (score desc, id asc) order and keep each one whose running token
+    * total still fits the budget — "give me the best N-token training
+    * mix" with an exact, engine-reproducible answer (the kept set is the
+    * maximal prefix of the deterministic quality ordering whose token
+    * sum ≤ budget; ties collapse deterministically on the id).
+    *
+    * Scale: the naive form is a single-partition running sum over the
+    * whole corpus. Instead the score range is cut into `buckets` grid
+    * cells (monotone affine map, so bucket order = score order) and the
+    * prefix decomposes: per-bucket token totals (one map-side-combining
+    * aggregate, ≤ `buckets` rows) give a descending cumulative table
+    * small enough for a single-partition window; buckets whose
+    * cumulative total fits are kept whole with no per-row ordering at
+    * all, buckets past the budget are dropped whole, and the one
+    * boundary bucket — expected n/`buckets` rows — is the only place a
+    * row-level running sum executes. Degenerate all-equal scores
+    * collapse to one bucket and reintroduce the global window; callers
+    * scoring on a constant should know they are asking for a global
+    * prefix scan.
+    *
+    * The kept set is bucket-invariant: bucket boundaries only regroup
+    * the running sum's terms, never reorder them, so the result equals
+    * the naive global scan for every `buckets` ≥ 1.
+    *
+    * Output: (id, score, n_tokens) of the selected documents.
+    */
+  def tokenBudgetSelect(
+      df: DataFrame, idCol: String, scoreCol: String, tokensCol: String,
+      budget: Long, buckets: Int = 4096): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative (got $budget)")
+    require(buckets >= 1, s"buckets must be positive (got $buckets)")
+    val rows = df.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("double").as("score"),
+      col(tokensCol).cast("long").as("tok"))
+    val stats = rows.agg(min("score").as("lo"), max("score").as("hi"))
+    val bucketed = rows.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(
+            floor((col("score") - col("lo")) / (col("hi") - col("lo"))
+              * buckets),
+            lit(buckets - 1L))).cast("int"))
+      .drop("lo", "hi")
+    val wCum = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.groupBy("bucket").agg(sum("tok").as("btok"))
+      .withColumn("cum", sum("btok").over(wCum))
+      .withColumn("prior", col("cum") - col("btok"))
+    val keptWhole = bucketed
+      .join(broadcast(cum.filter(col("cum") <= budget).select("bucket")),
+        Seq("bucket"))
+    val wRun = Window.partitionBy("bucket")
+      .orderBy(col("score").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBoundary = bucketed
+      .join(broadcast(cum
+          .filter(col("prior") <= budget && col("cum") > budget)
+          .select("bucket", "prior")),
+        Seq("bucket"))
+      .withColumn("run", sum("tok").over(wRun))
+      .filter(col("prior") + col("run") <= budget)
+    keptWhole.select("id", "score", "tok")
+      .unionByName(keptBoundary.select("id", "score", "tok"))
+      .withColumnRenamed("tok", "n_tokens")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw-corpus
     * document by its mean per-token log-likelihood ratio under two

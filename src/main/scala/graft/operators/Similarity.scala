@@ -137,6 +137,47 @@ object Similarity {
       .select("q_id", "c_id", "sim", "rank")
   }
 
+  /** Recall@k of an approximate retrieval run against exact ground
+    * truth — the standard ANN quality gauge (how many of the true top-k
+    * the index surfaced), computed per query so degraded buckets /
+    * clusters show up as low-recall rows rather than vanishing into a
+    * corpus mean.
+    *
+    * Both inputs are (query id, candidate id, rank) rankings as produced
+    * by [[cosineTopK]] / [[hammingTopK]] / [[annIvfTopK]] et al. The
+    * denominator is the query's actual truth-list size (≤ k when the
+    * corpus is smaller than k), so recall is 1.0 for a perfect run on a
+    * short list rather than capped below it.
+    *
+    * Scale: the rankings are per-query top-k lists, so this only ever
+    * moves |queries|·k rows — a semi join on (q_id, c_id) and one
+    * aggregate; the corpus itself is never touched. The ratio divides
+    * two small exact integers and rounds, so the output hashes
+    * identically in any engine.
+    *
+    * Output: (q_id, n_truth, n_hits, recall), one row per query present
+    * in the exact ranking.
+    */
+  def recallAtK(
+      approx: DataFrame, exact: DataFrame, k: Int,
+      qIdCol: String = "q_id", cIdCol: String = "c_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    def topK(df: DataFrame) = df
+      .filter(col(rankCol) <= k)
+      .select(col(qIdCol).cast("long").as("q_id"),
+        col(cIdCol).cast("long").as("c_id"))
+    val truth = topK(exact)
+    val hits = truth.join(topK(approx), Seq("q_id", "c_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_truth"), 4).as("recall"))
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-bit LSH. */
   private def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)

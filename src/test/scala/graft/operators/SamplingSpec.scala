@@ -83,6 +83,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(byDomain("a").map(_._1).toSet == strat)
   }
 
+  test("tokenBudgetSelect equals the naive greedy prefix for any bucket count") {
+    // deterministic corpus: 60 docs, score = a hash-ish spread, tokens 5..64
+    val docs = (1L to 60L)
+      .map(i => (i, ((i * 37) % 100).toDouble / 100.0, 5L + (i % 60)))
+      .toDF("doc_id", "score", "tok")
+    val local = docs.as[(Long, Double, Long)].collect()
+      .sortBy { case (id, s, _) => (-s, id) }
+    val want = local.scanLeft((0L, 0.0, 0L, 0L)) {
+      case ((_, _, _, run), (id, s, t)) => (id, s, t, run + t)
+    }.tail.takeWhile(_._4 <= 700L).map(r => (r._1, r._2, r._3)).toSet
+    for (b <- Seq(1, 7, 4096)) {
+      val got = Sampling.tokenBudgetSelect(docs, "doc_id", "score", "tok",
+          budget = 700L, buckets = b)
+        .as[(Long, Double, Long)].collect().toSet
+      assert(got == want, s"buckets=$b")
+    }
+    assert(want.nonEmpty && want.size < 60)
+  }
+
+  test("tokenBudgetSelect: all-equal scores degrade to an id-ordered prefix") {
+    val docs = (1L to 10L).map(i => (i, 0.5, 10L)).toDF("doc_id", "score", "tok")
+    val got = Sampling.tokenBudgetSelect(docs, "doc_id", "score", "tok",
+        budget = 35L)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("importanceWeights: target-like docs score higher, hand-checked NLL ratio") {
     import org.apache.spark.sql.functions.col
     // target model: all "wiki"; corpus docs: one wiki-ish, one web-ish

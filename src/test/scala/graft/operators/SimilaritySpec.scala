@@ -189,6 +189,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(codegen.nonEmpty)
   }
 
+  test("recallAtK counts hand-checked overlaps per query") {
+    // truth q1: {1,2,3}; approx q1: {2,3,9} -> 2/3 hits
+    // truth q2: {4,5};   approx q2: {}      -> 0 hits, query still emitted
+    // rank > k rows on both sides must be ignored
+    val exact = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L), (1L, 9L, 4L),
+      (2L, 4L, 1L), (2L, 5L, 2L)).toDF("q_id", "c_id", "rank")
+    val approx = Seq((1L, 2L, 1L), (1L, 3L, 2L), (1L, 9L, 3L), (1L, 1L, 4L))
+      .toDF("q_id", "c_id", "rank")
+    val got = Similarity.recallAtK(approx, exact, k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, BigDecimal(2.0 / 3).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (2L, 2L, 0L, 0.0)))
+  }
+
+  test("recallAtK is 1.0 when the approximate run equals the truth") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "vec_id", "embedding", k = 5)
+    val got = Similarity.recallAtK(exact, exact, k = 5)
+      .select("recall").as[Double].collect()
+    assert(got.length == 3 && got.forall(_ == 1.0))
+  }
+
   test("binaryQuantize packs sign bits; hammingTopK ranks by bit distance") {
     // base = all-positive; variant j flips the first j dimensions
     def vec(flips: Int): Array[Float] =
