@@ -370,6 +370,24 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.6)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
+  /** d14: containment near-dup pairs — fragments (the first 20 tokens of
+    * every 50th doc, re-idied above the corpus range) are fully
+    * contained in their source doc yet share so little Jaccard mass the
+    * d2 operator cannot see them at any sane threshold. Full oracle:
+    * identical corpus construction + intersection/|A| math on raw
+    * shingles in DuckDB.
+    */
+  private def d14Containment(s: SparkSession, d: String): DataFrame = {
+    val base = T(s, d, "documents").select(col("doc_id"), col("text"))
+    val frags = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(100000L)).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text"))
+    Dedup.containmentPairs(base.unionByName(frags), "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .select(col("id_a"), col("id_b"),
+        round(col("c_ab"), 4).as("c_ab"), round(col("c_ba"), 4).as("c_ba"))
+  }
+
   private def d3MinHash(s: SparkSession, d: String): DataFrame =
     Dedup.minHashLshPairs(T(s, d, "documents"), "doc_id", "text",
         n = 3, k = 64, bands = 16, threshold = 0.6)
@@ -1058,6 +1076,7 @@ object SparkEntry {
     "d11_exact_substr" -> (d11ExactSubstr _),
     "d12_substr_removed" -> (d12SubstrRemoved _),
     "d13_near_decontam" -> (d13NearDecontam _),
+    "d14_containment" -> (d14Containment _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2Quality _),
     "t3_lang_id" -> (t3LangId _),
@@ -1312,6 +1331,29 @@ object SparkEntry {
         |  round(c::DOUBLE / (ca.n + cb.n - c), 4) AS jaccard
         |FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
         |WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6""".stripMargin,
+    // d14 twin: fragment construction + containment = intersection / |A|
+    // over raw 3-word shingles
+    "d14_containment" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(string_split(text, ' ')[1:20], ' ')
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     for i in range(1, len(w) - 1)])) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |  round(c::DOUBLE / ca.n, 4) AS c_ab,
+        |  round(c::DOUBLE / cb.n, 4) AS c_ba
+        |FROM pairs JOIN cnt ca ON ia = ca.doc_id
+        |  JOIN cnt cb ON ib = cb.doc_id
+        |WHERE greatest(c::DOUBLE / ca.n, c::DOUBLE / cb.n) >= 0.9""".stripMargin,
     "d9_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |bm AS (SELECT DISTINCT unnest(

@@ -232,6 +232,27 @@ object Dedup {
       .select(col("id"), size(col("ss")).as("n_sh"),
         explode(col("ss")).as("shkey"))
 
+  /** [[shingleRows]] with document-frequency-capped keys: shingles in
+    * more than `maxDf` documents are dropped from the index via a
+    * count-aggregate + anti join (map-side partials collapse a hot key
+    * to one row per partition; the hot set is stop-shingle-sized, so
+    * AQE broadcasts the anti join and hot occurrences die map-side,
+    * never shuffling). Per-doc totals (`n_sh`) are computed before the
+    * cap, so intersection-over-total scores built on this index stay
+    * exact for pairs whose shingles are all under the cap.
+    */
+  private def cappedShingleIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Int): DataFrame = {
+    val sh0 = shingleRows(docs, idCol, textCol, n)
+    if (maxDf <= 0) sh0
+    else sh0.join(
+      sh0.groupBy("shkey").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select("shkey"),
+      Seq("shkey"), "left_anti")
+  }
+
   /** All document pairs with n-word-shingle Jaccard >= threshold.
     *
     * |A ∩ B| via an inverted-index self-join on the shingle, |A ∪ B| from
@@ -265,14 +286,7 @@ object Dedup {
     // occurrences are dropped map-side without ever shuffling. (The
     // count-window form this replaces sorted every occurrence of the hot
     // key on a single reducer — the exact skew it existed to prevent.)
-    val sh0 = shingleRows(docs, idCol, textCol, n)
-    val sh =
-      if (maxDf <= 0) sh0
-      else sh0.join(
-        sh0.groupBy("shkey").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf)
-          .select("shkey"),
-        Seq("shkey"), "left_anti")
+    val sh = cappedShingleIndex(docs, idCol, textCol, n, maxDf)
     // shuffle_hash hint on both sides: identical child plans shuffle on
     // the same key, so ReuseExchange evaluates the shingle generation
     // once, not per join side. Without the hint AQE broadcast-converts the
@@ -291,6 +305,42 @@ object Dedup {
         col("id_a"), col("id_b"),
         (col("n_common") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** All document pairs where either side's n-word-shingle *containment*
+    * meets the threshold: c(A→B) = |A ∩ B| / |A|, the fraction of A's
+    * shingles that also appear in B. Containment is the asymmetric
+    * cousin of Jaccard and the right signal for doc-inside-doc
+    * duplication — a 50-line licence block pasted into a 5000-line file
+    * scores c ≈ 1.0 from the fragment's side while the pair's Jaccard
+    * is ≈ 1% and invisible to [[ngramJaccardPairs]] at any sane
+    * threshold (the "containment" variant of the dedup literature,
+    * e.g. Broder's resemblance-vs-containment distinction).
+    *
+    * Same inverted-index skeleton, cost shape, df-cap contract and
+    * shuffle_hash exchange-reuse as [[ngramJaccardPairs]] — per-doc
+    * totals precede the cap, so both denominators stay exact and a
+    * capped shingle can only lower a score.
+    *
+    * Output: (id_a, id_b, c_ab, c_ba) with id_a < id_b, kept when
+    * greatest(c_ab, c_ba) >= threshold.
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    val sh = cappedShingleIndex(docs, idCol, textCol, n, maxDf)
+    sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.shkey") === col("b.shkey") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(
+        count("*").as("n_common"),
+        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
+      .select(
+        col("id_a"), col("id_b"),
+        (col("n_common") / col("na")).as("c_ab"),
+        (col("n_common") / col("nb")).as("c_ba"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
   }
 
   // Deterministic permutation coefficients for MinHash (seeded, stable

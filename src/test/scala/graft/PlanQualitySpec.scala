@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IntervalJoin}
+import graft.operators.{Dedup, IntervalJoin, Retrieval, Similarity}
 import graft.sources.Tables
 
 /** Physical-plan assertions (SURVEY.md §4 scale posture): filters reach
@@ -243,6 +243,46 @@ class PlanQualitySpec extends AnyFunSuite {
       s"full-outer join cannot broadcast — corpus would shuffle+sort:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"increment not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled:\n$plan")
+  }
+
+  test("containment pairs inherit the jaccard skeleton: no quadratic join, reused exchange") {
+    val df = Dedup.containmentPairs(
+      Tables.documents(spark, dir), "doc_id", "text")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$plan")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "self-join sides recompute the shingle pipeline")
+  }
+
+  test("token-budget selection: row-level window only on the boundary bucket") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ws = SparkEntry.queries("c6_token_budget")(spark, dir)
+      .queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }
+    // every unpartitioned window is the descending cumulative over the
+    // <= `buckets` totals — i.e. sits above an aggregate, never raw rows
+    // (the subtree appears once per consumer branch); every data-sized
+    // window keys on bucket
+    val (global, keyed) = ws.partition(_.partitionSpec.isEmpty)
+    assert(global.nonEmpty &&
+      global.forall(_.child.collect { case a: BaseAggregateExec => a }.nonEmpty),
+      s"unpartitioned window over raw rows:\n${global.mkString("\n")}")
+    assert(keyed.nonEmpty &&
+      keyed.forall(_.partitionSpec.map(_.sql).mkString(",").contains("bucket")),
+      s"window keys: ${keyed.map(_.partitionSpec.map(_.sql))}")
+  }
+
+  test("rank fusion and recall move only top-k rows: no joins beyond the inputs") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("q_id", "c_id", "rank")
+    val fused = planOf(Retrieval.rrfFuse(Seq(l, l), "q_id", "c_id", "rank"))
+    assert(!fused.contains("Join"), s"rrfFuse joins its lists:\n$fused")
+    val rec = planOf(Similarity.recallAtK(l, l, k = 2))
+    assert(!rec.contains("CartesianProduct") &&
+      !rec.contains("BroadcastNestedLoopJoin"), s"quadratic recall join:\n$rec")
   }
 
   test("dedup self-joins reuse one exchange per side at runtime") {

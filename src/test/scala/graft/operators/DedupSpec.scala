@@ -50,6 +50,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("containmentPairs flags a fragment Jaccard cannot see, with exact scores") {
+    // A: 30 distinct tokens (28 shingles); F: A's first 10 tokens (8
+    // shingles, all in A); C: unrelated. c(F→A) = 1.0 while the pair's
+    // Jaccard is 8/28 ≈ 0.29 — invisible at Jaccard threshold 0.6.
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val f = (1 to 10).map(i => s"w$i").mkString(" ")
+    val c = (1 to 30).map(i => s"z$i").mkString(" ")
+    val corpus = Seq((1L, a), (2L, c), (10L, f)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq((1L, 10L, 8.0 / 28.0, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty)
+  }
+
   test("minHashLshPairs equals exact jaccard pairs on sf0.001 documents") {
     val real = spark.read.parquet(s"${graft.TestSpark.Sf0001}/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.6)
