@@ -929,6 +929,22 @@ object SparkEntry {
     Sampling.temperatureResample(docs, "doc_id", "domain", budget = 200)
   }
 
+  /** h2: hard-negative mining — dense ranks 2..15 per query minus the
+    * Hamming retriever's top-5 (standing in for labeled positives): the
+    * "near but not relevant" band contrastive training wants. Full
+    * oracle: both rankings are the oracle-proven v1/v10 forms and the
+    * anti join is exact.
+    */
+  private def h2HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+    val ranked = Similarity.cosineTopK(
+      q, e, "vec_id", "vec_id", "embedding", k = 15)
+    val positives = Similarity.hammingTopK(
+      q, e, "vec_id", "vec_id", "embedding", k = 5)
+    Retrieval.hardNegatives(ranked, positives, loRank = 2, hiRank = 15)
+  }
+
   /** v12: ANN recall@10 — the Hamming sketch retriever scored per query
     * against exact cosine ground truth. Full oracle: both rankings are
     * the oracle-proven v1/v10 forms and recall divides two small exact
@@ -1107,6 +1123,7 @@ object SparkEntry {
     "h1_hybrid_rrf" -> (h1HybridRrf _),
     "v12_ann_recall" -> (v12AnnRecall _),
     "c6_token_budget" -> (c6TokenBudget _),
+    "h2_hard_negatives" -> (h2HardNegatives _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t17_bigram_logprob" -> (t17BigramLogProb _),
@@ -2001,6 +2018,33 @@ object SparkEntry {
         |  FROM docs)
         |SELECT id, domain, sample_rank FROM r JOIN t USING (domain)
         |WHERE sample_rank <= tgt""".stripMargin,
+    // h2 twin: dense band [2,15] anti-joined against the Hamming top-5
+    "h2_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |dense AS (SELECT q_id, c_id, rank FROM
+        |    (SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+        |        AS rank
+        |     FROM (SELECT q_id, c_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v))
+        |            * sqrt(list_dot_product(c.v, c.v))), 3) AS sim
+        |       FROM q CROSS JOIN c) s0) r0
+        |  WHERE rank BETWEEN 2 AND 15),
+        |pos AS (SELECT q_id, c_id FROM
+        |    (SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY h, c_id) AS rank
+        |     FROM (SELECT q_id, c_id,
+        |        len([i for i in range(1, len(q.v) + 1)
+        |             if (q.v[i] > 0) != (c.v[i] > 0)]) AS h
+        |       FROM q CROSS JOIN c) s1) r1
+        |  WHERE rank <= 5)
+        |SELECT d.q_id, d.c_id, d.rank FROM dense d
+        |WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |  WHERE p.q_id = d.q_id AND p.c_id = d.c_id)""".stripMargin,
     // v12 twin: v1-form cosine truth vs v10-form Hamming retrieval,
     // recall = exact small-integer division
     "v12_ann_recall" ->

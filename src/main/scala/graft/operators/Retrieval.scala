@@ -56,4 +56,37 @@ object Retrieval {
       .select(col("q_id"), col("id"), col("s").cast("double").as("rrf"),
         col("n_lists"), col("fused_rank"))
   }
+
+  /** Hard-negative mining for contrastive / embedding training: per
+    * query, the retriever's candidates ranked in [loRank, hiRank] minus
+    * the known positives — the "near the query but not relevant" band.
+    * Skipping the head (loRank > 1) avoids unlabeled true positives;
+    * capping the tail (hiRank) avoids easy negatives that contribute no
+    * gradient — the standard dense-retriever mining recipe (e.g. DPR,
+    * Karpukhin et al. 2020).
+    *
+    * Scale: `ranked` is already a per-query top-N list, so the band
+    * filter and the (q_id, c_id) anti join move ≤ |queries| · N rows;
+    * per-query positive sets are label-sized, so AQE broadcasts the
+    * anti join. The corpus-sized retrieval ran upstream under its own
+    * contract.
+    *
+    * Output: (q_id, c_id, rank) — the retriever's rank preserved so
+    * downstream samplers can weight harder negatives higher.
+    */
+  def hardNegatives(
+      ranked: DataFrame, positives: DataFrame, loRank: Int, hiRank: Int,
+      qIdCol: String = "q_id", cIdCol: String = "c_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(1 <= loRank && loRank <= hiRank,
+      s"need 1 <= loRank <= hiRank (got [$loRank, $hiRank])")
+    ranked
+      .select(col(qIdCol).cast("long").as("q_id"),
+        col(cIdCol).cast("long").as("c_id"),
+        col(rankCol).cast("long").as("rank"))
+      .filter(col("rank").between(loRank, hiRank))
+      .join(positives.select(col(qIdCol).cast("long").as("q_id"),
+          col(cIdCol).cast("long").as("c_id")),
+        Seq("q_id", "c_id"), "left_anti")
+  }
 }

@@ -137,7 +137,10 @@ object Sampling {
     * cumulative total fits are kept whole with no per-row ordering at
     * all, buckets past the budget are dropped whole, and the one
     * boundary bucket — expected n/`buckets` rows — is the only place a
-    * row-level running sum executes. Degenerate all-equal scores
+    * row-level running sum executes. The scored projection and the
+    * bucket-cumulative table are checkpointed once (three and two
+    * consumers respectively), so the source is scanned twice total
+    * regardless of branch count. Degenerate all-equal scores
     * collapse to one bucket and reintroduce the global window; callers
     * scoring on a constant should know they are asking for a global
     * prefix scan.
@@ -157,6 +160,11 @@ object Sampling {
       col(scoreCol).cast("double").as("score"),
       col(tokensCol).cast("long").as("tok"))
     val stats = rows.agg(min("score").as("lo"), max("score").as("hi"))
+    // bucketed feeds three consumers (totals, whole-bucket keep, boundary
+    // window) and cum two; without truncation each consumer re-runs the
+    // scan + min/max subtree (no exchange below them for ReuseExchange to
+    // share). Checkpoint once — the 4-column projection is the d3
+    // pattern: materialize narrow, read thrice.
     val bucketed = rows.crossJoin(broadcast(stats))
       .withColumn("bucket",
         when(col("hi") === col("lo"), lit(0))
@@ -165,11 +173,13 @@ object Sampling {
               * buckets),
             lit(buckets - 1L))).cast("int"))
       .drop("lo", "hi")
+      .localCheckpoint()
     val wCum = Window.orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bucketed.groupBy("bucket").agg(sum("tok").as("btok"))
       .withColumn("cum", sum("btok").over(wCum))
       .withColumn("prior", col("cum") - col("btok"))
+      .localCheckpoint()
     val keptWhole = bucketed
       .join(broadcast(cum.filter(col("cum") <= budget).select("bucket")),
         Seq("bucket"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.{Dedup, TextAnalytics}
+import graft.operators.{Dedup, Sampling, TextAnalytics}
 
 /** Scaling probe for the dedup/text family: synthesizes corpora at 1×,
   * 4× and 16× the bench document count (deterministic hash-generated
@@ -71,7 +71,14 @@ object ScaleProbe {
         TextAnalytics.bm25(d, "doc_id", "text",
           Seq("w100", "w2000", "w15000")).count()),
       "d10_segments" -> (d =>
-        Dedup.segmentDedup(d, "doc_id", "text").count()))
+        Dedup.segmentDedup(d, "doc_id", "text").count()),
+      "d14_containment" -> (d =>
+        Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.9)
+          .count()),
+      "c6_token_budget" -> (d =>
+        Sampling.tokenBudgetSelect(
+          TextAnalytics.qualityScore(d, "doc_id", "text"),
+          "id", "quality", "n_tokens", budget = 1000000L).count()))
 
     val scales = Iterator.iterate(maxDocs / 16)(_ * 4)
       .takeWhile(_ <= maxDocs).toSeq

@@ -262,12 +262,11 @@ class PlanQualitySpec extends AnyFunSuite {
     val ws = SparkEntry.queries("c6_token_budget")(spark, dir)
       .queryExecution.sparkPlan
       .collect { case w: WindowExec => w }
-    // every unpartitioned window is the descending cumulative over the
-    // <= `buckets` totals — i.e. sits above an aggregate, never raw rows
-    // (the subtree appears once per consumer branch); every data-sized
-    // window keys on bucket
+    // the unpartitioned cumulative runs at construction over the
+    // <= `buckets` checkpointed totals; the final plan's only windows
+    // are row-level and keyed on bucket (the boundary slice)
     val (global, keyed) = ws.partition(_.partitionSpec.isEmpty)
-    assert(global.nonEmpty &&
+    assert(global.isEmpty ||
       global.forall(_.child.collect { case a: BaseAggregateExec => a }.nonEmpty),
       s"unpartitioned window over raw rows:\n${global.mkString("\n")}")
     assert(keyed.nonEmpty &&

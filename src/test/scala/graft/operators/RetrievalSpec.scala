@@ -54,6 +54,20 @@ class RetrievalSpec extends AnyFunSuite {
     assert(fused.find(f => f._1 == 2L && f._5 == 1L).get._2 == 40L)
   }
 
+  test("hardNegatives keeps the rank band minus positives, per query") {
+    val ranked = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L),
+      (2L, 11L, 1L), (2L, 20L, 2L), (2L, 21L, 3L))
+      .toDF("q", "d", "r")
+    // 11 is a positive for q1 only — q2's rank-1 doc 11 is NOT excluded
+    // (positives are per-query), but its rank 1 is below the band anyway
+    val pos = Seq((1L, 11L)).toDF("q", "d")
+    val got = Retrieval.hardNegatives(ranked, pos, loRank = 2, hiRank = 3,
+        qIdCol = "q", cIdCol = "d", rankCol = "r")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 12L, 3L), (2L, 20L, 2L), (2L, 21L, 3L)))
+  }
+
   private object sc {
     def round9(x: Double): Double =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
