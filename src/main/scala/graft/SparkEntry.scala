@@ -388,9 +388,15 @@ object SparkEntry {
         round(col("c_ab"), 4).as("c_ab"), round(col("c_ba"), 4).as("c_ba"))
   }
 
+  /** d3: MinHash-LSH near-dup pairs in the *portable* hash family
+    * (md5-derived shingle keys, overflow-free permutations, slice-equality
+    * band keys) so the DuckDB oracle recomputes the identical signatures,
+    * bands, candidate set and verified Jaccards — the LSH pipeline proven
+    * end to end, not just its verify step.
+    */
   private def d3MinHash(s: SparkSession, d: String): DataFrame =
     Dedup.minHashLshPairs(T(s, d, "documents"), "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.6)
+        n = 3, k = 64, bands = 16, threshold = 0.6, portable = true)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
   /** d4: SimHash near-dup pairs with the portable (md5-derived) token
@@ -422,10 +428,14 @@ object SparkEntry {
   private def d5EmbedNearDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairs(d5Corpus(s, d), "vec_id", "embedding", 0.85)
 
+  /** d6: duplicate clusters over the d3 pair set — portable hashes like
+    * d3, so the DuckDB oracle rebuilds the same pairs and closes them
+    * with a recursive CTE (the d7 fixpoint twin, over LSH pairs).
+    */
   private def d6DedupClusters(s: SparkSession, d: String): DataFrame =
     Dedup.duplicateClusters(
       Dedup.minHashLshPairs(T(s, d, "documents"), "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.6)
+        n = 3, k = 64, bands = 16, threshold = 0.6, portable = true)
         .select("id_a", "id_b"))
 
   /** d8: SemDeDup over the planted-near-dup corpus — IVF-cluster the
@@ -481,12 +491,16 @@ object SparkEntry {
     * overlap. Rows-only (LSH banding has no SQL twin);
     * `DecontaminationSpec` pins it to planted near-copies.
     */
+  /** d13: fuzzy (MinHash) decontamination, corpus vs benchmark = every
+    * 10th doc — portable hash family like d3, so the DuckDB oracle
+    * recomputes the identical cross-corpus pipeline.
+    */
   private def d13NearDecontam(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents")
     Decontamination.flagNearContaminated(
       docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
-      n = 3, threshold = 0.6)
+      n = 3, threshold = 0.6, portable = true)
   }
 
   // ---- training-data pipeline: text analysis ----------------------------
@@ -1145,6 +1159,53 @@ object SparkEntry {
     "m3_audio_features" -> (m3AudioFeatures _),
     "m4_image_thumbs" -> (m4ImageThumbs _))
 
+  /** DuckDB CTE chain reproducing the portable MinHash-LSH pipeline
+    * (md5-derived token + shingle hashes, the overflow-free permutation
+    * family with its coefficients embedded as literals from the same
+    * generator the operator uses, slice-equality band keys, exact
+    * Jaccard verify) — shared by the d3, d6 and d13 oracles. Ends with
+    * `shr(id, n_sh, shkey)` and `bk(id, b, key)`; each oracle appends
+    * its own candidate join + verify tail.
+    */
+  private lazy val minHashLshCte: String = {
+    val (as, bs) = graft.operators.Dedup.portableMinHashCoeffs(64, 42L)
+    val vals = as.indices.map(i => s"(${i}, ${as(i)}, ${bs(i)})")
+      .grouped(4).map(_.mkString(", ")).mkString(",\n  ")
+    val p = graft.operators.Dedup.PortableMinHashPrime
+    s"""toks AS (SELECT doc_id AS id,
+       |    [list_reduce([strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1
+       |                  for i in range(1, 16)]::BIGINT[], (a, x) -> a * 16 + x)
+       |     for w in string_split(text, ' ')] AS hs
+       |  FROM documents),
+       |shl AS (SELECT id, list_distinct(
+       |    [list_reduce([strpos('0123456789abcdef',
+       |        substr(md5(hs[i]::VARCHAR || ',' || hs[i+1]::VARCHAR || ',' ||
+       |               hs[i+2]::VARCHAR), j, 1)) - 1
+       |      for j in range(1, 16)]::BIGINT[], (a, x) -> a * 16 + x)
+       |     for i in range(1, len(hs) - 1)]) AS sks
+       |  FROM toks WHERE len(hs) >= 3),
+       |shr AS (SELECT id, len(sks) AS n_sh, unnest(sks) AS shkey FROM shl),
+       |co(i, ca, cb) AS (VALUES $vals),
+       |sig AS (SELECT id, i, min((ca * (shkey % $p) + cb) % $p) AS mh
+       |  FROM shr CROSS JOIN co GROUP BY 1, 2),
+       |sigl AS (SELECT id, list(mh ORDER BY i) AS sig FROM sig GROUP BY 1),
+       |bk AS (SELECT id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+       |  FROM sigl CROSS JOIN (SELECT unnest(range(16)) AS b) bs)""".stripMargin
+  }
+
+  /** The self-join candidate + exact-verify tail over [[minHashLshCte]]:
+    * `ver(id_a, id_b, nc, na, nb)`.
+    */
+  private lazy val minHashLshSelfVer: String =
+    """cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key AND a.id < b.id),
+      |ver AS (SELECT c.id_a, c.id_b, count(*) AS nc,
+      |    any_value(sa.n_sh) AS na, any_value(sb.n_sh) AS nb
+      |  FROM cand c
+      |  JOIN shr sa ON sa.id = c.id_a
+      |  JOIN shr sb ON sb.id = c.id_b AND sb.shkey = sa.shkey
+      |  GROUP BY 1, 2)""".stripMargin
+
   def oracleSql: Map[String, String] = ListMap(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1348,6 +1409,51 @@ object SparkEntry {
         |  round(c::DOUBLE / (ca.n + cb.n - c), 4) AS jaccard
         |FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
         |WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6""".stripMargin,
+    // d3 twin: the full portable MinHash-LSH pipeline — signatures,
+    // bands, candidates and exact verify all recomputed in DuckDB
+    "d3_minhash_lsh" ->
+      s"""WITH $minHashLshCte,
+         |$minHashLshSelfVer
+         |SELECT id_a, id_b, round(nc::DOUBLE / (na + nb - nc), 4) AS jaccard
+         |FROM ver WHERE nc::DOUBLE / (na + nb - nc) >= 0.6""".stripMargin,
+    // d6 twin: the d3 pair set closed into clusters by the d7-form
+    // recursive fixpoint (cluster = min reachable id)
+    "d6_dedup_clusters" ->
+      s"""WITH RECURSIVE $minHashLshCte,
+         |$minHashLshSelfVer,
+         |jp AS (SELECT id_a AS ia, id_b AS ib FROM ver
+         |  WHERE nc::DOUBLE / (na + nb - nc) >= 0.6),
+         |edges AS (SELECT ia AS src, ib AS dst FROM jp
+         |  UNION ALL SELECT ib, ia FROM jp),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id""".stripMargin,
+    // d13 twin: the portable LSH chain with a corpus × benchmark
+    // candidate join, aggregated per corpus doc and left-joined back so
+    // clean docs appear with zeros
+    "d13_near_decontam" ->
+      s"""WITH $minHashLshCte,
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key
+         |  WHERE a.id % 10 != 0 AND b.id % 10 = 0),
+         |ver AS (SELECT c.id_a, c.id_b, count(*) AS nc,
+         |    any_value(sa.n_sh) AS na, any_value(sb.n_sh) AS nb
+         |  FROM cand c
+         |  JOIN shr sa ON sa.id = c.id_a
+         |  JOIN shr sb ON sb.id = c.id_b AND sb.shkey = sa.shkey
+         |  GROUP BY 1, 2),
+         |hits AS (SELECT id_a AS id,
+         |    round(max(nc::DOUBLE / (na + nb - nc)), 4) AS max_jaccard,
+         |    count(DISTINCT id_b) AS n_bench_matches
+         |  FROM ver WHERE nc::DOUBLE / (na + nb - nc) >= 0.6 GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         |  coalesce(h.max_jaccard, 0.0) AS max_jaccard,
+         |  coalesce(h.n_bench_matches, 0) AS n_bench_matches,
+         |  h.max_jaccard IS NOT NULL AS contaminated
+         |FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+         |WHERE d.doc_id % 10 != 0""".stripMargin,
     // d14 twin: fragment construction + containment = intersection / |A|
     // over raw 3-word shingles
     "d14_containment" ->

@@ -59,10 +59,11 @@ object Decontamination {
   def flagNearContaminated(
       corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
-      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+      n: Int = 3, threshold: Double = 0.6,
+      portable: Boolean = false): DataFrame = {
     val pairs = Dedup.minHashLshPairsBetween(
       corpus, idCol, textCol, benchmark, benchIdCol, benchTextCol,
-      n = n, threshold = threshold)
+      n = n, threshold = threshold, portable = portable)
     val hits = pairs.groupBy(col("id_a").as("id")).agg(
       round(max(col("jaccard")), 4).as("max_jaccard"),
       countDistinct(col("id_b")).as("n_bench_matches"))

@@ -195,20 +195,34 @@ object Dedup {
     * Output is hash-partitioned by id (the lead window's exchange).
     */
   private def shingleOccurrences(
-      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val tokHash: Column => Column =
+      if (portable) portableTokenHash else (c => xxhash64(c))
     val tok = spread(docs).select(
         col(idCol).as("id"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
-      .select(col("id"), col("pos"), xxhash64(col("t")).as("th"))
+      .select(col("id"), col("pos"), tokHash(col("t")).as("th"))
     val w = Window.partitionBy("id").orderBy("pos")
     val hs = col("th") +: (1 until n).map(k => lead(col("th"), k).over(w))
     tok
-      .withColumn("shkey", xxhash64(hs: _*))
+      .withColumn("shkey",
+        if (portable) portableNgramKey(hs) else xxhash64(hs: _*))
       .withColumn("ok", hs.last.isNotNull)
       .filter(col("ok"))
       .select("id", "shkey")
   }
+
+  /** Portable n-gram key: md5 over the comma-joined decimal token
+    * hashes, truncated to 15 hex digits (60 bits) — recomputable by any
+    * engine with md5 (the [[portableTokenHash]] contract lifted to
+    * n-grams). Same shingle identity modulo negligible collisions; ~2×
+    * the cost of xxhash64, so the default stays non-portable.
+    */
+  private def portableNgramKey(hs: Seq[Column]): Column =
+    conv(substring(md5(concat_ws(",", hs.map(_.cast("string")): _*)), 1, 15),
+      16, 10).cast("long")
 
   private[operators] def shingleKeys(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -226,8 +240,10 @@ object Dedup {
     * chunk pathological documents upstream (TextAnalytics.chunkDocs)
     * before corpus-wide dedup, as every major pipeline does anyway.
     */
-  private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shingleOccurrences(docs, idCol, textCol, n)
+  private def shingleRows(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      portable: Boolean = false): DataFrame =
+    shingleOccurrences(docs, idCol, textCol, n, portable)
       .groupBy("id").agg(collect_set(col("shkey")).as("ss"))
       .select(col("id"), size(col("ss")).as("n_sh"),
         explode(col("ss")).as("shkey"))
@@ -353,6 +369,27 @@ object Dedup {
     (a, b)
   }
 
+  /** Modulus of the *portable* MinHash permutation family: first prime
+    * above 2^31. Deliberately smaller than [[MinHashPrime]] so that
+    * a·h + b (a, b < 2^30; h < p) stays below 2^62 — no 64-bit overflow
+    * on either engine, which is what makes the signatures recomputable
+    * in plain SQL (the default family's a·h wraps Long.MaxValue inside
+    * Spark's codegen; an engine whose BIGINT arithmetic traps on
+    * overflow, e.g. DuckDB, can never reproduce the wrapped values).
+    */
+  val PortableMinHashPrime = 2147483659L
+
+  /** The portable permutation coefficients for (k, seed) — public so a
+    * SQL oracle can embed the identical constants as literals.
+    */
+  def portableMinHashCoeffs(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val bound = 1 << 30
+    val a = Seq.fill(k)(1L + rnd.nextInt(bound - 1).toLong)
+    val b = Seq.fill(k)(rnd.nextInt(bound).toLong)
+    (a, b)
+  }
+
   /** Per-doc MinHash signature over n-word shingles, as k concrete
     * `mh0..mh{k-1}` columns.
     *
@@ -370,11 +407,15 @@ object Dedup {
       n: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame =
     sigsFromShingles(shingleRows(docs, idCol, textCol, n), k, seed)
 
-  private def sigsFromShingles(sh: DataFrame, k: Int, seed: Long): DataFrame = {
-    val (as, bs) = coeffs(k, seed)
-    val h = sh.withColumn("h", pmod(col("shkey"), lit(MinHashPrime)))
+  private def sigsFromShingles(
+      sh: DataFrame, k: Int, seed: Long,
+      portable: Boolean = false): DataFrame = {
+    val p = if (portable) PortableMinHashPrime else MinHashPrime
+    val (as, bs) =
+      if (portable) portableMinHashCoeffs(k, seed) else coeffs(k, seed)
+    val h = sh.withColumn("h", pmod(col("shkey"), lit(p)))
     val aggs = (0 until k).map { i =>
-      min(pmod(col("h") * as(i) + bs(i), lit(MinHashPrime))).as(s"mh$i")
+      min(pmod(col("h") * as(i) + bs(i), lit(p))).as(s"mh$i")
     }
     h.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
@@ -391,7 +432,8 @@ object Dedup {
   def minHashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.6, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     // The shingle table feeds three consumers with three different shuffle
     // keys (signature agg on id; verify joins on id_a and (id_b, shkey)),
@@ -399,14 +441,15 @@ object Dedup {
     // recomputing the tokenize/window/dedup pipeline per consumer. Local
     // (executor-disk) checkpoint, not a cache: it also truncates lineage so
     // AQE replans only the downstream stages.
-    val sh = shingleRows(docs, idCol, textCol, n).localCheckpoint()
+    val sh = shingleRows(docs, idCol, textCol, n, portable).localCheckpoint()
     // The band-key table feeds BOTH sides of the candidate self-join, and
     // the two sides shuffle on the same (band, key) — but each side is a
     // separate aliased subtree, so without materialization the signature
     // aggregation (a full groupBy over the shingle table) executes once
     // per side. Checkpointing `banded` (|docs| × bands rows of 3 longs —
     // orders of magnitude smaller than the shingle table) runs it once.
-    val banded = bandKeyRows(sigsFromShingles(sh, k, seed), bands, k / bands)
+    val banded = bandKeyRows(sigsFromShingles(sh, k, seed, portable),
+        bands, k / bands, portable)
       .localCheckpoint()
     // `cand` is referenced three times by the verify step (two semi-joins
     // + the pair join); materialize it so the LSH self-join runs once.
@@ -434,12 +477,17 @@ object Dedup {
       left: DataFrame, leftIdCol: String, leftTextCol: String,
       right: DataFrame, rightIdCol: String, rightTextCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.6, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val shL = shingleRows(left, leftIdCol, leftTextCol, n).localCheckpoint()
-    val shR = shingleRows(right, rightIdCol, rightTextCol, n).localCheckpoint()
-    val bL = bandKeyRows(sigsFromShingles(shL, k, seed), bands, k / bands)
-    val bR = bandKeyRows(sigsFromShingles(shR, k, seed), bands, k / bands)
+    val shL = shingleRows(left, leftIdCol, leftTextCol, n, portable)
+      .localCheckpoint()
+    val shR = shingleRows(right, rightIdCol, rightTextCol, n, portable)
+      .localCheckpoint()
+    val bL = bandKeyRows(sigsFromShingles(shL, k, seed, portable),
+      bands, k / bands, portable)
+    val bR = bandKeyRows(sigsFromShingles(shR, k, seed, portable),
+      bands, k / bands, portable)
     val cand = bL.as("a").join(bR.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -448,11 +496,18 @@ object Dedup {
     verifyJaccardBetween(shL, shR, cand, threshold)
   }
 
-  /** The banded LSH keys of a signature frame as (id, band, key) rows. */
-  private def bandKeyRows(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+  /** The banded LSH keys of a signature frame as (id, band, key) rows.
+    * Default: 8-byte xxhash64 of the slice (cheapest to shuffle).
+    * Portable: the comma-joined slice itself — band-key equality is
+    * literally slice equality, so any SQL engine reproduces it.
+    */
+  private def bandKeyRows(
+      sigs: DataFrame, bands: Int, r: Int,
+      portable: Boolean = false): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
+      val key = if (portable) concat_ws(",", cols: _*) else xxhash64(cols: _*)
+      struct(lit(b).as("band"), key.as("key"))
     }
     sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))

@@ -76,6 +76,14 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh == exact) // precision exact by verify step; recall from banding
     assert(exact.nonEmpty)
+    // the portable hash family is a different permutation universe but
+    // the same algorithm — same pairs, and the same Jaccards as the
+    // exact (string-shingle) scores to 4dp (hash collisions would show
+    // up here as a score drift)
+    val portable = Dedup.minHashLshPairs(real, "doc_id", "text", 3, 64, 16,
+        0.6, portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(portable == exact)
   }
 
   test("ngramJaccardPairs df-cap removes ubiquitous-shingle candidate blowup") {
