@@ -720,11 +720,13 @@ object SparkEntry {
 
   /** v9: PCA projection onto the top-4 principal components, exploded to
     * (id, component, value) scalars (the driver harness row-sorts every
-    * output; array columns crash that sort). Rows-only (the eigensolve
-    * has no SQL twin); `PcaSpec` proves orthonormality, eigenvalue
-    * ordering, variance capture and an independent dense recomputation
-    * of the same basis — and the integer-grid moments make the basis
-    * bit-stable run to run.
+    * output; array columns crash that sort). Full oracle: the integer-grid
+    * moments make the basis bit-stable, so the DuckDB twin re-runs the
+    * whole train (recursive-CTE power iteration with deflation, every
+    * reduction a sequential list_dot_product) and reproduces the rounded
+    * projections exactly; `PcaSpec` additionally proves orthonormality,
+    * eigenvalue ordering, variance capture and an independent dense
+    * recomputation of the same basis.
     */
   private def v9PcaProject(s: SparkSession, d: String): DataFrame = {
     val emb = T(s, d, "embeddings")
@@ -1192,6 +1194,17 @@ object SparkEntry {
        |bk AS (SELECT id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
        |  FROM sigl CROSS JOIN (SELECT unnest(range(16)) AS b) bs)""".stripMargin
   }
+
+  /** The v2 sign-LSH plane matrix as DuckDB VALUES rows — each float
+    * widened to double before formatting, because the engines compare
+    * the widened value (a float's shortest string re-parsed as double
+    * is a different double).
+    */
+  private lazy val v2PlaneValues: String =
+    graft.operators.Similarity.hyperplanes(8, 64, 42L).zipWithIndex
+      .map { case (hp, i) =>
+        s"($i, [${hp.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n  ")
 
   /** The self-join candidate + exact-verify tail over [[minHashLshCte]]:
     * `ver(id_a, id_b, nc, na, nb)`.
@@ -2051,6 +2064,68 @@ object SparkEntry {
         |  round((sij / n - (mi.s1 / n) * (mj.s1 / n))
         |    / 100000000000000.0, 6) AS cov
         |FROM p JOIN m mi ON mi.dim = p.i JOIN m mj ON mj.dim = p.j""".stripMargin,
+    // v9 re-runs the ENTIRE PCA train inside DuckDB: the v8 moment recipe
+    // feeds a recursive-CTE power iteration (200 its × 4 deflations) whose
+    // every reduction is a sequential list_dot_product — the same IEEE
+    // operation sequence as Pca.powerIter's while-loops — so the basis,
+    // the float-cast projection weights and the final rounded projections
+    // are all bit-identical to the Spark side.
+    "v9_pca_project" ->
+      """WITH RECURSIVE
+        |e2 AS (SELECT id, (i - 1)::BIGINT AS dim,
+        |    round(e[i]::DOUBLE * 10000000.0)::BIGINT AS vi
+        |  FROM (SELECT vec_id AS id, embedding AS e,
+        |      unnest(generate_series(1, len(embedding))) AS i
+        |    FROM embeddings)),
+        |st AS (SELECT dim, sum(vi)::DOUBLE AS s1, count(*) AS n
+        |  FROM e2 GROUP BY 1),
+        |pm AS (SELECT a.dim AS i, b.dim AS j,
+        |    sum(a.vi::HUGEINT * b.vi)::DOUBLE AS sij, count(*) AS n
+        |  FROM e2 a JOIN e2 b USING (id) GROUP BY 1, 2),
+        |cvm AS (SELECT i, j,
+        |    (sij / pm.n - (mi.s1 / mi.n) * (mj.s1 / mj.n))
+        |      / 100000000000000.0 AS c
+        |  FROM pm JOIN st mi ON mi.dim = pm.i JOIN st mj ON mj.dim = pm.j),
+        |cm AS (SELECT list(rl ORDER BY i) AS m
+        |  FROM (SELECT i, list(c ORDER BY j) AS rl FROM cvm GROUP BY i)),
+        |mn AS (SELECT list(s1 / n / 10000000.0 ORDER BY dim) AS mean FROM st),
+        |v0 AS (SELECT [1.0 / (x + 1)
+        |    for x in range(0, (SELECT count(*) FROM st))] AS v),
+        |it AS (
+        |  SELECT 0 AS comp, 0 AS iter, (SELECT m FROM cm) AS c,
+        |    (SELECT v FROM v0) AS v, []::DOUBLE[][] AS comps
+        |  UNION ALL
+        |  SELECT
+        |    CASE WHEN iter < 200 THEN comp ELSE comp + 1 END,
+        |    CASE WHEN iter < 200 THEN iter + 1 ELSE 0 END,
+        |    CASE WHEN iter < 200 THEN c ELSE
+        |      [[c[i][j] - (lam * v[i]) * v[j]
+        |        for j in range(1, len(v) + 1)]
+        |        for i in range(1, len(v) + 1)] END,
+        |    CASE WHEN iter < 200 THEN
+        |      CASE WHEN nrm > 0 THEN [x / nrm for x in w] ELSE v END
+        |    ELSE (SELECT v FROM v0) END,
+        |    CASE WHEN iter < 200 THEN comps ELSE list_append(comps, v) END
+        |  FROM (
+        |    SELECT comp, iter, c, v, comps, w,
+        |      sqrt(list_dot_product(w, w)) AS nrm,
+        |      list_dot_product(v, w) AS lam
+        |    FROM (
+        |      SELECT comp, iter, c, v, comps,
+        |        [list_dot_product(c[i], v)
+        |          for i in range(1, len(v) + 1)] AS w
+        |      FROM it WHERE comp < 4))),
+        |basis AS (SELECT comps FROM it WHERE comp = 4),
+        |wf AS (SELECT comp,
+        |    [(x::FLOAT)::DOUBLE
+        |      for x in (SELECT comps FROM basis)[comp + 1]] AS w,
+        |    list_dot_product((SELECT comps FROM basis)[comp + 1],
+        |      (SELECT mean FROM mn)) AS off
+        |  FROM range(0, 4) t(comp))
+        |SELECT e.vec_id AS id, wf.comp::BIGINT AS component,
+        |  round(list_dot_product(e.embedding::DOUBLE[], wf.w) - wf.off, 4)
+        |    AS value
+        |FROM embeddings e CROSS JOIN wf""".stripMargin,
     "v4_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
@@ -2205,6 +2280,30 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
         |  FROM scored)
         |SELECT id, quality, n_tokens FROM r WHERE run <= 15000""".stripMargin,
+    // v2 twin: the seeded hyperplanes ride in as literals (widened to
+    // double — the value both engines dot against); bucket = OR of sign
+    // bits, candidates = exact bucket equality, cosine rank = the
+    // v1-form bit-identical kernel
+    "v2_ann_lsh" ->
+      s"""WITH pl(i, p) AS (VALUES
+         |  $v2PlaneValues),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bkt AS (SELECT vec_id,
+         |    sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+         |        THEN 1::BIGINT << pl.i ELSE 0 END)::BIGINT AS bucket
+         |  FROM e CROSS JOIN pl GROUP BY vec_id),
+         |ev AS (SELECT e.vec_id, e.v, b.bucket,
+         |    sqrt(list_dot_product(e.v, e.v)) AS nrm
+         |  FROM e JOIN bkt b ON b.vec_id = e.vec_id),
+         |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 3) AS sim
+         |  FROM ev c JOIN ev q ON c.bucket = q.bucket
+         |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+         |r AS (SELECT q_id, c_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+         |      AS rank
+         |  FROM scored)
+         |SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
     // the Hamming family is exact integer math: hamming(q, c) counts the
     // sign-disagreeing dimensions — identical to bit_count(xor) of the
     // packed sketches without rebuilding the 64-bit pack (bit 63 would

@@ -178,8 +178,13 @@ object Similarity {
           / col("n_truth"), 4).as("recall"))
   }
 
-  /** Deterministic random hyperplanes (seeded) for sign-bit LSH. */
-  private def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+  /** Deterministic random hyperplanes (seeded) for sign-bit LSH —
+    * public so a SQL oracle can embed the identical plane vectors as
+    * literals (widen each float with `.toDouble` when formatting: the
+    * engines compare the *widened* values, and a float's shortest
+    * string re-parsed as double is not the widened double).
+    */
+  def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
   }
