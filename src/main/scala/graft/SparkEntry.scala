@@ -440,27 +440,30 @@ object SparkEntry {
 
   /** d8: SemDeDup over the planted-near-dup corpus — IVF-cluster the
     * embeddings, keep one representative per within-cluster semantic
-    * near-dup group. Rows-only for the driver (the k-means quantizer has
-    * no SQL twin); `DedupSpec` proves the keep/drop contract against the
-    * exact all-pairs oracle on a constructed corpus.
+    * near-dup group. Full oracle: the portable deterministic IVF train
+    * re-runs in DuckDB (ivfTrainCte) and the within-cluster dedup tail
+    * mirrors exactly; `DedupSpec` additionally proves the keep/drop
+    * contract against the exact all-pairs oracle on a constructed corpus.
     */
   private def d8SemDedup(s: SparkSession, d: String): DataFrame = {
     val corpus = d5Corpus(s, d)
     val model = Similarity.ivfTrain(corpus, "vec_id", "embedding",
-      nlist = 8, iters = 2)
+      nlist = 8, iters = 2, portable = true)
     Dedup.semanticDedup(corpus, "vec_id", "embedding", model, threshold = 0.85)
+      .withColumn("cluster", col("cluster").cast("long"))
   }
 
   /** s6: coverage-preserving diversity sample — per IVF cluster keep 10
-    * members split between the medoid region and the fringe. Rows-only
-    * (k-means quantizer has no SQL twin); `SamplingSpec` pins the
-    * geometry on a constructed corpus.
+    * members split between the medoid region and the fringe. Full oracle
+    * (portable deterministic IVF train + window-rank tail in DuckDB);
+    * `SamplingSpec` pins the geometry on a constructed corpus.
     */
   private def s6DiverseSample(s: SparkSession, d: String): DataFrame = {
     val e = T(s, d, "embeddings").select("vec_id", "embedding")
     val model = Similarity.ivfTrain(e, "vec_id", "embedding",
-      nlist = 8, iters = 2)
+      nlist = 8, iters = 2, portable = true)
     Sampling.diverseSample(e, "vec_id", "embedding", model, perCluster = 10)
+      .withColumn("cluster", col("cluster").cast("long"))
   }
 
   /** d7: the same min-label connected-components fixpoint as d6, but over
@@ -639,10 +642,16 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** v3: IVF ANN — portable deterministic k-means (md5-sliver init,
+    * integer-grid Lloyd means), so the DuckDB oracle re-trains the
+    * identical coarse quantizer and reproduces probe lists, candidate
+    * buckets and rounded cosines exactly.
+    */
   private def v3AnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = T(s, d, "embeddings")
     val cands = emb.filter(col("vec_id") >= 10)
-    val model = Similarity.ivfTrain(cands, "vec_id", "embedding", nlist = 8, iters = 2)
+    val model = Similarity.ivfTrain(cands, "vec_id", "embedding",
+      nlist = 8, iters = 2, portable = true)
     Similarity.annIvfTopK(
       emb.filter(col("vec_id") < 10), cands,
       "vec_id", "vec_id", "embedding", k = 5, model, nprobe = 3)
@@ -674,14 +683,16 @@ object SparkEntry {
 
   /** v5: product-quantization storage pass — 8 subspaces × 16 centroids
     * (32× compression at dim 64) with per-row relative reconstruction
-    * error. Rows-only (the per-subspace k-means has no SQL twin);
-    * `SimilaritySpec` proves encode ≡ brute-force argmin and the
+    * error. Full oracle: the portable deterministic train (md5-sliver
+    * init, integer-grid Lloyd means) re-runs in DuckDB bit-for-bit, so
+    * the code digests and rounded errors hash-match; `SimilaritySpec`
+    * additionally proves encode ≡ brute-force argmin and the
     * error-vs-codebook-size ordering.
     */
   private def v5PqRecon(s: SparkSession, d: String): DataFrame = {
     val emb = T(s, d, "embeddings")
     val model = Similarity.pqTrain(emb, "vec_id", "embedding",
-      m = 8, ksub = 16, iters = 2)
+      m = 8, ksub = 16, iters = 2, portable = true)
     // scalar columns only: the driver harness row-sorts every output, and
     // an array column crashes that sort — the code array rides along as
     // its canonical-JSON digest, still pinning the exact code assignment
@@ -691,13 +702,15 @@ object SparkEntry {
   }
 
   /** v6: the PQ ADC search path — queries score candidates through
-    * per-query lookup tables against the m-byte codes only.
+    * per-query lookup tables against the m-byte codes only. Full oracle
+    * (portable deterministic train; the ADC sum mirrors the left-assoc
+    * per-subspace reduce).
     */
   private def v6PqAdcTopK(s: SparkSession, d: String): DataFrame = {
     val emb = T(s, d, "embeddings")
     val cands = emb.filter(col("vec_id") >= 10)
     val model = Similarity.pqTrain(cands, "vec_id", "embedding",
-      m = 8, ksub = 16, iters = 2)
+      m = 8, ksub = 16, iters = 2, portable = true)
     Similarity.pqTopK(
       emb.filter(col("vec_id") < 10), cands,
       "vec_id", "vec_id", "embedding", k = 5, model)
@@ -1206,6 +1219,132 @@ object SparkEntry {
         s"($i, [${hp.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
       }.mkString(",\n  ")
 
+  /** DuckDB CTE chain reproducing the portable whole-vector IVF k-means
+    * train (`Similarity.ivfTrain(nlist = 8, iters = 2, portable = true)`):
+    * same determinism contract as [[pqTrainCte]] (md5-sliver init,
+    * first-wins argmin assignment, exact integer-grid Lloyd means).
+    * Expects a CTE `ebase(id, v)` with the training rows; ends with
+    * `cb2(c, cent)` plus `base(id, v, h)`. Shared by the v3, d8 and s6
+    * oracles.
+    */
+  private lazy val ivfTrainCte: String =
+    """base AS (SELECT id, v,
+      |    list_reduce([strpos('0123456789abcdef',
+      |        substr(md5('42:' || id::VARCHAR), i, 1)) - 1
+      |      for i in range(1, 16)]::BIGINT[], (a, x) -> a * 16 + x)
+      |      % 1000003 AS h
+      |  FROM ebase),
+      |cutv AS (SELECT greatest(1, 1000003 * 16 * 8 // count(*)) AS cut
+      |  FROM base),
+      |sliver AS (SELECT id, v, h FROM base
+      |  WHERE h < (SELECT cut FROM cutv)),
+      |initsel AS (
+      |  SELECT id, v, h FROM sliver
+      |  WHERE (SELECT count(*) FROM sliver) >= 8
+      |  UNION ALL
+      |  SELECT id, v, h FROM base
+      |  WHERE (SELECT count(*) FROM sliver) < 8),
+      |cb0 AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS c, v AS cent
+      |  FROM initsel QUALIFY row_number() OVER (ORDER BY h, id) <= 8),
+      |a1 AS (SELECT b.id, k.c
+      |  FROM base b CROSS JOIN cb0 k
+      |  QUALIFY row_number() OVER (PARTITION BY b.id
+      |    ORDER BY list_dot_product(k.cent, k.cent)
+      |      - 2.0 * list_dot_product(b.v, k.cent), k.c) = 1),
+      |m1 AS (SELECT a1.c, (e.i - 1) AS i,
+      |    (sum(round(e.x * 10000000.0))::DOUBLE / count(*)
+      |      / 10000000.0)::FLOAT::DOUBLE AS m
+      |  FROM a1 JOIN (SELECT id, unnest(generate_series(1, len(v))) AS i,
+      |      unnest(v) AS x FROM base) e USING (id)
+      |  GROUP BY 1, 2),
+      |cb1 AS (SELECT o.c, coalesce(n.cent, o.cent) AS cent
+      |  FROM cb0 o LEFT JOIN
+      |    (SELECT c, list(m ORDER BY i) AS cent FROM m1 GROUP BY c) n
+      |    USING (c)),
+      |a2 AS (SELECT b.id, k.c
+      |  FROM base b CROSS JOIN cb1 k
+      |  QUALIFY row_number() OVER (PARTITION BY b.id
+      |    ORDER BY list_dot_product(k.cent, k.cent)
+      |      - 2.0 * list_dot_product(b.v, k.cent), k.c) = 1),
+      |m2 AS (SELECT a2.c, (e.i - 1) AS i,
+      |    (sum(round(e.x * 10000000.0))::DOUBLE / count(*)
+      |      / 10000000.0)::FLOAT::DOUBLE AS m
+      |  FROM a2 JOIN (SELECT id, unnest(generate_series(1, len(v))) AS i,
+      |      unnest(v) AS x FROM base) e USING (id)
+      |  GROUP BY 1, 2),
+      |cb2 AS (SELECT o.c, coalesce(n.cent, o.cent) AS cent
+      |  FROM cb1 o LEFT JOIN
+      |    (SELECT c, list(m ORDER BY i) AS cent FROM m2 GROUP BY c) n
+      |    USING (c))""".stripMargin
+
+  /** DuckDB CTE chain reproducing the portable PQ k-means train
+    * (`Similarity.pqTrain(m = 8, ksub = 16, iters = 2, portable = true)`):
+    * md5-sliver seeded init, two unrolled Lloyd rounds whose assignment is
+    * the first-wins argmin of `cent² - 2·dot` (sequential dots — the
+    * NearestSubCentroids loop order) and whose centroid update is the
+    * exact 1e7-integer-grid mean finished in double then cast to float —
+    * bit-identical to the Spark trainer whatever the partition order.
+    * `where` filters the training rows; ends with `cb2(j, c, cent)` over
+    * `base(id, v, h)`. Shared by the v5 and v6 oracles.
+    */
+  private def pqTrainCte(where: String): String =
+    s"""base AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v,
+       |    list_reduce([strpos('0123456789abcdef',
+       |        substr(md5('42:' || vec_id::BIGINT::VARCHAR), i, 1)) - 1
+       |      for i in range(1, 16)]::BIGINT[], (a, x) -> a * 16 + x)
+       |      % 1000003 AS h
+       |  FROM embeddings $where),
+       |cutv AS (SELECT greatest(1, 1000003 * 16 * 16 // count(*)) AS cut
+       |  FROM base),
+       |sliver AS (SELECT id, v, h FROM base
+       |  WHERE h < (SELECT cut FROM cutv)),
+       |initsel AS (
+       |  SELECT id, v, h FROM sliver
+       |  WHERE (SELECT count(*) FROM sliver) >= 16
+       |  UNION ALL
+       |  SELECT id, v, h FROM base
+       |  WHERE (SELECT count(*) FROM sliver) < 16),
+       |smp AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS c, v
+       |  FROM initsel QUALIFY row_number() OVER (ORDER BY h, id) <= 16),
+       |cb0 AS (SELECT j, c, v[j*8+1 : (j+1)*8] AS cent
+       |  FROM smp CROSS JOIN range(0, 8) t(j)),
+       |a1 AS (SELECT b.id, k.j, k.c
+       |  FROM base b CROSS JOIN cb0 k
+       |  QUALIFY row_number() OVER (PARTITION BY b.id, k.j
+       |    ORDER BY list_dot_product(k.cent, k.cent)
+       |      - 2.0 * list_dot_product(b.v[k.j*8+1 : (k.j+1)*8], k.cent),
+       |      k.c) = 1),
+       |m1 AS (SELECT a1.j, a1.c, t.i,
+       |    (sum(round(b.v[a1.j*8 + t.i + 1] * 10000000.0))::DOUBLE
+       |      / count(*) / 10000000.0)::FLOAT::DOUBLE AS m
+       |  FROM a1 JOIN base b USING (id) CROSS JOIN range(0, 8) t(i)
+       |  GROUP BY 1, 2, 3),
+       |cb1 AS (SELECT o.j, o.c, coalesce(n.cent, o.cent) AS cent
+       |  FROM cb0 o LEFT JOIN
+       |    (SELECT j, c, list(m ORDER BY i) AS cent FROM m1 GROUP BY j, c) n
+       |    USING (j, c)),
+       |a2 AS (SELECT b.id, k.j, k.c
+       |  FROM base b CROSS JOIN cb1 k
+       |  QUALIFY row_number() OVER (PARTITION BY b.id, k.j
+       |    ORDER BY list_dot_product(k.cent, k.cent)
+       |      - 2.0 * list_dot_product(b.v[k.j*8+1 : (k.j+1)*8], k.cent),
+       |      k.c) = 1),
+       |m2 AS (SELECT a2.j, a2.c, t.i,
+       |    (sum(round(b.v[a2.j*8 + t.i + 1] * 10000000.0))::DOUBLE
+       |      / count(*) / 10000000.0)::FLOAT::DOUBLE AS m
+       |  FROM a2 JOIN base b USING (id) CROSS JOIN range(0, 8) t(i)
+       |  GROUP BY 1, 2, 3),
+       |cb2 AS (SELECT o.j, o.c, coalesce(n.cent, o.cent) AS cent
+       |  FROM cb1 o LEFT JOIN
+       |    (SELECT j, c, list(m ORDER BY i) AS cent FROM m2 GROUP BY j, c) n
+       |    USING (j, c)),
+       |enc AS (SELECT b.id, k.j, k.c, k.cent
+       |  FROM base b CROSS JOIN cb2 k
+       |  QUALIFY row_number() OVER (PARTITION BY b.id, k.j
+       |    ORDER BY list_dot_product(k.cent, k.cent)
+       |      - 2.0 * list_dot_product(b.v[k.j*8+1 : (k.j+1)*8], k.cent),
+       |      k.c) = 1)""".stripMargin
+
   /** The self-join candidate + exact-verify tail over [[minHashLshCte]]:
     * `ver(id_a, id_b, nc, na, nb)`.
     */
@@ -1539,6 +1678,51 @@ object SparkEntry {
         |WHERE round(list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3)
         |  >= 0.85""".stripMargin,
+    // d8/s6 re-run the portable IVF k-means in DuckDB (ivfTrainCte) and
+    // mirror the dedup / core-fringe tails exactly
+    "d8_semdedup" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |ebase AS (SELECT vec_id::BIGINT AS id, v FROM e0
+         |  UNION ALL
+         |  SELECT (vec_id + 100000)::BIGINT,
+         |    list_concat([0.0::DOUBLE, 0.0::DOUBLE], v[3:])
+         |  FROM e0 WHERE vec_id < 50),
+         |$ivfTrainCte,
+         |cl AS (SELECT b.id, b.v, sqrt(list_dot_product(b.v, b.v)) AS n,
+         |    k.c AS cluster
+         |  FROM base b CROSS JOIN cb2 k
+         |  QUALIFY row_number() OVER (PARTITION BY b.id
+         |    ORDER BY list_dot_product(k.cent, k.cent)
+         |      - 2.0 * list_dot_product(b.v, k.cent), k.c) = 1),
+         |dup AS (SELECT DISTINCT a.id
+         |  FROM cl a JOIN cl b
+         |    ON a.cluster = b.cluster AND a.id > b.id
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 3) >= 0.85)
+         |SELECT cl.id, cl.cluster, d.id IS NULL AS kept
+         |FROM cl LEFT JOIN dup d ON d.id = cl.id""".stripMargin,
+    "s6_diverse_sample" ->
+      s"""WITH ebase AS (SELECT vec_id::BIGINT AS id,
+         |    embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |$ivfTrainCte,
+         |asg AS (SELECT b.id, b.v, k.c AS cluster, k.cent
+         |  FROM base b CROSS JOIN cb2 k
+         |  QUALIFY row_number() OVER (PARTITION BY b.id
+         |    ORDER BY list_dot_product(k.cent, k.cent)
+         |      - 2.0 * list_dot_product(b.v, k.cent), k.c) = 1),
+         |wd AS (SELECT id, cluster,
+         |    round((list_dot_product(v, v) + list_dot_product(cent, cent))
+         |      - 2.0 * list_dot_product(v, cent), 4) AS dist
+         |  FROM asg),
+         |r AS (SELECT id, cluster, dist,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY dist, id)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS cnt
+         |  FROM wd)
+         |SELECT id, cluster, dist,
+         |  CASE WHEN rn <= 5 THEN 'core' ELSE 'fringe' END AS role
+         |FROM r WHERE rn <= 5 OR rn > cnt - 5""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id AS id, len(w) AS n_tokens, length(text) AS n_chars,
         |  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 4)
@@ -2126,6 +2310,38 @@ object SparkEntry {
         |  round(list_dot_product(e.embedding::DOUBLE[], wf.w) - wf.off, 4)
         |    AS value
         |FROM embeddings e CROSS JOIN wf""".stripMargin,
+    // v3/v5/v6 re-run the portable k-means trains in DuckDB (md5-sliver
+    // init, grid-mean Lloyd rounds — see pqTrainCte) and then mirror the
+    // probe/encode/ADC tails' IEEE operation order exactly.
+    "v3_ann_ivf" ->
+      s"""WITH
+        |cand AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |qry AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |ebase AS (SELECT id, v FROM cand),
+        |$ivfTrainCte,
+        |cl AS (SELECT b.id AS c_id, b.v AS c_vec,
+        |    sqrt(list_dot_product(b.v, b.v)) AS c_norm, k.c AS cluster
+        |  FROM base b CROSS JOIN cb2 k
+        |  QUALIFY row_number() OVER (PARTITION BY b.id
+        |    ORDER BY list_dot_product(k.cent, k.cent)
+        |      - 2.0 * list_dot_product(b.v, k.cent), k.c) = 1),
+        |pr AS (SELECT q.id AS q_id, q.v AS q_vec,
+        |    sqrt(list_dot_product(q.v, q.v)) AS q_norm, k.c AS cluster
+        |  FROM qry q CROSS JOIN cb2 k
+        |  QUALIFY row_number() OVER (PARTITION BY q.id
+        |    ORDER BY list_dot_product(k.cent, k.cent)
+        |      - 2.0 * list_dot_product(q.v, k.cent), k.c) <= 3),
+        |scored AS (SELECT pr.q_id, cl.c_id,
+        |    round(list_dot_product(pr.q_vec, cl.c_vec)
+        |      / (pr.q_norm * cl.c_norm), 3) AS sim
+        |  FROM cl JOIN pr USING (cluster)),
+        |r AS (SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+        |      AS rank
+        |  FROM scored)
+        |SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
     "v4_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
@@ -2304,6 +2520,41 @@ object SparkEntry {
          |      AS rank
          |  FROM scored)
          |SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    "v5_pq_recon" ->
+      s"""WITH ${pqTrainCte("")},
+         |rec AS (SELECT id, list(c ORDER BY j) AS codes,
+         |    flatten(list(cent ORDER BY j)) AS r
+         |  FROM enc GROUP BY id)
+         |SELECT b.id,
+         |  md5('[' || array_to_string(rec.codes, ',') || ']') AS pq_code_md5,
+         |  round(sqrt(greatest(0.0,
+         |      (list_dot_product(b.v, b.v)
+         |        - 2.0 * list_dot_product(b.v, rec.r))
+         |        + list_dot_product(rec.r, rec.r)))
+         |    / sqrt(list_dot_product(b.v, b.v)), 4) AS recon_err
+         |FROM base b JOIN rec USING (id)""".stripMargin,
+    "v6_pq_adc_topk" ->
+      s"""WITH ${pqTrainCte("WHERE vec_id >= 10")},
+         |qry AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
+         |  FROM embeddings WHERE vec_id < 10),
+         |rec AS (SELECT id AS c_id, list(c ORDER BY j) AS codes,
+         |    sqrt(list_dot_product(flatten(list(cent ORDER BY j)),
+         |                          flatten(list(cent ORDER BY j)))) AS c_norm
+         |  FROM enc GROUP BY id),
+         |cbl AS (SELECT list(cl ORDER BY j) AS cb
+         |  FROM (SELECT j, list(cent ORDER BY c) AS cl FROM cb2 GROUP BY j)),
+         |scored AS (SELECT q.id AS q_id, rec.c_id,
+         |    round(list_reduce(
+         |        [list_dot_product(q.v[j*8+1 : (j+1)*8],
+         |           cbl.cb[j+1][rec.codes[j+1]+1])
+         |         for j in range(0, 8)], (a, x) -> a + x)
+         |      / (sqrt(list_dot_product(q.v, q.v)) * rec.c_norm), 3) AS sim
+         |  FROM rec CROSS JOIN qry q CROSS JOIN cbl)
+         |SELECT q_id, c_id, sim, rank FROM (
+         |  SELECT q_id, c_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+         |      AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
     // the Hamming family is exact integer math: hamming(q, c) counts the
     // sign-disagreeing dimensions — identical to bit_count(xor) of the
     // packed sketches without rebuilding the 64-bit pack (bit 63 would

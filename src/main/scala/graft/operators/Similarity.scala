@@ -178,6 +178,34 @@ object Similarity {
           / col("n_truth"), 4).as("recall"))
   }
 
+  /** Exact order-independent mean of a float component on the 1e7
+    * integer grid (the [[Pca]] determinism contract, applied to k-means
+    * centroid updates): sum(round(x·grid)) in decimal(38,0) — exact
+    * whatever the partition order — finished in double. A plain
+    * `avg(double)` accumulates in partition order, so two runs (or two
+    * cluster layouts) can train bit-different centroids and flip
+    * rounded downstream outputs; this costs one decimal column in the
+    * same map-side-partial hash aggregate and removes that whole class.
+    */
+  private def gridMean(x: Column, grid: Double = 1e7): Column =
+    sum(round(x * grid, 0)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double") /
+      count(lit(1)) / grid
+
+  /** The seeded per-row sampling hash for k-means init, mod `sampleMod`:
+    * xxhash64 by default; `portable` swaps in the md5-derived
+    * [[Dedup.portableTokenHash]] over `"seed:id"` so an external SQL
+    * oracle can reproduce the identical sliver (xxhash64 exists only in
+    * Spark). Both are row-deterministic, so the init is stable across
+    * partition layouts either way.
+    */
+  private def initHash(
+      id: Column, seed: Long, sampleMod: Long, portable: Boolean): Column =
+    if (portable)
+      Dedup.portableTokenHash(concat(lit(s"$seed:"), id.cast("string"))) %
+        sampleMod
+    else pmod(xxhash64(id + seed), lit(sampleMod))
+
   /** Deterministic random hyperplanes (seeded) for sign-bit LSH —
     * public so a SQL oracle can embed the identical plane vectors as
     * literals (widen each float with `.toDouble` when formatting: the
@@ -243,7 +271,8 @@ object Similarity {
     */
   def ivfTrain(
       df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, iters: Int = 3, seed: Long = 42L): IvfModel = {
+      nlist: Int = 16, iters: Int = 3, seed: Long = 42L,
+      portable: Boolean = false): IvfModel = {
     val spark = df.sparkSession
     import spark.implicits._
     // Deterministic seeded init without a corpus-wide ordering: a hash
@@ -254,7 +283,7 @@ object Similarity {
     val sampleMod = 1000003L
     val base = df.select(
       col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-      pmod(xxhash64(col(idCol).cast("long") + seed), lit(sampleMod)).as("h"))
+      initHash(col(idCol).cast("long"), seed, sampleMod, portable).as("h"))
     val n = math.max(1L, base.count())
     val cut = math.max(1L, sampleMod * 16L * nlist / n)
     def takeOrdered(d: org.apache.spark.sql.DataFrame): Seq[Seq[Float]] =
@@ -265,7 +294,7 @@ object Similarity {
       val assigned = df.withColumn("__c", nearestCentroid(col(vecCol), centroids))
       val means = assigned
         .select(col("__c"), posexplode(col(vecCol)).as(Seq("i", "x")))
-        .groupBy("__c", "i").agg(avg("x").as("m"))
+        .groupBy("__c", "i").agg(gridMean(col("x")).as("m"))
         .as[(Int, Int, Double)].collect()
       val byCluster = means.groupBy(_._1)
       centroids = centroids.indices.map { c =>
@@ -393,7 +422,8 @@ object Similarity {
     */
   def pqTrain(
       df: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, ksub: Int = 16, iters: Int = 3, seed: Long = 42L): PqModel = {
+      m: Int = 8, ksub: Int = 16, iters: Int = 3, seed: Long = 42L,
+      portable: Boolean = false): PqModel = {
     val spark = df.sparkSession
     import spark.implicits._
     val dim = df.select(size(col(vecCol))).head.getInt(0)
@@ -404,7 +434,7 @@ object Similarity {
     val sampleMod = 1000003L
     val base = df.select(
       col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-      pmod(xxhash64(col(idCol).cast("long") + seed), lit(sampleMod)).as("h"))
+      initHash(col(idCol).cast("long"), seed, sampleMod, portable).as("h"))
     val n = math.max(1L, base.count())
     val cut = math.max(1L, sampleMod * 16L * ksub / n)
     def takeOrdered(d: DataFrame): Seq[Seq[Float]] =
@@ -423,7 +453,7 @@ object Similarity {
         .select(col("j"), col("c"),
           posexplode(slice(col("v"), col("j") * dsub + 1, lit(dsub)))
             .as(Seq("i", "x")))
-        .groupBy("j", "c", "i").agg(avg("x").as("mean"))
+        .groupBy("j", "c", "i").agg(gridMean(col("x")).as("mean"))
         .as[(Int, Int, Int, Double)].collect()
       val byJc = means.groupBy(t => (t._1, t._2))
       model = (0 until m).map { j =>
