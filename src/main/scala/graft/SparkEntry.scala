@@ -858,9 +858,10 @@ object SparkEntry {
     TextAnalytics.gopherSignals(T(s, d, "documents"), "doc_id", "text")
 
   /** t16: distributed BPE vocabulary induction — 16 merge rounds over the
-    * corpus word vocabulary. Rows-only for the driver (the sequential
-    * argmax-merge loop has no SQL form); `BpeTrainSpec` pins the merge
-    * table to a plain-Scala reference implementation.
+    * corpus word vocabulary. Full oracle: the rounds unroll into 16
+    * materialized DuckDB CTE triples (see bpeMergesOracle); `BpeTrainSpec`
+    * additionally pins the merge table to a plain-Scala reference
+    * implementation.
     */
   private def t16BpeMerges(s: SparkSession, d: String): DataFrame =
     BpeTrain.learnMerges(T(s, d, "documents"), "text", numMerges = 16)
@@ -1218,6 +1219,50 @@ object SparkEntry {
       .map { case (hp, i) =>
         s"($i, [${hp.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
       }.mkString(",\n  ")
+
+  /** DuckDB twin of the 16-round BPE induction (t16). Each unrolled
+    * round is the same argmax — `ORDER BY (cnt, l, r) DESC LIMIT 1` ≡
+    * Spark's `max(struct(cnt, l, r))`, exact integer counts and binary
+    * string order on both engines — and a left-to-right `list_reduce`
+    * rewrite ≡ `BpeTrain.mergePair` (a merged symbol `l||r` can never
+    * equal `l`, so the fold's one-symbol lookbehind reproduces the
+    * while-loop's skip-by-two exactly). MATERIALIZED keeps the chained
+    * CTEs from re-evaluating exponentially (each v_k is referenced
+    * twice). The final running-min filter reproduces the `minCount`
+    * early stop: once a round's best count drops below 2, that round
+    * and everything after it is cut, matching the Spark loop's break.
+    */
+  private lazy val bpeMergesOracle: String = {
+    val rounds = (1 to 16).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""p$k AS MATERIALIZED (SELECT p.l, p.r, sum(wc) AS cnt
+         |  FROM (SELECT wc,
+         |      unnest(list_zip(syms[1:len(syms)-1], syms[2:])) AS pz
+         |    FROM $prev) t(wc, pz), LATERAL (SELECT pz[1] AS l, pz[2] AS r) p
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT $k AS rank, l, r, cnt::BIGINT AS cnt
+         |  FROM p$k ORDER BY cnt DESC, l DESC, r DESC LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT
+         |    list_reduce(
+         |      list_prepend([syms[1]], list_transform(syms[2:], s -> [s])),
+         |      (acc, x) -> CASE WHEN acc[len(acc)] = b.l AND x[1] = b.r
+         |        THEN list_append(acc[1:len(acc)-1], b.l || b.r)
+         |        ELSE list_append(acc, x[1]) END) AS syms, wc
+         |  FROM $prev CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    val allb = (1 to 16).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
+    s"""WITH
+       |v0 AS MATERIALIZED (SELECT
+       |    list_append(string_split(word, ''), '</w>') AS syms,
+       |    count(*)::BIGINT AS wc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |$rounds,
+       |allb AS ($allb)
+       |SELECT rank, l AS "left", r AS "right", cnt AS pair_count FROM (
+       |  SELECT rank, l, r, cnt, min(cnt) OVER (ORDER BY rank) AS runmin
+       |  FROM allb) WHERE runmin >= 2""".stripMargin
+  }
 
   /** DuckDB CTE chain reproducing the portable whole-vector IVF k-means
     * train (`Similarity.ivfTrain(nlist = 8, iters = 2, portable = true)`):
@@ -2216,6 +2261,7 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_distinct,
         |  round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS entropy
         |FROM tf GROUP BY id""".stripMargin,
+    "t16_bpe_merges" -> bpeMergesOracle,
     // v7/v8 mirror Pca's determinism contract: moments as exact integer
     // sums on the 1e7 quantization grid (order-independent in both
     // engines), finishing mean/var/z math in double with the identical
