@@ -344,14 +344,22 @@ object SparkEntry {
         coalesce(col("O"), lit(0L)).as("n_o"),
         coalesce(col("P"), lit(0L)).as("n_p"))
 
-  /** HLL sketch counting (engine gain; approx value is engine-specific so
-    * the check is rows-only — the exact column is there for eyeballing).
+  /** HLL sketch counting (engine gain). The raw sketch value is
+    * engine-specific (DuckDB's HLL differs), so the oracle checks the
+    * sketch's ACCURACY CONTRACT instead: the exact count plus a flag
+    * asserting the estimate landed within 3× the sketch's nominal rsd
+    * (0.05) — the oracle expects `true`, so a sketch regression beyond
+    * 3σ fails the hash. Observed error on the harness data: 0.7% at
+    * sf0.01, 6.7% at sf0.1.
     */
   private def a6ApproxDistinct(s: SparkSession, d: String): DataFrame =
     T(s, d, "events").groupBy("event_type")
       .agg(
         approx_count_distinct("user_id").as("approx_users"),
         countDistinct("user_id").as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * 0.15).as("sketch_within_3rsd"))
 
   // ---- §2.9 streaming (batch-equivalent; streaming twin in tests) --------
 
@@ -2262,6 +2270,13 @@ object SparkEntry {
         |  round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS entropy
         |FROM tf GROUP BY id""".stripMargin,
     "t16_bpe_merges" -> bpeMergesOracle,
+    // a6's oracle checks the sketch's accuracy contract, not the
+    // engine-specific sketch value: exact counts + the 3-rsd flag the
+    // Spark side must satisfy
+    "a6_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS sketch_within_3rsd
+        |FROM events GROUP BY 1""".stripMargin,
     // v7/v8 mirror Pca's determinism contract: moments as exact integer
     // sums on the 1e7 quantization grid (order-independent in both
     // engines), finishing mean/var/z math in double with the identical
