@@ -874,6 +874,21 @@ object SparkEntry {
   private def t16BpeMerges(s: SparkSession, d: String): DataFrame =
     BpeTrain.learnMerges(T(s, d, "documents"), "text", numMerges = 16)
 
+  /** t20: tokenizer application at corpus scale — encode every document
+    * with the t16-trained merge table (priority-ordered apply-BPE loop),
+    * exploded to (id, pos, token) scalars. Full oracle: the DuckDB twin
+    * re-trains the merges (bpeMergesOracle's CTE chain) and replays the
+    * encode loop as a recursive CTE whose per-step best-merge pick and
+    * rewrite mirror `BpeTrain.encodeWord` exactly.
+    */
+  private def t20BpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val merges = BpeTrain.learnMerges(docs, "text", numMerges = 16)
+    BpeTrain.applyMerges(docs, "doc_id", "text", merges)
+      .select(col("id"), posexplode(col("tokens")).as(Seq("pos", "token")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("token"))
+  }
+
   /** c2: FineWeb-style relative quality gate — keep the top half of each
     * source by quality score, exact percent_rank form (the
     * approx-cutoff scale path is spec'd equivalent in
@@ -1164,6 +1179,7 @@ object SparkEntry {
     "h2_hard_negatives" -> (h2HardNegatives _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
+    "t20_bpe_tokenize" -> (t20BpeTokenize _),
     "t17_bigram_logprob" -> (t17BigramLogProb _),
     "t18_gopher_signals" -> (t18Gopher _),
     "t19_domain_blocklist" -> (t19Blocklist _),
@@ -1240,7 +1256,7 @@ object SparkEntry {
     * early stop: once a round's best count drops below 2, that round
     * and everything after it is cut, matching the Spark loop's break.
     */
-  private lazy val bpeMergesOracle: String = {
+  private lazy val bpeRoundsCte: String = {
     val rounds = (1 to 16).map { k =>
       val prev = if (k == 1) "v0" else s"v${k - 1}"
       s"""p$k AS MATERIALIZED (SELECT p.l, p.r, sum(wc) AS cnt
@@ -1259,18 +1275,80 @@ object SparkEntry {
          |  FROM $prev CROSS JOIN b$k b)""".stripMargin
     }.mkString(",\n")
     val allb = (1 to 16).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
-    s"""WITH
-       |v0 AS MATERIALIZED (SELECT
+    s"""v0 AS MATERIALIZED (SELECT
        |    list_append(string_split(word, ''), '</w>') AS syms,
        |    count(*)::BIGINT AS wc
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY 1),
        |$rounds,
-       |allb AS ($allb)
+       |allb AS ($allb)""".stripMargin
+  }
+
+  private lazy val bpeMergesOracle: String =
+    s"""WITH
+       |$bpeRoundsCte
        |SELECT rank, l AS "left", r AS "right", cnt AS pair_count FROM (
        |  SELECT rank, l, r, cnt, min(cnt) OVER (ORDER BY rank) AS runmin
        |  FROM allb) WHERE runmin >= 2""".stripMargin
-  }
+
+  /** DuckDB twin of tokenizer application (t20): after re-training the
+    * merge table (bpeRoundsCte), each distinct word replays the
+    * apply-BPE loop as a recursive CTE — per step, the best applicable
+    * merge is the min rank over adjacent pairs (`list_position` into the
+    * rank-ordered pair list ≡ the priority map; `coalesce(x,0) > 0`
+    * guards the version-dependent missing-element result, where a bare 0
+    * would index `ml[0]` → NULL → a no-op rewrite and infinite
+    * recursion), and the rewrite is the same fold as training. Terminal
+    * states (no applicable merge) joined back to per-doc word positions
+    * reproduce `posexplode`'s flat ordering via (word pos, symbol pos).
+    */
+  private lazy val bpeTokenizeOracle: String =
+    s"""WITH RECURSIVE
+       |$bpeRoundsCte,
+       |mlcte AS MATERIALIZED (SELECT list([l, r] ORDER BY rank) AS ml FROM (
+       |  SELECT rank, l, r, cnt, min(cnt) OVER (ORDER BY rank) AS runmin
+       |  FROM allb) WHERE runmin >= 2),
+       |dwords AS MATERIALIZED (SELECT DISTINCT word
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> ''),
+       |rec AS (
+       |  SELECT word, list_append(string_split(word, ''), '</w>') AS syms
+       |  FROM dwords
+       |  UNION ALL
+       |  SELECT word,
+       |    list_reduce(
+       |      list_prepend([syms[1]], list_transform(syms[2:], s -> [s])),
+       |      (acc, x) -> CASE WHEN acc[len(acc)] = ml[bp][1]
+       |          AND x[1] = ml[bp][2]
+       |        THEN list_append(acc[1:len(acc)-1], ml[bp][1] || ml[bp][2])
+       |        ELSE list_append(acc, x[1]) END) AS syms
+       |  FROM (
+       |    SELECT word, syms, m.ml,
+       |      list_min(list_filter(
+       |        list_transform(list_zip(syms[1:len(syms)-1], syms[2:]),
+       |          p -> list_position(m.ml, [p[1], p[2]])),
+       |        x -> coalesce(x, 0) > 0)) AS bp
+       |    FROM rec CROSS JOIN mlcte m)
+       |  WHERE coalesce(bp, 0) > 0),
+       |enc AS (SELECT word, syms FROM (
+       |  SELECT word, syms,
+       |    list_min(list_filter(
+       |      list_transform(list_zip(syms[1:len(syms)-1], syms[2:]),
+       |        p -> list_position(m.ml, [p[1], p[2]])),
+       |      x -> coalesce(x, 0) > 0)) AS bp
+       |  FROM rec CROSS JOIN mlcte m) WHERE coalesce(bp, 0) = 0),
+       |docw AS (SELECT doc_id, i AS wp, wl[i] AS word
+       |  FROM (SELECT doc_id,
+       |      list_filter(string_split(text, ' '), w -> w <> '') AS wl
+       |    FROM documents) d,
+       |    LATERAL unnest(generate_series(1, len(wl))) t(i)),
+       |tokpos AS (SELECT d.doc_id, d.wp, s.i AS sp, e.syms[s.i] AS token
+       |  FROM docw d JOIN enc e USING (word),
+       |  LATERAL unnest(generate_series(1, len(e.syms))) s(i))
+       |SELECT doc_id AS id,
+       |  (row_number() OVER (PARTITION BY doc_id ORDER BY wp, sp) - 1)::BIGINT
+       |    AS pos, token
+       |FROM tokpos""".stripMargin
 
   /** DuckDB CTE chain reproducing the portable whole-vector IVF k-means
     * train (`Similarity.ivfTrain(nlist = 8, iters = 2, portable = true)`):
@@ -2270,6 +2348,7 @@ object SparkEntry {
         |  round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS entropy
         |FROM tf GROUP BY id""".stripMargin,
     "t16_bpe_merges" -> bpeMergesOracle,
+    "t20_bpe_tokenize" -> bpeTokenizeOracle,
     // a6's oracle checks the sketch's accuracy contract, not the
     // engine-specific sketch value: exact counts + the 3-rsd flag the
     // Spark side must satisfy
