@@ -112,6 +112,24 @@ class SimilaritySpec extends AnyFunSuite {
       s"no dynamic partition pruning on the index scan:\n$plan")
   }
 
+  test("k-means training is bit-deterministic across partition layouts") {
+    // the determinism contract behind the v3/v5/v6/d8/s6 oracles:
+    // grid-quantized decimal centroid sums are aggregation-order-
+    // independent, so the trained model must be bit-identical whatever
+    // the physical partitioning — a plain float avg() would not be
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val layouts = Seq(emb.repartition(1), emb.repartition(7, $"vec_id"),
+      emb.repartition(32))
+    val ivf = layouts.map(d =>
+      Similarity.ivfTrain(d, "vec_id", "embedding", nlist = 4, iters = 2,
+        portable = true).centroids)
+    assert(ivf.tail.forall(_ == ivf.head), "IVF centroids differ by layout")
+    val pq = layouts.map(d =>
+      Similarity.pqTrain(d, "vec_id", "embedding", m = 8, ksub = 4,
+        iters = 2, portable = true).subCentroids)
+    assert(pq.tail.forall(_ == pq.head), "PQ codebooks differ by layout")
+  }
+
   test("pqEncode matches brute-force per-subspace argmin") {
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     val model = Similarity.pqTrain(emb, "vec_id", "embedding",
