@@ -4,17 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.{Dedup, Sampling, TextAnalytics}
+import graft.operators.{Dedup, Pca, Sampling, Similarity, TextAnalytics}
 
-/** Scaling probe for the dedup/text family: synthesizes corpora at 1×,
-  * 4× and 16× the bench document count (deterministic hash-generated
-  * text over a ~20k-word vocabulary with a light power-law skew and a 1%
-  * planted near-dup rate — realistic shingle document frequencies,
-  * unlike replicating the bench corpus, which multiplies every df by the
-  * replication factor and manufactures quadratic candidate growth), then
-  * times each operator at each scale. A scale-safe operator should grow
-  * ~linearly in rows; the printed exponent is log(t)/log(n) slope
-  * between successive scales.
+/** Scaling probe for the dedup/text AND vector families: synthesizes
+  * corpora at 1×, 4× and 16× the bench document count (deterministic
+  * hash-generated text over a ~20k-word vocabulary with a light
+  * power-law skew and a 1% planted near-dup rate — realistic shingle
+  * document frequencies, unlike replicating the bench corpus, which
+  * multiplies every df by the replication factor and manufactures
+  * quadratic candidate growth — plus a matching embedding table with
+  * the same planted-dup rate), then times each operator at each scale.
+  * A scale-safe operator should grow ~linearly in rows; the printed
+  * exponent is log(t)/log(n) slope between successive scales.
   *
   * `runMain graft.tools.ScaleProbe [maxScaleDocs]` — results recorded in
   * SCALE.md ("Measured scaling" section).
@@ -40,6 +41,26 @@ object ScaleProbe {
         when(col("isdup"), lit(" nearly duplicated tail marker"))
           .otherwise(lit(""))).as("text"))
   }
+
+  /** Deterministic synthetic embeddings (dim 64, components in [-1, 1)
+    * from a seeded hash; 1% planted near-dups with the d5-corpus shape:
+    * first two components zeroed).
+    */
+  def synthEmb(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n)
+      .select(col("id").as("vec_id"),
+        when(col("id") % 100 === 0 && col("id") > 0, col("id") - 1)
+          .otherwise(col("id")).as("seed"),
+        (col("id") % 100 === 0 && col("id") > 0).as("isdup"))
+      .select(col("vec_id"),
+        expr("""transform(sequence(1, 64), i -> CAST(
+            pmod(xxhash64(seed, i), 2000) / 1000.0d - 1.0d AS FLOAT))""")
+          .as("base"), col("isdup"))
+      .select(col("vec_id"),
+        when(col("isdup"),
+          expr("concat(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+            "slice(base, 3, 62))"))
+          .otherwise(col("base")).as("embedding"))
 
   def main(args: Array[String]): Unit = {
     val maxDocs = args.headOption.map(_.toLong).getOrElse(80000L)
@@ -80,6 +101,57 @@ object ScaleProbe {
           TextAnalytics.qualityScore(d, "doc_id", "text"),
           "id", "quality", "n_tokens", budget = 1000000L).count()))
 
+    val vecOps: Seq[(String, DataFrame => Long)] = Seq(
+      "v1_cosine_topk" -> (e => Similarity.cosineTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "vec_id", "embedding", k = 5).count()),
+      "v2_ann_lsh" -> (e => Similarity.annLshTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "vec_id", "embedding", k = 5).count()),
+      "v3_ann_ivf" -> { e =>
+        val c = e.filter(col("vec_id") >= 10)
+        val m = Similarity.ivfTrain(c, "vec_id", "embedding",
+          nlist = 16, iters = 2)
+        Similarity.annIvfTopK(e.filter(col("vec_id") < 10), c,
+          "vec_id", "vec_id", "embedding", k = 5, m, nprobe = 3).count()
+      },
+      "v6_pq_adc" -> { e =>
+        val c = e.filter(col("vec_id") >= 10)
+        val m = Similarity.pqTrain(c, "vec_id", "embedding",
+          m = 8, ksub = 16, iters = 2)
+        Similarity.pqTopK(e.filter(col("vec_id") < 10), c,
+          "vec_id", "vec_id", "embedding", k = 5, m).count()
+      },
+      "v10_hamming_topk" -> (e => Similarity.hammingTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "vec_id", "embedding", k = 5).count()),
+      // near-dup banding and cluster blocking carry their documented
+      // scale knobs here, exactly as a real deployment would set them:
+      // 16-bit bands (vs the default 8) keep random-pair collisions at
+      // 2^-16 per band so candidates stay ~linear on a corpus whose
+      // non-dup pairs are near-orthogonal, and nlist grows with n so
+      // within-cluster pair cost n²/nlist stays ∝ n. With the 8-bit /
+      // fixed-nlist defaults the candidate volume is n²/2^planes —
+      // quadratic by construction on uniform vectors (OOMs at 80k).
+      "d5_embed_neardup" -> (e => Dedup.embeddingNearDupPairs(
+        e, "vec_id", "embedding", threshold = 0.9,
+        bands = 16, planesPerBand = 16).count()),
+      "d8_semdedup" -> { e =>
+        val n = e.count()
+        val m = Similarity.ivfTrain(e, "vec_id", "embedding",
+          nlist = math.max(16, (n / 250).toInt), iters = 2)
+        Dedup.semanticDedup(e, "vec_id", "embedding", m,
+          threshold = 0.9).count()
+      },
+      "v7_standardize" -> (e =>
+        Pca.standardize(e, "vec_id", "embedding").count()),
+      "v8_covariance" -> (e =>
+        Pca.covariance(e, "vec_id", "embedding").count()),
+      "v9_pca_project" -> { e =>
+        val m = Pca.train(e, "vec_id", "embedding", k = 4)
+        Pca.project(e, "vec_id", "embedding", m).count()
+      })
+
     val scales = Iterator.iterate(maxDocs / 16)(_ * 4)
       .takeWhile(_ <= maxDocs).toSeq
     val results = scala.collection.mutable.Map.empty[(String, Long), Double]
@@ -87,6 +159,9 @@ object ScaleProbe {
       val path = s"/tmp/scaleprobe/docs_$n"
       synth(spark, n).write.mode("overwrite").parquet(path)
       val docs = spark.read.parquet(path)
+      val epath = s"/tmp/scaleprobe/emb_$n"
+      synthEmb(spark, n).write.mode("overwrite").parquet(epath)
+      val emb = spark.read.parquet(epath)
       for ((name, run) <- ops) {
         val t0 = System.nanoTime()
         val rows = run(docs)
@@ -94,9 +169,16 @@ object ScaleProbe {
         results((name, n)) = sec
         println(f"PROBE $name%-16s n=$n%-6d rows=$rows%-8d sec=$sec%.2f")
       }
+      for ((name, run) <- vecOps) {
+        val t0 = System.nanoTime()
+        val rows = run(emb)
+        val sec = (System.nanoTime() - t0) / 1e9
+        results((name, n)) = sec
+        println(f"PROBE $name%-16s n=$n%-6d rows=$rows%-8d sec=$sec%.2f")
+      }
     }
     // growth exponent between successive scales: 1.0 = linear, 2.0 = quadratic
-    for ((name, _) <- ops; w <- scales.sliding(2) if w.size == 2) {
+    for ((name, _) <- ops ++ vecOps; w <- scales.sliding(2) if w.size == 2) {
       val Seq(a, b) = w
       val e = math.log(results((name, b)) / results((name, a))) /
         math.log(b.toDouble / a)
