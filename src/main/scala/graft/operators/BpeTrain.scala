@@ -125,10 +125,24 @@ object BpeTrain {
       .map(m => (m._2, m._3)).zipWithIndex.toMap // (l, r) -> priority
     docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        (id,
-          text.split(" ").filter(_.nonEmpty)
-            .flatMap(w => encodeWord(w, ranked)).toSeq)
+      .mapPartitions { it =>
+        // Per-partition word-level memo: the encode loop runs once per
+        // DISTINCT word seen by the partition, not once per occurrence —
+        // the same vocab-not-corpus contract learnMerges runs on (a
+        // Zipf corpus repeats its head words constantly). Capped so a
+        // pathological all-unique-words partition degrades to uncached
+        // encoding instead of unbounded executor state.
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        val cap = 1 << 20
+        it.map { case (id, text) =>
+          (id,
+            text.split(" ").iterator.filter(_.nonEmpty)
+              .flatMap { w =>
+                if (memo.size < cap)
+                  memo.getOrElseUpdate(w, encodeWord(w, ranked))
+                else memo.getOrElse(w, encodeWord(w, ranked))
+              }.toSeq)
+        }
       }
       .toDF("id", "tokens")
   }
