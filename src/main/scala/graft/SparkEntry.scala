@@ -1060,8 +1060,10 @@ object SparkEntry {
   /** m3: windowed audio features over a synthesized 16-bit PCM corpus —
     * every embedding renders to a real mono WAV (each float scaled to a
     * 16-bit sample, cycled to 400 frames), then per-128-frame RMS +
-    * zero-crossings. Real PCM math end-to-end; rows-only (DuckDB has no
-    * WAV parser).
+    * zero-crossings. Full oracle: DuckDB recomputes the expected
+    * features straight from the floats (exact scaled-integer samples and
+    * energy sums), so the whole encode→RIFF-parse→feature chain is
+    * value-checked end to end — a WAV byte-layout bug fails the hash.
     */
   private def m3AudioFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -2348,6 +2350,28 @@ object SparkEntry {
         |  round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS entropy
         |FROM tf GROUP BY id""".stripMargin,
     "t16_bpe_merges" -> bpeMergesOracle,
+    // m3's oracle recomputes the expected features straight from the
+    // embedding floats: samples are exact scaled integers (clamp * 20000
+    // truncated), window energy sums are s^2 * 2^-30 scaled integers —
+    // order-independent in double — and rint is round-half-even. Spark's
+    // side runs the full float -> short -> WAV bytes -> RIFF parse ->
+    // feature chain, so a WAV encode or parse bug fails the hash.
+    "m3_audio_features" ->
+      """WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |sm AS (SELECT id,
+        |    [CAST(trunc(greatest(-1.0, least(1.0, v[(i % 64) + 1]))
+        |       * 20000.0) AS INT) for i in range(0, 400)] AS s
+        |  FROM e),
+        |win AS (SELECT id, w, s[w*128+1 : least((w+1)*128, 400)] AS ws
+        |  FROM sm CROSS JOIN range(0, 4) t(w))
+        |SELECT id, w AS win, len(ws)::BIGINT AS n_frames,
+        |  round_even(sqrt(list_sum(
+        |      [(x / 32768.0) * (x / 32768.0) for x in ws]) / len(ws))
+        |    * 10000.0, 0) / 10000.0 AS rms,
+        |  len([i for i in range(2, len(ws) + 1)
+        |       if (ws[i-1] < 0) <> (ws[i] < 0)])::BIGINT AS zero_crossings
+        |FROM win""".stripMargin,
     "t20_bpe_tokenize" -> bpeTokenizeOracle,
     // a6's oracle checks the sketch's accuracy contract, not the
     // engine-specific sketch value: exact counts + the 3-rsd flag the
