@@ -1036,7 +1036,10 @@ object SparkEntry {
     * the JDK codec), with a near-identical copy planted for vec_id < 25
     * (one pixel nudged: at most one dHash bit, so the planted pair sits
     * within Hamming distance 1 while unrelated images differ in ~32
-    * bits). Rows-only: DuckDB has no image codec.
+    * bits). Full oracle: the PNG round trip is lossless, so DuckDB
+    * recomputes pixels, pooled means, dHash bits and chunk joins from
+    * the floats — the encode→decode→hash chain is value-checked end to
+    * end without needing a codec on the oracle side.
     */
   private def m2ImageNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -2350,6 +2353,50 @@ object SparkEntry {
         |  round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS entropy
         |FROM tf GROUP BY id""".stripMargin,
     "t16_bpe_merges" -> bpeMergesOracle,
+    // m2's oracle, like m3's, recomputes the expected pipeline output
+    // from the embedding floats: the PNG round trip is lossless, so the
+    // pixel grids, BT.601 pooled means (4-term sequential adds,
+    // round-half-even), dHash gradient bits and pigeonhole chunks are
+    // all reproducible integer/IEEE math — a codec bug that perturbs
+    // any decoded pixel fails the hash. Bit 63 rides as Long.MIN_VALUE
+    // (DuckDB's 1<<63 is a checked-overflow error).
+    "m2_image_neardup" ->
+      """WITH e AS (SELECT vec_id::BIGINT AS id, embedding AS v
+        |  FROM embeddings),
+        |imgs AS (SELECT id, FALSE AS bump, v FROM e
+        |  UNION ALL
+        |  SELECT id + 100000, TRUE, v FROM e WHERE id < 25),
+        |gm AS (SELECT id,
+        |    [[least(255, greatest(0,
+        |        20 + CAST(trunc(abs(CAST(v[((py*18+px) % 64) + 1]::DOUBLE
+        |              * 1000.0 AS REAL))) AS BIGINT) % 210
+        |        + CASE WHEN bump AND py = 0 AND px = 0
+        |            THEN 40 ELSE 0 END))::DOUBLE
+        |      for px in range(0, 18)] for py in range(0, 16)] AS g
+        |  FROM imgs),
+        |pm AS (SELECT id,
+        |    [[CAST(round_even(list_reduce(
+        |        [(0.299 * p + 0.587 * p) + 0.114 * p
+        |         for p in [g[2*cy+1][2*cx+1], g[2*cy+1][2*cx+2],
+        |                   g[2*cy+2][2*cx+1], g[2*cy+2][2*cx+2]]],
+        |        (a, b) -> a + b) / 4.0, 0) AS BIGINT)
+        |      for cx in range(0, 9)] for cy in range(0, 8)] AS m
+        |  FROM gm),
+        |dh AS (SELECT id,
+        |    list_sum(flatten(
+        |      [[CASE WHEN m[y+1][x+1] <= m[y+1][x+2] THEN 0::BIGINT
+        |          WHEN y*8 + x = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |          ELSE 1::BIGINT << (y*8 + x) END
+        |        for x in range(0, 8)] for y in range(0, 8)]))::BIGINT AS h
+        |  FROM pm),
+        |ch AS (SELECT id, h, c AS ci,
+        |    (h >> (c*64//7))
+        |      & ((1::BIGINT << ((c+1)*64//7 - c*64//7)) - 1) AS cv
+        |  FROM dh CROSS JOIN range(0, 7) t(c))
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |  bit_count(xor(a.h, b.h))::BIGINT AS hamming
+        |FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6""".stripMargin,
     // m3's oracle recomputes the expected features straight from the
     // embedding floats: samples are exact scaled integers (clamp * 20000
     // truncated), window energy sums are s^2 * 2^-30 scaled integers —
