@@ -1082,8 +1082,12 @@ object SparkEntry {
   }
 
   /** m4: deterministic block-mean thumbnails of the m2 PNG corpus
-    * (6×6 grayscale, lossless PNG re-encode). Rows-only: no image codec
-    * in the oracle.
+    * (6×6 grayscale, lossless PNG re-encode). Full oracle: the thumb
+    * column rides as a digest of its DECODED pixels, not its PNG bytes
+    * (deflate output pins one encoder implementation; the pixels are
+    * codec-independent) — so the re-encode→re-decode round trip is
+    * value-checked against pixel grids DuckDB recomputes from the
+    * floats.
     */
   private def m4ImageThumbs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1097,8 +1101,13 @@ object SparkEntry {
         (id, Multimodal.grayPng(grid))
       }.toDF("vec_id", "payload")
     Multimodal.imageThumbnails(s, imgs, "vec_id", tw = 6, th = 6)
-      .select(col("id"), col("w"), col("h"), col("avg_lum"),
-        md5(col("thumb")).as("thumb_md5"))
+      .select(col("id"), col("w"), col("h"), col("avg_lum"), col("thumb"))
+      .as[(Long, Int, Int, Double, Array[Byte])]
+      .map { case (id, w, h, lum, png) =>
+        (id, w.toLong, h.toLong, lum,
+          Multimodal.pixelDigest(png, 6, 6).getOrElse("DECODE_FAILED"))
+      }
+      .toDF("id", "w", "h", "avg_lum", "thumb_pixels_md5")
   }
 
   // ---- contract ----------------------------------------------------------
@@ -2353,6 +2362,35 @@ object SparkEntry {
         |  round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS entropy
         |FROM tf GROUP BY id""".stripMargin,
     "t16_bpe_merges" -> bpeMergesOracle,
+    // m4's thumb column digests DECODED pixels (codec-independent), so
+    // the oracle recomputes the 6x6 block-mean grids from the floats and
+    // value-checks the PNG re-encode -> re-decode round trip.
+    "m4_image_thumbs" ->
+      """WITH e AS (SELECT vec_id::BIGINT AS id, embedding AS v
+        |  FROM embeddings),
+        |gm AS (SELECT id,
+        |    [[least(255, greatest(0,
+        |        20 + CAST(trunc(abs(CAST(v[((py*18+px) % 64) + 1]::DOUBLE
+        |              * 1000.0 AS REAL))) AS BIGINT) % 210))::DOUBLE
+        |      for px in range(0, 18)] for py in range(0, 16)] AS g
+        |  FROM e),
+        |pm AS (SELECT id,
+        |    [[list_transform([flatten(
+        |        [[(0.299 * g[py+1][px+1] + 0.587 * g[py+1][px+1])
+        |            + 0.114 * g[py+1][px+1]
+        |          for px in range(0, 18) if px*6//18 = cx]
+        |          for py in range(0, 16) if py*6//16 = cy])],
+        |        l -> CAST(round_even(list_reduce(l, (a, b) -> a + b)
+        |               / len(l), 0) AS BIGINT))[1]
+        |      for cx in range(0, 6)] for cy in range(0, 6)] AS m
+        |  FROM gm)
+        |SELECT id, 6::BIGINT AS w, 6::BIGINT AS h,
+        |  round_even((CAST(list_sum(flatten(m)) AS DOUBLE) / 36.0)
+        |    * 100.0, 0) / 100.0 AS avg_lum,
+        |  md5(array_to_string(
+        |    list_transform(m, r -> array_to_string(r, ',')), ';'))
+        |    AS thumb_pixels_md5
+        |FROM pm""".stripMargin,
     // m2's oracle, like m3's, recomputes the expected pipeline output
     // from the embedding floats: the PNG round trip is lossless, so the
     // pixel grids, BT.601 pooled means (4-term sequential adds,

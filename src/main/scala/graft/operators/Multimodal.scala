@@ -313,6 +313,20 @@ object Multimodal {
       .toDF("id", "w", "h", "thumb", "avg_lum")
   }
 
+  /** md5 of the decoded pixel grid of an image payload (rows joined with
+    * ';', pixels with ',') — a codec-independent identity for a lossless
+    * round trip: any engine that knows the expected pixels can recompute
+    * it, unlike a digest of the PNG bytes, which pins one deflate
+    * implementation's output. `gw`×`gh` must equal the image dims for a
+    * pixel-exact read (pooling is identity at 1 pixel/cell).
+    */
+  def pixelDigest(bytes: Array[Byte], gw: Int, gh: Int): Option[String] =
+    poolGray(bytes, gw, gh).map { g =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(g.map(_.mkString(",")).mkString(";").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+
   /** Block-mean grayscale pooling of an image payload to a w×h integer
     * grid — shared by [[imageThumbnails]]; same arithmetic as the
     * [[dHash64]] grid.
