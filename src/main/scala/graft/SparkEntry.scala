@@ -1027,6 +1027,13 @@ object SparkEntry {
       .withColumnRenamed("score", "quality")
   }
 
+  /** m1: batched media-metadata extraction over opaque binary payloads.
+    * Full oracle: the harness payload IS the UTF-8 text bytes, so DuckDB
+    * reproduces the md5 digest and byte length directly, the md5-nibble
+    * kind tag by construction, and the stub decoder's dimensions as pure
+    * integer functions of (kind, n_bytes) — the whole mapPartitions
+    * extraction chain is value-checked, not just row-counted.
+    */
   private def m1MediaMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.extractMeta(
       s, Multimodal.withPayload(T(s, d, "documents"), "text"), "doc_id").toDF()
@@ -1109,6 +1116,15 @@ object SparkEntry {
       }
       .toDF("id", "w", "h", "avg_lum", "thumb_pixels_md5")
   }
+
+  /** m5: uniform video frame sampling — evenly-spaced frame indices with
+    * timestamps and per-frame digests, ≤ 8 rows per video. Full oracle:
+    * frame count, index arithmetic and the stub frame digest are all
+    * reproducible from the text bytes in DuckDB.
+    */
+  private def m5VideoFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.withPayload(T(s, d, "documents"), "text"), "doc_id", k = 8)
 
   // ---- contract ----------------------------------------------------------
 
@@ -1211,7 +1227,8 @@ object SparkEntry {
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_image_neardup" -> (m2ImageNearDup _),
     "m3_audio_features" -> (m3AudioFeatures _),
-    "m4_image_thumbs" -> (m4ImageThumbs _))
+    "m4_image_thumbs" -> (m4ImageThumbs _),
+    "m5_video_frames" -> (m5VideoFrames _))
 
   /** DuckDB CTE chain reproducing the portable MinHash-LSH pipeline
     * (md5-derived token + shingle hashes, the overflow-free permutation
@@ -2362,6 +2379,47 @@ object SparkEntry {
         |  round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS entropy
         |FROM tf GROUP BY id""".stripMargin,
     "t16_bpe_merges" -> bpeMergesOracle,
+    // m1's payload is the UTF-8 text bytes themselves, so md5(text) and
+    // octet_length reproduce the digest/size exactly; kind hashes an md5
+    // nibble (portable by construction) and the stub decoder's dims are
+    // pure integer functions of (kind, n_bytes).
+    "m1_media_meta" ->
+      """WITH m AS (SELECT doc_id::BIGINT AS id,
+        |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 3
+        |      AS k,
+        |    strlen(text)::BIGINT AS n_bytes, md5(text) AS digest
+        |  FROM documents)
+        |SELECT id,
+        |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+        |    AS kind,
+        |  n_bytes, digest,
+        |  (CASE k WHEN 0 THEN 640 + n_bytes % 640 WHEN 1 THEN 0
+        |     ELSE 1280 END)::INT AS width,
+        |  (CASE k WHEN 0 THEN 360 + n_bytes % 360 WHEN 1 THEN 0
+        |     ELSE 720 END)::INT AS height,
+        |  (CASE k WHEN 0 THEN 1 WHEN 1 THEN 1 + n_bytes % 48000
+        |     ELSE 1 + n_bytes % 300 END)::INT AS n_frames
+        |FROM m""".stripMargin,
+    // m5 replays the whole frame-sampling chain from the text bytes:
+    // md5-nibble kind gate, stub frame count, floor(i*n/k) index walk
+    // (list comprehension), 30 fps timestamps, payload#idx digests.
+    "m5_video_frames" ->
+      """WITH m AS (SELECT doc_id::BIGINT AS id, text,
+        |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 3
+        |      AS kk,
+        |    strlen(text)::BIGINT AS n
+        |  FROM documents),
+        |v AS (SELECT id, text, (1 + n % 300) AS n_frames,
+        |    least(8, 1 + n % 300) AS keff
+        |  FROM m WHERE kk = 2),
+        |u AS (SELECT id, text, n_frames,
+        |    unnest([(i * n_frames) // keff for i in range(0, keff)])
+        |      AS fi
+        |  FROM v)
+        |SELECT id, n_frames::INT AS n_frames, fi::INT AS frame_idx,
+        |  ((fi * 1000) // 30)::BIGINT AS t_offset_ms,
+        |  md5(text || '#' || fi::VARCHAR) AS frame_digest
+        |FROM u""".stripMargin,
     // m4's thumb column digests DECODED pixels (codec-independent), so
     // the oracle recomputes the 6x6 block-mean grids from the floats and
     // value-checks the PNG re-encode -> re-decode round trip.

@@ -22,13 +22,15 @@ case class MediaMeta(
 object Multimodal {
 
   /** Attach a binary payload column (here derived from text; in production
-    * the parquet/blob-store column itself).
+    * the parquet/blob-store column itself). The synthetic `kind` tag hashes
+    * with md5 (not xxhash64) so an external engine can reproduce the
+    * assignment — md5 is the one hash every SQL engine shares.
     */
   def withPayload(df: DataFrame, srcCol: String): DataFrame =
     df.withColumn("payload", col(srcCol).cast("binary"))
       .withColumn("kind",
         element_at(typedLit(Seq("image", "audio", "video")),
-          (pmod(xxhash64(col(srcCol)), lit(3)) + 1).cast("int")))
+          (conv(substring(md5(col(srcCol)), 1, 1), 16, 10).cast("int") % 3) + 1))
 
   /** STUB decoder — deterministic fake features derived from the bytes,
     * used where no JDK codec applies (video) or the payload isn't a real
@@ -133,6 +135,36 @@ object Multimodal {
         wavFrames(bytes).map(f => (0, 0, f)).getOrElse(fakeDecode(kind, bytes))
       case _ => fakeDecode(kind, bytes)
     }
+
+  /** Uniformly sample up to `k` frames from each video payload: the
+    * decoder's frame count, evenly-spaced indices `floor(i·n/k_eff)`
+    * (strictly increasing whenever n ≥ k_eff, so no duplicate frames), a
+    * 30 fps timestamp, and a per-frame digest standing in for the decoded
+    * frame bytes. Decode is the deterministic stub (no JDK video codec
+    * exists) — the frame-count formula mirrors `fakeDecode`'s video arm
+    * and the digest hashes (payload ‖ '#' ‖ index); a real decoder swaps
+    * in at exactly those two expressions. Everything is a pure column
+    * expression: codegen'd, shuffle-free, ≤ k output rows per video —
+    * the shape that survives a 100 TB video table.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"frame sample size must be >= 1, got $k")
+    df.filter(col("kind") === "video")
+      .select(col(idCol).cast("long").as("id"), col("payload"))
+      .withColumn("n_frames",
+        (lit(1) + pmod(length(col("payload")).cast("long"), lit(300))).cast("int"))
+      .withColumn("k_eff", least(lit(k), col("n_frames")))
+      .withColumn("i", explode(sequence(lit(0), col("k_eff") - 1)))
+      .withColumn("frame_idx",
+        expr("CAST(CAST(i AS BIGINT) * n_frames DIV k_eff AS INT)"))
+      .select(
+        col("id"), col("n_frames"), col("frame_idx"),
+        expr("CAST(CAST(frame_idx AS BIGINT) * 1000 DIV 30 AS BIGINT)")
+          .as("t_offset_ms"),
+        md5(concat(col("payload"),
+          concat(lit("#"), col("frame_idx").cast("string")).cast("binary")))
+          .as("frame_digest"))
+  }
 
   /** 64-bit perceptual difference hash (dHash) of an image payload:
     * decode the pixels, average-pool to a 9×8 grayscale grid, emit one

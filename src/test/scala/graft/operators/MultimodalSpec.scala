@@ -67,6 +67,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.n_frames == frames)
   }
 
+  test("frame sampling: even spacing, short-video clamp, stub digests") {
+    import org.apache.spark.sql.functions.lit
+    val long = "x" * 250 // n_frames = 1 + 250 % 300 = 251 > k
+    val longN = 1 + 250 % 300
+    val short = "ab" // n_frames = 3 < k -> every frame sampled
+    val df = Seq((1L, long), (2L, short), (3L, "dropped"))
+      .toDF("doc_id", "text")
+      .withColumn("payload", org.apache.spark.sql.functions
+        .col("text").cast("binary"))
+      .withColumn("kind",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("doc_id") === 3L, lit("image"))
+          .otherwise(lit("video")))
+    val out = Multimodal.sampleFrames(df, "doc_id", k = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getString(4)))
+    // non-video rows are dropped entirely
+    assert(!out.exists(_._1 == 3L))
+    val forLong = out.filter(_._1 == 1L).sortBy(_._3)
+    assert(forLong.forall(_._2 == longN))
+    assert(forLong.map(_._3).toSeq ==
+      (0 until math.min(8, longN)).map(i => i * longN / math.min(8, longN)))
+    // short video: fewer frames than k -> all of them, in order
+    val forShort = out.filter(_._1 == 2L)
+    assert(forShort.map(_._3).sorted.toSeq == (0 until 3))
+    // timestamps are frame_idx * 1000 / 30 in integer ms
+    assert(out.forall(r => r._4 == r._3.toLong * 1000 / 30))
+    // the stub digest is md5(payload ++ "#idx") — recomputable here
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(forShort.forall { case (_, _, fi, _, dg) =>
+      md.reset()
+      dg == md.digest(("ab" + "#" + fi).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    })
+  }
+
   test("non-media bytes fall back to the deterministic stub") {
     assert(Multimodal.imageDims("not an image".getBytes).isEmpty)
     assert(Multimodal.wavFrames("not audio".getBytes).isEmpty)
