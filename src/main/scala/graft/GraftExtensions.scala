@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.functions.{FloatDotProduct, SignBandKeys}
 import graft.operators.Similarity
@@ -58,6 +59,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         SignBandKeys(exprs(0), Similarity.flatPlanes(bands, r, dim, seed),
           bands, r, dim)
+      }))
+    // Spark ships Bloom-filter build/probe expressions for its runtime
+    // join filters but does not register them as SQL functions; surface
+    // them so SQL callers can run the Bloom-prefilter decontamination
+    // shape (Decontamination.bloomDecontaminate) end to end in SQL.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "bloom_filter_agg(hashLong, estimatedItems, numBits)")
+        new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "might_contain(bloomFilterBinary, hashLong)")
+        BloomFilterMightContain(exprs(0), exprs(1))
       }))
   }
 }

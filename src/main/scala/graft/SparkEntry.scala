@@ -497,6 +497,19 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)
   }
 
+  /** d15: exact decontamination behind a Bloom prefilter — benchmark =
+    * every 7th doc, corpus = the rest, 3-word shingles. Bloom filters
+    * have no false negatives and the verify join kills false positives,
+    * so the output is byte-identical to the plain exact test — which is
+    * exactly what the DuckDB oracle replays.
+    */
+  private def d15BloomDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    Decontamination.bloomDecontaminate(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 3)
+  }
+
   /** d13: fuzzy (MinHash) benchmark decontamination — same split as d9
     * but flagging near-matches at Jaccard >= 0.6, not just exact shingle
     * overlap. Rows-only (LSH banding has no SQL twin);
@@ -722,6 +735,25 @@ object SparkEntry {
     Similarity.pqTopK(
       emb.filter(col("vec_id") < 10), cands,
       "vec_id", "vec_id", "embedding", k = 5, model)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** v13: composed IVF-PQ search — the production ANN index shape: each
+    * query probes its 3 nearest coarse cells and ADC-scores only those
+    * cells' PQ codes. Both trainers are the portable deterministic
+    * variants, so the oracle re-trains both models and replays the
+    * gate + lookup-table scoring exactly.
+    */
+  private def v13IvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    val cands = emb.filter(col("vec_id") >= 10)
+    val ivf = Similarity.ivfTrain(cands, "vec_id", "embedding",
+      nlist = 8, iters = 2, portable = true)
+    val pq = Similarity.pqTrain(cands, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2, portable = true)
+    Similarity.ivfPqTopK(
+      emb.filter(col("vec_id") < 10), cands,
+      "vec_id", "vec_id", "embedding", k = 5, ivf, pq, nprobe = 3)
       .withColumn("rank", col("rank").cast("long"))
   }
 
@@ -1176,6 +1208,7 @@ object SparkEntry {
     "d12_substr_removed" -> (d12SubstrRemoved _),
     "d13_near_decontam" -> (d13NearDecontam _),
     "d14_containment" -> (d14Containment _),
+    "d15_bloom_decontam" -> (d15BloomDecontam _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2Quality _),
     "t3_lang_id" -> (t3LangId _),
@@ -1224,6 +1257,7 @@ object SparkEntry {
     "v9_pca_project" -> (v9PcaProject _),
     "v10_hamming_topk" -> (v10HammingTopK _),
     "v11_hamming_rerank" -> (v11HammingRerank _),
+    "v13_ivf_pq" -> (v13IvfPq _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_image_neardup" -> (m2ImageNearDup _),
     "m3_audio_features" -> (m3AudioFeatures _),
@@ -1438,6 +1472,14 @@ object SparkEntry {
       |  FROM cb1 o LEFT JOIN
       |    (SELECT c, list(m ORDER BY i) AS cent FROM m2 GROUP BY c) n
       |    USING (c))""".stripMargin
+
+  /** [[ivfTrainCte]] with every CTE name prefixed `i` (expects `iebase`,
+    * ends with `icb2`/`ibase`) so it can share one WITH clause with
+    * [[pqTrainCte]] — the v13 oracle trains both models in one query.
+    */
+  private lazy val ivfTrainCteI: String =
+    ivfTrainCte.replaceAll(
+      "\\b(ebase|initsel|sliver|cutv|cb0|cb1|cb2|a1|a2|m1|m2|base)\\b", "i$1")
 
   /** DuckDB CTE chain reproducing the portable PQ k-means train
     * (`Similarity.pqTrain(m = 8, ksub = 16, iters = 2, portable = true)`):
@@ -1806,6 +1848,25 @@ object SparkEntry {
         |SELECT d.doc_id AS id, coalesce(h, 0)::BIGINT AS n_hits,
         |  coalesce(h, 0) > 0 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+        |LEFT JOIN hits USING (doc_id)""".stripMargin,
+    // d15's Bloom prefilter is exact-after-verify, so the oracle is the
+    // plain 3-gram overlap test on the %7 split — the probabilistic
+    // plan must land on the byte-identical answer.
+    "d15_bloom_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bm AS (SELECT DISTINCT unnest(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     for i in range(1, len(w) - 1)]) AS s
+        |  FROM t WHERE doc_id % 7 = 0 AND len(w) >= 3),
+        |corp AS (SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     for i in range(1, len(w) - 1)])) AS s
+        |  FROM t WHERE doc_id % 7 <> 0 AND len(w) >= 3),
+        |hits AS (SELECT doc_id, count(*) AS h FROM corp JOIN bm USING (s)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS id, coalesce(h, 0)::BIGINT AS n_hits,
+        |  coalesce(h, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
         |LEFT JOIN hits USING (doc_id)""".stripMargin,
     "d7_cluster_jaccard" ->
       """WITH RECURSIVE
@@ -2857,6 +2918,46 @@ object SparkEntry {
          |         for j in range(0, 8)], (a, x) -> a + x)
          |      / (sqrt(list_dot_product(q.v, q.v)) * rec.c_norm), 3) AS sim
          |  FROM rec CROSS JOIN qry q CROSS JOIN cbl)
+         |SELECT q_id, c_id, sim, rank FROM (
+         |  SELECT q_id, c_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+         |      AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // v13 trains BOTH deterministic models in one WITH clause (the IVF
+    // chain rides in under i-prefixed names), gates candidates/probes by
+    // coarse cell exactly as v3 does, then scores through the v6 ADC
+    // lookup-table form — cell gate and code table must BOTH match.
+    "v13_ivf_pq" ->
+      s"""WITH ${pqTrainCte("WHERE vec_id >= 10")},
+         |iebase AS (SELECT id, v FROM base),
+         |$ivfTrainCteI,
+         |qry AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
+         |  FROM embeddings WHERE vec_id < 10),
+         |cl AS (SELECT b.id AS c_id, k.c AS cluster
+         |  FROM ibase b CROSS JOIN icb2 k
+         |  QUALIFY row_number() OVER (PARTITION BY b.id
+         |    ORDER BY list_dot_product(k.cent, k.cent)
+         |      - 2.0 * list_dot_product(b.v, k.cent), k.c) = 1),
+         |rec AS (SELECT id AS c_id, list(c ORDER BY j) AS codes,
+         |    sqrt(list_dot_product(flatten(list(cent ORDER BY j)),
+         |                          flatten(list(cent ORDER BY j)))) AS c_norm
+         |  FROM enc GROUP BY id),
+         |cbl AS (SELECT list(cll ORDER BY j) AS cb
+         |  FROM (SELECT j, list(cent ORDER BY c) AS cll FROM cb2 GROUP BY j)),
+         |pr AS (SELECT q.id AS q_id, q.v AS q_vec,
+         |    sqrt(list_dot_product(q.v, q.v)) AS q_norm, k.c AS cluster
+         |  FROM qry q CROSS JOIN icb2 k
+         |  QUALIFY row_number() OVER (PARTITION BY q.id
+         |    ORDER BY list_dot_product(k.cent, k.cent)
+         |      - 2.0 * list_dot_product(q.v, k.cent), k.c) <= 3),
+         |scored AS (SELECT pr.q_id, cl.c_id,
+         |    round(list_reduce(
+         |        [list_dot_product(pr.q_vec[j*8+1 : (j+1)*8],
+         |           cbl.cb[j+1][rec.codes[j+1]+1])
+         |         for j in range(0, 8)], (a, x) -> a + x)
+         |      / (pr.q_norm * rec.c_norm), 3) AS sim
+         |  FROM cl JOIN pr USING (cluster) JOIN rec USING (c_id)
+         |  CROSS JOIN cbl)
          |SELECT q_id, c_id, sim, rank FROM (
          |  SELECT q_id, c_id, sim,
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)

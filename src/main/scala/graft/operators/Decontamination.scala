@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Benchmark decontamination: flag every corpus document that shares at
   * least one n-word shingle with an evaluation/benchmark document — the
@@ -42,6 +46,70 @@ object Decontamination {
         col("id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Exact decontamination behind a Bloom-filter prefilter — the shape for
+    * benchmark suites too large to broadcast as an exact distinct-hash
+    * set. The benchmark shingle hashes fold into a fixed-size Bloom
+    * filter (Spark's own `BloomFilterAggregate`, the engine the runtime
+    * join-filter uses: partial filters build map-side and OR-merge), the
+    * collected bytes ride into the corpus scan as a literal predicate
+    * (`BloomFilterMightContain` — constant-folded into codegen, same as
+    * an injected runtime filter), and only bloom-positive shingles reach
+    * the exact verification join. Bloom filters have no false negatives,
+    * so after the verify join the output is byte-identical to
+    * [[flagContaminated]] — probabilistic in the plan, exact in the
+    * answer.
+    *
+    * 100 TB shape: clean documents' shingles die in the scan-side filter
+    * (the overwhelming majority — contamination is rare), so the shuffle
+    * for the verify join carries only candidates plus the benchmark key
+    * set, while the filter itself is ≤ `maxNumBits`/8 bytes (8 MB at the
+    * default conf cap) however large the benchmark grows.
+    */
+  def bloomDecontaminate(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 4, fpp: Double = 0.001): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchKeys = Dedup.shingleKeys(benchmark, benchIdCol, benchTextCol, n)
+      .select("shkey").distinct()
+    // Sizing needs the true key count (one action over the benchmark —
+    // MB-to-GB scale). Clamped to the runtime-filter conf caps that
+    // BloomFilterAggregate itself enforces.
+    val nKeys = benchKeys.count()
+    def confLong(key: String, dflt: Long): Long =
+      spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    val items = math.max(1L, math.min(nKeys,
+      confLong("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)))
+    // Standard sizing: m = ceil(-n ln(p) / ln(2)^2) bits for fp rate p.
+    val bits = math.max(64L, math.min(
+      math.ceil(-items.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
+      confLong("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L)))
+    val ids = corpus.select(col(idCol).as("id"))
+    val filterBytes =
+      if (nKeys == 0L) null
+      else benchKeys.agg(ColumnBridge.column(
+          new BloomFilterAggregate(
+            ColumnBridge.expression(col("shkey")), Literal(items), Literal(bits))
+            .toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    if (filterBytes == null)
+      // empty benchmark: nothing can be contaminated
+      ids.select(col("id"), lit(0L).as("n_hits"), lit(false).as("contaminated"))
+    else {
+      val mightHit = ColumnBridge.column(BloomFilterMightContain(
+        Literal(filterBytes, BinaryType), ColumnBridge.expression(col("shkey"))))
+      val hits = Dedup.shingleKeys(corpus, idCol, textCol, n)
+        .where(mightHit)
+        .join(benchKeys, Seq("shkey"))
+        .groupBy("id").agg(count(lit(1)).as("n_hits"))
+      ids.join(hits, Seq("id"), "left")
+        .select(
+          col("id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+    }
   }
 
   /** Fuzzy decontamination (the Llama-style complement of the exact

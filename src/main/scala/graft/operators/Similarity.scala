@@ -542,6 +542,48 @@ object Similarity {
       .select("q_id", "c_id", "sim", "rank")
   }
 
+  /** Composed IVF-PQ search (the standard large-scale ANN index shape):
+    * candidates carry (cluster, pq_code) only, each query probes its
+    * `nprobe` nearest IVF cells and ADC-scores just those cells' codes
+    * through its lookup table. Joins on the cluster key — the crossJoin
+    * of plain [[pqTopK]] becomes an equi-join, so at 100 TB the scan
+    * reads m code bytes per vector AND each candidate row meets only the
+    * queries probing its cell. Codes quantize the raw vectors, not
+    * per-cell residuals: one code table serves every cell, which keeps
+    * the model driver-sized and the oracle replayable; classic
+    * residual-IVFPQ trades that for tighter cells at large nlist.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, candidates: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      k: Int, ivf: IvfModel, pq: PqModel,
+      nprobe: Int = 4, roundTo: Int = 3): DataFrame = {
+    val m = pq.m; val dsub = pq.dsub
+    val c = pqEncode(candidates, vecCol, pq)
+      .select(col(cIdCol).as("c_id"), col("pq_code"),
+        fnorm(pqReconstruct(col("pq_code"), pq)).as("c_norm"),
+        nearestCentroid(col(vecCol), ivf.centroids).as("cluster"))
+    val lut = array((0 until m).map { j =>
+      array((0 until pq.ksub).map { kk =>
+        fdot(subSlice(col(vecCol), j, dsub), typedLit(pq.subCentroids(j)(kk)))
+      }: _*)
+    }: _*)
+    val q = queries.select(
+      col(qIdCol).as("q_id"), lut.as("lut"), fnorm(col(vecCol)).as("q_norm"),
+      explode(probeList(col(vecCol), ivf.centroids, nprobe)).as("cluster"))
+    val adc = (0 until m).map { j =>
+      element_at(element_at(col("lut"), j + 1),
+        element_at(col("pq_code"), j + 1) + 1)
+    }.reduce(_ + _)
+    val scored = c.join(broadcast(q), Seq("cluster"))
+      .select(col("q_id"), col("c_id"),
+        round(adc / (col("q_norm") * col("c_norm")), roundTo).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+
   /** Approximate cosine top-k: score only candidates sharing the query's
     * LSH bucket. Recall < 1 by construction; precision 1 (exact scoring
     * within the bucket).

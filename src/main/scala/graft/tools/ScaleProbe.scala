@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.{Dedup, Pca, Sampling, Similarity, TextAnalytics}
+import graft.operators.{Decontamination, Dedup, Pca, Sampling, Similarity, TextAnalytics}
 
 /** Scaling probe for the dedup/text AND vector families: synthesizes
   * corpora at 1×, 4× and 16× the bench document count (deterministic
@@ -99,7 +99,13 @@ object ScaleProbe {
       "c6_token_budget" -> (d =>
         Sampling.tokenBudgetSelect(
           TextAnalytics.qualityScore(d, "doc_id", "text"),
-          "id", "quality", "n_tokens", budget = 1000000L).count()))
+          "id", "quality", "n_tokens", budget = 1000000L).count()),
+      // benchmark side grows with the corpus here (worst case for the
+      // filter build; real eval suites are fixed-size), so this bounds
+      // BOTH the build and probe sides of the bloom path
+      "d15_bloom" -> (d => Decontamination.bloomDecontaminate(
+        d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 3).count()))
 
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "v1_cosine_topk" -> (e => Similarity.cosineTopK(
@@ -121,6 +127,15 @@ object ScaleProbe {
           m = 8, ksub = 16, iters = 2)
         Similarity.pqTopK(e.filter(col("vec_id") < 10), c,
           "vec_id", "vec_id", "embedding", k = 5, m).count()
+      },
+      "v13_ivf_pq" -> { e =>
+        val c = e.filter(col("vec_id") >= 10)
+        val ivf = Similarity.ivfTrain(c, "vec_id", "embedding",
+          nlist = 16, iters = 2)
+        val pq = Similarity.pqTrain(c, "vec_id", "embedding",
+          m = 8, ksub = 16, iters = 2)
+        Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), c,
+          "vec_id", "vec_id", "embedding", k = 5, ivf, pq, nprobe = 3).count()
       },
       "v10_hamming_topk" -> (e => Similarity.hammingTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),

@@ -61,6 +61,23 @@ class PlanQualitySpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
   }
 
+  test("ivf-pq search gates on the cell key, no cartesian scoring") {
+    val plan = planOf(SparkEntry.queries("v13_ivf_pq")(spark, dir))
+    // the whole point over plain pqTopK: the ADC scoring join is an
+    // equi-join on the coarse cell, not a cross join over the corpus
+    assert(plan.contains("BroadcastHashJoin"), s"no cell-gated join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian scoring:\n$plan")
+  }
+
+  test("bloom decontamination probes scan-side before any join") {
+    val plan = planOf(SparkEntry.queries("d15_bloom_decontam")(spark, dir))
+    // the collected filter must land as a constant might_contain predicate
+    // in the corpus shingle stream — BEFORE the exact verify join
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+  }
+
   test("curation composite fuses all signals into one join-free pass") {
     val plan = planOf(SparkEntry.queries("c1_corpus_curation")(spark, dir))
     assert(!plan.contains("Join"), s"curation pipeline should not join:\n$plan")

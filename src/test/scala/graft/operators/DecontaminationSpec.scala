@@ -47,6 +47,49 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(got(11L) == ((1L, true)))
   }
 
+  test("bloomDecontaminate is byte-identical to the exact test") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    def doc(seed: Int, len: Int): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(len)(words(r.nextInt(words.length))).mkString(" ")
+    }
+    val bench = (1L to 5L).map(i => (i, doc(i.toInt, 12))).toDF("bid", "btext")
+    val corpus = (10L to 60L).map(i => (i, doc(i.toInt, 15))).toDF("id", "text")
+    val exact = Decontamination
+      .flagContaminated(corpus, "id", "text", bench, "bid", "btext", n = 3)
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    val bloom = Decontamination
+      .bloomDecontaminate(corpus, "id", "text", bench, "bid", "btext", n = 3)
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(bloom == exact)
+    assert(exact.exists(_._3) && exact.exists(!_._3))
+  }
+
+  test("bloomDecontaminate: empty benchmark leaves every doc clean") {
+    val bench = Seq.empty[(Long, String)].toDF("bid", "btext")
+    val corpus = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("id", "text")
+    val got = Decontamination
+      .bloomDecontaminate(corpus, "id", "text", bench, "bid", "btext", n = 3)
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 0L, false), (2L, 0L, false)))
+  }
+
+  test("bloom_filter_agg / might_contain are SQL-callable via extensions") {
+    spark.range(100).selectExpr("id * 7 AS k").createOrReplaceTempView("bl_in")
+    val bf = spark.sql(
+      "SELECT bloom_filter_agg(k, CAST(100 AS BIGINT), CAST(4096 AS BIGINT)) AS bf FROM bl_in")
+      .head().getAs[Array[Byte]](0)
+    assert(bf != null && bf.length > 0)
+    spark.createDataFrame(Seq(Tuple1(bf))).toDF("bf")
+      .createOrReplaceTempView("bl_bf")
+    // members always hit (no false negatives); non-multiples mostly miss
+    val hits = spark.sql(
+      """SELECT count(*) FROM range(0, 700) r
+        |WHERE might_contain((SELECT bf FROM bl_bf), r.id)""".stripMargin)
+      .head().getLong(0)
+    assert(hits >= 100 && hits < 300, s"unexpected bloom hit count $hits")
+  }
+
   test("flagNearContaminated catches edited benchmark leaks, ids stay disjoint sides") {
     def doc(seed: Int, len: Int): String = {
       val r = new scala.util.Random(seed)

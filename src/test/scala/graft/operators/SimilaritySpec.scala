@@ -68,6 +68,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf1.groupBy("q_id").count().as[(Long, Long)].collect().forall(_._2 <= 5))
   }
 
+  test("ivfPqTopK with nprobe == nlist equals ungated pqTopK") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 4)
+    val c = emb.filter($"vec_id" >= 4)
+    val ivf = Similarity.ivfTrain(c, "vec_id", "embedding", nlist = 4, iters = 2)
+    val pq = Similarity.pqTrain(c, "vec_id", "embedding", m = 8, ksub = 8, iters = 2)
+    val ungated = Similarity.pqTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = 5, pq)
+      .select("q_id", "c_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val gatedAll = Similarity.ivfPqTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = 5, ivf, pq, nprobe = 4)
+      .select("q_id", "c_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // probing every cell removes the gate: ADC ranking must be identical
+    assert(gatedAll == ungated)
+    // partial probe still returns at most k per query and a subset of
+    // each query's cell-gated candidates
+    val gated1 = Similarity.ivfPqTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = 5, ivf, pq, nprobe = 1)
+    assert(gated1.groupBy("q_id").count().as[(Long, Long)].collect()
+      .forall(_._2 <= 5))
+  }
+
   test("annLshTopK returns exact-scored subset of candidates") {
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     val q = emb.filter($"vec_id" < 5)
