@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
@@ -67,16 +67,22 @@ object Decontamination {
     * set, while the filter itself is ≤ `maxNumBits`/8 bytes (8 MB at the
     * default conf cap) however large the benchmark grows.
     */
-  def bloomDecontaminate(
-      corpus: DataFrame, idCol: String, textCol: String,
+  /** Fold the benchmark's distinct shingle hashes into a serialized Bloom
+    * filter (null when the benchmark has no shingles). The build is
+    * Spark's own `BloomFilterAggregate` — partial filters map-side,
+    * OR-merged — and the result is driver-sized by construction (clamped
+    * to the runtime-filter conf caps the aggregate itself enforces).
+    * Reused by [[bloomDecontaminate]] (batch, exact-after-verify) and
+    * [[contaminationProbe]] (per-row streaming gate).
+    */
+  def buildShingleBloom(
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
-      n: Int = 4, fpp: Double = 0.001): DataFrame = {
-    val spark = corpus.sparkSession
+      n: Int = 4, fpp: Double = 0.001): Array[Byte] = {
+    val spark = benchmark.sparkSession
     val benchKeys = Dedup.shingleKeys(benchmark, benchIdCol, benchTextCol, n)
       .select("shkey").distinct()
     // Sizing needs the true key count (one action over the benchmark —
-    // MB-to-GB scale). Clamped to the runtime-filter conf caps that
-    // BloomFilterAggregate itself enforces.
+    // MB-to-GB scale).
     val nKeys = benchKeys.count()
     def confLong(key: String, dflt: Long): Long =
       spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
@@ -86,14 +92,61 @@ object Decontamination {
     val bits = math.max(64L, math.min(
       math.ceil(-items.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
       confLong("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L)))
-    val ids = corpus.select(col(idCol).as("id"))
+    if (nKeys == 0L) null
+    else benchKeys.agg(ColumnBridge.column(
+        new BloomFilterAggregate(
+          ColumnBridge.expression(col("shkey")), Literal(items), Literal(bits))
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** xxhash64 per token — project this into a bound column before calling
+    * [[contaminationProbe]] (same contract as `TextFunctions.wordShingles`:
+    * the probe lambda reads the array n times per shingle, and an inlined
+    * expression would be re-evaluated on every read).
+    */
+  def tokenHashes(textCol: Column): Column =
+    transform(graft.functions.TextFunctions.tokens(textCol), t => xxhash64(t))
+
+  /** Per-row contamination predicate against a collected Bloom filter:
+    * true when ANY n-word shingle (of the BOUND token-hash array column —
+    * see [[tokenHashes]]) might be in the filter. A pure stateless
+    * projection — no explode, no shuffle, no state — so it drops straight
+    * into a streaming plan as an ingest-time gate
+    * ([[graft.streaming.CurationStream.decontaminate]]). Approximate by
+    * design: no false negatives ever (every true leak is caught); false
+    * positives at the filter's fp rate conservatively drop clean
+    * documents — the standard trade at ingest, where the exact verify
+    * join ([[bloomDecontaminate]]) would need the benchmark key set.
+    *
+    * The shingle hashes replicate [[Dedup.shingleKeys]]'s non-portable
+    * family exactly (xxhash64 token hashes re-hashed n at a time), so a
+    * filter built by [[buildShingleBloom]] probes the same key space.
+    */
+  def contaminationProbe(
+      tokenHashCol: Column, filterBytes: Array[Byte], n: Int): Column =
+    if (filterBytes == null) lit(false)
+    else {
+      val bfLit = Literal(filterBytes, BinaryType)
+      val mightContain = (h: Column) => ColumnBridge.column(
+        BloomFilterMightContain(bfLit, ColumnBridge.expression(h)))
+      val hit = exists(
+        transform(sequence(lit(1), size(tokenHashCol) - (n - 1)),
+          i => xxhash64((0 until n).map(k => element_at(tokenHashCol, i + k)): _*)),
+        mightContain)
+      // sequence() must never run descending (docs shorter than n tokens)
+      when(size(tokenHashCol) >= n, hit).otherwise(lit(false))
+    }
+
+  def bloomDecontaminate(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 4, fpp: Double = 0.001): DataFrame = {
+    val benchKeys = Dedup.shingleKeys(benchmark, benchIdCol, benchTextCol, n)
+      .select("shkey").distinct()
     val filterBytes =
-      if (nKeys == 0L) null
-      else benchKeys.agg(ColumnBridge.column(
-          new BloomFilterAggregate(
-            ColumnBridge.expression(col("shkey")), Literal(items), Literal(bits))
-            .toAggregateExpression()).as("bf"))
-        .head().getAs[Array[Byte]](0)
+      buildShingleBloom(benchmark, benchIdCol, benchTextCol, n, fpp)
+    val ids = corpus.select(col(idCol).as("id"))
     if (filterBytes == null)
       // empty benchmark: nothing can be contaminated
       ids.select(col("id"), lit(0L).as("n_hits"), lit(false).as("contaminated"))

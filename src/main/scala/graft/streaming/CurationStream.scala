@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextAnalytics
+import graft.operators.{Decontamination, TextAnalytics}
 
 /** Streaming corpus curation: the ingest-time filter chain a training-data
   * pipeline runs on documents as they arrive — language gate, absolute
@@ -48,4 +48,26 @@ object CurationStream {
       .drop("lang")
     StreamDedup.dropDuplicateContent(gated, "ts", delay, "redacted")
   }
+
+  /** Ingest-time benchmark-decontamination gate: drop every document one
+    * of whose n-word shingles might sit in the (collected, literal) Bloom
+    * filter of the benchmark suite — `Decontamination.buildShingleBloom`
+    * runs once against the static benchmark before the stream starts, and
+    * the probe is a stateless per-row predicate, so the gate adds zero
+    * state and zero shuffle to the unbounded plan. No false negatives
+    * (every true leak is dropped); false positives at the filter's fp
+    * rate conservatively drop clean docs — at ingest that is the right
+    * side to err on. The corpus-wide exact pass
+    * (`Decontamination.bloomDecontaminate`) remains the batch audit.
+    */
+  def decontaminate(
+      docs: DataFrame, textCol: String,
+      filterBytes: Array[Byte], n: Int = 4): DataFrame =
+    if (filterBytes == null) docs
+    else {
+      // bound token-hash column: the probe reads it n times per shingle
+      docs.withColumn("__th", Decontamination.tokenHashes(col(textCol)))
+        .filter(!Decontamination.contaminationProbe(col("__th"), filterBytes, n))
+        .drop("__th")
+    }
 }

@@ -103,6 +103,18 @@ class MultimodalSpec extends AnyFunSuite {
     })
   }
 
+  test("frame index walk invariants across every (n_frames, k) shape") {
+    // pure mirror of the operator's CAST(i AS BIGINT) * n DIV k_eff walk
+    for (n <- 1 to 400; k <- Seq(1, 2, 3, 8, 16)) {
+      val keff = math.min(k, n)
+      val idx = (0 until keff).map(i => i.toLong * n / keff)
+      assert(idx.head == 0L, s"n=$n k=$k first frame")
+      assert(idx.distinct.size == keff, s"n=$n k=$k duplicate frames")
+      assert(idx == idx.sorted, s"n=$n k=$k out of order")
+      assert(idx.forall(x => x >= 0 && x < n), s"n=$n k=$k out of range")
+    }
+  }
+
   test("non-media bytes fall back to the deterministic stub") {
     assert(Multimodal.imageDims("not an image".getBytes).isEmpty)
     assert(Multimodal.wavFrames("not audio".getBytes).isEmpty)

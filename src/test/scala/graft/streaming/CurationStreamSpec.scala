@@ -65,4 +65,48 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(got.toSeq == canonical.toSeq)
     } finally q.stop()
   }
+
+  test("streaming bloom decontamination gate drops leaks, equals batch filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def body(tag: String): String =
+      (1 to 20).map(i => s"$tag$i").mkString(" ")
+    val bench = Seq((100L, body("secret")), (101L, body("evalset")))
+      .toDF("bid", "btext")
+    val bloom = graft.operators.Decontamination
+      .buildShingleBloom(bench, "bid", "btext", n = 4)
+    assert(bloom != null)
+
+    // doc 2 embeds 4 consecutive benchmark tokens (one shared shingle);
+    // docs 1 and 3 are clean
+    val rows = Seq(
+      (1L, body("clean")),
+      (2L, "prefix words then secret5 secret6 secret7 secret8 trailing"),
+      (3L, body("other")))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStream.decontaminate(
+        mem.toDF().toDF("doc_id", "text"), "text", bloom, n = 4)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("decon_out").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      // the leak is gone, and on this corpus no clean doc false-positives
+      assert(got == Seq(1L, 3L))
+      // batch twin: identical gate as a batch plan
+      val batch = CurationStream.decontaminate(
+          rows.toDF("doc_id", "text"), "text", bloom, n = 4)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(batch == got)
+      // no false negatives against the exact test, by construction
+      val exact = graft.operators.Decontamination.flagContaminated(
+          rows.toDF("doc_id", "text"), "doc_id", "text",
+          bench, "bid", "btext", n = 4)
+        .filter(col("contaminated")).select("id").as[Long].collect().toSet
+      assert(exact.forall(id => !got.contains(id)))
+    } finally q.stop()
+  }
 }
