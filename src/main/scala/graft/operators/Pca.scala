@@ -101,13 +101,22 @@ object Pca {
           / lit(grid * grid), roundTo).as("cov"))
   }
 
-  /** Exact second-moment sums per dimension pair: (i, j, sij, n). */
+  /** Exact second-moment sums per dimension pair: (i, j, sij, n).
+    *
+    * The per-row product runs in long — |vi| ≤ grid·|v| stays under ~2³⁰
+    * for unit-scale embeddings, so via·vib can't wrap — and only the
+    * corpus-sized SUM is decimal(38,0). Same exact values as a
+    * decimal×decimal multiply, but the d²-per-id product stream (the
+    * query's widest point) stays in primitive codegen arithmetic instead
+    * of per-row BigDecimal allocations.
+    */
   private def pairMoments(q: DataFrame): DataFrame = {
-    val a = q.select(col("id"), col("dim").as("i"), col("vi").as("via"))
-    val b = q.select(col("id"), col("dim").as("j"), col("vi").as("vib"))
+    val a = q.select(col("id"), col("dim").as("i"), col("vi").cast("long").as("via"))
+    val b = q.select(col("id"), col("dim").as("j"), col("vi").cast("long").as("vib"))
     a.join(b, Seq("id"))
       .groupBy("i", "j")
-      .agg(sum(col("via") * col("vib")).as("sij"), count(lit(1)).as("n"))
+      .agg(sum((col("via") * col("vib")).cast(DecimalType(38, 0))).as("sij"),
+        count(lit(1)).as("n"))
   }
 
   /** Trained PCA basis: the corpus mean and the top-k principal
