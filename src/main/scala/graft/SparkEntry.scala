@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrain, Decontamination, Dedup, IntervalJoin, Layout, Multimodal, Pca, Profiling, Retrieval, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
+import graft.operators.{BpeTrain, Decontamination, Dedup, Graph, IntervalJoin, Layout, Multimodal, Pca, Profiling, Retrieval, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -1030,6 +1030,27 @@ object SparkEntry {
     Retrieval.hardNegatives(ranked, positives, loRank = 2, hiRank = 15)
   }
 
+  /** g1: weighted PageRank over the doc ↔ host ↔ source affinity graph
+    * (host-trust propagation, the link-analysis quality signal of web
+    * curation) — each doc linked both ways to its two injected URL hosts
+    * (the t14 injection pattern) and to its source/publisher node, 10
+    * damped rounds. Full oracle: the per-edge contributions are rounded
+    * to a 1e-12 grid and summed in decimal, so the DuckDB twin's 10
+    * unrolled rounds reproduce every rank bit for bit.
+    */
+  private def g1GraphRank(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents").select(
+      concat(lit("doc:"), col("doc_id")).as("dn"),
+      concat(lit("site"), col("doc_id") % 7, lit(".example.com")).as("h1"),
+      concat(lit("mirror"), col("doc_id") % 3, lit(".example.org")).as("h2"),
+      concat(lit("src:"), col("source")).as("sn"))
+    val edges = Seq(("dn", "h1"), ("h1", "dn"), ("dn", "h2"), ("h2", "dn"),
+        ("dn", "sn"), ("sn", "dn"))
+      .map { case (a, b) => docs.select(col(a).as("src"), col(b).as("dst")) }
+      .reduce(_ unionByName _)
+    Graph.pageRank(edges, "src", "dst", iterations = 10)
+  }
+
   /** v12: ANN recall@10 — the Hamming sketch retriever scored per query
     * against exact cosine ground truth. Full oracle: both rankings are
     * the oracle-proven v1/v10 forms and recall divides two small exact
@@ -1240,6 +1261,7 @@ object SparkEntry {
     "v12_ann_recall" -> (v12AnnRecall _),
     "c6_token_budget" -> (c6TokenBudget _),
     "h2_hard_negatives" -> (h2HardNegatives _),
+    "g1_graph_rank" -> (g1GraphRank _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t20_bpe_tokenize" -> (t20BpeTokenize _),
@@ -1263,6 +1285,51 @@ object SparkEntry {
     "m3_audio_features" -> (m3AudioFeatures _),
     "m4_image_thumbs" -> (m4ImageThumbs _),
     "m5_video_frames" -> (m5VideoFrames _))
+
+  /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
+    * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
+    * chained plain CTEs) PageRank rounds mirroring
+    * [[graft.operators.Graph.pageRank]]'s expression tree exactly:
+    * contributions rounded to 1e-12 and summed in decimal(38,12), the
+    * per-node combine in plain double arithmetic (`1::DOUBLE - 0.85` etc —
+    * bare DuckDB numeric literals are DECIMAL and would change the
+    * arithmetic).
+    */
+  private lazy val g1OracleSql: String = {
+    val rounds = (1 to 10).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT n.node,
+         |  round((1::DOUBLE - 0.85::DOUBLE) / nn.n
+         |      + 0.85::DOUBLE * coalesce(s.s, 0::DOUBLE), 12) AS pr
+         |  FROM nodes n CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst,
+         |      sum(round(p.pr * e.w / e.outw, 12)::DECIMAL(38,12))::DOUBLE AS s
+         |    FROM e JOIN p${r - 1} p ON p.node = e.src GROUP BY e.dst) s
+         |  ON s.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS MATERIALIZED (SELECT
+       |    'doc:' || doc_id::VARCHAR AS dn,
+       |    'site' || (doc_id % 7)::VARCHAR || '.example.com' AS h1,
+       |    'mirror' || (doc_id % 3)::VARCHAR || '.example.org' AS h2,
+       |    'src:' || source AS sn
+       |  FROM documents),
+       |raw AS (SELECT dn AS src, h1 AS dst FROM docs
+       |  UNION ALL SELECT h1, dn FROM docs
+       |  UNION ALL SELECT dn, h2 FROM docs
+       |  UNION ALL SELECT h2, dn FROM docs
+       |  UNION ALL SELECT dn, sn FROM docs
+       |  UNION ALL SELECT sn, dn FROM docs),
+       |eg AS (SELECT src, dst, count(*)::BIGINT AS w FROM raw GROUP BY 1, 2),
+       |ow AS (SELECT src, sum(w)::BIGINT AS outw FROM eg GROUP BY 1),
+       |e AS MATERIALIZED (SELECT eg.src, eg.dst, eg.w, ow.outw
+       |  FROM eg JOIN ow USING (src)),
+       |nodes AS MATERIALIZED (SELECT node FROM
+       |  (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+       |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+       |p0 AS MATERIALIZED (SELECT node, 1::DOUBLE / nn.n AS pr
+       |  FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, pr FROM p10""".stripMargin
+  }
 
   /** DuckDB CTE chain reproducing the portable MinHash-LSH pipeline
     * (md5-derived token + shingle hashes, the overflow-free permutation
@@ -2784,6 +2851,7 @@ object SparkEntry {
         |SELECT id, domain, sample_rank FROM r JOIN t USING (domain)
         |WHERE sample_rank <= tgt""".stripMargin,
     // h2 twin: dense band [2,15] anti-joined against the Hamming top-5
+    "g1_graph_rank" -> g1OracleSql,
     "h2_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
         |    FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int = 10)
+      : Map[String, Double] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = iters)
+      .as[(String, Double)].collect().toMap
+
+  test("two-node symmetric graph splits mass evenly") {
+    val pr = ranks(Seq(("a", "b"), ("b", "a")))
+    assert(math.abs(pr("a") - 0.5) < 1e-9)
+    assert(math.abs(pr("b") - 0.5) < 1e-9)
+  }
+
+  test("mass sums to ~1 and the star center outranks its leaves") {
+    val leaves = (1 to 6).map(i => s"leaf$i")
+    val pr = ranks(leaves.flatMap(l => Seq((l, "hub"), ("hub", l))))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    assert(leaves.forall(l => pr("hub") > pr(l)))
+    // leaves are symmetric → identical ranks
+    assert(leaves.map(pr).distinct.size == 1)
+  }
+
+  test("directed chain: downstream nodes accumulate more rank") {
+    // a -> b -> c ; c is a dangling sink (keeps its mass, no
+    // redistribution) so pr(c) > pr(b) > pr(a)
+    val pr = ranks(Seq(("a", "b"), ("b", "c")))
+    assert(pr("c") > pr("b") && pr("b") > pr("a"))
+  }
+
+  test("weighted edges steer mass proportionally") {
+    val edges = Seq(
+      ("a", "b", 3L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L))
+    val pr = Graph.pageRank(edges.toDF("src", "dst", "w"),
+        "src", "dst", weightCol = Some("w"))
+      .as[(String, Double)].collect().toMap
+    assert(pr("b") > pr("c"))
+  }
+
+  test("parallel edges collapse to summed weight") {
+    // duplicating (a,b) three times must equal a single weight-3 edge
+    val dup = Graph.pageRank(
+        Seq(("a", "b"), ("a", "b"), ("a", "b"), ("a", "c"),
+          ("b", "a"), ("c", "a")).toDF("src", "dst"),
+        "src", "dst")
+      .as[(String, Double)].collect().toMap
+    val weighted = Graph.pageRank(
+        Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+          .toDF("src", "dst", "w"),
+        "src", "dst", weightCol = Some("w"))
+      .as[(String, Double)].collect().toMap
+    assert(dup == weighted)
+  }
+
+  test("bit-deterministic across partitioning layouts") {
+    val edges = (0 until 400).flatMap { i =>
+      Seq((s"doc$i", s"host${i % 7}"), (s"host${i % 7}", s"doc$i"),
+        (s"doc$i", s"src${i % 13}"), (s"src${i % 13}", s"doc$i"))
+    }
+    val df1 = edges.toDF("src", "dst")
+    val df8 = df1.repartition(8)
+    val df3 = df1.repartition(3, org.apache.spark.sql.functions.col("dst"))
+    val r1 = Graph.pageRank(df1, "src", "dst").as[(String, Double)]
+      .collect().toMap
+    val r8 = Graph.pageRank(df8, "src", "dst").as[(String, Double)]
+      .collect().toMap
+    val r3 = Graph.pageRank(df3, "src", "dst").as[(String, Double)]
+      .collect().toMap
+    assert(r1 == r8 && r1 == r3) // exact ==, not tolerance
+    assert(math.abs(r1.values.sum - 1.0) < 1e-6)
+  }
+
+  test("per-round delta contracts geometrically (damping envelope)") {
+    val edges = (0 until 100).flatMap { i =>
+      Seq((s"d$i", s"h${i % 5}"), (s"h${i % 5}", s"d$i"))
+    }.toDF("src", "dst")
+    def at(it: Int): Map[String, Double] =
+      Graph.pageRank(edges, "src", "dst", iterations = it)
+        .as[(String, Double)].collect().toMap
+    def delta(a: Map[String, Double], b: Map[String, Double]): Double =
+      a.map { case (k, v) => math.abs(v - b(k)) }.max
+    val (p5, p6, p15, p16, p30) = (at(5), at(6), at(15), at(16), at(30))
+    val (d5, d15) = (delta(p5, p6), delta(p15, p16))
+    // ten more rounds shrink the step by ~0.85^10 ≈ 0.2 (2x slack)
+    assert(d15 < d5 * math.pow(0.85, 10) * 2.0,
+      s"d5=$d5 d15=$d15 — no geometric contraction")
+    // and 30 rounds agree with 15 to within the remaining envelope
+    assert(p15.forall { case (k, v) => math.abs(v - p30(k)) < 1e-2 })
+    assert(math.abs(p30.values.sum - 1.0) < 1e-6)
+  }
+}
