@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrain, Decontamination, Dedup, Graph, IntervalJoin, Layout, Multimodal, Pca, Profiling, Retrieval, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
+import graft.operators.{BpeTrain, Classifier, Decontamination, Dedup, Graph, IntervalJoin, Layout, Multimodal, Pca, Profiling, Retrieval, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -1051,6 +1051,32 @@ object SparkEntry {
     Graph.pageRank(edges, "src", "dst", iterations = 10)
   }
 
+  /** ml1: distributed quality-classifier training + corpus scoring —
+    * 16 rounds of full-batch gradient descent (one map-side-combined
+    * aggregation per round, d+1 decimal sums to the driver) distilling
+    * the thresholded t2 quality gate (label: quality ≥ 0.49, the corpus
+    * median) into a smooth linear scorer over the gate's raw surface
+    * features — the classifier-distillation step curation pipelines use
+    * to replace brittle threshold stacks with calibrated scores (~95%
+    * agreement with the gate here). Softsign link: exact IEEE
+    * arithmetic, no transcendentals. Full oracle: the DuckDB twin
+    * re-runs the whole train as 16 unrolled weight CTEs and reproduces
+    * every score bit for bit.
+    */
+  private def ml1QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val feats = TextAnalytics.qualityScore(
+        T(s, d, "documents"), "doc_id", "text")
+      .select(col("id"),
+        (col("quality") >= lit(0.49)).cast("double").as("y"),
+        col("stop_ratio").as("x1"), col("uniq_ratio").as("x2"),
+        (col("n_tokens").cast("double") / lit(100.0)).as("x3"))
+    val fs = Seq("x1", "x2", "x3")
+    val m = Classifier.trainSoftsign(feats, fs, "y", rounds = 16, lr = 8.0)
+    Classifier.score(feats, fs, m)
+      .select(col("id"), col("y").cast("long").as("y"), col("score"),
+        col("pred"))
+  }
+
   /** v12: ANN recall@10 — the Hamming sketch retriever scored per query
     * against exact cosine ground truth. Full oracle: both rankings are
     * the oracle-proven v1/v10 forms and recall divides two small exact
@@ -1262,6 +1288,7 @@ object SparkEntry {
     "c6_token_budget" -> (c6TokenBudget _),
     "h2_hard_negatives" -> (h2HardNegatives _),
     "g1_graph_rank" -> (g1GraphRank _),
+    "ml1_quality_classifier" -> (ml1QualityClassifier _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t20_bpe_tokenize" -> (t20BpeTokenize _),
@@ -1329,6 +1356,63 @@ object SparkEntry {
        |  FROM nodes CROSS JOIN nn),
        |$rounds
        |SELECT node, pr FROM p10""".stripMargin
+  }
+
+  /** DuckDB twin of [[ml1QualityClassifier]]: the same feature
+    * projection, then 8 unrolled gradient/weight CTE pairs mirroring
+    * [[graft.operators.Classifier.trainSoftsign]]'s expression tree —
+    * grid-rounded contributions summed in decimal(38,12), the weight
+    * update a fixed double-arithmetic sequence re-rounded to the grid —
+    * then the same scan-side scoring pass with the w8 weights.
+    */
+  private lazy val ml1OracleSql: String = {
+    val fs = Seq("x1", "x2", "x3")
+    def z(wa: String) =
+      fs.zipWithIndex.map { case (f, j) => s" + $wa.w$j * $f" }
+        .mkString(s"$wa.b", "", "")
+    val rounds = (1 to 16).map { r =>
+      val gs = fs.zipWithIndex.map { case (f, j) =>
+        s"sum(round((p - y) * $f, 12)::DECIMAL(38,12))::DOUBLE AS g$j"
+      }.mkString(",\n    ")
+      val ws = fs.indices.map { j =>
+        s"round(w.w$j - 8::DOUBLE * (g.g$j / nn.n), 12) AS w$j"
+      }.mkString(",\n    ")
+      s"""g$r AS MATERIALIZED (SELECT
+         |    sum(round(p - y, 12)::DECIMAL(38,12))::DOUBLE AS gb,
+         |    $gs
+         |  FROM (SELECT y, ${fs.mkString(", ")},
+         |      0.5::DOUBLE * (1::DOUBLE + z / (1::DOUBLE + abs(z))) AS p
+         |    FROM (SELECT f.*, ${z("w")} AS z
+         |      FROM f CROSS JOIN w${r - 1} w) zf) pf),
+         |w$r AS MATERIALIZED (SELECT
+         |    round(w.b - 8::DOUBLE * (g.gb / nn.n), 12) AS b,
+         |    $ws
+         |  FROM w${r - 1} w CROSS JOIN g$r g CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    val w0 = fs.indices.map(j => s"0::DOUBLE AS w$j").mkString(", ")
+    s"""WITH f AS MATERIALIZED (SELECT doc_id AS id,
+       |    CASE WHEN round(sr * 0.25 + ur * 0.5 + lok * 0.25, 4)
+       |        >= 0.49::DOUBLE THEN 1::DOUBLE ELSE 0::DOUBLE END AS y,
+       |    round(sr, 4) AS x1, round(ur, 4) AS x2,
+       |    nt::DOUBLE / 100::DOUBLE AS x3
+       |  FROM (SELECT doc_id, len(w) AS nt,
+       |      len(list_filter(w, t -> t IN
+       |        ('the','a','to','of','and','in','on','for')))::DOUBLE
+       |        / len(w) AS sr,
+       |      len(list_distinct(w))::DOUBLE / len(w) AS ur,
+       |      CASE WHEN len(w) BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END
+       |        AS lok
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |      FROM documents))),
+       |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM f),
+       |w0 AS (SELECT 0::DOUBLE AS b, $w0),
+       |$rounds
+       |SELECT id, y::BIGINT AS y, round(p, 6) AS score,
+       |  (p >= 0.5::DOUBLE)::BIGINT AS pred
+       |FROM (SELECT id, y,
+       |    0.5::DOUBLE * (1::DOUBLE + z / (1::DOUBLE + abs(z))) AS p
+       |  FROM (SELECT f.*, ${z("w")} AS z
+       |    FROM f CROSS JOIN w16 w) zf) pf""".stripMargin
   }
 
   /** DuckDB CTE chain reproducing the portable MinHash-LSH pipeline
@@ -2852,6 +2936,7 @@ object SparkEntry {
         |WHERE sample_rank <= tgt""".stripMargin,
     // h2 twin: dense band [2,15] anti-joined against the Hamming top-5
     "g1_graph_rank" -> g1OracleSql,
+    "ml1_quality_classifier" -> ml1OracleSql,
     "h2_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
         |    FROM embeddings WHERE vec_id < 5),

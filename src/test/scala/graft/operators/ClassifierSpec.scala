@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ClassifierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Plain-Scala reference of the exact training procedure (same grid
+    * rounding, same op order) — the in-engine oracle for equivalence.
+    */
+  private def refTrain(
+      rows: Seq[(Double, Array[Double])], roundsN: Int, lr: Double,
+      grid: Int): (Double, Array[Double]) = {
+    def rg(x: Double): Double =
+      BigDecimal(x).setScale(grid, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = rows.head._2.length
+    var b = 0.0
+    var w = Array.fill(d)(0.0)
+    for (_ <- 1 to roundsN) {
+      // decimal-exact sums of grid-rounded contributions, any order
+      var gb = BigDecimal(0)
+      val g = Array.fill(d)(BigDecimal(0))
+      rows.foreach { case (y, x) =>
+        var z = b
+        for (j <- 0 until d) z += w(j) * x(j)
+        val p = 0.5 * (1.0 + z / (1.0 + math.abs(z)))
+        gb += BigDecimal(rg(p - y))
+        for (j <- 0 until d) g(j) += BigDecimal(rg((p - y) * x(j)))
+      }
+      val n = rows.size
+      b = rg(b - lr * (gb.toDouble / n))
+      w = Array.tabulate(d)(j => rg(w(j) - lr * (g(j).toDouble / n)))
+    }
+    (b, w)
+  }
+
+  private val sep = Seq(
+    // linearly separable-ish: y=1 iff x1 + x2 > 1
+    (1.0, 0.9, 0.8), (1.0, 0.7, 0.9), (1.0, 1.2, 0.3), (1.0, 0.6, 0.7),
+    (0.0, 0.1, 0.2), (0.0, 0.3, 0.1), (0.0, 0.2, 0.4), (0.0, 0.4, 0.3))
+
+  test("training matches the plain-Scala reference bit for bit") {
+    val df = sep.toDF("y", "x1", "x2")
+    val m = Classifier.trainSoftsign(df, Seq("x1", "x2"), "y", rounds = 8)
+    val (rb, rw) = refTrain(
+      sep.map { case (y, a, b) => (y, Array(a, b)) }, 8, 0.5, 12)
+    assert(m.bias == rb)
+    assert(m.weights.toSeq == rw.toSeq)
+  }
+
+  test("bit-deterministic across partitioning layouts") {
+    val df = sep.toDF("y", "x1", "x2")
+    val m1 = Classifier.trainSoftsign(df.repartition(1), Seq("x1", "x2"), "y")
+    val m7 = Classifier.trainSoftsign(
+      df.repartition(7, col("x1")), Seq("x1", "x2"), "y")
+    assert(m1.bias == m7.bias && m1.weights.toSeq == m7.weights.toSeq)
+  }
+
+  test("learns the separable concept and scores accordingly") {
+    val df = sep.toDF("y", "x1", "x2")
+    val m = Classifier.trainSoftsign(df, Seq("x1", "x2"), "y", rounds = 40)
+    // positive class pulls weights positive
+    assert(m.weights.forall(_ > 0))
+    val scored = Classifier.score(df, Seq("x1", "x2"), m)
+      .select("y", "score", "pred").as[(Double, Double, Long)].collect()
+    // separable data + enough rounds: every prediction correct
+    assert(scored.forall { case (y, _, pred) => pred == y.toLong })
+    // scores are probabilities
+    assert(scored.forall { case (_, s, _) => s >= 0.0 && s <= 1.0 })
+  }
+
+  test("score boundary: pred flips exactly at z = 0") {
+    val m = Classifier.LinearModel(bias = -1.0, weights = Array(1.0),
+      lr = 0.5, grid = 12)
+    val df = Seq((0.5, "below"), (1.0, "at"), (1.5, "above"))
+      .toDF("x1", "tag")
+    val got = Classifier.score(df, Seq("x1"), m)
+      .select("tag", "score", "pred").as[(String, Double, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("below")._2 == 0L && got("at")._2 == 1L && got("above")._2 == 1L)
+    assert(got("at")._1 == 0.5)
+  }
+
+  test("guards: empty features, bad rounds") {
+    val df = sep.toDF("y", "x1", "x2")
+    intercept[IllegalArgumentException] {
+      Classifier.trainSoftsign(df, Nil, "y")
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.trainSoftsign(df, Seq("x1"), "y", rounds = 0)
+    }
+  }
+}
