@@ -1051,6 +1051,27 @@ object SparkEntry {
     Graph.pageRank(edges, "src", "dst", iterations = 10)
   }
 
+  /** e1: ranking-quality evaluation — MRR@10 and nDCG@10 of the binary
+    * Hamming retriever against graded exact-cosine relevance (top-3 →
+    * grade 3, top-10 → 2, top-20 → 1): the eval-harness step of tuning
+    * a quantized retrieval stack against its float baseline. Full
+    * oracle: both rankings are the oracle-proven v10/v1 forms, the DCG
+    * discounts are shared double literals (no engine log), and the
+    * per-query sums are decimal-exact.
+    */
+  private def e1RankingMetrics(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 20)
+    val approx = Similarity.hammingTopK(
+      q, e, "vec_id", "vec_id", "embedding", k = 10)
+    val judgments = Similarity.cosineTopK(
+        q, e, "vec_id", "vec_id", "embedding", k = 20)
+      .select(col("q_id"), col("c_id"),
+        when(col("rank") <= 3, 3).when(col("rank") <= 10, 2).otherwise(1)
+          .as("rel"))
+    Retrieval.rankingMetrics(approx, judgments, k = 10)
+  }
+
   /** ml1: distributed quality-classifier training + corpus scoring —
     * 16 rounds of full-batch gradient descent (one map-side-combined
     * aggregation per round, d+1 decimal sums to the driver) distilling
@@ -1076,6 +1097,15 @@ object SparkEntry {
       .select(col("id"), col("y").cast("long").as("y"), col("score"),
         col("pred"))
   }
+
+  /** e2: calibration evaluation of the ml1 classifier — reliability
+    * decile bins (count, mean score, empirical positive rate, gap) whose
+    * n-weighted gap sum is ECE. Full oracle: the DuckDB twin re-runs the
+    * shared ml1 train/score chain and the same exact-arithmetic bin
+    * aggregate.
+    */
+  private def e2Calibration(s: SparkSession, d: String): DataFrame =
+    Classifier.calibrationBins(ml1QualityClassifier(s, d), "score", "y")
 
   /** v12: ANN recall@10 — the Hamming sketch retriever scored per query
     * against exact cosine ground truth. Full oracle: both rankings are
@@ -1289,6 +1319,8 @@ object SparkEntry {
     "h2_hard_negatives" -> (h2HardNegatives _),
     "g1_graph_rank" -> (g1GraphRank _),
     "ml1_quality_classifier" -> (ml1QualityClassifier _),
+    "e1_ranking_metrics" -> (e1RankingMetrics _),
+    "e2_calibration" -> (e2Calibration _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t20_bpe_tokenize" -> (t20BpeTokenize _),
@@ -1365,7 +1397,7 @@ object SparkEntry {
     * update a fixed double-arithmetic sequence re-rounded to the grid —
     * then the same scan-side scoring pass with the w8 weights.
     */
-  private lazy val ml1OracleSql: String = {
+  private lazy val ml1ScoredCte: String = {
     val fs = Seq("x1", "x2", "x3")
     def z(wa: String) =
       fs.zipWithIndex.map { case (f, j) => s" + $wa.w$j * $f" }
@@ -1390,7 +1422,7 @@ object SparkEntry {
          |  FROM w${r - 1} w CROSS JOIN g$r g CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
     val w0 = fs.indices.map(j => s"0::DOUBLE AS w$j").mkString(", ")
-    s"""WITH f AS MATERIALIZED (SELECT doc_id AS id,
+    s"""f AS MATERIALIZED (SELECT doc_id AS id,
        |    CASE WHEN round(sr * 0.25 + ur * 0.5 + lok * 0.25, 4)
        |        >= 0.49::DOUBLE THEN 1::DOUBLE ELSE 0::DOUBLE END AS y,
        |    round(sr, 4) AS x1, round(ur, 4) AS x2,
@@ -1406,13 +1438,91 @@ object SparkEntry {
        |      FROM documents))),
        |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM f),
        |w0 AS (SELECT 0::DOUBLE AS b, $w0),
-       |$rounds
-       |SELECT id, y::BIGINT AS y, round(p, 6) AS score,
+       |$rounds,
+       |scored AS MATERIALIZED (SELECT id, y, round(p, 6) AS score,
        |  (p >= 0.5::DOUBLE)::BIGINT AS pred
        |FROM (SELECT id, y,
        |    0.5::DOUBLE * (1::DOUBLE + z / (1::DOUBLE + abs(z))) AS p
        |  FROM (SELECT f.*, ${z("w")} AS z
-       |    FROM f CROSS JOIN w16 w) zf) pf""".stripMargin
+       |    FROM f CROSS JOIN w16 w) zf) pf)""".stripMargin
+  }
+
+  private lazy val ml1OracleSql: String =
+    s"""WITH $ml1ScoredCte
+       |SELECT id, y::BIGINT AS y, score, pred FROM scored""".stripMargin
+
+  /** DuckDB twin of [[e2Calibration]]: the shared ml1 train/score chain,
+    * then one group-by over decile bins — decimal score sums, integer
+    * label sums, identical quotient expressions.
+    */
+  private lazy val e2OracleSql: String =
+    s"""WITH $ml1ScoredCte
+       |SELECT least(floor(score * 10::DOUBLE), 9::DOUBLE)::BIGINT AS bin,
+       |  count(*)::BIGINT AS n,
+       |  round(sum(score::DECIMAL(38,6))::DOUBLE / count(*), 6)
+       |    AS mean_score,
+       |  round(sum(y::BIGINT)::DOUBLE / count(*), 6) AS frac_pos,
+       |  round(abs(sum(score::DECIMAL(38,6))::DOUBLE / count(*)
+       |    - sum(y::BIGINT)::DOUBLE / count(*)), 6) AS gap
+       |FROM scored GROUP BY 1""".stripMargin
+
+  /** DuckDB twin of [[e1RankingMetrics]]: the v10-form Hamming ranking
+    * and v1-form cosine judgments, then the metric tail with the SAME
+    * discount double literals [[graft.operators.Retrieval.dcgDiscounts]]
+    * embeds on the Spark side — no engine log() anywhere — and
+    * decimal-exact per-query sums.
+    */
+  private lazy val e1OracleSql: String = {
+    val disc = graft.operators.Retrieval.dcgDiscounts(10)
+      .map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+    s"""WITH dt AS (SELECT $disc AS disc),
+       |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+       |    FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+       |    FROM embeddings),
+       |ham AS (SELECT q_id, c_id, rank FROM
+       |    (SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY h, c_id) AS rank
+       |     FROM (SELECT q_id, c_id,
+       |        len([i for i in range(1, len(q.v) + 1)
+       |             if (q.v[i] > 0) != (c.v[i] > 0)]) AS h
+       |       FROM q CROSS JOIN c) s0) r0
+       |  WHERE rank <= 10),
+       |ex AS (SELECT q_id, c_id,
+       |    CASE WHEN rank <= 3 THEN 3 WHEN rank <= 10 THEN 2 ELSE 1 END
+       |      AS rel
+       |  FROM (SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+       |        AS rank
+       |     FROM (SELECT q_id, c_id,
+       |        round(list_dot_product(q.v, c.v) /
+       |          (sqrt(list_dot_product(q.v, q.v))
+       |            * sqrt(list_dot_product(c.v, c.v))), 3) AS sim
+       |       FROM q CROSS JOIN c) s1) r1
+       |  WHERE rank <= 20),
+       |hits AS (SELECT h.q_id, h.rank, coalesce(j.rel, 0) AS rel
+       |  FROM ham h LEFT JOIN ex j USING (q_id, c_id)),
+       |perq AS (SELECT q_id,
+       |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+       |    sum((CASE WHEN rel > 0
+       |         THEN round((power(2::DOUBLE, rel) - 1::DOUBLE)
+       |                * dt.disc[rank], 12)
+       |         ELSE 0::DOUBLE END)::DECIMAL(38,12)) AS dcg
+       |  FROM hits CROSS JOIN dt GROUP BY q_id),
+       |ideal AS (SELECT q_id,
+       |    sum(round((power(2::DOUBLE, rel) - 1::DOUBLE)
+       |          * dt.disc[irank], 12)::DECIMAL(38,12)) AS idcg
+       |  FROM (SELECT q_id, rel,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id)
+       |        AS irank
+       |    FROM ex WHERE rel > 0) i CROSS JOIN dt
+       |  WHERE irank <= 10 GROUP BY q_id)
+       |SELECT p.q_id,
+       |  round(coalesce(1::DOUBLE / p.first_rel, 0::DOUBLE), 6) AS mrr,
+       |  round(p.dcg::DOUBLE, 6) AS dcg,
+       |  round(coalesce(p.dcg::DOUBLE / i.idcg::DOUBLE, 0::DOUBLE), 6)
+       |    AS ndcg
+       |FROM perq p LEFT JOIN ideal i USING (q_id)""".stripMargin
   }
 
   /** DuckDB CTE chain reproducing the portable MinHash-LSH pipeline
@@ -2937,6 +3047,8 @@ object SparkEntry {
     // h2 twin: dense band [2,15] anti-joined against the Hamming top-5
     "g1_graph_rank" -> g1OracleSql,
     "ml1_quality_classifier" -> ml1OracleSql,
+    "e1_ranking_metrics" -> e1OracleSql,
+    "e2_calibration" -> e2OracleSql,
     "h2_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
         |    FROM embeddings WHERE vec_id < 5),

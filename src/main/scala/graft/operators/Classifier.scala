@@ -94,6 +94,35 @@ object Classifier {
     LinearModel(b, w, lr, grid)
   }
 
+  /** Reliability-diagram calibration bins for a probabilistic scorer —
+    * the model-eval companion to training: per decile bin of the score,
+    * the count, mean score and empirical positive rate, and their gap
+    * (whose n-weighted sum is ECE). Everything is exact arithmetic:
+    * scores arrive rounded (6dp from [[score]]) so the decimal bin sums
+    * are order-independent, labels sum as integers, and the two
+    * quotients divide exactly the same doubles in any engine.
+    *
+    * Scale: one hash aggregate keyed on the ≤ `bins` bin ids with
+    * map-side partials — a scan, one tiny shuffle, nothing else.
+    */
+  def calibrationBins(
+      scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins in [2, 1000] (got $bins)")
+    val s = col(scoreCol).cast("double")
+    val bin = least(floor(s * lit(bins.toDouble)), lit((bins - 1).toDouble))
+      .cast("long")
+    val meanScore = sum(s.cast(DecimalType(38, 6))).cast("double") /
+      count(lit(1))
+    val fracPos = sum(col(labelCol).cast("long")).cast("double") /
+      count(lit(1))
+    scored.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(meanScore, 6).as("mean_score"),
+        round(fracPos, 6).as("frac_pos"),
+        round(abs(meanScore - fracPos), 6).as("gap"))
+  }
+
   /** Score every row with a trained model: appends `score` (the softsign
     * probability rounded to `roundTo`) and `pred` (1 when the unrounded
     * probability ≥ 0.5, i.e. z ≥ 0). Scan-side projection — weights ride

@@ -57,6 +57,74 @@ object Retrieval {
         col("n_lists"), col("fused_rank"))
   }
 
+  /** The 1/log₂(rank+1) DCG discount table for ranks 1..k — computed
+    * once so callers (and engine twins) can embed the identical double
+    * literals instead of re-deriving them through engine-specific log
+    * implementations.
+    */
+  def dcgDiscounts(k: Int): Array[Double] =
+    Array.tabulate(k)(i => 1.0 / (math.log(i + 2) / math.log(2.0)))
+
+  /** Offline ranking-quality evaluation — MRR@k and nDCG@k of a
+    * retriever's ranked lists against graded relevance judgments (the
+    * eval harness step of tuning an ANN/quantized retrieval stack
+    * against an exact float baseline, or a retriever against human
+    * qrels).
+    *
+    * MRR@k  = 1 / (first relevant rank), 0 when no hit in the top k.
+    * DCG@k  = Σ_hits (2^rel − 1) · disc(rank),  disc = [[dcgDiscounts]]
+    * IDCG@k = the same sum over the ideal head (judgments ordered by
+    *          grade) — rel ties reorder only equal terms, so the sum is
+    *          tie-order-independent.
+    * nDCG   = DCG / IDCG (0 for queries with no judgments).
+    *
+    * Determinism: the discount doubles are literal-embedded (no engine
+    * log), 2^rel − 1 is exact for the small integer grades, and each
+    * per-query sum adds grid-rounded terms in decimal — exact in any
+    * order. Outputs round at 6dp.
+    *
+    * Scale: both inputs are per-query top-N lists (corpus-sized
+    * retrieval ran upstream), so the equi join and the two per-query
+    * aggregates move |queries| · k rows; the only window runs over the
+    * judgment lists, partitioned by query.
+    */
+  def rankingMetrics(
+      ranked: DataFrame, judgments: DataFrame, k: Int,
+      qIdCol: String = "q_id", cIdCol: String = "c_id",
+      rankCol: String = "rank", relCol: String = "rel",
+      grid: Int = 12): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000] (got $k)")
+    val disc = dcgDiscounts(k)
+    val discCol = array(disc.map(lit): _*)
+    val dec = DecimalType(38, grid)
+    val gain = pow(lit(2.0), col("rel")) - lit(1.0)
+    val rk = ranked.select(col(qIdCol).cast("long").as("q_id"),
+      col(cIdCol).cast("long").as("c_id"), col(rankCol).cast("int").as("rank"))
+      .filter(col("rank") <= k)
+    val jd = judgments.select(col(qIdCol).cast("long").as("q_id"),
+        col(cIdCol).cast("long").as("c_id"), col(relCol).cast("int").as("rel"))
+      .filter(col("rel") > 0)
+    val hits = rk.join(jd, Seq("q_id", "c_id"), "left")
+      .select(col("q_id"), col("rank"), coalesce(col("rel"), lit(0)).as("rel"))
+    val perQ = hits.groupBy("q_id").agg(
+      min(when(col("rel") > 0, col("rank"))).as("first_rel"),
+      sum(when(col("rel") > 0,
+        round(gain * element_at(discCol, col("rank")), grid))
+        .otherwise(lit(0.0)).cast(dec)).as("dcg"))
+    val w = Window.partitionBy("q_id").orderBy(col("rel").desc, col("c_id"))
+    val ideal = jd.withColumn("irank", row_number().over(w))
+      .filter(col("irank") <= k)
+      .groupBy("q_id")
+      .agg(sum(round(gain * element_at(discCol, col("irank")), grid)
+        .cast(dec)).as("idcg"))
+    perQ.join(ideal, Seq("q_id"), "left")
+      .select(col("q_id"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"),
+        round(col("dcg").cast("double"), 6).as("dcg"),
+        round(coalesce(col("dcg").cast("double") /
+          col("idcg").cast("double"), lit(0.0)), 6).as("ndcg"))
+  }
+
   /** Hard-negative mining for contrastive / embedding training: per
     * query, the retriever's candidates ranked in [loRank, hiRank] minus
     * the known positives — the "near the query but not relevant" band.

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IntervalJoin, Retrieval, Similarity}
+import graft.operators.{Classifier, Dedup, IntervalJoin, Retrieval, Similarity}
 import graft.sources.Tables
 
 /** Physical-plan assertions (SURVEY.md §4 scale posture): filters reach
@@ -299,6 +299,20 @@ class PlanQualitySpec extends AnyFunSuite {
     val rec = planOf(Similarity.recallAtK(l, l, k = 2))
     assert(!rec.contains("CartesianProduct") &&
       !rec.contains("BroadcastNestedLoopJoin"), s"quadratic recall join:\n$rec")
+  }
+
+  test("classifier scoring is a shuffle-free scan projection; ranking metrics never go quadratic") {
+    import spark.implicits._
+    val m = Classifier.LinearModel(0.1, Array(0.2, 0.3), lr = 0.5, grid = 12)
+    val df = Seq((1L, 0.5, 0.6)).toDF("id", "x1", "x2")
+    val p = planOf(Classifier.score(df, Seq("x1", "x2"), m))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"scoring should ride the scan:\n$p")
+    val ranked = Seq((1L, 10L, 1)).toDF("q_id", "c_id", "rank")
+    val judged = Seq((1L, 10L, 2)).toDF("q_id", "c_id", "rel")
+    val mp = planOf(Retrieval.rankingMetrics(ranked, judged, k = 5))
+    assert(!mp.contains("CartesianProduct") &&
+      !mp.contains("BroadcastNestedLoopJoin"), s"quadratic metrics join:\n$mp")
   }
 
   test("dedup self-joins reuse one exchange per side at runtime") {

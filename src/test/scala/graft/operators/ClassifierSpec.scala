@@ -85,6 +85,20 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got("at")._1 == 0.5)
   }
 
+  test("calibrationBins matches a hand-computed reliability table") {
+    val scored = Seq(
+      (0.05, 0L), (0.15, 0L), (0.15, 1L), (0.95, 1L), (1.0, 1L))
+      .toDF("score", "y")
+    val got = Classifier.calibrationBins(scored, "score", "y")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(0L) == ((1L, 0.05, 0.0, 0.05)))
+    assert(got(1L) == ((2L, 0.15, 0.5, 0.35)))
+    // score 1.0 clamps into the top bin with 0.95
+    assert(got(9L) == ((2L, 0.975, 1.0, 0.025)))
+    assert(got.size == 3)
+  }
+
   test("guards: empty features, bad rounds") {
     val df = sep.toDF("y", "x1", "x2")
     intercept[IllegalArgumentException] {

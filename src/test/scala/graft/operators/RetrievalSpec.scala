@@ -72,4 +72,54 @@ class RetrievalSpec extends AnyFunSuite {
     def round9(x: Double): Double =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rankingMetrics matches a hand-computed MRR/DCG/nDCG example") {
+    val disc = Retrieval.dcgDiscounts(3)
+    // system: rank1 = doc20 (rel 2), rank2 = doc99 (unjudged),
+    // rank3 = doc10 (rel 3); judged but unretrieved: doc30 (rel 1)
+    val ranked = Seq((1L, 20L, 1), (1L, 99L, 2), (1L, 10L, 3))
+      .toDF("q_id", "c_id", "rank")
+    val judged = Seq((1L, 10L, 3), (1L, 20L, 2), (1L, 30L, 1))
+      .toDF("q_id", "c_id", "rel")
+    val got = Retrieval.rankingMetrics(ranked, judged, k = 3)
+      .as[(Long, Double, Double, Double)].collect().head
+    val dcg = 3.0 * disc(0) + 7.0 * disc(2)
+    val idcg = 7.0 * disc(0) + 3.0 * disc(1) + 1.0 * disc(2)
+    assert(got == ((1L, 1.0, r6(dcg), r6(dcg / idcg))))
+  }
+
+  test("rankingMetrics: no relevant hit -> mrr 0, dcg 0; unjudged query -> ndcg 0") {
+    val ranked = Seq((1L, 99L, 1), (2L, 98L, 1)).toDF("q_id", "c_id", "rank")
+    val judged = Seq((1L, 10L, 2)).toDF("q_id", "c_id", "rel") // q2 unjudged
+    val got = Retrieval.rankingMetrics(ranked, judged, k = 3)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((0.0, 0.0, 0.0)))
+    assert(got(2L) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("rankingMetrics: perfect head retrieval scores ndcg 1") {
+    // ranked order = ideal order of the (3, 2) judgments -> nDCG exactly 1
+    val ranked = Seq((5L, 1L, 1), (5L, 2L, 2)).toDF("q_id", "c_id", "rank")
+    val judged = Seq((5L, 1L, 3), (5L, 2L, 2)).toDF("q_id", "c_id", "rel")
+    val got = Retrieval.rankingMetrics(ranked, judged, k = 2)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(got._2 == 1.0 && got._4 == 1.0)
+  }
+
+  test("rankingMetrics is deterministic across partitionings") {
+    val ranked = (0L until 20L).flatMap(q =>
+      (1 to 10).map(r => (q, (q * 31 + r * 7) % 40, r))).toDF("q_id", "c_id", "rank")
+    val judged = (0L until 20L).flatMap(q =>
+      (0L until 40L by 3L).map(c => (q, c, ((q + c) % 3 + 1).toInt)))
+      .toDF("q_id", "c_id", "rel")
+    val a = Retrieval.rankingMetrics(ranked, judged, k = 10)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    val b = Retrieval.rankingMetrics(ranked.repartition(7), judged.repartition(5),
+        k = 10).as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
