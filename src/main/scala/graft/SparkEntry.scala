@@ -1072,6 +1072,35 @@ object SparkEntry {
     Retrieval.rankingMetrics(approx, judgments, k = 10)
   }
 
+  /** g2: TrustRank over the same affinity graph — teleport restricted
+    * to the 20 publisher nodes (the hand-vetted seed list), so rank is
+    * "flow from trusted publishers" rather than global centrality; the
+    * anti-spam prior of web curation. Full oracle: the g1 twin with a
+    * seed-predicate teleport flag, bit-exact.
+    */
+  private def g2TrustRank(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents").select(
+      concat(lit("doc:"), col("doc_id")).as("dn"),
+      concat(lit("site"), col("doc_id") % 7, lit(".example.com")).as("h1"),
+      concat(lit("mirror"), col("doc_id") % 3, lit(".example.org")).as("h2"),
+      concat(lit("src:"), col("source")).as("sn"),
+      col("n_chars").as("nc"))
+    // host links weight 1; the doc ↔ publisher pair carries n_chars so
+    // trust splits across a publisher's docs ∝ size — exercising the
+    // weighted propagation path end to end (and de-symmetrizing the
+    // otherwise perfectly regular synthetic graph).
+    val edges = Seq(("dn", "h1", false), ("h1", "dn", false),
+        ("dn", "h2", false), ("h2", "dn", false),
+        ("dn", "sn", true), ("sn", "dn", true))
+      .map { case (a, b, wt) =>
+        docs.select(col(a).as("src"), col(b).as("dst"),
+          (if (wt) col("nc") else lit(1L)).as("w"))
+      }
+      .reduce(_ unionByName _)
+    Graph.trustRank(edges, docs.select(col("sn").as("node")),
+      "src", "dst", "node", weightCol = Some("w"))
+  }
+
   /** ml1: distributed quality-classifier training + corpus scoring —
     * 16 rounds of full-batch gradient descent (one map-side-combined
     * aggregation per round, d+1 decimal sums to the driver) distilling
@@ -1318,6 +1347,7 @@ object SparkEntry {
     "c6_token_budget" -> (c6TokenBudget _),
     "h2_hard_negatives" -> (h2HardNegatives _),
     "g1_graph_rank" -> (g1GraphRank _),
+    "g2_trust_rank" -> (g2TrustRank _),
     "ml1_quality_classifier" -> (ml1QualityClassifier _),
     "e1_ranking_metrics" -> (e1RankingMetrics _),
     "e2_calibration" -> (e2Calibration _),
@@ -1354,14 +1384,23 @@ object SparkEntry {
     * bare DuckDB numeric literals are DECIMAL and would change the
     * arithmetic).
     */
-  private lazy val g1OracleSql: String = {
+  private def graphRankOracle(
+      seedPred: Option[String], weighted: Boolean = false): String = {
+    val tele = seedPred.getOrElse("TRUE")
+    val dw = if (weighted) "nc" else "1::BIGINT" // doc ↔ publisher weight
+    // Ranks as integer-valued doubles in units of 1e-12 — every op a
+    // correctly-rounded IEEE double op or an exact integer sum; no
+    // engine round() anywhere (see Graph.propagate's determinism note).
     val rounds = (1 to 10).map { r =>
-      s"""p$r AS MATERIALIZED (SELECT n.node,
-         |  round((1::DOUBLE - 0.85::DOUBLE) / nn.n
-         |      + 0.85::DOUBLE * coalesce(s.s, 0::DOUBLE), 12) AS pr
+      s"""p$r AS MATERIALIZED (SELECT n.node, n.tele,
+         |  floor(CASE WHEN n.tele
+         |        THEN (1::DOUBLE - 0.85::DOUBLE) / nn.n * 1e12
+         |        ELSE 0::DOUBLE END
+         |      + 0.85::DOUBLE * coalesce(s.s, 0::DOUBLE)
+         |      + 0.5::DOUBLE) AS p
          |  FROM nodes n CROSS JOIN nn LEFT JOIN (
          |    SELECT e.dst,
-         |      sum(round(p.pr * e.w / e.outw, 12)::DECIMAL(38,12))::DOUBLE AS s
+         |      sum(floor(p.p * e.w / e.outw + 0.5::DOUBLE)) AS s
          |    FROM e JOIN p${r - 1} p ON p.node = e.src GROUP BY e.dst) s
          |  ON s.dst = n.node)""".stripMargin
     }.mkString(",\n")
@@ -1369,26 +1408,33 @@ object SparkEntry {
        |    'doc:' || doc_id::VARCHAR AS dn,
        |    'site' || (doc_id % 7)::VARCHAR || '.example.com' AS h1,
        |    'mirror' || (doc_id % 3)::VARCHAR || '.example.org' AS h2,
-       |    'src:' || source AS sn
+       |    'src:' || source AS sn, n_chars AS nc
        |  FROM documents),
-       |raw AS (SELECT dn AS src, h1 AS dst FROM docs
-       |  UNION ALL SELECT h1, dn FROM docs
-       |  UNION ALL SELECT dn, h2 FROM docs
-       |  UNION ALL SELECT h2, dn FROM docs
-       |  UNION ALL SELECT dn, sn FROM docs
-       |  UNION ALL SELECT sn, dn FROM docs),
-       |eg AS (SELECT src, dst, count(*)::BIGINT AS w FROM raw GROUP BY 1, 2),
+       |raw AS (SELECT dn AS src, h1 AS dst, 1::BIGINT AS w FROM docs
+       |  UNION ALL SELECT h1, dn, 1::BIGINT FROM docs
+       |  UNION ALL SELECT dn, h2, 1::BIGINT FROM docs
+       |  UNION ALL SELECT h2, dn, 1::BIGINT FROM docs
+       |  UNION ALL SELECT dn, sn, $dw FROM docs
+       |  UNION ALL SELECT sn, dn, $dw FROM docs),
+       |eg AS (SELECT src, dst, sum(w)::BIGINT AS w FROM raw GROUP BY 1, 2),
        |ow AS (SELECT src, sum(w)::BIGINT AS outw FROM eg GROUP BY 1),
        |e AS MATERIALIZED (SELECT eg.src, eg.dst, eg.w, ow.outw
        |  FROM eg JOIN ow USING (src)),
-       |nodes AS MATERIALIZED (SELECT node FROM
+       |nodes AS MATERIALIZED (SELECT node, ($tele) AS tele FROM
        |  (SELECT src AS node FROM e UNION SELECT dst FROM e)),
-       |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
-       |p0 AS MATERIALIZED (SELECT node, 1::DOUBLE / nn.n AS pr
+       |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes
+       |  WHERE tele),
+       |p0 AS MATERIALIZED (SELECT node, tele,
+       |  CASE WHEN tele THEN floor(1e12 / nn.n + 0.5::DOUBLE)
+       |       ELSE 0::DOUBLE END AS p
        |  FROM nodes CROSS JOIN nn),
        |$rounds
-       |SELECT node, pr FROM p10""".stripMargin
+       |SELECT node, p / 1e12 AS pr FROM p10""".stripMargin
   }
+
+  private lazy val g1OracleSql: String = graphRankOracle(None)
+  private lazy val g2OracleSql: String =
+    graphRankOracle(Some("node LIKE 'src:%'"), weighted = true)
 
   /** DuckDB twin of [[ml1QualityClassifier]]: the same feature
     * projection, then 8 unrolled gradient/weight CTE pairs mirroring
@@ -3046,6 +3092,7 @@ object SparkEntry {
         |WHERE sample_rank <= tgt""".stripMargin,
     // h2 twin: dense band [2,15] anti-joined against the Hamming top-5
     "g1_graph_rank" -> g1OracleSql,
+    "g2_trust_rank" -> g2OracleSql,
     "ml1_quality_classifier" -> ml1OracleSql,
     "e1_ranking_metrics" -> e1OracleSql,
     "e2_calibration" -> e2OracleSql,

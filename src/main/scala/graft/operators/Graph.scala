@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Iterative graph-propagation operators over edge-list DataFrames —
   * the link-analysis signals web-scale corpus curation uses (host-level
@@ -38,13 +37,16 @@ object Graph {
     * chosen because redistribution needs an extra global sum per round
     * (one more action) for a constant the caller can fold in afterward.
     *
-    * Determinism: every per-edge contribution is rounded to the 1e-`grid`
-    * grid and summed in decimal(38, `grid`) — exact in any partition
-    * order, in any engine — and the per-node combine is plain IEEE
-    * double arithmetic on grid-aligned values, so two runs (or two
-    * engines mirroring the expression) agree bit for bit. Same recipe as
-    * the PCA moments ([[Pca.covariance]]) and RRF sums
-    * ([[Retrieval.rrfFuse]]).
+    * Determinism: ranks are carried as scaled integers (units of
+    * 10^-`grid`, same philosophy as [[Pca]]'s integer-grid moments).
+    * Every step is either a correctly-rounded IEEE double op (+, ×, ÷,
+    * floor — bit-identical in any engine) or a sum of integer-valued
+    * terms bounded far below 2⁵³ (exact in any partition order), and
+    * `floor(x + 0.5)` replaces decimal `round()` entirely — engine
+    * round() implementations disagree within 1 ulp of a half-up
+    * boundary, and at ~10⁵ roundings per run those boundaries do get
+    * hit. Two runs, two layouts, or two engines mirroring the
+    * expression tree agree bit for bit.
     *
     * Scale: per round — one shuffle-hash join of the (checkpointed once)
     * weighted edge list with the node-sized rank table on `src`, one
@@ -60,12 +62,42 @@ object Graph {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String] = None, iterations: Int = 10,
-      damping: Double = 0.85, grid: Int = 12): DataFrame = {
+      damping: Double = 0.85, grid: Int = 12): DataFrame =
+    propagate(edges, srcCol, dstCol, weightCol, None, iterations, damping,
+      grid)
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
+    * with the teleport restricted to a trusted seed set — rank flows
+    * out of hand-vetted nodes (trusted publishers / hosts), so pages
+    * only reachable from spam keep rank ~0. The anti-spam prior web
+    * curation mixes into quality scores.
+    *
+    * pr_0(v) = 1/|S| for seeds, else 0
+    * pr_r(v) = [v ∈ S]·(1−d)/|S| + d · Σ_{u→v} pr_{r-1}(u)·w(u,v)/W(u)
+    *
+    * Seeds not present in the edge list are ignored (they can neither
+    * receive nor forward mass). Same determinism and per-round shape as
+    * [[pageRank]].
+    */
+  def trustRank(
+      edges: DataFrame, seeds: DataFrame, srcCol: String, dstCol: String,
+      seedCol: String, weightCol: Option[String] = None,
+      iterations: Int = 10, damping: Double = 0.85, grid: Int = 12)
+      : DataFrame =
+    propagate(edges, srcCol, dstCol, weightCol,
+      Some(seeds.select(col(seedCol).cast("string").as("node"))),
+      iterations, damping, grid)
+
+  private def propagate(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String], seeds: Option[DataFrame],
+      iterations: Int, damping: Double, grid: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100] (got $iterations)")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1) (got $damping)")
-    require(grid >= 6 && grid <= 18, s"grid must be in [6, 18] (got $grid)")
+    require(grid >= 6 && grid <= 15,
+      s"grid must be in [6, 15] (got $grid) — 10^grid must stay integer-exact in doubles")
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     // Parallel edges collapse to one summed-weight edge up front (exact
     // long sums) so the per-round join moves one row per distinct edge.
@@ -78,23 +110,40 @@ object Graph {
     // without the checkpoint each round would re-run the collapse + outW
     // aggregation subtree.
     val e = e0.join(outW, "src").localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val n = nodes.count()
-    val base = (1.0 - damping) / n
-    val dec = DecimalType(38, grid)
-    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    // Node table carries the teleport membership flag (all nodes for
+    // PageRank, the seed intersection for TrustRank) — checkpointed once,
+    // re-joined every round.
+    val allNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = (seeds match {
+      case None => allNodes.withColumn("tele", lit(true))
+      case Some(s) =>
+        allNodes.join(s.distinct().withColumn("__s", lit(1)),
+            Seq("node"), "left")
+          .select(col("node"), col("__s").isNotNull.as("tele"))
+    }).localCheckpoint()
+    // |teleport set| — drives both the init mass and the per-round base.
+    val n = nodes.filter(col("tele")).count()
+    require(n > 0, "teleport set is empty (no seed appears in the graph)")
+    val scale = math.pow(10.0, grid) // exact: 10^grid < 2^53 for grid <= 15
+    val baseS = (1.0 - damping) / n * scale
+    // Ranks as integer-valued doubles in units of 1/scale (see the
+    // determinism note above). Contribution floors stay >= 0; per-dst
+    // sums are bounded by the total mass (~scale) — integer-exact.
+    var pr = nodes.withColumn("p",
+      when(col("tele"), lit(math.floor(scale / n + 0.5))).otherwise(lit(0.0)))
     for (_ <- 1 to iterations) {
       val sums = e.join(pr, col("src") === col("node"))
         .select(col("dst"),
-          round(col("pr") * col("w") / col("outw"), grid).cast(dec).as("c"))
+          floor(col("p") * col("w") / col("outw") + lit(0.5)).as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
       pr = nodes.join(sums, col("node") === col("dst"), "left")
-        .select(col("node"),
-          round(lit(base) + lit(damping) *
-            coalesce(col("s").cast("double"), lit(0.0)), grid).as("pr"))
+        .select(col("node"), col("tele"),
+          floor(when(col("tele"), lit(baseS)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("s"), lit(0L)).cast("double") +
+            lit(0.5)).cast("double").as("p"))
         .localCheckpoint()
     }
-    pr
+    pr.select(col("node"), (col("p") / lit(scale)).as("pr"))
   }
 }

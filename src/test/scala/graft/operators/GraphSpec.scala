@@ -79,6 +79,45 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r1.values.sum - 1.0) < 1e-6)
   }
 
+  test("trustRank: mass reaches only nodes reachable from the seeds") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"))
+      .toDF("src", "dst")
+    val pr = Graph.trustRank(edges, Seq("a").toDF("node"),
+        "src", "dst", "node")
+      .as[(String, Double)].collect().toMap
+    // the c <-> d component is unreachable from the seed
+    assert(pr("c") == 0.0 && pr("d") == 0.0)
+    // seed holds teleport mass + b's return flow
+    assert(pr("a") > pr("b") && pr("b") > 0.0)
+  }
+
+  test("trustRank: seeds outside the graph are ignored; all-absent throws") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val withGhost = Graph.trustRank(edges,
+        Seq("a", "zzz").toDF("node"), "src", "dst", "node")
+      .as[(String, Double)].collect().toMap
+    val plain = Graph.trustRank(edges, Seq("a").toDF("node"),
+        "src", "dst", "node")
+      .as[(String, Double)].collect().toMap
+    assert(withGhost == plain)
+    intercept[IllegalArgumentException] {
+      Graph.trustRank(edges, Seq("nope").toDF("node"), "src", "dst", "node")
+    }
+  }
+
+  test("trustRank with every node seeded equals pageRank") {
+    val edges = (0 until 50).flatMap { i =>
+      Seq((s"d$i", s"h${i % 5}"), (s"h${i % 5}", s"d$i"))
+    }.toDF("src", "dst")
+    val allNodes = ((0 until 50).map(i => s"d$i") ++
+      (0 until 5).map(i => s"h$i")).toDF("node")
+    val tr = Graph.trustRank(edges, allNodes, "src", "dst", "node")
+      .as[(String, Double)].collect().toMap
+    val pr = Graph.pageRank(edges, "src", "dst")
+      .as[(String, Double)].collect().toMap
+    assert(tr == pr) // exact ==
+  }
+
   test("per-round delta contracts geometrically (damping envelope)") {
     val edges = (0 until 100).flatMap { i =>
       Seq((s"d$i", s"h${i % 5}"), (s"h${i % 5}", s"d$i"))
