@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.{Decontamination, Dedup, Pca, Sampling, Similarity, TextAnalytics}
+import graft.operators.{Classifier, Decontamination, Dedup, Graph, Pca, Sampling, Similarity, TextAnalytics}
 
 /** Scaling probe for the dedup/text AND vector families: synthesizes
   * corpora at 1×, 4× and 16× the bench document count (deterministic
@@ -105,7 +105,35 @@ object ScaleProbe {
       // BOTH the build and probe sides of the bloom path
       "d15_bloom" -> (d => Decontamination.bloomDecontaminate(
         d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
-        d.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 3).count()))
+        d.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 3).count()),
+      // host count grows ∝ n/100 — a fixed host set at 1M docs would
+      // turn the per-round src join into a 7-key skew shuffle; scaling
+      // the blocking key with the corpus is the same knob discipline as
+      // d5's bands and d8's nlist
+      "g1_pagerank" -> { d =>
+        val n = d.count()
+        val nh = math.max(7L, n / 100)
+        val g = d.select(
+          concat(lit("doc:"), col("doc_id")).as("dn"),
+          concat(lit("host:"),
+            pmod(xxhash64(col("doc_id"), lit(1L)), lit(nh))).as("h"),
+          concat(lit("src:"),
+            pmod(xxhash64(col("doc_id"), lit(2L)), lit(20L))).as("s"))
+        val edges = Seq(("dn", "h"), ("h", "dn"), ("dn", "s"), ("s", "dn"))
+          .map { case (a, b) => g.select(col(a).as("src"), col(b).as("dst")) }
+          .reduce(_ unionByName _)
+        Graph.pageRank(edges, "src", "dst").count()
+      },
+      "ml1_classifier" -> { d =>
+        val feats = TextAnalytics.qualityScore(d, "doc_id", "text")
+          .select(col("id"),
+            (col("quality") >= lit(0.49)).cast("double").as("y"),
+            col("stop_ratio").as("x1"), col("uniq_ratio").as("x2"),
+            (col("n_tokens").cast("double") / lit(100.0)).as("x3"))
+        val m = Classifier.trainSoftsign(
+          feats, Seq("x1", "x2", "x3"), "y", rounds = 8)
+        Classifier.score(feats, Seq("x1", "x2", "x3"), m).count()
+      })
 
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "v1_cosine_topk" -> (e => Similarity.cosineTopK(
