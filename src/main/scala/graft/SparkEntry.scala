@@ -1030,25 +1030,45 @@ object SparkEntry {
     Retrieval.hardNegatives(ranked, positives, loRank = 2, hiRank = 15)
   }
 
-  /** g1: weighted PageRank over the doc ↔ host ↔ source affinity graph
-    * (host-trust propagation, the link-analysis quality signal of web
-    * curation) — each doc linked both ways to its two injected URL hosts
-    * (the t14 injection pattern) and to its source/publisher node, 10
-    * damped rounds. Full oracle: the per-edge contributions are rounded
-    * to a 1e-12 grid and summed in decimal, so the DuckDB twin's 10
-    * unrolled rounds reproduce every rank bit for bit.
+  /** The doc ↔ host ↔ source affinity graph both graph queries rank
+    * (mirrors the `docs`/`raw` CTEs of [[graphRankOracle]] — change them
+    * together): each doc linked both ways to its two injected URL hosts
+    * (the t14 injection pattern) and to its source/publisher node.
+    * `weighted` puts the doc's n_chars on the publisher pair (g2), so
+    * trust splits across a publisher's docs ∝ size — exercising weighted
+    * propagation and de-symmetrizing the regular synthetic graph.
+    * Returns (edges(src, dst, w), seeds(node)).
     */
-  private def g1GraphRank(s: SparkSession, d: String): DataFrame = {
+  private def affinityGraph(
+      s: SparkSession, d: String, weighted: Boolean)
+      : (DataFrame, DataFrame) = {
     val docs = T(s, d, "documents").select(
       concat(lit("doc:"), col("doc_id")).as("dn"),
       concat(lit("site"), col("doc_id") % 7, lit(".example.com")).as("h1"),
       concat(lit("mirror"), col("doc_id") % 3, lit(".example.org")).as("h2"),
-      concat(lit("src:"), col("source")).as("sn"))
-    val edges = Seq(("dn", "h1"), ("h1", "dn"), ("dn", "h2"), ("h2", "dn"),
-        ("dn", "sn"), ("sn", "dn"))
-      .map { case (a, b) => docs.select(col(a).as("src"), col(b).as("dst")) }
+      concat(lit("src:"), col("source")).as("sn"),
+      col("n_chars").as("nc"))
+    val edges = Seq(("dn", "h1", false), ("h1", "dn", false),
+        ("dn", "h2", false), ("h2", "dn", false),
+        ("dn", "sn", weighted), ("sn", "dn", weighted))
+      .map { case (a, b, wt) =>
+        docs.select(col(a).as("src"), col(b).as("dst"),
+          (if (wt) col("nc") else lit(1L)).as("w"))
+      }
       .reduce(_ unionByName _)
-    Graph.pageRank(edges, "src", "dst", iterations = 10)
+    (edges, docs.select(col("sn").as("node")))
+  }
+
+  /** g1: weighted PageRank over the [[affinityGraph]] (host-trust
+    * propagation, the link-analysis quality signal of web curation), 10
+    * damped rounds. Full oracle: ranks are scaled-integer IEEE
+    * arithmetic end to end, so the DuckDB twin's 10 unrolled rounds
+    * reproduce every rank bit for bit.
+    */
+  private def g1GraphRank(s: SparkSession, d: String): DataFrame = {
+    val (edges, _) = affinityGraph(s, d, weighted = false)
+    Graph.pageRank(edges, "src", "dst", weightCol = Some("w"),
+      iterations = 10)
   }
 
   /** e1: ranking-quality evaluation — MRR@10 and nDCG@10 of the binary
@@ -1079,26 +1099,9 @@ object SparkEntry {
     * seed-predicate teleport flag, bit-exact.
     */
   private def g2TrustRank(s: SparkSession, d: String): DataFrame = {
-    val docs = T(s, d, "documents").select(
-      concat(lit("doc:"), col("doc_id")).as("dn"),
-      concat(lit("site"), col("doc_id") % 7, lit(".example.com")).as("h1"),
-      concat(lit("mirror"), col("doc_id") % 3, lit(".example.org")).as("h2"),
-      concat(lit("src:"), col("source")).as("sn"),
-      col("n_chars").as("nc"))
-    // host links weight 1; the doc ↔ publisher pair carries n_chars so
-    // trust splits across a publisher's docs ∝ size — exercising the
-    // weighted propagation path end to end (and de-symmetrizing the
-    // otherwise perfectly regular synthetic graph).
-    val edges = Seq(("dn", "h1", false), ("h1", "dn", false),
-        ("dn", "h2", false), ("h2", "dn", false),
-        ("dn", "sn", true), ("sn", "dn", true))
-      .map { case (a, b, wt) =>
-        docs.select(col(a).as("src"), col(b).as("dst"),
-          (if (wt) col("nc") else lit(1L)).as("w"))
-      }
-      .reduce(_ unionByName _)
-    Graph.trustRank(edges, docs.select(col("sn").as("node")),
-      "src", "dst", "node", weightCol = Some("w"))
+    val (edges, seeds) = affinityGraph(s, d, weighted = true)
+    Graph.trustRank(edges, seeds, "src", "dst", "node",
+      weightCol = Some("w"))
   }
 
   /** ml1: distributed quality-classifier training + corpus scoring —
@@ -1445,25 +1448,27 @@ object SparkEntry {
     */
   private lazy val ml1ScoredCte: String = {
     val fs = Seq("x1", "x2", "x3")
+    // z consumes natural-unit weights (scaled-integer wS / 1e12) —
+    // identical operand values and tree shape to Classifier's zExpr.
     def z(wa: String) =
-      fs.zipWithIndex.map { case (f, j) => s" + $wa.w$j * $f" }
-        .mkString(s"$wa.b", "", "")
+      fs.zipWithIndex.map { case (f, j) => s" + $wa.w$j / 1e12 * $f" }
+        .mkString(s"$wa.b / 1e12", "", "")
     val rounds = (1 to 16).map { r =>
       val gs = fs.zipWithIndex.map { case (f, j) =>
-        s"sum(round((p - y) * $f, 12)::DECIMAL(38,12))::DOUBLE AS g$j"
+        s"sum(floor((p - y) * $f * 1e12 + 0.5::DOUBLE)::DECIMAL(38,0)) AS g$j"
       }.mkString(",\n    ")
       val ws = fs.indices.map { j =>
-        s"round(w.w$j - 8::DOUBLE * (g.g$j / nn.n), 12) AS w$j"
+        s"floor(w.w$j - 8::DOUBLE * (g.g$j::DOUBLE / nn.n) + 0.5::DOUBLE) AS w$j"
       }.mkString(",\n    ")
       s"""g$r AS MATERIALIZED (SELECT
-         |    sum(round(p - y, 12)::DECIMAL(38,12))::DOUBLE AS gb,
+         |    sum(floor((p - y) * 1e12 + 0.5::DOUBLE)::DECIMAL(38,0)) AS gb,
          |    $gs
          |  FROM (SELECT y, ${fs.mkString(", ")},
          |      0.5::DOUBLE * (1::DOUBLE + z / (1::DOUBLE + abs(z))) AS p
          |    FROM (SELECT f.*, ${z("w")} AS z
          |      FROM f CROSS JOIN w${r - 1} w) zf) pf),
          |w$r AS MATERIALIZED (SELECT
-         |    round(w.b - 8::DOUBLE * (g.gb / nn.n), 12) AS b,
+         |    floor(w.b - 8::DOUBLE * (g.gb::DOUBLE / nn.n) + 0.5::DOUBLE) AS b,
          |    $ws
          |  FROM w${r - 1} w CROSS JOIN g$r g CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
@@ -3090,12 +3095,12 @@ object SparkEntry {
         |  FROM docs)
         |SELECT id, domain, sample_rank FROM r JOIN t USING (domain)
         |WHERE sample_rank <= tgt""".stripMargin,
-    // h2 twin: dense band [2,15] anti-joined against the Hamming top-5
     "g1_graph_rank" -> g1OracleSql,
     "g2_trust_rank" -> g2OracleSql,
     "ml1_quality_classifier" -> ml1OracleSql,
     "e1_ranking_metrics" -> e1OracleSql,
     "e2_calibration" -> e2OracleSql,
+    // h2 twin: dense band [2,15] anti-joined against the Hamming top-5
     "h2_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
         |    FROM embeddings WHERE vec_id < 5),

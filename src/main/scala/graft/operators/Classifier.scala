@@ -35,26 +35,23 @@ object Classifier {
       case (acc, (f, j)) => acc + lit(w(j)) * f
     }
 
-  /** Half-up decimal rounding matching Spark's `round` (Spark rounds the
-    * canonical shortest-decimal rendering of the double, i.e.
-    * BigDecimal.valueOf semantics — so does DuckDB's round in every case
-    * the oracle suite has exercised).
-    */
-  private def roundGrid(x: Double, s: Int): Double =
-    BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
-
   /** Fixed-round full-batch gradient descent for a linear classifier
     * under the [[softsign]] link and squared-error-style update
     * g_j = Σ_i (p_i − y_i)·x_ij / n,  w_j ← w_j − lr·g_j  (w_0 = 0).
     *
-    * Determinism: per-row gradient contributions are rounded to the
-    * 1e-`grid` grid and summed in decimal(38, grid) — exact in any
-    * partition order — and the driver-side weight update is a fixed
-    * sequence of IEEE double ops re-synchronized to the grid each round,
-    * so two runs (or a mirroring engine) reproduce the weights bit for
-    * bit. Same discipline as [[Pca.train]]'s moments + power iteration.
+    * Determinism: weights are carried as scaled integers (units of
+    * 10^-`grid`) and every per-row gradient contribution is
+    * `floor(v·10^grid + 0.5)` — a correctly-rounded IEEE sequence with
+    * NO engine round() anywhere in the loop (engine round()
+    * implementations disagree within 1 ulp of a half-up boundary, and a
+    * corpus × features × rounds worth of them does hit one — see
+    * [[Graph]]'s identical recipe). Contributions are integers, summed
+    * in decimal(38,0) so the sum is exact in any partition order and
+    * can't overflow a long at billion-row scale; the driver-side weight
+    * update is the same fixed floor-arithmetic any mirroring engine
+    * reproduces bit for bit.
     *
-    * Scale: each round is one aggregation producing d+1 decimal sums
+    * Scale: each round is one aggregation producing d+1 integer sums
     * (map-side partials, a d+1-column single row to the driver) over the
     * once-checkpointed feature projection; rounds are a fixed
     * hyperparameter. Nothing corpus-sized ever reaches the driver, and
@@ -65,7 +62,8 @@ object Classifier {
       rounds: Int = 8, lr: Double = 0.5, grid: Int = 12): LinearModel = {
     require(featureCols.nonEmpty, "need at least one feature column")
     require(rounds >= 1 && rounds <= 64, s"rounds in [1, 64] (got $rounds)")
-    require(grid >= 6 && grid <= 18, s"grid in [6, 18] (got $grid)")
+    require(grid >= 6 && grid <= 15,
+      s"grid in [6, 15] (got $grid) — 10^grid must stay integer-exact in doubles")
     // One projected materialization feeds all `rounds` scans.
     val m = df.select(
       (col(labelCol).cast("double").as("__y") +: featureCols.zipWithIndex
@@ -73,25 +71,31 @@ object Classifier {
       .localCheckpoint()
     val n = m.count()
     require(n > 0, "empty training input")
-    val dec = DecimalType(38, grid)
-    var b = 0.0
-    var w = Array.fill(featureCols.size)(0.0)
+    val scale = math.pow(10.0, grid)
+    val dec = DecimalType(38, 0)
+    // Scaled-integer weights; the z expression always consumes the
+    // natural-unit quotients (wS / scale) so scoring and engine twins
+    // share one expression shape.
+    var bS = 0.0
+    var wS = Array.fill(featureCols.size)(0.0)
     for (_ <- 1 to rounds) {
-      val p = softsign(zExpr(b, w, featureCols.indices.map(j => col(s"__x$j"))))
+      val p = softsign(zExpr(bS / scale, wS.map(_ / scale),
+        featureCols.indices.map(j => col(s"__x$j"))))
       val diff = p - col("__y")
-      val aggs = round(diff, grid).cast(dec).as("g_b") +:
+      val aggs = floor(diff * lit(scale) + lit(0.5)).cast(dec).as("g_b") +:
         featureCols.indices.map(j =>
-          round(diff * col(s"__x$j"), grid).cast(dec).as(s"g_$j"))
+          floor(diff * col(s"__x$j") * lit(scale) + lit(0.5)).cast(dec)
+            .as(s"g_$j"))
       val row = m.select(aggs: _*)
         .agg(sum("g_b").as("g_b"),
           featureCols.indices.map(j => sum(s"g_$j").as(s"g_$j")): _*)
         .head()
       def upd(cur: Double, i: Int): Double =
-        roundGrid(cur - lr * (row.getDecimal(i).doubleValue() / n), grid)
-      b = upd(b, 0)
-      w = Array.tabulate(w.length)(j => upd(w(j), j + 1))
+        math.floor(cur - lr * (row.getDecimal(i).doubleValue() / n) + 0.5)
+      bS = upd(bS, 0)
+      wS = Array.tabulate(wS.length)(j => upd(wS(j), j + 1))
     }
-    LinearModel(b, w, lr, grid)
+    LinearModel(bS / scale, wS.map(_ / scale), lr, grid)
   }
 
   /** Reliability-diagram calibration bins for a probabilistic scorer —

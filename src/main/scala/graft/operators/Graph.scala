@@ -100,7 +100,16 @@ object Graph {
       s"damping must be in (0, 1) (got $damping)")
     require(grid >= 6 && grid <= 15,
       s"grid must be in [6, 15] (got $grid) — 10^grid must stay integer-exact in doubles")
-    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    // Weights must be positive integers: a fractional weight would be
+    // silently truncated by the long cast (0.7 -> 0 zeroes the edge) and
+    // zero/negative weights corrupt mass conservation — fail loudly.
+    val w = weightCol.map { c =>
+      when(col(c).isNull || col(c).cast("double") <= 0 ||
+          col(c).cast("double") =!= col(c).cast("long").cast("double"),
+        raise_error(concat(lit(s"pageRank: weight column '$c' must hold " +
+          "positive integers, got "), col(c).cast("string"))))
+        .otherwise(col(c).cast("long"))
+    }.getOrElse(lit(1L))
     // Parallel edges collapse to one summed-weight edge up front (exact
     // long sums) so the per-round join moves one row per distinct edge.
     val e0 = edges.select(
@@ -126,7 +135,9 @@ object Graph {
     }).localCheckpoint()
     // |teleport set| — drives both the init mass and the per-round base.
     val n = nodes.filter(col("tele")).count()
-    require(n > 0, "teleport set is empty (no seed appears in the graph)")
+    require(n > 0,
+      if (seeds.isEmpty) "graph has no nodes (empty or all-null edge list)"
+      else "teleport set is empty (no seed appears in the graph)")
     val scale = math.pow(10.0, grid) // exact: 10^grid < 2^53 for grid <= 15
     val baseS = (1.0 - damping) / n * scale
     // Ranks as integer-valued doubles in units of 1/scale (see the

@@ -98,12 +98,22 @@ object Retrieval {
     val discCol = array(disc.map(lit): _*)
     val dec = DecimalType(38, grid)
     val gain = pow(lit(2.0), col("rel")) - lit(1.0)
+    // rank < 1 would silently read the discount table from the wrong
+    // end (element_at is 1-based, negative indexes from the tail) —
+    // fail loudly instead of corrupting DCG.
     val rk = ranked.select(col(qIdCol).cast("long").as("q_id"),
-      col(cIdCol).cast("long").as("c_id"), col(rankCol).cast("int").as("rank"))
+        col(cIdCol).cast("long").as("c_id"),
+        when(col(rankCol).cast("int") < 1,
+          raise_error(lit("rankingMetrics: ranks must be 1-based (got a rank < 1)")))
+          .otherwise(col(rankCol).cast("int")).as("rank"))
       .filter(col("rank") <= k)
+    // Duplicate (q_id, c_id) judgments (e.g. concatenated assessor
+    // files) would fan the hit join out and double-count DCG terms —
+    // collapse to the max grade (deterministic, unlike dropDuplicates).
     val jd = judgments.select(col(qIdCol).cast("long").as("q_id"),
         col(cIdCol).cast("long").as("c_id"), col(relCol).cast("int").as("rel"))
       .filter(col("rel") > 0)
+      .groupBy("q_id", "c_id").agg(max("rel").as("rel"))
     val hits = rk.join(jd, Seq("q_id", "c_id"), "left")
       .select(col("q_id"), col("rank"), coalesce(col("rel"), lit(0)).as("rel"))
     val perQ = hits.groupBy("q_id").agg(

@@ -15,27 +15,28 @@ class ClassifierSpec extends AnyFunSuite {
   private def refTrain(
       rows: Seq[(Double, Array[Double])], roundsN: Int, lr: Double,
       grid: Int): (Double, Array[Double]) = {
-    def rg(x: Double): Double =
-      BigDecimal(x).setScale(grid, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scale = math.pow(10.0, grid)
     val d = rows.head._2.length
-    var b = 0.0
-    var w = Array.fill(d)(0.0)
+    var bS = 0.0
+    var wS = Array.fill(d)(0.0)
     for (_ <- 1 to roundsN) {
-      // decimal-exact sums of grid-rounded contributions, any order
-      var gb = BigDecimal(0)
-      val g = Array.fill(d)(BigDecimal(0))
+      // exact integer sums of floor-gridded contributions, any order
+      var gb = 0L
+      val g = Array.fill(d)(0L)
       rows.foreach { case (y, x) =>
-        var z = b
-        for (j <- 0 until d) z += w(j) * x(j)
+        var z = bS / scale
+        for (j <- 0 until d) z += wS(j) / scale * x(j)
         val p = 0.5 * (1.0 + z / (1.0 + math.abs(z)))
-        gb += BigDecimal(rg(p - y))
-        for (j <- 0 until d) g(j) += BigDecimal(rg((p - y) * x(j)))
+        gb += math.floor((p - y) * scale + 0.5).toLong
+        for (j <- 0 until d)
+          g(j) += math.floor((p - y) * x(j) * scale + 0.5).toLong
       }
       val n = rows.size
-      b = rg(b - lr * (gb.toDouble / n))
-      w = Array.tabulate(d)(j => rg(w(j) - lr * (g(j).toDouble / n)))
+      bS = math.floor(bS - lr * (gb.toDouble / n) + 0.5)
+      wS = Array.tabulate(d)(j =>
+        math.floor(wS(j) - lr * (g(j).toDouble / n) + 0.5))
     }
-    (b, w)
+    (bS / scale, wS.map(_ / scale))
   }
 
   private val sep = Seq(

@@ -118,6 +118,18 @@ class GraphSpec extends AnyFunSuite {
     assert(tr == pr) // exact ==
   }
 
+  test("fractional, zero and negative weights are rejected, not truncated") {
+    val df = Seq(("a", "b", 0.7), ("b", "a", 1.0)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Graph.pageRank(df, "src", "dst", weightCol = Some("w")).collect()
+    }
+    assert(ex.getMessage.contains("positive integers"))
+    val zero = Seq(("a", "b", 0L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    intercept[Exception] {
+      Graph.pageRank(zero, "src", "dst", weightCol = Some("w")).collect()
+    }
+  }
+
   test("per-round delta contracts geometrically (damping envelope)") {
     val edges = (0 until 100).flatMap { i =>
       Seq((s"d$i", s"h${i % 5}"), (s"h${i % 5}", s"d$i"))

@@ -110,6 +110,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got._2 == 1.0 && got._4 == 1.0)
   }
 
+  test("rankingMetrics collapses duplicate judgments to the max grade") {
+    val ranked = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("q_id", "c_id", "rank")
+    val dup = Seq((1L, 10L, 1), (1L, 10L, 3), (1L, 20L, 2))
+      .toDF("q_id", "c_id", "rel") // doc 10 judged twice
+    val clean = Seq((1L, 10L, 3), (1L, 20L, 2)).toDF("q_id", "c_id", "rel")
+    val a = Retrieval.rankingMetrics(ranked, dup, k = 2)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    val b = Retrieval.rankingMetrics(ranked, clean, k = 2)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(a == b)
+    assert(a.head._4 == 1.0) // and that ideal == actual here
+  }
+
+  test("rankingMetrics rejects non-1-based ranks loudly") {
+    val ranked = Seq((1L, 10L, 0)).toDF("q_id", "c_id", "rank")
+    val judged = Seq((1L, 10L, 2)).toDF("q_id", "c_id", "rel")
+    val ex = intercept[Exception] {
+      Retrieval.rankingMetrics(ranked, judged, k = 3).collect()
+    }
+    assert(ex.getMessage.contains("1-based"))
+  }
+
   test("rankingMetrics is deterministic across partitionings") {
     val ranked = (0L until 20L).flatMap(q =>
       (1 to 10).map(r => (q, (q * 31 + r * 7) % 40, r))).toDF("q_id", "c_id", "rank")
