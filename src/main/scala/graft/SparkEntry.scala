@@ -1139,6 +1139,15 @@ object SparkEntry {
   private def e2Calibration(s: SparkSession, d: String): DataFrame =
     Classifier.calibrationBins(ml1QualityClassifier(s, d), "score", "y")
 
+  /** e3: exact ROC-AUC of the ml1 classifier against the gate label —
+    * Mann–Whitney with tie-averaged ranks, exact integer arithmetic to
+    * one final division. Full oracle: the shared ml1 chain plus the
+    * same group-wise rank algebra (HUGEINT on the DuckDB side — two
+    * DECIMAL(38) factors would overflow its width cap).
+    */
+  private def e3Auc(s: SparkSession, d: String): DataFrame =
+    Classifier.aucBinary(ml1QualityClassifier(s, d), "score", "y")
+
   /** v12: ANN recall@10 — the Hamming sketch retriever scored per query
     * against exact cosine ground truth. Full oracle: both rankings are
     * the oracle-proven v1/v10 forms and recall divides two small exact
@@ -1354,6 +1363,7 @@ object SparkEntry {
     "ml1_quality_classifier" -> (ml1QualityClassifier _),
     "e1_ranking_metrics" -> (e1RankingMetrics _),
     "e2_calibration" -> (e2Calibration _),
+    "e3_auc" -> (e3Auc _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t20_bpe_tokenize" -> (t20BpeTokenize _),
@@ -1501,6 +1511,31 @@ object SparkEntry {
   private lazy val ml1OracleSql: String =
     s"""WITH $ml1ScoredCte
        |SELECT id, y::BIGINT AS y, score, pred FROM scored""".stripMargin
+
+  /** DuckDB twin of [[e3Auc]]: the shared ml1 train/score chain, then
+    * the same tie-averaged Mann–Whitney algebra. The running sum
+    * windows over one row per DISTINCT score (no in-window ties → fully
+    * deterministic frame).
+    */
+  private lazy val e3OracleSql: String =
+    s"""WITH $ml1ScoredCte,
+       |gp AS (SELECT score, count(*)::BIGINT AS cnt,
+       |    sum(y::BIGINT)::BIGINT AS pos
+       |  FROM scored GROUP BY score),
+       |r AS (SELECT cnt, pos,
+       |    coalesce(sum(cnt) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS cumbefore
+       |  FROM gp),
+       |t AS (SELECT
+       |    sum(pos::HUGEINT * (2 * cumbefore + cnt + 1)::HUGEINT) AS s2,
+       |    sum(pos)::BIGINT AS npos, sum(cnt)::BIGINT AS n FROM r)
+       |SELECT npos AS n_pos, (n - npos)::BIGINT AS n_neg,
+       |  round(CASE WHEN npos = 0 OR n = npos THEN NULL
+       |    ELSE (s2 - npos::HUGEINT * (npos + 1)::HUGEINT)::DOUBLE
+       |      / (2::HUGEINT * npos::HUGEINT * (n - npos)::HUGEINT)::DOUBLE
+       |    END, 6) AS auc
+       |FROM t""".stripMargin
 
   /** DuckDB twin of [[e2Calibration]]: the shared ml1 train/score chain,
     * then one group-by over decile bins — decimal score sums, integer
@@ -3100,6 +3135,7 @@ object SparkEntry {
     "ml1_quality_classifier" -> ml1OracleSql,
     "e1_ranking_metrics" -> e1OracleSql,
     "e2_calibration" -> e2OracleSql,
+    "e3_auc" -> e3OracleSql,
     // h2 twin: dense band [2,15] anti-joined against the Hamming top-5
     "h2_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v

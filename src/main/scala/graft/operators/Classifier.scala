@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -125,6 +126,53 @@ object Classifier {
         round(meanScore, 6).as("mean_score"),
         round(fracPos, 6).as("frac_pos"),
         round(abs(meanScore - fracPos), 6).as("gap"))
+  }
+
+  /** Exact ROC-AUC of a binary scorer via the Mann–Whitney U statistic
+    * with tie-averaged ranks:
+    *
+    *   AUC = (Σ_pos avgrank − nPos·(nPos+1)/2) / (nPos·nNeg)
+    *
+    * where tied scores share their group's average rank — computed
+    * group-wise, so the result is independent of any within-tie order.
+    * All arithmetic is exact integers (doubled to keep half-integer
+    * average ranks integral) in decimal(38,0) until one final double
+    * division — bit-reproducible in any engine.
+    *
+    * Scale: one hash aggregate keyed on the score value, then a running
+    * sum over the DISTINCT scores — for grid-rounded scores (6dp from
+    * [[score]]) that window is bounded by the grid (≤ 10⁶+1 rows), not
+    * the corpus, so the unpartitioned window never sees data-sized
+    * input.
+    *
+    * Output: one row (n_pos, n_neg, auc) — auc null when a class is
+    * empty.
+    */
+  def aucBinary(
+      scored: DataFrame, scoreCol: String, labelCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = scored.select(col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = g.withColumn("cumbefore", coalesce(sum("cnt").over(w), lit(0L)))
+      // 2·avgrank of a tie group = 2·cumbefore + cnt + 1
+      .select((col("pos").cast(dec) *
+          (lit(2) * col("cumbefore") + col("cnt") + lit(1)).cast(dec))
+          .as("c"),
+        col("pos"), col("cnt"))
+      .agg(sum("c").as("s2"), sum("pos").as("npos"), sum("cnt").as("n"))
+    t.select(col("npos").as("n_pos"), (col("n") - col("npos")).as("n_neg"),
+      round(when(col("npos") === 0 || col("n") === col("npos"), lit(null))
+        .otherwise(
+          (col("s2") - (col("npos").cast(dec) *
+            (col("npos") + lit(1)).cast(dec))).cast("double") /
+          (lit(2).cast(dec) * col("npos").cast(dec) *
+            (col("n") - col("npos")).cast(dec)).cast("double")),
+        roundTo).as("auc"))
   }
 
   /** Score every row with a trained model: appends `score` (the softsign

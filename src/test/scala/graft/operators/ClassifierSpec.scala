@@ -100,6 +100,54 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("aucBinary matches hand-computed values incl. ties and edges") {
+    // perfect separation -> 1.0
+    val perfect = Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L))
+      .toDF("score", "y")
+    val p = Classifier.aucBinary(perfect, "score", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(p == ((2L, 2L, Some(1.0))))
+    // worst case -> 0.0
+    val worst = Seq((0.9, 0L), (0.1, 1L)).toDF("score", "y")
+    assert(Classifier.aucBinary(worst, "score", "y")
+      .as[(Long, Long, Option[Double])].collect().head._3 == Some(0.0))
+    // all tied -> 0.5 exactly (average ranks)
+    val tied = Seq((0.5, 1L), (0.5, 0L), (0.5, 1L), (0.5, 0L))
+      .toDF("score", "y")
+    assert(Classifier.aucBinary(tied, "score", "y")
+      .as[(Long, Long, Option[Double])].collect().head._3 == Some(0.5))
+    // hand case: scores 0.1(y0) 0.4(y1) 0.35(y0) 0.8(y1):
+    // ranks asc: 0.1->1, 0.35->2, 0.4->3, 0.8->4; pos ranks 3+4=7
+    // AUC = (7 - 2*3/2) / (2*2) = 4/4 = 1.0
+    val h = Seq((0.1, 0L), (0.4, 1L), (0.35, 0L), (0.8, 1L)).toDF("score", "y")
+    assert(Classifier.aucBinary(h, "score", "y")
+      .as[(Long, Long, Option[Double])].collect().head._3 == Some(1.0))
+    // one positive below one negative among two: AUC = 0.75 case
+    // scores: 0.9(y1) 0.8(y0) 0.7(y1) 0.1(y0): pos ranks 4 + 2 = 6
+    // AUC = (6 - 3) / (2*2) = 0.75
+    val m = Seq((0.9, 1L), (0.8, 0L), (0.7, 1L), (0.1, 0L)).toDF("score", "y")
+    assert(Classifier.aucBinary(m, "score", "y")
+      .as[(Long, Long, Option[Double])].collect().head._3 == Some(0.75))
+    // single-class input -> null auc
+    val one = Seq((0.9, 1L), (0.1, 1L)).toDF("score", "y")
+    val o = Classifier.aucBinary(one, "score", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(o._1 == 2L && o._2 == 0L && o._3.isEmpty)
+  }
+
+  test("aucBinary is independent of within-tie ordering and partitioning") {
+    val rows = (0 until 200).map { i =>
+      (math.floor(i / 20.0) / 10.0, (i % 3 == 0).compareTo(false).toLong)
+    }
+    val a = Classifier.aucBinary(rows.toDF("score", "y"), "score", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+    val b = Classifier.aucBinary(
+        scala.util.Random.shuffle(rows).toDF("score", "y").repartition(7),
+        "score", "y")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(a == b)
+  }
+
   test("guards: empty features, bad rounds") {
     val df = sep.toDF("y", "x1", "x2")
     intercept[IllegalArgumentException] {
