@@ -369,6 +369,27 @@ object SparkEntry {
       .groupBy("hour_start", "event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
 
+  /** st2: click → purchase attribution within 1 hour per user — the
+    * batch form of [[graft.streaming.StreamJoin.attributionJoin]]
+    * (`StreamJoinSpec` proves the identical condition runs as a
+    * watermarked stream-stream inner join). Full oracle: plain range
+    * join + integer nanosecond gap.
+    */
+  private def st2AttributionJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = T(s, d, "events").select("event_id", "user_id", "event_type",
+      "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val convs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    graft.streaming.StreamJoin.attributionJoin(
+        clicks, convs, lit(3600000000000L))
+      .select(col("click_id"), col("conv_id"), col("user_id"),
+        expr("(p_ts - c_ts) div 1000000000").as("gap_s"))
+  }
+
   // ---- training-data pipeline: dedup ------------------------------------
 
   private def d1ExactDedup(s: SparkSession, d: String): DataFrame =
@@ -1364,6 +1385,7 @@ object SparkEntry {
     "e1_ranking_metrics" -> (e1RankingMetrics _),
     "e2_calibration" -> (e2Calibration _),
     "e3_auc" -> (e3Auc _),
+    "st2_attribution_join" -> (st2AttributionJoin _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t20_bpe_tokenize" -> (t20BpeTokenize _),
@@ -2073,6 +2095,16 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "st2_attribution_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+        |    FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS conv_id, user_id, ts AS p_ts
+        |    FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.conv_id, c.user_id,
+        |  (epoch_ns(p.p_ts) - epoch_ns(c.c_ts)) // 1000000000 AS gap_s
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_ts >= c.c_ts
+        |  AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1""".stripMargin,
