@@ -315,6 +315,13 @@ class PlanQualitySpec extends AnyFunSuite {
       !mp.contains("BroadcastNestedLoopJoin"), s"quadratic metrics join:\n$mp")
   }
 
+  test("attribution range join keys on user_id, never a time cross product") {
+    val plan = planOf(SparkEntry.queries("st2_attribution_join")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"attribution join degenerated to a cross product:\n$plan")
+  }
+
   test("dedup self-joins reuse one exchange per side at runtime") {
     val df = Dedup.ngramJaccardPairs(
       Tables.documents(spark, dir), "doc_id", "text")
