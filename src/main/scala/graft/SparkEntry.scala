@@ -1160,6 +1160,20 @@ object SparkEntry {
   private def e2Calibration(s: SparkSession, d: String): DataFrame =
     Classifier.calibrationBins(ml1QualityClassifier(s, d), "score", "y")
 
+  /** c7: distribution-drift monitor — PSI over quality-score deciles
+    * between the full corpus and its en-filtered subset (the shift a
+    * curation policy would introduce; the "did the mix move" release
+    * gate). Full oracle: exact bin counts and rational shares, one ln
+    * rounded at 6dp (the proven LM-family pattern).
+    */
+  private def c7DriftPsi(s: SparkSession, d: String): DataFrame = {
+    val all = T(s, d, "documents")
+    val scored = TextAnalytics.qualityScore(all, "doc_id", "text")
+    val en = TextAnalytics.qualityScore(
+      all.filter(col("lang") === "en"), "doc_id", "text")
+    Profiling.distributionDrift(scored, en, "quality", 0.0, 1.0, bins = 10)
+  }
+
   /** e3: exact ROC-AUC of the ml1 classifier against the gate label —
     * Mann–Whitney with tie-averaged ranks, exact integer arithmetic to
     * one final division. Full oracle: the shared ml1 chain plus the
@@ -1386,6 +1400,7 @@ object SparkEntry {
     "e2_calibration" -> (e2Calibration _),
     "e3_auc" -> (e3Auc _),
     "st2_attribution_join" -> (st2AttributionJoin _),
+    "c7_drift_psi" -> (c7DriftPsi _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t20_bpe_tokenize" -> (t20BpeTokenize _),
@@ -1533,6 +1548,45 @@ object SparkEntry {
   private lazy val ml1OracleSql: String =
     s"""WITH $ml1ScoredCte
        |SELECT id, y::BIGINT AS y, score, pred FROM scored""".stripMargin
+
+  /** DuckDB twin of [[c7DriftPsi]]: the t2 quality formula for both
+    * sides, exact bin counts on the generate_series axis, and the same
+    * smoothed-share PSI expression (one ln, rounded 6dp).
+    */
+  private lazy val c7OracleSql: String = {
+    val pa = "(coalesce(ca.n_a, 0) + 1)::DOUBLE / (nn.na + 10)"
+    val pb = "(coalesce(cb.n_b, 0) + 1)::DOUBLE / (nn.nb + 10)"
+    s"""WITH ql AS MATERIALIZED (SELECT lang,
+       |    round(sr * 0.25 + ur * 0.5 + lok * 0.25, 4) AS quality
+       |  FROM (SELECT lang,
+       |      len(list_filter(w, t -> t IN
+       |        ('the','a','to','of','and','in','on','for')))::DOUBLE
+       |        / len(w) AS sr,
+       |      len(list_distinct(w))::DOUBLE / len(w) AS ur,
+       |      CASE WHEN len(w) BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END
+       |        AS lok
+       |    FROM (SELECT lang, string_split(text, ' ') AS w
+       |      FROM documents))),
+       |ca AS (SELECT least(greatest(
+       |      floor((quality - 0::DOUBLE) * 10::DOUBLE), 0::DOUBLE),
+       |      9::DOUBLE)::BIGINT AS bin,
+       |    count(*)::BIGINT AS n_a
+       |  FROM ql GROUP BY 1),
+       |cb AS (SELECT least(greatest(
+       |      floor((quality - 0::DOUBLE) * 10::DOUBLE), 0::DOUBLE),
+       |      9::DOUBLE)::BIGINT AS bin,
+       |    count(*)::BIGINT AS n_b
+       |  FROM ql WHERE lang = 'en' GROUP BY 1),
+       |nn AS (SELECT count(*)::BIGINT AS na,
+       |    sum((lang = 'en')::INT)::BIGINT AS nb FROM ql),
+       |ax AS (SELECT unnest(generate_series(0, 9))::BIGINT AS bin)
+       |SELECT ax.bin, coalesce(ca.n_a, 0)::BIGINT AS n_a,
+       |  coalesce(cb.n_b, 0)::BIGINT AS n_b,
+       |  round($pa, 6) AS p_a, round($pb, 6) AS p_b,
+       |  round(($pa - $pb) * ln(($pa) / ($pb)), 6) AS psi
+       |FROM ax LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)
+       |CROSS JOIN nn""".stripMargin
+  }
 
   /** DuckDB twin of [[e3Auc]]: the shared ml1 train/score chain, then
     * the same tie-averaged Mann–Whitney algebra. The running sum
@@ -3168,6 +3222,7 @@ object SparkEntry {
     "e1_ranking_metrics" -> e1OracleSql,
     "e2_calibration" -> e2OracleSql,
     "e3_auc" -> e3OracleSql,
+    "c7_drift_psi" -> c7OracleSql,
     // h2 twin: dense band [2,15] anti-joined against the Hamming top-5
     "h2_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v

@@ -43,4 +43,50 @@ object Profiling {
           col("mean"), col("stddev"))
     }.reduce(_ unionByName _)
   }
+
+  /** Distribution-drift monitor between two corpus versions: the
+    * Population Stability Index over fixed equal-width bins of a
+    * bounded score column —
+    *
+    *   PSI_bin = (p_bin − q_bin) · ln(p_bin / q_bin)
+    *
+    * with Laplace-smoothed shares p = (cnt+1)/(n+bins) so empty bins
+    * stay finite (and the ln argument exact-rational). The release-gate
+    * check "did the new crawl shift the quality/domain mix" — PSI < 0.1
+    * is the conventional no-drift threshold, Σ over bins.
+    *
+    * Shape: one hash aggregate per side keyed on ≤ `bins` bin ids
+    * (map-side partials), broadcast-joined onto the literal bin axis so
+    * every bin appears even when one side is empty there. Determinism:
+    * bin ids and shares are exact integer/rational arithmetic; the one
+    * ln() rounds at 6dp like every LM-family query.
+    *
+    * Output: (bin, n_a, n_b, p_a, p_b, psi) — one row per bin.
+    */
+  def distributionDrift(
+      a: DataFrame, b: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins in [2, 10000] (got $bins)")
+    require(lo < hi, s"need lo < hi (got [$lo, $hi))")
+    val inv = bins / (hi - lo)
+    def counts(df: DataFrame, tag: String): DataFrame =
+      df.select(least(greatest(
+          floor((col(valueCol).cast("double") - lit(lo)) * lit(inv)),
+          lit(0L)), lit(bins - 1L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(s"n_$tag"))
+    val axis = a.sparkSession.range(bins).select(col("id").as("bin"))
+    val na = a.count()
+    val nb = b.count()
+    val pA = (coalesce(col("n_a"), lit(0L)) + lit(1)).cast("double") /
+      lit((na + bins).toDouble)
+    val pB = (coalesce(col("n_b"), lit(0L)) + lit(1)).cast("double") /
+      lit((nb + bins).toDouble)
+    axis.join(counts(a, "a"), Seq("bin"), "left")
+      .join(counts(b, "b"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+        round((pA - pB) * log(pA / pB), 6).as("psi"))
+  }
 }

@@ -23,4 +23,44 @@ class ProfilingSpec extends AnyFunSuite {
     assert(s.getString(4) == "a" && s.getString(5) == "b")
     assert(s.isNullAt(6) && s.isNullAt(7))
   }
+
+  test("distributionDrift: identical distributions give psi exactly 0") {
+    import spark.implicits._
+    val a = Seq(0.05, 0.15, 0.35, 0.75, 0.95).toDF("v")
+    val got = Profiling.distributionDrift(a, a, "v", 0.0, 1.0, bins = 10)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 10)
+    assert(got.forall(r => r._6 == 0.0)) // p == q -> (p-q)·ln(1) = 0
+    assert(got.count(r => r._2 > 0) == 5)
+  }
+
+  test("distributionDrift flags a shifted distribution, bins are clamped") {
+    import spark.implicits._
+    // a: mass at the low end; b: mass at the high end (+ out-of-range
+    // values that must clamp into the edge bins, not crash or vanish)
+    val a = Seq(0.05, 0.1, 0.15, 0.12, -0.5).toDF("v") // -0.5 -> bin 0
+    val b = Seq(0.85, 0.9, 0.95, 1.0, 7.0).toDF("v")   // 1.0, 7.0 -> bin 9
+    val got = Profiling.distributionDrift(a, b, "v", 0.0, 1.0, bins = 10)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._2 == 2L && got(0L)._3 == 0L) // 0.05 and clamped -0.5
+    assert(got(9L)._2 == 0L && got(9L)._3 == 4L) // 0.9, 0.95, 1.0, 7.0
+    // total PSI over bins clearly above the 0.1 no-drift threshold
+    val total = got.values.map(_._6).sum
+    assert(total > 0.1, s"expected drift, psi=$total")
+    // every bin finite (Laplace smoothing covers empty bins)
+    assert(got.values.forall(r => !r._6.isNaN && !r._6.isInfinite))
+  }
+
+  test("distributionDrift is deterministic across partitionings") {
+    import spark.implicits._
+    val a = (0 until 500).map(i => (i % 97) / 100.0).toDF("v")
+    val b = (0 until 300).map(i => (i % 89) / 100.0).toDF("v")
+    val r1 = Profiling.distributionDrift(a, b, "v", 0.0, 1.0)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val r2 = Profiling.distributionDrift(
+        a.repartition(7), b.repartition(3), "v", 0.0, 1.0)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(r1.toSeq == r2.toSeq)
+  }
 }
