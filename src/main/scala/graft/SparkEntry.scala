@@ -1487,11 +1487,12 @@ object SparkEntry {
     graphRankOracle(Some("node LIKE 'src:%'"), weighted = true)
 
   /** DuckDB twin of [[ml1QualityClassifier]]: the same feature
-    * projection, then 8 unrolled gradient/weight CTE pairs mirroring
+    * projection, then 16 unrolled gradient/weight CTE pairs mirroring
     * [[graft.operators.Classifier.trainSoftsign]]'s expression tree —
-    * grid-rounded contributions summed in decimal(38,12), the weight
-    * update a fixed double-arithmetic sequence re-rounded to the grid —
-    * then the same scan-side scoring pass with the w8 weights.
+    * scaled-integer weights, floor-gridded contributions summed exactly
+    * in DECIMAL(38,0), the weight update a fixed floor-arithmetic
+    * sequence — then the same scan-side scoring pass with the w16
+    * weights (z consumes the natural-unit quotients wS/1e12).
     */
   private lazy val ml1ScoredCte: String = {
     val fs = Seq("x1", "x2", "x3")

@@ -152,7 +152,14 @@ object Classifier {
       scored: DataFrame, scoreCol: String, labelCol: String,
       roundTo: Int = 6): DataFrame = {
     val dec = DecimalType(38, 0)
-    val g = scored.select(col(scoreCol).cast("double").as("score"),
+    // Null/NaN scores have no rank: Spark orders nulls first and NaN
+    // last while engine twins order them differently — reject loudly
+    // instead of producing a divergent, meaningless AUC.
+    val sc = col(scoreCol).cast("double")
+    val g = scored.select(
+        when(sc.isNull || isnan(sc),
+          raise_error(lit("aucBinary: score column must be non-null and " +
+            "non-NaN"))).otherwise(sc).as("score"),
         col(labelCol).cast("long").as("y"))
       .groupBy("score")
       .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))

@@ -66,7 +66,7 @@ object Graph {
       weightCol: Option[String] = None, iterations: Int = 10,
       damping: Double = 0.85, grid: Int = 12): DataFrame =
     propagate(edges, srcCol, dstCol, weightCol, None, iterations, damping,
-      grid)
+      grid, op = "pageRank")
 
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
     * with the teleport restricted to a trusted seed set — rank flows
@@ -88,12 +88,13 @@ object Graph {
       : DataFrame =
     propagate(edges, srcCol, dstCol, weightCol,
       Some(seeds.select(col(seedCol).cast("string").as("node"))),
-      iterations, damping, grid)
+      iterations, damping, grid, op = "trustRank")
 
   private def propagate(
       edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String], seeds: Option[DataFrame],
-      iterations: Int, damping: Double, grid: Int): DataFrame = {
+      iterations: Int, damping: Double, grid: Int,
+      op: String = "pageRank"): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100] (got $iterations)")
     require(damping > 0.0 && damping < 1.0,
@@ -103,10 +104,14 @@ object Graph {
     // Weights must be positive integers: a fractional weight would be
     // silently truncated by the long cast (0.7 -> 0 zeroes the edge) and
     // zero/negative weights corrupt mass conservation — fail loudly.
+    // The null/NaN-ness of the CAST (not just the column) must be
+    // tested: a malformed string casts to null and every comparison
+    // against null is null, which `when` treats as false — fail-open.
     val w = weightCol.map { c =>
-      when(col(c).isNull || col(c).cast("double") <= 0 ||
-          col(c).cast("double") =!= col(c).cast("long").cast("double"),
-        raise_error(concat(lit(s"pageRank: weight column '$c' must hold " +
+      val d = col(c).cast("double")
+      when(col(c).isNull || d.isNull || isnan(d) || d <= 0 ||
+          d =!= col(c).cast("long").cast("double"),
+        raise_error(concat(lit(s"$op: weight column '$c' must hold " +
           "positive integers, got "), col(c).cast("string"))))
         .otherwise(col(c).cast("long"))
     }.getOrElse(lit(1L))

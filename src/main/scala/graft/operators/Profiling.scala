@@ -69,20 +69,33 @@ object Profiling {
     require(bins >= 2 && bins <= 10000, s"bins in [2, 10000] (got $bins)")
     require(lo < hi, s"need lo < hi (got [$lo, $hi))")
     val inv = bins / (hi - lo)
+    // Null and NaN values are excluded from BOTH the shares'
+    // denominators and the bins (a null bin would vanish in the axis
+    // join while still inflating n; NaN would clamp into bin 0 as fake
+    // low-end mass). The 1-column projection is localCheckpointed so the
+    // count action and the bin aggregation don't each re-run the
+    // caller's upstream plan (c7 feeds a full tokenize chain here).
+    def clean(df: DataFrame): DataFrame = {
+      val v = col(valueCol).cast("double")
+      df.select(v.as("__v")).filter(col("__v").isNotNull && !isnan(col("__v")))
+        .localCheckpoint()
+    }
     def counts(df: DataFrame, tag: String): DataFrame =
       df.select(least(greatest(
-          floor((col(valueCol).cast("double") - lit(lo)) * lit(inv)),
+          floor((col("__v") - lit(lo)) * lit(inv)),
           lit(0L)), lit(bins - 1L)).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(s"n_$tag"))
+    val ca = clean(a)
+    val cb = clean(b)
     val axis = a.sparkSession.range(bins).select(col("id").as("bin"))
-    val na = a.count()
-    val nb = b.count()
+    val na = ca.count()
+    val nb = cb.count()
     val pA = (coalesce(col("n_a"), lit(0L)) + lit(1)).cast("double") /
       lit((na + bins).toDouble)
     val pB = (coalesce(col("n_b"), lit(0L)) + lit(1)).cast("double") /
       lit((nb + bins).toDouble)
-    axis.join(counts(a, "a"), Seq("bin"), "left")
-      .join(counts(b, "b"), Seq("bin"), "left")
+    axis.join(counts(ca, "a"), Seq("bin"), "left")
+      .join(counts(cb, "b"), Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),

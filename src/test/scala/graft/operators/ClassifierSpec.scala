@@ -135,6 +135,18 @@ class ClassifierSpec extends AnyFunSuite {
     assert(o._1 == 2L && o._2 == 0L && o._3.isEmpty)
   }
 
+  test("aucBinary rejects null and NaN scores loudly") {
+    val withNull = Seq((Some(0.9), 1L), (None, 0L)).toDF("score", "y")
+    val ex = intercept[Exception] {
+      Classifier.aucBinary(withNull, "score", "y").collect()
+    }
+    assert(ex.getMessage.contains("non-null"))
+    val withNan = Seq((0.9, 1L), (Double.NaN, 0L)).toDF("score", "y")
+    intercept[Exception] {
+      Classifier.aucBinary(withNan, "score", "y").collect()
+    }
+  }
+
   test("aucBinary is independent of within-tie ordering and partitioning") {
     val rows = (0 until 200).map { i =>
       (math.floor(i / 20.0) / 10.0, (i % 3 == 0).compareTo(false).toLong)

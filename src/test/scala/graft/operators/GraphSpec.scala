@@ -128,6 +128,15 @@ class GraphSpec extends AnyFunSuite {
     intercept[Exception] {
       Graph.pageRank(zero, "src", "dst", weightCol = Some("w")).collect()
     }
+    // a malformed string weight casts to null — every comparison with
+    // null is null, so the guard must test the cast's nullness too
+    val junk = Seq(("a", "b", "abc"), ("b", "a", "1")).toDF("src", "dst", "w")
+    val ex2 = intercept[Exception] {
+      Graph.trustRank(junk, Seq("a").toDF("node"), "src", "dst", "node",
+        weightCol = Some("w")).collect()
+    }
+    assert(ex2.getMessage.contains("trustRank"),
+      s"wrong op label: ${ex2.getMessage}")
   }
 
   test("per-round delta contracts geometrically (damping envelope)") {

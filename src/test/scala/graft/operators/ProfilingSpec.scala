@@ -52,6 +52,18 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got.values.forall(r => !r._6.isNaN && !r._6.isInfinite))
   }
 
+  test("distributionDrift excludes null/NaN from bins AND denominators") {
+    import spark.implicits._
+    val withJunk = Seq(Some(0.05), None, Some(Double.NaN), Some(0.15))
+      .toDF("v")
+    val cleanOnly = Seq(0.05, 0.15).toDF("v")
+    val a = Profiling.distributionDrift(withJunk, cleanOnly, "v", 0.0, 1.0)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val b = Profiling.distributionDrift(cleanOnly, cleanOnly, "v", 0.0, 1.0)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // junk rows fully invisible
+  }
+
   test("distributionDrift is deterministic across partitionings") {
     import spark.implicits._
     val a = (0 until 500).map(i => (i % 97) / 100.0).toDF("v")
