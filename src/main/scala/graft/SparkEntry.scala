@@ -3022,10 +3022,13 @@ object SparkEntry {
     // sums on the 1e7 quantization grid (order-independent in both
     // engines), finishing mean/var/z math in double with the identical
     // IEEE operation sequence — s2/n - (s1/n)*(s1/n), never a fused
-    // avg/stddev whose accumulation order the engine picks.
+    // avg/stddev whose accumulation order the engine picks. No engine
+    // round() anywhere: quantizer and output are both ⌊x+½⌋ (single
+    // exactly-specified IEEE ops), and the output column is a scaled
+    // BIGINT so the hash never sees a float representation.
     "v7_standardize" ->
       """WITH e2 AS (SELECT id, (i - 1)::BIGINT AS dim,
-        |    round(e[i]::DOUBLE * 10000000.0)::BIGINT AS vi
+        |    floor(e[i]::DOUBLE * 10000000.0 + 0.5)::BIGINT AS vi
         |  FROM (SELECT vec_id AS id, embedding AS e,
         |      unnest(generate_series(1, len(embedding))) AS i
         |    FROM embeddings)),
@@ -3033,12 +3036,13 @@ object SparkEntry {
         |    sum(vi::HUGEINT * vi)::DOUBLE AS s2, count(*) AS n
         |  FROM e2 GROUP BY 1)
         |SELECT id, dim,
-        |  round((vi::DOUBLE - s1 / n)
-        |    / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS z
+        |  floor((vi::DOUBLE - s1 / n)
+        |    / sqrt(s2 / n - (s1 / n) * (s1 / n))
+        |    * 10000.0 + 0.5)::BIGINT AS z_scaled
         |FROM e2 JOIN st USING (dim)""".stripMargin,
     "v8_pca_cov" ->
       """WITH e2 AS (SELECT id, (i - 1)::BIGINT AS dim,
-        |    round(e[i]::DOUBLE * 10000000.0)::BIGINT AS vi
+        |    floor(e[i]::DOUBLE * 10000000.0 + 0.5)::BIGINT AS vi
         |  FROM (SELECT vec_id AS id, embedding AS e,
         |      unnest(generate_series(1, len(embedding))) AS i
         |    FROM embeddings)),
@@ -3047,8 +3051,8 @@ object SparkEntry {
         |    sum(a.vi::HUGEINT * b.vi)::DOUBLE AS sij, count(*) AS n
         |  FROM e2 a JOIN e2 b USING (id) GROUP BY 1, 2)
         |SELECT i, j,
-        |  round((sij / n - (mi.s1 / n) * (mj.s1 / n))
-        |    / 100000000000000.0, 6) AS cov
+        |  floor((sij / n - (mi.s1 / n) * (mj.s1 / n))
+        |    / 100000000000000.0 * 1000000.0 + 0.5)::BIGINT AS cov_scaled
         |FROM p JOIN m mi ON mi.dim = p.i JOIN m mj ON mj.dim = p.j""".stripMargin,
     // v9 re-runs the ENTIRE PCA train inside DuckDB: the v8 moment recipe
     // feeds a recursive-CTE power iteration (200 its × 4 deflations) whose
@@ -3059,7 +3063,7 @@ object SparkEntry {
     "v9_pca_project" ->
       """WITH RECURSIVE
         |e2 AS (SELECT id, (i - 1)::BIGINT AS dim,
-        |    round(e[i]::DOUBLE * 10000000.0)::BIGINT AS vi
+        |    floor(e[i]::DOUBLE * 10000000.0 + 0.5)::BIGINT AS vi
         |  FROM (SELECT vec_id AS id, embedding AS e,
         |      unnest(generate_series(1, len(embedding))) AS i
         |    FROM embeddings)),
@@ -3109,8 +3113,8 @@ object SparkEntry {
         |      (SELECT mean FROM mn)) AS off
         |  FROM range(0, 4) t(comp))
         |SELECT e.vec_id AS id, wf.comp::BIGINT AS component,
-        |  round(list_dot_product(e.embedding::DOUBLE[], wf.w) - wf.off, 4)
-        |    AS value
+        |  floor((list_dot_product(e.embedding::DOUBLE[], wf.w) - wf.off)
+        |    * 10000.0 + 0.5)::BIGINT AS value
         |FROM embeddings e CROSS JOIN wf""".stripMargin,
     // v3/v5/v6 re-run the portable k-means trains in DuckDB (md5-sliver
     // init, grid-mean Lloyd rounds — see pqTrainCte) and then mirror the

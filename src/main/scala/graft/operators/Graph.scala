@@ -104,16 +104,19 @@ object Graph {
     // Weights must be positive integers: a fractional weight would be
     // silently truncated by the long cast (0.7 -> 0 zeroes the edge) and
     // zero/negative weights corrupt mass conservation — fail loudly.
-    // The null/NaN-ness of the CAST (not just the column) must be
-    // tested: a malformed string casts to null and every comparison
-    // against null is null, which `when` treats as false — fail-open.
+    // try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    // on a malformed string throws CAST_INVALID_INPUT before this guard
+    // evaluates, stealing the labeled error; try_cast yields null, and
+    // the null/NaN-ness of the CAST (not just the column) must then be
+    // tested — every comparison against null is null, which `when`
+    // treats as false — so an untested null would fail-open.
     val w = weightCol.map { c =>
-      val d = col(c).cast("double")
+      val d = col(c).try_cast("double")
       when(col(c).isNull || d.isNull || isnan(d) || d <= 0 ||
-          d =!= col(c).cast("long").cast("double"),
+          d =!= d.try_cast("long").cast("double"),
         raise_error(concat(lit(s"$op: weight column '$c' must hold " +
           "positive integers, got "), col(c).cast("string"))))
-        .otherwise(col(c).cast("long"))
+        .otherwise(d.cast("long"))
     }.getOrElse(lit(1L))
     // Parallel edges collapse to one summed-weight edge up front (exact
     // long sums) so the per-round join moves one row per distinct edge.

@@ -19,7 +19,7 @@ import graft.functions.VectorFunctions._
   * plain `avg`/`stddev` over doubles can flip a value sitting on a
   * rounding boundary between runs (and between engines). Every moment
   * here is therefore computed on an integer grid — each component is
-  * quantized to `round(v * grid)` and summed in exact `decimal(38,0)`
+  * quantized to `⌊v·grid + ½⌋` and summed in exact `decimal(38,0)`
   * (order-independent), and only the final mean/variance/z arithmetic
   * runs in double, on operands that are bit-identical across runs,
   * partitionings and SQL engines. The grid (default 1e7) sits below
@@ -37,20 +37,31 @@ object Pca {
       .select(col("id"), col("dim").cast("long").as("dim"),
         col("v").cast("double").as("v"))
 
-  /** The integer-grid view (id, dim, vi = round(v·grid) as decimal(38,0)):
+  /** The integer-grid view (id, dim, vi = ⌊v·grid + ½⌋ as decimal(38,0)):
     * sums over vi are exact whatever the partition order, which is what
     * makes every downstream moment reproducible. decimal(38,0) rather
     * than long so second-moment sums can't wrap at corpus scale
     * (1e9 rows × (1e7·v)² clears Long.MaxValue).
+    *
+    * ⌊x+½⌋, never `round(x)`: multiply, add and floor are each a single
+    * exactly-specified IEEE 754 operation, so every engine (and every
+    * version of the same engine) that receives the same double produces
+    * the same integer. Engine `round()` carries no such guarantee — its
+    * implementations disagree within 1 ulp of half boundaries, which is
+    * exactly where a quantizer lives.
     */
   private def quantized(
       emb: DataFrame, idCol: String, vecCol: String, grid: Double): DataFrame =
     exploded(emb, idCol, vecCol).select(col("id"), col("dim"),
-      round(col("v") * grid, 0).cast(DecimalType(38, 0)).as("vi"))
+      floor(col("v") * grid + lit(0.5)).cast(DecimalType(38, 0)).as("vi"))
 
   /** Per-dimension z-score standardization, exploded output
-    * (id, dim, z) with z = (vi - mean_dim) / stddev_pop_dim on the
-    * quantization grid (scale cancels, so z is unit-free and exact).
+    * (id, dim, z_scaled) with z = (vi - mean_dim) / stddev_pop_dim on
+    * the quantization grid (scale cancels, so z is unit-free and exact)
+    * and z_scaled = ⌊z·10^roundTo + ½⌋ as a BIGINT — the output never
+    * carries a float, so its bytes (and any hash of them) are identical
+    * across engines and engine versions; consumers that want the decimal
+    * form divide by 10^roundTo.
     *
     * The d per-dimension moments come from one groupBy (map-side partials
     * collapse each partition to d rows) and re-attach via a broadcast
@@ -72,12 +83,15 @@ object Pca {
     val sd = sqrt(col("s2").cast("double") / col("n") - mu * mu)
     q.join(broadcast(stats), Seq("dim"))
       .select(col("id"), col("dim"),
-        round((col("vi").cast("double") - mu) / sd, roundTo).as("z"))
+        floor((col("vi").cast("double") - mu) / sd
+          * lit(math.pow(10, roundTo)) + lit(0.5)).as("z_scaled"))
   }
 
-  /** The d×d population covariance matrix as (i, j, cov) rows:
+  /** The d×d population covariance matrix as (i, j, cov_scaled) rows:
     * cov = E[v_i v_j] - E[v_i]E[v_j] over the grid-quantized components,
-    * rescaled back to the input units.
+    * rescaled back to the input units and emitted as
+    * cov_scaled = ⌊cov·10^roundTo + ½⌋ BIGINT (see [[standardize]] for
+    * why the output is integer, not a rounded double).
     *
     * Shape: self-join of the quantized exploded view on the row id — the
     * shuffle moves 2·n·d rows (never n·d² : the d² blowup happens inside
@@ -97,8 +111,9 @@ object Pca {
     val muj = col("s1j").cast("double") / col("n")
     pair.join(broadcast(mi), Seq("i")).join(broadcast(mj), Seq("j"))
       .select(col("i"), col("j"),
-        round((col("sij").cast("double") / col("n") - mui * muj)
-          / lit(grid * grid), roundTo).as("cov"))
+        floor((col("sij").cast("double") / col("n") - mui * muj)
+          / lit(grid * grid) * lit(math.pow(10, roundTo)) + lit(0.5))
+          .as("cov_scaled"))
   }
 
   /** Exact second-moment sums per dimension pair: (i, j, sij, n).
@@ -202,14 +217,17 @@ object Pca {
     * <v, w_c> - <mean, w_c>, the second term a driver-computed scalar —
     * so the plan is k fused dot products against component literals
     * ([[graft.functions.FloatDotProduct]]): a codegen'd per-row map, no
-    * join, no shuffle, and the mean never ships with the data.
+    * join, no shuffle, and the mean never ships with the data. Each
+    * projection is emitted as ⌊pc·10^roundTo + ½⌋ BIGINT (see
+    * [[standardize]] for the no-float-output contract).
     */
   def project(
       emb: DataFrame, idCol: String, vecCol: String,
       model: PcaModel, roundTo: Int = 4): DataFrame = {
     val pcs = model.components.map { w =>
       val off = w.indices.map(i => w(i) * model.mean(i)).sum
-      round(fdot(col(vecCol), typedLit(w.map(_.toFloat).toSeq)) - lit(off), roundTo)
+      floor((fdot(col(vecCol), typedLit(w.map(_.toFloat).toSeq)) - lit(off))
+        * lit(math.pow(10, roundTo)) + lit(0.5))
     }
     emb.select(col(idCol).cast("long").as("id"), array(pcs.toSeq: _*).as("pc"))
   }

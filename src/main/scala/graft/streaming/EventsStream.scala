@@ -27,11 +27,18 @@ object EventsStream {
   def tsCol: org.apache.spark.sql.Column =
     timestamp_micros(expr("ts div 1000"))
 
-  /** File-source stream over a directory of events parquet. */
+  /** File-source stream over a directory of events parquet. A file
+    * stream needs a user-supplied schema, and `ts` has shipped under two
+    * physical types (TIMESTAMP(NANOS)-as-long, TIMESTAMP(MICROS) — see
+    * [[graft.sources.Tables.normalizeTs]]), so probe one footer batch-side
+    * for the directory's actual schema, then normalize to the long-nanos
+    * engine contract. The probe reads metadata only, never data pages.
+    */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
       .withColumn("event_time", tsCol)
 
   /** Tumbling-window per-type counts/sums with a 1-hour watermark —

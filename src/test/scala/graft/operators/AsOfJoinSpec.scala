@@ -30,7 +30,7 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("matches brute-force on events × orders (sf0.001)") {
-    val ev = spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+    val ev = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
     val ord = spark.read.parquet(s"${TestSpark.Sf0001}/orders.parquet")
       .groupBy(col("o_custkey"),

@@ -41,7 +41,8 @@ class PcaSpec extends AnyFunSuite {
 
   test("standardize: zero mean, unit variance, hand-checked value") {
     val z = Pca.standardize(emb, "vec_id", "embedding", roundTo = 6)
-      .as[(Long, Long, Double)].collect()
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, d, zs) => (id, d, zs / 1e6) }
     val byDim = z.groupBy(_._2)
     assert(byDim.size == dim)
     for ((_, rows) <- byDim) {
@@ -58,8 +59,8 @@ class PcaSpec extends AnyFunSuite {
 
   test("covariance matches a dense local recomputation, and is symmetric") {
     val got = Pca.covariance(emb, "vec_id", "embedding", roundTo = 8)
-      .as[(Long, Long, Double)].collect()
-      .map { case (i, j, c) => ((i.toInt, j.toInt), c) }.toMap
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, j, c) => ((i.toInt, j.toInt), c / 1e8) }.toMap
     assert(got.size == dim * dim)
     val (_, cov) = denseCov()
     for (i <- 0 until dim; j <- 0 until dim) {
@@ -92,7 +93,8 @@ class PcaSpec extends AnyFunSuite {
     val k = 3
     val m = Pca.train(emb, "vec_id", "embedding", k = k)
     val pcs = Pca.project(emb, "vec_id", "embedding", m, roundTo = 6)
-      .as[(Long, Seq[Double])].collect()
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, v) => (id, v.map(_ / 1e6)) }
     assert(pcs.length == vecs.size)
     val (_, cov) = denseCov()
     val total = (0 until dim).map(i => cov(i)(i)).sum

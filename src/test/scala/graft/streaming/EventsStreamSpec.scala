@@ -24,7 +24,7 @@ class EventsStreamSpec extends AnyFunSuite {
       val got = spark.table("ev_agg")
         .as[(Long, String, Long, Double)].collect().toSet
       val want = EventsStream.windowedAggBatch(
-          spark.read.parquet(s"$dir/events.parquet"))
+          graft.sources.Tables(spark, dir, "events"))
         .as[(Long, String, Long, Double)].collect().toSet
       assert(got == want)
       assert(got.nonEmpty)

@@ -32,7 +32,7 @@ class StatefulOpsSpec extends AnyFunSuite {
 
   test("typed batch sessionizer agrees with the w4 SQL sessionization") {
     import spark.implicits._
-    val ev = spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+    val ev = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
       .as[Ev]
     val typed = sessionsBatch(spark, ev)
