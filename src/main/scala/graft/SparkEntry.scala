@@ -1872,7 +1872,7 @@ object SparkEntry {
       |    ORDER BY list_dot_product(k.cent, k.cent)
       |      - 2.0 * list_dot_product(b.v, k.cent), k.c) = 1),
       |m1 AS (SELECT a1.c, (e.i - 1) AS i,
-      |    (sum(round(e.x * 10000000.0))::DOUBLE / count(*)
+      |    (sum(floor(e.x * 10000000.0 + 0.5))::DOUBLE / count(*)
       |      / 10000000.0)::FLOAT::DOUBLE AS m
       |  FROM a1 JOIN (SELECT id, unnest(generate_series(1, len(v))) AS i,
       |      unnest(v) AS x FROM base) e USING (id)
@@ -1887,7 +1887,7 @@ object SparkEntry {
       |    ORDER BY list_dot_product(k.cent, k.cent)
       |      - 2.0 * list_dot_product(b.v, k.cent), k.c) = 1),
       |m2 AS (SELECT a2.c, (e.i - 1) AS i,
-      |    (sum(round(e.x * 10000000.0))::DOUBLE / count(*)
+      |    (sum(floor(e.x * 10000000.0 + 0.5))::DOUBLE / count(*)
       |      / 10000000.0)::FLOAT::DOUBLE AS m
       |  FROM a2 JOIN (SELECT id, unnest(generate_series(1, len(v))) AS i,
       |      unnest(v) AS x FROM base) e USING (id)
@@ -1943,7 +1943,7 @@ object SparkEntry {
        |      - 2.0 * list_dot_product(b.v[k.j*8+1 : (k.j+1)*8], k.cent),
        |      k.c) = 1),
        |m1 AS (SELECT a1.j, a1.c, t.i,
-       |    (sum(round(b.v[a1.j*8 + t.i + 1] * 10000000.0))::DOUBLE
+       |    (sum(floor(b.v[a1.j*8 + t.i + 1] * 10000000.0 + 0.5))::DOUBLE
        |      / count(*) / 10000000.0)::FLOAT::DOUBLE AS m
        |  FROM a1 JOIN base b USING (id) CROSS JOIN range(0, 8) t(i)
        |  GROUP BY 1, 2, 3),
@@ -1958,7 +1958,7 @@ object SparkEntry {
        |      - 2.0 * list_dot_product(b.v[k.j*8+1 : (k.j+1)*8], k.cent),
        |      k.c) = 1),
        |m2 AS (SELECT a2.j, a2.c, t.i,
-       |    (sum(round(b.v[a2.j*8 + t.i + 1] * 10000000.0))::DOUBLE
+       |    (sum(floor(b.v[a2.j*8 + t.i + 1] * 10000000.0 + 0.5))::DOUBLE
        |      / count(*) / 10000000.0)::FLOAT::DOUBLE AS m
        |  FROM a2 JOIN base b USING (id) CROSS JOIN range(0, 8) t(i)
        |  GROUP BY 1, 2, 3),

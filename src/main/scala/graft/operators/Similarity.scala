@@ -180,17 +180,23 @@ object Similarity {
 
   /** Exact order-independent mean of a float component on the 1e7
     * integer grid (the [[Pca]] determinism contract, applied to k-means
-    * centroid updates): sum(round(x·grid)) in decimal(38,0) — exact
-    * whatever the partition order — finished in double. A plain
-    * `avg(double)` accumulates in partition order, so two runs (or two
-    * cluster layouts) can train bit-different centroids and flip
-    * rounded downstream outputs; this costs one decimal column in the
-    * same map-side-partial hash aggregate and removes that whole class.
+    * centroid updates): sum(⌊x·grid + ½⌋) in long — exact whatever the
+    * partition order — finished in double. A plain `avg(double)`
+    * accumulates in partition order, so two runs (or two cluster
+    * layouts) can train bit-different centroids and flip rounded
+    * downstream outputs.
+    *
+    * ⌊x+½⌋, never engine `round()` (the [[Pca.quantized]] portability
+    * rule: round() disagrees within 1 ulp of half boundaries across
+    * engines/versions). Long accumulation, not decimal(38,0): the
+    * per-cluster sum is bounded by n_cluster · grid · |x| (≲1e16 even
+    * at 1e9 rows per cell of unit-scale embeddings, far under 2⁶³),
+    * it stays in primitive codegen arithmetic instead of per-row
+    * BigDecimal allocations, and ANSI mode turns the pathological
+    * overflow into a loud error instead of a silent wrap.
     */
   private def gridMean(x: Column, grid: Double = 1e7): Column =
-    sum(round(x * grid, 0)
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double") /
-      count(lit(1)) / grid
+    sum(floor(x * grid + lit(0.5))).cast("double") / count(lit(1)) / grid
 
   /** The seeded per-row sampling hash for k-means init, mod `sampleMod`:
     * xxhash64 by default; `portable` swaps in the md5-derived
