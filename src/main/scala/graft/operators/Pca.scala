@@ -93,20 +93,21 @@ object Pca {
     * cov_scaled = ⌊cov·10^roundTo + ½⌋ BIGINT (see [[standardize]] for
     * why the output is integer, not a rounded double).
     *
-    * Shape: self-join of the quantized exploded view on the row id — the
-    * shuffle moves 2·n·d rows (never n·d² : the d² blowup happens inside
-    * the join's output stream and immediately collapses into the
-    * (i, j) hash aggregate's map-side partials, ≤ d² rows per partition).
-    * The final shuffle is d² rows per partition — constant in n.
+    * Shape: one [[gramMoments]] pass — the corpus never shuffles at all;
+    * the only exchange moves p·(d²+d) partial rows (p = input
+    * partitions), constant in n.
     */
   def covariance(
       emb: DataFrame, idCol: String, vecCol: String,
       roundTo: Int = 6, grid: Double = 1e7): DataFrame = {
-    val q = quantized(emb, idCol, vecCol, grid)
-    val pair = pairMoments(q)
-    val m = q.groupBy("dim").agg(sum("vi").as("s1"))
-    val mi = m.select(col("dim").as("i"), col("s1").as("s1i"))
-    val mj = m.select(col("dim").as("j"), col("s1").as("s1j"))
+    // eager materialization: the pair and first-moment branches below
+    // both read the Gram result, and without it each branch would re-run
+    // the full corpus pass (the result is d²+d rows — trivial to hold)
+    val g = gramMoments(emb, idCol, vecCol, grid).localCheckpoint()
+    val pair = g.filter(col("j") >= 0)
+    val m = g.filter(col("j") === -1)
+    val mi = m.select(col("i"), col("sij").as("s1i"))
+    val mj = m.select(col("i").as("j"), col("sij").as("s1j"))
     val mui = col("s1i").cast("double") / col("n")
     val muj = col("s1j").cast("double") / col("n")
     pair.join(broadcast(mi), Seq("i")).join(broadcast(mj), Seq("j"))
@@ -116,22 +117,102 @@ object Pca {
           .as("cov_scaled"))
   }
 
-  /** Exact second-moment sums per dimension pair: (i, j, sij, n).
+  /** Exact integer moment sums in ONE corpus pass, no self-join:
+    * (i, j ≥ 0, sij = Σ vi·vj, n) second moments plus (i, j = -1,
+    * si = Σ vi, n) first moments, over the ⌊v·grid + ½⌋ quantization.
     *
-    * The per-row product runs in long — |vi| ≤ grid·|v| stays under ~2³⁰
-    * for unit-scale embeddings, so via·vib can't wrap — and only the
-    * corpus-sized SUM is decimal(38,0). Same exact values as a
-    * decimal×decimal multiply, but the d²-per-id product stream (the
-    * query's widest point) stays in primitive codegen arithmetic instead
-    * of per-row BigDecimal allocations.
+    * Each task folds its rows into a d×d long Gram accumulator —
+    * genuine per-partition imperative state that no relational operator
+    * expresses without exploding the corpus — and emits d²+d partial
+    * rows; a d²-sized hash aggregate sums the partials in
+    * decimal(38,0). Versus the previous exploded self-join (2·n·d rows
+    * through an exchange), nothing corpus-sized ever shuffles: at 10⁹
+    * rows × d=32 the exchange drops from ~6·10¹⁰ rows to
+    * p·(d²+d) ≈ 10⁶.
+    *
+    * Exactness contract: per-row products run in long (|vi| ≤ grid·|v|
+    * stays under ~2³¹ for unit-scale embeddings, so vi·vj can't wrap —
+    * the same bound the join-based version relied on); accumulator
+    * cells flush into exact BigInteger before any long SUM could wrap
+    * (a conservative per-row budget check, O(1) per row). Integer sums
+    * are associative and commutative, so the result is bit-identical
+    * across partitionings — the [[Pca]] determinism contract.
     */
-  private def pairMoments(q: DataFrame): DataFrame = {
-    val a = q.select(col("id"), col("dim").as("i"), col("vi").cast("long").as("via"))
-    val b = q.select(col("id"), col("dim").as("j"), col("vi").cast("long").as("vib"))
-    a.join(b, Seq("id"))
+  private def gramMoments(
+      emb: DataFrame, idCol: String, vecCol: String, grid: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(
+        transform(col(vecCol).cast("array<double>"),
+          x => floor(x * grid + lit(0.5))).as("varr"))
+      .where(col("varr").isNotNull)
+      .as[Seq[Long]]
+    val partials = vecs.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var d = 0
+        var acc: Array[Long] = null   // d² second-moment cells + d first-moment cells
+        var big: Array[java.math.BigInteger] = null
+        var n = 0L
+        var budget = 0L
+        def flush(): Unit = {
+          var k = 0
+          while (k < acc.length) {
+            if (acc(k) != 0L) {
+              big(k) = big(k).add(java.math.BigInteger.valueOf(acc(k)))
+              acc(k) = 0L
+            }
+            k += 1
+          }
+          budget = Long.MaxValue / 2
+        }
+        it.foreach { v =>
+          if (acc == null) {
+            d = v.length
+            acc = new Array[Long](d * d + d)
+            big = Array.fill(d * d + d)(java.math.BigInteger.ZERO)
+            budget = Long.MaxValue / 2
+          }
+          require(v.length == d,
+            s"ragged embedding: expected dim $d, got ${v.length}")
+          var m = 0L
+          var i = 0
+          while (i < d) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
+          // every cell gains at most one |product| ≤ m² this row; flush
+          // while the worst cell still has headroom
+          if (budget < m * m || budget < m) flush()
+          budget -= math.max(m * m, m)
+          i = 0
+          while (i < d) {
+            val vi = v(i)
+            val row = i * d
+            var j = 0
+            while (j < d) { acc(row + j) += vi * v(j); j += 1 }
+            acc(d * d + i) += vi
+            i += 1
+          }
+          n += 1
+        }
+        flush()
+        val out = new Array[(Long, Long, String, Long)](d * d + d)
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) {
+            out(i * d + j) = (i.toLong, j.toLong, big(i * d + j).toString, n)
+            j += 1
+          }
+          out(d * d + i) = (i.toLong, -1L, big(d * d + i).toString, n)
+          i += 1
+        }
+        out.iterator
+      }
+    }.toDF("i", "j", "s", "n")
+    partials
+      .select(col("i"), col("j"),
+        col("s").cast(DecimalType(38, 0)).as("sij"), col("n"))
       .groupBy("i", "j")
-      .agg(sum((col("via") * col("vib")).cast(DecimalType(38, 0))).as("sij"),
-        count(lit(1)).as("n"))
+      .agg(sum("sij").as("sij"), sum("n").as("n"))
   }
 
   /** Trained PCA basis: the corpus mean and the top-k principal
@@ -182,25 +263,27 @@ object Pca {
       k: Int, iters: Int = 200, grid: Double = 1e7): PcaModel = {
     val d = emb.select(size(col(vecCol))).head.getInt(0)
     require(k >= 1 && k <= d, s"k $k must be in [1, dim $d]")
-    // one materialization feeds both driver-bound moment reads (d first
-    // moments, d² second moments) — without it each collect would re-run
-    // the explode over the corpus
-    val q = quantized(emb, idCol, vecCol, grid).localCheckpoint()
+    // one Gram pass feeds every driver-bound moment (d first moments,
+    // d² second moments) — a single d²+d-row collect
+    val g = gramMoments(emb, idCol, vecCol, grid).collect()
     val s1 = new Array[Double](d)
     var n = 0L
-    q.groupBy("dim").agg(sum("vi").as("s1"), count(lit(1)).as("n"))
-      .collect().foreach { r =>
-        s1(r.getAs[Long]("dim").toInt) = r.getAs[java.math.BigDecimal]("s1").doubleValue
+    g.foreach { r =>
+      if (r.getAs[Long]("j") == -1L) {
+        s1(r.getAs[Long]("i").toInt) = r.getAs[java.math.BigDecimal]("sij").doubleValue
         n = r.getAs[Long]("n")
       }
+    }
     require(n > 0, "PCA train needs a non-empty corpus")
     val mean = Array.tabulate(d)(i => s1(i) / n / grid)
     val cov = Array.ofDim[Double](d, d)
-    pairMoments(q).collect().foreach { r =>
-      val i = r.getAs[Long]("i").toInt
+    g.foreach { r =>
       val j = r.getAs[Long]("j").toInt
-      val sij = r.getAs[java.math.BigDecimal]("sij").doubleValue
-      cov(i)(j) = (sij / n - (s1(i) / n) * (s1(j) / n)) / (grid * grid)
+      if (j >= 0) {
+        val i = r.getAs[Long]("i").toInt
+        val sij = r.getAs[java.math.BigDecimal]("sij").doubleValue
+        cov(i)(j) = (sij / n - (s1(i) / n) * (s1(j) / n)) / (grid * grid)
+      }
     }
     val comps = new Array[Array[Double]](k)
     val eigs = new Array[Double](k)

@@ -198,12 +198,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("covariance self-join keys on the row id with partial aggregation") {
+  test("covariance is a one-pass Gram: nothing corpus-sized in the final plan") {
     val df = SparkEntry.queries("v8_pca_cov")(spark, dir)
     val plan = planOf(df)
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"covariance must equi-join on id:\n$plan")
-    assert(plan.contains("HashAggregate"), s"missing partial agg:\n$plan")
+      s"covariance must stay equi/broadcast-joined:\n$plan")
+    // the corpus pass lives behind the checkpointed Gram moments (d²+d
+    // rows); downstream only broadcast re-attachment of the first
+    // moments remains — zero shuffle exchanges
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed Gram moment scan:\n$plan")
+    assert(exchangeCount(plan) == 0,
+      s"covariance finish must not shuffle (moments are d²-sized):\n$plan")
   }
 
   test("exact-substring spans: two hash shuffles, gram strings never shuffled") {
