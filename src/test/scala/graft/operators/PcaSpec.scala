@@ -69,6 +69,38 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("covariance is bit-identical across partition layouts (Gram pass)") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pca.covariance(df, "vec_id", "embedding", roundTo = 8)
+        .as[(Long, Long, Long)].collect().toSet
+    val one = run(emb.coalesce(1))
+    val many = run(emb.repartition(7))
+    assert(one == many)
+    assert(one.size == dim * dim)
+  }
+
+  test("Gram accumulator flushes to BigInteger before long sums can wrap") {
+    // components ~1e2 on the 1e7 grid -> vi ~1e9, per-row products ~1e18:
+    // the per-row budget (Long.MaxValue/2) forces a flush every ~4 rows,
+    // so this corpus exercises the overflow path hundreds of times
+    val big = (0L until 400L).map { i =>
+      (i, Seq.tabulate(4)(d => (100.0 + math.sin(i * 0.31 + d) * 50.0).toFloat))
+    }
+    val bigDf = big.toDF("vec_id", "embedding")
+    val got = Pca.covariance(bigDf, "vec_id", "embedding", roundTo = 4)
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, j, c) => ((i.toInt, j.toInt), c / 1e4) }.toMap
+    val n = big.size
+    val mean = Array.tabulate(4)(d => big.map(_._2(d).toDouble).sum / n)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val want = big.map { case (_, v) =>
+        (v(i) - mean(i)) * (v(j) - mean(j))
+      }.sum / n
+      assert(math.abs(got((i, j)) - want) < 1e-3 * math.max(1.0, math.abs(want)),
+        s"cov($i,$j): ${got((i, j))} vs $want")
+    }
+  }
+
   test("train: orthonormal basis, eigen equation, descending eigenvalues") {
     val k = 3
     val m = Pca.train(emb, "vec_id", "embedding", k = k)
