@@ -1174,6 +1174,21 @@ object SparkEntry {
     Profiling.distributionDrift(scored, en, "quality", 0.0, 1.0, bins = 10)
   }
 
+  /** c8: JSONL interchange round trip — the corpus written as gzip
+    * JSONL shards ([[graft.sources.DocumentsJsonl]], the format raw
+    * LLM corpora arrive in) and read back through the schema-pinned
+    * quarantining reader. Full oracle by construction: the output must
+    * equal the documents table itself, field for field — any escaping,
+    * type or encoding loss in the sink/source pair breaks the hash.
+    */
+  private def c8JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_rt").toFile
+    val dest = new java.io.File(dir, "docs").getPath
+    graft.sources.DocumentsJsonl.write(
+      T(s, d, "documents"), dest, shards = Some(4))
+    graft.sources.DocumentsJsonl.readClean(s, Seq(dest))
+  }
+
   /** e3: exact ROC-AUC of the ml1 classifier against the gate label —
     * Mann–Whitney with tie-averaged ranks, exact integer arithmetic to
     * one final division. Full oracle: the shared ml1 chain plus the
@@ -1401,6 +1416,7 @@ object SparkEntry {
     "e3_auc" -> (e3Auc _),
     "st2_attribution_join" -> (st2AttributionJoin _),
     "c7_drift_psi" -> (c7DriftPsi _),
+    "c8_jsonl_roundtrip" -> (c8JsonlRoundtrip _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t20_bpe_tokenize" -> (t20BpeTokenize _),
@@ -3228,6 +3244,10 @@ object SparkEntry {
     "e2_calibration" -> e2OracleSql,
     "e3_auc" -> e3OracleSql,
     "c7_drift_psi" -> c7OracleSql,
+    // the round trip must reproduce the table exactly — the oracle IS
+    // the table
+    "c8_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // h2 twin: dense band [2,15] anti-joined against the Hamming top-5
     "h2_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v

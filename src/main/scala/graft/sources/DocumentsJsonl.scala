@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL (one JSON object per line, optionally gzip) document corpus
+  * source/sink — the interchange format raw LLM training corpora
+  * usually arrive in before they become parquet.
+  *
+  * Scale contract: the reader takes an EXPLICIT schema, never
+  * inference — `spark.read.json` without one runs a whole extra pass
+  * over the corpus just to guess types, which at 100 TB doubles the
+  * ingest cost and can still guess wrong on sparse fields. Unknown
+  * keys are dropped by the projection (standard JSONL corpora carry
+  * per-record metadata we don't model); malformed lines land in a
+  * `_corrupt` column under PERMISSIVE mode so ingest can quarantine
+  * rather than die mid-TB (`badRecordsMode = "fail"` opts into
+  * FAILFAST for strict runs). gzip input splits per FILE, not per
+  * block — corpora should arrive as many shard files (the usual
+  * `part-00000.jsonl.gz` layout), which the multi-path reader unions
+  * into one scan.
+  */
+object DocumentsJsonl {
+
+  /** The harness `documents` shape ([[Tables]]): doc_id, text, lang,
+    * source, n_chars.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private val corruptCol = "_corrupt"
+
+  /** Read a JSONL document corpus (directory, glob or explicit shard
+    * paths; `.gz` decompresses transparently via the codec). Returns
+    * the documents plus a `_corrupt` string column — null for clean
+    * rows, the raw line for quarantined ones.
+    */
+  def read(
+      spark: SparkSession, paths: Seq[String],
+      badRecordsMode: String = "permissive"): DataFrame =
+    spark.read
+      .schema(schema.add(StructField(corruptCol, StringType)))
+      .option("mode", badRecordsMode.toUpperCase)
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(paths: _*)
+
+  /** Clean rows only, `_corrupt` dropped — the shape every downstream
+    * operator takes.
+    */
+  def readClean(spark: SparkSession, paths: Seq[String]): DataFrame =
+    read(spark, paths).filter(col(corruptCol).isNull).drop(corruptCol)
+
+  /** Quarantined raw lines, for the ingest report. A text scan +
+    * `from_json` probe rather than a corrupt-column-only projection of
+    * the json scan — Spark refuses the latter
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) and the
+    * suggested workaround (cache the parsed corpus) is exactly what a
+    * 100-TB quarantine report must not do.
+    */
+  def readCorrupt(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val probed = from_json(
+      col("value"), schema.add(StructField(corruptCol, StringType)),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol))
+    spark.read.textFile(paths: _*).toDF("value")
+      .where(probed.getField(corruptCol).isNotNull)
+      .select(col("value").as("raw_line"))
+  }
+
+  /** Write a document corpus as gzip JSONL shards. `shards` bounds the
+    * file count (repartition, not coalesce: coalesce(k) would also cap
+    * the UPSTREAM stage's parallelism at k — the classic small-k
+    * coalesce trap); omit it to keep the input partitioning.
+    */
+  def write(
+      docs: DataFrame, dest: String,
+      shards: Option[Int] = None, compress: Boolean = true): Unit = {
+    val cols = schema.fieldNames.filter(docs.columns.contains)
+    val out = docs.select(cols.map(col).toSeq: _*)
+    val sharded = shards.fold(out)(out.repartition(_))
+    val w = sharded.write.mode(SaveMode.Overwrite)
+    (if (compress) w.option("compression", "gzip") else w).json(dest)
+  }
+}

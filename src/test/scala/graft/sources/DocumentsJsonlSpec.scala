@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class DocumentsJsonlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "plain text", "en", "web", 10L),
+    (2L, "line\nbreak \"quoted\" and unicode – ü 漢", "de", "web", 33L),
+    (3L, "tab\tand backslash \\ fin", "en", "books", 23L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("gzip JSONL round trip preserves every field exactly") {
+    val dir = Files.createTempDirectory("jsonl").toFile
+    val dest = new java.io.File(dir, "docs").getPath
+    DocumentsJsonl.write(docs, dest, shards = Some(2))
+    val gz = new java.io.File(dest).listFiles.filter(_.getName.endsWith(".json.gz"))
+    assert(gz.length == 2) // shard bound honored, gzip codec applied
+    val back = DocumentsJsonl.readClean(spark, Seq(dest))
+      .as[(Long, String, String, String, Long)].collect().toSet
+    assert(back == docs.as[(Long, String, String, String, Long)].collect().toSet)
+  }
+
+  test("newlines inside text stay JSON-escaped: one line per record") {
+    val dir = Files.createTempDirectory("jsonl").toFile
+    val dest = new java.io.File(dir, "docs").getPath
+    DocumentsJsonl.write(docs, dest, shards = Some(1), compress = false)
+    val lines = spark.read.text(dest).count()
+    assert(lines == docs.count()) // a raw \n would split record 2
+  }
+
+  test("malformed lines quarantine under permissive mode; unknown keys drop") {
+    val dir = Files.createTempDirectory("jsonl").toFile
+    val f = new java.io.File(dir, "shard.jsonl")
+    Files.write(f.toPath,
+      ("""{"doc_id": 7, "text": "ok", "lang": "en", "source": "web", "n_chars": 2, "extra_key": true}""" + "\n" +
+       """this is not json""" + "\n" +
+       """{"doc_id": 8, "text": "also ok", "lang": "fr", "source": "web", "n_chars": 7}""" + "\n").getBytes("UTF-8"))
+    val clean = DocumentsJsonl.readClean(spark, Seq(f.getPath))
+    assert(clean.columns.toSeq == DocumentsJsonl.schema.fieldNames.toSeq)
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq == Seq(7L, 8L))
+    val bad = DocumentsJsonl.readCorrupt(spark, Seq(f.getPath))
+      .as[String].collect()
+    assert(bad.toSeq == Seq("this is not json"))
+  }
+
+  test("failfast mode dies loudly on a malformed line") {
+    val dir = Files.createTempDirectory("jsonl").toFile
+    val f = new java.io.File(dir, "shard.jsonl")
+    Files.write(f.toPath, "not json at all\n".getBytes("UTF-8"))
+    intercept[Exception] {
+      DocumentsJsonl.read(spark, Seq(f.getPath), badRecordsMode = "failfast")
+        .collect()
+    }
+  }
+}
