@@ -71,6 +71,22 @@ object DocumentsJsonl {
       .select(col("value").as("raw_line"))
   }
 
+  /** Streaming twin of [[readClean]]: a file-source stream over a
+    * directory JSONL shards land in (continuous corpus ingest — feeds
+    * [[graft.streaming.CurationStream]] unchanged, since curation is
+    * the same Column plan in both modes). Quarantine semantics match
+    * the batch reader: malformed lines are dropped here, reported by
+    * a batch [[readCorrupt]] sweep over the same directory.
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(schema.add(StructField(corruptCol, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .option("maxFilesPerTrigger", "1")
+      .json(dir)
+      .filter(col(corruptCol).isNull).drop(corruptCol)
+
   /** Write a document corpus as gzip JSONL shards. `shards` bounds the
     * file count (repartition, not coalesce: coalesce(k) would also cap
     * the UPSTREAM stage's parallelism at k — the classic small-k

@@ -51,6 +51,34 @@ class DocumentsJsonlSpec extends AnyFunSuite {
     assert(bad.toSeq == Seq("this is not json"))
   }
 
+  test("streaming ingest emits exactly the batch reader's clean rows") {
+    val dir = Files.createTempDirectory("jsonl_stream").toFile
+    DocumentsJsonl.write(docs.limit(2), new java.io.File(dir, "a").getPath,
+      shards = Some(1))
+    // second shard arrives with a malformed line mixed in
+    val f = new java.io.File(dir, "late.jsonl")
+    Files.write(f.toPath,
+      ("""{"doc_id": 3, "text": "tab\tand backslash \\ fin", "lang": "en", "source": "books", "n_chars": 23}""" + "\n" +
+       """broken line""" + "\n").getBytes("UTF-8"))
+    // file stream over the flat dir: stage the gz shard next to the late file
+    val flat = Files.createTempDirectory("jsonl_flat").toFile
+    new java.io.File(dir, "a").listFiles.filter(_.getName.endsWith(".json.gz"))
+      .foreach(s => Files.copy(s.toPath, new java.io.File(flat, s.getName).toPath))
+    Files.copy(f.toPath, new java.io.File(flat, f.getName).toPath)
+    val q = DocumentsJsonl.readStream(spark, flat.getPath)
+      .writeStream.format("memory").queryName("jsonl_ingest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("jsonl_ingest")
+        .as[(Long, String, String, String, Long)].collect().toSet
+      val want = DocumentsJsonl.readClean(spark, Seq(flat.getPath))
+        .as[(Long, String, String, String, Long)].collect().toSet
+      assert(got == want)
+      assert(got.map(_._1) == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("failfast mode dies loudly on a malformed line") {
     val dir = Files.createTempDirectory("jsonl").toFile
     val f = new java.io.File(dir, "shard.jsonl")
