@@ -79,6 +79,33 @@ class DocumentsJsonlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("property: arbitrary unicode text survives the JSONL round trip") {
+    // deterministic hand-rolled sampler, same pattern as VcfPropertiesSpec
+    // (the scalatest-scalacheck bridge isn't a declared dependency); one
+    // Spark round trip per batch keeps the test seconds-sized
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val nasty = Gen.oneOf("\n", "\r\n", "\t", "\\", "\"", "{", "}", "",
+      " ", " ", "ü", "漢字", "🚀", "𝔘𝔫𝔦", "�", " ")
+    val text = Gen.listOf(Gen.oneOf(nasty, Gen.alphaNumStr)).map(_.mkString)
+    val batchGen = Gen.listOfN(15, text)
+    (1 to 4).foreach { i =>
+      val texts = batchGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val df = texts.zipWithIndex.map { case (t, j) =>
+        (j.toLong, t, "en", "prop", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = Files.createTempDirectory(s"jsonl_prop$i").toFile
+      val dest = new java.io.File(dir, "docs").getPath
+      DocumentsJsonl.write(df, dest, shards = Some(1))
+      val back = DocumentsJsonl.readClean(spark, Seq(dest))
+        .as[(Long, String, String, String, Long)].collect()
+        .map(r => r._1 -> r._2).toMap
+      texts.zipWithIndex.foreach { case (t, j) =>
+        assert(back(j.toLong) == t, s"batch $i doc $j: ${t.getBytes("UTF-8").toSeq}")
+      }
+    }
+  }
+
   test("failfast mode dies loudly on a malformed line") {
     val dir = Files.createTempDirectory("jsonl").toFile
     val f = new java.io.File(dir, "shard.jsonl")
