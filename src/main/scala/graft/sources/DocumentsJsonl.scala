@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -39,6 +39,15 @@ object DocumentsJsonl {
     * paths; `.gz` decompresses transparently via the codec). Returns
     * the documents plus a `_corrupt` string column — null for clean
     * rows, the raw line for quarantined ones.
+    *
+    * This raw json-scan form exists for FAILFAST ingest and for callers
+    * that consume the data columns; anything whose plan can prune down
+    * to the corrupt column alone (a quarantine report, a bare count
+    * after the clean filter) must go through the text + `from_json`
+    * forms below — Spark refuses a corrupt-column-only json scan
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) and its
+    * suggested workaround (cache the parsed corpus) is exactly what a
+    * 100-TB ingest must not do.
     */
   def read(
       spark: SparkSession, paths: Seq[String],
@@ -49,27 +58,33 @@ object DocumentsJsonl {
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(paths: _*)
 
+  /** Each line parsed into a struct (corrupt field inside), prune-proof:
+    * the scan is a plain text scan, so whatever Catalyst prunes the
+    * downstream plan to, the reader never degenerates into the
+    * forbidden corrupt-only json scan.
+    */
+  private def probe: Column =
+    from_json(
+      col("value"), schema.add(StructField(corruptCol, StringType)),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol))
+      .as("r")
+
+  private def cleanCols: Seq[Column] =
+    schema.fieldNames.toSeq.map(n => col("r").getField(n).as(n))
+
   /** Clean rows only, `_corrupt` dropped — the shape every downstream
     * operator takes.
     */
   def readClean(spark: SparkSession, paths: Seq[String]): DataFrame =
-    read(spark, paths).filter(col(corruptCol).isNull).drop(corruptCol)
+    spark.read.textFile(paths: _*).toDF("value").select(probe)
+      .where(col("r").getField(corruptCol).isNull)
+      .select(cleanCols: _*)
 
-  /** Quarantined raw lines, for the ingest report. A text scan +
-    * `from_json` probe rather than a corrupt-column-only projection of
-    * the json scan — Spark refuses the latter
-    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) and the
-    * suggested workaround (cache the parsed corpus) is exactly what a
-    * 100-TB quarantine report must not do.
-    */
-  def readCorrupt(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val probed = from_json(
-      col("value"), schema.add(StructField(corruptCol, StringType)),
-      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol))
+  /** Quarantined raw lines, for the ingest report. */
+  def readCorrupt(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.textFile(paths: _*).toDF("value")
-      .where(probed.getField(corruptCol).isNotNull)
+      .where(probe.getField(corruptCol).isNotNull)
       .select(col("value").as("raw_line"))
-  }
 
   /** Streaming twin of [[readClean]]: a file-source stream over a
     * directory JSONL shards land in (continuous corpus ingest — feeds
@@ -80,12 +95,11 @@ object DocumentsJsonl {
     */
   def readStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(schema.add(StructField(corruptCol, StringType)))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", corruptCol)
       .option("maxFilesPerTrigger", "1")
-      .json(dir)
-      .filter(col(corruptCol).isNull).drop(corruptCol)
+      .text(dir)
+      .select(probe)
+      .where(col("r").getField(corruptCol).isNull)
+      .select(cleanCols: _*)
 
   /** Write a document corpus as gzip JSONL shards. `shards` bounds the
     * file count (repartition, not coalesce: coalesce(k) would also cap
