@@ -495,6 +495,18 @@ object SparkEntry {
       .withColumn("cluster", col("cluster").cast("long"))
   }
 
+  /** d16: cluster resolution — the removal list. d6's near-dup clusters
+    * joined with t2's quality score; keep the best-quality member per
+    * cluster (ties → lowest id). Full oracle: the d6 recursive-CTE
+    * fixpoint + the t2 quality recipe + the same window argmax.
+    */
+  private def d16ClusterResolve(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val quality = TextAnalytics.qualityScore(docs, "doc_id", "text")
+      .select(col("id"), col("quality"))
+    Dedup.resolveClusters(d6DedupClusters(s, d), quality)
+  }
+
   /** d7: the same min-label connected-components fixpoint as d6, but over
     * the exact n-gram Jaccard pair graph (d2's edge set), which IS
     * SQL-expressible — so the iterative clustering algorithm itself gets a
@@ -1417,6 +1429,7 @@ object SparkEntry {
     "st2_attribution_join" -> (st2AttributionJoin _),
     "c7_drift_psi" -> (c7DriftPsi _),
     "c8_jsonl_roundtrip" -> (c8JsonlRoundtrip _),
+    "d16_cluster_resolve" -> (d16ClusterResolve _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t20_bpe_tokenize" -> (t20BpeTokenize _),
@@ -2236,6 +2249,32 @@ object SparkEntry {
          |  UNION
          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id""".stripMargin,
+    // d16 twin: the d6 cluster fixpoint + the t2 quality recipe + the
+    // same per-cluster argmax window (ties -> lowest id)
+    "d16_cluster_resolve" ->
+      s"""WITH RECURSIVE $minHashLshCte,
+         |$minHashLshSelfVer,
+         |jp AS (SELECT id_a AS ia, id_b AS ib FROM ver
+         |  WHERE nc::DOUBLE / (na + nb - nc) >= 0.6),
+         |edges AS (SELECT ia AS src, ib AS dst FROM jp
+         |  UNION ALL SELECT ib, ia FROM jp),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+         |q AS (SELECT doc_id AS id,
+         |    round(sr * 0.25 + ur * 0.5 + lok * 0.25, 4) AS quality
+         |  FROM (SELECT doc_id,
+         |      len(list_filter(w, t -> t IN ('the','a','to','of','and','in','on','for')))::DOUBLE
+         |        / len(w) AS sr,
+         |      len(list_distinct(w))::DOUBLE / len(w) AS ur,
+         |      CASE WHEN len(w) BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END AS lok
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+         |SELECT cl.id, cl.cluster, q.quality,
+         |  row_number() OVER (PARTITION BY cl.cluster
+         |    ORDER BY q.quality DESC, cl.id ASC) = 1 AS keep
+         |FROM cl JOIN q USING (id)""".stripMargin,
     // d13 twin: the portable LSH chain with a corpus × benchmark
     // candidate join, aggregated per corpus doc and left-joined back so
     // clean docs appear with zeros

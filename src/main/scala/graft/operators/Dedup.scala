@@ -937,6 +937,32 @@ object Dedup {
     labels
   }
 
+  /** Cluster resolution — the removal-list step a dedup pipeline
+    * actually ships: given the near-dup clusters
+    * ([[duplicateClusters]]) and a per-document score, keep the
+    * best-scoring member of each cluster (ties broken by lowest id, so
+    * the choice is deterministic) and mark the rest for removal.
+    *
+    * Output: (id, cluster, score, keep) for every clustered document —
+    * `keep = false` IS the removal list; singleton documents never
+    * appear (they were never in a cluster and are implicitly kept).
+    *
+    * Scale: one window partitioned by cluster — cluster sizes are
+    * near-dup group sizes (small by construction; a pathological
+    * mega-cluster means the threshold upstream is wrong, not that this
+    * operator should salt).
+    */
+  def resolveClusters(
+      clusters: DataFrame, scores: DataFrame,
+      idCol: String = "id", clusterCol: String = "cluster",
+      scoreCol: String = "quality"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(clusterCol).orderBy(col(scoreCol).desc, col(idCol).asc)
+    clusters.join(scores, Seq(idCol))
+      .select(col(idCol), col(clusterCol), col(scoreCol),
+        (row_number().over(w) === 1).as("keep"))
+  }
+
   /** 60-bit token hash every SQL engine can recompute: the first 15 hex
     * chars of md5(token) as an integer (15, not 16 — 16 would need the
     * unsigned 64-bit range signed BIGINT arithmetic can't carry). Slower

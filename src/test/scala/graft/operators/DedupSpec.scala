@@ -347,4 +347,22 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Option[String])].collect()
     assert(g6.toSeq == Seq((6L, 2L, 2L, Some("a1 a2 a3 a4"))))
   }
+
+  test("resolveClusters keeps the best-scoring member, ties to lowest id") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1: 2 has the best score
+      (10L, 10L), (11L, 10L)        // cluster 10: tied scores -> keep 10
+    ).toDF("id", "cluster")
+    val scores = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.5), (10L, 0.7), (11L, 0.7)
+    ).toDF("id", "quality")
+    val got = Dedup.resolveClusters(clusters, scores)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 5) // every clustered doc appears exactly once
+    assert(got.filter(_._2._4).keySet == Set(2L, 10L))
+    // the removal list is the complement, cluster-labelled
+    assert(got.filterNot(_._2._4).keySet == Set(1L, 3L, 11L))
+    assert(got(11L)._2 == 10L)
+  }
 }
