@@ -178,6 +178,12 @@ object Pca {
           var m = 0L
           var i = 0
           while (i < d) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
+          // the per-row product bound itself must fit a long — past this
+          // the quantized component magnitudes (grid·|v|) are outside the
+          // operator's contract, so fail loudly instead of wrapping
+          require(m <= 3037000499L,
+            s"quantized component magnitude $m overflows the long product" +
+              " bound — lower the grid for this value range")
           // every cell gains at most one |product| ≤ m² this row; flush
           // while the worst cell still has headroom
           if (budget < m * m || budget < m) flush()
