@@ -64,6 +64,22 @@ final case class CorpusPipeline(
     copy(df = df.join(dropIds, col(idCol) === col("__drop"), "left_anti"))
   }
 
+  /** Drop near-duplicates keeping each cluster's BEST-quality member
+    * ([[Dedup.resolveClusters]], ties → lowest id) rather than its min
+    * id — what a production dedup actually ships: the duplicate that
+    * survives is the one worth training on.
+    */
+  def dedupNearBest(threshold: Double = 0.8): CorpusPipeline = {
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minHashLshPairs(df, idCol, textCol, threshold = threshold)
+        .select("id_a", "id_b"))
+    val quality = df.select(col(idCol).as("id"),
+      TextAnalytics.qualityColumn(col(textCol)).as("quality"))
+    val dropIds = Dedup.resolveClusters(clusters, quality)
+      .filter(!col("keep")).select(col("id").as("__drop"))
+    copy(df = df.join(dropIds, col(idCol) === col("__drop"), "left_anti"))
+  }
+
   /** Corpus-wide segment-level dedup; documents left empty are dropped. */
   def dedupSegments(segTokens: Int = 20): CorpusPipeline = {
     val deduped = Dedup.segmentDedup(df, idCol, textCol, segTokens)
@@ -119,4 +135,18 @@ final case class CorpusPipeline(
     */
   def writeShards(path: String, nShards: Int, epoch: Long): Unit =
     Sharding.writeShards(df, idCol, nShards, epoch, path)
+}
+
+object CorpusPipeline {
+
+  /** Start a curation chain straight from raw gzip JSONL shards — the
+    * ingest entry point for corpora that haven't become parquet yet
+    * ([[graft.sources.DocumentsJsonl.readClean]]; malformed lines are
+    * quarantined, not fatal).
+    */
+  def fromJsonl(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): CorpusPipeline =
+    CorpusPipeline(
+      graft.sources.DocumentsJsonl.readClean(spark, paths), "doc_id", "text")
 }

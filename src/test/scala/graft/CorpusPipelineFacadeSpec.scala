@@ -75,6 +75,44 @@ class CorpusPipelineFacadeSpec extends AnyFunSuite {
       .select("log_ratio").first().isNullAt(0))
   }
 
+  test("dedupNearBest keeps the best-quality member, not the min id") {
+    // doc 2 is the longer, higher-quality member of the {1, 2} near-dup
+    // pair: same shingle set (near-dup) but 1 is a truncated copy
+    val rich = (1 to 60).map(i => s"w${i * 7 % 97}").mkString(" ") +
+      " the a to of and in on for extra tail tokens here"
+    val poor = rich.split(" ").take(58).mkString(" ")
+    val docs = Seq(
+      (1L, poor), (2L, rich),
+      (3L, (40 to 80).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val q = docs.select(col("doc_id"),
+      operators.TextAnalytics.qualityColumn(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q(2L) != q(1L)) // the test is only meaningful if quality differs
+    val best = if (q(2L) > q(1L)) 2L else 1L
+    val kept = CorpusPipeline(docs, "doc_id", "text")
+      .dedupNearBest(threshold = 0.6)
+      .df.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(best, 3L).sorted)
+    // min-id policy would have dropped doc 2 regardless of quality
+    val minId = CorpusPipeline(docs, "doc_id", "text")
+      .dedupNear(threshold = 0.6)
+      .df.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(minId == Seq(1L, 3L))
+  }
+
+  test("fromJsonl starts the chain from raw gzip shards") {
+    val docs = Tables(spark, TestSpark.Sf0001, "documents").limit(20)
+    val dir = Files.createTempDirectory("facade-jsonl").toFile
+    val dest = new java.io.File(dir, "docs").getPath
+    graft.sources.DocumentsJsonl.write(docs, dest, shards = Some(2))
+    val viaJsonl = CorpusPipeline.fromJsonl(spark, Seq(dest))
+      .gateQuality(0.3).df.select("doc_id").as[Long].collect().toSet
+    val viaParquet = CorpusPipeline(docs, "doc_id", "text")
+      .gateQuality(0.3).df.select("doc_id").as[Long].collect().toSet
+    assert(viaJsonl == viaParquet && viaJsonl.nonEmpty)
+  }
+
   test("dedupExact and dedupNear keep canonical ids, writeShards lands") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
