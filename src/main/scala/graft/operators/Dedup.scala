@@ -956,9 +956,15 @@ object Dedup {
       clusters: DataFrame, scores: DataFrame,
       idCol: String = "id", clusterCol: String = "cluster",
       scoreCol: String = "quality"): DataFrame = {
+    // left join + nulls-last ordering, not an inner join: a clustered
+    // doc with no score row must still be RESOLVED (it sorts after
+    // every scored member, null score in the output) — an inner join
+    // would silently drop it from the result, and a removal list built
+    // from keep=false rows would then fail-open keep it
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(clusterCol).orderBy(col(scoreCol).desc, col(idCol).asc)
-    clusters.join(scores, Seq(idCol))
+      .partitionBy(clusterCol)
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    clusters.join(scores, Seq(idCol), "left")
       .select(col(idCol), col(clusterCol), col(scoreCol),
         (row_number().over(w) === 1).as("keep"))
   }

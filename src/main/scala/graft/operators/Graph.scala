@@ -112,7 +112,13 @@ object Graph {
     // treats as false — so an untested null would fail-open.
     val w = weightCol.map { c =>
       val d = col(c).try_cast("double")
+      // the explicit try_cast("long").isNull disjunct catches values past
+      // Long range (and +Inf): there try_cast yields null, the =!=
+      // comparison is null, and when() would treat it as false —
+      // falling through to the unguarded cast, the exact fail-open this
+      // guard exists to prevent
       when(col(c).isNull || d.isNull || isnan(d) || d <= 0 ||
+          d.try_cast("long").isNull ||
           d =!= d.try_cast("long").cast("double"),
         raise_error(concat(lit(s"$op: weight column '$c' must hold " +
           "positive integers, got "), col(c).cast("string"))))

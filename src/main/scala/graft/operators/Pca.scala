@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -28,12 +28,27 @@ import graft.functions.VectorFunctions._
   */
 object Pca {
 
+  /** The embedding cast to array<double> with a loud totality guard:
+    * a null/NaN/Inf component would otherwise quantize to a silent
+    * in-range integer (`floor(NaN) = 0`, `floor(+Inf) = Long.MaxValue`)
+    * — indistinguishable from legitimate data in every downstream
+    * moment. Out-of-contract input fails with a labeled error instead.
+    */
+  private def finiteVec(vecCol: String, op: String): Column = {
+    val d = col(vecCol).cast("array<double>")
+    when(exists(d, x => x.isNull || isnan(x) ||
+        abs(x) === lit(Double.PositiveInfinity)),
+      raise_error(lit(s"Pca.$op: embedding contains a null/NaN/Inf " +
+        "component — clean or impute before computing moments")))
+      .otherwise(d)
+  }
+
   /** The exploded (id, dim, v) view of an embedding column — the
     * relational shape every moment aggregate here starts from.
     */
   private def exploded(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).cast("long").as("id"),
-        posexplode(col(vecCol)).as(Seq("dim", "v")))
+        posexplode(finiteVec(vecCol, "moments")).as(Seq("dim", "v")))
       .select(col("id"), col("dim").cast("long").as("dim"),
         col("v").cast("double").as("v"))
 
@@ -78,13 +93,20 @@ object Pca {
       count(lit(1)).as("n"))
     // finishing math in double, on exact integer operands — written as
     // s2/n - (s1/n)² (not a fused stddev) so the oracle SQL can mirror
-    // the exact same IEEE operation sequence
+    // the exact same IEEE operation sequence. A zero-variance dimension
+    // standardizes to z = 0 EXPLICITLY (both engines branch on the same
+    // exact-operand variance expression): without the branch, 0/0 is
+    // NaN and floor(NaN) is a silent 0 here but an error in the oracle.
+    // <= 0, not == 0: the double finish can land a true-zero variance
+    // a hair negative, and sqrt of that is NaN too.
     val mu = col("s1").cast("double") / col("n")
-    val sd = sqrt(col("s2").cast("double") / col("n") - mu * mu)
+    val variance = col("s2").cast("double") / col("n") - mu * mu
+    val sd = sqrt(variance)
     q.join(broadcast(stats), Seq("dim"))
       .select(col("id"), col("dim"),
-        floor((col("vi").cast("double") - mu) / sd
-          * lit(math.pow(10, roundTo)) + lit(0.5)).as("z_scaled"))
+        when(variance <= 0, lit(0L))
+          .otherwise(floor((col("vi").cast("double") - mu) / sd
+            * lit(math.pow(10, roundTo)) + lit(0.5))).as("z_scaled"))
   }
 
   /** The d×d population covariance matrix as (i, j, cov_scaled) rows:
@@ -143,7 +165,7 @@ object Pca {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(
-        transform(col(vecCol).cast("array<double>"),
+        transform(finiteVec(vecCol, "gramMoments"),
           x => floor(x * grid + lit(0.5))).as("varr"))
       .where(col("varr").isNotNull)
       .as[Seq[Long]]

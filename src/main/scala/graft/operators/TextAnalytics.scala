@@ -31,14 +31,28 @@ object TextAnalytics {
     * into single-pass pipelines (no per-operator join needed to combine
     * with other per-row signals).
     */
-  def qualityColumn(textCol: Column): Column = {
+  def qualityColumn(textCol: Column): Column =
+    round(qualityRaw(textCol), 4)
+
+  /** The unrounded quality blend shared by [[qualityColumn]] (display
+    * rounding) and [[qualityScaledColumn]] (hash-stable integer form).
+    */
+  private def qualityRaw(textCol: Column): Column = {
     val toks = tokens(textCol)
     val n = size(toks)
     val stopRatio = stopwordCount(toks).cast("double") / n
     val uniqRatio = size(array_distinct(toks)).cast("double") / n
     val lengthOk = when(n.between(20, 5000), lit(1.0)).otherwise(lit(0.5))
-    round(stopRatio * 0.25 + uniqRatio * 0.5 + lengthOk * 0.25, 4)
+    stopRatio * 0.25 + uniqRatio * 0.5 + lengthOk * 0.25
   }
+
+  /** Quality as ⌊q·10^scale + ½⌋ BIGINT — the engine-portable form for
+    * anything hashed or order-compared across engines (the Pca scaled-
+    * output discipline: no engine `round()`, no float representation in
+    * a compared value).
+    */
+  def qualityScaledColumn(textCol: Column, scale: Int = 4): Column =
+    floor(qualityRaw(textCol) * lit(math.pow(10, scale)) + lit(0.5))
 
   /** Heuristic quality score in [0,1]: blends stopword ratio (fluency
     * proxy), unique-token ratio (repetition penalty) and a length window.

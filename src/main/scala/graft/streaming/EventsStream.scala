@@ -33,13 +33,20 @@ object EventsStream {
     * [[graft.sources.Tables.normalizeTs]]), so probe one footer batch-side
     * for the directory's actual schema, then normalize to the long-nanos
     * engine contract. The probe reads metadata only, never data pages.
+    * An EMPTY landing directory (files arrive after the stream starts —
+    * the normal continuous-ingest deployment) has nothing to probe; fall
+    * back to the pinned long-nanos [[schema]] so the stream still starts
+    * and waits, exactly as the pre-probe reader did.
     */
-  def read(spark: SparkSession, dir: String): DataFrame =
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val physical = scala.util.Try(spark.read.parquet(dir).schema)
+      .getOrElse(schema)
     graft.sources.Tables.normalizeTs(
-      spark.readStream.schema(spark.read.parquet(dir).schema)
+      spark.readStream.schema(physical)
         .option("maxFilesPerTrigger", "1")
         .parquet(dir))
       .withColumn("event_time", tsCol)
+  }
 
   /** Tumbling-window per-type counts/sums with a 1-hour watermark —
     * the streaming twin of SparkEntry's `st1_window_agg` batch query.

@@ -351,18 +351,22 @@ class DedupSpec extends AnyFunSuite {
   test("resolveClusters keeps the best-scoring member, ties to lowest id") {
     val clusters = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1: 2 has the best score
-      (10L, 10L), (11L, 10L)        // cluster 10: tied scores -> keep 10
+      (10L, 10L), (11L, 10L),       // cluster 10: tied scores -> keep 10
+      (20L, 20L), (21L, 20L)        // cluster 20: 21 has NO score row
     ).toDF("id", "cluster")
     val scores = Seq(
-      (1L, 0.3), (2L, 0.9), (3L, 0.5), (10L, 0.7), (11L, 0.7)
+      (1L, 0.3), (2L, 0.9), (3L, 0.5), (10L, 0.7), (11L, 0.7), (20L, 0.1)
     ).toDF("id", "quality")
     val got = Dedup.resolveClusters(clusters, scores)
-      .as[(Long, Long, Double, Boolean)].collect()
+      .as[(Long, Long, Option[Double], Boolean)].collect()
       .map(r => r._1 -> r).toMap
-    assert(got.size == 5) // every clustered doc appears exactly once
-    assert(got.filter(_._2._4).keySet == Set(2L, 10L))
+    assert(got.size == 7) // every clustered doc appears exactly once...
+    assert(got.filter(_._2._4).keySet == Set(2L, 10L, 20L))
     // the removal list is the complement, cluster-labelled
-    assert(got.filterNot(_._2._4).keySet == Set(1L, 3L, 11L))
+    assert(got.filterNot(_._2._4).keySet == Set(1L, 3L, 11L, 21L))
     assert(got(11L)._2 == 10L)
+    // ...including a scoreless member: resolved (removed, null score),
+    // never silently dropped from the result
+    assert(got(21L)._3.isEmpty && !got(21L)._4)
   }
 }
