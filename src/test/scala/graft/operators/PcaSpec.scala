@@ -69,6 +69,32 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("standardize: a zero-variance dimension yields z = 0, not NaN-garbage") {
+    // dim 1 is constant across the corpus -> sd = 0 -> 0/0 without the
+    // explicit branch; dim 0 varies and must be unaffected
+    val flat = (0L until 50L)
+      .map(i => (i, Seq((math.sin(i * 0.9) * 2.0).toFloat, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val z = Pca.standardize(flat, "vec_id", "embedding", roundTo = 6)
+      .as[(Long, Long, Long)].collect()
+    assert(z.filter(_._2 == 1L).forall(_._3 == 0L))
+    val d0 = z.filter(_._2 == 0L).map(_._3 / 1e6)
+    assert(math.abs(d0.map(x => x * x).sum / d0.length - 1.0) < 1e-4)
+  }
+
+  test("non-finite embedding components fail loudly, never quantize to 0") {
+    val bad = Seq((1L, Seq(0.1f, Float.NaN)), (2L, Seq(0.2f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Pca.covariance(bad, "vec_id", "embedding").collect()
+    }
+    assert(ex.getMessage.contains("null/NaN/Inf"), ex.getMessage)
+    val ex2 = intercept[Exception] {
+      Pca.standardize(bad, "vec_id", "embedding").collect()
+    }
+    assert(ex2.getMessage.contains("null/NaN/Inf"), ex2.getMessage)
+  }
+
   test("covariance is bit-identical across partition layouts (Gram pass)") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Pca.covariance(df, "vec_id", "embedding", roundTo = 8)
