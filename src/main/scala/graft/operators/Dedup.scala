@@ -433,24 +433,30 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.6, seed: Long = 42L,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      precomputed: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     // The shingle table feeds three consumers with three different shuffle
     // keys (signature agg on id; verify joins on id_a and (id_b, shkey)),
     // so ReuseExchange can't share it — checkpoint it once instead of
     // recomputing the tokenize/window/dedup pipeline per consumer. Local
     // (executor-disk) checkpoint, not a cache: it also truncates lineage so
-    // AQE replans only the downstream stages.
-    val sh = shingleRows(docs, idCol, textCol, n, portable).localCheckpoint()
+    // AQE replans only the downstream stages. A caller that already holds
+    // the [[sketch]] of the same docs (the streaming bootstrap runs both
+    // this and the index build over one micro-batch) passes it via
+    // `precomputed` so the batch is sketched once, not twice.
     // The band-key table feeds BOTH sides of the candidate self-join, and
     // the two sides shuffle on the same (band, key) — but each side is a
     // separate aliased subtree, so without materialization the signature
     // aggregation (a full groupBy over the shingle table) executes once
     // per side. Checkpointing `banded` (|docs| × bands rows of 3 longs —
     // orders of magnitude smaller than the shingle table) runs it once.
-    val banded = bandKeyRows(sigsFromShingles(sh, k, seed, portable),
-        bands, k / bands, portable)
-      .localCheckpoint()
+    val (sh, banded) = precomputed.getOrElse {
+      val s = shingleRows(docs, idCol, textCol, n, portable).localCheckpoint()
+      val b = bandKeyRows(sigsFromShingles(s, k, seed, portable),
+        bands, k / bands, portable).localCheckpoint()
+      (s, b)
+    }
     // `cand` is referenced three times by the verify step (two semi-joins
     // + the pair join); materialize it so the LSH self-join runs once.
     // Candidates ≈ true near-dup pairs — tiny relative to the corpus.
@@ -575,8 +581,10 @@ object Dedup {
     */
   def writeMinHashIndex(
       docs: DataFrame, idCol: String, textCol: String, dest: String,
-      n: Int = 3, k: Int = 64, bands: Int = 16, seed: Long = 42L): Unit = {
-    val (sh, bk) = sketch(docs, idCol, textCol, n, k, bands, seed)
+      n: Int = 3, k: Int = 64, bands: Int = 16, seed: Long = 42L,
+      precomputed: Option[(DataFrame, DataFrame)] = None): Unit = {
+    val (sh, bk) = precomputed.getOrElse(
+      sketch(docs, idCol, textCol, n, k, bands, seed))
     sh.withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("batch")
       .parquet(s"$dest/shingles")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Multi-dimensional data layout for scan pruning — the Z-order
   * (Morton-curve) clustering step of the 100-TB write path.
@@ -36,13 +37,23 @@ object Layout {
     * so Spark and any SQL oracle agree bit-for-bit (no float rounding on
     * the scaling path). `mn`/`mx` come from one tiny pre-aggregation; at
     * corpus scale that is a metadata-sized job, not a data pass.
+    *
+    * decimal(38,0), not long: a wide-range column (nanos-since-epoch ts
+    * is the in-house example — a 39-hour span is already 1.4e14) makes
+    * `(x − mn) · 65535` overflow 64-bit arithmetic, which under ANSI
+    * kills the job mid-write and otherwise wraps negative and silently
+    * destroys the clustering. The remainder-stripped division is exact
+    * in decimal at any width, so the bit-for-bit contract holds for the
+    * full long range.
     */
   def scaleToBits(x: Column, mn: Column, mx: Column, bits: Int): Column = {
-    val span = greatest(mx.cast("long") - mn.cast("long"), lit(1L))
-    val num = (x.cast("long") - mn.cast("long")) * lit((1L << bits) - 1)
-    // floor-div in exact integer arithmetic: strip the remainder first so
-    // the double division is exact (both operands and the quotient are
-    // integers < 2^53), then cast back — equivalent to SQL `num div span`
+    val dec = DecimalType(38, 0)
+    val span = greatest(mx.cast(dec) - mn.cast(dec), lit(1L).cast(dec))
+    val num = (x.cast(dec) - mn.cast(dec)) * lit((1L << bits) - 1).cast(dec)
+    // floor-div in exact arithmetic: strip the remainder first so the
+    // division's operands divide exactly (the quotient is an integer
+    // ≤ 2^bits, representable at any decimal scale) — equivalent to SQL
+    // `num div span`
     ((num - pmod(num, span)) / span).cast("long")
   }
 
@@ -53,6 +64,9 @@ object Layout {
     val r = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"z-order needs at least one non-null row in both '$colA' and " +
+        s"'$colB' — the frame is empty or a column is entirely null")
     zValue(
       scaleToBits(col(colA), lit(r.getLong(0)), lit(r.getLong(1)), bits),
       scaleToBits(col(colB), lit(r.getLong(2)), lit(r.getLong(3)), bits),

@@ -41,10 +41,26 @@ object Sharding {
     * ord the within-shard position rank key. Fully parallel projection;
     * no shuffle at all until a consumer re-clusters by shard.
     */
+  /** The shuffle key permutes INTEGER ids; a string id would cast to
+    * null (or throw under ANSI) and collapse the corpus into one null
+    * shard — fail loudly with the remediation instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    val ok = dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.ShortType ||
+      dt == org.apache.spark.sql.types.ByteType
+    require(ok, s"$op: id column '$idCol' must be integral (got $dt) — " +
+      "derive a long id first (e.g. xxhash64(id)) so the affine shuffle " +
+      "key can permute it")
+  }
+
   def epochShuffle(
       docs: DataFrame, idCol: String,
       nShards: Int, epoch: Long): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    requireIntegralId(docs, idCol, "epochShuffle")
     val key = shuffleKey(col(idCol).cast("long"), lit(epoch))
     docs.select(
       col(idCol).as("id"),
@@ -63,6 +79,7 @@ object Sharding {
       docs: DataFrame, idCol: String,
       nShards: Int, epoch: Long, path: String): Unit = {
     require(nShards > 0, "nShards must be positive")
+    requireIntegralId(docs, idCol, "writeShards")
     // shard/ord are computed INLINE — shuffleKey reads only the id, so a
     // join against epochShuffle's projection would be a needless second
     // corpus pass (and would duplicate rows under non-unique ids).

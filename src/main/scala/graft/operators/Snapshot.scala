@@ -20,15 +20,23 @@ object Snapshot {
   def diff(
       oldDocs: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // presence is tracked by explicit flags, never by fingerprint
+    // nullness: fingerprint(null text) is null, so an id present in
+    // BOTH snapshots with a null text on either side would masquerade
+    // as added/removed — the audit this op exists for would be wrong
+    // for every null-text row. <=> (null-safe equality) then classifies
+    // null-vs-null text as unchanged and null-vs-text as changed.
     val o = oldDocs.select(col(idCol).as("id"),
-      TextFunctions.fingerprint(col(textCol)).as("fp_old"))
+      TextFunctions.fingerprint(col(textCol)).as("fp_old"),
+      lit(true).as("__in_old"))
     val n = newDocs.select(col(idCol).as("id"),
-      TextFunctions.fingerprint(col(textCol)).as("fp_new"))
+      TextFunctions.fingerprint(col(textCol)).as("fp_new"),
+      lit(true).as("__in_new"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("fp_old").isNull, "added")
-          .when(col("fp_new").isNull, "removed")
-          .when(col("fp_old") === col("fp_new"), "unchanged")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("fp_old") <=> col("fp_new"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

@@ -60,12 +60,11 @@ object EventsStream {
         unix_timestamp(col("window.start")).as("hour_start"),
         col("event_type"), col("n"), col("total_value"))
 
-  /** Batch equivalent of [[windowedAgg]] for parity testing. */
+  /** Batch equivalent of [[windowedAgg]] for parity testing — the SAME
+    * plan, not a re-authored copy (a watermark is a no-op under batch
+    * execution, so delegating is behavior-identical and the parity pair
+    * can't silently desynchronize).
+    */
   def windowedAggBatch(events: DataFrame): DataFrame =
-    events.withColumn("event_time", tsCol)
-      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
-      .agg(count("*").as("n"), round(sum(col("value")), 2).as("total_value"))
-      .select(
-        unix_timestamp(col("window.start")).as("hour_start"),
-        col("event_type"), col("n"), col("total_value"))
+    windowedAgg(events.withColumn("event_time", tsCol))
 }

@@ -40,7 +40,12 @@ object GvcfStream {
   }
 
   /** Run the ingest: 60 s micro-batches (reference batch interval) into
-    * band-partitioned parquet, exactly-once via checkpointing.
+    * band-partitioned parquet. Exactly-once: `foreachBatch` is
+    * at-least-once, so every write is scoped to its micro-batch id —
+    * rows land under `batch=<id>` partitions with dynamic overwrite, and
+    * a replayed batch REPLACES its own partitions instead of appending
+    * the same variants twice (the IndexStream/DocumentStream replay
+    * discipline; a blind append silently duplicated the replayed batch).
     */
   def run(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String,
@@ -48,11 +53,14 @@ object GvcfStream {
     parse(spark, inDir).writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           batch
             .withColumn("band", (col("pos") / 30000000L).cast("int"))
-            .write.mode("append").partitionBy("chrom", "band").parquet(outDir)
+            .withColumn("batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("chrom", "band", "batch").parquet(outDir)
         }
       }
       .start()

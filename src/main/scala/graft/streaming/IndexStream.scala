@@ -59,7 +59,6 @@ object IndexStream {
       batch: DataFrame, batchId: Long, idCol: String, textCol: String,
       indexPath: String, pairsPath: String, checkpointDir: String,
       n: Int, k: Int, bands: Int, threshold: Double, seed: Long): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
@@ -76,12 +75,18 @@ object IndexStream {
       else None
     val bootstrapReplay = boot.exists { case (b, ckpt) =>
       b == batchId && ckpt == checkpointDir }
+    // lineage check BEFORE the empty-batch early return: a fresh
+    // checkpoint whose batch 0 happens to be empty must still fail fast
+    // against an index bootstrapped by a different lineage — otherwise
+    // its batch 1 takes the incremental path and two lineages silently
+    // merge into one index
     require(!boot.exists { case (b, ckpt) =>
         b == batchId && ckpt != checkpointDir },
       s"index at $indexPath was bootstrapped by batch $batchId of a " +
         s"different checkpoint lineage (${boot.get._2}); a new checkpoint " +
         "restarts batch ids at 0 — reuse the original checkpoint or " +
         "start a fresh index path")
+    if (batch.isEmpty) return
     val bootstrapped = fs.exists(params) && !bootstrapReplay
     val b = batch.localCheckpoint()
     val pairs =
@@ -93,10 +98,14 @@ object IndexStream {
         // double-count their shingles in every later Jaccard join
         Seq((batchId, checkpointDir)).toDF("batch", "checkpoint")
           .coalesce(1).write.mode("overwrite").json(marker.toString)
+        // ONE sketch feeds both the index build and the self-pair scan —
+        // the bootstrap batch is potentially the largest (initial
+        // backfill) and was being shingled twice
+        val sk = Dedup.sketch(b, idCol, textCol, n, k, bands, seed)
         Dedup.writeMinHashIndex(b, idCol, textCol, indexPath,
-          n, k, bands, seed)
+          n, k, bands, seed, precomputed = Some(sk))
         Dedup.minHashLshPairs(b, idCol, textCol,
-          n, k, bands, threshold, seed)
+          n, k, bands, threshold, seed, precomputed = Some(sk))
       } else {
         // ONE sketch of the batch feeds both the incremental join
         // and the index append; pairs materialize BEFORE the

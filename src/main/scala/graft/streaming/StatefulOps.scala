@@ -64,6 +64,36 @@ object StatefulOps {
     }
   }
 
+  /** One micro-batch of session state advancement for a single key —
+    * the pure fold [[sessionsStream]] runs inside
+    * `flatMapGroupsWithState`, extracted so its semantics (gap close,
+    * late-event monotonicity) are unit-testable without driving the
+    * streaming engine. Returns (sessions closed by this batch, the
+    * still-open state to store).
+    */
+  private[streaming] def advanceSessions(
+      user: Long, events: Seq[Ev], prior: Option[Session],
+      gapUs: Long): (Seq[Session], Session) = {
+    val sorted = events.sortBy(_.ts_us)
+    var cur = prior.getOrElse(
+      Session(user, sorted.head.ts_us, sorted.head.ts_us, 0))
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    for (e <- sorted) {
+      if (e.ts_us - cur.end_us > gapUs && cur.n_events > 0) {
+        closed += cur
+        cur = Session(user, e.ts_us, e.ts_us, 0)
+      }
+      // max, not assignment: events are sorted only WITHIN a
+      // micro-batch, so a cross-batch late event (ts below the
+      // stored end) must not regress the session end — that
+      // produced end < start sessions and spuriously split the
+      // next on-time event
+      cur = cur.copy(end_us = math.max(cur.end_us, e.ts_us),
+        n_events = cur.n_events + 1)
+    }
+    (closed.toSeq, cur)
+  }
+
   /** Streaming sessionizer: closes a session when the processing-time
     * timeout fires after `gapUs` of silence for the key.
     */
@@ -71,7 +101,6 @@ object StatefulOps {
       spark: SparkSession, ds: Dataset[Ev],
       gapUs: Long = DefaultGapUs): Dataset[Session] = {
     import spark.implicits._
-    case class S(start: Long, last: Long, n: Int)
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[Session, Session](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
@@ -81,17 +110,8 @@ object StatefulOps {
             state.remove()
             Iterator.single(s)
           } else {
-            val sorted = evs.toIndexedSeq.sortBy(_.ts_us)
-            var cur = state.getOption.getOrElse(
-              Session(user, sorted.head.ts_us, sorted.head.ts_us, 0))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            for (e <- sorted) {
-              if (e.ts_us - cur.end_us > gapUs && cur.n_events > 0) {
-                closed += cur
-                cur = Session(user, e.ts_us, e.ts_us, 0)
-              }
-              cur = cur.copy(end_us = e.ts_us, n_events = cur.n_events + 1)
-            }
+            val (closed, cur) =
+              advanceSessions(user, evs.toIndexedSeq, state.getOption, gapUs)
             state.update(cur)
             state.setTimeoutDuration(gapUs / 1000)
             closed.iterator

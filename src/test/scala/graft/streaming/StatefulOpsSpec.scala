@@ -30,6 +30,27 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session advance: a cross-batch late event never regresses the end") {
+    val gap = 1000L
+    // batch 1: one event at t=100 -> open session [100, 100]
+    val (c1, s1) = StatefulOps.advanceSessions(1L, Seq(Ev(1, 100, 1.0)), None, gap)
+    assert(c1.isEmpty && s1 == Session(1, 100, 100, 1))
+    // batch 2: a LATE event (ts below the stored end) followed by an
+    // on-time event past the gap — the late event merges without pulling
+    // end_us backwards, so the close emits a valid session of both
+    // events instead of an end < start one, and the on-time event's gap
+    // measures from the true end (100), not the regressed 50
+    val (c2, s2) = StatefulOps.advanceSessions(
+      1L, Seq(Ev(1, 50, 1.0), Ev(1, 100 + gap + 1, 1.0)), Some(s1), gap)
+    assert(c2 == Seq(Session(1, 100, 100, 2)), s"closed: $c2")
+    assert(c2.head.end_us >= c2.head.start_us)
+    assert(s2 == Session(1, 100 + gap + 1, 100 + gap + 1, 1))
+    // an event exactly AT the gap boundary merges (strict >)
+    val (c3, s3) = StatefulOps.advanceSessions(
+      1L, Seq(Ev(1, s2.end_us + gap, 1.0)), Some(s2), gap)
+    assert(c3.isEmpty && s3.n_events == 2 && s3.end_us == s2.end_us + gap)
+  }
+
   test("typed batch sessionizer agrees with the w4 SQL sessionization") {
     import spark.implicits._
     val ev = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
