@@ -1723,12 +1723,12 @@ object SparkEntry {
        |        AS irank
        |    FROM ex WHERE rel > 0) i CROSS JOIN dt
        |  WHERE irank <= 10 GROUP BY q_id)
-       |SELECT p.q_id,
+       |SELECT q_id,
        |  round(coalesce(1::DOUBLE / p.first_rel, 0::DOUBLE), 6) AS mrr,
-       |  round(p.dcg::DOUBLE, 6) AS dcg,
+       |  round(coalesce(p.dcg::DOUBLE, 0::DOUBLE), 6) AS dcg,
        |  round(coalesce(p.dcg::DOUBLE / i.idcg::DOUBLE, 0::DOUBLE), 6)
        |    AS ndcg
-       |FROM perq p LEFT JOIN ideal i USING (q_id)""".stripMargin
+       |FROM perq p FULL OUTER JOIN ideal i USING (q_id)""".stripMargin
   }
 
   /** DuckDB CTE chain reproducing the portable MinHash-LSH pipeline

@@ -23,7 +23,13 @@ object Bucketing {
   def writeBucketed(
       df: DataFrame, table: String, key: String,
       buckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val sorted = if (sortCols.isEmpty) Seq(key) else sortCols
+    // the bucket key LEADS the sort even when secondary sort columns are
+    // given: the module's contract is sort-free joins on the key, and a
+    // sortCols that replaced the key would silently re-introduce a Sort
+    // on every subsequent bucketedJoin
+    val sorted = if (sortCols.isEmpty) Seq(key)
+      else if (sortCols.head == key) sortCols
+      else key +: sortCols
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(sorted.head, sorted.tail: _*)

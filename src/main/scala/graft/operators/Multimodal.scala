@@ -107,7 +107,10 @@ object Multimodal {
       // overflows Int and rewinds the walk — would stall the loop or read
       // past the buffer; treat either as non-WAV instead of failing the task.
       if (sz < 0 || sz > bytes.length - off - 8) return None
-      if (id == "fmt " && off + 24 <= bytes.length) {
+      // sz >= 16: a truncated fmt chunk would otherwise read the NEXT
+      // chunk's bytes as channels/rate/bits — silently misframed samples
+      // rather than the documented treat-as-non-WAV
+      if (id == "fmt " && sz >= 16 && off + 24 <= bytes.length) {
         channels = le16(off + 10)
         sampleRate = le32(off + 12)
         bitsPerSample = le16(off + 22)
@@ -151,6 +154,7 @@ object Multimodal {
     require(k >= 1, s"frame sample size must be >= 1, got $k")
     df.filter(col("kind") === "video")
       .select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
       .withColumn("n_frames",
         (lit(1) + pmod(length(col("payload")).cast("long"), lit(300))).cast("int"))
       .withColumn("k_eff", least(lit(k), col("n_frames")))
@@ -205,6 +209,7 @@ object Multimodal {
   def imageDHashes(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) => dHash64(bytes).map(h => (id, h)) }
       .toDF("id", "dhash")
@@ -253,6 +258,7 @@ object Multimodal {
   def extractMeta(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaMeta] = {
     import spark.implicits._
     val in = df.select(col(idCol).cast("long").as("id"), col("kind"), col("payload"))
+      .where(col("payload").isNotNull)
     in.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
@@ -300,6 +306,7 @@ object Multimodal {
     require(windowFrames > 0, "windowFrames must be positive")
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         wavSamples16(bytes).toSeq.flatMap { s =>
@@ -334,6 +341,7 @@ object Multimodal {
     require(tw > 0 && th > 0, "thumbnail dims must be positive")
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         poolGray(bytes, tw, th).map { g =>

@@ -40,10 +40,16 @@ object Retrieval {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(k0 >= 1, s"k0 must be positive (got $k0)")
     require(topK >= 1, s"topK must be positive (got $topK)")
+    // same 1-based-rank guard as rankingMetrics: a 0-based rank (the
+    // common row_number()-1 off-by-one) would shift every 1/(rank+k0)
+    // contribution silently; a rank of exactly -k0 would contribute a
+    // null that sum() skips while n_lists still counts it
     val tagged = lists.map(_.select(
       col(qIdCol).cast("long").as("q_id"),
       col(idCol).cast("long").as("id"),
-      col(rankCol).cast("long").as("rank")))
+      when(col(rankCol).cast("long") < 1,
+        raise_error(lit("rrfFuse: ranks must be 1-based (got a rank < 1)")))
+        .otherwise(col(rankCol).cast("long")).as("rank")))
     val contrib = tagged.reduce(_ unionByName _)
       .select(col("q_id"), col("id"),
         round(lit(1.0) / (col("rank") + lit(k0)), 9)
@@ -127,10 +133,15 @@ object Retrieval {
       .groupBy("q_id")
       .agg(sum(round(gain * element_at(discCol, col("irank")), grid)
         .cast(dec)).as("idcg"))
-    perQ.join(ideal, Seq("q_id"), "left")
+    // full_outer, not left: a judged query the retriever returned NOTHING
+    // for (within rank ≤ k) exists only on the ideal side — it must emit
+    // an mrr=0/ndcg=0 row (the TREC convention: every judged query
+    // counts), or averaged metrics silently overstate a retriever that
+    // answers few queries well
+    perQ.join(ideal, Seq("q_id"), "full_outer")
       .select(col("q_id"),
         round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"),
-        round(col("dcg").cast("double"), 6).as("dcg"),
+        round(coalesce(col("dcg").cast("double"), lit(0.0)), 6).as("dcg"),
         round(coalesce(col("dcg").cast("double") /
           col("idcg").cast("double"), lit(0.0)), 6).as("ndcg"))
   }

@@ -27,6 +27,9 @@ object Skew {
       df: DataFrame, keys: Seq[String], saltBuckets: Int,
       partial: Seq[Column], merge: Seq[Column]): DataFrame = {
     require(partial.nonEmpty && merge.nonEmpty)
+    // pmod(x, 0) is null (or an ANSI error): without the guard a zero
+    // bucket count silently degrades to an unsalted aggregate
+    require(saltBuckets > 0, s"saltBuckets must be positive (got $saltBuckets)")
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
     val phase1 = salted
@@ -45,6 +48,10 @@ object Skew {
   def saltedJoin(
       fact: DataFrame, dim: DataFrame, key: String,
       saltBuckets: Int): DataFrame = {
+    // with 0 buckets the fact salt is null and the dim sequence runs
+    // DESCENDING ([0, -1]) — the equi-join then matches nothing and the
+    // op silently returns an empty result instead of erroring
+    require(saltBuckets > 0, s"saltBuckets must be positive (got $saltBuckets)")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
     val replicatedDim = dim.withColumn("__salt",
