@@ -30,21 +30,25 @@ object Bench {
       r.selectExpr("explode(array(id, id+1))").count()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () }
-    // Each query is timed three times and the min reported: a single
+    // Each query is timed `runs` times (default 3, override with
+    // SPARK_GRAFT_BENCH_RUNS or --runs N) and the min reported: a single
     // timing on a shared machine measures the neighbors (background JVMs
-    // have produced 8→100 s swings here), while min-of-3 measures the
+    // have produced 8→100 s swings here), while min-of-N measures the
     // engine. Run 1 also absorbs query-specific codegen/JIT not covered
     // by the warmup; the GC nudge between queries keeps checkpoint blocks
     // released by earlier queries from taxing later ones.
+    val runs = math.max(1, args.sliding(2).collectFirst {
+      case Array("--runs", n) => n.toInt
+    }.orElse(sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)).getOrElse(3))
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      val t = Seq(once(), once(), once()).min
+      val all = Seq.fill(runs)(once())
       System.gc()
-      name -> t
+      name -> all
     }
     // One compact JSON line as the ONLY stdout line. The driver's
     // artifact capture keeps the LAST 2000 chars of stdout and parses
@@ -56,11 +60,25 @@ object Bench {
     // line to ~1.35 KB. The full-name mapping still goes to stderr for
     // humans reading the raw log.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val mins = results.map { case (k, vs) => k -> vs.min }
+    val total = if (mins.nonEmpty) mins.values.sum else 0.0
+    val fullQs = mins.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    System.err.println(s"""[bench-full] {"total":${f(total)},"queries":$fullQs}""")
-    val qs = results.map { case (k, v) =>
+    val fullLine = s"""{"total":${f(total)},"runs":$runs,"sf":"$sfDir","queries":$fullQs,"all_runs":${
+      results.map { case (k, vs) =>
+        "\"" + k + "\":" + vs.map(f).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")}}"""
+    System.err.println(s"[bench-full] $fullLine")
+    // Durable per-query artifact: the driver's stdout capture keeps only
+    // the last 2000 chars, so round-over-round per-query diffs come from
+    // this file, never from truncated stdout (the r4/r5 parsed-null
+    // lesson). Written to the working directory next to the repo's
+    // BENCH_r{N}.json history.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val qs = mins.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","keys":"query name prefixes","queries":$qs,"sf":"$sfDir"}""")

@@ -1207,6 +1207,17 @@ object SparkEntry {
   private def c8JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dest = jsonlExportCache.getOrElseUpdate(d, {
       val dir = java.nio.file.Files.createTempDirectory("jsonl_rt").toFile
+      // JVM-exit cleanup: without it each (JVM, sf dir) leaks one
+      // corpus-sized gzip tree under /tmp. Recursive delete via a
+      // shutdown hook — File.deleteOnExit can't remove non-empty dirs
+      // and would have to be registered per yet-unwritten shard file.
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(dir)
+      }))
       val p = new java.io.File(dir, "docs").getPath
       graft.sources.DocumentsJsonl.write(
         T(s, d, "documents"), p, shards = Some(4))

@@ -257,7 +257,7 @@ object Dedup {
     * cap, so intersection-over-total scores built on this index stay
     * exact for pairs whose shingles are all under the cap.
     */
-  private def cappedShingleIndex(
+  private[graft] def cappedShingleIndex(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxDf: Int): DataFrame = {
     val sh0 = shingleRows(docs, idCol, textCol, n)
@@ -302,14 +302,22 @@ object Dedup {
     // occurrences are dropped map-side without ever shuffling. (The
     // count-window form this replaces sorted every occurrence of the hot
     // key on a single reducer — the exact skew it existed to prevent.)
+    // The capped index feeds BOTH sides of the self-join. ReuseExchange
+    // does collapse the two identical shuffle subtrees when it fires, but
+    // reuse is best-effort — AQE replanning or memory pressure in a long
+    // session can miss it, and then the tokenize/window/dedup pipeline
+    // runs once per side (observed as a 2-3× swing on identical code
+    // across bench sessions). Materialize the index once, eagerly, to
+    // executor-local storage instead — the duplicateClusters discipline.
+    // Cost posture at scale: the index was about to be shuffle-written to
+    // local disk anyway; the checkpoint trades that same local I/O for a
+    // guarantee the upstream pipeline executes exactly once, and
+    // truncates lineage so AQE replans only the join stage.
     val sh = cappedShingleIndex(docs, idCol, textCol, n, maxDf)
-    // shuffle_hash hint on both sides: identical child plans shuffle on
-    // the same key, so ReuseExchange evaluates the shingle generation
-    // once, not per join side. Without the hint AQE broadcast-converts the
-    // join at small scale and the broadcast side re-runs the whole
-    // tokenize/window/dedup pipeline (measured 2× the query time at
-    // sf0.1); at corpus scale broadcasting a shingle index is off the
-    // table anyway, so pinning shuffle_hash loses nothing.
+      .localCheckpoint()
+    // shuffle_hash hint on both sides: keeps AQE from broadcast-converting
+    // the join — a broadcast side would collect the whole index to the
+    // driver, off the table at corpus scale.
     sh.as("a").hint("shuffle_hash")
       .join(sh.as("b").hint("shuffle_hash"),
         col("a.shkey") === col("b.shkey") && col("a.id") < col("b.id"))
@@ -334,7 +342,7 @@ object Dedup {
     * e.g. Broder's resemblance-vs-containment distinction).
     *
     * Same inverted-index skeleton, cost shape, df-cap contract and
-    * shuffle_hash exchange-reuse as [[ngramJaccardPairs]] — per-doc
+    * materialize-once discipline as [[ngramJaccardPairs]] — per-doc
     * totals precede the cap, so both denominators stay exact and a
     * capped shingle can only lower a score.
     *
@@ -344,7 +352,9 @@ object Dedup {
   def containmentPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    // Materialized once for both join sides — see [[ngramJaccardPairs]].
     val sh = cappedShingleIndex(docs, idCol, textCol, n, maxDf)
+      .localCheckpoint()
     sh.as("a").hint("shuffle_hash")
       .join(sh.as("b").hint("shuffle_hash"),
         col("a.shkey") === col("b.shkey") && col("a.id") < col("b.id"))
@@ -972,7 +982,14 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(clusterCol)
       .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
-    clusters.join(scores, Seq(idCol), "left")
+    // One score per id, enforced: a duplicated score row would otherwise
+    // fan the clustered doc out through the join and row_number would
+    // emit BOTH a keep=true and a keep=false row for the same id — a
+    // removal list built from keep=false would then drop a kept doc.
+    // max() keeps the resolution deterministic under dirty input.
+    val uniqScores = scores
+      .groupBy(col(idCol)).agg(max(col(scoreCol)).as(scoreCol))
+    clusters.join(uniqScores, Seq(idCol), "left")
       .select(col(idCol), col(clusterCol), col(scoreCol),
         (row_number().over(w) === 1).as("keep"))
   }

@@ -125,7 +125,8 @@ object Pca {
     // eager materialization: the pair and first-moment branches below
     // both read the Gram result, and without it each branch would re-run
     // the full corpus pass (the result is d²+d rows — trivial to hold)
-    val g = gramMoments(emb, idCol, vecCol, grid).localCheckpoint()
+    val g = gramMoments(emb, idCol, vecCol, grid, corpusDim(emb, vecCol))
+      .localCheckpoint()
     val pair = g.filter(col("j") >= 0)
     val m = g.filter(col("j") === -1)
     val mi = m.select(col("i"), col("sij").as("s1i"))
@@ -160,8 +161,20 @@ object Pca {
     * are associative and commutative, so the result is bit-identical
     * across partitionings — the [[Pca]] determinism contract.
     */
+  /** The corpus embedding dimension, derived once on the driver from a
+    * column-pruned single-row probe (0 for an empty corpus). Passed into
+    * [[gramMoments]] so every partition validates against the SAME
+    * dimension — a per-partition "first row wins" guard would let a
+    * corpus whose partitions are internally uniform but mutually ragged
+    * slip through and silently mix dimensions in the moment sums.
+    */
+  private def corpusDim(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
   private def gramMoments(
-      emb: DataFrame, idCol: String, vecCol: String, grid: Double): DataFrame = {
+      emb: DataFrame, idCol: String, vecCol: String, grid: Double,
+      dim: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(
@@ -172,7 +185,7 @@ object Pca {
     val partials = vecs.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
-        var d = 0
+        val d = dim
         var acc: Array[Long] = null   // d² second-moment cells + d first-moment cells
         var big: Array[java.math.BigInteger] = null
         var n = 0L
@@ -190,7 +203,6 @@ object Pca {
         }
         it.foreach { v =>
           if (acc == null) {
-            d = v.length
             acc = new Array[Long](d * d + d)
             big = Array.fill(d * d + d)(java.math.BigInteger.ZERO)
             budget = Long.MaxValue / 2
@@ -289,11 +301,11 @@ object Pca {
   def train(
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 200, grid: Double = 1e7): PcaModel = {
-    val d = emb.select(size(col(vecCol))).head.getInt(0)
+    val d = corpusDim(emb, vecCol)
     require(k >= 1 && k <= d, s"k $k must be in [1, dim $d]")
     // one Gram pass feeds every driver-bound moment (d first moments,
     // d² second moments) — a single d²+d-row collect
-    val g = gramMoments(emb, idCol, vecCol, grid).collect()
+    val g = gramMoments(emb, idCol, vecCol, grid, d).collect()
     val s1 = new Array[Double](d)
     var n = 0L
     g.foreach { r =>

@@ -74,16 +74,30 @@ object DocumentsJsonl {
 
   /** Clean rows only, `_corrupt` dropped — the shape every downstream
     * operator takes.
+    *
+    * Blank-line contract: `from_json` on an empty/whitespace line yields
+    * a NULL struct (not a struct with `_corrupt` set), so a bare
+    * corrupt-is-null filter would pass one phantom all-null document per
+    * blank line — common in concatenated/hand-edited JSONL. The struct
+    * null check drops them, matching `spark.read.json`, which skips
+    * blank lines entirely.
     */
   def readClean(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.textFile(paths: _*).toDF("value").select(probe)
-      .where(col("r").getField(corruptCol).isNull)
+      .where(col("r").isNotNull && col("r").getField(corruptCol).isNull)
       .select(cleanCols: _*)
 
-  /** Quarantined raw lines, for the ingest report. */
+  /** Quarantined raw lines, for the ingest report. Blank lines are NOT
+    * quarantined (they're skipped, matching [[readClean]] and the batch
+    * json scan); a non-blank line whose parse comes back as a null
+    * struct IS — it carried content the parser produced nothing for, so
+    * silently dropping it would lose data without a report.
+    */
   def readCorrupt(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.textFile(paths: _*).toDF("value")
-      .where(probe.getField(corruptCol).isNotNull)
+      .withColumn("r", probe)
+      .where(col("value").rlike("\\S") && // skip blank/whitespace-only
+        (col("r").isNull || col("r").getField(corruptCol).isNotNull))
       .select(col("value").as("raw_line"))
 
   /** Streaming twin of [[readClean]]: a file-source stream over a
@@ -98,7 +112,7 @@ object DocumentsJsonl {
       .option("maxFilesPerTrigger", "1")
       .text(dir)
       .select(probe)
-      .where(col("r").getField(corruptCol).isNull)
+      .where(col("r").isNotNull && col("r").getField(corruptCol).isNull)
       .select(cleanCols: _*)
 
   /** Write a document corpus as gzip JSONL shards. `shards` bounds the

@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.GraftSession
 import graft.operators.Dedup
 
-/** Stage-by-stage timing of the MinHash-LSH pipeline (mirrors
-  * Dedup.minHashLshPairs internals — keep in sync when editing it).
+/** Stage-by-stage timing of the n-gram Jaccard pipeline (mirrors
+  * Dedup.ngramJaccardPairs internals — keep in sync when editing it).
+  * Separates the capped-shingle-index build cost (the tokenize/window/
+  * dedup pipeline that the r6 bench showed re-running when exchange
+  * reuse missed) from the self-join + score cost, and times the full
+  * operator twice to expose cold-vs-warm spread.
   */
 object DebugD2 {
   def main(args: Array[String]): Unit = {
@@ -22,29 +26,33 @@ object DebugD2 {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     time("warm")(spark.range(100000).selectExpr("sum(id)").collect().length)
 
-    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text")
-    time("sigs")(sigs.count())
-    time("sigs2")(sigs.count())
+    // stage 1: the capped shingle index (tokenize -> lead-window shingles
+    // -> per-doc distinct + count -> hot-shingle anti join)
+    val sh = Dedup.cappedShingleIndex(docs, "doc_id", "text", 3, 1000)
+    time("index_cold")(sh.count())
+    time("index_warm")(sh.count())
 
-    val bands = 16; val r = 4
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
-    }
-    val banded = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    time("banded")(banded.count())
+    // stage 2: index materialized once, then the inverted self-join +
+    // group/score — the shape ngramJaccardPairs executes after its
+    // localCheckpoint
+    val shCk = time("index_checkpoint")(sh.localCheckpoint())
+    val pairs = shCk.as("a").hint("shuffle_hash")
+      .join(shCk.as("b").hint("shuffle_hash"),
+        col("a.shkey") === col("b.shkey") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count("*").as("n_common"),
+        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common") / (col("na") + col("nb") - col("n_common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+    time("selfjoin_score")(pairs.count())
 
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    time("cand")(cand.count())
-    time("cand2")(cand.count())
-
-    val fin = Dedup.minHashLshPairs(docs, "doc_id", "text")
-    time("full")(fin.count())
+    // full operator, cold then warm — the spread the r6 driver bench saw
+    time("full_cold")(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
+    time("full_warm")(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
     spark.stop()
   }
 }

@@ -106,6 +106,38 @@ class DocumentsJsonlSpec extends AnyFunSuite {
     }
   }
 
+  test("blank lines are skipped, not surfaced as phantom null documents") {
+    // from_json('') returns a NULL struct whose _corrupt field reads as
+    // null, so a corrupt-only filter would pass one all-null document
+    // per blank line; spark.read.json skips them — the readers must agree
+    val dir = Files.createTempDirectory("jsonl").toFile
+    val f = new java.io.File(dir, "shard.jsonl")
+    Files.write(f.toPath,
+      ("""{"doc_id": 1, "text": "a", "lang": "en", "source": "web", "n_chars": 1}""" + "\n" +
+       "\n" + // blank line (hand-edited / concatenated shards)
+       "   \t\n" + // whitespace-only line
+       """{"doc_id": 2, "text": "b", "lang": "en", "source": "web", "n_chars": 1}""" + "\n" +
+       """not json""" + "\n").getBytes("UTF-8"))
+    val clean = DocumentsJsonl.readClean(spark, Seq(f.getPath))
+    assert(clean.count() == 2) // no phantom rows
+    assert(clean.filter(col("doc_id").isNull).count() == 0)
+    // batch json scan agrees on the clean row count
+    assert(DocumentsJsonl.read(spark, Seq(f.getPath))
+      .filter(col("_corrupt").isNull).filter(col("doc_id").isNotNull)
+      .count() == 2)
+    // quarantine reports the malformed line but not the blank ones
+    val bad = DocumentsJsonl.readCorrupt(spark, Seq(f.getPath)).as[String].collect()
+    assert(bad.toSeq == Seq("not json"))
+    // streaming twin agrees with the batch clean reader
+    val q = DocumentsJsonl.readStream(spark, dir.getPath)
+      .writeStream.format("memory").queryName("jsonl_blank")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_blank").count() == 2)
+    } finally q.stop()
+  }
+
   test("failfast mode dies loudly on a malformed line") {
     val dir = Files.createTempDirectory("jsonl").toFile
     val f = new java.io.File(dir, "shard.jsonl")
