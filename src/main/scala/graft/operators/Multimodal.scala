@@ -11,12 +11,13 @@ case class MediaMeta(
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata alongside.
   *
-  * Decode is real where the JDK has a codec: image width/height via
+  * Decode is real for every container format: image width/height via
   * `javax.imageio` header reads (PNG/JPEG/BMP/GIF, no full pixel decode),
-  * WAV sample counts via a RIFF chunk walk. Video (and any payload the
-  * codecs reject — e.g. the harness's text-derived bytes) falls back to
-  * the deterministic `fakeDecode` stub so the operator stays total and
-  * reproducible. Either way the plan shape is identical: decode is
+  * WAV sample counts via a RIFF chunk walk, MP4 frame count / dims /
+  * duration via an ISO-BMFF box walk ([[Mp4]]). Payloads that aren't
+  * actual media files (e.g. the harness's text-derived bytes) fall back
+  * to the deterministic `fakeDecode` stub so the operator stays total
+  * and reproducible. Either way the plan shape is identical: decode is
   * data-parallel, per-partition, shuffle-free.
   */
 object Multimodal {
@@ -33,8 +34,9 @@ object Multimodal {
           (conv(substring(md5(col(srcCol)), 1, 1), 16, 10).cast("int") % 3) + 1))
 
   /** STUB decoder — deterministic fake features derived from the bytes,
-    * used where no JDK codec applies (video) or the payload isn't a real
-    * media file (the harness derives payloads from text).
+    * used only when the payload isn't a real media file (the harness
+    * derives payloads from text); real PNG/JPEG/GIF/BMP, WAV and MP4
+    * payloads never reach it.
     */
   private def fakeDecode(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
@@ -126,8 +128,12 @@ object Multimodal {
   private[operators] def wavFrames(bytes: Array[Byte]): Option[Int] =
     wavInfo(bytes).filter(_.frameBytes > 0).map(_.frames)
 
-  /** Decode with the real codec when one applies; deterministic stub
-    * otherwise. Video has no JDK codec — always the stub.
+  /** Decode with the real parser when one applies; deterministic stub
+    * otherwise. Video metadata comes from a real ISO-BMFF box walk
+    * ([[Mp4]]) — frame count from the sample table, dims from `tkhd` —
+    * header-only, like the image and WAV paths; the stub remains only
+    * for payloads that aren't actual media files (the harness's
+    * text-derived bytes).
     */
   private def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) =
     kind match {
@@ -136,34 +142,60 @@ object Multimodal {
           .getOrElse(fakeDecode(kind, bytes))
       case "audio" =>
         wavFrames(bytes).map(f => (0, 0, f)).getOrElse(fakeDecode(kind, bytes))
-      case _ => fakeDecode(kind, bytes)
+      case _ =>
+        Mp4.info(bytes).map(i => (i.width, i.height, i.nFrames))
+          .getOrElse(fakeDecode(kind, bytes))
     }
 
   /** Uniformly sample up to `k` frames from each video payload: the
-    * decoder's frame count, evenly-spaced indices `floor(i·n/k_eff)`
-    * (strictly increasing whenever n ≥ k_eff, so no duplicate frames), a
-    * 30 fps timestamp, and a per-frame digest standing in for the decoded
-    * frame bytes. Decode is the deterministic stub (no JDK video codec
-    * exists) — the frame-count formula mirrors `fakeDecode`'s video arm
-    * and the digest hashes (payload ‖ '#' ‖ index); a real decoder swaps
-    * in at exactly those two expressions. Everything is a pure column
-    * expression: codegen'd, shuffle-free, ≤ k output rows per video —
-    * the shape that survives a 100 TB video table.
+    * container's frame count, evenly-spaced indices `floor(i·n/k_eff)`
+    * (strictly increasing whenever n ≥ k_eff, so no duplicate frames),
+    * real container frame timing, and a per-frame digest standing in
+    * for the decoded frame bytes (hashes payload ‖ '#' ‖ index; a
+    * sample decoder swaps in at exactly that expression).
+    *
+    * Frame count and timing come from the real ISO-BMFF walk ([[Mp4]])
+    * when the payload is an MP4; payloads that aren't actual media
+    * files (the harness's text-derived bytes) use the deterministic
+    * stub formula (`1 + n_bytes mod 300` frames at 30 fps) so the
+    * operator stays total and reproducible. The parse is a typed
+    * per-partition pass (the [[extractMeta]] batch shape — header walk,
+    * O(header) per payload); index expansion and digests stay pure
+    * column expressions, shuffle-free, ≤ k output rows per video — the
+    * shape that survives a 100 TB video table.
     */
   def sampleFrames(df: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"frame sample size must be >= 1, got $k")
-    df.filter(col("kind") === "video")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counted = df.filter(col("kind") === "video")
       .select(col(idCol).cast("long").as("id"), col("payload"))
       .where(col("payload").isNotNull)
-      .withColumn("n_frames",
-        (lit(1) + pmod(length(col("payload")).cast("long"), lit(300))).cast("int"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        Mp4.info(bytes) match {
+          case Some(i) =>
+            val (tn, td) = i.msPerFrame
+            // a structurally valid but empty video still emits one
+            // (digest-able) frame row, keeping the operator total like
+            // the stub arm, which is always >= 1
+            (id, bytes, math.max(1, i.nFrames), tn, td)
+          case None =>
+            (id, bytes, 1 + (bytes.length % 300), 1000L, 30L)
+        }
+      })
+      .toDF("id", "payload", "n_frames", "t_num", "t_den")
+    counted
       .withColumn("k_eff", least(lit(k), col("n_frames")))
       .withColumn("i", explode(sequence(lit(0), col("k_eff") - 1)))
       .withColumn("frame_idx",
         expr("CAST(CAST(i AS BIGINT) * n_frames DIV k_eff AS INT)"))
       .select(
         col("id"), col("n_frames"), col("frame_idx"),
-        expr("CAST(CAST(frame_idx AS BIGINT) * 1000 DIV 30 AS BIGINT)")
+        // frame time = idx · (t_num/t_den) ms — (1000, 30) on the stub
+        // arm (identical to the former hard-coded 30 fps), the exact
+        // stts/mdhd rational on the real arm
+        expr("CAST(CAST(frame_idx AS BIGINT) * t_num DIV t_den AS BIGINT)")
           .as("t_offset_ms"),
         md5(concat(col("payload"),
           concat(lit("#"), col("frame_idx").cast("string")).cast("binary")))

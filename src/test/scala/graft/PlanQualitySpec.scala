@@ -328,12 +328,54 @@ class PlanQualitySpec extends AnyFunSuite {
       s"attribution join degenerated to a cross product:\n$plan")
   }
 
-  test("dedup self-joins reuse one exchange per side at runtime") {
+  test("dedup self-joins read one materialized index, not two pipeline runs") {
     val df = Dedup.ngramJaccardPairs(
       Tables.documents(spark, dir), "doc_id", "text")
-    df.collect() // AQE stage reuse only shows in the final plan
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      s"self-join sides recompute the shingle pipeline:\n$plan")
+    // the index is localCheckpoint'd before the self-join, so BOTH sides
+    // must read the materialized RDD — the tokenize/window/dedup pipeline
+    // (its Generate/explode node) must be absent from the join plan
+    // entirely, whether or not exchange reuse fired
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD") ||
+      plan.contains("ReusedExchange"),
+      s"self-join does not read the materialized index:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"shingle pipeline re-runs inside the self-join plan:\n$plan")
+  }
+
+  test("gumbel top-k: the global window runs over k rows, never the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("s4_gumbel_topk")(spark, dir).queryExecution
+    // orderBy+limit must plan as a distributed top-k, not a global sort
+    assert(qe.sparkPlan.toString.contains("TakeOrderedAndProject"),
+      s"top-k is a full sort:\n${qe.sparkPlan}")
+    // any unpartitioned window (the rank assignment) must sit above the
+    // limit, so its input cardinality is k — a refactor that hoists it
+    // below the limit would single-partition-sort the corpus
+    qe.sparkPlan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(w.child.collectFirst {
+            case p if p.getClass.getSimpleName.contains("TakeOrdered") ||
+              p.getClass.getSimpleName.contains("GlobalLimit") => p
+          }.nonEmpty,
+          s"unpartitioned window below the limit:\n$w")
+      }
+  }
+
+  test("auc: the global rank window runs over the distinct score grid, not rows") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ws = SparkEntry.queries("e3_auc")(spark, dir)
+      .queryExecution.sparkPlan
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(ws.nonEmpty, "expected the Mann-Whitney cumulative window")
+    // the window's input must be the (score -> cnt, pos) aggregate —
+    // grid-bounded by the classifier's score quantization — never the
+    // raw scored corpus
+    ws.foreach { w =>
+      assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"unpartitioned window over raw scored rows:\n$w")
+    }
   }
 }

@@ -123,6 +123,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a.head._4 == 1.0) // and that ideal == actual here
   }
 
+  test("rankingMetrics: judged query with EMPTY retrieval emits an mrr=0/ndcg=0 row") {
+    // The TREC convention, pinned by hand: query 7 has judgments but the
+    // retriever returned NO rows for it (not even irrelevant ones) — it
+    // must still appear in the output with zeros, or averaged metrics
+    // overstate a retriever that answers few queries well. Hand-computed
+    // expectation, independent of any oracle twin: q1 retrieves its only
+    // relevant doc at rank 2 -> mrr 1/2, ndcg = disc(1)/disc(0); q7 ->
+    // all zeros; output has exactly the two judged queries.
+    val disc = Retrieval.dcgDiscounts(3)
+    val ranked = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("q_id", "c_id", "rank")
+    val judged = Seq((1L, 20L, 1), (7L, 30L, 2), (7L, 40L, 1))
+      .toDF("q_id", "c_id", "rel")
+    val got = Retrieval.rankingMetrics(ranked, judged, k = 3)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 7L))
+    assert(got(7L) == ((0.0, 0.0, 0.0))) // the zero-row convention
+    assert(got(1L) == ((0.5, r6(1.0 * disc(1)), r6(disc(1) / disc(0)))))
+  }
+
   test("rankingMetrics rejects non-1-based ranks loudly") {
     val ranked = Seq((1L, 10L, 0)).toDF("q_id", "c_id", "rank")
     val judged = Seq((1L, 10L, 2)).toDF("q_id", "c_id", "rel")
