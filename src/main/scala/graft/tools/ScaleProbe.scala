@@ -17,8 +17,10 @@ import graft.operators.{Classifier, Decontamination, Dedup, Graph, Pca, Sampling
   * A scale-safe operator should grow ~linearly in rows; the printed
   * exponent is log(t)/log(n) slope between successive scales.
   *
-  * `runMain graft.tools.ScaleProbe [maxScaleDocs]` — results recorded in
-  * SCALE.md ("Measured scaling" section).
+  * `runMain graft.tools.ScaleProbe [maxScaleDocs] [opPrefixFilter]` —
+  * the optional second arg is a comma-separated list of op-name
+  * prefixes (e.g. `d2,d3,d6,g1`) to probe just one family at a larger
+  * scale. Results recorded in SCALE.md ("Measured scaling" section).
   */
 object ScaleProbe {
 
@@ -64,6 +66,12 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val maxDocs = args.headOption.map(_.toLong).getOrElse(80000L)
+    val opFilter: String => Boolean = args.lift(1) match {
+      case Some(px) =>
+        val ps = px.split(",").map(_.trim).filter(_.nonEmpty)
+        name => ps.exists(name.startsWith)
+      case None => _ => true
+    }
     val spark = GraftSession.tune(
         SparkSession.builder().master("local[32]").appName("scale-probe"),
         shufflePartitions = 32)
@@ -205,14 +213,14 @@ object ScaleProbe {
       val epath = s"/tmp/scaleprobe/emb_$n"
       synthEmb(spark, n).write.mode("overwrite").parquet(epath)
       val emb = spark.read.parquet(epath)
-      for ((name, run) <- ops) {
+      for ((name, run) <- ops if opFilter(name)) {
         val t0 = System.nanoTime()
         val rows = run(docs)
         val sec = (System.nanoTime() - t0) / 1e9
         results((name, n)) = sec
         println(f"PROBE $name%-16s n=$n%-6d rows=$rows%-8d sec=$sec%.2f")
       }
-      for ((name, run) <- vecOps) {
+      for ((name, run) <- vecOps if opFilter(name)) {
         val t0 = System.nanoTime()
         val rows = run(emb)
         val sec = (System.nanoTime() - t0) / 1e9
@@ -221,7 +229,8 @@ object ScaleProbe {
       }
     }
     // growth exponent between successive scales: 1.0 = linear, 2.0 = quadratic
-    for ((name, _) <- ops ++ vecOps; w <- scales.sliding(2) if w.size == 2) {
+    for ((name, _) <- (ops ++ vecOps).filter(o => opFilter(o._1));
+        w <- scales.sliding(2) if w.size == 2) {
       val Seq(a, b) = w
       val e = math.log(results((name, b)) / results((name, a))) /
         math.log(b.toDouble / a)
