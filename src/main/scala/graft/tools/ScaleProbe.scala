@@ -219,6 +219,11 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         results((name, n)) = sec
         println(f"PROBE $name%-16s n=$n%-6d rows=$rows%-8d sec=$sec%.2f")
+        // release the previous op's localCheckpoint blocks (ContextCleaner
+        // frees them on GC of the dropped references) — without this the
+        // checkpointed indexes of every prior op accumulate in storage
+        // memory and large scales die on accumulated, not per-op, state
+        System.gc()
       }
       for ((name, run) <- vecOps if opFilter(name)) {
         val t0 = System.nanoTime()
@@ -226,6 +231,11 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         results((name, n)) = sec
         println(f"PROBE $name%-16s n=$n%-6d rows=$rows%-8d sec=$sec%.2f")
+        // release the previous op's localCheckpoint blocks (ContextCleaner
+        // frees them on GC of the dropped references) — without this the
+        // checkpointed indexes of every prior op accumulate in storage
+        // memory and large scales die on accumulated, not per-op, state
+        System.gc()
       }
     }
     // growth exponent between successive scales: 1.0 = linear, 2.0 = quadratic
