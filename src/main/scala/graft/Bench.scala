@@ -44,10 +44,15 @@ object Bench {
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // after EVERY run, not just the last: a run's dropped localCheckpoint
+        // references are only released by the ContextCleaner on GC, and the
+        // checkpoint-heavy dedup queries measurably tax their own second run
+        // (and every later query) through the retained blocks otherwise
+        System.gc()
+        sec
       }
       val all = Seq.fill(runs)(once())
-      System.gc()
       name -> all
     }
     // One compact JSON line as the ONLY stdout line. The driver's

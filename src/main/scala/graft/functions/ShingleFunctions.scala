@@ -1,0 +1,264 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document shingle/sketch kernels as native codegen'd expressions.
+  *
+  * The relational shingle pipeline (posexplode tokens -> window `lead`
+  * per id -> hash -> groupBy(id) collect_set / signature aggregate) pays
+  * two full token-level exchanges before the first join: every token
+  * occurrence is shuffled and sorted for the lead window, and every
+  * distinct shingle is shuffled again for the per-doc set/signature
+  * aggregation. At corpus scale those exchanges carry ~the corpus.
+  *
+  * These expressions compute the same values per ROW inside whole-stage
+  * codegen — shingle keys, MinHash signatures, and SimHash are all
+  * functions of one document's token array, so no exchange is needed at
+  * all: the scan stage emits finished sketches. Hash identities are
+  * bit-exact with the relational formulation (`ShingleParitySpec` pins
+  * both families against the legacy window pipeline):
+  *
+  *  - default family: `th = xxhash64(token)`, `key = xxhash64(th_0..th_{n-1})`
+  *    (Spark's XXH64 with seed 42, chained over children);
+  *  - portable family: `th = conv(substring(md5(token),1,15),16,10)`,
+  *    `key` likewise over the comma-joined decimal token hashes — the
+  *    cross-engine contract [[graft.operators.Dedup.portableTokenHash]]
+  *    documents.
+  *
+  * Null token elements cannot occur (`TextFunctions.tokens` is
+  * `split(text, " ")`, which never emits null elements); the kernels
+  * defensively hash a null element as the empty string.
+  */
+object ShingleHashKernel {
+
+  private val Seed = 42L
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex digits of the digest as a long — exactly
+    * `conv(substring(hex, 1, 15), 16, 10)` for a lowercase md5 string:
+    * 60 bits, always non-negative.
+    */
+  private def head60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  def portableTokenHash(t: UTF8String): Long =
+    head60(md5Local.get().digest(if (t == null) Array.emptyByteArray else t.getBytes))
+
+  def xx64TokenHash(t: UTF8String): Long =
+    XXH64.hashUTF8String(if (t == null) UTF8String.EMPTY_UTF8 else t, Seed)
+
+  /** All n-gram shingle keys of a token array in document order —
+    * the default (xxhash64) family. Empty output when fewer than n
+    * tokens.
+    */
+  def xx64Keys(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) { th(i) = xx64TokenHash(tokens.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](len - n + 1)
+    i = 0
+    while (i <= len - n) {
+      var h = Seed
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The portable (md5-derived) family of [[xx64Keys]]. */
+  def portableKeys(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val md = md5Local.get()
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) { th(i) = portableTokenHash(tokens.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](len - n + 1)
+    val sb = new java.lang.StringBuilder(n * 20)
+    i = 0
+    while (i <= len - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(',')
+        sb.append(th(i + j))
+        j += 1
+      }
+      out(i) = head60(md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** k-permutation MinHash signature of a shingle-key array: for each i,
+    * min over keys of `pmod(pmod(key, p) * a_i + b_i, p)`. Identical to
+    * the k-`min`-aggregates formulation (min is insensitive to duplicate
+    * keys). `as`/`bs` must satisfy (p-1)*max(a)+max(b) < 2^63 so the
+    * product can't overflow — [[minhashSig]]'s builder asserts it for
+    * the two published coefficient families.
+    */
+  def minhashSignature(
+      keys: ArrayData, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
+    val k = as.length
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val m = keys.numElements()
+    var e = 0
+    while (e < m) {
+      val h = {
+        val r = keys.getLong(e) % p
+        if (r < 0) r + p else r
+      }
+      var i = 0
+      while (i < k) {
+        val v = (h * as(i) + bs(i)) % p // h*a < 2^63 by the builder's bound
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over a token array: per-bit sign sums of the token
+    * hashes (weighted by occurrence count, which iterating occurrences
+    * does implicitly), reassembled into a long. Bit-identical to the
+    * explode + two-aggregate relational form.
+    */
+  def simhash64(tokens: ArrayData, portable: Boolean): Long = {
+    val len = tokens.numElements()
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < len) {
+      val t = tokens.getUTF8String(i)
+      val h = if (portable) portableTokenHash(t) else xx64TokenHash(t)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 64) { if (sums(j) > 0) sh |= (1L << j); j += 1 }
+    sh
+  }
+}
+
+/** `array<long>` of all n-gram shingle keys of a token array — one fused
+  * per-row loop in whole-stage codegen; see [[ShingleHashKernel]].
+  */
+case class ShingleKeysExpr(child: Expression, n: Int, portable: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_keys"
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[ArrayData]
+    if (portable) ShingleHashKernel.portableKeys(tokens, n)
+    else ShingleHashKernel.xx64Keys(tokens, n)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (portable) "portableKeys" else "xx64Keys"
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.ShingleHashKernel.$fn($t, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<long>` MinHash signature (k permutation minima) of a
+  * shingle-key array; see [[ShingleHashKernel.minhashSignature]].
+  */
+case class MinHashSigExpr(
+    child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+    extends UnaryExpression {
+
+  require(as.length == bs.length && as.nonEmpty, "need k >= 1 coefficients")
+  require(as.forall(a => (p - 1) <= (Long.MaxValue - bs.max) / a),
+    s"permutation family overflows: (p-1)*a+b must stay below 2^63 (p=$p)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashKernel.minhashSignature(input.asInstanceOf[ArrayData], as, bs, p)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("as", as, "long[]")
+    val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, keys =>
+      s"${ev.value} = graft.functions.ShingleHashKernel.minhashSignature(" +
+        s"$keys, $asRef, $bsRef, ${p}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array; see [[ShingleHashKernel.simhash64]]. */
+case class SimHash64Expr(child: Expression, portable: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashKernel.simhash64(input.asInstanceOf[ArrayData], portable)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.ShingleHashKernel.simhash64($t, $portable);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleFunctions {
+
+  /** All n-gram shingle keys of a token array (document order, may
+    * contain duplicates — `array_distinct` for the set).
+    */
+  def shingleKeys(tokens: Column, n: Int, portable: Boolean = false): Column =
+    ColumnBridge.column(
+      ShingleKeysExpr(ColumnBridge.expression(tokens), n, portable))
+
+  /** MinHash signature of a shingle-key array under the given
+    * permutation family.
+    */
+  def minhashSig(keys: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    ColumnBridge.column(
+      MinHashSigExpr(ColumnBridge.expression(keys), as.toArray, bs.toArray, p))
+
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokens: Column, portable: Boolean = false): Column =
+    ColumnBridge.column(
+      SimHash64Expr(ColumnBridge.expression(tokens), portable))
+}

@@ -179,22 +179,40 @@ object Dedup {
     * count by 1. Shared by the Jaccard/MinHash family here and by
     * [[Decontamination]].
     */
-  /** Every n-gram occurrence as (id, shkey), pre-dedup — the shared
-    * tokenize/lead pipeline behind [[shingleKeys]] and [[shingleRows]].
+  /** Per-doc shingle SET as one row: (id, ss: array<long>) for every doc
+    * with at least one n-gram — the shared root of the whole
+    * Jaccard/MinHash/decontamination family.
     *
-    * Relational shingling: posexplode tokens, assemble each n-gram with
-    * window `lead`s. Fully codegen/window-exec (the higher-order-function
-    * formulation is interpreted expression-eval and lands in the
-    * unparallel scan stage — ~20µs per shingle vs this plan's vectorized
-    * path). `spread` keeps the tokenize+explode out of an unsplittable
-    * single-file scan stage. Hash each token to a long *before* the
-    * window shuffle: the exchange then carries (id, pos, int64) instead
-    * of token strings, and the n-gram key is xxhash64 over n longs rather
-    * than a concat'd string — same shingle identity (modulo negligible
-    * 64-bit collisions), far cheaper to sort, lead over, and aggregate.
-    * Output is hash-partitioned by id (the lead window's exchange).
+    * Shingling is a function of ONE document's token array, so it runs
+    * as a fused per-row kernel inside whole-stage codegen
+    * ([[graft.functions.ShingleKeysExpr]]): the scan stage emits
+    * finished shingle sets with ZERO exchanges. The relational
+    * formulation this replaces ([[shingleOccurrencesLegacy]], kept for
+    * the parity spec) paid two corpus-sized shuffles before the first
+    * join — every token occurrence through the lead-window sort, every
+    * distinct shingle through the collect_set aggregate. At 100 TB those
+    * two exchanges carry ~the corpus; this carries nothing.
+    * (The earlier higher-order-function attempt was interpreted
+    * expression-eval, ~20µs per shingle — a native `doGenCode`
+    * expression is what makes the per-row form the fast one.)
+    * `spread` keeps the kernel out of an unsplittable single-file scan
+    * stage.
     */
-  private def shingleOccurrences(
+  private[graft] def shingleSets(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      portable: Boolean = false): DataFrame =
+    spread(docs).select(
+        col(idCol).as("id"),
+        array_distinct(graft.functions.ShingleFunctions.shingleKeys(
+          TextFunctions.tokens(col(textCol)), n, portable)).as("ss"))
+      .filter(size(col("ss")) > 0)
+
+  /** The legacy relational shingle pipeline (posexplode -> lead window
+    * -> hash), kept solely as the independent oracle for
+    * `ShingleParitySpec`: the kernel above must reproduce its (id,
+    * shkey) multiset bit-for-bit in both hash families.
+    */
+  private[graft] def shingleOccurrencesLegacy(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -226,27 +244,26 @@ object Dedup {
 
   private[operators] def shingleKeys(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shingleOccurrences(docs, idCol, textCol, n).dropDuplicates("id", "shkey")
+    shingleSets(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("ss")).as("shkey"))
 
   /** [[shingleKeys]] plus the per-doc distinct-shingle count carried on
-    * every row. One `collect_set` aggregation on the id — the key the
-    * lead window already partitioned on, so no exchange AND no re-sort
-    * (the count-*window* formulation this replaces forced a second
-    * partition-wide sort after the dedup aggregate destroyed the lead
-    * window's order). The set buffer is bounded by one document's
-    * distinct shingles — per-doc, never corpus-skewed — which assumes
-    * documents of sane size: a multi-hundred-MB crawl artifact would
-    * build its whole shingle set in one aggregation buffer, so cap or
-    * chunk pathological documents upstream (TextAnalytics.chunkDocs)
-    * before corpus-wide dedup, as every major pipeline does anyway.
+    * every row — a pure projection of [[shingleSets]] (`size` + explode),
+    * so still zero exchanges. The per-doc set array is bounded by one
+    * document's distinct shingles — per-doc, never corpus-skewed — which
+    * assumes documents of sane size: a multi-hundred-MB crawl artifact
+    * would build its whole shingle array in one row, so cap or chunk
+    * pathological documents upstream (TextAnalytics.chunkDocs) before
+    * corpus-wide dedup, as every major pipeline does anyway.
     */
   private def shingleRows(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       portable: Boolean = false): DataFrame =
-    shingleOccurrences(docs, idCol, textCol, n, portable)
-      .groupBy("id").agg(collect_set(col("shkey")).as("ss"))
-      .select(col("id"), size(col("ss")).as("n_sh"),
-        explode(col("ss")).as("shkey"))
+    setsToRows(shingleSets(docs, idCol, textCol, n, portable))
+
+  private def setsToRows(sets: DataFrame): DataFrame =
+    sets.select(col("id"), size(col("ss")).as("n_sh"),
+      explode(col("ss")).as("shkey"))
 
   /** [[shingleRows]] with document-frequency-capped keys: shingles in
     * more than `maxDf` documents are dropped from the index via a
@@ -403,31 +420,34 @@ object Dedup {
   /** Per-doc MinHash signature over n-word shingles, as k concrete
     * `mh0..mh{k-1}` columns.
     *
-    * Relational formulation: explode distinct shingles, hash each once
-    * with xxhash64 (codegen'd), then compute all k universal-hash
-    * permutations (a*h + b mod p) as k `min` aggregates in a single
-    * hash-aggregate pass. One shuffle on the doc id; the signature comes
-    * out as aggregate output columns, so downstream projections can't
-    * re-inline (and re-compute) the signature expression — the
-    * higher-order-function formulation hit exactly that via
-    * CollapseProject, recomputing the k-permutation scan once per LSH band.
+    * The signature is a function of one document's shingle set, so it is
+    * computed per ROW by a fused codegen kernel
+    * ([[graft.functions.MinHashSigExpr]]) over the [[shingleSets]]
+    * array — no shuffle at all. Identical values to the k-`min`-
+    * aggregates relational formulation (min is insensitive to the
+    * duplicate keys the set already removed; the kernel's permutation
+    * arithmetic provably cannot overflow for either published
+    * coefficient family, so it equals the SQL `pmod` chain under any
+    * ANSI mode — `ShingleParitySpec` pins it).
     */
   def minHashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame =
-    sigsFromShingles(shingleRows(docs, idCol, textCol, n), k, seed)
+      n: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame = {
+    val sig = sigArray(shingleSets(docs, idCol, textCol, n), k, seed,
+      portable = false)
+    sig.select(col("id") +:
+      (0 until k).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+  }
 
-  private def sigsFromShingles(
-      sh: DataFrame, k: Int, seed: Long,
-      portable: Boolean = false): DataFrame = {
+  /** (id, sig: array<long>) from (id, ss) shingle sets — pure projection. */
+  private def sigArray(
+      sets: DataFrame, k: Int, seed: Long, portable: Boolean): DataFrame = {
     val p = if (portable) PortableMinHashPrime else MinHashPrime
     val (as, bs) =
       if (portable) portableMinHashCoeffs(k, seed) else coeffs(k, seed)
-    val h = sh.withColumn("h", pmod(col("shkey"), lit(p)))
-    val aggs = (0 until k).map { i =>
-      min(pmod(col("h") * as(i) + bs(i), lit(p))).as(s"mh$i")
-    }
-    h.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    sets.select(col("id"),
+      graft.functions.ShingleFunctions.minhashSig(col("ss"), as, bs, p)
+        .as("sig"))
   }
 
   /** MinHash-LSH near-duplicate pairs, verified.
@@ -446,26 +466,23 @@ object Dedup {
       portable: Boolean = false,
       precomputed: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    // The shingle table feeds three consumers with three different shuffle
-    // keys (signature agg on id; verify joins on id_a and (id_b, shkey)),
-    // so ReuseExchange can't share it — checkpoint it once instead of
-    // recomputing the tokenize/window/dedup pipeline per consumer. Local
-    // (executor-disk) checkpoint, not a cache: it also truncates lineage so
-    // AQE replans only the downstream stages. A caller that already holds
-    // the [[sketch]] of the same docs (the streaming bootstrap runs both
-    // this and the index build over one micro-batch) passes it via
-    // `precomputed` so the batch is sketched once, not twice.
-    // The band-key table feeds BOTH sides of the candidate self-join, and
-    // the two sides shuffle on the same (band, key) — but each side is a
-    // separate aliased subtree, so without materialization the signature
-    // aggregation (a full groupBy over the shingle table) executes once
-    // per side. Checkpointing `banded` (|docs| × bands rows of 3 longs —
-    // orders of magnitude smaller than the shingle table) runs it once.
+    // The shingle-set table feeds every consumer (verify joins on id_a
+    // and (id_b, shkey); signatures and band keys), each with a
+    // different shuffle key, so ReuseExchange can't share it —
+    // checkpoint the SETS once and derive everything else as cheap
+    // projections of the materialized arrays (explode for the verify
+    // rows; the fused signature/band kernels for the candidates). Local
+    // (executor-disk) checkpoint, not a cache: it also truncates lineage
+    // so AQE replans only the downstream stages. A caller that already
+    // holds the [[sketch]] of the same docs (the streaming bootstrap
+    // runs both this and the index build over one micro-batch) passes it
+    // via `precomputed` so the batch is sketched once, not twice.
     val (sh, banded) = precomputed.getOrElse {
-      val s = shingleRows(docs, idCol, textCol, n, portable).localCheckpoint()
-      val b = bandKeyRows(sigsFromShingles(s, k, seed, portable),
-        bands, k / bands, portable).localCheckpoint()
-      (s, b)
+      val sets = shingleSets(docs, idCol, textCol, n, portable)
+        .localCheckpoint()
+      val b = bandKeyRows(sigArray(sets, k, seed, portable),
+        bands, k / bands, portable)
+      (setsToRows(sets), b)
     }
     // `cand` is referenced three times by the verify step (two semi-joins
     // + the pair join); materialize it so the LSH self-join runs once.
@@ -496,13 +513,15 @@ object Dedup {
       threshold: Double = 0.6, seed: Long = 42L,
       portable: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val shL = shingleRows(left, leftIdCol, leftTextCol, n, portable)
+    val setsL = shingleSets(left, leftIdCol, leftTextCol, n, portable)
       .localCheckpoint()
-    val shR = shingleRows(right, rightIdCol, rightTextCol, n, portable)
+    val setsR = shingleSets(right, rightIdCol, rightTextCol, n, portable)
       .localCheckpoint()
-    val bL = bandKeyRows(sigsFromShingles(shL, k, seed, portable),
+    val shL = setsToRows(setsL)
+    val shR = setsToRows(setsR)
+    val bL = bandKeyRows(sigArray(setsL, k, seed, portable),
       bands, k / bands, portable)
-    val bR = bandKeyRows(sigsFromShingles(shR, k, seed, portable),
+    val bR = bandKeyRows(sigArray(setsR, k, seed, portable),
       bands, k / bands, portable)
     val cand = bL.as("a").join(bR.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
@@ -521,7 +540,7 @@ object Dedup {
       sigs: DataFrame, bands: Int, r: Int,
       portable: Boolean = false): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
+      val cols = (b * r until (b + 1) * r).map(i => element_at(col("sig"), i + 1))
       val key = if (portable) concat_ws(",", cols: _*) else xxhash64(cols: _*)
       struct(lit(b).as("band"), key.as("key"))
     }
@@ -560,21 +579,24 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** The (shingle rows, banded LSH keys) sketch of a document set, both
-    * localCheckpointed — compute once, feed every index/dedup consumer
-    * (the streaming path sketches each micro-batch exactly once and
-    * hands the result to both the incremental join and the index
-    * append).
+  /** The (shingle rows, banded LSH keys) sketch of a document set —
+    * compute once, feed every index/dedup consumer (the streaming path
+    * sketches each micro-batch exactly once and hands the result to both
+    * the incremental join and the index append). The expensive pipeline
+    * (tokenize + shingle kernel) is localCheckpointed once as the
+    * per-doc SET table; the returned rows/band-key frames are cheap
+    * projections of those materialized arrays, so every downstream
+    * action re-reads executor-local blocks, never the corpus.
     */
   def sketch(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
       seed: Long = 42L): (DataFrame, DataFrame) = {
     require(k % bands == 0, "k must be divisible by bands")
-    val sh = shingleRows(docs, idCol, textCol, n).localCheckpoint()
-    val bk = bandKeyRows(sigsFromShingles(sh, k, seed), bands, k / bands)
-      .localCheckpoint()
-    (sh, bk)
+    val sets = shingleSets(docs, idCol, textCol, n).localCheckpoint()
+    val bk = bandKeyRows(sigArray(sets, k, seed, portable = false),
+      bands, k / bands)
+    (setsToRows(sets), bk)
   }
 
   /** Materialize the MinHash index of a corpus: the per-doc shingle rows
@@ -1004,15 +1026,34 @@ object Dedup {
   val portableTokenHash: Column => Column = t =>
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
+  /** The default (xxhash64) token-hash family — a stable reference so
+    * [[simHash]] can recognize it and take the fused per-row kernel.
+    */
+  val defaultTokenHash: Column => Column = c => xxhash64(c)
+
   /** 64-bit SimHash per document over whitespace tokens.
     *
-    * Explode tokens -> hash once per token (default xxhash64; pass
-    * [[portableTokenHash]] for a hash an external SQL oracle can
-    * recompute) -> 64 signed bit-sums in one hash aggregate (codegen'd)
-    * -> reassemble the sign bits into a long.
+    * For the two standard hash families (the default xxhash64 and
+    * [[portableTokenHash]]) this is a fused per-row codegen kernel
+    * ([[graft.functions.SimHash64Expr]]): the weighted bit-sums and sign
+    * assembly are functions of one document's token array, so the whole
+    * signature computes in the scan stage with ZERO shuffles (the
+    * explode + two-aggregate relational form paid a token-level exchange
+    * plus a per-doc exchange; bit-identical output — occurrence
+    * iteration IS count weighting). A caller-supplied custom hash still
+    * takes the relational path.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
-      tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
+      tokenHash: Column => Column = defaultTokenHash): DataFrame = {
+    if (tokenHash.eq(defaultTokenHash) || tokenHash.eq(portableTokenHash)) {
+      // null-text docs have no token rows in the relational form and so
+      // no signature — mirror that by filtering, not emitting null
+      return spread(docs).filter(col(textCol).isNotNull).select(
+        col(idCol).as("id"),
+        graft.functions.ShingleFunctions.simhash64(
+          TextFunctions.tokens(col(textCol)),
+          portable = tokenHash.eq(portableTokenHash)).as("simhash"))
+    }
     // Pre-aggregate to (id, token-hash, weight) first: the 64 bit-sums then
     // run over distinct hashes per doc instead of every token occurrence —
     // identical result (sign sums weighted by counts), much smaller input.
@@ -1085,7 +1126,7 @@ object Dedup {
   def simHashNearPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3,
-      tokenHash: Column => Column = c => xxhash64(c)): DataFrame =
+      tokenHash: Column => Column = defaultTokenHash): DataFrame =
     hammingNearPairs(simHash(docs, idCol, textCol, tokenHash),
       "id", "simhash", maxDist)
 }

@@ -26,8 +26,8 @@ object DebugD2 {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     time("warm")(spark.range(100000).selectExpr("sum(id)").collect().length)
 
-    // stage 1: the capped shingle index (tokenize -> lead-window shingles
-    // -> per-doc distinct + count -> hot-shingle anti join)
+    // stage 1: the capped shingle index (tokenize -> per-row shingle
+    // kernel -> explode -> hot-shingle anti join)
     val sh = Dedup.cappedShingleIndex(docs, "doc_id", "text", 3, 1000)
     time("index_cold")(sh.count())
     time("index_warm")(sh.count())
