@@ -166,6 +166,68 @@ object ShingleHashKernel {
   }
 }
 
+/** Gopher-repetition counters of one token array in a single pass:
+  * (top-bigram count, bigram total, duplicated-trigram instance count,
+  * trigram total). Gram identity is a 64-bit hash chain over the token
+  * hashes — only within-document equality matters, so the hash family
+  * is internal. Input must have >= 3 tokens (the operator filters).
+  */
+object GramRepetitionKernel {
+  def counts(tokens: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val len = tokens.numElements()
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      th(i) = ShingleHashKernel.xx64TokenHash(tokens.getUTF8String(i)); i += 1
+    }
+    def tally(k: Int): (Long, Long, Long) = {
+      // multiplicity map for this gram order; (max, total, dup-instances)
+      val m = new scala.collection.mutable.LongMap[Int](math.max(8, len))
+      var j = 0
+      while (j <= len - k) {
+        var h = XXH64.hashLong(k.toLong, 42L)
+        var q = 0
+        while (q < k) { h = XXH64.hashLong(th(j + q), h); q += 1 }
+        m.update(h, m.getOrElse(h, 0) + 1)
+        j += 1
+      }
+      var top = 0L; var tot = 0L; var dup = 0L
+      m.foreachValue { c =>
+        if (c > top) top = c
+        tot += c
+        if (c > 1) dup += c
+      }
+      (top, tot, dup)
+    }
+    val (top2, n2, _) = tally(2)
+    val (_, n3, dup3) = tally(3)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](top2, n2, dup3, n3))
+  }
+}
+
+/** Per-row Gopher repetition counters; see [[GramRepetitionKernel]]. */
+case class GramRepetitionExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_bigram", LongType, nullable = false),
+    StructField("n_bigram", LongType, nullable = false),
+    StructField("dup_trigram", LongType, nullable = false),
+    StructField("n_trigram", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_repetition"
+
+  override def nullSafeEval(input: Any): Any =
+    GramRepetitionKernel.counts(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.GramRepetitionKernel.counts($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `array<long>` of all n-gram shingle keys of a token array — one fused
   * per-row loop in whole-stage codegen; see [[ShingleHashKernel]].
   */
@@ -261,4 +323,10 @@ object ShingleFunctions {
   def simhash64(tokens: Column, portable: Boolean = false): Column =
     ColumnBridge.column(
       SimHash64Expr(ColumnBridge.expression(tokens), portable))
+
+  /** Gopher repetition counters (top-bigram / bigram-total /
+    * dup-trigram-instances / trigram-total) of a token array.
+    */
+  def gramRepetition(tokens: Column): Column =
+    ColumnBridge.column(GramRepetitionExpr(ColumnBridge.expression(tokens)))
 }

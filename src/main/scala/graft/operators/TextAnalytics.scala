@@ -93,6 +93,27 @@ object TextAnalytics {
     * shorter docs are excluded.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Both gram orders' multiplicity profiles are functions of ONE
+    // document's token array, so the whole computation is a fused
+    // per-row kernel (GramRepetitionExpr) — zero shuffles, where the
+    // relational form below (kept as the parity-spec oracle) paid a
+    // gram-level exchange plus a per-doc rollup exchange.
+    val w = tokens(col(textCol))
+    val r = graft.functions.ShingleFunctions.gramRepetition(w)
+    docs.filter(size(w) >= 3)
+      .select(col(idCol).as("id"), r.as("r"))
+      .select(col("id"),
+        round(col("r.top_bigram").cast("double") / col("r.n_bigram"), 4)
+          .as("top_bigram_frac"),
+        round(col("r.dup_trigram").cast("double") / col("r.n_trigram"), 4)
+          .as("dup_trigram_frac"))
+  }
+
+  /** The relational formulation of [[repetitionStats]], kept solely as
+    * the parity-spec oracle for the fused kernel.
+    */
+  private[graft] def repetitionStatsLegacy(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = tokens(col(textCol))
     val n = size(w)
     // zip_with pads the shorter side with null; the when() turns padded

@@ -115,6 +115,15 @@ class ShingleParitySpec extends AnyFunSuite {
     }
   }
 
+  test("fused repetitionStats bit-identical to the relational formulation") {
+    val legacy = TextAnalytics.repetitionStatsLegacy(docs, "doc_id", "text")
+      .as[(Long, Double, Double)].collect().toSet
+    val fused = TextAnalytics.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(fused == legacy)
+    assert(legacy.nonEmpty)
+  }
+
   test("kernel expressions run inside whole-stage codegen (no fallback)") {
     // repartition first: a LocalTableScan-only plan has no codegen stage
     // to inspect, whatever the expression supports
