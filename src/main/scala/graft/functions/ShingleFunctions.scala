@@ -84,6 +84,29 @@ object ShingleHashKernel {
     new GenericArrayData(out)
   }
 
+  /** [[xx64Keys]] starting from PRE-HASHED tokens (the
+    * `Decontamination.tokenHashes` contract): the same n-long chain, so
+    * keys are identical to hashing the raw tokens first. Null elements
+    * mirror the SQL `xxhash64` null-skip (running hash unchanged).
+    */
+  def xx64KeysFromHashes(th: ArrayData, n: Int): ArrayData = {
+    val len = th.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      var h = Seed
+      var j = 0
+      while (j < n) {
+        if (!th.isNullAt(i + j)) h = XXH64.hashLong(th.getLong(i + j), h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The portable (md5-derived) family of [[xx64Keys]]. */
   def portableKeys(tokens: ArrayData, n: Int): ArrayData = {
     val len = tokens.numElements()
@@ -254,6 +277,31 @@ case class ShingleKeysExpr(child: Expression, n: Int, portable: Boolean)
     copy(child = newChild)
 }
 
+/** `array<long>` of all n-gram shingle keys from an array of PRE-HASHED
+  * tokens (`array<long>`, the [[graft.operators.Decontamination.tokenHashes]]
+  * contract) — the default xx64 family's chain over n longs, identical
+  * keys to [[ShingleKeysExpr]] given the same token hashes. Used by the
+  * streaming contamination gate, whose input is the bound token-hash
+  * column rather than raw tokens.
+  */
+case class ShingleKeysFromHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_keys_from_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashKernel.xx64KeysFromHashes(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.ShingleHashKernel.xx64KeysFromHashes($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `array<long>` MinHash signature (k permutation minima) of a
   * shingle-key array; see [[ShingleHashKernel.minhashSignature]].
   */
@@ -329,4 +377,9 @@ object ShingleFunctions {
     */
   def gramRepetition(tokens: Column): Column =
     ColumnBridge.column(GramRepetitionExpr(ColumnBridge.expression(tokens)))
+
+  /** Shingle keys from a pre-hashed token array (default xx64 family). */
+  def shingleKeysFromHashes(tokenHashes: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShingleKeysFromHashesExpr(ColumnBridge.expression(tokenHashes), n))
 }

@@ -130,12 +130,16 @@ object Decontamination {
       val bfLit = Literal(filterBytes, BinaryType)
       val mightContain = (h: Column) => ColumnBridge.column(
         BloomFilterMightContain(bfLit, ColumnBridge.expression(h)))
+      // Shingle keys come from the fused per-row kernel (identical xx64
+      // chain to the index the filter was built from; empty array below
+      // n tokens, so no sequence()-descending guard needed). Only the
+      // bloom-probe `exists` lambda remains higher-order — it runs over
+      // the materialized key array, not re-deriving keys per read the
+      // way the transform(sequence(...)) form did.
       val hit = exists(
-        transform(sequence(lit(1), size(tokenHashCol) - (n - 1)),
-          i => xxhash64((0 until n).map(k => element_at(tokenHashCol, i + k)): _*)),
+        graft.functions.ShingleFunctions.shingleKeysFromHashes(tokenHashCol, n),
         mightContain)
-      // sequence() must never run descending (docs shorter than n tokens)
-      when(size(tokenHashCol) >= n, hit).otherwise(lit(false))
+      coalesce(hit, lit(false))
     }
 
   def bloomDecontaminate(
