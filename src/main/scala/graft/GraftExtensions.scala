@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{FloatDotProduct, SignBandKeys}
+import graft.functions.{FloatDotProduct, GramRepetitionExpr, ShingleKeysExpr, SignBandKeys, SimHash64Expr}
 import graft.operators.Similarity
 
 /** Session extension installing the engine's native expressions into the
@@ -15,6 +15,8 @@ import graft.operators.Similarity
   * {{{
   * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
   * SELECT fvec_dot(a, b), sign_band_keys(v, 32, 8, 64, 42) FROM t
+  * SELECT simhash64(split(text, ' ')), shingle_keys(split(text, ' '), 3),
+  *        gram_repetition(split(text, ' ')) FROM docs
   * }}}
   *
   * (Per-session registration for embedded callers stays available via
@@ -59,6 +61,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         SignBandKeys(exprs(0), Similarity.flatPlanes(bands, r, dim, seed),
           bands, r, dim)
+      }))
+    // The per-document sketch kernels (r7): SQL users get the same
+    // zero-shuffle shingle/SimHash/repetition sketches the Scala
+    // operators compute — e.g. the whole d1/d4-style dedup signature
+    // pass is a SELECT.
+    def boolArg(e: Expression, what: String): Boolean = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval(null) match {
+        case b: Boolean => b
+        case other => throw new IllegalArgumentException(
+          s"$what must be a boolean literal, got $other")
+      }
+    }
+    def intLit(e: Expression, what: String): Int = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval(null) match {
+        case i: Int  => i
+        case l: Long => require(l.isValidInt, s"$what out of range: $l"); l.toInt
+        case other   => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got $other")
+      }
+    }
+    ext.injectFunction((
+      FunctionIdentifier("shingle_keys"),
+      new ExpressionInfo(classOf[ShingleKeysExpr].getName, "shingle_keys"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          "shingle_keys(tokensArray, n[, portable])")
+        val n = intLit(exprs(1), "n")
+        require(n >= 1, "n must be >= 1")
+        ShingleKeysExpr(exprs(0), n,
+          if (exprs.length == 3) boolArg(exprs(2), "portable") else false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          "simhash64(tokensArray[, portable])")
+        SimHash64Expr(exprs(0),
+          if (exprs.length == 2) boolArg(exprs(1), "portable") else false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gram_repetition"),
+      new ExpressionInfo(classOf[GramRepetitionExpr].getName, "gram_repetition"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "gram_repetition(tokensArray)")
+        GramRepetitionExpr(exprs(0))
       }))
     // Spark ships Bloom-filter build/probe expressions for its runtime
     // join filters but does not register them as SQL functions; surface

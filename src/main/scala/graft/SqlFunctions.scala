@@ -36,8 +36,10 @@ object SqlFunctions {
     // U2: merge population maps, recoding empty values to "0"
     spark.udf.register("pop_normalize",
       (maps: Seq[Map[String, String]]) => VcfFunctions.popNormalize(maps))
-    // native expression — stays inside whole-stage codegen from SQL too
+    // native expressions — stay inside whole-stage codegen from SQL too
     ColumnBridge.registerExpression(spark, "fvec_dot",
       exprs => FloatDotProduct(exprs(0), exprs(1)))
+    ColumnBridge.registerExpression(spark, "simhash64",
+      exprs => graft.functions.SimHash64Expr(exprs(0), portable = false))
   }
 }
