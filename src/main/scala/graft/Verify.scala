@@ -24,6 +24,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the query's dropped localCheckpoint blocks (ContextCleaner
+      // frees them on GC) — the Bench/ScaleProbe discipline; without it the
+      // dedup family's checkpoints accumulate across the 112-query session
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -124,6 +124,39 @@ class ShingleParitySpec extends AnyFunSuite {
     assert(legacy.nonEmpty)
   }
 
+  test("property: kernel ≡ legacy on arbitrary unicode corpora") {
+    // ScalaCheck-style seeded sweep without the forAll session overhead:
+    // 12 corpora of 30 docs with tokens drawn from arbitrary unicode
+    // (including astral-plane code points, combining marks, separators)
+    val rnd = new scala.util.Random(99)
+    def arbToken(): String = {
+      val len = rnd.nextInt(6)
+      (0 until len).map { _ =>
+        rnd.nextInt(5) match {
+          case 0 => (0x61 + rnd.nextInt(26)).toChar.toString   // ascii
+          case 1 => (0x3b1 + rnd.nextInt(24)).toChar.toString  // greek
+          case 2 => new String(Character.toChars(0x1F600 + rnd.nextInt(64))) // astral
+          case 3 => "́"                                   // combining mark
+          case _ => (0x4e00 + rnd.nextInt(256)).toChar.toString // cjk
+        }
+      }.mkString
+    }
+    for (trial <- 0 until 12) {
+      val portable = trial % 2 == 0
+      val corpus = (0 until 30).map { i =>
+        (i.toLong, (0 until rnd.nextInt(12)).map(_ => arbToken()).mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val legacy = Dedup.shingleOccurrencesLegacy(df, "doc_id", "text", 3, portable)
+        .dropDuplicates("id", "shkey").as[(Long, Long)].collect().toSet
+      val kernel = df.select(col("doc_id").as("id"),
+          explode(array_distinct(ShingleFunctions.shingleKeys(
+            TextFunctions.tokens(col("text")), 3, portable))).as("shkey"))
+        .as[(Long, Long)].collect().toSet
+      assert(kernel == legacy, s"trial=$trial portable=$portable")
+    }
+  }
+
   test("kernel expressions run inside whole-stage codegen (no fallback)") {
     // repartition first: a LocalTableScan-only plan has no codegen stage
     // to inspect, whatever the expression supports
