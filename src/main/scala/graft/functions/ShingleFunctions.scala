@@ -3,9 +3,9 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -68,7 +68,7 @@ object ShingleHashKernel {
     */
   def xx64Keys(tokens: ArrayData, n: Int): ArrayData = {
     val len = tokens.numElements()
-    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    if (len < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val th = new Array[Long](len)
     var i = 0
     while (i < len) { th(i) = xx64TokenHash(tokens.getUTF8String(i)); i += 1 }
@@ -81,7 +81,7 @@ object ShingleHashKernel {
       out(i) = h
       i += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** [[xx64Keys]] starting from PRE-HASHED tokens (the
@@ -91,7 +91,7 @@ object ShingleHashKernel {
     */
   def xx64KeysFromHashes(th: ArrayData, n: Int): ArrayData = {
     val len = th.numElements()
-    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    if (len < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val out = new Array[Long](len - n + 1)
     var i = 0
     while (i <= len - n) {
@@ -104,13 +104,13 @@ object ShingleHashKernel {
       out(i) = h
       i += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** The portable (md5-derived) family of [[xx64Keys]]. */
   def portableKeys(tokens: ArrayData, n: Int): ArrayData = {
     val len = tokens.numElements()
-    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    if (len < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val md = md5Local.get()
     val th = new Array[Long](len)
     var i = 0
@@ -130,7 +130,7 @@ object ShingleHashKernel {
         sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
       i += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** k-permutation MinHash signature of a shingle-key array: for each i,
@@ -160,7 +160,7 @@ object ShingleHashKernel {
       }
       e += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** 64-bit SimHash over a token array: per-bit sign sums of the token
