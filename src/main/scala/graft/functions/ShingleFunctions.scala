@@ -34,8 +34,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    documents.
   *
   * Null token elements cannot occur (`TextFunctions.tokens` is
-  * `split(text, " ")`, which never emits null elements); the kernels
-  * defensively hash a null element as the empty string.
+  * `split(text, " ")`, which never emits null elements); defensively,
+  * the default family hashes a null element exactly as SQL `xxhash64`
+  * would (null-skip: the token hash is the seed), and the portable
+  * family hashes it as the empty string (SQL `md5(NULL)` is null, which
+  * `concat_ws` would drop — a convention no engine should rely on).
   */
 object ShingleHashKernel {
 
@@ -59,8 +62,14 @@ object ShingleHashKernel {
   def portableTokenHash(t: UTF8String): Long =
     head60(md5Local.get().digest(if (t == null) Array.emptyByteArray else t.getBytes))
 
+  /** Null mirrors the SQL hash convention (`xxhash64(NULL)` null-skips,
+    * leaving the running hash at the seed), so keys over explicit
+    * null-bearing arrays agree with [[xx64KeysFromHashes]] fed by
+    * `xxhash64(token)` columns. Unreachable from `TextFunctions.tokens`
+    * (split never emits null elements).
+    */
   def xx64TokenHash(t: UTF8String): Long =
-    XXH64.hashUTF8String(if (t == null) UTF8String.EMPTY_UTF8 else t, Seed)
+    if (t == null) Seed else XXH64.hashUTF8String(t, Seed)
 
   /** All n-gram shingle keys of a token array in document order —
     * the default (xxhash64) family. Empty output when fewer than n
@@ -310,8 +319,16 @@ case class MinHashSigExpr(
     extends UnaryExpression {
 
   require(as.length == bs.length && as.nonEmpty, "need k >= 1 coefficients")
+  require(as.forall(_ >= 1) && bs.forall(_ >= 0),
+    "permutation coefficients must have a >= 1, b >= 0")
+  // Overflow-freedom is verified per INSTANTIATED family, not assumed:
+  // a seed whose draw includes a near-2^31 `a` against the 2^32-sized
+  // default prime would wrap h*a+b — the SQL formulation would raise
+  // ARITHMETIC_OVERFLOW under ANSI mode at runtime; this fails at
+  // construction with a labeled error instead (~2e-7 of seeds).
   require(as.forall(a => (p - 1) <= (Long.MaxValue - bs.max) / a),
-    s"permutation family overflows: (p-1)*a+b must stay below 2^63 (p=$p)")
+    s"permutation family overflows: (p-1)*a+b must stay below 2^63 (p=$p) " +
+      "— pick another seed or the portable family")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

@@ -425,10 +425,13 @@ object Dedup {
     * ([[graft.functions.MinHashSigExpr]]) over the [[shingleSets]]
     * array — no shuffle at all. Identical values to the k-`min`-
     * aggregates relational formulation (min is insensitive to the
-    * duplicate keys the set already removed; the kernel's permutation
-    * arithmetic provably cannot overflow for either published
-    * coefficient family, so it equals the SQL `pmod` chain under any
-    * ANSI mode — `ShingleParitySpec` pins it).
+    * duplicate keys the set already removed; the kernel VERIFIES at
+    * construction that the instantiated permutation family cannot
+    * overflow — true for both families at the default seed — so it
+    * equals the SQL `pmod` chain under any ANSI mode; a rare seed whose
+    * draw would wrap fails with a labeled error where ANSI SQL would
+    * raise ARITHMETIC_OVERFLOW at runtime. `ShingleParitySpec` pins
+    * parity).
     */
   def minHashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
@@ -477,11 +480,16 @@ object Dedup {
     // holds the [[sketch]] of the same docs (the streaming bootstrap
     // runs both this and the index build over one micro-batch) passes it
     // via `precomputed` so the batch is sketched once, not twice.
+    // `banded` feeds BOTH sides of the candidate self-join as separate
+    // aliased subtrees; without materialization the signature kernel
+    // (cheap, but still a full pass over the checkpointed sets) runs
+    // once per side when exchange reuse misses. It is |docs| × bands
+    // rows of 3 longs — checkpointing it is near-free insurance.
     val (sh, banded) = precomputed.getOrElse {
       val sets = shingleSets(docs, idCol, textCol, n, portable)
         .localCheckpoint()
       val b = bandKeyRows(sigArray(sets, k, seed, portable),
-        bands, k / bands, portable)
+        bands, k / bands, portable).localCheckpoint()
       (setsToRows(sets), b)
     }
     // `cand` is referenced three times by the verify step (two semi-joins
@@ -594,8 +602,11 @@ object Dedup {
       seed: Long = 42L): (DataFrame, DataFrame) = {
     require(k % bands == 0, "k must be divisible by bands")
     val sets = shingleSets(docs, idCol, textCol, n).localCheckpoint()
+    // bk is consumed by several actions (index append + the incremental
+    // pair join in one micro-batch) — materialize so the signature
+    // kernel runs once per batch, not once per consumer
     val bk = bandKeyRows(sigArray(sets, k, seed, portable = false),
-      bands, k / bands)
+      bands, k / bands).localCheckpoint()
     (setsToRows(sets), bk)
   }
 

@@ -50,11 +50,12 @@ class ShingleParitySpec extends AnyFunSuite {
       .select(col("id"), size(col("ss")).as("n_sh"), explode(col("ss")).as("shkey"))
   }
 
+  /** The PRODUCTION kernel path — Dedup.shingleSets itself, so wiring
+    * drift there (hash family default, dedup, empty-set filter) fails
+    * this spec, not just a private re-implementation of it.
+    */
   private def kernelRows(n: Int, portable: Boolean): DataFrame =
-    docs.select(col("doc_id").as("id"),
-        array_distinct(ShingleFunctions.shingleKeys(
-          TextFunctions.tokens(col("text")), n, portable)).as("ss"))
-      .filter(size(col("ss")) > 0)
+    Dedup.shingleSets(docs, "doc_id", "text", n, portable)
       .select(col("id"), size(col("ss")).as("n_sh"), explode(col("ss")).as("shkey"))
 
   for (portable <- Seq(false, true); n <- Seq(2, 3, 4)) {
