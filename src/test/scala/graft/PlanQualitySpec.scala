@@ -102,10 +102,12 @@ class PlanQualitySpec extends AnyFunSuite {
   private def exchangeCount(plan: String): Int =
     """\(\d+\) Exchange""".r.findAllIn(plan).length
 
-  test("repetition metrics take exactly two shuffles (gram agg, doc rollup)") {
+  test("repetition metrics are one shuffle-free scan-side kernel pass") {
     val plan = planOf(SparkEntry.queries("t8_repetition")(spark, dir))
-    assert(exchangeCount(plan) == 2,
-      s"expected 2 exchanges, got ${exchangeCount(plan)}:\n$plan")
+    assert(exchangeCount(plan) == 0,
+      s"expected 0 exchanges (fused gram_repetition kernel), got ${exchangeCount(plan)}:\n$plan")
+    assert(plan.contains("gram_repetition"),
+      s"expected the fused gram_repetition kernel in the plan:\n$plan")
   }
 
   test("sequence packing is one shuffle on the stream key") {
