@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrain, Classifier, Decontamination, Dedup, Graph, IntervalJoin, Layout, Multimodal, Pca, Profiling, Retrieval, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
+import graft.operators.{BpeTrain, Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalJoin, Layout, Multimodal, Pca, Profiling, Retrieval, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -231,6 +231,18 @@ object SparkEntry {
       FROM orders_w5
       """)
   }
+
+  /** w6: ordered funnel view → click → purchase over the events stream
+    * (strictly-increasing-timestamp subsequence semantics).
+    */
+  private def w6Funnel(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.funnelSteps(
+      T(s, d, "events"), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+
+  /** w7: day-granularity cohort retention over the events stream. */
+  private def w7Retention(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.retentionCohorts(T(s, d, "events"), "user_id", "ts")
 
   private def f5DateFuncs(s: SparkSession, d: String): DataFrame =
     T(s, d, "orders")
@@ -1386,6 +1398,8 @@ object SparkEntry {
     "f4_rollup" -> (f4Rollup _),
     "f10_grouping_sets" -> (f10GroupingSets _),
     "w5_range_frame" -> (w5RangeFrame _),
+    "w6_funnel" -> (w6Funnel _),
+    "w7_retention" -> (w7Retention _),
     "f5_date_funcs" -> (f5DateFuncs _),
     "f6_string_funcs" -> (f6StringFuncs _),
     "a5_stats" -> (a5Stats _),
@@ -2792,6 +2806,33 @@ object SparkEntry {
         |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
         |  )::BIGINT AS n_30d
         |FROM orders""".stripMargin,
+    // Ordered funnel as the min-chain formulation: t_k = earliest step-k
+    // event strictly after t_{k-1}. Equals the Spark side's greedy
+    // subsequence fold (greedy earliest-completion is optimal).
+    "w6_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.t > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.t > s2.t GROUP BY 1)
+        |SELECT 1::INTEGER AS step_idx, 'view' AS step,
+        |  (SELECT count(*) FROM s1)::BIGINT AS users
+        |UNION ALL SELECT 2::INTEGER, 'click', (SELECT count(*) FROM s2)::BIGINT
+        |UNION ALL SELECT 3::INTEGER, 'purchase',
+        |  (SELECT count(*) FROM s3)::BIGINT""".stripMargin,
+    // // is DuckDB's exact integer floor division — mirrors the Spark
+    // side's pmod-subtract form (both engines bucket the same nanos).
+    "w7_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    (epoch_us(ts) * 1000) // 86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT f.cohort_day::BIGINT AS cohort_day,
+        |  (a.day - f.cohort_day)::BIGINT AS day_offset,
+        |  count(*)::BIGINT AS users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "t17_bigram_logprob" ->
       """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w
         |  FROM documents),

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: ordered funnels and cohort retention — the
+  * two product-analytics operators every event warehouse ships
+  * (Mixpanel/Amplitude-style), expressed as single-shuffle Spark plans
+  * over the harness's `events` table shape (user, timestamp, type).
+  */
+object EventAnalytics {
+
+  /** Ordered-funnel completion: for each step prefix of `steps`, the
+    * number of users whose event history contains the prefix as a
+    * strictly-time-increasing subsequence (the standard funnel
+    * semantics: a user converts through step k iff events of types
+    * steps(0..k-1) exist at strictly increasing timestamps).
+    *
+    * Output: (step_idx, step, users) — one row per step, `users`
+    * non-increasing in `step_idx`.
+    *
+    * One shuffle total: events are filtered to funnel types (pushed to
+    * the scan), grouped once by user, and each user's sorted event list
+    * is folded by a higher-order `aggregate` that advances a cursor
+    * through `steps` greedily — greedy earliest-completion is optimal
+    * for subsequence matching (exchange argument), so the fold's depth
+    * equals the longest completed prefix and matches the min-chain
+    * formulation SQL engines use (t1 = min ts of step 1, t2 = min ts of
+    * step 2 after t1, ...). The per-step counts then come from
+    * exploding 1..depth and re-aggregating step-index partials —
+    * k tiny rows per user, collapsing map-side.
+    *
+    * Scale: shuffle volume is one (ts, type-index) pair per
+    * funnel-relevant event; per-user state is that user's funnel-event
+    * list (product-analytics cardinality — bound it upstream if a bot
+    * user can emit millions of funnel events). No joins, no windows, no
+    * driver state; `steps` itself is literal-sized.
+    */
+  def funnelSteps(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "repeated step types make the greedy/min-chain equivalence ambiguous")
+    val stepArr: Column = array(steps.map(lit): _*)
+    // type → 0-based step index, resolved before the shuffle so the
+    // exchange carries (long, int) rows, never the type strings
+    val idxed = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(
+        col(userCol).as("u"), col(tsCol).as("t"),
+        (array_position(stepArr, col(typeCol)) - 1).cast("int").as("si"))
+    val depth = idxed
+      .groupBy("u")
+      .agg(sort_array(collect_list(struct(col("t"), col("si")))).as("evs"))
+      .select(
+        col("u"),
+        aggregate(
+          col("evs"),
+          struct(lit(0).as("d"), lit(Long.MinValue).as("last")),
+          (acc, e) =>
+            when(
+              acc("d") < steps.size &&
+                e("si") === acc("d") && e("t") > acc("last"),
+              struct((acc("d") + 1).as("d"), e("t").as("last")))
+              .otherwise(acc),
+          acc => acc("d")).as("depth"))
+    depth
+      .filter(col("depth") > 0)
+      .select(explode(sequence(lit(1), col("depth"))).as("step_idx"))
+      .groupBy("step_idx")
+      .agg(count(lit(1)).as("users"))
+      .select(
+        col("step_idx"),
+        element_at(stepArr, col("step_idx")).as("step"),
+        col("users"))
+  }
+
+  /** Day-granularity cohort retention: users are cohorted by their
+    * first active day; for every (cohort_day, day_offset) pair, the
+    * number of cohort users active exactly `day_offset` days after
+    * their first day. Days are integer days since the epoch (exact
+    * integer arithmetic on the engine's long-nanos `ts` contract —
+    * no timezone or DST ambiguity in the analytics core; render to
+    * calendar dates at the edge).
+    *
+    * Output: (cohort_day, day_offset, users); day_offset 0 row is the
+    * cohort size itself.
+    *
+    * Plan shape: ONE corpus-sized shuffle — a user-keyed `collect_set`
+    * of active days (partial aggregation dedups (user, day) map-side, so
+    * the exchange carries at most one set row per user per partition).
+    * The cohort day is the set's min and the offsets explode from the
+    * same set, so no second distinct pass and no join back; the final
+    * (cohort, offset) rollup aggregates cohort-count-sized partials.
+    * Per-user state is the distinct-active-day set — bounded by the
+    * calendar (≤365/user/year), not by event volume.
+    */
+  def retentionCohorts(
+      events: DataFrame, userCol: String, tsCol: String,
+      dayNanos: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
+    // exact integer floor-division: (ts - pmod(ts, d)) / d — the long-nanos
+    // values exceed double's 2^53 exact range, so a floating floor(ts / d)
+    // could mis-bucket timestamps near a day boundary; the subtracted form
+    // divides an exact multiple (d carries 2^16 trailing zero bits, so the
+    // multiple is double-exact) and stays integral throughout
+    events
+      .select(col(userCol).as("u"),
+        ((col(tsCol) - pmod(col(tsCol), lit(dayNanos))) / lit(dayNanos))
+          .cast("long").as("day"))
+      .groupBy("u").agg(collect_set(col("day")).as("days"))
+      .select(array_min(col("days")).as("cohort_day"),
+        explode(col("days")).as("day"))
+      .groupBy(
+        col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

@@ -110,6 +110,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the fused gram_repetition kernel in the plan:\n$plan")
   }
 
+  test("funnel is two user-keyed aggregations, no join") {
+    val plan = planOf(SparkEntry.queries("w6_funnel")(spark, dir))
+    assert(exchangeCount(plan) == 2,
+      s"expected 2 exchanges (user fold, step rollup), got ${exchangeCount(plan)}:\n$plan")
+    assert(!plan.contains("Join"), s"funnel grew a join:\n$plan")
+  }
+
+  test("retention is one corpus-sized shuffle (user day-set), no join") {
+    val plan = planOf(SparkEntry.queries("w7_retention")(spark, dir))
+    assert(exchangeCount(plan) == 2,
+      s"expected 2 exchanges (day-set agg, cohort rollup), got ${exchangeCount(plan)}:\n$plan")
+    assert(!plan.contains("Join"), s"retention grew a join:\n$plan")
+  }
+
   test("sequence packing is one shuffle on the stream key") {
     val plan = planOf(SparkEntry.queries("t9_pack")(spark, dir))
     assert(exchangeCount(plan) == 1,

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Steps = Seq("view", "click", "purchase")
+
+  private def funnel(evs: Seq[(Long, Long, String)]): Map[Int, (String, Long)] =
+    EventAnalytics.funnelSteps(
+        evs.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Steps)
+      .as[(Int, String, Long)].collect()
+      .map { case (i, s, n) => i -> (s, n) }.toMap
+
+  test("funnel counts a strictly-ordered completion once per user") {
+    val got = funnel(Seq(
+      // u1 completes all three steps in order
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2 stops after click; the later view does not re-enter
+      (2L, 10L, "view"), (2L, 20L, "click"), (2L, 30L, "view"),
+      // u3: the purchase BEFORE the click doesn't count for step 3, but
+      // view@10 -> click@30 still reaches step 2 (funnels skip over
+      // non-sequence events; only order among matched steps matters)
+      (3L, 10L, "view"), (3L, 20L, "purchase"), (3L, 30L, "click"),
+      // u4 never views; click+purchase alone reach no step
+      (4L, 10L, "click"), (4L, 20L, "purchase")))
+    assert(got == Map(
+      1 -> ("view", 3L), 2 -> ("click", 3L), 3 -> ("purchase", 1L)))
+  }
+
+  test("equal timestamps never satisfy the strictly-after contract") {
+    val got = funnel(Seq(
+      (1L, 10L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"),
+      (2L, 10L, "view"), (2L, 20L, "click"), (2L, 20L, "purchase")))
+    // u1: click at the view's instant doesn't count, so neither does the
+    // purchase; u2: view->click counts, purchase at click's instant doesn't
+    assert(got == Map(1 -> ("view", 2L), 2 -> ("click", 1L)))
+  }
+
+  test("greedy fold equals the min-chain: early dead-end doesn't block") {
+    // u1's first click (t=20) is followed by a purchase, so greedy
+    // matching on the FIRST click must still complete; a buggy
+    // implementation matching the last click would also pass this, but
+    // one anchoring on a non-earliest click (t=40) would miss t=30.
+    val got = funnel(Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (1L, 40L, "click")))
+    assert(got == Map(
+      1 -> ("view", 1L), 2 -> ("click", 1L), 3 -> ("purchase", 1L)))
+  }
+
+  test("funnel step counts are non-increasing on generated histories") {
+    val rnd = new scala.util.Random(7)
+    val evs = for {
+      u <- 0L until 40L
+      i <- 0 until rnd.nextInt(12)
+    } yield (u, rnd.nextInt(1000).toLong,
+      Seq("view", "click", "purchase", "error")(rnd.nextInt(4)))
+    val counts = funnel(evs).toSeq.sortBy(_._1).map(_._2._2)
+    assert(counts.zip(counts.drop(1)).forall { case (a, b) => a >= b },
+      s"not monotone: $counts")
+  }
+
+  test("retention cohorts count each user-day once") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val evs = Seq(
+      // u1 first active day 0, returns day 1 (twice — still one row) and day 3
+      (1L, 1L), (1L, day + 5L), (1L, day + 6L), (1L, 3 * day + 1L),
+      // u2 first active day 1 only
+      (2L, day + 1L),
+      // u3 first active day 0, returns day 1
+      (3L, 2L), (3L, day + 9L))
+    val got = EventAnalytics.retentionCohorts(
+        evs.toDF("user_id", "ts"), "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 2L),  // cohort day 0: u1, u3
+      (0L, 1L, 2L),  // both return on day 1
+      (0L, 3L, 1L),  // u1 on day 3
+      (1L, 0L, 1L))) // cohort day 1: u2
+  }
+
+  test("day bucketing is exact on 2024-scale nanos at the boundary") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val boundary = 19723L * day // 2024-01-01
+    val evs = Seq(
+      (1L, boundary - 1000L), // one micro before midnight -> previous day
+      (1L, boundary))         // exactly midnight -> next day
+    val got = EventAnalytics.retentionCohorts(
+        evs.toDF("user_id", "ts"), "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((19722L, 0L, 1L), (19722L, 1L, 1L)))
+  }
+}
