@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.{Classifier, Decontamination, Dedup, Graph, Pca, Sampling, Similarity, TextAnalytics}
+import graft.operators.{Classifier, Decontamination, Dedup, EventAnalytics, Graph, Pca, Sampling, Similarity, TextAnalytics}
 
 /** Scaling probe for the dedup/text AND vector families: synthesizes
   * corpora at 1×, 4× and 16× the bench document count (deterministic
@@ -63,6 +63,24 @@ object ScaleProbe {
           expr("concat(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
             "slice(base, 3, 62))"))
           .otherwise(col("base")).as("embedding"))
+
+  /** One event per doc row: user_id spreads ids over n/50 users (~50
+    * events each at every scale), ts hash-spreads over 30 days of nanos,
+    * event_type draws funnel steps + noise types from a hash. Pure
+    * column expressions over a doc_id-only projection.
+    */
+  def synthEvents(d: DataFrame): DataFrame = {
+    val n = math.max(50L, d.count())
+    d.select(
+      pmod(xxhash64(col("doc_id"), lit(11L)), lit(n / 50)).as("user_id"),
+      pmod(xxhash64(col("doc_id"), lit(12L)),
+        lit(30L * 86400 * 1000 * 1000 * 1000)).as("ts"),
+      element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("error"),
+          lit("signup")),
+        (pmod(xxhash64(col("doc_id"), lit(13L)), lit(5L)) + 1).cast("int"))
+        .as("event_type"))
+  }
 
   def main(args: Array[String]): Unit = {
     val maxDocs = args.headOption.map(_.toLong).getOrElse(80000L)
@@ -131,6 +149,17 @@ object ScaleProbe {
           .map { case (a, b) => g.select(col(a).as("src"), col(b).as("dst")) }
           .reduce(_ unionByName _)
         Graph.pageRank(edges, "src", "dst").count()
+      },
+      // synthetic event stream off the doc ids (column-pruned scan):
+      // ~50 events/user, hash-spread timestamps over 30 days, funnel
+      // types + noise — user count grows ∝ n so per-user state is flat
+      "w6_funnel" -> { d =>
+        EventAnalytics.funnelSteps(synthEvents(d), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase")).count()
+      },
+      "w7_retention" -> { d =>
+        EventAnalytics.retentionCohorts(synthEvents(d), "user_id", "ts")
+          .count()
       },
       "ml1_classifier" -> { d =>
         val feats = TextAnalytics.qualityScore(d, "doc_id", "text")
