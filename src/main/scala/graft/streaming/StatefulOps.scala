@@ -94,6 +94,63 @@ object StatefulOps {
     (closed.toSeq, cur)
   }
 
+  case class TypedEv(user_id: Long, ts: Long, event_type: String)
+  case class FunnelCursor(depth: Int, last_ts: Long)
+  case class StepHit(user_id: Long, step_idx: Int, ts: Long)
+
+  /** One micro-batch of funnel-cursor advancement for a single user —
+    * the pure fold [[funnelStream]] runs inside `flatMapGroupsWithState`
+    * (same extraction discipline as [[advanceSessions]]). Greedy cursor:
+    * an event advances the cursor iff its type is the next step AND its
+    * ts is strictly after the last matched ts — identical to
+    * [[graft.operators.EventAnalytics.funnelSteps]]'s fold, so with
+    * per-user in-order delivery across batches the stream's emitted
+    * step hits aggregate to exactly the batch funnel counts. A
+    * cross-batch late event below the stored cursor is skipped (depth
+    * never regresses); late events can therefore only UNDER-count a
+    * conversion the batch recomputation would see — the standard
+    * streaming-funnel contract, reconciled by the batch twin.
+    * Returns (newly reached steps, the cursor to store).
+    */
+  private[streaming] def advanceFunnel(
+      steps: IndexedSeq[String], events: Seq[TypedEv],
+      prior: Option[FunnelCursor]): (Seq[StepHit], FunnelCursor) = {
+    var cur = prior.getOrElse(FunnelCursor(0, Long.MinValue))
+    val hits = scala.collection.mutable.ArrayBuffer.empty[StepHit]
+    for (e <- events.sortBy(_.ts)) {
+      if (cur.depth < steps.size && e.event_type == steps(cur.depth) &&
+          e.ts > cur.last_ts) {
+        cur = FunnelCursor(cur.depth + 1, e.ts)
+        hits += StepHit(e.user_id, cur.depth, e.ts)
+      }
+    }
+    (hits.toSeq, cur)
+  }
+
+  /** Streaming ordered funnel: emits a [[StepHit]] the micro-batch a
+    * user first reaches each step (Append mode — each (user, step_idx)
+    * at most once per state lifetime, so `count(*) GROUP BY step_idx`
+    * over the sink is the live funnel). State per key: an 12-byte
+    * cursor — O(users), not O(events).
+    */
+  def funnelStream(
+      spark: SparkSession, ds: Dataset[TypedEv], steps: Seq[String])
+      : Dataset[StepHit] = {
+    import spark.implicits._
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "funnel steps must be non-empty and distinct")
+    val stepsIdx = steps.toIndexedSeq
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelCursor, StepHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[TypedEv], state: GroupState[FunnelCursor]) =>
+          val (hits, cur) =
+            advanceFunnel(stepsIdx, evs.toIndexedSeq, state.getOption)
+          state.update(cur)
+          hits.iterator
+      }
+  }
+
   /** Streaming sessionizer: closes a session when the processing-time
     * timeout fires after `gapUs` of silence for the key.
     */

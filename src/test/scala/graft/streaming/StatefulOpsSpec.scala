@@ -51,6 +51,54 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(c3.isEmpty && s3.n_events == 2 && s3.end_us == s2.end_us + gap)
   }
 
+  test("funnel advance: late events skip, depth never regresses") {
+    val steps = IndexedSeq("view", "click", "purchase")
+    // batch 1: view then click
+    val (h1, c1) = StatefulOps.advanceFunnel(steps,
+      Seq(TypedEv(1, 10, "view"), TypedEv(1, 20, "click")), None)
+    assert(h1 == Seq(StepHit(1, 1, 10), StepHit(1, 2, 20)))
+    assert(c1 == FunnelCursor(2, 20))
+    // batch 2: a LATE purchase below the cursor is skipped (it happened
+    // before the matched click); the on-time purchase converts
+    val (h2, c2) = StatefulOps.advanceFunnel(steps,
+      Seq(TypedEv(1, 15, "purchase"), TypedEv(1, 30, "purchase")), Some(c1))
+    assert(h2 == Seq(StepHit(1, 3, 30)) && c2 == FunnelCursor(3, 30))
+    // a completed funnel ignores further events
+    val (h3, c3) = StatefulOps.advanceFunnel(steps,
+      Seq(TypedEv(1, 40, "view")), Some(c2))
+    assert(h3.isEmpty && c3 == c2)
+    // equal-ts never satisfies strictly-after
+    val (h4, _) = StatefulOps.advanceFunnel(steps,
+      Seq(TypedEv(2, 10, "view"), TypedEv(2, 10, "click")), None)
+    assert(h4 == Seq(StepHit(2, 1, 10)))
+  }
+
+  test("streamed funnel hits aggregate to the batch w6 funnel counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[TypedEv].collect().sortBy(_.ts)
+    val mem = MemoryStream[TypedEv]
+    val q = funnelStream(spark, mem.toDS(),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_hits")
+      .outputMode("append").start()
+    try {
+      // per-user in-order delivery (global ts-order chunks), 3 batches
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("funnel_hits")
+        .groupBy("step_idx").count()
+        .as[(Int, Long)].collect().toMap
+      val batch = graft.SparkEntry.queries("w6_funnel")(spark, TestSpark.Sf0001)
+        .select("step_idx", "users").as[(Int, Long)].collect().toMap
+      assert(streamed == batch && batch.nonEmpty, s"$streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("typed batch sessionizer agrees with the w4 SQL sessionization") {
     import spark.implicits._
     val ev = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
