@@ -2810,7 +2810,8 @@ object SparkEntry {
     // event strictly after t_{k-1}. Equals the Spark side's greedy
     // subsequence fold (greedy earliest-completion is optimal).
     "w6_funnel" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
         |s1 AS (SELECT user_id, min(t) AS t FROM e
         |  WHERE event_type = 'view' GROUP BY 1),
         |s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
@@ -2826,7 +2827,8 @@ object SparkEntry {
     // side's pmod-subtract form (both engines bucket the same nanos).
     "w7_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
-        |    (epoch_us(ts) * 1000) // 86400000000000 AS day FROM events),
+        |    (epoch_us(ts) * 1000) // 86400000000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
         |SELECT f.cohort_day::BIGINT AS cohort_day,
         |  (a.day - f.cohort_day)::BIGINT AS day_offset,

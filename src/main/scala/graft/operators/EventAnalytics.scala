@@ -16,8 +16,12 @@ object EventAnalytics {
     * semantics: a user converts through step k iff events of types
     * steps(0..k-1) exist at strictly increasing timestamps).
     *
-    * Output: (step_idx, step, users) — one row per step, `users`
-    * non-increasing in `step_idx`.
+    * Output: (step_idx, step, users) — one row per step INCLUDING
+    * steps no user reached (users = 0), so the funnel's shape is stable
+    * across datasets; `users` is non-increasing in `step_idx`. Rows
+    * with a null user id are excluded (anonymous events can't belong
+    * to a per-user funnel; SQL twins drop them on the join path
+    * anyway, so the exclusion keeps engines in lockstep).
     *
     * One shuffle total: events are filtered to funnel types (pushed to
     * the scan), grouped once by user, and each user's sorted event list
@@ -46,7 +50,7 @@ object EventAnalytics {
     // type → 0-based step index, resolved before the shuffle so the
     // exchange carries (long, int) rows, never the type strings
     val idxed = events
-      .filter(col(typeCol).isin(steps: _*))
+      .filter(col(userCol).isNotNull && col(typeCol).isin(steps: _*))
       .select(
         col(userCol).as("u"), col(tsCol).as("t"),
         (array_position(stepArr, col(typeCol)) - 1).cast("int").as("si"))
@@ -65,11 +69,19 @@ object EventAnalytics {
               struct((acc("d") + 1).as("d"), e("t").as("last")))
               .otherwise(acc),
           acc => acc("d")).as("depth"))
+    // Zero-row anchors (one 0 per step, union'd below the final agg)
+    // guarantee a row per step even when no user reaches it — a funnel
+    // whose tail steps silently vanish reads as a different funnel.
+    // Union + sum, not a join: keeps the plan join-free.
+    val anchors = events.sparkSession.range(1, steps.size + 1)
+      .select(col("id").cast("int").as("step_idx"), lit(0L).as("c"))
     depth
       .filter(col("depth") > 0)
-      .select(explode(sequence(lit(1), col("depth"))).as("step_idx"))
+      .select(explode(sequence(lit(1), col("depth"))).as("step_idx"),
+        lit(1L).as("c"))
+      .unionByName(anchors)
       .groupBy("step_idx")
-      .agg(count(lit(1)).as("users"))
+      .agg(sum("c").as("users"))
       .select(
         col("step_idx"),
         element_at(stepArr, col("step_idx")).as("step"),
@@ -99,15 +111,20 @@ object EventAnalytics {
   def retentionCohorts(
       events: DataFrame, userCol: String, tsCol: String,
       dayNanos: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
-    // exact integer floor-division: (ts - pmod(ts, d)) / d — the long-nanos
+    // Exact integer floor-division: (ts - pmod(ts, d)) div d. Long-nanos
     // values exceed double's 2^53 exact range, so a floating floor(ts / d)
-    // could mis-bucket timestamps near a day boundary; the subtracted form
-    // divides an exact multiple (d carries 2^16 trailing zero bits, so the
-    // multiple is double-exact) and stays integral throughout
+    // could mis-bucket timestamps near a bucket boundary; subtracting the
+    // positive pmod makes the dividend the exact floor multiple (any sign
+    // of ts) and SQL `div` keeps it in integers — exact for EVERY divisor,
+    // unlike a double divide whose exactness would hinge on the divisor's
+    // trailing zero bits. Null users are excluded: anonymous events have
+    // no cohort (and SQL twins drop them on join paths anyway).
     events
-      .select(col(userCol).as("u"),
-        ((col(tsCol) - pmod(col(tsCol), lit(dayNanos))) / lit(dayNanos))
-          .cast("long").as("day"))
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"), col(tsCol).as("__ts"))
+      .select(col("u"),
+        expr(s"(__ts - pmod(__ts, ${dayNanos}L)) div ${dayNanos}L")
+          .as("day"))
       .groupBy("u").agg(collect_set(col("day")).as("days"))
       .select(array_min(col("days")).as("cohort_day"),
         explode(col("days")).as("day"))

@@ -24,6 +24,12 @@ import graft.operators.{Classifier, Decontamination, Dedup, EventAnalytics, Grap
   */
 object ScaleProbe {
 
+  /** Row count of the scale currently being probed — set by the main
+    * loop so op closures can synthesize derived inputs without running
+    * a count job inside their timed region.
+    */
+  @volatile private var probeN: Long = 0L
+
   /** Deterministic synthetic corpus: ~200 tokens/doc; 1% of docs are a
     * near-copy of their predecessor (same generated body + a marker
     * suffix). Pure column expressions — generated distributed, never on
@@ -69,8 +75,8 @@ object ScaleProbe {
     * event_type draws funnel steps + noise types from a hash. Pure
     * column expressions over a doc_id-only projection.
     */
-  def synthEvents(d: DataFrame): DataFrame = {
-    val n = math.max(50L, d.count())
+  def synthEvents(d: DataFrame, rows: Long): DataFrame = {
+    val n = math.max(50L, rows)
     d.select(
       pmod(xxhash64(col("doc_id"), lit(11L)), lit(n / 50)).as("user_id"),
       pmod(xxhash64(col("doc_id"), lit(12L)),
@@ -152,13 +158,15 @@ object ScaleProbe {
       },
       // synthetic event stream off the doc ids (column-pruned scan):
       // ~50 events/user, hash-spread timestamps over 30 days, funnel
-      // types + noise — user count grows ∝ n so per-user state is flat
+      // types + noise — user count grows ∝ n so per-user state is flat.
+      // probeN is the loop's known row count: deriving it with d.count()
+      // here would charge an unrelated corpus-count job to the timing.
       "w6_funnel" -> { d =>
-        EventAnalytics.funnelSteps(synthEvents(d), "user_id", "ts",
+        EventAnalytics.funnelSteps(synthEvents(d, probeN), "user_id", "ts",
           "event_type", Seq("view", "click", "purchase")).count()
       },
       "w7_retention" -> { d =>
-        EventAnalytics.retentionCohorts(synthEvents(d), "user_id", "ts")
+        EventAnalytics.retentionCohorts(synthEvents(d, probeN), "user_id", "ts")
           .count()
       },
       "ml1_classifier" -> { d =>
@@ -236,6 +244,7 @@ object ScaleProbe {
       .takeWhile(_ <= maxDocs).toSeq
     val results = scala.collection.mutable.Map.empty[(String, Long), Double]
     for (n <- scales) {
+      probeN = n
       val path = s"/tmp/scaleprobe/docs_$n"
       synth(spark, n).write.mode("overwrite").parquet(path)
       val docs = spark.read.parquet(path)

@@ -38,8 +38,16 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (1L, 10L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"),
       (2L, 10L, "view"), (2L, 20L, "click"), (2L, 20L, "purchase")))
     // u1: click at the view's instant doesn't count, so neither does the
-    // purchase; u2: view->click counts, purchase at click's instant doesn't
-    assert(got == Map(1 -> ("view", 2L), 2 -> ("click", 1L)))
+    // purchase; u2: view->click counts, purchase at click's instant
+    // doesn't — and the unreached purchase step still emits a 0 row
+    assert(got == Map(
+      1 -> ("view", 2L), 2 -> ("click", 1L), 3 -> ("purchase", 0L)))
+  }
+
+  test("every step emits a row even when nobody converts") {
+    val got = funnel(Seq((1L, 10L, "click"), (2L, 20L, "error")))
+    assert(got == Map(
+      1 -> ("view", 0L), 2 -> ("click", 0L), 3 -> ("purchase", 0L)))
   }
 
   test("greedy fold equals the min-chain: early dead-end doesn't block") {
