@@ -244,6 +244,16 @@ object SparkEntry {
   private def w7Retention(s: SparkSession, d: String): DataFrame =
     EventAnalytics.retentionCohorts(T(s, d, "events"), "user_id", "ts")
 
+  /** w8: the w6 funnel under a 24 h conversion window (each step within
+    * 24 h of the previous). The oracle replays the existence semantics
+    * as chain self-joins — feasible at oracle scale; the engine side
+    * runs the O(events) per-user DP instead.
+    */
+  private def w8FunnelWindow(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.funnelStepsWindowed(
+      T(s, d, "events"), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), maxGapNanos = 24L * 3600 * 1000 * 1000 * 1000)
+
   private def f5DateFuncs(s: SparkSession, d: String): DataFrame =
     T(s, d, "orders")
       .groupBy(
@@ -1400,6 +1410,7 @@ object SparkEntry {
     "w5_range_frame" -> (w5RangeFrame _),
     "w6_funnel" -> (w6Funnel _),
     "w7_retention" -> (w7Retention _),
+    "w8_funnel_window" -> (w8FunnelWindow _),
     "f5_date_funcs" -> (f5DateFuncs _),
     "f6_string_funcs" -> (f6StringFuncs _),
     "a5_stats" -> (a5Stats _),
@@ -2823,6 +2834,30 @@ object SparkEntry {
         |UNION ALL SELECT 2::INTEGER, 'click', (SELECT count(*) FROM s2)::BIGINT
         |UNION ALL SELECT 3::INTEGER, 'purchase',
         |  (SELECT count(*) FROM s3)::BIGINT""".stripMargin,
+    // Windowed funnel as existence-of-chain self-joins (feasible at
+    // oracle scale; the engine runs a per-user DP). Gaps compare in
+    // micros — nanos are micros*1000 exactly, so the strict-> and
+    // <=24h bounds coincide with the Spark side's nano arithmetic.
+    "w8_funnel_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |u1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |u2 AS (SELECT DISTINCT a.user_id
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |    AND b.t - a.t > 0 AND b.t - a.t <= 86400000000),
+        |u3 AS (SELECT DISTINCT a.user_id
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |            JOIN e c ON a.user_id = c.user_id
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |    AND c.event_type = 'purchase'
+        |    AND b.t - a.t > 0 AND b.t - a.t <= 86400000000
+        |    AND c.t - b.t > 0 AND c.t - b.t <= 86400000000)
+        |SELECT 1::INTEGER AS step_idx, 'view' AS step,
+        |  (SELECT count(*) FROM u1)::BIGINT AS users
+        |UNION ALL SELECT 2::INTEGER, 'click', (SELECT count(*) FROM u2)::BIGINT
+        |UNION ALL SELECT 3::INTEGER, 'purchase',
+        |  (SELECT count(*) FROM u3)::BIGINT""".stripMargin,
     // // is DuckDB's exact integer floor division — mirrors the Spark
     // side's pmod-subtract form (both engines bucket the same nanos).
     "w7_retention" ->

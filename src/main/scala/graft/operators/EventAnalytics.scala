@@ -88,6 +88,93 @@ object EventAnalytics {
         col("users"))
   }
 
+  /** [[funnelSteps]] with a conversion window: a user completes step k
+    * only via a chain whose every consecutive gap is in (0, maxGapNanos]
+    * — the "convert within T of the previous step" semantics every
+    * funnel product offers. Output shape identical to [[funnelSteps]]
+    * (one row per step, zero rows included).
+    *
+    * The greedy cursor is NOT optimal under a gap cap (an early
+    * step-1 match can strand a later, closer chain), so each user is
+    * folded with a small DP instead: best(j) = the latest event time
+    * achieving depth j. Among anchors strictly before the current
+    * event, the latest dominates (its gap is smallest), EXCEPT an
+    * anchor at the event's own timestamp — strictly-after excludes it
+    * — so the DP keeps the two latest distinct times per depth and
+    * falls back to the runner-up on ties. O(k) state per user, one
+    * pass over the user's time-sorted funnel events.
+    *
+    * Same single-shuffle posture as [[funnelSteps]]; the fold runs as a
+    * typed mapGroups (clear-box DP) rather than a Column expression —
+    * linear work either way, the shuffle dominates at scale.
+    */
+  def funnelStepsWindowed(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], maxGapNanos: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    require(maxGapNanos > 0, s"maxGapNanos must be positive (got $maxGapNanos)")
+    val k = steps.size
+    val stepArr: Column = array(steps.map(lit): _*)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val depths: DataFrame = events
+      .filter(col(userCol).isNotNull && col(typeCol).isin(steps: _*))
+      .select(
+        col(userCol).cast("string").as("u"),
+        col(tsCol).cast("long").as("t"),
+        (array_position(stepArr, col(typeCol)) - 1).cast("int").as("si"))
+      .as[(String, Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (_, it) =>
+        val evs = it.map(e => (e._2, e._3)).toArray
+        java.util.Arrays.sort(evs, Ordering[(Long, Int)])
+        windowedDepth(evs, k, maxGapNanos)
+      }
+      .toDF("depth")
+    val anchors = spark.range(1, k + 1)
+      .select(col("id").cast("int").as("step_idx"), lit(0L).as("c"))
+    depths
+      .filter(col("depth") > 0)
+      .select(explode(sequence(lit(1), col("depth"))).as("step_idx"),
+        lit(1L).as("c"))
+      .unionByName(anchors)
+      .groupBy("step_idx")
+      .agg(sum("c").as("users"))
+      .select(
+        col("step_idx"),
+        element_at(stepArr, col("step_idx")).as("step"),
+        col("users"))
+  }
+
+  /** The per-user DP of [[funnelStepsWindowed]]: events are (ts, step
+    * index) sorted ascending; returns the deepest step completed by any
+    * chain with strictly increasing times and consecutive gaps
+    * <= maxGap. best(j)/second(j) are the two latest DISTINCT times
+    * achieving depth j+1.
+    */
+  private[operators] def windowedDepth(
+      evs: Array[(Long, Int)], k: Int, maxGap: Long): Int = {
+    val None_ = Long.MinValue
+    val best = Array.fill(k)(None_)
+    val second = Array.fill(k)(None_)
+    def reach(j: Int, t: Long): Unit =
+      if (t > best(j)) { second(j) = best(j); best(j) = t }
+      else if (t < best(j) && t > second(j)) second(j) = t
+    for ((t, si) <- evs) {
+      val anchor =
+        if (si == 0) Long.MinValue + 1 // step 1 needs no prior anchor
+        else if (best(si - 1) != None_ && best(si - 1) < t) best(si - 1)
+        else if (second(si - 1) != None_ && second(si - 1) < t) second(si - 1)
+        else None_
+      val gapOk = si == 0 || (anchor != None_ && t - anchor <= maxGap)
+      if (gapOk && (si == 0 || anchor != None_)) reach(si, t)
+    }
+    var d = 0
+    while (d < k && best(d) != None_) d += 1
+    d
+  }
+
   /** Day-granularity cohort retention: users are cohorted by their
     * first active day; for every (cohort_day, day_offset) pair, the
     * number of cohort users active exactly `day_offset` days after

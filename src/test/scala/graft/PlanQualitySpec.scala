@@ -117,6 +117,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"funnel grew a join:\n$plan")
   }
 
+  test("windowed funnel keeps the two-aggregation no-join shape") {
+    val plan = planOf(SparkEntry.queries("w8_funnel_window")(spark, dir))
+    assert(exchangeCount(plan) == 2,
+      s"expected 2 exchanges (user DP fold, step rollup), got ${exchangeCount(plan)}:\n$plan")
+    assert(!plan.contains("Join"), s"windowed funnel grew a join:\n$plan")
+  }
+
   test("retention is one corpus-sized shuffle (user day-set), no join") {
     val plan = planOf(SparkEntry.queries("w7_retention")(spark, dir))
     assert(exchangeCount(plan) == 2,

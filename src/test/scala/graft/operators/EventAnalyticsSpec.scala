@@ -74,6 +74,74 @@ class EventAnalyticsSpec extends AnyFunSuite {
       s"not monotone: $counts")
   }
 
+  private def windowedFunnel(
+      evs: Seq[(Long, Long, String)], gap: Long): Map[Int, Long] =
+    EventAnalytics.funnelStepsWindowed(
+        evs.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Steps, gap)
+      .as[(Int, String, Long)].collect()
+      .map { case (i, _, n) => i -> n }.toMap
+
+  test("windowed funnel: a stranding early match doesn't block a closer chain") {
+    // greedy would anchor on view@0 (click@55 is 55 > gap away) and
+    // report depth 1; the DP finds view@50 -> click@55
+    val got = windowedFunnel(
+      Seq((1L, 0L, "view"), (1L, 50L, "view"), (1L, 55L, "click")), gap = 10L)
+    assert(got == Map(1 -> 1L, 2 -> 1L, 3 -> 0L))
+  }
+
+  test("windowed funnel: gap bound is inclusive, zero gap never matches") {
+    assert(windowedFunnel(
+      Seq((1L, 0L, "view"), (1L, 10L, "click")), gap = 10L)(2) == 1L)
+    assert(windowedFunnel(
+      Seq((1L, 0L, "view"), (1L, 11L, "click")), gap = 10L)(2) == 0L)
+    // equal timestamps: strictly-after still applies under a window
+    assert(windowedFunnel(
+      Seq((1L, 5L, "view"), (1L, 5L, "click")), gap = 10L)(2) == 0L)
+  }
+
+  /** Exhaustive reference: deepest chain with strictly increasing ts,
+    * step indices 0..d-1 in order, consecutive gaps <= maxGap.
+    */
+  private def bruteDepth(evs: Seq[(Long, Int)], k: Int, gap: Long): Int = {
+    val sorted = evs.sorted
+    def go(i: Int, depth: Int, last: Long): Int =
+      if (i == sorted.length) depth
+      else {
+        val (t, si) = sorted(i)
+        val take =
+          if (depth < k && si == depth && t > last &&
+              (depth == 0 || t - last <= gap))
+            go(i + 1, depth + 1, t)
+          else 0
+        math.max(take, go(i + 1, depth, last))
+      }
+    go(0, 0, Long.MinValue)
+  }
+
+  test("windowed DP equals the exhaustive chain search on random histories") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 300) {
+      val n = 1 + rnd.nextInt(9)
+      val evs = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(3)))
+      val gap = 1L + rnd.nextInt(25)
+      val got = EventAnalytics.windowedDepth(evs.sorted.toArray, 3, gap)
+      val want = bruteDepth(evs, 3, gap)
+      assert(got == want, s"trial $trial: evs=$evs gap=$gap got=$got want=$want")
+    }
+  }
+
+  test("windowed funnel with an unbounded gap equals the plain funnel") {
+    val rnd = new scala.util.Random(29)
+    val evs = for {
+      u <- 0L until 25L
+      _ <- 0 until rnd.nextInt(10)
+    } yield (u, rnd.nextInt(500).toLong,
+      Seq("view", "click", "purchase", "error")(rnd.nextInt(4)))
+    val plain = funnel(evs).map { case (i, (_, n)) => i -> n }
+    assert(windowedFunnel(evs, gap = Long.MaxValue / 2) == plain)
+  }
+
   test("retention cohorts count each user-day once") {
     val day = 86400L * 1000 * 1000 * 1000
     val evs = Seq(
