@@ -3,10 +3,11 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Event-stream analytics: ordered funnels and cohort retention — the
-  * two product-analytics operators every event warehouse ships
-  * (Mixpanel/Amplitude-style), expressed as single-shuffle Spark plans
-  * over the harness's `events` table shape (user, timestamp, type).
+/** Event-stream analytics: ordered funnels (plain and conversion-
+  * windowed) and cohort retention — the product-analytics operators
+  * every event warehouse ships (Mixpanel/Amplitude-style), expressed
+  * as single-shuffle Spark plans over the harness's `events` table
+  * shape (user, timestamp, type).
   */
 object EventAnalytics {
 
