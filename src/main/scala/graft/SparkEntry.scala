@@ -254,6 +254,19 @@ object SparkEntry {
       T(s, d, "events"), "user_id", "ts", "event_type",
       Seq("view", "click", "purchase"), maxGapNanos = 24L * 3600 * 1000 * 1000 * 1000)
 
+  /** w9: per-converting-user funnel timing (entry, completion, duration
+    * in micros — nanos are micros*1000 so the div is exact).
+    */
+  private def w9TimeToConvert(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.conversionTimes(
+        T(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select(
+        col("user").as("user_id"),
+        expr("t_first div 1000").as("t_first_us"),
+        expr("t_last div 1000").as("t_convert_us"),
+        expr("duration div 1000").as("dur_us"))
+
   private def f5DateFuncs(s: SparkSession, d: String): DataFrame =
     T(s, d, "orders")
       .groupBy(
@@ -1411,6 +1424,7 @@ object SparkEntry {
     "w6_funnel" -> (w6Funnel _),
     "w7_retention" -> (w7Retention _),
     "w8_funnel_window" -> (w8FunnelWindow _),
+    "w9_time_to_convert" -> (w9TimeToConvert _),
     "f5_date_funcs" -> (f5DateFuncs _),
     "f6_string_funcs" -> (f6StringFuncs _),
     "a5_stats" -> (a5Stats _),
@@ -2834,6 +2848,22 @@ object SparkEntry {
         |UNION ALL SELECT 2::INTEGER, 'click', (SELECT count(*) FROM s2)::BIGINT
         |UNION ALL SELECT 3::INTEGER, 'purchase',
         |  (SELECT count(*) FROM s3)::BIGINT""".stripMargin,
+    // Min-chain timings: t1 = min view, t2 = min click > t1, t3 = min
+    // purchase > t2 — the greedy fold computes exactly these values.
+    "w9_time_to_convert" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1)
+        |SELECT s3.user_id AS user_id, s1.t1::BIGINT AS t_first_us,
+        |  s3.t3::BIGINT AS t_convert_us, (s3.t3 - s1.t1)::BIGINT AS dur_us
+        |FROM s3 JOIN s1 USING (user_id)""".stripMargin,
     // Windowed funnel as existence-of-chain self-joins (feasible at
     // oracle scale; the engine runs a per-user DP). Gaps compare in
     // micros — nanos are micros*1000 exactly, so the strict-> and

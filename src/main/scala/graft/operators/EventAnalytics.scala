@@ -89,6 +89,53 @@ object EventAnalytics {
         col("users"))
   }
 
+  /** Per-user conversion times: for every user who completes the WHOLE
+    * funnel (same strict-subsequence semantics as [[funnelSteps]]), the
+    * entry time, completion time and duration of the earliest-
+    * completing chain. Greedy keeps the minimal completion time at
+    * every depth, so `t_first` is the min step-1 time and `t_last` the
+    * min-chain completion time — the values the SQL min-chain
+    * formulation produces, engine-exactly (pure integer nanos).
+    *
+    * Output: (user, t_first, t_last, duration) in the ts column's
+    * units. Same single-shuffle plan as [[funnelSteps]] minus the step
+    * rollup. Null users excluded as everywhere in this family.
+    */
+  def conversionTimes(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    val stepArr: Column = array(steps.map(lit): _*)
+    events
+      .filter(col(userCol).isNotNull && col(typeCol).isin(steps: _*))
+      .select(
+        col(userCol).as("user"), col(tsCol).as("t"),
+        (array_position(stepArr, col(typeCol)) - 1).cast("int").as("si"))
+      .groupBy("user")
+      .agg(sort_array(collect_list(struct(col("t"), col("si")))).as("evs"))
+      .select(
+        col("user"),
+        aggregate(
+          col("evs"),
+          struct(lit(0).as("d"), lit(Long.MinValue).as("last"),
+            lit(Long.MinValue).as("first")),
+          (acc, e) =>
+            when(
+              acc("d") < steps.size &&
+                e("si") === acc("d") && e("t") > acc("last"),
+              struct((acc("d") + 1).as("d"), e("t").as("last"),
+                when(acc("d") === 0, e("t")).otherwise(acc("first"))
+                  .as("first")))
+              .otherwise(acc)).as("s"))
+      .filter(col("s")("d") === steps.size)
+      .select(
+        col("user"),
+        col("s")("first").as("t_first"),
+        col("s")("last").as("t_last"),
+        (col("s")("last") - col("s")("first")).as("duration"))
+  }
+
   /** [[funnelSteps]] with a conversion window: a user completes step k
     * only via a chain whose every consecutive gap is in (0, maxGapNanos]
     * — the "convert within T of the previous step" semantics every

@@ -124,6 +124,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"windowed funnel grew a join:\n$plan")
   }
 
+  test("conversion times are a single user-keyed aggregation, no join") {
+    val plan = planOf(SparkEntry.queries("w9_time_to_convert")(spark, dir))
+    assert(exchangeCount(plan) == 1,
+      s"expected 1 exchange (user fold), got ${exchangeCount(plan)}:\n$plan")
+    assert(!plan.contains("Join"), s"conversion times grew a join:\n$plan")
+  }
+
   test("retention is one corpus-sized shuffle (user day-set), no join") {
     val plan = planOf(SparkEntry.queries("w7_retention")(spark, dir))
     assert(exchangeCount(plan) == 2,

@@ -142,6 +142,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(windowedFunnel(evs, gap = Long.MaxValue / 2) == plain)
   }
 
+  test("conversionTimes returns the min-chain entry/completion times") {
+    val got = EventAnalytics.conversionTimes(
+        Seq(
+          // u1 converts: first view@5, min click after 5 is @20, then @40
+          (1L, 10L, "view"), (1L, 5L, "view"), (1L, 20L, "click"),
+          (1L, 15L, "purchase"), (1L, 40L, "purchase"),
+          // u2 never purchases after its click
+          (2L, 10L, "view"), (2L, 20L, "click"), (2L, 15L, "purchase"))
+          .toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Steps)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 5L, 40L, 35L)))
+  }
+
   test("retention cohorts count each user-day once") {
     val day = 86400L * 1000 * 1000 * 1000
     val evs = Seq(
