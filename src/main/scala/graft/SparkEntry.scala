@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrain, Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalJoin, Layout, Multimodal, Pca, Profiling, Retrieval, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
+import graft.operators.{BpeTrain, Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalJoin, Layout, ModelRegistry, Multimodal, Pca, Profiling, Retrieval, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -743,8 +743,9 @@ object SparkEntry {
   private def v3AnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = T(s, d, "embeddings")
     val cands = emb.filter(col("vec_id") >= 10)
-    val model = Similarity.ivfTrain(cands, "vec_id", "embedding",
-      nlist = 8, iters = 2, portable = true)
+    val model = ModelRegistry.publish(s"ivf8:$d")(
+      Similarity.ivfTrain(cands, "vec_id", "embedding",
+        nlist = 8, iters = 2, portable = true))
     Similarity.annIvfTopK(
       emb.filter(col("vec_id") < 10), cands,
       "vec_id", "vec_id", "embedding", k = 5, model, nprobe = 3)
@@ -802,8 +803,9 @@ object SparkEntry {
   private def v6PqAdcTopK(s: SparkSession, d: String): DataFrame = {
     val emb = T(s, d, "embeddings")
     val cands = emb.filter(col("vec_id") >= 10)
-    val model = Similarity.pqTrain(cands, "vec_id", "embedding",
-      m = 8, ksub = 16, iters = 2, portable = true)
+    val model = ModelRegistry.publish(s"pq8x16:$d")(
+      Similarity.pqTrain(cands, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 2, portable = true))
     Similarity.pqTopK(
       emb.filter(col("vec_id") < 10), cands,
       "vec_id", "vec_id", "embedding", k = 5, model)
@@ -819,10 +821,15 @@ object SparkEntry {
   private def v13IvfPq(s: SparkSession, d: String): DataFrame = {
     val emb = T(s, d, "embeddings")
     val cands = emb.filter(col("vec_id") >= 10)
-    val ivf = Similarity.ivfTrain(cands, "vec_id", "embedding",
-      nlist = 8, iters = 2, portable = true)
-    val pq = Similarity.pqTrain(cands, "vec_id", "embedding",
-      m = 8, ksub = 16, iters = 2, portable = true)
+    // both quantizers read through the ModelRegistry (published by
+    // v3/v6, or trained here on a miss) — deterministic portable
+    // training, so reuse is result-identical to a retrain
+    val ivf = ModelRegistry.getOrTrain(s"ivf8:$d")(
+      Similarity.ivfTrain(cands, "vec_id", "embedding",
+        nlist = 8, iters = 2, portable = true))
+    val pq = ModelRegistry.getOrTrain(s"pq8x16:$d")(
+      Similarity.pqTrain(cands, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 2, portable = true))
     Similarity.ivfPqTopK(
       emb.filter(col("vec_id") < 10), cands,
       "vec_id", "vec_id", "embedding", k = 5, ivf, pq, nprobe = 3)
@@ -975,19 +982,40 @@ object SparkEntry {
     * additionally pins the merge table to a plain-Scala reference
     * implementation.
     */
-  private def t16BpeMerges(s: SparkSession, d: String): DataFrame =
+  /** The t16/t20 shared tokenizer model: 16 learned merges as driver-local
+    * rows (the merge table IS the tokenizer artifact — vocab-sized). t16
+    * always retrains and publishes; t20 reads through the registry, the
+    * train-once/apply-everywhere split of a real tokenizer pipeline.
+    */
+  private def bpeTrain16(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
+    import s.implicits._
     BpeTrain.learnMerges(T(s, d, "documents"), "text", numMerges = 16)
+      .as[(Int, String, String, Long)].collect().toSeq
+  }
+
+  private def bpeMergesDf(
+      s: SparkSession, rows: Seq[(Int, String, String, Long)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("rank", "left", "right", "pair_count")
+  }
+
+  private def t16BpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMergesDf(s, ModelRegistry.publish(s"bpe16:$d")(bpeTrain16(s, d)))
 
   /** t20: tokenizer application at corpus scale — encode every document
     * with the t16-trained merge table (priority-ordered apply-BPE loop),
-    * exploded to (id, pos, token) scalars. Full oracle: the DuckDB twin
-    * re-trains the merges (bpeMergesOracle's CTE chain) and replays the
-    * encode loop as a recursive CTE whose per-step best-merge pick and
-    * rewrite mirror `BpeTrain.encodeWord` exactly.
+    * exploded to (id, pos, token) scalars. The merge table comes from the
+    * [[graft.operators.ModelRegistry]] (trained by t16, or here on a cache
+    * miss) — deterministic, so reuse is result-identical to a retrain.
+    * Full oracle: the DuckDB twin re-trains the merges (bpeMergesOracle's
+    * CTE chain) and replays the encode loop as a recursive CTE whose
+    * per-step best-merge pick and rewrite mirror `BpeTrain.encodeWord`
+    * exactly.
     */
   private def t20BpeTokenize(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents")
-    val merges = BpeTrain.learnMerges(docs, "text", numMerges = 16)
+    val merges = bpeMergesDf(s,
+      ModelRegistry.getOrTrain(s"bpe16:$d")(bpeTrain16(s, d)))
     BpeTrain.applyMerges(docs, "doc_id", "text", merges)
       .select(col("id"), posexplode(col("tokens")).as(Seq("pos", "token")))
       .select(col("id"), col("pos").cast("long").as("pos"), col("token"))
@@ -1188,19 +1216,38 @@ object SparkEntry {
     * re-runs the whole train as 16 unrolled weight CTEs and reproduces
     * every score bit for bit.
     */
-  private def ml1QualityClassifier(s: SparkSession, d: String): DataFrame = {
-    val feats = TextAnalytics.qualityScore(
-        T(s, d, "documents"), "doc_id", "text")
+  private def ml1Features(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.qualityScore(T(s, d, "documents"), "doc_id", "text")
       .select(col("id"),
         (col("quality") >= lit(0.49)).cast("double").as("y"),
         col("stop_ratio").as("x1"), col("uniq_ratio").as("x2"),
         (col("n_tokens").cast("double") / lit(100.0)).as("x3"))
-    val fs = Seq("x1", "x2", "x3")
-    val m = Classifier.trainSoftsign(feats, fs, "y", rounds = 16, lr = 8.0)
-    Classifier.score(feats, fs, m)
+
+  private val ml1Fs = Seq("x1", "x2", "x3")
+
+  private def ml1Score(s: SparkSession, d: String,
+      model: Classifier.LinearModel): DataFrame =
+    Classifier.score(ml1Features(s, d), ml1Fs, model)
       .select(col("id"), col("y").cast("long").as("y"), col("score"),
         col("pred"))
+
+  private def ml1QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val m = ModelRegistry.publish(s"ml1:$d")(
+      Classifier.trainSoftsign(ml1Features(s, d), ml1Fs, "y",
+        rounds = 16, lr = 8.0))
+    ml1Score(s, d, m)
   }
+
+  /** The ml1 scores as e2/e3's evaluation input: the trained weights come
+    * from the [[graft.operators.ModelRegistry]] (published by ml1, or
+    * trained here on a cache miss) — the evaluate-the-registered-model
+    * split of a real pipeline, and bit-identical to a retrain because
+    * the training is deterministic integer-grid arithmetic.
+    */
+  private def ml1Scored(s: SparkSession, d: String): DataFrame =
+    ml1Score(s, d, ModelRegistry.getOrTrain(s"ml1:$d")(
+      Classifier.trainSoftsign(ml1Features(s, d), ml1Fs, "y",
+        rounds = 16, lr = 8.0)))
 
   /** e2: calibration evaluation of the ml1 classifier — reliability
     * decile bins (count, mean score, empirical positive rate, gap) whose
@@ -1209,7 +1256,7 @@ object SparkEntry {
     * aggregate.
     */
   private def e2Calibration(s: SparkSession, d: String): DataFrame =
-    Classifier.calibrationBins(ml1QualityClassifier(s, d), "score", "y")
+    Classifier.calibrationBins(ml1Scored(s, d), "score", "y")
 
   /** c7: distribution-drift monitor — PSI over quality-score deciles
     * between the full corpus and its en-filtered subset (the shift a
@@ -1268,7 +1315,7 @@ object SparkEntry {
     * DECIMAL(38) factors would overflow its width cap).
     */
   private def e3Auc(s: SparkSession, d: String): DataFrame =
-    Classifier.aucBinary(ml1QualityClassifier(s, d), "score", "y")
+    Classifier.aucBinary(ml1Scored(s, d), "score", "y")
 
   /** v12: ANN recall@10 — the Hamming sketch retriever scored per query
     * against exact cosine ground truth. Full oracle: both rankings are
