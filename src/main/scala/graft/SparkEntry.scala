@@ -430,8 +430,19 @@ object SparkEntry {
   private def d1ExactDedup(s: SparkSession, d: String): DataFrame =
     Dedup.exactGroups(T(s, d, "documents"), "doc_id", "text")
 
+  /** The d2/d7 shared pair set: exact n-gram Jaccard edges, materialized
+    * once per session through the [[graft.operators.ModelRegistry]] table
+    * store (the `pairs.parquet` a real pipeline writes between candidate
+    * generation and the cluster stage). d2 is the producer (always
+    * recomputes), d7 reads through.
+    */
+  private def d2PairsRaw(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.6)
+
   private def d2Jaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.6)
+    ModelRegistry.publishTable(
+        ModelRegistry.tableKey(s, s"jacpairs:$d"))(d2PairsRaw(s, d))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
   /** d14: containment near-dup pairs — fragments (the first 20 tokens of
@@ -458,9 +469,16 @@ object SparkEntry {
     * bands, candidate set and verified Jaccards — the LSH pipeline proven
     * end to end, not just its verify step.
     */
-  private def d3MinHash(s: SparkSession, d: String): DataFrame =
+  /** The d3/d6/d16 shared pair set — same materialized-table discipline
+    * as [[d2PairsRaw]]: d3 produces, the cluster/resolve stages consume.
+    */
+  private def d3PairsRaw(s: SparkSession, d: String): DataFrame =
     Dedup.minHashLshPairs(T(s, d, "documents"), "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.6, portable = true)
+      n = 3, k = 64, bands = 16, threshold = 0.6, portable = true)
+
+  private def d3MinHash(s: SparkSession, d: String): DataFrame =
+    ModelRegistry.publishTable(
+        ModelRegistry.tableKey(s, s"lshpairs:$d"))(d3PairsRaw(s, d))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
   /** d4: SimHash near-dup pairs with the portable (md5-derived) token
@@ -497,10 +515,11 @@ object SparkEntry {
     * with a recursive CTE (the d7 fixpoint twin, over LSH pairs).
     */
   private def d6DedupClusters(s: SparkSession, d: String): DataFrame =
-    Dedup.duplicateClusters(
-      Dedup.minHashLshPairs(T(s, d, "documents"), "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.6, portable = true)
-        .select("id_a", "id_b"))
+    ModelRegistry.publishTable(ModelRegistry.tableKey(s, s"d6clusters:$d"))(
+      Dedup.duplicateClusters(
+        ModelRegistry.getOrComputeTable(
+            ModelRegistry.tableKey(s, s"lshpairs:$d"))(d3PairsRaw(s, d))
+          .select("id_a", "id_b")))
 
   /** d8: SemDeDup over the planted-near-dup corpus — IVF-cluster the
     * embeddings, keep one representative per within-cluster semantic
@@ -542,8 +561,12 @@ object SparkEntry {
     val docs = T(s, d, "documents")
     val quality = docs.select(col("doc_id").as("id"),
       TextAnalytics.qualityScaledColumn(col("text")).as("q_scaled"))
-    Dedup.resolveClusters(d6DedupClusters(s, d), quality,
-      scoreCol = "q_scaled")
+    // lookupTable, not getOrComputeTable: the miss path (d6DedupClusters)
+    // publishes under this same key itself
+    Dedup.resolveClusters(
+      ModelRegistry.lookupTable(ModelRegistry.tableKey(s, s"d6clusters:$d"))
+        .getOrElse(d6DedupClusters(s, d)),
+      quality, scoreCol = "q_scaled")
   }
 
   /** d7: the same min-label connected-components fixpoint as d6, but over
@@ -554,8 +577,8 @@ object SparkEntry {
     */
   private def d7ClusterJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.duplicateClusters(
-      Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.6)
+      ModelRegistry.getOrComputeTable(
+          ModelRegistry.tableKey(s, s"jacpairs:$d"))(d2PairsRaw(s, d))
         .select("id_a", "id_b"))
 
   /** d9: benchmark decontamination — benchmark = every 10th doc, corpus =

@@ -49,4 +49,38 @@ object ModelRegistry {
   }
 
   private[graft] def clear(): Unit = store.clear()
+
+  /** Materialized intermediate tables — the in-session analogue of the
+    * `pairs.parquet` a real pipeline writes once between its candidate
+    * generation stage and the cluster / resolve / eval stages that all
+    * consume it. Values are eagerly `localCheckpoint`ed DataFrames
+    * (executor block storage, partitioned — never driver memory), and
+    * the same producer/consumer discipline applies: the generating
+    * query always recomputes and overwrites, downstream queries read
+    * through. Keys MUST include the owning SparkSession's applicationId
+    * ([[tableKey]]) — a checkpointed DataFrame dies with its session,
+    * and a stale cross-session hit would throw on first use.
+    */
+  def tableKey(s: org.apache.spark.sql.SparkSession, key: String): String =
+    s"${s.sparkContext.applicationId}:$key"
+
+  def publishTable(key: String)(compute: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = compute.localCheckpoint()
+    store.put(key, t)
+    t
+  }
+
+  def getOrComputeTable(key: String)
+      (compute: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    store.computeIfAbsent(key, _ => compute.localCheckpoint())
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+
+  /** Plain lookup, for consumers whose miss path itself publishes under
+    * the same key (publishing inside `computeIfAbsent`'s mapping function
+    * would recursively modify the map — forbidden by ConcurrentHashMap).
+    */
+  def lookupTable(key: String): Option[org.apache.spark.sql.DataFrame] =
+    Option(store.get(key)).map(_.asInstanceOf[org.apache.spark.sql.DataFrame])
 }
