@@ -267,6 +267,18 @@ object SparkEntry {
         expr("t_last div 1000").as("t_convert_us"),
         expr("duration div 1000").as("dur_us"))
 
+  /** w10: session path analysis — 30-min-gap sessions, each session's
+    * first 8 event types as an ordered `a>b>c` path, sessions counted
+    * per path (the top-paths / Sankey flow report). Full oracle: the
+    * DuckDB twin replays the same lag/running-sum sessionization and an
+    * ORDER BY string_agg.
+    */
+  private def w10SessionPaths(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.sessionPaths(
+      T(s, d, "events").withColumn("tus", expr("ts div 1000")),
+      "user_id", "tus", "event_id", "event_type",
+      gap = 1800L * 1000 * 1000) // 30 min in micros
+
   private def f5DateFuncs(s: SparkSession, d: String): DataFrame =
     T(s, d, "orders")
       .groupBy(
@@ -1495,6 +1507,7 @@ object SparkEntry {
     "w7_retention" -> (w7Retention _),
     "w8_funnel_window" -> (w8FunnelWindow _),
     "w9_time_to_convert" -> (w9TimeToConvert _),
+    "w10_session_paths" -> (w10SessionPaths _),
     "f5_date_funcs" -> (f5DateFuncs _),
     "f6_string_funcs" -> (f6StringFuncs _),
     "a5_stats" -> (a5Stats _),
@@ -2934,6 +2947,28 @@ object SparkEntry {
         |SELECT s3.user_id AS user_id, s1.t1::BIGINT AS t_first_us,
         |  s3.t3::BIGINT AS t_convert_us, (s3.t3 - s1.t1)::BIGINT AS dur_us
         |FROM s3 JOIN s1 USING (user_id)""".stripMargin,
+    // Same lag/running-sum sessionization as the Spark side (both
+    // order and gap-compare on the epoch_us grid), path as an
+    // ORDER BY string_agg over the per-session row_number prefix.
+    "w10_session_paths" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |    event_id AS eid, event_type AS et
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s AS (SELECT u, t, eid, et,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY u ORDER BY t, eid)),
+        |s2 AS (SELECT u, t, eid, et, sum(ns) OVER
+        |    (PARTITION BY u ORDER BY t, eid ROWS UNBOUNDED PRECEDING)
+        |    AS sid
+        |  FROM s),
+        |s3 AS (SELECT u, sid, t, eid, et, row_number() OVER
+        |    (PARTITION BY u, sid ORDER BY t, eid) AS rn
+        |  FROM s2),
+        |p AS (SELECT u, sid, string_agg(et, '>' ORDER BY t, eid) AS path
+        |  FROM s3 WHERE rn <= 8 GROUP BY u, sid)
+        |SELECT path, count(*)::BIGINT AS n_sessions
+        |FROM p GROUP BY path""".stripMargin,
     // Windowed funnel as existence-of-chain self-joins (feasible at
     // oracle scale; the engine runs a per-user DP). Gaps compare in
     // micros — nanos are micros*1000 exactly, so the strict-> and

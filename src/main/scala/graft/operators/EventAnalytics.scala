@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics: ordered funnels (plain and conversion-
@@ -266,5 +267,55 @@ object EventAnalytics {
       .groupBy(
         col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("users"))
+  }
+
+  /** Session path analysis: sessionize each user's event stream by idle
+    * gap, take every session's first `maxSteps` event types in time
+    * order as its path (`view>click>purchase`), and count sessions per
+    * distinct path — the "what do sessions look like" flow report
+    * (Sankey / top-paths) of product analytics.
+    *
+    * Ordering inside a user is (ts, event-id): the id breaks
+    * same-timestamp ties so the path is deterministic across engines
+    * and layouts. `gap` is in the units of `tsCol` (callers pass
+    * micros so the ordering and gap compare on the exact grid a SQL
+    * twin's epoch_us sees). Null users are excluded (no session
+    * identity). The `maxSteps` cap bounds the path string by policy,
+    * not data — a bot session's path is its first `maxSteps` events,
+    * never an unbounded string.
+    *
+    * Scale: one shuffle of (user, ts, id, type-index) rows for the
+    * per-user session window; the per-session regroup keys by
+    * (user, session) — a refinement of the user partitioning, so
+    * Catalyst/AQE satisfies it without a second exchange — and the
+    * final path count aggregates map-side into at most
+    * |types|^maxSteps ≪ corpus rows. Per-user window state is one
+    * event row at a time (lag + running sum), not the whole history.
+    *
+    * Output: (path, n_sessions), one row per observed path.
+    */
+  def sessionPaths(
+      events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String,
+      gap: Long, maxSteps: Int = 8): DataFrame = {
+    require(gap > 0, "session gap must be positive")
+    require(maxSteps >= 1, "paths need at least one step")
+    val w = Window.partitionBy("u").orderBy("t", "eid")
+    events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"), col(tsCol).as("t"),
+        col(idCol).as("eid"), col(typeCol).as("et"))
+      .withColumn("ns",
+        when(col("t") - lag("t", 1).over(w) > gap ||
+          lag("t", 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum("ns").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("u", "sid")
+      .agg(sort_array(collect_list(struct(col("t"), col("eid"), col("et"))))
+        .as("evs"))
+      .select(array_join(
+        transform(slice(col("evs"), 1, maxSteps), e => e("et")), ">")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
   }
 }

@@ -124,6 +124,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"windowed funnel grew a join:\n$plan")
   }
 
+  test("session paths regroup by (user, session) without a new exchange") {
+    val plan = planOf(SparkEntry.queries("w10_session_paths")(spark, dir))
+    // user-window shuffle + final path rollup only: the (u, sid) session
+    // aggregate must be satisfied by the existing user partitioning
+    assert(exchangeCount(plan) == 2,
+      s"expected 2 exchanges (user window, path rollup), got ${exchangeCount(plan)}:\n$plan")
+    assert(!plan.contains("Join"), s"session paths grew a join:\n$plan")
+  }
+
   test("conversion times are a single user-keyed aggregation, no join") {
     val plan = planOf(SparkEntry.queries("w9_time_to_convert")(spark, dir))
     assert(exchangeCount(plan) == 1,

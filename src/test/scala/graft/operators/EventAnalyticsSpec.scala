@@ -186,4 +186,37 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((19722L, 0L, 1L), (19722L, 1L, 1L)))
   }
+
+  private def paths(
+      evs: Seq[(java.lang.Long, Long, Long, String)],
+      gap: Long = 100L, maxSteps: Int = 8): Map[String, Long] =
+    EventAnalytics.sessionPaths(
+        evs.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type", gap, maxSteps)
+      .as[(String, Long)].collect().toMap
+
+  test("session paths split on gap strictly greater than the threshold") {
+    val got = paths(Seq(
+      // u1: one session (gaps exactly 100 = threshold stay inside),
+      // then a 101 gap opens a second session
+      (1L, 0L, 1L, "view"), (1L, 100L, 2L, "click"),
+      (1L, 201L, 3L, "purchase"),
+      // u2: single-event session
+      (2L, 0L, 4L, "view")))
+    assert(got == Map(
+      "view>click" -> 1L, "purchase" -> 1L, "view" -> 1L))
+  }
+
+  test("session paths order same-timestamp events by event id") {
+    val got = paths(Seq(
+      (1L, 10L, 2L, "click"), (1L, 10L, 1L, "view")))
+    assert(got == Map("view>click" -> 1L))
+  }
+
+  test("session paths truncate at maxSteps and drop null users") {
+    val got = paths(Seq(
+      (1L, 0L, 1L, "a"), (1L, 1L, 2L, "b"), (1L, 2L, 3L, "c"),
+      (null, 3L, 4L, "x")), maxSteps = 2)
+    assert(got == Map("a>b" -> 1L))
+  }
 }
