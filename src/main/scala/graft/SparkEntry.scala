@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrain, Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalJoin, Layout, ModelRegistry, Multimodal, Pca, Profiling, Retrieval, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
+import graft.operators.{BpeTrain, Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalJoin, Layout, ModelRegistry, Multimodal, Pca, Profiling, RecordLinkage, Retrieval, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -579,6 +579,25 @@ object SparkEntry {
       ModelRegistry.lookupTable(ModelRegistry.tableKey(s, s"d6clusters:$d"))
         .getOrElse(d6DedupClusters(s, d)),
       quality, scoreCol = "q_scaled")
+  }
+
+  /** l1: sorted-neighborhood record linkage over a registry of portable
+    * display names (md5-derived, identical in any engine) with a
+    * suffix-typo'd duplicate planted for every 10th record — the
+    * entity-resolution step that collapses re-keyed/dirty metadata rows.
+    * Window 4, Levenshtein ≤ 2. Full oracle: the DuckDB twin ranks with
+    * a row_number window and self-joins on the rank gap; the engine runs
+    * the distributed sorted-run + bucket-join plan instead.
+    */
+  private def l1RecordLinkage(s: SparkSession, d: String): DataFrame = {
+    val base = T(s, d, "customer").select(
+      col("c_custkey").cast("long").as("id"),
+      substring(md5(col("c_custkey").cast("string")), 1, 12).as("nm"))
+    val dirty = base.filter(col("id") % 10 === 0)
+      .select((col("id") + 1000000L).as("id"),
+        concat(col("nm"), lit("x")).as("nm"))
+    RecordLinkage.linkByName(base.unionByName(dirty), "id", "nm", "nm",
+      window = 4, maxDist = 2)
   }
 
   /** d7: the same min-label connected-components fixpoint as d6, but over
@@ -1577,6 +1596,7 @@ object SparkEntry {
     "c7_drift_psi" -> (c7DriftPsi _),
     "c8_jsonl_roundtrip" -> (c8JsonlRoundtrip _),
     "d16_cluster_resolve" -> (d16ClusterResolve _),
+    "l1_record_linkage" -> (l1RecordLinkage _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t20_bpe_tokenize" -> (t20BpeTokenize _),
@@ -2423,6 +2443,22 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY cl.cluster
          |    ORDER BY q.q_scaled DESC NULLS LAST, cl.id ASC) = 1 AS keep
          |FROM cl JOIN q USING (id)""".stripMargin,
+    // l1 twin: the same md5-derived registry + planted suffix typos;
+    // ranks via a row_number window, candidates via a rank-gap
+    // self-join (window 4 -> gap <= 3), Levenshtein <= 2
+    "l1_record_linkage" ->
+      """WITH base AS (SELECT c_custkey::BIGINT AS id,
+        |    substr(md5(c_custkey::VARCHAR), 1, 12) AS nm FROM customer),
+        |dirty AS (SELECT id + 1000000 AS id, nm || 'x' AS nm
+        |  FROM base WHERE id % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+        |r AS (SELECT id, nm,
+        |    row_number() OVER (ORDER BY nm, id) AS rnk FROM u),
+        |c AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    levenshtein(a.nm, b.nm) AS dist
+        |  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 3)
+        |SELECT id_a, id_b, dist::BIGINT AS dist
+        |FROM c WHERE dist <= 2""".stripMargin,
     // d13 twin: the portable LSH chain with a corpus × benchmark
     // candidate join, aggregated per corpus doc and left-joined back so
     // clean docs appear with zeros
