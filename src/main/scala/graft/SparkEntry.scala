@@ -1371,6 +1371,15 @@ object SparkEntry {
   private def e3Auc(s: SparkSession, d: String): DataFrame =
     Classifier.aucBinary(ml1Scored(s, d), "score", "y")
 
+  /** e4: Cohen's kappa between the distilled ml1 classifier and the
+    * threshold gate it distills — the label-quality agreement audit.
+    * Full oracle: the shared ml1 train/score CTE chain plus the same
+    * integer contingency table and fixed IEEE kappa expression tree,
+    * emitted as 1e6-scaled BIGINTs.
+    */
+  private def e4AgreementKappa(s: SparkSession, d: String): DataFrame =
+    Classifier.agreementKappa(ml1Scored(s, d), "y", "pred")
+
   /** v12: ANN recall@10 — the Hamming sketch retriever scored per query
     * against exact cosine ground truth. Full oracle: both rankings are
     * the oracle-proven v1/v10 forms and recall divides two small exact
@@ -1592,6 +1601,7 @@ object SparkEntry {
     "e1_ranking_metrics" -> (e1RankingMetrics _),
     "e2_calibration" -> (e2Calibration _),
     "e3_auc" -> (e3Auc _),
+    "e4_agreement_kappa" -> (e4AgreementKappa _),
     "st2_attribution_join" -> (st2AttributionJoin _),
     "c7_drift_psi" -> (c7DriftPsi _),
     "c8_jsonl_roundtrip" -> (c8JsonlRoundtrip _),
@@ -1745,6 +1755,33 @@ object SparkEntry {
   private lazy val ml1OracleSql: String =
     s"""WITH $ml1ScoredCte
        |SELECT id, y::BIGINT AS y, score, pred FROM scored""".stripMargin
+
+  /** DuckDB twin of [[e4AgreementKappa]]: the shared ml1 chain, four
+    * exact contingency counts, and the identical IEEE po/pe/kappa
+    * expression tree scaled to 1e6 BIGINTs.
+    */
+  private lazy val e4OracleSql: String = {
+    val po = "(ct.n00 + ct.n11)::DOUBLE / ct.n::DOUBLE"
+    val pe = "((ct.n11 + ct.n10)::DOUBLE / ct.n::DOUBLE) * " +
+      "((ct.n11 + ct.n01)::DOUBLE / ct.n::DOUBLE) + " +
+      "((ct.n00 + ct.n01)::DOUBLE / ct.n::DOUBLE) * " +
+      "((ct.n00 + ct.n10)::DOUBLE / ct.n::DOUBLE)"
+    val kappa = s"CASE WHEN $pe = 1::DOUBLE THEN 1::DOUBLE " +
+      s"ELSE (($po) - ($pe)) / (1::DOUBLE - ($pe)) END"
+    s"""WITH $ml1ScoredCte,
+       |ct AS (SELECT count(*)::BIGINT AS n,
+       |    sum((y = 0 AND pred = 0)::INT)::BIGINT AS n00,
+       |    sum((y = 0 AND pred = 1)::INT)::BIGINT AS n01,
+       |    sum((y = 1 AND pred = 0)::INT)::BIGINT AS n10,
+       |    sum((y = 1 AND pred = 1)::INT)::BIGINT AS n11
+       |  FROM scored)
+       |SELECT ct.n, ct.n00, ct.n01, ct.n10, ct.n11,
+       |  floor(($po) * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT AS po_e6,
+       |  floor(($pe) * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT AS pe_e6,
+       |  floor(($kappa) * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT
+       |    AS kappa_e6
+       |FROM ct""".stripMargin
+  }
 
   /** DuckDB twin of [[c7DriftPsi]]: the t2 quality formula for both
     * sides, exact bin counts on the generate_series axis, and the same
@@ -3558,6 +3595,7 @@ object SparkEntry {
     "e1_ranking_metrics" -> e1OracleSql,
     "e2_calibration" -> e2OracleSql,
     "e3_auc" -> e3OracleSql,
+    "e4_agreement_kappa" -> e4OracleSql,
     "c7_drift_psi" -> c7OracleSql,
     // the round trip must reproduce the table exactly — the oracle IS
     // the table

@@ -197,4 +197,47 @@ object Classifier {
     df.withColumn("score", round(p, roundTo))
       .withColumn("pred", (p >= lit(0.5)).cast("long"))
   }
+
+  /** Cohen's kappa (Cohen 1960) between two binary raters — the
+    * inter-annotator / model-vs-gate agreement statistic label-quality
+    * audits report: observed agreement corrected for the agreement two
+    * independent raters with the same marginals would reach by chance.
+    *
+    *   po = (n00 + n11) / n
+    *   pe = pA1·pB1 + pA0·pB0   (marginal products)
+    *   κ  = (po − pe) / (1 − pe),   κ := 1 when pe = 1 (both raters
+    *        constant and equal — po = 1, the 0/0 case)
+    *
+    * Determinism: the contingency table is four exact integer sums; po,
+    * pe, κ are a fixed IEEE double expression tree over those integers
+    * (every step a correctly-rounded op — bit-identical in any engine
+    * mirroring the tree), emitted as 1e6-scaled BIGINTs so no engine
+    * rounding mode can flip a hash.
+    *
+    * Scale: one map-side-combined global aggregate (four conditional
+    * counts); the kappa arithmetic runs on a single row.
+    *
+    * Output: (n, n00, n01, n10, n11, po_e6, pe_e6, kappa_e6) — n{ab}
+    * counts rows where rater A said a and rater B said b.
+    */
+  def agreementKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    def cnt(av: Int, bv: Int) =
+      sum(when(a === av && b === bv, 1L).otherwise(0L))
+    val ct = df.agg(
+      count(lit(1)).as("n"),
+      cnt(0, 0).as("n00"), cnt(0, 1).as("n01"),
+      cnt(1, 0).as("n10"), cnt(1, 1).as("n11"))
+    val n = col("n").cast("double")
+    val po = (col("n00") + col("n11")).cast("double") / n
+    val pe = ((col("n11") + col("n10")).cast("double") / n) *
+      ((col("n11") + col("n01")).cast("double") / n) +
+      ((col("n00") + col("n01")).cast("double") / n) *
+        ((col("n00") + col("n10")).cast("double") / n)
+    val kappa = when(pe === 1.0, lit(1.0)).otherwise((po - pe) / (lit(1.0) - pe))
+    def e6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    ct.select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+      e6(po).as("po_e6"), e6(pe).as("pe_e6"), e6(kappa).as("kappa_e6"))
+  }
 }

@@ -169,4 +169,31 @@ class ClassifierSpec extends AnyFunSuite {
       Classifier.trainSoftsign(df, Seq("x1"), "y", rounds = 0)
     }
   }
+
+  test("kappa matches the hand-computed 2x2 table") {
+    // A=[1,1,0,0], B=[1,0,0,0]: po = 3/4, pe = .5*.25 + .5*.75 = .5,
+    // kappa = (.75-.5)/(1-.5) = .5
+    val got = Classifier.agreementKappa(
+        Seq((1L, 1L), (1L, 0L), (0L, 0L), (0L, 0L)).toDF("a", "b"),
+        "a", "b")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(got == ((4L, 2L, 0L, 1L, 1L, 750000L, 500000L, 500000L)))
+  }
+
+  test("kappa is 1 when both raters are constant and equal (pe = 1)") {
+    val got = Classifier.agreementKappa(
+        Seq((1L, 1L), (1L, 1L)).toDF("a", "b"), "a", "b")
+      .select("pe_e6", "kappa_e6").as[(Long, Long)].collect().head
+    assert(got == ((1000000L, 1000000L)))
+  }
+
+  test("kappa is 0 for independent raters with balanced marginals") {
+    // each (a,b) cell once: po = .5, pe = .5 -> kappa = 0
+    val got = Classifier.agreementKappa(
+        Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)).toDF("a", "b"),
+        "a", "b")
+      .select("kappa_e6").as[Long].collect().head
+    assert(got == 0L)
+  }
 }
