@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrain, Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalJoin, Layout, ModelRegistry, Multimodal, Pca, Profiling, RecordLinkage, Retrieval, Sampling, Sharding, Similarity, Snapshot, TextAnalytics}
+import graft.operators.{BpeTrain, Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalJoin, Layout, ModelRegistry, Multimodal, Pca, Profiling, RecordLinkage, Retrieval, Sampling, Sharding, Similarity, Sketches, Snapshot, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -960,6 +960,27 @@ object SparkEntry {
       bl, "domain")
   }
 
+  /** t21: heavy hitters via a relational count-min sketch — the exact
+    * top-20 tokens, each with its CMS estimate from a depth-4 width-1024
+    * sketch whose shuffle is d×w cells per task regardless of corpus
+    * size. Portable md5 bucket hashes, so the DuckDB twin rebuilds the
+    * bit-identical sketch and the estimates (and their overcounts) are
+    * exactly checked — stronger than an accuracy-contract flag.
+    */
+  private def t21HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = T(s, d, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val top = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("token")).limit(20)
+    val sketch = Sketches.countMinSketch(toks, "token", depth = 4, width = 1024)
+    Sketches.cmsEstimate(sketch, top, "token", depth = 4, width = 1024)
+      .join(top, "token")
+      .select(col("token"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+  }
+
   /** c3: snapshot diff — two synthetic corpus versions carved from the
     * documents table (old: ids ∤ 3; new: ids ∤ 5, every 7th text
     * revised), classified added/removed/changed/unchanged by content
@@ -1613,6 +1634,7 @@ object SparkEntry {
     "t17_bigram_logprob" -> (t17BigramLogProb _),
     "t18_gopher_signals" -> (t18Gopher _),
     "t19_domain_blocklist" -> (t19Blocklist _),
+    "t21_heavy_hitters" -> (t21HeavyHitters _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -3092,6 +3114,35 @@ object SparkEntry {
         |    count(*), 4) AS mean_nll
         |FROM bi JOIN cb USING (l, r) JOIN ch USING (l) CROSS JOIN v
         |GROUP BY id""".stripMargin,
+    // t21 twin: identical md5 bucket hashes rebuild the bit-identical
+    // d=4 w=1024 sketch, so estimates and overcounts compare exactly
+    "t21_heavy_hitters" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT token FROM tk WHERE token <> ''),
+        |exact AS (SELECT token, count(*)::BIGINT AS exact
+        |  FROM t2 GROUP BY 1),
+        |topk AS (SELECT * FROM exact ORDER BY exact DESC, token LIMIT 20),
+        |rs AS (SELECT unnest(range(4))::BIGINT AS r),
+        |cells AS (SELECT r,
+        |    (list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(r::VARCHAR || ':' || token), i, 1)) - 1
+        |      for i in range(1, 16)]::BIGINT[], (a, x) -> a * 16 + x)
+        |     % 1024)::BIGINT AS bucket
+        |  FROM t2 CROSS JOIN rs),
+        |sk AS (SELECT r, bucket, count(*)::BIGINT AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |qc AS (SELECT token, r,
+        |    (list_reduce([strpos('0123456789abcdef',
+        |        substr(md5(r::VARCHAR || ':' || token), i, 1)) - 1
+        |      for i in range(1, 16)]::BIGINT[], (a, x) -> a * 16 + x)
+        |     % 1024)::BIGINT AS bucket
+        |  FROM topk CROSS JOIN rs),
+        |est AS (SELECT token, min(cnt)::BIGINT AS est
+        |  FROM qc JOIN sk USING (r, bucket) GROUP BY 1)
+        |SELECT t.token, t.exact, e.est,
+        |  (e.est - t.exact)::BIGINT AS overcount
+        |FROM topk t JOIN est e USING (token)""".stripMargin,
     "t19_domain_blocklist" ->
       """WITH inj AS (SELECT doc_id,
         |    text || ' see https://Site' || (doc_id % 7)::VARCHAR
