@@ -169,6 +169,29 @@ object ScaleProbe {
         EventAnalytics.retentionCohorts(synthEvents(d, probeN), "user_id", "ts")
           .count()
       },
+      "w10_paths" -> { d =>
+        EventAnalytics.sessionPaths(synthEvents(d, probeN), "user_id", "ts",
+          "ts", "event_type", gap = 1800L * 1000 * 1000 * 1000).count()
+      },
+      // registry of md5 display names + 10% planted suffix typos — the
+      // l1 shape; one range shuffle + rank-bucket join, expect ~linear
+      "l1_linkage" -> { d =>
+        val base = d.select(col("doc_id").as("id"),
+          substring(md5(col("doc_id").cast("string")), 1, 12).as("nm"))
+        val dirty = base.filter(col("id") % 10 === 0)
+          .select((col("id") + 100000000L).as("id"),
+            concat(col("nm"), lit("x")).as("nm"))
+        graft.operators.RecordLinkage.linkByName(
+          base.unionByName(dirty), "id", "nm", "nm",
+          window = 4, maxDist = 2).count()
+      },
+      // token fan-out grows with the corpus; the sketch aggregate must
+      // stay flat-per-row (d*w-bounded shuffle) — expect ~linear
+      "t21_cms" -> { d =>
+        val toks = d.select(explode(split(col("text"), " ")).as("token"))
+        val sk = graft.operators.Sketches.countMinSketch(toks, "token")
+        graft.operators.Sketches.cmsEstimate(sk, toks, "token").count()
+      },
       "ml1_classifier" -> { d =>
         val feats = TextAnalytics.qualityScore(d, "doc_id", "text")
           .select(col("id"),
