@@ -981,6 +981,15 @@ object SparkEntry {
         (col("est") - col("exact")).as("overcount"))
   }
 
+  /** t22: PMI collocation mining — every adjacent bigram with count ≥ 5,
+    * scored ln-PMI against the unigram independence expectation (exact
+    * integer counts, one ln rounded 6dp — the LM-family discipline; no
+    * double ranking, so engines can't disagree on order).
+    */
+  private def t22Collocations(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.collocationsPmi(T(s, d, "documents"), "doc_id", "text",
+      minCount = 5L)
+
   /** c3: snapshot diff — two synthetic corpus versions carved from the
     * documents table (old: ids ∤ 3; new: ids ∤ 5, every 7th text
     * revised), classified added/removed/changed/unchanged by content
@@ -1635,6 +1644,7 @@ object SparkEntry {
     "t18_gopher_signals" -> (t18Gopher _),
     "t19_domain_blocklist" -> (t19Blocklist _),
     "t21_heavy_hitters" -> (t21HeavyHitters _),
+    "t22_collocations" -> (t22Collocations _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -3114,6 +3124,26 @@ object SparkEntry {
         |    count(*), 4) AS mean_nll
         |FROM bi JOIN cb USING (l, r) JOIN ch USING (l) CROSS JOIN v
         |GROUP BY id""".stripMargin,
+    // t22 twin: same raw-split bigrams as t17, exact counts, identical
+    // IEEE pmi tree with one ln rounded 6dp
+    "t22_collocations" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT t, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(w) AS t FROM d) GROUP BY 1),
+        |bi AS (SELECT w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM d)),
+        |tot AS (SELECT (SELECT sum(c)::BIGINT FROM uni) AS n,
+        |    (SELECT count(*)::BIGINT FROM bi) AS b),
+        |cb AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT cb.w1, cb.w2, cb.c12, u1.c AS c1, u2.c AS c2,
+        |  round(ln((cb.c12::DOUBLE / tot.b::DOUBLE) /
+        |    ((u1.c::DOUBLE / tot.n::DOUBLE) *
+        |     (u2.c::DOUBLE / tot.n::DOUBLE))), 6) AS pmi
+        |FROM cb
+        |JOIN uni u1 ON u1.t = cb.w1
+        |JOIN uni u2 ON u2.t = cb.w2
+        |CROSS JOIN tot""".stripMargin,
     // t21 twin: identical md5 bucket hashes rebuild the bit-identical
     // d=4 w=1024 sketch, so estimates and overcounts compare exactly
     "t21_heavy_hitters" ->

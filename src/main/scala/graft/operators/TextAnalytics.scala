@@ -643,4 +643,55 @@ object TextAnalytics {
       .groupBy("id")
       .agg(round(sum("s"), roundTo).as("bm25"))
   }
+
+  /** Collocation mining by pointwise mutual information (Church & Hanks
+    * 1990) — corpus-wide adjacent bigrams whose co-occurrence exceeds
+    * the independence expectation, the phrase-mining step that promotes
+    * multiword expressions ("new york") to single vocabulary units
+    * before tokenizer training.
+    *
+    *   pmi(w1, w2) = ln( (c12/B) / ((c1/N) · (c2/N)) )
+    *
+    * with c12 the bigram count, c1/c2 unigram counts, B total bigrams,
+    * N total tokens. `minCount` floors c12 — PMI is famously noisy on
+    * hapax pairs, and the floor also bounds the output to frequent
+    * pairs.
+    *
+    * Determinism: all five counts are exact integer aggregates; pmi is
+    * the fixed IEEE tree above (every cast/div/mul correctly rounded)
+    * with ONE `ln`, rounded 6dp — the proven LM-family pattern
+    * (t10/t17/c7). No ranking on the double: the output is every pair
+    * over the floor, so a 1-ulp ln disagreement can only flip a 6dp
+    * rounding boundary, never a rank.
+    *
+    * Scale: two token-stream aggregates (unigram, bigram — map-side
+    * combining, vocab-sized results), one filtered-bigram join back to
+    * the vocab-sized unigram table (broadcast-able), scalars as one
+    * crossJoined row. Nothing corpus-sized survives the aggregates.
+    */
+  def collocationsPmi(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    val toks = docs.select(tokens(col(textCol)).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("l"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("r"))).as("p"))
+      .select(col("p.l").as("w1"), col("p.r").as("w2"))
+    val totals = uni.agg(sum("c").as("n")).crossJoin(
+      bi.agg(count(lit(1)).as("b")))
+    bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(log(
+          (col("c12").cast("double") / col("b").cast("double")) /
+            ((col("c1").cast("double") / col("n").cast("double")) *
+              (col("c2").cast("double") / col("n").cast("double")))), 6)
+          .as("pmi"))
+  }
 }

@@ -328,4 +328,36 @@ class TextAnalyticsSpec extends AnyFunSuite {
         math.abs(got(id) - v) < 5e-5, s"doc $id: ${got(id)} vs $v")
     }
   }
+
+  test("pmi collocations match the hand computation") {
+    // corpus: "a b a b" and "a b c" -> tokens N=7 (a:3 b:3 c:1),
+    // bigrams B=5: (a,b)x3, (b,a)x1, (b,c)x1
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalytics.collocationsPmi(df, "doc_id", "text",
+        minCount = 2L)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.length == 1) // only (a,b) reaches the floor
+    val (w1, w2, c12, c1, c2, pmi) = got.head
+    assert((w1, w2, c12, c1, c2) == (("a", "b", 3L, 3L, 3L)))
+    // ln((3/5) / ((3/7)*(3/7))) = ln(49/15)
+    val exp = math.rint(math.log((3.0 / 5.0) /
+      ((3.0 / 7.0) * (3.0 / 7.0))) * 1e6) / 1e6
+    assert(pmi == exp, s"$pmi vs $exp")
+  }
+
+  test("pmi floor bounds the output and independence scores near zero") {
+    // strict alternation: cross-symbol bigrams are ~2x the independence
+    // expectation (pmi > 0) and same-symbol bigrams never occur (absent
+    // — the floor plus zero count, not a -inf row)
+    val text = (1 to 50).map(i => if (i % 2 == 0) "x" else "y").mkString(" ")
+    val got = TextAnalytics.collocationsPmi(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        minCount = 5L)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._6).toMap
+    // strict alternation: (y,x) and (x,y) exist, (x,x)/(y,y) never do
+    assert(got.keySet == Set(("x", "y"), ("y", "x")))
+    // pmi = ln((24or25/49) / (25*24/2500-ish)) > 0 for the observed pairs
+    assert(got.values.forall(_ > 0.0))
+  }
 }
