@@ -781,6 +781,21 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** v14: exact maximum-inner-product top-k — recommendation-mode
+    * retrieval where raw dot (not cosine) ranks; the same broadcast-
+    * queries/fused-kernel shape as v1. Full oracle: DuckDB
+    * list_dot_product on double-widened vectors, identical
+    * round-then-rank tie-break. The norm-augmentation ANN path
+    * (`annMipsTopK`) is spec-verified against this exact form.
+    */
+  private def v14MipsTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    Similarity.mipsTopK(
+      emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+      "vec_id", "vec_id", "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   private def v2AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = T(s, d, "embeddings")
     Similarity.annLshTopK(
@@ -1657,6 +1672,7 @@ object SparkEntry {
     "v10_hamming_topk" -> (v10HammingTopK _),
     "v11_hamming_rerank" -> (v11HammingRerank _),
     "v13_ivf_pq" -> (v13IvfPq _),
+    "v14_mips_topk" -> (v14MipsTopK _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_image_neardup" -> (m2ImageNearDup _),
     "m3_audio_features" -> (m3AudioFeatures _),
@@ -3902,6 +3918,18 @@ object SparkEntry {
         |  (SELECT q_id, c_id, sim,
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
         |  FROM s) WHERE rank <= 10""".stripMargin,
+    "v14_mips_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT q_id, c_id,
+        |    round(list_dot_product(q.v, c.v), 3) AS dot
+        |  FROM q CROSS JOIN c)
+        |SELECT q_id, c_id, dot, rank FROM
+        |  (SELECT q_id, c_id, dot,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
         |    FROM embeddings WHERE vec_id < 10),

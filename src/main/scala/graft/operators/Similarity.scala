@@ -614,4 +614,83 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "c_id", "sim", "rank")
   }
+
+  /** Maximum inner-product search (MIPS), exact: top-k candidates per
+    * query by RAW dot product — the recommendation-retrieval scoring
+    * mode (user × item factor models rank by inner product, where a
+    * long candidate vector should win; cosine would normalize that
+    * signal away). Same broadcast-queries shape as [[cosineTopK]]:
+    * the corpus never shuffles, scoring is the fused codegen dot
+    * kernel, ranks break ties on the ROUNDED score then id so engines
+    * agree. Output: (q_id, c_id, dot, rank).
+    */
+  def mipsTopK(
+      queries: DataFrame, candidates: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      k: Int, roundTo: Int = 3): DataFrame = {
+    val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = candidates.select(col(cIdCol).as("c_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+        round(fdot(col("q_vec"), col("c_vec")), roundTo).as("dot"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "dot", "rank")
+  }
+
+  /** Approximate MIPS via the norm-augmentation reduction (Shrivastava
+    * & Li, NIPS 2014 asymmetric LSH; Neyshabur & Srebro 2015 L2 form):
+    * append sqrt(M² − ‖x‖²) to each candidate (M = max candidate norm)
+    * and 0 to each query — then cos(q̂, x̂) is a monotone transform of
+    * q·x for each fixed query, so ANGULAR bucketing on the augmented
+    * vectors targets high-dot pairs. Candidates colliding with a query
+    * in the augmented sign-LSH bucket are scored by EXACT dot of the
+    * original vectors (the asymmetric trick only steers candidate
+    * generation; scores stay exact).
+    *
+    * The augmentation coordinate compresses the corpus into a narrow
+    * cone when candidate norms cluster below M (the reduction's known
+    * recall cost), so the QUERY side multi-probes: besides its own
+    * bucket it probes every 1-bit-flip neighbor (planes+1 keys per
+    * query — standard multi-probe LSH, query-side only, so the corpus
+    * side stays one bucket key per row).
+    *
+    * Scale: M² is one scalar aggregate broadcast back; bucketing and
+    * the bucket equi-join follow [[annLshTopK]]'s shape — the corpus
+    * moves once, keyed by bucket, never all-pairs.
+    */
+  def annMipsTopK(
+      queries: DataFrame, candidates: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      k: Int, planes: Int = 8, dim: Int = 64,
+      seed: Long = 42L, roundTo: Int = 3): DataFrame = {
+    val m2 = candidates
+      .select(fdot(col(vecCol), col(vecCol)).as("n2"))
+      .agg(max("n2").as("m2"))
+    val caug = candidates.crossJoin(broadcast(m2)).select(
+      col(cIdCol).as("cid0"), col(vecCol).as("cvec0"),
+      concat(col(vecCol), array(
+        sqrt(greatest(col("m2") - fdot(col(vecCol), col(vecCol)), lit(0.0)))
+          .cast("float"))).as("caug"))
+    val qaug = queries.select(
+      col(qIdCol).as("qid0"), col(vecCol).as("qvec0"),
+      concat(col(vecCol), array(lit(0.0f))).as("qaug"))
+    val cb = annLshBuckets(caug, "caug", planes, dim + 1, seed)
+    val qb = annLshBuckets(qaug, "qaug", planes, dim + 1, seed)
+      .select(col("qid0"), col("qvec0"),
+        explode(array(col("bucket") +:
+          (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+          : _*)).as("bucket"))
+    // no pair dedup needed: a candidate holds ONE bucket key and the
+    // query's probe keys are pairwise distinct, so each (q, c) pair can
+    // collide on at most one key
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .select(col("qid0").as("q_id"), col("cid0").as("c_id"),
+        round(fdot(col("qvec0"), col("cvec0")), roundTo).as("dot"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "dot", "rank")
+  }
 }

@@ -318,4 +318,68 @@ class SimilaritySpec extends AnyFunSuite {
     val hits = top1.count(r => r._2 == r._1 - 100000L)
     assert(hits >= 8, s"only $hits/10 planted copies recovered: ${top1.toSeq}")
   }
+
+  test("mipsTopK ranks by raw dot, diverging from cosine where norms differ") {
+    // candidate 1 points at the query but is short; candidate 2 is a
+    // longer vector at a slight angle: cosine prefers 1, MIPS prefers 2
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (1L, Array(0.5f, 0.0f)),  // dot 0.5, cos 1.0
+      (2L, Array(3.0f, 1.0f)))  // dot 3.0, cos ~0.95
+      .toDF("vec_id", "embedding")
+    val mips = Similarity.mipsTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = 2).select("c_id", "rank").as[(Long, Int)].collect().toMap
+    assert(mips == Map(2L -> 1, 1L -> 2))
+    val cos = Similarity.cosineTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = 2).select("c_id", "rank").as[(Long, Int)].collect().toMap
+    assert(cos == Map(1L -> 1, 2L -> 2))
+  }
+
+  test("norm augmentation makes augmented cosine order the exact dot order") {
+    // the reduction theorem behind annMipsTopK: for a fixed query,
+    // cos(q^, x^) with x^ = [x; sqrt(M^2-|x|^2)], q^ = [q; 0] is a
+    // monotone transform of q.x — verify the orders coincide on seeded
+    // random vectors with wildly mixed norms
+    val rnd = new scala.util.Random(7)
+    val cands = (1L to 40L).map { i =>
+      val scale = rnd.nextDouble() * 5 + 0.1
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1) * scale).map(_.toFloat))
+    }
+    val qv = Array.fill(8)(rnd.nextDouble() * 2 - 1).map(_.toFloat)
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.indices.map(i => a(i).toDouble * b(i)).sum
+    val m2 = cands.map(c => dot(c._2, c._2)).max
+    def cosAug(x: Array[Float]) = {
+      val xa = x.map(_.toDouble) :+ math.sqrt(m2 - dot(x, x))
+      val qa = qv.map(_.toDouble) :+ 0.0
+      val d = xa.indices.map(i => xa(i) * qa(i)).sum
+      d / (math.sqrt(xa.map(v => v * v).sum) * math.sqrt(qa.map(v => v * v).sum))
+    }
+    val byDot = cands.sortBy(c => -dot(qv, c._2)).map(_._1)
+    val byAugCos = cands.sortBy(c => -cosAug(c._2)).map(_._1)
+    assert(byDot == byAugCos)
+  }
+
+  test("annMipsTopK finds planted dominant-dot items") {
+    // a random corpus has near-tied dots (top-1 identity is a coin flip
+    // for ANY sublinear method); the property the reduction must
+    // deliver is steering buckets toward genuinely dominant inner
+    // products — plant one 3x-scaled copy of each query among the
+    // random candidates and require the ANN path to surface it
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 10)
+    val planted = q.select(($"vec_id" + 1000L).as("vec_id"),
+      transform($"embedding", x => x * lit(3.0f)).as("embedding"))
+    val c = emb.filter($"vec_id" >= 10).unionByName(planted)
+    // sanity: exact MIPS top-1 IS the planted copy (dot 3|q|^2)
+    val exact = Similarity.mipsTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = 1).select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(exact.forall { case (qid, cid) => cid == qid + 1000L }, s"$exact")
+    val approx = Similarity.annMipsTopK(q, c, "vec_id", "vec_id",
+        "embedding", k = 1, planes = 4)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val hits = approx.count { case (qid, cid) => cid == qid + 1000L }
+    assert(hits >= 8, s"only $hits/10 planted MIPS targets found: $approx")
+  }
 }
