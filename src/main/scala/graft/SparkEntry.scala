@@ -1425,6 +1425,13 @@ object SparkEntry {
   private def e4AgreementKappa(s: SparkSession, d: String): DataFrame =
     Classifier.agreementKappa(ml1Scored(s, d), "y", "pred")
 
+  /** e5: precision / recall / F1 / accuracy of the ml1 classifier
+    * against the gate labels — same registry reuse and exact-arithmetic
+    * discipline as e4.
+    */
+  private def e5PrecisionRecall(s: SparkSession, d: String): DataFrame =
+    Classifier.confusionMetrics(ml1Scored(s, d), "y", "pred")
+
   /** v12: ANN recall@10 — the Hamming sketch retriever scored per query
     * against exact cosine ground truth. Full oracle: both rankings are
     * the oracle-proven v1/v10 forms and recall divides two small exact
@@ -1647,6 +1654,7 @@ object SparkEntry {
     "e2_calibration" -> (e2Calibration _),
     "e3_auc" -> (e3Auc _),
     "e4_agreement_kappa" -> (e4AgreementKappa _),
+    "e5_precision_recall" -> (e5PrecisionRecall _),
     "st2_attribution_join" -> (st2AttributionJoin _),
     "c7_drift_psi" -> (c7DriftPsi _),
     "c8_jsonl_roundtrip" -> (c8JsonlRoundtrip _),
@@ -1828,6 +1836,36 @@ object SparkEntry {
        |  floor(($pe) * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT AS pe_e6,
        |  floor(($kappa) * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT
        |    AS kappa_e6
+       |FROM ct""".stripMargin
+  }
+
+  /** DuckDB twin of [[e5PrecisionRecall]]: the shared ml1 chain, four
+    * exact counts, and the identical IEEE metric trees with NULL on
+    * degenerate denominators.
+    */
+  private lazy val e5OracleSql: String = {
+    val prec = "CASE WHEN ct.tp + ct.fp = 0 THEN NULL " +
+      "ELSE ct.tp::DOUBLE / (ct.tp + ct.fp)::DOUBLE END"
+    val rec = "CASE WHEN ct.tp + ct.fn = 0 THEN NULL " +
+      "ELSE ct.tp::DOUBLE / (ct.tp + ct.fn)::DOUBLE END"
+    val f1 = s"CASE WHEN ($prec) IS NULL OR ($rec) IS NULL " +
+      s"OR ($prec) + ($rec) = 0::DOUBLE THEN NULL " +
+      s"ELSE 2::DOUBLE * ($prec) * ($rec) / (($prec) + ($rec)) END"
+    val acc = "(ct.tp + ct.tn)::DOUBLE / ct.n::DOUBLE"
+    def e6(x: String) =
+      s"floor(($x) * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT"
+    s"""WITH $ml1ScoredCte,
+       |ct AS (SELECT count(*)::BIGINT AS n,
+       |    sum((y = 1 AND pred = 1)::INT)::BIGINT AS tp,
+       |    sum((y = 0 AND pred = 1)::INT)::BIGINT AS fp,
+       |    sum((y = 1 AND pred = 0)::INT)::BIGINT AS fn,
+       |    sum((y = 0 AND pred = 0)::INT)::BIGINT AS tn
+       |  FROM scored)
+       |SELECT ct.n, ct.tp, ct.fp, ct.fn, ct.tn,
+       |  ${e6(prec)} AS precision_e6,
+       |  ${e6(rec)} AS recall_e6,
+       |  ${e6(f1)} AS f1_e6,
+       |  ${e6(acc)} AS accuracy_e6
        |FROM ct""".stripMargin
   }
 
@@ -3693,6 +3731,7 @@ object SparkEntry {
     "e2_calibration" -> e2OracleSql,
     "e3_auc" -> e3OracleSql,
     "e4_agreement_kappa" -> e4OracleSql,
+    "e5_precision_recall" -> e5OracleSql,
     "c7_drift_psi" -> c7OracleSql,
     // the round trip must reproduce the table exactly — the oracle IS
     // the table

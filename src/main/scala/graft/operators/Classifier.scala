@@ -220,6 +220,42 @@ object Classifier {
     * Output: (n, n00, n01, n10, n11, po_e6, pe_e6, kappa_e6) — n{ab}
     * counts rows where rater A said a and rater B said b.
     */
+  /** Confusion-matrix metrics: precision / recall / F1 (plus accuracy)
+    * of binary predictions against labels — the release-gate numbers a
+    * classifier report leads with. Same discipline as [[agreementKappa]]:
+    * four exact integer counts in one map-side-combined aggregate, then
+    * a fixed IEEE expression tree emitted as 1e6-scaled BIGINTs.
+    * Degenerate denominators (no predicted positives / no actual
+    * positives / p+r = 0) emit NULL rather than a fabricated 0 — the
+    * standard "undefined" convention, and a NULL survives engine
+    * comparison exactly.
+    *
+    * Output: (n, tp, fp, fn, tn, precision_e6, recall_e6, f1_e6,
+    * accuracy_e6).
+    */
+  def confusionMetrics(df: DataFrame, yCol: String, predCol: String)
+      : DataFrame = {
+    val y = col(yCol).cast("long")
+    val p = col(predCol).cast("long")
+    def cnt(yv: Int, pv: Int) =
+      sum(when(y === yv && p === pv, 1L).otherwise(0L))
+    val ct = df.agg(
+      count(lit(1)).as("n"),
+      cnt(1, 1).as("tp"), cnt(0, 1).as("fp"),
+      cnt(1, 0).as("fn"), cnt(0, 0).as("tn"))
+    val prec = when(col("tp") + col("fp") === 0, lit(null))
+      .otherwise(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+    val rec = when(col("tp") + col("fn") === 0, lit(null))
+      .otherwise(col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+    val f1 = when(prec.isNull || rec.isNull || prec + rec === 0.0, lit(null))
+      .otherwise(lit(2.0) * prec * rec / (prec + rec))
+    val acc = (col("tp") + col("tn")).cast("double") / col("n").cast("double")
+    def e6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    ct.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      e6(prec).as("precision_e6"), e6(rec).as("recall_e6"),
+      e6(f1).as("f1_e6"), e6(acc).as("accuracy_e6"))
+  }
+
   def agreementKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")

@@ -188,6 +188,27 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got == ((1000000L, 1000000L)))
   }
 
+  test("confusion metrics match the hand-computed table") {
+    // y=[1,1,1,0,0], pred=[1,0,1,1,0]: tp=2 fp=1 fn=1 tn=1
+    // prec=2/3, rec=2/3, f1=2/3, acc=3/5
+    val got = Classifier.confusionMetrics(
+        Seq((1L, 1L), (1L, 0L), (1L, 1L), (0L, 1L), (0L, 0L))
+          .toDF("y", "pred"), "y", "pred")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(got == ((5L, 2L, 1L, 1L, 1L, 666667L, 666667L, 666667L, 600000L)))
+  }
+
+  test("confusion metrics emit NULL on degenerate denominators") {
+    // nothing predicted positive and nothing actually positive
+    val got = Classifier.confusionMetrics(
+        Seq((0L, 0L), (0L, 0L)).toDF("y", "pred"), "y", "pred")
+      .select("precision_e6", "recall_e6", "f1_e6", "accuracy_e6")
+      .as[(Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(got == ((None, None, None, Some(1000000L))))
+  }
+
   test("kappa is 0 for independent raters with balanced marginals") {
     // each (a,b) cell once: po = .5, pe = .5 -> kappa = 0
     val got = Classifier.agreementKappa(
