@@ -1005,6 +1005,12 @@ object SparkEntry {
     TextAnalytics.collocationsPmi(T(s, d, "documents"), "doc_id", "text",
       minCount = 5L)
 
+  /** t23: Flesch–Kincaid readability — scan-side integer counts plus a
+    * fixed IEEE tree on shared double literals, 1e4-scaled.
+    */
+  private def t23Readability(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.readability(T(s, d, "documents"), "doc_id", "text")
+
   /** c3: snapshot diff — two synthetic corpus versions carved from the
     * documents table (old: ids ∤ 3; new: ids ∤ 5, every 7th text
     * revised), classified added/removed/changed/unchanged by content
@@ -1668,6 +1674,7 @@ object SparkEntry {
     "t19_domain_blocklist" -> (t19Blocklist _),
     "t21_heavy_hitters" -> (t21HeavyHitters _),
     "t22_collocations" -> (t22Collocations _),
+    "t23_readability" -> (t23Readability _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -3198,6 +3205,24 @@ object SparkEntry {
         |JOIN uni u1 ON u1.t = cb.w1
         |JOIN uni u2 ON u2.t = cb.w2
         |CROSS JOIN tot""".stripMargin,
+    // t23 twin: same vowel-group/terminal-punctuation regex counts
+    // (RE2 and Java regex agree on these classes) + identical FK tree
+    "t23_readability" ->
+      """WITH b AS (SELECT doc_id AS id,
+        |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+        |      AS nw,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+        |      AS ns,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+        |      AS nsyl
+        |  FROM documents)
+        |SELECT id, nw AS n_words, ns AS n_sentences, nsyl AS n_syllables,
+        |  CASE WHEN nw = 0 THEN NULL ELSE
+        |    floor((0.39::DOUBLE * (nw::DOUBLE / ns::DOUBLE) +
+        |           11.8::DOUBLE * (nsyl::DOUBLE / nw::DOUBLE) -
+        |           15.59::DOUBLE) * 10000::DOUBLE + 0.5::DOUBLE)::BIGINT
+        |  END AS fk_e4
+        |FROM b""".stripMargin,
     // t21 twin: identical md5 bucket hashes rebuild the bit-identical
     // d=4 w=1024 sketch, so estimates and overcounts compare exactly
     "t21_heavy_hitters" ->

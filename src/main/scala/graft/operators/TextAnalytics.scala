@@ -669,6 +669,39 @@ object TextAnalytics {
     * the vocab-sized unigram table (broadcast-able), scalars as one
     * crossJoined row. Nothing corpus-sized survives the aggregates.
     */
+  /** Readability scoring (Flesch–Kincaid grade level, Kincaid et al.
+    * 1975) — the surface-statistics quality signal curation stacks use
+    * alongside stopword/length gates:
+    *
+    *   fk = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+    *
+    * Syllables are approximated as vowel groups (`[aeiouy]+` on the
+    * lowercased text — the standard cheap estimator), sentences as
+    * terminal-punctuation runs floored at 1 (headline-style fragments
+    * count as one sentence, not a division by zero). Zero-word docs
+    * emit NULL.
+    *
+    * Determinism: three integer counts per row (regex counts — RE2 and
+    * Java regex agree on these character-class patterns) and a fixed
+    * IEEE tree on double literals both engines parse identically,
+    * emitted 1e4-scaled. Scan-side projection — no shuffle at all.
+    */
+  def readability(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nw = size(filter(tokens(t), w => w =!= ""))
+    val ns = greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))),
+      lit(1))
+    val nsyl = size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+    val fk = when(nw === 0, lit(null)).otherwise(
+      lit(0.39) * (nw.cast("double") / ns.cast("double")) +
+        lit(11.8) * (nsyl.cast("double") / nw.cast("double")) - lit(15.59))
+    docs.select(col(idCol).as("id"),
+      nw.cast("long").as("n_words"), ns.cast("long").as("n_sentences"),
+      nsyl.cast("long").as("n_syllables"),
+      floor(fk * lit(1e4) + lit(0.5)).cast("long").as("fk_e4"))
+  }
+
   def collocationsPmi(
       docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L): DataFrame = {

@@ -345,6 +345,29 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(pmi == exp, s"$pmi vs $exp")
   }
 
+  test("readability matches the hand-computed FK grade") {
+    // "the cat sat. it ran!" -> words 5, sentences 2 (. and !),
+    // syllables: e,a,a,i,a -> 5
+    // fk = 0.39*(5/2) + 11.8*(5/5) - 15.59 = 0.975 + 11.8 - 15.59 = -2.815
+    val got = TextAnalytics.readability(
+        Seq((1L, "the cat sat. it ran!")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 5L, 2L, 5L,
+      math.floor((0.39 * 2.5 + 11.8 * 1.0 - 15.59) * 1e4 + 0.5).toLong)))
+  }
+
+  test("readability floors sentences at 1 and nulls zero-word docs") {
+    val got = TextAnalytics.readability(
+        Seq((1L, "no terminal punctuation here"), (2L, "")).toDF(
+          "doc_id", "text"),
+        "doc_id", "text")
+      .select("id", "n_sentences", "fk_e4")
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(got(0)._2 == 1L && got(0)._3.isDefined)
+    assert(got(1)._3.isEmpty) // empty text: 0 words -> NULL grade
+  }
+
   test("pmi floor bounds the output and independence scores near zero") {
     // strict alternation: cross-symbol bigrams are ~2x the independence
     // expectation (pmi > 0) and same-symbol bigrams never occur (absent
