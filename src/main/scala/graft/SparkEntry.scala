@@ -1309,6 +1309,18 @@ object SparkEntry {
       weightCol = Some("w"))
   }
 
+  /** g3: HITS hubs/authorities over the unweighted affinity graph — 8
+    * L1-normalized half-step pairs on the 1e-10 lattice (grid 10, not
+    * 12: the normalization sum Σ h(u)·outdeg(u) must stay under 2⁵³ so
+    * partial-sum order can't cost a bit; at this graph's max degree
+    * that bound holds with room). Full oracle: 8 unrolled
+    * join/aggregate/normalize CTE rounds, bit-exact.
+    */
+  private def g3Hits(s: SparkSession, d: String): DataFrame = {
+    val (edges, _) = affinityGraph(s, d, weighted = false)
+    Graph.hits(edges, "src", "dst", iterations = 8, grid = 10)
+  }
+
   /** ml1: distributed quality-classifier training + corpus scoring —
     * 16 rounds of full-batch gradient descent (one map-side-combined
     * aggregation per round, d+1 decimal sums to the driver) distilling
@@ -1655,6 +1667,7 @@ object SparkEntry {
     "h2_hard_negatives" -> (h2HardNegatives _),
     "g1_graph_rank" -> (g1GraphRank _),
     "g2_trust_rank" -> (g2TrustRank _),
+    "g3_hits" -> (g3Hits _),
     "ml1_quality_classifier" -> (ml1QualityClassifier _),
     "e1_ranking_metrics" -> (e1RankingMetrics _),
     "e2_calibration" -> (e2Calibration _),
@@ -1754,6 +1767,49 @@ object SparkEntry {
   private lazy val g1OracleSql: String = graphRankOracle(None)
   private lazy val g2OracleSql: String =
     graphRankOracle(Some("node LIKE 'src:%'"), weighted = true)
+
+  /** DuckDB twin of [[g3Hits]]: the same distinct affinity edges, then
+    * 8 unrolled authority/hub half-step pairs, each an exact integer
+    * sum followed by the identical floor(x·1e10/Σ + ½) normalization.
+    */
+  private lazy val g3OracleSql: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""ar$r AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS a
+         |  FROM e JOIN hn${r - 1} h ON h.node = e.src GROUP BY e.dst),
+         |an$r AS MATERIALIZED (SELECT node,
+         |  floor(a * 1e10 / (SELECT sum(a) FROM ar$r) + 0.5::DOUBLE) AS a
+         |  FROM ar$r),
+         |hr$r AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS h
+         |  FROM e JOIN an$r a ON a.node = e.dst GROUP BY e.src),
+         |hn$r AS MATERIALIZED (SELECT node,
+         |  floor(h * 1e10 / (SELECT sum(h) FROM hr$r) + 0.5::DOUBLE) AS h
+         |  FROM hr$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS MATERIALIZED (SELECT
+       |    'doc:' || doc_id::VARCHAR AS dn,
+       |    'site' || (doc_id % 7)::VARCHAR || '.example.com' AS h1,
+       |    'mirror' || (doc_id % 3)::VARCHAR || '.example.org' AS h2,
+       |    'src:' || source AS sn
+       |  FROM documents),
+       |raw AS (SELECT dn AS src, h1 AS dst FROM docs
+       |  UNION ALL SELECT h1, dn FROM docs
+       |  UNION ALL SELECT dn, h2 FROM docs
+       |  UNION ALL SELECT h2, dn FROM docs
+       |  UNION ALL SELECT dn, sn FROM docs
+       |  UNION ALL SELECT sn, dn FROM docs),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |h00 AS (SELECT node, floor(1e10 + 0.5::DOUBLE) AS h FROM nodes),
+       |hn0 AS MATERIALIZED (SELECT node,
+       |  floor(h * 1e10 / (SELECT sum(h) FROM h00) + 0.5::DOUBLE) AS h
+       |  FROM h00),
+       |$rounds
+       |SELECT n.node, coalesce(hh.h, 0::DOUBLE) / 1e10 AS hub,
+       |  coalesce(aa.a, 0::DOUBLE) / 1e10 AS auth
+       |FROM nodes n LEFT JOIN hn8 hh ON hh.node = n.node
+       |LEFT JOIN an8 aa ON aa.node = n.node""".stripMargin
+  }
 
   /** DuckDB twin of [[ml1QualityClassifier]]: the same feature
     * projection, then 16 unrolled gradient/weight CTE pairs mirroring
@@ -3751,6 +3807,7 @@ object SparkEntry {
         |WHERE sample_rank <= tgt""".stripMargin,
     "g1_graph_rank" -> g1OracleSql,
     "g2_trust_rank" -> g2OracleSql,
+    "g3_hits" -> g3OracleSql,
     "ml1_quality_classifier" -> ml1OracleSql,
     "e1_ranking_metrics" -> e1OracleSql,
     "e2_calibration" -> e2OracleSql,

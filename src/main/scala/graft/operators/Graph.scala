@@ -177,4 +177,78 @@ object Graph {
     }
     pr.select(col("node"), (col("p") / lit(scale)).as("pr"))
   }
+
+  /** HITS (Kleinberg, JACM 1999): hub and authority scores over a
+    * directed edge list — the third classic link-analysis prior (a page
+    * is a good HUB when it points at good authorities, a good AUTHORITY
+    * when good hubs point at it; curation uses the authority side as a
+    * quality prior and the hub side to find index/spam link farms).
+    *
+    * Fixed `iterations` of the mutual recurrence, L1-normalized each
+    * half-step so scores stay on the 1e-`grid` integer lattice:
+    *
+    *   a_r(v) = Σ_{u→v} h_{r-1}(u),   then a ← ⌊a·scale/Σa + ½⌋
+    *   h_r(u) = Σ_{u→v} a_r(v),       then h ← ⌊h·scale/Σh + ½⌋
+    *
+    * Same determinism contract as [[pageRank]]: scores are integer-
+    * valued doubles in 1/scale units, every step an exact integer sum
+    * or a correctly-rounded IEEE op (`floor(x + 0.5)`, never engine
+    * `round()`), so any engine mirroring the tree agrees bit for bit.
+    * The L1 sums ride as one-row broadcast joins inside the round's
+    * plan — no extra action per round.
+    *
+    * Scale: per half-step one shuffle-hash join of the once-
+    * checkpointed edge list with the node-sized score table and one
+    * hash aggregate; scores localCheckpointed every third round (the
+    * [[pageRank]] lineage discipline). Output: (node, hub, auth) on
+    * the 1e-`grid` grid.
+    */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8, grid: Int = 12): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100] (got $iterations)")
+    require(grid >= 6 && grid <= 15,
+      s"grid must be in [6, 15] (got $grid)")
+    val e = edges.select(
+        col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .na.drop().distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    require(!nodes.isEmpty, "graph has no nodes (empty or all-null edges)")
+    val scale = math.pow(10.0, grid)
+    // normalize a score column to Σ = scale on the integer lattice; the
+    // L1 sum joins in as one broadcast row (no driver action)
+    def norm(df: DataFrame, c: String): DataFrame = {
+      val s = df.agg(sum(col(c)).as("__s"))
+      df.crossJoin(broadcast(s))
+        .select(col("node"),
+          floor(col(c) * lit(scale) / col("__s") + lit(0.5)).as(c))
+    }
+    var h = nodes.withColumn("h", lit(math.floor(scale + 0.5)))
+    var hn = norm(h, "h") // h_0 = uniform, normalized to the lattice
+    var a: DataFrame = null
+    for (r <- 1 to iterations) {
+      a = norm(
+        e.join(hn, col("src") === col("node"))
+          .groupBy(col("dst").as("node2")).agg(sum("h").as("a"))
+          .select(col("node2").as("node"), col("a")), "a")
+      hn = norm(
+        e.join(a, col("dst") === col("node"))
+          .groupBy(col("src").as("node2")).agg(sum("a").as("h"))
+          .select(col("node2").as("node"), col("h")), "h")
+      if (r % 3 == 0 || r == iterations) {
+        a = a.localCheckpoint(); hn = hn.localCheckpoint()
+      }
+    }
+    // left joins: a pure-source node has no authority and a pure-sink
+    // node no hub score — they appear with 0, not dropped
+    nodes
+      .join(hn, Seq("node"), "left")
+      .join(a, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("h"), lit(0.0)) / lit(scale)).as("hub"),
+        (coalesce(col("a"), lit(0.0)) / lit(scale)).as("auth"))
+  }
 }

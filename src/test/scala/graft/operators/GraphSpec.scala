@@ -157,4 +157,53 @@ class GraphSpec extends AnyFunSuite {
     assert(p15.forall { case (k, v) => math.abs(v - p30(k)) < 1e-2 })
     assert(math.abs(p30.values.sum - 1.0) < 1e-6)
   }
+
+  private def hitsMap(edges: Seq[(String, String)], iters: Int = 8)
+      : Map[String, (Double, Double)] =
+    Graph.hits(edges.toDF("src", "dst"), "src", "dst", iterations = iters)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("hits on a star: leaves are the hubs, the center the authority") {
+    val got = hitsMap(Seq(("l1", "c"), ("l2", "c"), ("l3", "c")))
+    // hand-replay on the default 1e-12 lattice:
+    // leaf hub = floor(1e12/3 + 0.5)/1e12 = 0.333333333333
+    val leafHub = 0.333333333333
+    assert(got("c") == ((0.0, 1.0)), s"center: ${got("c")}")
+    Seq("l1", "l2", "l3").foreach { l =>
+      assert(got(l) == ((leafHub, 0.0)), s"$l: ${got(l)}")
+    }
+  }
+
+  test("hits on a chain: interior node is both hub and authority") {
+    val got = hitsMap(Seq(("a", "b"), ("b", "c")))
+    // stable point on the lattice: hub(a)=hub(b)=0.5, auth(b)=auth(c)=0.5
+    assert(got("a") == ((0.5, 0.0)))
+    assert(got("b") == ((0.5, 0.5)))
+    assert(got("c") == ((0.0, 0.5)))
+  }
+
+  test("hits is bit-deterministic across input partitioning") {
+    val rnd = new scala.util.Random(3)
+    val edges = (1 to 300).map(_ =>
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+    def run(parts: Int) =
+      Graph.hits(edges.toDF("src", "dst").repartition(parts),
+          "src", "dst", iterations = 8)
+        .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("hits guards degenerate inputs loudly") {
+    intercept[IllegalArgumentException] {
+      Graph.hits(Seq(("a", "b")).toDF("src", "dst"), "src", "dst",
+        iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.hits(
+        Seq((null.asInstanceOf[String], "b")).toDF("src", "dst")
+          .filter($"src".isNotNull),
+        "src", "dst")
+    }
+  }
 }
