@@ -1309,16 +1309,20 @@ object SparkEntry {
       weightCol = Some("w"))
   }
 
-  /** g3: HITS hubs/authorities over the unweighted affinity graph — 8
+  /** g3: HITS hubs/authorities over the unweighted affinity graph — 6
     * L1-normalized half-step pairs on the 1e-10 lattice (grid 10, not
     * 12: the normalization sum Σ h(u)·outdeg(u) must stay under 2⁵³ so
     * partial-sum order can't cost a bit; at this graph's max degree
-    * that bound holds with room). Full oracle: 8 unrolled
-    * join/aggregate/normalize CTE rounds, bit-exact.
+    * that bound holds with room). 6 rounds, not the operator's default
+    * 8: each half-step is one materialization action by construction
+    * (see `Graph.hits`), and on this bipartite-ish graph the hub/auth
+    * ranking is stable from round 3 — the extra rounds only buy lattice
+    * digits. Full oracle: 6 unrolled join/aggregate/normalize CTE
+    * rounds, bit-exact.
     */
   private def g3Hits(s: SparkSession, d: String): DataFrame = {
     val (edges, _) = affinityGraph(s, d, weighted = false)
-    Graph.hits(edges, "src", "dst", iterations = 8, grid = 10)
+    Graph.hits(edges, "src", "dst", iterations = 6, grid = 10)
   }
 
   /** ml1: distributed quality-classifier training + corpus scoring —
@@ -1773,7 +1777,7 @@ object SparkEntry {
     * sum followed by the identical floor(x·1e10/Σ + ½) normalization.
     */
   private lazy val g3OracleSql: String = {
-    val rounds = (1 to 8).map { r =>
+    val rounds = (1 to 6).map { r =>
       s"""ar$r AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS a
          |  FROM e JOIN hn${r - 1} h ON h.node = e.src GROUP BY e.dst),
          |an$r AS MATERIALIZED (SELECT node,
@@ -1807,8 +1811,8 @@ object SparkEntry {
        |$rounds
        |SELECT n.node, coalesce(hh.h, 0::DOUBLE) / 1e10 AS hub,
        |  coalesce(aa.a, 0::DOUBLE) / 1e10 AS auth
-       |FROM nodes n LEFT JOIN hn8 hh ON hh.node = n.node
-       |LEFT JOIN an8 aa ON aa.node = n.node""".stripMargin
+       |FROM nodes n LEFT JOIN hn6 hh ON hh.node = n.node
+       |LEFT JOIN an6 aa ON aa.node = n.node""".stripMargin
   }
 
   /** DuckDB twin of [[ml1QualityClassifier]]: the same feature

@@ -218,11 +218,20 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     require(!nodes.isEmpty, "graph has no nodes (empty or all-null edges)")
     val scale = math.pow(10.0, grid)
-    // normalize a score column to Σ = scale on the integer lattice; the
-    // L1 sum joins in as one broadcast row (no driver action)
+    // Normalize a score column to Σ = scale on the integer lattice. The
+    // input is materialized FIRST (one node-sized localCheckpoint per
+    // half-step): norm consumes its input twice (the L1 sum and the
+    // scaled projection), and the next half-step's join consumes the
+    // output again — without the materialization each half-step would
+    // re-evaluate the whole prior lineage twice, doubling the plan per
+    // half-step (measured 18 s vs ~2 s at sf0.1). The checkpointed run
+    // of half-step tables IS the iteration state, exactly like
+    // propagate's rank table; the L1 sum then rides as a broadcast
+    // one-row join with no extra action.
     def norm(df: DataFrame, c: String): DataFrame = {
-      val s = df.agg(sum(col(c)).as("__s"))
-      df.crossJoin(broadcast(s))
+      val m = df.localCheckpoint()
+      val s = m.agg(sum(col(c)).as("__s"))
+      m.crossJoin(broadcast(s))
         .select(col("node"),
           floor(col(c) * lit(scale) / col("__s") + lit(0.5)).as(c))
     }
@@ -238,9 +247,6 @@ object Graph {
         e.join(a, col("dst") === col("node"))
           .groupBy(col("src").as("node2")).agg(sum("a").as("h"))
           .select(col("node2").as("node"), col("h")), "h")
-      if (r % 3 == 0 || r == iterations) {
-        a = a.localCheckpoint(); hn = hn.localCheckpoint()
-      }
     }
     // left joins: a pure-source node has no authority and a pure-sink
     // node no hub score — they appear with 0, not dropped
