@@ -593,8 +593,11 @@ object SparkEntry {
     val base = T(s, d, "customer").select(
       col("c_custkey").cast("long").as("id"),
       substring(md5(col("c_custkey").cast("string")), 1, 12).as("nm"))
+    // +1e8 offset: far above any real c_custkey at every supported sf,
+    // so planted ids can never collide with genuine records (the
+    // ScaleProbe headroom convention)
     val dirty = base.filter(col("id") % 10 === 0)
-      .select((col("id") + 1000000L).as("id"),
+      .select((col("id") + 100000000L).as("id"),
         concat(col("nm"), lit("x")).as("nm"))
     RecordLinkage.linkByName(base.unionByName(dirty), "id", "nm", "nm",
       window = 4, maxDist = 2)
@@ -1352,23 +1355,25 @@ object SparkEntry {
       .select(col("id"), col("y").cast("long").as("y"), col("score"),
         col("pred"))
 
-  private def ml1QualityClassifier(s: SparkSession, d: String): DataFrame = {
-    val m = ModelRegistry.publish(s"ml1:$d")(
-      Classifier.trainSoftsign(ml1Features(s, d), ml1Fs, "y",
-        rounds = 16, lr = 8.0))
-    ml1Score(s, d, m)
-  }
+  /** The ONE ml1 training call: publish and read-through share it, so
+    * a hyperparameter edit can never desynchronize the registry key's
+    * two producers (the oracles' ml1ScoredCte replays exactly this).
+    */
+  private def ml1Train(s: SparkSession, d: String): Classifier.LinearModel =
+    Classifier.trainSoftsign(ml1Features(s, d), ml1Fs, "y",
+      rounds = 16, lr = 8.0)
 
-  /** The ml1 scores as e2/e3's evaluation input: the trained weights come
+  private def ml1QualityClassifier(s: SparkSession, d: String): DataFrame =
+    ml1Score(s, d, ModelRegistry.publish(s"ml1:$d")(ml1Train(s, d)))
+
+  /** The ml1 scores as e2-e5's evaluation input: the trained weights come
     * from the [[graft.operators.ModelRegistry]] (published by ml1, or
     * trained here on a cache miss) — the evaluate-the-registered-model
     * split of a real pipeline, and bit-identical to a retrain because
     * the training is deterministic integer-grid arithmetic.
     */
   private def ml1Scored(s: SparkSession, d: String): DataFrame =
-    ml1Score(s, d, ModelRegistry.getOrTrain(s"ml1:$d")(
-      Classifier.trainSoftsign(ml1Features(s, d), ml1Fs, "y",
-        rounds = 16, lr = 8.0)))
+    ml1Score(s, d, ModelRegistry.getOrTrain(s"ml1:$d")(ml1Train(s, d)))
 
   /** e2: calibration evaluation of the ml1 classifier — reliability
     * decile bins (count, mean score, empirical positive rate, gap) whose
@@ -1773,8 +1778,9 @@ object SparkEntry {
     graphRankOracle(Some("node LIKE 'src:%'"), weighted = true)
 
   /** DuckDB twin of [[g3Hits]]: the same distinct affinity edges, then
-    * 8 unrolled authority/hub half-step pairs, each an exact integer
-    * sum followed by the identical floor(x·1e10/Σ + ½) normalization.
+    * 6 unrolled authority/hub half-step pairs (matching the query's
+    * iterations = 6), each an exact integer sum followed by the
+    * identical floor(x·1e10/Σ + ½) normalization.
     */
   private lazy val g3OracleSql: String = {
     val rounds = (1 to 6).map { r =>
@@ -2639,7 +2645,7 @@ object SparkEntry {
     "l1_record_linkage" ->
       """WITH base AS (SELECT c_custkey::BIGINT AS id,
         |    substr(md5(c_custkey::VARCHAR), 1, 12) AS nm FROM customer),
-        |dirty AS (SELECT id + 1000000 AS id, nm || 'x' AS nm
+        |dirty AS (SELECT id + 100000000 AS id, nm || 'x' AS nm
         |  FROM base WHERE id % 10 = 0),
         |u AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
         |r AS (SELECT id, nm,

@@ -198,28 +198,6 @@ object Classifier {
       .withColumn("pred", (p >= lit(0.5)).cast("long"))
   }
 
-  /** Cohen's kappa (Cohen 1960) between two binary raters — the
-    * inter-annotator / model-vs-gate agreement statistic label-quality
-    * audits report: observed agreement corrected for the agreement two
-    * independent raters with the same marginals would reach by chance.
-    *
-    *   po = (n00 + n11) / n
-    *   pe = pA1·pB1 + pA0·pB0   (marginal products)
-    *   κ  = (po − pe) / (1 − pe),   κ := 1 when pe = 1 (both raters
-    *        constant and equal — po = 1, the 0/0 case)
-    *
-    * Determinism: the contingency table is four exact integer sums; po,
-    * pe, κ are a fixed IEEE double expression tree over those integers
-    * (every step a correctly-rounded op — bit-identical in any engine
-    * mirroring the tree), emitted as 1e6-scaled BIGINTs so no engine
-    * rounding mode can flip a hash.
-    *
-    * Scale: one map-side-combined global aggregate (four conditional
-    * counts); the kappa arithmetic runs on a single row.
-    *
-    * Output: (n, n00, n01, n10, n11, po_e6, pe_e6, kappa_e6) — n{ab}
-    * counts rows where rater A said a and rater B said b.
-    */
   /** Confusion-matrix metrics: precision / recall / F1 (plus accuracy)
     * of binary predictions against labels — the release-gate numbers a
     * classifier report leads with. Same discipline as [[agreementKappa]]:
@@ -256,6 +234,28 @@ object Classifier {
       e6(f1).as("f1_e6"), e6(acc).as("accuracy_e6"))
   }
 
+  /** Cohen's kappa (Cohen 1960) between two binary raters — the
+    * inter-annotator / model-vs-gate agreement statistic label-quality
+    * audits report: observed agreement corrected for the agreement two
+    * independent raters with the same marginals would reach by chance.
+    *
+    *   po = (n00 + n11) / n
+    *   pe = pA1·pB1 + pA0·pB0   (marginal products)
+    *   κ  = (po − pe) / (1 − pe),   κ := 1 when pe = 1 (both raters
+    *        constant and equal — po = 1, the 0/0 case)
+    *
+    * Determinism: the contingency table is four exact integer sums; po,
+    * pe, κ are a fixed IEEE double expression tree over those integers
+    * (every step a correctly-rounded op — bit-identical in any engine
+    * mirroring the tree), emitted as 1e6-scaled BIGINTs so no engine
+    * rounding mode can flip a hash.
+    *
+    * Scale: one map-side-combined global aggregate (four conditional
+    * counts); the kappa arithmetic runs on a single row.
+    *
+    * Output: (n, n00, n01, n10, n11, po_e6, pe_e6, kappa_e6) — n{ab}
+    * counts rows where rater A said a and rater B said b.
+    */
   def agreementKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")

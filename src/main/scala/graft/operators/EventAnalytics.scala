@@ -290,7 +290,10 @@ object EventAnalytics {
     * Catalyst/AQE satisfies it without a second exchange — and the
     * final path count aggregates map-side into at most
     * |types|^maxSteps ≪ corpus rows. Per-user window state is one
-    * event row at a time (lag + running sum), not the whole history.
+    * event row at a time (lag + running sum + session rank), and
+    * per-session aggregation state is at most `maxSteps` rows — the
+    * cap filters BEFORE the collect, so a bot session costs maxSteps
+    * of buffer, never its full history.
     *
     * Output: (path, n_sessions), one row per observed path.
     */
@@ -310,11 +313,18 @@ object EventAnalytics {
           lag("t", 1).over(w).isNull, 1L).otherwise(0L))
       .withColumn("sid", sum("ns").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // cap BEFORE the aggregate: the per-(u, sid) row_number rides the
+      // existing user partitioning and sort (no new exchange), so the
+      // collect_list buffer holds at most maxSteps rows per session —
+      // a 10M-event bot session costs maxSteps of aggregation state,
+      // not 10M structs sorted and then sliced
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u", "sid").orderBy("t", "eid")))
+      .filter(col("rn") <= maxSteps)
       .groupBy("u", "sid")
       .agg(sort_array(collect_list(struct(col("t"), col("eid"), col("et"))))
         .as("evs"))
-      .select(array_join(
-        transform(slice(col("evs"), 1, maxSteps), e => e("et")), ">")
+      .select(array_join(transform(col("evs"), e => e("et")), ">")
         .as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
   }

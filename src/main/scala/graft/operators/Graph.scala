@@ -235,7 +235,12 @@ object Graph {
         .select(col("node"),
           floor(col(c) * lit(scale) / col("__s") + lit(0.5)).as(c))
     }
-    var h = nodes.withColumn("h", lit(math.floor(scale + 0.5)))
+    // h_0 as a LONG literal: every later half-step sums longs (floor
+    // returns LongType) and is exact in any order; a double h_0 would
+    // make the first L1 sum n·scale a floating sum that loses exactness
+    // (and thus partition-order independence) past 2^53 — at grid 12
+    // that's only ~9k nodes
+    var h = nodes.withColumn("h", lit(math.floor(scale + 0.5).toLong))
     var hn = norm(h, "h") // h_0 = uniform, normalized to the lattice
     var a: DataFrame = null
     for (r <- 1 to iterations) {

@@ -61,11 +61,31 @@ object ModelRegistry {
     * ([[tableKey]]) — a checkpointed DataFrame dies with its session,
     * and a stale cross-session hit would throw on first use.
     */
+  private val TablePrefix = "tbl:"
+
   def tableKey(s: org.apache.spark.sql.SparkSession, key: String): String =
-    s"${s.sparkContext.applicationId}:$key"
+    s"$TablePrefix${s.sparkContext.applicationId}:$key"
+
+  /** Drop table entries from sessions other than `key`'s own — their
+    * checkpoint blocks died with their SparkContext, so the entries are
+    * dead weight; removing them on every publish keeps registry growth
+    * bounded by ONE session's tables. Same-key overwrites drop the old
+    * DataFrame reference; its checkpoint blocks are released by the
+    * ContextCleaner once the reference is GC'd (the SCALE.md GC-nudge
+    * discipline).
+    */
+  private def sweepStaleTables(liveTableKey: String): Unit = {
+    val livePrefix =
+      liveTableKey.substring(0, liveTableKey.indexOf(':', TablePrefix.length) + 1)
+    store.keySet.forEach { k =>
+      if (k.startsWith(TablePrefix) && !k.startsWith(livePrefix))
+        store.remove(k)
+    }
+  }
 
   def publishTable(key: String)(compute: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    sweepStaleTables(key)
     val t = compute.localCheckpoint()
     store.put(key, t)
     t
@@ -73,9 +93,11 @@ object ModelRegistry {
 
   def getOrComputeTable(key: String)
       (compute: => org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
+      : org.apache.spark.sql.DataFrame = {
+    sweepStaleTables(key)
     store.computeIfAbsent(key, _ => compute.localCheckpoint())
       .asInstanceOf[org.apache.spark.sql.DataFrame]
+  }
 
   /** Plain lookup, for consumers whose miss path itself publishes under
     * the same key (publishing inside `computeIfAbsent`'s mapping function

@@ -49,8 +49,12 @@ object Sketches {
   }
 
   /** Point-query the sketch for each distinct value of `tokenCol` in
-    * `queries`: est = min over the token's depth cells. Output:
-    * (token, est).
+    * `queries`: est = min over the token's depth cells. Cells absent
+    * from the sketch table are EMPTY cells (count 0), so the join is a
+    * left join with a zero coalesce — an inner join would inflate the
+    * min for unseen tokens (or drop them entirely) and break the
+    * est ≤ true + εN contract exactly where a frequency oracle is most
+    * used: keys not in the corpus. Output: (token, est).
     */
   def cmsEstimate(
       sketch: DataFrame, queries: DataFrame, tokenCol: String,
@@ -60,7 +64,8 @@ object Sketches {
       .select(tok.as("token")).distinct()
       .select(col("token"), posexplode(array((0 until depth).map(r =>
         bucket(r, col("token"), width)): _*)).as(Seq("r", "bucket")))
-    keyed.join(sketch, Seq("r", "bucket"))
-      .groupBy("token").agg(min("cnt").as("est"))
+    keyed.join(sketch, Seq("r", "bucket"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 }

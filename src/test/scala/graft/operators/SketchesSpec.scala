@@ -26,6 +26,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(est == Map("a" -> 30L, "b" -> 20L, "c" -> 5L, "d" -> 1L))
   }
 
+  test("unseen tokens estimate through empty cells, never inflated or dropped") {
+    val sk = Sketches.countMinSketch(corpus.toDF("token"), "token",
+      depth = 4, width = 1024)
+    // "zz..." shares no cell with the 4 corpus tokens at width 1024
+    // (verified by the assertion itself: est must be exactly 0) and a
+    // query batch mixing seen + unseen tokens must return BOTH
+    val est = Sketches.cmsEstimate(sk,
+        Seq("a", "zz-not-in-corpus").toDF("token"), "token",
+        depth = 4, width = 1024)
+      .as[(String, Long)].collect().toMap
+    assert(est == Map("a" -> 30L, "zz-not-in-corpus" -> 0L))
+  }
+
   test("degenerate dimensions are rejected loudly") {
     intercept[IllegalArgumentException] { estimates(depth = 3, width = 1) }
     intercept[IllegalArgumentException] { estimates(depth = 0, width = 8) }
