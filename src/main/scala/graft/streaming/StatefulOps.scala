@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful per-key operators (engine capability beyond the reference's
@@ -151,8 +152,105 @@ object StatefulOps {
       }
   }
 
+  case class PathEv(user_id: Long, ts_us: Long, eid: Long, et: String)
+  case class PathSession(
+      user_id: Long, start_us: Long, end_us: Long, n_events: Long,
+      path: String)
+
+  /** One micro-batch of session-PATH state advancement — the streaming
+    * twin of [[graft.operators.EventAnalytics.sessionPaths]]'s
+    * per-session path building. Within a micro-batch events order by
+    * (ts, eid) exactly like the batch operator; ACROSS batches a late
+    * event appends at the path tail rather than splicing into position
+    * (state stores only the capped prefix string — the documented
+    * streaming approximation, same monotonicity convention as
+    * [[advanceSessions]]' end_us). The path caps at `maxSteps` steps,
+    * so per-key state is one fixed-size row however long the session.
+    */
+  private[streaming] def advancePaths(
+      user: Long, events: Seq[PathEv], prior: Option[PathSession],
+      gapUs: Long, maxSteps: Int): (Seq[PathSession], PathSession) = {
+    val sorted = events.sortBy(e => (e.ts_us, e.eid))
+    var cur = prior.getOrElse(
+      PathSession(user, sorted.head.ts_us, sorted.head.ts_us, 0, ""))
+    val closed = scala.collection.mutable.ArrayBuffer.empty[PathSession]
+    for (e <- sorted) {
+      if (e.ts_us - cur.end_us > gapUs && cur.n_events > 0) {
+        closed += cur
+        cur = PathSession(user, e.ts_us, e.ts_us, 0, "")
+      }
+      val path =
+        if (cur.n_events >= maxSteps) cur.path
+        else if (cur.n_events == 0) e.et
+        else cur.path + ">" + e.et
+      cur = cur.copy(end_us = math.max(cur.end_us, e.ts_us),
+        n_events = cur.n_events + 1, path = path)
+    }
+    (closed.toSeq, cur)
+  }
+
+  /** Streaming session paths: emits each session's (user, bounds,
+    * event count, capped type path) when the gap closes it — the
+    * maintained form of the w10 top-paths report (downstream a
+    * `groupBy(path).count` over the emitted rows IS w10, incrementally).
+    *
+    * Idle flush is EVENT-TIME: the state times out once the watermark
+    * passes session end + gap, so a user who stops sending events still
+    * emits their last session when the stream's clock moves past it.
+    * EventTimeTimeout, not ProcessingTimeTimeout, deliberately: with a
+    * default (0-interval) trigger, any registered processing-time
+    * timeout makes the engine run a state-scan micro-batch EVERY
+    * trigger — a busy loop burning a stage per trigger on idle streams
+    * (measured: thousands of stages in minutes; `processAllAvailable`
+    * never quiesces). Event-time timeouts only arm on watermark
+    * movement, which only happens on data.
+    */
+  def sessionPathsStream(
+      spark: SparkSession, ds: Dataset[PathEv],
+      gapUs: Long = DefaultGapUs, maxSteps: Int = 8,
+      watermarkDelay: String = "0 seconds"): Dataset[PathSession] = {
+    import spark.implicits._
+    ds.withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[PathEvW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathSession, PathSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[PathEvW], state: GroupState[PathSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(s)
+          } else {
+            val (closed, cur) = advancePaths(user,
+              evs.map(e => PathEv(e.user_id, e.ts_us, e.eid, e.et))
+                .toIndexedSeq,
+              state.getOption, gapUs, maxSteps)
+            state.update(cur)
+            // arm the idle flush at end + gap in event time; must stay
+            // strictly above the current watermark or the engine rejects
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+              math.max((cur.end_us + gapUs) / 1000, wm + 1))
+            closed.iterator
+          }
+      }
+  }
+
+  private[streaming] case class PathEvW(
+      user_id: Long, ts_us: Long, eid: Long, et: String,
+      event_time: java.sql.Timestamp)
+
   /** Streaming sessionizer: closes a session when the processing-time
     * timeout fires after `gapUs` of silence for the key.
+    *
+    * CAVEAT (measured on Spark 4.1): ProcessingTimeTimeout makes the
+    * engine run a state-scan micro-batch every trigger; under the
+    * default 0-interval trigger that is a busy loop (a stage per
+    * trigger, `processAllAvailable` never quiesces). Deploy this form
+    * only with an explicit trigger interval
+    * (`.trigger(Trigger.ProcessingTime(...))`); for the
+    * data-driven/event-time form see [[sessionPathsStream]].
     */
   def sessionsStream(
       spark: SparkSession, ds: Dataset[Ev],
@@ -170,7 +268,7 @@ object StatefulOps {
             val (closed, cur) =
               advanceSessions(user, evs.toIndexedSeq, state.getOption, gapUs)
             state.update(cur)
-            state.setTimeoutDuration(gapUs / 1000)
+            state.setTimeoutDuration(math.max(1L, gapUs / 1000))
             closed.iterator
           }
       }

@@ -102,6 +102,84 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("path advance: gap split, step cap, and late-event tail append") {
+    val gap = 1000L
+    // one session under the cap: path builds in (ts, eid) order
+    val (c1, s1) = StatefulOps.advancePaths(1L,
+      Seq(PathEv(1, 100, 2, "b"), PathEv(1, 100, 1, "a"),
+        PathEv(1, 200, 3, "c")),
+      None, gap, maxSteps = 2)
+    assert(c1.isEmpty && s1.path == "a>b" && s1.n_events == 3)
+    // next batch: gap split closes the capped session, opens a new one
+    val (c2, s2) = StatefulOps.advancePaths(1L,
+      Seq(PathEv(1, 200 + gap + 1, 4, "d")), Some(s1), gap, maxSteps = 2)
+    assert(c2.map(_.path) == Seq("a>b") && s2.path == "d")
+    // cross-batch late event appends at the tail (documented streaming
+    // approximation) without regressing the session end
+    val (c3, s3) = StatefulOps.advancePaths(1L,
+      Seq(PathEv(1, 50, 5, "z")), Some(s2), gap, maxSteps = 2)
+    assert(c3.isEmpty && s3.path == "d>z" &&
+      s3.end_us == s2.end_us && s3.n_events == 2)
+  }
+
+  test("streamed session paths aggregate to the batch w10 counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id").as("eid"), col("event_type").as("et"))
+      .as[PathEv].collect().sortBy(e => (e.ts_us, e.eid))
+    val gap = 1800L * 1000 * 1000
+    val sentinelTs = ev.map(_.ts_us).max + 10 * gap
+    val mem = MemoryStream[PathEv]
+    val q = sessionPathsStream(spark, mem.toDS(), gapUs = gap)
+      .writeStream.format("memory").queryName("w10_stream")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // close every open session with one far-future sentinel per user
+      // (the sentinel's own session stays open and is never emitted)
+      mem.addData(ev.map(_.user_id).distinct
+        .map(u => PathEv(u, sentinelTs, -1, "END")).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w10_stream")
+        .groupBy("path").count().as[(String, Long)].collect().toMap
+      val batch = graft.SparkEntry
+        .queries("w10_session_paths")(spark, TestSpark.Sf0001)
+        .as[(String, Long)].collect().toMap
+      assert(streamed == batch && batch.nonEmpty, s"$streamed vs $batch")
+    } finally q.stop()
+  }
+
+  test("idle sessions flush by event-time timeout when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1000L * 1000 // 1 s in micros
+    val mem = MemoryStream[PathEv]
+    val q = sessionPathsStream(spark, mem.toDS(), gapUs = gap)
+      .writeStream.format("memory").queryName("flush_stream")
+      .outputMode("append").start()
+    try {
+      // user 1 sends two events and goes idle
+      mem.addData(PathEv(1, 1000, 1, "a"), PathEv(1, 2000, 2, "b"))
+      q.processAllAvailable()
+      assert(spark.table("flush_stream").count() == 0) // still open
+      // ANOTHER user's far-future event advances the watermark past
+      // user 1's end + gap; the following batch sweeps the timeout
+      mem.addData(PathEv(2, 10L * gap, 3, "x"))
+      q.processAllAvailable()
+      mem.addData(PathEv(2, 11L * gap, 4, "y"))
+      q.processAllAvailable()
+      val flushed = spark.table("flush_stream")
+        .select("user_id", "path").as[(Long, String)].collect().toSet
+      assert(flushed.contains((1L, "a>b")), s"user 1 not flushed: $flushed")
+    } finally q.stop()
+  }
+
   test("typed batch sessionizer agrees with the w4 SQL sessionization") {
     import spark.implicits._
     val ev = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
