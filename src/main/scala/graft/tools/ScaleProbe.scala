@@ -169,6 +169,18 @@ object ScaleProbe {
         EventAnalytics.retentionCohorts(synthEvents(d, probeN), "user_id", "ts")
           .count()
       },
+      "g3_hits" -> { d =>
+        val n = d.count()
+        val nh = math.max(7L, n / 100)
+        val g = d.select(
+          concat(lit("doc:"), col("doc_id")).as("dn"),
+          concat(lit("host:"),
+            pmod(xxhash64(col("doc_id"), lit(1L)), lit(nh))).as("h"))
+        val edges = Seq(("dn", "h"), ("h", "dn"))
+          .map { case (a, b) => g.select(col(a).as("src"), col(b).as("dst")) }
+          .reduce(_ unionByName _)
+        Graph.hits(edges, "src", "dst", iterations = 6, grid = 10).count()
+      },
       "w10_paths" -> { d =>
         EventAnalytics.sessionPaths(synthEvents(d, probeN), "user_id", "ts",
           "ts", "event_type", gap = 1800L * 1000 * 1000 * 1000).count()
