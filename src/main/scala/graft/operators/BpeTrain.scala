@@ -62,6 +62,13 @@ object BpeTrain {
 
     // (distinct word, corpus count) -> initial symbol seq: chars + </w>.
     // The one corpus-wide pass; everything after runs on the vocab.
+    // The vocab is orders smaller than the corpus (distinct words), but
+    // it inherits the corpus aggregation's partition count — and every
+    // one of the `numMerges` rounds then schedules that many tasks for
+    // a table of ~10^4-10^8 rows. Right-size it once before the loop:
+    // per-round task count tracks the vocab, not the corpus scan.
+    val vocabParts = math.max(8,
+      spark.sparkContext.defaultParallelism / 4)
     var vocab = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
@@ -70,6 +77,7 @@ object BpeTrain {
         concat(split(col("word"), ""), array(lit(EndOfWord))).as("syms"),
         col("wc"))
       .as[(Seq[String], Long)]
+      .repartition(vocabParts)
       .localCheckpoint()
 
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
