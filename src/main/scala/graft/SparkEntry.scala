@@ -1057,6 +1057,15 @@ object SparkEntry {
     Profiling.describe(T(s, d, "documents"),
       Seq("doc_id", "lang", "source", "n_chars"))
 
+  /** c9: the release-gate datasheet — one row of gate scalars (sizes,
+    * exact-dup rate, mean quality, en share, d9-convention benchmark
+    * contamination) and the threshold verdict. Full oracle: the same
+    * count/quality/shingle CTEs pushed through identical e6 trees.
+    */
+  private def c9ReleaseGate(s: SparkSession, d: String): DataFrame =
+    Profiling.releaseGate(T(s, d, "documents"), "doc_id", "text", "lang",
+      benchPred = col("doc_id") % 10 === 0)
+
   /** s5: deterministic epoch shuffle — shard and within-shard order for
     * epoch 1 over 8 shards. The shuffle key is exact BIGINT arithmetic
     * (mod 2^31-1 affine rounds + xor-shifts), so the DuckDB oracle
@@ -1686,6 +1695,7 @@ object SparkEntry {
     "st2_attribution_join" -> (st2AttributionJoin _),
     "c7_drift_psi" -> (c7DriftPsi _),
     "c8_jsonl_roundtrip" -> (c8JsonlRoundtrip _),
+    "c9_release_gate" -> (c9ReleaseGate _),
     "d16_cluster_resolve" -> (d16ClusterResolve _),
     "l1_record_linkage" -> (l1RecordLinkage _),
     "t15_bm25" -> (t15Bm25 _),
@@ -3829,6 +3839,57 @@ object SparkEntry {
     // the table
     "c8_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // c9 twin: the d1 fingerprint, t2 quality and d9 shingle CTEs
+    // pushed through the identical e6 trees; verdict compares BIGINTs
+    "c9_release_gate" ->
+      """WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS w
+        |  FROM documents),
+        |q AS (SELECT floor((sr * 0.25 + ur * 0.5 + lok * 0.25)
+        |      * 10000.0 + 0.5)::BIGINT AS qs
+        |  FROM (SELECT
+        |      len(list_filter(w, x -> x IN
+        |        ('the','a','to','of','and','in','on','for')))::DOUBLE
+        |        / len(w) AS sr,
+        |      len(list_distinct(w))::DOUBLE / len(w) AS ur,
+        |      CASE WHEN len(w) BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END
+        |        AS lok
+        |    FROM t)),
+        |base AS (SELECT count(*)::BIGINT AS n_docs,
+        |    sum(len(w))::BIGINT AS n_tokens,
+        |    count(DISTINCT md5(text))::BIGINT AS n_distinct,
+        |    sum((lang = 'en')::INT)::BIGINT AS n_en FROM t),
+        |qq AS (SELECT sum(qs)::BIGINT AS q_sum FROM q),
+        |bm AS (SELECT DISTINCT unnest(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |     for i in range(1, len(w) - 2)]) AS s
+        |  FROM t WHERE doc_id % 10 = 0 AND len(w) >= 4),
+        |corp AS (SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |     for i in range(1, len(w) - 2)])) AS s
+        |  FROM t WHERE doc_id % 10 <> 0 AND len(w) >= 4),
+        |hits AS (SELECT doc_id FROM corp JOIN bm USING (s)
+        |  GROUP BY doc_id),
+        |contam AS (SELECT
+        |    (SELECT count(*)::BIGINT FROM t WHERE doc_id % 10 <> 0)
+        |      AS n_corpus,
+        |    (SELECT count(*)::BIGINT FROM hits) AS n_contam),
+        |m AS (SELECT base.n_docs, base.n_tokens,
+        |    floor((base.n_docs - base.n_distinct)::DOUBLE
+        |      / base.n_docs::DOUBLE * 1000000::DOUBLE + 0.5::DOUBLE)
+        |      ::BIGINT AS dup_rate_e6,
+        |    floor(qq.q_sum::DOUBLE * 100.0::DOUBLE / base.n_docs::DOUBLE
+        |      + 0.5::DOUBLE)::BIGINT AS mean_quality_e6,
+        |    floor(base.n_en::DOUBLE / base.n_docs::DOUBLE
+        |      * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT AS en_share_e6,
+        |    floor(contam.n_contam::DOUBLE / contam.n_corpus::DOUBLE
+        |      * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT
+        |      AS contaminated_rate_e6
+        |  FROM base CROSS JOIN qq CROSS JOIN contam)
+        |SELECT n_docs, n_tokens, dup_rate_e6, mean_quality_e6,
+        |  en_share_e6, contaminated_rate_e6,
+        |  (dup_rate_e6 <= 100000 AND contaminated_rate_e6 <= 900000
+        |   AND mean_quality_e6 >= 300000) AS release_ok
+        |FROM m""".stripMargin,
     // h2 twin: dense band [2,15] anti-joined against the Hamming top-5
     "h2_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v

@@ -102,4 +102,58 @@ object Profiling {
         round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
         round((pA - pB) * log(pA / pB), 6).as("psi"))
   }
+
+  /** Release gate — the one-row "datasheet" a corpus release pipeline
+    * publishes before a training run signs off (Gebru et al. 2021's
+    * datasheet practice reduced to its gate scalars): corpus size,
+    * exact-duplicate rate, mean quality, language share, benchmark
+    * contamination rate, and the pass/fail verdict against explicit
+    * thresholds. Composes the already-proven primitives: md5
+    * fingerprints (d1), the t2 quality lattice, and the d9 exact
+    * shingle decontamination.
+    *
+    * Determinism: every rate is exact-integer counts pushed through a
+    * fixed IEEE tree to a 1e6-scaled BIGINT, and the verdict compares
+    * those integers — an engine can't flip it. Scale: one
+    * map-side-combined aggregate over the corpus plus the d9
+    * broadcast-probe (benchmark shingles broadcast; the corpus never
+    * shuffles for the probe).
+    *
+    * Output (one row): n_docs, n_tokens, dup_rate_e6, mean_quality_e6,
+    * en_share_e6, contaminated_rate_e6, release_ok.
+    */
+  def releaseGate(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      benchPred: org.apache.spark.sql.Column,
+      maxDupE6: Long = 100000L, maxContamE6: Long = 900000L,
+      minQualityE6: Long = 300000L): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col(textCol), " "))).cast("long").as("n_tokens"),
+      countDistinct(md5(col(textCol))).as("n_distinct"),
+      sum(TextAnalytics.qualityScaledColumn(col(textCol)))
+        .cast("long").as("q_sum"),
+      sum(when(col(langCol) === "en", 1L).otherwise(0L)).as("n_en"))
+    val contam = Decontamination.flagContaminated(
+        docs.filter(!benchPred), idCol, textCol,
+        docs.filter(benchPred), idCol, textCol, n = 4)
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(col("contaminated").cast("long")).as("n_contam"))
+    def e6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val nd = col("n_docs").cast("double")
+    val dup = e6((col("n_docs") - col("n_distinct")).cast("double") / nd)
+    // q_sum is 1e4-scaled; *100/n lands the mean on the same 1e6 grid
+    val meanQ = floor(col("q_sum").cast("double") * lit(100.0) / nd +
+      lit(0.5)).cast("long")
+    val en = e6(col("n_en").cast("double") / nd)
+    val cont = e6(col("n_contam").cast("double") /
+      col("n_corpus").cast("double"))
+    base.crossJoin(contam).select(
+      col("n_docs"), col("n_tokens"),
+      dup.as("dup_rate_e6"), meanQ.as("mean_quality_e6"),
+      en.as("en_share_e6"), cont.as("contaminated_rate_e6"),
+      (dup <= maxDupE6 && cont <= maxContamE6 && meanQ >= minQualityE6)
+        .as("release_ok"))
+  }
 }

@@ -75,4 +75,33 @@ class ProfilingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
     assert(r1.toSeq == r2.toSeq)
   }
+
+  test("release gate computes hand-checked rates and flips on thresholds") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 4 docs: ids 0 (benchmark), 1-3 corpus; doc 3 duplicates doc 2's
+    // text; doc 1 shares a 4-shingle with the benchmark -> contaminated
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon", "en"),
+      (1L, "alpha beta gamma delta other words here", "en"),
+      (2L, "totally unrelated text body here now", "fr"),
+      (3L, "totally unrelated text body here now", "fr"))
+      .toDF("doc_id", "text", "lang")
+    def gate(maxDup: Long, maxCont: Long, minQ: Long) =
+      Profiling.releaseGate(docs, "doc_id", "text", "lang",
+          benchPred = col("doc_id") % 10 === 0,
+          maxDupE6 = maxDup, maxContamE6 = maxCont, minQualityE6 = minQ)
+        .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().head
+    val r = gate(300000L, 400000L, 0L)
+    val (nDocs, _, dup, _, en, cont, ok) = r
+    assert(nDocs == 4L)
+    assert(dup == 250000L)  // 1 of 4 docs is a duplicate
+    assert(en == 500000L)   // 2 of 4 docs are en
+    assert(cont == 333333L) // 1 of 3 corpus docs hits a benchmark shingle
+    assert(ok)
+    // each threshold flips the verdict on its own
+    assert(!gate(200000L, 400000L, 0L)._7)      // dup over budget
+    assert(!gate(300000L, 300000L, 0L)._7)      // contamination over
+    assert(!gate(300000L, 400000L, 999999L)._7) // quality under
+  }
 }
