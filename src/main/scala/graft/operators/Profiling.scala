@@ -141,14 +141,28 @@ object Profiling {
         sum(col("contaminated").cast("long")).as("n_contam"))
     def e6(c: org.apache.spark.sql.Column) =
       floor(c * lit(1e6) + lit(0.5)).cast("long")
-    val nd = col("n_docs").cast("double")
+    // Loud guards, not NaN/NULL rates: an empty corpus (misconfigured
+    // path) or an empty corpus side (benchPred matched everything)
+    // would otherwise emit a plausible-looking gate row — dup rate 0
+    // from a NaN→long cast, NULL verdict — instead of an error.
+    val nd = when(col("n_docs") === 0,
+      raise_error(lit("releaseGate: empty corpus")))
+      .otherwise(col("n_docs").cast("double"))
+    // the empty-corpus case dominates (expression evaluation order is
+    // codegen-dependent, so both guards must agree on which error an
+    // entirely-empty input reports)
+    val nc = when(col("n_docs") === 0,
+      raise_error(lit("releaseGate: empty corpus")))
+      .when(col("n_corpus") === 0,
+        raise_error(lit("releaseGate: benchPred matched every document — " +
+          "no corpus side to gate")))
+      .otherwise(col("n_corpus").cast("double"))
     val dup = e6((col("n_docs") - col("n_distinct")).cast("double") / nd)
     // q_sum is 1e4-scaled; *100/n lands the mean on the same 1e6 grid
     val meanQ = floor(col("q_sum").cast("double") * lit(100.0) / nd +
       lit(0.5)).cast("long")
     val en = e6(col("n_en").cast("double") / nd)
-    val cont = e6(col("n_contam").cast("double") /
-      col("n_corpus").cast("double"))
+    val cont = e6(coalesce(col("n_contam"), lit(0L)).cast("double") / nc)
     base.crossJoin(contam).select(
       col("n_docs"), col("n_tokens"),
       dup.as("dup_rate_e6"), meanQ.as("mean_quality_e6"),

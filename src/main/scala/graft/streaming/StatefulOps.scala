@@ -160,12 +160,16 @@ object StatefulOps {
   /** One micro-batch of session-PATH state advancement — the streaming
     * twin of [[graft.operators.EventAnalytics.sessionPaths]]'s
     * per-session path building. Within a micro-batch events order by
-    * (ts, eid) exactly like the batch operator; ACROSS batches a late
-    * event appends at the path tail rather than splicing into position
-    * (state stores only the capped prefix string — the documented
-    * streaming approximation, same monotonicity convention as
-    * [[advanceSessions]]' end_us). The path caps at `maxSteps` steps,
-    * so per-key state is one fixed-size row however long the session.
+    * (ts, eid) exactly like the batch operator. A cross-batch late
+    * event that still REACHES the fold (i.e. within the stream's
+    * watermark delay) appends at the path tail rather than splicing
+    * into position — state stores only the capped prefix string, same
+    * monotonicity convention as [[advanceSessions]]' end_us; an event
+    * later than the watermark never reaches the fold at all (the
+    * engine's standard late-row drop — size `watermarkDelay` for the
+    * disorder the source actually produces). The path caps at
+    * `maxSteps` steps, so per-key state is one fixed-size row however
+    * long the session.
     */
   private[streaming] def advancePaths(
       user: Long, events: Seq[PathEv], prior: Option[PathSession],
@@ -209,6 +213,8 @@ object StatefulOps {
       spark: SparkSession, ds: Dataset[PathEv],
       gapUs: Long = DefaultGapUs, maxSteps: Int = 8,
       watermarkDelay: String = "0 seconds"): Dataset[PathSession] = {
+    require(gapUs > 0, "session gap must be positive") // batch-twin guard
+    require(maxSteps >= 1, "paths need at least one step")
     import spark.implicits._
     ds.withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", watermarkDelay)

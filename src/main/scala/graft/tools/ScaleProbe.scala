@@ -143,8 +143,8 @@ object ScaleProbe {
       // the blocking key with the corpus is the same knob discipline as
       // d5's bands and d8's nlist
       "g1_pagerank" -> { d =>
-        val n = d.count()
-        val nh = math.max(7L, n / 100)
+        // probeN, not d.count() (the same no-count-in-timed-region rule)
+        val nh = math.max(7L, probeN / 100)
         val g = d.select(
           concat(lit("doc:"), col("doc_id")).as("dn"),
           concat(lit("host:"),
@@ -170,8 +170,9 @@ object ScaleProbe {
           .count()
       },
       "g3_hits" -> { d =>
-        val n = d.count()
-        val nh = math.max(7L, n / 100)
+        // probeN, not d.count(): a count here would charge an unrelated
+        // corpus-count job to the timed region (see the synthEvents note)
+        val nh = math.max(7L, probeN / 100)
         val g = d.select(
           concat(lit("doc:"), col("doc_id")).as("dn"),
           concat(lit("host:"),

@@ -104,4 +104,22 @@ class ProfilingSpec extends AnyFunSuite {
     assert(!gate(300000L, 300000L, 0L)._7)      // contamination over
     assert(!gate(300000L, 400000L, 999999L)._7) // quality under
   }
+
+  test("release gate fails loudly on empty corpora instead of NaN rates") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta gamma delta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val empty = intercept[Exception] {
+      Profiling.releaseGate(docs.filter(col("doc_id") < 0),
+        "doc_id", "text", "lang", benchPred = col("doc_id") % 10 === 0)
+        .collect()
+    }
+    assert(empty.getMessage.contains("empty corpus"), empty.getMessage)
+    val allBench = intercept[Exception] {
+      Profiling.releaseGate(docs, "doc_id", "text", "lang",
+        benchPred = col("doc_id") >= 0).collect()
+    }
+    assert(allBench.getMessage.contains("benchPred"), allBench.getMessage)
+  }
 }

@@ -114,8 +114,9 @@ class StatefulOpsSpec extends AnyFunSuite {
     val (c2, s2) = StatefulOps.advancePaths(1L,
       Seq(PathEv(1, 200 + gap + 1, 4, "d")), Some(s1), gap, maxSteps = 2)
     assert(c2.map(_.path) == Seq("a>b") && s2.path == "d")
-    // cross-batch late event appends at the tail (documented streaming
-    // approximation) without regressing the session end
+    // fold-level contract: a late event that reaches the fold (within
+    // the watermark delay — the engine drops anything later before the
+    // fold runs) appends at the tail without regressing the session end
     val (c3, s3) = StatefulOps.advancePaths(1L,
       Seq(PathEv(1, 50, 5, "z")), Some(s2), gap, maxSteps = 2)
     assert(c3.isEmpty && s3.path == "d>z" &&
