@@ -581,6 +581,35 @@ object SparkEntry {
       quality, scoreCol = "q_scaled")
   }
 
+  /** d17: URL-level crawl dedup over deterministically injected URLs.
+    * Four syntactic variants per doc (uppercase host, `www.`, `:443`,
+    * trailing slash, fragment — chosen by doc_id % 4) all canonicalize
+    * to `https://site{doc_id%10}.example.com/p/{doc_id%25}`, so docs
+    * collide exactly when doc_id ≡ mod 50 (CRT on the 10/25 residues)
+    * and the canonicalizer must do real work on every row. Keeper =
+    * longest text (n_chars), ties to lowest id.
+    */
+  private def d17UrlDedup(s: SparkSession, d: String): DataFrame = {
+    val k = pmod(col("doc_id"), lit(10)).cast("string")
+    val m = pmod(col("doc_id"), lit(25)).cast("string")
+    val v = pmod(col("doc_id"), lit(4))
+    val url = when(v === 0,
+        concat(lit("https://www.site"), k, lit(".example.com/p/"), m))
+      .when(v === 1,
+        concat(lit("HTTPS://Site"), k, lit(".Example.com:443/p/"), m,
+          lit("/")))
+      .when(v === 2,
+        concat(lit("https://www.Site"), k, lit(".example.COM/p/"), m,
+          lit("#frag")))
+      .otherwise(
+        concat(lit("https://site"), k, lit(".example.com:443/p/"), m,
+          lit("/#x")))
+    Dedup.urlDedup(
+      T(s, d, "documents").select(col("doc_id"), url.as("url"),
+        col("n_chars")),
+      "doc_id", "url", "n_chars")
+  }
+
   /** l1: sorted-neighborhood record linkage over a registry of portable
     * display names (md5-derived, identical in any engine) with a
     * suffix-typo'd duplicate planted for every 10th record — the
@@ -1013,6 +1042,13 @@ object SparkEntry {
     */
   private def t23Readability(s: SparkSession, d: String): DataFrame =
     TextAnalytics.readability(T(s, d, "documents"), "doc_id", "text")
+
+  /** t24: CCNet head/middle/tail perplexity split — per-language NLL
+    * tertile thresholds from a grid-bounded histogram (never a
+    * corpus-wide sort), tiers assigned by broadcast threshold join.
+    */
+  private def t24CcnetBuckets(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.perplexityBuckets(T(s, d, "documents"), "doc_id", "text")
 
   /** c3: snapshot diff — two synthetic corpus versions carved from the
     * documents table (old: ids ∤ 3; new: ids ∤ 5, every 7th text
@@ -1697,6 +1733,7 @@ object SparkEntry {
     "c8_jsonl_roundtrip" -> (c8JsonlRoundtrip _),
     "c9_release_gate" -> (c9ReleaseGate _),
     "d16_cluster_resolve" -> (d16ClusterResolve _),
+    "d17_url_dedup" -> (d17UrlDedup _),
     "l1_record_linkage" -> (l1RecordLinkage _),
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
@@ -1707,6 +1744,7 @@ object SparkEntry {
     "t21_heavy_hitters" -> (t21HeavyHitters _),
     "t22_collocations" -> (t22Collocations _),
     "t23_readability" -> (t23Readability _),
+    "t24_ccnet_buckets" -> (t24CcnetBuckets _),
     "v1_cosine_topk" -> (v1CosineTopK _),
     "v2_ann_lsh" -> (v2AnnLsh _),
     "v3_ann_ivf" -> (v3AnnIvf _),
@@ -2649,6 +2687,51 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY cl.cluster
          |    ORDER BY q.q_scaled DESC NULLS LAST, cl.id ASC) = 1 AS keep
          |FROM cl JOIN q USING (id)""".stripMargin,
+    // d17 twin: identical injected URL variants, the same anchored
+    // single-match canonicalization regexes (RE2-safe, so DuckDB's
+    // first-match replace scope can't diverge from Spark's replace-all),
+    // and the same two-aggregate argmax (max score, ties -> min id)
+    "d17_url_dedup" ->
+      """WITH d AS (SELECT doc_id AS id, n_chars AS s,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'https://www.site' ||
+        |        (doc_id % 10)::VARCHAR || '.example.com/p/' ||
+        |        (doc_id % 25)::VARCHAR
+        |      WHEN doc_id % 4 = 1 THEN 'HTTPS://Site' ||
+        |        (doc_id % 10)::VARCHAR || '.Example.com:443/p/' ||
+        |        (doc_id % 25)::VARCHAR || '/'
+        |      WHEN doc_id % 4 = 2 THEN 'https://www.Site' ||
+        |        (doc_id % 10)::VARCHAR || '.example.COM/p/' ||
+        |        (doc_id % 25)::VARCHAR || '#frag'
+        |      ELSE 'https://site' || (doc_id % 10)::VARCHAR ||
+        |        '.example.com:443/p/' || (doc_id % 25)::VARCHAR || '/#x'
+        |    END AS url
+        |  FROM documents),
+        |c0 AS (SELECT id, s, regexp_replace(url, '#.*$', '') AS u FROM d),
+        |p AS (SELECT id, s, u,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS sch,
+        |    regexp_replace(lower(regexp_extract(u,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '')
+        |      AS h0,
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+        |      AS rest
+        |  FROM c0),
+        |canon AS (SELECT id, s,
+        |    CASE WHEN h0 = '' THEN u
+        |      ELSE sch || '://' ||
+        |        (CASE WHEN sch = 'http' THEN regexp_replace(h0, ':80$', '')
+        |              WHEN sch = 'https' THEN regexp_replace(h0, ':443$', '')
+        |              ELSE h0 END) ||
+        |        (CASE WHEN contains(rest, '?') THEN rest
+        |              ELSE regexp_replace(rest, '/+$', '') END)
+        |    END AS url_canon
+        |  FROM p),
+        |g AS (SELECT url_canon, max(s) AS ms, count(*) AS n_dups
+        |  FROM canon GROUP BY 1)
+        |SELECT min(id) AS id, url_canon, n_dups
+        |FROM canon JOIN g USING (url_canon)
+        |WHERE s = ms
+        |GROUP BY url_canon, n_dups""".stripMargin,
     // l1 twin: the same md5-derived registry + planted suffix typos;
     // ranks via a row_number window, candidates via a rank-gap
     // self-join (window 4 -> gap <= 3), Levenshtein <= 2
@@ -3299,6 +3382,55 @@ object SparkEntry {
         |           15.59::DOUBLE) * 10000::DOUBLE + 0.5::DOUBLE)::BIGINT
         |  END AS fk_e4
         |FROM b""".stripMargin,
+    // t24 twin: t10's unigram NLL + t3's lang-id composed, then the same
+    // histogram-grid tertile thresholds (cum·3 ≥ k·n integer cuts) and
+    // threshold-join tier assignment — ties at a cut share a tier
+    "t24_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |c AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(tf) AS total FROM tf),
+        |nll AS (SELECT doc_id AS id, sum(tf)::BIGINT AS n_tokens,
+        |    round(sum(tf * -ln(c.c::DOUBLE / tot.total)) / sum(tf), 4)
+        |      AS mean_nll
+        |  FROM tf JOIN c USING (term) CROSS JOIN tot GROUP BY doc_id),
+        |lang AS (SELECT doc_id AS id,
+        |    CASE WHEN s_en = best AND best > 0 THEN 'en'
+        |         WHEN s_es = best AND best > 0 THEN 'es'
+        |         WHEN s_de = best AND best > 0 THEN 'de'
+        |         WHEN s_fr = best AND best > 0 THEN 'fr'
+        |         ELSE 'und' END AS lang
+        |  FROM (SELECT doc_id, s_en, s_es, s_de, s_fr,
+        |      greatest(s_en, s_es, s_de, s_fr) AS best
+        |    FROM (SELECT doc_id,
+        |        len(list_filter(w, t -> t IN ('the','a','of','and','is')))
+        |          AS s_en,
+        |        len(list_filter(w, t -> t IN ('el','la','de','que','es')))
+        |          AS s_es,
+        |        len(list_filter(w, t -> t IN ('der','die','und','das','ist')))
+        |          AS s_de,
+        |        len(list_filter(w, t -> t IN ('le','la','et','les','est')))
+        |          AS s_fr
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents)))),
+        |scored AS (SELECT id, lang, mean_nll, n_tokens
+        |  FROM nll JOIN lang USING (id)),
+        |hist AS (SELECT lang, mean_nll, count(*) AS cnt
+        |  FROM scored GROUP BY 1, 2),
+        |cum AS (SELECT lang, mean_nll,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY mean_nll) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |thr AS (SELECT lang,
+        |    min(CASE WHEN cum * 3 >= n THEN mean_nll END) AS head_max,
+        |    min(CASE WHEN cum * 3 >= 2 * n THEN mean_nll END) AS mid_max
+        |  FROM cum GROUP BY 1)
+        |SELECT id, lang, mean_nll, n_tokens,
+        |  CASE WHEN mean_nll <= head_max THEN 'head'
+        |       WHEN mean_nll <= mid_max THEN 'middle'
+        |       ELSE 'tail' END AS tier
+        |FROM scored JOIN thr USING (lang)""".stripMargin,
     // t21 twin: identical md5 bucket hashes rebuild the bit-identical
     // d=4 w=1024 sketch, so estimates and overcounts compare exactly
     "t21_heavy_hitters" ->

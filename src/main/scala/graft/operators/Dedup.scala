@@ -163,6 +163,39 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("digest"))
       .agg(count("*").as("n_docs"), min(col(idCol)).as("canonical_id"))
 
+  /** URL-level dedup — the FIRST dedup pass a web-crawl pipeline runs
+    * (cheaper than any content hash: no text touched): group documents
+    * by [[TextAnalytics.canonicalUrl]] and keep exactly one per
+    * canonical URL — the highest `scoreCol` (crawl freshness, length,
+    * quality…), ties to the smallest id, so the keeper is deterministic
+    * under any partitioning.
+    *
+    * The keeper is selected with two aggregates and one equi-join
+    * (per-group max, join back, min-id among the max-score rows) — the
+    * engine-portable argmax idiom; no window, so no per-URL sort and no
+    * single-reducer risk beyond the join's own key distribution (a
+    * viral URL's rows land on one reducer once, to be filtered — rows
+    * move exactly once). Map-side partial aggregation collapses each
+    * group before either exchange.
+    *
+    * Output: one row per canonical URL — (id, url_canon, n_dups).
+    */
+  def urlDedup(
+      docs: DataFrame, idCol: String, urlCol: String,
+      scoreCol: String): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("id"),
+      graft.operators.TextAnalytics.canonicalUrl(col(urlCol))
+        .as("url_canon"),
+      col(scoreCol).as("s"))
+    val grp = base.groupBy("url_canon")
+      .agg(max("s").as("ms"), count(lit(1)).as("n_dups"))
+    base.join(grp, "url_canon")
+      .where(col("s") === col("ms"))
+      .groupBy("url_canon", "n_dups").agg(min("id").as("id"))
+      .select("id", "url_canon", "n_dups")
+  }
+
   /** Ensure enough partitions to use the cluster for explode-heavy work.
     * A no-op at real scale (many input splits); matters for the harness's
     * single-row-group files, which Spark cannot split.

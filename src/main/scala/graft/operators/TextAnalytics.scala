@@ -293,6 +293,64 @@ object TextAnalytics {
           roundTo).as("mean_nll"))
   }
 
+  /** CCNet head/middle/tail split (Wenzek et al., LREC 2020): bucket
+    * each document into a perplexity tier, per language, so a curation
+    * pass can keep the "head" (fluent under the LM), sample the
+    * "middle", and drop or review the "tail". The LM score is
+    * [[unigramLogProb]]'s `mean_nll`; the language is [[langId]]'s
+    * heuristic prediction; tiers are the per-language NLL tertiles.
+    *
+    * Tier boundaries are THRESHOLDS, not per-doc ranks: the cut points
+    * are the smallest grid values whose cumulative count reaches 1/3
+    * and 2/3 of the language's documents, and ties at a boundary share
+    * a tier (CCNet's own convention — it thresholds on quantile cut
+    * points computed once, it does not NTILE every document). That is
+    * also what makes the operator scale: `mean_nll` is rounded to
+    * `roundTo` decimals, so per language the score axis is a bounded
+    * GRID (~10^roundTo · range distinct values), and the quantiles come
+    * from a histogram aggregate over that grid — the only window in the
+    * plan runs over histogram rows, never corpus rows, and the
+    * threshold table (one row per language) broadcasts back. A
+    * partition-by-language window over documents would instead sort
+    * each language's whole corpus slice on one reducer — with real-web
+    * language skew (English ≫ everything) that is the single-reducer
+    * trap this shape exists to avoid.
+    *
+    * Cross-engine determinism: thresholds select among the same rounded
+    * doubles both engines already agree on bit-for-bit (the t10
+    * contract), cumulative counts are exact integer sums over distinct
+    * grid keys (no tie ambiguity — the histogram has one row per
+    * (lang, nll)), and the tier comparison is `<=` between two values
+    * drawn from that shared grid.
+    *
+    * Output: (id, lang, mean_nll, n_tokens, tier ∈ head|middle|tail).
+    */
+  def perplexityBuckets(
+      docs: DataFrame, idCol: String, textCol: String,
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(docs, idCol, textCol, roundTo)
+      .join(langId(docs, idCol, textCol), "id")
+    // grid-bounded histogram: one row per (language, rounded score)
+    val hist = scored.groupBy("lang_pred", "mean_nll")
+      .agg(count(lit(1)).as("cnt"))
+    val byNll = Window.partitionBy("lang_pred").orderBy("mean_nll")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(byNll))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("lang_pred")))
+    // integer-arithmetic quantile cuts: cum·3 ≥ k·n picks the smallest
+    // grid value at or past the k/3 quantile — no float division
+    val thr = cum.groupBy("lang_pred").agg(
+      min(when(col("cum") * 3 >= col("n"), col("mean_nll"))).as("head_max"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("mean_nll"))).as("mid_max"))
+    scored.join(broadcast(thr), "lang_pred")
+      .select(col("id"), col("lang_pred").as("lang"), col("mean_nll"),
+        col("n_tokens"),
+        when(col("mean_nll") <= col("head_max"), lit("head"))
+          .when(col("mean_nll") <= col("mid_max"), lit("middle"))
+          .otherwise(lit("tail")).as("tier"))
+  }
+
   /** Gopher-style repetition-free quality signals (Rae et al. 2021,
     * Table A1's doc-level rules, the ones a whitespace-token corpus can
     * express): word count, mean word length, fraction of words with an
@@ -534,6 +592,39 @@ object TextAnalytics {
       array_join(
         array_sort(array_distinct(transform(doms, d => lower(d)))),
         ",").as("domains"))
+  }
+
+  /** Canonical form of an http(s) URL — the equivalence key URL-level
+    * crawl dedup groups on. Rules (the standard safe subset: each maps
+    * syntactic variants of the SAME resource together, none merges
+    * distinct resources): lowercase scheme and host, drop a leading
+    * `www.`, drop the scheme's default port (`:80` / `:443`), drop the
+    * `#fragment` (never sent to the server), and drop trailing slashes
+    * from the path when no query string follows. Path case and query
+    * strings are preserved — both are server-meaningful. A string that
+    * doesn't parse as `scheme://host…` passes through unchanged (its
+    * own equivalence class), so malformed rows dedup exactly, never
+    * accidentally together.
+    *
+    * Class-based regexes only (RE2-compatible) and every replace is
+    * anchored/single-match, so the DuckDB twin runs the same patterns
+    * verbatim despite the engines' different default replace scopes.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val restNorm = when(rest.contains("?"), rest)
+      .otherwise(regexp_replace(rest, "/+$", ""))
+    when(host0 === "", u)
+      .otherwise(concat(scheme, lit("://"), host, restNorm))
   }
 
   /** Domain blocklist filter (the UT1/adult-list stage of web curation):

@@ -369,4 +369,33 @@ class DedupSpec extends AnyFunSuite {
     // never silently dropped from the result
     assert(got(21L)._3.isEmpty && !got(21L)._4)
   }
+
+  test("urlDedup: canonicalization variants collapse, keeper by score then id") {
+    val rows = Seq(
+      // five spellings of ONE resource
+      (1L, "https://www.Example.COM:443/a/b", 10L),
+      (2L, "HTTPS://example.com/a/b/", 30L),
+      (3L, "https://example.com/a/b#frag", 30L),
+      (4L, "https://www.example.com/a/b", 5L),
+      (5L, "https://example.com:443/a/b/#x", 1L),
+      // query string survives; trailing slash NOT stripped after '?'
+      (6L, "http://h.org:80/p?q=1/", 7L),
+      (7L, "http://h.org/p?q=1/", 9L),
+      // distinct resources: path case matters, :8080 is not a default port
+      (8L, "https://example.com/A/B", 2L),
+      (9L, "http://h.org:8080/p", 2L),
+      // unparseable string: its own equivalence class, passed through
+      (10L, "not a url at all", 4L)
+    ).toDF("id", "url", "score")
+    val got = Dedup.urlDedup(rows, "id", "url", "score")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._2 -> ((r._1, r._3))).toMap
+    assert(got.size == 5)
+    // ids 2 and 3 tie at score 30 -> lowest id wins; group size 5
+    assert(got("https://example.com/a/b") == ((2L, 5L)))
+    assert(got("http://h.org/p?q=1/") == ((7L, 2L)))
+    assert(got("https://example.com/A/B") == ((8L, 1L)))
+    assert(got("http://h.org:8080/p") == ((9L, 1L)))
+    assert(got("not a url at all") == ((10L, 1L)))
+  }
 }

@@ -383,4 +383,76 @@ class TextAnalyticsSpec extends AnyFunSuite {
     // pmi = ln((24or25/49) / (25*24/2500-ish)) > 0 for the observed pairs
     assert(got.values.forall(_ > 0.0))
   }
+
+  test("perplexityBuckets: per-language tertile thresholds, ties share a tier") {
+    // mixed corpus: ten en docs of varying token rarity (every doc holds
+    // at least one 'the' so langId says en), five und docs, and one
+    // duplicated text (ids 9 & 10) to pin the tie rule at a boundary
+    val corpus: Seq[(Long, String)] = Seq(
+      1L -> "the the the the",
+      2L -> "the the the qq1",
+      3L -> "the the qq2 qq3",
+      4L -> "the qq4 qq5 qq6",
+      5L -> "the rare7 rare8 rare9",
+      6L -> "the the qq1 qq1",
+      7L -> "the zz zz zz",
+      8L -> "the zz qq2 rare7",
+      9L -> "the the the zz",
+      10L -> "the the the zz",
+      11L -> "uno dos tres cuatro",
+      12L -> "uno uno dos dos",
+      13L -> "blip blop bleep bloop",
+      14L -> "uno blip zz qq4",
+      15L -> "mmm nnn ooo ppp")
+    val docs = corpus.toDF("doc_id", "text")
+    val got = TextAnalytics.perplexityBuckets(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("lang"), r.getAs[Double]("mean_nll"),
+          r.getAs[String]("tier"))))
+      .toMap
+
+    // independent plain-Scala model: unigram counts -> per-doc rounded
+    // mean NLL, marker-count language, histogram tertile thresholds
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val counts = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val total = toks.map(_._2.size).sum.toDouble
+    val nll = toks.map { case (id, ws) =>
+      val m = ws.map(w => -math.log(counts(w) / total)).sum / ws.size
+      id -> BigDecimal(m).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }.toMap
+    val en = Set("the", "a", "of", "and", "is")
+    val lang = toks.map { case (id, ws) =>
+      id -> (if (ws.count(en) > 0) "en" else "und")
+    }.toMap
+    val expected = corpus.map(_._1).groupBy(lang).flatMap { case (_, ids) =>
+      val grid = ids.map(nll).sorted.distinct
+      val cum = grid.map(v => v -> ids.count(i => nll(i) <= v)).toMap
+      val n = ids.size
+      val headMax = grid.find(v => cum(v) * 3 >= n).get
+      val midMax = grid.find(v => cum(v) * 3 >= 2 * n).get
+      ids.map { i =>
+        i -> (if (nll(i) <= headMax) "head"
+              else if (nll(i) <= midMax) "middle" else "tail")
+      }
+    }
+    assert(got.keySet == corpus.map(_._1).toSet)
+    for ((id, tier) <- expected) {
+      assert(got(id)._1 == lang(id), s"lang of $id")
+      assert(got(id)._2 == nll(id), s"nll of $id")
+      assert(got(id)._3 == tier, s"tier of $id")
+    }
+    // identical texts always share a tier, whatever the cuts landed on
+    assert(got(9L)._3 == got(10L)._3)
+    // tiers are monotone in NLL within each language
+    for (l <- Seq("en", "und")) {
+      val byTier = got.values.filter(_._1 == l).toSeq.groupBy(_._3)
+      def rng(t: String) = byTier.getOrElse(t, Nil).map(_._2)
+      if (rng("head").nonEmpty && rng("middle").nonEmpty)
+        assert(rng("head").max <= rng("middle").min)
+      if (rng("middle").nonEmpty && rng("tail").nonEmpty)
+        assert(rng("middle").max <= rng("tail").min)
+    }
+  }
 }
