@@ -118,6 +118,28 @@ object ScaleProbe {
         TextAnalytics.tfIdfTopTerms(d, "doc_id", "text").count()),
       "t10_logprob" -> (d =>
         TextAnalytics.unigramLogProb(d, "doc_id", "text").count()),
+      "t24_ccnet" -> (d =>
+        TextAnalytics.perplexityBuckets(d, "doc_id", "text").count()),
+      // four syntactic variants per doc, colliding mod n/10 — group
+      // count grows with the corpus (fixed groups would concentrate
+      // keys; scaling them is the d5-band/g1-host knob discipline)
+      "d17_url_dedup" -> { d =>
+        val grp = math.max(probeN / 10, 50L)
+        Dedup.urlDedup(
+          d.select(col("doc_id"),
+            concat(
+              when(pmod(col("doc_id"), lit(4)) === 0, "https://www.site")
+                .when(pmod(col("doc_id"), lit(4)) === 1, "HTTPS://Site")
+                .otherwise("https://site"),
+              pmod(col("doc_id"), lit(grp)).cast("string"),
+              lit(".Example.com"),
+              when(pmod(col("doc_id"), lit(2)) === 0, ":443").otherwise(""),
+              lit("/p/"), pmod(col("doc_id"), lit(7)).cast("string"),
+              when(pmod(col("doc_id"), lit(3)) === 0, "#f").otherwise(""))
+              .as("url"),
+            length(col("text")).as("n_chars")),
+          "doc_id", "url", "n_chars").count()
+      },
       "t17_bigram" -> (d =>
         TextAnalytics.bigramLogProb(d, "doc_id", "text").count()),
       "t15_bm25" -> (d =>
