@@ -1111,6 +1111,14 @@ object SparkEntry {
     Sharding.epochShuffle(T(s, d, "documents"), "doc_id",
       nShards = 8, epoch = 1L)
 
+  /** s8: curriculum ordering — easy→hard by n_chars, the seeded md5
+    * permutation breaking same-length runs; dense global positions from
+    * the external-sort-rank shape (one range shuffle + partition
+    * offsets), never a single-reducer global window.
+    */
+  private def s8Curriculum(s: SparkSession, d: String): DataFrame =
+    Sampling.curriculumOrder(T(s, d, "documents"), "doc_id", "n_chars")
+
   /** t15: Okapi BM25 of every document against a fixed query-term set —
     * posting lists only ever shuffle; (N, avgdl, df) are broadcast
     * aggregates.
@@ -1714,6 +1722,7 @@ object SparkEntry {
     "c4_corpus_merge" -> (c4CorpusMerge _),
     "c5_profile" -> (c5Profile _),
     "s5_shard_shuffle" -> (s5ShardShuffle _),
+    "s8_curriculum" -> (s8Curriculum _),
     "s7_temperature_mix" -> (s7TemperatureMix _),
     "h1_hybrid_rrf" -> (h1HybridRrf _),
     "v12_ann_recall" -> (v12AnnRecall _),
@@ -3490,6 +3499,13 @@ object SparkEntry {
         |  round((length(text) - length(replace(text, '#', '')))::DOUBLE
         |    / len(w), 4) AS hash_ratio
         |FROM d""".stripMargin,
+    // s8 twin: the one-reducer row_number the ENGINE refuses to run —
+    // the distributed rank must equal it exactly
+    "s8_curriculum" ->
+      """SELECT doc_id AS id, n_chars::DOUBLE AS score,
+        |  row_number() OVER (ORDER BY n_chars::DOUBLE,
+        |    md5('graft' || doc_id::VARCHAR), doc_id) AS pos
+        |FROM documents""".stripMargin,
     "s5_shard_shuffle" ->
       """WITH m AS (SELECT doc_id AS id,
         |    (48271 * (doc_id % 2147483647) + 1) % 2147483647 AS x1

@@ -343,6 +343,57 @@ object Sampling {
         when(col("rn") <= nCore, "core").otherwise("fringe").as("role"))
   }
 
+  /** Curriculum ordering: assign every document a dense global training
+    * position 1..n in (difficulty ascending, seeded permutation, id)
+    * order — the easy→hard schedule of curriculum learning, with the
+    * seeded `md5(seed || id)` permutation (the [[stratifiedSample]]
+    * convention: engine-portable, re-seedable) decorrelating
+    * same-difficulty runs so one source's docs don't train back to back.
+    *
+    * A global `row_number()` window would sort the corpus on ONE
+    * reducer; this instead reuses the external-sort-rank shape of
+    * [[RecordLinkage]]'s sorted run: one `repartitionByRange` shuffle
+    * (partition i wholly precedes partition i+1), per-partition counts
+    * collected once (one row per partition — model-sized), then local
+    * running count + partition offset = the dense global position. The
+    * run is localCheckpointed so the offsets action and the output pass
+    * read one materialization.
+    *
+    * Output: (id, score, pos) — pos is a permutation of 1..n,
+    * deterministic under any input partitioning.
+    */
+  def curriculumOrder(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      seed: String = "graft", numPartitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val run = docs
+      .select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("sc"),
+        md5(concat(lit(seed), col(idCol).cast("string"))).as("h"))
+      .repartitionByRange(parts, col("sc"), col("h"), col("id"))
+      .sortWithinPartitions("sc", "h", "id")
+      .select(spark_partition_id().as("pid"), col("id"), col("sc"),
+        col("h"))
+      .as[(Int, Long, Double, String)]
+      .localCheckpoint()
+    val counts = run.groupBy("pid").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (p, n) => val o = p -> acc; acc += n; o }.toMap
+    }
+    run.mapPartitions { it =>
+      var i = 0L
+      it.map { case (pid, id, sc, _) =>
+        i += 1; (id, sc, offsets(pid) + i)
+      }
+    }.toDF("id", "score", "pos")
+  }
+
   /** Squared L2 distance from a vector to its assigned centroid: lookup
     * into centroid-table literals by cluster index + the fused dot
     * kernel — one expression regardless of nlist (an nlist-deep

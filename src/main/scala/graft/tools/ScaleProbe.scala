@@ -140,6 +140,10 @@ object ScaleProbe {
             length(col("text")).as("n_chars")),
           "doc_id", "url", "n_chars").count()
       },
+      "s8_curriculum" -> (d =>
+        Sampling.curriculumOrder(
+          d.select(col("doc_id"), length(col("text")).as("n")),
+          "doc_id", "n").count()),
       "t17_bigram" -> (d =>
         TextAnalytics.bigramLogProb(d, "doc_id", "text").count()),
       "t15_bm25" -> (d =>

@@ -207,4 +207,30 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, Int, Double, String)].collect()
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("curriculumOrder: dense easy-to-hard permutation, partitioning-proof") {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    val docs = (1L to 200L).map(i => (i, (i % 7) * 10.0))
+      .toDF("doc_id", "difficulty")
+    val got = Sampling.curriculumOrder(docs, "doc_id", "difficulty",
+        numPartitions = 8)
+      .as[(Long, Double, Long)].collect()
+    // pos is a permutation of 1..n
+    assert(got.map(_._3).sorted.toSeq == (1L to 200L))
+    // positions are monotone in score: easy docs train first
+    val byPos = got.sortBy(_._3)
+    assert(byPos.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    // within a same-score run the order IS the seeded md5 permutation
+    val hashes = docs
+      .select(col("doc_id"),
+        md5(concat(lit("graft"), col("doc_id").cast("string"))).as("h"))
+      .as[(Long, String)].collect().toMap
+    byPos.filter(_._2 == 0.0).map(r => hashes(r._1))
+      .sliding(2).foreach(p => assert(p(0) <= p(1)))
+    // identical output under a different input partitioning
+    val again = Sampling.curriculumOrder(docs.repartition(13),
+        "doc_id", "difficulty", numPartitions = 3)
+      .as[(Long, Double, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
