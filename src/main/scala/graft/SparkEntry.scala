@@ -1182,6 +1182,16 @@ object SparkEntry {
       .select(col("id"), col("pos").cast("long").as("pos"), col("token"))
   }
 
+  /** t25: tokenizer fertility by language — subword tokens per word and
+    * chars per token under the registry-trained 16-merge BPE, the
+    * fairness report a multilingual tokenizer ships with.
+    */
+  private def t25TokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMergesDf(s,
+      ModelRegistry.getOrTrain(s"bpe16:$d")(bpeTrain16(s, d)))
+    BpeTrain.fertilityByLang(T(s, d, "documents"), "doc_id", "text", merges)
+  }
+
   /** c2: FineWeb-style relative quality gate — keep the top half of each
     * source by quality score, exact percent_rank form (the
     * approx-cutoff scale path is spec'd equivalent in
@@ -1747,6 +1757,7 @@ object SparkEntry {
     "t15_bm25" -> (t15Bm25 _),
     "t16_bpe_merges" -> (t16BpeMerges _),
     "t20_bpe_tokenize" -> (t20BpeTokenize _),
+    "t25_tokenizer_fertility" -> (t25TokenizerFertility _),
     "t17_bigram_logprob" -> (t17BigramLogProb _),
     "t18_gopher_signals" -> (t18Gopher _),
     "t19_domain_blocklist" -> (t19Blocklist _),
@@ -2287,6 +2298,83 @@ object SparkEntry {
        |  (row_number() OVER (PARTITION BY doc_id ORDER BY wp, sp) - 1)::BIGINT
        |    AS pos, token
        |FROM tokpos""".stripMargin
+
+  /** t25 twin: the t20 BPE replay through `enc(word, syms)`, then
+    * per-doc word/token sums (left join keeps encoder-emptied docs),
+    * the t3 lang CASE, and the same scaled-BIGINT ratio trees.
+    */
+  private lazy val tokenizerFertilityOracle: String =
+    s"""WITH RECURSIVE
+       |$bpeRoundsCte,
+       |mlcte AS MATERIALIZED (SELECT list([l, r] ORDER BY rank) AS ml FROM (
+       |  SELECT rank, l, r, cnt, min(cnt) OVER (ORDER BY rank) AS runmin
+       |  FROM allb) WHERE runmin >= 2),
+       |dwords AS MATERIALIZED (SELECT DISTINCT word
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> ''),
+       |rec AS (
+       |  SELECT word, list_append(string_split(word, ''), '</w>') AS syms
+       |  FROM dwords
+       |  UNION ALL
+       |  SELECT word,
+       |    list_reduce(
+       |      list_prepend([syms[1]], list_transform(syms[2:], s -> [s])),
+       |      (acc, x) -> CASE WHEN acc[len(acc)] = ml[bp][1]
+       |          AND x[1] = ml[bp][2]
+       |        THEN list_append(acc[1:len(acc)-1], ml[bp][1] || ml[bp][2])
+       |        ELSE list_append(acc, x[1]) END) AS syms
+       |  FROM (
+       |    SELECT word, syms, m.ml,
+       |      list_min(list_filter(
+       |        list_transform(list_zip(syms[1:len(syms)-1], syms[2:]),
+       |          p -> list_position(m.ml, [p[1], p[2]])),
+       |        x -> coalesce(x, 0) > 0)) AS bp
+       |    FROM rec CROSS JOIN mlcte m)
+       |  WHERE coalesce(bp, 0) > 0),
+       |enc AS (SELECT word, syms FROM (
+       |  SELECT word, syms,
+       |    list_min(list_filter(
+       |      list_transform(list_zip(syms[1:len(syms)-1], syms[2:]),
+       |        p -> list_position(m.ml, [p[1], p[2]])),
+       |      x -> coalesce(x, 0) > 0)) AS bp
+       |  FROM rec CROSS JOIN mlcte m) WHERE coalesce(bp, 0) = 0),
+       |dw AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+       |  FROM documents),
+       |dt AS (SELECT doc_id, count(*) AS n_words, sum(len(e.syms)) AS n_tok
+       |  FROM dw JOIN enc e USING (word) GROUP BY doc_id),
+       |lng AS (SELECT doc_id,
+       |    CASE WHEN s_en = best AND best > 0 THEN 'en'
+       |         WHEN s_es = best AND best > 0 THEN 'es'
+       |         WHEN s_de = best AND best > 0 THEN 'de'
+       |         WHEN s_fr = best AND best > 0 THEN 'fr'
+       |         ELSE 'und' END AS lang
+       |  FROM (SELECT doc_id, s_en, s_es, s_de, s_fr,
+       |      greatest(s_en, s_es, s_de, s_fr) AS best
+       |    FROM (SELECT doc_id,
+       |        len(list_filter(w, t -> t IN ('the','a','of','and','is')))
+       |          AS s_en,
+       |        len(list_filter(w, t -> t IN ('el','la','de','que','es')))
+       |          AS s_es,
+       |        len(list_filter(w, t -> t IN ('der','die','und','das','ist')))
+       |          AS s_de,
+       |        len(list_filter(w, t -> t IN ('le','la','et','les','est')))
+       |          AS s_fr
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |            FROM documents)))),
+       |j AS (SELECT l.lang, d.n_chars,
+       |    coalesce(dt.n_words, 0) AS n_words, coalesce(dt.n_tok, 0) AS n_tok
+       |  FROM documents d JOIN lng l USING (doc_id)
+       |  LEFT JOIN dt USING (doc_id))
+       |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS n_words,
+       |  sum(n_tok)::BIGINT AS n_tokens, sum(n_chars)::BIGINT AS n_chars,
+       |  CASE WHEN sum(n_words) = 0 THEN NULL ELSE
+       |    floor(sum(n_tok) * 10000.0 / sum(n_words) + 0.5)::BIGINT END
+       |    AS fertility_e4,
+       |  CASE WHEN sum(n_tok) = 0 THEN NULL ELSE
+       |    floor(sum(n_chars) * 10000.0 / sum(n_tok) + 0.5)::BIGINT END
+       |    AS chars_per_token_e4
+       |FROM j GROUP BY lang""".stripMargin
 
   /** DuckDB CTE chain reproducing the portable whole-vector IVF k-means
     * train (`Similarity.ivfTrain(nlist = 8, iters = 2, portable = true)`):
@@ -3762,6 +3850,7 @@ object SparkEntry {
         |       if (ws[i-1] < 0) <> (ws[i] < 0)])::BIGINT AS zero_crossings
         |FROM win""".stripMargin,
     "t20_bpe_tokenize" -> bpeTokenizeOracle,
+    "t25_tokenizer_fertility" -> tokenizerFertilityOracle,
     // a6's oracle checks the sketch's accuracy contract, not the
     // engine-specific sketch value: exact counts + the 3-rsd flag the
     // Spark side must satisfy

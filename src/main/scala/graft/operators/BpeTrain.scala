@@ -155,6 +155,53 @@ object BpeTrain {
       .toDF("id", "tokens")
   }
 
+  /** Tokenizer fertility report by language — the standard tokenizer
+    * evaluation (how many subword tokens per whitespace word, how many
+    * characters per token) that decides whether a trained vocabulary
+    * serves each language fairly: high fertility on a language means
+    * its texts pay more sequence length per word of content.
+    *
+    * Per language: doc/word/token/char totals plus
+    * `fertility_e4` = ⌊Σtokens·10⁴/Σwords + ½⌋ and
+    * `chars_per_token_e4` = ⌊Σchars·10⁴/Σtokens + ½⌋ (scaled-BIGINT
+    * outputs, the hashed-output discipline; NULL on a zero
+    * denominator, never ±Inf).
+    *
+    * Shape: [[applyMerges]]' scan-side encode (merge table is
+    * model-sized, driver-held) and the lang/word/char projection are
+    * two passes over the corpus joined on id — narrow (id, counts)
+    * rows, one equi-shuffle each — then one language-keyed aggregate
+    * with map-side partials (≤ |langs| rows cross the wire per task).
+    * Docs the encoder empties stay in the totals via the left join.
+    */
+  def fertilityByLang(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val toks = applyMerges(docs, idCol, textCol, merges)
+      .select(col("id"), size(col("tokens")).cast("long").as("n_tok"))
+    val base = docs.select(col(idCol).as("id"),
+      TextAnalytics.langIdColumn(col(textCol)).as("lang"),
+      size(filter(split(col(textCol), " "), w => w =!= ""))
+        .cast("long").as("n_words"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    base.join(toks, Seq("id"), "left")
+      .select(col("lang"), col("n_words"), col("n_chars"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        when(sum("n_words") === 0, lit(null))
+          .otherwise(floor(
+            sum("n_tok") * lit(10000.0) / sum("n_words") + lit(0.5)))
+          .cast("long").as("fertility_e4"),
+        when(sum("n_tok") === 0, lit(null))
+          .otherwise(floor(
+            sum("n_chars") * lit(10000.0) / sum("n_tok") + lit(0.5)))
+          .cast("long").as("chars_per_token_e4"))
+  }
+
   /** Apply-BPE loop for one word: repeatedly take the lowest-priority
     * applicable merge, exactly as training ordered them. Object-level so
     * the executor closure captures only the (serializable) merge map.

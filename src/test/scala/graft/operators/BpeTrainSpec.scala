@@ -95,4 +95,30 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(enc(1L) == Seq("aa</w>", "a", "b", BpeTrain.EndOfWord))
     assert(enc(2L) == Seq("aa</w>", "aa</w>"))
   }
+
+  test("fertilityByLang: hand-computed per-language token/word/char ratios") {
+    val train = Seq("aa aa ab").toDF("text")
+    val merges = BpeTrain.learnMerges(train, "text", numMerges = 2)
+    // encodings under those merges: "aa" -> [aa</w>] (1 token),
+    // "ab" -> [a, b, </w>] (3 tokens)
+    val docs = Seq(
+      (1L, "the aa ab"), // en: 3 words, "the" -> t h e </w> = 4 toks -> 8
+      (2L, "aa aa"),     // und: 2 words, 2 tokens
+      (3L, "ab")         // und: 1 word, 3 tokens
+    ).toDF("doc_id", "text")
+    val got = BpeTrain.fertilityByLang(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val en = got("en")
+    assert(en.getAs[Long]("n_docs") == 1 && en.getAs[Long]("n_words") == 3)
+    assert(en.getAs[Long]("n_tokens") == 8 && en.getAs[Long]("n_chars") == 9)
+    // floor(8*1e4/3 + .5) = 26667; floor(9*1e4/8 + .5) = 11250
+    assert(en.getAs[Long]("fertility_e4") == 26667L)
+    assert(en.getAs[Long]("chars_per_token_e4") == 11250L)
+    val und = got("und")
+    assert(und.getAs[Long]("n_docs") == 2 && und.getAs[Long]("n_words") == 3)
+    assert(und.getAs[Long]("n_tokens") == 5 && und.getAs[Long]("n_chars") == 7)
+    // floor(5*1e4/3 + .5) = 16667; floor(7*1e4/5 + .5) = 14000
+    assert(und.getAs[Long]("fertility_e4") == 16667L)
+    assert(und.getAs[Long]("chars_per_token_e4") == 14000L)
+  }
 }
