@@ -360,7 +360,11 @@ object Sampling {
     * read one materialization.
     *
     * Output: (id, score, pos) — pos is a permutation of 1..n,
-    * deterministic under any input partitioning.
+    * deterministic under any input partitioning. NULL scores sort
+    * FIRST (Spark's ascending-null order; engines differ here — DuckDB
+    * defaults to nulls last — so a caller with nullable difficulties
+    * must coalesce to a sentinel before asking for cross-engine
+    * reproducibility).
     */
   def curriculumOrder(
       docs: DataFrame, idCol: String, scoreCol: String,
