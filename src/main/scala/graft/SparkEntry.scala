@@ -1192,6 +1192,24 @@ object SparkEntry {
     BpeTrain.fertilityByLang(T(s, d, "documents"), "doc_id", "text", merges)
   }
 
+  /** c10: k-anonymity audit (k=5) over the release metadata tuple
+    * (lang, source, 100-char length bucket) — flags every equivalence
+    * class small enough to re-identify by joining those attributes.
+    */
+  private def c10KAnonymity(s: SparkSession, d: String): DataFrame =
+    Profiling.kAnonymity(
+      T(s, d, "documents").select(col("lang"), col("source"),
+        floor(col("n_chars") / lit(100)).cast("long").as("chars_bucket")),
+      Seq("lang", "source", "chars_bucket"), k = 5L)
+
+  /** t26: weighted-lexicon severity — four corpus-vocabulary terms with
+    * severities 1..4, scored as the token-normalized weighted hit rate
+    * (scan-side map-literal kernel, zero shuffle).
+    */
+  private def t26LexiconScore(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.lexiconScore(T(s, d, "documents"), "doc_id", "text",
+      Map("slow" -> 3, "dup" -> 4, "big" -> 1, "hash" -> 2))
+
   /** c2: FineWeb-style relative quality gate — keep the top half of each
     * source by quality score, exact percent_rank form (the
     * approx-cutoff scale path is spec'd equivalent in
@@ -1751,6 +1769,8 @@ object SparkEntry {
     "c7_drift_psi" -> (c7DriftPsi _),
     "c8_jsonl_roundtrip" -> (c8JsonlRoundtrip _),
     "c9_release_gate" -> (c9ReleaseGate _),
+    "c10_k_anonymity" -> (c10KAnonymity _),
+    "t26_lexicon_score" -> (t26LexiconScore _),
     "d16_cluster_resolve" -> (d16ClusterResolve _),
     "d17_url_dedup" -> (d17UrlDedup _),
     "l1_record_linkage" -> (l1RecordLinkage _),
@@ -3479,6 +3499,25 @@ object SparkEntry {
         |           15.59::DOUBLE) * 10000::DOUBLE + 0.5::DOUBLE)::BIGINT
         |  END AS fk_e4
         |FROM b""".stripMargin,
+    // c10 twin: the same quasi-tuple GROUP BY; // is floor division on
+    // positive integers, matching the engine's floor(n/100)
+    "c10_k_anonymity" ->
+      """SELECT lang, source, (n_chars // 100)::BIGINT AS chars_bucket,
+        |  count(*)::BIGINT AS class_size, count(*) < 5 AS at_risk
+        |FROM documents GROUP BY 1, 2, 3""".stripMargin,
+    // t26 twin: identical term weights in a CASE chain, the same
+    // floor(sum*1e4/n + .5) tree
+    "t26_lexicon_score" ->
+      """SELECT doc_id AS id, len(w)::BIGINT AS n_tokens,
+        |  len(list_filter(w, t -> t IN ('slow','dup','big','hash')))::BIGINT
+        |    AS n_hits,
+        |  CASE WHEN len(w) = 0 THEN NULL ELSE
+        |    floor(list_sum(list_transform(w, t ->
+        |      CASE WHEN t = 'slow' THEN 3 WHEN t = 'dup' THEN 4
+        |           WHEN t = 'big' THEN 1 WHEN t = 'hash' THEN 2
+        |           ELSE 0 END))::DOUBLE * 10000.0 / len(w) + 0.5)::BIGINT
+        |  END AS severity_e4
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin,
     // t24 twin: t10's unigram NLL + t3's lang-id composed, then the same
     // histogram-grid tertile thresholds (cum·3 ≥ k·n integer cuts) and
     // threshold-join tier assignment — ties at a cut share a tier

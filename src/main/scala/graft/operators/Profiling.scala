@@ -63,6 +63,28 @@ object Profiling {
     *
     * Output: (bin, n_a, n_b, p_a, p_b, psi) — one row per bin.
     */
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002) —
+    * the metadata-release check run before a corpus ships with
+    * per-document attributes: group by the quasi-identifier tuple and
+    * flag every equivalence class smaller than `k`, whose members are
+    * re-identifiable by joining those attributes against an external
+    * table. Output: one row per class — the quasi columns, `class_size`,
+    * and `at_risk = class_size < k`; the release decision is typically
+    * "suppress or generalize every at-risk class".
+    *
+    * One hash aggregate on the quasi tuple with map-side partials —
+    * ≤ |classes| rows cross the wire per task, and classes are
+    * policy-bounded (a release would generalize columns until they
+    * are). Nothing else scales past the scan.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one column")
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
+
   def distributionDrift(
       a: DataFrame, b: DataFrame, valueCol: String,
       lo: Double, hi: Double, bins: Int = 10): DataFrame = {

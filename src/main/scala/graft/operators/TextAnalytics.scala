@@ -657,6 +657,41 @@ object TextAnalytics {
           .as("blocked"))
   }
 
+  /** Weighted-lexicon severity scoring (the Jigsaw-wordlist-style
+    * toxicity/safety signal of web curation): each lexicon term carries
+    * an integer severity weight; a document's score is the
+    * token-normalized weighted hit rate,
+    * `severity_e4 = ⌊Σ w(t)·10⁴ / n_tokens + ½⌋` over its token
+    * instances (scaled BIGINT, NULL on an empty token list), plus the
+    * raw hit count. Distinct from [[domainBlocklistFilter]] (binary
+    * link-domain flag) — this grades CONTENT by degree, the knob a
+    * curation policy thresholds per deployment.
+    *
+    * The lexicon is model-sized and rides as a map LITERAL inside the
+    * row expression (`element_at` per token — scan-side, zero shuffle,
+    * whole-stage codegen); a join formulation would shuffle token
+    * occurrences for a dimension table of a few thousand rows.
+    */
+  def lexiconScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      lexicon: Map[String, Int]): DataFrame = {
+    require(lexicon.nonEmpty, "lexiconScore needs a non-empty lexicon")
+    require(lexicon.values.forall(_ > 0),
+      "lexicon weights must be positive integers")
+    val lex = typedLit(lexicon)
+    val toks = tokens(col(textCol))
+    val w = transform(toks, t => coalesce(element_at(lex, t), lit(0)))
+    docs.select(
+      col(idCol).as("id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(w, x => x > 0)).cast("long").as("n_hits"),
+      when(size(toks) === 0, lit(null))
+        .otherwise(floor(
+          aggregate(w, lit(0L), (a, x) => a + x) * lit(10000.0) /
+            size(toks) + lit(0.5)))
+        .cast("long").as("severity_e4"))
+  }
+
   // ---- PII redaction ------------------------------------------------------
 
   /** PII patterns kept to the RE2-compatible subset (no backrefs, no

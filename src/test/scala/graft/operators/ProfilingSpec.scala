@@ -122,4 +122,28 @@ class ProfilingSpec extends AnyFunSuite {
     }
     assert(allBench.getMessage.contains("benchPred"), allBench.getMessage)
   }
+
+  test("kAnonymity: class sizes and the at-risk flag, hand-checked") {
+    val rows = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"), // class of 3
+      ("en", "books"), ("en", "books"),            // class of 2
+      ("fr", "web")                                // singleton
+    ).toDF("lang", "source")
+    val got = Profiling.kAnonymity(rows, Seq("lang", "source"), k = 3L)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("class_size"), r.getAs[Boolean]("at_risk"))))
+      .toMap
+    assert(got.size == 3)
+    assert(got(("en", "web")) == ((3L, false)))
+    assert(got(("en", "books")) == ((2L, true)))
+    assert(got(("fr", "web")) == ((1L, true)))
+    // guards
+    intercept[IllegalArgumentException] {
+      Profiling.kAnonymity(rows, Seq.empty, k = 3L)
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.kAnonymity(rows, Seq("lang"), k = 1L)
+    }
+  }
 }

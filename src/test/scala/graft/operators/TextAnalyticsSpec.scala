@@ -384,6 +384,29 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(got.values.forall(_ > 0.0))
   }
 
+  test("lexiconScore: weighted hit rate on the token grid, hand-checked") {
+    val lex = Map("bad" -> 3, "worse" -> 5)
+    val rows = Seq(
+      (1L, "bad bad worse ok"),  // 4 toks, 3 hits, w-sum 11
+      (2L, "all clean here"),    // 0 hits
+      (3L, "worse")              // 1 tok, 1 hit, w-sum 5
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.lexiconScore(rows, "doc_id", "text", lex)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // floor(11*1e4/4 + .5) = 27500
+    assert(got(1L) == ((1L, 4L, 3L, Some(27500L))))
+    assert(got(2L) == ((2L, 3L, 0L, Some(0L))))
+    // floor(5*1e4/1 + .5) = 50000
+    assert(got(3L) == ((3L, 1L, 1L, Some(50000L))))
+    intercept[IllegalArgumentException] {
+      TextAnalytics.lexiconScore(rows, "doc_id", "text", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalytics.lexiconScore(rows, "doc_id", "text", Map("x" -> 0))
+    }
+  }
+
   test("perplexityBuckets: per-language tertile thresholds, ties share a tier") {
     // mixed corpus: ten en docs of varying token rarity (every doc holds
     // at least one 'the' so langId says en), five und docs, and one
