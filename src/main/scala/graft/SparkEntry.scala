@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrain, Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalJoin, Layout, ModelRegistry, Multimodal, Pca, Profiling, RecordLinkage, Retrieval, Sampling, Sharding, Similarity, Sketches, Snapshot, TextAnalytics}
+import graft.operators.{BpeTrain, Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalDepth, IntervalJoin, Layout, ModelRegistry, Multimodal, Pca, Profiling, RecordLinkage, Retrieval, Sampling, Sharding, Similarity, Sketches, Snapshot, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -1192,6 +1192,21 @@ object SparkEntry {
     BpeTrain.fertilityByLang(T(s, d, "documents"), "doc_id", "text", merges)
   }
 
+  /** j10: coverage-depth histogram over synthesized intervals (chrom =
+    * source, deterministic start/length from doc_id) — the event-sweep
+    * prefix sum runs DISTRIBUTED (range partitions + carried offsets),
+    * never a per-chrom window sort; oracle runs the literal per-chrom
+    * window.
+    */
+  private def j10IntervalDepth(s: SparkSession, d: String): DataFrame = {
+    val st = pmod(col("doc_id") * 37, lit(1000))
+    IntervalDepth.depthHistogram(
+      T(s, d, "documents").select(
+        col("source").as("chrom"), st.as("start"),
+        (st + 50 + pmod(col("doc_id"), lit(200))).as("stop")),
+      "chrom", "start", "stop")
+  }
+
   /** c10: k-anonymity audit (k=5) over the release metadata tuple
     * (lang, source, 100-char length bucket) — flags every equivalence
     * class small enough to re-identify by joining those attributes.
@@ -1705,6 +1720,7 @@ object SparkEntry {
     "f8_pivot" -> (f8Pivot _),
     "j8_cross_join" -> (j8Cross _),
     "j9_asof_join" -> (j9AsOf _),
+    "j10_interval_depth" -> (j10IntervalDepth _),
     "f1_scalar_funcs" -> (f1Scalar _),
     "f2_bucketize" -> (f2Bucketize _),
     "f3_json_extract" -> (f3Json _),
@@ -3499,6 +3515,23 @@ object SparkEntry {
         |           15.59::DOUBLE) * 10000::DOUBLE + 0.5::DOUBLE)::BIGINT
         |  END AS fk_e4
         |FROM b""".stripMargin,
+    // j10 twin: identical synthesized intervals; the sweep's prefix sum
+    // as the per-chrom window the engine itself refuses to run
+    "j10_interval_depth" ->
+      """WITH iv AS (SELECT source AS chrom,
+        |    (doc_id * 37) % 1000 AS s,
+        |    (doc_id * 37) % 1000 + 50 + doc_id % 200 AS e
+        |  FROM documents),
+        |ev AS (SELECT chrom, s AS pos, 1 AS d FROM iv
+        |  UNION ALL SELECT chrom, e + 1, -1 FROM iv),
+        |agg AS (SELECT chrom, pos, sum(d) AS delta FROM ev GROUP BY 1, 2),
+        |run AS (SELECT chrom, pos,
+        |    sum(delta) OVER (PARTITION BY chrom ORDER BY pos) AS depth,
+        |    lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next_pos
+        |  FROM agg)
+        |SELECT depth::BIGINT AS depth, sum(next_pos - pos)::BIGINT AS n_bases
+        |FROM run WHERE next_pos IS NOT NULL AND depth > 0
+        |GROUP BY depth""".stripMargin,
     // c10 twin: the same quasi-tuple GROUP BY; // is floor division on
     // positive integers, matching the engine's floor(n/100)
     "c10_k_anonymity" ->

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Coverage-depth histogram over an interval table — the genomics
+  * `genomecov` question ("how many bases are covered at depth d?") the
+  * reference's gVCF band/variant intersection logic circles around
+  * (reference `gzToParquet`'s band tables are exactly such intervals);
+  * the same operator profiles any span data: session overlap, ad
+  * delivery, time-range load.
+  *
+  * Algorithm: the classic event sweep, made distributed.
+  * Each interval [start, stop] emits (+1 at start, −1 at stop+1);
+  * events collapse per (chrom, pos) into one delta row; the running
+  * prefix sum of deltas in (chrom, pos) order IS the depth over the
+  * segment [pos, next event pos). The histogram sums segment lengths
+  * per depth.
+  *
+  * The prefix sum is where naive Spark dies at scale: a window
+  * `PARTITION BY chrom ORDER BY pos` sorts every chromosome on ONE
+  * reducer — human chr1 is a tenth of the genome. Instead this runs
+  * the external-sort-rank discipline ([[Sampling.curriculumOrder]],
+  * RecordLinkage's sorted run) generalized to prefix SUMS:
+  * one `repartitionByRange` on (chrom, pos), per-(partition, chrom)
+  * delta subtotals collected once (≤ partitions + chroms rows —
+  * model-sized, the offset vector of an external scan), and a
+  * per-partition streaming pass that adds the carried offset. Segment
+  * ends come from the partition-local next row, or — only for the last
+  * row of a partition mid-chromosome — from the next non-empty
+  * partition's first position, known on the driver from the same
+  * collect. Every step is exact integer arithmetic; output is
+  * engine-bit-identical.
+  *
+  * The sweep invariant makes chrom boundaries safe with no special
+  * case: every interval closes inside its chromosome, so the running
+  * depth returns to 0 at a chromosome's last event and the (depth > 0)
+  * filter drops the unbounded tail segment.
+  *
+  * Input contract: `startCol <= endCol` per row (violations raise),
+  * positions are integers, intervals are CLOSED ([start, stop]).
+  * Output: (depth, n_bases), depth >= 1.
+  */
+object IntervalDepth {
+
+  def depthHistogram(
+      intervals: DataFrame, chromCol: String, startCol: String,
+      endCol: String, numPartitions: Int = 0): DataFrame = {
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val iv = intervals.select(
+      col(chromCol).cast("string").as("chrom"),
+      col(startCol).cast("long").as("s"),
+      // fail loudly on an inverted interval — a silent drop would
+      // undercount depth with no signal
+      when(col(endCol).cast("long") < col(startCol).cast("long"),
+        raise_error(concat(lit("depthHistogram: interval with end < "
+          + "start at chrom "), col(chromCol).cast("string"))))
+        .otherwise(col(endCol).cast("long")).as("e"))
+    val ev = iv.select(col("chrom"), col("s").as("pos"), lit(1L).as("d"))
+      .unionAll(iv.select(col("chrom"), (col("e") + 1).as("pos"),
+        lit(-1L).as("d")))
+    // one delta row per event position — map-side partials collapse
+    // duplicate positions before the exchange
+    val agg = ev.groupBy("chrom", "pos").agg(sum("d").as("delta"))
+    val run = agg
+      .repartitionByRange(parts, col("chrom"), col("pos"))
+      .sortWithinPartitions("chrom", "pos")
+      .select(spark_partition_id().as("pid"), col("chrom"), col("pos"),
+        col("delta"))
+      .as[(Int, String, Long, Long)]
+      .localCheckpoint()
+    // per-(partition, chrom) subtotals and first event per partition:
+    // <= partitions + chroms rows — the model-sized driver traffic of
+    // an external scan's offset vector
+    val partials = run.groupBy("pid", "chrom")
+      .agg(sum("delta").as("sd"), min("pos").as("firstPos"))
+      .as[(Int, String, Long, Long)].collect().sortBy(r => (r._2, r._1))
+    // carry-in per (pid, chrom): sum of the same chrom's deltas in all
+    // earlier partitions (range partitioning makes "earlier" = smaller
+    // pid)
+    val offsets: Map[(Int, String), Long] = {
+      val m = scala.collection.mutable.Map.empty[(Int, String), Long]
+      partials.groupBy(_._2).foreach { case (chrom, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).foreach { case (pid, _, sd, _) =>
+          m((pid, chrom)) = acc; acc += sd
+        }
+      }
+      m.toMap
+    }
+    // first (chrom, pos) of the next non-empty partition after each pid
+    val firstOf: Map[Int, (String, Long)] = partials
+      .groupBy(_._1)
+      .map { case (pid, rows) =>
+        val f = rows.minBy(r => (r._2, r._4)); pid -> ((f._2, f._4))
+      }
+    val nextFirst: Map[Int, (String, Long)] = {
+      val pids = firstOf.keys.toArray.sorted
+      pids.zipWithIndex.flatMap { case (pid, i) =>
+        if (i + 1 < pids.length) Some(pid -> firstOf(pids(i + 1)))
+        else None
+      }.toMap
+    }
+    val segs = run.mapPartitions { it =>
+      val b = it.buffered
+      var curChrom: String = null
+      var depth = 0L
+      b.flatMap { case (pid, chrom, pos, delta) =>
+        if (chrom != curChrom) {
+          curChrom = chrom
+          depth = offsets.getOrElse((pid, chrom), 0L)
+        }
+        depth += delta
+        val nextPos: Option[Long] =
+          if (b.hasNext && b.head._2 == chrom) Some(b.head._3)
+          else nextFirst.get(pid) match {
+            case Some((c, p)) if c == chrom => Some(p)
+            case _ => None
+          }
+        nextPos match {
+          case Some(np) if depth > 0 => Iterator((depth, np - pos))
+          case _ => Iterator.empty[(Long, Long)]
+        }
+      }
+    }.toDF("depth", "bases")
+    segs.groupBy("depth").agg(sum("bases").as("n_bases"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class IntervalDepthSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("depthHistogram: hand-checked overlaps, closed-interval semantics") {
+    // chr1: [10,19] [15,24] [15,17] -> depths 1/2/3 in known spans
+    // chr2: [5,5] single-base interval; [100,109] isolated
+    val iv = Seq(
+      ("chr1", 10L, 19L), ("chr1", 15L, 24L), ("chr1", 15L, 17L),
+      ("chr2", 5L, 5L), ("chr2", 100L, 109L)
+    ).toDF("chrom", "start", "stop")
+    val got = IntervalDepth.depthHistogram(iv, "chrom", "start", "stop")
+      .as[(Long, Long)].collect().toMap
+    // chr1 per-position: 10-14 d1 (5), 15-17 d3 (3), 18-19 d2 (2),
+    // 20-24 d1 (5); chr2: 5 d1 (1), 100-109 d1 (10)
+    assert(got == Map(1L -> 21L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("depthHistogram equals a brute-force per-position model, any partitioning") {
+    // deterministic dense fixture: 3 chroms x 60 intervals over [0, 300)
+    val rng = new scala.util.Random(7)
+    val rows = for (c <- 1 to 3; i <- 1 to 60) yield {
+      val s = rng.nextInt(300).toLong
+      (s"c$c", s, s + 1 + rng.nextInt(40))
+    }
+    // independent model: literal per-position counting
+    val expected = rows.groupBy(_._1).values.flatMap { ivs =>
+      val depth = scala.collection.mutable.Map.empty[Long, Long]
+      for ((_, s, e) <- ivs; p <- s to e) depth(p) = depth.getOrElse(p, 0L) + 1
+      depth.values
+    }.groupBy(identity).map { case (d, ps) => d -> ps.size.toLong }
+    val df = rows.toDF("chrom", "start", "stop")
+    for (parts <- Seq(1, 3, 17)) {
+      val got = IntervalDepth.depthHistogram(
+          df.repartition(5), "chrom", "start", "stop",
+          numPartitions = parts)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"numPartitions = $parts")
+    }
+  }
+
+  test("depthHistogram rejects inverted intervals loudly") {
+    val bad = Seq(("chr1", 10L, 5L)).toDF("chrom", "start", "stop")
+    val e = intercept[Exception] {
+      IntervalDepth.depthHistogram(bad, "chrom", "start", "stop").collect()
+    }
+    assert(e.getMessage.contains("end < start")
+      || e.getCause != null && e.getCause.getMessage.contains("end < start"),
+      e.getMessage)
+  }
+}
