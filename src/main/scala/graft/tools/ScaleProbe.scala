@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.{Classifier, Decontamination, Dedup, EventAnalytics, Graph, Pca, Sampling, Similarity, TextAnalytics}
+import graft.operators.{Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalDepth, Pca, Sampling, Similarity, TextAnalytics}
 
 /** Scaling probe for the dedup/text AND vector families: synthesizes
   * corpora at 1×, 4× and 16× the bench document count (deterministic
@@ -139,6 +139,20 @@ object ScaleProbe {
               .as("url"),
             length(col("text")).as("n_chars")),
           "doc_id", "url", "n_chars").count()
+      },
+      // 20 chroms regardless of n — the worst case for the carry logic
+      // (every chrom spans many partitions at scale); spans tighten with
+      // n so depth grows and segments stay dense
+      "j10_depth" -> { d =>
+        val span = math.max(1000L, probeN / 10)
+        val st = pmod(col("doc_id") * 37, lit(span))
+        IntervalDepth.depthHistogram(
+          d.select(
+            concat(lit("c"), pmod(col("doc_id"), lit(20)).cast("string"))
+              .as("chrom"),
+            st.as("start"),
+            (st + 50 + pmod(col("doc_id"), lit(200))).as("stop")),
+          "chrom", "start", "stop").count()
       },
       "s8_curriculum" -> (d =>
         Sampling.curriculumOrder(
