@@ -52,7 +52,13 @@ object IntervalDepth {
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val iv = intervals.select(
-      col(chromCol).cast("string").as("chrom"),
+      // fail loudly on a null chrom — the streaming carry pass keys its
+      // per-partition offsets on the chrom value, and its "new chrom"
+      // sentinel is null, so a genuine null key would silently skip the
+      // carried offset instead of crashing
+      when(col(chromCol).isNull,
+        raise_error(lit("depthHistogram: null chrom")))
+        .otherwise(col(chromCol).cast("string")).as("chrom"),
       col(startCol).cast("long").as("s"),
       // fail loudly on an inverted interval — a silent drop would
       // undercount depth with no signal

@@ -54,4 +54,17 @@ class IntervalDepthSpec extends AnyFunSuite {
       || e.getCause != null && e.getCause.getMessage.contains("end < start"),
       e.getMessage)
   }
+
+  test("depthHistogram rejects a null chrom loudly") {
+    // null would collide with the carry pass's new-chrom sentinel and
+    // silently drop the carried offset — must raise instead
+    val bad = Seq((Option.empty[String], 1L, 5L), (Some("chr1"), 1L, 5L))
+      .toDF("chrom", "start", "stop")
+    val e = intercept[Exception] {
+      IntervalDepth.depthHistogram(bad, "chrom", "start", "stop").collect()
+    }
+    assert(e.getMessage.contains("null chrom")
+      || e.getCause != null && e.getCause.getMessage.contains("null chrom"),
+      e.getMessage)
+  }
 }
