@@ -1207,6 +1207,23 @@ object SparkEntry {
       "chrom", "start", "stop")
   }
 
+  /** j11: nearest-feature join — every 10th interval queries the rest
+    * for its closest neighbor within 100 bases; bin-rewrite candidates,
+    * struct-min argmin, no window. Oracle brute-forces the theta join.
+    */
+  private def j11NearestInterval(s: SparkSession, d: String): DataFrame = {
+    val st = pmod(col("doc_id") * 37, lit(4000))
+    val iv = T(s, d, "documents").select(
+      col("doc_id"), col("source").as("chrom"), st.as("start"),
+      (st + 50 + pmod(col("doc_id"), lit(200))).as("stop"))
+    IntervalJoin.nearestWithin(
+      iv.filter(col("doc_id") % 7 === 0),
+      iv.filter(col("doc_id") % 7 =!= 0),
+      "chrom", "start", "stop", "doc_id",
+      "chrom", "start", "stop", "doc_id",
+      maxDist = 100L, binWidth = 256L)
+  }
+
   /** c10: k-anonymity audit (k=5) over the release metadata tuple
     * (lang, source, 100-char length bucket) — flags every equivalence
     * class small enough to re-identify by joining those attributes.
@@ -1721,6 +1738,7 @@ object SparkEntry {
     "j8_cross_join" -> (j8Cross _),
     "j9_asof_join" -> (j9AsOf _),
     "j10_interval_depth" -> (j10IntervalDepth _),
+    "j11_nearest_interval" -> (j11NearestInterval _),
     "f1_scalar_funcs" -> (f1Scalar _),
     "f2_bucketize" -> (f2Bucketize _),
     "f3_json_extract" -> (f3Json _),
@@ -3532,6 +3550,24 @@ object SparkEntry {
         |SELECT depth::BIGINT AS depth, sum(next_pos - pos)::BIGINT AS n_bases
         |FROM run WHERE next_pos IS NOT NULL AND depth > 0
         |GROUP BY depth""".stripMargin,
+    // j11 twin: brute-force chrom theta join + the identical
+    // (dist, rs, re, r_id) argmin — candidate bins are implementation
+    // detail, only the winner must match
+    "j11_nearest_interval" ->
+      """WITH iv AS (SELECT doc_id, source AS chrom,
+        |    (doc_id * 37) % 4000 AS s,
+        |    (doc_id * 37) % 4000 + 50 + doc_id % 200 AS e
+        |  FROM documents),
+        |q AS (SELECT * FROM iv WHERE doc_id % 7 = 0),
+        |r AS (SELECT * FROM iv WHERE doc_id % 7 <> 0),
+        |c AS (SELECT q.doc_id AS q_id, r.doc_id AS r_id,
+        |    greatest(0, r.s - q.e, q.s - r.e) AS dist, r.s AS rs, r.e AS re
+        |  FROM q JOIN r USING (chrom)),
+        |f AS (SELECT q_id, r_id, dist,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dist, rs, re, r_id) AS rn
+        |  FROM c WHERE dist <= 100)
+        |SELECT q_id, r_id, dist::BIGINT AS dist FROM f WHERE rn = 1""".stripMargin,
     // c10 twin: the same quasi-tuple GROUP BY; // is floor division on
     // positive integers, matching the engine's floor(n/100)
     "c10_k_anonymity" ->

@@ -62,4 +62,60 @@ object IntervalJoin {
     }
     p.join(r, equi && residual, joinType).drop(pBin).drop(rBin)
   }
+
+  /** Nearest-feature join within a distance cap (`bedtools closest`
+    * with a `-d` window): for every query interval, the single nearest
+    * reference interval on the same chrom with
+    * gap ≤ `maxDist` — gap 0 when they overlap (closed intervals),
+    * otherwise the base distance between the facing ends. Queries with
+    * no reference inside the cap emit NO row (the cap IS the contract;
+    * an uncapped global nearest needs an as-of sweep whose per-chrom
+    * window sorts a whole chromosome on one reducer — the j10 trap —
+    * so the bounded form is what this engine ships).
+    *
+    * Winner per query is deterministic: lexicographic min of
+    * (dist, ref start, ref end, ref id) via a struct-min aggregate —
+    * no window anywhere. Candidate generation is the same bin-key
+    * rewrite as [[pointInRange]] with the query's bins widened by
+    * `maxDist`; a pair colliding in several bins is harmless because
+    * the argmin collapses duplicates, so there is no distinct pass.
+    * Shuffle volume: O(|Q|·(span+2·maxDist)/binWidth + |R|·span/
+    * binWidth) bin rows + the query-keyed argmin — skew-neutral in
+    * chrom (hot chromosomes spread across bins).
+    *
+    * Output: (q_id, r_id, dist), one row per matched query.
+    */
+  def nearestWithin(
+      queries: DataFrame, refs: DataFrame,
+      qChrom: String, qStartCol: String, qEndCol: String, qIdCol: String,
+      rChrom: String, rStartCol: String, rEndCol: String, rIdCol: String,
+      maxDist: Long, binWidth: Long = 1024L): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    require(binWidth > 0, s"binWidth must be positive (got $binWidth)")
+    val q = queries.select(
+      col(qChrom).cast("string").as("chrom"),
+      col(qStartCol).cast("long").as("qs"),
+      col(qEndCol).cast("long").as("qe"),
+      col(qIdCol).cast("long").as("q_id"))
+    val r = refs.select(
+      col(rChrom).cast("string").as("chrom"),
+      col(rStartCol).cast("long").as("rs"),
+      col(rEndCol).cast("long").as("re"),
+      col(rIdCol).cast("long").as("r_id"))
+    val qb = q.withColumn("b", explode(sequence(
+      floor((col("qs") - maxDist).cast("double") / binWidth).cast("long"),
+      floor((col("qe") + maxDist).cast("double") / binWidth).cast("long"))))
+    val rb = r.withColumn("b", explode(sequence(
+      floor(col("rs").cast("double") / binWidth).cast("long"),
+      floor(col("re").cast("double") / binWidth).cast("long"))))
+    qb.join(rb, Seq("chrom", "b"))
+      .withColumn("dist", greatest(lit(0L),
+        col("rs") - col("qe"), col("qs") - col("re")))
+      .where(col("dist") <= maxDist)
+      .groupBy("q_id")
+      .agg(min(struct(col("dist"), col("rs"), col("re"), col("r_id")))
+        .as("m"))
+      .select(col("q_id"), col("m.r_id").as("r_id"),
+        col("m.dist").as("dist"))
+  }
 }

@@ -62,4 +62,58 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(out.count() == 2)
     assert(out.filter($"rid".isNull).count() == 1)
   }
+
+  test("nearestWithin: hand cases — overlap wins, ties break on (rs, re, id)") {
+    val q = Seq(
+      ("chr1", 100L, 110L, 1L), // overlaps r10 -> dist 0
+      ("chr1", 300L, 310L, 2L), // r20 ends 295 (gap 5) vs r21 starts 316 (gap 6)
+      ("chr1", 500L, 500L, 3L), // equidistant: r30 left gap 4, r31 right gap 4
+      ("chr1", 900L, 901L, 4L), // nothing within 50 -> no row
+      ("chr2", 10L, 20L, 5L)    // other chrom never matches chr1 refs
+    ).toDF("chrom", "start", "stop", "qid")
+    val r = Seq(
+      ("chr1", 105L, 120L, 10L),
+      ("chr1", 290L, 295L, 20L), ("chr1", 316L, 320L, 21L),
+      ("chr1", 490L, 496L, 30L), ("chr1", 504L, 510L, 31L),
+      ("chr2", 15L, 16L, 40L)
+    ).toDF("chrom", "start", "stop", "rid")
+    val got = IntervalJoin.nearestWithin(q, r,
+        "chrom", "start", "stop", "qid",
+        "chrom", "start", "stop", "rid",
+        maxDist = 50L, binWidth = 64L)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map(
+      1L -> ((10L, 0L)), 2L -> ((20L, 5L)),
+      // 500-496=4 left, 504-500=4 right: tie broken by smaller rs -> r30
+      3L -> ((30L, 4L)), 5L -> ((40L, 0L))))
+  }
+
+  test("nearestWithin equals brute force on a dense random fixture") {
+    val rng = new scala.util.Random(11)
+    val qs = for (i <- 1L to 40L) yield {
+      val s = rng.nextInt(500).toLong
+      (s"c${i % 3}", s, s + 1 + rng.nextInt(30), i)
+    }
+    val rs = for (i <- 100L to 220L) yield {
+      val s = rng.nextInt(500).toLong
+      (s"c${i % 3}", s, s + 1 + rng.nextInt(30), i)
+    }
+    val cap = 25L
+    val expected = qs.flatMap { case (c, s, e, qid) =>
+      val cands = rs.filter(_._1 == c).map { case (_, rs0, re0, rid) =>
+        (math.max(0L, math.max(rs0 - e, s - re0)), rs0, re0, rid)
+      }.filter(_._1 <= cap)
+      if (cands.isEmpty) None else Some(qid -> {
+        val m = cands.min; (m._4, m._1)
+      })
+    }.toMap
+    val got = IntervalJoin.nearestWithin(
+        qs.toDF("chrom", "start", "stop", "qid"),
+        rs.toDF("chrom", "start", "stop", "rid"),
+        "chrom", "start", "stop", "qid",
+        "chrom", "start", "stop", "rid",
+        maxDist = cap, binWidth = 32L)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == expected)
+  }
 }
