@@ -154,6 +154,24 @@ object ScaleProbe {
             (st + 50 + pmod(col("doc_id"), lit(200))).as("stop")),
           "chrom", "start", "stop").count()
       },
+      // spans scale with n so density (and candidate volume per query)
+      // stays constant — the knob discipline; q side is 1/7 of the corpus
+      "j11_nearest" -> { d =>
+        val span = math.max(4000L, probeN)
+        val st = pmod(col("doc_id") * 37, lit(span))
+        val iv = d.select(
+          col("doc_id"),
+          concat(lit("c"), pmod(col("doc_id"), lit(20)).cast("string"))
+            .as("chrom"),
+          st.as("start"),
+          (st + 50 + pmod(col("doc_id"), lit(200))).as("stop"))
+        graft.operators.IntervalJoin.nearestWithin(
+          iv.filter(col("doc_id") % 7 === 0),
+          iv.filter(col("doc_id") % 7 =!= 0),
+          "chrom", "start", "stop", "doc_id",
+          "chrom", "start", "stop", "doc_id",
+          maxDist = 100L, binWidth = 256L).count()
+      },
       "s8_curriculum" -> (d =>
         Sampling.curriculumOrder(
           d.select(col("doc_id"), length(col("text")).as("n")),
