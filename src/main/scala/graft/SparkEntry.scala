@@ -1207,7 +1207,8 @@ object SparkEntry {
       "chrom", "start", "stop")
   }
 
-  /** j11: nearest-feature join — every 10th interval queries the rest
+  /** j11: nearest-feature join — every 7th interval queries the rest
+    * (7 is coprime with the 20-way source cycle, so query chroms mix)
     * for its closest neighbor within 100 bases; bin-rewrite candidates,
     * struct-min argmin, no window. Oracle brute-forces the theta join.
     */

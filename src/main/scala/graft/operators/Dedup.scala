@@ -170,13 +170,14 @@ object Dedup {
     * quality…), ties to the smallest id, so the keeper is deterministic
     * under any partitioning.
     *
-    * The keeper is selected with two aggregates and one equi-join
-    * (per-group max, join back, min-id among the max-score rows) — the
-    * engine-portable argmax idiom; no window, so no per-URL sort and no
-    * single-reducer risk beyond the join's own key distribution (a
-    * viral URL's rows land on one reducer once, to be filtered — rows
-    * move exactly once). Map-side partial aggregation collapses each
-    * group before either exchange.
+    * The keeper comes from ONE hash aggregate: the lexicographic max of
+    * struct(score, −id) picks the highest score and, on ties, the
+    * lowest id — no window (no per-URL sort), no join, and the corpus
+    * plus its canonicalization regexes are evaluated exactly once.
+    * Map-side partials collapse each group before the single exchange.
+    * NULL scores raise loudly (a struct max would order them
+    * ambiguously and a silent drop would lose the whole group — the
+    * depthHistogram null-chrom discipline).
     *
     * Output: one row per canonical URL — (id, url_canon, n_dups).
     */
@@ -184,16 +185,17 @@ object Dedup {
       docs: DataFrame, idCol: String, urlCol: String,
       scoreCol: String): DataFrame = {
     val base = docs.select(
-      col(idCol).as("id"),
+      col(idCol).cast("long").as("id"),
       graft.operators.TextAnalytics.canonicalUrl(col(urlCol))
         .as("url_canon"),
-      col(scoreCol).as("s"))
-    val grp = base.groupBy("url_canon")
-      .agg(max("s").as("ms"), count(lit(1)).as("n_dups"))
-    base.join(grp, "url_canon")
-      .where(col("s") === col("ms"))
-      .groupBy("url_canon", "n_dups").agg(min("id").as("id"))
-      .select("id", "url_canon", "n_dups")
+      when(col(scoreCol).isNull,
+        raise_error(concat(lit("urlDedup: null score for id "),
+          col(idCol).cast("string"))))
+        .otherwise(col(scoreCol)).as("s"))
+    base.groupBy("url_canon")
+      .agg(count(lit(1)).as("n_dups"),
+        max(struct(col("s").as("s"), (-col("id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("id"), col("url_canon"), col("n_dups"))
   }
 
   /** Ensure enough partitions to use the cluster for explode-heavy work.

@@ -44,25 +44,6 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
-  /** Distribution-drift monitor between two corpus versions: the
-    * Population Stability Index over fixed equal-width bins of a
-    * bounded score column —
-    *
-    *   PSI_bin = (p_bin − q_bin) · ln(p_bin / q_bin)
-    *
-    * with Laplace-smoothed shares p = (cnt+1)/(n+bins) so empty bins
-    * stay finite (and the ln argument exact-rational). The release-gate
-    * check "did the new crawl shift the quality/domain mix" — PSI < 0.1
-    * is the conventional no-drift threshold, Σ over bins.
-    *
-    * Shape: one hash aggregate per side keyed on ≤ `bins` bin ids
-    * (map-side partials), broadcast-joined onto the literal bin axis so
-    * every bin appears even when one side is empty there. Determinism:
-    * bin ids and shares are exact integer/rational arithmetic; the one
-    * ln() rounds at 6dp like every LM-family query.
-    *
-    * Output: (bin, n_a, n_b, p_a, p_b, psi) — one row per bin.
-    */
   /** k-anonymity audit over quasi-identifier columns (Sweeney 2002) —
     * the metadata-release check run before a corpus ships with
     * per-document attributes: group by the quasi-identifier tuple and
@@ -85,6 +66,25 @@ object Profiling {
       .withColumn("at_risk", col("class_size") < k)
   }
 
+  /** Distribution-drift monitor between two corpus versions: the
+    * Population Stability Index over fixed equal-width bins of a
+    * bounded score column —
+    *
+    *   PSI_bin = (p_bin − q_bin) · ln(p_bin / q_bin)
+    *
+    * with Laplace-smoothed shares p = (cnt+1)/(n+bins) so empty bins
+    * stay finite (and the ln argument exact-rational). The release-gate
+    * check "did the new crawl shift the quality/domain mix" — PSI < 0.1
+    * is the conventional no-drift threshold, Σ over bins.
+    *
+    * Shape: one hash aggregate per side keyed on ≤ `bins` bin ids
+    * (map-side partials), broadcast-joined onto the literal bin axis so
+    * every bin appears even when one side is empty there. Determinism:
+    * bin ids and shares are exact integer/rational arithmetic; the one
+    * ln() rounds at 6dp like every LM-family query.
+    *
+    * Output: (bin, n_a, n_b, p_a, p_b, psi) — one row per bin.
+    */
   def distributionDrift(
       a: DataFrame, b: DataFrame, valueCol: String,
       lo: Double, hi: Double, bins: Int = 10): DataFrame = {

@@ -398,4 +398,16 @@ class DedupSpec extends AnyFunSuite {
     assert(got("http://h.org:8080/p") == ((9L, 1L)))
     assert(got("not a url at all") == ((10L, 1L)))
   }
+
+  test("urlDedup rejects a null score loudly instead of dropping the group") {
+    val rows = Seq((1L, "https://a.example/x", Some(3L)),
+        (2L, "https://a.example/x", Option.empty[Long]))
+      .toDF("id", "url", "score")
+    val e = intercept[Exception] {
+      Dedup.urlDedup(rows, "id", "url", "score").collect()
+    }
+    assert(e.getMessage.contains("null score")
+      || e.getCause != null && e.getCause.getMessage.contains("null score"),
+      e.getMessage)
+  }
 }
