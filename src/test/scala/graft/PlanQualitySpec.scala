@@ -417,4 +417,45 @@ class PlanQualitySpec extends AnyFunSuite {
         s"unpartitioned window over raw scored rows:\n$w")
     }
   }
+
+  test("lexicon scoring is a shuffle-free scan projection") {
+    val plan = planOf(SparkEntry.queries("t26_lexicon_score")(spark, dir))
+    assert(exchangeCount(plan) == 0,
+      s"expected 0 exchanges (map-literal kernel), got ${exchangeCount(plan)}:\n$plan")
+  }
+
+  test("url dedup: one aggregate exchange, no window, no join") {
+    val plan = planOf(SparkEntry.queries("d17_url_dedup")(spark, dir))
+    assert(exchangeCount(plan) == 1,
+      s"expected exactly 1 exchange (struct-max argmax), got ${exchangeCount(plan)}:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
+  test("ccnet tiers: the tertile window runs over the histogram, never documents") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val ws = SparkEntry.queries("t24_ccnet_buckets")(spark, dir)
+      .queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, "expected the histogram cumulative window")
+    // every window input must be the (lang, nll) histogram aggregate —
+    // grid-bounded — not the per-document scored table
+    ws.foreach { w =>
+      assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"tertile window over raw documents:\n$w")
+    }
+  }
+
+  test("curriculum / depth / nearest: no window operators anywhere") {
+    // all three replace the textbook global/per-chrom window with a
+    // range-shuffle + offsets (s8, j10) or a bin argmin (j11); a window
+    // creeping back in would be the single-reducer regression
+    for (q <- Seq("s8_curriculum", "j10_interval_depth",
+        "j11_nearest_interval")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("Window"), s"$q grew a window:\n$plan")
+    }
+  }
 }
