@@ -45,6 +45,45 @@ final case class CorpusPipeline(
   def redactPii(): CorpusPipeline =
     withText(TextAnalytics.redactColumn(col(textCol)))
 
+  /** Drop documents whose weighted-lexicon severity
+    * ([[TextAnalytics.lexiconScore]], token-normalized, 1e4-scaled)
+    * reaches `maxSeverityE4` — the toxicity/safety gate. Scan-side map
+    * literal; empty docs (NULL severity) pass.
+    */
+  def gateLexicon(
+      lexicon: Map[String, Int], maxSeverityE4: Long): CorpusPipeline = {
+    val bad = TextAnalytics.lexiconScore(df, idCol, textCol, lexicon)
+      .filter(col("severity_e4") >= maxSeverityE4)
+      .select(col("id").as("__bad"))
+    copy(df = df.join(bad, col(idCol) === col("__bad"), "left_anti"))
+  }
+
+  /** Keep only the CCNet perplexity tiers named in `tiers`
+    * ([[TextAnalytics.perplexityBuckets]] per-language tertiles) — the
+    * "keep head, sample middle, drop tail" LM-fluency gate, here as the
+    * keep-set form.
+    */
+  def gatePerplexityTiers(tiers: Seq[String]): CorpusPipeline = {
+    require(tiers.nonEmpty &&
+      tiers.forall(Set("head", "middle", "tail").contains),
+      s"tiers must be non-empty, from head|middle|tail (got $tiers)")
+    val keep = TextAnalytics.perplexityBuckets(df, idCol, textCol)
+      .filter(col("tier").isin(tiers: _*))
+      .select(col("id").as("__keep"))
+    copy(df = df.join(keep, col(idCol) === col("__keep"), "left_semi"))
+  }
+
+  /** Collapse URL-level crawl duplicates ([[Dedup.urlDedup]] over
+    * `urlCol`, scored by `scoreCol` — highest score, ties to lowest
+    * id). Rows without a kept id drop; the text and every accumulated
+    * column carry through.
+    */
+  def dedupUrls(urlCol: String, scoreCol: String): CorpusPipeline = {
+    val keep = Dedup.urlDedup(df, idCol, urlCol, scoreCol)
+      .select(col("id").as("__keep"))
+    copy(df = df.join(keep, col(idCol) === col("__keep"), "left_semi"))
+  }
+
   /** Drop exact-content duplicates, keeping each group's min id. */
   def dedupExact(): CorpusPipeline = {
     val keep = Dedup.exactGroups(df, idCol, textCol)

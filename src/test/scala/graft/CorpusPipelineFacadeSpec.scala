@@ -126,4 +126,43 @@ class CorpusPipelineFacadeSpec extends AnyFunSuite {
       .writeShards(dir, nShards = 2, epoch = 1L)
     assert(spark.read.parquet(dir).select("doc_id").distinct().count() == 2L)
   }
+
+  test("gateLexicon drops severe docs; empty and clean docs pass") {
+    val docs = Seq(
+      (1L, "bad bad bad stuff"),      // severity 3*3*1e4/4 = 22500
+      (2L, "mostly fine text here"),  // 0
+      (3L, "one bad word in a longer run of text")) // 1*3e4/9 = 3333
+      .toDF("doc_id", "text")
+    val kept = CorpusPipeline(docs, "doc_id", "text")
+      .gateLexicon(Map("bad" -> 3), maxSeverityE4 = 10000L)
+      .df.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("gatePerplexityTiers keeps the named tiers; facade ≡ operator") {
+    val docs = Tables(spark, TestSpark.Sf0001, "documents")
+    val viaFacade = CorpusPipeline(docs, "doc_id", "text")
+      .gatePerplexityTiers(Seq("head", "middle"))
+      .df.select("doc_id").as[Long].collect().toSet
+    val viaOp = graft.operators.TextAnalytics
+      .perplexityBuckets(docs, "doc_id", "text")
+      .filter($"tier" =!= "tail").select("id").as[Long].collect().toSet
+    assert(viaFacade == viaOp && viaFacade.nonEmpty)
+    intercept[IllegalArgumentException] {
+      CorpusPipeline(docs, "doc_id", "text").gatePerplexityTiers(Seq("hard"))
+    }
+  }
+
+  test("dedupUrls keeps one doc per canonical url by score then id") {
+    val docs = Seq(
+      (1L, "t1", "https://www.A.example/p", 5L),
+      (2L, "t2", "https://a.example/p/", 9L),
+      (3L, "t3", "https://a.example/p#x", 9L),
+      (4L, "t4", "https://b.example/q", 1L))
+      .toDF("doc_id", "text", "url", "score")
+    val kept = CorpusPipeline(docs, "doc_id", "text")
+      .dedupUrls("url", "score")
+      .df.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L)) // 2 beats 3 on the id tie at score 9
+  }
 }
