@@ -1588,6 +1588,27 @@ object SparkEntry {
     Similarity.recallAtK(approx, exact, k = 10)
   }
 
+  /** v15: Matryoshka-truncation recall — per prefix dimension (8, 16,
+    * 32 of 64), the top-10 overlap between truncated-cosine retrieval
+    * and the full-dim truth: the "how many dims can we afford to drop"
+    * question MRL-style embeddings ask. Same broadcast brute-force
+    * kernel per dim; recall joins move top-k rows only.
+    */
+  private def v15MatryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(
+      q, e, "vec_id", "vec_id", "embedding", k = 10)
+    Seq(8, 16, 32).map { m =>
+      def trunc(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, m).as("embedding"))
+      val approx = Similarity.cosineTopK(
+        trunc(q), trunc(e), "vec_id", "vec_id", "embedding", k = 10)
+      Similarity.recallAtK(approx, exact, k = 10)
+        .withColumn("dim", lit(m.toLong))
+    }.reduce(_ unionByName _)
+  }
+
   /** c6: token-budget corpus selection — the quality-ordered greedy
     * prefix whose token sum fits a 15k budget (the "best N-token mix"
     * step of assembling a training set). Full oracle: the kept set
@@ -1789,6 +1810,7 @@ object SparkEntry {
     "s7_temperature_mix" -> (s7TemperatureMix _),
     "h1_hybrid_rrf" -> (h1HybridRrf _),
     "v12_ann_recall" -> (v12AnnRecall _),
+    "v15_matryoshka_recall" -> (v15MatryoshkaRecall _),
     "c6_token_budget" -> (c6TokenBudget _),
     "h2_hard_negatives" -> (h2HardNegatives _),
     "g1_graph_rank" -> (g1GraphRank _),
@@ -4265,6 +4287,45 @@ object SparkEntry {
         |  WHERE p.q_id = d.q_id AND p.c_id = d.c_id)""".stripMargin,
     // v12 twin: v1-form cosine truth vs v10-form Hamming retrieval,
     // recall = exact small-integer division
+    // v15 twin: v12's dense CTE as the truth, prefix slices v[1:dim]
+    // per dims row, identical round-3 cosine and (sim DESC, c_id) ties
+    "v15_matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |dims(dim) AS (VALUES (8), (16), (32)),
+        |dense AS (SELECT q_id, c_id FROM
+        |    (SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+        |        AS rank
+        |     FROM (SELECT q_id, c_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v))
+        |            * sqrt(list_dot_product(c.v, c.v))), 3) AS sim
+        |       FROM q CROSS JOIN c) s0) r0
+        |  WHERE rank <= 10),
+        |tr AS (SELECT dim, q_id, c_id FROM
+        |    (SELECT dim, q_id, c_id,
+        |      row_number() OVER (PARTITION BY dim, q_id
+        |        ORDER BY sim DESC, c_id) AS rank
+        |     FROM (SELECT d.dim AS dim, q.q_id AS q_id, c.c_id AS c_id,
+        |        round(list_dot_product(q.v[1:d.dim], c.v[1:d.dim]) /
+        |          (sqrt(list_dot_product(q.v[1:d.dim], q.v[1:d.dim]))
+        |            * sqrt(list_dot_product(c.v[1:d.dim], c.v[1:d.dim]))),
+        |          3) AS sim
+        |       FROM q CROSS JOIN c CROSS JOIN dims d) s1) r1
+        |  WHERE rank <= 10),
+        |truth AS (SELECT q_id, count(*) AS n_truth FROM dense GROUP BY 1),
+        |hits AS (SELECT t.dim, d.q_id, count(*) AS n_hits
+        |  FROM dense d JOIN tr t ON t.q_id = d.q_id AND t.c_id = d.c_id
+        |  GROUP BY 1, 2)
+        |SELECT tt.q_id, tt.n_truth,
+        |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        |  round(coalesce(h.n_hits, 0)::DOUBLE / tt.n_truth, 4) AS recall,
+        |  d.dim::BIGINT AS dim
+        |FROM truth tt CROSS JOIN dims d
+        |LEFT JOIN hits h ON h.q_id = tt.q_id AND h.dim = d.dim""".stripMargin,
     "v12_ann_recall" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
         |    FROM embeddings WHERE vec_id < 20),

@@ -382,4 +382,29 @@ class SimilaritySpec extends AnyFunSuite {
     val hits = approx.count { case (qid, cid) => cid == qid + 1000L }
     assert(hits >= 8, s"only $hits/10 planted MIPS targets found: $approx")
   }
+
+  test("truncated-prefix recall: full prefix is perfect, mean rises with dim") {
+    val emb = spark.read
+      .parquet(s"${graft.TestSpark.Sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "vec_id",
+      "embedding", k = 5)
+    def truncRecall(m: Int): Double = {
+      def t(df: org.apache.spark.sql.DataFrame) = df.select($"vec_id",
+        org.apache.spark.sql.functions.slice($"embedding", 1, m)
+          .as("embedding"))
+      val approx = Similarity.cosineTopK(t(q), t(emb), "vec_id", "vec_id",
+        "embedding", k = 5)
+      val r = Similarity.recallAtK(approx, exact, k = 5)
+        .agg(org.apache.spark.sql.functions.avg($"recall"))
+        .as[Double].head()
+      r
+    }
+    // the full 64-dim "truncation" is the identity: recall exactly 1
+    assert(truncRecall(64) == 1.0)
+    // and quality cannot collapse as the kept prefix grows 8 -> 32
+    val r8 = truncRecall(8); val r32 = truncRecall(32)
+    assert(r32 >= r8, s"recall fell with more dims: r8=$r8 r32=$r32")
+  }
 }
