@@ -672,12 +672,28 @@ object TextAnalytics {
     * whole-stage codegen); a join formulation would shuffle token
     * occurrences for a dimension table of a few thousand rows.
     */
+  /** The severity score alone, as a Column — the form a STREAMING gate
+    * filters on (stateless per-row predicate, shared verbatim with the
+    * batch [[lexiconScore]] so the two modes cannot drift).
+    */
+  def lexiconSeverityE4Column(
+      textCol: Column, lexicon: Map[String, Int]): Column = {
+    require(lexicon.nonEmpty, "lexicon must be non-empty")
+    require(lexicon.values.forall(_ > 0),
+      "lexicon weights must be positive integers")
+    val lex = typedLit(lexicon)
+    val toks = tokens(textCol)
+    val w = transform(toks, t => coalesce(element_at(lex, t), lit(0)))
+    when(size(toks) === 0, lit(null))
+      .otherwise(floor(
+        aggregate(w, lit(0L), (a, x) => a + x) * lit(10000.0) /
+          size(toks) + lit(0.5)))
+      .cast("long")
+  }
+
   def lexiconScore(
       docs: DataFrame, idCol: String, textCol: String,
       lexicon: Map[String, Int]): DataFrame = {
-    require(lexicon.nonEmpty, "lexiconScore needs a non-empty lexicon")
-    require(lexicon.values.forall(_ > 0),
-      "lexicon weights must be positive integers")
     val lex = typedLit(lexicon)
     val toks = tokens(col(textCol))
     val w = transform(toks, t => coalesce(element_at(lex, t), lit(0)))
@@ -685,11 +701,7 @@ object TextAnalytics {
       col(idCol).as("id"),
       size(toks).cast("long").as("n_tokens"),
       size(filter(w, x => x > 0)).cast("long").as("n_hits"),
-      when(size(toks) === 0, lit(null))
-        .otherwise(floor(
-          aggregate(w, lit(0L), (a, x) => a + x) * lit(10000.0) /
-            size(toks) + lit(0.5)))
-        .cast("long").as("severity_e4"))
+      lexiconSeverityE4Column(col(textCol), lexicon).as("severity_e4"))
   }
 
   // ---- PII redaction ------------------------------------------------------

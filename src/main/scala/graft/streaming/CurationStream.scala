@@ -49,6 +49,21 @@ object CurationStream {
     StreamDedup.dropDuplicateContent(gated, "ts", delay, "redacted")
   }
 
+  /** Ingest-time weighted-lexicon severity gate: drop documents whose
+    * token-normalized severity ([[TextAnalytics.lexiconSeverityE4Column]],
+    * the batch t26 expression verbatim) reaches `maxSeverityE4`. A
+    * stateless per-row map-literal predicate — zero state, zero shuffle
+    * on the unbounded plan; empty docs (NULL severity) pass, matching
+    * the batch facade gate.
+    */
+  def gateLexicon(
+      docs: DataFrame, textCol: String,
+      lexicon: Map[String, Int], maxSeverityE4: Long): DataFrame =
+    docs.filter(coalesce(
+      TextAnalytics.lexiconSeverityE4Column(col(textCol), lexicon)
+        < maxSeverityE4,
+      lit(true)))
+
   /** Ingest-time benchmark-decontamination gate: drop every document one
     * of whose n-word shingles might sit in the (collected, literal) Bloom
     * filter of the benchmark suite — `Decontamination.buildShingleBloom`

@@ -399,6 +399,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got("not a url at all") == ((10L, 1L)))
   }
 
+  test("canonicalUrl is idempotent over generated URL shapes and garbage") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gUrl = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Example.COM", "a.b.example.org", "HOST123.net")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/P/Q", "/p/q/", "/x//", "/p%20q")
+      query <- Gen.oneOf("", "?a=1", "?a=1/", "?A=B&c=d")
+      frag <- Gen.oneOf("", "#f", "#Frag/ment?x=1")
+    } yield s"$scheme://$www$host$port$path$query$frag"
+    val gAny = Gen.oneOf(gUrl, Gen.oneOf(
+      "", "not a url", "http:/missing.slashes", "://nohost", "x y z",
+      "mailto:user@example.com", "//protocol.relative/p"))
+    val params = Gen.Parameters.default
+    val urls = (1 to 400)
+      .flatMap(i => gAny.apply(params, Seed(i.toLong))).distinct
+    val out = urls.toDF("url")
+      .select(TextAnalytics.canonicalUrl(col("url")).as("c1"))
+      .select(col("c1"),
+        TextAnalytics.canonicalUrl(col("c1")).as("c2"))
+      .as[(String, String)].collect()
+    out.foreach { case (c1, c2) =>
+      assert(c1 == c2, s"not idempotent: '$c1' -> '$c2'")
+    }
+  }
+
   test("urlDedup rejects a null score loudly instead of dropping the group") {
     val rows = Seq((1L, "https://a.example/x", Some(3L)),
         (2L, "https://a.example/x", Option.empty[Long]))

@@ -109,4 +109,39 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(exact.forall(id => !got.contains(id)))
     } finally q.stop()
   }
+
+  test("streaming lexicon gate equals the batch t26 threshold, empties pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lex = Map("bad" -> 3, "worse" -> 5)
+    val rows = Seq(
+      (1L, "bad bad worse ok"),           // 27500 -> dropped at 10000
+      (2L, "all clean here"),             // 0 -> kept
+      (3L, "one bad word in a longer run of text"), // 3333 -> kept
+      (4L, ""))  // "" splits to [""], severity 0 -> kept
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStream.gateLexicon(
+        mem.toDF().toDF("doc_id", "text"), "text", lex,
+        maxSeverityE4 = 10000L)
+      .writeStream.format("memory").queryName("lex_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("lex_out").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(got == Seq(2L, 3L, 4L))
+      // batch twins: the same gate as a batch plan, and the t26
+      // operator's own severity threshold
+      val batch = CurationStream.gateLexicon(
+          rows.toDF("doc_id", "text"), "text", lex, 10000L)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(batch == got)
+      val viaScore = graft.operators.TextAnalytics.lexiconScore(
+          rows.toDF("doc_id", "text"), "doc_id", "text", lex)
+        .filter(col("severity_e4").isNull || col("severity_e4") < 10000L)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(viaScore == got)
+    } finally q.stop()
+  }
 }
