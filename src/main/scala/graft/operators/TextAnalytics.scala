@@ -325,19 +325,14 @@ object TextAnalytics {
     *
     * Output: (id, lang, mean_nll, n_tokens, tier ∈ head|middle|tail).
     */
-  def perplexityBuckets(
+  private def perplexityScored(
       docs: DataFrame, idCol: String, textCol: String,
-      roundTo: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // materialized ONCE (the duplicateClusters discipline): `scored`
-    // feeds both the threshold subtree and the output join — without
-    // this the whole two-shuffle NLL pipeline re-runs per consumer
-    // (measured 8× superlinear at the 80k probe scale). The
-    // checkpointed rows are (id, nll, n_tokens, lang) — narrow,
-    // corpus-row-count-sized, orders below the text itself.
-    val scored = unigramLogProb(docs, idCol, textCol, roundTo)
+      roundTo: Int): DataFrame =
+    unigramLogProb(docs, idCol, textCol, roundTo)
       .join(langId(docs, idCol, textCol), "id")
-      .localCheckpoint()
+
+  private def tertileThresholds(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // grid-bounded histogram: one row per (language, rounded score)
     val hist = scored.groupBy("lang_pred", "mean_nll")
       .agg(count(lit(1)).as("cnt"))
@@ -347,10 +342,67 @@ object TextAnalytics {
       .withColumn("n", sum("cnt").over(Window.partitionBy("lang_pred")))
     // integer-arithmetic quantile cuts: cum·3 ≥ k·n picks the smallest
     // grid value at or past the k/3 quantile — no float division
-    val thr = cum.groupBy("lang_pred").agg(
+    cum.groupBy("lang_pred").agg(
       min(when(col("cum") * 3 >= col("n"), col("mean_nll"))).as("head_max"),
       min(when(col("cum") * 3 >= col("n") * 2, col("mean_nll"))).as("mid_max"))
-    scored.join(broadcast(thr), "lang_pred")
+  }
+
+  /** Frozen unigram LM — (term → corpus count, total instances): the
+    * model state a deployment trains once and applies at ingest.
+    * Vocabulary-sized driver state, the same contract as the BPE merge
+    * table and k-means centroids (model-sized collects are the one
+    * sanctioned kind).
+    */
+  def unigramModel(
+      docs: DataFrame, idCol: String, textCol: String)
+      : (Map[String, Long], Long) = {
+    val m = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (m, m.values.sum)
+  }
+
+  /** Per-row mean NLL under a FROZEN model — [[unigramLogProb]]'s
+    * arithmetic as a pure Column (single map-literal lookup per token,
+    * scan-side, zero shuffle), for gating a STREAM against an offline
+    * LM. Unseen tokens take add-one count 1 (the corpus-trained batch
+    * op never sees OOV; a stream can).
+    */
+  def meanNllColumn(
+      textCol: Column, model: Map[String, Long], total: Long,
+      roundTo: Int = 4): Column = {
+    require(model.nonEmpty && total > 0, "model must be non-empty")
+    val m = typedLit(model)
+    val toks = tokens(textCol)
+    round(
+      aggregate(toks, lit(0.0), (a, t) =>
+        a - log(coalesce(element_at(m, t), lit(1L)).cast("double")
+          / total)) / size(toks),
+      roundTo)
+  }
+
+  /** The per-language tertile cut points alone — (lang_pred, head_max,
+    * mid_max) — the MODEL a deployment trains offline and then applies
+    * statelessly at ingest ([[graft.streaming.CurationStream]]'s
+    * perplexity gate): language count rows, broadcast/collect-sized.
+    */
+  def perplexityThresholds(
+      docs: DataFrame, idCol: String, textCol: String,
+      roundTo: Int = 4): DataFrame =
+    tertileThresholds(perplexityScored(docs, idCol, textCol, roundTo))
+
+  def perplexityBuckets(
+      docs: DataFrame, idCol: String, textCol: String,
+      roundTo: Int = 4): DataFrame = {
+    // materialized ONCE (the duplicateClusters discipline): `scored`
+    // feeds both the threshold subtree and the output join — without
+    // this the whole two-shuffle NLL pipeline re-runs per consumer
+    // (measured 8× superlinear at the 80k probe scale). The
+    // checkpointed rows are (id, nll, n_tokens, lang) — narrow,
+    // corpus-row-count-sized, orders below the text itself.
+    val scored = perplexityScored(docs, idCol, textCol, roundTo)
+      .localCheckpoint()
+    scored.join(broadcast(tertileThresholds(scored)), "lang_pred")
       .select(col("id"), col("lang_pred").as("lang"), col("mean_nll"),
         col("n_tokens"),
         when(col("mean_nll") <= col("head_max"), lit("head"))

@@ -64,6 +64,36 @@ object CurationStream {
         < maxSeverityE4,
       lit(true)))
 
+  /** Ingest-time CCNet perplexity gate — the train-offline/apply-at-
+    * ingest deployment of [[TextAnalytics.perplexityBuckets]]: the
+    * frozen unigram LM ([[TextAnalytics.unigramModel]]) and the
+    * per-language tertile cut points
+    * ([[TextAnalytics.perplexityThresholds]], collected — language
+    * count rows) are trained on a reference corpus batch-side; the
+    * stream then keeps only documents whose tier is in `keepTiers`,
+    * as a stateless per-row expression (map-literal LM lookup + the
+    * same ⌈tier⌉ comparisons) — zero state, zero shuffle. A language
+    * with no trained thresholds classifies as `tail` (NULL comparisons
+    * fall through), the conservative side at ingest.
+    */
+  def gatePerplexity(
+      docs: DataFrame, textCol: String,
+      model: Map[String, Long], total: Long,
+      thresholds: Map[String, (Double, Double)],
+      keepTiers: Set[String]): DataFrame = {
+    require(keepTiers.nonEmpty &&
+      keepTiers.subsetOf(Set("head", "middle", "tail")),
+      s"keepTiers must be non-empty, from head|middle|tail (got $keepTiers)")
+    val lang = TextAnalytics.langIdColumn(col(textCol))
+    val nll = TextAnalytics.meanNllColumn(col(textCol), model, total)
+    val hm = typedLit(thresholds.map { case (l, (h, _)) => l -> h })
+    val mm = typedLit(thresholds.map { case (l, (_, m)) => l -> m })
+    val tier = when(nll <= element_at(hm, lang), lit("head"))
+      .when(nll <= element_at(mm, lang), lit("middle"))
+      .otherwise(lit("tail"))
+    docs.filter(tier.isin(keepTiers.toSeq: _*))
+  }
+
   /** Ingest-time benchmark-decontamination gate: drop every document one
     * of whose n-word shingles might sit in the (collected, literal) Bloom
     * filter of the benchmark suite — `Decontamination.buildShingleBloom`

@@ -110,6 +110,45 @@ class CurationStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming perplexity gate with a frozen LM equals the batch tiers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the reference corpus: sf0.001 documents; model + thresholds
+    // trained batch-side exactly as a deployment would
+    val corpus = spark.read
+      .parquet(s"${graft.TestSpark.Sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    val (model, total) =
+      graft.operators.TextAnalytics.unigramModel(corpus, "doc_id", "text")
+    val thresholds = graft.operators.TextAnalytics
+      .perplexityThresholds(corpus, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[String]("lang_pred") ->
+        ((r.getAs[Double]("head_max"), r.getAs[Double]("mid_max"))))
+      .toMap
+    // stream the same docs through the frozen-model gate
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStream.gatePerplexity(
+        mem.toDF().toDF("doc_id", "text"), "text", model, total,
+        thresholds, keepTiers = Set("head", "middle"))
+      .writeStream.format("memory").queryName("ppl_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ppl_out").select("doc_id")
+        .as[Long].collect().toSet
+      // batch twin: the corpus-trained operator's own head+middle set
+      val batch = graft.operators.TextAnalytics
+        .perplexityBuckets(corpus, "doc_id", "text")
+        .filter($"tier" =!= "tail").select("id").as[Long].collect().toSet
+      assert(got == batch && got.nonEmpty)
+      // sanity: the gate actually dropped a tail
+      assert(got.size < rows.size)
+    } finally q.stop()
+  }
+
   test("streaming lexicon gate equals the batch t26 threshold, empties pass") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
