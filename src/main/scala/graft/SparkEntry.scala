@@ -1573,6 +1573,17 @@ object SparkEntry {
   private def e5PrecisionRecall(s: SparkSession, d: String): DataFrame =
     Classifier.confusionMetrics(ml1Scored(s, d), "y", "pred")
 
+  /** e7: disaggregated evaluation — e5's confusion metrics per document
+    * language (the fairness-audit form), scores joined back to the
+    * corpus metadata on id.
+    */
+  private def e7SliceMetrics(s: SparkSession, d: String): DataFrame =
+    Classifier.confusionMetricsBySlice(
+      ml1Scored(s, d).join(
+        T(s, d, "documents").select(col("doc_id").as("id"), col("lang")),
+        "id"),
+      "y", "pred", "lang")
+
   /** v12: ANN recall@10 — the Hamming sketch retriever scored per query
     * against exact cosine ground truth. Full oracle: both rankings are
     * the oracle-proven v1/v10 forms and recall divides two small exact
@@ -1822,6 +1833,7 @@ object SparkEntry {
     "e3_auc" -> (e3Auc _),
     "e4_agreement_kappa" -> (e4AgreementKappa _),
     "e5_precision_recall" -> (e5PrecisionRecall _),
+    "e7_slice_metrics" -> (e7SliceMetrics _),
     "st2_attribution_join" -> (st2AttributionJoin _),
     "c7_drift_psi" -> (c7DriftPsi _),
     "c8_jsonl_roundtrip" -> (c8JsonlRoundtrip _),
@@ -2080,6 +2092,36 @@ object SparkEntry {
        |    sum((y = 0 AND pred = 0)::INT)::BIGINT AS tn
        |  FROM scored)
        |SELECT ct.n, ct.tp, ct.fp, ct.fn, ct.tn,
+       |  ${e6(prec)} AS precision_e6,
+       |  ${e6(rec)} AS recall_e6,
+       |  ${e6(f1)} AS f1_e6,
+       |  ${e6(acc)} AS accuracy_e6
+       |FROM ct""".stripMargin
+  }
+
+  /** e7 twin: the e5 trees GROUPed BY the document language joined on
+    * id — one authored tree set, sliced. */
+  private lazy val e7OracleSql: String = {
+    val prec = "CASE WHEN ct.tp + ct.fp = 0 THEN NULL " +
+      "ELSE ct.tp::DOUBLE / (ct.tp + ct.fp)::DOUBLE END"
+    val rec = "CASE WHEN ct.tp + ct.fn = 0 THEN NULL " +
+      "ELSE ct.tp::DOUBLE / (ct.tp + ct.fn)::DOUBLE END"
+    val f1 = s"CASE WHEN ($prec) IS NULL OR ($rec) IS NULL " +
+      s"OR ($prec) + ($rec) = 0::DOUBLE THEN NULL " +
+      s"ELSE 2::DOUBLE * ($prec) * ($rec) / (($prec) + ($rec)) END"
+    val acc = "(ct.tp + ct.tn)::DOUBLE / ct.n::DOUBLE"
+    def e6(x: String) =
+      s"floor(($x) * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT"
+    s"""WITH $ml1ScoredCte,
+       |sl AS (SELECT s.y, s.pred, d.lang
+       |  FROM scored s JOIN documents d ON d.doc_id = s.id),
+       |ct AS (SELECT lang, count(*)::BIGINT AS n,
+       |    sum((y = 1 AND pred = 1)::INT)::BIGINT AS tp,
+       |    sum((y = 0 AND pred = 1)::INT)::BIGINT AS fp,
+       |    sum((y = 1 AND pred = 0)::INT)::BIGINT AS fn,
+       |    sum((y = 0 AND pred = 0)::INT)::BIGINT AS tn
+       |  FROM sl GROUP BY lang)
+       |SELECT ct.lang, ct.n, ct.tp, ct.fp, ct.fn, ct.tn,
        |  ${e6(prec)} AS precision_e6,
        |  ${e6(rec)} AS recall_e6,
        |  ${e6(f1)} AS f1_e6,
@@ -4202,6 +4244,7 @@ object SparkEntry {
     "e3_auc" -> e3OracleSql,
     "e4_agreement_kappa" -> e4OracleSql,
     "e5_precision_recall" -> e5OracleSql,
+    "e7_slice_metrics" -> e7OracleSql,
     "c7_drift_psi" -> c7OracleSql,
     // the round trip must reproduce the table exactly — the oracle IS
     // the table

@@ -212,12 +212,32 @@ object Classifier {
     * accuracy_e6).
     */
   def confusionMetrics(df: DataFrame, yCol: String, predCol: String)
-      : DataFrame = {
+      : DataFrame = confusionImpl(df, yCol, predCol, Nil)
+
+  /** Disaggregated (per-slice) confusion metrics — the fairness-audit
+    * form: the SAME counts and fixed IEEE metric trees as
+    * [[confusionMetrics]] (one authored occurrence — this delegates to
+    * the shared impl, so the global and sliced reports cannot drift),
+    * grouped by `sliceCol` (language, source, domain…). One hash
+    * aggregate keyed on the slice with map-side partials — ≤ |slices|
+    * rows per task cross the wire.
+    */
+  def confusionMetricsBySlice(
+      df: DataFrame, yCol: String, predCol: String,
+      sliceCol: String): DataFrame =
+    confusionImpl(df, yCol, predCol, Seq(sliceCol))
+
+  private def confusionImpl(
+      df: DataFrame, yCol: String, predCol: String,
+      slices: Seq[String]): DataFrame = {
     val y = col(yCol).cast("long")
     val p = col(predCol).cast("long")
     def cnt(yv: Int, pv: Int) =
       sum(when(y === yv && p === pv, 1L).otherwise(0L))
-    val ct = df.agg(
+    val grouped =
+      if (slices.isEmpty) df.groupBy()
+      else df.groupBy(slices.map(col): _*)
+    val ct = grouped.agg(
       count(lit(1)).as("n"),
       cnt(1, 1).as("tp"), cnt(0, 1).as("fp"),
       cnt(1, 0).as("fn"), cnt(0, 0).as("tn"))
@@ -229,9 +249,10 @@ object Classifier {
       .otherwise(lit(2.0) * prec * rec / (prec + rec))
     val acc = (col("tp") + col("tn")).cast("double") / col("n").cast("double")
     def e6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
-    ct.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+    ct.select(slices.map(col) ++ Seq(
+      col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
       e6(prec).as("precision_e6"), e6(rec).as("recall_e6"),
-      e6(f1).as("f1_e6"), e6(acc).as("accuracy_e6"))
+      e6(f1).as("f1_e6"), e6(acc).as("accuracy_e6")): _*)
   }
 
   /** Cohen's kappa (Cohen 1960) between two binary raters — the

@@ -209,6 +209,27 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got == ((None, None, None, Some(1000000L))))
   }
 
+  test("sliced confusion metrics equal per-slice global runs; NULLs survive") {
+    val rows = Seq(
+      ("en", 1L, 1L), ("en", 1L, 0L), ("en", 0L, 1L), ("en", 0L, 0L),
+      ("fr", 1L, 1L), ("fr", 1L, 1L), ("fr", 0L, 0L),
+      ("de", 0L, 0L), ("de", 0L, 0L) // degenerate: no positives either way
+    ).toDF("lang", "y", "pred")
+    val sliced = Classifier.confusionMetricsBySlice(rows, "y", "pred", "lang")
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(sliced.keySet == Set("en", "fr", "de"))
+    for (l <- Seq("en", "fr", "de")) {
+      val global = Classifier.confusionMetrics(
+        rows.filter($"lang" === l), "y", "pred").collect().head
+      val s = sliced(l)
+      for (c <- Seq("n", "tp", "fp", "fn", "tn", "precision_e6",
+          "recall_e6", "f1_e6", "accuracy_e6"))
+        assert(s.getAs[Any](c) == global.getAs[Any](c), s"$l.$c")
+    }
+    // the degenerate slice keeps its NULLs, not zeros
+    assert(sliced("de").isNullAt(sliced("de").fieldIndex("precision_e6")))
+  }
+
   test("kappa is 0 for independent raters with balanced marginals") {
     // each (a,b) cell once: po = .5, pe = .5 -> kappa = 0
     val got = Classifier.agreementKappa(
