@@ -1584,6 +1584,79 @@ object SparkEntry {
         "id"),
       "y", "pred", "lang")
 
+  /** e6: proper-scoring-rule diagnostics of the ml1 classifier — Brier
+    * score and log-loss of the registered model's probabilities against
+    * the gate labels (calibration-sensitive where e5's threshold
+    * metrics are not). Full oracle: the shared ml1 chain plus the same
+    * integer-lattice squared-error / log-term sums.
+    */
+  private def e6BrierLogloss(s: SparkSession, d: String): DataFrame =
+    Classifier.scoreDiagnostics(ml1Scored(s, d), "score", "y")
+
+  /** w11: first-order Markov transition matrix over per-user event
+    * streams — P(next event type | current) with exact counts. Full
+    * oracle: the same lead window under the (ts, event_id) total order
+    * and the 1e-6 lattice division.
+    */
+  private def w11TransitionProbs(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.transitionMatrix(
+      T(s, d, "events"), "user_id", "ts", "event_id", "event_type")
+
+  /** s9: leakage-safe group split — every doc of a source lands in the
+    * same train/val/test split (near-dups share sources, so none can
+    * straddle the eval boundary). Full oracle: the md5 bucket grid and
+    * threshold reads replayed verbatim.
+    */
+  private def s9GroupSplit(s: SparkSession, d: String): DataFrame =
+    Sampling.groupSplit(
+      T(s, d, "documents").select(col("doc_id").as("id"), col("source")),
+      "source", valPct = 15, testPct = 15)
+
+  /** t27: per-doc n-gram novelty — the fraction of a doc's distinct
+    * 3-word shingles appearing in no other doc (boilerplate ≈ 0,
+    * original text ≈ 1). Full oracle: the d2 shingle construction plus
+    * a document-frequency window.
+    */
+  private def t27NgramNovelty(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.ngramNovelty(T(s, d, "documents"), "doc_id", "text", n = 3)
+
+  /** t28: Zipf-law fit of the corpus vocabulary — ln(freq) vs ln(rank)
+    * least-squares slope and r² over the top-1000 terms, integer-lattice
+    * sums so no accumulation order exists. Full oracle: identical top-k,
+    * lattice and closed-form trees.
+    */
+  private def t28ZipfSlope(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.zipfFit(T(s, d, "documents"), "text", topK = 1000)
+
+  /** c11: contamination datasheet — d9's exact 4-gram benchmark overlap
+    * disaggregated per source ("which feed leaked the eval"). Full
+    * oracle: the d9 CTE chain grouped by source with the 1e-6 rate.
+    */
+  private def c11ContaminationReport(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    Decontamination.contaminationReport(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", "source",
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)
+  }
+
+  /** q18: TPC-H Q18-shaped "large volume customers" — orders whose total
+    * line quantity exceeds 150, joined back to customer. Quantities are
+    * integer-valued doubles summed as BIGINTs (exact in any partition
+    * order); the big-order set builds map-side-combined and AQE
+    * broadcasts it into the orders join.
+    */
+  private def q18BigSpenders(s: SparkSession, d: String): DataFrame = {
+    val big = T(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .filter(col("qty") > 150)
+    T(s, d, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("qty"))
+  }
+
   /** v12: ANN recall@10 — the Hamming sketch retriever scored per query
     * against exact cosine ground truth. Full oracle: both rankings are
     * the oracle-proven v1/v10 forms and recall divides two small exact
@@ -1871,7 +1944,14 @@ object SparkEntry {
     "m2_image_neardup" -> (m2ImageNearDup _),
     "m3_audio_features" -> (m3AudioFeatures _),
     "m4_image_thumbs" -> (m4ImageThumbs _),
-    "m5_video_frames" -> (m5VideoFrames _))
+    "m5_video_frames" -> (m5VideoFrames _),
+    "q18_big_spenders" -> (q18BigSpenders _),
+    "w11_transition_probs" -> (w11TransitionProbs _),
+    "s9_group_split" -> (s9GroupSplit _),
+    "e6_brier_logloss" -> (e6BrierLogloss _),
+    "t27_ngram_novelty" -> (t27NgramNovelty _),
+    "t28_zipf_slope" -> (t28ZipfSlope _),
+    "c11_contamination_report" -> (c11ContaminationReport _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -2097,6 +2177,33 @@ object SparkEntry {
        |  ${e6(f1)} AS f1_e6,
        |  ${e6(acc)} AS accuracy_e6
        |FROM ct""".stripMargin
+  }
+
+  /** DuckDB twin of [[e6BrierLogloss]]: the shared ml1 chain; the
+    * squared error is exact integer arithmetic on the 1e-6 score
+    * lattice, the log term lands on a 1e-9 lattice PER ROW before the
+    * (order-free) integer sum — the same determinism argument as the
+    * Scala side, mirrored operation for operation.
+    */
+  private lazy val e6OracleSql: String = {
+    val p = "greatest(1, least(999999, se6))::DOUBLE / 1000000::DOUBLE"
+    s"""WITH $ml1ScoredCte,
+       |dd AS (SELECT
+       |    floor(score * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT AS se6,
+       |    y::BIGINT AS yy FROM scored),
+       |t AS (SELECT count(*)::BIGINT AS n,
+       |    sum(((se6 - yy * 1000000) * (se6 - yy * 1000000))
+       |      ::DECIMAL(38,0)) AS sd2,
+       |    sum(floor(-(yy::DOUBLE * ln($p)
+       |        + (1::DOUBLE - yy::DOUBLE) * ln(1::DOUBLE - ($p)))
+       |      * 1000000000::DOUBLE + 0.5::DOUBLE)::DECIMAL(38,0)) AS sll
+       |  FROM dd)
+       |SELECT n,
+       |  floor(sd2::DOUBLE / (n::DOUBLE * 1000000::DOUBLE)
+       |    + 0.5::DOUBLE)::BIGINT AS brier_e6,
+       |  floor(sll::DOUBLE / (n::DOUBLE * 1000::DOUBLE)
+       |    + 0.5::DOUBLE)::BIGINT AS logloss_e6
+       |FROM t""".stripMargin
   }
 
   /** e7 twin: the e5 trees GROUPed BY the document language joined on
@@ -4585,5 +4692,117 @@ object SparkEntry {
         |SELECT q_id, c_id, sim, rank FROM
         |  (SELECT q_id, c_id, sim,
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
-        |  FROM s) WHERE rank <= 5""".stripMargin)
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+    // q18 twin: exact BIGINT quantity sums, plain relational joins
+    "q18_big_spenders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    sum(l_quantity::BIGINT)::BIGINT AS qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity::BIGINT) > 150)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // w11 twin: the same (ts, event_id)-ordered lead window, exact
+    // counts, and the 1e-6 lattice row-normalization
+    "w11_transition_probs" ->
+      """WITH e AS (SELECT user_id AS u, ts, event_id AS eid,
+        |    event_type AS cur FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT cur, lead(cur) OVER (PARTITION BY u
+        |    ORDER BY ts, eid) AS next FROM e),
+        |c AS (SELECT cur, next, count(*)::BIGINT AS n FROM p
+        |  WHERE next IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+        |SELECT c.cur, c.next, c.n,
+        |  floor(c.n::DOUBLE * 1000000::DOUBLE / t.tot::DOUBLE
+        |    + 0.5::DOUBLE)::BIGINT AS p_e6
+        |FROM c JOIN t USING (cur)""".stripMargin,
+    // s9 twin: the md5 bucket grid ('0x'||hex cast = Spark's
+    // conv(..,16,10) on 15 hex chars) and the same threshold reads
+    "s9_group_split" ->
+      """SELECT doc_id AS id, source,
+        |  CASE WHEN b < 15 THEN 'val' WHEN b < 30 THEN 'test'
+        |    ELSE 'train' END AS split
+        |FROM (SELECT doc_id, source,
+        |    ('0x' || substring(md5('graft' || source), 1, 15))::BIGINT
+        |      % 100 AS b
+        |  FROM documents)""".stripMargin,
+    // e6 twin: the shared ml1 chain, the exact integer squared-error
+    // sum and the per-row 1e-9-latticed log terms
+    "e6_brier_logloss" -> e6OracleSql,
+    // t27 twin: the d2 shingle construction + a document-frequency
+    // window + the 1e-6 lattice novelty share
+    "t27_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     for i in range(1, len(w) - 1)])) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |d AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df
+        |  FROM sh),
+        |g AS (SELECT doc_id AS id, count(*)::BIGINT AS n_grams,
+        |    sum((df = 1)::INT)::BIGINT AS n_unique
+        |  FROM d GROUP BY 1)
+        |SELECT id, n_grams, n_unique,
+        |  floor(n_unique::DOUBLE * 1000000::DOUBLE / n_grams::DOUBLE
+        |    + 0.5::DOUBLE)::BIGINT AS novelty_e6
+        |FROM g""".stripMargin,
+    // t28 twin: identical top-1000 (count DESC, term) rank, 1e-6 ln
+    // lattice, exact integer moment sums, fixed IEEE slope/r² trees
+    "t28_zipf_slope" ->
+      """WITH tf AS (SELECT term, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents) GROUP BY 1),
+        |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, term ASC)
+        |    AS r
+        |  FROM tf ORDER BY c DESC, term ASC LIMIT 1000),
+        |l AS (SELECT
+        |    floor(ln(r::DOUBLE) * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT
+        |      AS x,
+        |    floor(ln(c::DOUBLE) * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT
+        |      AS y
+        |  FROM top),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        |  FROM l)
+        |SELECT n AS n_terms,
+        |  floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |    * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT AS slope_e6,
+        |  CASE WHEN (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+        |      = 0::DOUBLE THEN NULL
+        |    ELSE floor(
+        |      (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) *
+        |      (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |      ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |       (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |      * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT END AS r2_e6
+        |FROM s""".stripMargin,
+    // c11 twin: the d9 exact-overlap chain grouped by source with the
+    // 1e-6 lattice contamination rate
+    "c11_contamination_report" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |bm AS (SELECT DISTINCT unnest(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |     for i in range(1, len(w) - 2)]) AS s
+        |  FROM t WHERE doc_id % 10 = 0 AND len(w) >= 4),
+        |corp AS (SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |     for i in range(1, len(w) - 2)])) AS s
+        |  FROM t WHERE doc_id % 10 <> 0 AND len(w) >= 4),
+        |hits AS (SELECT doc_id, count(*) AS h FROM corp JOIN bm USING (s)
+        |  GROUP BY doc_id),
+        |fl AS (SELECT d.doc_id, d.source, coalesce(h, 0)::BIGINT AS nh
+        |  FROM (SELECT doc_id, source FROM documents
+        |    WHERE doc_id % 10 <> 0) d
+        |  LEFT JOIN hits USING (doc_id)),
+        |g AS (SELECT source AS slice, count(*)::BIGINT AS n_docs,
+        |    sum((nh > 0)::INT)::BIGINT AS n_contaminated,
+        |    sum(nh)::BIGINT AS n_hits FROM fl GROUP BY 1)
+        |SELECT slice, n_docs, n_contaminated, n_hits,
+        |  floor(n_contaminated::DOUBLE * 1000000::DOUBLE
+        |    / n_docs::DOUBLE + 0.5::DOUBLE)::BIGINT AS rate_e6
+        |FROM g""".stripMargin)
 }

@@ -255,6 +255,51 @@ object Classifier {
       e6(f1).as("f1_e6"), e6(acc).as("accuracy_e6")): _*)
   }
 
+  /** Probabilistic-score diagnostics: Brier score (Brier 1950, the mean
+    * squared error of the probability) and log-loss (mean negative
+    * log-likelihood) of a [0,1] score column against binary labels —
+    * the proper scoring rules a classifier report adds next to the
+    * threshold metrics, sensitive to calibration where accuracy is not.
+    *
+    * Determinism: the score snaps to the 1e-6 lattice first (it already
+    * sits there when produced by [[score]]'s 6-dp rounding), so the
+    * squared error (se6 − y·10⁶)² is an exact integer per row and its
+    * sum is exact in any partition order (DECIMAL(38,0) — n·10¹² can
+    * pass 2⁶³). The log term is floored onto a 1e-9 lattice PER ROW
+    * before summation — ln is evaluated once per row on identical
+    * inputs in any engine, and the integer sum is order-independent,
+    * so no floating accumulation order can flip the output hash.
+    * Scores are clamped to [1e-6, 1 − 1e-6] for the log terms only
+    * (ln 0 guard, the standard ε-clamp convention).
+    *
+    * Scale: one map-side-combined global aggregate; the final metric
+    * arithmetic runs on a single row.
+    *
+    * Output: (n, brier_e6, logloss_e6) — 1e6-scaled BIGINTs.
+    */
+  def scoreDiagnostics(
+      df: DataFrame, scoreCol: String, yCol: String): DataFrame = {
+    val se6 = floor(col(scoreCol).cast("double") * lit(1e6) + lit(0.5))
+      .cast("long")
+    val y = col(yCol).cast("long")
+    val sc = greatest(lit(1L), least(lit(999999L), se6))
+    val p = sc.cast("double") / lit(1e6)
+    val diff = se6 - y * lit(1000000L)
+    val ll = -(y.cast("double") * log(p) +
+      (lit(1.0) - y.cast("double")) * log(lit(1.0) - p))
+    val t = df.agg(
+      count(lit(1)).as("n"),
+      sum((diff * diff).cast("decimal(38,0)")).as("sd2"),
+      sum(floor(ll * lit(1e9) + lit(0.5)).cast("decimal(38,0)")).as("sll"))
+    t.select(col("n"),
+      floor(col("sd2").cast("double") /
+        (col("n").cast("double") * lit(1e6)) + lit(0.5))
+        .cast("long").as("brier_e6"),
+      floor(col("sll").cast("double") /
+        (col("n").cast("double") * lit(1e3)) + lit(0.5))
+        .cast("long").as("logloss_e6"))
+  }
+
   /** Cohen's kappa (Cohen 1960) between two binary raters — the
     * inter-annotator / model-vs-gate agreement statistic label-quality
     * audits report: observed agreement corrected for the agreement two

@@ -48,6 +48,40 @@ object Decontamination {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Contamination datasheet: [[flagContaminated]] disaggregated by a
+    * corpus attribute (source, language, crawl snapshot…) — the release
+    * report that answers "WHICH feed leaked the benchmark", not just
+    * "how much". One row per slice with doc counts, contaminated-doc
+    * counts, total shingle hits and the contamination rate.
+    *
+    * Scale: the flag pipeline's shape unchanged (benchmark broadcast,
+    * corpus never reshuffled for the membership test); the slice column
+    * rides the corpus id projection into the zero-fill join, and the
+    * report aggregate is map-side combined into ≤ |slices| rows.
+    *
+    * Output: (slice, n_docs, n_contaminated, n_hits, rate_e6), rate on
+    * the 1e-6 lattice (⌊contaminated·10⁶/docs + ½⌋).
+    */
+  def contaminationReport(
+      corpus: DataFrame, idCol: String, textCol: String, sliceCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 4): DataFrame = {
+    val flags = flagContaminated(
+      corpus, idCol, textCol, benchmark, benchIdCol, benchTextCol, n)
+    corpus.select(col(idCol).as("id"), col(sliceCol).as("slice"))
+      .join(flags, "id")
+      .groupBy("slice").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum("n_hits").as("n_hits"))
+      .select(col("slice"), col("n_docs"), col("n_contaminated"),
+        col("n_hits"),
+        floor(col("n_contaminated").cast("double") * lit(1e6) /
+          col("n_docs").cast("double") + lit(0.5)).cast("long")
+          .as("rate_e6"))
+  }
+
   /** Exact decontamination behind a Bloom-filter prefilter — the shape for
     * benchmark suites too large to broadcast as an exact distinct-hash
     * set. The benchmark shingle hashes fold into a fixed-size Bloom

@@ -297,6 +297,47 @@ object EventAnalytics {
     *
     * Output: (path, n_sessions), one row per observed path.
     */
+  /** First-order Markov transition matrix over per-user event streams:
+    * for every observed (current → next) event-type pair, the count and
+    * the row-normalized transition probability P(next | current) — the
+    * behavioral summary funnel design and bot detection start from
+    * (a path that never appears organically has p ≈ 0).
+    *
+    * Ordering is (ts, id) within a user — the same deterministic
+    * tie-break every windowed operator here uses, so two engines
+    * sequence simultaneous events identically. Null users carry no
+    * stream identity and are excluded.
+    *
+    * Determinism: counts are exact integers; the probability is one
+    * IEEE division on the 1e-6 lattice (⌊n·10⁶/tot + ½⌋ — no engine
+    * round()).
+    *
+    * Scale: one shuffle for the per-user lead window (each user's
+    * events sort within their partition; window state is one row), one
+    * map-side-combined count aggregate into at most |types|² rows, and
+    * a per-`cur` total joined back over that matrix-sized table (AQE
+    * broadcasts it). No corpus-sized sort, no driver collection.
+    *
+    * Output: (cur, next, n, p_e6).
+    */
+  def transitionMatrix(
+      events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy("u").orderBy("t", "eid")
+    val pairs = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"), col(tsCol).as("t"),
+        col(idCol).as("eid"), col(typeCol).as("cur"))
+      .withColumn("next", lead("cur", 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy("cur", "next").agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("cur").agg(sum("n").as("tot"))
+    pairs.join(tot, "cur")
+      .select(col("cur"), col("next"), col("n"),
+        floor(col("n").cast("double") * lit(1e6) /
+          col("tot").cast("double") + lit(0.5)).cast("long").as("p_e6"))
+  }
+
   def sessionPaths(
       events: DataFrame, userCol: String, tsCol: String,
       idCol: String, typeCol: String,

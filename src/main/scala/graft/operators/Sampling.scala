@@ -35,6 +35,40 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Leakage-safe train/val/test split: every row of the same GROUP
+    * (URL host, source, dedup cluster…) lands in the same split, so
+    * near-duplicates that share a group can never straddle the
+    * train/eval boundary — the group-level split discipline evaluation
+    * hygiene requires (a doc-level split leaks paraphrases into val).
+    *
+    * The group is hashed onto a deterministic [0, 100) bucket grid
+    * (`md5(seed || group)`, the [[stratifiedSample]] permutation
+    * idiom), and the split is a threshold read on that bucket:
+    * [0, valPct) → "val", [valPct, valPct+testPct) → "test", rest →
+    * "train". Re-seeding redraws the assignment; adding rows to a
+    * group never moves the group.
+    *
+    * Scale: a pure scan-side projection — no shuffle, no join, no
+    * state; the hash is recomputed per row so no group table needs to
+    * exist or be broadcast.
+    *
+    * Output: the input columns plus `split`.
+    */
+  def groupSplit(
+      df: DataFrame, groupCol: String,
+      valPct: Int = 5, testPct: Int = 5,
+      seed: String = "graft"): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
+      s"val+test percent must fit in [0, 100) (got $valPct + $testPct)")
+    val bucket = conv(
+      substring(md5(concat(lit(seed), col(groupCol).cast("string"))), 1, 15),
+      16, 10).cast("long") % 100
+    df.withColumn("split",
+      when(bucket < valPct, lit("val"))
+        .when(bucket < valPct + testPct, lit("test"))
+        .otherwise(lit("train")))
+  }
+
   /** Epoch-aware domain mixing: draw EXACTLY `targets(domain)` rows per
     * domain, upsampling by repetition when the target exceeds the domain's
     * size — the "N epochs of Wikipedia, 0.3 epochs of web" mixture step of

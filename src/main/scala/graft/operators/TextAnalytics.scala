@@ -924,4 +924,93 @@ object TextAnalytics {
               (col("c2").cast("double") / col("n").cast("double")))), 6)
           .as("pmi"))
   }
+
+  /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    * word n-grams that appear in no other document — the complement of
+    * the duplication signal the d-family flags pairs with. High novelty
+    * marks genuinely original text; near-zero novelty marks boilerplate
+    * that survived pairwise dedup (shared with many docs but below any
+    * single pair's Jaccard threshold) — exactly the synthetic-data
+    * health check "is the generator just recombining its prompt set".
+    *
+    * Scale: one explode of distinct shingles, ONE shuffle on the
+    * shingle key for the document-frequency count (a window count, so
+    * the shingle table is never joined back to itself and is evaluated
+    * once — the d2 double-evaluation lesson), then a map-side-combined
+    * regroup to one row per doc. Hot boilerplate shingles skew the
+    * count partition but its state is a single long per key.
+    *
+    * Output: (id, n_grams, n_unique, novelty_e6); docs shorter than n
+    * tokens emit nothing (they have no n-gram set).
+    */
+  def ngramNovelty(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"shingle width must be >= 1 (got $n)")
+    val sh = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("id"),
+        explode(array_distinct(wordShingles(col("w"), n))).as("s"))
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("id"), col("n_grams"), col("n_unique"),
+        floor(col("n_unique").cast("double") * lit(1e6) /
+          col("n_grams").cast("double") + lit(0.5)).cast("long")
+          .as("novelty_e6"))
+  }
+
+  /** Zipf-law fit over the corpus vocabulary: the least-squares slope
+    * (and r²) of ln(frequency) against ln(rank) for the top `topK`
+    * terms — natural text sits near slope −1, while template spam,
+    * OCR noise and mode-collapsed synthetic text bend the curve (the
+    * corpus-health scalar a profiling report plots first).
+    *
+    * Determinism: term counts are exact; ranks come from one
+    * distributed top-k (count desc, term asc — total order); each ln
+    * lands on a 1e-6 integer lattice per row, so Σx, Σy, Σxy, Σx², Σy²
+    * are exact 64-bit integer sums in any partition order (|x| ≤ 7·10⁶,
+    * |y| ≤ ~4·10⁷ ⇒ products ≤ ~3·10¹⁴, topK of them ≤ 2⁵³ ≪ 2⁶³), and
+    * the closed-form slope/r² is a fixed IEEE tree over those sums.
+    *
+    * Scale: one shuffle for the term counts (map-side combined), a
+    * TakeOrderedAndProject top-k (never a full vocabulary sort), and a
+    * `topK`-row (policy-bounded) single-partition rank window.
+    *
+    * Output: one row (n_terms, slope_e6, r2_e6).
+    */
+  def zipfFit(
+      docs: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 2 && topK <= 100000,
+      s"topK must be in [2, 100000] (got $topK) — the integer-lattice " +
+        "sums above 2^53 and the bounded rank window both assume it")
+    val tf = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val top = tf.orderBy(col("c").desc, col("term").asc).limit(topK)
+    val ranked = top.withColumn("r", row_number().over(
+      Window.orderBy(col("c").desc, col("term").asc)))
+    val x = floor(log(col("r").cast("double")) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val y = floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val s = ranked.select(x.as("x"), y.as("y")).agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val cov = nD * d("sxy") - d("sx") * d("sy")
+    val varx = nD * d("sxx") - d("sx") * d("sx")
+    val vary = nD * d("syy") - d("sy") * d("sy")
+    s.select(col("n").as("n_terms"),
+      floor(cov / varx * lit(1e6) + lit(0.5)).cast("long").as("slope_e6"),
+      when(vary === 0.0, lit(null)).otherwise(
+        floor(cov * cov / (varx * vary) * lit(1e6) + lit(0.5)).cast("long"))
+        .as("r2_e6"))
+  }
 }

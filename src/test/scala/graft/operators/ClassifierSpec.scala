@@ -230,6 +230,28 @@ class ClassifierSpec extends AnyFunSuite {
     assert(sliced("de").isNullAt(sliced("de").fieldIndex("precision_e6")))
   }
 
+  test("scoreDiagnostics matches hand-computed Brier and log-loss") {
+    // se6 = 900000/100000/500000/750000; Σdiff² = 8.325e11, n = 4
+    // → brier_e6 = 208125; per-row 1e-9-latticed log terms sum to
+    // 2290162574 → logloss_e6 = 572541 (python-checked floor chain)
+    val df = Seq(
+      (1L, 0.9), (0L, 0.1), (1L, 0.5), (0L, 0.75)).toDF("y", "score")
+    val r = Classifier.scoreDiagnostics(df, "score", "y").collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("brier_e6") == 208125L)
+    assert(r.getAs[Long]("logloss_e6") == 572541L)
+  }
+
+  test("scoreDiagnostics clamps degenerate scores for the log terms") {
+    // score 0.0 with y=1: ln arg clamps to 1e-6 → term 13815510558 on
+    // the 1e-9 lattice → logloss_e6 = 13815511; the Brier term stays
+    // unclamped ((0 - 1e6)² → brier = 1)
+    val df = Seq((1L, 0.0)).toDF("y", "score")
+    val r = Classifier.scoreDiagnostics(df, "score", "y").collect().head
+    assert(r.getAs[Long]("brier_e6") == 1000000L)
+    assert(r.getAs[Long]("logloss_e6") == 13815511L)
+  }
+
   test("kappa is 0 for independent raters with balanced marginals") {
     // each (a,b) cell once: po = .5, pe = .5 -> kappa = 0
     val got = Classifier.agreementKappa(

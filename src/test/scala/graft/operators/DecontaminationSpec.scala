@@ -113,4 +113,26 @@ class DecontaminationSpec extends AnyFunSuite {
     assert((10L to 25L).forall(i => !got(i)._4), "unrelated docs stay clean")
     assert(got.size == corpus.count())
   }
+
+  test("contaminationReport aggregates the flag pipeline per slice") {
+    val bench = Seq((100L, "the quick brown fox jumps"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      // feedA: one leaked doc (shares two 4-grams), one clean
+      (1L, "feedA", "intro the quick brown fox jumps end"),
+      (2L, "feedA", "totally unrelated words here today"),
+      // feedB: all clean (3 docs)
+      (3L, "feedB", "alpha beta gamma delta epsilon"),
+      (4L, "feedB", "one two three four five six"),
+      (5L, "feedB", "red green blue cyan magenta"))
+      .toDF("id", "source", "text")
+    val got = Decontamination.contaminationReport(
+        corpus, "id", "text", "source", bench, "bid", "btext", n = 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // feedA: 2 docs, 1 contaminated ("the quick brown fox" + "quick
+    // brown fox jumps" = 2 hits), rate 500000
+    assert(got("feedA") == (("feedA", 2L, 1L, 2L, 500000L)))
+    assert(got("feedB") == (("feedB", 3L, 0L, 0L, 0L)))
+  }
 }

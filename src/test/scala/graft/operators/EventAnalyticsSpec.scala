@@ -219,4 +219,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (null, 3L, 4L, "x")), maxSteps = 2)
     assert(got == Map("a>b" -> 1L))
   }
+
+  private def transitions(
+      evs: Seq[(java.lang.Long, Long, Long, String)])
+      : Map[(String, String), (Long, Long)] =
+    EventAnalytics.transitionMatrix(
+        evs.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long, Long)].collect()
+      .map { case (c, nx, n, p) => (c, nx) -> (n, p) }.toMap
+
+  test("transition matrix: hand-computed counts and row-normalized p") {
+    val got = transitions(Seq(
+      // u1: a → b → a → c; u2: a → b (tie ts ordered by event id);
+      // u3: single event (no transition); null user dropped
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"),
+      (1L, 3L, 3L, "a"), (1L, 4L, 4L, "c"),
+      (2L, 10L, 5L, "a"), (2L, 10L, 6L, "b"),
+      (3L, 0L, 7L, "a"),
+      (null, 0L, 8L, "a")))
+    // from a: a→b twice, a→c once (tot 3); from b: b→a once (tot 1)
+    assert(got == Map(
+      ("a", "b") -> (2L, 666667L),
+      ("a", "c") -> (1L, 333333L),
+      ("b", "a") -> (1L, 1000000L)))
+  }
+
+  test("transition matrix orders simultaneous events by event id") {
+    // same ts: eid 2 ("x") precedes eid 5 ("y") → x→y, never y→x
+    val got = transitions(Seq(
+      (1L, 7L, 2L, "x"), (1L, 7L, 5L, "y")))
+    assert(got == Map(("x", "y") -> (1L, 1000000L)))
+  }
 }

@@ -233,4 +233,36 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, Double, Long)].collect()
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("groupSplit: whole groups move together, thresholds hold exactly") {
+    val rows = (1 to 400).map(i => (i.toLong, s"grp${i % 40}"))
+    val df = rows.toDF("id", "grp")
+    val got = Sampling.groupSplit(df, "grp", valPct = 20, testPct = 20)
+      .as[(Long, String, String)].collect()
+    assert(got.length == 400)
+    // leakage safety: one split per group, always
+    val perGroup = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perGroup.values.forall(_.size == 1))
+    // exact parity with an independently computed md5 bucket
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(g: String): Long = {
+      val hex = md.digest(s"graft$g".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 100
+    }
+    got.foreach { case (_, g, s) =>
+      val b = bucket(g)
+      val want = if (b < 20) "val" else if (b < 40) "test" else "train"
+      assert(s == want, s"group $g bucket $b")
+    }
+    // re-seeding redraws at least one group's assignment
+    val reseeded = Sampling.groupSplit(df, "grp", 20, 20, seed = "other")
+      .as[(Long, String, String)].collect()
+    assert(reseeded.map(r => r._1 -> r._3).toMap !=
+      got.map(r => r._1 -> r._3).toMap)
+    // a degenerate percentage split is rejected loudly
+    intercept[IllegalArgumentException] {
+      Sampling.groupSplit(df, "grp", valPct = 60, testPct = 40)
+    }
+  }
 }

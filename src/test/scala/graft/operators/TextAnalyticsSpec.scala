@@ -478,4 +478,59 @@ class TextAnalyticsSpec extends AnyFunSuite {
         assert(rng("middle").max <= rng("tail").min)
     }
   }
+
+  test("ngramNovelty: shared shingles are not novel, short docs drop") {
+    val docs = Seq(
+      (1L, "a b c d"),  // shingles {a b c, b c d}
+      (2L, "a b c x"),  // shingles {a b c, b c x}
+      (3L, "z z"))      // < 3 tokens → no shingle set
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L))
+    // each doc: 2 shingles, 1 unique ("a b c" has df = 2) → 50%
+    for (id <- Seq(1L, 2L)) {
+      assert(got(id)._2 == 2L && got(id)._3 == 1L)
+      assert(got(id)._4 == 500000L)
+    }
+    // repeated shingles inside one doc count once (distinct set)
+    val rep = Seq((7L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val r7 = TextAnalytics.ngramNovelty(rep, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    // distinct shingles of p q r p q r p q r: 3 rotations, all df=1
+    assert(r7._2 == 3L && r7._3 == 3L && r7._4 == 1000000L)
+  }
+
+  test("zipfFit matches a plain-Scala least-squares mirror") {
+    // counts 24/12/8/6 = 24/r: exact Zipf, slope ≈ −1
+    val words = Seq("w1" -> 24, "w2" -> 12, "w3" -> 8, "w4" -> 6)
+    val text = words.flatMap { case (w, c) => Seq.fill(c)(w) }
+      .mkString(" ")
+    val got = TextAnalytics.zipfFit(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", topK = 1000)
+      .as[(Long, Long, Option[Long])].collect().head
+    // plain-Scala mirror of the lattice + closed form
+    val pts = words.map(_._2.toLong).sorted(Ordering[Long].reverse)
+      .zipWithIndex.map { case (c, i) =>
+        (math.floor(math.log((i + 1).toDouble) * 1e6 + 0.5).toLong,
+          math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong)
+      }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val syy = pts.map(p => p._2 * p._2).sum.toDouble
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    val slope = math.floor(cov / varx * 1e6 + 0.5).toLong
+    val r2 = math.floor(cov * cov / (varx * vary) * 1e6 + 0.5).toLong
+    assert(got._1 == 4L)
+    assert(got._2 == slope)
+    assert(got._3.contains(r2))
+    // exact Zipf data: slope −1 and r² = 1 up to the ln lattice
+    assert(math.abs(got._2 + 1000000L) < 200L, s"slope ${got._2}")
+    assert(got._3.get >= 999990L)
+  }
 }
