@@ -263,6 +263,29 @@ object ScaleProbe {
         val sk = graft.operators.Sketches.countMinSketch(toks, "token")
         graft.operators.Sketches.cmsEstimate(sk, toks, "token").count()
       },
+      // corpus-sized shingle stream through ONE window pass — the
+      // novelty share must scale with the shingle count, never the
+      // pair count (no self-join exists in the plan)
+      "t27_novelty" -> (d =>
+        TextAnalytics.ngramNovelty(d, "doc_id", "text", n = 3).count()),
+      // token counts scale with the corpus; the fit itself is a
+      // policy-bounded top-1000 — expect the count stage to dominate
+      "t28_zipf" -> (d =>
+        TextAnalytics.zipfFit(d, "text", topK = 1000).count()),
+      "w11_transitions" -> { d =>
+        EventAnalytics.transitionMatrix(synthEvents(d, probeN),
+          "user_id", "ts", "ts", "event_type").count()
+      },
+      // benchmark side grows ∝ n/10 with the corpus (worst case for
+      // the broadcast build; real eval suites are fixed-size)
+      "c11_contam_report" -> { d =>
+        val c = d.withColumn("slice",
+          pmod(col("doc_id"), lit(50L)).cast("string"))
+        Decontamination.contaminationReport(
+          c.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", "slice",
+          c.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          n = 4).count()
+      },
       "ml1_classifier" -> { d =>
         val feats = TextAnalytics.qualityScore(d, "doc_id", "text")
           .select(col("id"),

@@ -447,6 +447,46 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("group split is a shuffle-free scan projection") {
+    val plan = planOf(SparkEntry.queries("s9_group_split")(spark, dir))
+    assert(exchangeCount(plan) == 0,
+      s"expected 0 exchanges (md5 bucket projection), got ${exchangeCount(plan)}:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
+  test("ngram novelty: one shingle window + one doc regroup, no self-join") {
+    val plan = planOf(SparkEntry.queries("t27_ngram_novelty")(spark, dir))
+    // a join would mean the shingle stream is evaluated twice (the d2
+    // double-evaluation failure mode); the df count must be a window
+    assert(!plan.contains("Join"), s"unexpected self-join:\n$plan")
+    assert(exchangeCount(plan) == 2,
+      s"expected 2 exchanges (shingle window + doc agg), got ${exchangeCount(plan)}:\n$plan")
+  }
+
+  test("zipf fit: distributed top-k, rank window only over the top rows") {
+    val plan = planOf(SparkEntry.queries("t28_zipf_slope")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a distributed top-k, not a global sort:\n$plan")
+    // the only window input is the policy-bounded top-k, never the vocab
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ws = SparkEntry.queries("t28_zipf_slope")(spark, dir)
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, "expected the bounded rank window")
+    ws.foreach { w =>
+      assert(w.child.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s"rank window not fed by the top-k:\n$w")
+    }
+  }
+
+  test("q18: the HAVING set broadcasts into the orders join") {
+    val plan = planOf(SparkEntry.queries("q18_big_spenders")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for the filtered order set:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dim-sized sides must not sort-merge at this sf:\n$plan")
+  }
+
   test("curriculum / depth / nearest: no window operators anywhere") {
     // all three replace the textbook global/per-chrom window with a
     // range-shuffle + offsets (s8, j10) or a bin argmin (j11); a window
