@@ -247,6 +247,55 @@ object StatefulOps {
       user_id: Long, ts_us: Long, eid: Long, et: String,
       event_time: java.sql.Timestamp)
 
+  case class LastEv(ts_us: Long, eid: Long, et: String)
+  case class Transition(user_id: Long, cur: String, next: String)
+
+  /** One micro-batch of transition-state advancement — the streaming
+    * twin of [[graft.operators.EventAnalytics.transitionMatrix]]'s lead
+    * window. State per user is ONE (ts, eid, type) row; each event
+    * beyond the first emits the (previous type → this type) pair.
+    * Within a micro-batch events order by (ts, eid) exactly like the
+    * batch operator, so with per-user in-order delivery across batches
+    * the emitted pairs aggregate to exactly the batch matrix. A
+    * cross-batch late event appends in arrival order at the state's
+    * tail (the [[advancePaths]] monotonicity convention) rather than
+    * splicing into position — reconciled by the batch twin.
+    */
+  private[streaming] def advanceTransitions(
+      user: Long, events: Seq[PathEv], prior: Option[LastEv])
+      : (Seq[Transition], LastEv) = {
+    val sorted = events.sortBy(e => (e.ts_us, e.eid))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+    var last = prior
+    for (e <- sorted) {
+      last.foreach(l => out += Transition(user, l.et, e.et))
+      last = Some(LastEv(e.ts_us, e.eid, e.et))
+    }
+    (out.toSeq, last.get)
+  }
+
+  /** Streaming transition pairs: emits each (user, cur → next) pair the
+    * micro-batch its second event arrives (Append mode) — downstream a
+    * `groupBy(cur, next).count` over the sink IS the w11 transition
+    * matrix, maintained incrementally. State per key: one fixed-size
+    * last-event row — O(users), never O(events); no timeout is
+    * registered, so no state-scan micro-batches run on idle streams
+    * (the [[sessionsStream]] busy-loop caveat cannot apply).
+    */
+  def transitionsStream(
+      spark: SparkSession, ds: Dataset[PathEv]): Dataset[Transition] = {
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[PathEv], state: GroupState[LastEv]) =>
+          val (pairs, last) =
+            advanceTransitions(user, evs.toIndexedSeq, state.getOption)
+          state.update(last)
+          pairs.iterator
+      }
+  }
+
   /** Streaming sessionizer: closes a session when the processing-time
     * timeout fires after `gapUs` of silence for the key.
     *

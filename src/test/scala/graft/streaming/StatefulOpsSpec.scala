@@ -181,6 +181,54 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transition advance: pairs across batches, late-event tail append") {
+    // batch 1 leaves last = b; batch 2's first event pairs b→c
+    val (p1, s1) = advanceTransitions(1L, Seq(
+      PathEv(1L, 10L, 1L, "a"), PathEv(1L, 20L, 2L, "b")), None)
+    assert(p1 == Seq(Transition(1L, "a", "b")))
+    assert(s1 == LastEv(20L, 2L, "b"))
+    val (p2, s2) = advanceTransitions(1L, Seq(
+      PathEv(1L, 30L, 3L, "c"),
+      // cross-batch late event (ts below stored last): appends at the
+      // tail in arrival order, never splices into position
+      PathEv(1L, 5L, 4L, "z")), Some(s1))
+    assert(p2 == Seq(Transition(1L, "b", "z"), Transition(1L, "z", "c")))
+    assert(s2 == LastEv(30L, 3L, "c"))
+    // within-batch ties order by event id, the batch lead-window order
+    val (p3, _) = advanceTransitions(2L, Seq(
+      PathEv(2L, 7L, 9L, "y"), PathEv(2L, 7L, 3L, "x")), None)
+    assert(p3 == Seq(Transition(2L, "x", "y")))
+  }
+
+  test("streamed transitions aggregate to the batch w11 matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
+      .select(col("user_id"), col("ts").as("ts_us"),
+        col("event_id").as("eid"), col("event_type").as("et"))
+      .as[PathEv].collect().sortBy(e => (e.ts_us, e.eid))
+    val mem = MemoryStream[PathEv]
+    val q = transitionsStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      // per-user in-order delivery (global ts-order chunks), 3 batches
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("transitions")
+        .groupBy("cur", "next").count()
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val batch = graft.SparkEntry
+        .queries("w11_transition_probs")(spark, TestSpark.Sf0001)
+        .select("cur", "next", "n").as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(streamed == batch && batch.nonEmpty, s"$streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("typed batch sessionizer agrees with the w4 SQL sessionization") {
     import spark.implicits._
     val ev = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
