@@ -1657,6 +1657,20 @@ object SparkEntry {
         col("o_orderdate"), col("o_totalprice"), col("qty"))
   }
 
+  /** j12: interval coalescing (bedtools merge) — overlapping or
+    * book-ended document spans collapse into one merged interval per
+    * source; the sweep-boundary form, never a per-chrom window. Full
+    * oracle: the textbook one-reducer running-max window merge.
+    */
+  private def j12IntervalMerge(s: SparkSession, d: String): DataFrame = {
+    val st = pmod(col("doc_id") * 37, lit(20000))
+    IntervalDepth.coalesce(
+      T(s, d, "documents").select(
+        col("source").as("chrom"), st.as("start"),
+        (st + 5 + pmod(col("doc_id"), lit(20))).as("stop")),
+      "chrom", "start", "stop")
+  }
+
   /** v12: ANN recall@10 — the Hamming sketch retriever scored per query
     * against exact cosine ground truth. Full oracle: both rankings are
     * the oracle-proven v1/v10 forms and recall divides two small exact
@@ -1951,7 +1965,8 @@ object SparkEntry {
     "e6_brier_logloss" -> (e6BrierLogloss _),
     "t27_ngram_novelty" -> (t27NgramNovelty _),
     "t28_zipf_slope" -> (t28ZipfSlope _),
-    "c11_contamination_report" -> (c11ContaminationReport _))
+    "c11_contamination_report" -> (c11ContaminationReport _),
+    "j12_interval_merge" -> (j12IntervalMerge _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -4804,5 +4819,23 @@ object SparkEntry {
         |SELECT slice, n_docs, n_contaminated, n_hits,
         |  floor(n_contaminated::DOUBLE * 1000000::DOUBLE
         |    / n_docs::DOUBLE + 0.5::DOUBLE)::BIGINT AS rate_e6
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin,
+    // j12 twin: the textbook one-reducer merge — running max(e) window
+    // per chrom, break when the gap exceeds book-ending, group and span
+    "j12_interval_merge" ->
+      """WITH iv AS (SELECT source AS chrom,
+        |    (doc_id * 37) % 20000 AS s,
+        |    (doc_id * 37) % 20000 + 5 + doc_id % 20 AS e
+        |  FROM documents),
+        |m AS (SELECT chrom, s, e,
+        |    CASE WHEN s > max(e) OVER (PARTITION BY chrom ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM iv),
+        |g AS (SELECT chrom, s, e,
+        |    sum(brk) OVER (PARTITION BY chrom ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m)
+        |SELECT chrom, min(s)::BIGINT AS start, max(e)::BIGINT AS stop
+        |FROM g GROUP BY chrom, grp""".stripMargin)
 }

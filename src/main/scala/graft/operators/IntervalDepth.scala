@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Coverage-depth histogram over an interval table — the genomics
@@ -43,9 +43,18 @@ import org.apache.spark.sql.functions._
   */
 object IntervalDepth {
 
-  def depthHistogram(
+  /** Shared sweep preamble: validated (chrom, s, e) intervals become
+    * per-(chrom, pos) delta rows with the close event at
+    * `stop + closeShift`, range-partitioned and sorted on (chrom, pos),
+    * plus the model-sized driver state a partition-local pass needs:
+    * carry-in depth per (pid, chrom) and the first (chrom, pos) of the
+    * next non-empty partition.
+    */
+  private def sweepRuns(
       intervals: DataFrame, chromCol: String, startCol: String,
-      endCol: String, numPartitions: Int = 0): DataFrame = {
+      endCol: String, closeShift: Long, numPartitions: Int, op: String)
+      : (Dataset[(Int, String, Long, Long)],
+         Map[(Int, String), Long], Map[Int, (String, Long)]) = {
     val spark = intervals.sparkSession
     import spark.implicits._
     val parts =
@@ -57,17 +66,17 @@ object IntervalDepth {
       // sentinel is null, so a genuine null key would silently skip the
       // carried offset instead of crashing
       when(col(chromCol).isNull,
-        raise_error(lit("depthHistogram: null chrom")))
+        raise_error(lit(s"$op: null chrom")))
         .otherwise(col(chromCol).cast("string")).as("chrom"),
       col(startCol).cast("long").as("s"),
       // fail loudly on an inverted interval — a silent drop would
       // undercount depth with no signal
       when(col(endCol).cast("long") < col(startCol).cast("long"),
-        raise_error(concat(lit("depthHistogram: interval with end < "
+        raise_error(concat(lit(s"$op: interval with end < "
           + "start at chrom "), col(chromCol).cast("string"))))
         .otherwise(col(endCol).cast("long")).as("e"))
     val ev = iv.select(col("chrom"), col("s").as("pos"), lit(1L).as("d"))
-      .unionAll(iv.select(col("chrom"), (col("e") + 1).as("pos"),
+      .unionAll(iv.select(col("chrom"), (col("e") + closeShift).as("pos"),
         lit(-1L).as("d")))
     // one delta row per event position — map-side partials collapse
     // duplicate positions before the exchange
@@ -111,6 +120,16 @@ object IntervalDepth {
         else None
       }.toMap
     }
+    (run, offsets, nextFirst)
+  }
+
+  def depthHistogram(
+      intervals: DataFrame, chromCol: String, startCol: String,
+      endCol: String, numPartitions: Int = 0): DataFrame = {
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    val (run, offsets, nextFirst) = sweepRuns(intervals, chromCol,
+      startCol, endCol, closeShift = 1L, numPartitions, "depthHistogram")
     val segs = run.mapPartitions { it =>
       val b = it.buffered
       var curChrom: String = null
@@ -134,5 +153,89 @@ object IntervalDepth {
       }
     }.toDF("depth", "bases")
     segs.groupBy("depth").agg(sum("bases").as("n_bases"))
+  }
+
+  /** Interval coalescing — `bedtools merge`: collapse every chain of
+    * overlapping-or-book-ended intervals (and, with `maxGap` > 0,
+    * chains whose gaps are ≤ maxGap bases) into one merged interval per
+    * chrom. The union-of-spans primitive: callable-region consolidation
+    * in genomics, busy-period extraction over session/ad spans.
+    *
+    * Same distributed sweep as [[depthHistogram]] (close events shifted
+    * by 1 + maxGap so a qualifying gap never lets the depth touch 0) —
+    * but instead of segment lengths the partition-local pass emits RUN
+    * BOUNDARIES: a 0→positive depth transition opens a merged interval
+    * at `pos`, a positive→0 transition closes it at `pos − 1 − maxGap`
+    * (undoing the shift, so the reported stop is the true max stop).
+    * The sweep invariant (depth returns to 0 inside every chrom) means
+    * starts and ends strictly alternate per chrom in position order, so
+    * the k-th start pairs with the k-th end. That global k is assigned
+    * WITHOUT any per-chrom window: boundaries stay range-partitioned
+    * and sorted from the sweep, per-(partition, chrom, kind) boundary
+    * counts are collected once (model-sized — boundary rows number
+    * ≤ merged runs), and a second partition-local pass adds the carried
+    * rank offset — the external-sort-rank discipline again. The final
+    * (chrom, rank) regroup shuffles merged-run-sized rows only.
+    *
+    * Input contract as [[depthHistogram]]; closed intervals. Output:
+    * (chrom, start, stop), one row per merged interval.
+    */
+  def coalesce(
+      intervals: DataFrame, chromCol: String, startCol: String,
+      endCol: String, maxGap: Long = 0L, numPartitions: Int = 0)
+      : DataFrame = {
+    require(maxGap >= 0, s"maxGap must be >= 0 (got $maxGap)")
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    val (run, offsets, _) = sweepRuns(intervals, chromCol, startCol,
+      endCol, closeShift = 1L + maxGap, numPartitions, "coalesce")
+    // (pid, chrom, kind, pos): kind true = run start, false = run end.
+    // Partition layout and intra-partition order survive mapPartitions,
+    // so the rank pass below rides the same partitions — no new shuffle.
+    val bounds = run.mapPartitions { it =>
+      var curChrom: String = null
+      var depth = 0L
+      it.flatMap { case (pid, chrom, pos, delta) =>
+        if (chrom != curChrom) {
+          curChrom = chrom
+          depth = offsets.getOrElse((pid, chrom), 0L)
+        }
+        val prev = depth
+        depth += delta
+        if (prev == 0L && depth > 0L)
+          Iterator((pid, chrom, true, pos))
+        else if (prev > 0L && depth == 0L)
+          Iterator((pid, chrom, false, pos - 1L - maxGap))
+        else Iterator.empty[(Int, String, Boolean, Long)]
+      }
+    }.localCheckpoint()
+    // carried rank offset per (pid, chrom, kind): boundaries in earlier
+    // partitions — model-sized (<= partitions × chroms × 2 rows)
+    val cnts = bounds.groupBy("_1", "_2", "_3").count()
+      .as[(Int, String, Boolean, Long)].collect()
+    val rankOff: Map[(Int, String, Boolean), Long] = {
+      val m = scala.collection.mutable.Map.empty[(Int, String, Boolean), Long]
+      cnts.groupBy(r => (r._2, r._3)).foreach { case ((chrom, kind), rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).foreach { case (pid, _, _, c) =>
+          m((pid, chrom, kind)) = acc; acc += c
+        }
+      }
+      m.toMap
+    }
+    bounds.mapPartitions { it =>
+      val local = scala.collection.mutable.Map.empty[(String, Boolean), Long]
+      it.map { case (pid, chrom, kind, pos) =>
+        val k = (chrom, kind)
+        val r = local.getOrElse(k, rankOff.getOrElse((pid, chrom, kind), 0L))
+        local(k) = r + 1
+        (chrom, r, kind, pos)
+      }
+    }.toDF("chrom", "rank", "kind", "pos")
+      .groupBy("chrom", "rank")
+      .agg(
+        max(when(col("kind"), col("pos"))).as("start"),
+        max(when(!col("kind"), col("pos"))).as("stop"))
+      .select("chrom", "start", "stop")
   }
 }

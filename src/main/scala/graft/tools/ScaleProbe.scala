@@ -172,6 +172,19 @@ object ScaleProbe {
           "chrom", "start", "stop", "doc_id",
           maxDist = 100L, binWidth = 256L).count()
       },
+      // same interval synthesis as j10; merged-run count grows with n
+      // (spans tighten as the position space scales with the corpus)
+      "j12_merge" -> { d =>
+        val span = math.max(1000L, probeN / 10)
+        val st = pmod(col("doc_id") * 37, lit(span))
+        IntervalDepth.coalesce(
+          d.select(
+            concat(lit("c"), pmod(col("doc_id"), lit(20)).cast("string"))
+              .as("chrom"),
+            st.as("start"),
+            (st + 5 + pmod(col("doc_id"), lit(20))).as("stop")),
+          "chrom", "start", "stop").count()
+      },
       "s8_curriculum" -> (d =>
         Sampling.curriculumOrder(
           d.select(col("doc_id"), length(col("text")).as("n")),

@@ -45,6 +45,67 @@ class IntervalDepthSpec extends AnyFunSuite {
     }
   }
 
+  test("coalesce: overlap and book-ended merges, gaps split") {
+    val iv = Seq(
+      // chr1: [10,19]+[15,24] overlap, [25,30] book-ends 24 -> one run;
+      // [40,45] after a gap -> its own run
+      ("chr1", 10L, 19L), ("chr1", 15L, 24L), ("chr1", 25L, 30L),
+      ("chr1", 40L, 45L),
+      // chr2: identical duplicate spans collapse into one run
+      ("chr2", 5L, 5L), ("chr2", 5L, 5L)
+    ).toDF("chrom", "start", "stop")
+    val got = IntervalDepth.coalesce(iv, "chrom", "start", "stop")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("chr1", 10L, 30L), ("chr1", 40L, 45L), ("chr2", 5L, 5L)))
+  }
+
+  test("coalesce: maxGap bridges gaps up to the cap, reported stops stay true") {
+    val iv = Seq(
+      ("c", 0L, 10L), ("c", 14L, 20L),  // gap 3
+      ("c", 30L, 35L)                   // gap 9
+    ).toDF("chrom", "start", "stop")
+    def runs(g: Long) =
+      IntervalDepth.coalesce(iv, "chrom", "start", "stop", maxGap = g)
+        .as[(String, Long, Long)].collect().toSet
+    assert(runs(0L) == Set(("c", 0L, 10L), ("c", 14L, 20L), ("c", 30L, 35L)))
+    assert(runs(3L) == Set(("c", 0L, 20L), ("c", 30L, 35L)))
+    assert(runs(9L) == Set(("c", 0L, 35L)))
+    intercept[IllegalArgumentException] {
+      IntervalDepth.coalesce(iv, "chrom", "start", "stop", maxGap = -1L)
+    }
+  }
+
+  test("coalesce equals a plain-Scala merge model, any partitioning") {
+    val rng = new scala.util.Random(11)
+    val rows = for (c <- 1 to 3; i <- 1 to 80) yield {
+      val s = rng.nextInt(2000).toLong
+      (s"c$c", s, s + 1 + rng.nextInt(30))
+    }
+    // independent model: sort and sweep per chrom (closed intervals,
+    // book-ended spans merge)
+    val expected = rows.groupBy(_._1).flatMap { case (c, ivs) =>
+      val sorted = ivs.map(r => (r._2, r._3)).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      var (cs, ce) = sorted.head
+      for ((s, e) <- sorted.tail) {
+        if (s <= ce + 1) ce = math.max(ce, e)
+        else { out += ((c, cs, ce)); cs = s; ce = e }
+      }
+      out += ((c, cs, ce))
+      out
+    }.toSet
+    val df = rows.toDF("chrom", "start", "stop")
+    for (parts <- Seq(1, 3, 17)) {
+      val got = IntervalDepth.coalesce(
+          df.repartition(5), "chrom", "start", "stop",
+          numPartitions = parts)
+        .as[(String, Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate runs at $parts")
+      assert(got.toSet == expected, s"numPartitions = $parts")
+    }
+  }
+
   test("depthHistogram rejects inverted intervals loudly") {
     val bad = Seq(("chr1", 10L, 5L)).toDF("chrom", "start", "stop")
     val e = intercept[Exception] {
