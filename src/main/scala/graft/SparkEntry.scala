@@ -1657,6 +1657,28 @@ object SparkEntry {
         col("o_orderdate"), col("o_totalprice"), col("qty"))
   }
 
+  /** t29: HTML boilerplate extraction — each doc's text wrapped in a
+    * deterministic page template (title, style/script blocks, heading,
+    * body paragraph, id-dependent nav links), then stripped back out.
+    * Full oracle: DuckDB synthesizes the identical page and replays the
+    * identical RE2-safe regex/entity chain — the extracted text must
+    * round-trip and the structural signals must match exactly.
+    */
+  private def t29HtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p{color:#333}</style>" +
+        "<script>var x=1;</script></head><body><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"), lit("</p>"),
+      repeat(lit("<a href=\"/n\">next</a>"),
+        (lit(1) + pmod(col("doc_id"), lit(3))).cast("int")),
+      lit("</body></html>"))
+    TextAnalytics.htmlExtract(
+      T(s, d, "documents").select(col("doc_id"), html.as("html")),
+      "doc_id", "html")
+  }
+
   /** j12: interval coalescing (bedtools merge) — overlapping or
     * book-ended document spans collapse into one merged interval per
     * source; the sweep-boundary form, never a per-chrom window. Full
@@ -1966,7 +1988,8 @@ object SparkEntry {
     "t27_ngram_novelty" -> (t27NgramNovelty _),
     "t28_zipf_slope" -> (t28ZipfSlope _),
     "c11_contamination_report" -> (c11ContaminationReport _),
-    "j12_interval_merge" -> (j12IntervalMerge _))
+    "j12_interval_merge" -> (j12IntervalMerge _),
+    "t29_html_extract" -> (t29HtmlExtract _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -4837,5 +4860,40 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS grp
         |  FROM m)
         |SELECT chrom, min(s)::BIGINT AS start, max(e)::BIGINT AS stop
-        |FROM g GROUP BY chrom, grp""".stripMargin)
+        |FROM g GROUP BY chrom, grp""".stripMargin,
+    // t29 twin: the identical synthesized page and the identical
+    // RE2 regex/entity chain ('g' flag = Spark's replace-all default;
+    // &amp; decoded last, the one-level convention)
+    "t29_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id::VARCHAR ||
+        |    '</title><style>p{color:#333}</style>' ||
+        |    '<script>var x=1;</script></head><body><h1>Doc ' ||
+        |    doc_id::VARCHAR || '</h1><p>' || text || '</p>' ||
+        |    repeat('<a href="/n">next</a>', (1 + doc_id % 3)::INT) ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)
+        |      AS title,
+        |    len(regexp_extract_all(html, '(?i)<a[\s>]'))::BIGINT
+        |      AS n_links,
+        |    regexp_replace(regexp_replace(html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x
+        |  FROM h),
+        |s2 AS (SELECT doc_id, title, n_links,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(x, '(?s)<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS text
+        |  FROM s1)
+        |SELECT doc_id AS id, title, text, n_links,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  floor(n_links::DOUBLE * 1000000::DOUBLE
+        |    / len(string_split(text, ' '))::DOUBLE + 0.5::DOUBLE)::BIGINT
+        |    AS link_density_e6
+        |FROM s2""".stripMargin)
 }

@@ -925,6 +925,56 @@ object TextAnalytics {
           .as("pmi"))
   }
 
+  /** HTML boilerplate extraction — the web-ingest step between the raw
+    * crawl and every text operator here: strip script/style blocks,
+    * drop tags, decode the common entities, collapse whitespace, and
+    * report the structural signals a boilerplate policy gates on
+    * (title, anchor count, link density — nav/footer pages score high,
+    * article bodies low).
+    *
+    * All patterns are RE2-safe (inline `(?is)` flags, lazy quantifiers,
+    * no backreferences) so a SQL twin replays them verbatim; entity
+    * decoding replaces `&amp;` LAST, so a double-escaped entity
+    * (`&amp;lt;`) decodes exactly one level — the standard convention.
+    *
+    * Scale: a pure scan-side projection — regex chains inside
+    * whole-stage codegen, zero shuffle, zero state. (A full DOM parse
+    * is deliberately out of scope: boilerplate removal at corpus scale
+    * is regex/heuristic-tier — readability-style block scoring would
+    * slot in as a later operator over these extracted signals.)
+    *
+    * Output: (id, title, text, n_links, n_tokens, link_density_e6) —
+    * title empty when the page has none; density on the 1e-6 lattice.
+    */
+  def htmlExtract(
+      docs: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    val noScript =
+      regexp_replace(h, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val unescaped =
+      replace(replace(replace(replace(replace(replace(noTags,
+        lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+        lit("&nbsp;"), lit(" ")),
+        lit("&amp;"), lit("&"))
+    val text = trim(regexp_replace(unescaped, "\\s+", " "))
+    val nLinks = regexp_count(h, lit("(?i)<a[\\s>]")).cast("long")
+    val nTokens = size(split(text, " ")).cast("long")
+    docs.select(
+      col(idCol).as("id"),
+      regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1).as("title"),
+      text.as("text"),
+      nLinks.as("n_links"),
+      nTokens.as("n_tokens"),
+      floor(nLinks.cast("double") * lit(1e6) / nTokens.cast("double")
+        + lit(0.5)).cast("long").as("link_density_e6"))
+  }
+
   /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
     * word n-grams that appear in no other document — the complement of
     * the duplication signal the d-family flags pairs with. High novelty

@@ -299,6 +299,23 @@ object ScaleProbe {
           c.filter(col("doc_id") % 10 === 0), "doc_id", "text",
           n = 4).count()
       },
+      // page template around each doc (title/style/script/nav links) —
+      // a pure scan-side regex projection; expect flat-to-linear with
+      // zero shuffle in the plan
+      "t29_html" -> { d =>
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p{color:#333}</style>" +
+            "<script>var x=1;</script></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"), lit("</p>"),
+          expr("repeat('<a href=\"/n\">next</a>', " +
+            "int(1 + pmod(doc_id, 3)))"),
+          lit("</body></html>"))
+        TextAnalytics.htmlExtract(
+          d.select(col("doc_id"), html.as("html")), "doc_id", "html")
+          .count()
+      },
       "ml1_classifier" -> { d =>
         val feats = TextAnalytics.qualityScore(d, "doc_id", "text")
           .select(col("id"),

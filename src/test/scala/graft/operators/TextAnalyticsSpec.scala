@@ -502,6 +502,36 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(r7._2 == 3L && r7._3 == 3L && r7._4 == 1000000L)
   }
 
+  test("htmlExtract strips boilerplate and reports link structure") {
+    val page =
+      "<html><head><title>My Page</title>" +
+        "<style type=\"text/css\">body { color: red }</style>" +
+        "<script>if (a < b) { alert('<p>'); }</script></head>" +
+        "<body><h1>Head</h1><p>Tom &amp; Jerry say &amp;lt;hi&amp;gt; " +
+        "&quot;loudly&quot;&nbsp;today</p>" +
+        "<a href=\"/1\">one</a> <a\nhref=\"/2\">two</a></body></html>"
+    val got = TextAnalytics.htmlExtract(
+        Seq((1L, page), (2L, "<p>no title here</p>")).toDF("doc_id", "html"),
+        "doc_id", "html")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val p = got(1L)
+    assert(p.getAs[String]("title") == "My Page")
+    // script/style bodies gone (including the '<p>' inside the script
+    // string and the `a < b` comparison), tags gone, entities decoded
+    // exactly one level (&amp;lt; → &lt;, never <), whitespace collapsed
+    assert(p.getAs[String]("text") ==
+      "My Page Head Tom & Jerry say &lt;hi&gt; \"loudly\" today one two")
+    assert(p.getAs[Long]("n_links") == 2L)
+    assert(p.getAs[Long]("n_tokens") == 12L)
+    // round(2 / 12 * 1e6) = 166667
+    assert(p.getAs[Long]("link_density_e6") == 166667L)
+    val q = got(2L)
+    assert(q.getAs[String]("title") == "")
+    assert(q.getAs[String]("text") == "no title here")
+    assert(q.getAs[Long]("n_links") == 0L)
+    assert(q.getAs[Long]("link_density_e6") == 0L)
+  }
+
   test("zipfFit matches a plain-Scala least-squares mirror") {
     // counts 24/12/8/6 = 24/r: exact Zipf, slope ≈ −1
     val words = Seq("w1" -> 24, "w2" -> 12, "w3" -> 8, "w4" -> 6)
