@@ -1679,6 +1679,27 @@ object SparkEntry {
       "doc_id", "html")
   }
 
+  /** j13: interval subtraction (bedtools subtract) — every 6-of-7 doc
+    * span minus the union of the 1-of-7 "blacklist" spans on the same
+    * source-chrom. Full oracle: DuckDB merges the blacklist with the
+    * j12 running-max idiom, takes the overlap join, and derives the
+    * complement gaps with lag windows — all exact integers.
+    */
+  private def j13IntervalSubtract(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val stA = pmod(col("doc_id") * 37, lit(20000))
+    val stB = pmod(col("doc_id") * 41, lit(20000))
+    IntervalJoin.subtract(
+      docs.filter(col("doc_id") % 7 =!= 0).select(
+        col("doc_id"), col("source").as("chrom"), stA.as("start"),
+        (stA + 50 + pmod(col("doc_id"), lit(200))).as("stop")),
+      docs.filter(col("doc_id") % 7 === 0).select(
+        col("source").as("chrom"), stB.as("start"),
+        (stB + 5 + pmod(col("doc_id"), lit(20))).as("stop")),
+      "chrom", "start", "stop", "doc_id",
+      "chrom", "start", "stop", binWidth = 1024L)
+  }
+
   /** j12: interval coalescing (bedtools merge) — overlapping or
     * book-ended document spans collapse into one merged interval per
     * source; the sweep-boundary form, never a per-chrom window. Full
@@ -1989,7 +2010,8 @@ object SparkEntry {
     "t28_zipf_slope" -> (t28ZipfSlope _),
     "c11_contamination_report" -> (c11ContaminationReport _),
     "j12_interval_merge" -> (j12IntervalMerge _),
-    "t29_html_extract" -> (t29HtmlExtract _))
+    "t29_html_extract" -> (t29HtmlExtract _),
+    "j13_interval_subtract" -> (j13IntervalSubtract _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -4895,5 +4917,46 @@ object SparkEntry {
         |  floor(n_links::DOUBLE * 1000000::DOUBLE
         |    / len(string_split(text, ' '))::DOUBLE + 0.5::DOUBLE)::BIGINT
         |    AS link_density_e6
-        |FROM s2""".stripMargin)
+        |FROM s2""".stripMargin,
+    // j13 twin: the j12 running-max merge over the blacklist, the
+    // overlap join, then complement gaps via lag windows — the head/
+    // middle gaps from lag(o_e), the tail gap from max(o_e), untouched
+    // a rows whole via NOT IN
+    "j13_interval_subtract" ->
+      """WITH a AS (SELECT doc_id AS a_id, source AS chrom,
+        |    (doc_id * 37) % 20000 AS a_s,
+        |    (doc_id * 37) % 20000 + 50 + doc_id % 200 AS a_e
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |bi AS (SELECT source AS chrom,
+        |    (doc_id * 41) % 20000 AS s,
+        |    (doc_id * 41) % 20000 + 5 + doc_id % 20 AS e
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |mrk AS (SELECT chrom, s, e,
+        |    CASE WHEN s > max(e) OVER (PARTITION BY chrom ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM bi),
+        |grp AS (SELECT chrom, s, e,
+        |    sum(brk) OVER (PARTITION BY chrom ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM mrk),
+        |m AS (SELECT chrom, min(s) AS s, max(e) AS e
+        |  FROM grp GROUP BY chrom, g),
+        |ov AS (SELECT a.a_id, a.chrom, a.a_s, a.a_e,
+        |    greatest(m.s, a.a_s) AS o_s, least(m.e, a.a_e) AS o_e
+        |  FROM a JOIN m ON a.chrom = m.chrom
+        |    AND m.s <= a.a_e AND m.e >= a.a_s),
+        |mid AS (SELECT a_id, chrom,
+        |    coalesce(lag(o_e) OVER (PARTITION BY a_id ORDER BY o_s),
+        |      a_s - 1) + 1 AS gs,
+        |    o_s - 1 AS ge
+        |  FROM ov),
+        |tl AS (SELECT a_id, chrom, max(o_e) + 1 AS gs, max(a_e) AS ge
+        |  FROM ov GROUP BY a_id, chrom),
+        |wh AS (SELECT a_id, chrom, a_s AS gs, a_e AS ge FROM a
+        |  WHERE a_id NOT IN (SELECT a_id FROM ov)),
+        |g2 AS (SELECT * FROM mid UNION ALL SELECT * FROM tl
+        |  UNION ALL SELECT * FROM wh)
+        |SELECT a_id AS id, chrom, gs::BIGINT AS start, ge::BIGINT AS stop
+        |FROM g2 WHERE gs <= ge""".stripMargin)
 }

@@ -118,4 +118,86 @@ object IntervalJoin {
       .select(col("q_id"), col("m.r_id").as("r_id"),
         col("m.dist").as("dist"))
   }
+
+  /** Interval subtraction — `bedtools subtract`: the portions of every
+    * `a` interval not covered by ANY `b` interval. Callable-regions
+    * minus blacklist in genomics; license-clean span extraction or
+    * redaction-gap audits over text offsets.
+    *
+    * Shape: `b` first collapses to disjoint merged runs
+    * ([[IntervalDepth.coalesce]] — the distributed sweep, no per-chrom
+    * window), then the bin-key rewrite joins each `a` row to the runs it
+    * overlaps (plain equi-join on (chrom, bin) + residual, AQE/
+    * skew-planned). The complement is computed per `a` row by a fold
+    * over its SORTED overlap set — an `aggregate` higher-order function
+    * inside codegen, never a window: per-row state is the overlap array,
+    * bounded by the merged runs inside ONE `a` span (merged runs are
+    * disjoint, so ≤ span/2 and in practice tiny), not by corpus size.
+    * An `a` row with no overlap survives the left bin-join as null
+    * overlaps (collapsed by the same regroup) and emits itself whole.
+    *
+    * Input contract as [[IntervalDepth.depthHistogram]]: closed
+    * intervals, `start <= end` (violations raise in the sweep), no null
+    * chroms. Output: (id, chrom, start, stop) — the surviving
+    * sub-intervals of `a`, zero rows for fully-covered `a` intervals.
+    */
+  def subtract(
+      a: DataFrame, b: DataFrame,
+      aChrom: String, aStartCol: String, aEndCol: String, aIdCol: String,
+      bChrom: String, bStartCol: String, bEndCol: String,
+      binWidth: Long = 1024L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive (got $binWidth)")
+    val q = a.select(
+      col(aIdCol).cast("long").as("a_id"),
+      // the same loud null-chrom / inverted-interval contract the sweep
+      // enforces on b — a silent null here would drop the row from the
+      // bin join and fabricate a full-coverage result
+      when(col(aChrom).isNull, raise_error(lit("subtract: null chrom")))
+        .otherwise(col(aChrom).cast("string")).as("chrom"),
+      col(aStartCol).cast("long").as("a_s"),
+      when(col(aEndCol).cast("long") < col(aStartCol).cast("long"),
+        raise_error(lit("subtract: interval with end < start")))
+        .otherwise(col(aEndCol).cast("long")).as("a_e"))
+    val bm = IntervalDepth.coalesce(b, bChrom, bStartCol, bEndCol)
+      .select(col("chrom").as("b_chrom"), col("start").as("b_s"),
+        col("stop").as("b_e"))
+    val qb = q.withColumn("bin", explode(sequence(
+      floor(col("a_s").cast("double") / binWidth).cast("long"),
+      floor(col("a_e").cast("double") / binWidth).cast("long"))))
+    val rb = bm.withColumn("bin", explode(sequence(
+      floor(col("b_s").cast("double") / binWidth).cast("long"),
+      floor(col("b_e").cast("double") / binWidth).cast("long"))))
+    val ov = qb.join(rb,
+        qb("chrom") === rb("b_chrom") && qb("bin") === rb("bin") &&
+          col("b_s") <= col("a_e") && col("b_e") >= col("a_s"),
+        "left")
+      .select(col("a_id"), qb("chrom"), col("a_s"), col("a_e"),
+        // null o_s marks "this bin row matched nothing" — greatest()
+        // would otherwise swallow the null b side and fabricate an
+        // overlap equal to the a span
+        when(col("b_s").isNotNull,
+          struct(greatest(col("b_s"), col("a_s")).as("o_s"),
+            least(col("b_e"), col("a_e")).as("o_e"))).as("o"))
+    // collect_set: a pair colliding in several bins collapses here, and
+    // the all-null rows of an unmatched a collapse to an empty set
+    ov.groupBy("a_id", "chrom", "a_s", "a_e")
+      .agg(sort_array(collect_set(col("o"))).as("ov"))
+      .select(col("a_id").as("id"), col("chrom"),
+        explode(expr(
+          """aggregate(ov,
+            |  struct(a_s AS cur,
+            |    CAST(array() AS ARRAY<STRUCT<gs: BIGINT, ge: BIGINT>>)
+            |      AS gaps),
+            |  (acc, x) -> struct(
+            |    greatest(acc.cur, x.o_e + 1L) AS cur,
+            |    IF(x.o_s > acc.cur,
+            |      array_append(acc.gaps,
+            |        struct(acc.cur AS gs, x.o_s - 1L AS ge)),
+            |      acc.gaps) AS gaps),
+            |  acc -> IF(acc.cur <= a_e,
+            |    array_append(acc.gaps, struct(acc.cur AS gs, a_e AS ge)),
+            |    acc.gaps))""".stripMargin)).as("g"))
+      .select(col("id"), col("chrom"),
+        col("g.gs").as("start"), col("g.ge").as("stop"))
+  }
 }

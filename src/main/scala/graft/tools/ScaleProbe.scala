@@ -185,6 +185,25 @@ object ScaleProbe {
             (st + 5 + pmod(col("doc_id"), lit(20))).as("stop")),
           "chrom", "start", "stop").count()
       },
+      // j11's constant-density synthesis (position space ∝ n), so the
+      // 1/7 blacklist keeps ~10% coverage at every scale and output
+      // rows track the a side ~linearly (a shrinking space saturates
+      // coverage and zeroes the output — measured, not guessed)
+      "j13_subtract" -> { d =>
+        val span = math.max(4000L, probeN)
+        val st = pmod(col("doc_id") * 37, lit(span))
+        val iv = d.select(
+          col("doc_id"),
+          concat(lit("c"), pmod(col("doc_id"), lit(20)).cast("string"))
+            .as("chrom"),
+          st.as("start"),
+          (st + 5 + pmod(col("doc_id"), lit(20))).as("stop"))
+        graft.operators.IntervalJoin.subtract(
+          iv.filter(col("doc_id") % 7 =!= 0),
+          iv.filter(col("doc_id") % 7 === 0),
+          "chrom", "start", "stop", "doc_id",
+          "chrom", "start", "stop", binWidth = 256L).count()
+      },
       "s8_curriculum" -> (d =>
         Sampling.curriculumOrder(
           d.select(col("doc_id"), length(col("text")).as("n")),

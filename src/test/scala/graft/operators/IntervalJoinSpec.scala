@@ -116,4 +116,63 @@ class IntervalJoinSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
     assert(got == expected)
   }
+
+  test("subtract hand cases: head/middle/tail gaps, full cover, no overlap") {
+    val a = Seq(
+      ("c1", 10L, 100L, 1L),  // b covers [20,30] and [50,60] -> 3 gaps
+      ("c1", 22L, 28L, 2L),   // fully inside [20,30] -> zero rows
+      ("c1", 200L, 210L, 3L), // no overlap -> whole interval
+      ("c2", 10L, 100L, 4L),  // same span, other chrom: only [40,45] hits
+      ("c1", 25L, 55L, 5L))   // clamped head+tail: [31,49]
+      .toDF("chrom", "start", "stop", "aid")
+    val b = Seq(
+      // [20,30] arrives as two book-ended pieces — coalesce must merge
+      // them before the complement, or [25,25] would survive wrongly
+      ("c1", 20L, 24L), ("c1", 25L, 30L),
+      ("c1", 50L, 60L),
+      ("c2", 40L, 45L))
+      .toDF("chrom", "start", "stop")
+    val got = IntervalJoin.subtract(a, b,
+        "chrom", "start", "stop", "aid",
+        "chrom", "start", "stop", binWidth = 16L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "c1", 10L, 19L), (1L, "c1", 31L, 49L), (1L, "c1", 61L, 100L),
+      (3L, "c1", 200L, 210L),
+      (4L, "c2", 10L, 39L), (4L, "c2", 46L, 100L),
+      (5L, "c1", 31L, 49L)))
+  }
+
+  test("subtract equals brute force on a dense random fixture") {
+    val rng = new scala.util.Random(23)
+    val as = for (i <- 1L to 60L) yield {
+      val s = rng.nextInt(400).toLong
+      (s"c${i % 3}", s, s + rng.nextInt(80).toLong, i)
+    }
+    val bs = for (i <- 1L to 120L) yield {
+      val s = rng.nextInt(450).toLong
+      (s"c${i % 3}", s, s + rng.nextInt(25).toLong)
+    }
+    // plain-Scala mirror: per a row, walk the base positions
+    val expected = as.flatMap { case (c, s, e, id) =>
+      val covered = bs.filter(_._1 == c)
+      val free = (s to e).filterNot(p =>
+        covered.exists(b => b._2 <= p && p <= b._3))
+      // collapse consecutive free positions into runs
+      val runs = free.foldLeft(List.empty[(Long, Long)]) {
+        case ((rs, re) :: t, p) if p == re + 1 => (rs, p) :: t
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+      runs.map { case (rs, re) => (id, c, rs, re) }
+    }.toSet
+    for (parts <- Seq(1, 3, 17)) {
+      val got = IntervalJoin.subtract(
+          as.toDF("chrom", "start", "stop", "aid").repartition(parts),
+          bs.toDF("chrom", "start", "stop").repartition(parts),
+          "chrom", "start", "stop", "aid",
+          "chrom", "start", "stop", binWidth = 64L)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
 }
