@@ -1602,6 +1602,14 @@ object SparkEntry {
     EventAnalytics.transitionMatrix(
       T(s, d, "events"), "user_id", "ts", "event_id", "event_type")
 
+  /** w12: event-rate spike detection — hourly per-type counts flagged
+    * |z| > 3 against the trailing 24 observed buckets. Full oracle: the
+    * z test is the multiplied-through integer form (c·n − S)² >
+    * 9·(n·Q − S²), so no sqrt or rounding exists to diverge.
+    */
+  private def w12RateAnomaly(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.rateAnomaly(T(s, d, "events"), "ts", "event_type")
+
   /** s9: leakage-safe group split — every doc of a source lands in the
     * same train/val/test split (near-dups share sources, so none can
     * straddle the eval boundary). Full oracle: the md5 bucket grid and
@@ -2011,7 +2019,8 @@ object SparkEntry {
     "c11_contamination_report" -> (c11ContaminationReport _),
     "j12_interval_merge" -> (j12IntervalMerge _),
     "t29_html_extract" -> (t29HtmlExtract _),
-    "j13_interval_subtract" -> (j13IntervalSubtract _))
+    "j13_interval_subtract" -> (j13IntervalSubtract _),
+    "w12_rate_anomaly" -> (w12RateAnomaly _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -4958,5 +4967,23 @@ object SparkEntry {
         |g2 AS (SELECT * FROM mid UNION ALL SELECT * FROM tl
         |  UNION ALL SELECT * FROM wh)
         |SELECT a_id AS id, chrom, gs::BIGINT AS start, ge::BIGINT AS stop
-        |FROM g2 WHERE gs <= ge""".stripMargin)
+        |FROM g2 WHERE gs <= ge""".stripMargin,
+    // w12 twin: epoch_us bucketing (the proven w4 convention), trailing
+    // ROWS frame over observed buckets, and the exact integer z test —
+    // count() over an empty frame is 0 in both engines, so the cold
+    // start resolves to false through n_b >= 12, never through a NULL
+    "w12_rate_anomaly" ->
+      """WITH c AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS bucket, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, bucket, n_events,
+        |    count(*) OVER win AS n_b,
+        |    sum(n_events) OVER win AS s_b,
+        |    sum(n_events * n_events) OVER win AS q_b
+        |  FROM c WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bucket, n_events, n_b AS n_baseline,
+        |  (n_b >= 12 AND (n_events * n_b - s_b) * (n_events * n_b - s_b)
+        |    > 9 * (n_b * q_b - s_b * s_b)) AS is_spike
+        |FROM w""".stripMargin)
 }

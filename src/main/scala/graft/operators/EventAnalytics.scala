@@ -369,4 +369,55 @@ object EventAnalytics {
         .as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
   }
+
+  /** Event-rate spike detection: per (event type, time bucket) counts
+    * flagged against a trailing baseline of the previous `baseline`
+    * OBSERVED buckets (a ROWS frame — empty buckets don't exist as
+    * rows; the contract is "previous up-to-N non-empty buckets", which
+    * every SQL engine replays identically with no gap-filling pass).
+    *
+    * The |z| > `z` test runs WITHOUT any floating point: with n = frame
+    * rows, S = frame sum, Q = frame sum of squares (all exact 64-bit
+    * integers), (c − S/n)² > z²·(Q/n − S²/n²) multiplies through by n²
+    * into (c·n − S)² > z²·(n·Q − S²) — an exact integer comparison, so
+    * no engine's sqrt or rounding mode can flip a flag. Buckets with
+    * fewer than `minBaseline` trailing rows report is_spike = false
+    * (cold start is not evidence).
+    *
+    * Scale: one map-side-combined count per (type, bucket), then a
+    * window partitioned by type whose row count is CALENDAR-bounded
+    * (a year of hourly buckets is 8,760 rows per type regardless of
+    * corpus size — model-sized state, the bounded-window discipline of
+    * e2/e3), never corpus-bounded.
+    *
+    * `tsCol` is nanoseconds-since-epoch (the harness events shape);
+    * bucketing truncates to µs first so SQL twins replay via
+    * epoch_us(ts). Output: (event_type, bucket, n_events, n_baseline,
+    * is_spike).
+    */
+  def rateAnomaly(
+      events: DataFrame, tsCol: String, typeCol: String,
+      bucketUs: Long = 3600L * 1000 * 1000, baseline: Int = 24,
+      minBaseline: Int = 12, z: Int = 3): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive (got $bucketUs)")
+    require(baseline >= minBaseline && minBaseline >= 1,
+      s"need baseline >= minBaseline >= 1 (got $baseline, $minBaseline)")
+    val counts = events
+      .select(col(typeCol).as("event_type"),
+        expr(s"($tsCol div 1000) div $bucketUs").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(-baseline, -1)
+    val dev = col("n_events") * col("n_baseline") - col("s_b")
+    counts
+      .withColumn("n_baseline", count(lit(1)).over(w))
+      .withColumn("s_b", sum("n_events").over(w))
+      .withColumn("q_b", sum(col("n_events") * col("n_events")).over(w))
+      .select(col("event_type"), col("bucket"), col("n_events"),
+        col("n_baseline"),
+        (col("n_baseline") >= minBaseline &&
+          dev * dev > lit(z.toLong * z) *
+            (col("n_baseline") * col("q_b") - col("s_b") * col("s_b")))
+          .as("is_spike"))
+  }
 }

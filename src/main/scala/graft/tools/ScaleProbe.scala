@@ -308,6 +308,12 @@ object ScaleProbe {
         EventAnalytics.transitionMatrix(synthEvents(d, probeN),
           "user_id", "ts", "ts", "event_type").count()
       },
+      // bucket count is calendar-bounded (30 days × 5 types) at every
+      // scale — the count stage should dominate, the window stay flat
+      "w12_anomaly" -> { d =>
+        EventAnalytics.rateAnomaly(synthEvents(d, probeN),
+          "ts", "event_type").count()
+      },
       // benchmark side grows ∝ n/10 with the corpus (worst case for
       // the broadcast build; real eval suites are fixed-size)
       "c11_contam_report" -> { d =>

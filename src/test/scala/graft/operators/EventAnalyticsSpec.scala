@@ -251,4 +251,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (1L, 7L, 2L, "x"), (1L, 7L, 5L, "y")))
     assert(got == Map(("x", "y") -> (1L, 1000000L)))
   }
+
+  test("rateAnomaly flags |z|>3 spikes via the exact integer test") {
+    // ts in ns; n events inside hourly bucket b
+    def evs(t: String, b: Int, n: Int): Seq[(Long, String)] =
+      (0 until n).map(i =>
+        (b.toLong * 3600L * 1000 * 1000 * 1000 + i * 1000000L, t))
+    val data =
+      // flat baseline of 2/hour, then a 20-event hour
+      (0 to 23).flatMap(b => evs("a", b, 2)) ++ evs("a", 24, 20) ++
+      // big jump but only 6 trailing buckets: cold start suppressed
+      (0 to 5).flatMap(b => evs("b", b, 1)) ++ evs("b", 6, 50) ++
+      // alternating 1/3 baseline: var test boundary |c-2| > 3, so c=5
+      // sits EXACTLY on the threshold (strict >) and c=6 is over
+      (0 to 23).flatMap(b => evs("v", b, 1 + 2 * (b % 2))) ++
+        evs("v", 24, 5) ++
+      (0 to 23).flatMap(b => evs("u", b, 1 + 2 * (b % 2))) ++
+        evs("u", 24, 6)
+    val got = EventAnalytics.rateAnomaly(
+        data.toDF("ts", "event_type"), "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(("a", 24L)) == ((20L, 24L, true)))
+    // zero-variance baseline, count on the mean: dev 0, thr 0, 0>0 false
+    assert(got(("a", 12L)) == ((2L, 12L, false)))
+    assert(!got(("a", 0L))._3) // empty frame
+    assert(got(("b", 6L)) == ((50L, 6L, false)))
+    assert(!got(("v", 24L))._3) // (24·5−48)² = 5184 = 9·576: not strict
+    assert(got(("u", 24L))._3)  // (24·6−48)² = 9216 > 5184
+  }
 }
