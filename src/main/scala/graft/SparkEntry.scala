@@ -1687,6 +1687,15 @@ object SparkEntry {
       "doc_id", "html")
   }
 
+  /** t30: sentence segmentation — one row per sentence with ordinal
+    * and token count. Full oracle: the marker-insertion split is
+    * RE2-safe by construction, so DuckDB replays the abbreviation
+    * guards, the `([.!?]+)\s+` marker pass and the zip of pieces with
+    * their subscripts verbatim.
+    */
+  private def t30SentenceSplit(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.sentenceSplit(T(s, d, "documents"), "doc_id", "text")
+
   /** j13: interval subtraction (bedtools subtract) — every 6-of-7 doc
     * span minus the union of the 1-of-7 "blacklist" spans on the same
     * source-chrom. Full oracle: DuckDB merges the blacklist with the
@@ -2020,7 +2029,8 @@ object SparkEntry {
     "j12_interval_merge" -> (j12IntervalMerge _),
     "t29_html_extract" -> (t29HtmlExtract _),
     "j13_interval_subtract" -> (j13IntervalSubtract _),
-    "w12_rate_anomaly" -> (w12RateAnomaly _))
+    "w12_rate_anomaly" -> (w12RateAnomaly _),
+    "t30_sentence_split" -> (t30SentenceSplit _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -4985,5 +4995,38 @@ object SparkEntry {
         |SELECT event_type, bucket, n_events, n_b AS n_baseline,
         |  (n_b >= 12 AND (n_events * n_b - s_b) * (n_events * n_b - s_b)
         |    > 9 * (n_b * q_b - s_b * s_b)) AS is_spike
-        |FROM w""".stripMargin)
+        |FROM w""".stripMargin,
+    // t30 twin: the identical abbreviation-guard replace chain (same
+    // order, innermost first = Spark's foldLeft), marker insertion with
+    // chr(1)/chr(2) sentinels, and pieces zipped with their subscripts
+    // (generate_subscripts + unnest align positionally in DuckDB);
+    // empties dropped AFTER numbering, exactly as posexplode + filter
+    "t30_sentence_split" ->
+      """WITH g AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |    replace(text,
+        |      'Mr.', 'Mr' || chr(2)), 'Mrs.', 'Mrs' || chr(2)),
+        |      'Ms.', 'Ms' || chr(2)), 'Dr.', 'Dr' || chr(2)),
+        |      'Prof.', 'Prof' || chr(2)), 'St.', 'St' || chr(2)),
+        |      'Jr.', 'Jr' || chr(2)), 'Sr.', 'Sr' || chr(2)),
+        |      'vs.', 'vs' || chr(2)), 'etc.', 'etc' || chr(2)),
+        |      'e.g.', 'e.g' || chr(2)), 'i.e.', 'i.e' || chr(2)),
+        |      'Fig.', 'Fig' || chr(2)), 'No.', 'No' || chr(2)),
+        |      'al.', 'al' || chr(2)) AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    regexp_replace(t, '([.!?]+)\s+', '\1' || chr(1), 'g') AS t
+        |  FROM g),
+        |s AS (SELECT doc_id,
+        |    generate_subscripts(string_split(t, chr(1)), 1) AS sent_idx,
+        |    unnest(string_split(t, chr(1))) AS raw
+        |  FROM m),
+        |c AS (SELECT doc_id, sent_idx,
+        |    trim(regexp_replace(replace(raw, chr(2), '.'), '\s+', ' ', 'g'))
+        |      AS sentence
+        |  FROM s)
+        |SELECT doc_id AS id, sent_idx::BIGINT AS sent_idx, sentence,
+        |  len(string_split(sentence, ' '))::BIGINT AS n_tokens
+        |FROM c WHERE sentence <> ''""".stripMargin)
 }

@@ -975,6 +975,59 @@ object TextAnalytics {
         + lit(0.5)).cast("long").as("link_density_e6"))
   }
 
+  /** Abbreviations protected from the sentence splitter — the short
+    * fixed list every rule-based segmenter carries. Multi-dot entries
+    * ("e.g.", "i.e.") list their LAST dot's prefix so one replace
+    * guards the split point.
+    */
+  val DefaultAbbrevs: Seq[String] = Seq(
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "St", "Jr", "Sr",
+    "vs", "etc", "e.g", "i.e", "Fig", "No", "al")
+
+  /** Sentence segmentation — one row per sentence with its ordinal and
+    * token count: the unit-of-text primitive under sentence-level
+    * dedup, parallel-corpus alignment, and context-window chunking on
+    * sentence boundaries (char-based chunking is [[chunk]]).
+    *
+    * Rule-based and deliberately RE2-safe (a lookbehind split like
+    * `(?<=[.!?])\s+` would be Java-only and unreplayable in a SQL
+    * twin): protect each abbreviation's trailing dot with a
+    * sentinel (\u0002) via plain string replaces, insert a \u0001 marker after
+    * any `[.!?]+` run followed by whitespace (the terminator stays with
+    * its sentence, the whitespace is consumed), split on the marker,
+    * restore the sentinel, collapse whitespace and trim. Empty pieces
+    * (a doc starting with ". ") are dropped WITHOUT renumbering —
+    * `sent_idx` is the 1-based split ordinal, so twins that filter
+    * after the zip agree bit-for-bit.
+    *
+    * Heuristic by design: "U.S. economy" splits after "U.S." and a
+    * decimal like 3.14 never splits (no whitespace after the dot) —
+    * the standard rule-segmenter trade-offs, identical in any engine.
+    *
+    * Scale: a pure scan-side projection + generator (explode) — zero
+    * shuffle, no state; output rows ∝ input sentences.
+    *
+    * Output: (id, sent_idx, sentence, n_tokens).
+    */
+  def sentenceSplit(
+      docs: DataFrame, idCol: String, textCol: String,
+      abbrevs: Seq[String] = DefaultAbbrevs): DataFrame = {
+    require(abbrevs.forall(a => a.nonEmpty && !a.endsWith(".")),
+      "abbrevs are listed WITHOUT their trailing dot")
+    val guarded = abbrevs.foldLeft(col(textCol)) { (c, a) =>
+      replace(c, lit(a + "."), lit(a + "\u0002"))
+    }
+    val marked = regexp_replace(guarded, "([.!?]+)\\s+", "$1\u0001")
+    val sent = trim(regexp_replace(
+      replace(col("raw"), lit("\u0002"), lit(".")), "\\s+", " "))
+    docs.select(col(idCol).as("id"),
+        posexplode(split(marked, "\u0001")).as(Seq("pos", "raw")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("sent_idx"),
+        sent.as("sentence"),
+        size(split(sent, " ")).cast("long").as("n_tokens"))
+      .where(col("sentence") =!= "")
+  }
+
   /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
     * word n-grams that appear in no other document — the complement of
     * the duplication signal the d-family flags pairs with. High novelty

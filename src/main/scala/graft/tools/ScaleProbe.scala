@@ -324,6 +324,9 @@ object ScaleProbe {
           c.filter(col("doc_id") % 10 === 0), "doc_id", "text",
           n = 4).count()
       },
+      // scan-side projection + explode; output rows ∝ sentences
+      "t30_sentences" -> (d =>
+        TextAnalytics.sentenceSplit(d, "doc_id", "text").count()),
       // page template around each doc (title/style/script/nav links) —
       // a pure scan-side regex projection; expect flat-to-linear with
       // zero shuffle in the plan

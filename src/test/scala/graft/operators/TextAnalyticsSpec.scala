@@ -532,6 +532,34 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(q.getAs[Long]("link_density_e6") == 0L)
   }
 
+  test("sentenceSplit: abbreviation guards, ordinals, token counts") {
+    val got = TextAnalytics.sentenceSplit(
+        Seq(
+          (1L, "Hello world. Dr. Smith vs. the U.S. won! Was it fun? " +
+            "Pi is 3.14 here. See Fig. 2 for more..."),
+          (2L, "  . leading dot"),
+          (3L, "no terminator at all"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("sent_idx")) ->
+        ((r.getAs[String]("sentence"), r.getAs[Long]("n_tokens")))).toMap
+    // Dr./vs./Fig. guarded; U.S. splits after "S." (heuristic contract);
+    // 3.14 never splits (no whitespace after the dot); trailing "..."
+    // has no following whitespace, so it stays with its sentence
+    assert(got((1L, 1L)) == (("Hello world.", 2L)))
+    assert(got((1L, 2L)) == (("Dr. Smith vs. the U.S.", 5L)))
+    assert(got((1L, 3L)) == (("won!", 1L)))
+    assert(got((1L, 4L)) == (("Was it fun?", 3L)))
+    assert(got((1L, 5L)) == (("Pi is 3.14 here.", 4L)))
+    assert(got((1L, 6L)) == (("See Fig. 2 for more...", 5L)))
+    // the lone dot survives as its own piece; idx keeps split ordinals
+    assert(got((2L, 1L)) == ((".", 1L)))
+    assert(got((2L, 2L)) == (("leading dot", 2L)))
+    assert(got((3L, 1L)) == (("no terminator at all", 4L)))
+    assert(got.size == 9)
+  }
+
   test("zipfFit matches a plain-Scala least-squares mirror") {
     // counts 24/12/8/6 = 24/r: exact Zipf, slope ≈ −1
     val words = Seq("w1" -> 24, "w2" -> 12, "w3" -> 8, "w4" -> 6)
