@@ -1687,6 +1687,25 @@ object SparkEntry {
       "doc_id", "html")
   }
 
+  /** d18: domain boilerplate line removal — each doc's text extended
+    * with a planted nav line (df ≈ ⅓ of the domain → removed), a
+    * per-doc rare line (df 1 → kept) and a domain-wide footer (df 100%
+    * → removed). Full oracle: the df-share boundary is exact integer
+    * lattice arithmetic and the reassembly orders by line position in
+    * both engines.
+    */
+  private def d18BoilerplateLines(s: SparkSession, d: String): DataFrame = {
+    val page = concat(
+      col("text"),
+      lit("\nnav "), pmod(col("doc_id"), lit(3)).cast("string"),
+      lit("\nrare "), col("doc_id").cast("string"),
+      lit("\n(c) "), col("source"), lit(" footer"))
+    Dedup.boilerplateLines(
+      T(s, d, "documents")
+        .select(col("doc_id"), col("source"), page.as("text")),
+      "doc_id", "text", "source")
+  }
+
   /** t30: sentence segmentation — one row per sentence with ordinal
     * and token count. Full oracle: the marker-insertion split is
     * RE2-safe by construction, so DuckDB replays the abbreviation
@@ -2030,7 +2049,8 @@ object SparkEntry {
     "t29_html_extract" -> (t29HtmlExtract _),
     "j13_interval_subtract" -> (j13IntervalSubtract _),
     "w12_rate_anomaly" -> (w12RateAnomaly _),
-    "t30_sentence_split" -> (t30SentenceSplit _))
+    "t30_sentence_split" -> (t30SentenceSplit _),
+    "d18_boilerplate_lines" -> (d18BoilerplateLines _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -5028,5 +5048,34 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id AS id, sent_idx::BIGINT AS sent_idx, sentence,
         |  len(string_split(sentence, ' '))::BIGINT AS n_tokens
-        |FROM c WHERE sentence <> ''""".stripMargin)
+        |FROM c WHERE sentence <> ''""".stripMargin,
+    // d18 twin: identical page synthesis, df per (domain, line), the
+    // exact lattice boundary df*1e6 > 250000*n_docs, reassembly via
+    // string_agg ORDER BY pos (NULL lines skipped = collect_list's
+    // null-skip)
+    "d18_boilerplate_lines" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    text || chr(10) || 'nav ' || (doc_id % 3)::VARCHAR ||
+        |    chr(10) || 'rare ' || doc_id::VARCHAR ||
+        |    chr(10) || '(c) ' || source || ' footer' AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id AS id, source AS domain,
+        |    generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+        |    unnest(string_split(text, chr(10))) AS line
+        |  FROM p),
+        |df AS (SELECT domain, line, count(DISTINCT id) AS df
+        |  FROM l GROUP BY 1, 2),
+        |nd AS (SELECT source AS domain, count(*) AS n_docs
+        |  FROM p GROUP BY 1),
+        |j AS (SELECT l.id, l.pos, l.line,
+        |    NOT (df.df >= 2 AND df.df * 1000000 > 250000 * nd.n_docs)
+        |      AS keep
+        |  FROM l JOIN df USING (domain, line) JOIN nd USING (domain))
+        |SELECT id, count(*)::BIGINT AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CASE WHEN sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+        |    THEN string_agg(CASE WHEN keep THEN line END, chr(10)
+        |      ORDER BY pos)
+        |    ELSE NULL END AS text_clean
+        |FROM j GROUP BY id""".stripMargin)
 }

@@ -111,6 +111,59 @@ object Dedup {
         when(col("n_kept") > 0, col("td")).as("text_dedup"))
   }
 
+  /** Domain-level boilerplate line removal — the CCNet/RefinedWeb
+    * companion to [[segmentDedup]] with the OTHER policy: a line whose
+    * within-domain document frequency share exceeds `maxShareE6` (and
+    * df >= `minDf`) is boilerplate and is removed from EVERY document
+    * (nav bars, cookie banners, per-site footers), where segmentDedup
+    * keeps one canonical occurrence corpus-wide.
+    *
+    * The share test is exact integer arithmetic on the 1e-6 lattice:
+    * df·10⁶ > maxShareE6·n_docs — no division, no float, so every
+    * engine draws the same boundary.
+    *
+    * Shape: one posexplode of lines, a (domain, line) df aggregate
+    * (count_distinct collapses map-side — a domain-wide footer lands
+    * one row per partition on the exchange, never one per occurrence),
+    * a domain-sized doc-count aggregate (AQE broadcasts it), the
+    * equi-join back (hot boilerplate keys are skew-splittable), and a
+    * per-doc reassembly whose sort is over THAT doc's lines only.
+    *
+    * Output per doc: (id, n_lines, n_kept, text_clean) — text_clean
+    * null when every line was boilerplate.
+    */
+  def boilerplateLines(
+      docs: DataFrame, idCol: String, textCol: String, domainCol: String,
+      minDf: Int = 2, maxShareE6: Long = 250000L): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1 (got $minDf)")
+    require(maxShareE6 >= 0 && maxShareE6 <= 1000000L,
+      s"maxShareE6 must be on [0, 1e6] (got $maxShareE6)")
+    val lines = docs.select(
+      col(idCol).cast("long").as("id"),
+      col(domainCol).cast("string").as("domain"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val dfTab = lines.groupBy("domain", "line")
+      .agg(count_distinct(col("id")).as("df"))
+    val nd = docs.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    lines
+      .join(dfTab, Seq("domain", "line"))
+      .join(nd, Seq("domain"))
+      .withColumn("keep",
+        !(col("df") >= minDf &&
+          col("df") * lit(1000000L) > lit(maxShareE6) * col("n_docs")))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("pos"), col("line"))))),
+            x => x.getField("line")), "\n").as("tc"))
+      .select(col("id"), col("n_lines"), col("n_kept"),
+        when(col("n_kept") > 0, col("tc")).as("text_clean"))
+  }
+
   /** Exact-substring duplicate spans (the ExactSubstr pass of Lee et al.
     * 2021, "Deduplicating Training Data Makes Language Models Better",
     * re-expressed relationally): every maximal token run of length >= L

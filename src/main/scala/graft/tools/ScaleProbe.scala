@@ -215,6 +215,19 @@ object ScaleProbe {
           Seq("w100", "w2000", "w15000")).count()),
       "d10_segments" -> (d =>
         Dedup.segmentDedup(d, "doc_id", "text").count()),
+      // 20 synthetic domains; planted nav/footer lines so boilerplate
+      // df keys are genuinely hot (worst case for the join-back)
+      "d18_boilerplate" -> { d =>
+        val page = concat(col("text"),
+          lit("\nnav "), pmod(col("doc_id"), lit(3)).cast("string"),
+          lit("\n(c) domain "),
+          pmod(col("doc_id"), lit(20)).cast("string"))
+        Dedup.boilerplateLines(
+          d.select(col("doc_id"),
+            pmod(col("doc_id"), lit(20)).cast("string").as("domain"),
+            page.as("text")),
+          "doc_id", "text", "domain").count()
+      },
       "d14_containment" -> (d =>
         Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.9)
           .count()),

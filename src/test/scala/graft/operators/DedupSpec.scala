@@ -280,6 +280,34 @@ class DedupSpec extends AnyFunSuite {
     assert((basePairs ++ incPairs) == fullPairs)
   }
 
+  test("boilerplateLines removes by within-domain df share, per domain") {
+    val docs = Seq(
+      // domain A (4 docs): "foot" in 4/4 (removed), "half" in 2/4
+      // (50% > 25%, removed), "rare1" df=1 (kept even though other
+      // domains also have it — df is per-domain)
+      (1L, "A", "body one\nhalf\nfoot"),
+      (2L, "A", "body two\nhalf\nfoot"),
+      (3L, "A", "body three\nrare1\nfoot"),
+      (4L, "A", "foot"), // every line boilerplate -> null text_clean
+      // domain B (3 docs): "foot" in 1/3 (33% > 25% BUT df=1 < minDf=2:
+      // kept), "rare1" in 1/3 kept
+      (5L, "B", "other body\nfoot"),
+      (6L, "B", "rare1"),
+      (7L, "B", "b seven"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.boilerplateLines(docs, "doc_id", "text", "source")
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 1L, Some("body one"))))
+    assert(got(2L) == ((3L, 1L, Some("body two"))))
+    assert(got(3L) == ((3L, 2L, Some("body three\nrare1"))))
+    assert(got(4L) == ((1L, 0L, None)))
+    // domain B untouched: A's boilerplate verdicts don't leak across
+    assert(got(5L) == ((2L, 2L, Some("other body\nfoot"))))
+    assert(got(6L) == ((1L, 1L, Some("rare1"))))
+    assert(got(7L) == ((1L, 1L, Some("b seven"))))
+  }
+
   test("segmentDedup is the identity on an all-unique corpus") {
     val rnd = new scala.util.Random(7)
     val docs = (0 until 50)
