@@ -1687,6 +1687,27 @@ object SparkEntry {
       "doc_id", "html")
   }
 
+  /** e8: QA answer scoring (SQuAD EM + token F1) — references are each
+    * doc's first 6 tokens; predictions are a doc_id-keyed corruption
+    * grid (identical / truncated / article-padded / unrelated). Full
+    * oracle: normalization is one RE2 chain and F1 is the harmonic
+    * identity in round-half-up integer division — no float anywhere.
+    */
+  private def e8QaF1(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val ref = concat_ws(" ", slice(w, 1, 6))
+    val pred = when(pmod(col("doc_id"), lit(4)) === 0, ref)
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat_ws(" ", slice(w, 1, 4)))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(ref, lit(" the unrelated suffix")))
+      .otherwise(lit("totally different answer text"))
+    val docs = T(s, d, "documents")
+    Retrieval.qaTokenF1(
+      docs.select(col("doc_id").as("q_id"), pred.as("answer")),
+      docs.select(col("doc_id").as("q_id"), ref.as("answer")))
+  }
+
   /** d18: domain boilerplate line removal — each doc's text extended
     * with a planted nav line (df ≈ ⅓ of the domain → removed), a
     * per-doc rare line (df 1 → kept) and a domain-wide footer (df 100%
@@ -2050,7 +2071,8 @@ object SparkEntry {
     "j13_interval_subtract" -> (j13IntervalSubtract _),
     "w12_rate_anomaly" -> (w12RateAnomaly _),
     "t30_sentence_split" -> (t30SentenceSplit _),
-    "d18_boilerplate_lines" -> (d18BoilerplateLines _))
+    "d18_boilerplate_lines" -> (d18BoilerplateLines _),
+    "e8_qa_f1" -> (e8QaF1 _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -5077,5 +5099,49 @@ object SparkEntry {
         |    THEN string_agg(CASE WHEN keep THEN line END, chr(10)
         |      ORDER BY pos)
         |    ELSE NULL END AS text_clean
-        |FROM j GROUP BY id""".stripMargin)
+        |FROM j GROUP BY id""".stripMargin,
+    // e8 twin: identical corruption grid, identical RE2 normalization
+    // chain, and the same (2a+b)//(2b) round-half-up integer division
+    // (DuckDB // floors, Spark div truncates — equal on non-negatives)
+    "e8_qa_f1" ->
+      """WITH t AS (SELECT doc_id AS q_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |base AS (SELECT q_id,
+        |    array_to_string(w[1:6], ' ') AS ref,
+        |    CASE q_id % 4
+        |      WHEN 0 THEN array_to_string(w[1:6], ' ')
+        |      WHEN 1 THEN array_to_string(w[1:4], ' ')
+        |      WHEN 2 THEN array_to_string(w[1:6], ' ')
+        |        || ' the unrelated suffix'
+        |      ELSE 'totally different answer text' END AS pred
+        |  FROM t),
+        |n AS (SELECT q_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(pred), '[^a-z0-9 ]', ' ', 'g'),
+        |      '\b(a|an|the)\b', ' ', 'g'), '\s+', ' ', 'g')) AS pn,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(ref), '[^a-z0-9 ]', ' ', 'g'),
+        |      '\b(a|an|the)\b', ' ', 'g'), '\s+', ' ', 'g')) AS rn
+        |  FROM base),
+        |pcc AS (SELECT q_id, tok, count(*) AS pc FROM
+        |    (SELECT q_id, unnest(string_split(pn, ' ')) AS tok
+        |     FROM n WHERE pn <> '')
+        |  GROUP BY 1, 2),
+        |rcc AS (SELECT q_id, tok, count(*) AS rc FROM
+        |    (SELECT q_id, unnest(string_split(rn, ' ')) AS tok
+        |     FROM n WHERE rn <> '')
+        |  GROUP BY 1, 2),
+        |ov AS (SELECT q_id, sum(least(pc, rc)) AS ov
+        |  FROM pcc JOIN rcc USING (q_id, tok) GROUP BY q_id),
+        |l AS (SELECT q_id, pn, rn,
+        |    CASE WHEN pn = '' THEN 0
+        |      ELSE len(string_split(pn, ' ')) END AS lp,
+        |    CASE WHEN rn = '' THEN 0
+        |      ELSE len(string_split(rn, ' ')) END AS lr
+        |  FROM n)
+        |SELECT l.q_id, pn = rn AS exact_match,
+        |  (CASE WHEN lp + lr = 0 THEN 1000000
+        |    ELSE (4000000 * coalesce(ov.ov, 0) + lp + lr)
+        |      // (2 * (lp + lr)) END)::BIGINT AS f1_e6
+        |FROM l LEFT JOIN ov USING (q_id)""".stripMargin)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -177,5 +177,69 @@ object Retrieval {
       .join(positives.select(col(qIdCol).cast("long").as("q_id"),
           col(cIdCol).cast("long").as("c_id")),
         Seq("q_id", "c_id"), "left_anti")
+  }
+
+  /** SQuAD normalization as a Column: lowercase, strip everything
+    * outside [a-z0-9 ], drop the articles a/an/the, collapse
+    * whitespace. RE2-safe (`\b` is an RE2 word boundary), so SQL twins
+    * replay it verbatim.
+    */
+  def squadNormalize(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(c), "[^a-z0-9 ]", " "),
+        "\\b(a|an|the)\\b", " "),
+      "\\s+", " "))
+
+  /** Reading-comprehension answer scoring — the SQuAD pair of metrics
+    * per question: exact match on normalized text and token-level F1.
+    *
+    * F1 stays in exact integer arithmetic end-to-end: overlap =
+    * Σ_t min(count_pred(t), count_ref(t)) from a per-(q, token) count
+    * join; F1 = 2·overlap/(len_p + len_r) (the harmonic identity —
+    * precision/recall never materialize), emitted on the 1e-6 lattice
+    * via round-half-up integer division (2a + b) div 2b, so no engine
+    * float path exists. Both-empty answers score EM=true, F1=10⁶
+    * (the SQuAD convention); one-empty scores 0.
+    *
+    * Scale: token explode + one (q, token) count aggregate per side
+    * (map-side combined), an equi-join on (q, token), and a per-q
+    * rollup — answer-length-bounded rows, no window, no skew risk
+    * beyond hot tokens AQE already splits.
+    *
+    * Output: (q_id, exact_match, f1_e6).
+    */
+  def qaTokenF1(
+      preds: DataFrame, refs: DataFrame,
+      qIdCol: String = "q_id", textCol: String = "answer"): DataFrame = {
+    def toks(side: DataFrame, outCol: String): DataFrame =
+      side.select(col(qIdCol).cast("long").as("q_id"),
+        squadNormalize(col(textCol)).as(outCol))
+    val p = toks(preds, "p_norm")
+    val r = toks(refs, "r_norm")
+    def counts(norm: DataFrame, normCol: String, cnt: String): DataFrame =
+      norm.filter(col(normCol) =!= "")
+        .select(col("q_id"), explode(split(col(normCol), " ")).as("tok"))
+        .groupBy("q_id", "tok").agg(count(lit(1)).as(cnt))
+    val overlap = counts(p, "p_norm", "pc")
+      .join(counts(r, "r_norm", "rc"), Seq("q_id", "tok"))
+      .groupBy("q_id").agg(sum(least(col("pc"), col("rc"))).as("ov"))
+    val lens = p.join(r, Seq("q_id"))
+      .select(col("q_id"), col("p_norm"), col("r_norm"),
+        when(col("p_norm") === "", 0L)
+          .otherwise(size(split(col("p_norm"), " ")).cast("long")).as("lp"),
+        when(col("r_norm") === "", 0L)
+          .otherwise(size(split(col("r_norm"), " ")).cast("long")).as("lr"))
+    lens.join(overlap, Seq("q_id"), "left")
+      // round-half-up integer division (2a + b) div 2b with
+      // a = 2·ov·10⁶, b = lp + lr
+      .withColumn("num",
+        lit(4000000L) * coalesce(col("ov"), lit(0L)) +
+          col("lp") + col("lr"))
+      .withColumn("den", lit(2L) * (col("lp") + col("lr")))
+      .select(col("q_id"),
+        (col("p_norm") === col("r_norm")).as("exact_match"),
+        when(col("den") === 0L, 1000000L)
+          .otherwise(expr("num div den")).as("f1_e6"))
   }
 }

@@ -357,6 +357,19 @@ object ScaleProbe {
           d.select(col("doc_id"), html.as("html")), "doc_id", "html")
           .count()
       },
+      // answer-length-bounded token join; expect ~linear in question
+      // count
+      "e8_qa_f1" -> { d =>
+        val w = split(col("text"), " ")
+        val ref = concat_ws(" ", slice(w, 1, 6))
+        val pred = when(pmod(col("doc_id"), lit(4)) === 0, ref)
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat_ws(" ", slice(w, 1, 4)))
+          .otherwise(lit("totally different answer text"))
+        graft.operators.Retrieval.qaTokenF1(
+          d.select(col("doc_id").as("q_id"), pred.as("answer")),
+          d.select(col("doc_id").as("q_id"), ref.as("answer"))).count()
+      },
       "ml1_classifier" -> { d =>
         val feats = TextAnalytics.qualityScore(d, "doc_id", "text")
           .select(col("id"),

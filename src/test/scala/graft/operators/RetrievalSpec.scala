@@ -152,6 +152,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("1-based"))
   }
 
+  test("qaTokenF1 matches hand-computed SQuAD EM/F1") {
+    val refs = Seq(
+      (1L, "The big cat sat."), (2L, "big cat sat"), (3L, "cat"),
+      (4L, "cat"), (5L, "the a an"), (6L, "answer here"), (7L, "cat"))
+      .toDF("q_id", "answer")
+    val preds = Seq(
+      (1L, "big cat sat"),   // articles+punct normalize away: EM
+      (2L, "big cat"),       // ov=2, lp=2, lr=3: f1 = 4/5
+      (3L, "dog"),           // disjoint: 0
+      (4L, "cat cat"),       // multiset: ov=min(2,1)=1, f1 = 2/3
+      (5L, "!!!"),           // both normalize to empty: EM, f1=1e6
+      (6L, ""),              // one empty: f1=0, not EM
+      (7L, "Cat!"))          // case+punct: EM
+      .toDF("q_id", "answer")
+    val got = Retrieval.qaTokenF1(preds, refs)
+      .as[(Long, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((true, 1000000L)))
+    assert(got(2L) == ((false, 800000L)))
+    assert(got(3L) == ((false, 0L)))
+    // 2/3 on the half-up lattice: (4e6 + 3) div 6 = 666667
+    assert(got(4L) == ((false, 666667L)))
+    assert(got(5L) == ((true, 1000000L)))
+    assert(got(6L) == ((false, 0L)))
+    assert(got(7L) == ((true, 1000000L)))
+    assert(got.size == 7)
+  }
+
   test("rankingMetrics is deterministic across partitionings") {
     val ranked = (0L until 20L).flatMap(q =>
       (1 to 10).map(r => (q, (q * 31 + r * 7) % 40, r))).toDF("q_id", "c_id", "rank")
