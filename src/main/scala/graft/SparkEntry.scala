@@ -1647,6 +1647,41 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)
   }
 
+  /** q3: TPC-H Q3 shipping priority — top-10 unshipped BUILDING-segment
+    * orders by outstanding revenue. Both date filters reach the scans
+    * before the joins; the rounded revenue is the sort key (ties broken
+    * by date then orderkey in BOTH engines, so the top-10 cut is
+    * deterministic). The harness orders table carries o_orderpriority
+    * (no shippriority column), reported in its place.
+    */
+  private def q3ShippingPriority(s: SparkSession, d: String): DataFrame =
+    T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(T(s, d, "orders"), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .join(T(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+
+  /** q6: TPC-H Q6 forecasting revenue change — one tight scan-side
+    * filter (pushed to parquet) and a single global aggregate; the
+    * canonical "did predicate pushdown work" query. Window shifted to
+    * 1996 (the harness ship dates start in 1995).
+    */
+  private def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    T(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+        .as("revenue"), count(lit(1)).as("n_items"))
+
   /** q18: TPC-H Q18-shaped "large volume customers" — orders whose total
     * line quantity exceeds 150, joined back to customer. Quantities are
     * integer-valued doubles summed as BIGINTs (exact in any partition
@@ -2072,7 +2107,9 @@ object SparkEntry {
     "w12_rate_anomaly" -> (w12RateAnomaly _),
     "t30_sentence_split" -> (t30SentenceSplit _),
     "d18_boilerplate_lines" -> (d18BoilerplateLines _),
-    "e8_qa_f1" -> (e8QaF1 _))
+    "e8_qa_f1" -> (e8QaF1 _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -5143,5 +5180,25 @@ object SparkEntry {
         |  (CASE WHEN lp + lr = 0 THEN 1000000
         |    ELSE (4000000 * coalesce(ov.ov, 0) + lp + lr)
         |      // (2 * (lp + lr)) END)::BIGINT AS f1_e6
-        |FROM l LEFT JOIN ov USING (q_id)""".stripMargin)
+        |FROM l LEFT JOIN ov USING (q_id)""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
 }

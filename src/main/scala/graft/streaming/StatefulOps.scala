@@ -296,6 +296,83 @@ object StatefulOps {
       }
   }
 
+  case class BucketEv(event_type: String, bucket: Long)
+  case class BucketCount(bucket: Long, n: Long)
+  case class RateState(
+      ring: Seq[BucketCount], open_bucket: Long, open_count: Long)
+  case class RateRow(
+      event_type: String, bucket: Long, n_events: Long,
+      n_baseline: Long, is_spike: Boolean)
+
+  /** Pure fold of one micro-batch's bucket hits into the per-type rate
+    * state: buckets older than the open one are late beyond the horizon
+    * and drop (the watermark analogue); when a newer bucket appears,
+    * every older open bucket FINALIZES in ascending order — scored
+    * against the trailing ring with w12's exact integer test
+    * (c·n − S)² > z²·(n·Q − S²) — and joins the ring (capped at
+    * `baseline` rows, so state per key is fixed-size).
+    */
+  private[streaming] def advanceRate(
+      etype: String, hits: Seq[Long], prior: Option[RateState],
+      baseline: Int = 24, minBaseline: Int = 12, z: Int = 3)
+      : (Seq[RateRow], RateState) = {
+    // open_bucket == Long.MinValue is the "nothing open yet" sentinel
+    // (an empty invocation under NoTimeout shouldn't occur, but a
+    // sentinel that seeded a phantom zero-count bucket would corrupt
+    // the ring if it ever did)
+    val floorB = prior.map(_.open_bucket).getOrElse(Long.MinValue)
+    val merged = scala.collection.mutable.Map.empty[Long, Long]
+    prior.filter(_.open_bucket != Long.MinValue)
+      .foreach(p => merged(p.open_bucket) = p.open_count)
+    hits.foreach { b =>
+      if (b >= floorB) merged(b) = merged.getOrElse(b, 0L) + 1L
+    }
+    if (merged.isEmpty)
+      return (Nil,
+        prior.getOrElse(RateState(Nil, Long.MinValue, 0L)))
+    val maxB = merged.keys.max
+    var ring = prior.map(_.ring.toVector).getOrElse(Vector.empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[RateRow]
+    for (b <- merged.keys.toSeq.sorted if b < maxB) {
+      val c = merged(b)
+      val n = ring.size.toLong
+      val s = ring.iterator.map(_.n).sum
+      val q = ring.iterator.map(bc => bc.n * bc.n).sum
+      val dev = c * n - s
+      val spike = n >= minBaseline && dev * dev > z.toLong * z * (n * q - s * s)
+      out += RateRow(etype, b, c, n, spike)
+      ring = (ring :+ BucketCount(b, c)).takeRight(baseline)
+    }
+    (out.toSeq, RateState(ring, maxB, merged(maxB)))
+  }
+
+  /** Streaming twin of `EventAnalytics.rateAnomaly` (w12): emits each
+    * bucket's verdict the micro-batch a NEWER bucket first appears for
+    * its type (a time window can't close until later data proves it
+    * over — the standard streaming finalization contract; the open
+    * bucket stays pending). Fed buckets in event order, the emitted
+    * rows equal the batch operator's output minus each type's still-
+    * open max bucket — pinned by the stream≡batch spec. State per key:
+    * ≤ baseline+1 fixed-size rows — O(types), never O(events); no
+    * timeout registered, so idle streams run no state-scan batches.
+    */
+  def rateAnomalyStream(
+      spark: SparkSession, ds: Dataset[BucketEv],
+      baseline: Int = 24, minBaseline: Int = 12, z: Int = 3)
+      : Dataset[RateRow] = {
+    import spark.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, RateRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (et: String, evs: Iterator[BucketEv], state: GroupState[RateState]) =>
+          val (rows, st) = advanceRate(
+            et, evs.map(_.bucket).toIndexedSeq, state.getOption,
+            baseline, minBaseline, z)
+          state.update(st)
+          rows.iterator
+      }
+  }
+
   /** Streaming sessionizer: closes a session when the processing-time
     * timeout fires after `gapUs` of silence for the key.
     *

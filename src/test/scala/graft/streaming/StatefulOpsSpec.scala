@@ -229,6 +229,64 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("advanceRate finalizes buckets in order with the exact z test") {
+    // first batch: buckets 0..12 with 2 hits each arrive one batch at a
+    // time — emissions lag one bucket (the open one stays pending)
+    var st: Option[RateState] = None
+    var rows = Vector.empty[RateRow]
+    for (b <- 0L to 12L) {
+      val (r, s) = advanceRate("a", Seq(b, b), st)
+      rows ++= r; st = Some(s)
+    }
+    // bucket 12 is open; 0..11 finalized; none had 12 trailing rows yet
+    assert(rows.map(_.bucket) == (0L to 11L))
+    assert(rows.forall(!_.is_spike))
+    // spike bucket: 20 hits at bucket 13 finalize 12 cleanly, then a
+    // quiet bucket 14 finalizes 13 against 12 flat rows + the old ring
+    val (r13, s13) = advanceRate("a", Seq.fill(20)(13L), st)
+    assert(r13.map(_.bucket) == Seq(12L) && !r13.head.is_spike)
+    val (r14, s14) = advanceRate("a", Seq(14L), Some(s13))
+    assert(r14 == Seq(RateRow("a", 13L, 20L, 13L, true)))
+    // late hit for an already-finalized bucket drops silently
+    val (rLate, sLate) = advanceRate("a", Seq(5L), Some(s14))
+    assert(rLate.isEmpty && sLate == s14)
+    // multi-bucket batch finalizes all but the max, ascending
+    val (rm, _) = advanceRate("b", Seq(3L, 1L, 2L, 1L), None)
+    assert(rm.map(r => (r.bucket, r.n_events)) == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("streamed rate anomaly equals batch w12 minus each open bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 3600000000").as("bucket"))
+      .as[BucketEv].collect().sortBy(_.bucket)
+    val mem = MemoryStream[BucketEv]
+    val q = rateAnomalyStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("rate_anomaly")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("rate_anomaly")
+        .as[RateRow].collect()
+        .map(r => (r.event_type, r.bucket) ->
+          ((r.n_events, r.n_baseline, r.is_spike))).toMap
+      val batchAll = graft.SparkEntry
+        .queries("w12_rate_anomaly")(spark, TestSpark.Sf0001)
+        .as[(String, Long, Long, Long, Boolean)].collect()
+      val openOf = batchAll.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.map(_._2).max
+      }
+      val batch = batchAll.filter(r => r._2 < openOf(r._1))
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("typed batch sessionizer agrees with the w4 SQL sessionization") {
     import spark.implicits._
     val ev = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
