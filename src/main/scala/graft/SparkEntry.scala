@@ -1647,6 +1647,19 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)
   }
 
+  /** h3: RLHF preference pairs — responses grouped 40-to-a-prompt by
+    * doc_id, scored by n_chars (exact integers with real ties, so the
+    * tie rules are exercised), margin floor 10. Full oracle: DuckDB's
+    * struct min/max orders fields lexicographically exactly like
+    * Spark's, so the (score, -id) extremes replay verbatim.
+    */
+  private def h3PreferencePairs(s: SparkSession, d: String): DataFrame =
+    Retrieval.preferencePairs(
+      T(s, d, "documents").select(
+        pmod(col("doc_id"), lit(40)).as("prompt_id"),
+        col("doc_id").as("resp_id"), col("n_chars").as("score")),
+      "prompt_id", "resp_id", "score", minMarginE6 = 10L)
+
   /** q3: TPC-H Q3 shipping priority — top-10 unshipped BUILDING-segment
     * orders by outstanding revenue. Both date filters reach the scans
     * before the joins; the rounded revenue is the sort key (ties broken
@@ -2109,7 +2122,8 @@ object SparkEntry {
     "d18_boilerplate_lines" -> (d18BoilerplateLines _),
     "e8_qa_f1" -> (e8QaF1 _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
-    "q6_forecast_revenue" -> (q6ForecastRevenue _))
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "h3_preference_pairs" -> (h3PreferencePairs _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -5200,5 +5214,21 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
-        |  AND l_quantity < 24""".stripMargin)
+        |  AND l_quantity < 24""".stripMargin,
+    // h3 twin: struct min/max extremes — DuckDB orders struct fields
+    // lexicographically exactly like Spark, so (score, -id) ties break
+    // identically with no window in either engine
+    "h3_preference_pairs" ->
+      """WITH s AS (SELECT doc_id % 40 AS prompt_id, doc_id AS resp_id,
+        |    n_chars AS s
+        |  FROM documents),
+        |a AS (SELECT prompt_id,
+        |    max(struct_pack(s := s, ni := -resp_id)) AS hi,
+        |    min(struct_pack(s := s, ni := -resp_id)) AS lo,
+        |    count(*) AS n
+        |  FROM s GROUP BY prompt_id)
+        |SELECT prompt_id, (-hi.ni)::BIGINT AS chosen_id,
+        |  (-lo.ni)::BIGINT AS rejected_id,
+        |  (hi.s - lo.s)::BIGINT AS margin_e6
+        |FROM a WHERE n >= 2 AND hi.s - lo.s >= 10""".stripMargin)
 }

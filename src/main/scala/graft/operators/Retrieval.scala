@@ -179,6 +179,46 @@ object Retrieval {
         Seq("q_id", "c_id"), "left_anti")
   }
 
+  /** RLHF preference-pair construction: per prompt, (chosen, rejected)
+    * = the highest- and lowest-scored responses, kept only when the
+    * margin clears `minMarginE6` — the DPO/RLHF dataset-prep step that
+    * turns per-response reward scores into training pairs.
+    *
+    * Deterministic under ties with NO window: chosen is the smallest id
+    * among the top score (`max(struct(score, -id))`), rejected the
+    * LARGEST id among the bottom score (`min(struct(score, -id))`) —
+    * so with ≥ 2 responses chosen ≠ rejected even on an all-tied
+    * prompt, and every engine picks the same pair. Prompts with one
+    * response drop (no pair exists).
+    *
+    * Scale: one map-side-combined aggregate per prompt — two struct
+    * extremes and a count; no shuffle beyond the prompt key, no
+    * per-prompt sort. Scores arrive on the caller's integer lattice
+    * (`scoreCol` BIGINT), so margins are exact.
+    *
+    * Output: (prompt_id, chosen_id, rejected_id, margin_e6).
+    */
+  def preferencePairs(
+      scored: DataFrame, promptCol: String, respCol: String,
+      scoreCol: String, minMarginE6: Long = 0L): DataFrame = {
+    require(minMarginE6 >= 0, s"minMarginE6 must be >= 0 (got $minMarginE6)")
+    scored
+      .select(col(promptCol).cast("long").as("prompt_id"),
+        col(respCol).cast("long").as("resp_id"),
+        col(scoreCol).cast("long").as("s"))
+      .groupBy("prompt_id")
+      .agg(
+        max(struct(col("s"), (-col("resp_id")).as("ni"))).as("hi"),
+        min(struct(col("s"), (-col("resp_id")).as("ni"))).as("lo"),
+        count(lit(1)).as("n"))
+      .where(col("n") >= 2 &&
+        col("hi.s") - col("lo.s") >= minMarginE6)
+      .select(col("prompt_id"),
+        (-col("hi.ni")).as("chosen_id"),
+        (-col("lo.ni")).as("rejected_id"),
+        (col("hi.s") - col("lo.s")).as("margin_e6"))
+  }
+
   /** SQuAD normalization as a Column: lowercase, strip everything
     * outside [a-z0-9 ], drop the articles a/an/the, collapse
     * whitespace. RE2-safe (`\b` is an RE2 word boundary), so SQL twins

@@ -357,6 +357,15 @@ object ScaleProbe {
           d.select(col("doc_id"), html.as("html")), "doc_id", "html")
           .count()
       },
+      // one map-side-combined struct-extreme aggregate; prompts ∝ n/50
+      "h3_pref_pairs" -> { d =>
+        graft.operators.Retrieval.preferencePairs(
+          d.select(pmod(col("doc_id"), lit(math.max(probeN / 50, 2L)))
+              .as("prompt_id"),
+            col("doc_id").as("resp_id"),
+            length(col("text")).cast("long").as("score")),
+          "prompt_id", "resp_id", "score", minMarginE6 = 5L).count()
+      },
       // answer-length-bounded token join; expect ~linear in question
       // count
       "e8_qa_f1" -> { d =>

@@ -152,6 +152,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("1-based"))
   }
 
+  test("preferencePairs picks deterministic extremes with margin floor") {
+    val scored = Seq(
+      // prompt 1: clear margin 30; tie at the top (ids 11, 12 both 80)
+      // -> chosen = 11 (smallest id among max)
+      (1L, 11L, 80L), (1L, 12L, 80L), (1L, 13L, 50L),
+      // prompt 2: tie at the bottom (21, 22 both 10) -> rejected = 22
+      // (LARGEST id among min)
+      (2L, 21L, 10L), (2L, 22L, 10L), (2L, 23L, 95L),
+      // prompt 3: all tied -> margin 0, dropped by minMargin 5
+      (3L, 31L, 40L), (3L, 32L, 40L),
+      // prompt 4: single response -> no pair
+      (4L, 41L, 99L),
+      // prompt 5: margin 4 < 5 -> dropped
+      (5L, 51L, 60L), (5L, 52L, 64L))
+      .toDF("prompt_id", "resp_id", "score")
+    val got = Retrieval.preferencePairs(
+        scored, "prompt_id", "resp_id", "score", minMarginE6 = 5L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((11L, 13L, 30L)),
+      2L -> ((23L, 22L, 85L))))
+    // minMargin 0 keeps the all-tied prompt with chosen != rejected
+    val loose = Retrieval.preferencePairs(
+        scored, "prompt_id", "resp_id", "score", minMarginE6 = 0L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(loose(3L) == ((31L, 32L, 0L)))
+    assert(loose(5L) == ((52L, 51L, 4L)))
+    assert(!loose.contains(4L))
+  }
+
   test("qaTokenF1 matches hand-computed SQuAD EM/F1") {
     val refs = Seq(
       (1L, "The big cat sat."), (2L, "big cat sat"), (3L, "cat"),
