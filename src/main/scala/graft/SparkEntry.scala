@@ -1647,6 +1647,25 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)
   }
 
+  /** g4: label-propagation communities — 4 synchronous rounds over the
+    * two-host doc graph (hosts i%29 and i·7%29 give overlapping stars,
+    * so communities genuinely merge across rounds). Full oracle: DuckDB
+    * unrolls the rounds as MATERIALIZED CTEs with the identical
+    * (−count, label) struct argmin.
+    */
+  private def g4LabelProp(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val g = docs.select(
+      concat(lit("doc:"), col("doc_id")).as("dn"),
+      concat(lit("host:"), pmod(col("doc_id"), lit(29)).cast("string"))
+        .as("h1"),
+      concat(lit("host:"), pmod(col("doc_id") * 7, lit(29)).cast("string"))
+        .as("h2"))
+    val edges = g.select(col("dn").as("src"), col("h1").as("dst"))
+      .unionByName(g.select(col("dn").as("src"), col("h2").as("dst")))
+    Graph.labelPropagation(edges, "src", "dst", iterations = 4)
+  }
+
   /** h3: RLHF preference pairs — responses grouped 40-to-a-prompt by
     * doc_id, scored by n_chars (exact integers with real ties, so the
     * tie rules are exercised), margin floor 10. Full oracle: DuckDB's
@@ -2123,7 +2142,8 @@ object SparkEntry {
     "e8_qa_f1" -> (e8QaF1 _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
-    "h3_preference_pairs" -> (h3PreferencePairs _))
+    "h3_preference_pairs" -> (h3PreferencePairs _),
+    "g4_label_prop" -> (g4LabelProp _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -5230,5 +5250,45 @@ object SparkEntry {
         |SELECT prompt_id, (-hi.ni)::BIGINT AS chosen_id,
         |  (-lo.ni)::BIGINT AS rejected_id,
         |  (hi.s - lo.s)::BIGINT AS margin_e6
-        |FROM a WHERE n >= 2 AND hi.s - lo.s >= 10""".stripMargin)
+        |FROM a WHERE n >= 2 AND hi.s - lo.s >= 10""".stripMargin,
+    // g4 twin: 4 unrolled MATERIALIZED rounds (the g1 oracle idiom —
+    // DuckDB re-evaluates non-materialized CTEs per reference), each
+    // with the identical (−count, label) struct argmin; exact integer
+    // counts and binary string order everywhere
+    "g4_label_prop" ->
+      """WITH g AS (SELECT 'doc:' || doc_id::VARCHAR AS dn,
+        |    'host:' || (doc_id % 29)::VARCHAR AS h1,
+        |    'host:' || ((doc_id * 7) % 29)::VARCHAR AS h2
+        |  FROM documents),
+        |de AS (SELECT dn AS src, h1 AS dst FROM g
+        |  UNION ALL SELECT dn, h2 FROM g),
+        |e AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM de
+        |  UNION ALL SELECT dst, src FROM de)),
+        |r0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM e),
+        |r1 AS MATERIALIZED (SELECT a AS node,
+        |    struct_extract(min(struct_pack(nc := -c, lbl := lbl)), 'lbl')
+        |      AS lbl
+        |  FROM (SELECT e.a, l.lbl, count(*) AS c
+        |        FROM e JOIN r0 l ON e.b = l.node GROUP BY e.a, l.lbl)
+        |  GROUP BY a),
+        |r2 AS MATERIALIZED (SELECT a AS node,
+        |    struct_extract(min(struct_pack(nc := -c, lbl := lbl)), 'lbl')
+        |      AS lbl
+        |  FROM (SELECT e.a, l.lbl, count(*) AS c
+        |        FROM e JOIN r1 l ON e.b = l.node GROUP BY e.a, l.lbl)
+        |  GROUP BY a),
+        |r3 AS MATERIALIZED (SELECT a AS node,
+        |    struct_extract(min(struct_pack(nc := -c, lbl := lbl)), 'lbl')
+        |      AS lbl
+        |  FROM (SELECT e.a, l.lbl, count(*) AS c
+        |        FROM e JOIN r2 l ON e.b = l.node GROUP BY e.a, l.lbl)
+        |  GROUP BY a),
+        |r4 AS MATERIALIZED (SELECT a AS node,
+        |    struct_extract(min(struct_pack(nc := -c, lbl := lbl)), 'lbl')
+        |      AS lbl
+        |  FROM (SELECT e.a, l.lbl, count(*) AS c
+        |        FROM e JOIN r3 l ON e.b = l.node GROUP BY e.a, l.lbl)
+        |  GROUP BY a)
+        |SELECT node, lbl AS label FROM r4""".stripMargin)
 }

@@ -262,4 +262,58 @@ object Graph {
         (coalesce(col("h"), lit(0.0)) / lit(scale)).as("hub"),
         (coalesce(col("a"), lit(0.0)) / lit(scale)).as("auth"))
   }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara, Phys.
+    * Rev. E 2007) — community detection over the doc/host/source link
+    * graph: each round every node adopts the most frequent label among
+    * its neighbors. Communities = near-duplicate site families, mirror
+    * clusters, topical hubs — the curation prior between per-page
+    * signals (g1/g2/g3) and whole-corpus dedup.
+    *
+    * Deterministic by construction: the argmax is
+    * `min(struct(−count, label))` — highest count, then SMALLEST label
+    * in binary string order (no window, no hash-partition order
+    * dependence), and the round count is FIXED (synchronous LPA can
+    * oscillate on bipartite structures; a fixed-round snapshot is the
+    * reproducible contract, same discipline as [[pageRank]]'s fixed
+    * rounds). The edge list is symmetrized and parallel edges collapse
+    * (each distinct neighbor votes once).
+    *
+    * Scale: one shuffle-hash join of the once-checkpointed edge list
+    * with the node-sized label table per round + two hash aggregates;
+    * labels localCheckpoint every third round (the [[pageRank]]
+    * lineage discipline). Label values are node names — bounded by the
+    * longest node name, no growth over rounds.
+    *
+    * Output: (node, label), one row per node.
+    */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50] (got $iterations)")
+    val und = edges.select(
+        col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val e = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var lbl = e.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (r <- 1 to iterations) {
+      val nb = e.join(lbl, col("b") === col("node"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy("a")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+        .select(col("a").as("node"), col("m.lbl").as("newl"))
+      // every node has >= 1 neighbor by construction (it came from the
+      // symmetric edge list), but the left join + coalesce keeps the
+      // invariant local instead of load-bearing
+      lbl = lbl.join(nb, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
+      if (r % 3 == 0 || r == iterations) lbl = lbl.localCheckpoint()
+    }
+    lbl.select(col("node"), col("lbl").as("label"))
+  }
 }

@@ -272,6 +272,20 @@ object ScaleProbe {
         EventAnalytics.retentionCohorts(synthEvents(d, probeN), "user_id", "ts")
           .count()
       },
+      // same two-host star synthesis as the query; nh grows with n (the
+      // g1 knob discipline) so per-round join keys never concentrate
+      "g4_label_prop" -> { d =>
+        val nh = math.max(7L, probeN / 100)
+        val g = d.select(
+          concat(lit("doc:"), col("doc_id")).as("dn"),
+          concat(lit("host:"),
+            pmod(xxhash64(col("doc_id"), lit(1L)), lit(nh))).as("h1"),
+          concat(lit("host:"),
+            pmod(xxhash64(col("doc_id"), lit(2L)), lit(nh))).as("h2"))
+        val edges = g.select(col("dn").as("src"), col("h1").as("dst"))
+          .unionByName(g.select(col("dn").as("src"), col("h2").as("dst")))
+        Graph.labelPropagation(edges, "src", "dst", iterations = 4).count()
+      },
       "g3_hits" -> { d =>
         // probeN, not d.count(): a count here would charge an unrelated
         // corpus-count job to the timed region (see the synthEvents note)

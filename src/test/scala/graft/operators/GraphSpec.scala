@@ -206,4 +206,42 @@ class GraphSpec extends AnyFunSuite {
         "src", "dst")
     }
   }
+
+  test("labelPropagation: triangle+pendant converges, ties take min label") {
+    // hand-traced synchronous rounds: r1 a→'b' (tie {b,c,d} → min),
+    // b/c→'a', d→'a'; by r3 every node reads 'a' and r4 is stable
+    val got = Graph.labelPropagation(
+        Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"))
+          .toDF("src", "dst"), "src", "dst", iterations = 4)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"))
+    // round-1 snapshot pins the tie rule directly: a's neighbors
+    // {b, c, d} all vote once -> min label 'b'
+    val r1 = Graph.labelPropagation(
+        Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"))
+          .toDF("src", "dst"), "src", "dst", iterations = 1)
+      .as[(String, String)].collect().toMap
+    assert(r1("a") == "b" && r1("d") == "a")
+    // two disjoint components never share labels
+    val comp = Graph.labelPropagation(
+        Seq(("p1", "p2"), ("p2", "p3"), ("q1", "q2"), ("q2", "q3"))
+          .toDF("src", "dst"), "src", "dst", iterations = 4)
+      .as[(String, String)].collect().toMap
+    assert(comp.filter(_._1.startsWith("p")).values.forall(_.startsWith("p")))
+    assert(comp.filter(_._1.startsWith("q")).values.forall(_.startsWith("q")))
+  }
+
+  test("labelPropagation is partitioning-invariant") {
+    val rng = new scala.util.Random(31)
+    val edges = (1 to 300).map(_ =>
+      (s"n${rng.nextInt(60)}", s"n${rng.nextInt(60)}"))
+    val a = Graph.labelPropagation(
+        edges.toDF("src", "dst"), "src", "dst", iterations = 5)
+      .as[(String, String)].collect().toMap
+    val b = Graph.labelPropagation(
+        edges.toDF("src", "dst").repartition(13), "src", "dst",
+        iterations = 5)
+      .as[(String, String)].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
 }
