@@ -1647,6 +1647,32 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)
   }
 
+  /** j14: coordinate liftover (UCSC liftOver's core) — positions map
+    * through a broadcast chain of alignment blocks: forward blocks
+    * shift by a constant offset, reverse-strand blocks mirror within
+    * the block; positions in no block (the 200-base gaps) drop. Pure
+    * composition: [[IntervalJoin.pointInRange]] with broadcastRanges
+    * (the chain is dimension-sized — ZERO shuffle) + offset arithmetic.
+    * Full oracle: the chain is synthesized from range() in both engines
+    * and every mapping is exact integer arithmetic.
+    */
+  private def j14Liftover(s: SparkSession, d: String): DataFrame = {
+    val pos = T(s, d, "documents").select(
+      col("doc_id"), col("source").as("chrom"),
+      pmod(col("doc_id") * 37, lit(20000)).as("pos"))
+    val chain = s.range(0, 20).select(
+      (col("id") * 1000).as("lo"),
+      (col("id") * 1000 + 799).as("hi"),
+      (col("id") * 1000 + col("id") * 137).as("dst_off"),
+      (col("id") % 2 === 0).as("fwd"))
+    IntervalJoin.pointInRange(pos, chain, "pos", "lo", "hi",
+        binWidth = 1024.0, hiInclusive = true, broadcastRanges = true)
+      .select(col("doc_id"), col("chrom"), col("pos"),
+        when(col("fwd"), col("dst_off") + col("pos") - col("lo"))
+          .otherwise(col("dst_off") + col("hi") - col("pos"))
+          .as("new_pos"))
+  }
+
   /** g4: label-propagation communities — 4 synchronous rounds over the
     * two-host doc graph (hosts i%29 and i·7%29 give overlapping stars,
     * so communities genuinely merge across rounds). Full oracle: DuckDB
@@ -2143,7 +2169,8 @@ object SparkEntry {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "h3_preference_pairs" -> (h3PreferencePairs _),
-    "g4_label_prop" -> (g4LabelProp _))
+    "g4_label_prop" -> (g4LabelProp _),
+    "j14_liftover" -> (j14Liftover _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -5290,5 +5317,18 @@ object SparkEntry {
         |  FROM (SELECT e.a, l.lbl, count(*) AS c
         |        FROM e JOIN r3 l ON e.b = l.node GROUP BY e.a, l.lbl)
         |  GROUP BY a)
-        |SELECT node, lbl AS label FROM r4""".stripMargin)
+        |SELECT node, lbl AS label FROM r4""".stripMargin,
+    // j14 twin: identical chain synthesis from range(); BETWEEN is the
+    // closed-interval containment; forward/reverse arithmetic exact
+    "j14_liftover" ->
+      """WITH pos AS (SELECT doc_id, source AS chrom,
+        |    (doc_id * 37) % 20000 AS pos
+        |  FROM documents),
+        |chain AS (SELECT i * 1000 AS lo, i * 1000 + 799 AS hi,
+        |    i * 1000 + i * 137 AS dst_off, i % 2 = 0 AS fwd
+        |  FROM range(0, 20) t(i))
+        |SELECT doc_id, chrom, pos::BIGINT AS pos,
+        |  (CASE WHEN fwd THEN dst_off + pos - lo
+        |    ELSE dst_off + hi - pos END)::BIGINT AS new_pos
+        |FROM pos JOIN chain ON pos.pos BETWEEN lo AND hi""".stripMargin)
 }

@@ -117,6 +117,25 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("liftover composition maps forward, mirrors reverse, drops gaps") {
+    // chain block 0 (fwd): [0,799] -> +0; block 1 (rev): [1000,1799]
+    // -> dst_off 1137, mirrored; gap [800,999] drops
+    val pos = Seq((1L, "c1", 5L), (2L, "c1", 1000L), (3L, "c1", 1799L),
+      (4L, "c1", 850L)).toDF("doc_id", "chrom", "pos")
+    val chain = spark.range(0, 2).select(
+      (col("id") * 1000).as("lo"), (col("id") * 1000 + 799).as("hi"),
+      (col("id") * 1000 + col("id") * 137).as("dst_off"),
+      (col("id") % 2 === 0).as("fwd"))
+    val got = IntervalJoin.pointInRange(pos, chain, "pos", "lo", "hi",
+        binWidth = 1024.0, hiInclusive = true, broadcastRanges = true)
+      .select(col("doc_id"),
+        when(col("fwd"), col("dst_off") + col("pos") - col("lo"))
+          .otherwise(col("dst_off") + col("hi") - col("pos"))
+          .as("new_pos"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> (1137L + 799L), 3L -> 1137L))
+  }
+
   test("subtract hand cases: head/middle/tail gaps, full cover, no overlap") {
     val a = Seq(
       ("c1", 10L, 100L, 1L),  // b covers [20,30] and [50,60] -> 3 gaps
