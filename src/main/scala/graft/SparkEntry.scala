@@ -1647,6 +1647,57 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)
   }
 
+  /** t31: encoding-damage signals — documents extended with planted
+    * mojibake (id%5), smart-quote artifacts (id%7), a BEL control char
+    * (id%11) and a U+FFFD (id%13). Full oracle: the same literal
+    * sequences counted with the same (len − len(replace))/len identity.
+    */
+  /** The planted damage: (modulus, artifact) — appended to every
+    * doc_id divisible by the modulus, shared verbatim by the Spark
+    * query and the generated DuckDB twin so neither can drift.
+    */
+  private val MojiPlant: Seq[(Int, String)] = Seq(
+    (5, " caf\u00c3\u00a9 na\u00c3\u00afve"),
+    (7, " \u00c3\u00a2\u0080\u009cquoted\u00c3\u00a2\u0080\u009d text"),
+    (11, " bad\u0007bell"),
+    (13, " lost\ufffdchar"))
+
+  private def t31Mojibake(s: SparkSession, d: String): DataFrame = {
+    val page = MojiPlant.foldLeft(col("text")) { case (c, (m, str)) =>
+      concat(c,
+        when(pmod(col("doc_id"), lit(m)) === 0, lit(str))
+          .otherwise(lit("")))
+    }
+    TextAnalytics.mojibakeStats(
+      T(s, d, "documents").select(col("doc_id"), page.as("text")),
+      "doc_id", "text")
+  }
+
+  /** m6: EXIF orientation/timestamp — each doc gets a REAL JPEG payload
+    * (SOI + APP1 Exif + TIFF IFD, both byte orders by parity) built by
+    * [[graft.operators.Exif.build]] and parsed back by the real IFD
+    * walk. Full oracle: the oracle computes the planted values
+    * arithmetically, so the parse must round-trip them exactly.
+    */
+  private def m6ExifMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dt = concat(lit("2024:01:"),
+      lpad((lit(1) + pmod(col("doc_id"), lit(28))).cast("string"), 2, "0"),
+      lit(" "),
+      lpad(pmod(col("doc_id"), lit(24)).cast("string"), 2, "0"),
+      lit(":00:00"))
+    T(s, d, "documents").select(col("doc_id"),
+        (lit(1) + pmod(col("doc_id"), lit(8))).cast("int").as("ori"),
+        dt.as("dt"),
+        (pmod(col("doc_id"), lit(2)) === 0).as("le"))
+      .as[(Long, Int, String, Boolean)]
+      .map { case (id, ori, dts, le) =>
+        val info = operators.Exif.info(operators.Exif.build(ori, dts, le))
+        (id, info.flatMap(_.orientation).map(_.toLong).getOrElse(-1L),
+          info.flatMap(_.dateTime).getOrElse(""))
+      }.toDF("id", "orientation", "capture_dt")
+  }
+
   /** j14: coordinate liftover (UCSC liftOver's core) — positions map
     * through a broadcast chain of alignment blocks: forward blocks
     * shift by a constant offset, reverse-strand blocks mirror within
@@ -2170,7 +2221,9 @@ object SparkEntry {
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "h3_preference_pairs" -> (h3PreferencePairs _),
     "g4_label_prop" -> (g4LabelProp _),
-    "j14_liftover" -> (j14Liftover _))
+    "j14_liftover" -> (j14Liftover _),
+    "m6_exif_meta" -> (m6ExifMeta _),
+    "t31_mojibake" -> (t31Mojibake _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -5330,5 +5383,41 @@ object SparkEntry {
         |SELECT doc_id, chrom, pos::BIGINT AS pos,
         |  (CASE WHEN fwd THEN dst_off + pos - lo
         |    ELSE dst_off + hi - pos END)::BIGINT AS new_pos
-        |FROM pos JOIN chain ON pos.pos BETWEEN lo AND hi""".stripMargin)
+        |FROM pos JOIN chain ON pos.pos BETWEEN lo AND hi""".stripMargin,
+    // m6 twin: the planted values computed arithmetically — the Spark
+    // side must ROUND-TRIP them through real JPEG/TIFF bytes to match
+    "m6_exif_meta" ->
+      """SELECT doc_id AS id, (1 + doc_id % 8)::BIGINT AS orientation,
+        |  '2024:01:' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0') || ' '
+        |    || lpad((doc_id % 24)::VARCHAR, 2, '0') || ':00:00'
+        |    AS capture_dt
+        |FROM documents""".stripMargin,
+    "t31_mojibake" -> t31OracleSql)
+
+  /** t31's DuckDB twin, GENERATED from the same [[MojiPlant]] and
+    * [[TextAnalytics.MojibakeSeqs]] constants the Spark query reads —
+    * the artifact lists exist once, so query and oracle cannot drift.
+    * (All sequence chars are BMP, so Scala's UTF-16 `.length` equals
+    * the codepoint count both engines' `length()` reports.)
+    */
+  private def t31OracleSql: String = {
+    def q(s: String) = "'" + s + "'"
+    val plant = MojiPlant.map { case (m, str) =>
+      s"|| CASE WHEN doc_id % $m = 0 THEN ${q(str)} ELSE '' END"
+    }.mkString("\n    ")
+    val mojiSum = TextAnalytics.MojibakeSeqs.map(sq =>
+      s"(length(t) - length(replace(t, ${q(sq)}, ''))) // ${sq.length}")
+      .mkString("\n    + ")
+    val ctrl = """length(t) - length(regexp_replace(t,
+      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))"""
+    val repl = s"length(t) - length(replace(t, ${q("�")}, ''))"
+    s"""WITH p AS (SELECT doc_id, text
+    $plant AS t FROM documents)
+SELECT doc_id AS id,
+  ($mojiSum)::BIGINT AS n_mojibake,
+  ($repl)::BIGINT AS n_replacement,
+  ($ctrl)::BIGINT AS n_control,
+  (($mojiSum) = 0 AND ($repl) = 0 AND ($ctrl) = 0) AS is_clean
+FROM p"""
+  }
 }

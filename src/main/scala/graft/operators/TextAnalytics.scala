@@ -975,6 +975,47 @@ object TextAnalytics {
         + lit(0.5)).cast("long").as("link_density_e6"))
   }
 
+  /** The classic UTF-8-decoded-as-Latin-1 artifact sequences — what
+    * "café" becomes ("cafÃ©") when a pipeline stage guesses the wrong
+    * charset. The short high-frequency list every encoding-repair pass
+    * (ftfy-style) checks first.
+    */
+  val MojibakeSeqs: Seq[String] = Seq(
+    "Ã©", "Ã¨", "Ã ", "Ã¼",
+    "Ã¶", "Ã¤", "Ã±",
+    "â", "â", "â",
+    "â", "Â ")
+
+  /** Encoding-damage signals per document — the ingest-time health
+    * check before any text operator trusts the bytes: counts of classic
+    * mojibake sequences ([[MojibakeSeqs]]), U+FFFD replacement
+    * characters (a decoder already gave up), and C0 control characters
+    * (NUL-riddled text is usually binary mis-sniffed as text; tab/LF/CR
+    * are legitimate and excluded).
+    *
+    * Every count uses the exact (len − len(replace))/len(seq) identity
+    * on plain string literals — no Unicode regex classes, so any engine
+    * counting codepoints the same way agrees exactly; only the control
+    * count uses a regex, an explicit RE2-safe `[\x00-\x08...]` class.
+    *
+    * Scale: pure scan-side projection, zero shuffle, codegen'd.
+    * Output: (id, n_mojibake, n_replacement, n_control, is_clean).
+    */
+  def mojibakeStats(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(s: String): Column =
+      ((length(t) - length(replace(t, lit(s), lit("")))) / lit(s.length))
+        .cast("long")
+    val moji = MojibakeSeqs.map(cnt).reduce(_ + _)
+    val repl = cnt("�")
+    val ctrl = (length(t) - length(regexp_replace(t,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+    docs.select(col(idCol).as("id"),
+      moji.as("n_mojibake"), repl.as("n_replacement"), ctrl.as("n_control"),
+      (moji === 0L && repl === 0L && ctrl === 0L).as("is_clean"))
+  }
+
   /** Abbreviations protected from the sentence splitter — the short
     * fixed list every rule-based segmenter carries. Multi-dot entries
     * ("e.g.", "i.e.") list their LAST dot's prefix so one replace

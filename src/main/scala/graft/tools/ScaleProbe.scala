@@ -354,6 +354,9 @@ object ScaleProbe {
       // scan-side projection + explode; output rows ∝ sentences
       "t30_sentences" -> (d =>
         TextAnalytics.sentenceSplit(d, "doc_id", "text").count()),
+      // pure scan-side replace/length chains; zero shuffle
+      "t31_mojibake" -> (d =>
+        TextAnalytics.mojibakeStats(d, "doc_id", "text").count()),
       // page template around each doc (title/style/script/nav links) —
       // a pure scan-side regex projection; expect flat-to-linear with
       // zero shuffle in the plan

@@ -532,6 +532,28 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(q.getAs[Long]("link_density_e6") == 0L)
   }
 
+  test("mojibakeStats counts artifacts, FFFD and controls exactly") {
+    val rows = TextAnalytics.mojibakeStats(
+        Seq(
+          (1L, "clean text with tabs\tand\nnewlines"),
+          (2L, "cafÃ© and another cafÃ©"),
+          (3L, "âquotedâ"),
+          (4L, "lost�twice�"),
+          (5L, "bell\u0007null\u0000esc\u001b"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_mojibake"), r.getAs[Long]("n_replacement"),
+          r.getAs[Long]("n_control"), r.getAs[Boolean]("is_clean")))).toMap
+    // tab/LF are legitimate whitespace, not "control" damage
+    assert(rows(1L) == ((0L, 0L, 0L, true)))
+    assert(rows(2L) == ((2L, 0L, 0L, false)))
+    // one opening + one closing smart-quote artifact
+    assert(rows(3L) == ((2L, 0L, 0L, false)))
+    assert(rows(4L) == ((0L, 2L, 0L, false)))
+    assert(rows(5L) == ((0L, 0L, 3L, false)))
+  }
+
   test("sentenceSplit: abbreviation guards, ordinals, token counts") {
     val got = TextAnalytics.sentenceSplit(
         Seq(
