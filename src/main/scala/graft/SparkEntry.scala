@@ -5330,7 +5330,8 @@ object SparkEntry {
         |SELECT prompt_id, (-hi.ni)::BIGINT AS chosen_id,
         |  (-lo.ni)::BIGINT AS rejected_id,
         |  (hi.s - lo.s)::BIGINT AS margin_e6
-        |FROM a WHERE n >= 2 AND hi.s - lo.s >= 10""".stripMargin,
+        |FROM a WHERE n >= 2 AND hi.ni <> lo.ni
+        |  AND hi.s - lo.s >= 10""".stripMargin,
     // g4 twin: 4 unrolled MATERIALIZED rounds (the g1 oracle idiom —
     // DuckDB re-evaluates non-materialized CTEs per reference), each
     // with the identical (−count, label) struct argmin; exact integer

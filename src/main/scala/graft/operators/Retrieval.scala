@@ -211,7 +211,11 @@ object Retrieval {
         max(struct(col("s"), (-col("resp_id")).as("ni"))).as("hi"),
         min(struct(col("s"), (-col("resp_id")).as("ni"))).as("lo"),
         count(lit(1)).as("n"))
-      .where(col("n") >= 2 &&
+      // hi.ni === lo.ni means the extremes are the SAME response — only
+      // possible when a response id arrives duplicated (n counts rows,
+      // not distinct responses); a (chosen == rejected) pair would
+      // poison a DPO loss, so it drops here rather than downstream
+      .where(col("n") >= 2 && col("hi.ni") =!= col("lo.ni") &&
         col("hi.s") - col("lo.s") >= minMarginE6)
       .select(col("prompt_id"),
         (-col("hi.ni")).as("chosen_id"),
@@ -246,6 +250,11 @@ object Retrieval {
     * (map-side combined), an equi-join on (q, token), and a per-q
     * rollup — answer-length-bounded rows, no window, no skew risk
     * beyond hot tokens AQE already splits.
+    *
+    * Input contract: ONE row per q_id on each side — a duplicated q_id
+    * fans the lens join out and double-counts the token multiset (the
+    * SQuAD convention's multi-reference max is a separate aggregation
+    * the caller runs over per-reference scores).
     *
     * Output: (q_id, exact_match, f1_e6).
     */

@@ -182,6 +182,13 @@ class RetrievalSpec extends AnyFunSuite {
     assert(loose(3L) == ((31L, 32L, 0L)))
     assert(loose(5L) == ((52L, 51L, 4L)))
     assert(!loose.contains(4L))
+    // a DUPLICATED single response must not fabricate a self-pair
+    val dup = Retrieval.preferencePairs(
+        Seq((9L, 91L, 50L), (9L, 91L, 50L)).toDF(
+          "prompt_id", "resp_id", "score"),
+        "prompt_id", "resp_id", "score", minMarginE6 = 0L)
+      .collect()
+    assert(dup.isEmpty)
   }
 
   test("qaTokenF1 matches hand-computed SQuAD EM/F1") {
