@@ -1602,6 +1602,50 @@ object SparkEntry {
     EventAnalytics.transitionMatrix(
       T(s, d, "events"), "user_id", "ts", "event_id", "event_type")
 
+  /** w13: daily audience growth — per observed day, new users (first
+    * appearance), exact distinct actives, and the running cumulative
+    * user count. "Running distinct" without any distinct-over-window:
+    * each user collapses to a first-seen day, per-day new-user counts
+    * are exact, and their prefix sum IS the cumulative distinct. The
+    * one global window is CALENDAR-bounded (30 rows here; 365/year),
+    * never event- or user-bounded. Full oracle: same epoch_us day
+    * bucketing and exact integer counts.
+    */
+  private def w13AudienceGrowth(s: SparkSession, d: String): DataFrame = {
+    val ev = T(s, d, "events").select(
+      expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
+    val act = ev.groupBy("day")
+      .agg(count_distinct(col("user_id")).as("active_users"))
+    val fst = ev.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    act.join(fst, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        col("active_users"))
+      .withColumn("cum_users",
+        sum("new_users").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** q10: TPC-H Q10 returned-item reporting — top-20 customers by
+    * revenue lost to returns in 1995Q4; rounded revenue is the sort key
+    * with a custkey tiebreak so the cut is engine-deterministic.
+    */
+  private def q10ReturnedItems(s: SparkSession, d: String): DataFrame =
+    T(s, d, "customer")
+      .join(T(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(T(s, d, "orders"), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .join(T(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+
   /** w12: event-rate spike detection — hourly per-type counts flagged
     * |z| > 3 against the trailing 24 observed buckets. Full oracle: the
     * z test is the multiplied-through integer form (c·n − S)² >
@@ -2223,7 +2267,9 @@ object SparkEntry {
     "g4_label_prop" -> (g4LabelProp _),
     "j14_liftover" -> (j14Liftover _),
     "m6_exif_meta" -> (m6ExifMeta _),
-    "t31_mojibake" -> (t31Mojibake _))
+    "t31_mojibake" -> (t31Mojibake _),
+    "w13_audience_growth" -> (w13AudienceGrowth _),
+    "q10_returned_items" -> (q10ReturnedItems _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -5393,6 +5439,32 @@ object SparkEntry {
         |    || lpad((doc_id % 24)::VARCHAR, 2, '0') || ':00:00'
         |    AS capture_dt
         |FROM documents""".stripMargin,
+    // w13 twin: epoch_us day buckets, first-seen collapse, prefix sum
+    "w13_audience_growth" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |act AS (SELECT day, count(DISTINCT user_id) AS active_users
+        |  FROM ev GROUP BY day),
+        |fst AS (SELECT day, count(*) AS new_users FROM
+        |    (SELECT user_id, min(day) AS day FROM ev GROUP BY user_id)
+        |  GROUP BY day)
+        |SELECT act.day, coalesce(fst.new_users, 0)::BIGINT AS new_users,
+        |  act.active_users,
+        |  sum(coalesce(fst.new_users, 0)) OVER (ORDER BY act.day
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+        |FROM act LEFT JOIN fst ON act.day = fst.day""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "t31_mojibake" -> t31OracleSql)
 
   /** t31's DuckDB twin, GENERATED from the same [[MojiPlant]] and
