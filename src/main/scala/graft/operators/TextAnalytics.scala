@@ -1001,16 +1001,31 @@ object TextAnalytics {
     * Scale: pure scan-side projection, zero shuffle, codegen'd.
     * Output: (id, n_mojibake, n_replacement, n_control, is_clean).
     */
+  /** Occurrences of literal `s` in `t` via the exact
+    * (len − len(replace))/len identity — no regex, engine-portable.
+    */
+  private def occurrences(t: Column, s: String): Column =
+    ((length(t) - length(replace(t, lit(s), lit("")))) / lit(s.length))
+      .cast("long")
+
+  /** Total [[MojibakeSeqs]] artifact count as a composable Column. */
+  def mojibakeCountColumn(t: Column): Column =
+    MojibakeSeqs.map(occurrences(t, _)).reduce(_ + _)
+
+  /** U+FFFD replacement-character count as a composable Column. */
+  def replacementCountColumn(t: Column): Column = occurrences(t, "�")
+
+  /** C0 control-character count (tab/LF/CR excluded) as a Column. */
+  def controlCountColumn(t: Column): Column =
+    (length(t) - length(regexp_replace(t,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+
   def mojibakeStats(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    def cnt(s: String): Column =
-      ((length(t) - length(replace(t, lit(s), lit("")))) / lit(s.length))
-        .cast("long")
-    val moji = MojibakeSeqs.map(cnt).reduce(_ + _)
-    val repl = cnt("�")
-    val ctrl = (length(t) - length(regexp_replace(t,
-      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+    val moji = mojibakeCountColumn(t)
+    val repl = replacementCountColumn(t)
+    val ctrl = controlCountColumn(t)
     docs.select(col(idCol).as("id"),
       moji.as("n_mojibake"), repl.as("n_replacement"), ctrl.as("n_control"),
       (moji === 0L && repl === 0L && ctrl === 0L).as("is_clean"))

@@ -115,4 +115,23 @@ object CurationStream {
         .filter(!Decontamination.contaminationProbe(col("__th"), filterBytes, n))
         .drop("__th")
     }
+
+  /** Ingest-time encoding-health gate — the streaming deployment of
+    * [[TextAnalytics.mojibakeStats]]'s signals: drop documents whose
+    * total damage (mojibake artifacts + U+FFFD + C0 controls) exceeds
+    * `maxDamage`. The SAME Column expressions as the batch operator
+    * (t31), so stream and batch verdicts cannot diverge; a stateless
+    * per-row predicate — zero state, zero shuffle on the unbounded
+    * plan. NULL text (damage NULL) drops: undecodable is the
+    * conservative side at ingest.
+    */
+  def gateEncoding(
+      docs: DataFrame, textCol: String, maxDamage: Long = 0L): DataFrame = {
+    require(maxDamage >= 0, s"maxDamage must be >= 0 (got $maxDamage)")
+    val t = col(textCol)
+    val damage = TextAnalytics.mojibakeCountColumn(t) +
+      TextAnalytics.replacementCountColumn(t) +
+      TextAnalytics.controlCountColumn(t)
+    docs.filter(coalesce(damage <= maxDamage, lit(false)))
+  }
 }

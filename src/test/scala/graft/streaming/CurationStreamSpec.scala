@@ -183,4 +183,37 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(viaScore == got)
     } finally q.stop()
   }
+
+  test("streaming encoding gate equals the batch t31 is_clean verdict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "perfectly clean text"),
+      (2L, "damaged cafÃ© here"),        // mojibake -> dropped
+      (3L, "lost�char"),                      // FFFD -> dropped
+      (4L, "bell\u0007inside"),                    // control -> dropped
+      (5L, "tabs\tand\nnewlines are fine"))
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStream.gateEncoding(
+        mem.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("enc_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("enc_out").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 5L))
+      // batch twins: the same gate as a batch plan, and t31's is_clean
+      val batch = CurationStream.gateEncoding(
+          rows.toDF("doc_id", "text"), "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(batch == got)
+      val viaStats = graft.operators.TextAnalytics.mojibakeStats(
+          rows.toDF("doc_id", "text"), "doc_id", "text")
+        .filter(col("is_clean"))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(viaStats == got)
+    } finally q.stop()
+  }
 }
