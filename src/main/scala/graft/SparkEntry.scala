@@ -1646,6 +1646,23 @@ object SparkEntry {
       .limit(20)
       .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
 
+  /** q14: TPC-H Q14 promotion effect — the conditional-aggregate ratio
+    * (promo revenue share of one ship month); part join AQE-broadcasts,
+    * date filter reaches the lineitem scan.
+    */
+  private def q14PromoEffect(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    T(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(T(s, d, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))) /
+          sum(rev), 4).as("promo_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** w12: event-rate spike detection — hourly per-type counts flagged
     * |z| > 3 against the trailing 24 observed buckets. Full oracle: the
     * z test is the multiplied-through integer form (c·n − S)² >
@@ -2269,7 +2286,8 @@ object SparkEntry {
     "m6_exif_meta" -> (m6ExifMeta _),
     "t31_mojibake" -> (t31Mojibake _),
     "w13_audience_growth" -> (w13AudienceGrowth _),
-    "q10_returned_items" -> (q10ReturnedItems _))
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_effect" -> (q14PromoEffect _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -5465,6 +5483,14 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
     "t31_mojibake" -> t31OracleSql)
 
   /** t31's DuckDB twin, GENERATED from the same [[MojiPlant]] and
