@@ -1932,6 +1932,20 @@ object SparkEntry {
       "doc_id", "text", "source")
   }
 
+  /** d19: sentence-level exact dedup — each doc gains a shared tagline
+    * sentence (4 variants by doc_id), so the canonical-occurrence rule
+    * must keep exactly one tagline per variant corpus-wide while body
+    * sentences survive per their own duplication. Full oracle: the t30
+    * split chain + struct-min canonical + ordered reassembly.
+    */
+  private def d19SentenceDedup(s: SparkSession, d: String): DataFrame = {
+    val page = concat(col("text"), lit(". Shared tagline number "),
+      pmod(col("doc_id"), lit(4)).cast("string"), lit("."))
+    Dedup.sentenceDedup(
+      T(s, d, "documents").select(col("doc_id"), page.as("text")),
+      "doc_id", "text")
+  }
+
   /** t30: sentence segmentation — one row per sentence with ordinal
     * and token count. Full oracle: the marker-insertion split is
     * RE2-safe by construction, so DuckDB replays the abbreviation
@@ -2278,7 +2292,7 @@ object SparkEntry {
     "t30_sentence_split" -> (t30SentenceSplit _),
     "d18_boilerplate_lines" -> (d18BoilerplateLines _),
     "e8_qa_f1" -> (e8QaF1 _),
-    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q3b_shipping_priority" -> (q3ShippingPriority _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "h3_preference_pairs" -> (h3PreferencePairs _),
     "g4_label_prop" -> (g4LabelProp _),
@@ -2287,7 +2301,8 @@ object SparkEntry {
     "t31_mojibake" -> (t31Mojibake _),
     "w13_audience_growth" -> (w13AudienceGrowth _),
     "q10_returned_items" -> (q10ReturnedItems _),
-    "q14_promo_effect" -> (q14PromoEffect _))
+    "q14_promo_effect" -> (q14PromoEffect _),
+    "d19_sentence_dedup" -> (d19SentenceDedup _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -5359,7 +5374,7 @@ object SparkEntry {
         |    ELSE (4000000 * coalesce(ov.ov, 0) + lp + lr)
         |      // (2 * (lp + lr)) END)::BIGINT AS f1_e6
         |FROM l LEFT JOIN ov USING (q_id)""".stripMargin,
-    "q3_shipping_priority" ->
+    "q3b_shipping_priority" ->
       """SELECT l_orderkey,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
@@ -5491,6 +5506,53 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
         |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    // d19 twin: the t30 split chain over the synthesized page, then the
+    // d10-style struct-min canonical and string_agg reassembly
+    "d19_sentence_dedup" ->
+      """WITH p0 AS (SELECT doc_id,
+        |    text || '. Shared tagline number ' || (doc_id % 4)::VARCHAR
+        |      || '.' AS text
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |    replace(text,
+        |      'Mr.', 'Mr' || chr(2)), 'Mrs.', 'Mrs' || chr(2)),
+        |      'Ms.', 'Ms' || chr(2)), 'Dr.', 'Dr' || chr(2)),
+        |      'Prof.', 'Prof' || chr(2)), 'St.', 'St' || chr(2)),
+        |      'Jr.', 'Jr' || chr(2)), 'Sr.', 'Sr' || chr(2)),
+        |      'vs.', 'vs' || chr(2)), 'etc.', 'etc' || chr(2)),
+        |      'e.g.', 'e.g' || chr(2)), 'i.e.', 'i.e' || chr(2)),
+        |      'Fig.', 'Fig' || chr(2)), 'No.', 'No' || chr(2)),
+        |      'al.', 'al' || chr(2)) AS t
+        |  FROM p0),
+        |m AS (SELECT doc_id,
+        |    regexp_replace(t, '([.!?]+)\s+', '\1' || chr(1), 'g') AS t
+        |  FROM g),
+        |s AS (SELECT doc_id,
+        |    generate_subscripts(string_split(t, chr(1)), 1) AS sent_idx,
+        |    unnest(string_split(t, chr(1))) AS raw
+        |  FROM m),
+        |c AS (SELECT doc_id, sent_idx,
+        |    trim(regexp_replace(replace(raw, chr(2), '.'), '\s+', ' ', 'g'))
+        |      AS sentence
+        |  FROM s),
+        |sents AS (SELECT doc_id AS id, sent_idx, sentence
+        |  FROM c WHERE sentence <> ''),
+        |canon AS (SELECT sentence,
+        |    min(struct_pack(id := id, si := sent_idx)) AS mc
+        |  FROM sents GROUP BY sentence),
+        |j AS (SELECT s.id, s.sent_idx, s.sentence,
+        |    (struct_extract(mc, 'id') = s.id
+        |      AND struct_extract(mc, 'si') = s.sent_idx) AS keep
+        |  FROM sents s JOIN canon USING (sentence))
+        |SELECT id, count(*)::BIGINT AS n_sents,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CASE WHEN sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+        |    THEN string_agg(CASE WHEN keep THEN sentence END, ' '
+        |      ORDER BY sent_idx)
+        |    ELSE NULL END AS text_dedup
+        |FROM j GROUP BY id""".stripMargin,
     "t31_mojibake" -> t31OracleSql)
 
   /** t31's DuckDB twin, GENERATED from the same [[MojiPlant]] and

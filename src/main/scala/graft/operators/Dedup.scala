@@ -111,6 +111,44 @@ object Dedup {
         when(col("n_kept") > 0, col("td")).as("text_dedup"))
   }
 
+  /** Sentence-level exact dedup — [[segmentDedup]]'s policy on LINGUISTIC
+    * boundaries: documents split by [[TextAnalytics.sentenceSplit]]
+    * (RE2-safe rule segmenter), each distinct sentence keeps its
+    * canonical occurrence (minimal (doc, ordinal)), and surviving
+    * sentences reassemble in order. Fixed token windows (segmentDedup)
+    * cut mid-sentence and miss duplicates that shift by a word;
+    * sentence boundaries are the form sentence-level corpus dedup
+    * actually wants.
+    *
+    * Same scale shape as segmentDedup: canonical = min(struct) aggregate
+    * (map-side partials collapse a boilerplate sentence to one row per
+    * partition), equi-join back (AQE skew-splittable), per-doc
+    * reassembly sorts that doc's sentences only.
+    *
+    * Output per doc: (id, n_sents, n_kept, text_dedup — null when every
+    * sentence was a duplicate of an earlier doc's).
+    */
+  def sentenceDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      abbrevs: Seq[String] = TextAnalytics.DefaultAbbrevs): DataFrame = {
+    val sents = TextAnalytics.sentenceSplit(docs, idCol, textCol, abbrevs)
+    val canon = sents.groupBy("sentence")
+      .agg(min(struct(col("id"), col("sent_idx"))).as("c"))
+    sents.join(canon, Seq("sentence"))
+      .withColumn("keep",
+        col("c.id") === col("id") && col("c.sent_idx") === col("sent_idx"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_sents"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("sent_idx"), col("sentence"))))),
+            x => x.getField("sentence"))).as("td"))
+      .select(col("id"), col("n_sents"), col("n_kept"),
+        when(col("n_kept") > 0, col("td")).as("text_dedup"))
+  }
+
   /** Domain-level boilerplate line removal — the CCNet/RefinedWeb
     * companion to [[segmentDedup]] with the OTHER policy: a line whose
     * within-domain document frequency share exceeds `maxShareE6` (and

@@ -357,6 +357,11 @@ object ScaleProbe {
       // pure scan-side replace/length chains; zero shuffle
       "t31_mojibake" -> (d =>
         TextAnalytics.mojibakeStats(d, "doc_id", "text").count()),
+      // the d10 shape on sentence boundaries (synthetic docs have no
+      // terminators, so each doc is one "sentence" — the worst case for
+      // the canonical aggregate: every exact-dup doc collides whole)
+      "d19_sentence_dedup" -> (d =>
+        Dedup.sentenceDedup(d, "doc_id", "text").count()),
       // page template around each doc (title/style/script/nav links) —
       // a pure scan-side regex projection; expect flat-to-linear with
       // zero shuffle in the plan

@@ -280,6 +280,23 @@ class DedupSpec extends AnyFunSuite {
     assert((basePairs ++ incPairs) == fullPairs)
   }
 
+  test("sentenceDedup keeps the canonical occurrence per sentence") {
+    val got = Dedup.sentenceDedup(
+        Seq(
+          (1L, "Alpha beta. Shared line."),
+          (2L, "Gamma delta. Shared line."),
+          (3L, "Shared line."))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 is canonical for "Shared line." (min (id, ordinal));
+    // doc 2 loses it but keeps its own body; doc 3 loses everything
+    assert(got(1L) == ((2L, 2L, Some("Alpha beta. Shared line."))))
+    assert(got(2L) == ((2L, 1L, Some("Gamma delta."))))
+    assert(got(3L) == ((1L, 0L, None)))
+  }
+
   test("boilerplateLines removes by within-domain df share, per domain") {
     val docs = Seq(
       // domain A (4 docs): "foot" in 4/4 (removed), "half" in 2/4
