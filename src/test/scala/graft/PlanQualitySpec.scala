@@ -498,4 +498,56 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(!plan.contains("Window"), s"$q grew a window:\n$plan")
     }
   }
+
+  test("scan-side text ops stay zero-exchange projections") {
+    // t29/t30/t31 are the ingest projections every other text op sits
+    // on — ONE exchange anywhere in these plans means someone added a
+    // shuffle to a per-row computation
+    for (q <- Seq("t29_html_extract", "t31_mojibake")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("Exchange"), s"$q grew a shuffle:\n$plan")
+      assert(!plan.contains("Window"), s"$q grew a window:\n$plan")
+    }
+    // t30 adds only the generator (explode), still shuffle-free
+    val t30 = SparkEntry.queries("t30_sentence_split")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!t30.contains("Exchange"), s"t30 grew a shuffle:\n$t30")
+  }
+
+  test("interval subtraction and liftover never go non-equi") {
+    for (q <- Seq("j13_interval_subtract", "j14_liftover")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q nested loop:\n$plan")
+    }
+    // the liftover chain is dimension-sized: its join must broadcast
+    val j14 = planOf(SparkEntry.queries("j14_liftover")(spark, dir))
+    assert(j14.contains("BroadcastHashJoin"), s"chain not broadcast:\n$j14")
+  }
+
+  test("preference pairs and rate anomaly carry no corpus-wide window") {
+    // h3's argmax is a struct-extreme aggregate — a window would be the
+    // per-prompt-sort regression; w12's window is per-type and
+    // calendar-bounded, so it must PARTITION (never a global sort)
+    val h3 = SparkEntry.queries("h3_preference_pairs")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!h3.contains("Window"), s"h3 grew a window:\n$h3")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ws = SparkEntry.queries("w12_rate_anomaly")(spark, dir)
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty)
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"w12 window lost its type partitioning:\n$w"))
+  }
+
+  test("deterministic top-k TPC-H cuts plan as TakeOrderedAndProject") {
+    for (q <- Seq("q3b_shipping_priority", "q10_returned_items")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q lost the top-k plan (global sort?):\n$plan")
+    }
+  }
 }
