@@ -1723,6 +1723,30 @@ object SparkEntry {
     (11, " bad\u0007bell"),
     (13, " lost\ufffdchar"))
 
+  /** t32's planted typographic damage — shared by query and generated
+    * twin, the [[MojiPlant]] discipline.
+    */
+  private val NormPlant: Seq[(Int, String)] = Seq(
+    (3, " “smart” — dash…"),
+    (5, " zero​width space ‘q’"))
+
+  /** t32: typographic normalization — smart quotes/dashes/spaces
+    * unified, zero-widths dropped, ellipsis expanded, whitespace
+    * collapsed. Full oracle: generated from the same character maps and
+    * plants the operator reads (translate's drop-past-to rule is the
+    * shared PostgreSQL semantics).
+    */
+  private def t32Normalize(s: SparkSession, d: String): DataFrame = {
+    val page = NormPlant.foldLeft(col("text")) { case (c, (m, str)) =>
+      concat(c,
+        when(pmod(col("doc_id"), lit(m)) === 0, lit(str))
+          .otherwise(lit("")))
+    }
+    TextAnalytics.normalizeText(
+      T(s, d, "documents").select(col("doc_id"), page.as("text")),
+      "doc_id", "text")
+  }
+
   private def t31Mojibake(s: SparkSession, d: String): DataFrame = {
     val page = MojiPlant.foldLeft(col("text")) { case (c, (m, str)) =>
       concat(c,
@@ -2302,7 +2326,8 @@ object SparkEntry {
     "w13_audience_growth" -> (w13AudienceGrowth _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_effect" -> (q14PromoEffect _),
-    "d19_sentence_dedup" -> (d19SentenceDedup _))
+    "d19_sentence_dedup" -> (d19SentenceDedup _),
+    "t32_normalize" -> (t32Normalize _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -5553,7 +5578,28 @@ object SparkEntry {
         |      ORDER BY sent_idx)
         |    ELSE NULL END AS text_dedup
         |FROM j GROUP BY id""".stripMargin,
-    "t31_mojibake" -> t31OracleSql)
+    "t31_mojibake" -> t31OracleSql,
+    "t32_normalize" -> t32OracleSql)
+
+  /** t32's DuckDB twin, generated from [[NormPlant]] and the
+    * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —
+    * one source of truth for both engines.
+    */
+  private def t32OracleSql: String = {
+    def q(x: String) = "'" + x.replace("'", "''") + "'"
+    val plant = NormPlant.map { case (m, str) =>
+      s"|| CASE WHEN doc_id % $m = 0 THEN ${q(str)} ELSE '' END"
+    }.mkString("\n    ")
+    val from = q(TextAnalytics.NormFromChars + TextAnalytics.NormDeleteChars)
+    val to = q(TextAnalytics.NormToChars)
+    s"""WITH p AS (SELECT doc_id, text
+    $plant AS t FROM documents),
+n AS (SELECT doc_id,
+  trim(regexp_replace(replace(translate(t, $from, $to), ${q("…")}, '...'),
+    '\\s+', ' ', 'g')) AS text_norm,
+  t FROM p)
+SELECT doc_id AS id, text_norm, text_norm <> t AS changed FROM n"""
+  }
 
   /** t31's DuckDB twin, GENERATED from the same [[MojiPlant]] and
     * [[TextAnalytics.MojibakeSeqs]] constants the Spark query reads —

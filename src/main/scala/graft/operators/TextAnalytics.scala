@@ -1020,6 +1020,44 @@ object TextAnalytics {
     (length(t) - length(regexp_replace(t,
       "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
 
+  /** The typographic-unification map: smart quotes → ASCII quotes,
+    * every dash variant → hyphen-minus, exotic spaces → space. `From`
+    * and `To` align position-for-position (translate semantics);
+    * `Delete` lists the zero-width characters translate drops when the
+    * to-string is exhausted.
+    */
+  val NormFromChars: String =
+    "‘’‚“”„–—‒−  　"
+  val NormToChars: String = "'''\"\"\"----   "
+  val NormDeleteChars: String = "​‌‍﻿"
+
+  /** Typographic normalization as a composable Column: one `translate`
+    * (quotes/dashes/spaces unified, zero-widths dropped), the ellipsis
+    * expanded to "...", whitespace collapsed, ends trimmed. Every step
+    * is a plain string function both engines ship with identical
+    * semantics (translate drops chars past the to-string — the
+    * PostgreSQL rule Spark and DuckDB share).
+    */
+  def normalizeTextColumn(t: Column): Column =
+    trim(regexp_replace(
+      replace(
+        translate(t, NormFromChars + NormDeleteChars, NormToChars),
+        lit("…"), lit("...")),
+      "\\s+", " "))
+
+  /** Typographic normalization per document — the canonical-form step
+    * between raw ingest and hashing/dedup (curly-quote variants of the
+    * same sentence must collide, not survive as near-dups). Pure
+    * scan-side projection, zero shuffle.
+    * Output: (id, text_norm, changed).
+    */
+  def normalizeText(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = normalizeTextColumn(col(textCol))
+    docs.select(col(idCol).as("id"), norm.as("text_norm"),
+      (norm =!= col(textCol)).as("changed"))
+  }
+
   def mojibakeStats(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

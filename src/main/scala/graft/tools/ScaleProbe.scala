@@ -357,6 +357,8 @@ object ScaleProbe {
       // pure scan-side replace/length chains; zero shuffle
       "t31_mojibake" -> (d =>
         TextAnalytics.mojibakeStats(d, "doc_id", "text").count()),
+      "t32_normalize" -> (d =>
+        TextAnalytics.normalizeText(d, "doc_id", "text").count()),
       // the d10 shape on sentence boundaries (synthetic docs have no
       // terminators, so each doc is one "sentence" — the worst case for
       // the canonical aggregate: every exact-dup doc collides whole)

@@ -532,6 +532,24 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(q.getAs[Long]("link_density_e6") == 0L)
   }
 
+  test("normalizeText unifies typography and drops zero-widths") {
+    val got = TextAnalytics.normalizeText(
+        Seq(
+          (1L, "“Hi” — it’s fine…"),
+          (2L, "zero​width and　spaces"),
+          (3L, "already plain text"),
+          (4L, "  padded\t \n inside  "))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("text_norm"), r.getAs[Boolean]("changed")))).toMap
+    assert(got(1L) == (("\"Hi\" - it's fine...", true)))
+    assert(got(2L) == (("zerowidth and spaces", true)))
+    assert(got(3L) == (("already plain text", false)))
+    // whitespace collapse + trim counts as a change
+    assert(got(4L) == (("padded inside", true)))
+  }
+
   test("mojibakeStats counts artifacts, FFFD and controls exactly") {
     val rows = TextAnalytics.mojibakeStats(
         Seq(
