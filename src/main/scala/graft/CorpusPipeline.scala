@@ -45,6 +45,25 @@ final case class CorpusPipeline(
   def redactPii(): CorpusPipeline =
     withText(TextAnalytics.redactColumn(col(textCol)))
 
+  /** Drop encoding-damaged documents (mojibake artifacts + U+FFFD +
+    * C0 controls over `maxDamage` — the t31 signals); run BEFORE
+    * [[normalize]] so damage is judged on the raw bytes.
+    */
+  def gateEncoding(maxDamage: Long = 0L): CorpusPipeline = {
+    val t = col(textCol)
+    copy(df = df.filter(coalesce(
+      TextAnalytics.mojibakeCountColumn(t) +
+        TextAnalytics.replacementCountColumn(t) +
+        TextAnalytics.controlCountColumn(t) <= maxDamage,
+      lit(false))))
+  }
+
+  /** Canonical typographic form ([[TextAnalytics.normalizeTextColumn]])
+    * — run before any dedup stage so curly-quote variants collide.
+    */
+  def normalize(): CorpusPipeline =
+    withText(TextAnalytics.normalizeTextColumn(col(textCol)))
+
   /** Drop documents whose weighted-lexicon severity
     * ([[TextAnalytics.lexiconScore]], token-normalized, 1e4-scaled)
     * reaches `maxSeverityE4` — the toxicity/safety gate. Scan-side map

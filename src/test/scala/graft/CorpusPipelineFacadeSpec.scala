@@ -46,6 +46,32 @@ class CorpusPipelineFacadeSpec extends AnyFunSuite {
     assert(viaFacade.columns.contains("source"))
   }
 
+  test("gateEncoding drops damage before normalize canonicalizes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean “fancy” text — fine"),
+      (2L, "broken cafÃ© row"),
+      (3L, "plain already"))
+      .toDF("doc_id", "text")
+    val got = CorpusPipeline(docs, "doc_id", "text")
+      .gateEncoding()
+      .normalize()
+      .df.as[(Long, String)].collect().toMap
+    // doc 2 gated out on the RAW bytes; doc 1 then canonicalized
+    assert(got == Map(
+      1L -> "clean \"fancy\" text - fine",
+      3L -> "plain already"))
+    // equivalence with the operators called directly
+    val direct = operators.TextAnalytics.normalizeText(
+        operators.TextAnalytics.mojibakeStats(docs, "doc_id", "text")
+          .filter(col("is_clean")).select(col("id").as("doc_id"))
+          .join(docs, Seq("doc_id")),
+        "doc_id", "text")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(direct == got)
+  }
+
   test("dedupNear keeps each near-dup cluster's min id; gateLanguage filters") {
     val base = (1 to 30).map(i => s"w${i * 7 % 97}").mkString(" ")
     val docs = Seq(
