@@ -1663,6 +1663,285 @@ object SparkEntry {
         count(lit(1)).as("n_items"))
   }
 
+  /** q4: TPC-H Q4 order-priority checking, adapted to the harness
+    * schema (no commit/receipt dates, so a "late" line is one shipped
+    * more than 60 days after the order date). One quarter of orders is
+    * EXISTS-semi-joined to its late lines and counted per priority —
+    * the semi join hashes on the orderkey with the date comparison as a
+    * residual, and the quarter filter reaches the orders scan. At scale
+    * the semi join never widens the orders side: each order is emitted
+    * at most once regardless of how many late lines it has.
+    */
+  private def q4PriorityExists(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(T(s, d, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+
+  /** q7: TPC-H Q7 volume shipping, adapted: the classic dual-direction
+    * nation-pair disjunction, with the harness's synthetic nations split
+    * into even/odd blocs by nationkey (a single literal pair is empty at
+    * sf0.001). Both nation joins broadcast; the disjunction references
+    * both sides so it stays a post-join residual — exactly Q7's shape.
+    */
+  private def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val n1 = T(s, d, "nation").select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"), (col("n_nationkey") % 2).as("s_par"))
+    val n2 = T(s, d, "nation").select(col("n_nationkey").as("c_nk"),
+      col("n_name").as("cust_nation"), (col("n_nationkey") % 2).as("c_par"))
+    T(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(T(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(T(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+      .join(T(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("s_par") === 0 && col("c_par") === 1) ||
+        (col("s_par") === 1 && col("c_par") === 0))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  /** q8: TPC-H Q8 national market share — one supplier nation's share of
+    * ECONOMY-part revenue sold to ASIA customers, per order year. The
+    * region gate is a broadcast semi through nation, the part-type
+    * filter reaches the part scan, and the share is a conditional
+    * aggregate over one grouped pass (never two scans). Rounded at 1e-6:
+    * the ratio of two same-order sums is far inside that lattice.
+    */
+  private def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = T(s, d, "nation")
+      .join(broadcast(T(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNations = T(s, d, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    T(s, d, "lineitem")
+      .join(T(s, d, "part").filter(col("p_type") === "ECONOMY"),
+        col("p_partkey") === col("l_partkey"))
+      .join(T(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(T(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"))
+      .join(T(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(suppNations), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("nation") === "NATION_3", vol).otherwise(lit(0.0))) /
+          sum(vol), 6).as("mkt_share"))
+  }
+
+  /** q12: TPC-H Q12 shipping-priority audit, adapted (the schema has no
+    * ship mode or receipt date): late lines — shipped >60 days after
+    * order date — in one ship year, counted per linestatus into
+    * high/low priority classes. The two counts are conditional sums in
+    * one grouped pass; integer-exact end to end.
+    */
+  private def q12LatePriority(s: SparkSession, d: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    T(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(T(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  /** q13: TPC-H Q13 customer order-count distribution — how many
+    * customers placed k orders, excluding one priority class (the
+    * stand-in for Q13's comment-pattern exclusion). The exclusion
+    * filters the RIGHT side of the outer join before the join, which is
+    * equivalent to Q13's in-join predicate and lets the filter reach
+    * the orders scan; customers with no surviving orders count as k=0.
+    */
+  private def q13OrderDistribution(s: SparkSession, d: String): DataFrame =
+    T(s, d, "customer")
+      .join(T(s, d, "orders").filter(col("o_orderpriority") =!= "5-LOW"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** q15: TPC-H Q15 top supplier — quarterly per-supplier revenue, then
+    * the supplier(s) achieving the maximum (the view + scalar-subquery
+    * pattern, decorrelated as an aggregate-then-broadcast-join). The
+    * max side is one row, so the equality gate broadcasts; revenue is
+    * rounded to the 1e-4 lattice BEFORE the max so the equality can
+    * never straddle an engine's last ulp.
+    */
+  private def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val revenue = T(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("total_revenue"))
+    val top = revenue.agg(max(col("total_revenue")).as("mx"))
+    T(s, d, "supplier")
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(top), col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** q16: TPC-H Q16 supplier variety, adapted: the harness has no
+    * partsupp, so the part ↔ supplier relation observed in lineitem
+    * stands in. Distinct suppliers per (brand, type, size) for selected
+    * sizes, excluding one brand and negative-balance suppliers (Q16's
+    * NOT IN complaints filter → a broadcast anti join; s_suppkey is
+    * non-null so NOT IN ≡ anti).
+    */
+  private def q16SupplierVariety(s: SparkSession, d: String): DataFrame = {
+    val bad = T(s, d, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    T(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#5" &&
+        col("p_size").isin(1, 10, 20, 30, 40, 50))
+      .join(T(s, d, "lineitem"), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** q17: TPC-H Q17 small-quantity-order revenue — yearly revenue lost
+    * if one brand's below-20%-of-average-quantity orders stopped. The
+    * correlated per-part average decorrelates into a grouped aggregate
+    * joined back on partkey; the average's input is semi-restricted to
+    * the brand's parts first (same per-part averages, and at 100 TB the
+    * aggregate only touches the brand's slice instead of every part).
+    * l_quantity is integer-valued, so the 0.2·avg threshold is the same
+    * double in every engine and the comparison cannot straddle an ulp.
+    */
+  private def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = T(s, d, "lineitem")
+    val brandParts = T(s, d, "part").filter(col("p_brand") === "Brand#3")
+    val avgQ = li
+      .join(broadcast(brandParts.select(col("p_partkey").as("bp"))),
+        col("l_partkey") === col("bp"), "left_semi")
+      .groupBy(col("l_partkey").as("ap"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qlim"))
+    li.join(broadcast(brandParts), col("p_partkey") === col("l_partkey"))
+      .join(avgQ, col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < col("qlim"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q9: TPC-H Q9 product-type profit, adapted: the harness has no
+    * partsupp, so supply cost is proxied as 60% of the part's retail
+    * price (the one-table cost model the schema supports). Profit per
+    * supplier nation per order year over parts matching a name pattern;
+    * nation broadcasts, the name filter reaches the part scan.
+    */
+  private def q9ProductProfit(s: SparkSession, d: String): DataFrame =
+    T(s, d, "lineitem")
+      .join(T(s, d, "part").filter(col("p_name").like("%red%")),
+        col("p_partkey") === col("l_partkey"))
+      .join(T(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
+      .join(T(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(T(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")), 4)
+        .as("sum_profit"))
+
+  /** q19: TPC-H Q19 discounted revenue — the three-way disjunction of
+    * (brand, size range, quantity range) conjuncts. The common
+    * part-side implicants (brand ∈ {1,2,3}, size ≤ 30) are pulled out
+    * of the OR and pushed to the part scan — the classic Q19 rewrite —
+    * so the broadcast hash join sees only candidate parts and the full
+    * disjunction evaluates as a post-join residual.
+    */
+  private def q19DisjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    val pred =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+        col("l_quantity").between(20, 30))
+    T(s, d, "lineitem")
+      .join(broadcast(T(s, d, "part").filter(
+        col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size").between(1, 30))),
+        col("p_partkey") === col("l_partkey"))
+      .filter(pred)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q21: TPC-H Q21 suppliers who kept orders waiting, adapted (no
+    * receipt/commit dates): in finalized multi-supplier orders, the
+    * suppliers whose returned ('R') lines were the ONLY returns in the
+    * order. l1 semi-joins to "another supplier exists in this order"
+    * and anti-joins to "another supplier also returned" — both hash on
+    * the orderkey with the supplier inequality as a residual, so
+    * neither correlated EXISTS ever widens the probe side.
+    */
+  private def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = T(s, d, "lineitem")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val others = li.select(col("l_orderkey").as("ok2"),
+      col("l_suppkey").as("sk2"), col("l_returnflag").as("rf2"))
+    l1.join(T(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")),
+        col("ok") === col("o_orderkey"), "left_semi")
+      .join(others, col("ok2") === col("ok") && col("sk2") =!= col("sk"),
+        "left_semi")
+      .join(others.filter(col("rf2") === "R"),
+        col("ok2") === col("ok") && col("sk2") =!= col("sk"), "left_anti")
+      .join(broadcast(T(s, d, "supplier")), col("s_suppkey") === col("sk"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
+
+  /** q22: TPC-H Q22 global sales opportunity, adapted: the country code
+    * is nationkey mod 5 (no phone column), and "dormant" means no order
+    * since 1999 (every customer has SOME order at sf0.001, so Q22's
+    * never-ordered form would be vacuously empty there). Positive-
+    * balance average → one broadcast scalar; the dormancy check is an
+    * anti join against the date-pruned orders scan. acctbal carries two
+    * decimals, so the average threshold comparison sits far from any
+    * accumulation-order ulp.
+    */
+  private def q22DormantCustomers(s: SparkSession, d: String): DataFrame = {
+    val eligible = T(s, d, "customer")
+      .filter((col("c_nationkey") % 5).isin(0, 1, 2))
+      .select(col("c_custkey"), col("c_acctbal"),
+        (col("c_nationkey") % 5).cast("long").as("cntrycode"))
+    val avgBal = eligible.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    val recent = T(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    eligible
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 4).as("totacctbal"))
+  }
+
   /** w12: event-rate spike detection — hourly per-type counts flagged
     * |z| > 3 against the trailing 24 observed buckets. Full oracle: the
     * z test is the multiplied-through integer form (c·n − S)² >
@@ -2327,7 +2606,19 @@ object SparkEntry {
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_effect" -> (q14PromoEffect _),
     "d19_sentence_dedup" -> (d19SentenceDedup _),
-    "t32_normalize" -> (t32Normalize _))
+    "t32_normalize" -> (t32Normalize _),
+    "q4_priority_exists" -> (q4PriorityExists _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q12_late_priority" -> (q12LatePriority _),
+    "q13_order_distribution" -> (q13OrderDistribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_supplier_variety" -> (q16SupplierVariety _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
+    "q22_dormant_customers" -> (q22DormantCustomers _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -5579,7 +5870,152 @@ object SparkEntry {
         |    ELSE NULL END AS text_dedup
         |FROM j GROUP BY id""".stripMargin,
     "t31_mojibake" -> t31OracleSql,
-    "t32_normalize" -> t32OracleSql)
+    "t32_normalize" -> t32OracleSql,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(sum(volume), 4) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate)::BIGINT AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_nationkey % 2 = 0 AND n2.n_nationkey % 2 = 1)
+        |      OR (n1.n_nationkey % 2 = 1 AND n2.n_nationkey % 2 = 0))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  round(sum(CASE WHEN nation = 'NATION_3' THEN volume
+        |      ELSE 0.0 END) / sum(volume), 6) AS mkt_share
+        |FROM (SELECT year(o_orderdate)::BIGINT AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_year""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)"""
+        .stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 10, 20, 30, 40, 50)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)"""
+        .stripMargin,
+    "q9_product_profit" ->
+      """SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+        |FROM (SELECT n_name AS nation,
+        |    year(o_orderdate)::BIGINT AS o_year,
+        |    l_extendedprice * (1 - l_discount)
+        |      - 0.6 * p_retailprice * l_quantity AS amount
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%')
+        |GROUP BY nation, o_year""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4)
+        |    AS revenue,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 25""".stripMargin,
+    "q22_dormant_customers" ->
+      """WITH eligible AS (SELECT c_custkey, c_acctbal,
+        |    (c_nationkey % 5)::BIGINT AS cntrycode
+        |  FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)),
+        |avg_bal AS (SELECT avg(c_acctbal) AS ab FROM eligible
+        |  WHERE c_acctbal > 0)
+        |SELECT cntrycode, count(*)::BIGINT AS numcust,
+        |  round(sum(c_acctbal), 4) AS totacctbal
+        |FROM eligible, avg_bal
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY cntrycode""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —
