@@ -40,7 +40,19 @@ object Bench {
     val runs = math.max(1, args.sliding(2).collectFirst {
       case Array("--runs", n) => n.toInt
     }.orElse(sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)).getOrElse(3))
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional focused run: `--only g1,g2` (or SPARK_GRAFT_BENCH_ONLY)
+    // keeps just the queries whose name-prefix (text before '_') is
+    // listed — per-family measurement without a 160-query sweep.
+    val only: Option[Set[String]] = args.sliding(2).collectFirst {
+      case Array("--only", l) => l
+    }.orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case None => SparkEntry.queries
+      case Some(ps) => SparkEntry.queries.filter { case (name, _) =>
+        ps.contains(name.takeWhile(_ != '_')) }
+    }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
