@@ -1942,6 +1942,110 @@ object SparkEntry {
         round(sum(col("c_acctbal")), 4).as("totacctbal"))
   }
 
+  /** q2: TPC-H Q2 minimum-cost supplier, adapted: the harness has no
+    * partsupp, so the supply cost of a (part, supplier) pair is the
+    * cheapest discounted line they ever traded (min over their lineitem
+    * lines of extendedprice·(1−discount)) — Q2's correlated-min shape
+    * over the one relation the schema observes. For selected parts
+    * (one type, small sizes) and one region's suppliers, the
+    * supplier(s) matching the per-part minimum. The correlated scalar
+    * subquery decorrelates into a per-part min aggregate joined back on
+    * (partkey, cost); the dim stack (supplier⋈nation⋈region) broadcasts.
+    * Exact equality is safe: every cost is ONE IEEE multiply of two
+    * scan doubles and min picks an element, so both engines compare
+    * identical bits — no rounding lattice needed.
+    */
+  private def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val ps = T(s, d, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("supplycost"))
+    val eu = T(s, d, "supplier")
+      .join(broadcast(T(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, d, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cand = T(s, d, "part")
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
+      .join(ps, col("p_partkey") === col("l_partkey"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"), col("supplycost"))
+    val mins = cand.groupBy(col("p_partkey").as("mp"))
+      .agg(min(col("supplycost")).as("mc"))
+    cand.join(mins,
+        col("p_partkey") === col("mp") && col("supplycost") === col("mc"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("supplycost"))
+  }
+
+  /** q11: TPC-H Q11 important stock, adapted: no partsupp, so a part's
+    * "stock value" held through one nation's suppliers is the discounted
+    * revenue its lines with those suppliers produced. Parts whose value
+    * exceeds 0.1% of the nation total — Q11's grouped-HAVING-over-a-
+    * global-scalar shape. The nation's supplier keys broadcast into a
+    * semi join (the filter reaches the lineitem scan side, nothing else
+    * of supplier travels); the total rides as a one-row broadcast.
+    * Determinism: per-part sums round to the 1e-4 lattice (the data's
+    * true decimal precision) BEFORE the total, so both engines compare
+    * the same bits on both sides of the threshold.
+    */
+  private def q11ImportantParts(s: SparkSession, d: String): DataFrame = {
+    val natSupp = T(s, d, "supplier")
+      .join(broadcast(T(s, d, "nation").filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = T(s, d, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("value"))
+    val tot = v.agg(round(sum(col("value")), 4).as("tv"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value") > lit(0.001) * col("tv"))
+      .select(col("partkey"), col("value"))
+  }
+
+  /** q20: TPC-H Q20 potential part promotion, adapted: no partsupp
+    * availability, so "excess availability" becomes observed dominance —
+    * suppliers who shipped MORE THAN HALF of a part's total 1996 volume
+    * for parts of one name family, restricted to one region. Q20's
+    * nested-IN stack becomes three semi joins: the name-filtered part
+    * keys broadcast into the lineitem scan BEFORE the pair aggregate
+    * (at scale the aggregate only touches the family's lines), the
+    * dominant pair set semi-filters supplier, the region's nation keys
+    * broadcast. Exact throughout: quantities are integer-valued, sums
+    * of integers are exact in any order, and 0.5·total is a power-of-
+    * two multiply — no lattice, no ulp.
+    */
+  private def q20DominantSupplier(s: SparkSession, d: String): DataFrame = {
+    val famParts = T(s, d, "part").filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val avail = T(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(famParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val tot = avail.groupBy(col("l_partkey").as("tp"))
+      .agg(sum(col("q")).as("tq"))
+    val dominant = avail.join(tot, col("l_partkey") === col("tp"))
+      .filter(col("q") > lit(0.5) * col("tq"))
+      .select(col("l_suppkey")).distinct()
+    val regionNations = T(s, d, "nation")
+      .join(broadcast(T(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    T(s, d, "supplier")
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(regionNations),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_name"))
+  }
+
   /** w12: event-rate spike detection — hourly per-type counts flagged
     * |z| > 3 against the trailing 24 observed buckets. Full oracle: the
     * z test is the multiplied-through integer form (c·n − S)² >
@@ -2618,7 +2722,10 @@ object SparkEntry {
     "q9_product_profit" -> (q9ProductProfit _),
     "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
-    "q22_dormant_customers" -> (q22DormantCustomers _))
+    "q22_dormant_customers" -> (q22DormantCustomers _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q20_dominant_supplier" -> (q20DominantSupplier _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -6015,7 +6122,49 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '1999-01-01')
-        |GROUP BY cntrycode""".stripMargin)
+        |GROUP BY cntrycode""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice * (1 - l_discount)) AS supplycost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |cand AS (SELECT p_partkey, s_name, s_acctbal, n_name, supplycost
+        |  FROM part JOIN ps ON p_partkey = l_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |    AND p_type = 'STANDARD' AND p_size <= 15)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, supplycost
+        |FROM cand c
+        |WHERE supplycost = (SELECT min(supplycost) FROM cand c2
+        |  WHERE c2.p_partkey = c.p_partkey)""".stripMargin,
+    "q11_important_parts" ->
+      """WITH v AS (SELECT l_partkey AS partkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS value
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY l_partkey)
+        |SELECT partkey, value FROM v
+        |WHERE value > 0.001 * (SELECT round(sum(value), 4) FROM v)"""
+        .stripMargin,
+    "q20_dominant_supplier" ->
+      """WITH avail AS (SELECT l_partkey, l_suppkey,
+        |    sum(l_quantity) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |      WHERE p_name LIKE 'red%')
+        |  GROUP BY l_partkey, l_suppkey),
+        |tot AS (SELECT l_partkey AS tp, sum(q) AS tq
+        |  FROM avail GROUP BY l_partkey)
+        |SELECT s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM avail JOIN tot
+        |    ON l_partkey = tp WHERE q > 0.5 * tq)
+        |  AND s_nationkey IN (SELECT n_nationkey FROM nation
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'ASIA')""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —
