@@ -828,6 +828,19 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** v16: margin-based mutual-kNN pair mining — the bitext-mining
+    * scorer (Artetxe & Schwenk 2019) over the embeddings table split
+    * into two "corpora" by vec_id. Full oracle: the 1e-3-lattice
+    * cosines, exact integer neighborhood sums, cross-multiplied accept
+    * test and one-division margin replay verbatim in DuckDB.
+    */
+  private def v16MarginMining(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    Similarity.marginMining(
+      emb.filter(col("vec_id") < 40), emb.filter(col("vec_id") >= 40),
+      "vec_id", "vec_id", "embedding", k = 4, thresholdPct = 105)
+  }
+
   private def v2AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = T(s, d, "embeddings")
     Similarity.annLshTopK(
@@ -2680,6 +2693,7 @@ object SparkEntry {
     "v11_hamming_rerank" -> (v11HammingRerank _),
     "v13_ivf_pq" -> (v13IvfPq _),
     "v14_mips_topk" -> (v14MipsTopK _),
+    "v16_margin_mining" -> (v16MarginMining _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_image_neardup" -> (m2ImageNearDup _),
     "m3_audio_features" -> (m3AudioFeatures _),
@@ -5467,6 +5481,37 @@ object SparkEntry {
         |  (SELECT q_id, c_id, sim,
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
         |  FROM s) WHERE rank <= 5""".stripMargin,
+    // v16 twin: the same 1e-3 lattice (floor form), exact integer
+    // neighborhood sums, cross-multiplied accept, one-division margin
+    "v16_margin_mining" ->
+      """WITH l AS (SELECT vec_id AS l_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 40),
+        |r AS (SELECT vec_id AS r_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id >= 40),
+        |s AS (SELECT l_id, r_id,
+        |    floor(list_dot_product(l.v, r.v) /
+        |      (sqrt(list_dot_product(l.v, l.v)) *
+        |       sqrt(list_dot_product(r.v, r.v))) * 1000 + 0.5)::BIGINT
+        |      AS sim_e3
+        |  FROM l CROSS JOIN r),
+        |rk AS (SELECT l_id, r_id, sim_e3,
+        |    row_number() OVER (PARTITION BY l_id
+        |      ORDER BY sim_e3 DESC, r_id) AS rk_l,
+        |    row_number() OVER (PARTITION BY r_id
+        |      ORDER BY sim_e3 DESC, l_id) AS rk_r
+        |  FROM s),
+        |nl AS (SELECT l_id, sum(sim_e3)::BIGINT AS suml,
+        |    count(*)::BIGINT AS cntl FROM rk WHERE rk_l <= 4 GROUP BY 1),
+        |nr AS (SELECT r_id, sum(sim_e3)::BIGINT AS sumr,
+        |    count(*)::BIGINT AS cntr FROM rk WHERE rk_r <= 4 GROUP BY 1)
+        |SELECT rk.l_id, rk.r_id, sim_e3,
+        |  (2.0 * sim_e3 * cntl * cntr) /
+        |    (suml * cntr + sumr * cntl) AS margin
+        |FROM rk JOIN nl USING (l_id) JOIN nr USING (r_id)
+        |WHERE rk_l <= 4 AND rk_r <= 4
+        |  AND (suml * cntr + sumr * cntl) > 0
+        |  AND 200 * sim_e3 * cntl * cntr >
+        |    105 * (suml * cntr + sumr * cntl)""".stripMargin,
     // q18 twin: exact BIGINT quantity sums, plain relational joins
     "q18_big_spenders" ->
       """WITH big AS (SELECT l_orderkey,

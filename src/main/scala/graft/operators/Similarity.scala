@@ -48,6 +48,84 @@ object Similarity {
       .select("q_id", "c_id", "sim", "rank")
   }
 
+  /** Margin-based mutual-kNN pair mining (Artetxe & Schwenk, ACL 2019 —
+    * the bitext-mining scorer behind large-scale parallel-corpus
+    * construction, e.g. CCMatrix/LASER pipelines): a pair (l, r) is
+    * emitted when each side is in the other's k-neighborhood AND the
+    * RATIO of their cosine to the mean cosine of the two neighborhoods
+    * clears a threshold. Absolute cosine cutoffs over-fire in dense
+    * embedding pockets and under-fire in sparse ones; the margin
+    * self-normalizes per pair (the published "ratio" variant):
+    *
+    *   margin(l, r) = cos(l, r) / (avg cos(l, NNk(l)) / 2
+    *                             + avg cos(r, NNk(r)) / 2)
+    *
+    * Determinism: cosines land on the 1e-3 integer lattice via
+    * `floor(x·1000 + ½)` (never engine `round()` — half-up rounding
+    * diverges between engines within an ulp of a .0005 boundary),
+    * neighborhood sums are exact integer sums of lattice points, the
+    * accept test cross-multiplies into BIGINT (no division), and the
+    * reported margin is ONE IEEE division of two exact sub-2⁵³
+    * integers — bit-identical in any engine mirroring the tree.
+    *
+    * Scale: this form scores the dense |L|×|R| grid with the fused
+    * codegen dot product and the small side broadcast — the exact
+    * baseline, same contract as [[cosineTopK]]. At corpus scale the
+    * grid gate swaps for [[annLshBuckets]]/IVF candidates (band/cell
+    * equi joins); everything downstream is unchanged because it only
+    * consumes (l, r, sim) candidate rows. The ranked grid is pruned to
+    * the k-neighborhood rows (≤ k·(|L|+|R|)) and localCheckpointed
+    * once — three consumers (two sum tables + the mutual filter) read
+    * the materialized slice instead of re-scoring the grid, and both
+    * rank windows are id-partitioned, never global.
+    *
+    * Output: (l_id, r_id, sim_e3, margin) for mutual pairs with
+    * margin·100 > `thresholdPct`. Pairs whose pooled neighborhood sum
+    * is ≤ 0 are rejected (the margin is a contrast against positive
+    * neighborhood affinity; a non-positive pool has none to contrast).
+    */
+  def marginMining(
+      left: DataFrame, right: DataFrame,
+      lIdCol: String, rIdCol: String, vecCol: String,
+      k: Int, thresholdPct: Int = 105): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64] (got $k)")
+    require(thresholdPct >= 100 && thresholdPct <= 1000,
+      s"thresholdPct must be in [100, 1000] (got $thresholdPct)")
+    val l = left.select(col(lIdCol).as("l_id"), col(vecCol).as("l_vec"),
+      fnorm(col(vecCol)).as("l_norm"))
+    val r = right.select(col(rIdCol).as("r_id"), col(vecCol).as("r_vec"),
+      fnorm(col(vecCol)).as("r_norm"))
+    val s = r.crossJoin(broadcast(l))
+      .select(col("l_id"), col("r_id"),
+        floor(fdot(col("l_vec"), col("r_vec")) /
+          (col("l_norm") * col("r_norm")) * lit(1000) + lit(0.5))
+          .cast("long").as("sim_e3"))
+    val wl = Window.partitionBy("l_id")
+      .orderBy(col("sim_e3").desc, col("r_id").asc)
+    val wr = Window.partitionBy("r_id")
+      .orderBy(col("sim_e3").desc, col("l_id").asc)
+    // Every consumer below only reads rows inside SOME k-neighborhood —
+    // prune before materializing so the checkpoint holds k·(|L|+|R|)
+    // rows, not the grid.
+    val ranked = s.withColumn("rk_l", row_number().over(wl))
+      .withColumn("rk_r", row_number().over(wr))
+      .filter(col("rk_l") <= k || col("rk_r") <= k)
+      .localCheckpoint()
+    val nl = ranked.filter(col("rk_l") <= k).groupBy("l_id")
+      .agg(sum("sim_e3").as("suml"), count(lit(1)).as("cntl"))
+    val nr = ranked.filter(col("rk_r") <= k).groupBy("r_id")
+      .agg(sum("sim_e3").as("sumr"), count(lit(1)).as("cntr"))
+    val pool = col("suml") * col("cntr") + col("sumr") * col("cntl")
+    ranked.filter(col("rk_l") <= k && col("rk_r") <= k)
+      .join(nl, "l_id").join(nr, "r_id")
+      .filter(pool > 0 &&
+        lit(200) * col("sim_e3") * col("cntl") * col("cntr") >
+          lit(thresholdPct) * pool)
+      .select(col("l_id"), col("r_id"), col("sim_e3"),
+        ((lit(2.0) * col("sim_e3") * col("cntl") * col("cntr"))
+          .cast("double") / pool.cast("double")).as("margin"))
+  }
+
   /** Binary quantization: pack each dimension's sign bit into one long
     * (dim <= 64) — 64× compression at dim 64, the cheapest embedding
     * sketch: Hamming distance on the packed longs approximates angular

@@ -407,4 +407,70 @@ class SimilaritySpec extends AnyFunSuite {
     val r8 = truncRecall(8); val r32 = truncRecall(32)
     assert(r32 >= r8, s"recall fell with more dims: r8=$r8 r32=$r32")
   }
+
+  test("marginMining matches a driver-side brute-force replica") {
+    val emb = spark.read
+      .parquet(s"${graft.TestSpark.Sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val l = emb.filter($"vec_id" < 15)
+    val r = emb.filter($"vec_id" >= 15)
+    val got = Similarity
+      .marginMining(l, r, "vec_id", "vec_id", "embedding",
+        k = 3, thresholdPct = 105)
+      .select("l_id", "r_id", "sim_e3", "margin")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+
+    // brute force on the driver, mirroring the operator's exact algebra
+    val lv = l.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val rv = r.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def cosE3(a: Array[Float], b: Array[Float]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1000 + 0.5).toLong
+    }
+    val sims = (for ((li, lvec) <- lv; (ri, rvec) <- rv)
+      yield (li, ri) -> cosE3(lvec, rvec)).toMap
+    def topk(pairs: Seq[(Long, Long)]): Set[(Long, Long)] =
+      pairs.sortBy { case (a, b) => (-sims((a, b)), b) }.take(3).toSet
+    val nnL = lv.map { case (li, _) =>
+      li -> topk(rv.map(c => (li, c._1)).toSeq).map(_._2) }.toMap
+    val nnR = rv.map { case (ri, _) =>
+      ri -> lv.map(c => (c._1, ri)).toSeq
+        .sortBy { case (a, b) => (-sims((a, b)), a) }.take(3).map(_._1).toSet
+    }.toMap
+    val want = (for {
+      (li, _) <- lv; (ri, _) <- rv
+      if nnL(li).contains(ri) && nnR(ri).contains(li)
+      suml = nnL(li).toSeq.map(x => sims((li, x))).sum
+      sumr = nnR(ri).toSeq.map(x => sims((x, ri))).sum
+      cntl = nnL(li).size.toLong; cntr = nnR(ri).size.toLong
+      pool = suml * cntr + sumr * cntl
+      if pool > 0 && 200 * sims((li, ri)) * cntl * cntr > 105 * pool
+    } yield (li, ri) ->
+      ((sims((li, ri)), 2.0 * sims((li, ri)) * cntl * cntr / pool))).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, (sim, margin)) <- want) {
+      assert(got(k)._1 == sim, s"sim_e3 for $k")
+      assert(got(k)._2 == margin, s"margin for $k") // exact: one IEEE division
+    }
+    assert(want.nonEmpty, "degenerate fixture: no mutual pair cleared the margin")
+  }
+
+  test("marginMining is invariant to input partitioning") {
+    val emb = spark.read
+      .parquet(s"${graft.TestSpark.Sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def run(lParts: Int, rParts: Int) = Similarity
+      .marginMining(
+        emb.filter($"vec_id" < 15).repartition(lParts),
+        emb.filter($"vec_id" >= 15).repartition(rParts),
+        "vec_id", "vec_id", "embedding", k = 3, thresholdPct = 105)
+      .select("l_id", "r_id", "sim_e3", "margin")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(run(1, 2) == run(7, 13))
+  }
 }
