@@ -1640,6 +1640,19 @@ object SparkEntry {
           .rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** w14: multi-touch attribution — U-shaped credit (40/20/40 in exact
+    * integer micro-units) from each purchase to the user's prior-week
+    * view/click/signup touches, totalled per channel. Full oracle: the
+    * user-keyed range join, conversion-partitioned rank/count windows
+    * and the floor-form middle share replay verbatim.
+    */
+  private def w14MultiTouch(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.multiTouchAttribution(
+      T(s, d, "events"), "user_id", "ts", "event_id", "event_type",
+      convType = "purchase", touchTypes = Seq("view", "click", "signup"),
+      // ts is nanosAsLong here: 7 days of nanoseconds
+      lookback = lit(7L * 86400L * 1000000000L))
+
   /** q10: TPC-H Q10 returned-item reporting — top-20 customers by
     * revenue lost to returns in 1995Q4; rounded revenue is the sort key
     * with a custkey tiebreak so the cut is engine-deterministic.
@@ -2721,6 +2734,7 @@ object SparkEntry {
     "m6_exif_meta" -> (m6ExifMeta _),
     "t31_mojibake" -> (t31Mojibake _),
     "w13_audience_growth" -> (w13AudienceGrowth _),
+    "w14_multi_touch" -> (w14MultiTouch _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_effect" -> (q14PromoEffect _),
     "d19_sentence_dedup" -> (d19SentenceDedup _),
@@ -5954,6 +5968,32 @@ object SparkEntry {
         |  sum(coalesce(fst.new_users, 0)) OVER (ORDER BY act.day
         |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
         |FROM act LEFT JOIN fst ON act.day = fst.day""".stripMargin,
+    // w14 twin: user-keyed range join, conversion-partitioned windows,
+    // exact integer micro-credits with the floor-form middle share
+    "w14_multi_touch" ->
+      """WITH conv AS (SELECT user_id AS cu, ts AS ct, event_id AS cid
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |touch AS (SELECT user_id AS tu, ts AS tt, event_id AS tid,
+        |    event_type AS channel
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'signup')
+        |    AND user_id IS NOT NULL),
+        |j AS (SELECT channel, cid, tt, tid FROM touch JOIN conv
+        |  ON tu = cu AND tt < ct AND tt >= ct - INTERVAL 7 DAY),
+        |r AS (SELECT channel, cid,
+        |    row_number() OVER (PARTITION BY cid ORDER BY tt, tid) AS rn,
+        |    count(*) OVER (PARTITION BY cid) AS n
+        |  FROM j)
+        |SELECT channel,
+        |  sum(CASE WHEN n = 1 THEN 1000000
+        |    WHEN n = 2 THEN 500000
+        |    WHEN rn = 1 OR rn = n THEN 400000
+        |    ELSE floor(200000.0 / (n - 2) + 0.5)::BIGINT END)::BIGINT
+        |    AS credit_e6,
+        |  count(*)::BIGINT AS touches,
+        |  count(DISTINCT cid)::BIGINT AS conversions
+        |FROM r GROUP BY channel""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue

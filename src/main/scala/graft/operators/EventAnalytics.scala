@@ -420,4 +420,77 @@ object EventAnalytics {
             (col("n_baseline") * col("q_b") - col("s_b") * col("s_b")))
           .as("is_spike"))
   }
+
+  /** Multi-touch attribution (position-based / U-shaped): each
+    * conversion distributes credit over the user's preceding touch
+    * events inside a lookback window — 40% to the first touch, 40% to
+    * the last, the middle 20% split evenly (the standard U-shape;
+    * n = 1 → 100%, n = 2 → 50/50) — then credit aggregates per
+    * channel. The marketing-analytics complement of the streaming
+    * last-touch join ([[graft.streaming.StreamJoin.attributionJoin]]):
+    * last-touch answers "which touch closed", position-based answers
+    * "which channels open AND close".
+    *
+    * Credit is carried in exact integer micro-units (1e6 per
+    * conversion): the only non-integer case, the middle share
+    * 200000/(n−2), is ONE IEEE division + floor(x+½) — deterministic
+    * in any engine — so per-channel totals are exact integer sums
+    * (per-conversion totals may round a few micro-units short;
+    * channel SHARES are what the operator contracts). Touches at the
+    * conversion's own timestamp are excluded (strict `t <`): same-
+    * instant ordering against the conversion is not defined by the
+    * data, so crediting it would be engine-order luck.
+    *
+    * Scale: one user-keyed equi join (range residual) between the
+    * type-filtered touch and conversion scans — both filters push
+    * down; per-join-key volume is a user's week of activity, the
+    * same envelope every per-user operator here carries (bound bot
+    * users upstream). Both window passes ride ONE exchange on the
+    * conversion id (row_number and the partition count share the
+    * partitioning), and the final aggregate moves #channels rows.
+    * Conversions with zero in-window touches contribute no rows (no
+    * channel earned credit); read conversion coverage off
+    * `conversions` vs the conversion count. `lookback` is a Column in
+    * the ts column's own units — an INTERVAL for timestamps, lit(ticks)
+    * for epoch integers — so the operator works on either encoding.
+    *
+    * Output: (channel, credit_e6, touches, conversions).
+    */
+  def multiTouchAttribution(
+      events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      typeCol: String, convType: String, touchTypes: Seq[String],
+      lookback: Column): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      s"conversion type '$convType' cannot also be a touch type " +
+        "(a conversion would credit itself)")
+    val base = events.filter(col(userCol).isNotNull)
+    val conv = base.filter(col(typeCol) === convType)
+      .select(col(userCol).as("cu"), col(tsCol).as("ct"),
+        col(idCol).as("cid"))
+    val touch = base.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("tu"), col(tsCol).as("tt"),
+        col(idCol).as("tid"), col(typeCol).as("channel"))
+    // `lookback` lives in the ts column's own algebra (an interval for
+    // timestamp columns, a plain lit() of ticks for epoch-integer
+    // columns like the harness's nanosAsLong events).
+    val joined = touch.join(conv,
+      col("tu") === col("cu") && col("tt") < col("ct") &&
+        col("tt") >= col("ct") - lookback)
+    val byConv = Window.partitionBy("cid")
+    val ranked = joined
+      .withColumn("rn", row_number().over(
+        byConv.orderBy(col("tt").asc, col("tid").asc)))
+      .withColumn("n", count(lit(1)).over(byConv))
+    val credit = when(col("n") === 1, lit(1000000L))
+      .when(col("n") === 2, lit(500000L))
+      .when(col("rn") === 1 || col("rn") === col("n"), lit(400000L))
+      .otherwise(floor(lit(200000.0) /
+        (col("n") - lit(2)).cast("double") + lit(0.5)))
+    ranked.select(col("channel"), col("cid"), credit.as("credit_e6"))
+      .groupBy("channel")
+      .agg(sum("credit_e6").as("credit_e6"),
+        count(lit(1)).as("touches"),
+        count_distinct(col("cid")).as("conversions"))
+  }
 }

@@ -280,4 +280,57 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(!got(("v", 24L))._3) // (24·5−48)² = 5184 = 9·576: not strict
     assert(got(("u", 24L))._3)  // (24·6−48)² = 9216 > 5184
   }
+
+  test("multi-touch attribution: hand-computed U-shape credits") {
+    import org.apache.spark.sql.functions.lit
+    // (event_id, ts, user_id, event_type); lookback = 100 ticks
+    val evs = Seq(
+      // user 1: conversion 100 at t=50 with 3 touches -> 400/200/400
+      (1L, 10L, 1L, "view"), (2L, 20L, 1L, "click"), (3L, 30L, 1L, "view"),
+      (100L, 50L, 1L, "purchase"),
+      // user 2: 2 touches -> 500/500; one touch AT the conversion ts
+      // (excluded, strict <) and one outside the lookback (excluded)
+      (4L, 940L, 2L, "click"), (5L, 960L, 2L, "signup"),
+      (6L, 1000L, 2L, "view"), (7L, 800L, 2L, "view"),
+      (101L, 1000L, 2L, "purchase"),
+      // user 3: 1 touch -> 1000000; a conversion with no touches
+      (8L, 5000L, 3L, "signup"), (102L, 5001L, 3L, "purchase"),
+      (103L, 9000L, 3L, "purchase"),
+      // user 4: 4 touches -> 400000, 100000, 100000, 400000
+      (9L, 1L, 4L, "view"), (10L, 2L, 4L, "view"),
+      (11L, 3L, 4L, "click"), (12L, 4L, 4L, "click"),
+      (104L, 5L, 4L, "purchase"),
+      // anonymous rows never join
+      (13L, 49L, -1L, "view"), (105L, 50L, -1L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("user_id",
+        org.apache.spark.sql.functions.when($"user_id" < 0, lit(null))
+          .otherwise($"user_id"))
+    val got = EventAnalytics.multiTouchAttribution(
+        evs, "user_id", "ts", "event_id", "event_type",
+        convType = "purchase", touchTypes = Seq("view", "click", "signup"),
+        lookback = lit(100L))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // view:   u1(400000+400000) + u4(400000+100000)           = 1300000
+    // click:  u1(200000) + u2(500000) + u4(100000+400000)     = 1200000
+    // signup: u2(500000) + u3(1000000)                        = 1500000
+    assert(got("view") == ((1300000L, 4L, 2L)))
+    assert(got("click") == ((1200000L, 4L, 3L)))
+    assert(got("signup") == ((1500000L, 2L, 2L)))
+    // credited conversions: 100, 101, 102, 104 (103 had no touches)
+    assert(got.values.map(_._2).sum == 10L)
+  }
+
+  test("multi-touch attribution rejects a self-crediting conversion type") {
+    import org.apache.spark.sql.functions.lit
+    val evs = Seq((1L, 1L, 1L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.multiTouchAttribution(
+        evs, "user_id", "ts", "event_id", "event_type",
+        convType = "purchase", touchTypes = Seq("view", "purchase"),
+        lookback = lit(100L))
+    }
+  }
 }
