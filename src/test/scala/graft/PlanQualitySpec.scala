@@ -550,4 +550,33 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$q lost the top-k plan (global sort?):\n$plan")
     }
   }
+
+  test("multi-touch: both windows share one conversion-id exchange, " +
+      "filters reach the events scans") {
+    val plan = planOf(SparkEntry.queries("w14_multi_touch")(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    // rank + partition-size windows must ride the SAME cid exchange —
+    // a second hashpartitioning(cid) means a refactor split them
+    assert("hashpartitioning\\(cid".r.findAllIn(plan).size == 1,
+      s"expected one cid exchange shared by both windows:\n$plan")
+    // conversion/touch type filters belong in the parquet scans
+    assert(plan.contains("EqualTo(event_type,purchase)"),
+      s"conversion filter not pushed:\n$plan")
+    assert(plan.contains("In(event_type"),
+      s"touch filter not pushed:\n$plan")
+  }
+
+  test("margin mining: broadcast grid gate, windows partitioned by id") {
+    val plan = planOf(SparkEntry.queries("v16_margin_mining")(spark, dir))
+    // the dense grid is the INTENDED broadcast form (small side
+    // broadcast); an unbroadcast cartesian would be the scale bug
+    assert(!plan.contains("CartesianProduct"),
+      s"grid degenerated into an unbroadcast cartesian:\n$plan")
+    // downstream of the checkpointed k-neighborhood slice: equi joins
+    // only (the sum tables join back on l_id/r_id)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"post-checkpoint stage should be equi joins only:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort belongs here:\n$plan")
+  }
 }
