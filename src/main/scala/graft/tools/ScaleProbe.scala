@@ -341,6 +341,14 @@ object ScaleProbe {
         EventAnalytics.rateAnomaly(synthEvents(d, probeN),
           "ts", "event_type").count()
       },
+      // users ∝ n (synthEvents: ~50 events/user), so the per-user join
+      // volume and each conversion's window stay flat — expect ~linear
+      "w14_multitouch" -> { d =>
+        EventAnalytics.multiTouchAttribution(synthEvents(d, probeN),
+          "user_id", "ts", "ts", "event_type",
+          convType = "purchase", touchTypes = Seq("view", "click", "signup"),
+          lookback = lit(7L * 86400L * 1000000000L)).count()
+      },
       // benchmark side grows ∝ n/10 with the corpus (worst case for
       // the broadcast build; real eval suites are fixed-size)
       "c11_contam_report" -> { d =>
@@ -445,6 +453,13 @@ object ScaleProbe {
           "vec_id", "vec_id", "embedding", k = 5, ivf, pq, nprobe = 3).count()
       },
       "v10_hamming_topk" -> (e => Similarity.hammingTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "vec_id", "embedding", k = 5).count()),
+      // fixed query-side corpus (the v1 probe discipline: the dense
+      // grid is |L|·|R|, so the broadcastable side stays constant and
+      // cost tracks |R| ~linearly; corpus×corpus mining swaps the grid
+      // for the LSH/IVF gate per SCALE.md)
+      "v16_margin" -> (e => Similarity.marginMining(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
         "vec_id", "vec_id", "embedding", k = 5).count()),
       // near-dup banding and cluster blocking carry their documented
