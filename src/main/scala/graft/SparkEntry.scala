@@ -744,6 +744,25 @@ object SparkEntry {
     TextAnalytics.redactPii(injected, "doc_id", "text")
   }
 
+  /** t33: Luhn-validated card detection — every third doc gets a
+    * planted VALID PAN (spaced), the next third an invalid one (the
+    * regex-only false positive), and every doc a short digit run; the
+    * validated count must hit exactly the first class. Full oracle:
+    * the same plant, maximal-run extraction and integer Luhn fold.
+    */
+  private def t33LuhnPans(s: SparkSession, d: String): DataFrame = {
+    val injected = T(s, d, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" pay with 4111 1111 1111 1111 now")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 1,
+          lit(" card 4111-1111-1111-1112 rejected")).otherwise(lit("")),
+        lit(" zip 9021"), pmod(col("doc_id"), lit(10)).cast("string"))
+        .as("text"))
+    TextAnalytics.luhnPanStats(injected, "doc_id", "text")
+  }
+
   /** s3: DSIR importance weights — target domain = every 10th doc (the
     * same deterministic split d9 uses for its benchmark), scored against
     * the rest of the corpus.
@@ -2739,6 +2758,7 @@ object SparkEntry {
     "q14_promo_effect" -> (q14PromoEffect _),
     "d19_sentence_dedup" -> (d19SentenceDedup _),
     "t32_normalize" -> (t32Normalize _),
+    "t33_luhn_pans" -> (t33LuhnPans _),
     "q4_priority_exists" -> (q4PriorityExists _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
@@ -6063,6 +6083,33 @@ object SparkEntry {
         |FROM j GROUP BY id""".stripMargin,
     "t31_mojibake" -> t31OracleSql,
     "t32_normalize" -> t32OracleSql,
+    // t33 twin: same plant, maximal digit runs, integer Luhn fold
+    "t33_luhn_pans" ->
+      """WITH inj AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' pay with 4111 1111 1111 1111 now' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 1
+        |      THEN ' card 4111-1111-1111-1112 rejected' ELSE '' END ||
+        |    ' zip 9021' || (doc_id % 10)::VARCHAR AS text
+        |  FROM documents),
+        |cand AS (SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '[0-9][0-9 -]*[0-9]'),
+        |      r -> regexp_replace(r, '[^0-9]', '', 'g')) AS cs,
+        |    len(regexp_extract_all(text, '[0-9][0-9 -]*[0-9]'))::BIGINT
+        |      AS n_runs
+        |  FROM inj)
+        |SELECT doc_id AS id, n_runs,
+        |  len(list_filter(cs, c -> length(c) BETWEEN 13 AND 19))::BIGINT
+        |    AS n_pan_candidates,
+        |  len(list_filter(cs, c -> length(c) BETWEEN 13 AND 19 AND
+        |    list_sum(list_transform(generate_series(1, length(c)), i ->
+        |      CASE WHEN (length(c) - i) % 2 = 1
+        |        THEN CASE WHEN 2 * (ascii(substr(c, i, 1)) - 48) > 9
+        |          THEN 2 * (ascii(substr(c, i, 1)) - 48) - 9
+        |          ELSE 2 * (ascii(substr(c, i, 1)) - 48) END
+        |        ELSE ascii(substr(c, i, 1)) - 48 END)) % 10 = 0))::BIGINT
+        |    AS n_luhn_valid
+        |FROM cand""".stripMargin,
     "q4_priority_exists" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS order_count
         |FROM orders

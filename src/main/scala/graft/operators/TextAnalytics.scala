@@ -793,6 +793,51 @@ object TextAnalytics {
       redactColumn(t).as("redacted"))
   }
 
+  /** Luhn-validated payment-card (PAN) detection — the PII class where
+    * a regex alone over-fires (any 16-digit number matches) and the
+    * ISO/IEC 7812 Luhn check digit separates real card shapes from
+    * order ids / timestamps. Curation pipelines gate on the VALIDATED
+    * count; the raw candidate count is the regex's false-positive
+    * ceiling.
+    *
+    * Candidates are MAXIMAL digit runs with optional space/dash
+    * separators (`[0-9][0-9 -]*[0-9]`, stripped to digits) of 13–19
+    * digits — maximal-run extraction instead of lookaround boundaries
+    * because RE2-class engines (the SQL-twin constraint this module
+    * carries throughout, see [[sentenceSplit]]) support no lookbehind;
+    * a 25-digit run is one rejected candidate, never a 19-digit
+    * false positive carved out of its prefix.
+    *
+    * The Luhn sum is a higher-order `aggregate` over the digit string —
+    * pure integer arithmetic (double-every-second-from-the-right,
+    * subtract 9 above 9, mod 10), exact in any engine. Scan-side
+    * projection, zero shuffle, no UDF.
+    *
+    * Output: (id, n_runs, n_pan_candidates, n_luhn_valid).
+    */
+  def luhnPanStats(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val runs = regexp_extract_all(col(textCol), lit("[0-9][0-9 -]*[0-9]"),
+      lit(0))
+    val luhnOk =
+      """(length(c) BETWEEN 13 AND 19) AND
+        |pmod(aggregate(sequence(1, length(c)), 0, (acc, i) -> acc +
+        |  CASE WHEN pmod(length(c) - i, 2) = 1
+        |    THEN CASE WHEN 2 * (ascii(substr(c, i, 1)) - 48) > 9
+        |      THEN 2 * (ascii(substr(c, i, 1)) - 48) - 9
+        |      ELSE 2 * (ascii(substr(c, i, 1)) - 48) END
+        |    ELSE ascii(substr(c, i, 1)) - 48 END), 10) = 0""".stripMargin
+    docs
+      .select(col(idCol).as("id"),
+        transform(runs, r => regexp_replace(r, "[^0-9]", "")).as("cs"),
+        size(runs).cast("long").as("n_runs"))
+      .select(col("id"), col("n_runs"),
+        size(expr("filter(cs, c -> length(c) BETWEEN 13 AND 19)"))
+          .cast("long").as("n_pan_candidates"),
+        size(expr(s"filter(cs, c -> $luhnOk)"))
+          .cast("long").as("n_luhn_valid"))
+  }
+
   /** BM25 relevance of every document against a fixed term set — the
     * retrieval scorer behind both corpus search and similar-document
     * mining, Okapi form:

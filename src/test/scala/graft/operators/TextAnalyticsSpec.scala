@@ -631,4 +631,30 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(math.abs(got._2 + 1000000L) < 200L, s"slope ${got._2}")
     assert(got._3.get >= 999990L)
   }
+
+  test("luhnPanStats: hand-checked Luhn validation and run maximality") {
+    val docs = Seq(
+      // classic valid test PAN, spaced; plus a zip-length run
+      (1L, "pay 4111 1111 1111 1111 now, zip 90210"),
+      // same digits, last digit bumped: candidate but Luhn-invalid
+      (2L, "card 4111-1111-1111-1112 declined"),
+      // 25-digit run: ONE rejected candidate, never a carved prefix
+      (3L, "id 1111111111111111111111111 end"),
+      // valid 13-digit Visa-style PAN (4222222222222 is Luhn-valid)
+      (4L, "old card 4222222222222"),
+      // two runs, one valid one not
+      (5L, "a 4111111111111111 b 1234567890123 c"),
+      (6L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.luhnPanStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, 1L)))
+    assert(got(2L) == ((1L, 1L, 0L)))
+    assert(got(3L) == ((1L, 0L, 0L))) // 25 digits: one run, no candidate
+    assert(got(4L) == ((1L, 1L, 1L)))
+    // 1234567890123 has Luhn sum 1+4+3+8+5+2+7+6+9+0+1+4+3 -> invalid
+    assert(got(5L) == ((2L, 2L, 1L)))
+    assert(got(6L) == ((0L, 0L, 0L)))
+  }
 }
