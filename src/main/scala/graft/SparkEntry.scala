@@ -2158,6 +2158,72 @@ object SparkEntry {
     (3, " “smart” — dash…"),
     (5, " zero​width space ‘q’"))
 
+  /** Script samples planted per doc-id class for t34 — one per counted
+    * script, moduli coprime so mixes occur; the %19 CJK block is long
+    * enough (3000 chars) to flip dominance away from the Latin body.
+    */
+  private val ScriptPlant: Seq[(Int, String)] = Seq(
+    (2, " привет мир год"), (3, " 你好世界"), (5, " مرحبا بالعالم"),
+    (7, " γειά σου"), (11, " שלום עולם"), (13, " नमस्ते"),
+    (17, " 안녕하세요 세계"))
+
+  /** t34: per-doc Unicode-script profile + dominant script — the
+    * multilingual mix signal langid alone misses. Full oracle:
+    * generated from the SAME [[TextAnalytics.ScriptClasses]] ranges and
+    * [[ScriptPlant]] the operator reads (Java `\uXXXX` classes
+    * rewritten to RE2 `\x{XXXX}`), so both engines count identical
+    * codepoint sets and break dominance ties in the same order.
+    */
+  private def t34ScriptProfile(s: SparkSession, d: String): DataFrame = {
+    val page0 = ScriptPlant.foldLeft(col("text")) { case (c, (m, str)) =>
+      concat(c,
+        when(pmod(col("doc_id"), lit(m)) === 0, lit(str))
+          .otherwise(lit("")))
+    }
+    val page = concat(page0,
+      when(pmod(col("doc_id"), lit(19)) === 0, repeat(lit("好世"), 1500))
+        .otherwise(lit("")))
+    TextAnalytics.scriptProfile(
+      T(s, d, "documents").select(col("doc_id"), page.as("text")),
+      "doc_id", "text")
+  }
+
+  /** t34's DuckDB twin, generated from the shared constants. */
+  private def t34OracleSql: String = {
+    def q(x: String) = "'" + x.replace("'", "''") + "'"
+    val plant = ScriptPlant.map { case (m, str) =>
+      s"|| CASE WHEN doc_id % $m = 0 THEN ${q(str)} ELSE '' END"
+    }.mkString("\n  ")
+    def re2(javaClass: String): String =
+      javaClass.replaceAll("\\\\u([0-9A-Fa-f]{4})", "\\\\x{$1}")
+    val classes = TextAnalytics.ScriptClasses :+ ("digits" -> "[0-9]")
+    val counts = classes.map { case (n, re) =>
+      s"(length(text) - length(regexp_replace(text, ${q(re2(re))}, " +
+        s"'', 'g')))::BIGINT AS $n"
+    }.mkString(",\n  ")
+    val names = TextAnalytics.ScriptClasses.map(_._1)
+    val arms = names.zipWithIndex.map { case (n, i) =>
+      val later = names.drop(i + 1)
+      if (later.isEmpty) s"WHEN $n > 0 THEN '$n'"
+      else if (later.size == 1)
+        s"WHEN $n > 0 AND $n >= ${later.head} THEN '$n'"
+      else s"WHEN $n > 0 AND $n >= greatest(${later.mkString(", ")}) " +
+        s"THEN '$n'"
+    }.mkString("\n    ")
+    s"""WITH inj AS (SELECT doc_id, text
+  $plant
+  || CASE WHEN doc_id % 19 = 0 THEN repeat('好世', 1500) ELSE '' END
+    AS text
+  FROM documents),
+c AS (SELECT doc_id AS id,
+  $counts
+  FROM inj)
+SELECT id, ${names.mkString(", ")}, digits,
+  CASE $arms
+    ELSE 'none' END AS dominant
+FROM c"""
+  }
+
   /** t32: typographic normalization — smart quotes/dashes/spaces
     * unified, zero-widths dropped, ellipsis expanded, whitespace
     * collapsed. Full oracle: generated from the same character maps and
@@ -2759,6 +2825,7 @@ object SparkEntry {
     "d19_sentence_dedup" -> (d19SentenceDedup _),
     "t32_normalize" -> (t32Normalize _),
     "t33_luhn_pans" -> (t33LuhnPans _),
+    "t34_script_profile" -> (t34ScriptProfile _),
     "q4_priority_exists" -> (q4PriorityExists _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
@@ -6083,6 +6150,7 @@ object SparkEntry {
         |FROM j GROUP BY id""".stripMargin,
     "t31_mojibake" -> t31OracleSql,
     "t32_normalize" -> t32OracleSql,
+    "t34_script_profile" -> t34OracleSql,
     // t33 twin: same plant, maximal digit runs, integer Luhn fold
     "t33_luhn_pans" ->
       """WITH inj AS (SELECT doc_id, text ||

@@ -793,6 +793,65 @@ object TextAnalytics {
       redactColumn(t).as("redacted"))
   }
 
+  /** The script classes [[scriptProfile]] counts, in PRIORITY order
+    * (earlier wins dominance ties). Explicit BMP ranges, not
+    * `\p{Script=…}` properties: Java and RE2 spell script properties
+    * differently (`\p{IsLatin}` vs `\p{Latin}`), and the SQL twin must
+    * match byte-for-byte — ranges are the portable form. The Latin
+    * range includes Latin-1/Extended letters (plus the two stray
+    * operators × ÷ that sit inside it — a documented range artifact,
+    * not a bug to "fix" into engine divergence).
+    */
+  private[graft] val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\u00C0-\\u024F]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "greek" -> "[\\u0370-\\u03FF]",
+    "cjk" -> "[\\u4E00-\\u9FFF]",
+    "hangul" -> "[\\uAC00-\\uD7AF]",
+    "arabic" -> "[\\u0600-\\u06FF]",
+    "hebrew" -> "[\\u0590-\\u05FF]",
+    "devanagari" -> "[\\u0900-\\u097F]")
+
+  /** Per-document Unicode-script profile — the multilingual-curation
+    * signal between language ID ([[langId]]) and encoding health
+    * ([[mojibakeStats]]): per-script codepoint counts plus the dominant
+    * script. Mixed-script docs are where langid misfires (transliterated
+    * spam, mojibake survivors, code-switching), so pipelines gate on
+    * the script MIX, not just the predicted language.
+    *
+    * Counts are length-difference under per-class `regexp_replace` —
+    * one scan-side projection, zero shuffle, no UDF; both engines count
+    * codepoints, so the twin is exact. Dominance is the FIRST class (in
+    * [[ScriptClasses]] order) whose count is ≥ every later class — the
+    * standard CASE-chain priority argmax, identical in SQL — and
+    * `"none"` when no script codepoint exists.
+    *
+    * Output: (id, latin, …, devanagari, digits, dominant).
+    */
+  def scriptProfile(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(re: String): Column =
+      (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+    val counted = docs.select(
+      col(idCol).as("id") +:
+        ScriptClasses.map { case (n, re) => cnt(re).as(n) } :+
+        cnt("[0-9]").as("digits"): _*)
+    val names = ScriptClasses.map(_._1)
+    val dominant = names.zipWithIndex.foldRight(
+        when(lit(true), lit("none"))) { case ((n, i), rest) =>
+      val later = names.drop(i + 1).map(col)
+      val beatsLater =
+        if (later.isEmpty) col(n) > 0
+        else if (later.size == 1) col(n) > 0 && col(n) >= later.head
+        else col(n) > 0 && col(n) >= greatest(later: _*)
+      when(beatsLater, lit(n)).otherwise(rest)
+    }
+    counted.select(
+      (col("id") +: names.map(col) :+ col("digits")) :+
+        dominant.as("dominant"): _*)
+  }
+
   /** Luhn-validated payment-card (PAN) detection — the PII class where
     * a regex alone over-fires (any 16-digit number matches) and the
     * ISO/IEC 7812 Luhn check digit separates real card shapes from

@@ -632,6 +632,29 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(got._3.get >= 999990L)
   }
 
+  test("scriptProfile: hand-checked counts, priority ties, none case") {
+    val docs = Seq(
+      (1L, "hello мир"),            // latin 5, cyrillic 3 -> latin
+      (2L, "аб ab"),                // tie 2-2: latin wins (priority)
+      (3L, "你好 привет"),          // cyrillic 6 > cjk 2
+      (4L, "12345 ..."),            // digits only -> none
+      (5L, "שלום नमस्ते"),          // hebrew 4, devanagari 6 -> devanagari
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.scriptProfile(docs, "doc_id", "text")
+      .select("id", "latin", "cyrillic", "cjk", "hebrew", "devanagari",
+        "digits", "dominant")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 5L && got(1L)._3 == 3L && got(1L)._8 == "latin")
+    assert(got(2L)._2 == 2L && got(2L)._3 == 2L && got(2L)._8 == "latin")
+    assert(got(3L)._3 == 6L && got(3L)._4 == 2L && got(3L)._8 == "cyrillic")
+    assert(got(4L)._7 == 5L && got(4L)._8 == "none")
+    assert(got(5L)._5 == 4L && got(5L)._6 == 6L &&
+      got(5L)._8 == "devanagari")
+    assert(got(6L)._8 == "none")
+  }
+
   test("luhnPanStats: hand-checked Luhn validation and run maximality") {
     val docs = Seq(
       // classic valid test PAN, spaced; plus a zip-length run
