@@ -2416,6 +2416,19 @@ FROM c"""
     * oracle: normalization is one RE2 chain and F1 is the harmonic
     * identity in round-half-up integer division — no float anywhere.
     */
+  /** e9: pass@k over synthesized per-task sample outcomes — tasks of
+    * 16 samples (doc_id div 16), success = a deterministic text
+    * property, k = 1/5/10. Full oracle: the same falling-factorial
+    * products (exact-integer list_product) and the one-division
+    * floor((1 - num/den)*1e6 + 0.5) sequence.
+    */
+  private def e9PassAtK(s: SparkSession, d: String): DataFrame =
+    Retrieval.passAtK(
+      T(s, d, "documents").select(
+        expr("doc_id div 16").as("task"),
+        (length(col("text")) % 3 === 0).as("ok")),
+      "task", "ok", ks = Seq(1, 5, 10))
+
   private def e8QaF1(s: SparkSession, d: String): DataFrame = {
     val w = split(col("text"), " ")
     val ref = concat_ws(" ", slice(w, 1, 6))
@@ -2811,6 +2824,7 @@ FROM c"""
     "t30_sentence_split" -> (t30SentenceSplit _),
     "d18_boilerplate_lines" -> (d18BoilerplateLines _),
     "e8_qa_f1" -> (e8QaF1 _),
+    "e9_pass_at_k" -> (e9PassAtK _),
     "q3b_shipping_priority" -> (q3ShippingPriority _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "h3_preference_pairs" -> (h3PreferencePairs _),
@@ -5902,6 +5916,23 @@ FROM c"""
     // e8 twin: identical corruption grid, identical RE2 normalization
     // chain, and the same (2a+b)//(2b) round-half-up integer division
     // (DuckDB // floors, Spark div truncates — equal on non-negatives)
+    // e9 twin: exact-integer falling-factorial products, one division
+    "e9_pass_at_k" ->
+      """WITH s AS (SELECT doc_id // 16 AS task,
+        |    (length(text) % 3 = 0)::BIGINT AS ok FROM documents),
+        |g AS (SELECT task, count(*)::BIGINT AS n, sum(ok)::BIGINT AS c
+        |  FROM s GROUP BY task)
+        |SELECT task, n, c,
+        |  CASE WHEN n >= 1 THEN floor((1.0 -
+        |    list_product(list_transform(generate_series(0, 0), i -> n - c - i)) /
+        |    list_product(list_transform(generate_series(0, 0), i -> n - i))) * 1000000.0 + 0.5)::BIGINT END AS pass_at_1_e6,
+        |  CASE WHEN n >= 5 THEN floor((1.0 -
+        |    list_product(list_transform(generate_series(0, 4), i -> n - c - i)) /
+        |    list_product(list_transform(generate_series(0, 4), i -> n - i))) * 1000000.0 + 0.5)::BIGINT END AS pass_at_5_e6,
+        |  CASE WHEN n >= 10 THEN floor((1.0 -
+        |    list_product(list_transform(generate_series(0, 9), i -> n - c - i)) /
+        |    list_product(list_transform(generate_series(0, 9), i -> n - i))) * 1000000.0 + 0.5)::BIGINT END AS pass_at_10_e6
+        |FROM g""".stripMargin,
     "e8_qa_f1" ->
       """WITH t AS (SELECT doc_id AS q_id, string_split(text, ' ') AS w
         |  FROM documents),

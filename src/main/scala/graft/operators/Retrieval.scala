@@ -291,4 +291,53 @@ object Retrieval {
         when(col("den") === 0L, 1000000L)
           .otherwise(expr("num div den")).as("f1_e6"))
   }
+
+  /** pass@k (Chen et al. 2021, the HumanEval estimator): per task with
+    * n samples of which c succeeded, the unbiased probability that at
+    * least one of k drawn samples succeeds,
+    *
+    *   pass@k = 1 − C(n−c, k) / C(n, k)
+    *          = 1 − Π_{i=0..k−1} (n−c−i) / (n−i)
+    *
+    * — THE functional-correctness metric of code-generation evals.
+    *
+    * Determinism: the two falling-factorial products fold as exact
+    * LONGS (a higher-order `aggregate` over 0..k−1; when n−c < k the
+    * i = n−c factor is 0, so num = 0 and pass@k = 1 with no special
+    * case), and the final value is the fixed IEEE sequence
+    * floor((1 − num/den)·10⁶ + ½) — one division of exact sub-2⁵³
+    * integers, bit-identical in any engine. Tasks with n < k emit
+    * NULL (the estimator is undefined; C(n,k) = 0), and n is capped at
+    * 25 by contract (25¹⁰ < 2⁵³ keeps the products exact — real eval
+    * harnesses bin to n = 10/20 anyway); larger groups fail loudly.
+    *
+    * Scale: ONE map-side-combined aggregate over the samples (n, c per
+    * task), then scan-side arithmetic over task-sized rows. Output:
+    * (task, n, c, pass_at_<k>_e6 per k).
+    */
+  def passAtK(
+      samples: DataFrame, taskCol: String, successCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 10),
+      s"ks must be within [1, 10] (got $ks)")
+    val byTask = samples
+      .groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast("long")).as("c"))
+      .withColumn("n",
+        when(col("n") > 25, raise_error(concat(
+          lit("passAtK: task group exceeds the n <= 25 exact-integer " +
+            "envelope (got "), col("n").cast("string"),
+          lit(") — bin samples upstream")))).otherwise(col("n")))
+    ks.foldLeft(byTask) { (df, k) =>
+      val num = expr(
+        s"aggregate(sequence(0, $k - 1), 1L, (a, i) -> a * (n - c - i))")
+      val den = expr(
+        s"aggregate(sequence(0, $k - 1), 1L, (a, i) -> a * (n - i))")
+      df.withColumn(s"pass_at_${k}_e6",
+        when(col("n") >= k,
+          floor((lit(1.0) - num.cast("double") / den.cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+    }
+  }
 }

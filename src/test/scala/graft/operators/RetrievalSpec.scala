@@ -231,4 +231,31 @@ class RetrievalSpec extends AnyFunSuite {
         k = 10).as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("passAtK: hand-computed estimator, degenerate cases, n cap") {
+    // task 1: n=16, c=4 — pass@1 = 4/16 = 0.25;
+    // pass@5 = 1 − C(12,5)/C(16,5) = 1 − 792/4368 → floor = 818681
+    val t1 = (0 until 16).map(i => (1L, i < 4))
+    // task 2: n=6, c=0 — pass@k = 0; and n < 10 -> pass@10 NULL
+    val t2 = (0 until 6).map(_ => (2L, false))
+    // task 3: n=8, c=5 — only 3 failures < k=5 -> pass@5 = 1
+    val t3 = (0 until 8).map(i => (3L, i < 5))
+    val got = Retrieval.passAtK(
+        (t1 ++ t2 ++ t3).toDF("task", "ok"), "task", "ok",
+        ks = Seq(1, 5, 10))
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 16L, 4L,
+      Some(250000L), Some(818681L), Some(991758L))))
+    // pass@10 check for task 1: 1 − C(12,10)/C(16,10) = 1 − 66/8008
+    assert(got(2L) == ((2L, 6L, 0L, Some(0L), Some(0L), None)))
+    assert(got(3L)._5.contains(1000000L))
+    // the exact-integer envelope fails loudly past n = 25
+    val big = (0 until 26).map(i => (9L, true)).toDF("task", "ok")
+    val err = intercept[Exception] {
+      Retrieval.passAtK(big, "task", "ok", ks = Seq(1)).collect()
+    }
+    assert(err.getMessage.contains("25") ||
+      err.getCause != null && err.getCause.getMessage.contains("25"))
+  }
 }
