@@ -2028,17 +2028,21 @@ object SparkEntry {
   /** q11: TPC-H Q11 important stock, adapted: no partsupp, so a part's
     * "stock value" held through one nation's suppliers is the discounted
     * revenue its lines with those suppliers produced. Parts whose value
-    * exceeds 0.1% of the nation total — Q11's grouped-HAVING-over-a-
-    * global-scalar shape. The nation's supplier keys broadcast into a
-    * semi join (the filter reaches the lineitem scan side, nothing else
-    * of supplier travels); the total rides as a one-row broadcast.
-    * Determinism: per-part sums round to the 1e-4 lattice (the data's
-    * true decimal precision) BEFORE the total, so both engines compare
-    * the same bits on both sides of the threshold.
+    * exceeds TWICE the mean share — Q11's grouped-HAVING-over-a-
+    * global-scalar shape, but with the scale-free threshold (Q11's
+    * fixed 0.0001 fraction is divided by SF in the spec for exactly
+    * this reason: a fixed fraction of the total starves as the part
+    * count grows — measured empty at sf0.1 here). The nation's supplier
+    * keys broadcast into a semi join (the filter reaches the lineitem
+    * scan side, nothing else of supplier travels); the (total, count)
+    * scalar rides as a one-row broadcast. Determinism: per-part sums
+    * round to the 1e-4 lattice (the data's true decimal precision)
+    * BEFORE the total, and the threshold 2·tv/np is a fixed two-op
+    * IEEE sequence on exact inputs.
     */
   private def q11ImportantParts(s: SparkSession, d: String): DataFrame = {
     val natSupp = T(s, d, "supplier")
-      .join(broadcast(T(s, d, "nation").filter(col("n_name") === "NATION_7")),
+      .join(broadcast(T(s, d, "nation").filter(col("n_name") === "NATION_3")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val v = T(s, d, "lineitem")
@@ -2047,9 +2051,10 @@ object SparkEntry {
       .groupBy(col("l_partkey").as("partkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
         .as("value"))
-    val tot = v.agg(round(sum(col("value")), 4).as("tv"))
+    val tot = v.agg(round(sum(col("value")), 4).as("tv"),
+      count(lit(1)).as("np"))
     v.crossJoin(broadcast(tot))
-      .filter(col("value") > lit(0.001) * col("tv"))
+      .filter(col("value") > lit(2.0) * col("tv") / col("np"))
       .select(col("partkey"), col("value"))
   }
 
@@ -6374,11 +6379,12 @@ FROM c"""
         |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS value
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_7'
-        |  GROUP BY l_partkey)
-        |SELECT partkey, value FROM v
-        |WHERE value > 0.001 * (SELECT round(sum(value), 4) FROM v)"""
-        .stripMargin,
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY l_partkey),
+        |g AS (SELECT round(sum(value), 4) AS tv, count(*)::BIGINT AS np
+        |  FROM v)
+        |SELECT partkey, value FROM v, g
+        |WHERE value > 2.0 * tv / np""".stripMargin,
     "q20_dominant_supplier" ->
       """WITH avail AS (SELECT l_partkey, l_suppkey,
         |    sum(l_quantity) AS q
