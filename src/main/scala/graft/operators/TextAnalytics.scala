@@ -876,26 +876,45 @@ object TextAnalytics {
     */
   def luhnPanStats(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val runs = regexp_extract_all(col(textCol), lit("[0-9][0-9 -]*[0-9]"),
-      lit(0))
-    val luhnOk =
-      """(length(c) BETWEEN 13 AND 19) AND
-        |pmod(aggregate(sequence(1, length(c)), 0, (acc, i) -> acc +
-        |  CASE WHEN pmod(length(c) - i, 2) = 1
-        |    THEN CASE WHEN 2 * (ascii(substr(c, i, 1)) - 48) > 9
-        |      THEN 2 * (ascii(substr(c, i, 1)) - 48) - 9
-        |      ELSE 2 * (ascii(substr(c, i, 1)) - 48) END
-        |    ELSE ascii(substr(c, i, 1)) - 48 END), 10) = 0""".stripMargin
+    val runs = panRuns(col(textCol))
     docs
       .select(col(idCol).as("id"),
         transform(runs, r => regexp_replace(r, "[^0-9]", "")).as("cs"),
         size(runs).cast("long").as("n_runs"))
       .select(col("id"), col("n_runs"),
-        size(expr("filter(cs, c -> length(c) BETWEEN 13 AND 19)"))
+        size(filter(col("cs"), c => length(c).between(13, 19)))
           .cast("long").as("n_pan_candidates"),
-        size(expr(s"filter(cs, c -> $luhnOk)"))
-          .cast("long").as("n_luhn_valid"))
+        size(filter(col("cs"), luhnValidPan _)).cast("long")
+          .as("n_luhn_valid"))
   }
+
+  /** Maximal separator-tolerant digit runs of `t` (see [[luhnPanStats]]
+    * for why maximal runs, not lookaround boundaries). */
+  private def panRuns(t: Column): Column =
+    regexp_extract_all(t, lit("[0-9][0-9 -]*[0-9]"), lit(0))
+
+  /** The Luhn accept test over one stripped digit string: 13–19 digits
+    * AND the ISO 7812 checksum — a higher-order integer fold,
+    * exact in any engine. */
+  private def luhnValidPan(c: Column): Column = {
+    def digit(i: Column): Column = ascii(c.substr(i, lit(1))) - lit(48)
+    val luhnSum = aggregate(
+      sequence(lit(1), length(c)), lit(0),
+      (acc, i) => acc + when(pmod(length(c) - i, lit(2)) === 1,
+          when(lit(2) * digit(i) > 9, lit(2) * digit(i) - 9)
+            .otherwise(lit(2) * digit(i)))
+        .otherwise(digit(i)))
+    length(c).between(13, 19) && pmod(luhnSum, lit(10)) === 0
+  }
+
+  /** Count of Luhn-valid 13–19-digit PANs in `t` — the scan-side
+    * column [[luhnPanStats]] and the streaming ingest gate
+    * ([[graft.streaming.CurationStream.gatePan]]) share, so batch and
+    * stream verdicts cannot diverge. */
+  def luhnValidCountColumn(t: Column): Column =
+    size(filter(
+      transform(panRuns(t), r => regexp_replace(r, "[^0-9]", "")),
+      luhnValidPan _)).cast("long")
 
   /** BM25 relevance of every document against a fixed term set — the
     * retrieval scorer behind both corpus search and similar-document

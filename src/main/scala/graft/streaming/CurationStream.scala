@@ -134,4 +134,18 @@ object CurationStream {
       TextAnalytics.controlCountColumn(t)
     docs.filter(coalesce(damage <= maxDamage, lit(false)))
   }
+
+  /** Ingest-time validated-PAN gate — the streaming deployment of
+    * [[TextAnalytics.luhnPanStats]]'s verdict: drop documents carrying
+    * at least one Luhn-valid 13–19-digit card number (t33's false-
+    * positive-resistant form — a bare 16-digit order id passes, a
+    * checksummed card does not). The SAME Column expression as the
+    * batch operator, so stream and batch verdicts cannot diverge; a
+    * stateless per-row predicate — zero state, zero shuffle on the
+    * unbounded plan. NULL text (count NULL) drops: unscannable is the
+    * conservative side at ingest.
+    */
+  def gatePan(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(coalesce(
+      TextAnalytics.luhnValidCountColumn(col(textCol)) === 0, lit(false)))
 }

@@ -216,4 +216,38 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(viaStats == got)
     } finally q.stop()
   }
+
+  test("streaming PAN gate equals the batch t33 n_luhn_valid verdict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "no card talk here"),
+      (2L, "pay 4111 1111 1111 1111 thanks"),   // Luhn-valid -> dropped
+      (3L, "order 4111111111111112 shipped"),   // checksum fails -> kept
+      (4L, "ref 12345678901234567890123 ok"),   // 23 digits: no candidate
+      (5L, null.asInstanceOf[String]))          // unscannable -> dropped
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStream.gatePan(
+        mem.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("pan_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("pan_out").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 3L, 4L))
+      // batch twins: the same gate as a batch plan, and t33's count
+      val batch = CurationStream.gatePan(
+          rows.toDF("doc_id", "text"), "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(batch == got)
+      val viaStats = graft.operators.TextAnalytics.luhnPanStats(
+          rows.toDF("doc_id", "text").filter(col("text").isNotNull),
+          "doc_id", "text")
+        .filter(col("n_luhn_valid") === 0)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(viaStats == got)
+    } finally q.stop()
+  }
 }
