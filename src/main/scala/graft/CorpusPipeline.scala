@@ -58,6 +58,25 @@ final case class CorpusPipeline(
       lit(false))))
   }
 
+  /** Drop documents carrying a Luhn-VALID 13–19-digit card number (the
+    * t33 verdict — a bare 16-digit order id passes, a checksummed card
+    * does not); NULL text drops, the conservative side.
+    */
+  def gatePan(): CorpusPipeline =
+    copy(df = df.filter(coalesce(
+      TextAnalytics.luhnValidCountColumn(col(textCol)) === 0,
+      lit(false))))
+
+  /** Keep only documents whose DOMINANT script (the t34 verdict) is in
+    * `scripts` — the mixed-script spam/mojibake gate language id alone
+    * misses; script-less docs ("none") drop unless listed.
+    */
+  def gateScripts(scripts: Seq[String]): CorpusPipeline = {
+    require(scripts.nonEmpty, "gateScripts needs at least one script")
+    copy(df = df.filter(
+      TextAnalytics.dominantScriptColumn(col(textCol)).isin(scripts: _*)))
+  }
+
   /** Canonical typographic form ([[TextAnalytics.normalizeTextColumn]])
     * — run before any dedup stage so curly-quote variants collide.
     */

@@ -838,19 +838,41 @@ object TextAnalytics {
         ScriptClasses.map { case (n, re) => cnt(re).as(n) } :+
         cnt("[0-9]").as("digits"): _*)
     val names = ScriptClasses.map(_._1)
-    val dominant = names.zipWithIndex.foldRight(
-        when(lit(true), lit("none"))) { case ((n, i), rest) =>
-      val later = names.drop(i + 1).map(col)
-      val beatsLater =
-        if (later.isEmpty) col(n) > 0
-        else if (later.size == 1) col(n) > 0 && col(n) >= later.head
-        else col(n) > 0 && col(n) >= greatest(later: _*)
-      when(beatsLater, lit(n)).otherwise(rest)
-    }
     counted.select(
       (col("id") +: names.map(col) :+ col("digits")) :+
-        dominant.as("dominant"): _*)
+        dominantChain(Map(names.map(n => n -> col(n)): _*))
+          .as("dominant"): _*)
   }
+
+  /** The CASE-chain priority argmax over per-script counts (see
+    * [[scriptProfile]]) — parameterized over how a class's count is
+    * obtained so the profile (named columns) and the single-Column
+    * gate form share one chain.
+    */
+  private def dominantChain(counts: Map[String, Column]): Column = {
+    val names = ScriptClasses.map(_._1)
+    names.zipWithIndex.foldRight(when(lit(true), lit("none"))) {
+      case ((n, i), rest) =>
+        val c = counts(n)
+        val later = names.drop(i + 1).map(counts)
+        val beatsLater =
+          if (later.isEmpty) c > 0
+          else if (later.size == 1) c > 0 && c >= later.head
+          else c > 0 && c >= greatest(later: _*)
+        when(beatsLater, lit(n)).otherwise(rest)
+    }
+  }
+
+  /** Dominant script of `t` as one scan-side Column — the
+    * [[scriptProfile]] verdict in gate-able form
+    * ([[graft.CorpusPipeline.gateScripts]]); the per-class counts
+    * inline into the chain (Catalyst's subexpression elimination
+    * collapses the repeats).
+    */
+  def dominantScriptColumn(t: Column): Column =
+    dominantChain(Map(ScriptClasses.map { case (n, re) =>
+      n -> (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+    }: _*))
 
   /** Luhn-validated payment-card (PAN) detection — the PII class where
     * a regex alone over-fires (any 16-digit number matches) and the

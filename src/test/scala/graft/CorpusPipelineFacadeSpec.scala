@@ -191,4 +191,32 @@ class CorpusPipelineFacadeSpec extends AnyFunSuite {
       .df.select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 4L)) // 2 beats 3 on the id tie at score 9
   }
+
+  test("gatePan and gateScripts: facade ≡ operator verdicts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "english text with 4111 1111 1111 1111 inside"), // valid PAN
+      (2L, "english text with 4111111111111112 inside"),    // bad checksum
+      (3L, "чисто русский текст без цифр"),                 // cyrillic
+      (4L, "mixed 文 but mostly english words here"),
+      (5L, "12345 67890"))                                  // scriptless
+      .toDF("doc_id", "text")
+    val pan = CorpusPipeline(docs, "doc_id", "text")
+      .gatePan().df.select("doc_id").as[Long].collect().toSet
+    assert(pan == Set(2L, 3L, 4L, 5L))
+    val viaStats = operators.TextAnalytics
+      .luhnPanStats(docs, "doc_id", "text")
+      .filter(col("n_luhn_valid") === 0)
+      .select("id").as[Long].collect().toSet
+    assert(viaStats == pan)
+    val latinOnly = CorpusPipeline(docs, "doc_id", "text")
+      .gateScripts(Seq("latin"))
+      .df.select("doc_id").as[Long].collect().toSet
+    assert(latinOnly == Set(1L, 2L, 4L)) // 3 cyrillic, 5 none
+    val viaProfile = operators.TextAnalytics
+      .scriptProfile(docs, "doc_id", "text")
+      .filter(col("dominant") === "latin")
+      .select("id").as[Long].collect().toSet
+    assert(viaProfile == latinOnly)
+  }
 }
