@@ -1672,6 +1672,17 @@ object SparkEntry {
       // ts is nanosAsLong here: 7 days of nanoseconds
       lookback = lit(7L * 86400L * 1000000000L))
 
+  /** w15: RFM customer segmentation — per-user recency/frequency/
+    * monetary over purchases, scored 1-5 against broadcast exact
+    * 20/40/60/80 percentile cutpoints (never a global ntile sort).
+    * Full oracle: the a7 percentile ≡ quantile_cont parity, lattice
+    * rounding on both sides, strict-> scoring.
+    */
+  private def w15Rfm(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.rfmSegments(
+      T(s, d, "events"), "user_id", "event_type", "purchase",
+      day = expr("(ts div 1000) div 86400000000"), valueCol = "value")
+
   /** q10: TPC-H Q10 returned-item reporting — top-20 customers by
     * revenue lost to returns in 1995Q4; rounded revenue is the sort key
     * with a custkey tiebreak so the cut is engine-deterministic.
@@ -2839,6 +2850,7 @@ FROM c"""
     "t31_mojibake" -> (t31Mojibake _),
     "w13_audience_growth" -> (w13AudienceGrowth _),
     "w14_multi_touch" -> (w14MultiTouch _),
+    "w15_rfm" -> (w15Rfm _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_effect" -> (q14PromoEffect _),
     "d19_sentence_dedup" -> (d19SentenceDedup _),
@@ -6091,6 +6103,47 @@ FROM c"""
         |  sum(coalesce(fst.new_users, 0)) OVER (ORDER BY act.day
         |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
         |FROM act LEFT JOIN fst ON act.day = fst.day""".stripMargin,
+    // w15 twin: day bucketing, lattice sums, quantile_cont cutpoints,
+    // strict-> scoring — the a7 percentile-parity recipe
+    "w15_rfm" ->
+      """WITH p AS (SELECT user_id AS user,
+        |    max(epoch_us(ts) // 86400000000) AS recency_day,
+        |    count(*)::BIGINT AS frequency,
+        |    round(sum(value), 4) AS monetary
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |  GROUP BY user_id),
+        |c AS (SELECT
+        |    round(quantile_cont(recency_day, 0.20), 4) AS r20,
+        |    round(quantile_cont(recency_day, 0.40), 4) AS r40,
+        |    round(quantile_cont(recency_day, 0.60), 4) AS r60,
+        |    round(quantile_cont(recency_day, 0.80), 4) AS r80,
+        |    round(quantile_cont(frequency, 0.20), 4) AS f20,
+        |    round(quantile_cont(frequency, 0.40), 4) AS f40,
+        |    round(quantile_cont(frequency, 0.60), 4) AS f60,
+        |    round(quantile_cont(frequency, 0.80), 4) AS f80,
+        |    round(quantile_cont(monetary, 0.20), 4) AS m20,
+        |    round(quantile_cont(monetary, 0.40), 4) AS m40,
+        |    round(quantile_cont(monetary, 0.60), 4) AS m60,
+        |    round(quantile_cont(monetary, 0.80), 4) AS m80
+        |  FROM p),
+        |sc AS (SELECT "user", recency_day, frequency, monetary,
+        |  (1 + (recency_day > r20)::INT +
+        |    (recency_day > r40)::INT +
+        |    (recency_day > r60)::INT +
+        |    (recency_day > r80)::INT)::BIGINT AS r,
+        |  (1 + (frequency > f20)::INT +
+        |    (frequency > f40)::INT +
+        |    (frequency > f60)::INT +
+        |    (frequency > f80)::INT)::BIGINT AS f,
+        |  (1 + (monetary > m20)::INT +
+        |    (monetary > m40)::INT +
+        |    (monetary > m60)::INT +
+        |    (monetary > m80)::INT)::BIGINT AS m
+        |FROM p, c)
+        |SELECT "user", recency_day, frequency, monetary, r, f, m,
+        |  (r * 100 + f * 10 + m)::BIGINT AS segment
+        |FROM sc""".stripMargin,
     // w14 twin: user-keyed range join, conversion-partitioned windows,
     // exact integer micro-credits with the floor-form middle share
     "w14_multi_touch" ->

@@ -493,4 +493,60 @@ object EventAnalytics {
         count(lit(1)).as("touches"),
         count_distinct(col("cid")).as("conversions"))
   }
+
+  /** RFM segmentation (recency / frequency / monetary, the classic
+    * customer-value grid): per user over their `purchaseType` events —
+    * last active day, purchase count, 1e-4-lattice spend — each scored
+    * 1–5 against the population's exact 20/40/60/80 percentiles, plus
+    * the composite segment code r·100 + f·10 + m.
+    *
+    * NO global ntile: a rank-based quintile is a corpus-wide
+    * single-partition sort. Scores come from FOUR broadcast cutpoints
+    * per metric instead — one exact-`percentile` aggregate row
+    * crossed back scan-side, so the per-user table never re-sorts.
+    * (Exact percentile state is bounded by the metrics' distinct
+    * values — days are calendar-bounded, frequencies small, spend on
+    * the 1e-4 lattice; at extreme cardinality swap in
+    * `approx_percentile` cutpoints, same plan shape.) Rank-vs-cutpoint
+    * semantics differ only in how percentile TIES split: cutpoint
+    * scoring puts every tied user in the same bucket — the defensible
+    * convention (identical behavior ⇒ identical segment), and the
+    * deterministic one.
+    *
+    * Determinism: `day` is the caller's integer day expression, counts
+    * are exact longs, spend sums round to the 1e-4 lattice BEFORE the
+    * percentiles, the cutpoints round to the same lattice, and scores
+    * are strict `>` comparisons of those exact values — engine-stable
+    * end to end (the a7 percentile ≡ quantile_cont parity).
+    *
+    * Output: (user, recency_day, frequency, monetary, r, f, m, segment).
+    */
+  def rfmSegments(
+      events: DataFrame, userCol: String, typeCol: String,
+      purchaseType: String, day: Column, valueCol: String): DataFrame = {
+    val per = events
+      .filter(col(userCol).isNotNull && col(typeCol) === purchaseType)
+      .groupBy(col(userCol).as("user"))
+      .agg(max(day).as("recency_day"),
+        count(lit(1)).as("frequency"),
+        round(sum(col(valueCol)), 4).as("monetary"))
+    val qs = Seq(20, 40, 60, 80)
+    val cutCols = for {
+      (metric, p) <- Seq("recency_day" -> "r", "frequency" -> "f",
+        "monetary" -> "m")
+      q <- qs
+    } yield round(expr(s"percentile($metric, 0.$q)"), 4).as(s"$p$q")
+    val cuts = per.agg(cutCols.head, cutCols.tail: _*)
+    def score(m: Column, p: String): Column =
+      qs.map(q => (m > col(s"$p$q")).cast("int"))
+        .foldLeft(lit(1))(_ + _).cast("long")
+    per.crossJoin(broadcast(cuts))
+      .select(col("user"), col("recency_day"), col("frequency"),
+        col("monetary"),
+        score(col("recency_day"), "r").as("r"),
+        score(col("frequency"), "f").as("f"),
+        score(col("monetary"), "m").as("m"))
+      .withColumn("segment",
+        (col("r") * 100 + col("f") * 10 + col("m")).cast("long"))
+  }
 }

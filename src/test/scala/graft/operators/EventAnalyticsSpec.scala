@@ -322,6 +322,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 10L)
   }
 
+  test("rfmSegments: hand-computed quintile scores on a 5-user grid") {
+    import org.apache.spark.sql.functions.expr
+    // user u (1..5): u purchases of value 10.0 on day u*10 ->
+    // recency 10..50, frequency 1..5, monetary 10..50. Percentiles of
+    // {10..50} at 0.2/0.4/0.6/0.8 = 18/26/34/42... (linear interp), so
+    // scores are exactly 1..5 and segments 111..555. A noise event
+    // type and a null user must not participate.
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map { i =>
+        (u.toLong, u * 10L * 86400L * 1000000000L, "purchase", 10.0)
+      }
+    } ++ Seq(
+      (1L, 86400L * 1000000000L, "view", 999.0),
+      (-1L, 86400L * 1000000000L, "purchase", 999.0))
+    val df = rows.toDF("user_id", "ts", "event_type", "value")
+      .withColumn("user_id",
+        org.apache.spark.sql.functions.when($"user_id" < 0,
+          org.apache.spark.sql.functions.lit(null))
+          .otherwise($"user_id"))
+    val got = EventAnalytics.rfmSegments(
+        df, "user_id", "event_type", "purchase",
+        day = expr("(ts div 1000) div 86400000000"), valueCol = "value")
+      .select("user", "r", "f", "m", "segment")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    (1 to 5).foreach { u =>
+      val s = u.toLong
+      assert(got(u.toLong) == ((u.toLong, s, s, s, s * 111)),
+        s"user $u: ${got(u.toLong)}")
+    }
+    assert(got.size == 5)
+  }
+
   test("multi-touch attribution rejects a self-crediting conversion type") {
     import org.apache.spark.sql.functions.lit
     val evs = Seq((1L, 1L, 1L, "purchase"))
