@@ -2523,6 +2523,24 @@ FROM c"""
       "chrom", "start", "stop", binWidth = 1024L)
   }
 
+  /** j15: interval complement (bedtools complement) — the uncovered
+    * regions of each source's [1, 20500] span, after the j12 merge and
+    * a sentinel-lag gap pass over merged runs. Full oracle: the j12
+    * textbook merge + the same clip/sentinel/lag chain.
+    */
+  private def j15IntervalComplement(s: SparkSession, d: String): DataFrame = {
+    val st = pmod(col("doc_id") * 37, lit(20000))
+    val docs = T(s, d, "documents")
+    IntervalDepth.complement(
+      docs.select(
+        col("source").as("chrom"), st.as("start"),
+        (st + 5 + pmod(col("doc_id"), lit(20))).as("stop")),
+      "chrom", "start", "stop",
+      docs.select(col("source")).distinct()
+        .withColumn("gsize", lit(20500L)),
+      "source", "gsize")
+  }
+
   /** j12: interval coalescing (bedtools merge) — overlapping or
     * book-ended document spans collapse into one merged interval per
     * source; the sweep-boundary form, never a per-chrom window. Full
@@ -2834,6 +2852,7 @@ FROM c"""
     "t28_zipf_slope" -> (t28ZipfSlope _),
     "c11_contamination_report" -> (c11ContaminationReport _),
     "j12_interval_merge" -> (j12IntervalMerge _),
+    "j15_interval_complement" -> (j15IntervalComplement _),
     "t29_html_extract" -> (t29HtmlExtract _),
     "j13_interval_subtract" -> (j13IntervalSubtract _),
     "w12_rate_anomaly" -> (w12RateAnomaly _),
@@ -5758,6 +5777,40 @@ FROM c"""
         |FROM g""".stripMargin,
     // j12 twin: the textbook one-reducer merge — running max(e) window
     // per chrom, break when the gap exceeds book-ending, group and span
+    // j15 twin: the j12 textbook merge + clip/sentinel/lag gaps
+    "j15_interval_complement" ->
+      """WITH iv AS (SELECT source AS chrom,
+        |    (doc_id * 37) % 20000 AS s,
+        |    (doc_id * 37) % 20000 + 5 + doc_id % 20 AS e
+        |  FROM documents),
+        |m AS (SELECT chrom, s, e,
+        |    CASE WHEN s > max(e) OVER (PARTITION BY chrom ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM iv),
+        |gr AS (SELECT chrom, s, e,
+        |    sum(brk) OVER (PARTITION BY chrom ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m),
+        |mg AS (SELECT chrom, min(s)::BIGINT AS start,
+        |    max(e)::BIGINT AS stop
+        |  FROM gr GROUP BY chrom, grp),
+        |g AS (SELECT DISTINCT source AS chrom, 20500::BIGINT AS gsize
+        |  FROM documents),
+        |clip AS (SELECT mg.chrom,
+        |    greatest(start, 1)::BIGINT AS start,
+        |    least(stop, gsize)::BIGINT AS stop
+        |  FROM mg JOIN g USING (chrom)
+        |  WHERE greatest(start, 1) <= least(stop, gsize)),
+        |alls AS (SELECT chrom, start, stop FROM clip
+        |  UNION ALL SELECT chrom, gsize + 1, gsize + 1 FROM g),
+        |gaps AS (SELECT chrom,
+        |    (coalesce(lag(stop) OVER (PARTITION BY chrom
+        |      ORDER BY start), 0) + 1)::BIGINT AS gstart,
+        |    (start - 1)::BIGINT AS gstop
+        |  FROM alls)
+        |SELECT chrom, gstart AS start, gstop AS stop FROM gaps
+        |WHERE gstart <= gstop""".stripMargin,
     "j12_interval_merge" ->
       """WITH iv AS (SELECT source AS chrom,
         |    (doc_id * 37) % 20000 AS s,

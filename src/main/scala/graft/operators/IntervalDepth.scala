@@ -238,4 +238,51 @@ object IntervalDepth {
         max(when(!col("kind"), col("pos"))).as("stop"))
       .select("chrom", "start", "stop")
   }
+
+  /** Uncovered-region complement (bedtools complement): the regions of
+    * each genome chrom `[1, size]` NOT covered by any interval —
+    * capture-kit gap reporting, the inverse of [[coalesce]].
+    *
+    * Shape: intervals first collapse through [[coalesce]]'s
+    * distributed sweep (the corpus-scale step — raw intervals never
+    * reach a window), merged runs clip to the genome bounds, and a
+    * zero-width SENTINEL at `size + 1` per chrom turns gap derivation
+    * into one `lag` over the merged runs — the sentinel's gap is the
+    * tail `[last_stop+1, size]`, and on an interval-less chrom the
+    * sentinel alone yields the whole span `[1, size]`. The per-chrom
+    * window runs over MERGED-RUN rows (orders smaller than the input;
+    * the j12 envelope), and the genome table is dim-sized — broadcast.
+    *
+    * Input contract as [[depthHistogram]]; closed intervals, genome
+    * spans `[1, size]`. Intervals outside their chrom's bounds clip;
+    * intervals on chroms absent from `genome` drop (no defined span to
+    * complement). Output: (chrom, start, stop).
+    */
+  def complement(
+      intervals: DataFrame, chromCol: String, startCol: String,
+      endCol: String, genome: DataFrame, gChromCol: String,
+      gSizeCol: String): DataFrame = {
+    val g = genome.select(col(gChromCol).cast("string").as("chrom"),
+      col(gSizeCol).cast("long").as("gsize"))
+    val clipped = coalesce(intervals, chromCol, startCol, endCol)
+      .join(broadcast(g), Seq("chrom"))
+      .select(col("chrom"),
+        greatest(col("start"), lit(1L)).as("start"),
+        least(col("stop"), col("gsize")).as("stop"))
+      .filter(col("start") <= col("stop"))
+    val withSentinel = clipped.unionByName(
+      g.select(col("chrom"), (col("gsize") + 1).as("start"),
+        (col("gsize") + 1).as("stop")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chrom").orderBy("start")
+    withSentinel
+      .withColumn("prevstop", lag("stop", 1).over(w))
+      // functions.coalesce spelled out: this object's `coalesce`
+      // (the merge operator) shadows the SQL function here
+      .select(col("chrom"),
+        (org.apache.spark.sql.functions.coalesce(
+          col("prevstop"), lit(0L)) + 1).as("start"),
+        (col("start") - 1).as("stop"))
+      .filter(col("start") <= col("stop"))
+  }
 }

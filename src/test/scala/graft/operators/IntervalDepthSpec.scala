@@ -128,4 +128,52 @@ class IntervalDepthSpec extends AnyFunSuite {
       || e.getCause != null && e.getCause.getMessage.contains("null chrom"),
       e.getMessage)
   }
+
+  test("complement: hand-checked gaps, sentinel tail, empty chrom, clipping") {
+    val iv = Seq(
+      ("c1", 5L, 10L), ("c1", 8L, 12L),  // merge to [5,12]
+      ("c1", 20L, 25L),
+      ("c2", 1L, 100L),                  // covers its whole genome
+      ("c3", -5L, 3L), ("c3", 95L, 200L) // clip to [1,3] and [95,100]
+    ).toDF("chrom", "start", "stop")
+    val genome = Seq(("c1", 30L), ("c2", 100L), ("c3", 100L),
+      ("c4", 50L)).toDF("chrom", "gsize")
+    val got = IntervalDepth.complement(
+        iv, "chrom", "start", "stop", genome, "chrom", "gsize")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("c1", 1L, 4L), ("c1", 13L, 19L), ("c1", 26L, 30L),
+      ("c3", 4L, 94L),
+      ("c4", 1L, 50L))) // interval-less chrom: the whole span
+  }
+
+  test("complement ∪ coverage exactly partitions the genome (random)") {
+    val rng = new scala.util.Random(23)
+    val rows = for (c <- 1 to 3; _ <- 1 to 60) yield {
+      val s = rng.nextInt(1500).toLong
+      (s"c$c", s, s + 1 + rng.nextInt(40))
+    }
+    val size = 1600L
+    val genome = (1 to 3).map(c => (s"c$c", size)).toDF("chrom", "gsize")
+    val df = rows.toDF("chrom", "start", "stop")
+    val gaps = IntervalDepth.complement(
+        df, "chrom", "start", "stop", genome, "chrom", "gsize")
+      .as[(String, Long, Long)].collect()
+    // independent model: positions covered per chrom
+    val covered = rows.groupBy(_._1).view.mapValues(ivs =>
+      ivs.flatMap(r => math.max(1L, r._2) to math.min(size, r._3)).toSet)
+    (1 to 3).foreach { c =>
+      val want = (1L to size).toSet -- covered.getOrElse(s"c$c", Set.empty)
+      val gapPos = gaps.filter(_._1 == s"c$c")
+        .flatMap(g => g._2 to g._3).toSet
+      assert(gapPos == want, s"chrom c$c")
+      // gaps are disjoint and sorted-mergeable (no adjacent pairs)
+      val sorted = gaps.filter(_._1 == s"c$c").map(g => (g._2, g._3))
+        .sorted.toSeq
+      sorted.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 > e1 + 1)
+        case _ => ()
+      }
+    }
+  }
 }
