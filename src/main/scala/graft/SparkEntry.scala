@@ -1239,6 +1239,20 @@ object SparkEntry {
       "chrom", "start", "stop")
   }
 
+  /** j17: per-chrom coverage summary (the mosdepth QC report) —
+    * covered bases, breadth at 2x/5x/10x and 1e-4-lattice mean depth
+    * over the j10 interval synthesis. Full oracle: the j10 sweep CTE
+    * kept per-chrom + exact conditional sums + (2a+b) div 2b mean.
+    */
+  private def j17CoverageSummary(s: SparkSession, d: String): DataFrame = {
+    val st = pmod(col("doc_id") * 37, lit(1000))
+    IntervalDepth.coverageSummary(
+      T(s, d, "documents").select(
+        col("source").as("chrom"), st.as("start"),
+        (st + 50 + pmod(col("doc_id"), lit(200))).as("stop")),
+      "chrom", "start", "stop", thresholds = Seq(2L, 5L, 10L))
+  }
+
   /** j11: nearest-feature join — every 7th interval queries the rest
     * (7 is coprime with the 20-way source cycle, so query chroms mix)
     * for its closest neighbor within 100 bases; bin-rewrite candidates,
@@ -2853,6 +2867,7 @@ FROM c"""
     "c11_contamination_report" -> (c11ContaminationReport _),
     "j12_interval_merge" -> (j12IntervalMerge _),
     "j15_interval_complement" -> (j15IntervalComplement _),
+    "j17_coverage_summary" -> (j17CoverageSummary _),
     "t29_html_extract" -> (t29HtmlExtract _),
     "j13_interval_subtract" -> (j13IntervalSubtract _),
     "w12_rate_anomaly" -> (w12RateAnomaly _),
@@ -5777,6 +5792,32 @@ FROM c"""
         |FROM g""".stripMargin,
     // j12 twin: the textbook one-reducer merge — running max(e) window
     // per chrom, break when the gap exceeds book-ending, group and span
+    // j17 twin: the j10 sweep kept per-chrom, exact conditional sums,
+    // round-half-up integer-division mean
+    "j17_coverage_summary" ->
+      """WITH iv AS (SELECT source AS chrom,
+        |    (doc_id * 37) % 1000 AS s,
+        |    (doc_id * 37) % 1000 + 50 + doc_id % 200 AS e
+        |  FROM documents),
+        |ev AS (SELECT chrom, s AS pos, 1 AS d FROM iv
+        |  UNION ALL SELECT chrom, e + 1, -1 FROM iv),
+        |agg AS (SELECT chrom, pos, sum(d) AS delta FROM ev GROUP BY 1, 2),
+        |run AS (SELECT chrom, pos,
+        |    sum(delta) OVER (PARTITION BY chrom ORDER BY pos) AS depth,
+        |    lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next_pos
+        |  FROM agg),
+        |seg AS (SELECT chrom, depth, next_pos - pos AS len FROM run
+        |  WHERE next_pos IS NOT NULL AND depth > 0)
+        |SELECT chrom, sum(len)::BIGINT AS covered_bases,
+        |  sum(CASE WHEN depth >= 2 THEN len ELSE 0 END)::BIGINT
+        |    AS breadth_ge_2,
+        |  sum(CASE WHEN depth >= 5 THEN len ELSE 0 END)::BIGINT
+        |    AS breadth_ge_5,
+        |  sum(CASE WHEN depth >= 10 THEN len ELSE 0 END)::BIGINT
+        |    AS breadth_ge_10,
+        |  ((2 * sum(depth * len) * 10000 + sum(len)) //
+        |    (2 * sum(len)))::BIGINT AS mean_depth_e4
+        |FROM seg GROUP BY chrom""".stripMargin,
     // j15 twin: the j12 textbook merge + clip/sentinel/lag gaps
     "j15_interval_complement" ->
       """WITH iv AS (SELECT source AS chrom,

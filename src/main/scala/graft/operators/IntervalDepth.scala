@@ -155,6 +155,65 @@ object IntervalDepth {
     segs.groupBy("depth").agg(sum("bases").as("n_bases"))
   }
 
+  /** Per-chrom coverage summary (the mosdepth report): covered bases,
+    * breadth at each depth threshold (bases covered ≥ t×), and mean
+    * depth over covered bases — the QC numbers a sequencing pipeline
+    * gates on.
+    *
+    * Same distributed sweep as [[depthHistogram]], with the partition-
+    * local pass emitting (chrom, depth, len) segments; one hash
+    * aggregate per chrom then folds exact longs — Σlen, Σ(depth·len),
+    * per-threshold conditional sums — and the mean lands on the 1e-4
+    * lattice via round-half-up INTEGER division (2a+b) div 2b, no
+    * float path. Segment rows number O(2·intervals), aggregate state
+    * is one row per chrom.
+    *
+    * Output: (chrom, covered_bases, breadth_ge_<t>…, mean_depth_e4).
+    */
+  def coverageSummary(
+      intervals: DataFrame, chromCol: String, startCol: String,
+      endCol: String, thresholds: Seq[Long], numPartitions: Int = 0)
+      : DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(_ >= 1),
+      s"thresholds must be >= 1 (got $thresholds)")
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    val (run, offsets, nextFirst) = sweepRuns(intervals, chromCol,
+      startCol, endCol, closeShift = 1L, numPartitions, "coverageSummary")
+    val segs = run.mapPartitions { it =>
+      val b = it.buffered
+      var curChrom: String = null
+      var depth = 0L
+      b.flatMap { case (pid, chrom, pos, delta) =>
+        if (chrom != curChrom) {
+          curChrom = chrom
+          depth = offsets.getOrElse((pid, chrom), 0L)
+        }
+        depth += delta
+        val nextPos: Option[Long] =
+          if (b.hasNext && b.head._2 == chrom) Some(b.head._3)
+          else nextFirst.get(pid) match {
+            case Some((c, p)) if c == chrom => Some(p)
+            case _ => None
+          }
+        nextPos match {
+          case Some(np) if depth > 0 => Iterator((chrom, depth, np - pos))
+          case _ => Iterator.empty[(String, Long, Long)]
+        }
+      }
+    }.toDF("chrom", "depth", "len")
+    val aggs =
+      Seq(sum(col("len")).as("covered_bases")) ++
+      thresholds.map(t =>
+        sum(when(col("depth") >= t, col("len")).otherwise(lit(0L)))
+          .as(s"breadth_ge_$t")) ++
+      Seq(sum(col("depth") * col("len")).as("__ds"))
+    segs.groupBy("chrom").agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_depth_e4",
+        expr("(2 * __ds * 10000 + covered_bases) div (2 * covered_bases)"))
+      .drop("__ds")
+  }
+
   /** Interval coalescing — `bedtools merge`: collapse every chain of
     * overlapping-or-book-ended intervals (and, with `maxGap` > 0,
     * chains whose gaps are ≤ maxGap bases) into one merged interval per

@@ -129,6 +129,32 @@ class IntervalDepthSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("coverageSummary equals a brute-force per-position model") {
+    val rng = new scala.util.Random(7)
+    val rows = for (c <- 1 to 3; _ <- 1 to 50) yield {
+      val s = rng.nextInt(800).toLong
+      (s"c$c", s, s + 1 + rng.nextInt(60))
+    }
+    val got = IntervalDepth.coverageSummary(
+        rows.toDF("chrom", "start", "stop").repartition(7),
+        "chrom", "start", "stop", thresholds = Seq(2L, 5L))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    (1 to 3).foreach { c =>
+      val depthAt = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      rows.filter(_._1 == s"c$c").foreach { case (_, s, e) =>
+        (s to e).foreach(p => depthAt(p) += 1)
+      }
+      val covered = depthAt.count(_._2 > 0).toLong
+      val b2 = depthAt.count(_._2 >= 2).toLong
+      val b5 = depthAt.count(_._2 >= 5).toLong
+      val ds = depthAt.values.sum
+      val mean = (2 * ds * 10000 + covered) / (2 * covered)
+      assert(got(s"c$c") == ((s"c$c", covered, b2, b5, mean)), s"chrom c$c")
+    }
+  }
+
   test("complement: hand-checked gaps, sentinel tail, empty chrom, clipping") {
     val iv = Seq(
       ("c1", 5L, 10L), ("c1", 8L, 12L),  // merge to [5,12]
