@@ -1239,6 +1239,26 @@ object SparkEntry {
       "chrom", "start", "stop")
   }
 
+  /** j16: reciprocal-overlap intersect (bedtools intersect -r -f 0.5)
+    * — the SV/CNV "same event" predicate over the dense j10 interval
+    * synthesis: pairs where the overlap covers >= 50% of BOTH sides.
+    * Full oracle: brute-force chrom theta join with the identical
+    * integer cross-multiplied fraction tests (bins are implementation,
+    * not semantics).
+    */
+  private def j16ReciprocalOverlap(s: SparkSession, d: String): DataFrame = {
+    val st = pmod(col("doc_id") * 37, lit(1000))
+    val iv = T(s, d, "documents").select(
+      col("doc_id"), col("source").as("chrom"), st.as("start"),
+      (st + 50 + pmod(col("doc_id"), lit(200))).as("stop"))
+    IntervalJoin.reciprocalOverlap(
+      iv.filter(col("doc_id") % 7 === 0),
+      iv.filter(col("doc_id") % 7 =!= 0),
+      "chrom", "start", "stop", "doc_id",
+      "chrom", "start", "stop", "doc_id",
+      minPctA = 50, minPctB = 50, binWidth = 256L)
+  }
+
   /** j17: per-chrom coverage summary (the mosdepth QC report) —
     * covered bases, breadth at 2x/5x/10x and 1e-4-lattice mean depth
     * over the j10 interval synthesis. Full oracle: the j10 sweep CTE
@@ -2868,6 +2888,7 @@ FROM c"""
     "j12_interval_merge" -> (j12IntervalMerge _),
     "j15_interval_complement" -> (j15IntervalComplement _),
     "j17_coverage_summary" -> (j17CoverageSummary _),
+    "j16_reciprocal_overlap" -> (j16ReciprocalOverlap _),
     "t29_html_extract" -> (t29HtmlExtract _),
     "j13_interval_subtract" -> (j13IntervalSubtract _),
     "w12_rate_anomaly" -> (w12RateAnomaly _),
@@ -5792,6 +5813,27 @@ FROM c"""
         |FROM g""".stripMargin,
     // j12 twin: the textbook one-reducer merge — running max(e) window
     // per chrom, break when the gap exceeds book-ending, group and span
+    // j16 twin: brute-force chrom theta join, integer cross-multiplied
+    // fraction tests — bins are implementation, not semantics
+    "j16_reciprocal_overlap" ->
+      """WITH iv AS (SELECT doc_id, source AS chrom,
+        |    (doc_id * 37) % 1000 AS s,
+        |    (doc_id * 37) % 1000 + 50 + doc_id % 200 AS e
+        |  FROM documents),
+        |a AS (SELECT doc_id AS a_id, chrom, s AS as_, e AS ae FROM iv
+        |  WHERE doc_id % 7 = 0),
+        |b AS (SELECT doc_id AS b_id, chrom, s AS bs, e AS be FROM iv
+        |  WHERE doc_id % 7 <> 0)
+        |SELECT a_id, b_id,
+        |  (least(ae, be) - greatest(as_, bs) + 1)::BIGINT AS ov_len,
+        |  (ae - as_ + 1)::BIGINT AS a_len,
+        |  (be - bs + 1)::BIGINT AS b_len
+        |FROM a JOIN b USING (chrom)
+        |WHERE least(ae, be) - greatest(as_, bs) + 1 >= 1
+        |  AND (least(ae, be) - greatest(as_, bs) + 1) * 100 >=
+        |    50 * (ae - as_ + 1)
+        |  AND (least(ae, be) - greatest(as_, bs) + 1) * 100 >=
+        |    50 * (be - bs + 1)""".stripMargin,
     // j17 twin: the j10 sweep kept per-chrom, exact conditional sums,
     // round-half-up integer-division mean
     "j17_coverage_summary" ->

@@ -119,6 +119,63 @@ object IntervalJoin {
         col("m.dist").as("dist"))
   }
 
+  /** Reciprocal-overlap intersect — `bedtools intersect -f/-F` (both
+    * flags together = `-r`): emit (a, b) interval pairs whose overlap
+    * covers at least `minPctA`% of a AND `minPctB`% of b. THE
+    * structural-variant / CNV comparison predicate: a 10-base touch
+    * between two 100 kb calls is noise, a 50%-reciprocal overlap is
+    * the same event.
+    *
+    * Shape: the j2/j11 bin-key rewrite — both sides explode to
+    * (chrom, bin) keys, one plain equi-join (AQE/skew-planned, never a
+    * theta join), the overlap length and both fraction tests as
+    * residuals. Fractions compare by exact integer
+    * cross-multiplication (ov·100 ≥ pct·len on closed-interval
+    * lengths) — no division, no float. A pair spanning several shared
+    * bins collapses through one distinct on the (ids, lengths) row
+    * (identical in every bin).
+    *
+    * Input contract as [[IntervalDepth.depthHistogram]]; closed
+    * intervals. Output: (a_id, b_id, ov_len, a_len, b_len).
+    */
+  def reciprocalOverlap(
+      a: DataFrame, b: DataFrame,
+      aChrom: String, aStartCol: String, aEndCol: String, aIdCol: String,
+      bChrom: String, bStartCol: String, bEndCol: String, bIdCol: String,
+      minPctA: Int, minPctB: Int, binWidth: Long = 1024L): DataFrame = {
+    require(minPctA >= 1 && minPctA <= 100,
+      s"minPctA must be in [1, 100] (got $minPctA)")
+    require(minPctB >= 1 && minPctB <= 100,
+      s"minPctB must be in [1, 100] (got $minPctB)")
+    require(binWidth > 0, s"binWidth must be positive (got $binWidth)")
+    val qa = a.select(
+      col(aChrom).cast("string").as("chrom"),
+      col(aStartCol).cast("long").as("as_"),
+      col(aEndCol).cast("long").as("ae"),
+      col(aIdCol).cast("long").as("a_id"))
+    val qb = b.select(
+      col(bChrom).cast("string").as("chrom"),
+      col(bStartCol).cast("long").as("bs"),
+      col(bEndCol).cast("long").as("be"),
+      col(bIdCol).cast("long").as("b_id"))
+    val ab = qa.withColumn("bin", explode(sequence(
+      floor(col("as_").cast("double") / binWidth).cast("long"),
+      floor(col("ae").cast("double") / binWidth).cast("long"))))
+    val bb = qb.withColumn("bin", explode(sequence(
+      floor(col("bs").cast("double") / binWidth).cast("long"),
+      floor(col("be").cast("double") / binWidth).cast("long"))))
+    val ov = least(col("ae"), col("be")) -
+      greatest(col("as_"), col("bs")) + 1
+    ab.join(bb, Seq("chrom", "bin"))
+      .where(ov >= 1 &&
+        ov * 100 >= lit(minPctA) * (col("ae") - col("as_") + 1) &&
+        ov * 100 >= lit(minPctB) * (col("be") - col("bs") + 1))
+      .select(col("a_id"), col("b_id"), ov.as("ov_len"),
+        (col("ae") - col("as_") + 1).as("a_len"),
+        (col("be") - col("bs") + 1).as("b_len"))
+      .distinct()
+  }
+
   /** Interval subtraction — `bedtools subtract`: the portions of every
     * `a` interval not covered by ANY `b` interval. Callable-regions
     * minus blacklist in genomics; license-clean span extraction or

@@ -194,4 +194,32 @@ class IntervalJoinSpec extends AnyFunSuite {
       assert(got == expected, s"parts=$parts")
     }
   }
+
+  test("reciprocalOverlap equals brute force; bin spans collapse to one row") {
+    val rng = new scala.util.Random(31)
+    val mk = (n: Int, off: Long) => (1 to n).map { i =>
+      val s = rng.nextInt(600).toLong
+      (off + i, s"c${i % 2}", s, s + 10 + rng.nextInt(120))
+    }
+    val as = mk(60, 0L); val bs = mk(80, 1000L)
+    val expected = (for {
+      (aid, ac, s1, e1) <- as; (bid, bc, s2, e2) <- bs
+      if ac == bc
+      ov = math.min(e1, e2) - math.max(s1, s2) + 1
+      if ov >= 1 && ov * 100 >= 40 * (e1 - s1 + 1) &&
+        ov * 100 >= 60 * (e2 - s2 + 1)
+    } yield (aid, bid, ov, e1 - s1 + 1, e2 - s2 + 1)).toSet
+    // binWidth 16 forces long intervals across MANY shared bins — the
+    // distinct must collapse every multi-bin pair to one row
+    val got = IntervalJoin.reciprocalOverlap(
+        as.toDF("id", "chrom", "start", "stop").repartition(5),
+        bs.toDF("id", "chrom", "start", "stop").repartition(3),
+        "chrom", "start", "stop", "id",
+        "chrom", "start", "stop", "id",
+        minPctA = 40, minPctB = 60, binWidth = 16L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == got.toSet.size, "bin duplicates survived")
+    assert(got.toSet == expected)
+    assert(expected.nonEmpty, "degenerate fixture")
+  }
 }
