@@ -860,6 +860,68 @@ object SparkEntry {
       "vec_id", "vec_id", "embedding", k = 4, thresholdPct = 105)
   }
 
+  /** v17: MMR diversified re-ranking — top-20 cosine candidates per
+    * query, 5 greedy rounds at lambda = 70% (integer-exact objective,
+    * struct-min argmax). Full oracle: [[v17OracleSql]] unrolls the
+    * SAME greedy rounds as CTEs — round-1 relevance pick, then
+    * max-sim-to-selected + the 70·rel − 30·ms argmax per round.
+    */
+  private def v17MmrRerank(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    val cands = Similarity.cosineTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "vec_id", "embedding", k = 20)
+      .select(col("q_id"), col("c_id"),
+        floor(col("sim") * 1000 + lit(0.5)).cast("long").as("rel_e3"))
+    Similarity.mmrRerank(cands, "q_id", "c_id", "rel_e3",
+      e, "vec_id", "embedding", k = 5, lambdaPct = 70)
+  }
+
+  /** v17's DuckDB twin, generated: the k greedy rounds unroll as CTEs
+    * over the same lattice relevances and pair similarities. */
+  private def v17OracleSql: String = {
+    val rounds = (2 to 5).map { r =>
+      s"""ms$r AS (SELECT p.q_id, p.c_id, max(sim_e3) AS ms FROM p
+  JOIN sel${r - 1} s ON p.q_id = s.q_id AND p.o_id = s.c_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} z
+    WHERE z.q_id = p.q_id AND z.c_id = p.c_id)
+  GROUP BY p.q_id, p.c_id),
+pick$r AS (SELECT q_id, c_id, $r AS mmr_round FROM (
+  SELECT cv.q_id, cv.c_id, row_number() OVER (PARTITION BY cv.q_id
+      ORDER BY (70 * rel - 30 * ms) DESC, cv.c_id) AS rk
+    FROM cv JOIN ms$r ON cv.q_id = ms$r.q_id AND cv.c_id = ms$r.c_id)
+  WHERE rk = 1),
+sel$r AS (SELECT * FROM sel${r - 1}
+  UNION ALL SELECT * FROM pick$r)"""
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+    FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+    FROM embeddings WHERE vec_id >= 10),
+sc AS (SELECT q_id, c_id,
+    round(list_dot_product(q.v, c.v) /
+      (sqrt(list_dot_product(q.v, q.v)) *
+       sqrt(list_dot_product(c.v, c.v))), 3) AS sim
+  FROM q CROSS JOIN c),
+cand AS (SELECT q_id, c_id, floor(sim * 1000 + 0.5)::BIGINT AS rel FROM (
+  SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
+      ORDER BY sim DESC, c_id) AS rk FROM sc)
+  WHERE rk <= 20),
+cv AS (SELECT cand.q_id, cand.c_id, rel, embedding::DOUBLE[] AS v
+  FROM cand JOIN embeddings ON c_id = vec_id),
+p AS (SELECT x.q_id, x.c_id, y.c_id AS o_id,
+    floor(list_dot_product(x.v, y.v) /
+      (sqrt(list_dot_product(x.v, x.v)) *
+       sqrt(list_dot_product(y.v, y.v))) * 1000 + 0.5)::BIGINT AS sim_e3
+  FROM cv x JOIN cv y ON x.q_id = y.q_id AND x.c_id <> y.c_id),
+sel1 AS (SELECT q_id, c_id, 1 AS mmr_round FROM (
+  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+      ORDER BY rel DESC, c_id) AS rk FROM cv)
+  WHERE rk = 1),
+$rounds
+SELECT q_id, c_id, mmr_round FROM sel5"""
+  }
+
   private def v2AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = T(s, d, "embeddings")
     Similarity.annLshTopK(
@@ -2873,6 +2935,7 @@ FROM c"""
     "v13_ivf_pq" -> (v13IvfPq _),
     "v14_mips_topk" -> (v14MipsTopK _),
     "v16_margin_mining" -> (v16MarginMining _),
+    "v17_mmr_rerank" -> (v17MmrRerank _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_image_neardup" -> (m2ImageNearDup _),
     "m3_audio_features" -> (m3AudioFeatures _),
@@ -5699,6 +5762,7 @@ FROM c"""
         |  AND (suml * cntr + sumr * cntl) > 0
         |  AND 200 * sim_e3 * cntl * cntr >
         |    105 * (suml * cntr + sumr * cntl)""".stripMargin,
+    "v17_mmr_rerank" -> v17OracleSql,
     // q18 twin: exact BIGINT quantity sums, plain relational joins
     "q18_big_spenders" ->
       """WITH big AS (SELECT l_orderkey,

@@ -126,6 +126,79 @@ object Similarity {
           .cast("double") / pool.cast("double")).as("margin"))
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998 —
+    * maximal marginal relevance): greedily pick `k` of each query's
+    * candidates, each round taking the candidate maximizing
+    *
+    *   λ · rel(c) − (1−λ) · max_{s ∈ selected} sim(c, s)
+    *
+    * — relevance traded against redundancy with what's already picked.
+    * THE diversification step between retrieval and consumption:
+    * dedup-aware RAG context assembly, diverse few-shot selection,
+    * diverse hard-negative pools.
+    *
+    * Determinism: relevance arrives on the 1e-3 lattice (`relE3Col`),
+    * candidate-pair similarities land on the same lattice via the v16
+    * floor form, λ is an integer percent, so every round's objective
+    * `lam·rel − (100−lam)·maxsim` is exact 64-bit INTEGER arithmetic
+    * and the argmax is `min(struct(−score, c_id))` — no window, no
+    * float, engine-stable bit for bit.
+    *
+    * Scale: candidate sets are per-query top-N (the upstream
+    * retriever's contract), so the pair table is N²-per-query rows —
+    * computed ONCE with the fused codegen dot product and
+    * localCheckpointed; each of the k−1 greedy rounds is a semi/anti
+    * join + one hash aggregate over candidate-sized frames, all
+    * query-keyed (never global). k and N are policy constants: the
+    * whole rerank moves O(queries · N²) rows regardless of corpus
+    * size.
+    *
+    * Output: (q_id, c_id, mmr_round) — round 1 is the pure-relevance
+    * pick; queries with fewer than k candidates emit what they have.
+    */
+  def mmrRerank(
+      candidates: DataFrame, qIdCol: String, cIdCol: String,
+      relE3Col: String, vectors: DataFrame, vIdCol: String,
+      vecCol: String, k: Int, lambdaPct: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1, 100] (got $k)")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"lambdaPct must be in [0, 100] (got $lambdaPct)")
+    val cands = candidates.select(
+      col(qIdCol).as("q_id"), col(cIdCol).as("c_id"),
+      col(relE3Col).cast("long").as("rel_e3"))
+    val cv = cands.join(
+        vectors.select(col(vIdCol).as("c_id"), col(vecCol).as("v"),
+          fnorm(col(vecCol)).as("n")),
+        Seq("c_id"))
+      .localCheckpoint()
+    val pairs = cv.as("x").join(cv.as("y"),
+        col("x.q_id") === col("y.q_id") && col("x.c_id") =!= col("y.c_id"))
+      .select(col("x.q_id").as("q_id"), col("x.c_id").as("c_id"),
+        col("y.c_id").as("o_id"),
+        floor(fdot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")) *
+          lit(1000) + lit(0.5)).cast("long").as("sim_e3"))
+      .localCheckpoint()
+    def argmax(df: DataFrame, score: Column, round: Int): DataFrame =
+      df.groupBy("q_id")
+        .agg(min(struct((-score).as("ns"), col("c_id"))).as("m"))
+        .select(col("q_id"), col("m.c_id").as("c_id"),
+          lit(round).as("mmr_round"))
+    var selected = argmax(cv, col("rel_e3"), 1)
+    for (r <- 2 to k) {
+      val remaining = cv.join(selected.select("q_id", "c_id"),
+        Seq("q_id", "c_id"), "left_anti")
+      val maxSim = pairs
+        .join(selected.select(col("q_id"), col("c_id").as("o_id")),
+          Seq("q_id", "o_id"), "left_semi")
+        .groupBy("q_id", "c_id").agg(max("sim_e3").as("ms"))
+      val scored = remaining.join(maxSim, Seq("q_id", "c_id"))
+      selected = selected.unionByName(argmax(scored,
+        lit(lambdaPct) * col("rel_e3") -
+          lit(100 - lambdaPct) * col("ms"), r))
+    }
+    selected
+  }
+
   /** Binary quantization: pack each dimension's sign bit into one long
     * (dim <= 64) — 64× compression at dim 64, the cheapest embedding
     * sketch: Hamming distance on the packed longs approximates angular

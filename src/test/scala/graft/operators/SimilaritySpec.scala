@@ -460,6 +460,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(want.nonEmpty, "degenerate fixture: no mutual pair cleared the margin")
   }
 
+  test("mmrRerank: diversity beats a redundant higher-relevance candidate") {
+    // candidates of query 1: A (rel 900), B (rel 890, near-dup of A),
+    // C (rel 500, orthogonal). Round 1 takes A on pure relevance.
+    // Round 2 at lambda=70: B scores 70*890 - 30*sim(B,A) ~ 62300-29970,
+    // C scores 70*500 - 30*0 = 35000 > 32330 — diversity wins.
+    val vectors = Seq(
+      (101L, Array(1.0f, 0.0f)),
+      (102L, Array(0.999f, 0.04f)),
+      (103L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cands = Seq((1L, 101L, 900L), (1L, 102L, 890L), (1L, 103L, 500L))
+      .toDF("q_id", "c_id", "rel_e3")
+    val got = Similarity.mmrRerank(cands, "q_id", "c_id", "rel_e3",
+        vectors, "vec_id", "embedding", k = 3, lambdaPct = 70)
+      .as[(Long, Long, Int)].collect().sortBy(_._3).toSeq
+    assert(got == Seq((1L, 101L, 1), (1L, 103L, 2), (1L, 102L, 3)))
+    // lambda = 100 is pure relevance: order by rel alone
+    val pure = Similarity.mmrRerank(cands, "q_id", "c_id", "rel_e3",
+        vectors, "vec_id", "embedding", k = 3, lambdaPct = 100)
+      .as[(Long, Long, Int)].collect().sortBy(_._3).toSeq
+    assert(pure == Seq((1L, 101L, 1), (1L, 102L, 2), (1L, 103L, 3)))
+    // a query with fewer candidates than k emits what it has
+    val small = Similarity.mmrRerank(
+        Seq((2L, 103L, 100L)).toDF("q_id", "c_id", "rel_e3"),
+        "q_id", "c_id", "rel_e3",
+        vectors, "vec_id", "embedding", k = 3, lambdaPct = 70)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(small == Seq((2L, 103L, 1)))
+  }
+
   test("marginMining is invariant to input partitioning") {
     val emb = spark.read
       .parquet(s"${graft.TestSpark.Sf0001}/embeddings.parquet")
