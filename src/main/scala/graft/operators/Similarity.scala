@@ -183,7 +183,12 @@ object Similarity {
         .agg(min(struct((-score).as("ns"), col("c_id"))).as("m"))
         .select(col("q_id"), col("m.c_id").as("c_id"),
           lit(round).as("mmr_round"))
-    var selected = argmax(cv, col("rel_e3"), 1)
+    // `selected` is re-consumed THREE ways per round (anti join, semi
+    // join, union) — left lazy, round r's plan would contain round
+    // r−1's twice and lineage would grow 2^k (measured 5.8 s vs 1.5 s
+    // at k = 5, sf0.1). It's queries × r rows — checkpointing it each
+    // round is the iteration-state discipline the graph loops use.
+    var selected = argmax(cv, col("rel_e3"), 1).localCheckpoint()
     for (r <- 2 to k) {
       val remaining = cv.join(selected.select("q_id", "c_id"),
         Seq("q_id", "c_id"), "left_anti")
@@ -194,7 +199,7 @@ object Similarity {
       val scored = remaining.join(maxSim, Seq("q_id", "c_id"))
       selected = selected.unionByName(argmax(scored,
         lit(lambdaPct) * col("rel_e3") -
-          lit(100 - lambdaPct) * col("ms"), r))
+          lit(100 - lambdaPct) * col("ms"), r)).localCheckpoint()
     }
     selected
   }
