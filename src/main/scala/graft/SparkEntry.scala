@@ -2118,12 +2118,17 @@ SELECT q_id, c_id, mmr_round FROM sel5"""
       .join(broadcast(T(s, d, "region").filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    // materialized once: both the per-part min and the join-back read
+    // it, and without the checkpoint the lineitem pair aggregate runs
+    // twice; the frame is the type/size/region-filtered slice — tiny
+    // next to lineitem at any scale
     val cand = T(s, d, "part")
       .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
       .join(ps, col("p_partkey") === col("l_partkey"))
       .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("s_name"), col("s_acctbal"),
         col("n_name"), col("supplycost"))
+      .localCheckpoint()
     val mins = cand.groupBy(col("p_partkey").as("mp"))
       .agg(min(col("supplycost")).as("mc"))
     cand.join(mins,
