@@ -922,6 +922,18 @@ $rounds
 SELECT q_id, c_id, mmr_round FROM sel5"""
   }
 
+  /** v18: k-NN label transfer — the first 100 embeddings take the
+    * majority label of their 7 nearest labeled neighbors (the rest of
+    * the table). Full oracle: v1's ranking CTE + the same
+    * votes/lattice-sim/label vote resolution.
+    */
+  private def v18KnnClassify(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings")
+    Classifier.knnClassify(
+      e.filter(col("vec_id") < 100), e.filter(col("vec_id") >= 100),
+      "vec_id", "vec_id", "embedding", "label", k = 7)
+  }
+
   private def v2AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = T(s, d, "embeddings")
     Similarity.annLshTopK(
@@ -2941,6 +2953,7 @@ FROM c"""
     "v14_mips_topk" -> (v14MipsTopK _),
     "v16_margin_mining" -> (v16MarginMining _),
     "v17_mmr_rerank" -> (v17MmrRerank _),
+    "v18_knn_classify" -> (v18KnnClassify _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_image_neardup" -> (m2ImageNearDup _),
     "m3_audio_features" -> (m3AudioFeatures _),
@@ -5768,6 +5781,30 @@ FROM c"""
         |  AND 200 * sim_e3 * cntl * cntr >
         |    105 * (suml * cntr + sumr * cntl)""".stripMargin,
     "v17_mmr_rerank" -> v17OracleSql,
+    // v18 twin: v1's ranking CTE + deterministic vote resolution
+    "v18_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 100),
+        |c AS (SELECT vec_id AS c_id, label AS lbl,
+        |    embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id >= 100),
+        |s AS (SELECT q_id, c_id, lbl,
+        |    round(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 3) AS sim
+        |  FROM q CROSS JOIN c),
+        |top AS (SELECT q_id, lbl,
+        |    floor(sim * 1000 + 0.5)::BIGINT AS sim_e3 FROM (
+        |  SELECT q_id, c_id, lbl, sim, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+        |    FROM s) WHERE rk <= 7),
+        |v AS (SELECT q_id, lbl, count(*)::BIGINT AS votes,
+        |    sum(sim_e3)::BIGINT AS ss
+        |  FROM top GROUP BY 1, 2)
+        |SELECT q_id AS id, lbl AS label, votes, ss AS sim_e3_sum FROM (
+        |  SELECT q_id, lbl, votes, ss, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY votes DESC, ss DESC, lbl) AS rk
+        |    FROM v) WHERE rk = 1""".stripMargin,
     // q18 twin: exact BIGINT quantity sums, plain relational joins
     "q18_big_spenders" ->
       """WITH big AS (SELECT l_orderkey,

@@ -342,4 +342,40 @@ object Classifier {
     ct.select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
       e6(po).as("po_e6"), e6(pe).as("pe_e6"), e6(kappa).as("kappa_e6"))
   }
+
+  /** k-NN label transfer: each unlabeled embedding takes the majority
+    * label of its `k` nearest labeled neighbors — the semi-supervised
+    * labeling step that bootstraps a classifier from a small curated
+    * seed set (label a thousand docs by hand, transfer to a billion).
+    *
+    * Vote resolution is fully deterministic: highest vote count, then
+    * highest summed 1e-3-lattice similarity (exact integer sums of the
+    * lattice cosines), then smallest label — one struct-min, no
+    * window. The neighbor search is [[Similarity.cosineTopK]]'s
+    * broadcast brute-force baseline; at corpus scale swap the gate for
+    * the LSH/IVF candidates exactly as v16 documents, vote algebra
+    * unchanged.
+    *
+    * Output: (id, label, votes, sim_e3_sum).
+    */
+  def knnClassify(
+      unlabeled: DataFrame, labeled: DataFrame, uIdCol: String,
+      lIdCol: String, vecCol: String, labelCol: String, k: Int)
+      : DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1, 100] (got $k)")
+    val nn = Similarity.cosineTopK(
+      unlabeled, labeled, uIdCol, lIdCol, vecCol, k)
+    nn.join(
+        labeled.select(col(lIdCol).as("c_id"), col(labelCol).as("lbl")),
+        Seq("c_id"))
+      .select(col("q_id"), col("lbl"),
+        floor(col("sim") * 1000 + lit(0.5)).cast("long").as("sim_e3"))
+      .groupBy("q_id", "lbl")
+      .agg(count(lit(1)).as("votes"), sum("sim_e3").as("ss"))
+      .groupBy("q_id")
+      .agg(min(struct((-col("votes")).as("nv"), (-col("ss")).as("nss"),
+        col("lbl"))).as("m"))
+      .select(col("q_id").as("id"), col("m.lbl").as("label"),
+        (-col("m.nv")).as("votes"), (-col("m.nss")).as("sim_e3_sum"))
+  }
 }

@@ -260,4 +260,32 @@ class ClassifierSpec extends AnyFunSuite {
       .select("kappa_e6").as[Long].collect().head
     assert(got == 0L)
   }
+
+  test("knnClassify: majority vote, sim tie-break, label tie-break") {
+    import org.apache.spark.sql.functions.col
+    // labeled: axis-aligned clusters. label 1 along +x, label 2 along +y
+    val labeled = Seq(
+      (101L, Array(1.0f, 0.0f), 1), (102L, Array(0.99f, 0.1f), 1),
+      (103L, Array(0.98f, 0.2f), 1),
+      (104L, Array(0.0f, 1.0f), 2), (105L, Array(0.1f, 0.99f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val unlabeled = Seq(
+      (1L, Array(1.0f, 0.05f)), // clearly +x -> label 1, 3 votes at k=3
+      (2L, Array(0.05f, 1.0f))  // clearly +y: k=3 -> 2 votes label 2
+    ).toDF("vec_id", "embedding")
+    val got = Classifier.knnClassify(unlabeled, labeled,
+        "vec_id", "vec_id", "embedding", "label", k = 3)
+      .select("id", "label", "votes")
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1, 3L)))
+    assert(got(2L) == ((2L, 2, 2L))) // 2 y-votes beat the 1 stray x-vote
+    // vote tie (1-1 at k=2): higher summed lattice sim wins
+    val tied = Classifier.knnClassify(
+        Seq((3L, Array(0.1f, 1.0f))).toDF("vec_id", "embedding"),
+        Seq((201L, Array(0.1f, 1.0f), 9), (202L, Array(0.2f, 1.0f), 4))
+          .toDF("vec_id", "embedding", "label"),
+        "vec_id", "vec_id", "embedding", "label", k = 2)
+      .select("id", "label").as[(Long, Int)].collect().head
+    assert(tied == ((3L, 9))) // exact match sim 1000 beats 995
+  }
 }
