@@ -763,6 +763,14 @@ object SparkEntry {
     TextAnalytics.luhnPanStats(injected, "doc_id", "text")
   }
 
+  /** c12: per-source data card — document/token counts, exact-dup
+    * fingerprint collisions, lattice mean quality and dominant
+    * language per source slice. Full oracle: the t2/t3 twin formulas
+    * per doc + exact integer aggregation.
+    */
+  private def c12SourceDatasheet(s: SparkSession, d: String): DataFrame =
+    Profiling.sourceDatasheet(T(s, d, "documents"), "text", "source")
+
   /** s3: DSIR importance weights — target domain = every 10th doc (the
     * same deterministic split d9 uses for its benchmark), scored against
     * the rest of the corpus.
@@ -2966,6 +2974,7 @@ FROM c"""
     "t27_ngram_novelty" -> (t27NgramNovelty _),
     "t28_zipf_slope" -> (t28ZipfSlope _),
     "c11_contamination_report" -> (c11ContaminationReport _),
+    "c12_source_datasheet" -> (c12SourceDatasheet _),
     "j12_interval_merge" -> (j12IntervalMerge _),
     "j15_interval_complement" -> (j15IntervalComplement _),
     "j17_coverage_summary" -> (j17CoverageSummary _),
@@ -4293,6 +4302,53 @@ FROM c"""
         |    AS avg_token_len,
         |  round(len(list_distinct(w))::DOUBLE / len(w), 4) AS uniq_ratio
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)""".stripMargin,
+    // c12 twin: the t2/t3 per-doc formulas + exact integer aggregation,
+    // round-half-up integer-division mean, count-argmax dominant lang
+    "c12_source_datasheet" ->
+      """WITH f AS (SELECT source, md5(text) AS fp,
+        |    string_split(text, ' ') AS w FROM documents),
+        |e AS (SELECT source, fp, len(w)::BIGINT AS nt,
+        |    floor(round(
+        |      len(list_filter(w, t -> t IN
+        |        ('the','a','to','of','and','in','on','for')))::DOUBLE
+        |        / len(w) * 0.25 +
+        |      len(list_distinct(w))::DOUBLE / len(w) * 0.5 +
+        |      CASE WHEN len(w) BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END
+        |        * 0.25, 4) * 10000 + 0.5)::BIGINT AS q_e4,
+        |    CASE WHEN s_en = best AND best > 0 THEN 'en'
+        |         WHEN s_es = best AND best > 0 THEN 'es'
+        |         WHEN s_de = best AND best > 0 THEN 'de'
+        |         WHEN s_fr = best AND best > 0 THEN 'fr'
+        |         ELSE 'und' END AS lang
+        |  FROM (SELECT source, fp, w,
+        |      len(list_filter(w, t -> t IN ('the','a','of','and','is')))
+        |        AS s_en,
+        |      len(list_filter(w, t -> t IN ('el','la','de','que','es')))
+        |        AS s_es,
+        |      len(list_filter(w, t -> t IN ('der','die','und','das','ist')))
+        |        AS s_de,
+        |      len(list_filter(w, t -> t IN ('le','la','et','les','est')))
+        |        AS s_fr,
+        |      greatest(
+        |        len(list_filter(w, t -> t IN ('the','a','of','and','is'))),
+        |        len(list_filter(w, t -> t IN ('el','la','de','que','es'))),
+        |        len(list_filter(w, t -> t IN ('der','die','und','das','ist'))),
+        |        len(list_filter(w, t -> t IN ('le','la','et','les','est'))))
+        |        AS best
+        |    FROM f)),
+        |per AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(nt)::BIGINT AS n_tokens,
+        |    (count(*) - count(DISTINCT fp))::BIGINT AS dup_docs,
+        |    ((2 * sum(q_e4) + count(*)) // (2 * count(*)))::BIGINT
+        |      AS mean_quality_e4
+        |  FROM e GROUP BY source),
+        |lv AS (SELECT source, lang, count(*) AS c FROM e GROUP BY 1, 2),
+        |top AS (SELECT source, lang AS top_lang FROM (
+        |  SELECT source, lang, row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, lang) AS rk FROM lv) WHERE rk = 1)
+        |SELECT per.source, n_docs, n_tokens, dup_docs, mean_quality_e4,
+        |  top_lang
+        |FROM per JOIN top USING (source)""".stripMargin,
     "t2_quality_score" ->
       """SELECT doc_id AS id, len(w) AS n_tokens,
         |  round(sr, 4) AS stop_ratio, round(ur, 4) AS uniq_ratio,

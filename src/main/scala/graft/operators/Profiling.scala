@@ -192,4 +192,47 @@ object Profiling {
       (dup <= maxDupE6 && cont <= maxContamE6 && meanQ >= minQualityE6)
         .as("release_ok"))
   }
+
+  /** Per-source data card — the datasheet row a corpus release ships
+    * for every source/domain slice: document and token counts, exact
+    * duplicates (fingerprint collisions), mean quality on the 1e-4
+    * lattice, and the dominant language. The per-SLICE companion of
+    * [[releaseGate]]'s whole-corpus verdict — where the gate says
+    * no/go, the datasheet says which source is why.
+    *
+    * One pass projects the per-doc signals (the t2/t3 Column
+    * expressions verbatim, md5 fingerprints); one grouped aggregate
+    * folds exact integers (counts, token sums, lattice quality with a
+    * round-half-up (2a+b) div 2b mean, distinct-fingerprint dup
+    * counts); the dominant language is a per-(source, lang) count
+    * argmax via struct-min — ties break toward the smaller language
+    * code, no window. Output rows = |sources|.
+    */
+  def sourceDatasheet(
+      docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val t = col(textCol)
+    val enriched = docs.select(col(groupCol).as("source"),
+      md5(t).as("fp"),
+      size(graft.functions.TextFunctions.tokens(t)).cast("long").as("nt"),
+      floor(TextAnalytics.qualityColumn(t) * 10000 + lit(0.5))
+        .cast("long").as("q_e4"),
+      TextAnalytics.langIdColumn(t).as("lang"))
+    val per = enriched.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("nt").as("n_tokens"),
+      (count(lit(1)) - count_distinct(col("fp"))).as("dup_docs"),
+      sum("q_e4").as("__qs"))
+    val top = enriched.groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(min(struct((-col("c")).as("nc"), col("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("top_lang"))
+    per
+      .withColumn("mean_quality_e4",
+        expr("(2 * __qs + n_docs) div (2 * n_docs)"))
+      .drop("__qs")
+      .join(top, "source")
+      .select("source", "n_docs", "n_tokens", "dup_docs",
+        "mean_quality_e4", "top_lang")
+  }
 }
