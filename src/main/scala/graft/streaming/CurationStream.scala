@@ -148,4 +148,21 @@ object CurationStream {
   def gatePan(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(coalesce(
       TextAnalytics.luhnValidCountColumn(col(textCol)) === 0, lit(false)))
+
+  /** Ingest-time dominant-script gate — the streaming deployment of
+    * [[TextAnalytics.scriptProfile]]'s verdict: keep only documents
+    * whose dominant script is in `scripts` (the mixed-script spam /
+    * mojibake-survivor filter language id alone misses). The SAME
+    * Column expression as batch t34 and the facade stage, so verdicts
+    * cannot diverge; stateless per-row predicate — zero state, zero
+    * shuffle. NULL text (dominant NULL) drops; script-less docs
+    * ("none") drop unless listed.
+    */
+  def gateScripts(
+      docs: DataFrame, textCol: String, scripts: Seq[String]): DataFrame = {
+    require(scripts.nonEmpty, "gateScripts needs at least one script")
+    docs.filter(coalesce(
+      TextAnalytics.dominantScriptColumn(col(textCol)).isin(scripts: _*),
+      lit(false)))
+  }
 }

@@ -250,4 +250,37 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(viaStats == got)
     } finally q.stop()
   }
+
+  test("streaming script gate equals the batch t34 dominant verdict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "plain english text"),
+      (2L, "чисто русский текст"),          // cyrillic -> dropped
+      (3L, "mixed 文 mostly english here"), // latin dominant -> kept
+      (4L, "12345 !!!"),                    // none -> dropped
+      (5L, null.asInstanceOf[String]))      // unscannable -> dropped
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStream.gateScripts(
+        mem.toDF().toDF("doc_id", "text"), "text", Seq("latin"))
+      .writeStream.format("memory").queryName("script_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("script_out").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 3L))
+      val batch = CurationStream.gateScripts(
+          rows.toDF("doc_id", "text"), "text", Seq("latin"))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(batch == got)
+      val viaProfile = graft.operators.TextAnalytics.scriptProfile(
+          rows.toDF("doc_id", "text").filter(col("text").isNotNull),
+          "doc_id", "text")
+        .filter(col("dominant") === "latin")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(viaProfile == got)
+    } finally q.stop()
+  }
 }
