@@ -172,6 +172,51 @@ object ScaleProbe {
           "chrom", "start", "stop", "doc_id",
           maxDist = 100L, binWidth = 256L).count()
       },
+      // complement over j12's synthesis against a genome that scales
+      // with the position space; gap rows track merged runs ~linearly
+      "j15_complement" -> { d =>
+        val span = math.max(1000L, probeN / 10)
+        val st = pmod(col("doc_id") * 37, lit(span))
+        val iv = d.select(
+          concat(lit("c"), pmod(col("doc_id"), lit(20)).cast("string"))
+            .as("chrom"),
+          st.as("start"),
+          (st + 5 + pmod(col("doc_id"), lit(20))).as("stop"))
+        IntervalDepth.complement(iv, "chrom", "start", "stop",
+          iv.select("chrom").distinct()
+            .withColumn("gsize", lit(span + 100)),
+          "chrom", "gsize").count()
+      },
+      // the j11 constant-density synthesis; pair volume bounded by the
+      // bin discipline, fractions are scan-side residuals
+      "j16_reciprocal" -> { d =>
+        val span = math.max(4000L, probeN)
+        val st = pmod(col("doc_id") * 37, lit(span))
+        val iv = d.select(
+          col("doc_id"),
+          concat(lit("c"), pmod(col("doc_id"), lit(20)).cast("string"))
+            .as("chrom"),
+          st.as("start"),
+          (st + 50 + pmod(col("doc_id"), lit(200))).as("stop"))
+        graft.operators.IntervalJoin.reciprocalOverlap(
+          iv.filter(col("doc_id") % 7 === 0),
+          iv.filter(col("doc_id") % 7 =!= 0),
+          "chrom", "start", "stop", "doc_id",
+          "chrom", "start", "stop", "doc_id",
+          minPctA = 50, minPctB = 50, binWidth = 256L).count()
+      },
+      // the j10 synthesis; one sweep + a per-chrom aggregate
+      "j17_coverage" -> { d =>
+        val span = math.max(1000L, probeN / 10)
+        val st = pmod(col("doc_id") * 37, lit(span))
+        IntervalDepth.coverageSummary(
+          d.select(
+            concat(lit("c"), pmod(col("doc_id"), lit(20)).cast("string"))
+              .as("chrom"),
+            st.as("start"),
+            (st + 50 + pmod(col("doc_id"), lit(200))).as("stop")),
+          "chrom", "start", "stop", thresholds = Seq(2L, 5L)).count()
+      },
       // same interval synthesis as j10; merged-run count grows with n
       // (spans tighten as the position space scales with the corpus)
       "j12_merge" -> { d =>
@@ -462,6 +507,25 @@ object ScaleProbe {
       "v16_margin" -> (e => Similarity.marginMining(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
         "vec_id", "vec_id", "embedding", k = 5).count()),
+      // fixed query side (the v1/v16 probe discipline): candidates are
+      // per-query top-20, so pair volume is queries x 400 at any n
+      "v17_mmr" -> { e =>
+        val cands = Similarity.cosineTopK(
+            e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+            "vec_id", "vec_id", "embedding", k = 20)
+          .select(col("q_id"), col("c_id"),
+            floor(col("sim") * 1000 + lit(0.5)).cast("long").as("rel_e3"))
+        Similarity.mmrRerank(cands, "q_id", "c_id", "rel_e3",
+          e, "vec_id", "embedding", k = 5, lambdaPct = 70).count()
+      },
+      // labels synthesized off vec_id; the vote is candidate-sized
+      "v18_knn" -> { e =>
+        graft.operators.Classifier.knnClassify(
+          e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") >= 10)
+            .withColumn("label", pmod(col("vec_id"), lit(5)).cast("int")),
+          "vec_id", "vec_id", "embedding", "label", k = 7).count()
+      },
       // near-dup banding and cluster blocking carry their documented
       // scale knobs here, exactly as a real deployment would set them:
       // 16-bit bands (vs the default 8) keep random-pair collisions at
