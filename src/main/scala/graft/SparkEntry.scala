@@ -1646,6 +1646,14 @@ SELECT q_id, c_id, mmr_round FROM sel5"""
   private def e2Calibration(s: SparkSession, d: String): DataFrame =
     Classifier.calibrationBins(ml1Scored(s, d), "score", "y")
 
+  /** e10: expected calibration error — the one-number gate over e2's
+    * decile bins (weighted 1e-6-lattice gaps, integer fold, round-
+    * half-up division) plus the worst bin's gap. Full oracle: e2's
+    * twin CTE + the identical integer tail.
+    */
+  private def e10CalibrationEce(s: SparkSession, d: String): DataFrame =
+    Classifier.ece(ml1Scored(s, d), "score", "y")
+
   /** c7: distribution-drift monitor — PSI over quality-score deciles
     * between the full corpus and its en-filtered subset (the shift a
     * curation policy would introduce; the "did the mix move" release
@@ -2922,6 +2930,7 @@ FROM c"""
     "ml1_quality_classifier" -> (ml1QualityClassifier _),
     "e1_ranking_metrics" -> (e1RankingMetrics _),
     "e2_calibration" -> (e2Calibration _),
+    "e10_calibration_ece" -> (e10CalibrationEce _),
     "e3_auc" -> (e3Auc _),
     "e4_agreement_kappa" -> (e4AgreementKappa _),
     "e5_precision_recall" -> (e5PrecisionRecall _),
@@ -3379,6 +3388,23 @@ FROM c"""
        |  round(abs(sum(score::DECIMAL(38,6))::DOUBLE / count(*)
        |    - sum(y::BIGINT)::DOUBLE / count(*)), 6) AS gap
        |FROM scored GROUP BY 1""".stripMargin
+
+  /** DuckDB twin of [[e10CalibrationEce]]: e2's bin CTE + the same
+    * exact-integer weighted-gap fold and round-half-up division.
+    */
+  private lazy val e10OracleSql: String =
+    s"""WITH $ml1ScoredCte,
+       |b AS (SELECT least(floor(score * 10::DOUBLE), 9::DOUBLE)::BIGINT
+       |    AS bin,
+       |  count(*)::BIGINT AS n,
+       |  round(abs(sum(score::DECIMAL(38,6))::DOUBLE / count(*)
+       |    - sum(y::BIGINT)::DOUBLE / count(*)), 6) AS gap
+       |FROM scored GROUP BY 1)
+       |SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS bins_used,
+       |  ((2 * sum(n * floor(gap * 1000000 + 0.5)) + sum(n)) //
+       |    (2 * sum(n)))::BIGINT AS ece_e6,
+       |  max(floor(gap * 1000000 + 0.5))::BIGINT AS max_gap_e6
+       |FROM b""".stripMargin
 
   /** DuckDB twin of [[e1RankingMetrics]]: the v10-form Hamming ranking
     * and v1-form cosine judgments, then the metric tail with the SAME
@@ -5460,6 +5486,7 @@ FROM c"""
     "ml1_quality_classifier" -> ml1OracleSql,
     "e1_ranking_metrics" -> e1OracleSql,
     "e2_calibration" -> e2OracleSql,
+    "e10_calibration_ece" -> e10OracleSql,
     "e3_auc" -> e3OracleSql,
     "e4_agreement_kappa" -> e4OracleSql,
     "e5_precision_recall" -> e5OracleSql,

@@ -128,6 +128,31 @@ object Classifier {
         round(abs(meanScore - fracPos), 6).as("gap"))
   }
 
+  /** Expected calibration error — the one-number summary of
+    * [[calibrationBins]] a model-quality gate thresholds on:
+    *
+    *   ECE = Σ_b (n_b / N) · |mean_score_b − frac_pos_b|
+    *
+    * plus the worst bin's gap (maximum calibration error). The bin
+    * gaps arrive on e2's 1e-6 lattice; the weighted sum n_b·gap_e6 is
+    * an exact integer fold over ≤ `bins` rows and the final value a
+    * round-half-up (2a+b) div 2b integer division — engine-stable,
+    * no float accumulation. One aggregate over the bin table (≤ bins
+    * rows) on top of calibrationBins' single corpus pass.
+    *
+    * Output: one row (n, bins_used, ece_e6, max_gap_e6).
+    */
+  def ece(
+      scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val b = calibrationBins(scored, scoreCol, labelCol, bins)
+    val g6 = floor(col("gap") * 1000000 + lit(0.5)).cast("long")
+    b.agg(sum("n").as("n"), count(lit(1)).as("bins_used"),
+        sum(col("n") * g6).as("__wg"), max(g6).as("max_gap_e6"))
+      .withColumn("ece_e6", expr("(2 * __wg + n) div (2 * n)"))
+      .select("n", "bins_used", "ece_e6", "max_gap_e6")
+  }
+
   /** Exact ROC-AUC of a binary scorer via the Mann–Whitney U statistic
     * with tie-averaged ranks:
     *

@@ -261,6 +261,17 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got == 0L)
   }
 
+  test("ece: hand-computed weighted gaps over decile bins") {
+    // bin 0: {0.05/y=0}   gap 0.05 ; bin 1: {0.15/1, 0.15/0} gap 0.35 ;
+    // bin 2: {0.25/1}     gap 0.75
+    // ECE = (1*0.05 + 2*0.35 + 1*0.75) / 4 = 0.375 ; MCE = 0.75
+    val scored = Seq((0.05, 0L), (0.15, 1L), (0.15, 0L), (0.25, 1L))
+      .toDF("score", "y")
+    val got = Classifier.ece(scored, "score", "y")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((4L, 3L, 375000L, 750000L)))
+  }
+
   test("knnClassify: majority vote, sim tie-break, label tie-break") {
     import org.apache.spark.sql.functions.col
     // labeled: axis-aligned clusters. label 1 along +x, label 2 along +y
