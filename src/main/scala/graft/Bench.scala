@@ -95,10 +95,23 @@ object Bench {
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    val qs = mins.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }.mkString("{", ",", "}")
+    // The stdout line must survive the driver's last-2000-chars capture
+    // (plus sbt's trailing "[success] Total time" line, ~75 chars). At
+    // 190 queries even prefix-keyed per-query entries run ~2.3 KB
+    // (BENCH_r07: parsed null), so the stdout "queries" map is now the
+    // 15 slowest individual queries plus per-family subtotals
+    // ("fam_d" = sum of every d* query) — bounded size no matter how
+    // many queries the suite grows to. bench_full.json stays the
+    // complete per-query record.
+    val families = mins.toSeq
+      .groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
+      .toSeq.sortBy(_._1)
+      .map { case (fam, kvs) => "\"fam_" + fam + "\":" + f(kvs.map(_._2).sum) }
+    val slowest = mins.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
+    val qs = (slowest ++ families).mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","keys":"query name prefixes","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"keys":"15 slowest + per-family sums; full per-query map in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

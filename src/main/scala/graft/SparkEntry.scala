@@ -6127,13 +6127,17 @@ FROM c"""
         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
         |      '\s+', ' ', 'g')) AS text
-        |  FROM s1)
-        |SELECT doc_id AS id, title, text, n_links,
-        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
-        |  floor(n_links::DOUBLE * 1000000::DOUBLE
-        |    / len(string_split(text, ' '))::DOUBLE + 0.5::DOUBLE)::BIGINT
-        |    AS link_density_e6
-        |FROM s2""".stripMargin,
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, title, text, n_links,
+        |    CASE WHEN text = '' THEN 0
+        |      ELSE len(string_split(text, ' ')) END::BIGINT AS n_tokens
+        |  FROM s2)
+        |SELECT doc_id AS id, title, text, n_links, n_tokens,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    floor(n_links::DOUBLE * 1000000::DOUBLE
+        |      / n_tokens::DOUBLE + 0.5::DOUBLE)::BIGINT
+        |  END AS link_density_e6
+        |FROM s3""".stripMargin,
     // j13 twin: the j12 running-max merge over the blacklist, the
     // overlap join, then complement gaps via lag windows — the head/
     // middle gaps from lag(o_e), the tail gap from max(o_e), untouched

@@ -176,9 +176,17 @@ object Dedup {
     require(minDf >= 1, s"minDf must be >= 1 (got $minDf)")
     require(maxShareE6 >= 0 && maxShareE6 <= 1000000L,
       s"maxShareE6 must be on [0, 1e6] (got $maxShareE6)")
+    // A null domain would be silently dropped by the null-rejecting
+    // equi-joins below (the doc vanishes from the output entirely), so
+    // fail loudly instead — the urlDedup null-score discipline.
+    val domainChecked = when(col(domainCol).isNull,
+        raise_error(concat(
+          lit("boilerplateLines: null domain for id "),
+          col(idCol).cast("string"))))
+      .otherwise(col(domainCol).cast("string"))
     val lines = docs.select(
       col(idCol).cast("long").as("id"),
-      col(domainCol).cast("string").as("domain"),
+      domainChecked.as("domain"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     val dfTab = lines.groupBy("domain", "line")
       .agg(count_distinct(col("id")).as("df"))

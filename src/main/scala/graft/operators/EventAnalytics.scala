@@ -402,9 +402,20 @@ object EventAnalytics {
     require(bucketUs > 0, s"bucketUs must be positive (got $bucketUs)")
     require(baseline >= minBaseline && minBaseline >= 1,
       s"need baseline >= minBaseline >= 1 (got $baseline, $minBaseline)")
+    // Bucket via the retentionCohorts exact floor idiom on a renamed
+    // internal column: col(tsCol) resolves the caller's name through
+    // the analyzer (a raw-SQL interpolation would break on names that
+    // need backquoting), and (ts − pmod(ts, d)) div d floors for ANY
+    // sign — `div` alone truncates toward zero, so pre-epoch
+    // timestamps would bucket off-by-one vs the oracle's `//`.
+    // One step in nanos (d = bucketUs·1000) ≡ µs-floor then
+    // bucket-floor, with no intermediate truncation.
+    val bucketNs = bucketUs * 1000L
     val counts = events
-      .select(col(typeCol).as("event_type"),
-        expr(s"($tsCol div 1000) div $bucketUs").as("bucket"))
+      .select(col(typeCol).as("event_type"), col(tsCol).cast("long").as("__ts"))
+      .select(col("event_type"),
+        expr(s"(__ts - pmod(__ts, ${bucketNs}L)) div ${bucketNs}L")
+          .as("bucket"))
       .groupBy("event_type", "bucket").agg(count(lit(1)).as("n_events"))
     val w = Window.partitionBy("event_type").orderBy("bucket")
       .rowsBetween(-baseline, -1)

@@ -60,8 +60,15 @@ object Sampling {
       seed: String = "graft"): DataFrame = {
     require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
       s"val+test percent must fit in [0, 100) (got $valPct + $testPct)")
+    // A null group would hash to a null bucket, fail both when()
+    // branches and silently land in "train" — concentrating null-group
+    // near-duplicates on the training side with no signal. Fail loudly
+    // instead (the urlDedup / depthHistogram null-key discipline).
+    val groupChecked = when(col(groupCol).isNull,
+        raise_error(lit("groupSplit: null group value")))
+      .otherwise(col(groupCol).cast("string"))
     val bucket = conv(
-      substring(md5(concat(lit(seed), col(groupCol).cast("string"))), 1, 15),
+      substring(md5(concat(lit(seed), groupChecked)), 1, 15),
       16, 10).cast("long") % 100
     df.withColumn("split",
       when(bucket < valPct, lit("val"))

@@ -91,10 +91,21 @@ object Similarity {
     require(k >= 1 && k <= 64, s"k must be in [1, 64] (got $k)")
     require(thresholdPct >= 100 && thresholdPct <= 1000,
       s"thresholdPct must be in [100, 1000] (got $thresholdPct)")
+    // A zero-norm vector would make the cosine divide NaN → NULL
+    // sim_e3, silently mis-ranking or dropping those candidates from
+    // every neighborhood — fail loudly instead (the urlDedup null-key
+    // discipline). Cosine over a zero vector has no defined value;
+    // callers with zero vectors must filter them with intent first.
+    def normChecked(idCol: Column, n: Column, side: String): Column =
+      when(n.isNull || n === 0.0,
+        raise_error(concat(
+          lit(s"marginMining: zero/null-norm $side vector for id "),
+          idCol.cast("string"))))
+        .otherwise(n)
     val l = left.select(col(lIdCol).as("l_id"), col(vecCol).as("l_vec"),
-      fnorm(col(vecCol)).as("l_norm"))
+      normChecked(col(lIdCol), fnorm(col(vecCol)), "left").as("l_norm"))
     val r = right.select(col(rIdCol).as("r_id"), col(vecCol).as("r_vec"),
-      fnorm(col(vecCol)).as("r_norm"))
+      normChecked(col(rIdCol), fnorm(col(vecCol)), "right").as("r_norm"))
     val s = r.crossJoin(broadcast(l))
       .select(col("l_id"), col("r_id"),
         floor(fdot(col("l_vec"), col("r_vec")) /
@@ -166,9 +177,16 @@ object Similarity {
     val cands = candidates.select(
       col(qIdCol).as("q_id"), col(cIdCol).as("c_id"),
       col(relE3Col).cast("long").as("rel_e3"))
+    // Same zero-norm contract as marginMining: a zero/null-norm vector
+    // would NaN→NULL the pairwise sim and silently skew the
+    // redundancy penalty — fail loudly instead.
     val cv = cands.join(
         vectors.select(col(vIdCol).as("c_id"), col(vecCol).as("v"),
-          fnorm(col(vecCol)).as("n")),
+          when(fnorm(col(vecCol)).isNull || fnorm(col(vecCol)) === 0.0,
+            raise_error(concat(
+              lit("mmrRerank: zero/null-norm vector for id "),
+              col(vIdCol).cast("string"))))
+            .otherwise(fnorm(col(vecCol))).as("n")),
         Seq("c_id"))
       .localCheckpoint()
     val pairs = cv.as("x").join(cv.as("y"),

@@ -1109,15 +1109,22 @@ object TextAnalytics {
         lit("&amp;"), lit("&"))
     val text = trim(regexp_replace(unescaped, "\\s+", " "))
     val nLinks = regexp_count(h, lit("(?i)<a[\\s>]")).cast("long")
-    val nTokens = size(split(text, " ")).cast("long")
+    // split("", " ") yields [""], so an empty extracted body would
+    // report n_tokens = 1 — understating link density for exactly the
+    // nav/footer-only pages the density signal exists to flag. Empty
+    // body → 0 tokens, and a token-less page has no defined density
+    // (NULL, never a divide-by-zero artifact).
+    val nTokens = when(text === "", lit(0L))
+      .otherwise(size(split(text, " ")).cast("long"))
     docs.select(
       col(idCol).as("id"),
       regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1).as("title"),
       text.as("text"),
       nLinks.as("n_links"),
       nTokens.as("n_tokens"),
-      floor(nLinks.cast("double") * lit(1e6) / nTokens.cast("double")
-        + lit(0.5)).cast("long").as("link_density_e6"))
+      when(nTokens > 0,
+        floor(nLinks.cast("double") * lit(1e6) / nTokens.cast("double")
+          + lit(0.5)).cast("long")).as("link_density_e6"))
   }
 
   /** The classic UTF-8-decoded-as-Latin-1 artifact sequences — what

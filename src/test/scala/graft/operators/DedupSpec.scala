@@ -483,4 +483,18 @@ class DedupSpec extends AnyFunSuite {
       || e.getCause != null && e.getCause.getMessage.contains("null score"),
       e.getMessage)
   }
+
+  test("boilerplateLines rejects a null domain loudly instead of dropping") {
+    // The domain equi-joins are null-rejecting: without the guard a
+    // null-domain doc would silently vanish from the output.
+    val rows = Seq((1L, Some("A"), "body\nfoot"),
+        (2L, Option.empty[String], "body\nfoot"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[Exception] {
+      Dedup.boilerplateLines(rows, "doc_id", "text", "source").collect()
+    }
+    assert(e.getMessage.contains("null domain")
+      || e.getCause != null && e.getCause.getMessage.contains("null domain"),
+      e.getMessage)
+  }
 }

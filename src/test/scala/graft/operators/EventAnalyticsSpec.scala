@@ -281,6 +281,17 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(("u", 24L))._3)  // (24·6−48)² = 9216 > 5184
   }
 
+  test("rateAnomaly buckets pre-epoch timestamps by floor division") {
+    // `div` truncates toward zero, so a ts 1 ns before the epoch used
+    // to bucket as 0 alongside the first post-epoch hour; floor
+    // division puts it in bucket −1 — matching the oracle's `//`.
+    val got = EventAnalytics.rateAnomaly(
+        Seq((-1L, "a"), (-3600L * 1000 * 1000 * 1000, "a"), (1L, "a"))
+          .toDF("ts", "event_type"), "ts", "event_type")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(-1L -> 2L, 0L -> 1L))
+  }
+
   test("multi-touch attribution: hand-computed U-shape credits") {
     import org.apache.spark.sql.functions.lit
     // (event_id, ts, user_id, event_type); lookback = 100 ticks

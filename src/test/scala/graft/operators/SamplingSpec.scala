@@ -265,4 +265,18 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.groupSplit(df, "grp", valPct = 60, testPct = 40)
     }
   }
+
+  test("groupSplit rejects a null group loudly instead of train-defaulting") {
+    // A null group used to hash to a null bucket and fall through both
+    // when() branches into "train" — concentrating null-group near-dups
+    // on the training side with no signal.
+    val rows = Seq((1L, Some("a")), (2L, Option.empty[String]))
+      .toDF("id", "grp")
+    val e = intercept[Exception] {
+      Sampling.groupSplit(rows, "grp").collect()
+    }
+    assert(e.getMessage.contains("null group")
+      || e.getCause != null && e.getCause.getMessage.contains("null group"),
+      e.getMessage)
+  }
 }

@@ -502,4 +502,29 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().sorted.toSeq
     assert(run(1, 2) == run(7, 13))
   }
+
+  test("marginMining and mmrRerank reject zero-norm vectors loudly") {
+    // A zero-norm vector used to NaN→NULL the cosine and silently
+    // drop/mis-rank those candidates instead of failing.
+    val good = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)))
+    val withZero = (good :+ (3L -> Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Similarity.marginMining(
+        withZero.filter($"vec_id" < 3), withZero.filter($"vec_id" === 3),
+        "vec_id", "vec_id", "embedding", k = 1).collect()
+    }
+    assert(e1.getMessage.contains("zero/null-norm")
+      || e1.getCause != null &&
+        e1.getCause.getMessage.contains("zero/null-norm"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Similarity.mmrRerank(
+        Seq((1L, 3L, 500L)).toDF("q_id", "c_id", "rel_e3"),
+        "q_id", "c_id", "rel_e3",
+        withZero, "vec_id", "embedding", k = 2, lambdaPct = 70).collect()
+    }
+    assert(e2.getMessage.contains("zero/null-norm")
+      || e2.getCause != null &&
+        e2.getCause.getMessage.contains("zero/null-norm"), e2.getMessage)
+  }
 }

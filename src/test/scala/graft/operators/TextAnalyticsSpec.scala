@@ -532,6 +532,21 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(q.getAs[Long]("link_density_e6") == 0L)
   }
 
+  test("htmlExtract: empty-body page reports 0 tokens and NULL density") {
+    // A nav-only page whose extracted text is empty used to read
+    // n_tokens = 1 (split("", " ") = [""]) — understating link density
+    // for exactly the pages the signal exists to flag.
+    val got = TextAnalytics.htmlExtract(
+        Seq((1L, "<body><a href=\"/x\"></a><a href=\"/y\"></a></body>"))
+          .toDF("doc_id", "html"),
+        "doc_id", "html")
+      .collect().head
+    assert(got.getAs[String]("text") == "")
+    assert(got.getAs[Long]("n_tokens") == 0L)
+    assert(got.getAs[Long]("n_links") == 2L)
+    assert(got.isNullAt(got.fieldIndex("link_density_e6")))
+  }
+
   test("normalizeText unifies typography and drops zero-widths") {
     val got = TextAnalytics.normalizeText(
         Seq(
