@@ -229,7 +229,13 @@ object Graph {
     // propagate's rank table; the L1 sum then rides as a broadcast
     // one-row join with no extra action.
     def norm(df: DataFrame, c: String): DataFrame = {
-      val m = df.localCheckpoint()
+      // LAZY checkpoint: the L1-sum broadcast job is the first to touch
+      // the RDD and materializes the cache in passing; an eager
+      // checkpoint here would add a dedicated job per half-step (16
+      // extra jobs per run — measured ~25% of g3's wall time at sf0.1).
+      // Lineage still truncates at materialization, which is all the
+      // 2^k-plan-growth guard needs.
+      val m = df.localCheckpoint(eager = false)
       val s = m.agg(sum(col(c)).as("__s"))
       m.crossJoin(broadcast(s))
         .select(col("node"),
