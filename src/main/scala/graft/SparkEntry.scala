@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BpeTrain, Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalDepth, IntervalJoin, Layout, ModelRegistry, Multimodal, Pca, Profiling, RecordLinkage, Retrieval, Sampling, Sharding, Similarity, Sketches, Snapshot, TextAnalytics}
+import graft.operators.{BpeTrain, ChatData, Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalDepth, IntervalJoin, Layout, ModelRegistry, Multimodal, Pca, Profiling, RecordLinkage, Retrieval, Sampling, Sharding, Similarity, Sketches, Snapshot, TextAnalytics}
 import graft.sources.Tables
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
@@ -2574,6 +2574,92 @@ FROM c"""
         (length(col("text")) % 3 === 0).as("ok")),
       "task", "ok", ks = Seq(1, 5, 10))
 
+  /** t35: source-code quality filters (The Stack / StarCoder) — the
+    * documents table recast as code files by turning two stopword
+    * boundaries into newlines (one with a `//` comment marker), then
+    * line-length profile, alnum fraction, comment fraction and the
+    * composite keep verdict at the published thresholds. Full oracle:
+    * exact integer folds + round-half-up lattice divisions replayed
+    * verbatim.
+    */
+  private def t35CodeQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.codeQuality(
+      T(s, d, "documents").select(col("doc_id"),
+        replace(replace(col("text"), lit(" the "), lit("\n// ")),
+          lit(" of "), lit("\n")).as("text")),
+      "doc_id", "text")
+
+  /** t36: fill-in-the-middle transform — deterministic seeded cuts into
+    * (prefix, middle, suffix) + the PSM training string. Full oracle:
+    * the same modular cut arithmetic and 1-based substr windows.
+    */
+  private def t36FimSplit(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.fimSplit(T(s, d, "documents"), "doc_id", "text")
+
+  /** t37: skip-gram (center, context) pairs, window 2, count >= 3 —
+    * word2vec/GloVe training-pair extraction. Full oracle: the same
+    * offset-zip fan-out both directions + one count.
+    */
+  private def t37SkipgramPairs(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.skipgramPairs(
+      T(s, d, "documents"), "text", window = 2, minCount = 3L)
+
+  /** e11: sentence BLEU over a candidate-corruption grid — references
+    * are each doc's first 12 tokens; candidates are identical /
+    * truncated-to-8 / padded-with-4 / reversed (kinds 0-3). Full
+    * oracle: exact integer clip counts, sqrt∘sqrt geometric mean, the
+    * one exp confined to the truncated kind.
+    */
+  private def e11Bleu(s: SparkSession, d: String): DataFrame = {
+    val t = T(s, d, "documents").select(col("doc_id"),
+      filter(split(col("text"), " "), x => x =!= "").as("w"))
+    val p = t
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("k"),
+        slice(col("w"), 1, 12).as("r12"), col("w"))
+      .select((col("doc_id") * 4 + col("k")).as("pair_id"),
+        array_join(col("r12"), " ").as("ref"),
+        array_join(
+          when(col("k") === 0, col("r12"))
+            .when(col("k") === 1, slice(col("w"), 1, 8))
+            .when(col("k") === 2, concat(col("r12"), slice(col("w"), 1, 4)))
+            .otherwise(reverse(col("r12"))), " ").as("cand"))
+    Retrieval.bleu(p, "pair_id", "cand", "ref", maxN = 4)
+  }
+
+  /** g5: per-node triangle count + local clustering coefficient over a
+    * chain-and-chord doc graph (i—i+1, i—i+2: every consecutive trio
+    * closes a triangle). Full oracle: the same degree-ordered wedge
+    * enumeration — exact integers end to end.
+    */
+  private def g5Triangles(s: SparkSession, d: String): DataFrame = {
+    val ids = T(s, d, "documents").select(col("doc_id"))
+    val hop = ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 1).as("dst"))
+      .unionByName(ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 2).as("dst")))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    Graph.triangles(hop, "src", "dst")
+  }
+
+  /** c13: chat-format validation — documents cast as conversation turns
+    * (conv = doc_id div 6, ordinal = doc_id mod 6) with deterministic
+    * role corruptions (every 17th doc forces 'user', every 29th an
+    * unknown 'system' role), then per-conversation alternation /
+    * convention checks. Full oracle: the same lag-window violation
+    * count and arg-min/max first/last roles.
+    */
+  private def c13ChatValidate(s: SparkSession, d: String): DataFrame =
+    ChatData.conversationStats(
+      T(s, d, "documents").select(
+        expr("doc_id div 6").as("conv"),
+        expr("doc_id % 6").as("ord"),
+        when(expr("doc_id % 17") === 0, lit("user"))
+          .when(expr("doc_id % 29") === 0, lit("system"))
+          .when(expr("doc_id % 2") === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        col("text")),
+      "conv", "ord", "role", "text")
+
   private def e8QaF1(s: SparkSession, d: String): DataFrame = {
     val w = split(col("text"), " ")
     val ref = concat_ws(" ", slice(w, 1, 6))
@@ -3025,7 +3111,13 @@ FROM c"""
     "q22_dormant_customers" -> (q22DormantCustomers _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q11_important_parts" -> (q11ImportantParts _),
-    "q20_dominant_supplier" -> (q20DominantSupplier _))
+    "q20_dominant_supplier" -> (q20DominantSupplier _),
+    "t35_code_quality" -> (t35CodeQuality _),
+    "t36_fim_split" -> (t36FimSplit _),
+    "t37_skipgram_pairs" -> (t37SkipgramPairs _),
+    "e11_bleu" -> (e11Bleu _),
+    "g5_triangles" -> (g5Triangles _),
+    "c13_chat_validate" -> (c13ChatValidate _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -6783,7 +6875,199 @@ FROM c"""
         |    ON l_partkey = tp WHERE q > 0.5 * tq)
         |  AND s_nationkey IN (SELECT n_nationkey FROM nation
         |    JOIN region ON n_regionkey = r_regionkey
-        |    WHERE r_name = 'ASIA')""".stripMargin)
+        |    WHERE r_name = 'ASIA')""".stripMargin,
+    // t35 twin: the same code-ish recast (two stopword boundaries ->
+    // newlines), per-line integer folds, and round-half-up lattice
+    // divisions
+    "t35_code_quality" ->
+      """WITH c AS (SELECT doc_id,
+        |    replace(replace(text, ' the ', chr(10) || '// '),
+        |      ' of ', chr(10)) AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM c),
+        |m AS (SELECT doc_id,
+        |    len(lines)::BIGINT AS n_lines,
+        |    list_aggregate(list_transform(lines, x -> length(x)), 'max')
+        |      ::BIGINT AS max_line_len,
+        |    list_aggregate(list_transform(lines, x -> length(x)), 'sum')
+        |      ::BIGINT AS sum_line_len,
+        |    len(list_filter(lines, x ->
+        |      regexp_matches(trim(x), '^(#|//|--|/\*|\*)')))::BIGINT
+        |      AS n_comment,
+        |    length(t)::BIGINT AS n_chars,
+        |    length(regexp_replace(t, '[a-zA-Z0-9]', '', 'g'))::BIGINT
+        |      AS n_non_alnum
+        |  FROM l),
+        |f AS (SELECT doc_id AS id, n_lines, max_line_len,
+        |    (2*sum_line_len*10000 + n_lines) // (2*n_lines)
+        |      AS mean_line_len_e4,
+        |    CASE WHEN n_chars > 0 THEN
+        |      (2*(n_chars-n_non_alnum)*1000000 + n_chars) // (2*n_chars)
+        |    END AS alnum_frac_e6,
+        |    (2*n_comment*1000000 + n_lines) // (2*n_lines)
+        |      AS comment_frac_e6
+        |  FROM m)
+        |SELECT id, n_lines, max_line_len, mean_line_len_e4,
+        |  alnum_frac_e6, comment_frac_e6,
+        |  (max_line_len <= 1000 AND mean_line_len_e4 <= 1000000
+        |    AND coalesce(alnum_frac_e6 >= 250000, false)) AS keep
+        |FROM f""".stripMargin,
+    // t36 twin: identical modular cut arithmetic; CASE keeps the
+    // modulus guarded exactly like Spark's lazy when()
+    "t36_fim_split" ->
+      """WITH b AS (SELECT doc_id AS id, text AS t,
+        |    length(text)::BIGINT AS len FROM documents),
+        |c AS (SELECT id, t, len, (len >= 3 AND id >= 0) AS fim,
+        |    CASE WHEN len >= 3 AND id >= 0
+        |      THEN 1 + (id*31) % (len-2) END AS cut1
+        |  FROM b),
+        |c2 AS (SELECT id, t, len, fim, cut1,
+        |    CASE WHEN fim
+        |      THEN cut1 + 1 + (id*17) % (len - cut1 - 1) END AS cut2
+        |  FROM c),
+        |p AS (SELECT id, fim,
+        |    CASE WHEN fim THEN substr(t, 1, cut1::INT) ELSE t END
+        |      AS prefix,
+        |    CASE WHEN fim THEN substr(t, (cut1+1)::INT, (cut2-cut1)::INT)
+        |      ELSE '' END AS middle,
+        |    CASE WHEN fim THEN substr(t, (cut2+1)::INT, (len-cut2)::INT)
+        |      ELSE '' END AS suffix
+        |  FROM c2)
+        |SELECT id, fim, prefix, middle, suffix,
+        |  CASE WHEN fim THEN '<PRE>' || prefix || '<SUF>' || suffix
+        |    || '<MID>' || middle ELSE prefix END AS fim_text
+        |FROM p""".stripMargin,
+    // t37 twin: the same offset-zip fan-out (k = 1, 2), both
+    // directions, one count with the vocabulary floor
+    "t37_skipgram_pairs" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '),
+        |    x -> x <> '') AS w FROM documents),
+        |pos AS (SELECT w, unnest([1, 2]) AS k FROM t),
+        |pr AS (SELECT unnest(list_transform(
+        |    range(1, greatest(len(w) - k + 1, 1)),
+        |    i -> {'a': w[i], 'b': w[i+k]})) AS p FROM pos),
+        |d AS (SELECT p.a AS a, p.b AS b FROM pr
+        |  UNION ALL SELECT p.b, p.a FROM pr)
+        |SELECT a AS center, b AS context, count(*)::BIGINT AS cnt
+        |FROM d GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    // e11 twin: exact integer clip counts per (pair, n), the sqrt∘sqrt
+    // geometric mean (sqrt is correctly rounded — pow is not), and the
+    // single exp confined to the truncated kind
+    "e11_bleu" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |    x -> x <> '') AS w FROM documents),
+        |pairs AS (SELECT doc_id*4 + k AS q_id,
+        |    CASE WHEN k = 0 THEN w[1:12] WHEN k = 1 THEN w[1:8]
+        |         WHEN k = 2 THEN list_concat(w[1:12], w[1:4])
+        |         ELSE list_reverse(w[1:12]) END AS ct,
+        |    w[1:12] AS rt
+        |  FROM t, (SELECT unnest([0, 1, 2, 3]) AS k)),
+        |cpos AS (SELECT q_id, ct, n,
+        |    unnest(range(1, greatest(len(ct)-n+2, 1))) AS i
+        |  FROM pairs, (SELECT unnest([1, 2, 3, 4]) AS n)),
+        |cg AS (SELECT q_id, n, array_to_string(ct[i:i+n-1], ' ') AS gram,
+        |    count(*) AS cc
+        |  FROM cpos GROUP BY 1, 2, 3),
+        |rpos AS (SELECT q_id, rt, n,
+        |    unnest(range(1, greatest(len(rt)-n+2, 1))) AS i
+        |  FROM pairs, (SELECT unnest([1, 2, 3, 4]) AS n)),
+        |rg AS (SELECT q_id, n, array_to_string(rt[i:i+n-1], ' ') AS gram,
+        |    count(*) AS rc
+        |  FROM rpos GROUP BY 1, 2, 3),
+        |clip AS (SELECT cg.q_id, cg.n, sum(least(cc, rc))::BIGINT AS clip
+        |  FROM cg JOIN rg USING (q_id, n, gram) GROUP BY 1, 2),
+        |byq AS (SELECT q_id,
+        |    sum(CASE WHEN n = 1 THEN clip END)::BIGINT AS clip_1,
+        |    sum(CASE WHEN n = 2 THEN clip END)::BIGINT AS clip_2,
+        |    sum(CASE WHEN n = 3 THEN clip END)::BIGINT AS clip_3,
+        |    sum(CASE WHEN n = 4 THEN clip END)::BIGINT AS clip_4
+        |  FROM clip GROUP BY 1),
+        |lens AS (SELECT q_id, len(ct)::BIGINT AS c_len,
+        |    len(rt)::BIGINT AS r_len FROM pairs),
+        |f AS (SELECT lens.q_id, c_len, r_len, clip_1, clip_2, clip_3,
+        |    clip_4
+        |  FROM lens LEFT JOIN byq ON lens.q_id = byq.q_id)
+        |SELECT q_id, c_len, r_len, clip_1, clip_2, clip_3, clip_4,
+        |  CASE WHEN c_len = 0 OR coalesce(clip_1, 0) = 0
+        |      OR coalesce(clip_2, 0) = 0 OR coalesce(clip_3, 0) = 0
+        |      OR coalesce(clip_4, 0) = 0 THEN 0
+        |  ELSE floor(
+        |    (CASE WHEN c_len >= r_len THEN 1.0::DOUBLE
+        |      ELSE exp(1.0::DOUBLE - r_len::DOUBLE / c_len::DOUBLE) END)
+        |    * sqrt(sqrt(
+        |        clip_1::DOUBLE / c_len::DOUBLE
+        |      * clip_2::DOUBLE / (c_len-1)::DOUBLE
+        |      * clip_3::DOUBLE / (c_len-2)::DOUBLE
+        |      * clip_4::DOUBLE / (c_len-3)::DOUBLE))
+        |    * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT
+        |  END AS bleu_e6
+        |FROM f""".stripMargin,
+    // g5 twin: the same degree-ordered forward wedge enumeration and
+    // lattice clustering coefficient
+    "g5_triangles" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |e0 AS (SELECT doc_id AS s, doc_id + 1 AS t FROM ids
+        |  UNION ALL SELECT doc_id, doc_id + 2 FROM ids),
+        |e1 AS (SELECT s, t FROM e0
+        |  WHERE t IN (SELECT doc_id FROM ids) AND s <> t),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |    SELECT s::VARCHAR AS a, t::VARCHAR AS b FROM e1
+        |    UNION ALL SELECT t::VARCHAR, s::VARCHAR FROM e1)),
+        |deg AS (SELECT a AS node, count(*)::BIGINT AS deg
+        |  FROM und GROUP BY 1),
+        |ord_e AS (SELECT und.a AS u, und.b AS v FROM und
+        |  JOIN deg da ON da.node = und.a
+        |  JOIN deg db ON db.node = und.b
+        |  WHERE da.deg < db.deg
+        |    OR (da.deg = db.deg AND und.a < und.b)),
+        |tri AS (SELECT x.u AS ta, x.v AS tb, y.v AS tc
+        |  FROM ord_e x JOIN ord_e y ON x.u = y.u AND x.v < y.v
+        |  WHERE EXISTS (SELECT 1 FROM und
+        |    WHERE und.a = x.v AND und.b = y.v)),
+        |pn AS (SELECT node, count(*)::BIGINT AS triangles FROM (
+        |    SELECT ta AS node FROM tri
+        |    UNION ALL SELECT tb FROM tri
+        |    UNION ALL SELECT tc FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.node, deg.deg,
+        |  coalesce(pn.triangles, 0)::BIGINT AS triangles,
+        |  CASE WHEN deg.deg >= 2 THEN
+        |    (2*(2*coalesce(pn.triangles, 0)*1000000)
+        |      + deg.deg*(deg.deg-1)) // (2*deg.deg*(deg.deg-1))
+        |  END AS cc_e6
+        |FROM deg LEFT JOIN pn ON deg.node = pn.node""".stripMargin,
+    // c13 twin: the same role-corruption grid, lag-window violation
+    // count, and arg-min/max first/last roles
+    "c13_chat_validate" ->
+      """WITH turns AS (SELECT doc_id // 6 AS conv_id, doc_id % 6 AS ord,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'user'
+        |         WHEN doc_id % 29 = 0 THEN 'system'
+        |         WHEN doc_id % 2 = 0 THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    length(text)::BIGINT AS n_chars
+        |  FROM documents),
+        |l AS (SELECT *, lag(role) OVER (
+        |    PARTITION BY conv_id ORDER BY ord) AS prev_role FROM turns),
+        |g AS (SELECT conv_id, count(*)::BIGINT AS n_turns,
+        |    sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_user,
+        |    sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_assistant,
+        |    sum(CASE WHEN role IN ('user', 'assistant') THEN 0 ELSE 1
+        |      END)::BIGINT AS n_other,
+        |    arg_min(role, ord) AS first_role,
+        |    arg_max(role, ord) AS last_role,
+        |    sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
+        |      AS alternates,
+        |    sum(n_chars)::BIGINT AS total_chars
+        |  FROM l GROUP BY 1)
+        |SELECT conv_id, n_turns, n_user, n_assistant, n_other,
+        |  first_role = 'user' AS starts_user,
+        |  last_role = 'assistant' AS ends_assistant,
+        |  alternates, total_chars,
+        |  (first_role = 'user' AND last_role = 'assistant' AND alternates
+        |    AND n_other = 0 AND n_turns >= 2) AS valid
+        |FROM g""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

@@ -269,6 +269,76 @@ object Graph {
         (coalesce(col("a"), lit(0.0)) / lit(scale)).as("auth"))
   }
 
+  /** Per-node triangle count and local clustering coefficient (Watts &
+    * Strogatz 1998; enumeration per Schank & Wagner 2005's
+    * degree-ordered forward algorithm) — the link-farm / community
+    * signal complementing the propagation family: spam rings and
+    * boilerplate mirror clusters are triangle-dense, organic citation
+    * graphs sparse.
+    *
+    * The graph is treated as undirected and simple: edges are
+    * symmetrized, parallel edges collapse, self-loops drop. Each
+    * triangle is enumerated EXACTLY once via the degree-ordering trick:
+    * every edge orients from its lower (degree, node) endpoint to the
+    * higher, wedges fan out only from a node's out-edges, and the
+    * closing edge is a semi-join — each triangle's minimum-order vertex
+    * is its unique wedge center, so no post-dedup pass exists. The
+    * orientation also bounds the wedge fan-out by the OUT-degree
+    * (≤ O(√m) on any graph), which is what keeps a celebrity hub from
+    * exploding the join — the standard skew defense for triangle
+    * counting, not just an optimization.
+    *
+    * Determinism: everything is exact integer counting; the clustering
+    * coefficient 2T/(d(d−1)) lands on the 1e-6 lattice via round-half-up
+    * (2a + b) div 2b integer division. Nodes with degree < 2 have no
+    * defined coefficient (NULL), degree-≥2 nodes with no triangles read
+    * 0.
+    *
+    * Scale: one distinct + degree aggregate, one self-join on the wedge
+    * center (equi, AQE-splittable), one two-key semi-join for the
+    * closure, one explode + count. No window, no driver state.
+    *
+    * Output: (node, deg, triangles, cc_e6).
+    */
+  def triangles(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(
+        col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val und = raw
+      .unionAll(raw.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    // orient each undirected edge from lower (deg, node) to higher
+    val ord = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .filter(struct(col("da"), col("a")) < struct(col("db"), col("b")))
+      .select(col("a").as("u"), col("b").as("v"))
+      .localCheckpoint()
+    val tri = ord.as("x")
+      .join(ord.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("ta"), col("x.v").as("tb"), col("y.v").as("tc"))
+      // closing edge: (tb, tc) present in the symmetric edge set
+      .join(und.select(col("a").as("tb"), col("b").as("tc")),
+        Seq("tb", "tc"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_e6",
+        when(col("deg") >= 2,
+          expr("(2 * (2 * triangles * 1000000) + deg * (deg - 1)) " +
+            "div (2 * deg * (deg - 1))")))
+  }
+
   /** Synchronous label propagation (Raghavan, Albert & Kumara, Phys.
     * Rev. E 2007) — community detection over the doc/host/source link
     * graph: each round every node adopts the most frequent label among

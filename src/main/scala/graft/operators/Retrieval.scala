@@ -340,4 +340,90 @@ object Retrieval {
             lit(1000000.0) + lit(0.5)).cast("long")))
     }
   }
+
+  /** Corpus-scale sentence BLEU (Papineni et al. 2002, ACL) — clipped
+    * n-gram precision up to `maxN` with the brevity penalty; THE
+    * machine-translation / generation-eval metric, run per
+    * (candidate, reference) pair.
+    *
+    *   p_n  = Σ_g min(cnt_cand(g), cnt_ref(g)) / (c − n + 1)
+    *   BLEU = BP · (Π p_n)^(1/maxN),  BP = min(1, e^(1 − r/c))
+    *
+    * Zero rule: an empty candidate or ANY zero clipped count scores 0
+    * (unsmoothed sentence BLEU — smoothing variants are a caller-side
+    * epsilon on the clip counts).
+    *
+    * Determinism: clip counts are exact integer (q, n, gram)
+    * count-join sums (the [[qaTokenF1]] overlap discipline); the
+    * geometric mean is sqrt∘sqrt (maxN = 4) / sqrt (2) / identity (1)
+    * — sqrt is IEEE-correctly-rounded, unlike pow — so the only
+    * transcendental in the tree is ONE exp on short-candidate rows
+    * (within 1 ulp everywhere; same lattice exposure the pmi/zipf log
+    * already accepts). maxN is restricted to {1, 2, 4} for exactly
+    * this reason.
+    *
+    * Scale: one gram explode + map-side-combined count per side (all
+    * n in one pass — the gram fan-out is scan-side CPU), one
+    * (q, n, gram) equi-join, a per-(q, n) rollup and a q-sized pivot.
+    * No window, no driver state.
+    *
+    * Output: (q_id, c_len, r_len, clip_1..clip_maxN, bleu_e6) —
+    * clip_n NULL when the pair has no overlapping n-gram (kept NULL,
+    * not 0, so "no overlap" and "overlap counted 0" stay
+    * distinguishable; the zero rule treats both as 0).
+    */
+  def bleu(
+      pairs: DataFrame, idCol: String, candCol: String, refCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(Seq(1, 2, 4).contains(maxN),
+      s"maxN must be 1, 2 or 4 (got $maxN) — the geometric mean must " +
+        "compose from correctly-rounded sqrt, never pow")
+    val base = pairs.select(col(idCol).cast("long").as("q_id"),
+      filter(split(col(candCol), " "), t => t =!= "").as("ct"),
+      filter(split(col(refCol), " "), t => t =!= "").as("rt"))
+    // (n, gram) structs for all n in one scan-side fan-out. The short
+    // side is an explicit empty array, never sequence(1, 0) — a
+    // descending sequence would fan out i = 0 and slice rejects start 0
+    // (the wordShingles pitfall).
+    def grams(toks: Column): Column =
+      flatten(transform(sequence(lit(1), lit(maxN)), n =>
+        when(size(toks) >= n,
+          transform(
+            sequence(lit(1), size(toks) - n + 1),
+            i => struct(n.as("n"),
+              concat_ws(" ", slice(toks, i, n)).as("gram"))))
+          .otherwise(array().cast("array<struct<n:int,gram:string>>"))))
+    def counts(c: String, out: String): DataFrame =
+      base.select(col("q_id"), explode(grams(col(c))).as("g"))
+        .groupBy(col("q_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as(out))
+    val clips = counts("ct", "cc")
+      .join(counts("rt", "rc"), Seq("q_id", "n", "gram"))
+      .groupBy("q_id", "n").agg(sum(least(col("cc"), col("rc"))).as("clip"))
+    val pivotCols = (1 to maxN).map(n =>
+      sum(when(col("n") === n, col("clip"))).as(s"clip_$n"))
+    val byQ = clips.groupBy("q_id").agg(pivotCols.head, pivotCols.tail: _*)
+    val lens = base.select(col("q_id"),
+      size(col("ct")).cast("long").as("c_len"),
+      size(col("rt")).cast("long").as("r_len"))
+    val anyZero = (1 to maxN)
+      .map(n => coalesce(col(s"clip_$n"), lit(0L)) === 0L)
+      .reduce(_ || _)
+    val prod = (1 to maxN).map { n =>
+      col(s"clip_$n").cast("double") /
+        (col("c_len") - (n - 1)).cast("double")
+    }.reduce(_ * _)
+    val geo = maxN match {
+      case 1 => prod
+      case 2 => sqrt(prod)
+      case 4 => sqrt(sqrt(prod))
+    }
+    val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("r_len").cast("double") / col("c_len").cast("double")))
+    lens.join(byQ, Seq("q_id"), "left")
+      .withColumn("bleu_e6",
+        when(col("c_len") === 0L || anyZero, lit(0L))
+          .otherwise(floor(bp * geo * lit(1e6) + lit(0.5)).cast("long")))
+  }
 }

@@ -1362,4 +1362,156 @@ object TextAnalytics {
         floor(cov * cov / (varx * vary) * lit(1e6) + lit(0.5)).cast("long"))
         .as("r2_e6"))
   }
+
+  /** Source-code quality signals — the per-file filters of The Stack /
+    * StarCoder data pipelines (Kocetkov et al. 2022, arXiv:2211.15533;
+    * Li et al. 2023, arXiv:2305.06161): line-length profile,
+    * alphanumeric fraction, comment-line fraction — plus the composite
+    * keep verdict at the published defaults (max line ≤ 1000 chars,
+    * mean line ≤ 100, alnum fraction ≥ 0.25); generated/minified/data
+    * files fail them.
+    *
+    * Exact end-to-end: line lengths and character-class counts are
+    * integers (the alnum count is the `length − length(strip)` identity
+    * on an RE2-safe class), the mean lands on the 1e-4 lattice via
+    * round-half-up (2a + b) div 2b integer division, and fractions on
+    * the 1e-6 lattice the same way — no float path anywhere, so any
+    * engine agrees bit for bit.
+    *
+    * Scale: a pure scan-side projection — split + higher-order
+    * aggregates inside whole-stage codegen, zero shuffle, zero state.
+    *
+    * Output: (id, n_lines, max_line_len, mean_line_len_e4,
+    * alnum_frac_e6, comment_frac_e6, keep).
+    */
+  def codeQuality(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxLineLen: Int = 1000, maxMeanLineLen: Int = 100,
+      minAlnumE6: Long = 250000L): DataFrame =
+    docs
+      // caller columns resolve through the analyzer ONCE (col(), never
+      // raw-SQL name interpolation — the rateAnomaly discipline); the
+      // line array is bound to its own column so the folds below don't
+      // re-split per read
+      .select(col(idCol).as("id"), col(textCol).as("__t"),
+        split(col(textCol), "\n").as("__lines"))
+      .select(col("id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        expr("aggregate(__lines, 0L, " +
+          "(a, l) -> greatest(a, cast(length(l) as long)))")
+          .as("max_line_len"),
+        expr("aggregate(__lines, 0L, " +
+          "(a, l) -> a + cast(length(l) as long))").as("sum_line_len"),
+        // comment lines: trimmed form starts with #, //, --, /* or *
+        expr("cast(size(filter(__lines, " +
+          "l -> trim(l) rlike '^(#|//|--|/\\\\*|\\\\*)')) as long)")
+          .as("n_comment"),
+        length(col("__t")).cast("long").as("n_chars"),
+        length(regexp_replace(col("__t"), "[a-zA-Z0-9]", "")).cast("long")
+          .as("n_non_alnum"))
+      .select(col("id"), col("n_lines"), col("max_line_len"),
+        // mean line length, 1e-4 lattice, round half up (n_lines >= 1:
+        // split always yields at least one piece)
+        expr("(2 * sum_line_len * 10000 + n_lines) div (2 * n_lines)")
+          .as("mean_line_len_e4"),
+        // empty file: no characters to classify -> NULL fraction
+        when(col("n_chars") > 0,
+          expr("(2 * (n_chars - n_non_alnum) * 1000000 + n_chars) " +
+            "div (2 * n_chars)")).as("alnum_frac_e6"),
+        expr("(2 * n_comment * 1000000 + n_lines) div (2 * n_lines)")
+          .as("comment_frac_e6"))
+      .withColumn("keep",
+        col("max_line_len") <= maxLineLen &&
+          col("mean_line_len_e4") <= maxMeanLineLen.toLong * 10000L &&
+          coalesce(col("alnum_frac_e6") >= minAlnumE6, lit(false)))
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022,
+    * arXiv:2207.14255) — the document-level FIM split code-model
+    * pretraining applies to a fraction of the corpus: two cut points
+    * divide each document into (prefix, middle, suffix), emitted both
+    * as columns and as the PSM-format training string
+    * `<PRE>prefix<SUF>suffix<MID>middle` (suffix-before-middle, so the
+    * model learns to infill).
+    *
+    * Cuts are a DETERMINISTIC function of (id, length) — seeded modular
+    * arithmetic, not RNG — so reruns, retries and engine twins agree:
+    * cut1 = 1 + (id·31 mod (len−2)), cut2 = cut1 + 1 +
+    * (id·17 mod (len−cut1−1)); every part is ≥ 1 char. Documents
+    * shorter than `minChars` (< 3 can't produce three non-empty parts)
+    * pass through with fim = false and the raw text as prefix.
+    *
+    * Scale: a pure scan-side projection — length/substring arithmetic
+    * in whole-stage codegen, zero shuffle.
+    *
+    * Output: (id, fim, prefix, middle, suffix, fim_text).
+    */
+  def fimSplit(
+      docs: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 3): DataFrame = {
+    require(minChars >= 3, s"minChars must be >= 3 (got $minChars)")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("__t"), length(col(textCol)).cast("long").as("len"))
+    val eligible = col("len") >= minChars && col("id") >= 0
+    val cut1 = lit(1L) + pmod(col("id") * 31L, col("len") - 2L)
+    val cut2 = cut1 + lit(1L) + pmod(col("id") * 17L, col("len") - cut1 - 1L)
+    // Column.substr (not functions.substring, whose Scala overload only
+    // takes Int literals)
+    val pre = col("__t").substr(lit(1), cut1.cast("int"))
+    val mid = col("__t").substr((cut1 + 1L).cast("int"),
+      (cut2 - cut1).cast("int"))
+    val suf = col("__t").substr((cut2 + 1L).cast("int"),
+      (col("len") - cut2).cast("int"))
+    base.select(col("id"), eligible.as("fim"),
+        when(eligible, pre).otherwise(col("__t")).as("prefix"),
+        when(eligible, mid).otherwise(lit("")).as("middle"),
+        when(eligible, suf).otherwise(lit("")).as("suffix"))
+      .withColumn("fim_text",
+        when(col("fim"), concat(lit("<PRE>"), col("prefix"),
+          lit("<SUF>"), col("suffix"), lit("<MID>"), col("middle")))
+          .otherwise(col("prefix")))
+  }
+
+  /** Skip-gram (center, context) pair extraction with a symmetric
+    * window (Mikolov et al. 2013, arXiv:1301.3781 §3.2) — the
+    * training-pair step of a word2vec-style embedding pipeline, and
+    * the co-occurrence statistic GloVe/PPMI matrices start from.
+    *
+    * For every token position i and every offset k in [1, window],
+    * emits both (w_i, w_{i+k}) and (w_{i+k}, w_i) — each unordered
+    * adjacency contributes one pair per direction — then counts per
+    * (center, context). Pairs with count < `minCount` are dropped
+    * (the standard vocabulary floor).
+    *
+    * Scale: the pair fan-out is a scan-side generator (2·window rows
+    * per token, CPU in the projection), and the only shuffle is the
+    * map-side-combined (center, context) count — a corpus-wide hot
+    * pair collapses to one row per partition before the exchange.
+    *
+    * Output: (center, context, cnt).
+    */
+  def skipgramPairs(
+      docs: DataFrame, textCol: String,
+      window: Int = 2, minCount: Long = 1L): DataFrame = {
+    require(window >= 1 && window <= 8,
+      s"window must be in [1, 8] (got $window)")
+    val toksB = docs
+      .select(filter(tokens(col(textCol)), t => t =!= "").as("w"))
+    // one (l, r) struct list per offset k, flattened, exploded once
+    val pairs = toksB.select(explode(flatten(transform(
+        sequence(lit(1), lit(window)),
+        k => zip_with(
+          slice(col("w"), lit(1),
+            greatest(size(col("w")) - k, lit(0))),
+          slice(col("w"), k + 1,
+            greatest(size(col("w")) - k, lit(0))),
+          (l, r) => struct(l.as("l"), r.as("r")))))).as("p"))
+    pairs
+      .select(col("p.l").as("a"), col("p.r").as("b"))
+      // both directions: union, not a per-row second struct, so the
+      // exchange still carries one row per occurrence-direction
+      .unionAll(pairs.select(col("p.r").as("a"), col("p.l").as("b")))
+      .groupBy(col("a").as("center"), col("b").as("context"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
 }

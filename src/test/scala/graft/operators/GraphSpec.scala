@@ -244,4 +244,49 @@ class GraphSpec extends AnyFunSuite {
       .as[(String, String)].collect().toMap
     assert(a == b && a.nonEmpty)
   }
+
+  test("triangles: hand graph — K3, open square, pendant") {
+    // triangle {1,2,3}; square 4-5-6-7 (no diagonal: zero triangles);
+    // pendant 8 hanging off 1; duplicate + reversed + self-loop edges
+    // must collapse/drop
+    val edges = Seq(
+      ("1", "2"), ("2", "3"), ("3", "1"), ("2", "1"), ("1", "1"),
+      ("4", "5"), ("5", "6"), ("6", "7"), ("7", "4"),
+      ("1", "8")).toDF("src", "dst")
+    val got = Graph.triangles(edges, "src", "dst")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("1") == ((3L, 1L, Some(333333L)))) // 2·1/(3·2) = 1/3
+    assert(got("2") == ((2L, 1L, Some(1000000L))))
+    assert(got("3") == ((2L, 1L, Some(1000000L))))
+    assert(got("4") == ((2L, 0L, Some(0L))))
+    assert(got("8") == ((1L, 0L, None))) // deg < 2: undefined cc
+    // global triangle count: each triangle credits its 3 corners once
+    assert(got.values.map(_._2).sum == 3L)
+  }
+
+  test("triangles counts K4 exactly once per triangle") {
+    val nodes = Seq("a", "b", "c", "d")
+    val k4 = (for {
+      x <- nodes; y <- nodes if x < y
+    } yield (x, y)).toDF("src", "dst")
+    val got = Graph.triangles(k4, "src", "dst")
+      .as[(String, Long, Long, Option[Long])].collect()
+    // K4: every node has deg 3, sits in C(3,2) = 3 triangles, cc = 1
+    assert(got.length == 4)
+    got.foreach { case (n, d, t, cc) =>
+      assert(d == 3L && t == 3L && cc.contains(1000000L), n)
+    }
+    assert(got.map(_._3).sum == 12L) // 4 triangles x 3 corners
+  }
+
+  test("triangles is partitioning-invariant") {
+    val edges = (1 to 60).flatMap(i =>
+      Seq((s"n$i", s"n${i + 1}"), (s"n$i", s"n${i + 2}")))
+    def run(parts: Int) =
+      Graph.triangles(edges.toDF("src", "dst").repartition(parts),
+          "src", "dst")
+        .as[(String, Long, Long, Option[Long])].collect().sorted.toSeq
+    assert(run(1) == run(17))
+  }
 }

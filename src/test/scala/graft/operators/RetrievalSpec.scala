@@ -258,4 +258,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(err.getMessage.contains("25") ||
       err.getCause != null && err.getCause.getMessage.contains("25"))
   }
+
+  test("bleu: hand-computed clip counts, BP, and zero rules") {
+    val pairs = Seq(
+      (1L, "a b c d", "a b c d"),       // identical -> 1.0
+      (2L, "a b c x", "a b c d"),       // clip_4 = 0 -> 0
+      (3L, "a b c d a b", "a b c d"),   // partial overlap, c > r: BP = 1
+      (4L, "a b c d", "a b c d e f"),   // perfect prefix, c < r: BP only
+      (5L, "", "a b"),                  // empty candidate -> 0
+      (6L, "a b c", "a b c d"))         // c = 3 < maxN -> tot_4 = 0 -> 0
+      .toDF("q_id", "cand", "ref")
+    val got = Retrieval.bleu(pairs, "q_id", "cand", "ref")
+      .collect().map(r => r.getAs[Long]("q_id") -> r).toMap
+    assert(got(1L).getAs[Long]("bleu_e6") == 1000000L)
+    assert(got(2L).getAs[Long]("bleu_e6") == 0L)
+    // pair 3 by hand: p1 = 4/6, p2 = 3/5 (ab clipped at 1), p3 = 2/4,
+    // p4 = 1/3 — replicate the exact IEEE tree (left-assoc product,
+    // sqrt∘sqrt, floor half-up)
+    val p3 = (((4.0 / 6.0) * (3.0 / 5.0)) * (2.0 / 4.0)) * (1.0 / 3.0)
+    assert(got(3L).getAs[Long]("bleu_e6") ==
+      math.floor(math.sqrt(math.sqrt(p3)) * 1e6 + 0.5).toLong)
+    assert(got(3L).getAs[Long]("clip_1") == 4L)
+    assert(got(3L).getAs[Long]("clip_2") == 3L)
+    // pair 4: all precisions 1, BP = exp(1 - 6/4)
+    assert(got(4L).getAs[Long]("bleu_e6") ==
+      math.floor(math.exp(1.0 - 6.0 / 4.0) * 1e6 + 0.5).toLong)
+    assert(got(5L).getAs[Long]("bleu_e6") == 0L)
+    assert(got(6L).getAs[Long]("bleu_e6") == 0L)
+    assert(got(5L).getAs[Long]("c_len") == 0L)
+  }
 }

@@ -547,6 +547,88 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(got.isNullAt(got.fieldIndex("link_density_e6")))
   }
 
+  test("codeQuality: hand-computed line profile and keep verdict") {
+    val code = "a = 1\n# c\n\nzz zz"
+    val minified = "x" * 1200 // one 1200-char line: fails max_line_len
+    val got = TextAnalytics.codeQuality(
+        Seq((1L, code), (2L, minified), (3L, "")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val c = got(1L)
+    assert(c.getAs[Long]("n_lines") == 4L)
+    assert(c.getAs[Long]("max_line_len") == 5L)
+    // mean 13/4 = 3.25 on the 1e-4 lattice
+    assert(c.getAs[Long]("mean_line_len_e4") == 32500L)
+    // alnum: a,1,c,z,z,z,z = 7 of 16 chars
+    assert(c.getAs[Long]("alnum_frac_e6") == 437500L)
+    // 1 comment line of 4
+    assert(c.getAs[Long]("comment_frac_e6") == 250000L)
+    assert(c.getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("keep"))
+    assert(got(2L).getAs[Long]("max_line_len") == 1200L)
+    // empty file: 1 empty line, NULL alnum fraction, fails keep
+    val e = got(3L)
+    assert(e.getAs[Long]("n_lines") == 1L)
+    assert(e.isNullAt(e.fieldIndex("alnum_frac_e6")))
+    assert(!e.getAs[Boolean]("keep"))
+  }
+
+  test("fimSplit: deterministic cuts reassemble to the original text") {
+    val got = TextAnalytics.fimSplit(
+        Seq((1L, "abcdef"), (2L, "ab"), (3L, "")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val a = got(1L)
+    // id 1, len 6: cut1 = 1 + 31 % 4 = 4, cut2 = 5 + 17 % 1 = 5
+    assert(a.getAs[Boolean]("fim"))
+    assert(a.getAs[String]("prefix") == "abcd")
+    assert(a.getAs[String]("middle") == "e")
+    assert(a.getAs[String]("suffix") == "f")
+    assert(a.getAs[String]("fim_text") == "<PRE>abcd<SUF>f<MID>e")
+    // too short: pass-through, fim = false
+    assert(!got(2L).getAs[Boolean]("fim"))
+    assert(got(2L).getAs[String]("prefix") == "ab")
+    assert(got(2L).getAs[String]("fim_text") == "ab")
+    assert(!got(3L).getAs[Boolean]("fim"))
+    // reassembly property on a spread of ids/lengths
+    val docs = (0L until 200L)
+      .map(i => (i, ("lorem ipsum dolor sit amet " * (1 + i % 7).toInt)
+        .take(3 + (i % 50).toInt)))
+    val all = TextAnalytics.fimSplit(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+    val byId = docs.toMap
+    all.foreach { r =>
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[String]("prefix") + r.getAs[String]("middle") +
+        r.getAs[String]("suffix") == byId(id), s"id $id")
+      if (r.getAs[Boolean]("fim")) {
+        assert(r.getAs[String]("middle").nonEmpty, s"id $id middle")
+        assert(r.getAs[String]("suffix").nonEmpty, s"id $id suffix")
+      }
+    }
+  }
+
+  test("skipgramPairs: hand-computed window-2 fan-out") {
+    val got = TextAnalytics.skipgramPairs(
+        Seq(("a b c", 1)).toDF("text", "x"), "text",
+        window = 2, minCount = 1L)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // adjacencies: (a,b), (b,c) at k=1; (a,c) at k=2 — both directions
+    assert(got == Map(
+      ("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("b", "c") -> 1L, ("c", "b") -> 1L,
+      ("a", "c") -> 1L, ("c", "a") -> 1L))
+    // minCount floors rare pairs; repeated text multiplies counts
+    val floored = TextAnalytics.skipgramPairs(
+        Seq(("a b", 1), ("a b", 2), ("a c", 3)).toDF("text", "x"),
+        "text", window = 2, minCount = 2L)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(floored == Map(("a", "b") -> 2L, ("b", "a") -> 2L))
+  }
+
   test("normalizeText unifies typography and drops zero-widths") {
     val got = TextAnalytics.normalizeText(
         Seq(
