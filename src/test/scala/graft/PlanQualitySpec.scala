@@ -579,4 +579,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"),
       s"no global sort belongs here:\n$plan")
   }
+
+  test("code quality and FIM stay zero-exchange scan projections") {
+    for (q <- Seq("t35_code_quality", "t36_fim_split")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("Exchange"), s"$q grew a shuffle:\n$plan")
+      assert(!plan.contains("Window"), s"$q grew a window:\n$plan")
+    }
+  }
+
+  test("skip-gram pairs: fan-out scan-side, exactly one count exchange") {
+    val plan = planOf(
+      SparkEntry.queries("t37_skipgram_pairs")(spark, dir))
+    assert(exchangeCount(plan) == 1,
+      s"skip-grams must shuffle once (the pair count):\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs here:\n$plan")
+  }
+
+  test("triangles: equi wedge join + semi closure, never a cartesian") {
+    val plan = planOf(SparkEntry.queries("g5_triangles")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop:\n$plan")
+  }
+
+  test("chat validation: lag window and rollup share one exchange") {
+    val plan = planOf(
+      SparkEntry.queries("c13_chat_validate")(spark, dir))
+    assert(exchangeCount(plan) == 1,
+      s"conversation regroup must reuse the window partitioning:\n$plan")
+  }
+
+  test("bleu: gram fan-outs scan-side, equi count-join, no window") {
+    val plan = planOf(SparkEntry.queries("e11_bleu")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bleu must stay equi-keyed:\n$plan")
+    assert(!plan.contains("Window"), s"no window belongs here:\n$plan")
+  }
 }
