@@ -2610,10 +2610,15 @@ FROM c"""
     * oracle: exact integer clip counts, sqrt∘sqrt geometric mean, the
     * one exp confined to the truncated kind.
     */
-  private def e11Bleu(s: SparkSession, d: String): DataFrame = {
-    val t = T(s, d, "documents").select(col("doc_id"),
-      filter(split(col("text"), " "), x => x =!= "").as("w"))
-    val p = t
+  /** The shared generation-eval fixture: ref = each doc's first 12
+    * tokens, candidates a 4-kind corruption grid (identical /
+    * truncated-to-8 / padded-with-4 / reversed). e11 (BLEU) and e12
+    * (ROUGE) both score it.
+    */
+  private def evalPairGrid(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("w"))
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("k"),
         slice(col("w"), 1, 12).as("r12"), col("w"))
       .select((col("doc_id") * 4 + col("k")).as("pair_id"),
@@ -2623,7 +2628,39 @@ FROM c"""
             .when(col("k") === 1, slice(col("w"), 1, 8))
             .when(col("k") === 2, concat(col("r12"), slice(col("w"), 1, 4)))
             .otherwise(reverse(col("r12"))), " ").as("cand"))
-    Retrieval.bleu(p, "pair_id", "cand", "ref", maxN = 4)
+
+  private def e11Bleu(s: SparkSession, d: String): DataFrame =
+    Retrieval.bleu(evalPairGrid(s, d), "pair_id", "cand", "ref", maxN = 4)
+
+  /** e12: ROUGE-1/2 recall/precision/F1 over the e11 corruption grid —
+    * the summarization-eval twin. Full oracle: exact integer clips and
+    * round-half-up lattice divisions, no float anywhere.
+    */
+  private def e12Rouge(s: SparkSession, d: String): DataFrame =
+    Retrieval.rougeN(evalPairGrid(s, d), "pair_id", "cand", "ref",
+      maxN = 2)
+
+  /** w16: hour-of-week seasonality profile per event type — counts,
+    * within-type share, deterministic peak flag. Full oracle: exact
+    * floor-div hour index (Monday 00:00 = 0) and lattice shares.
+    */
+  private def w16Seasonality(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.seasonalityProfile(T(s, d, "events"), "ts",
+      "event_type")
+
+  /** s10: split-leakage audit — exact-dup fingerprints straddling the
+    * s9 group split, with planted cross-source mirrors (every third
+    * doc re-hosted under a 'mirror' source) so the report has real
+    * leaks to find. Full oracle: the same md5 fingerprint + md5 split
+    * bucket + conditional counts.
+    */
+  private def s10LeakageReport(s: SparkSession, d: String): DataFrame = {
+    val base = T(s, d, "documents").select("doc_id", "text", "source")
+    val mirrored = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        lit("mirror").as("source"))
+    Sampling.splitLeakageReport(base.unionByName(mirrored),
+      "doc_id", "text", "source", valPct = 15, testPct = 15)
   }
 
   /** g5: per-node triangle count + local clustering coefficient over a
@@ -3117,7 +3154,10 @@ FROM c"""
     "t37_skipgram_pairs" -> (t37SkipgramPairs _),
     "e11_bleu" -> (e11Bleu _),
     "g5_triangles" -> (g5Triangles _),
-    "c13_chat_validate" -> (c13ChatValidate _))
+    "c13_chat_validate" -> (c13ChatValidate _),
+    "e12_rouge" -> (e12Rouge _),
+    "w16_seasonality" -> (w16Seasonality _),
+    "s10_leakage_report" -> (s10LeakageReport _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7067,7 +7107,100 @@ FROM c"""
         |  alternates, total_chars,
         |  (first_role = 'user' AND last_role = 'assistant' AND alternates
         |    AND n_other = 0 AND n_turns >= 2) AS valid
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin,
+    // e12 twin: the e11 grid with maxN = 2, exact clips, round-half-up
+    // lattice divisions — no float anywhere
+    "e12_rouge" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |    x -> x <> '') AS w FROM documents),
+        |pairs AS (SELECT doc_id*4 + k AS q_id,
+        |    CASE WHEN k = 0 THEN w[1:12] WHEN k = 1 THEN w[1:8]
+        |         WHEN k = 2 THEN list_concat(w[1:12], w[1:4])
+        |         ELSE list_reverse(w[1:12]) END AS ct,
+        |    w[1:12] AS rt
+        |  FROM t, (SELECT unnest([0, 1, 2, 3]) AS k)),
+        |cpos AS (SELECT q_id, ct, n,
+        |    unnest(range(1, greatest(len(ct)-n+2, 1))) AS i
+        |  FROM pairs, (SELECT unnest([1, 2]) AS n)),
+        |cg AS (SELECT q_id, n, array_to_string(ct[i:i+n-1], ' ') AS gram,
+        |    count(*) AS cc
+        |  FROM cpos GROUP BY 1, 2, 3),
+        |rpos AS (SELECT q_id, rt, n,
+        |    unnest(range(1, greatest(len(rt)-n+2, 1))) AS i
+        |  FROM pairs, (SELECT unnest([1, 2]) AS n)),
+        |rg AS (SELECT q_id, n, array_to_string(rt[i:i+n-1], ' ') AS gram,
+        |    count(*) AS rc
+        |  FROM rpos GROUP BY 1, 2, 3),
+        |clip AS (SELECT cg.q_id, cg.n, sum(least(cc, rc))::BIGINT AS clip
+        |  FROM cg JOIN rg USING (q_id, n, gram) GROUP BY 1, 2),
+        |grid AS (SELECT q_id, n,
+        |    greatest(len(ct) - n + 1, 0)::BIGINT AS c_tot,
+        |    greatest(len(rt) - n + 1, 0)::BIGINT AS r_tot
+        |  FROM pairs, (SELECT unnest([1, 2]) AS n)),
+        |j AS (SELECT grid.q_id, grid.n, coalesce(clip, 0)::BIGINT AS clip,
+        |    c_tot, r_tot
+        |  FROM grid LEFT JOIN clip
+        |    ON grid.q_id = clip.q_id AND grid.n = clip.n)
+        |SELECT q_id, n, clip, c_tot, r_tot,
+        |  CASE WHEN r_tot > 0
+        |    THEN (2*clip*1000000 + r_tot) // (2*r_tot) END AS recall_e6,
+        |  CASE WHEN c_tot > 0
+        |    THEN (2*clip*1000000 + c_tot) // (2*c_tot) END
+        |    AS precision_e6,
+        |  CASE WHEN c_tot + r_tot > 0
+        |    THEN (2*(2*clip*1000000) + c_tot + r_tot)
+        |      // (2*(c_tot + r_tot)) END AS f1_e6
+        |FROM j""".stripMargin,
+    // w16 twin: the same floor-div hour index (pmod replayed as
+    // ((x % 168) + 168) % 168), lattice shares, and the
+    // max-count/earliest-hour peak
+    "w16_seasonality" ->
+      """WITH c AS (SELECT event_type,
+        |    ((((epoch_us(ts) // 3600000000) - 96) % 168) + 168) % 168
+        |      AS hour_of_week
+        |  FROM events),
+        |g AS (SELECT event_type, hour_of_week, count(*)::BIGINT
+        |    AS n_events FROM c GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n_events)::BIGINT AS total
+        |  FROM g GROUP BY 1),
+        |p AS (SELECT event_type, max(n_events) AS mx FROM g GROUP BY 1),
+        |ph AS (SELECT g.event_type, min(hour_of_week) AS pk_h
+        |  FROM g JOIN p ON g.event_type = p.event_type
+        |    AND g.n_events = p.mx
+        |  GROUP BY 1)
+        |SELECT g.event_type, g.hour_of_week, g.n_events,
+        |  (2*g.n_events*1000000 + total) // (2*total) AS share_e6,
+        |  (g.n_events = p.mx AND g.hour_of_week = ph.pk_h) AS is_peak
+        |FROM g JOIN t USING (event_type) JOIN p USING (event_type)
+        |  JOIN ph USING (event_type)""".stripMargin,
+    // s10 twin: the same planted mirrors, md5 split bucket (s9's
+    // expression) and md5 content fingerprint
+    "s10_leakage_report" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'mirror' FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |sp AS (SELECT text,
+        |    CASE WHEN b < 15 THEN 'val' WHEN b < 30 THEN 'test'
+        |      ELSE 'train' END AS split
+        |  FROM (SELECT text,
+        |      ('0x' || substring(md5('graft' || source), 1, 15))::BIGINT
+        |        % 100 AS b
+        |    FROM all_docs)),
+        |g AS (SELECT md5(lower(replace(text, ' ', ''))) AS fp,
+        |    count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_train,
+        |    sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_val,
+        |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_test
+        |  FROM sp GROUP BY 1)
+        |SELECT fp, n_docs, n_train, n_val, n_test,
+        |  ((n_train > 0 AND (n_val > 0 OR n_test > 0))
+        |    OR (n_val > 0 AND n_test > 0)) AS leaky
+        |FROM g WHERE n_docs > 1""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

@@ -560,4 +560,45 @@ object EventAnalytics {
       .withColumn("segment",
         (col("r") * 100 + col("f") * 10 + col("m")).cast("long"))
   }
+
+  /** Hour-of-week seasonality profile per event type — the traffic
+    * calendar behind anomaly baselines ([[rateAnomaly]] flags against
+    * RECENT history; this profiles the STRUCTURAL weekly cycle) and
+    * capacity planning. Hour 0 = Monday 00:00 UTC (the epoch was a
+    * Thursday, hence the 96-hour shift), hours run 0..167.
+    *
+    * Exact end-to-end: the hour index is the (ts − pmod(ts, d)) div d
+    * floor idiom on nanosecond longs (sign-correct for pre-epoch
+    * rows), shares land on the 1e-6 lattice via round-half-up
+    * (2a + b) div 2b, and the per-type peak is a struct-max argmax
+    * (highest count, then EARLIEST hour — deterministic, no window).
+    *
+    * Scale: one map-side-combined (type, hour) count, one type-sized
+    * rollup joined back (AQE broadcasts it). Output rows are
+    * calendar-bounded: 168 × |types|.
+    *
+    * Output: (event_type, hour_of_week, n_events, share_e6, is_peak).
+    */
+  def seasonalityProfile(
+      events: DataFrame, tsCol: String, typeCol: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val counts = events
+      .select(col(typeCol).as("event_type"),
+        col(tsCol).cast("long").as("__ts"))
+      .select(col("event_type"),
+        pmod(expr(s"(__ts - pmod(__ts, ${hourNs}L)) div ${hourNs}L")
+          - 96L, lit(168L)).as("hour_of_week"))
+      .groupBy("event_type", "hour_of_week")
+      .agg(count(lit(1)).as("n_events"))
+    val totals = counts.groupBy("event_type")
+      .agg(sum("n_events").as("total"),
+        max(struct(col("n_events"), (-col("hour_of_week")).as("nh")))
+          .as("pk"))
+    counts.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("hour_of_week"), col("n_events"),
+        expr("(2 * n_events * 1000000 + total) div (2 * total)")
+          .as("share_e6"),
+        (col("n_events") === col("pk.n_events") &&
+          col("hour_of_week") === -col("pk.nh")).as("is_peak"))
+  }
 }

@@ -372,6 +372,75 @@ object Retrieval {
     * not 0, so "no overlap" and "overlap counted 0" stay
     * distinguishable; the zero rule treats both as 0).
     */
+  /** ROUGE-N (Lin 2004, "ROUGE: A Package for Automatic Evaluation of
+    * Summaries") — clipped n-gram recall/precision/F1 per
+    * (candidate, reference) pair, the summarization-eval complement of
+    * [[bleu]] (BLEU is precision-first with a brevity penalty; ROUGE
+    * is recall-first with no penalty).
+    *
+    * Fully exact: clip counts are the same (q, n, gram) count-join
+    * integers as [[bleu]]; recall = clip/r_tot, precision = clip/c_tot
+    * and F1 = 2·clip/(c_tot + r_tot) (the harmonic identity — the
+    * [[qaTokenF1]] discipline) all land on the 1e-6 lattice via
+    * round-half-up (2a + b) div 2b integer division. NO float, NO
+    * transcendental anywhere — any engine agrees bit for bit. A side
+    * with no n-grams (too short / empty) has no defined rate on that
+    * axis → NULL; F1 is NULL only when BOTH sides are gram-less.
+    *
+    * Scale: identical shape to [[bleu]] — one gram explode + count per
+    * side, one equi-join, a per-(q, n) rollup; emitted LONG-format
+    * (one row per pair per n), no pivot.
+    *
+    * Output: (q_id, n, clip, c_tot, r_tot, recall_e6, precision_e6,
+    * f1_e6).
+    */
+  def rougeN(
+      pairs: DataFrame, idCol: String, candCol: String, refCol: String,
+      maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 4, s"maxN must be in [1, 4] (got $maxN)")
+    val base = pairs.select(col(idCol).cast("long").as("q_id"),
+      filter(split(col(candCol), " "), t => t =!= "").as("ct"),
+      filter(split(col(refCol), " "), t => t =!= "").as("rt"))
+    def grams(toks: Column): Column =
+      flatten(transform(sequence(lit(1), lit(maxN)), n =>
+        when(size(toks) >= n,
+          transform(
+            sequence(lit(1), size(toks) - n + 1),
+            i => struct(n.as("n"),
+              concat_ws(" ", slice(toks, i, n)).as("gram"))))
+          .otherwise(array().cast("array<struct<n:int,gram:string>>"))))
+    def counts(c: String, out: String): DataFrame =
+      base.select(col("q_id"), explode(grams(col(c))).as("g"))
+        .groupBy(col("q_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as(out))
+    val clips = counts("ct", "cc")
+      .join(counts("rt", "rc"), Seq("q_id", "n", "gram"))
+      .groupBy("q_id", "n").agg(sum(least(col("cc"), col("rc"))).as("clip"))
+    // one (q, n) grid row per pair, totals from the lengths — no gram
+    // table needed for the denominators
+    val grid = base.select(col("q_id"),
+        explode(sequence(lit(1), lit(maxN))).as("n"),
+        size(col("ct")).cast("long").as("cl"),
+        size(col("rt")).cast("long").as("rl"))
+      .select(col("q_id"), col("n").cast("int").as("n"),
+        greatest(col("cl") - col("n") + 1, lit(0L)).as("c_tot"),
+        greatest(col("rl") - col("n") + 1, lit(0L)).as("r_tot"))
+    grid.join(clips, Seq("q_id", "n"), "left")
+      .select(col("q_id"), col("n"),
+        coalesce(col("clip"), lit(0L)).as("clip"),
+        col("c_tot"), col("r_tot"))
+      .withColumn("recall_e6",
+        when(col("r_tot") > 0,
+          expr("(2 * clip * 1000000 + r_tot) div (2 * r_tot)")))
+      .withColumn("precision_e6",
+        when(col("c_tot") > 0,
+          expr("(2 * clip * 1000000 + c_tot) div (2 * c_tot)")))
+      .withColumn("f1_e6",
+        when(col("c_tot") + col("r_tot") > 0,
+          expr("(2 * (2 * clip * 1000000) + c_tot + r_tot) " +
+            "div (2 * (c_tot + r_tot))")))
+  }
+
   def bleu(
       pairs: DataFrame, idCol: String, candCol: String, refCol: String,
       maxN: Int = 4): DataFrame = {

@@ -76,6 +76,42 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** Split-leakage audit — the pre-training hygiene report over a
+    * [[groupSplit]] assignment: exact-duplicate content (same
+    * whitespace-normalized fingerprint) that straddles the train/eval
+    * boundary. [[groupSplit]] PREVENTS leakage only along the group
+    * axis; duplicates across groups (mirrors on different hosts, the
+    * common web case) still leak — this is the check that catches
+    * them before an eval number goes quietly stale.
+    *
+    * A fingerprint group is `leaky` when it spans train AND an eval
+    * split, or both eval splits (val ↔ test cross-contamination skews
+    * model selection the same way). Only duplicated fingerprints
+    * (n_docs > 1) are reported — singletons cannot leak.
+    *
+    * Scale: one scan-side fingerprint projection + ONE
+    * map-side-combined fingerprint aggregate (conditional counts, no
+    * distinct pass, no join). Output: (fp, n_docs, n_train, n_val,
+    * n_test, leaky).
+    */
+  def splitLeakageReport(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      valPct: Int = 5, testPct: Int = 5,
+      seed: String = "graft"): DataFrame =
+    groupSplit(docs, groupCol, valPct, testPct, seed)
+      .select(graft.functions.TextFunctions.fingerprint(col(textCol))
+        .as("fp"), col("split"))
+      .groupBy("fp").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("split") === "train", 1L).otherwise(0L))
+          .as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .filter(col("n_docs") > 1)
+      .withColumn("leaky",
+        (col("n_train") > 0 && (col("n_val") > 0 || col("n_test") > 0)) ||
+          (col("n_val") > 0 && col("n_test") > 0))
+
   /** Epoch-aware domain mixing: draw EXACTLY `targets(domain)` rows per
     * domain, upsampling by repetition when the target exceeds the domain's
     * size — the "N epochs of Wikipedia, 0.3 epochs of web" mixture step of

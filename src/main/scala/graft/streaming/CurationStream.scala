@@ -165,4 +165,41 @@ object CurationStream {
       TextAnalytics.dominantScriptColumn(col(textCol)).isin(scripts: _*),
       lit(false)))
   }
+
+  /** Ingest-time source-code quality gate — the streaming deployment of
+    * [[TextAnalytics.codeQuality]]'s keep verdict (t35): the IDENTICAL
+    * latticed integer comparisons (max line, round-half-up mean line,
+    * alnum fraction), so stream and batch verdicts cannot diverge —
+    * including at the lattice rounding boundaries a "simpler"
+    * sum ≤ maxMean·n form would flip on large files. Stateless per-row
+    * arithmetic over named intermediates — zero state, zero shuffle.
+    * NULL text drops (unmeasurable is the conservative side at
+    * ingest).
+    */
+  def gateCode(
+      docs: DataFrame, textCol: String,
+      maxLineLen: Int = 1000, maxMeanLineLen: Int = 100,
+      minAlnumE6: Long = 250000L): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("__cq_lines", split(t, "\n"))
+      .withColumn("__cq_n", size(col("__cq_lines")).cast("long"))
+      .withColumn("__cq_max", expr("aggregate(__cq_lines, 0L, " +
+        "(a, l) -> greatest(a, cast(length(l) as long)))"))
+      .withColumn("__cq_sum", expr("aggregate(__cq_lines, 0L, " +
+        "(a, l) -> a + cast(length(l) as long))"))
+      .withColumn("__cq_chars", length(t).cast("long"))
+      .withColumn("__cq_nonal",
+        length(regexp_replace(t, "[a-zA-Z0-9]", "")).cast("long"))
+      .filter(coalesce(
+        col("__cq_max") <= maxLineLen &&
+          expr("(2 * __cq_sum * 10000 + __cq_n) div (2 * __cq_n)")
+            <= maxMeanLineLen.toLong * 10000L &&
+          col("__cq_chars") > 0 &&
+          expr("(2 * (__cq_chars - __cq_nonal) * 1000000 + __cq_chars) " +
+            "div (2 * __cq_chars)") >= minAlnumE6,
+        lit(false)))
+      .drop("__cq_lines", "__cq_n", "__cq_max", "__cq_sum",
+        "__cq_chars", "__cq_nonal")
+  }
 }

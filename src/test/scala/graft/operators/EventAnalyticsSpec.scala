@@ -292,6 +292,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == Map(-1L -> 2L, 0L -> 1L))
   }
 
+  test("seasonalityProfile: Monday-zero hours, shares, deterministic peak") {
+    val h = 3600L * 1000 * 1000 * 1000
+    // epoch = Thursday 00:00, so +96h = Monday 00:00 -> hour 0
+    val evs = Seq(
+      (96L * h, "a"), (96L * h + 7L, "a"), // 2 events Monday 00
+      (101L * h, "a"),                     // 1 event Monday 05
+      // a tie on counts for type b: hours 3 and 1, peak = earliest
+      (99L * h, "b"), ((99L + 168L) * h + 99L, "b"),
+      (97L * h, "b"), (97L * h + 1L, "b"),
+      // pre-epoch event: floor division, not truncation
+      (-1L, "c"))
+    val got = EventAnalytics.seasonalityProfile(
+        evs.toDF("ts", "event_type"), "ts", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("hour_of_week")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("share_e6"),
+          r.getAs[Boolean]("is_peak")))).toMap
+    assert(got(("a", 0L)) == ((2L, 666667L, true)))
+    assert(got(("a", 5L)) == ((1L, 333333L, false)))
+    // b: hour 1 (x2) vs hour 3 (x2) — tie, peak = earliest hour
+    assert(got(("b", 1L)) == ((2L, 500000L, true)))
+    assert(got(("b", 3L)) == ((2L, 500000L, false)))
+    // -1 ns floors to hour -1 since epoch -> (-1 - 96) pmod 168 = 71
+    assert(got(("c", 71L)) == ((1L, 1000000L, true)))
+  }
+
   test("multi-touch attribution: hand-computed U-shape credits") {
     import org.apache.spark.sql.functions.lit
     // (event_id, ts, user_id, event_type); lookback = 100 ticks

@@ -287,4 +287,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(6L).getAs[Long]("bleu_e6") == 0L)
     assert(got(5L).getAs[Long]("c_len") == 0L)
   }
+
+  test("rougeN: hand-computed recall/precision/F1 on the 1e-6 lattice") {
+    val pairs = Seq(
+      (1L, "a b c d a b", "a b c d"),
+      (2L, "", "a b"),
+      (3L, "x", "x"))
+      .toDF("q_id", "cand", "ref")
+    val got = Retrieval.rougeN(pairs, "q_id", "cand", "ref", maxN = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("n")) -> r).toMap
+    val u = got((1L, 1))
+    // n=1: clip 4 (a,b,c,d once each vs cand's a2 b2), tots 6/4
+    assert(u.getAs[Long]("clip") == 4L)
+    assert(u.getAs[Long]("recall_e6") == 1000000L)
+    assert(u.getAs[Long]("precision_e6") == 666667L) // 4/6 half-up
+    assert(u.getAs[Long]("f1_e6") == 800000L)        // 8/10
+    val b = got((1L, 2))
+    // n=2: clip 3 (ab clipped at 1, bc, cd), tots 5/3
+    assert(b.getAs[Long]("clip") == 3L)
+    assert(b.getAs[Long]("recall_e6") == 1000000L)
+    assert(b.getAs[Long]("precision_e6") == 600000L)
+    assert(b.getAs[Long]("f1_e6") == 750000L)        // 6/8
+    // empty candidate: recall 0, precision undefined, F1 0
+    val e1 = got((2L, 1))
+    assert(e1.getAs[Long]("clip") == 0L)
+    assert(e1.getAs[Long]("recall_e6") == 0L)
+    assert(e1.isNullAt(e1.fieldIndex("precision_e6")))
+    assert(e1.getAs[Long]("f1_e6") == 0L)
+    // single token: n=2 has no grams on EITHER side -> all NULL
+    val s2 = got((3L, 2))
+    assert(s2.getAs[Long]("c_tot") == 0L && s2.getAs[Long]("r_tot") == 0L)
+    assert(s2.isNullAt(s2.fieldIndex("f1_e6")))
+    assert(got((3L, 1)).getAs[Long]("f1_e6") == 1000000L)
+  }
 }

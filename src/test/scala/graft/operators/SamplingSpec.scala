@@ -266,6 +266,47 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("splitLeakageReport flags cross-split duplicates, skips singletons") {
+    // 40 groups guarantee all three splits occur at 15/15; text bodies
+    // are duplicated across pairs of groups so some pairs straddle
+    val docs = (0L until 80L).map { i =>
+      (i, s"shared body ${i % 40}", s"grp${i % 40}")
+    } ++ Seq((900L, "unique body", "grp0"))
+    val df = docs.toDF("id", "text", "grp")
+    val splitOf = Sampling.groupSplit(df, "grp", 15, 15)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val got = Sampling.splitLeakageReport(df, "id", "text", "grp", 15, 15)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    // every duplicated text appears (each i%40 body occurs twice);
+    // the singleton never does
+    assert(got.length == 40)
+    got.foreach { case (fp, n, tr, va, te, leaky) =>
+      assert(n == 2L && n == tr + va + te, fp)
+      assert(leaky == ((tr > 0 && (va > 0 || te > 0)) ||
+        (va > 0 && te > 0)), fp)
+    }
+    // cross-check one group against the raw split assignment: body k
+    // lives in grp k (x2 via i and i+40 -> SAME group, same split, so
+    // those two rows are never leaky on their own)... bodies are
+    // per-(i%40) so both copies share the group: expect zero leaks
+    assert(got.forall(!_._6))
+    // now plant a true leak: the same body under two groups whose
+    // splits differ (search one such pair deterministically)
+    val bySplit = (0L until 40L).groupBy(g => splitOf(g))
+    assert(bySplit.size >= 2, s"need 2 splits, got ${bySplit.keySet}")
+    val (s1, g1) = bySplit.head
+    val (_, g2) = bySplit.tail.head
+    val leakDocs = df.unionByName(Seq(
+        (1000L, s"shared body ${g1.head}", s"grp${g2.head}"))
+      .toDF("id", "text", "grp"))
+    val leaked = Sampling
+      .splitLeakageReport(leakDocs, "id", "text", "grp", 15, 15)
+      .filter($"leaky").as[(String, Long, Long, Long, Long, Boolean)]
+      .collect()
+    assert(leaked.length == 1)
+    assert(leaked.head._2 == 3L) // the two originals + the plant
+  }
+
   test("groupSplit rejects a null group loudly instead of train-defaulting") {
     // A null group used to hash to a null bucket and fall through both
     // when() branches into "train" — concentrating null-group near-dups

@@ -283,4 +283,41 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(viaProfile == got)
     } finally q.stop()
   }
+
+  test("streaming code gate equals the batch t35 keep verdict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "x = 1\n# init\ny = x + 2"),        // clean code -> kept
+      (2L, "z" * 1200),                        // minified line -> dropped
+      (3L, "... --- ...\n!!! ???"),            // low alnum -> dropped
+      (4L, ""),                                // empty -> dropped
+      (5L, null.asInstanceOf[String]))         // unmeasurable -> dropped
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStream.gateCode(
+        mem.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("code_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("code_out").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L))
+      // intermediates must not leak into the gated schema
+      assert(spark.table("code_out").columns.toSeq ==
+        Seq("doc_id", "text"))
+      val batch = CurationStream.gateCode(
+          rows.toDF("doc_id", "text"), "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(batch == got)
+      // the batch t35 operator's keep verdict, row for row
+      val viaKeep = graft.operators.TextAnalytics.codeQuality(
+          rows.toDF("doc_id", "text").filter(col("text").isNotNull),
+          "doc_id", "text")
+        .filter(col("keep"))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(viaKeep == got)
+    } finally q.stop()
+  }
 }
