@@ -2654,6 +2654,23 @@ FROM c"""
     * leaks to find. Full oracle: the same md5 fingerprint + md5 split
     * bucket + conditional counts.
     */
+  /** h4: RAG context assembly — the v1 cosine retriever's top-20 per
+    * query packed into a 400-token budget in relevance order
+    * (deterministic synthetic per-candidate token counts). Full
+    * oracle: the v1 scoring CTE + the same two-window prefix pack.
+    */
+  private def h4ContextPack(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    val cands = Similarity.cosineTopK(
+        emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+        "vec_id", "vec_id", "embedding", k = 20)
+      .select(col("q_id"), col("c_id"), col("sim"),
+        (lit(50L) + pmod(col("c_id"), lit(100L))).as("n_tokens"))
+    Retrieval.contextPack(cands, "q_id", "c_id", "sim", "n_tokens",
+        budget = 400L)
+      .withColumn("pack_rank", col("pack_rank").cast("long"))
+  }
+
   private def s10LeakageReport(s: SparkSession, d: String): DataFrame = {
     val base = T(s, d, "documents").select("doc_id", "text", "source")
     val mirrored = base.filter(col("doc_id") % 3 === 0)
@@ -3157,7 +3174,8 @@ FROM c"""
     "c13_chat_validate" -> (c13ChatValidate _),
     "e12_rouge" -> (e12Rouge _),
     "w16_seasonality" -> (w16Seasonality _),
-    "s10_leakage_report" -> (s10LeakageReport _))
+    "s10_leakage_report" -> (s10LeakageReport _),
+    "h4_context_pack" -> (h4ContextPack _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7200,7 +7218,34 @@ FROM c"""
         |SELECT fp, n_docs, n_train, n_val, n_test,
         |  ((n_train > 0 AND (n_val > 0 OR n_test > 0))
         |    OR (n_val > 0 AND n_test > 0)) AS leaky
-        |FROM g WHERE n_docs > 1""".stripMargin)
+        |FROM g WHERE n_docs > 1""".stripMargin,
+    // h4 twin: the v1 scoring CTE, the same synthetic token counts and
+    // the two-window prefix pack (rank + running sum share one order)
+    "h4_context_pack" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT q_id, c_id,
+        |    round(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v))
+        |        * sqrt(list_dot_product(c.v, c.v))), 3) AS sim
+        |  FROM q CROSS JOIN c),
+        |tk AS (SELECT q_id, c_id, sim, 50 + c_id % 100 AS n_tokens,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+        |      AS rank
+        |  FROM s),
+        |top AS (SELECT * FROM tk WHERE rank <= 20),
+        |p AS (SELECT q_id, c_id, sim AS score, n_tokens,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id) AS pack_rank,
+        |    sum(n_tokens) OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum_tokens
+        |  FROM top)
+        |SELECT q_id, c_id, score, n_tokens, pack_rank, cum_tokens
+        |FROM p WHERE cum_tokens <= 400""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

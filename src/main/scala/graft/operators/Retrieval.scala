@@ -372,6 +372,48 @@ object Retrieval {
     * not 0, so "no overlap" and "overlap counted 0" stay
     * distinguishable; the zero rule treats both as 0).
     */
+  /** RAG context assembly: per query, pack ranked candidates into a
+    * token budget — the retrieval → prompt step of a RAG serving
+    * stack. Candidates pack in relevance order (score desc, id asc —
+    * a total order), and because token counts are strictly positive
+    * the under-budget set is a rank PREFIX: the first candidate whose
+    * running total would exceed `budget` stops the pack (no
+    * skip-ahead — skipping a big doc to squeeze a small one reorders
+    * context against relevance, the wrong trade for prompting).
+    *
+    * Token counts must be positive — zero/negative would break the
+    * prefix property silently, so they fail loudly (the urlDedup
+    * discipline). Deterministic end-to-end: one window pass computes
+    * rank and running total together; no float arithmetic.
+    *
+    * Scale: ONE exchange — the query-keyed window; per-key rows are
+    * the retriever's k-bounded candidate list, so the sort is
+    * list-sized, never corpus-sized.
+    *
+    * Output: (q_id, c_id, score, n_tokens, pack_rank, cum_tokens) —
+    * packed rows only.
+    */
+  def contextPack(
+      candidates: DataFrame, qIdCol: String, cIdCol: String,
+      scoreCol: String, tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    val base = candidates.select(
+      col(qIdCol).as("q_id"), col(cIdCol).as("c_id"),
+      col(scoreCol).as("score"),
+      when(col(tokensCol).isNull || col(tokensCol) <= 0,
+        raise_error(concat(
+          lit("contextPack: non-positive token count for candidate "),
+          col(cIdCol).cast("string"))))
+        .otherwise(col(tokensCol).cast("long")).as("n_tokens"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("c_id").asc)
+    base
+      .withColumn("pack_rank", row_number().over(w))
+      .withColumn("cum_tokens", sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** ROUGE-N (Lin 2004, "ROUGE: A Package for Automatic Evaluation of
     * Summaries") — clipped n-gram recall/precision/F1 per
     * (candidate, reference) pair, the summarization-eval complement of

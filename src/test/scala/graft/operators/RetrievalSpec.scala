@@ -321,4 +321,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(s2.isNullAt(s2.fieldIndex("f1_e6")))
     assert(got((3L, 1)).getAs[Long]("f1_e6") == 1000000L)
   }
+
+  test("contextPack: rank-order prefix under the token budget") {
+    val cands = Seq(
+      // q1: 90+80 fit (150+200=350 <= 400); the 250-token third doc
+      // overflows and STOPS the pack — the 30-token fourth never packs
+      (1L, 101L, 0.9, 150L), (1L, 102L, 0.8, 200L),
+      (1L, 103L, 0.7, 250L), (1L, 104L, 0.6, 30L),
+      // q2: tie on score -> c_id ascending breaks it
+      (2L, 202L, 0.5, 400L), (2L, 201L, 0.5, 400L),
+      // q3: first doc alone overflows -> empty pack
+      (3L, 301L, 0.9, 500L))
+      .toDF("q_id", "c_id", "score", "n_tokens")
+    val got = Retrieval.contextPack(
+        cands, "q_id", "c_id", "score", "n_tokens", budget = 400L)
+      .select("q_id", "c_id", "pack_rank", "cum_tokens")
+      .as[(Long, Long, Int, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 101L, 1, 150L), (1L, 102L, 2, 350L),
+      (2L, 201L, 1, 400L)))
+    // zero/negative token counts fail loudly, never a silent mis-pack
+    val e = intercept[Exception] {
+      Retrieval.contextPack(
+        Seq((1L, 9L, 0.5, 0L)).toDF("q_id", "c_id", "score", "n_tokens"),
+        "q_id", "c_id", "score", "n_tokens", budget = 10L).collect()
+    }
+    assert(e.getMessage.contains("non-positive token count")
+      || e.getCause != null &&
+        e.getCause.getMessage.contains("non-positive token count"),
+      e.getMessage)
+  }
 }
