@@ -102,6 +102,22 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the e11/e12 candidate-corruption grid (SparkEntry.evalPairGrid's
+    // shape over the synthetic corpus)
+    def evalGrid(d: DataFrame): DataFrame = d
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("w"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("k"),
+        slice(col("w"), 1, 12).as("r12"), col("w"))
+      .select((col("doc_id") * 4 + col("k")).as("pair_id"),
+        array_join(col("r12"), " ").as("ref"),
+        array_join(
+          when(col("k") === 0, col("r12"))
+            .when(col("k") === 1, slice(col("w"), 1, 8))
+            .when(col("k") === 2,
+              concat(col("r12"), slice(col("w"), 1, 4)))
+            .otherwise(reverse(col("r12"))), " ").as("cand"))
+
     val ops: Seq[(String, DataFrame => Long)] = Seq(
       "d1_exact" -> (d => Dedup.exactGroups(d, "doc_id", "text").count()),
       "d2_jaccard" -> (d =>
@@ -465,7 +481,66 @@ object ScaleProbe {
         val m = Classifier.trainSoftsign(
           feats, Seq("x1", "x2", "x3"), "y", rounds = 8)
         Classifier.score(feats, Seq("x1", "x2", "x3"), m).count()
-      })
+      },
+      // round-8 additions: scan-side profiles + the gram-join evals
+      "t35_code_quality" -> { d =>
+        TextAnalytics.codeQuality(
+          d.select(col("doc_id"),
+            replace(replace(col("text"), lit(" w1 "), lit("\n// ")),
+              lit(" w2 "), lit("\n")).as("text")),
+          "doc_id", "text").count()
+      },
+      "t36_fim" -> (d =>
+        TextAnalytics.fimSplit(d, "doc_id", "text").count()),
+      "t37_skipgrams" -> (d =>
+        TextAnalytics.skipgramPairs(d, "text", window = 2,
+          minCount = 3L).count()),
+      "e11_bleu" -> { d =>
+        val p = evalGrid(d)
+        graft.operators.Retrieval.bleu(p, "pair_id", "cand", "ref")
+          .count()
+      },
+      "e12_rouge" -> { d =>
+        val p = evalGrid(d)
+        graft.operators.Retrieval.rougeN(p, "pair_id", "cand", "ref")
+          .count()
+      },
+      // chain+chord graph: m = 2n edges, every consecutive trio closes
+      // a triangle — triangle count grows linearly with n
+      "g5_triangles" -> { d =>
+        val ids = d.select(col("doc_id"))
+        val hop = ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 1).as("dst"))
+          .unionByName(ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 2).as("dst")))
+          .join(ids.select(col("doc_id").as("dst")), Seq("dst"),
+            "left_semi")
+        Graph.triangles(hop, "src", "dst").count()
+      },
+      "c13_chat" -> { d =>
+        graft.operators.ChatData.conversationStats(
+          d.select(expr("doc_id div 6").as("conv"),
+            expr("doc_id % 6").as("ord"),
+            when(expr("doc_id % 2") === 0, lit("user"))
+              .otherwise(lit("assistant")).as("role"),
+            col("text")),
+          "conv", "ord", "role", "text").count()
+      },
+      "s10_leakage" -> { d =>
+        // group count grows with n so the split stays balanced; every
+        // third doc mirrored under another group plants real leaks
+        val src = d.select(col("doc_id"), col("text"),
+          concat(lit("g"), pmod(col("doc_id"), lit(math.max(40L,
+            probeN / 50)))).as("source"))
+        val mirrored = src.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            col("text"), lit("mirror").as("source"))
+        Sampling.splitLeakageReport(src.unionByName(mirrored),
+          "doc_id", "text", "source", 15, 15).count()
+      },
+      "w16_seasonality" -> (d =>
+        EventAnalytics.seasonalityProfile(synthEvents(d, probeN), "ts",
+          "event_type").count()))
 
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "v1_cosine_topk" -> (e => Similarity.cosineTopK(
