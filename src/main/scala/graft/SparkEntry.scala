@@ -2671,6 +2671,40 @@ FROM c"""
       .withColumn("pack_rank", col("pack_rank").cast("long"))
   }
 
+  /** e13: Cohen's kappa — two deterministic "raters" over the documents
+    * (3-class labels from text-length residues, offset so agreement is
+    * partial), one chance-corrected agreement row. Full oracle: exact
+    * confusion/marginal integers, one round-6 division.
+    */
+  private def e13CohenKappa(s: SparkSession, d: String): DataFrame = {
+    val labels = array(lit("good"), lit("ok"), lit("bad"))
+    Classifier.cohenKappa(
+      T(s, d, "documents").select(
+        element_at(labels, (length(col("text")) % 3 + 1).cast("int"))
+          .as("rater_a"),
+        element_at(labels,
+          ((length(col("text")) + col("doc_id")) % 3 + 1).cast("int"))
+          .as("rater_b")),
+      "rater_a", "rater_b")
+  }
+
+  /** w17: bot detection by inter-event regularity — the real events
+    * stream plus five planted metronome users (exact 60 s cadence);
+    * the modal-gap share flags the plants, not the humans. Full
+    * oracle: lag gaps, modal struct-max, lattice share.
+    */
+  private def w17BotRegularity(s: SparkSession, d: String): DataFrame = {
+    val real = T(s, d, "events").select(
+      col("user_id"), col("ts").cast("long").as("ts"), col("event_id"))
+    val bots = T(s, d, "events").select(
+      (lit(9000000L) + pmod(col("event_id"), lit(5))).as("user_id"),
+      (expr("event_id div 5") * lit(60000000000L)).as("ts"),
+      (col("event_id") + lit(100000000L)).as("event_id"))
+    EventAnalytics.botRegularity(real.unionByName(bots),
+      "user_id", "ts", "event_id", minEvents = 10,
+      minShareE6 = 900000L)
+  }
+
   private def s10LeakageReport(s: SparkSession, d: String): DataFrame = {
     val base = T(s, d, "documents").select("doc_id", "text", "source")
     val mirrored = base.filter(col("doc_id") % 3 === 0)
@@ -3175,7 +3209,9 @@ FROM c"""
     "e12_rouge" -> (e12Rouge _),
     "w16_seasonality" -> (w16Seasonality _),
     "s10_leakage_report" -> (s10LeakageReport _),
-    "h4_context_pack" -> (h4ContextPack _))
+    "h4_context_pack" -> (h4ContextPack _),
+    "e13_cohen_kappa" -> (e13CohenKappa _),
+    "w17_bot_regularity" -> (w17BotRegularity _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7245,7 +7281,66 @@ FROM c"""
         |      AS cum_tokens
         |  FROM top)
         |SELECT q_id, c_id, score, n_tokens, pack_rank, cum_tokens
-        |FROM p WHERE cum_tokens <= 400""".stripMargin)
+        |FROM p WHERE cum_tokens <= 400""".stripMargin,
+    // e13 twin: exact confusion/marginal integers, the one round-6
+    // division, NULL on perfect chance agreement
+    "e13_cohen_kappa" ->
+      """WITH r AS (SELECT
+        |    ['good','ok','bad'][(length(text) % 3) + 1] AS a,
+        |    ['good','ok','bad'][((length(text) + doc_id) % 3) + 1] AS b
+        |  FROM documents),
+        |conf AS (SELECT a, b, count(*)::BIGINT AS c FROM r GROUP BY 1, 2),
+        |ra AS (SELECT a AS lbl, sum(c)::BIGINT AS row_n
+        |  FROM conf GROUP BY 1),
+        |rb AS (SELECT b AS lbl, sum(c)::BIGINT AS col_n
+        |  FROM conf GROUP BY 1),
+        |pe AS (SELECT sum(coalesce(row_n, 0) * coalesce(col_n, 0))
+        |    ::BIGINT AS pe_num
+        |  FROM ra FULL JOIN rb USING (lbl)),
+        |ag AS (SELECT sum(c)::BIGINT AS n_items,
+        |    sum(CASE WHEN a = b THEN c ELSE 0 END)::BIGINT AS n_agree
+        |  FROM conf)
+        |SELECT n_items, n_agree, pe_num,
+        |  CASE WHEN n_items * n_items = pe_num THEN NULL
+        |  ELSE round((n_items * n_agree - pe_num)::DOUBLE
+        |    / (n_items * n_items - pe_num)::DOUBLE, 6) END AS kappa
+        |FROM ag, pe""".stripMargin,
+    // w17 twin: the same planted metronomes, lag gaps on the
+    // (ts, event_id) total order, floor-second buckets, modal
+    // struct-max (count, then smallest gap) and lattice share
+    "w17_bot_regularity" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts)::BIGINT AS ts, event_id
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 9000000 + event_id % 5,
+        |    (event_id // 5) * 60000000000,
+        |    event_id + 100000000
+        |  FROM events),
+        |l AS (SELECT user_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev, ts
+        |  FROM ev WHERE user_id IS NOT NULL),
+        |g AS (SELECT user_id,
+        |    ((ts - prev) - ((ts - prev) % 1000000000 + 1000000000)
+        |      % 1000000000) // 1000000000 AS gap_s
+        |  FROM l WHERE prev IS NOT NULL),
+        |bg AS (SELECT user_id, gap_s, count(*)::BIGINT AS c
+        |  FROM g GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(c) AS mc FROM bg GROUP BY 1),
+        |md AS (SELECT bg.user_id, min(gap_s) AS modal_gap_s
+        |  FROM bg JOIN mx ON bg.user_id = mx.user_id AND bg.c = mx.mc
+        |  GROUP BY 1),
+        |tot AS (SELECT user_id, sum(c)::BIGINT AS n_gaps
+        |  FROM bg GROUP BY 1)
+        |SELECT t.user_id, t.n_gaps, md.modal_gap_s,
+        |  (2 * mx.mc * 1000000 + t.n_gaps) // (2 * t.n_gaps)
+        |    AS modal_share_e6,
+        |  (t.n_gaps >= 9 AND
+        |    (2 * mx.mc * 1000000 + t.n_gaps) // (2 * t.n_gaps)
+        |      >= 900000) AS is_bot
+        |FROM tot t JOIN mx ON t.user_id = mx.user_id
+        |  JOIN md ON t.user_id = md.user_id""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

@@ -403,4 +403,63 @@ object Classifier {
       .select(col("q_id").as("id"), col("m.lbl").as("label"),
         (-col("m.nv")).as("votes"), (-col("m.nss")).as("sim_e3_sum"))
   }
+
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between
+    * two raters over the same items: THE reliability gate for
+    * LLM-judge and human-annotation pipelines (raw agreement flatters
+    * skewed label distributions; kappa discounts the agreement chance
+    * would produce).
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),  p_o = Σ diag / n,
+    *   p_e = Σ_l row_l · col_l / n²
+    *
+    * Carried as exact integers: n, the diagonal count, and the
+    * marginal product sum are 64-bit exact (n ≤ 3·10⁹ keeps
+    * Σ row·col < n² < 2⁶³); κ itself is the single division
+    * (n·agree − pe_num) / (n² − pe_num) of exact sub-2⁶³ integers,
+    * emitted round-6 (one correctly-rounded IEEE divide + the shared
+    * half-up rounding — the pmi/zipf lattice class). Perfect chance
+    * agreement (p_e = 1: both raters constant and equal) has no
+    * defined κ → NULL.
+    *
+    * Scale: one (a, b) confusion aggregate (map-side combined,
+    * label-pair-bounded rows), then label-sized arithmetic — the
+    * marginals come from the confusion matrix itself, no second pass
+    * over the items. Null labels fail loudly (an unlabeled item in an
+    * agreement study is corrupt input, not a vote).
+    *
+    * Output: one row (n_items, n_agree, pe_num, kappa).
+    */
+  def cohenKappa(
+      ratings: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def checked(c: String, side: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"cohenKappa: null $side label")))
+        .otherwise(col(c).cast("string"))
+    val conf = ratings
+      .select(checked(aCol, "rater-a").as("a"), checked(bCol, "rater-b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    // marginals from the confusion matrix: label-sized tables, the
+    // full join keeps labels one rater never used (product term 0)
+    val ra = conf.groupBy("a").agg(sum("c").as("row_n"))
+      .select(col("a").as("lbl"), col("row_n"))
+    val rb = conf.groupBy("b").agg(sum("c").as("col_n"))
+      .select(col("b").as("lbl"), col("col_n"))
+    val pe = ra.join(rb, Seq("lbl"), "full")
+      .agg(sum(coalesce(col("row_n"), lit(0L)) *
+        coalesce(col("col_n"), lit(0L))).as("pe_num"))
+    val agg = conf.agg(
+      sum("c").as("n_items"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L))
+        .as("n_agree"))
+    agg.crossJoin(pe)
+      .select(col("n_items"), col("n_agree"), col("pe_num"),
+        when(col("n_items") * col("n_items") === col("pe_num"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_items") * col("n_agree") - col("pe_num"))
+              .cast("double") /
+              (col("n_items") * col("n_items") - col("pe_num"))
+                .cast("double"), 6)).as("kappa"))
+  }
 }

@@ -561,6 +561,56 @@ object EventAnalytics {
         (col("r") * 100 + col("f") * 10 + col("m")).cast("long"))
   }
 
+  /** Bot-likeness by inter-event regularity: humans arrive with messy
+    * gaps, schedulers arrive on a clock — per user, the share of
+    * consecutive-event gaps equal to the user's MODAL gap (bucketed to
+    * seconds) is the cheapest robust regularity signal (a variance
+    * test needs squared nanosecond sums past 2⁶³; the modal share is
+    * pure counting — exact in any engine by construction).
+    *
+    * A user flags as a bot when ≥ `minShareE6` of their ≥ `minEvents`
+    * gaps hit the modal second. Gap order is (ts, event_id) — a total
+    * order, so ties can't reorder deltas; the modal gap tie-breaks to
+    * the SMALLEST gap (struct-max on (count, −gap)). Null users are
+    * excluded (anonymous traffic has no per-actor cadence).
+    *
+    * Scale: one user-keyed window (lag) whose partitions are each
+    * user's event history, one (user, gap) count aggregate and one
+    * user rollup — the aggregates reuse the window's user
+    * partitioning. Output: (user_id, n_gaps, modal_gap_s,
+    * modal_share_e6, is_bot).
+    */
+  def botRegularity(
+      events: DataFrame, userCol: String, tsCol: String,
+      eventIdCol: String, minEvents: Int = 10,
+      minShareE6: Long = 900000L): DataFrame = {
+    require(minEvents >= 2, s"minEvents must be >= 2 (got $minEvents)")
+    require(minShareE6 >= 0 && minShareE6 <= 1000000L,
+      s"minShareE6 must be on [0, 1e6] (got $minShareE6)")
+    val w = Window.partitionBy("u").orderBy("__ts", "eid")
+    val gaps = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"), col(tsCol).cast("long").as("__ts"),
+        col(eventIdCol).as("eid"))
+      .withColumn("prev", lag(col("__ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      // gap floor-bucketed to whole seconds (exact for any sign)
+      .select(col("u"),
+        expr("(( __ts - prev) - pmod(__ts - prev, 1000000000L)) " +
+          "div 1000000000L").as("gap_s"))
+    val byGap = gaps.groupBy("u", "gap_s").agg(count(lit(1)).as("c"))
+    byGap.groupBy("u")
+      .agg(sum("c").as("n_gaps"),
+        max(struct(col("c"), (-col("gap_s")).as("ng"))).as("m"))
+      .select(col("u").as("user_id"), col("n_gaps"),
+        (-col("m.ng")).as("modal_gap_s"),
+        expr("(2 * m.c * 1000000 + n_gaps) div (2 * n_gaps)")
+          .as("modal_share_e6"))
+      .withColumn("is_bot",
+        col("n_gaps") >= (minEvents - 1) &&
+          col("modal_share_e6") >= minShareE6)
+  }
+
   /** Hour-of-week seasonality profile per event type — the traffic
     * calendar behind anomaly baselines ([[rateAnomaly]] flags against
     * RECENT history; this profiles the STRUCTURAL weekly cycle) and

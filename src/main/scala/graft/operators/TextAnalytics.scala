@@ -1496,21 +1496,21 @@ object TextAnalytics {
       s"window must be in [1, 8] (got $window)")
     val toksB = docs
       .select(filter(tokens(col(textCol)), t => t =!= "").as("w"))
-    // one (l, r) struct list per offset k, flattened, exploded once
+    // one generator pass emits BOTH directions (zip_with pairs each
+    // offset, each pair fans to its two orientations, one flatten +
+    // explode) — a union of two selects would re-run the whole
+    // tokenize/zip upstream twice for identical shuffle volume
     val pairs = toksB.select(explode(flatten(transform(
         sequence(lit(1), lit(window)),
-        k => zip_with(
+        k => flatten(zip_with(
           slice(col("w"), lit(1),
             greatest(size(col("w")) - k, lit(0))),
           slice(col("w"), k + 1,
             greatest(size(col("w")) - k, lit(0))),
-          (l, r) => struct(l.as("l"), r.as("r")))))).as("p"))
+          (l, r) => array(struct(l.as("l"), r.as("r")),
+            struct(r.as("l"), l.as("r")))))))).as("p"))
     pairs
-      .select(col("p.l").as("a"), col("p.r").as("b"))
-      // both directions: union, not a per-row second struct, so the
-      // exchange still carries one row per occurrence-direction
-      .unionAll(pairs.select(col("p.r").as("a"), col("p.l").as("b")))
-      .groupBy(col("a").as("center"), col("b").as("context"))
+      .groupBy(col("p.l").as("center"), col("p.r").as("context"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }

@@ -299,4 +299,35 @@ class ClassifierSpec extends AnyFunSuite {
       .select("id", "label").as[(Long, Int)].collect().head
     assert(tied == ((3L, 9))) // exact match sim 1000 beats 995
   }
+
+  test("cohenKappa: textbook 2x2 grid, degenerate and null cases") {
+    // yes/yes 20, yes/no 5, no/yes 10, no/no 15: po = 0.7, pe = 0.5,
+    // kappa = 0.4 exactly
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+        Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val got = Classifier.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(got == ((50L, 35L, 1250L, Some(0.4))))
+    // both raters constant and equal: pe = 1, kappa undefined -> NULL
+    val const = Classifier.cohenKappa(
+        Seq.fill(7)(("x", "x")).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(const == ((7L, 7L, 49L, None)))
+    // systematic disagreement scores negative
+    val neg = Classifier.cohenKappa(
+        (Seq.fill(10)(("x", "y")) ++ Seq.fill(10)(("y", "x")))
+          .toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(neg._4.contains(-1.0))
+    // null labels fail loudly
+    val e = intercept[Exception] {
+      Classifier.cohenKappa(
+        Seq(("x", Option.empty[String])).toDF("a", "b"), "a", "b")
+        .collect()
+    }
+    assert(e.getMessage.contains("null rater")
+      || e.getCause != null &&
+        e.getCause.getMessage.contains("null rater"), e.getMessage)
+  }
 }

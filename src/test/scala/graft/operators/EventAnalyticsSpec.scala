@@ -318,6 +318,37 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(("c", 71L)) == ((1L, 1000000L, true)))
   }
 
+  test("botRegularity: metronomes flag, humans and short histories don't") {
+    val s = 1000000000L
+    val evs =
+      // user 1: 11 events, exact 60 s cadence -> bot
+      (0 until 11).map(i => (1L, i * 60L * s, 100L + i)) ++
+      // user 2: 10 events, all-different gaps 1..9 s -> not a bot
+      {
+        var t = 0L
+        (0 until 10).map { i => t += i; (2L, t * s, 200L + i) }
+      } ++
+      // user 3: perfect cadence but only 3 events -> too short
+      Seq((3L, 0L, 300L), (3L, 60L * s, 301L), (3L, 120L * s, 302L)) ++
+      // user 4: modal tie {5,5,9,9} -> modal gap = smallest (5)
+      Seq((4L, 0L, 400L), (4L, 5L * s, 401L), (4L, 10L * s, 402L),
+        (4L, 19L * s, 403L), (4L, 28L * s, 404L)) ++
+      // sub-second jitter buckets to the same floor second
+      Seq((5L, 0L, 500L), (5L, s + 400000000L, 501L),
+        (5L, 2L * s + 900000000L, 502L))
+    val got = EventAnalytics.botRegularity(
+        evs.toDF("user_id", "ts", "event_id"), "user_id", "ts",
+        "event_id", minEvents = 10, minShareE6 = 900000L)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((10L, 60L, 1000000L, true)))
+    assert(got(2L)._1 == 9L)
+    assert(got(2L)._3 <= 112000L && !got(2L)._4) // 1/9 share
+    assert(got(3L) == ((2L, 60L, 1000000L, false)))
+    assert(got(4L) == ((4L, 5L, 500000L, false)))
+    assert(got(5L) == ((2L, 1L, 1000000L, false)))
+  }
+
   test("multi-touch attribution: hand-computed U-shape credits") {
     import org.apache.spark.sql.functions.lit
     // (event_id, ts, user_id, event_type); lookback = 100 ticks
