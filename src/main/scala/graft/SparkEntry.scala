@@ -2705,6 +2705,67 @@ FROM c"""
       minShareE6 = 900000L)
   }
 
+  /** e14: Bradley–Terry ratings — a 17-player deterministic game grid
+    * derived from doc ids (uneven pairings, so ratings spread), 8 MM
+    * rounds. Full oracle: 8 unrolled MATERIALIZED rounds mirroring the
+    * operator's lattice expression tree exactly.
+    */
+  private def e14BradleyTerry(s: SparkSession, d: String): DataFrame = {
+    val g = T(s, d, "documents").select(
+        concat(lit("p"), (col("doc_id") % 17).cast("string")).as("w"),
+        concat(lit("p"), ((col("doc_id") * 7 + 3) % 17).cast("string"))
+          .as("l"))
+      .filter(col("w") =!= col("l"))
+    Retrieval.bradleyTerry(g, "w", "l", iterations = 8)
+  }
+
+  /** e14's DuckDB twin, generated: 8 unrolled MATERIALIZED MM rounds —
+    * lattice terms floored identically, per-player sums in
+    * decimal(38,0) (exact, order-free), every literal ::DOUBLE so
+    * DuckDB's decimal literals can't change the arithmetic (the g1
+    * oracle discipline).
+    */
+  private def e14OracleSql: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""d$r AS (SELECT b.i AS id,
+         |    sum(floor(b.n * 1e12 / (pi.p + pj.p) + 0.5::DOUBLE)
+         |      ::DECIMAL(38,0)) AS dsum
+         |  FROM bt b
+         |  JOIN r${r - 1} pi ON pi.id = b.i
+         |  JOIN r${r - 1} pj ON pj.id = b.j
+         |  GROUP BY 1),
+         |u$r AS (SELECT base.id,
+         |    CASE WHEN d.dsum IS NULL THEN 0::DOUBLE
+         |    ELSE floor(base.wins * 1e12 / d.dsum::DOUBLE + 0.5::DOUBLE)
+         |    END AS p
+         |  FROM base LEFT JOIN d$r d ON base.id = d.id),
+         |s$r AS (SELECT sum(p::DECIMAL(38,0)) AS s FROM u$r),
+         |r$r AS MATERIALIZED (SELECT u.id,
+         |    floor(u.p * np.n::DOUBLE * 1000000::DOUBLE / s.s::DOUBLE
+         |      + 0.5::DOUBLE) AS p
+         |  FROM u$r u CROSS JOIN s$r s CROSS JOIN np)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS (SELECT 'p' || (doc_id % 17)::VARCHAR AS w,
+       |    'p' || ((doc_id*7 + 3) % 17)::VARCHAR AS l
+       |  FROM documents
+       |  WHERE (doc_id % 17) <> ((doc_id*7 + 3) % 17)),
+       |pairs AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+       |    count(*)::BIGINT AS n FROM g GROUP BY 1, 2),
+       |bt AS MATERIALIZED (SELECT a AS i, b AS j, n FROM pairs
+       |  UNION ALL SELECT b, a, n FROM pairs),
+       |wq AS (SELECT w AS id, count(*)::BIGINT AS wins FROM g GROUP BY 1),
+       |base AS MATERIALIZED (SELECT p.id,
+       |    coalesce(wq.wins, 0)::BIGINT AS wins
+       |  FROM (SELECT DISTINCT i AS id FROM bt) p
+       |  LEFT JOIN wq ON p.id = wq.id),
+       |np AS (SELECT count(*)::BIGINT AS n FROM base),
+       |r0 AS MATERIALIZED (SELECT id, 1000000::DOUBLE AS p FROM base),
+       |$rounds
+       |SELECT base.id AS player, base.wins,
+       |  r8.p / 1000000::DOUBLE AS rating
+       |FROM base JOIN r8 ON base.id = r8.id""".stripMargin
+  }
+
   private def s10LeakageReport(s: SparkSession, d: String): DataFrame = {
     val base = T(s, d, "documents").select("doc_id", "text", "source")
     val mirrored = base.filter(col("doc_id") % 3 === 0)
@@ -3211,7 +3272,8 @@ FROM c"""
     "s10_leakage_report" -> (s10LeakageReport _),
     "h4_context_pack" -> (h4ContextPack _),
     "e13_cohen_kappa" -> (e13CohenKappa _),
-    "w17_bot_regularity" -> (w17BotRegularity _))
+    "w17_bot_regularity" -> (w17BotRegularity _),
+    "e14_bradley_terry" -> (e14BradleyTerry _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7340,7 +7402,9 @@ FROM c"""
         |    (2 * mx.mc * 1000000 + t.n_gaps) // (2 * t.n_gaps)
         |      >= 900000) AS is_bot
         |FROM tot t JOIN mx ON t.user_id = mx.user_id
-        |  JOIN md ON t.user_id = md.user_id""".stripMargin)
+        |  JOIN md ON t.user_id = md.user_id""".stripMargin,
+    // e14 twin: generated 8-round unrolled MM (see e14OracleSql)
+    "e14_bradley_terry" -> e14OracleSql)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

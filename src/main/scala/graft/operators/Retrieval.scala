@@ -372,6 +372,99 @@ object Retrieval {
     * not 0, so "no overlap" and "overlap counted 0" stay
     * distinguishable; the zero rule treats both as 0).
     */
+  /** Bradley–Terry ratings from pairwise preferences (Bradley & Terry
+    * 1952; the MM iteration of Hunter 2004, Ann. Statist. §1) — the
+    * model behind chatbot-arena leaderboards and RLHF preference
+    * aggregation: P(i beats j) = π_i/(π_i + π_j), fit by a FIXED
+    * number of minorization–maximization rounds
+    *
+    *   π_i ← W_i / Σ_j n_ij/(π_i + π_j),   then Σπ renormalized
+    *
+    * (fixed rounds, not a convergence probe — the [[graft.operators.Graph.pageRank]]
+    * contract; a winless player rates 0 and an undefeated player's
+    * divergent MLE is bounded by the round count, both documented
+    * behaviors of the truncated iteration).
+    *
+    * Determinism: ratings are integer-valued doubles in units of
+    * 1e-6 (scale 10⁶); each MM term floors onto the lattice,
+    * per-player sums are exact decimal(38,0) sums of those integers
+    * (order-free in any engine), and every remaining op is a
+    * correctly-rounded IEEE double op — the pageRank/hits expression
+    * tree discipline, so an engine twin agrees bit for bit.
+    *
+    * Scale: the games collapse to one symmetric (i, j, n) pair table
+    * (checkpointed once); each round is two joins of that table with
+    * the player-sized rating table, one hash aggregate, and a
+    * broadcast one-row normalization — per-round cost linear in
+    * distinct pairs. Rating state uses lazy checkpoints (the g3
+    * eagerness measurement).
+    *
+    * Output: (player, wins, rating) — mean rating 1.0 on the lattice.
+    */
+  def bradleyTerry(
+      games: DataFrame, winnerCol: String, loserCol: String,
+      iterations: Int = 8): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50] (got $iterations)")
+    val scale = 1e6
+    def checked(c: String, side: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"bradleyTerry: null $side")))
+        .otherwise(col(c).cast("string"))
+    val g = games
+      .select(checked(winnerCol, "winner").as("w"),
+        checked(loserCol, "loser").as("l"))
+      .select(when(col("w") === col("l"),
+        raise_error(concat(lit("bradleyTerry: self-game for "),
+          col("w")))).otherwise(col("w")).as("w"), col("l"))
+    val pairs = g
+      .select(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val both = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
+      .unionAll(pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
+      .localCheckpoint()
+    val wins = g.groupBy(col("w").as("id")).agg(count(lit(1)).as("wins"))
+    val base = both.select(col("i").as("id")).distinct()
+      .join(wins, Seq("id"), "left")
+      .select(col("id"), coalesce(col("wins"), lit(0L)).as("wins"))
+      .localCheckpoint()
+    val nPlayers = base.count().toDouble
+    require(nPlayers > 0, "bradleyTerry: no games")
+    var pi = base.select(col("id"), lit(scale).as("p"))
+    for (r <- 1 to iterations) {
+      // MM denominator: per-opponent terms floored onto the lattice,
+      // summed exactly (decimal(38,0) — integer-valued doubles).
+      // π_i + π_j = 0 cannot occur: π hits 0 only for winless players,
+      // and a played pair always contains at least one winner.
+      val d = both
+        .join(pi.select(col("id").as("i"), col("p").as("p_i")), "i")
+        .join(pi.select(col("id").as("j"), col("p").as("p_j")), "j")
+        .select(col("i").as("id"),
+          floor(col("n") * lit(1e12) / (col("p_i") + col("p_j")) +
+            lit(0.5)).as("t"))
+        .groupBy("id")
+        .agg(sum(col("t").cast(DecimalType(38, 0))).as("dsum"))
+      val upd = base.join(d, Seq("id"), "left")
+        .select(col("id"),
+          when(col("dsum").isNull, lit(0.0))
+            .otherwise(floor(
+              col("wins") * lit(1e12) / col("dsum").cast("double") +
+                lit(0.5))).as("p"))
+      // renormalize Σπ = N·scale; lazy checkpoint — the sum's
+      // broadcast job materializes the cache in passing (g3)
+      val m = upd.localCheckpoint(eager = false)
+      val s = m.agg(sum(col("p").cast(DecimalType(38, 0))).as("s"))
+      pi = m.crossJoin(broadcast(s))
+        .select(col("id"),
+          floor(col("p") * lit(nPlayers) * lit(scale) /
+            col("s").cast("double") + lit(0.5)).as("p"))
+    }
+    base.join(pi, "id")
+      .select(col("id").as("player"), col("wins"),
+        (col("p") / lit(scale)).as("rating"))
+  }
+
   /** RAG context assembly: per query, pack ranked candidates into a
     * token budget — the retrieval → prompt step of a RAG serving
     * stack. Candidates pack in relevance order (score desc, id asc —

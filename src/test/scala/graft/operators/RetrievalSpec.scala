@@ -350,4 +350,45 @@ class RetrievalSpec extends AnyFunSuite {
         e.getCause.getMessage.contains("non-positive token count"),
       e.getMessage)
   }
+
+  test("bradleyTerry: planted hierarchy orders ratings, winless rate 0") {
+    // p1 beats p2 and p3; p2 beats p3; p3 never wins
+    val games =
+      Seq.fill(10)(("p1", "p2")) ++ Seq.fill(10)(("p2", "p3")) ++
+        Seq.fill(10)(("p1", "p3")) ++
+        // one upset so p2/p3 aren't pure-loss edges against p1
+        Seq(("p2", "p1"))
+    val got = Retrieval.bradleyTerry(games.toDF("w", "l"), "w", "l")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("p1")._1 == 20L && got("p2")._1 == 11L &&
+      got("p3")._1 == 0L)
+    assert(got("p3")._2 == 0.0) // winless -> exactly 0 on the lattice
+    assert(got("p1")._2 > got("p2")._2 && got("p2")._2 > 0.0)
+    // mean rating ~1 after normalization (lattice rounding aside)
+    val total = got.values.map(_._2).sum
+    assert(math.abs(total - 3.0) < 1e-3, s"sum $total")
+    // partitioning invariance (bit-exact ratings)
+    val re = Retrieval.bradleyTerry(
+        games.toDF("w", "l").repartition(13), "w", "l")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(re == got.map { case (k, v) => k -> v._2 })
+    // null and self-game inputs fail loudly
+    val e1 = intercept[Exception] {
+      Retrieval.bradleyTerry(
+        Seq(("a", Option.empty[String])).toDF("w", "l"), "w", "l")
+        .collect()
+    }
+    assert(e1.getMessage.contains("null loser")
+      || e1.getCause != null &&
+        e1.getCause.getMessage.contains("null loser"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Retrieval.bradleyTerry(Seq(("a", "a")).toDF("w", "l"), "w", "l")
+        .collect()
+    }
+    assert(e2.getMessage.contains("self-game")
+      || e2.getCause != null &&
+        e2.getCause.getMessage.contains("self-game"), e2.getMessage)
+  }
 }
