@@ -410,6 +410,13 @@ object Classifier {
     * skewed label distributions; kappa discounts the agreement chance
     * would produce).
     *
+    * The MULTI-CLASS generalization of [[agreementKappa]] (which is
+    * the binary 2×2 fast path with e6-latticed outputs and the
+    * κ := 1 convention at p_e = 1): arbitrary string labels, the
+    * confusion matrix is label-pair-sized, and perfect chance
+    * agreement reports NULL (undefined) rather than 1 — the honest
+    * convention when labels aren't a fixed {0, 1} gate.
+    *
     *   κ = (p_o − p_e) / (1 − p_e),  p_o = Σ diag / n,
     *   p_e = Σ_l row_l · col_l / n²
     *

@@ -330,4 +330,19 @@ class ClassifierSpec extends AnyFunSuite {
       || e.getCause != null &&
         e.getCause.getMessage.contains("null rater"), e.getMessage)
   }
+
+  test("cohenKappa reduces to the binary agreementKappa on 0/1 data") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map(_ => (rnd.nextInt(2), rnd.nextInt(2)))
+    val multi = Classifier.cohenKappa(
+        rows.map { case (a, b) => (a.toString, b.toString) }
+          .toDF("a", "b"), "a", "b")
+      .select("kappa").as[Double].collect().head
+    val binary = Classifier.agreementKappa(rows.toDF("a", "b"), "a", "b")
+      .select("kappa_e6").as[Long].collect().head
+    // same statistic at two lattices: e6 floor-half-up of the round-6
+    // value can differ by at most one e6 step
+    assert(math.abs(math.floor(multi * 1e6 + 0.5).toLong - binary) <= 1,
+      s"multi $multi vs binary_e6 $binary")
+  }
 }
