@@ -289,4 +289,41 @@ class GraphSpec extends AnyFunSuite {
         .as[(String, Long, Long, Option[Long])].collect().sorted.toSeq
     assert(run(1) == run(17))
   }
+
+  test("triangles matches a driver-side brute force on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 30
+    // ~dense enough for plenty of triangles, plus duplicates/reversals
+    val raw = (0 until 220).map { _ =>
+      (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}")
+    }
+    val got = Graph.triangles(raw.toDF("src", "dst"), "src", "dst")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // brute force: symmetric simple adjacency, count triangles per node
+    val adj = raw.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val triCount = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && adj(a)(b)
+      c <- nodes if b < c && adj(a)(c) && adj(b)(c)
+    } {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    assert(got.keySet == adj.keySet)
+    got.foreach { case (node, (deg, tri, cc)) =>
+      assert(deg == adj(node).size.toLong, s"deg $node")
+      assert(tri == triCount(node), s"tri $node")
+      val d = adj(node).size.toLong
+      if (d >= 2) {
+        val want = (2 * (2 * triCount(node) * 1000000L) + d * (d - 1)) /
+          (2 * d * (d - 1))
+        assert(cc.contains(want), s"cc $node")
+      } else assert(cc.isEmpty, s"cc $node")
+    }
+  }
 }

@@ -288,6 +288,68 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(5L).getAs[Long]("c_len") == 0L)
   }
 
+  test("bleu and rougeN match a plain-Scala reference on random pairs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    def sent(len: Int) =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val pairs = (1 to 60).map { i =>
+      (i.toLong, sent(rnd.nextInt(15)).mkString(" "),
+        sent(1 + rnd.nextInt(14)).mkString(" "))
+    }
+    def grams(t: Seq[String], n: Int) = t.sliding(n).filter(_.size == n)
+      .map(_.mkString(" ")).toSeq
+    def clip(c: Seq[String], r: Seq[String], n: Int): Long = {
+      val cc = grams(c, n).groupBy(identity).map { case (k, v) => k -> v.size }
+      val rc = grams(r, n).groupBy(identity).map { case (k, v) => k -> v.size }
+      cc.map { case (g, k) => math.min(k, rc.getOrElse(g, 0)) }.sum.toLong
+    }
+    def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+
+    val gotB = Retrieval.bleu(pairs.toDF("q_id", "cand", "ref"),
+        "q_id", "cand", "ref")
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        r.getAs[Long]("bleu_e6")).toMap
+    pairs.foreach { case (id, cs, rs) =>
+      val (c, r) = (toks(cs), toks(rs))
+      val clips = (1 to 4).map(n => clip(c, r, n))
+      val want =
+        if (c.isEmpty || clips.exists(_ == 0L)) 0L
+        else {
+          val prod = (1 to 4).map(n =>
+            clips(n - 1).toDouble / (c.size - n + 1).toDouble)
+            .reduce(_ * _)
+          val bp = if (c.size >= r.size) 1.0
+            else math.exp(1.0 - r.size.toDouble / c.size.toDouble)
+          math.floor(bp * math.sqrt(math.sqrt(prod)) * 1e6 + 0.5).toLong
+        }
+      assert(gotB(id) == want, s"bleu pair $id: '$cs' vs '$rs'")
+    }
+
+    val gotR = Retrieval.rougeN(pairs.toDF("q_id", "cand", "ref"),
+        "q_id", "cand", "ref", maxN = 2)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("n")) ->
+        ((r.getAs[Long]("clip"), r.getAs[Any]("recall_e6"),
+          r.getAs[Any]("f1_e6")))).toMap
+    pairs.foreach { case (id, cs, rs) =>
+      val (c, r) = (toks(cs), toks(rs))
+      for (n <- 1 to 2) {
+        val cl = clip(c, r, n)
+        val (ct, rt) = (math.max(c.size - n + 1, 0).toLong,
+          math.max(r.size - n + 1, 0).toLong)
+        val (gc, grec, gf1) = gotR((id, n))
+        assert(gc == cl, s"clip $id n$n")
+        if (rt > 0) assert(grec == (2 * cl * 1000000L + rt) / (2 * rt),
+          s"recall $id n$n")
+        else assert(grec == null, s"recall null $id n$n")
+        if (ct + rt > 0)
+          assert(gf1 == (2 * (2 * cl * 1000000L) + ct + rt) /
+            (2 * (ct + rt)), s"f1 $id n$n")
+        else assert(gf1 == null, s"f1 null $id n$n")
+      }
+    }
+  }
+
   test("rougeN: hand-computed recall/precision/F1 on the 1e-6 lattice") {
     val pairs = Seq(
       (1L, "a b c d a b", "a b c d"),
