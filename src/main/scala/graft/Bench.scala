@@ -110,8 +110,28 @@ object Bench {
     val slowest = mins.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
     val qs = (slowest ++ families).mkString("{", ",", "}")
+    // Round-over-round comparability: the raw total grows every time a
+    // query is ADDED, so it conflates engine speed with suite size.
+    // `value_r1_set` sums only the 47 queries that existed in the
+    // round-1 bench — a fixed basket whose trend isolates performance.
+    val r1Set = Set(
+      "a1_group_collect", "a2_group_first", "a4_distinct", "a5_stats",
+      "a6_approx_distinct", "a7_percentiles", "d1_dedup_exact",
+      "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
+      "d5_embed_neardup", "d6_dedup_clusters", "f1_scalar_funcs",
+      "f2_bucketize", "f3_json_extract", "f4_rollup", "f5_date_funcs",
+      "f6_string_funcs", "f7_map_funcs", "f8_pivot", "j1_join_inner",
+      "j2_interval_join", "j3_join_left", "j6_join_semi", "j7_join_anti",
+      "j8_cross_join", "j9_asof_join", "m1_media_meta",
+      "p6_explode_tokens", "q1_pricing_summary", "q3_top_orders",
+      "q5_nation_revenue", "so1_union", "st1_window_agg",
+      "t1_token_stats", "t2_quality_score", "t3_lang_id",
+      "t4_fingerprint", "t5_bpeish_tokens", "t6_winnow_fingerprints",
+      "v1_cosine_topk", "v2_ann_lsh", "v3_ann_ivf", "w1_window_topk",
+      "w2_running_sum", "w3_lag_lead", "w4_sessionize")
+    val r1Total = mins.collect { case (k, v) if r1Set(k) => v }.sum
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"keys":"15 slowest + per-family sums; full per-query map in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"value_r1_set":${f(r1Total)},"n_r1_set":${mins.keys.count(r1Set)},"keys":"15 slowest + per-family sums; full per-query map in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

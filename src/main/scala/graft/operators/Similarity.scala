@@ -233,20 +233,24 @@ object Similarity {
   def binaryQuantize(
       df: DataFrame, idCol: String, vecCol: String): DataFrame =
     // expr form: the Scala `shiftleft` overload only takes literal bit
-    // counts; the SQL function shifts by a column. Guards: > 64 dims
-    // would alias onto bits mod 64 (shiftleft wraps the shift count) —
-    // fail loudly instead of silently corrupting sketches; empty vectors
-    // would make `sequence(0, -1)` count DOWN and index element 0 —
-    // they sketch to 0.
-    df.select(col(idCol).as("id"),
-      expr(s"""CASE
-          WHEN size($vecCol) > 64 THEN
+    // counts; the SQL function shifts by a column. The caller's vector
+    // column resolves through the analyzer ONCE into the internal
+    // `__bq_v` alias (raw-SQL name interpolation would break on names
+    // needing backquotes — the rateAnomaly discipline). Guards: > 64
+    // dims would alias onto bits mod 64 (shiftleft wraps the shift
+    // count) — fail loudly instead of silently corrupting sketches;
+    // empty vectors would make `sequence(0, -1)` count DOWN and index
+    // element 0 — they sketch to 0.
+    df.select(col(idCol).as("id"), col(vecCol).as("__bq_v"))
+      .select(col("id"),
+        expr("""CASE
+          WHEN size(__bq_v) > 64 THEN
             raise_error(concat('binaryQuantize packs into one long: dim ',
-              CAST(size($vecCol) AS STRING), ' > 64'))
-          WHEN size($vecCol) <= 0 THEN 0L
+              CAST(size(__bq_v) AS STRING), ' > 64'))
+          WHEN size(__bq_v) <= 0 THEN 0L
           ELSE aggregate(
-            sequence(0, size($vecCol) - 1), 0L,
-            (acc, j) -> acc | IF(element_at($vecCol, j + 1) > CAST(0 AS FLOAT),
+            sequence(0, size(__bq_v) - 1), 0L,
+            (acc, j) -> acc | IF(element_at(__bq_v, j + 1) > CAST(0 AS FLOAT),
                                  shiftleft(1L, j), 0L))
           END""").as("sketch"))
 
