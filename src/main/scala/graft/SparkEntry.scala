@@ -2790,6 +2790,16 @@ FROM c"""
     Graph.triangles(hop, "src", "dst")
   }
 
+  /** g6: degree-distribution summary + power-law exponent over the
+    * [[affinityGraph]] (host hubs give the heavy tail). Full oracle:
+    * the same symmetric-distinct degrees, 1e-6-latticed ln terms and
+    * exact fold.
+    */
+  private def g6DegreePowerLaw(s: SparkSession, d: String): DataFrame = {
+    val (edges, _) = affinityGraph(s, d, weighted = false)
+    Graph.degreePowerLaw(edges, "src", "dst", dMin = 2)
+  }
+
   /** c13: chat-format validation — documents cast as conversation turns
     * (conv = doc_id div 6, ordinal = doc_id mod 6) with deterministic
     * role corruptions (every 17th doc forces 'user', every 29th an
@@ -3273,7 +3283,8 @@ FROM c"""
     "h4_context_pack" -> (h4ContextPack _),
     "e13_cohen_kappa" -> (e13CohenKappa _),
     "w17_bot_regularity" -> (w17BotRegularity _),
-    "e14_bradley_terry" -> (e14BradleyTerry _))
+    "e14_bradley_terry" -> (e14BradleyTerry _),
+    "g6_degree_powerlaw" -> (g6DegreePowerLaw _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7404,7 +7415,41 @@ FROM c"""
         |FROM tot t JOIN mx ON t.user_id = mx.user_id
         |  JOIN md ON t.user_id = md.user_id""".stripMargin,
     // e14 twin: generated 8-round unrolled MM (see e14OracleSql)
-    "e14_bradley_terry" -> e14OracleSql)
+    "e14_bradley_terry" -> e14OracleSql,
+    // g6 twin: g1's affinity construction, symmetric-distinct degrees,
+    // 1e-6-latticed ln terms, exact fold, lattice divisions
+    "g6_degree_powerlaw" ->
+      """WITH docs AS (SELECT 'doc:' || doc_id::VARCHAR AS dn,
+        |    'site' || (doc_id % 7)::VARCHAR || '.example.com' AS h1,
+        |    'mirror' || (doc_id % 3)::VARCHAR || '.example.org' AS h2,
+        |    'src:' || source AS sn
+        |  FROM documents),
+        |raw AS (SELECT dn AS a, h1 AS b FROM docs
+        |  UNION ALL SELECT h1, dn FROM docs
+        |  UNION ALL SELECT dn, h2 FROM docs
+        |  UNION ALL SELECT h2, dn FROM docs
+        |  UNION ALL SELECT dn, sn FROM docs
+        |  UNION ALL SELECT sn, dn FROM docs),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |    SELECT a, b FROM raw WHERE a <> b
+        |    UNION ALL SELECT b, a FROM raw WHERE a <> b)),
+        |deg AS (SELECT a AS node, count(*)::BIGINT AS d
+        |  FROM und GROUP BY 1),
+        |s AS (SELECT count(*)::BIGINT AS n_nodes,
+        |    sum(d)::BIGINT AS deg_sum, max(d)::BIGINT AS max_degree,
+        |    sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_fit,
+        |    sum(CASE WHEN d >= 2 THEN
+        |      floor(ln(d::DOUBLE / 1.5::DOUBLE) * 1e6 + 0.5::DOUBLE)
+        |        ::BIGINT ELSE 0 END)::BIGINT AS ln_sum
+        |  FROM deg)
+        |SELECT n_nodes, deg_sum // 2 AS n_edges, max_degree,
+        |  (2 * deg_sum * 10000 + n_nodes) // (2 * n_nodes)
+        |    AS mean_degree_e4,
+        |  n_fit,
+        |  CASE WHEN n_fit > 0 AND ln_sum > 0 THEN
+        |    floor((1.0::DOUBLE + n_fit::DOUBLE * 1e6 / ln_sum::DOUBLE)
+        |      * 1e6 + 0.5::DOUBLE)::BIGINT END AS alpha_e6
+        |FROM s""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

@@ -290,6 +290,35 @@ class GraphSpec extends AnyFunSuite {
     assert(run(1) == run(17))
   }
 
+  test("degreePowerLaw: hand-computed star + clique summary") {
+    // star: hub h with 6 leaves (deg 6 / 1×6); clique K3 (deg 2 each)
+    val edges =
+      (1 to 6).map(i => ("h", s"s$i")) ++
+        Seq(("x", "y"), ("y", "z"), ("z", "x"), ("x", "y")) // dup edge
+    val got = Graph.degreePowerLaw(edges.toDF("src", "dst"),
+        "src", "dst", dMin = 2)
+      .collect().head
+    assert(got.getAs[Long]("n_nodes") == 10L)
+    assert(got.getAs[Long]("n_edges") == 9L)
+    assert(got.getAs[Long]("max_degree") == 6L)
+    // mean = 18/10 = 1.8
+    assert(got.getAs[Long]("mean_degree_e4") == 18000L)
+    assert(got.getAs[Long]("n_fit") == 4L) // h + x + y + z
+    // alpha = 1 + 4e6 / (ln(6/1.5)e6 + 3·ln(2/1.5)e6), lattice terms
+    val lnSum = math.floor(math.log(6.0 / 1.5) * 1e6 + 0.5).toLong +
+      3L * math.floor(math.log(2.0 / 1.5) * 1e6 + 0.5).toLong
+    val want = math.floor(
+      (1.0 + 4.0 * 1e6 / lnSum.toDouble) * 1e6 + 0.5).toLong
+    assert(got.getAs[Long]("alpha_e6") == want)
+    // all-degree-1 graph: fit undefined -> NULL
+    val line = Graph.degreePowerLaw(
+        Seq(("a", "b"), ("c", "d")).toDF("src", "dst"),
+        "src", "dst", dMin = 2)
+      .collect().head
+    assert(line.getAs[Long]("n_fit") == 0L)
+    assert(line.isNullAt(line.fieldIndex("alpha_e6")))
+  }
+
   test("triangles matches a driver-side brute force on a random graph") {
     val rnd = new scala.util.Random(42)
     val n = 30
