@@ -405,4 +405,99 @@ object StatefulOps {
           }
       }
   }
+
+  case class ChatTurn(
+    conv_id: Long, ord: Long, role: String, n_chars: Long, ts_us: Long)
+  case class ConvStats(
+    conv_id: Long, n_turns: Long, n_user: Long, n_assistant: Long,
+    n_other: Long, starts_user: Boolean, ends_assistant: Boolean,
+    alternates: Boolean, total_chars: Long, valid: Boolean)
+  private[streaming] case class ChatTurnW(
+    conv_id: Long, ord: Long, role: String, n_chars: Long, ts_us: Long,
+    event_time: java.sql.Timestamp)
+  private[streaming] case class ConvState(
+    turns: Seq[(Long, String, Long)], end_us: Long, overflow: Boolean)
+
+  /** The [[graft.operators.ChatData.conversationStats]] verdict as a
+    * pure fold over (ord, role, n_chars) turns — shared by the stream
+    * below so batch and stream verdicts cannot diverge. Divergence
+    * point, by contract: a duplicate ordinal RAISES batch-side (corrupt
+    * input fails the job) but poisons the single conversation
+    * stream-side (valid = false with alternates = false) — a streaming
+    * ingest must not die because one conversation double-sent a turn.
+    */
+  private[streaming] def foldConv(
+      convId: Long, turns: Seq[(Long, String, Long)],
+      poisoned: Boolean): ConvStats = {
+    val sorted = turns.sortBy(_._1)
+    val dup = sorted.sliding(2).exists {
+      case Seq(a, b) => a._1 == b._1
+      case _ => false
+    }
+    val roles = sorted.map(_._2)
+    val nOther = roles.count(r => r != "user" && r != "assistant").toLong
+    val alternates = !dup && !poisoned &&
+      roles.sliding(2).forall {
+        case Seq(a, b) => a != b
+        case _ => true
+      }
+    val valid = !dup && !poisoned && roles.headOption.contains("user") &&
+      roles.lastOption.contains("assistant") && alternates &&
+      nOther == 0L && sorted.size >= 2
+    ConvStats(convId, sorted.size.toLong,
+      roles.count(_ == "user").toLong,
+      roles.count(_ == "assistant").toLong, nOther,
+      roles.headOption.contains("user"),
+      roles.lastOption.contains("assistant"),
+      alternates, sorted.map(_._3).sum, valid)
+  }
+
+  /** Streaming chat-format validation — the
+    * [[graft.operators.ChatData.conversationStats]] twin for continuous
+    * SFT ingest: turns accumulate per conversation (state holds the
+    * (ord, role, n_chars) rows — template-bounded, capped at `maxTurns`
+    * with overflow poisoning so a runaway key cannot grow state), and
+    * the verdict emits ONCE when the event-time watermark passes the
+    * conversation's last turn + the idle gap (EventTimeTimeout — no
+    * state-scan busy loop, the [[sessionsStream]] caveat). Because the
+    * whole conversation folds at flush, cross-batch arrival order and
+    * out-of-order ordinals cannot change the verdict — stream ≡ batch
+    * by construction, not by delivery luck.
+    */
+  def conversationStatsStream(
+      spark: SparkSession, ds: Dataset[ChatTurn],
+      gapUs: Long = DefaultGapUs, maxTurns: Int = 256,
+      watermarkDelay: String = "0 seconds"): Dataset[ConvStats] = {
+    require(gapUs > 0, "conversation idle gap must be positive")
+    require(maxTurns >= 2, s"maxTurns must be >= 2 (got $maxTurns)")
+    import spark.implicits._
+    ds.withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[ChatTurnW]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, ConvStats](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (conv: Long, evs: Iterator[ChatTurnW],
+            state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(foldConv(conv, s.turns, s.overflow))
+          } else {
+            val prev = state.getOption
+              .getOrElse(ConvState(Seq.empty, 0L, overflow = false))
+            val incoming = evs
+              .map(e => (e.ord, e.role, e.n_chars, e.ts_us)).toIndexedSeq
+            val merged = prev.turns ++ incoming.map(t => (t._1, t._2, t._3))
+            val over = prev.overflow || merged.size > maxTurns
+            val cur = ConvState(merged.take(maxTurns),
+              math.max(prev.end_us, incoming.map(_._4).max), over)
+            state.update(cur)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+              math.max((cur.end_us + gapUs) / 1000, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -300,4 +300,79 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(typed == sql)
     assert(typed.nonEmpty)
   }
+
+  test("streamed conversation verdicts equal the batch c13 operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the c13 grid over sf0.001 docs, turned into timestamped turns —
+    // arrival time deliberately DISAGREES with ordinal order so the
+    // fold-at-flush contract is what's tested, not delivery luck
+    val turns = graft.sources.Tables(spark, TestSpark.Sf0001, "documents")
+      .select(expr("doc_id div 6").as("conv_id"),
+        expr("doc_id % 6").as("ord"),
+        when(expr("doc_id % 17") === 0, lit("user"))
+          .when(expr("doc_id % 29") === 0, lit("system"))
+          .when(expr("doc_id % 2") === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        length(col("text")).cast("long").as("n_chars"),
+        // ts descends with ordinal inside each conversation; the +1 s
+        // base keeps every event strictly above the engine's initial
+        // watermark (an event AT epoch 0 is dropped as late)
+        expr("1000000 + (doc_id div 6) * 1000000 + (5 - doc_id % 6) * 1000")
+          .as("ts_us"))
+      .as[ChatTurn].collect()
+    val rnd = new scala.util.Random(3)
+    val shuffled = rnd.shuffle(turns.toVector)
+    val gap = 1000L * 1000
+    // the shuffled arrival spans the whole event-time range, so the
+    // watermark delay must cover it or conversations flush before
+    // their late turns arrive — the standard late-data contract
+    val mem = MemoryStream[ChatTurn]
+    val q = StatefulOps.conversationStatsStream(spark, mem.toDS(),
+        gapUs = gap, watermarkDelay = "120 seconds")
+      .writeStream.format("memory").queryName("c13_stream")
+      .outputMode("append").start()
+    try {
+      shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).foreach {
+        chunk =>
+          mem.addData(chunk: _*)
+          q.processAllAvailable()
+      }
+      // a far-future sentinel conversation advances the watermark
+      // (minus the 120 s delay) past every real conversation's
+      // end + gap
+      val far = turns.map(_.ts_us).max + 500L * gap
+      mem.addData(ChatTurn(-1L, 0L, "user", 1L, far))
+      q.processAllAvailable()
+      mem.addData(ChatTurn(-1L, 1L, "assistant", 1L, far + 1))
+      q.processAllAvailable()
+      val streamed = spark.table("c13_stream")
+        .filter(col("conv_id") >= 0)
+        .as[ConvStats].collect()
+        .map(s => s.conv_id -> s).toMap
+      val batch = graft.SparkEntry
+        .queries("c13_chat_validate")(spark, TestSpark.Sf0001)
+        .collect().map { r =>
+          r.getAs[Long]("conv_id") -> ConvStats(
+            r.getAs[Long]("conv_id"), r.getAs[Long]("n_turns"),
+            r.getAs[Long]("n_user"), r.getAs[Long]("n_assistant"),
+            r.getAs[Long]("n_other"), r.getAs[Boolean]("starts_user"),
+            r.getAs[Boolean]("ends_assistant"),
+            r.getAs[Boolean]("alternates"), r.getAs[Long]("total_chars"),
+            r.getAs[Boolean]("valid"))
+        }.toMap
+      assert(streamed == batch && batch.nonEmpty,
+        s"${streamed.size} streamed vs ${batch.size} batch")
+    } finally q.stop()
+  }
+
+  test("conversation state caps at maxTurns and poisons the verdict") {
+    val over = (0 until 10).map(i => (i.toLong, "user", 1L))
+    val s = StatefulOps.foldConv(1L, over.take(4), poisoned = true)
+    assert(!s.valid && !s.alternates)
+    // duplicate ordinal poisons batchless fold the same way
+    val dup = StatefulOps.foldConv(2L,
+      Seq((0L, "user", 1L), (0L, "assistant", 2L)), poisoned = false)
+    assert(!dup.valid && !dup.alternates && dup.n_turns == 2L)
+  }
 }
