@@ -540,7 +540,43 @@ object ScaleProbe {
       },
       "w16_seasonality" -> (d =>
         EventAnalytics.seasonalityProfile(synthEvents(d, probeN), "ts",
-          "event_type").count()))
+          "event_type").count()),
+      "e13_kappa" -> { d =>
+        Classifier.cohenKappa(
+          d.select(
+            element_at(array(lit("good"), lit("ok"), lit("bad")),
+              (length(col("text")) % 3 + 1).cast("int")).as("a"),
+            element_at(array(lit("good"), lit("ok"), lit("bad")),
+              ((length(col("text")) + col("doc_id")) % 3 + 1).cast("int"))
+              .as("b")),
+          "a", "b").count()
+      },
+      // players ∝ n/50 so per-player game volume stays flat (the g1
+      // host-knob discipline); 8 MM rounds over the pair table
+      "e14_bradley_terry" -> { d =>
+        val np = math.max(17L, probeN / 50)
+        val g = d.select(
+            concat(lit("p"), pmod(col("doc_id"), lit(np)).cast("string"))
+              .as("w"),
+            concat(lit("p"),
+              pmod(col("doc_id") * 7 + 3, lit(np)).cast("string")).as("l"))
+          .filter(col("w") =!= col("l"))
+        graft.operators.Retrieval.bradleyTerry(g, "w", "l").count()
+      },
+      "g6_powerlaw" -> { d =>
+        val ids = d.select(col("doc_id"))
+        val hop = ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 1).as("dst"))
+          .unionByName(ids.select(col("doc_id").as("src"),
+            pmod(col("doc_id") * 31, lit(math.max(64L, probeN / 16)))
+              .as("dst")))
+        Graph.degreePowerLaw(hop, "src", "dst").count()
+      },
+      "w17_bot" -> (d =>
+        EventAnalytics.botRegularity(
+          synthEvents(d, probeN)
+            .withColumn("event_id", col("ts")),
+          "user_id", "ts", "event_id").count()))
 
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "v1_cosine_topk" -> (e => Similarity.cosineTopK(
