@@ -2790,6 +2790,31 @@ FROM c"""
     Graph.triangles(hop, "src", "dst")
   }
 
+  /** m7: MP3 stream metadata — per-doc Layer III streams are BUILT with
+    * real frame framing (alternating bitrates on every 4th doc, an
+    * ID3v2 tag on every 3rd, non-MP3 text bytes on every 11th) and then
+    * PARSED back by the header walk; a construct→parse round trip with
+    * a closed-form oracle (the m5 discipline).
+    */
+  private def m7AudioMp3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = T(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes =
+          if (id % 11 == 0) text.getBytes("UTF-8") // non-MP3: dropped
+          else {
+            val n = 1 + (id % 40).toInt
+            val kbps = (0 until n).map(i =>
+              if (id % 4 == 0 && i % 2 == 1) 192 else 128)
+            Multimodal.mp3Frames(kbps,
+              id3Size = if (id % 3 == 0) (id % 7).toInt * 3 else -1)
+          }
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+    Multimodal.mp3Meta(s, payloads, "doc_id")
+  }
+
   /** g6: degree-distribution summary + power-law exponent over the
     * [[affinityGraph]] (host hubs give the heavy tail). Full oracle:
     * the same symmetric-distinct degrees, 1e-6-latticed ln terms and
@@ -3284,7 +3309,8 @@ FROM c"""
     "e13_cohen_kappa" -> (e13CohenKappa _),
     "w17_bot_regularity" -> (w17BotRegularity _),
     "e14_bradley_terry" -> (e14BradleyTerry _),
-    "g6_degree_powerlaw" -> (g6DegreePowerLaw _))
+    "g6_degree_powerlaw" -> (g6DegreePowerLaw _),
+    "m7_audio_mp3" -> (m7AudioMp3 _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7449,7 +7475,17 @@ FROM c"""
         |  CASE WHEN n_fit > 0 AND ln_sum > 0 THEN
         |    floor((1.0::DOUBLE + n_fit::DOUBLE * 1e6 / ln_sum::DOUBLE)
         |      * 1e6 + 0.5::DOUBLE)::BIGINT END AS alpha_e6
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin,
+    // m7 twin: the construct→parse round trip has a closed form — the
+    // walk must recover exactly the frames the builder framed
+    "m7_audio_mp3" ->
+      """SELECT doc_id AS id,
+        |  (1 + doc_id % 40)::BIGINT AS n_frames,
+        |  44100::BIGINT AS sample_rate,
+        |  ((1 + doc_id % 40) * 1152 * 1000) // 44100 AS duration_ms,
+        |  128::BIGINT AS kbps_first,
+        |  (doc_id % 4 = 0 AND doc_id % 40 >= 1) AS vbr
+        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

@@ -128,6 +128,134 @@ object Multimodal {
   private[operators] def wavFrames(bytes: Array[Byte]): Option[Int] =
     wavInfo(bytes).filter(_.frameBytes > 0).map(_.frames)
 
+  case class Mp3Info(
+    nFrames: Int, sampleRate: Int, totalSamples: Long, firstKbps: Int,
+    vbr: Boolean) {
+    /** Exact integer milliseconds: samples·1000 div rate. */
+    def durationMs: Long =
+      if (sampleRate > 0) totalSamples * 1000L / sampleRate else 0L
+  }
+
+  // MPEG audio Layer III tables (ISO/IEC 11172-3 / 13818-3): bitrate
+  // kbps by header index (0 = free format, 15 = bad — both rejected),
+  // sample rates by version.
+  private val Mp3KbpsV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3KbpsV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val Mp3RateV1 = Array(44100, 48000, 32000, 0)
+  private val Mp3RateV2 = Array(22050, 24000, 16000, 0)
+  private val Mp3RateV25 = Array(11025, 12000, 8000, 0)
+
+  /** MP3 frame-header walk (header-only, the [[wavInfo]] discipline):
+    * skips a leading ID3v2 tag (syncsafe size), then walks Layer III
+    * frames — sync, version, bitrate/samplerate indices, padding —
+    * advancing by the computed frame length. Stops cleanly at lost
+    * sync or a truncated final frame; returns None when no complete
+    * frame exists (non-MP3 bytes). `vbr` reports whether any frame's
+    * bitrate differs from the first.
+    */
+  private[operators] def mp3Info(bytes: Array[Byte]): Option[Mp3Info] = {
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      off = 10 + sz
+    }
+    var n = 0
+    var sr = 0
+    var totalSamples = 0L
+    var firstK = 0
+    var vbr = false
+    var done = false
+    while (!done && off + 4 <= bytes.length) {
+      val b1 = bytes(off) & 0xFF
+      val b2 = bytes(off + 1) & 0xFF
+      val b3 = bytes(off + 2) & 0xFF
+      val verBits = (b2 >> 3) & 0x3 // 0 = MPEG2.5, 2 = MPEG2, 3 = MPEG1
+      val layerBits = (b2 >> 1) & 0x3 // 1 = Layer III
+      val brIdx = (b3 >> 4) & 0xF
+      val srIdx = (b3 >> 2) & 0x3
+      val pad = (b3 >> 1) & 0x1
+      if (b1 != 0xFF || (b2 & 0xE0) != 0xE0 || verBits == 1 ||
+          layerBits != 1 || brIdx == 0 || brIdx == 15 || srIdx == 3) {
+        done = true // lost sync / free-format / reserved: stop the walk
+      } else {
+        val v1 = verBits == 3
+        val kbps = (if (v1) Mp3KbpsV1L3 else Mp3KbpsV2L3)(brIdx)
+        val rate = (verBits match {
+          case 3 => Mp3RateV1
+          case 2 => Mp3RateV2
+          case _ => Mp3RateV25
+        })(srIdx)
+        val spf = if (v1) 1152 else 576
+        val flen = (if (v1) 144 else 72) * kbps * 1000 / rate + pad
+        if (flen <= 4 || off + flen > bytes.length) {
+          done = true // truncated final frame: don't count it
+        } else {
+          if (n == 0) { sr = rate; firstK = kbps }
+          else if (kbps != firstK) vbr = true
+          totalSamples += spf
+          n += 1
+          off += flen
+        }
+      }
+    }
+    if (n > 0) Some(Mp3Info(n, sr, totalSamples, firstK, vbr)) else None
+  }
+
+  /** Test/synthesis helper: MPEG1 Layer III frames (44100/48000/32000
+    * Hz) with the given per-frame bitrates, headers + zero payload —
+    * real frame framing, silent audio.
+    */
+  def mp3Frames(
+      frameKbps: Seq[Int], sampleRate: Int = 44100,
+      id3Size: Int = -1): Array[Byte] = {
+    val srIdx = Mp3RateV1.indexOf(sampleRate)
+    require(srIdx >= 0 && srIdx < 3, s"bad MPEG1 rate $sampleRate")
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size >= 0) {
+      require(id3Size < (1 << 28), "ID3 size must be syncsafe")
+      out.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+      out.write(Array(
+        ((id3Size >> 21) & 0x7F).toByte, ((id3Size >> 14) & 0x7F).toByte,
+        ((id3Size >> 7) & 0x7F).toByte, (id3Size & 0x7F).toByte))
+      out.write(new Array[Byte](id3Size))
+    }
+    frameKbps.foreach { k =>
+      val brIdx = Mp3KbpsV1L3.indexOf(k)
+      require(brIdx > 0 && brIdx < 15, s"bad MPEG1 L3 bitrate $k")
+      val flen = 144 * k * 1000 / sampleRate // pad 0
+      val frame = new Array[Byte](flen)
+      frame(0) = 0xFF.toByte
+      frame(1) = 0xFB.toByte // sync | MPEG1 | Layer III | no CRC
+      frame(2) = ((brIdx << 4) | (srIdx << 2)).toByte
+      frame(3) = 0x00
+      out.write(frame)
+    }
+    out.toByteArray
+  }
+
+  /** MP3 stream metadata per payload — the [[extractMeta]] batch shape
+    * over the [[mp3Info]] walk; non-MP3 payloads drop. Output: (id,
+    * n_frames, sample_rate, duration_ms, kbps_first, vbr).
+    */
+  def mp3Meta(
+      spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        mp3Info(bytes).map(i =>
+          (id, i.nFrames.toLong, i.sampleRate.toLong, i.durationMs,
+            i.firstKbps.toLong, i.vbr))
+      })
+      .toDF("id", "n_frames", "sample_rate", "duration_ms",
+        "kbps_first", "vbr")
+  }
+
   /** Decode with the real parser when one applies; deterministic stub
     * otherwise. Video metadata comes from a real ISO-BMFF box walk
     * ([[Mp4]]) — frame count from the sample table, dims from `tkhd` —

@@ -210,4 +210,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.poolGray(thumb, 2, 2).get.map(_.toSeq).toSeq ==
       Seq(Seq(40, 200), Seq(40, 200)))
   }
+
+  test("mp3Info: frame walk, ID3 skip, VBR flag, truncation, non-MP3") {
+    // 3 CBR frames at 128 kbps / 44100 Hz: frame length 417
+    val cbr = Multimodal.mp3Frames(Seq(128, 128, 128))
+    val i1 = Multimodal.mp3Info(cbr).get
+    assert(i1.nFrames == 3 && i1.sampleRate == 44100 && !i1.vbr)
+    assert(i1.firstKbps == 128 && i1.totalSamples == 3L * 1152)
+    assert(i1.durationMs == 3L * 1152 * 1000 / 44100)
+    // ID3v2 tag skipped; mixed bitrates flag VBR
+    val vbr = Multimodal.mp3Frames(Seq(128, 192, 128), id3Size = 33)
+    val i2 = Multimodal.mp3Info(vbr).get
+    assert(i2.nFrames == 3 && i2.vbr && i2.firstKbps == 128)
+    // a truncated final frame doesn't count
+    val trunc = cbr.dropRight(10)
+    assert(Multimodal.mp3Info(trunc).get.nFrames == 2)
+    // garbage after valid frames stops the walk cleanly
+    val tail = cbr ++ "not audio".getBytes("US-ASCII")
+    assert(Multimodal.mp3Info(tail).get.nFrames == 3)
+    // non-MP3 bytes (text, WAV, empty) parse to None
+    assert(Multimodal.mp3Info("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.mp3Info(
+      Multimodal.pcm16Wav(Array[Short](1, 2, 3))).isEmpty)
+    assert(Multimodal.mp3Info(Array.emptyByteArray).isEmpty)
+    // 48 kHz MPEG1 frames: 144·kbps·1000/48000
+    val hz48 = Multimodal.mp3Frames(Seq(320), sampleRate = 48000)
+    val i3 = Multimodal.mp3Info(hz48).get
+    assert(i3.sampleRate == 48000 && i3.firstKbps == 320 &&
+      i3.nFrames == 1)
+  }
 }
