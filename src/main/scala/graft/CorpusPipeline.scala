@@ -77,6 +77,19 @@ final case class CorpusPipeline(
       TextAnalytics.dominantScriptColumn(col(textCol)).isin(scripts: _*)))
   }
 
+  /** Keep only documents passing the t35 source-code quality verdict
+    * (The Stack thresholds: max line ≤ `maxLineLen`, latticed mean line
+    * ≤ `maxMeanLineLen`, alnum fraction ≥ `minAlnumE6`) — the code-file
+    * gate between a raw repo crawl and a code corpus. Delegates to
+    * [[graft.streaming.CurationStream.gateCode]] so facade, stream and
+    * batch t35 verdicts are one expression; NULL text drops.
+    */
+  def gateCode(
+      maxLineLen: Int = 1000, maxMeanLineLen: Int = 100,
+      minAlnumE6: Long = 250000L): CorpusPipeline =
+    copy(df = graft.streaming.CurationStream.gateCode(
+      df, textCol, maxLineLen, maxMeanLineLen, minAlnumE6))
+
   /** Canonical typographic form ([[TextAnalytics.normalizeTextColumn]])
     * — run before any dedup stage so curly-quote variants collide.
     */

@@ -219,4 +219,21 @@ class CorpusPipelineFacadeSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(viaProfile == latinOnly)
   }
+
+  test("gateCode: facade ≡ batch t35 keep verdict, schema unpolluted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x = 1\n# init\ny = x + 2"), // clean -> kept
+      (2L, "z" * 1200),                 // minified -> dropped
+      (3L, "--- !!! ...\n??? ***"))     // low alnum -> dropped
+      .toDF("doc_id", "text")
+    val gated = CorpusPipeline(docs, "doc_id", "text").gateCode()
+    assert(gated.df.columns.toSeq == Seq("doc_id", "text"))
+    val kept = gated.df.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    val viaKeep = operators.TextAnalytics
+      .codeQuality(docs, "doc_id", "text")
+      .filter(col("keep")).select("id").as[Long].collect().toSet
+    assert(viaKeep == kept)
+  }
 }
