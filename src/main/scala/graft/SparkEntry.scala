@@ -2815,6 +2815,18 @@ FROM c"""
     Multimodal.mp3Meta(s, payloads, "doc_id")
   }
 
+  /** c15: shard release manifest — the s5 md5 shard assignment, then
+    * per-shard counts, id range and the order-free xor content seal.
+    * Full oracle: the identical md5 bucket + 60-bit slice + bit_xor.
+    */
+  private def c15ShardManifest(s: SparkSession, d: String): DataFrame =
+    Profiling.shardManifest(
+      T(s, d, "documents").select(col("doc_id"), col("text"),
+        pmod(conv(substring(md5(concat(lit("shard"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(16L)).as("shard")),
+      "doc_id", "text", "shard")
+
   /** g6: degree-distribution summary + power-law exponent over the
     * [[affinityGraph]] (host hubs give the heavy tail). Full oracle:
     * the same symmetric-distinct degrees, 1e-6-latticed ln terms and
@@ -3310,7 +3322,8 @@ FROM c"""
     "w17_bot_regularity" -> (w17BotRegularity _),
     "e14_bradley_terry" -> (e14BradleyTerry _),
     "g6_degree_powerlaw" -> (g6DegreePowerLaw _),
-    "m7_audio_mp3" -> (m7AudioMp3 _))
+    "m7_audio_mp3" -> (m7AudioMp3 _),
+    "c15_shard_manifest" -> (c15ShardManifest _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7485,7 +7498,20 @@ FROM c"""
         |  ((1 + doc_id % 40) * 1152 * 1000) // 44100 AS duration_ms,
         |  128::BIGINT AS kbps_first,
         |  (doc_id % 4 = 0 AND doc_id % 40 >= 1) AS vbr
-        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin)
+        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin,
+    // c15 twin: identical md5 shard bucket, 60-bit md5 slice, bit_xor
+    "c15_shard_manifest" ->
+      """WITH s AS (SELECT doc_id,
+        |    ('0x' || substring(md5('shard' || doc_id::VARCHAR), 1, 15))
+        |      ::BIGINT % 16 AS shard,
+        |    length(text)::BIGINT AS nc,
+        |    ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT shard, count(*)::BIGINT AS n_docs,
+        |  sum(nc)::BIGINT AS total_chars,
+        |  min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id,
+        |  bit_xor(h)::BIGINT AS digest_xor
+        |FROM s GROUP BY 1""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

@@ -235,4 +235,38 @@ object Profiling {
       .select("source", "n_docs", "n_tokens", "dup_docs",
         "mean_quality_e4", "top_lang")
   }
+
+  /** Shard manifest — the release-attestation record a published
+    * dataset ships next to its shards: per shard, row/char counts, the
+    * id range, and an ORDER-FREE content checksum (bit_xor of a
+    * per-doc md5-derived 60-bit integer) so a re-run, a re-shuffle, or
+    * a consumer's own pass reproduces the same manifest from the same
+    * content regardless of partitioning or row order. A dropped,
+    * duplicated or altered document flips the xor; the checksum is a
+    * tamper-evidence seal, not a cryptographic commitment (xor of
+    * md5-halves — collision-credible attestation would ship per-doc
+    * digests, which is what `n_docs` × 16 bytes buys at the consumer's
+    * discretion).
+    *
+    * Exactness: the 15-hex-digit md5 slice is a non-negative 60-bit
+    * integer in any engine (no sign games), and bit_xor is associative/
+    * commutative — partition-order-proof by construction.
+    *
+    * Scale: one scan-side digest projection + ONE map-side-combined
+    * aggregate per shard. Output: (shard, n_docs, total_chars, min_id,
+    * max_id, digest_xor).
+    */
+  def shardManifest(
+      docs: DataFrame, idCol: String, textCol: String,
+      shardCol: String): DataFrame =
+    docs.select(col(shardCol).as("shard"),
+        col(idCol).cast("long").as("id"),
+        length(col(textCol)).cast("long").as("nc"),
+        conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
+          .as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nc").as("total_chars"),
+        min("id").as("min_id"), max("id").as("max_id"),
+        expr("bit_xor(h)").as("digest_xor"))
 }

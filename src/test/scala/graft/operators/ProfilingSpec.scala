@@ -146,4 +146,37 @@ class ProfilingSpec extends AnyFunSuite {
       Profiling.kAnonymity(rows, Seq("lang"), k = 1L)
     }
   }
+
+  test("shardManifest: order-free seal, tamper flips it") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "alpha", 0), (2L, "beta", 0), (3L, "gamma", 1))
+      .toDF("id", "text", "shard")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Profiling.shardManifest(df, "id", "text", "shard")
+        .collect().map(r => r.getAs[Int]("shard") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"),
+            r.getAs[Long]("min_id"), r.getAs[Long]("max_id"),
+            r.getAs[Long]("digest_xor")))).toMap
+    val base = manifest(docs)
+    assert(base(0)._1 == 2L && base(0)._2 == 9L &&
+      base(0)._3 == 1L && base(0)._4 == 2L)
+    // hand-computed xor of the two 60-bit md5 slices
+    def h(s: String) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15), 16)
+    assert(base(0)._5 == (h("alpha") ^ h("beta")))
+    // row order / partitioning cannot move the seal
+    assert(manifest(docs.orderBy(desc("id")).repartition(7)) == base)
+    // any content change flips the shard's xor, others untouched
+    val tampered = manifest(
+      Seq((1L, "alphA", 0), (2L, "beta", 0), (3L, "gamma", 1))
+        .toDF("id", "text", "shard"))
+    assert(tampered(0)._5 != base(0)._5 && tampered(1) == base(1))
+    // a duplicated doc flips it too (xor of equal halves cancels the
+    // ORIGINAL - the count catches what the xor alone would not)
+    val duped = manifest(docs.unionAll(
+      Seq((1L, "alpha", 0)).toDF("id", "text", "shard")))
+    assert(duped(0)._1 == 3L && duped(0)._5 == h("beta"))
+  }
 }
