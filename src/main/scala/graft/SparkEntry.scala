@@ -2815,6 +2815,22 @@ FROM c"""
     Multimodal.mp3Meta(s, payloads, "doc_id")
   }
 
+  /** j18: bedtools jaccard — base-pair similarity of the even-doc and
+    * odd-doc interval tracks. Full oracle: the j12 textbook merge per
+    * side, an overlap theta join between the DISJOINT merged runs,
+    * inclusion-exclusion union, the lattice division.
+    */
+  private def j18IntervalJaccard(s: SparkSession, d: String): DataFrame = {
+    def track(parity: Int, mult: Int) = T(s, d, "documents")
+      .filter(col("doc_id") % 2 === parity)
+      .select(col("source").as("chrom"),
+        (col("doc_id") * mult % 20000).as("s"),
+        (col("doc_id") * mult % 20000 + 50 + col("doc_id") % 200).as("e"))
+    IntervalJoin.intervalJaccard(
+      track(0, 37), track(1, 41),
+      "chrom", "s", "e", "chrom", "s", "e")
+  }
+
   /** c15: shard release manifest — the s5 md5 shard assignment, then
     * per-shard counts, id range and the order-free xor content seal.
     * Full oracle: the identical md5 bucket + 60-bit slice + bit_xor.
@@ -3323,7 +3339,8 @@ FROM c"""
     "e14_bradley_terry" -> (e14BradleyTerry _),
     "g6_degree_powerlaw" -> (g6DegreePowerLaw _),
     "m7_audio_mp3" -> (m7AudioMp3 _),
-    "c15_shard_manifest" -> (c15ShardManifest _))
+    "c15_shard_manifest" -> (c15ShardManifest _),
+    "j18_interval_jaccard" -> (j18IntervalJaccard _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7511,7 +7528,56 @@ FROM c"""
         |  sum(nc)::BIGINT AS total_chars,
         |  min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id,
         |  bit_xor(h)::BIGINT AS digest_xor
-        |FROM s GROUP BY 1""".stripMargin)
+        |FROM s GROUP BY 1""".stripMargin,
+    // j18 twin: j12's textbook merge per track, an overlap theta join
+    // between DISJOINT merged runs (each covered base once per side),
+    // inclusion-exclusion union, round-half-up lattice division
+    "j18_interval_jaccard" ->
+      """WITH a0 AS (SELECT source AS chrom,
+        |    (doc_id * 37) % 20000 AS s,
+        |    (doc_id * 37) % 20000 + 50 + doc_id % 200 AS e
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |b0 AS (SELECT source AS chrom,
+        |    (doc_id * 41) % 20000 AS s,
+        |    (doc_id * 41) % 20000 + 50 + doc_id % 200 AS e
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |am AS (SELECT chrom, s, e,
+        |    CASE WHEN s > max(e) OVER (PARTITION BY chrom ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM a0),
+        |ag AS (SELECT chrom, s, e,
+        |    sum(brk) OVER (PARTITION BY chrom ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM am),
+        |ma AS (SELECT chrom, min(s)::BIGINT AS s2, max(e)::BIGINT AS e2
+        |  FROM ag GROUP BY chrom, grp),
+        |bm AS (SELECT chrom, s, e,
+        |    CASE WHEN s > max(e) OVER (PARTITION BY chrom ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM b0),
+        |bg AS (SELECT chrom, s, e,
+        |    sum(brk) OVER (PARTITION BY chrom ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM bm),
+        |mb AS (SELECT chrom, min(s)::BIGINT AS s2, max(e)::BIGINT AS e2
+        |  FROM bg GROUP BY chrom, grp),
+        |iv AS (SELECT coalesce(sum(
+        |    least(ma.e2, mb.e2) - greatest(ma.s2, mb.s2) + 1), 0)::BIGINT
+        |    AS inter_bp
+        |  FROM ma JOIN mb ON ma.chrom = mb.chrom
+        |    AND ma.s2 <= mb.e2 AND mb.s2 <= ma.e2),
+        |sa AS (SELECT coalesce(sum(e2 - s2 + 1), 0)::BIGINT AS a_bp
+        |  FROM ma),
+        |sb AS (SELECT coalesce(sum(e2 - s2 + 1), 0)::BIGINT AS b_bp
+        |  FROM mb)
+        |SELECT a_bp, b_bp, inter_bp,
+        |  (a_bp + b_bp - inter_bp)::BIGINT AS union_bp,
+        |  CASE WHEN a_bp + b_bp - inter_bp > 0 THEN
+        |    (2 * inter_bp * 1000000 + (a_bp + b_bp - inter_bp))
+        |      // (2 * (a_bp + b_bp - inter_bp)) END AS jaccard_e6
+        |FROM sa, sb, iv""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

@@ -176,6 +176,65 @@ object IntervalJoin {
       .distinct()
   }
 
+  /** Interval-set similarity — `bedtools jaccard`: base-pair Jaccard
+    * between two interval SETS (|A∩B| / |A∪B| over covered positions) —
+    * THE one-number answer to "are these two peak/coverage/annotation
+    * tracks the same signal", and in data-pipeline terms a span-level
+    * dataset-overlap audit (e.g. two redaction passes, two extractor
+    * versions).
+    *
+    * Both sides first collapse to disjoint merged runs
+    * ([[IntervalDepth.coalesce]] — the distributed sweep), so each
+    * covered base is counted once per side; the intersection is the
+    * j2 bin-key equi-join over the MERGED runs (disjoint × disjoint:
+    * each overlapping pair contributes its exact clipped length once,
+    * multi-bin pairs collapse through distinct), and the union is
+    * |A| + |B| − |A∩B| by inclusion-exclusion — never a second sweep.
+    *
+    * Exact end-to-end: base-pair counts are integer sums; jaccard
+    * lands on the 1e-6 lattice via round-half-up (2a + b) div 2b.
+    * Closed intervals, the [[IntervalDepth.depthHistogram]] input
+    * contract (violations raise in the sweep). Two empty sets have no
+    * defined similarity → NULL.
+    *
+    * Output: one row (a_bp, b_bp, inter_bp, union_bp, jaccard_e6).
+    */
+  def intervalJaccard(
+      a: DataFrame, b: DataFrame,
+      aChrom: String, aStartCol: String, aEndCol: String,
+      bChrom: String, bStartCol: String, bEndCol: String,
+      binWidth: Long = 1024L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive (got $binWidth)")
+    val ma = IntervalDepth.coalesce(a, aChrom, aStartCol, aEndCol)
+      .select(col("chrom"), col("start").as("as_"), col("stop").as("ae"))
+    val mb = IntervalDepth.coalesce(b, bChrom, bStartCol, bEndCol)
+      .select(col("chrom"), col("start").as("bs"), col("stop").as("be"))
+    val ab = ma.withColumn("bin", explode(sequence(
+      floor(col("as_").cast("double") / binWidth).cast("long"),
+      floor(col("ae").cast("double") / binWidth).cast("long"))))
+    val bb = mb.withColumn("bin", explode(sequence(
+      floor(col("bs").cast("double") / binWidth).cast("long"),
+      floor(col("be").cast("double") / binWidth).cast("long"))))
+    val ov = least(col("ae"), col("be")) -
+      greatest(col("as_"), col("bs")) + 1
+    val inter = ab.join(bb, Seq("chrom", "bin"))
+      .where(ov >= 1)
+      .select(col("chrom"), col("as_"), col("ae"), col("bs"), col("be"),
+        ov.as("ov"))
+      .distinct() // multi-bin pairs collapse; merged runs are unique
+      .agg(coalesce(sum("ov"), lit(0L)).as("inter_bp"))
+    val aBp = ma.agg(coalesce(sum(col("ae") - col("as_") + 1), lit(0L))
+      .as("a_bp"))
+    val bBp = mb.agg(coalesce(sum(col("be") - col("bs") + 1), lit(0L))
+      .as("b_bp"))
+    aBp.crossJoin(bBp).crossJoin(inter)
+      .select(col("a_bp"), col("b_bp"), col("inter_bp"),
+        (col("a_bp") + col("b_bp") - col("inter_bp")).as("union_bp"))
+      .withColumn("jaccard_e6",
+        when(col("union_bp") > 0,
+          expr("(2 * inter_bp * 1000000 + union_bp) div (2 * union_bp)")))
+  }
+
   /** Interval subtraction — `bedtools subtract`: the portions of every
     * `a` interval not covered by ANY `b` interval. Callable-regions
     * minus blacklist in genomics; license-clean span extraction or

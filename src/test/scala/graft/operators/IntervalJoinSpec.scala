@@ -222,4 +222,47 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got.toSet == expected)
     assert(expected.nonEmpty, "degenerate fixture")
   }
+
+  test("intervalJaccard: hand case + base-position brute force") {
+    import spark.implicits._
+    // hand case on one chrom: A covers [1,10] u [20,25] (16 bp),
+    // B covers [8,22] (15 bp); inter = [8,10] u [20,22] = 6 bp,
+    // union = 25 bp
+    val a = Seq(("c1", 1L, 10L), ("c1", 20L, 25L), ("c1", 2L, 6L))
+      .toDF("chrom", "s", "e") // third row merges into [1,10]
+    val b = Seq(("c1", 8L, 22L)).toDF("chrom", "s", "e")
+    val got = IntervalJoin.intervalJaccard(a, b,
+        "chrom", "s", "e", "chrom", "s", "e", binWidth = 4L)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(got._1 == 16L && got._2 == 15L && got._3 == 6L &&
+      got._4 == 25L)
+    // 6/25 = 0.24 on the lattice
+    assert(got._5.contains(240000L))
+    // randomized brute force over base positions, multiple chroms,
+    // small bin width to force multi-bin pairs
+    val rnd = new scala.util.Random(19)
+    def randTrack() = (0 until 120).map { _ =>
+      val c = s"c${rnd.nextInt(3)}"
+      val s0 = rnd.nextInt(400).toLong
+      (c, s0, s0 + rnd.nextInt(40).toLong)
+    }
+    val (ta, tb) = (randTrack(), randTrack())
+    def cover(t: Seq[(String, Long, Long)]) =
+      t.flatMap { case (c, s0, e0) => (s0 to e0).map(p => (c, p)) }.toSet
+    val (ca, cb) = (cover(ta), cover(tb))
+    val want = (ca.size.toLong, cb.size.toLong,
+      ca.intersect(cb).size.toLong, ca.union(cb).size.toLong)
+    val r = IntervalJoin.intervalJaccard(
+        ta.toDF("chrom", "s", "e").repartition(7),
+        tb.toDF("chrom", "s", "e").repartition(3),
+        "chrom", "s", "e", "chrom", "s", "e", binWidth = 16L)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert((r._1, r._2, r._3, r._4) == want)
+    // empty-vs-empty: no defined similarity
+    val empty = Seq.empty[(String, Long, Long)].toDF("chrom", "s", "e")
+    val e0 = IntervalJoin.intervalJaccard(empty, empty,
+        "chrom", "s", "e", "chrom", "s", "e")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(e0 == ((0L, 0L, 0L, 0L, None)))
+  }
 }
