@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.{Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalDepth, Pca, Sampling, Similarity, TextAnalytics}
+import graft.operators.{Classifier, Decontamination, Dedup, EventAnalytics, Graph, IntervalDepth, Pca, Profiling, Sampling, Similarity, TextAnalytics}
 
 /** Scaling probe for the dedup/text AND vector families: synthesizes
   * corpora at 1×, 4× and 16× the bench document count (deterministic
@@ -576,7 +576,26 @@ object ScaleProbe {
         EventAnalytics.botRegularity(
           synthEvents(d, probeN)
             .withColumn("event_id", col("ts")),
-          "user_id", "ts", "event_id").count()))
+          "user_id", "ts", "event_id").count()),
+      "c15_manifest" -> { d =>
+        Profiling.shardManifest(
+          d.withColumn("shard",
+            pmod(xxhash64(col("doc_id"), lit(5L)), lit(64L))),
+          "doc_id", "text", "shard").count()
+      },
+      // constant-density interval tracks split by parity — merged runs
+      // and overlaps both ∝ n
+      "j18_jaccard" -> { d =>
+        def track(p: Int, m: Int) = d.filter(col("doc_id") % 2 === p)
+          .select(concat(lit("c"), pmod(col("doc_id"), lit(20)))
+            .as("chrom"),
+            (col("doc_id") * m % (probeN * 4)).as("s"),
+            (col("doc_id") * m % (probeN * 4) + 50 +
+              col("doc_id") % 200).as("e"))
+        graft.operators.IntervalJoin.intervalJaccard(
+          track(0, 37), track(1, 41),
+          "chrom", "s", "e", "chrom", "s", "e").count()
+      })
 
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "v1_cosine_topk" -> (e => Similarity.cosineTopK(
