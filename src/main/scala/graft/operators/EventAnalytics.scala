@@ -590,7 +590,14 @@ object EventAnalytics {
     val w = Window.partitionBy("u").orderBy("__ts", "eid")
     val gaps = events
       .filter(col(userCol).isNotNull)
-      .select(col(userCol).as("u"), col(tsCol).cast("long").as("__ts"),
+      // a null timestamp would order NULLS FIRST, poison its
+      // neighbor's gap to null and collect a null modal bucket —
+      // silently skewing exactly the regularity share this operator
+      // contracts; fail loudly (the urlDedup discipline)
+      .select(col(userCol).as("u"),
+        when(col(tsCol).isNull,
+          raise_error(lit("botRegularity: null timestamp")))
+          .otherwise(col(tsCol).cast("long")).as("__ts"),
         col(eventIdCol).as("eid"))
       .withColumn("prev", lag(col("__ts"), 1).over(w))
       .filter(col("prev").isNotNull)

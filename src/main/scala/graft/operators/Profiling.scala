@@ -261,7 +261,14 @@ object Profiling {
       shardCol: String): DataFrame =
     docs.select(col(shardCol).as("shard"),
         col(idCol).cast("long").as("id"),
-        length(col(textCol)).cast("long").as("nc"),
+        // a null text would hash to null and SILENTLY drop out of the
+        // bit_xor — a counted-but-unsealed document defeats the whole
+        // tamper-evidence contract; fail loudly (urlDedup discipline)
+        when(col(textCol).isNull,
+          raise_error(concat(
+            lit("shardManifest: null text for id "),
+            col(idCol).cast("string"))))
+          .otherwise(length(col(textCol)).cast("long")).as("nc"),
         conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
           .as("h"))
       .groupBy("shard")

@@ -492,7 +492,14 @@ object Retrieval {
     require(budget >= 1, s"budget must be >= 1 (got $budget)")
     val base = candidates.select(
       col(qIdCol).as("q_id"), col(cIdCol).as("c_id"),
-      col(scoreCol).as("score"),
+      // a null score would sort last (desc NULLS LAST) yet still pack
+      // if budget remained — an unranked candidate silently entering
+      // the prompt; fail loudly like the token guard below
+      when(col(scoreCol).isNull,
+        raise_error(concat(
+          lit("contextPack: null score for candidate "),
+          col(cIdCol).cast("string"))))
+        .otherwise(col(scoreCol)).as("score"),
       when(col(tokensCol).isNull || col(tokensCol) <= 0,
         raise_error(concat(
           lit("contextPack: non-positive token count for candidate "),

@@ -347,6 +347,16 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 60L, 1000000L, false)))
     assert(got(4L) == ((4L, 5L, 500000L, false)))
     assert(got(5L) == ((2L, 1L, 1000000L, false)))
+    // a null timestamp would poison gaps silently: raise instead
+    val e = intercept[Exception] {
+      EventAnalytics.botRegularity(
+        Seq((1L, Some(1L), 10L), (1L, Option.empty[Long], 11L))
+          .toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id").collect()
+    }
+    assert(e.getMessage.contains("null timestamp")
+      || e.getCause != null &&
+        e.getCause.getMessage.contains("null timestamp"), e.getMessage)
   }
 
   test("multi-touch attribution: hand-computed U-shape credits") {

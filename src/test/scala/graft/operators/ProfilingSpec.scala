@@ -178,5 +178,14 @@ class ProfilingSpec extends AnyFunSuite {
     val duped = manifest(docs.unionAll(
       Seq((1L, "alpha", 0)).toDF("id", "text", "shard")))
     assert(duped(0)._1 == 3L && duped(0)._5 == h("beta"))
+    // a null text would be counted but silently unsealed: raise
+    val err = intercept[Exception] {
+      Profiling.shardManifest(
+        Seq((1L, Option.empty[String], 0)).toDF("id", "text", "shard"),
+        "id", "text", "shard").collect()
+    }
+    assert(err.getMessage.contains("null text")
+      || err.getCause != null &&
+        err.getCause.getMessage.contains("null text"), err.getMessage)
   }
 }

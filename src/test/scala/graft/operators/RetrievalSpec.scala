@@ -411,6 +411,16 @@ class RetrievalSpec extends AnyFunSuite {
       || e.getCause != null &&
         e.getCause.getMessage.contains("non-positive token count"),
       e.getMessage)
+    // a null score would sort last yet still pack: raise instead
+    val e2 = intercept[Exception] {
+      Retrieval.contextPack(
+        Seq((1L, 9L, Option.empty[Double], 5L))
+          .toDF("q_id", "c_id", "score", "n_tokens"),
+        "q_id", "c_id", "score", "n_tokens", budget = 10L).collect()
+    }
+    assert(e2.getMessage.contains("null score")
+      || e2.getCause != null &&
+        e2.getCause.getMessage.contains("null score"), e2.getMessage)
   }
 
   test("bradleyTerry: planted hierarchy orders ratings, winless rate 0") {
