@@ -2831,6 +2831,25 @@ FROM c"""
       "chrom", "s", "e", "chrom", "s", "e")
   }
 
+  /** w18: A/B conversion significance — users split into variants by id
+    * parity, per-type two-proportion pooled z-test in exact decimal
+    * integers. Full oracle: the identical multiplied-through comparison
+    * in HUGEINT.
+    */
+  private def w18AbSignificance(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.abSignificance(
+      // conversion on a type = a HIGH-VALUE event of that type (every
+      // user emits every type at harness scale — unthresholded, every
+      // test would be the degenerate C = N case); low-value rows keep
+      // the user exposed under the 'other' tag
+      T(s, d, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          when(col("value") > 75.0, col("event_type"))
+            .otherwise(lit("other")).as("event_type"),
+          when(pmod(col("user_id"), lit(2)) === 0, lit("a"))
+            .otherwise(lit("b")).as("variant")),
+      "user_id", "event_type", "variant")
+
   /** c15: shard release manifest — the s5 md5 shard assignment, then
     * per-shard counts, id range and the order-free xor content seal.
     * Full oracle: the identical md5 bucket + 60-bit slice + bit_xor.
@@ -3340,7 +3359,8 @@ FROM c"""
     "g6_degree_powerlaw" -> (g6DegreePowerLaw _),
     "m7_audio_mp3" -> (m7AudioMp3 _),
     "c15_shard_manifest" -> (c15ShardManifest _),
-    "j18_interval_jaccard" -> (j18IntervalJaccard _))
+    "j18_interval_jaccard" -> (j18IntervalJaccard _),
+    "w18_ab_significance" -> (w18AbSignificance _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7577,7 +7597,47 @@ FROM c"""
         |  CASE WHEN a_bp + b_bp - inter_bp > 0 THEN
         |    (2 * inter_bp * 1000000 + (a_bp + b_bp - inter_bp))
         |      // (2 * (a_bp + b_bp - inter_bp)) END AS jaccard_e6
-        |FROM sa, sb, iv""".stripMargin)
+        |FROM sa, sb, iv""".stripMargin,
+    // w18 twin: identical distinct-user counts and the identical
+    // multiplied-through z² comparison in HUGEINT exact integers
+    "w18_ab_significance" ->
+      """WITH e AS (SELECT user_id AS u,
+        |    CASE WHEN value > 75.0 THEN event_type
+        |      ELSE 'other' END AS event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS v
+        |  FROM events WHERE user_id IS NOT NULL),
+        |exp0 AS (SELECT v, count(DISTINCT u)::BIGINT AS n
+        |  FROM e GROUP BY 1),
+        |cv AS (SELECT event_type, v, count(DISTINCT u)::BIGINT AS c
+        |  FROM e GROUP BY 1, 2),
+        |j AS (SELECT coalesce(ca.event_type, cb.event_type)
+        |      AS event_type,
+        |    coalesce(ca.c, 0)::BIGINT AS c_a,
+        |    coalesce(cb.c, 0)::BIGINT AS c_b
+        |  FROM (SELECT event_type, c FROM cv WHERE v = 'a') ca
+        |  FULL JOIN (SELECT event_type, c FROM cv WHERE v = 'b') cb
+        |    ON ca.event_type = cb.event_type),
+        |t AS (SELECT event_type, c_a, c_b,
+        |    (SELECT n FROM exp0 WHERE v = 'a') AS n_a,
+        |    (SELECT n FROM exp0 WHERE v = 'b') AS n_b
+        |  FROM j)
+        |SELECT event_type, n_a, c_a, n_b, c_b,
+        |  CASE WHEN n_a > 0
+        |    THEN (2*c_a*1000000 + n_a) // (2*n_a) END AS rate_a_e6,
+        |  CASE WHEN n_b > 0
+        |    THEN (2*c_b*1000000 + n_b) // (2*n_b) END AS rate_b_e6,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND c_a + c_b > 0
+        |      AND c_a + c_b < n_a + n_b THEN
+        |    CASE WHEN 10000::HUGEINT
+        |      * (c_a::HUGEINT*n_b::HUGEINT - c_b::HUGEINT*n_a::HUGEINT)
+        |      * (c_a::HUGEINT*n_b::HUGEINT - c_b::HUGEINT*n_a::HUGEINT)
+        |      * (n_a + n_b)::HUGEINT
+        |    > 38416::HUGEINT * n_a::HUGEINT * n_b::HUGEINT
+        |      * (c_a + c_b)::HUGEINT
+        |      * (n_a + n_b - c_a - c_b)::HUGEINT
+        |    THEN 'significant' ELSE 'not_significant' END
+        |  ELSE 'undefined' END AS verdict
+        |FROM t""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

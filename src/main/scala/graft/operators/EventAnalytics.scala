@@ -618,6 +618,92 @@ object EventAnalytics {
           col("modal_share_e6") >= minShareE6)
   }
 
+  /** A/B conversion significance — the two-proportion pooled z-test per
+    * event type, read out WITHOUT any floating point: with n_a/n_b
+    * exposed users per variant and c_a/c_b converters,
+    *
+    *   z² = (c_a·n_b − c_b·n_a)²·N / (n_a·n_b·C·(N−C)),
+    *   C = c_a + c_b, N = n_a + n_b
+    *
+    * and significance at two-sided α = 0.05 is the EXACT integer
+    * comparison 10000·(c_a·n_b − c_b·n_a)²·N > 38416·n_a·n_b·C·(N−C)
+    * (z² > 1.96² multiplied through — the [[rateAnomaly]] discipline,
+    * so no engine's sqrt or rounding mode can flip a verdict). The
+    * products ride in decimal(38,0): exact to ~3·10⁹ exposed users per
+    * test, enforced loudly (beyond that everything is "significant"
+    * and the test is the wrong tool anyway).
+    *
+    * A user converts on a type if they emitted it at least once;
+    * exposure = appearing in the events at all. The verdict is an
+    * explicit three-valued STRING — 'significant' / 'not_significant' /
+    * 'undefined' (either variant unexposed, or C = 0 / C = N: zero
+    * pooled variance) — never a nullable boolean ("no verdict" and
+    * "verdict: no" must not collapse downstream).
+    *
+    * Scale: two distinct-user aggregates (map-side combined) and one
+    * type-keyed join — rows bounded by |types| afterward.
+    *
+    * Output: (event_type, n_a, c_a, n_b, c_b, rate_a_e6, rate_b_e6,
+    * verdict).
+    */
+  def abSignificance(
+      events: DataFrame, userCol: String, typeCol: String,
+      variantCol: String): DataFrame = {
+    val base = events.select(
+      when(col(userCol).isNull,
+        raise_error(lit("abSignificance: null user")))
+        .otherwise(col(userCol)).as("u"),
+      col(typeCol).as("event_type"),
+      when(!col(variantCol).isin("a", "b"),
+        raise_error(concat(lit("abSignificance: variant must be a|b, got "),
+          col(variantCol).cast("string"))))
+        .otherwise(col(variantCol)).as("v"))
+    val exposure = base.select("u", "v").distinct()
+      .groupBy("v").agg(count(lit(1)).as("n"))
+    val conv = base.select("u", "v", "event_type").distinct()
+      .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    def side(s: String, out: String, df: DataFrame, c: String) =
+      df.filter(col("v") === s).drop("v").withColumnRenamed(c, out)
+    val n = side("a", "n_a", exposure, "n")
+      .crossJoin(side("b", "n_b", exposure, "n"))
+    val byType = side("a", "c_a", conv, "c")
+      .join(side("b", "c_b", conv, "c"), Seq("event_type"), "full")
+      .select(col("event_type"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .crossJoin(broadcast(n))
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dec(c: Column) = c.cast(d)
+    val bigC = col("c_a") + col("c_b")
+    val bigN = col("n_a") + col("n_b")
+    // cast BEFORE multiplying: long×long at the 3e9 envelope grazes
+    // Long.MaxValue (9e18 vs 9.22e18) — the decimal products are the
+    // exact path
+    val diff = dec(col("c_a")) * dec(col("n_b")) -
+      dec(col("c_b")) * dec(col("n_a"))
+    byType
+      .withColumn("n_a",
+        when(bigN > 3000000000L,
+          raise_error(lit("abSignificance: beyond the 3e9-user " +
+            "decimal(38) exactness envelope")))
+          .otherwise(col("n_a")))
+      .select(col("event_type"), col("n_a"), col("c_a"), col("n_b"),
+        col("c_b"),
+        when(col("n_a") > 0,
+          expr("(2 * c_a * 1000000 + n_a) div (2 * n_a)"))
+          .as("rate_a_e6"),
+        when(col("n_b") > 0,
+          expr("(2 * c_b * 1000000 + n_b) div (2 * n_b)"))
+          .as("rate_b_e6"),
+        when(col("n_a") > 0 && col("n_b") > 0 && bigC > 0 && bigC < bigN,
+          when(dec(lit(10000)) * diff * diff * dec(bigN) >
+            dec(lit(38416)) * dec(col("n_a")) * dec(col("n_b")) *
+              dec(bigC) * dec(bigN - bigC),
+            lit("significant")).otherwise(lit("not_significant")))
+          .otherwise(lit("undefined"))
+          .as("verdict"))
+  }
+
   /** Hour-of-week seasonality profile per event type — the traffic
     * calendar behind anomaly baselines ([[rateAnomaly]] flags against
     * RECENT history; this profiles the STRUCTURAL weekly cycle) and

@@ -359,6 +359,48 @@ class EventAnalyticsSpec extends AnyFunSuite {
         e.getCause.getMessage.contains("null timestamp"), e.getMessage)
   }
 
+  test("abSignificance: hand-computed z-test verdicts, degenerate NULLs") {
+    // variant a: users 0..999 (even ids 0,2..1998), b: 1..1999 odd.
+    // 'buy' converts 100 a-users vs 50 b-users (z^2 ~ 18: significant);
+    // 'save' converts 55 vs 50 (z^2 ~ 0.26: not); 'view' converts
+    // everyone (pooled variance 0: NULL); duplicates must not
+    // double-count
+    val evs =
+      (0 until 2000).map(u => (u.toLong, "view")) ++
+      (0 until 2000).map(u => (u.toLong, "view")) ++ // dup exposure rows
+      (0 until 200).filter(_ % 2 == 0).map(u => (u.toLong, "buy")) ++
+      (0 until 100).filter(_ % 2 == 1).map(u => (u.toLong, "buy")) ++
+      (0 until 110).filter(_ % 2 == 0).map(u => (u.toLong, "save")) ++
+      (0 until 100).filter(_ % 2 == 1).map(u => (u.toLong, "save")) ++
+      (0 until 100).filter(_ % 2 == 0).map(u => (u.toLong, "buy")) // dups
+    import org.apache.spark.sql.functions.{col, when}
+    val df = evs.toDF("user_id", "event_type")
+      .withColumn("variant",
+        when(col("user_id") % 2 === 0, "a").otherwise("b"))
+    val got = EventAnalytics
+      .abSignificance(df, "user_id", "event_type", "variant")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("c_a"),
+          r.getAs[Long]("n_b"), r.getAs[Long]("c_b"),
+          r.getAs[Long]("rate_a_e6"),
+          r.getAs[String]("verdict")))).toMap
+    assert(got("buy") == ((1000L, 100L, 1000L, 50L, 100000L,
+      "significant")))
+    assert(got("save") == ((1000L, 55L, 1000L, 50L, 55000L,
+      "not_significant")))
+    assert(got("view")._6 == "undefined") // C = N: no pooled variance
+    // bad variant label raises
+    val err = intercept[Exception] {
+      EventAnalytics.abSignificance(
+        Seq((1L, "x", "c")).toDF("user_id", "event_type", "variant"),
+        "user_id", "event_type", "variant").collect()
+    }
+    assert(err.getMessage.contains("variant must be")
+      || err.getCause != null &&
+        err.getCause.getMessage.contains("variant must be"),
+      err.getMessage)
+  }
+
   test("multi-touch attribution: hand-computed U-shape credits") {
     import org.apache.spark.sql.functions.lit
     // (event_id, ts, user_id, event_type); lookback = 100 ticks
