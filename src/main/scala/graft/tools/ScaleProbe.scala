@@ -583,6 +583,14 @@ object ScaleProbe {
             pmod(xxhash64(col("doc_id"), lit(5L)), lit(64L))),
           "doc_id", "text", "shard").count()
       },
+      "w18_ab_test" -> { d =>
+        EventAnalytics.abSignificance(
+          synthEvents(d, probeN)
+            .withColumn("variant",
+              when(pmod(col("user_id"), lit(2)) === 0, lit("a"))
+                .otherwise(lit("b"))),
+          "user_id", "event_type", "variant").count()
+      },
       // constant-density interval tracks split by parity — merged runs
       // and overlaps both ∝ n
       "j18_jaccard" -> { d =>
