@@ -2850,6 +2850,22 @@ FROM c"""
             .otherwise(lit("b")).as("variant")),
       "user_id", "event_type", "variant")
 
+  /** c16: schema drift between dataset versions — v2 drops `lang`,
+    * narrows `n_chars` to int, adds `quality`, and nulls every 7th
+    * text. Full oracle: per-column statuses and lattice null rates as
+    * literal rows over one count CTE.
+    */
+  private def c16SchemaDrift(s: SparkSession, d: String): DataFrame = {
+    val v1 = T(s, d, "documents")
+    val v2 = v1.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("text")).as("text"),
+      col("source"),
+      col("n_chars").cast("int").as("n_chars"),
+      (col("doc_id") % 100).as("quality"))
+    Snapshot.schemaDrift(v1, v2)
+  }
+
   /** c15: shard release manifest — the s5 md5 shard assignment, then
     * per-shard counts, id range and the order-free xor content seal.
     * Full oracle: the identical md5 bucket + 60-bit slice + bit_xor.
@@ -3360,7 +3376,8 @@ FROM c"""
     "m7_audio_mp3" -> (m7AudioMp3 _),
     "c15_shard_manifest" -> (c15ShardManifest _),
     "j18_interval_jaccard" -> (j18IntervalJaccard _),
-    "w18_ab_significance" -> (w18AbSignificance _))
+    "w18_ab_significance" -> (w18AbSignificance _),
+    "c16_schema_drift" -> (c16SchemaDrift _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7637,7 +7654,30 @@ FROM c"""
         |      * (n_a + n_b - c_a - c_b)::HUGEINT
         |    THEN 'significant' ELSE 'not_significant' END
         |  ELSE 'undefined' END AS verdict
-        |FROM t""".stripMargin)
+        |FROM t""".stripMargin,
+    // c16 twin: the drift table is a closed form over one count CTE —
+    // statuses/dtypes are construction facts, rates the lattice form
+    "c16_schema_drift" ->
+      """WITH s AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS tnull
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", 'kept' AS status,
+        |    'bigint' AS dtype_a, 'bigint' AS dtype_b,
+        |    0::BIGINT AS null_rate_a_e6, 0::BIGINT AS null_rate_b_e6,
+        |    0::BIGINT AS null_drift_e6
+        |  UNION ALL SELECT 'lang', 'removed', 'string', NULL,
+        |    0, NULL, NULL
+        |  UNION ALL SELECT 'n_chars', 'type_changed', 'bigint', 'int',
+        |    0, 0, NULL
+        |  UNION ALL SELECT 'quality', 'added', NULL, 'bigint',
+        |    NULL, 0, NULL
+        |  UNION ALL SELECT 'source', 'kept', 'string', 'string',
+        |    0, 0, 0
+        |  UNION ALL SELECT 'text', 'kept', 'string', 'string', 0,
+        |    (SELECT (2*tnull*1000000 + n) // (2*n) FROM s),
+        |    (SELECT (2*tnull*1000000 + n) // (2*n) FROM s))""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

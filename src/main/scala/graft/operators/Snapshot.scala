@@ -82,4 +82,61 @@ object Snapshot {
         dataCols.map(n => col(s"__i_$n").as(n)): _*)
     fromCorpus.unionByName(inserts)
   }
+
+  /** Schema + null-integrity drift between two snapshot VERSIONS — the
+    * metadata-level companion of [[diff]] (content rows) and the PSI
+    * drift report (one column's distribution): which columns appeared,
+    * vanished or changed type, and how each shared column's null rate
+    * moved. The check a consumer runs before pointing a pipeline at
+    * dataset v2.
+    *
+    * The schema comparison is DRIVER-side by design (a schema is
+    * model-sized — the same justification as the k-means centroid
+    * collects); the null counts are ONE map-side-combined aggregate
+    * per snapshot regardless of column count. Rates ride the 1e-6
+    * lattice via round-half-up integer division; an empty snapshot has
+    * no defined rate (NULL). `null_drift_e6` = rate_b − rate_a for
+    * kept same-type columns (negative = fewer nulls), NULL otherwise.
+    *
+    * Output: one row per column in either schema — (column, status
+    * 'added'|'removed'|'type_changed'|'kept', dtype_a, dtype_b,
+    * null_rate_a_e6, null_rate_b_e6, null_drift_e6). dtype strings are
+    * Spark catalogString ('bigint', 'string', …).
+    */
+  def schemaDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def stats(df: DataFrame): (Long, Map[String, Long]) = {
+      val cols = df.schema.fields.map(_.name)
+      if (cols.isEmpty) return (df.count(), Map.empty)
+      val aggCols = count(lit(1)).as("__n") +:
+        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+          .as(s"__nn_$c"))
+      val r = df.agg(aggCols.head, aggCols.tail: _*).collect().head
+      (r.getAs[Long]("__n"),
+        cols.map(c => c -> r.getAs[Long](s"__nn_$c")).toMap)
+    }
+    val ta = a.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val tb = b.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val (na, nullsA) = stats(a)
+    val (nb, nullsB) = stats(b)
+    def rate(nulls: Option[Long], n: Long): Option[Long] =
+      nulls.flatMap(x =>
+        if (n > 0) Some((2 * x * 1000000L + n) / (2 * n)) else None)
+    val rows = (ta.keySet ++ tb.keySet).toSeq.sorted.map { c =>
+      val (inA, inB) = (ta.contains(c), tb.contains(c))
+      val status =
+        if (inA && !inB) "removed"
+        else if (!inA && inB) "added"
+        else if (ta(c) != tb(c)) "type_changed"
+        else "kept"
+      val ra = rate(nullsA.get(c), na)
+      val rb = rate(nullsB.get(c), nb)
+      val drift = if (status == "kept") for (x <- ra; y <- rb) yield y - x
+        else None
+      (c, status, ta.get(c), tb.get(c), ra, rb, drift)
+    }
+    rows.toDF("column", "status", "dtype_a", "dtype_b",
+      "null_rate_a_e6", "null_rate_b_e6", "null_drift_e6")
+  }
 }

@@ -45,4 +45,40 @@ class SnapshotSpec extends AnyFunSuite {
       .as[(Long, String, String)].collect().toSeq
     assert(got == Seq((1L, "keep", "b")))
   }
+
+  test("schemaDrift: added/removed/type-changed/kept + null-rate drift") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, Some("x"), 10), (2L, Option.empty[String], 20),
+        (3L, Some("z"), 30), (4L, Some("w"), 40))
+      .toDF("id", "body", "score")
+    val b = Seq((1L, Option.empty[String], "s1", 5L),
+        (2L, Option.empty[String], "s2", 6L))
+      .toDF("id", "body", "tag", "score")
+      .select(col("id"), col("body"), col("tag"), col("score"))
+    val got = Snapshot.schemaDrift(a, b)
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    def row(c: String) = {
+      val r = got(c)
+      (r.getAs[String]("status"), Option(r.getAs[String]("dtype_a")),
+        Option(r.getAs[String]("dtype_b")),
+        Option(r.getAs[Any]("null_rate_a_e6")),
+        Option(r.getAs[Any]("null_rate_b_e6")),
+        Option(r.getAs[Any]("null_drift_e6")))
+    }
+    assert(row("id") == (("kept", Some("bigint"), Some("bigint"),
+      Some(0L), Some(0L), Some(0L))))
+    // body: 1/4 null -> 1/1 null: drift = 1e6 - 250000
+    assert(row("body") == (("kept", Some("string"), Some("string"),
+      Some(250000L), Some(1000000L), Some(750000L))))
+    assert(row("tag") == (("added", None, Some("string"),
+      None, Some(0L), None)))
+    // score: int -> bigint
+    assert(row("score") == (("type_changed", Some("int"),
+      Some("bigint"), Some(0L), Some(0L), None)))
+    assert(got.size == 4)
+    // an empty snapshot has no defined rates
+    val e = Snapshot.schemaDrift(a.filter(col("id") < 0), b)
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(e("id").isNullAt(e("id").fieldIndex("null_rate_a_e6")))
+  }
 }
