@@ -2850,6 +2850,13 @@ FROM c"""
             .otherwise(lit("b")).as("variant")),
       "user_id", "event_type", "variant")
 
+  /** w19: DAU/MAU stickiness over the events stream, 28-day rolling
+    * window. Full oracle: the same day floor-div, window-end fan-out
+    * and lattice ratio.
+    */
+  private def w19Stickiness(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.stickiness(T(s, d, "events"), "user_id", "ts")
+
   /** c16: schema drift between dataset versions — v2 drops `lang`,
     * narrows `n_chars` to int, adds `quality`, and nulls every 7th
     * text. Full oracle: per-column statuses and lattice null rates as
@@ -3377,7 +3384,8 @@ FROM c"""
     "c15_shard_manifest" -> (c15ShardManifest _),
     "j18_interval_jaccard" -> (j18IntervalJaccard _),
     "w18_ab_significance" -> (w18AbSignificance _),
-    "c16_schema_drift" -> (c16SchemaDrift _))
+    "c16_schema_drift" -> (c16SchemaDrift _),
+    "w19_stickiness" -> (w19Stickiness _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7677,7 +7685,20 @@ FROM c"""
         |    0, 0, 0
         |  UNION ALL SELECT 'text', 'kept', 'string', 'string', 0,
         |    (SELECT (2*tnull*1000000 + n) // (2*n) FROM s),
-        |    (SELECT (2*tnull*1000000 + n) // (2*n) FROM s))""".stripMargin)
+        |    (SELECT (2*tnull*1000000 + n) // (2*n) FROM s))""".stripMargin,
+    // w19 twin: the same floor-div day, 28-end fan-out and lattice
+    "w19_stickiness" ->
+      """WITH du AS (SELECT DISTINCT user_id AS u,
+        |    epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY 1),
+        |f AS (SELECT DISTINCT u, day + k AS day
+        |  FROM du, (SELECT unnest(range(0, 28)) AS k)),
+        |mau AS (SELECT day, count(*)::BIGINT AS mau FROM f GROUP BY 1)
+        |SELECT dau.day, dau.dau, mau.mau,
+        |  (2 * dau.dau * 1000000 + mau.mau) // (2 * mau.mau)
+        |    AS stickiness_e6
+        |FROM dau JOIN mau ON dau.day = mau.day""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

@@ -618,6 +618,52 @@ object EventAnalytics {
           col("modal_share_e6") >= minShareE6)
   }
 
+  /** Product stickiness — DAU/MAU per day (the `windowDays`-day rolling
+    * distinct-user window ending at each observed day): THE engagement
+    * ratio next to [[audience growth]] and [[retentionCohorts]]; ~1
+    * means users show up daily, ~1/windowDays means once a cycle.
+    *
+    * The rolling distinct is NOT a window function (a sliding
+    * count-distinct would sort per-day user sets on one reducer): each
+    * (day, user) activity row fans out scan-side to the `windowDays`
+    * window-END days it contributes to, and ONE distinct aggregate per
+    * (end day, user) + ONE count per day do the rest — the skip-gram
+    * offset-fanout discipline applied to the calendar. Fan-out rows =
+    * activity × windowDays, calendar-bounded output. Early days carry
+    * partial look-back windows (standard practice); only observed days
+    * emit rows. Null users are excluded (anonymous traffic has no
+    * per-user cadence); stickiness rides the 1e-6 lattice.
+    *
+    * Output: (day, dau, mau, stickiness_e6).
+    */
+  def stickiness(
+      events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 28,
+      dayNanos: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays must be in [1, 366] (got $windowDays)")
+    val dayUser = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"), col(tsCol).cast("long").as("__ts"))
+      .select(col("u"),
+        expr(s"(__ts - pmod(__ts, ${dayNanos}L)) div ${dayNanos}L")
+          .as("day"))
+      .distinct()
+    val dau = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = dayUser
+      .select(col("u"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("mau"))
+    // observed days only: the fan-out also lands on future days with
+    // no activity of their own
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        expr("(2 * dau * 1000000 + mau) div (2 * mau)")
+          .as("stickiness_e6"))
+  }
+
   /** A/B conversion significance — the two-proportion pooled z-test per
     * event type, read out WITHOUT any floating point: with n_a/n_b
     * exposed users per variant and c_a/c_b converters,

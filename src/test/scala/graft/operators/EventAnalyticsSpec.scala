@@ -359,6 +359,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
         e.getCause.getMessage.contains("null timestamp"), e.getMessage)
   }
 
+  test("stickiness: hand-computed DAU over rolling MAU") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // user 1 active days 0-3; user 2 only day 0; dup rows collapse
+    val evs = (0 to 3).map(i => (1L, i * day + 7)) ++
+      Seq((2L, 3L), (2L, 999L)) ++
+      Seq((1L, 2 * day + 8)) // same-day duplicate for user 1
+    val got = EventAnalytics.stickiness(
+        evs.toDF("user_id", "ts"), "user_id", "ts", windowDays = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      0L -> ((2L, 2L, 1000000L)), // window {day -1, 0}: both users
+      1L -> ((1L, 2L, 500000L)),  // user 2 still in the look-back
+      2L -> ((1L, 1L, 1000000L)),
+      3L -> ((1L, 1L, 1000000L))))
+    // the fan-out lands on day 4 too, but unobserved days emit nothing
+    assert(!got.contains(4L))
+  }
+
   test("abSignificance: hand-computed z-test verdicts, degenerate NULLs") {
     // variant a: users 0..999 (even ids 0,2..1998), b: 1..1999 odd.
     // 'buy' converts 100 a-users vs 50 b-users (z^2 ~ 18: significant);
