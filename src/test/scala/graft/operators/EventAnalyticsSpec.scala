@@ -378,6 +378,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("round-8 event ops are partitioning-invariant") {
+    import org.apache.spark.sql.functions.{col, when}
+    val h = 3600L * 1000 * 1000 * 1000
+    val evs = (0 until 600).map { i =>
+      (i.toLong % 37, (i.toLong * 977 % 500) * h / 7 + i, 900L + i)
+    }
+    def inv[T: Ordering](
+        f: org.apache.spark.sql.DataFrame => Seq[T]): Unit = {
+      val df1 = evs.toDF("user_id", "ts", "event_id")
+      val df2 = df1.repartition(13)
+      assert(f(df1) == f(df2))
+    }
+    inv(df => EventAnalytics.botRegularity(df, "user_id", "ts",
+        "event_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sorted.toSeq)
+    inv(df => EventAnalytics.stickiness(df, "user_id", "ts")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq)
+    inv(df => EventAnalytics.seasonalityProfile(
+        df.withColumn("event_type",
+          when(col("event_id") % 3 === 0, "a").otherwise("b")),
+        "ts", "event_type")
+      .as[(String, Long, Long, Long, Boolean)].collect().sorted.toSeq)
+    inv(df => EventAnalytics.abSignificance(
+        df.select(col("user_id"),
+          when(col("event_id") % 3 === 0, "buy").otherwise("view")
+            .as("event_type"),
+          when(col("user_id") % 2 === 0, "a").otherwise("b")
+            .as("variant")),
+        "user_id", "event_type", "variant")
+      .as[(String, Long, Long, Long, Long, Long, Long, String)]
+      .collect().sorted.toSeq)
+  }
+
   test("abSignificance: hand-computed z-test verdicts, degenerate NULLs") {
     // variant a: users 0..999 (even ids 0,2..1998), b: 1..1999 odd.
     // 'buy' converts 100 a-users vs 50 b-users (z^2 ~ 18: significant);
