@@ -51,7 +51,6 @@ object ChatData {
             col("ord").cast("string"), lit(" in conversation "),
             col("conv_id").cast("string"))))
           .otherwise(col("ord")))
-      .withColumn("rn", row_number().over(w))
       .groupBy("conv_id")
       .agg(
         count(lit(1)).as("n_turns"),

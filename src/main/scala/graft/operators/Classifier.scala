@@ -422,7 +422,9 @@ object Classifier {
     *
     * Carried as exact integers: n, the diagonal count, and the
     * marginal product sum are 64-bit exact (n ≤ 3·10⁹ keeps
-    * Σ row·col < n² < 2⁶³); κ itself is the single division
+    * Σ row·col < n² < 2⁶³ — the sum itself rides in decimal(38,0) and
+    * the envelope is enforced by a raise_error guard, never a silent
+    * wrap); κ itself is the single division
     * (n·agree − pe_num) / (n² − pe_num) of exact sub-2⁶³ integers,
     * emitted round-6 (one correctly-rounded IEEE divide + the shared
     * half-up rounding — the pmi/zipf lattice class). Perfect chance
@@ -452,14 +454,25 @@ object Classifier {
       .select(col("a").as("lbl"), col("row_n"))
     val rb = conf.groupBy("b").agg(sum("c").as("col_n"))
       .select(col("b").as("lbl"), col("col_n"))
+    // marginal products ride in decimal(38,0) so the SUM can never wrap
+    // silently past n ~ 3e9; the long output schema is restored below
+    // behind a loud envelope guard (the abSignificance discipline)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val pe = ra.join(rb, Seq("lbl"), "full")
-      .agg(sum(coalesce(col("row_n"), lit(0L)) *
-        coalesce(col("col_n"), lit(0L))).as("pe_num"))
+      .agg(sum(coalesce(col("row_n"), lit(0L)).cast(d38) *
+        coalesce(col("col_n"), lit(0L)).cast(d38)).as("pe_dec"))
     val agg = conf.agg(
       sum("c").as("n_items"),
       sum(when(col("a") === col("b"), col("c")).otherwise(0L))
         .as("n_agree"))
+    def guarded(c: Column) =
+      when(col("n_items") > 3000000000L,
+        raise_error(lit("cohenKappa: beyond the 3e9-item 64-bit " +
+          "exactness envelope"))).otherwise(c)
     agg.crossJoin(pe)
+      .withColumn("pe_num", guarded(col("pe_dec").cast("long")))
+      .withColumn("n_items", guarded(col("n_items")))
+      .drop("pe_dec")
       .select(col("n_items"), col("n_agree"), col("pe_num"),
         when(col("n_items") * col("n_items") === col("pe_num"),
           lit(null).cast("double"))

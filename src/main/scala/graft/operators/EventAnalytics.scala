@@ -605,6 +605,22 @@ object EventAnalytics {
       .select(col("u"),
         expr("(( __ts - prev) - pmod(__ts - prev, 1000000000L)) " +
           "div 1000000000L").as("gap_s"))
+    botRegularityFromGaps(gaps, minEvents, minShareE6)
+  }
+
+  /** Modal-share aggregation over per-user inter-arrival gap rows
+    * `(u, gap_s)` — the tail of [[botRegularity]] and the read-out of
+    * the streaming gap emitter
+    * ([[graft.streaming.StatefulOps.gapsStream]]). The batch operator
+    * DELEGATES here, so the stream≡batch parity pair shares one plan
+    * and cannot silently desynchronize.
+    */
+  def botRegularityFromGaps(
+      gaps: DataFrame, minEvents: Int = 10,
+      minShareE6: Long = 900000L): DataFrame = {
+    require(minEvents >= 2, s"minEvents must be >= 2 (got $minEvents)")
+    require(minShareE6 >= 0 && minShareE6 <= 1000000L,
+      s"minShareE6 must be on [0, 1e6] (got $minShareE6)")
     val byGap = gaps.groupBy("u", "gap_s").agg(count(lit(1)).as("c"))
     byGap.groupBy("u")
       .agg(sum("c").as("n_gaps"),
@@ -649,6 +665,20 @@ object EventAnalytics {
         expr(s"(__ts - pmod(__ts, ${dayNanos}L)) div ${dayNanos}L")
           .as("day"))
       .distinct()
+    stickinessOverDayUsers(dayUser, windowDays)
+  }
+
+  /** DAU/MAU aggregation over exactly-once per-user activity-day rows
+    * `(u, day)` — the tail of [[stickiness]] and the read-out of the
+    * streaming (user, day) first-seen emitter
+    * ([[graft.streaming.StatefulOps.userDayStream]]). The batch
+    * operator DELEGATES here, so the stream≡batch parity pair shares
+    * one plan and cannot silently desynchronize.
+    */
+  def stickinessOverDayUsers(
+      dayUser: DataFrame, windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays must be in [1, 366] (got $windowDays)")
     val dau = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
     val mau = dayUser
       .select(col("u"),
@@ -675,7 +705,13 @@ object EventAnalytics {
     * comparison 10000·(c_a·n_b − c_b·n_a)²·N > 38416·n_a·n_b·C·(N−C)
     * (z² > 1.96² multiplied through — the [[rateAnomaly]] discipline,
     * so no engine's sqrt or rounding mode can flip a verdict). The
-    * products ride in decimal(38,0): exact to ~3·10⁹ exposed users per
+    * multiplied-through products would need up to ~5·N⁵ ≈ 10⁵⁰ digits
+    * of headroom at the envelope, past decimal(38,0) — so the
+    * comparison is carried as a div/mod ladder ([[withZVerdict]]):
+    * with K = n_a·n_b and diff² = q·K + r, then 10⁴·N·r = q'·K + r',
+    * the test is exactly (10⁴·N·q + q') vs 38416·C·(N−C) with the
+    * r' remainder breaking ties — no intermediate exceeds diff² ≤
+    * N⁴/16 (37 digits at N = 3·10⁹). Exact to 3·10⁹ exposed users per
     * test, enforced loudly (beyond that everything is "significant"
     * and the test is the wrong tool anyway).
     *
@@ -718,21 +754,13 @@ object EventAnalytics {
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
       .crossJoin(broadcast(n))
-    val d = org.apache.spark.sql.types.DecimalType(38, 0)
-    def dec(c: Column) = c.cast(d)
-    val bigC = col("c_a") + col("c_b")
     val bigN = col("n_a") + col("n_b")
-    // cast BEFORE multiplying: long×long at the 3e9 envelope grazes
-    // Long.MaxValue (9e18 vs 9.22e18) — the decimal products are the
-    // exact path
-    val diff = dec(col("c_a")) * dec(col("n_b")) -
-      dec(col("c_b")) * dec(col("n_a"))
-    byType
+    withZVerdict(byType
       .withColumn("n_a",
         when(bigN > 3000000000L,
           raise_error(lit("abSignificance: beyond the 3e9-user " +
             "decimal(38) exactness envelope")))
-          .otherwise(col("n_a")))
+          .otherwise(col("n_a"))))
       .select(col("event_type"), col("n_a"), col("c_a"), col("n_b"),
         col("c_b"),
         when(col("n_a") > 0,
@@ -741,13 +769,59 @@ object EventAnalytics {
         when(col("n_b") > 0,
           expr("(2 * c_b * 1000000 + n_b) div (2 * n_b)"))
           .as("rate_b_e6"),
+        col("verdict"))
+  }
+
+  /** The exact z² > 1.96² comparison of [[abSignificance]] on aggregate
+    * counts: appends a three-valued `verdict` column to a frame carrying
+    * (n_a, c_a, n_b, c_b) long columns. Exposed package-private so the
+    * spec can drive it with envelope-sized aggregates (3·10⁹ users)
+    * directly — counts that large can't be synthesized as raw events.
+    *
+    * The naive multiplied-through form 10⁴·diff²·N > 38416·K·C·(N−C)
+    * (K = n_a·n_b) overflows decimal(38,0) from N ≈ 4.5·10⁸. Dividing
+    * both sides by K instead, with exact remainder propagation:
+    *
+    *   diff² = q·K + r            (q ≤ K since |diff| ≤ K)
+    *   10⁴·N·r = q'·K + r'        (q' ≤ 10⁴·N since r < K)
+    *   P > Q  ⟺  10⁴·N·q + q' > 38416·C·(N−C)
+    *            ∨ (10⁴·N·q + q' = 38416·C·(N−C) ∧ r' > 0)
+    *
+    * Largest intermediate: diff² ≤ K² ≤ N⁴/16 — 37 digits at N = 3·10⁹;
+    * every other term is ≤ 10⁴·N·K ≈ 2500·N³ (32 digits). The div/mod
+    * denominators are forced to ≥1 on rows where K = 0 — those rows are
+    * 'undefined' regardless, and ANSI mode must not see a divide-by-zero
+    * on them.
+    */
+  private[operators] def withZVerdict(byType: DataFrame): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dec(c: Column) = c.cast(d)
+    val bigC = col("c_a") + col("c_b")
+    val bigN = col("n_a") + col("n_b")
+    // cast BEFORE multiplying: long×long at the 3e9 envelope grazes
+    // Long.MaxValue (9e18 vs 9.22e18) — the decimal products are the
+    // exact path
+    byType
+      .withColumn("__k",
+        when(dec(col("n_a")) * dec(col("n_b")) > 0,
+          dec(col("n_a")) * dec(col("n_b")))
+          .otherwise(dec(lit(1))))
+      .withColumn("__diff", dec(col("c_a")) * dec(col("n_b")) -
+        dec(col("c_b")) * dec(col("n_a")))
+      .withColumn("__d2", col("__diff") * col("__diff"))
+      .withColumn("__q", expr("__d2 div __k"))
+      .withColumn("__rem", dec(lit(10000)) * dec(bigN) * (col("__d2") % col("__k")))
+      .withColumn("__q2", expr("__rem div __k"))
+      .withColumn("__lhs",
+        dec(lit(10000)) * dec(bigN) * dec(col("__q")) + dec(col("__q2")))
+      .withColumn("__rhs", dec(lit(38416)) * dec(bigC) * dec(bigN - bigC))
+      .withColumn("verdict",
         when(col("n_a") > 0 && col("n_b") > 0 && bigC > 0 && bigC < bigN,
-          when(dec(lit(10000)) * diff * diff * dec(bigN) >
-            dec(lit(38416)) * dec(col("n_a")) * dec(col("n_b")) *
-              dec(bigC) * dec(bigN - bigC),
+          when(col("__lhs") > col("__rhs") ||
+            (col("__lhs") === col("__rhs") && (col("__rem") % col("__k")) > 0),
             lit("significant")).otherwise(lit("not_significant")))
-          .otherwise(lit("undefined"))
-          .as("verdict"))
+          .otherwise(lit("undefined")))
+      .drop("__k", "__diff", "__d2", "__q", "__rem", "__q2", "__lhs", "__rhs")
   }
 
   /** Hour-of-week seasonality profile per event type — the traffic

@@ -132,8 +132,9 @@ object IntervalJoin {
     * residuals. Fractions compare by exact integer
     * cross-multiplication (ov·100 ≥ pct·len on closed-interval
     * lengths) — no division, no float. A pair spanning several shared
-    * bins collapses through one distinct on the (ids, lengths) row
-    * (identical in every bin).
+    * bins emits from exactly ONE of them — the bin containing the
+    * overlap start, which both explode ranges cover — so the join is
+    * exactly-once with no post-join distinct exchange.
     *
     * Input contract as [[IntervalDepth.depthHistogram]]; closed
     * intervals. Output: (a_id, b_id, ov_len, a_len, b_len).
@@ -166,14 +167,21 @@ object IntervalJoin {
       floor(col("be").cast("double") / binWidth).cast("long"))))
     val ov = least(col("ae"), col("be")) -
       greatest(col("as_"), col("bs")) + 1
+    // owner-bin attribution: a pair overlapping k shared bins would emit
+    // k copies from the bin join; the overlap START greatest(as_, bs)
+    // lies inside BOTH intervals whenever ov >= 1, so its bin appears in
+    // both explode ranges and exactly one bin owns the pair — no
+    // post-join distinct exchange
+    val ownerBin = col("bin") ===
+      floor(greatest(col("as_"), col("bs")).cast("double") / binWidth)
+        .cast("long")
     ab.join(bb, Seq("chrom", "bin"))
-      .where(ov >= 1 &&
+      .where(ov >= 1 && ownerBin &&
         ov * 100 >= lit(minPctA) * (col("ae") - col("as_") + 1) &&
         ov * 100 >= lit(minPctB) * (col("be") - col("bs") + 1))
       .select(col("a_id"), col("b_id"), ov.as("ov_len"),
         (col("ae") - col("as_") + 1).as("a_len"),
         (col("be") - col("bs") + 1).as("b_len"))
-      .distinct()
   }
 
   /** Interval-set similarity — `bedtools jaccard`: base-pair Jaccard
@@ -187,8 +195,9 @@ object IntervalJoin {
     * ([[IntervalDepth.coalesce]] — the distributed sweep), so each
     * covered base is counted once per side; the intersection is the
     * j2 bin-key equi-join over the MERGED runs (disjoint × disjoint:
-    * each overlapping pair contributes its exact clipped length once,
-    * multi-bin pairs collapse through distinct), and the union is
+    * each overlapping pair contributes its exact clipped length once —
+    * owner-bin attribution makes the join exactly-once, no distinct
+    * exchange), and the union is
     * |A| + |B| − |A∩B| by inclusion-exclusion — never a second sweep.
     *
     * Exact end-to-end: base-pair counts are integer sums; jaccard
@@ -217,12 +226,15 @@ object IntervalJoin {
       floor(col("be").cast("double") / binWidth).cast("long"))))
     val ov = least(col("ae"), col("be")) -
       greatest(col("as_"), col("bs")) + 1
+    // owner-bin attribution (the reciprocalOverlap residual): exactly one
+    // shared bin — the one containing the overlap start — emits each
+    // overlapping run pair, so the clipped lengths sum directly with no
+    // distinct exchange between the join and the aggregate
     val inter = ab.join(bb, Seq("chrom", "bin"))
-      .where(ov >= 1)
-      .select(col("chrom"), col("as_"), col("ae"), col("bs"), col("be"),
-        ov.as("ov"))
-      .distinct() // multi-bin pairs collapse; merged runs are unique
-      .agg(coalesce(sum("ov"), lit(0L)).as("inter_bp"))
+      .where(ov >= 1 && col("bin") ===
+        floor(greatest(col("as_"), col("bs")).cast("double") / binWidth)
+          .cast("long"))
+      .agg(coalesce(sum(ov), lit(0L)).as("inter_bp"))
     val aBp = ma.agg(coalesce(sum(col("ae") - col("as_") + 1), lit(0L))
       .as("a_bp"))
     val bBp = mb.agg(coalesce(sum(col("be") - col("bs") + 1), lit(0L))

@@ -393,17 +393,22 @@ object Retrieval {
     * tree discipline, so an engine twin agrees bit for bit.
     *
     * Scale: the games collapse to one symmetric (i, j, n) pair table
-    * (checkpointed once); each round is two joins of that table with
-    * the player-sized rating table, one hash aggregate, and a
-    * broadcast one-row normalization — per-round cost linear in
-    * distinct pairs. Rating state uses lazy checkpoints (the g3
-    * eagerness measurement).
+    * (checkpointed once, distributed). The pair table is players²-
+    * bounded, so when its doubled form fits under `driverCapRows`
+    * (default 2²⁰) the MM rounds run driver-side on the same exact
+    * lattice — zero Spark jobs per round instead of ~4 (the
+    * resolveClusters union-find discipline; both paths agree bit for
+    * bit, spec-pinned). Beyond the cap, each round is two joins of the
+    * pair table with the player-sized rating table, one hash
+    * aggregate, and a broadcast one-row normalization — per-round cost
+    * linear in distinct pairs. Rating state uses lazy checkpoints (the
+    * g3 eagerness measurement).
     *
     * Output: (player, wins, rating) — mean rating 1.0 on the lattice.
     */
   def bradleyTerry(
       games: DataFrame, winnerCol: String, loserCol: String,
-      iterations: Int = 8): DataFrame = {
+      iterations: Int = 8, driverCapRows: Int = 1 << 20): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50] (got $iterations)")
     val scale = 1e6
@@ -431,6 +436,66 @@ object Retrieval {
       .localCheckpoint()
     val nPlayers = base.count().toDouble
     require(nPlayers > 0, "bradleyTerry: no games")
+    // Driver-side fast path (the [[graft.operators.Dedup.resolveClusters]]
+    // union-find discipline): the pair table is players²-bounded and the
+    // MM loop's per-round state is player-sized, so when the doubled pair
+    // table fits under a 2²⁰-row cap the 8-round loop runs as plain Scala
+    // on the SAME exact lattice — identical floors, identical exact
+    // integer sums (BigInt ≡ decimal(38,0), both order-free), identical
+    // IEEE double ops — instead of ~4 Spark jobs per round. Beyond the
+    // cap the distributed loop below is the plan, unchanged.
+    val capRows = driverCapRows
+    val bothRows = if (capRows > 0) both.take(capRows + 1) else Array.empty[org.apache.spark.sql.Row]
+    if (capRows > 0 && bothRows.length <= capRows) {
+      val baseRows = base.collect()
+      val ids = baseRows.map(_.getString(0))
+      val winsArr = baseRows.map(_.getLong(1))
+      val idx = ids.zipWithIndex.toMap
+      val m = bothRows.length
+      val gi = new Array[Int](m); val gj = new Array[Int](m)
+      val gn = new Array[Long](m)
+      var x = 0
+      while (x < m) {
+        gi(x) = idx(bothRows(x).getString(0))
+        gj(x) = idx(bothRows(x).getString(1))
+        gn(x) = bothRows(x).getLong(2)
+        x += 1
+      }
+      // p mirrors the distributed column's type history exactly: double
+      // scale in round 1, integer-valued doubles (= the long floor round-
+      // tripped through the division's long→double cast) afterwards.
+      val p = Array.fill(ids.length)(scale)
+      for (_ <- 1 to iterations) {
+        val dsum = Array.fill(ids.length)(BigInt(0))
+        x = 0
+        while (x < m) {
+          dsum(gi(x)) +=
+            math.floor(gn(x) * 1e12 / (p(gi(x)) + p(gj(x))) + 0.5).toLong
+          x += 1
+        }
+        var k = 0
+        while (k < ids.length) {
+          p(k) = math.floor(winsArr(k) * 1e12 / dsum(k).toDouble + 0.5)
+            .toLong.toDouble
+          k += 1
+        }
+        var s = BigInt(0)
+        k = 0
+        while (k < ids.length) { s += p(k).toLong; k += 1 }
+        val sD = s.toDouble
+        k = 0
+        while (k < ids.length) {
+          p(k) = math.floor(p(k) * nPlayers * scale / sD + 0.5)
+            .toLong.toDouble
+          k += 1
+        }
+      }
+      val spark = games.sparkSession
+      import spark.implicits._
+      return ids.indices
+        .map(k => (ids(k), winsArr(k), p(k) / scale)).toDF()
+        .toDF("player", "wins", "rating")
+    }
     var pi = base.select(col("id"), lit(scale).as("p"))
     for (r <- 1 to iterations) {
       // MM denominator: per-opponent terms floored onto the lattice,

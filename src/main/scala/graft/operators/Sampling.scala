@@ -99,7 +99,12 @@ object Sampling {
       valPct: Int = 5, testPct: Int = 5,
       seed: String = "graft"): DataFrame =
     groupSplit(docs, groupCol, valPct, testPct, seed)
-      .select(graft.functions.TextFunctions.fingerprint(col(textCol))
+      // a null id marks corrupt input — the report's fingerprints would
+      // still aggregate, but the row could never be traced back for
+      // remediation, so it fails loudly (the urlDedup discipline)
+      .select(when(col(idCol).isNull,
+          raise_error(lit("splitLeakageReport: null id")))
+        .otherwise(graft.functions.TextFunctions.fingerprint(col(textCol)))
         .as("fp"), col("split"))
       .groupBy("fp").agg(
         count(lit(1)).as("n_docs"),

@@ -296,6 +296,113 @@ object StatefulOps {
       }
   }
 
+  case class GapEv(user_id: Long, ts_ns: Long, eid: Long)
+  case class LastGap(ts_ns: Long, eid: Long)
+  case class GapRow(user_id: Long, gap_s: Long)
+
+  /** One micro-batch of inter-arrival gap emission — the streaming twin
+    * of [[graft.operators.EventAnalytics.botRegularity]]'s user-keyed
+    * lag window. State per user is ONE (ts, eid) row; each event beyond
+    * the first emits its gap to the previous one, floor-bucketed to
+    * whole seconds with the batch operator's sign-correct floorDiv
+    * (pmod-subtract) idiom. Within a micro-batch events order by
+    * (ts, eid) exactly like the batch window, so with per-user in-order
+    * delivery the emitted gaps aggregate to exactly the batch gap
+    * table. A cross-batch late event appends in arrival order at the
+    * state's tail (the [[advanceTransitions]] monotonicity convention —
+    * its gap may be negative, never a crash) and is reconciled by the
+    * batch twin.
+    */
+  private[streaming] def advanceGaps(
+      user: Long, events: Seq[GapEv], prior: Option[LastGap])
+      : (Seq[GapRow], LastGap) = {
+    val sorted = events.sortBy(e => (e.ts_ns, e.eid))
+    val out = scala.collection.mutable.ArrayBuffer.empty[GapRow]
+    var last = prior
+    for (e <- sorted) {
+      last.foreach(l => out +=
+        GapRow(user, Math.floorDiv(e.ts_ns - l.ts_ns, 1000000000L)))
+      last = Some(LastGap(e.ts_ns, e.eid))
+    }
+    (out.toSeq, last.get)
+  }
+
+  /** Streaming inter-arrival gaps: emits each (user, gap_s) row the
+    * micro-batch its closing event arrives (Append mode) — downstream,
+    * [[graft.operators.EventAnalytics.botRegularityFromGaps]] over the
+    * sink IS the w17 bot-regularity report, maintained incrementally
+    * (delegation, not a re-authored twin). State per key: one
+    * fixed-size last-event row — O(users), never O(events); no timeout
+    * registered, so idle streams run no state-scan micro-batches.
+    */
+  def gapsStream(
+      spark: SparkSession, ds: Dataset[GapEv]): Dataset[GapRow] = {
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastGap, GapRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[GapEv], state: GroupState[LastGap]) =>
+          val (rows, last) =
+            advanceGaps(user, evs.toIndexedSeq, state.getOption)
+          state.update(last)
+          rows.iterator
+      }
+  }
+
+  case class DayEv(user_id: Long, day: Long)
+  case class DaySet(days: Seq[Long])
+
+  /** One micro-batch of first-seen (user, day) emission — the streaming
+    * twin of [[graft.operators.EventAnalytics.stickiness]]'s activity
+    * distinct. State per user is its active-day set CLIPPED to the
+    * trailing `windowDays` horizon behind the newest day seen (the
+    * [[advanceRate]] watermark analogue): a day re-delivered inside the
+    * horizon dedupes, a day older than the horizon drops as late —
+    * which also bounds state at `windowDays` longs per user. Days at or
+    * inside the horizon emit exactly once, so the emitted rows ARE the
+    * batch dayUser table under in-order delivery.
+    */
+  private[streaming] def advanceDays(
+      user: Long, days: Seq[Long], prior: Option[DaySet],
+      windowDays: Int): (Seq[DayEv], DaySet) = {
+    var seen = prior.map(_.days.toSet).getOrElse(Set.empty)
+    var maxDay = if (seen.isEmpty) Long.MinValue else seen.max
+    val out = scala.collection.mutable.ArrayBuffer.empty[DayEv]
+    for (d <- days.sorted) {
+      if (maxDay == Long.MinValue || d >= maxDay - (windowDays - 1)) {
+        if (!seen.contains(d)) { out += DayEv(user, d); seen += d }
+        if (d > maxDay) maxDay = d
+      } // else: late beyond the horizon — drop
+    }
+    val clipped = seen.filter(_ >= maxDay - (windowDays - 1))
+    (out.toSeq, DaySet(clipped.toSeq.sorted))
+  }
+
+  /** Streaming (user, activity-day) first-seen rows (Append mode) —
+    * downstream,
+    * [[graft.operators.EventAnalytics.stickinessOverDayUsers]] over the
+    * sink IS the w19 DAU/MAU report, maintained incrementally
+    * (delegation, not a re-authored twin). State per key: ≤ windowDays
+    * longs — O(users), never O(events); no timeout registered, so idle
+    * streams run no state-scan micro-batches.
+    */
+  def userDayStream(
+      spark: SparkSession, ds: Dataset[DayEv],
+      windowDays: Int = 28): Dataset[DayEv] = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays must be in [1, 366] (got $windowDays)")
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DaySet, DayEv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[DayEv], state: GroupState[DaySet]) =>
+          val (rows, st) = advanceDays(
+            user, evs.map(_.day).toIndexedSeq, state.getOption, windowDays)
+          state.update(st)
+          rows.iterator
+      }
+  }
+
   case class BucketEv(event_type: String, bucket: Long)
   case class BucketCount(bucket: Long, n: Long)
   case class RateState(

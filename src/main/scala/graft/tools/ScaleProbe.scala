@@ -50,6 +50,26 @@ object ScaleProbe {
           .otherwise(lit(""))).as("text"))
   }
 
+  /** [[synth]] with a Heaps-law vocabulary: V = 10·√T for T total
+    * tokens (~200·n), instead of the fixed ~20k vocab — the growth a
+    * real corpus shows. At the 20k-doc base scale the two corpora have
+    * the SAME vocabulary size (10·√4M = 20k), so a fixed-vocab vs
+    * Heaps probe pair isolates exactly one variable: whether an
+    * operator's superlinear reading is pair-space densification (an
+    * artifact of freezing the vocabulary while growing the corpus) or
+    * a plan defect.
+    */
+  def synthHeaps(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = math.max(1000L, (10.0 * math.sqrt(200.0 * n)).toLong)
+    spark.range(n)
+      .select(col("id").as("doc_id"),
+        expr(s"""concat_ws(' ', transform(
+            sequence(1, 180 + int(pmod(xxhash64(id, 7L), 40))),
+            i -> concat('w', int($vocab *
+              pow(pmod(xxhash64(id, i), 100000) / 100000.0d, 2.0d)))))""")
+          .as("text"))
+  }
+
   /** Deterministic synthetic embeddings (dim 64, components in [-1, 1)
     * from a seeded hash; 1% planted near-dups with the d5-corpus shape:
     * first two components zeroed).
@@ -492,6 +512,15 @@ object ScaleProbe {
       },
       "t36_fim" -> (d =>
         TextAnalytics.fimSplit(d, "doc_id", "text").count()),
+      // t37 on the Heaps-law corpus ([[synthHeaps]], vocab ∝ √tokens):
+      // distinct (center, context) keys now grow ~linearly with the
+      // corpus, so a near-1.0 exponent here PROVES the fixed-vocab
+      // probe's superlinear reading is pair-space densification, not a
+      // plan defect (the fan-out is exactly 2·window rows/token in both)
+      "t37h_skipgrams_heaps" -> (_ =>
+        TextAnalytics.skipgramPairs(
+          spark.read.parquet(s"/tmp/scaleprobe/docs_heaps_$probeN"),
+          "text", window = 2, minCount = 3L).count()),
       "t37_skipgrams" -> (d =>
         TextAnalytics.skipgramPairs(d, "text", window = 2,
           minCount = 3L).count()),
@@ -702,6 +731,11 @@ object ScaleProbe {
       val epath = s"/tmp/scaleprobe/emb_$n"
       synthEmb(spark, n).write.mode("overwrite").parquet(epath)
       val emb = spark.read.parquet(epath)
+      // Heaps-law corpus, materialized OUTSIDE any timed region (only
+      // when a t37h op is selected — it is that probe's sole consumer)
+      if (ops.exists { case (nm, _) => opFilter(nm) && nm.startsWith("t37h") })
+        synthHeaps(spark, n).write.mode("overwrite")
+          .parquet(s"/tmp/scaleprobe/docs_heaps_$n")
       for ((name, run) <- ops if opFilter(name)) {
         val t0 = System.nanoTime()
         val rows = run(docs)

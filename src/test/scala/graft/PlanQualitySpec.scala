@@ -53,6 +53,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("interval jaccard / reciprocal-overlap joins are exactly-once: no distinct exchange") {
+    // owner-bin attribution means a multi-bin pair is emitted by exactly
+    // one shared bin — the plans must carry NO deduplicating aggregate
+    // between the bin join and the arithmetic (an aggregate keyed on both
+    // sides' coordinates/ids is the distinct's physical signature)
+    val pj = planOf(SparkEntry.queries("j18_interval_jaccard")(spark, dir))
+    val jaccardKeyLines = pj.split("\n").filter(_.contains("Keys"))
+    assert(!jaccardKeyLines.exists(l => l.contains("as_") && l.contains("bs")),
+      s"jaccard plan still deduplicates pair rows:\n$pj")
+    val pr = planOf(SparkEntry.queries("j16_reciprocal_overlap")(spark, dir))
+    val roKeyLines = pr.split("\n").filter(_.contains("Keys"))
+    assert(!roKeyLines.exists(l => l.contains("a_id") && l.contains("b_id")),
+      s"reciprocal-overlap plan still deduplicates pair rows:\n$pr")
+    assert(!pj.contains("CartesianProduct") && !pr.contains("CartesianProduct"))
+  }
+
   test("decontamination membership test broadcasts the benchmark set") {
     val plan = planOf(SparkEntry.queries("d9_decontaminate")(spark, dir))
     // the corpus-shingle -> benchmark-shingle probe must be map-side

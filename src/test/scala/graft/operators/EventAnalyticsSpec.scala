@@ -453,6 +453,46 @@ class EventAnalyticsSpec extends AnyFunSuite {
       err.getMessage)
   }
 
+  test("abSignificance verdict ≡ exact BigInt arithmetic at the 3e9 envelope") {
+    // Drives the comparison core directly with aggregate counts the size
+    // of the documented envelope (3e9 exposed users) — counts that large
+    // can't be synthesized as raw events. The naive multiplied-through
+    // products here would need ~10^50 of headroom; the div/mod ladder
+    // must agree with unbounded BigInt arithmetic on every row,
+    // including the adversarial max-diff corners and exact ties.
+    def expect(na: Long, ca: Long, nb: Long, cb: Long): String = {
+      val bigN = BigInt(na) + nb; val bigC = BigInt(ca) + cb
+      if (na > 0 && nb > 0 && bigC > 0 && bigC < bigN) {
+        val diff = BigInt(ca) * nb - BigInt(cb) * na
+        if (BigInt(10000) * diff * diff * bigN >
+          BigInt(38416) * na * nb * bigC * (bigN - bigC)) "significant"
+        else "not_significant"
+      } else "undefined"
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq[(Long, Long, Long, Long)](
+      (1500000000L, 1499999999L, 1500000000L, 1L), // max-diff corner
+      (1500000000L, 1L, 1500000000L, 1499999999L),
+      (2000000000L, 1000000000L, 1000000000L, 500000123L),
+      (1500000000L, 750000000L, 1500000000L, 750000000L), // diff = 0
+      (1500000000L, 750000001L, 1500000000L, 750000000L), // 1-user gap
+      (0L, 0L, 1000L, 5L), // unexposed variant: undefined
+      (1000L, 0L, 1000L, 0L), // C = 0: undefined
+      (3L, 1L, 5L, 2L)) ++ // tiny counts still route through the ladder
+      Seq.fill(60) {
+        val na = rnd.between(1L, 1500000001L)
+        val nb = rnd.between(1L, 1500000001L)
+        (na, rnd.between(0L, na + 1), nb, rnd.between(0L, nb + 1))
+      }
+    val got = EventAnalytics
+      .withZVerdict(cases.toDF("n_a", "c_a", "n_b", "c_b"))
+      .select("n_a", "c_a", "n_b", "c_b", "verdict")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got.length == cases.length)
+    got.foreach { case (na, ca, nb, cb, v) =>
+      assert(v == expect(na, ca, nb, cb), s"counts ($na,$ca,$nb,$cb)") }
+  }
+
   test("multi-touch attribution: hand-computed U-shape credits") {
     import org.apache.spark.sql.functions.lit
     // (event_id, ts, user_id, event_type); lookback = 100 ticks

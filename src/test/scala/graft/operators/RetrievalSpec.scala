@@ -463,4 +463,24 @@ class RetrievalSpec extends AnyFunSuite {
       || e2.getCause != null &&
         e2.getCause.getMessage.contains("self-game"), e2.getMessage)
   }
+
+  test("bradleyTerry: driver fast path ≡ distributed loop, bit for bit") {
+    // Both paths claim the SAME exact lattice (identical floors, exact
+    // order-free integer sums, identical IEEE ops) — so ratings must
+    // agree to the last bit on a random tournament, not just approx.
+    val rnd = new scala.util.Random(11)
+    val players = (0 until 40).map(i => s"pl$i")
+    val games = Seq.fill(600) {
+      val a = players(rnd.nextInt(players.length))
+      var b = players(rnd.nextInt(players.length))
+      while (b == a) b = players(rnd.nextInt(players.length))
+      (a, b)
+    }
+    val fast = Retrieval.bradleyTerry(games.toDF("w", "l"), "w", "l")
+      .as[(String, Long, Double)].collect().sorted.toSeq
+    val dist = Retrieval.bradleyTerry(games.toDF("w", "l"), "w", "l",
+        driverCapRows = 0) // force the distributed loop
+      .as[(String, Long, Double)].collect().sorted.toSeq
+    assert(fast == dist)
+  }
 }
