@@ -2895,6 +2895,81 @@ FROM c"""
     Graph.degreePowerLaw(edges, "src", "dst", dMin = 2)
   }
 
+  /** g7: degree assortativity over the g5 chain+chord graph —
+    * hubs-to-hubs endpoint-degree correlation from exact decimal
+    * integer sums; one round-6 divide at the read-out. Full oracle.
+    */
+  private def g7Assortativity(s: SparkSession, d: String): DataFrame = {
+    val ids = T(s, d, "documents").select(col("doc_id"))
+    val hop = ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 1).as("dst"))
+      .unionByName(ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 2).as("dst")))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    Graph.assortativity(hop, "src", "dst")
+  }
+
+  /** w20: CUSUM changepoint detection per event type — Page's one-sided
+    * detector over hourly buckets, computed as running-sum minus
+    * running-min (two windows, one partitioning) instead of a
+    * sequential fold. Exact 64-bit integers end-to-end; full oracle.
+    */
+  private def w20Cusum(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.cusumChangepoints(
+      T(s, d, "events"), "ts", "event_type", k = 30L, h = 100L)
+
+  /** e15: character edit-distance eval over the e11 corruption grid —
+    * exact match + normalized Levenshtein similarity on the 1e-6
+    * lattice, all inside codegen (the built-in DP expression). Full
+    * oracle against DuckDB's levenshtein.
+    */
+  private def e15EditSimilarity(s: SparkSession, d: String): DataFrame =
+    Retrieval.editSimilarity(evalPairGrid(s, d), "pair_id", "cand", "ref")
+
+  /** e16: Spearman rank correlation between two per-doc scores (length
+    * vs a deterministically perturbed length — correlated, with heavy
+    * ties at every length). Average-rank ties ride as exact 2·avgrank
+    * integers; one engine-reproducible √·√ divide at the read-out.
+    */
+  private def e16Spearman(s: SparkSession, d: String): DataFrame =
+    Classifier.spearman(
+      T(s, d, "documents").select(
+        length(col("text")).cast("double").as("x"),
+        (length(col("text")) + pmod(col("doc_id"), lit(7)) - lit(3))
+          .cast("double").as("y")),
+      "x", "y")
+
+  /** s11: √-dampened domain mixing weights over the documents' source
+    * column — the α = 0.5 multinomial reweighting of multilingual
+    * pretraining recipes, exact on the 1e-6 lattice. Full oracle.
+    */
+  private def s11SqrtMixing(s: SparkSession, d: String): DataFrame =
+    Sampling.sqrtMixingWeights(T(s, d, "documents"), "source")
+
+  /** m8: PNG structure metadata — per-doc PNGs BUILT with real chunk
+    * framing and true CRC32s (dims/bit depth/color type/chunk inventory
+    * all closed-form in doc_id; every 11th doc non-PNG text bytes) and
+    * PARSED back by the CRC-checking chunk walk; a construct→parse
+    * round trip with a closed-form oracle (the m7 discipline).
+    */
+  private def m8PngMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = T(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes =
+          if (id % 11 == 0) text.getBytes("UTF-8") // non-PNG: dropped
+          else Multimodal.pngChunks(
+            width = 1 + (id % 640).toInt, height = 1 + (id % 480).toInt,
+            bitDepth = if (id % 2 == 0) 8 else 16,
+            colorType = Array(0, 2, 4, 6)((id % 4).toInt),
+            nText = (id % 5).toInt, withTrns = id % 7 == 0,
+            idatBytes = (id % 64).toInt)
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+    Multimodal.pngMeta(s, payloads, "doc_id")
+  }
+
   /** c13: chat-format validation — documents cast as conversation turns
     * (conv = doc_id div 6, ordinal = doc_id mod 6) with deterministic
     * role corruptions (every 17th doc forces 'user', every 29th an
@@ -3385,7 +3460,13 @@ FROM c"""
     "j18_interval_jaccard" -> (j18IntervalJaccard _),
     "w18_ab_significance" -> (w18AbSignificance _),
     "c16_schema_drift" -> (c16SchemaDrift _),
-    "w19_stickiness" -> (w19Stickiness _))
+    "w19_stickiness" -> (w19Stickiness _),
+    "g7_assortativity" -> (g7Assortativity _),
+    "w20_cusum" -> (w20Cusum _),
+    "e15_edit_similarity" -> (e15EditSimilarity _),
+    "e16_spearman" -> (e16Spearman _),
+    "s11_sqrt_mixing" -> (s11SqrtMixing _),
+    "m8_png_meta" -> (m8PngMeta _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7698,7 +7779,129 @@ FROM c"""
         |SELECT dau.day, dau.dau, mau.mau,
         |  (2 * dau.dau * 1000000 + mau.mau) // (2 * mau.mau)
         |    AS stickiness_e6
-        |FROM dau JOIN mau ON dau.day = mau.day""".stripMargin)
+        |FROM dau JOIN mau ON dau.day = mau.day""".stripMargin,
+    // g7 twin: g5's symmetric-distinct edge set and degrees, then the
+    // ordered-pair Pearson collapse (identical x/y marginals) in exact
+    // HUGEINT sums; one round-6 divide
+    "g7_assortativity" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |e0 AS (SELECT doc_id AS s, doc_id + 1 AS t FROM ids
+        |  UNION ALL SELECT doc_id, doc_id + 2 FROM ids),
+        |e1 AS (SELECT s, t FROM e0
+        |  WHERE t IN (SELECT doc_id FROM ids) AND s <> t),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |    SELECT s::VARCHAR AS a, t::VARCHAR AS b FROM e1
+        |    UNION ALL SELECT t::VARCHAR, s::VARCHAR FROM e1)),
+        |deg AS (SELECT a AS node, count(*)::BIGINT AS deg
+        |  FROM und GROUP BY 1),
+        |pr AS (SELECT da.deg AS dx, db.deg AS dy FROM und
+        |  JOIN deg da ON da.node = und.a
+        |  JOIN deg db ON db.node = und.b),
+        |s AS (SELECT count(*)::HUGEINT AS p,
+        |    sum(dx::HUGEINT * dy::HUGEINT) AS sxy,
+        |    sum(dx::HUGEINT) AS sx,
+        |    sum(dx::HUGEINT * dx::HUGEINT) AS sxx
+        |  FROM pr)
+        |SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+        |  (p // 2)::BIGINT AS n_edges,
+        |  CASE WHEN p * sxx <> sx * sx THEN
+        |    round((p * sxy - sx * sx)::DOUBLE
+        |      / (p * sxx - sx * sx)::DOUBLE, 6) END AS assortativity
+        |FROM s""".stripMargin,
+    // w20 twin: the same hourly buckets as w12, then the running-sum /
+    // running-min closed form of the CUSUM recurrence — exact integers
+    "w20_cusum" ->
+      """WITH c AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS bucket,
+        |    count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, bucket, n_events,
+        |    sum(n_events - 30) OVER (PARTITION BY event_type
+        |      ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS pp
+        |  FROM c),
+        |m AS (SELECT *, least(0, min(pp) OVER (PARTITION BY event_type
+        |      ORDER BY bucket ROWS UNBOUNDED PRECEDING)) AS mn
+        |  FROM p)
+        |SELECT event_type, bucket, n_events,
+        |  (pp - mn)::BIGINT AS cusum, pp - mn > 100 AS alarm
+        |FROM m""".stripMargin,
+    // e15 twin: the e11 corruption grid re-joined to strings, DuckDB's
+    // levenshtein, and the shared (2a + b) // 2b lattice idiom
+    "e15_edit_similarity" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |    x -> x <> '') AS w FROM documents),
+        |pairs AS (SELECT doc_id*4 + k AS id,
+        |    array_to_string(
+        |      CASE WHEN k = 0 THEN w[1:12] WHEN k = 1 THEN w[1:8]
+        |           WHEN k = 2 THEN list_concat(w[1:12], w[1:4])
+        |           ELSE list_reverse(w[1:12]) END, ' ') AS cand,
+        |    array_to_string(w[1:12], ' ') AS ref
+        |  FROM t, (SELECT unnest([0, 1, 2, 3]) AS k)),
+        |d AS (SELECT id, levenshtein(cand, ref)::BIGINT AS dist,
+        |    greatest(length(cand), length(ref))::BIGINT AS max_len,
+        |    cand = ref AS exact
+        |  FROM pairs)
+        |SELECT id, dist, max_len, exact,
+        |  CASE WHEN max_len = 0 THEN 1000000
+        |    ELSE (2 * (max_len - dist) * 1000000 + max_len)
+        |      // (2 * max_len) END AS sim_e6
+        |FROM d""".stripMargin,
+    // e16 twin: 2·avgrank integers from distinct-value grids (cumsum of
+    // tie counts), exact HUGEINT Pearson sums, the √·√ read-out
+    "e16_spearman" ->
+      """WITH b AS (SELECT length(text)::DOUBLE AS x,
+        |    (length(text) + doc_id % 7 - 3)::DOUBLE AS y
+        |  FROM documents),
+        |gx AS (SELECT x, count(*)::BIGINT AS cnt FROM b GROUP BY 1),
+        |rx AS (SELECT x, 2 * coalesce(sum(cnt) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r_x FROM gx),
+        |gy AS (SELECT y, count(*)::BIGINT AS cnt FROM b GROUP BY 1),
+        |ry AS (SELECT y, 2 * coalesce(sum(cnt) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r_y FROM gy),
+        |j AS (SELECT r_x::HUGEINT AS r_x, r_y::HUGEINT AS r_y FROM b
+        |  JOIN rx USING (x) JOIN ry USING (y)),
+        |s AS (SELECT count(*)::HUGEINT AS n, sum(r_x * r_y) AS sxy,
+        |    sum(r_x) AS sx, sum(r_x * r_x) AS sxx,
+        |    sum(r_y) AS sy, sum(r_y * r_y) AS syy
+        |  FROM j)
+        |SELECT n::BIGINT AS n_items,
+        |  CASE WHEN n * sxx > sx * sx AND n * syy > sy * sy THEN
+        |    round((n * sxy - sx * sy)::DOUBLE
+        |      / (sqrt((n * sxx - sx * sx)::DOUBLE)
+        |         * sqrt((n * syy - sy * sy)::DOUBLE)), 6) END
+        |    AS spearman_rho
+        |FROM s""".stripMargin,
+    // s11 twin: identical floor(sqrt·1e6) dampened mass and lattice
+    // shares over exact integer sums
+    "s11_sqrt_mixing" ->
+      """WITH c AS (SELECT source AS domain, count(*)::BIGINT AS n_docs
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT domain, n_docs,
+        |    CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS sm FROM c),
+        |t AS (SELECT sum(n_docs)::BIGINT AS tn, sum(sm)::BIGINT AS ts
+        |  FROM s)
+        |SELECT domain, n_docs,
+        |  (2 * n_docs * 1000000 + tn) // (2 * tn) AS share_raw_e6,
+        |  (2 * sm * 1000000 + ts) // (2 * ts) AS share_sqrt_e6
+        |FROM s, t""".stripMargin,
+    // m8 twin: the construct side is closed-form in doc_id, so the
+    // oracle re-derives the expected parse without touching bytes (the
+    // m7 discipline)
+    "m8_png_meta" ->
+      """SELECT doc_id AS id,
+        |  (1 + doc_id % 640)::BIGINT AS width,
+        |  (1 + doc_id % 480)::BIGINT AS height,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END)::BIGINT
+        |    AS bit_depth,
+        |  (CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 4
+        |    ELSE 6 END)::BIGINT AS color_type,
+        |  (3 + doc_id % 5
+        |    + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_chunks,
+        |  (doc_id % 4 >= 2 OR doc_id % 7 = 0) AS has_alpha
+        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

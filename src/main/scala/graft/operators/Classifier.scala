@@ -439,6 +439,71 @@ object Classifier {
     *
     * Output: one row (n_items, n_agree, pe_num, kappa).
     */
+  /** Spearman rank correlation between two score columns — the
+    * monotonic-agreement check of eval pipelines (does the reward model
+    * RANK like the human raters, ignoring scale), next to [[cohenKappa]]
+    * for categorical agreement and [[aucBinary]] for binary labels.
+    *
+    * Classic tie handling (average ranks) carried exactly: ranks ride
+    * as the INTEGER 2·avgrank — a tie group of `cnt` rows with
+    * `cumbefore` smaller values has 2·avgrank = 2·cumbefore + cnt + 1
+    * (the [[aucBinary]] idiom) — so every sum in the Pearson formula
+    * over ranks is an exact decimal(38,0) integer sum. n is guarded to
+    * 10⁹ items (n·Σr_x·r_y ≤ 4n⁴ stays inside 38 digits); the read-out
+    * is num / (√dx·√dy) over those exact integers — three
+    * correctly-rounded IEEE ops, engine-reproducible — emitted
+    * round-`roundTo`. Zero rank variance on either side (a constant
+    * column) has no defined ρ → NULL. Null/NaN scores fail loudly (the
+    * aucBinary discipline: engines order them differently, so any
+    * silent rank would be engine-dependent).
+    *
+    * Scale: per side, one distinct-value aggregate + a cumulative sum
+    * over the VALUE GRID (bounded by distinct scores, not rows — the
+    * aucBinary single-partition-window envelope), then two value-keyed
+    * joins back (AQE broadcasts the grids) and one map-side-combined
+    * fold. Output: one row (n_items, spearman_rho).
+    */
+  def spearman(
+      scored: DataFrame, xCol: String, yCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def checked(c: String) = {
+      val v = col(c).cast("double")
+      when(v.isNull || isnan(v),
+        raise_error(lit(s"spearman: score column must be non-null and " +
+          "non-NaN"))).otherwise(v)
+    }
+    val base = scored.select(checked(xCol).as("x"), checked(yCol).as("y"))
+    def rank2(v: String): DataFrame = {
+      val w = Window.orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cumbefore", coalesce(sum("cnt").over(w), lit(0L)))
+        .select(col(v),
+          (lit(2) * col("cumbefore") + col("cnt") + lit(1)).as(s"r_$v"))
+    }
+    val s = base.join(rank2("x"), "x").join(rank2("y"), "y")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("r_x").cast(dec) * col("r_y").cast(dec)).as("sxy"),
+        sum(col("r_x").cast(dec)).as("sx"),
+        sum(col("r_x").cast(dec) * col("r_x").cast(dec)).as("sxx"),
+        sum(col("r_y").cast(dec)).as("sy"),
+        sum(col("r_y").cast(dec) * col("r_y").cast(dec)).as("syy"))
+      .withColumn("n",
+        when(col("n") > 1000000000L,
+          raise_error(lit("spearman: beyond the 1e9-item decimal(38) " +
+            "exactness envelope"))).otherwise(col("n")))
+    val dx = col("n").cast(dec) * col("sxx") - col("sx") * col("sx")
+    val dy = col("n").cast(dec) * col("syy") - col("sy") * col("sy")
+    s.select(col("n").as("n_items"),
+      when(dx > 0 && dy > 0,
+        round((col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), roundTo))
+        .as("spearman_rho"))
+  }
+
   def cohenKappa(
       ratings: DataFrame, aCol: String, bCol: String): DataFrame = {
     def checked(c: String, side: String) =

@@ -864,4 +864,52 @@ object EventAnalytics {
         (col("n_events") === col("pk.n_events") &&
           col("hour_of_week") === -col("pk.nh")).as("is_peak"))
   }
+
+  /** CUSUM changepoint detector per event type (Page 1954) — the
+    * sustained-shift complement to [[rateAnomaly]]'s single-bucket
+    * spike test: a rate that drifts up by less than one spike per
+    * bucket accumulates here until the alarm threshold trips.
+    *
+    * Over each type's OBSERVED buckets in time order (the rateAnomaly
+    * bucketing contract — an empty bucket between observed ones is not
+    * materialized; callers tracking true silence densify upstream),
+    * the classic one-sided recurrence S_i = max(0, S_{i−1} + x_i − k)
+    * is NOT computed as a sequential fold: with P_i = Σ_{t≤i}(x_t − k)
+    * it closes to S_i = P_i − min(0, min_{t≤i} P_t), so the whole
+    * detector is one running sum and one running min over the SAME
+    * type-keyed window — two WindowExecs, one partitioning, no
+    * per-type driver state, embarrassingly parallel across types. The
+    * identity is exact in 64-bit integers (x, k, P all integers);
+    * alarm = S_i > h is an exact comparison — no engine's float mode
+    * can flip it.
+    *
+    * `k` is the per-bucket drift allowance (counts a bucket may run
+    * above its reference rate without accumulating), `h` the alarm
+    * threshold in the same units. Output: (event_type, bucket,
+    * n_events, cusum, alarm) — alarm a non-null boolean.
+    */
+  def cusumChangepoints(
+      events: DataFrame, tsCol: String, typeCol: String,
+      k: Long, h: Long,
+      bucketUs: Long = 3600L * 1000 * 1000): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive (got $bucketUs)")
+    require(k >= 0, s"drift allowance k must be >= 0 (got $k)")
+    require(h > 0, s"alarm threshold h must be positive (got $h)")
+    val bucketNs = bucketUs * 1000L
+    val counts = events
+      .select(col(typeCol).as("event_type"),
+        col(tsCol).cast("long").as("__ts"))
+      .select(col("event_type"),
+        expr(s"(__ts - pmod(__ts, ${bucketNs}L)) div ${bucketNs}L")
+          .as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__p", sum(col("n_events") - lit(k)).over(w))
+      .withColumn("cusum",
+        col("__p") - least(lit(0L), min(col("__p")).over(w)))
+      .select(col("event_type"), col("bucket"), col("n_events"),
+        col("cusum"), (col("cusum") > h).as("alarm"))
+  }
 }

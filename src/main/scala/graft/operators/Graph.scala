@@ -449,4 +449,63 @@ object Graph {
     }
     lbl.select(col("node"), col("lbl").as("label"))
   }
+
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * over edges (Newman 2002, Phys. Rev. Lett. 89, 208701): the
+    * one-number answer to "do hubs link to hubs" next to [[triangles]]
+    * and [[degreePowerLaw]]. Organic social graphs are assortative
+    * (r > 0), the web and most infrastructure graphs disassortative
+    * (r < 0); a crawl whose r flips sign between snapshots changed its
+    * shape, not just its size.
+    *
+    * Computed over the ORDERED symmetric pair set (each undirected edge
+    * contributes both (deg u, deg v) and (deg v, deg u)), which makes
+    * the x and y marginals identical and the classic formula collapse
+    * to r = (P·Σxy − (Σx)²) / (P·Σx² − (Σx)²) with P = 2·|edges|.
+    * All sums are exact decimal(38,0) integer sums (order-free in any
+    * engine); r is the single correctly-rounded IEEE divide of two
+    * exact integers, emitted round-6 (the cohenKappa lattice class).
+    * A regular graph (zero degree variance) has no defined r → NULL.
+    * Input normalization as [[triangles]]: nulls drop, self-loops
+    * drop, parallel edges collapse.
+    *
+    * Scale: one symmetric-distinct + degree aggregate, two node-keyed
+    * joins of the edge list with the node-sized degree table (AQE
+    * broadcasts it when it fits), one map-side-combined global fold —
+    * never a quadratic term. Output: one row (n_nodes, n_edges,
+    * assortativity).
+    */
+  def assortativity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val raw = edges.select(
+        col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val und = raw
+      .unionAll(raw.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val pairs = und
+      .join(deg.select(col("node").as("a"), col("deg").as("dx")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("dy")), "b")
+    val s = pairs.agg(
+      count(lit(1)).as("p"),
+      sum(col("dx").cast(d38) * col("dy").cast(d38)).as("sxy"),
+      sum(col("dx").cast(d38)).as("sx"),
+      sum(col("dx").cast(d38) * col("dx").cast(d38)).as("sxx"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    nodes.crossJoin(s)
+      .select(col("n_nodes"), expr("p div 2").as("n_edges"),
+        when(col("p").cast(d38) * col("sxx") =!= col("sx") * col("sx"),
+          round(
+            (col("p").cast(d38) * col("sxy") - col("sx") * col("sx"))
+              .cast("double") /
+            (col("p").cast(d38) * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), 6))
+          .as("assortativity"))
+  }
 }

@@ -256,6 +256,122 @@ object Multimodal {
         "kbps_first", "vbr")
   }
 
+  /** Parsed PNG structure from a real chunk walk. */
+  case class PngInfo(
+      width: Int, height: Int, bitDepth: Int, colorType: Int,
+      nChunks: Int, hasAlpha: Boolean)
+
+  /** Real PNG chunk walk (ISO/IEC 15948 §5): verifies the 8-byte
+    * signature, then walks [length | type | data | CRC32] chunks,
+    * CHECKING each CRC (a bit-flipped file reads as not-a-PNG, never as
+    * a wrong width), requiring IHDR first (width/height/bit depth/color
+    * type), at least one IDAT, and a terminating IEND. Alpha = color
+    * type 4/6 (grayscale+alpha / RGBA) or a tRNS chunk. Truncated,
+    * mis-ordered, or corrupt files return None — the [[mp3Info]]
+    * totality contract.
+    */
+  private[operators] def pngInfo(bytes: Array[Byte]): Option[PngInfo] = {
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes.length < 8 + 25) return None // signature + IHDR chunk
+    var i = 0
+    while (i < 8) {
+      if ((bytes(i) & 0xFF) != sig(i)) return None
+      i += 1
+    }
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+        ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+    var off = 8
+    var n = 0
+    var w = 0; var h = 0; var bd = 0; var ct = 0
+    var trns = false; var idat = false; var iend = false
+    val crc = new java.util.zip.CRC32()
+    while (!iend) {
+      if (off + 12 > bytes.length) return None // truncated chunk header
+      val len = be32(off)
+      if (len < 0 || off + 12 + len > bytes.length) return None
+      crc.reset()
+      crc.update(bytes, off + 4, 4 + len)
+      if (crc.getValue != (be32(off + 8 + len).toLong & 0xFFFFFFFFL))
+        return None // corrupt chunk
+      val t = new String(bytes, off + 4, 4, "US-ASCII")
+      if (n == 0) {
+        if (t != "IHDR" || len != 13) return None
+        w = be32(off + 8); h = be32(off + 12)
+        bd = bytes(off + 16) & 0xFF; ct = bytes(off + 17) & 0xFF
+      } else t match {
+        case "tRNS" => trns = true
+        case "IDAT" => idat = true
+        case "IEND" => iend = true
+        case _ => ()
+      }
+      n += 1
+      off += 12 + len
+    }
+    if (!idat || w <= 0 || h <= 0) None
+    else Some(PngInfo(w, h, bd, ct, n, ct == 4 || ct == 6 || trns))
+  }
+
+  /** Build a structurally-real PNG (correct signature, big-endian chunk
+    * framing, true CRC32s, IHDR → optional tEXt/tRNS → IDAT → IEND) —
+    * the construct side of the [[pngMeta]] construct→parse round trip
+    * (the [[mp3Frames]] discipline). The IDAT payload is deterministic
+    * filler, not a valid zlib stream: the walk is a structure parser
+    * and never inflates.
+    */
+  def pngChunks(
+      width: Int, height: Int, bitDepth: Int, colorType: Int,
+      nText: Int = 0, withTrns: Boolean = false,
+      idatBytes: Int = 16): Array[Byte] = {
+    require(width > 0 && height > 0, "png dims must be positive")
+    require(nText >= 0 && idatBytes >= 0, "chunk sizes must be >= 0")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def chunk(t: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length.toLong))
+      val tb = t.getBytes("US-ASCII")
+      out.write(tb)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    chunk("IHDR", be32(width.toLong) ++ be32(height.toLong) ++
+      Array(bitDepth.toByte, colorType.toByte, 0.toByte, 0.toByte,
+        0.toByte))
+    (0 until nText).foreach(i =>
+      chunk("tEXt", s"k$i".getBytes("US-ASCII") ++ Array(0.toByte) ++
+        s"v$i".getBytes("US-ASCII")))
+    if (withTrns) chunk("tRNS", Array(0.toByte, 0.toByte))
+    chunk("IDAT", Array.tabulate(idatBytes)(i => (i % 251).toByte))
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** PNG structure metadata per payload — the [[mp3Meta]] batch shape
+    * over the [[pngInfo]] walk; non-PNG payloads drop. Output: (id,
+    * width, height, bit_depth, color_type, n_chunks, has_alpha).
+    */
+  def pngMeta(
+      spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        pngInfo(bytes).map(i =>
+          (id, i.width.toLong, i.height.toLong, i.bitDepth.toLong,
+            i.colorType.toLong, i.nChunks.toLong, i.hasAlpha))
+      })
+      .toDF("id", "width", "height", "bit_depth", "color_type",
+        "n_chunks", "has_alpha")
+  }
+
   /** Decode with the real parser when one applies; deterministic stub
     * otherwise. Video metadata comes from a real ISO-BMFF box walk
     * ([[Mp4]]) — frame count from the sample table, dims from `tkhd` —

@@ -702,4 +702,42 @@ object Retrieval {
         when(col("c_len") === 0L || anyZero, lit(0L))
           .otherwise(floor(bp * geo * lit(1e6) + lit(0.5)).cast("long")))
   }
+
+  /** Character-level edit similarity per (candidate, reference) pair —
+    * the cheap generation-eval next to [[bleu]]/[[rougeN]]: exact-match
+    * rate and normalized Levenshtein similarity are the standard first
+    * read on format-constrained outputs (SQL, JSON, code) where n-gram
+    * overlap under-penalizes a single wrong token.
+    *
+    * Everything stays inside whole-stage codegen: `levenshtein` is the
+    * built-in DP expression (O(|c|·|r|) per row, embarrassingly
+    * parallel, no shuffle at all — one scan-side projection), and the
+    * similarity (maxlen − dist) / maxlen lands on the 1e-6 lattice via
+    * the shared (2a + b) div 2b half-up idiom — dist ≤ maxlen always,
+    * so the numerator is never negative. Two empty strings are
+    * identical (sim 1e6) by convention. Null candidate or reference
+    * fails loudly (a missing generation is corrupt eval input, not a
+    * zero score — the urlDedup discipline).
+    *
+    * Output: (id, dist, max_len, exact, sim_e6).
+    */
+  def editSimilarity(
+      pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    def checked(c: String, side: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"editSimilarity: null $side")))
+        .otherwise(col(c).cast("string"))
+    pairs
+      .select(col(idCol).as("id"), checked(candCol, "candidate").as("c"),
+        checked(refCol, "reference").as("r"))
+      .select(col("id"), levenshtein(col("c"), col("r")).as("dist"),
+        greatest(length(col("c")), length(col("r"))).cast("long")
+          .as("max_len"),
+        (col("c") === col("r")).as("exact"))
+      .withColumn("sim_e6",
+        when(col("max_len") === 0L, lit(1000000L))
+          .otherwise(expr(
+            "(2 * (max_len - dist) * 1000000 + max_len) div (2 * max_len)")))
+  }
 }

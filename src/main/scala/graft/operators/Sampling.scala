@@ -494,4 +494,40 @@ object Sampling {
     fdot(vec, vec) + element_at(c2s, cluster + 1) -
       lit(2.0) * fdot(vec, element_at(cents, cluster + 1))
   }
+
+  /** Square-root-dampened domain mixing weights — the α = 0.5
+    * exponentiated-multinomial reweighting of multilingual/multi-domain
+    * pretraining recipes (Devlin et al. 2019 §A; XLM-R): sampling a
+    * domain ∝ √n_d instead of ∝ n_d flattens the head (a 100× bigger
+    * domain samples only 10× more often) and lifts the tail without the
+    * fixed-target bookkeeping of [[epochMix]]. The general temperature
+    * family n^(1/τ) rides on `pow`, whose last-ulp behavior differs
+    * across engines — √ is the τ = 2 member AND the one IEEE-754
+    * guarantees correctly rounded everywhere, so the weights here are
+    * engine-reproducible where a pow-based variant would not be.
+    *
+    * Exactness: each domain's dampened mass is the integer
+    * s_d = floor(√n_d · 10⁶) (one correctly-rounded sqrt, one exact
+    * power-of-ten scale, one floor — identical in any IEEE engine);
+    * shares land on the 1e-6 lattice via the shared (2a + b) div 2b
+    * half-up idiom over exact integer sums. Null domains fail loudly.
+    *
+    * Scale: ONE map-side-combined domain count + a broadcast one-row
+    * total — output rows = |domains|. Output: (domain, n_docs,
+    * share_raw_e6, share_sqrt_e6), shares each summing to ~10⁶.
+    */
+  def sqrtMixingWeights(docs: DataFrame, domainCol: String): DataFrame = {
+    val counts = docs
+      .select(when(col(domainCol).isNull,
+          raise_error(lit("sqrtMixingWeights: null domain")))
+        .otherwise(col(domainCol).cast("string")).as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+      .withColumn("s", floor(sqrt(col("n_docs")) * lit(1e6)))
+    val tot = counts.agg(sum("n_docs").as("tn"), sum("s").as("ts"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"),
+        expr("(2 * n_docs * 1000000 + tn) div (2 * tn)")
+          .as("share_raw_e6"),
+        expr("(2 * s * 1000000 + ts) div (2 * ts)").as("share_sqrt_e6"))
+  }
 }

@@ -315,6 +315,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(windowKeys("d2_ngram_jaccard").forall(_.contains("id")))
   }
 
+  test("spearman's global rank windows run over value GRIDS, not raw rows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // the tie-count cumsum is a single-partition window by construction
+    // (global order) — tolerable ONLY because its input is the distinct-
+    // value grid, never the item table; every window must sit above an
+    // aggregate (the aucBinary bounded-grid envelope)
+    val wins = SparkEntry.queries("e16_spearman")(spark, dir)
+      .queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+        s"rank window reads raw rows, not the value grid:\n$w")
+    }
+  }
+
   test("corpus merge broadcasts the increment, never full-outer-shuffles") {
     val plan = planOf(SparkEntry.queries("c4_corpus_merge")(spark, dir))
     assert(!plan.contains("FullOuter"),

@@ -345,4 +345,53 @@ class ClassifierSpec extends AnyFunSuite {
     assert(math.abs(math.floor(multi * 1e6 + 0.5).toLong - binary) <= 1,
       s"multi $multi vs binary_e6 $binary")
   }
+  test("spearman: hand cases — monotone 1, reversed -1, constant NULL") {
+    def rho(xs: Seq[(Double, Double)]): Option[Double] =
+      Classifier.spearman(xs.toDF("x", "y"), "x", "y")
+        .as[(Long, Option[Double])].head()._2
+    assert(rho(Seq((1.0, 10.0), (2.0, 20.0), (3.0, 21.0), (4.0, 40.0)))
+      .contains(1.0))
+    assert(rho(Seq((1.0, 40.0), (2.0, 30.0), (3.0, 20.0), (4.0, 10.0)))
+      .contains(-1.0))
+    assert(rho(Seq((5.0, 1.0), (5.0, 2.0), (5.0, 3.0))).isEmpty)
+    // NaN scores fail loudly (engine twins order NaN differently)
+    val err = intercept[Exception] {
+      Classifier.spearman(
+        Seq((Double.NaN, 1.0), (2.0, 2.0)).toDF("x", "y"), "x", "y")
+        .collect()
+    }
+    assert(err.getMessage.contains("non-NaN")
+      || err.getCause != null &&
+        err.getCause.getMessage.contains("non-NaN"), err.getMessage)
+  }
+
+  test("spearman ≡ brute-force average-rank Pearson on tied random data") {
+    val rnd = new scala.util.Random(37)
+    // small value grids force heavy ties on both sides
+    val xs = Seq.fill(200)((rnd.nextInt(8).toDouble, rnd.nextInt(6).toDouble))
+    val (n, got) = Classifier.spearman(xs.toDF("x", "y"), "x", "y")
+      .as[(Long, Option[Double])].head()
+    assert(n == xs.length.toLong)
+    // plain-Scala reference: 2*avgrank integers, BigInt Pearson sums
+    def rank2(vs: Seq[Double]): Map[Double, Long] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.indexOf(v) + 1
+        val hi = sorted.lastIndexOf(v) + 1
+        v -> (lo + hi).toLong // 2 * average 1-based rank
+      }.toMap
+    }
+    val rx = rank2(xs.map(_._1)); val ry = rank2(xs.map(_._2))
+    val pairs = xs.map { case (x, y) => (BigInt(rx(x)), BigInt(ry(y))) }
+    val bn = BigInt(xs.length)
+    val sxy = pairs.map { case (a, b) => a * b }.sum
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val dx = bn * sxx - sx * sx; val dy = bn * syy - sy * sy
+    val want = BigDecimal((bn * sxy - sx * sy).toDouble /
+        (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.contains(want), s"got $got want $want")
+  }
 }

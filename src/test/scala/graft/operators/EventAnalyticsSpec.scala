@@ -493,6 +493,57 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(v == expect(na, ca, nb, cb), s"counts ($na,$ca,$nb,$cb)") }
   }
 
+  test("cusum: window closed form ≡ the sequential Page recurrence") {
+    import org.apache.spark.sql.functions.col
+    // random per-type bucket series; the operator's running-sum minus
+    // running-min closed form must equal the textbook sequential fold
+    // S_i = max(0, S_{i-1} + x_i - k) bucket for bucket
+    val rnd = new scala.util.Random(23)
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val k = 3L; val h = 7L
+    // events: per (type, bucket) a random 0..8 count; bucket gaps too
+    val evs = for {
+      t <- Seq("a", "b")
+      bucket <- 0 until 40 if rnd.nextInt(4) > 0 // ~25% missing buckets
+      n = 1 + rnd.nextInt(8)
+      i <- 0 until n
+    } yield (t, bucket.toLong * hourNs + i) // i spreads inside the hour
+    val got = EventAnalytics.cusumChangepoints(
+        evs.toDF("event_type", "ts"), "ts", "event_type", k, h)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val byType = evs.groupBy(_._1).view.mapValues(
+      _.groupBy(e => e._2 / hourNs).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)).toMap
+    var checked = 0
+    byType.foreach { case (t, series) =>
+      var s = 0L
+      series.foreach { case (bucket, x) =>
+        s = math.max(0L, s + x - k)
+        assert(got((t, bucket)) == ((x, s, s > h)), s"($t, $bucket)")
+        checked += 1
+      }
+    }
+    assert(checked == got.size && checked > 40)
+  }
+
+  test("cusum: a sustained small drift alarms where the spike test can't") {
+    // 20 buckets at exactly k+1 events: no single bucket is anomalous,
+    // but the cumulative drift crosses h at bucket k... the CUSUM point
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val evs = for {
+      b <- 0 until 20
+      i <- 0 until 4 // k = 3 -> each bucket adds +1 to the cusum
+    } yield ("t", b.toLong * hourNs + i)
+    val got = EventAnalytics.cusumChangepoints(
+        evs.toDF("event_type", "ts"), "ts", "event_type", k = 3L, h = 10L)
+      .orderBy("bucket")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    got.zipWithIndex.foreach { case ((_, b, n, c, alarm), i) =>
+      assert(b == i.toLong && n == 4L && c == i + 1L && alarm == (i >= 10))
+    }
+  }
+
   test("multi-touch attribution: hand-computed U-shape credits") {
     import org.apache.spark.sql.functions.lit
     // (event_id, ts, user_id, event_type); lookback = 100 ticks

@@ -355,4 +355,48 @@ class GraphSpec extends AnyFunSuite {
       } else assert(cc.isEmpty, s"cc $node")
     }
   }
+
+  test("assortativity: star is -1, regular graph undefined, dups collapse") {
+    import spark.implicits._
+    // star K1,4: every edge joins deg 4 to deg 1 — perfectly
+    // disassortative, r = -1 exactly; duplicate/reversed/self edges drop
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"),
+      ("a", "h"), ("h", "h")).toDF("src", "dst")
+    val (n1, e1, r1) = Graph.assortativity(star, "src", "dst")
+      .as[(Long, Long, Option[Double])].head()
+    assert(n1 == 5L && e1 == 4L && r1.contains(-1.0))
+    // a cycle is 2-regular: zero degree variance, r undefined -> NULL
+    val cyc = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "1"))
+      .toDF("src", "dst")
+    val (n2, e2, r2) = Graph.assortativity(cyc, "src", "dst")
+      .as[(Long, Long, Option[Double])].head()
+    assert(n2 == 4L && e2 == 4L && r2.isEmpty)
+  }
+
+  test("assortativity equals the brute-force Pearson on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val nodes = (0 until 30).map(_.toString)
+    val edges = Seq.fill(120) {
+      (nodes(rnd.nextInt(nodes.length)), nodes(rnd.nextInt(nodes.length)))
+    }.filter { case (a, b) => a != b }
+    val got = Graph.assortativity(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Option[Double])].head()
+    // plain-Scala reference: symmetric simple graph, ordered-pair Pearson
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = und.map { case (a, b) => (deg(a), deg(b)) }
+    val p = BigInt(xs.size)
+    val sxy = xs.map { case (x, y) => BigInt(x) * y }.sum
+    val sx = xs.map(x => BigInt(x._1)).sum
+    val sxx = xs.map(x => BigInt(x._1) * x._1).sum
+    assert(got._1 == deg.size.toLong && got._2 == und.size / 2)
+    val den = p * sxx - sx * sx
+    if (den == 0) assert(got._3.isEmpty)
+    else {
+      val want = BigDecimal((p * sxy - sx * sx).toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got._3.contains(want), s"got ${got._3} want $want")
+    }
+  }
 }

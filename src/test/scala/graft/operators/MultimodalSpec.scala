@@ -239,4 +239,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(i3.sampleRate == 48000 && i3.firstKbps == 320 &&
       i3.nFrames == 1)
   }
+  test("pngInfo: chunk walk parses built files, rejects corruption") {
+    // construct -> parse round trip on the builder
+    val b = Multimodal.pngChunks(640, 480, 8, 6, nText = 2,
+      withTrns = false, idatBytes = 32)
+    val i = Multimodal.pngInfo(b).get
+    assert(i == Multimodal.PngInfo(640, 480, 8, 6, 5, hasAlpha = true))
+    // tRNS makes a palette image alpha-carrying
+    val t = Multimodal.pngInfo(Multimodal.pngChunks(2, 3, 8, 0,
+      nText = 0, withTrns = true)).get
+    assert(t.width == 2 && t.height == 3 && t.nChunks == 4 && t.hasAlpha)
+    // a REAL encoder's output parses too (ImageIO PNG, IDAT-bearing)
+    val real = Multimodal.grayPng(Array.tabulate(5, 7)((y, x) => y * x))
+    val ri = Multimodal.pngInfo(real).get
+    assert(ri.width == 7 && ri.height == 5 && ri.bitDepth == 8)
+    // one flipped byte inside a chunk body fails its CRC -> None
+    val bad = b.clone(); bad(40) = (bad(40) ^ 0x01).toByte
+    assert(Multimodal.pngInfo(bad).isEmpty)
+    // truncation mid-chunk -> None; missing signature -> None
+    assert(Multimodal.pngInfo(b.take(b.length - 3)).isEmpty)
+    assert(Multimodal.pngInfo("plain text bytes".getBytes("UTF-8")).isEmpty)
+    // a PNG with no IDAT is structurally incomplete -> None
+    val sigOnly = Multimodal.pngChunks(1, 1, 8, 0, idatBytes = 0)
+    assert(Multimodal.pngInfo(sigOnly).isDefined) // zero-length IDAT ok
+  }
+
+  test("pngMeta drops non-PNG payloads and is partitioning-invariant") {
+    val rows = (0L until 40L).map { id =>
+      val bytes =
+        if (id % 5 == 0) s"not a png $id".getBytes("UTF-8")
+        else Multimodal.pngChunks((id + 1).toInt, (2 * id + 1).toInt, 8,
+          if (id % 2 == 0) 2 else 6, nText = (id % 3).toInt)
+      (id, bytes)
+    }
+    def run(parts: Int) = Multimodal.pngMeta(spark,
+        rows.toDF("doc_id", "payload").repartition(parts), "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().sorted.toSeq
+    val got = run(1)
+    assert(got == run(7))
+    assert(got.size == rows.count(_._1 % 5 != 0))
+    got.foreach { case (id, w, h, bd, ct, nc, alpha) =>
+      assert(w == id + 1 && h == 2 * id + 1 && bd == 8L)
+      assert(ct == (if (id % 2 == 0) 2L else 6L))
+      assert(nc == 3L + id % 3)
+      assert(alpha == (id % 2 != 0))
+    }
+  }
 }

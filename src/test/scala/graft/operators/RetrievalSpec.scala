@@ -464,6 +464,46 @@ class RetrievalSpec extends AnyFunSuite {
         e2.getCause.getMessage.contains("self-game"), e2.getMessage)
   }
 
+  test("editSimilarity ≡ a plain-Scala DP Levenshtein on random pairs") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(31)
+    def word() = Seq.fill(rnd.nextInt(12))(('a' + rnd.nextInt(4)).toChar)
+      .mkString // tiny alphabet -> frequent partial overlaps and ties
+    val cases = Seq(("", ""), ("abc", "abc"), ("abc", ""), ("", "xyz"),
+      ("kitten", "sitting")) ++
+      Seq.fill(60)((word(), word()))
+    val got = Retrieval.editSimilarity(
+        cases.zipWithIndex.map { case ((c, r), i) => (i.toLong, c, r) }
+          .toDF("id", "cand", "ref"),
+        "id", "cand", "ref")
+      .as[(Long, Int, Long, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    cases.zipWithIndex.foreach { case ((c, r), i) =>
+      val d = lev(c, r)
+      val ml = math.max(c.length, r.length).toLong
+      val sim = if (ml == 0) 1000000L
+        else (2 * (ml - d) * 1000000L + ml) / (2 * ml)
+      assert(got(i.toLong) == ((d, ml, c == r, sim)), s"pair $i ($c, $r)")
+    }
+    // null candidate fails loudly
+    val err = intercept[Exception] {
+      Retrieval.editSimilarity(
+        Seq((1L, Option.empty[String], "r")).toDF("id", "cand", "ref"),
+        "id", "cand", "ref").collect()
+    }
+    assert(err.getMessage.contains("null candidate")
+      || err.getCause != null &&
+        err.getCause.getMessage.contains("null candidate"), err.getMessage)
+  }
+
   test("bradleyTerry: driver fast path ≡ distributed loop, bit for bit") {
     // Both paths claim the SAME exact lattice (identical floors, exact
     // order-free integer sums, identical IEEE ops) — so ratings must

@@ -320,4 +320,36 @@ class SamplingSpec extends AnyFunSuite {
       || e.getCause != null && e.getCause.getMessage.contains("null group"),
       e.getMessage)
   }
+  test("sqrtMixingWeights: hand-computed dampened shares, null domain raises") {
+    // 100 / 25 / 1 docs: raw shares 794k / 198k / 8k; sqrt-dampened
+    // masses 10 / 5 / 1 -> 625k / 312.5k(->313k? no: half-up on the
+    // lattice) / 62.5k — computed exactly below, not asserted from
+    // prose
+    val docs = ((1 to 100).map(i => (i.toLong, "web")) ++
+      (1 to 25).map(i => (i.toLong, "wiki")) ++
+      Seq((1L, "books"))).toDF("id", "domain")
+    val got = Sampling.sqrtMixingWeights(docs, "domain")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val counts = Map("web" -> 100L, "wiki" -> 25L, "books" -> 1L)
+    val sm = counts.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1e6).toLong).toMap
+    val tn = counts.values.sum; val ts = sm.values.sum
+    counts.foreach { case (dom, n) =>
+      val raw = (2 * n * 1000000L + tn) / (2 * tn)
+      val damp = (2 * sm(dom) * 1000000L + ts) / (2 * ts)
+      assert(got(dom) == ((n, raw, damp)), s"domain $dom")
+    }
+    // sqrt dampening flattens: web loses share, books gains
+    assert(got("web")._3 < got("web")._2)
+    assert(got("books")._3 > got("books")._2)
+    val err = intercept[Exception] {
+      Sampling.sqrtMixingWeights(
+        Seq((1L, Option.empty[String])).toDF("id", "domain"), "domain")
+        .collect()
+    }
+    assert(err.getMessage.contains("null domain")
+      || err.getCause != null &&
+        err.getCause.getMessage.contains("null domain"), err.getMessage)
+  }
 }
