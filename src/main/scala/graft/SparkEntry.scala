@@ -2946,6 +2946,37 @@ FROM c"""
   private def s11SqrtMixing(s: SparkSession, d: String): DataFrame =
     Sampling.sqrtMixingWeights(T(s, d, "documents"), "source")
 
+  /** e17: McNemar's paired-classifier test — two deterministic "models"
+    * over the documents (parity rules offset by different doc_id
+    * moduli, so the discordant cells are asymmetric) against a parity
+    * label; one conditional-count aggregate, exact 625·m² vs 2401·(b+c)
+    * verdict. Full oracle.
+    */
+  private def e17Mcnemar(s: SparkSession, d: String): DataFrame =
+    Classifier.mcnemar(
+      T(s, d, "documents").select(
+        pmod(length(col("text")) + pmod(col("doc_id"), lit(5)), lit(2))
+          .as("pa"),
+        pmod(length(col("text")) + pmod(col("doc_id"), lit(3)), lit(2))
+          .as("pb"),
+        pmod(length(col("text")), lit(2)).as("y")),
+      "pa", "pb", "y")
+
+  /** c18: two-sample KS drift between the even- and odd-id halves of
+    * the corpus, with a planted +3 length shift on the odd side so the
+    * CDF gap is real; exact integer statistic + div/mod-ladder verdict.
+    * Full oracle.
+    */
+  private def c18KsDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    Profiling.ksDrift(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(length(col("text")).as("v")),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select((length(col("text")) + lit(3)).as("v")),
+      "v")
+  }
+
   /** m8: PNG structure metadata — per-doc PNGs BUILT with real chunk
     * framing and true CRC32s (dims/bit depth/color type/chunk inventory
     * all closed-form in doc_id; every 11th doc non-PNG text bytes) and
@@ -3466,7 +3497,9 @@ FROM c"""
     "e15_edit_similarity" -> (e15EditSimilarity _),
     "e16_spearman" -> (e16Spearman _),
     "s11_sqrt_mixing" -> (s11SqrtMixing _),
-    "m8_png_meta" -> (m8PngMeta _))
+    "m8_png_meta" -> (m8PngMeta _),
+    "e17_mcnemar" -> (e17Mcnemar _),
+    "c18_ks_drift" -> (c18KsDrift _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7886,6 +7919,66 @@ FROM c"""
         |  (2 * n_docs * 1000000 + tn) // (2 * tn) AS share_raw_e6,
         |  (2 * sm * 1000000 + ts) // (2 * ts) AS share_sqrt_e6
         |FROM s, t""".stripMargin,
+    // e17 twin: identical discordant-cell casework and the exact
+    // 625·m² vs 2401·(b+c) rational-χ² comparison in HUGEINT
+    "e17_mcnemar" ->
+      """WITH t AS (SELECT
+        |    (length(text) + doc_id % 5) % 2 = length(text) % 2 AS ra,
+        |    (length(text) + doc_id % 3) % 2 = length(text) % 2 AS rb
+        |  FROM documents),
+        |s AS (SELECT count(*)::BIGINT AS n_items,
+        |    sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_both_right,
+        |    sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_a_only,
+        |    sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_b_only,
+        |    sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_both_wrong
+        |  FROM t)
+        |SELECT n_items, n_both_right, n_a_only, n_b_only, n_both_wrong,
+        |  CASE WHEN n_a_only + n_b_only = 0 THEN 'undefined'
+        |    WHEN 625::HUGEINT
+        |        * greatest(abs(n_a_only - n_b_only) - 1, 0)::HUGEINT
+        |        * greatest(abs(n_a_only - n_b_only) - 1, 0)::HUGEINT
+        |      > 2401::HUGEINT * (n_a_only + n_b_only)::HUGEINT
+        |      THEN 'different'
+        |    ELSE 'not_different' END AS verdict
+        |FROM s""".stripMargin,
+    // c18 twin: identical CDF grid, exact HUGEINT D numerator, and the
+    // same div/mod ladder for the 1.358²-through verdict
+    "c18_ks_drift" ->
+      """WITH av AS (SELECT length(text)::DOUBLE AS v FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |bv AS (SELECT (length(text) + 3)::DOUBLE AS v FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |ga AS (SELECT v, count(*)::BIGINT AS ca FROM av GROUP BY 1),
+        |gb AS (SELECT v, count(*)::BIGINT AS cb FROM bv GROUP BY 1),
+        |g AS (SELECT coalesce(ga.v, gb.v) AS v, coalesce(ca, 0) AS ca,
+        |    coalesce(cb, 0) AS cb
+        |  FROM ga FULL JOIN gb ON ga.v = gb.v),
+        |c AS (SELECT v, sum(ca) OVER win AS cum_a,
+        |    sum(cb) OVER win AS cum_b
+        |  FROM g WINDOW win AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT sum(ca)::HUGEINT AS n_a, sum(cb)::HUGEINT AS n_b
+        |  FROM g),
+        |s AS (SELECT n_a, n_b,
+        |    max(abs(cum_a::HUGEINT * n_b - cum_b::HUGEINT * n_a)) AS dn
+        |  FROM c, t GROUP BY 1, 2)
+        |SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    ((2 * dn * 1000000 + n_a * n_b) // (2 * n_a * n_b))::BIGINT
+        |    END AS ks_e6,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN 'undefined'
+        |    WHEN 1000000::HUGEINT * ((dn * dn) // (n_a * n_b))
+        |        + (1000000 * ((dn * dn) % (n_a * n_b))) // (n_a * n_b)
+        |      > 1844164::HUGEINT * (n_a + n_b)
+        |      OR (1000000::HUGEINT * ((dn * dn) // (n_a * n_b))
+        |        + (1000000 * ((dn * dn) % (n_a * n_b))) // (n_a * n_b)
+        |      = 1844164::HUGEINT * (n_a + n_b)
+        |      AND (1000000 * ((dn * dn) % (n_a * n_b))) % (n_a * n_b) > 0)
+        |    THEN 'drifted' ELSE 'stable' END AS verdict
+        |FROM s""".stripMargin,
     // m8 twin: the construct side is closed-form in doc_id, so the
     // oracle re-derives the expected parse without touching bytes (the
     // m7 discipline)

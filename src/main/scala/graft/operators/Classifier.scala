@@ -439,6 +439,60 @@ object Classifier {
     *
     * Output: one row (n_items, n_agree, pe_num, kappa).
     */
+  /** McNemar's test on paired classifier predictions — "is model B
+    * actually better than model A on the SAME items", the paired
+    * complement to [[precisionRecall]]'s marginal rates: only the
+    * discordant pairs (one model right, the other wrong) carry signal,
+    * so two models can differ by thousands of marginal errors and still
+    * not be significantly different if they err on the same items.
+    *
+    * The continuity-corrected statistic (|b − c| − 1)² / (b + c) > χ²₀.₀₅
+    * reads out as the EXACT integer comparison 625·m² > 2401·(b + c)
+    * with m = max(|b − c| − 1, 0) — χ²₀.₀₅ = 1.96² = 2401/625 is exactly
+    * rational, so unlike the z-family there is no 10⁶ scale factor and
+    * no ladder: two decimal(38,0) products, exact to ~10¹⁷ items. The
+    * verdict is the three-valued STRING of [[graft.operators.EventAnalytics.abSignificance]]
+    * ('different' / 'not_different' / 'undefined' when b + c = 0: no
+    * discordant pairs, the test has no information). Null predictions
+    * or labels raise.
+    *
+    * Scale: ONE map-side-combined conditional-count aggregate over the
+    * pair table — no join, no shuffle beyond the one-row fold.
+    * Output: (n_items, n_both_right, n_a_only, n_b_only, n_both_wrong,
+    * verdict).
+    */
+  def mcnemar(
+      preds: DataFrame, aCol: String, bCol: String,
+      labelCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def checked(c: String, what: String) =
+      when(col(c).isNull, raise_error(lit(s"mcnemar: null $what")))
+        .otherwise(col(c).cast("string"))
+    val t = preds.select(
+      (checked(aCol, "prediction (a)") === checked(labelCol, "label"))
+        .as("ra"),
+      (checked(bCol, "prediction (b)") === checked(labelCol, "label"))
+        .as("rb"))
+    val s = t.agg(
+      count(lit(1)).as("n_items"),
+      sum(when(col("ra") && col("rb"), 1L).otherwise(0L))
+        .as("n_both_right"),
+      sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n_a_only"),
+      sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n_b_only"),
+      sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L))
+        .as("n_both_wrong"))
+    val disc = col("n_a_only") + col("n_b_only")
+    val m = greatest(abs(col("n_a_only") - col("n_b_only")) - lit(1L),
+      lit(0L))
+    s.select(col("n_items"), col("n_both_right"), col("n_a_only"),
+      col("n_b_only"), col("n_both_wrong"),
+      when(disc > 0,
+        when(lit(625).cast(d38) * m.cast(d38) * m.cast(d38) >
+          lit(2401).cast(d38) * disc.cast(d38),
+          lit("different")).otherwise(lit("not_different")))
+        .otherwise(lit("undefined")).as("verdict"))
+  }
+
   /** Spearman rank correlation between two score columns — the
     * monotonic-agreement check of eval pipelines (does the reward model
     * RANK like the human raters, ignoring scale), next to [[cohenKappa]]

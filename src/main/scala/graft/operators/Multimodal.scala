@@ -462,7 +462,11 @@ object Multimodal {
     * or the image is smaller than the 9×8 grid.
     */
   private[operators] def dHash64(bytes: Array[Byte]): Option[Long] =
-    poolGray(bytes, 9, 8).map { g =>
+    decodeImage(bytes).flatMap(dHashFromImg)
+
+  private[operators] def dHashFromImg(
+      img: java.awt.image.BufferedImage): Option[Long] =
+    poolGrayImg(img, 9, 8).map { g =>
       var bits = 0L
       var i = 0
       var y = 0
@@ -629,6 +633,42 @@ object Multimodal {
       .toDF("id", "w", "h", "thumb", "avg_lum")
   }
 
+  /** Fused single-decode image featurizer: ONE codec decode per payload
+    * feeds BOTH the 9×8 dHash grid and the tw×th thumbnail pooling —
+    * the decode is the dominant cost of [[imageDHashes]] and
+    * [[imageThumbnails]] run separately, so a pipeline that wants both
+    * (near-dup index + preview assets, the common corpus-build pair)
+    * should take this path and pay it once. Emits a row only when the
+    * image satisfies BOTH grids (≥ 9×8 and ≥ tw×th); the per-feature
+    * operators remain the right call when only one is wanted.
+    * Spec-pinned ≡ `imageDHashes ⋈ imageThumbnails` on decodable
+    * payloads. Same shuffle-free per-partition batch shape as
+    * [[extractMeta]].
+    *
+    * Output: (id, dhash, w, h, thumb, avg_lum).
+    */
+  def imageFeatures(
+      spark: SparkSession, df: DataFrame, idCol: String,
+      tw: Int = 8, th: Int = 8): DataFrame = {
+    require(tw > 0 && th > 0, "thumbnail dims must be positive")
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        for {
+          img <- decodeImage(bytes)
+          d <- dHashFromImg(img)
+          g <- poolGrayImg(img, tw, th)
+        } yield {
+          val lum = g.flatten
+          (id, d, tw, th, grayPng(g),
+            math.rint(lum.sum.toDouble / lum.length * 100) / 100)
+        }
+      }
+      .toDF("id", "dhash", "w", "h", "thumb", "avg_lum")
+  }
+
   /** md5 of the decoded pixel grid of an image payload (rows joined with
     * ';', pixels with ',') — a codec-independent identity for a lossless
     * round trip: any engine that knows the expected pixels can recompute
@@ -648,12 +688,26 @@ object Multimodal {
     * [[dHash64]] grid.
     */
   private[operators] def poolGray(
-      bytes: Array[Byte], gw: Int, gh: Int): Option[Array[Array[Int]]] = {
+      bytes: Array[Byte], gw: Int, gh: Int): Option[Array[Array[Int]]] =
+    decodeImage(bytes).flatMap(poolGrayImg(_, gw, gh))
+
+  /** One codec decode, shared by every pooled read of the same payload
+    * ([[imageFeatures]] pools the SAME decoded frame twice).
+    */
+  private[operators] def decodeImage(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (!looksLikeImage(bytes)) return None
     try {
       javax.imageio.ImageIO.setUseCache(false)
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) return None
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+    } catch { case _: Exception => None }
+  }
+
+  private[operators] def poolGrayImg(
+      img: java.awt.image.BufferedImage, gw: Int,
+      gh: Int): Option[Array[Array[Int]]] = {
+    try {
       val w = img.getWidth; val h = img.getHeight
       if (w < gw || h < gh) return None
       val sums = Array.ofDim[Double](gh, gw)

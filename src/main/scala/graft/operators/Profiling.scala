@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types.{DecimalType, NumericType}
 
 /** Data profiling: the pre-flight audit every ingest runs before a
   * corpus enters the pipeline — per-column cardinalities, null rates
@@ -123,6 +124,79 @@ object Profiling {
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
         round((pA - pB) * log(pA / pB), 6).as("psi"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift between two corpus versions —
+    * the binning-free complement to [[distributionDrift]]: PSI needs a
+    * bounded range and a bin width chosen in advance; KS is the max
+    * CDF gap over the OBSERVED values, so a shift anywhere in the
+    * distribution registers without tuning.
+    *
+    * Exact end-to-end (the abSignificance discipline): with cumulative
+    * counts c_a, c_b at each distinct value and totals n_a, n_b, the
+    * statistic's numerator D_num = max |c_a·n_b − c_b·n_a| is an exact
+    * decimal(38,0) integer (D = D_num / (n_a·n_b)); the α = 0.05 verdict
+    * compares D against c(.05)·√((n_a+n_b)/(n_a·n_b)) with
+    * c(.05) = 1.358 squared through to the EXACT integer test
+    * 10⁶·D_num² > 1844164·(n_a+n_b)·n_a·n_b, carried as the
+    * abSignificance div/mod ladder (D_num² = q·K + r with K = n_a·n_b,
+    * then 10⁶·r = q'·K + r': test 10⁶·q + q' vs 1844164·(n_a+n_b), r'
+    * breaks ties) so no intermediate exceeds D_num² ≤ K² — 37 digits at
+    * 10⁹ rows per side, enforced loudly. No sqrt, no float, no engine
+    * can flip it. Null/NaN values raise (engines order them
+    * differently — the aucBinary discipline).
+    *
+    * Scale: one count aggregate per side keyed on distinct values, a
+    * full-outer value-grid join, cumulative sums over the VALUE GRID
+    * (bounded by distinct values, not rows — the aucBinary
+    * single-partition-window envelope), one max fold. Output: one row
+    * (n_a, n_b, ks_e6, verdict).
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def clean(df: DataFrame, side: String): DataFrame = {
+      val v = col(valueCol).cast("double")
+      df.select(
+        when(v.isNull || isnan(v),
+          raise_error(lit(s"ksDrift: null/NaN value in $side")))
+          .otherwise(v).as("__v"))
+        .groupBy("__v").agg(count(lit(1)).as(s"cnt_$side"))
+    }
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = clean(a, "a").join(clean(b, "b"), Seq("__v"), "full")
+      .select(col("__v"),
+        coalesce(col("cnt_a"), lit(0L)).as("ca"),
+        coalesce(col("cnt_b"), lit(0L)).as("cb"))
+      .withColumn("cum_a", sum("ca").over(w))
+      .withColumn("cum_b", sum("cb").over(w))
+    val tot = grid.agg(
+      coalesce(sum("ca"), lit(0L)).as("n_a"),
+      coalesce(sum("cb"), lit(0L)).as("n_b"))
+    val s = grid.crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cum_a").cast(d38) * col("n_b").cast(d38) -
+          col("cum_b").cast(d38) * col("n_a").cast(d38))).as("dnum"))
+    s.withColumn("n_a",
+        when(col("n_a") > 1000000000L || col("n_b") > 1000000000L,
+          raise_error(lit("ksDrift: beyond the 1e9-row decimal(38) " +
+            "exactness envelope"))).otherwise(col("n_a")))
+      .withColumn("__k", col("n_a").cast(d38) * col("n_b").cast(d38))
+      .withColumn("__d2", col("dnum") * col("dnum"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("(2 * dnum * 1000000 + __k) div (2 * __k)")).as("ks_e6"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          when(
+            lit(1000000).cast(d38) * expr("__d2 div __k").cast(d38) +
+              expr("(1000000 * (__d2 % __k)) div __k").cast(d38) >
+              lit(1844164).cast(d38) * (col("n_a") + col("n_b")).cast(d38)
+            || (lit(1000000).cast(d38) * expr("__d2 div __k").cast(d38) +
+              expr("(1000000 * (__d2 % __k)) div __k").cast(d38) ===
+              lit(1844164).cast(d38) * (col("n_a") + col("n_b")).cast(d38)
+              && expr("(1000000 * (__d2 % __k)) % __k") > 0),
+            lit("drifted")).otherwise(lit("stable")))
+          .otherwise(lit("undefined")).as("verdict"))
   }
 
   /** Release gate — the one-row "datasheet" a corpus release pipeline

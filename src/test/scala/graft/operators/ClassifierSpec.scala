@@ -394,4 +394,57 @@ class ClassifierSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.contains(want), s"got $got want $want")
   }
+  test("mcnemar: textbook discordant cells, undefined, null raise") {
+    def verdict(rows: Seq[(Long, Long, Long)]): (Long, Long, Long, String) = {
+      val r = Classifier.mcnemar(
+        rows.toDF("pa", "pb", "y"), "pa", "pb", "y")
+        .as[(Long, Long, Long, Long, Long, String)].head()
+      (r._3, r._4, r._1, r._6)
+    }
+    // b = 15 a-only, c = 5 b-only: chi2 = (10-1)^2/20 = 4.05 > 3.8416
+    val d1 = Seq.fill(15)((1L, 0L, 1L)) ++ Seq.fill(5)((0L, 1L, 1L)) ++
+      Seq.fill(10)((1L, 1L, 1L))
+    assert(verdict(d1) == ((15L, 5L, 30L, "different")))
+    // b = 14, c = 6: chi2 = 49/20 = 2.45 — not significant
+    val d2 = Seq.fill(14)((1L, 0L, 1L)) ++ Seq.fill(6)((0L, 1L, 1L))
+    assert(verdict(d2)._4 == "not_different")
+    // no discordant pairs: the test has no information
+    assert(verdict(Seq((1L, 1L, 1L), (0L, 0L, 1L)))._4 == "undefined")
+    // exact boundary: 625 m^2 == 2401 (b+c) is NOT strict-greater ->
+    // not_different (chi2 == threshold exactly cannot happen on
+    // integers since 2401(b+c) = 625 m^2 requires 625 | (b+c)·2401...
+    // use b=50,c=1: m=48, 625·2304=1440000 vs 2401·51=122451 different)
+    val d4 = Seq.fill(50)((1L, 0L, 1L)) ++ Seq.fill(1)((0L, 1L, 1L))
+    assert(verdict(d4)._4 == "different")
+    val err = intercept[Exception] {
+      Classifier.mcnemar(
+        Seq((Option.empty[String], Some("x"), Some("x")))
+          .toDF("pa", "pb", "y"), "pa", "pb", "y").collect()
+    }
+    assert(err.getMessage.contains("null prediction")
+      || err.getCause != null &&
+        err.getCause.getMessage.contains("null prediction"), err.getMessage)
+  }
+
+  test("mcnemar ≡ plain-Scala chi-square casework on random pairs") {
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(300)(
+      (rnd.nextInt(2).toLong, rnd.nextInt(2).toLong, rnd.nextInt(2).toLong))
+    val got = Classifier.mcnemar(
+        rows.toDF("pa", "pb", "y"), "pa", "pb", "y")
+      .as[(Long, Long, Long, Long, Long, String)].head()
+    val ra = rows.map(r => r._1 == r._3); val rb = rows.map(r => r._2 == r._3)
+    val b = ra.zip(rb).count { case (x, y) => x && !y }.toLong
+    val c = ra.zip(rb).count { case (x, y) => !x && y }.toLong
+    assert(got._1 == rows.size.toLong && got._3 == b && got._4 == c)
+    assert(got._2 == ra.zip(rb).count(p => p._1 && p._2).toLong)
+    val want =
+      if (b + c == 0) "undefined"
+      else {
+        val m = math.max(math.abs(b - c) - 1, 0L)
+        if (BigInt(625) * m * m > BigInt(2401) * (b + c)) "different"
+        else "not_different"
+      }
+    assert(got._6 == want)
+  }
 }

@@ -286,4 +286,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(alpha == (id % 2 != 0))
     }
   }
+  test("imageFeatures: one decode ≡ imageDHashes ⋈ imageThumbnails") {
+    import org.apache.spark.sql.functions.col
+    val imgs = (0L until 30L).map { id =>
+      val g = Array.tabulate(16, 18)((y, x) =>
+        (20 + (id * 7 + y * 3 + x) % 200).toInt)
+      (id, Multimodal.grayPng(g))
+    } :+ ((99L, "junk bytes, not an image".getBytes("UTF-8")))
+    val df = imgs.toDF("doc_id", "payload")
+    val fused = Multimodal.imageFeatures(spark, df, "doc_id", tw = 6, th = 6)
+      .as[(Long, Long, Int, Int, Array[Byte], Double)].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5.toSeq, r._6)).toSet
+    val sep = Multimodal.imageDHashes(spark, df, "doc_id")
+      .join(Multimodal.imageThumbnails(spark, df, "doc_id", tw = 6, th = 6),
+        "id")
+      .select(col("id"), col("dhash"), col("w"), col("h"), col("thumb"),
+        col("avg_lum"))
+      .as[(Long, Long, Int, Int, Array[Byte], Double)].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5.toSeq, r._6)).toSet
+    assert(fused == sep)
+    assert(fused.size == 30) // the junk payload dropped from both paths
+  }
 }

@@ -188,4 +188,45 @@ class ProfilingSpec extends AnyFunSuite {
       || err.getCause != null &&
         err.getCause.getMessage.contains("null text"), err.getMessage)
   }
+  test("ksDrift: identical sets stable at 0, disjoint sets drift at 1e6") {
+    def run(a: Seq[Double], b: Seq[Double]) = Profiling.ksDrift(
+        a.toDF("v"), b.toDF("v"), "v")
+      .as[(Long, Long, Option[Long], String)].head()
+    val xs = (1 to 20).map(_.toDouble)
+    assert(run(xs, xs) == ((20L, 20L, Some(0L), "stable")))
+    // disjoint supports: D = 1 exactly; critical value 1.358*sqrt(2/20)
+    // = 0.43 < 1 -> drifted
+    assert(run((1 to 20).map(_.toDouble), (21 to 40).map(_.toDouble)) ==
+      ((20L, 20L, Some(1000000L), "drifted")))
+    // one empty side: no defined statistic
+    assert(run(xs, Seq.empty[Double])._4 == "undefined")
+    // NaN values raise (engines order NaN differently)
+    val err = intercept[Exception] {
+      Profiling.ksDrift(Seq(1.0, Double.NaN).toDF("v"),
+        Seq(1.0).toDF("v"), "v").collect()
+    }
+    assert(err.getMessage.contains("null/NaN")
+      || err.getCause != null &&
+        err.getCause.getMessage.contains("null/NaN"), err.getMessage)
+  }
+
+  test("ksDrift ≡ brute-force exact-fraction KS on random integer data") {
+    val rnd = new scala.util.Random(43)
+    val a = Seq.fill(150)(rnd.nextInt(30).toDouble)
+    val b = Seq.fill(90)((rnd.nextInt(30) + rnd.nextInt(4)).toDouble)
+    val (na, nb, ks, verdict) = Profiling.ksDrift(
+        a.toDF("v"), b.toDF("v"), "v")
+      .as[(Long, Long, Option[Long], String)].head()
+    assert(na == a.size.toLong && nb == b.size.toLong)
+    // exact-fraction reference: D_num = max |cumA*nB - cumB*nA|
+    val grid = (a ++ b).distinct.sorted
+    val dnum = grid.map { v =>
+      (BigInt(a.count(_ <= v)) * b.size - BigInt(b.count(_ <= v)) * a.size).abs
+    }.max
+    val k = BigInt(a.size) * b.size
+    assert(ks.contains(((2 * dnum * 1000000 + k) / (2 * k)).toLong))
+    val lhs = BigInt(1000000) * dnum * dnum
+    val rhs = BigInt(1844164) * (a.size + b.size) * k
+    assert(verdict == (if (lhs > rhs) "drifted" else "stable"))
+  }
 }
