@@ -529,6 +529,79 @@ object ScaleProbe {
         graft.operators.Retrieval.bleu(p, "pair_id", "cand", "ref")
           .count()
       },
+      // round-9 additions
+      "e15_edit_sim" -> { d =>
+        graft.operators.Retrieval.editSimilarity(
+          evalGrid(d), "pair_id", "cand", "ref").count()
+      },
+      "e16_spearman" -> { d =>
+        Classifier.spearman(
+          d.select(length(col("text")).cast("double").as("x"),
+            (length(col("text")) + pmod(col("doc_id"), lit(7)) - lit(3))
+              .cast("double").as("y")),
+          "x", "y").count()
+      },
+      "e17_mcnemar" -> { d =>
+        Classifier.mcnemar(
+          d.select(
+            pmod(length(col("text")) + pmod(col("doc_id"), lit(5)), lit(2))
+              .as("pa"),
+            pmod(length(col("text")) + pmod(col("doc_id"), lit(3)), lit(2))
+              .as("pb"),
+            pmod(length(col("text")), lit(2)).as("y")),
+          "pa", "pb", "y").count()
+      },
+      "c18_ks_drift" -> { d =>
+        graft.operators.Profiling.ksDrift(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .select(length(col("text")).as("v")),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1)
+            .select((length(col("text")) + lit(3)).as("v")),
+          "v").count()
+      },
+      "s11_sqrt_mixing" -> { d =>
+        // domains scale with n (the d17 group-count knob discipline)
+        graft.operators.Sampling.sqrtMixingWeights(
+          d.select(pmod(col("doc_id"), lit(math.max(probeN / 100, 10L)))
+            .cast("string").as("domain")),
+          "domain").count()
+      },
+      "w20_cusum" -> { d =>
+        EventAnalytics.cusumChangepoints(
+          synthEvents(d, probeN), "ts", "event_type", k = 30L, h = 100L)
+          .count()
+      },
+      // the g5 chain+chord graph: edges 2n, degrees bounded — one
+      // degree aggregate + two node joins + a global fold, all ∝ n
+      "g7_assortativity" -> { d =>
+        val ids = d.select(col("doc_id"))
+        val hop = ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 1).as("dst"))
+          .unionByName(ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 2).as("dst")))
+          .join(ids.select(col("doc_id").as("dst")), Seq("dst"),
+            "left_semi")
+        Graph.assortativity(hop, "src", "dst").count()
+      },
+      "m8_png_meta" -> { d =>
+        val spark2 = d.sparkSession
+        import spark2.implicits._
+        val payloads = d.select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val bytes =
+              if (id % 11 == 0) text.getBytes("UTF-8")
+              else graft.operators.Multimodal.pngChunks(
+                width = 1 + (id % 640).toInt,
+                height = 1 + (id % 480).toInt,
+                bitDepth = 8, colorType = Array(0, 2, 4, 6)((id % 4).toInt),
+                nText = (id % 5).toInt, withTrns = id % 7 == 0,
+                idatBytes = (id % 64).toInt)
+            (id, bytes)
+          }.toDF("doc_id", "payload")
+        graft.operators.Multimodal.pngMeta(spark2, payloads, "doc_id")
+          .count()
+      },
       "e12_rouge" -> { d =>
         val p = evalGrid(d)
         graft.operators.Retrieval.rougeN(p, "pair_id", "cand", "ref")
@@ -634,6 +707,21 @@ object ScaleProbe {
           "chrom", "s", "e", "chrom", "s", "e").count()
       })
 
+    // the m2/m4 synthetic image corpus (one 16×18 PNG per embedding)
+    def probeImages(e: DataFrame): DataFrame = {
+      val s2 = e.sparkSession
+      import s2.implicits._
+      e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, emb) =>
+          val grid = Array.tabulate(16, 18) { (y, x) =>
+            val v = emb((y * 18 + x) % emb.length)
+            20 + (math.abs(v * 1000).toInt % 210)
+          }
+          (id, graft.operators.Multimodal.grayPng(grid))
+        }.toDF("vec_id", "payload")
+    }
+
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "v1_cosine_topk" -> (e => Similarity.cosineTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
@@ -718,7 +806,20 @@ object ScaleProbe {
       "v9_pca_project" -> { e =>
         val m = Pca.train(e, "vec_id", "embedding", k = 4)
         Pca.project(e, "vec_id", "embedding", m).count()
-      })
+      },
+      // fused single-decode featurizer vs running both per-feature ops:
+      // the delta is exactly one PNG decode per image
+      "m24_two_pass" -> { e =>
+        val imgs = probeImages(e)
+        graft.operators.Multimodal.imageDHashes(spark, imgs, "vec_id")
+          .count() +
+          graft.operators.Multimodal
+            .imageThumbnails(spark, imgs, "vec_id", tw = 6, th = 6).count()
+      },
+      "m24_fused" -> (e =>
+        graft.operators.Multimodal
+          .imageFeatures(spark, probeImages(e), "vec_id", tw = 6, th = 6)
+          .count()))
 
     val scales = Iterator.iterate(maxDocs / 16)(_ * 4)
       .takeWhile(_ <= maxDocs).toSeq
