@@ -480,6 +480,68 @@ object StatefulOps {
       }
   }
 
+  case class CusumState(s: Long, open_bucket: Long, open_count: Long)
+  case class CusumRow(
+      event_type: String, bucket: Long, n_events: Long, cusum: Long,
+      alarm: Boolean)
+
+  /** One micro-batch of CUSUM advancement — the streaming twin of
+    * [[graft.operators.EventAnalytics.cusumChangepoints]]. Where the
+    * batch operator computes Page's recurrence as running-sum −
+    * running-min over all buckets, the stream IS the recurrence:
+    * state per type is ONE (S, open bucket, open count) row, and each
+    * bucket finalizes with S ← max(0, S + x − k) the moment a newer
+    * bucket appears ([[advanceRate]]'s finalization contract — buckets
+    * older than the open one are late beyond the horizon and drop, the
+    * open bucket stays pending).
+    */
+  private[streaming] def advanceCusum(
+      etype: String, hits: Seq[Long], prior: Option[CusumState],
+      k: Long, h: Long): (Seq[CusumRow], CusumState) = {
+    val floorB = prior.map(_.open_bucket).getOrElse(Long.MinValue)
+    val merged = scala.collection.mutable.Map.empty[Long, Long]
+    prior.filter(_.open_bucket != Long.MinValue)
+      .foreach(p => merged(p.open_bucket) = p.open_count)
+    hits.foreach { b =>
+      if (b >= floorB) merged(b) = merged.getOrElse(b, 0L) + 1L
+    }
+    if (merged.isEmpty)
+      return (Nil, prior.getOrElse(CusumState(0L, Long.MinValue, 0L)))
+    val maxB = merged.keys.max
+    var s = prior.map(_.s).getOrElse(0L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[CusumRow]
+    for (b <- merged.keys.toSeq.sorted if b < maxB) {
+      val c = merged(b)
+      s = math.max(0L, s + c - k)
+      out += CusumRow(etype, b, c, s, s > h)
+    }
+    (out.toSeq, CusumState(s, maxB, merged(maxB)))
+  }
+
+  /** Streaming CUSUM changepoints (Append mode): emits each bucket's
+    * cumulative-drift verdict the micro-batch a NEWER bucket first
+    * appears for its type; fed buckets in event order, the emitted rows
+    * equal the batch w20 operator minus each type's still-open max
+    * bucket — pinned by the stream≡batch spec. State per key: ONE
+    * fixed-size row — O(types), never O(events); no timeout registered,
+    * so idle streams run no state-scan micro-batches.
+    */
+  def cusumStream(
+      spark: SparkSession, ds: Dataset[BucketEv],
+      k: Long, h: Long): Dataset[CusumRow] = {
+    require(k >= 0 && h > 0, "need k >= 0 and h > 0")
+    import spark.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (et: String, evs: Iterator[BucketEv], state: GroupState[CusumState]) =>
+          val (rows, st) = advanceCusum(
+            et, evs.map(_.bucket).toIndexedSeq, state.getOption, k, h)
+          state.update(st)
+          rows.iterator
+      }
+  }
+
   /** Streaming sessionizer: closes a session when the processing-time
     * timeout fires after `gapUs` of silence for the key.
     *

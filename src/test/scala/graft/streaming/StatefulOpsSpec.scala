@@ -287,6 +287,61 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("advanceCusum: recurrence, late drop, multi-bucket finalize order") {
+    // batch 1: buckets 1,1,2 with k=1,h=2 -> bucket 1 finalizes when 2
+    // appears: S = max(0, 0 + 2 - 1) = 1
+    val (r1, s1) = StatefulOps.advanceCusum("a", Seq(1L, 1L, 2L), None,
+      k = 1L, h = 2L)
+    assert(r1 == Seq(CusumRow("a", 1L, 2L, 1L, false)))
+    assert(s1 == CusumState(1L, 2L, 1L))
+    // batch 2: a late bucket (< open) drops; bucket 5 finalizes 2:
+    // S = max(0, 1 + 1 - 1) = 1
+    val (r2, s2) = StatefulOps.advanceCusum("a", Seq(0L, 5L), Some(s1),
+      k = 1L, h = 2L)
+    assert(r2 == Seq(CusumRow("a", 2L, 1L, 1L, false)))
+    assert(s2 == CusumState(1L, 5L, 1L))
+    // drift accumulation crosses h and alarms; S floors at 0, not below
+    val (r3, _) = StatefulOps.advanceCusum("b",
+      Seq(1L, 1L, 1L, 2L, 2L, 2L, 3L, 3L, 3L, 4L), None, k = 1L, h = 4L)
+    assert(r3.map(r => (r.bucket, r.cusum, r.alarm)) ==
+      Seq((1L, 2L, false), (2L, 4L, false), (3L, 6L, true)))
+    val (r4, _) = StatefulOps.advanceCusum("c", Seq(1L, 9L), None,
+      k = 100L, h = 5L)
+    assert(r4 == Seq(CusumRow("c", 1L, 1L, 0L, false))) // floored at 0
+  }
+
+  test("streamed CUSUM equals batch w20 minus each open bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 3600000000").as("bucket"))
+      .as[BucketEv].collect().sortBy(_.bucket)
+    val mem = MemoryStream[BucketEv]
+    val q = cusumStream(spark, mem.toDS(), k = 30L, h = 100L)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("cusum_stream")
+        .as[CusumRow].collect()
+        .map(r => (r.event_type, r.bucket) ->
+          ((r.n_events, r.cusum, r.alarm))).toMap
+      val batchAll = graft.SparkEntry
+        .queries("w20_cusum")(spark, TestSpark.Sf0001)
+        .as[(String, Long, Long, Long, Boolean)].collect()
+      val openOf = batchAll.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.map(_._2).max
+      }
+      val batch = batchAll.filter(r => r._2 < openOf(r._1))
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("typed batch sessionizer agrees with the w4 SQL sessionization") {
     import spark.implicits._
     val ev = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
