@@ -64,9 +64,10 @@ object Graph {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String] = None, iterations: Int = 10,
-      damping: Double = 0.85, grid: Int = 12): DataFrame =
+      damping: Double = 0.85, grid: Int = 12,
+      driverCapRows: Int = 1 << 20): DataFrame =
     propagate(edges, srcCol, dstCol, weightCol, None, iterations, damping,
-      grid, op = "pageRank")
+      grid, op = "pageRank", driverCapRows = driverCapRows)
 
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
     * with the teleport restricted to a trusted seed set — rank flows
@@ -84,17 +85,43 @@ object Graph {
   def trustRank(
       edges: DataFrame, seeds: DataFrame, srcCol: String, dstCol: String,
       seedCol: String, weightCol: Option[String] = None,
-      iterations: Int = 10, damping: Double = 0.85, grid: Int = 12)
-      : DataFrame =
+      iterations: Int = 10, damping: Double = 0.85, grid: Int = 12,
+      driverCapRows: Int = 1 << 20): DataFrame =
     propagate(edges, srcCol, dstCol, weightCol,
       Some(seeds.select(col(seedCol).cast("string").as("node"))),
-      iterations, damping, grid, op = "trustRank")
+      iterations, damping, grid, op = "trustRank",
+      driverCapRows = driverCapRows)
+
+  /** UTF8String binary order (unsigned byte-wise) — what Spark's string
+    * comparisons use; the driver fast paths must tie-break identically.
+    */
+  private def utf8Less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i) & 0xFF; val y = b(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Edge cap under which the fixed-round loops run driver-side — the
+    * [[graft.operators.Dedup.resolveClusters]] / bradleyTerry
+    * discipline: the per-round state is node-sized and the arithmetic
+    * an exact lattice, so a sub-cap graph iterates as plain Scala
+    * (zero Spark jobs per round instead of 2-4) with bit-identical
+    * results, spec-pinned against the distributed loop. Tests override
+    * via the operators' `driverCapRows` parameter (0 disables).
+    */
+  private val DefaultDriverCap = 1 << 20
 
   private def propagate(
       edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String], seeds: Option[DataFrame],
       iterations: Int, damping: Double, grid: Int,
-      op: String = "pageRank"): DataFrame = {
+      op: String = "pageRank", driverCapRows: Int = DefaultDriverCap)
+      : DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100] (got $iterations)")
     require(damping > 0.0 && damping < 1.0,
@@ -154,6 +181,50 @@ object Graph {
       else "teleport set is empty (no seed appears in the graph)")
     val scale = math.pow(10.0, grid) // exact: 10^grid < 2^53 for grid <= 15
     val baseS = (1.0 - damping) / n * scale
+    // Driver fast path: sub-cap edge lists iterate as plain Scala on
+    // the SAME lattice (identical IEEE multiply/divide/floor order,
+    // exact long contribution sums) — bit-identical to the distributed
+    // loop below, spec-pinned.
+    val eRows =
+      if (driverCapRows > 0) e.take(driverCapRows + 1)
+      else Array.empty[org.apache.spark.sql.Row]
+    if (driverCapRows > 0 && eRows.length <= driverCapRows) {
+      val nodeRows = nodes.collect()
+      val names = nodeRows.map(_.getString(0))
+      val tele = nodeRows.map(_.getBoolean(1))
+      val idx = names.zipWithIndex.toMap
+      val m = eRows.length
+      val es = new Array[Int](m); val ed = new Array[Int](m)
+      val ew = new Array[Long](m); val eo = new Array[Long](m)
+      var x = 0
+      while (x < m) {
+        es(x) = idx(eRows(x).getString(0))
+        ed(x) = idx(eRows(x).getString(1))
+        ew(x) = eRows(x).getLong(2)
+        eo(x) = eRows(x).getLong(3)
+        x += 1
+      }
+      val p = Array.tabulate(names.length)(i =>
+        if (tele(i)) math.floor(scale / n + 0.5) else 0.0)
+      for (_ <- 1 to iterations) {
+        val s = new Array[Long](names.length)
+        x = 0
+        while (x < m) {
+          s(ed(x)) += math.floor(p(es(x)) * ew(x) / eo(x) + 0.5).toLong
+          x += 1
+        }
+        var k = 0
+        while (k < names.length) {
+          p(k) = math.floor((if (tele(k)) baseS else 0.0) +
+            damping * s(k).toDouble + 0.5).toLong.toDouble
+          k += 1
+        }
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return names.indices.map(i => (names(i), p(i) / scale)).toDF()
+        .toDF("node", "pr")
+    }
     // Ranks as integer-valued doubles in units of 1/scale (see the
     // determinism note above). Contribution floors stay >= 0; per-dst
     // sums are bounded by the total mass (~scale) — integer-exact.
@@ -205,7 +276,8 @@ object Graph {
     */
   def hits(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 8, grid: Int = 12): DataFrame = {
+      iterations: Int = 8, grid: Int = 12,
+      driverCapRows: Int = 1 << 20): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100] (got $iterations)")
     require(grid >= 6 && grid <= 15,
@@ -218,6 +290,71 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     require(!nodes.isEmpty, "graph has no nodes (empty or all-null edges)")
     val scale = math.pow(10.0, grid)
+    // Driver fast path (the propagate discipline): the half-step state
+    // is two node-sized score arrays; sub-cap edge lists iterate as
+    // plain Scala with identical long sums and IEEE norm ops —
+    // bit-identical to the distributed loop, spec-pinned. A node keeps
+    // a score entry exactly when the corresponding join would emit it
+    // (authority: has in-edges; hub: has out-edges after round 1).
+    val eRows =
+      if (driverCapRows > 0) e.take(driverCapRows + 1)
+      else Array.empty[org.apache.spark.sql.Row]
+    if (driverCapRows > 0 && eRows.length <= driverCapRows) {
+      val names = nodes.collect().map(_.getString(0))
+      val idx = names.zipWithIndex.toMap
+      val nn = names.length
+      val m = eRows.length
+      val es = new Array[Int](m); val ed = new Array[Int](m)
+      var x = 0
+      while (x < m) {
+        es(x) = idx(eRows(x).getString(0))
+        ed(x) = idx(eRows(x).getString(1))
+        x += 1
+      }
+      // norm over the PRESENT entries only — the distributed norm sees
+      // exactly the rows its input table carries
+      def norm(v: Array[Double], present: Array[Boolean]): Unit = {
+        var s = 0L
+        var i = 0
+        while (i < nn) { if (present(i)) s += v(i).toLong; i += 1 }
+        val sD = s.toDouble
+        i = 0
+        while (i < nn) {
+          if (present(i))
+            v(i) = math.floor(v(i) * scale / sD + 0.5).toLong.toDouble
+          i += 1
+        }
+      }
+      val h = Array.fill(nn)(math.floor(scale + 0.5).toLong.toDouble)
+      val hSet = Array.fill(nn)(true)
+      norm(h, hSet)
+      val a = new Array[Double](nn)
+      val aSet = new Array[Boolean](nn)
+      for (_ <- 1 to iterations) {
+        java.util.Arrays.fill(a, 0.0)
+        java.util.Arrays.fill(aSet, false)
+        x = 0
+        while (x < m) {
+          if (hSet(es(x))) { a(ed(x)) += h(es(x)); aSet(ed(x)) = true }
+          x += 1
+        }
+        norm(a, aSet)
+        java.util.Arrays.fill(h, 0.0)
+        java.util.Arrays.fill(hSet, false)
+        x = 0
+        while (x < m) {
+          if (aSet(ed(x))) { h(es(x)) += a(ed(x)); hSet(es(x)) = true }
+          x += 1
+        }
+        norm(h, hSet)
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return names.indices.map(i => (names(i),
+          (if (hSet(i)) h(i) else 0.0) / scale,
+          (if (aSet(i)) a(i) else 0.0) / scale)).toDF()
+        .toDF("node", "hub", "auth")
+    }
     // Normalize a score column to Σ = scale on the integer lattice. The
     // input is materialized FIRST (one node-sized localCheckpoint per
     // half-step): norm consumes its input twice (the L1 sum and the
@@ -422,7 +559,7 @@ object Graph {
     */
   def labelPropagation(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 4): DataFrame = {
+      iterations: Int = 4, driverCapRows: Int = 1 << 20): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50] (got $iterations)")
     val und = edges.select(
@@ -432,6 +569,47 @@ object Graph {
     val e = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
+    // Driver fast path (the propagate discipline): labels are node
+    // names and the per-round vote is (max count, min label) with ties
+    // broken in UTF8String BINARY order — utf8Less mirrors Spark's
+    // string comparison so the tie-break is bit-identical, spec-pinned.
+    val eRows =
+      if (driverCapRows > 0) e.take(driverCapRows + 1)
+      else Array.empty[org.apache.spark.sql.Row]
+    if (driverCapRows > 0 && eRows.length <= driverCapRows) {
+      val m = eRows.length
+      val names = eRows.map(_.getString(0)).distinct.toArray
+      val idx = names.zipWithIndex.toMap
+      val bytes = names.map(_.getBytes("UTF-8"))
+      val adj = Array.fill(names.length)(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      var x = 0
+      while (x < m) {
+        adj(idx(eRows(x).getString(0))) += idx(eRows(x).getString(1))
+        x += 1
+      }
+      var lbl = Array.tabulate(names.length)(identity)
+      for (_ <- 1 to iterations) {
+        val next = new Array[Int](names.length)
+        var i = 0
+        while (i < names.length) {
+          val counts = scala.collection.mutable.Map.empty[Int, Long]
+          adj(i).foreach(j => counts(lbl(j)) = counts.getOrElse(lbl(j), 0L) + 1L)
+          var best = -1; var bestC = -1L
+          counts.foreach { case (l, c) =>
+            if (c > bestC || (c == bestC && utf8Less(bytes(l), bytes(best))))
+              { best = l; bestC = c }
+          }
+          next(i) = best
+          i += 1
+        }
+        lbl = next
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return names.indices.map(i => (names(i), names(lbl(i)))).toDF()
+        .toDF("node", "label")
+    }
     var lbl = e.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (r <- 1 to iterations) {

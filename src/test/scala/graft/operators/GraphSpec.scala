@@ -399,4 +399,34 @@ class GraphSpec extends AnyFunSuite {
       assert(got._3.contains(want), s"got ${got._3} want $want")
     }
   }
+  test("propagation family: driver fast paths ≡ distributed loops, bit for bit") {
+    import spark.implicits._
+    // Both paths claim the SAME exact lattice (identical IEEE op order,
+    // exact integer sums, UTF8-binary tie-breaks) — results must agree
+    // to the last bit, not approximately. Random multigraph with
+    // integer weights, self-referencing names that exercise the string
+    // tie-break (p1 vs p10 prefix ordering).
+    val rnd = new scala.util.Random(47)
+    val nodes = (1 to 25).map(i => s"p$i")
+    val edges = Seq.fill(300) {
+      (nodes(rnd.nextInt(nodes.length)), nodes(rnd.nextInt(nodes.length)),
+        1L + rnd.nextInt(5))
+    }.filter { case (a, b, _) => a != b }
+    val df = edges.toDF("src", "dst", "w")
+    def sortedRows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    assert(sortedRows(Graph.pageRank(df, "src", "dst", Some("w"))) ==
+      sortedRows(Graph.pageRank(df, "src", "dst", Some("w"),
+        driverCapRows = 0)))
+    val seeds = Seq("p1", "p3", "p7").toDF("node")
+    assert(sortedRows(
+      Graph.trustRank(df, seeds, "src", "dst", "node", Some("w"))) ==
+      sortedRows(Graph.trustRank(df, seeds, "src", "dst", "node",
+        Some("w"), driverCapRows = 0)))
+    assert(sortedRows(Graph.hits(df, "src", "dst")) ==
+      sortedRows(Graph.hits(df, "src", "dst", driverCapRows = 0)))
+    assert(sortedRows(Graph.labelPropagation(df, "src", "dst")) ==
+      sortedRows(Graph.labelPropagation(df, "src", "dst",
+        driverCapRows = 0)))
+  }
 }
