@@ -2909,6 +2909,48 @@ FROM c"""
     Graph.assortativity(hop, "src", "dst")
   }
 
+  /** g8: fixed-round 3-core peeling over the g5 chain+chord graph —
+    * the boundary erodes one node per end per round (interior degree 4
+    * survives), so ten truncated rounds leave a deterministic,
+    * nontrivial survivor set. Full oracle: ten unrolled MATERIALIZED
+    * peel rounds (the g1 generated-oracle discipline).
+    */
+  private def g8KCore(s: SparkSession, d: String): DataFrame = {
+    val ids = T(s, d, "documents").select(col("doc_id"))
+    val hop = ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 1).as("dst"))
+      .unionByName(ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 2).as("dst")))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    Graph.kCore(hop, "src", "dst", k = 3, rounds = 10)
+  }
+
+  /** DuckDB twin of [[g8KCore]]: ten unrolled peel rounds, each a
+    * MATERIALIZED degree count + both-endpoint membership filter —
+    * generated, so the round count can't silently diverge from the
+    * Spark loop's.
+    */
+  private def g8OracleSql: String = {
+    val rounds = (1 to 10).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT a, count(*) AS c FROM e${r - 1}
+         |  GROUP BY 1),
+         |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+         |  WHERE e.a IN (SELECT a FROM d$r WHERE c >= 3)
+         |    AND e.b IN (SELECT a FROM d$r WHERE c >= 3))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS (SELECT doc_id FROM documents),
+       |h0 AS (SELECT doc_id AS s, doc_id + 1 AS t FROM ids
+       |  UNION ALL SELECT doc_id, doc_id + 2 FROM ids),
+       |h1 AS (SELECT s, t FROM h0
+       |  WHERE t IN (SELECT doc_id FROM ids) AND s <> t),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |    SELECT s::VARCHAR AS a, t::VARCHAR AS b FROM h1
+       |    UNION ALL SELECT t::VARCHAR, s::VARCHAR FROM h1)),
+       |$rounds
+       |SELECT a AS node, count(*)::BIGINT AS degree FROM e10
+       |GROUP BY 1""".stripMargin
+  }
+
   /** w20: CUSUM changepoint detection per event type — Page's one-sided
     * detector over hourly buckets, computed as running-sum minus
     * running-min (two windows, one partitioning) instead of a
@@ -3499,7 +3541,8 @@ FROM c"""
     "s11_sqrt_mixing" -> (s11SqrtMixing _),
     "m8_png_meta" -> (m8PngMeta _),
     "e17_mcnemar" -> (e17Mcnemar _),
-    "c18_ks_drift" -> (c18KsDrift _))
+    "c18_ks_drift" -> (c18KsDrift _),
+    "g8_kcore" -> (g8KCore _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -7979,6 +8022,7 @@ FROM c"""
         |      AND (1000000 * ((dn * dn) % (n_a * n_b))) % (n_a * n_b) > 0)
         |    THEN 'drifted' ELSE 'stable' END AS verdict
         |FROM s""".stripMargin,
+    "g8_kcore" -> g8OracleSql,
     // m8 twin: the construct side is closed-form in doc_id, so the
     // oracle re-derives the expected parse without touching bytes (the
     // m7 discipline)

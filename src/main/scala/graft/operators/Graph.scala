@@ -628,6 +628,96 @@ object Graph {
     lbl.select(col("node"), col("lbl").as("label"))
   }
 
+  /** Fixed-round k-core peeling (Seidman 1983): repeatedly remove every
+    * node of degree < k, simultaneously, `rounds` times — the density
+    * filter of the link-analysis family (the k-core is where communities
+    * and link farms live; tendrils and chains peel away). Fixed rounds,
+    * not a convergence probe — the [[pageRank]] truncation contract: a
+    * graph still peeling at round `rounds` reports that round's survivor
+    * set, deterministically.
+    *
+    * Exact by construction: each round is integer degree counts and a
+    * set filter — no arithmetic to drift. Input normalization as
+    * [[triangles]] (nulls drop, self-loops drop, parallel edges
+    * collapse, symmetric).
+    *
+    * Scale: per round one map-side-combined degree aggregate + two
+    * semi-joins of the surviving edge list against the node-sized
+    * survivor set; edges only shrink. Survivors localCheckpoint every
+    * third round (the [[pageRank]] lineage discipline). Sub-cap graphs
+    * peel driver-side ([[propagate]]'s fast-path discipline),
+    * bit-identical, spec-pinned. Output: (node, degree) — survivors
+    * with their within-core degree.
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 10, driverCapRows: Int = 1 << 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50] (got $rounds)")
+    val raw = edges.select(
+        col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val und = raw
+      .unionAll(raw.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val eRows =
+      if (driverCapRows > 0) und.take(driverCapRows + 1)
+      else Array.empty[org.apache.spark.sql.Row]
+    if (driverCapRows > 0 && eRows.length <= driverCapRows) {
+      val names = eRows.map(_.getString(0)).distinct.toArray
+      val idx = names.zipWithIndex.toMap
+      val m = eRows.length
+      val ea = new Array[Int](m); val eb = new Array[Int](m)
+      var x = 0
+      while (x < m) {
+        ea(x) = idx(eRows(x).getString(0))
+        eb(x) = idx(eRows(x).getString(1))
+        x += 1
+      }
+      val alive = Array.fill(names.length)(true)
+      val deg = new Array[Long](names.length)
+      for (_ <- 1 to rounds) {
+        java.util.Arrays.fill(deg, 0L)
+        x = 0
+        while (x < m) {
+          if (alive(ea(x)) && alive(eb(x))) deg(ea(x)) += 1
+          x += 1
+        }
+        var i = 0
+        while (i < names.length) {
+          if (alive(i) && deg(i) < k) alive(i) = false
+          i += 1
+        }
+      }
+      java.util.Arrays.fill(deg, 0L)
+      x = 0
+      while (x < m) {
+        if (alive(ea(x)) && alive(eb(x))) deg(ea(x)) += 1
+        x += 1
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return names.indices
+        .collect { case i if alive(i) && deg(i) > 0 => (names(i), deg(i)) }
+        .toDF().toDF("node", "degree")
+    }
+    var cur = und
+    for (r <- 1 to rounds) {
+      val keep = cur.groupBy("a").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("a").as("node"))
+      cur = cur
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+      if (r % 3 == 0 || r == rounds) cur = cur.localCheckpoint()
+    }
+    cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Degree assortativity — the Pearson correlation of endpoint degrees
     * over edges (Newman 2002, Phys. Rev. Lett. 89, 208701): the
     * one-number answer to "do hubs link to hubs" next to [[triangles]]

@@ -583,6 +583,19 @@ object ScaleProbe {
             "left_semi")
         Graph.assortativity(hop, "src", "dst").count()
       },
+      // driverCapRows = 0: probe the DISTRIBUTED peel (the at-scale
+      // path); the driver fast path is O(edges·rounds) trivially
+      "g8_kcore" -> { d =>
+        val ids = d.select(col("doc_id"))
+        val hop = ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 1).as("dst"))
+          .unionByName(ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 2).as("dst")))
+          .join(ids.select(col("doc_id").as("dst")), Seq("dst"),
+            "left_semi")
+        Graph.kCore(hop, "src", "dst", k = 3, rounds = 10,
+          driverCapRows = 0).count()
+      },
       "m8_png_meta" -> { d =>
         val spark2 = d.sparkSession
         import spark2.implicits._

@@ -429,4 +429,47 @@ class GraphSpec extends AnyFunSuite {
       sortedRows(Graph.labelPropagation(df, "src", "dst",
         driverCapRows = 0)))
   }
+  test("kCore: hand cases — triangle survives k=2, pendant peels, K4 at k=3") {
+    import spark.implicits._
+    def run(edges: Seq[(String, String)], k: Int): Map[String, Long] =
+      Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k)
+        .as[(String, Long)].collect().toMap
+    // triangle + pendant chain: 2-core = the triangle alone
+    val g1 = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("3", "4"), ("4", "5"))
+    assert(run(g1, 2) == Map("1" -> 2L, "2" -> 2L, "3" -> 2L))
+    // the same graph has no 3-core: everything unravels
+    assert(run(g1, 3).isEmpty)
+    // K4 IS a 3-core; duplicate/reversed/self edges collapse first
+    val k4 = (for { x <- Seq("a","b","c","d"); y <- Seq("a","b","c","d") }
+      yield (x, y)) // includes self-loops + both directions
+    assert(run(k4, 3) == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("kCore ≡ brute-force simultaneous peel; driver ≡ distributed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val nodes = (0 until 40).map(i => s"n$i")
+    val edges = Seq.fill(140) {
+      (nodes(rnd.nextInt(nodes.length)), nodes(rnd.nextInt(nodes.length)))
+    }.filter { case (a, b) => a != b }
+    val df = edges.toDF("src", "dst")
+    val got = Graph.kCore(df, "src", "dst", k = 3, rounds = 10)
+      .as[(String, Long)].collect().toMap
+    // plain-Scala reference: symmetric simple graph, simultaneous rounds
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    var alive = und.map(_._1).toSet
+    for (_ <- 1 to 10) {
+      val deg = und.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      alive = alive.filter(n => deg.getOrElse(n, 0) >= 3)
+    }
+    val want = und.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    // bit-for-bit parity with the distributed loop
+    val dist = Graph.kCore(df, "src", "dst", k = 3, rounds = 10,
+        driverCapRows = 0)
+      .as[(String, Long)].collect().toMap
+    assert(got == dist)
+  }
 }
