@@ -3019,6 +3019,52 @@ FROM c"""
       "v")
   }
 
+  /** e18: regression metrics (MAE/RMSE/R²) — label from a bounded
+    * length transform, prediction a deterministically-perturbed copy;
+    * both lattice onto 1e-6 integers so every sum is exact. Full
+    * oracle: identical lattice + HUGEINT sums + the same IEEE read-out.
+    */
+  private def e18RegressionMetrics(s: SparkSession, d: String): DataFrame = {
+    val y = pmod(length(col("text")), lit(500)).cast("double") / lit(10.0)
+    Classifier.regressionMetrics(
+      T(s, d, "documents").select(y.as("y"),
+        (y + (pmod(col("doc_id"), lit(21)).cast("double") - lit(10.0)) /
+          lit(10.0)).as("p")),
+      "y", "p")
+  }
+
+  /** g9: event-type co-occurrence projected over shared users — the
+    * bipartite→unipartite graph-construction step; output bounded by
+    * |types|². Full oracle.
+    */
+  private def g9Cooccurrence(s: SparkSession, d: String): DataFrame =
+    Graph.cooccurrence(
+      T(s, d, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type")),
+      "user_id", "event_type")
+
+  /** m9: GIF structure metadata — per-doc GIFs BUILT with real block
+    * framing (header/LSD/GCT, image descriptors with LZW sub-blocks,
+    * graphic-control extensions, trailer; every 13th doc non-GIF text
+    * bytes) and PARSED back by the block walk; construct→parse with a
+    * closed-form oracle (the m7/m8 discipline).
+    */
+  private def m9GifMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = T(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes =
+          if (id % 13 == 0) text.getBytes("UTF-8") // non-GIF: dropped
+          else Multimodal.gifBlocks(
+            width = 1 + (id % 300).toInt, height = 1 + (id % 200).toInt,
+            gif89 = id % 2 == 0, nImages = 1 + (id % 4).toInt,
+            nExtensions = (id % 3).toInt, withGct = id % 5 == 0)
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+    Multimodal.gifMeta(s, payloads, "doc_id")
+  }
+
   /** m8: PNG structure metadata — per-doc PNGs BUILT with real chunk
     * framing and true CRC32s (dims/bit depth/color type/chunk inventory
     * all closed-form in doc_id; every 11th doc non-PNG text bytes) and
@@ -3542,7 +3588,10 @@ FROM c"""
     "m8_png_meta" -> (m8PngMeta _),
     "e17_mcnemar" -> (e17Mcnemar _),
     "c18_ks_drift" -> (c18KsDrift _),
-    "g8_kcore" -> (g8KCore _))
+    "g8_kcore" -> (g8KCore _),
+    "e18_regression_metrics" -> (e18RegressionMetrics _),
+    "g9_cooccurrence" -> (g9Cooccurrence _),
+    "m9_gif_meta" -> (m9GifMeta _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -8023,6 +8072,45 @@ FROM c"""
         |    THEN 'drifted' ELSE 'stable' END AS verdict
         |FROM s""".stripMargin,
     "g8_kcore" -> g8OracleSql,
+    // e18 twin: identical 1e-6 lattice landing (same IEEE multiply/
+    // floor order), exact HUGEINT sums, same read-out trees
+    "e18_regression_metrics" ->
+      """WITH b AS (SELECT
+        |    (length(text) % 500)::DOUBLE / 10.0 AS y,
+        |    (length(text) % 500)::DOUBLE / 10.0
+        |      + ((doc_id % 21)::DOUBLE - 10.0) / 10.0 AS p
+        |  FROM documents),
+        |l AS (SELECT CAST(floor(y * 1000000.0 + 0.5) AS HUGEINT) AS ys,
+        |    CAST(floor(p * 1000000.0 + 0.5) AS HUGEINT) AS ps FROM b),
+        |s AS (SELECT count(*)::HUGEINT AS n, sum(abs(ys - ps)) AS sae,
+        |    sum((ys - ps) * (ys - ps)) AS sse, sum(ys) AS sy,
+        |    sum(ys * ys) AS syy FROM l)
+        |SELECT n::BIGINT AS n_items,
+        |  round(sae::DOUBLE / (n::DOUBLE * 1000000.0), 6) AS mae,
+        |  round(sqrt(sse::DOUBLE / n::DOUBLE) / 1000000.0, 6) AS rmse,
+        |  CASE WHEN n * syy - sy * sy > 0 THEN
+        |    round(1.0 - (n * sse)::DOUBLE
+        |      / (n * syy - sy * sy)::DOUBLE, 6) END AS r2
+        |FROM s""".stripMargin,
+    // g9 twin: same distinct incidence + keyed self-join pair count
+    "g9_cooccurrence" ->
+      """WITH ki AS (SELECT DISTINCT user_id::VARCHAR AS k,
+        |    event_type AS item
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT x.item AS item_a, y.item AS item_b,
+        |  count(*)::BIGINT AS n_keys
+        |FROM ki x JOIN ki y ON x.k = y.k AND x.item < y.item
+        |GROUP BY 1, 2""".stripMargin,
+    // m9 twin: closed-form in doc_id (the m7/m8 discipline)
+    "m9_gif_meta" ->
+      """SELECT doc_id AS id,
+        |  (1 + doc_id % 300)::BIGINT AS width,
+        |  (1 + doc_id % 200)::BIGINT AS height,
+        |  doc_id % 2 = 0 AS gif89,
+        |  (1 + doc_id % 4)::BIGINT AS n_images,
+        |  (doc_id % 3)::BIGINT AS n_extensions,
+        |  doc_id % 5 = 0 AS has_gct
+        |FROM documents WHERE doc_id % 13 <> 0""".stripMargin,
     // m8 twin: the construct side is closed-form in doc_id, so the
     // oracle re-derives the expected parse without touching bytes (the
     // m7 discipline)

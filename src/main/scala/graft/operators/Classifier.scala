@@ -439,6 +439,60 @@ object Classifier {
     *
     * Output: one row (n_items, n_agree, pe_num, kappa).
     */
+  /** Regression metrics (MAE / RMSE / R²) over (label, prediction)
+    * pairs — the eval read-out for score/reward-model regressions next
+    * to the classification family ([[precisionRecall]], [[aucBinary]]).
+    *
+    * Engine-reproducible by the lattice discipline: both columns are
+    * first rounded HALF-UP onto the 1e-6 integer lattice
+    * (floor(x·10⁶ + ½) — one IEEE multiply + floor, identical
+    * everywhere), so every sum (Σ|d|, Σd², Σy, Σy²) is an exact
+    * decimal(38,0) integer sum, order-free in any engine; MAE, RMSE and
+    * R² are then fixed trees of correctly-rounded IEEE ops over those
+    * integers, emitted round-`roundTo`. R² = 1 − n·SSres / (n·Σy²−(Σy)²),
+    * NULL on zero label variance. Exactness envelope: |values| ≤ 1000
+    * and n ≤ 10⁹ keep n·Σy² < 10³⁷ — both enforced loudly. Null/NaN
+    * values raise (the aucBinary discipline).
+    *
+    * Scale: ONE map-side-combined fold over a scan-side projection.
+    * Output: one row (n_items, mae, rmse, r2).
+    */
+  def regressionMetrics(
+      scored: DataFrame, yCol: String, predCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def lat(c: String) = {
+      val v = col(c).cast("double")
+      when(v.isNull || isnan(v),
+        raise_error(lit(s"regressionMetrics: null/NaN value")))
+        .otherwise(when(abs(v) > 1000.0,
+          raise_error(lit("regressionMetrics: |value| > 1000 is beyond " +
+            "the decimal(38) exactness envelope")))
+          .otherwise(floor(v * lit(1e6) + lit(0.5))))
+    }
+    val s = scored
+      .select(lat(yCol).as("ys"), lat(predCol).as("ps"))
+      .select(col("ys"), (col("ys") - col("ps")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("d")).cast(d38)).as("sae"),
+        sum(col("d").cast(d38) * col("d").cast(d38)).as("sse"),
+        sum(col("ys").cast(d38)).as("sy"),
+        sum(col("ys").cast(d38) * col("ys").cast(d38)).as("syy"))
+      .withColumn("n",
+        when(col("n") > 1000000000L,
+          raise_error(lit("regressionMetrics: beyond the 1e9-item " +
+            "decimal(38) exactness envelope"))).otherwise(col("n")))
+    val sstot = col("n").cast(d38) * col("syy") - col("sy") * col("sy")
+    s.select(col("n").as("n_items"),
+      round(col("sae").cast("double") / (col("n").cast("double") * 1e6),
+        roundTo).as("mae"),
+      round(sqrt(col("sse").cast("double") / col("n").cast("double")) / 1e6,
+        roundTo).as("rmse"),
+      when(sstot > 0,
+        round(lit(1.0) - (col("n").cast(d38) * col("sse")).cast("double") /
+          sstot.cast("double"), roundTo)).as("r2"))
+  }
+
   /** McNemar's test on paired classifier predictions — "is model B
     * actually better than model A on the SAME items", the paired
     * complement to [[precisionRecall]]'s marginal rates: only the

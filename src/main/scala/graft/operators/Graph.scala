@@ -628,6 +628,53 @@ object Graph {
     lbl.select(col("node"), col("lbl").as("label"))
   }
 
+  /** Bipartite co-occurrence projection: from (key, item) incidence —
+    * users × event types, documents × domains, baskets × products —
+    * emit every item pair sharing at least one key, weighted by the
+    * DISTINCT shared-key count. The graph-construction step feeding the
+    * rest of this family (co-citation/co-click graphs are what
+    * [[pageRank]]/[[triangles]] then run on).
+    *
+    * Each key contributes its item set's unordered pairs once (the
+    * incidence is deduplicated first), so the fan-out is Σ_k c_k² /2 —
+    * quadratic in the PER-KEY item count, never in the corpus. That
+    * term is the known failure mode (one hub key with 10⁶ items emits
+    * 5·10¹¹ pairs), so keys past `maxItemsPerKey` fail LOUDLY instead
+    * of silently melting the shuffle — the operator's envelope, like
+    * the decimal guards of the eval family. Pairs order (a < b) by
+    * UTF8 binary comparison.
+    *
+    * Scale: one distinct, one key-sized count join-back (AQE
+    * broadcasts it), one key-keyed equi self-join + pair count — never
+    * a cross join. Output: (item_a, item_b, n_keys).
+    */
+  def cooccurrence(
+      df: DataFrame, keyCol: String, itemCol: String,
+      maxItemsPerKey: Int = 10000): DataFrame = {
+    require(maxItemsPerKey >= 2,
+      s"maxItemsPerKey must be >= 2 (got $maxItemsPerKey)")
+    def checked(c: String, what: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"cooccurrence: null $what")))
+        .otherwise(col(c).cast("string"))
+    val ki = df.select(checked(keyCol, "key").as("k"),
+        checked(itemCol, "item").as("item"))
+      .distinct()
+    val sized = ki
+      .join(ki.groupBy("k").agg(count(lit(1)).as("__kc")), "k")
+      .select(
+        when(col("__kc") > maxItemsPerKey,
+          raise_error(concat(
+            lit(s"cooccurrence: key exceeds maxItemsPerKey=" +
+              s"$maxItemsPerKey items: "), col("k"))))
+          .otherwise(col("k")).as("k"),
+        col("item"))
+    sized.as("x").join(ki.as("y"),
+        col("x.k") === col("y.k") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   /** Fixed-round k-core peeling (Seidman 1983): repeatedly remove every
     * node of degree < k, simultaneously, `rounds` times — the density
     * filter of the link-analysis family (the k-core is where communities

@@ -633,6 +633,125 @@ object Multimodal {
       .toDF("id", "w", "h", "thumb", "avg_lum")
   }
 
+  /** Parsed GIF structure from a real block walk. */
+  case class GifInfo(
+      width: Int, height: Int, gif89: Boolean, nImages: Int,
+      nExtensions: Int, hasGct: Boolean)
+
+  /** Real GIF block walk (GIF87a/89a): header + logical screen
+    * descriptor (LE16 dims, global-color-table flag/size), then the
+    * block stream — image descriptors (0x2C: 9-byte descriptor,
+    * optional local color table, LZW min-code byte, data sub-blocks)
+    * and extensions (0x21: label + sub-blocks) — to the 0x3B trailer.
+    * Sub-block chains walk length-prefixed to their 0 terminator; no
+    * LZW decode (structure parser, the [[pngInfo]] contract). Truncated
+    * or unknown-block files return None; a structurally-complete file
+    * needs ≥ 1 image and the trailer.
+    */
+  private[operators] def gifInfo(bytes: Array[Byte]): Option[GifInfo] = {
+    if (bytes.length < 14) return None
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def le16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    val w = le16(6); val h = le16(8)
+    val packed = bytes(10) & 0xFF
+    val hasGct = (packed & 0x80) != 0
+    var off = 13
+    if (hasGct) off += 3 * (1 << ((packed & 0x07) + 1))
+    var images = 0; var exts = 0; var done = false
+    // walk a length-prefixed sub-block chain; -1 on truncation
+    def subBlocks(start: Int): Int = {
+      var o = start
+      while (o < bytes.length && bytes(o) != 0) {
+        o += 1 + (bytes(o) & 0xFF)
+      }
+      if (o >= bytes.length) -1 else o + 1
+    }
+    while (!done) {
+      if (off >= bytes.length) return None // no trailer: truncated
+      (bytes(off) & 0xFF) match {
+        case 0x3B => done = true
+        case 0x2C =>
+          if (off + 10 > bytes.length) return None
+          val p = bytes(off + 9) & 0xFF
+          var o = off + 10
+          if ((p & 0x80) != 0) o += 3 * (1 << ((p & 0x07) + 1))
+          o += 1 // LZW minimum code size
+          if (o > bytes.length) return None
+          val next = subBlocks(o)
+          if (next < 0) return None
+          images += 1
+          off = next
+        case 0x21 =>
+          if (off + 2 > bytes.length) return None
+          val next = subBlocks(off + 2)
+          if (next < 0) return None
+          exts += 1
+          off = next
+        case _ => return None // unknown block: lost sync
+      }
+    }
+    if (images < 1 || w <= 0 || h <= 0) None
+    else Some(GifInfo(w, h, hdr == "GIF89a", images, exts, hasGct))
+  }
+
+  /** Build a structurally-real GIF (correct header, LE16 screen
+    * descriptor, optional global color table, `nImages` 1×1 image
+    * blocks, `nExtensions` graphic-control extensions, trailer) — the
+    * construct side of the [[gifMeta]] round trip (the
+    * [[pngChunks]]/[[mp3Frames]] discipline). Pixel data is a minimal
+    * opaque sub-block; the walk never decodes LZW.
+    */
+  def gifBlocks(
+      width: Int, height: Int, gif89: Boolean = true, nImages: Int = 1,
+      nExtensions: Int = 0, withGct: Boolean = false): Array[Byte] = {
+    require(width > 0 && width < 65536 && height > 0 && height < 65536,
+      "gif dims must fit LE16")
+    require(nImages >= 1 && nExtensions >= 0, "need >= 1 image")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((if (gif89) "GIF89a" else "GIF87a").getBytes("US-ASCII"))
+    out.write(width & 0xFF); out.write(width >> 8)
+    out.write(height & 0xFF); out.write(height >> 8)
+    out.write(if (withGct) 0x80 else 0x00) // GCT flag, size bits 0 -> 2 entries
+    out.write(0); out.write(0) // bg color, aspect
+    if (withGct) out.write(new Array[Byte](3 * 2))
+    (0 until nExtensions).foreach { _ =>
+      out.write(0x21); out.write(0xF9) // graphic control
+      out.write(4); out.write(new Array[Byte](4)) // one 4-byte sub-block
+      out.write(0)
+    }
+    (0 until nImages).foreach { _ =>
+      out.write(0x2C)
+      out.write(new Array[Byte](4)) // left, top
+      out.write(1); out.write(0); out.write(1); out.write(0) // 1x1
+      out.write(0x00) // no local color table
+      out.write(2) // LZW min code size
+      out.write(2); out.write(Array[Byte](0x4C, 0x01)) // opaque data
+      out.write(0)
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** GIF structure metadata per payload — the [[mp3Meta]] batch shape
+    * over the [[gifInfo]] walk; non-GIF payloads drop. Output: (id,
+    * width, height, gif89, n_images, n_extensions, has_gct).
+    */
+  def gifMeta(
+      spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        gifInfo(bytes).map(i =>
+          (id, i.width.toLong, i.height.toLong, i.gif89,
+            i.nImages.toLong, i.nExtensions.toLong, i.hasGct))
+      })
+      .toDF("id", "width", "height", "gif89", "n_images",
+        "n_extensions", "has_gct")
+  }
+
   /** Fused single-decode image featurizer: ONE codec decode per payload
     * feeds BOTH the 9×8 dHash grid and the tw×th thumbnail pooling —
     * the decode is the dominant cost of [[imageDHashes]] and

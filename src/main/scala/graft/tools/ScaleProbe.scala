@@ -583,6 +583,23 @@ object ScaleProbe {
             "left_semi")
         Graph.assortativity(hop, "src", "dst").count()
       },
+      "e18_regression" -> { d =>
+        val y = pmod(length(col("text")), lit(500)).cast("double") / lit(10.0)
+        Classifier.regressionMetrics(
+          d.select(y.as("y"),
+            (y + (pmod(col("doc_id"), lit(21)).cast("double") - lit(10.0)) /
+              lit(10.0)).as("p")),
+          "y", "p").count()
+      },
+      "g9_cooccurrence" -> { d =>
+        // items-per-key bounded (8) while keys scale with n — the
+        // operator's documented envelope
+        Graph.cooccurrence(
+          d.select(expr("doc_id div 8").as("k"),
+            concat(lit("t"), pmod(col("doc_id"), lit(8)).cast("string"))
+              .as("item")),
+          "k", "item").count()
+      },
       // driverCapRows = 0: probe the DISTRIBUTED peel (the at-scale
       // path); the driver fast path is O(edges·rounds) trivially
       "g8_kcore" -> { d =>

@@ -447,4 +447,50 @@ class ClassifierSpec extends AnyFunSuite {
       }
     assert(got._6 == want)
   }
+  test("regressionMetrics: perfect fit, hand residuals, envelope raises") {
+    def run(rows: Seq[(Double, Double)]) =
+      Classifier.regressionMetrics(rows.toDF("y", "p"), "y", "p")
+        .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    // perfect prediction
+    assert(run(Seq((1.0, 1.0), (2.5, 2.5), (-3.0, -3.0))) ==
+      ((3L, Some(0.0), Some(0.0), Some(1.0))))
+    // constant labels: zero variance -> R2 undefined
+    assert(run(Seq((5.0, 4.0), (5.0, 6.0)))._4.isEmpty)
+    // |value| past the documented envelope raises
+    val e1 = intercept[Exception] {
+      Classifier.regressionMetrics(
+        Seq((1001.0, 0.0)).toDF("y", "p"), "y", "p").collect()
+    }
+    assert(e1.getMessage.contains("1000") || e1.getCause != null &&
+      e1.getCause.getMessage.contains("1000"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Classifier.regressionMetrics(
+        Seq((Double.NaN, 0.0)).toDF("y", "p"), "y", "p").collect()
+    }
+    assert(e2.getMessage.contains("null/NaN") || e2.getCause != null &&
+      e2.getCause.getMessage.contains("null/NaN"), e2.getMessage)
+  }
+
+  test("regressionMetrics ≡ plain-Scala lattice reference on random data") {
+    val rnd = new scala.util.Random(59)
+    val rows = Seq.fill(250)(
+      (rnd.nextDouble() * 200 - 100, rnd.nextDouble() * 200 - 100))
+    val (n, mae, rmse, r2) =
+      Classifier.regressionMetrics(rows.toDF("y", "p"), "y", "p")
+        .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(n == rows.size.toLong)
+    def lat(x: Double): BigInt = BigInt(math.floor(x * 1e6 + 0.5).toLong)
+    val ds = rows.map { case (y, pr) => (lat(y), lat(y) - lat(pr)) }
+    val bn = BigInt(rows.size)
+    val sae = ds.map(_._2.abs).sum
+    val sse = ds.map(d => d._2 * d._2).sum
+    val sy = ds.map(_._1).sum
+    val syy = ds.map(d => d._1 * d._1).sum
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(mae.contains(r6(sae.toDouble / (rows.size.toDouble * 1e6))))
+    assert(rmse.contains(r6(math.sqrt(sse.toDouble / rows.size) / 1e6)))
+    val sstot = bn * syy - sy * sy
+    assert(r2.contains(r6(1.0 - (bn * sse).toDouble / sstot.toDouble)))
+  }
 }

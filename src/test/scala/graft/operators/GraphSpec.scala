@@ -472,4 +472,44 @@ class GraphSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == dist)
   }
+  test("cooccurrence: hand pairs, dedup, loud hub-key cap, null raise") {
+    import spark.implicits._
+    // key 1 holds {a, b, c}; key 2 holds {a, b} twice (dedup); key 3 {c}
+    val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+      (2L, "a"), (2L, "b"), (3L, "c"))
+    val got = Graph.cooccurrence(rows.toDF("k", "item"), "k", "item")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+    // one key past the cap fails loudly, not quadratically
+    val hub = (1 to 40).map(i => (9L, s"i$i"))
+    val err = intercept[Exception] {
+      Graph.cooccurrence(hub.toDF("k", "item"), "k", "item",
+        maxItemsPerKey = 30).collect()
+    }
+    assert(err.getMessage.contains("maxItemsPerKey")
+      || err.getCause != null &&
+        err.getCause.getMessage.contains("maxItemsPerKey"), err.getMessage)
+    val e2 = intercept[Exception] {
+      Graph.cooccurrence(Seq((Option.empty[String], "x")).toDF("k", "item"),
+        "k", "item").collect()
+    }
+    assert(e2.getMessage.contains("null key") || e2.getCause != null &&
+      e2.getCause.getMessage.contains("null key"), e2.getMessage)
+  }
+
+  test("cooccurrence ≡ brute-force pair enumeration on random incidence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = Seq.fill(400)(
+      (rnd.nextInt(30).toLong, s"t${rnd.nextInt(12)}"))
+    val got = Graph.cooccurrence(rows.toDF("k", "item"), "k", "item")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val want = rows.distinct.groupBy(_._1).values.flatMap { items =>
+      val is = items.map(_._2).sorted
+      for (i <- is.indices; j <- (i + 1) until is.size) yield (is(i), is(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want && want.nonEmpty)
+  }
 }

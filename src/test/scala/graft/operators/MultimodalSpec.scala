@@ -307,4 +307,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fused == sep)
     assert(fused.size == 30) // the junk payload dropped from both paths
   }
+  test("gifInfo: block walk round trip, truncation, non-GIF, real encoder") {
+    val b = Multimodal.gifBlocks(300, 200, gif89 = true, nImages = 3,
+      nExtensions = 2, withGct = true)
+    assert(Multimodal.gifInfo(b).contains(
+      Multimodal.GifInfo(300, 200, true, 3, 2, true)))
+    val b87 = Multimodal.gifBlocks(7, 5, gif89 = false)
+    assert(Multimodal.gifInfo(b87).contains(
+      Multimodal.GifInfo(7, 5, false, 1, 0, false)))
+    // truncation (lost trailer) and junk both reject
+    assert(Multimodal.gifInfo(b.take(b.length - 1)).isEmpty)
+    assert(Multimodal.gifInfo("not a gif".getBytes("UTF-8")).isEmpty)
+    // a REAL encoder's output parses too (ImageIO GIF writer)
+    val img = new java.awt.image.BufferedImage(
+      11, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", baos))
+    val real = Multimodal.gifInfo(baos.toByteArray)
+    assert(real.exists(i => i.width == 11 && i.height == 4 &&
+      i.nImages >= 1))
+  }
+
+  test("gifMeta drops non-GIF payloads and is partitioning-invariant") {
+    val rows = (0L until 40L).map { id =>
+      val bytes =
+        if (id % 5 == 0) s"not a gif $id".getBytes("UTF-8")
+        else Multimodal.gifBlocks((id + 1).toInt, (2 * id + 1).toInt,
+          gif89 = id % 2 == 0, nImages = 1 + (id % 3).toInt,
+          nExtensions = (id % 2).toInt, withGct = id % 3 == 0)
+      (id, bytes)
+    }
+    def run(parts: Int) = Multimodal.gifMeta(spark,
+        rows.toDF("doc_id", "payload").repartition(parts), "doc_id")
+      .as[(Long, Long, Long, Boolean, Long, Long, Boolean)]
+      .collect().sorted.toSeq
+    val got = run(1)
+    assert(got == run(5))
+    assert(got.size == rows.count(_._1 % 5 != 0))
+    got.foreach { case (id, w, h, g89, ni, ne, gct) =>
+      assert(w == id + 1 && h == 2 * id + 1)
+      assert(g89 == (id % 2 == 0) && ni == 1 + id % 3 &&
+        ne == id % 2 && gct == (id % 3 == 0))
+    }
+  }
 }
