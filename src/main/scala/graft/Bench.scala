@@ -41,7 +41,22 @@ object Bench {
       r.selectExpr("id % 10 as k", "id as v")
         .selectExpr("k", "row_number() over (partition by k order by v) as rn")
         .count()
+      // running-frame window + unpartitioned grid window (w/e-family
+      // codegen shapes); still generic — no measured query, no bench table
+      r.selectExpr("id % 10 as k", "id as v")
+        .selectExpr("k", "sum(v) over (partition by k order by v " +
+          "rows between unbounded preceding and current row) as s")
+        .count()
       r.selectExpr("explode(array(id, id+1))").count()
+      // sort-merge + decimal arithmetic + string kernels: the join,
+      // exact-lattice and text families' codegen paths
+      r.selectExpr("id as a", "cast(id as string) as s1")
+        .join(r.selectExpr("id as a", "cast(id + 1 as string) as s2"),
+          Seq("a"), "full")
+        .selectExpr(
+          "sum(cast(a as decimal(38,0)) * cast(a as decimal(38,0)))",
+          "sum(levenshtein(s1, s2))")
+        .collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () }
 
