@@ -332,6 +332,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("KS drift's CDF windows run over the value grid, not raw rows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // same envelope as the spearman rank windows: a global-order window
+    // is tolerable only above the distinct-value aggregate
+    val wins = SparkEntry.queries("c18_ks_drift")(spark, dir)
+      .queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+        s"CDF window reads raw rows, not the value grid:\n$w")
+    }
+  }
+
   test("corpus merge broadcasts the increment, never full-outer-shuffles") {
     val plan = planOf(SparkEntry.queries("c4_corpus_merge")(spark, dir))
     assert(!plan.contains("FullOuter"),
