@@ -2831,6 +2831,20 @@ FROM c"""
       "chrom", "s", "e", "chrom", "s", "e")
   }
 
+  /** j19: bedtools-cluster interval grouping — the j18 track fixture
+    * labeled into gap-10 islands (coalesce sweep defines the islands,
+    * pointInRange assigns them exactly-once). Full oracle:
+    * gaps-and-islands per chrom with the same merge condition and
+    * chrom:min(start) labels.
+    */
+  private def j19IntervalCluster(s: SparkSession, d: String): DataFrame =
+    IntervalJoin.clusterIntervals(
+      T(s, d, "documents").select(col("doc_id").as("iv"),
+        col("source").as("chrom"),
+        (col("doc_id") * 37 % 20000).as("s"),
+        (col("doc_id") * 37 % 20000 + 50 + col("doc_id") % 200).as("e")),
+      "chrom", "s", "e", "iv", maxGap = 10L)
+
   /** w18: A/B conversion significance — users split into variants by id
     * parity, per-type two-proportion pooled z-test in exact decimal
     * integers. Full oracle: the identical multiplied-through comparison
@@ -3591,7 +3605,8 @@ FROM c"""
     "g8_kcore" -> (g8KCore _),
     "e18_regression_metrics" -> (e18RegressionMetrics _),
     "g9_cooccurrence" -> (g9Cooccurrence _),
-    "m9_gif_meta" -> (m9GifMeta _))
+    "m9_gif_meta" -> (m9GifMeta _),
+    "j19_interval_cluster" -> (j19IntervalCluster _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -8101,6 +8116,27 @@ FROM c"""
         |  count(*)::BIGINT AS n_keys
         |FROM ki x JOIN ki y ON x.k = y.k AND x.item < y.item
         |GROUP BY 1, 2""".stripMargin,
+    // j19 twin: gaps-and-islands per chrom — break when the gap to the
+    // running max end exceeds 10, label = chrom:min(start) per island
+    "j19_interval_cluster" ->
+      """WITH iv AS (SELECT doc_id AS id, source AS chrom,
+        |    (doc_id * 37) % 20000 AS s,
+        |    (doc_id * 37) % 20000 + 50 + doc_id % 200 AS e
+        |  FROM documents),
+        |b AS (SELECT id, chrom, s, e,
+        |    CASE WHEN s > max(e) OVER (PARTITION BY chrom ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        + 10 + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM iv),
+        |g AS (SELECT id, chrom, s, e,
+        |    sum(brk) OVER (PARTITION BY chrom ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM b)
+        |SELECT id, chrom, s AS start, e AS stop,
+        |  chrom || ':' || (min(s) OVER (PARTITION BY chrom, grp))::VARCHAR
+        |    AS cluster
+        |FROM g""".stripMargin,
     // m9 twin: closed-form in doc_id (the m7/m8 discipline)
     "m9_gif_meta" ->
       """SELECT doc_id AS id,

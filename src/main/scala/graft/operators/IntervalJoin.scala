@@ -247,6 +247,56 @@ object IntervalJoin {
           expr("(2 * inter_bp * 1000000 + union_bp) div (2 * union_bp)")))
   }
 
+  /** Interval clustering — `bedtools cluster -d maxGap`: assign every
+    * interval the id of its gap-closed island (two intervals share a
+    * cluster when they overlap or sit within `maxGap` bases; clusters
+    * chain transitively). The grouping step before per-event merging
+    * decisions that [[IntervalDepth.coalesce]]'s merged output alone
+    * can't express — callers keep the ORIGINAL rows, labeled.
+    *
+    * Shape: the islands come from [[IntervalDepth.coalesce]]'s
+    * distributed sweep (same `maxGap` semantics by construction — one
+    * code path defines "same cluster"), and each original interval
+    * joins to the single island containing its START via the
+    * [[pointInRange]] bin-key equi-join (islands are disjoint and
+    * cover every start, so the join is exactly-once by construction —
+    * no distinct, no window over raw intervals anywhere). The cluster
+    * id is `chrom:islandStart` — deterministic and stable across
+    * partitionings.
+    *
+    * Input contract as [[IntervalDepth.depthHistogram]] (closed
+    * intervals, violations raise in the sweep). Output: (id, chrom,
+    * start, stop, cluster).
+    */
+  def clusterIntervals(
+      df: DataFrame, chromCol: String, startCol: String, endCol: String,
+      idCol: String, maxGap: Long = 0L, binWidth: Long = 1024L)
+      : DataFrame = {
+    require(maxGap >= 0, s"maxGap must be >= 0 (got $maxGap)")
+    require(binWidth > 0, s"binWidth must be positive (got $binWidth)")
+    val q = df.select(
+      col(idCol).cast("long").as("iv_id"),
+      when(col(chromCol).isNull,
+        raise_error(lit("clusterIntervals: null chrom")))
+        .otherwise(col(chromCol).cast("string")).as("iv_chrom"),
+      col(startCol).cast("long").as("iv_start"),
+      when(col(endCol).cast("long") < col(startCol).cast("long"),
+        raise_error(lit("clusterIntervals: interval with end < start")))
+        .otherwise(col(endCol).cast("long")).as("iv_stop"))
+    val runs = IntervalDepth.coalesce(df, chromCol, startCol, endCol,
+        maxGap)
+      .select(col("chrom").as("run_chrom"), col("start").as("run_start"),
+        col("stop").as("run_stop"))
+    pointInRange(q, runs, "iv_start", "run_start", "run_stop",
+        binWidth.toDouble,
+        extraEquiKeys = Seq("iv_chrom" -> "run_chrom"),
+        hiInclusive = true)
+      .select(col("iv_id").as("id"), col("iv_chrom").as("chrom"),
+        col("iv_start").as("start"), col("iv_stop").as("stop"),
+        concat(col("iv_chrom"), lit(":"),
+          col("run_start").cast("string")).as("cluster"))
+  }
+
   /** Interval subtraction — `bedtools subtract`: the portions of every
     * `a` interval not covered by ANY `b` interval. Callable-regions
     * minus blacklist in genomics; license-clean span extraction or

@@ -265,4 +265,46 @@ class IntervalJoinSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Option[Long])].collect().head
     assert(e0 == ((0L, 0L, 0L, 0L, None)))
   }
+  test("clusterIntervals: hand islands, gap boundary, singleton") {
+    import spark.implicits._
+    // gap 5: [1,10] and [14,20] chain (gap 3); [26,30] splits (gap 5 is
+    // allowed — 21..25 is 5 bases — wait: gap = next.s - prev.e - 1 =
+    // 26 - 20 - 1 = 5 <= 5 -> SAME island; [37, 40] (gap 6) splits
+    val iv = Seq(
+      (1L, "c1", 1L, 10L), (2L, "c1", 14L, 20L), (3L, "c1", 26L, 30L),
+      (4L, "c1", 37L, 40L), (5L, "c2", 1L, 2L))
+    val got = IntervalJoin.clusterIntervals(
+        iv.toDF("id", "chrom", "s", "e"), "chrom", "s", "e", "id",
+        maxGap = 5L)
+      .as[(Long, String, Long, Long, String)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(got == Map(1L -> "c1:1", 2L -> "c1:1", 3L -> "c1:1",
+      4L -> "c1:37", 5L -> "c2:1"))
+  }
+
+  test("clusterIntervals ≡ brute-force transitive clustering (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val iv = (0L until 300L).map { i =>
+      val s = rnd.nextInt(3000).toLong
+      (i, s"c${rnd.nextInt(3)}", s, s + 1 + rnd.nextInt(60))
+    }
+    val gap = 7L
+    val got = IntervalJoin.clusterIntervals(
+        iv.toDF("id", "chrom", "s", "e"), "chrom", "s", "e", "id",
+        maxGap = gap)
+      .as[(Long, String, Long, Long, String)].collect()
+    assert(got.length == iv.size) // exactly-once assignment
+    val gotMap = got.map(r => r._1 -> r._5).toMap
+    // brute force: sort per chrom, chain while gap <= maxGap
+    iv.groupBy(_._2).foreach { case (chrom, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._4))
+      var islandStart = -1L; var maxE = Long.MinValue
+      sorted.foreach { case (id, _, s, e) =>
+        if (islandStart < 0 || s > maxE + gap + 1) { islandStart = s; maxE = e }
+        else maxE = math.max(maxE, e)
+        assert(gotMap(id) == s"$chrom:$islandStart", s"interval $id")
+      }
+    }
+  }
 }
