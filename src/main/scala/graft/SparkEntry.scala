@@ -2831,6 +2831,23 @@ FROM c"""
       "chrom", "s", "e", "chrom", "s", "e")
   }
 
+  /** v19: int8 scalar-quantization recall — the SQ8 index path (4×
+    * memory compression) audited against the exact float top-10 (the
+    * v12 recall harness). The quantized ranking is EXACT integer dot
+    * products — no float, no rounding contract anywhere in the approx
+    * side. Full oracle.
+    */
+  private def v19SqRecall(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 20)
+    val model = Similarity.sqTrain(e, "embedding")
+    val exact = Similarity.cosineTopK(
+      q, e, "vec_id", "vec_id", "embedding", k = 10)
+    val approx = Similarity.sqTopK(
+      q, e, "vec_id", "vec_id", "embedding", model, k = 10)
+    Similarity.recallAtK(approx, exact, k = 10)
+  }
+
   /** j19: bedtools-cluster interval grouping — the j18 track fixture
     * labeled into gap-10 islands (coalesce sweep defines the islands,
     * pointInRange assigns them exactly-once). Full oracle:
@@ -3606,7 +3623,8 @@ FROM c"""
     "e18_regression_metrics" -> (e18RegressionMetrics _),
     "g9_cooccurrence" -> (g9Cooccurrence _),
     "m9_gif_meta" -> (m9GifMeta _),
-    "j19_interval_cluster" -> (j19IntervalCluster _))
+    "j19_interval_cluster" -> (j19IntervalCluster _),
+    "v19_sq_recall" -> (v19SqRecall _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -8116,6 +8134,55 @@ FROM c"""
         |  count(*)::BIGINT AS n_keys
         |FROM ki x JOIN ki y ON x.k = y.k AND x.item < y.item
         |GROUP BY 1, 2""".stripMargin,
+    // v19 twin: identical per-dim min/max bounds, identical clamp/floor
+    // quantization tree, exact integer dots (list_dot_product of
+    // BIGINT codes is integer-valued < 2^53 — no rounding anywhere on
+    // the approx side), the v12 recall skeleton
+    "v19_sq_recall" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        |  FROM c, (SELECT unnest(range(1, 65)) AS i) GROUP BY 1),
+        |mm AS (SELECT list(mn ORDER BY i) AS mns,
+        |    list(mx ORDER BY i) AS mxs FROM dims),
+        |cq AS (SELECT c_id, [CASE WHEN mxs[i] > mns[i] THEN
+        |      least(255, greatest(0, CAST(floor((v[i] - mns[i])
+        |        / (mxs[i] - mns[i]) * 255.0 + 0.5) AS BIGINT)))
+        |    ELSE 0 END for i in range(1, 65)] AS qv
+        |  FROM c, mm),
+        |qq AS (SELECT q_id, [CASE WHEN mxs[i] > mns[i] THEN
+        |      least(255, greatest(0, CAST(floor((v[i] - mns[i])
+        |        / (mxs[i] - mns[i]) * 255.0 + 0.5) AS BIGINT)))
+        |    ELSE 0 END for i in range(1, 65)] AS qv
+        |  FROM q, mm),
+        |dense AS (SELECT q_id, c_id FROM
+        |    (SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+        |        AS rank
+        |     FROM (SELECT q_id, c_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v))
+        |            * sqrt(list_dot_product(c.v, c.v))), 3) AS sim
+        |       FROM q CROSS JOIN c) s0) r0
+        |  WHERE rank <= 10),
+        |sq AS (SELECT q_id, c_id FROM
+        |    (SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY d DESC, c_id)
+        |        AS rank
+        |     FROM (SELECT q_id, c_id,
+        |        list_dot_product(qq.qv, cq.qv) AS d
+        |       FROM qq CROSS JOIN cq) s1) r1
+        |  WHERE rank <= 10),
+        |truth AS (SELECT q_id, count(*) AS n_truth FROM dense GROUP BY 1),
+        |hits AS (SELECT q_id, count(*) AS n_hits FROM dense d
+        |  WHERE EXISTS (SELECT 1 FROM sq h
+        |    WHERE h.q_id = d.q_id AND h.c_id = d.c_id)
+        |  GROUP BY 1)
+        |SELECT q_id, n_truth, coalesce(n_hits, 0)::BIGINT AS n_hits,
+        |  round(coalesce(n_hits, 0)::DOUBLE / n_truth, 4) AS recall
+        |FROM truth LEFT JOIN hits USING (q_id)""".stripMargin,
     // j19 twin: gaps-and-islands per chrom — break when the gap to the
     // running max end exceeds 10, label = chrom:min(start) per island
     "j19_interval_cluster" ->

@@ -356,6 +356,91 @@ object Similarity {
           / col("n_truth"), 4).as("recall"))
   }
 
+  /** Per-dimension scalar-quantization bounds — model-sized (dim pairs
+    * of doubles), like the IVF/PQ codebooks. */
+  case class SqModel(mins: Seq[Double], maxs: Seq[Double]) {
+    require(mins.nonEmpty && mins.length == maxs.length,
+      "SqModel needs one (min, max) pair per dimension")
+    def dim: Int = mins.length
+  }
+
+  /** Train int8 scalar-quantization bounds: per-dimension min/max over
+    * the corpus — ONE posexplode + map-side-combined aggregate, output
+    * dim-bounded (collected like the IVF/PQ codebooks; a 4096-dim model
+    * is 64 KB on the driver). Floats widen to double before the
+    * min/max so the bounds equal any engine's double read of the same
+    * values.
+    */
+  def sqTrain(df: DataFrame, vecCol: String): SqModel = {
+    val rows = df
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .collect()
+      .sortBy(_.getInt(0))
+    require(rows.nonEmpty, "sqTrain: empty corpus")
+    SqModel(rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Int8 scalar quantization of a vector column against an [[SqModel]]:
+    * q_i = clamp₀²⁵⁵ ⌊(x_i − min_i)/(max_i − min_i)·255 + ½⌋, a pure
+    * column expression (bounds ride as literals — scan-side, zero
+    * shuffle, inside codegen). A degenerate dimension (max = min) maps
+    * to 0 in every engine rather than dividing by zero. The floor(·+½)
+    * half-up landing is one IEEE tree — engine-reproducible, the
+    * lattice discipline.
+    */
+  def sqQuantize(
+      df: DataFrame, idCol: String, vecCol: String,
+      model: SqModel): DataFrame = {
+    val mins = typedLit(model.mins)
+    val maxs = typedLit(model.maxs)
+    df.select(col(idCol).as("id"),
+      transform(sequence(lit(1), lit(model.dim)), i =>
+        when(element_at(maxs, i) > element_at(mins, i),
+          least(lit(255L), greatest(lit(0L),
+            floor((element_at(col(vecCol), i).cast("double") -
+              element_at(mins, i)) /
+              (element_at(maxs, i) - element_at(mins, i)) * lit(255.0) +
+              lit(0.5)))))
+          .otherwise(lit(0L))).as("qv"))
+  }
+
+  /** Top-k retrieval over int8-quantized vectors — the SQ8 index path
+    * of a production ANN stack (4 bytes/dim → 1, memory-bound scans go
+    * 4× denser; [[recallAtK]] against [[cosineTopK]] measures what the
+    * compression costs). Scores are EXACT integer dot products of the
+    * quantized codes (≤ 255²·dim — 64-bit safe to ~10¹⁴ dims), so the
+    * ranking has no float anywhere: zip_with + aggregate inside
+    * codegen, ties broken by candidate id — bit-identical in any
+    * engine, no rounding contract needed at all.
+    *
+    * This form scores the dense broadcast grid (the [[cosineTopK]]
+    * exact-baseline contract); at corpus scale the candidate gate swaps
+    * for the IVF/LSH equi-joins like every other v-family scorer.
+    * Output: (q_id, c_id, dot_q, rank).
+    */
+  def sqTopK(
+      queries: DataFrame, candidates: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      model: SqModel, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val q = sqQuantize(queries, qIdCol, vecCol, model)
+      .select(col("id").as("q_id"), col("qv").as("q_qv"))
+    val c = sqQuantize(candidates, cIdCol, vecCol, model)
+      .select(col("id").as("c_id"), col("qv").as("c_qv"))
+    val dot = aggregate(
+      zip_with(col("q_qv"), col("c_qv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"), dot.as("dot_q"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dot_q").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "dot_q", "rank")
+  }
+
   /** Exact order-independent mean of a float component on the 1e7
     * integer grid (the [[Pca]] determinism contract, applied to k-means
     * centroid updates): sum(⌊x·grid + ½⌋) in long — exact whatever the

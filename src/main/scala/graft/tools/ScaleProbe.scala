@@ -583,6 +583,17 @@ object ScaleProbe {
             "left_semi")
         Graph.assortativity(hop, "src", "dst").count()
       },
+      "j19_cluster" -> { d =>
+        val span = math.max(1000L, probeN / 10)
+        val st = pmod(col("doc_id") * 37, lit(span))
+        graft.operators.IntervalJoin.clusterIntervals(
+          d.select(col("doc_id").as("iv"),
+            concat(lit("c"), pmod(col("doc_id"), lit(20)).cast("string"))
+              .as("chrom"),
+            st.as("s"),
+            (st + 50 + pmod(col("doc_id"), lit(200))).as("e")),
+          "chrom", "s", "e", "iv", maxGap = 10L).count()
+      },
       "e18_regression" -> { d =>
         val y = pmod(length(col("text")), lit(500)).cast("double") / lit(10.0)
         Classifier.regressionMetrics(

@@ -527,4 +527,54 @@ class SimilaritySpec extends AnyFunSuite {
       || e2.getCause != null &&
         e2.getCause.getMessage.contains("zero/null-norm"), e2.getMessage)
   }
+  test("sqQuantize: hand codes, clamping, degenerate dimension") {
+    import spark.implicits._
+    // bounds: dim1 [0, 10], dim2 [5, 5] (degenerate), dim3 [-1, 1]
+    val m = Similarity.SqModel(Seq(0.0, 5.0, -1.0), Seq(10.0, 5.0, 1.0))
+    val got = Similarity.sqQuantize(
+        Seq((1L, Array(2.0f, 5.0f, 1.0f)),
+          (2L, Array(0.0f, 5.0f, -1.0f)),
+          (3L, Array(10.0f, 5.0f, 0.0f))).toDF("id", "v"),
+        "id", "v", m)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == Seq(51L, 0L, 255L)) // 2/10*255 = 51; degenerate -> 0
+    assert(got(2L) == Seq(0L, 0L, 0L))
+    assert(got(3L) == Seq(255L, 0L, 128L)) // floor(0.5*255 + 0.5) = 128
+  }
+
+  test("sqTopK ≡ plain-Scala quantized integer ranking; bounds from data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+    val model = Similarity.sqTrain(df, "v")
+    // reference bounds: plain double min/max per dim
+    val mins = (0 until 16).map(d => vecs.map(_._2(d).toDouble).min)
+    val maxs = (0 until 16).map(d => vecs.map(_._2(d).toDouble).max)
+    assert(model.mins == mins && model.maxs == maxs)
+    def quant(v: Array[Float]): Seq[Long] = (0 until 16).map { d =>
+      if (maxs(d) > mins(d))
+        math.min(255L, math.max(0L,
+          math.floor((v(d).toDouble - mins(d)) / (maxs(d) - mins(d))
+            * 255.0 + 0.5).toLong))
+      else 0L
+    }
+    val q = df.filter($"id" < 5)
+    val got = Similarity.sqTopK(q, df, "id", "id", "v", model, k = 7)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._4) -> ((r._2, r._3))).toMap
+    val codes = vecs.map { case (i, v) => i -> quant(v) }.toMap
+    vecs.filter(_._1 < 5).foreach { case (qid, qv) =>
+      val ranked = vecs.map { case (cid, _) =>
+        (cid, codes(qid).zip(codes(cid)).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (cid, dot) => (-dot, cid) }.take(7)
+      ranked.zipWithIndex.foreach { case ((cid, dot), r) =>
+        assert(got((qid, r + 1)) == ((cid, dot)), s"q=$qid rank=${r + 1}")
+      }
+    }
+    // NOTE deliberately NOT asserted: "self ranks first" — sqTopK ranks
+    // by raw quantized DOT (the MIPS convention), where a larger-norm
+    // candidate can legitimately out-score the query itself.
+  }
 }
