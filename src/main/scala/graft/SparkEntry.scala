@@ -2831,6 +2831,22 @@ FROM c"""
       "chrom", "s", "e", "chrom", "s", "e")
   }
 
+  /** e19: Krippendorff's alpha (nominal) — docs grouped 4-to-a-unit as
+    * "raters", values unit-correlated with per-doc dissent, every 29th
+    * rating missing (so unit sizes vary and the 1/(m−1) weights
+    * differ). Full oracle: identical lcm-840 integer weighting +
+    * HUGEINT sums.
+    */
+  private def e19Krippendorff(s: SparkSession, d: String): DataFrame =
+    Classifier.krippendorffAlpha(
+      T(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(29)) =!= 0)
+        .select(expr("doc_id div 4").as("unit"),
+          pmod(expr("doc_id div 4") +
+            when(pmod(col("doc_id"), lit(7)) === 0, 1L).otherwise(0L),
+            lit(3)).cast("string").as("v")),
+      "unit", "v")
+
   /** v19: int8 scalar-quantization recall — the SQ8 index path (4×
     * memory compression) audited against the exact float top-10 (the
     * v12 recall harness). The quantized ranking is EXACT integer dot
@@ -3624,7 +3640,8 @@ FROM c"""
     "g9_cooccurrence" -> (g9Cooccurrence _),
     "m9_gif_meta" -> (m9GifMeta _),
     "j19_interval_cluster" -> (j19IntervalCluster _),
-    "v19_sq_recall" -> (v19SqRecall _))
+    "v19_sq_recall" -> (v19SqRecall _),
+    "e19_krippendorff" -> (e19Krippendorff _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -8134,6 +8151,29 @@ FROM c"""
         |  count(*)::BIGINT AS n_keys
         |FROM ki x JOIN ki y ON x.k = y.k AND x.item < y.item
         |GROUP BY 1, 2""".stripMargin,
+    // e19 twin: identical lcm-840 per-unit weights, pairable-unit
+    // filter, HUGEINT disagreement/margin sums, one round-6 division
+    "e19_krippendorff" ->
+      """WITH r AS (SELECT doc_id // 4 AS u,
+        |    ((doc_id // 4 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+        |      % 3)::VARCHAR AS v
+        |  FROM documents WHERE doc_id % 29 <> 0),
+        |uc AS (SELECT u, v, count(*)::BIGINT AS c FROM r GROUP BY 1, 2),
+        |um AS (SELECT u, sum(c)::BIGINT AS m, sum(c*c)::BIGINT AS ss
+        |  FROM uc GROUP BY 1 HAVING sum(c) >= 2),
+        |ds AS (SELECT count(*)::BIGINT AS n_units,
+        |    sum((m*m - ss)::HUGEINT * (840 // (m - 1))::HUGEINT) AS dos
+        |  FROM um),
+        |mg AS (SELECT sum(nc::HUGEINT) AS n,
+        |    sum(nc::HUGEINT * nc::HUGEINT) AS snc2
+        |  FROM (SELECT v, sum(c)::BIGINT AS nc FROM uc
+        |    WHERE u IN (SELECT u FROM um) GROUP BY 1))
+        |SELECT n_units, n::BIGINT AS n_ratings,
+        |  CASE WHEN n * n - snc2 > 0 THEN
+        |    round(1.0 - (dos * (n - 1))::DOUBLE
+        |      / (840::HUGEINT * (n * n - snc2))::DOUBLE, 6)
+        |  END AS alpha
+        |FROM ds, mg""".stripMargin,
     // v19 twin: identical per-dim min/max bounds, identical clamp/floor
     // quantization tree, exact integer dots (list_dot_product of
     // BIGINT codes is integer-valued < 2^53 — no rounding anywhere on

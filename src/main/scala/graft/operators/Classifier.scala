@@ -439,6 +439,73 @@ object Classifier {
     *
     * Output: one row (n_items, n_agree, pe_num, kappa).
     */
+  /** Krippendorff's alpha, nominal data (Krippendorff 2004 §11) — the
+    * agreement coefficient that [[cohenKappa]] cannot be: any number of
+    * raters per unit, missing ratings allowed (units keep whatever
+    * ratings they have; single-rating units are unpairable and drop) —
+    * the realistic shape of LLM-judge ensembles and crowdsourced
+    * labels.
+    *
+    *   α = 1 − D_o/D_e,
+    *   D_o ∝ Σ_u (m_u² − Σ_c n_uc²) / (m_u − 1),
+    *   D_e ∝ (n² − Σ_c n_c²) / (n − 1)
+    *
+    * Exact end-to-end: the per-unit 1/(m_u − 1) weights are carried as
+    * the integer 840/(m_u − 1) — 840 = lcm(1..8), exact for up to 9
+    * ratings per unit (more raise loudly; that's a panel, not an
+    * annotation study) — so both disagreement sums are exact
+    * decimal(38,0) integers and α is ONE correctly-rounded division
+    *   α = 1 − (840·D_e)⁻¹·(n − 1)·ΣD_o-scaled
+    * emitted round-6 (the cohenKappa lattice class). Zero expected
+    * disagreement (all pairable ratings one value) has no defined α →
+    * NULL. Null units/values raise.
+    *
+    * Scale: one (unit, value) count aggregate, one unit-sized rollup,
+    * one value-sized margin aggregate over pairable units — no join
+    * wider than unit×values. Output: one row (n_units, n_ratings,
+    * alpha).
+    */
+  def krippendorffAlpha(
+      ratings: DataFrame, unitCol: String, valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def checked(c: String, what: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"krippendorffAlpha: null $what")))
+        .otherwise(col(c).cast("string"))
+    val uc = ratings
+      .select(checked(unitCol, "unit").as("u"),
+        checked(valueCol, "value").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val um = uc.groupBy("u")
+      .agg(sum("c").as("m"), sum(col("c") * col("c")).as("ss"))
+      .filter(col("m") >= 2) // single-rating units are unpairable
+      .withColumn("m",
+        when(col("m") > 9L,
+          raise_error(lit("krippendorffAlpha: more than 9 ratings in " +
+            "one unit is beyond the lcm(1..8) exactness envelope")))
+          .otherwise(col("m")))
+      .withColumn("do_s",
+        (col("m") * col("m") - col("ss")).cast(d38) *
+          expr("840 div (m - 1)").cast(d38))
+    val margins = uc
+      .join(um.select(col("u")), Seq("u"), "left_semi")
+      .groupBy("v").agg(sum("c").as("nc"))
+      .agg(coalesce(sum(col("nc").cast(d38)), lit(0L).cast(d38)).as("n"),
+        coalesce(sum(col("nc").cast(d38) * col("nc").cast(d38)),
+          lit(0L).cast(d38)).as("snc2"))
+    val tot = um.agg(count(lit(1)).as("n_units"),
+      coalesce(sum(col("do_s")), lit(0L).cast(d38)).as("do_sum"))
+    val de2 = col("n") * col("n") - col("snc2")
+    tot.crossJoin(margins)
+      .select(col("n_units"), col("n").cast("long").as("n_ratings"),
+        when(de2 > 0,
+          round(lit(1.0) -
+            (col("do_sum") * (col("n") - 1)).cast("double") /
+            (lit(840).cast(d38) * de2).cast("double"), 6))
+          .as("alpha"))
+  }
+
   /** Regression metrics (MAE / RMSE / R²) over (label, prediction)
     * pairs — the eval read-out for score/reward-model regressions next
     * to the classification family ([[precisionRecall]], [[aucBinary]]).

@@ -493,4 +493,59 @@ class ClassifierSpec extends AnyFunSuite {
     val sstot = bn * syy - sy * sy
     assert(r2.contains(r6(1.0 - (bn * sse).toDouble / sstot.toDouble)))
   }
+  test("krippendorffAlpha: perfect 1, two-rater full disagreement -0.5, degenerates") {
+    def run(rows: Seq[(Long, String)]): (Long, Long, Option[Double]) =
+      Classifier.krippendorffAlpha(rows.toDF("u", "v"), "u", "v")
+        .as[(Long, Long, Option[Double])].head()
+    // perfect within-unit agreement, mixed margins -> alpha = 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (3L, "a"))
+    assert(run(perfect) == ((3L, 6L, Some(1.0))))
+    // classic two-rater maximal disagreement with balanced margins:
+    // Do/De = [2/1 + 2/1]·3 / (16 - 8) / ... = 1.5 -> alpha = -0.5
+    val worst = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "a"))
+    assert(run(worst)._3.contains(-0.5))
+    // all pairable ratings one value: zero expected disagreement -> NULL
+    assert(run(Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")))._3.isEmpty)
+    // single-rating units are unpairable and drop entirely
+    val withSingleton = perfect :+ ((9L, "z"))
+    assert(run(withSingleton) == ((3L, 6L, Some(1.0))))
+    // a 10-rating unit is past the lcm(1..8) envelope: loud failure
+    val big = (1 to 10).map(i => (5L, if (i % 2 == 0) "a" else "b"))
+    val err = intercept[Exception] { run(big) }
+    assert(err.getMessage.contains("9 ratings") || err.getCause != null &&
+      err.getCause.getMessage.contains("9 ratings"), err.getMessage)
+  }
+
+  test("krippendorffAlpha ≡ exact-arithmetic reference on ragged random panels") {
+    val rnd = new scala.util.Random(73)
+    // 60 units, 2-7 ratings each, 4 values, unit-correlated labels
+    val rows = (0L until 60L).flatMap { u =>
+      val m = 2 + rnd.nextInt(6)
+      (0 until m).map { _ =>
+        val v = if (rnd.nextInt(4) == 0) rnd.nextInt(4)
+          else (u % 4).toInt
+        (u, s"v$v")
+      }
+    }
+    val (nu, nr, got) =
+      Classifier.krippendorffAlpha(rows.toDF("u", "v"), "u", "v")
+        .as[(Long, Long, Option[Double])].head()
+    assert(nu == 60L && nr == rows.size.toLong)
+    // reference: definitionally, with the same exact lcm-840 integers
+    val byU = rows.groupBy(_._1).values.toSeq
+    val dos = byU.map { us =>
+      val m = us.size
+      val ss = us.groupBy(_._2).values.map(g => BigInt(g.size) * g.size).sum
+      (BigInt(m) * m - ss) * (840 / (m - 1))
+    }.sum
+    val n = BigInt(rows.size)
+    val snc2 = rows.groupBy(_._2).values
+      .map(g => BigInt(g.size) * g.size).sum
+    val de2 = n * n - snc2
+    val want = BigDecimal(1.0 - (dos * (n - 1)).toDouble /
+        (BigInt(840) * de2).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.contains(want), s"got $got want $want")
+  }
 }
