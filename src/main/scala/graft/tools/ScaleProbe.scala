@@ -594,6 +594,15 @@ object ScaleProbe {
             (st + 50 + pmod(col("doc_id"), lit(200))).as("e")),
           "chrom", "s", "e", "iv", maxGap = 10L).count()
       },
+      "e19_krippendorff" -> { d =>
+        Classifier.krippendorffAlpha(
+          d.filter(pmod(col("doc_id"), lit(29)) =!= 0)
+            .select(expr("doc_id div 4").as("unit"),
+              pmod(expr("doc_id div 4") +
+                when(pmod(col("doc_id"), lit(7)) === 0, 1L).otherwise(0L),
+                lit(3)).cast("string").as("v")),
+          "unit", "v").count()
+      },
       "e18_regression" -> { d =>
         val y = pmod(length(col("text")), lit(500)).cast("double") / lit(10.0)
         Classifier.regressionMetrics(
