@@ -2831,6 +2831,19 @@ FROM c"""
       "chrom", "s", "e", "chrom", "s", "e")
   }
 
+  /** s12: GPT-style sequence packing — the corpus concatenated in the
+    * epoch-1 shuffle order within 8 shards and chunked into 2048-token
+    * contexts; each doc reports its shard cursor, bin and offset
+    * (boundary-crossing by design). Full oracle: the s5 shuffle-key
+    * arithmetic + per-shard cumulative sums.
+    */
+  private def s12SequencePack(s: SparkSession, d: String): DataFrame =
+    Sharding.sequencePack(
+      T(s, d, "documents").select(col("doc_id"),
+        (lit(1L) + pmod(length(col("text")).cast("long"), lit(997L)))
+          .as("n")),
+      "doc_id", "n", contextLen = 2048L, nShards = 8, epoch = 1L)
+
   /** e19: Krippendorff's alpha (nominal) — docs grouped 4-to-a-unit as
     * "raters", values unit-correlated with per-doc dissent, every 29th
     * rating missing (so unit sizes vary and the 1/(m−1) weights
@@ -3641,7 +3654,8 @@ FROM c"""
     "m9_gif_meta" -> (m9GifMeta _),
     "j19_interval_cluster" -> (j19IntervalCluster _),
     "v19_sq_recall" -> (v19SqRecall _),
-    "e19_krippendorff" -> (e19Krippendorff _))
+    "e19_krippendorff" -> (e19Krippendorff _),
+    "s12_sequence_pack" -> (s12SequencePack _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -8151,6 +8165,27 @@ FROM c"""
         |  count(*)::BIGINT AS n_keys
         |FROM ki x JOIN ki y ON x.k = y.k AND x.item < y.item
         |GROUP BY 1, 2""".stripMargin,
+    // s12 twin: the s5 shuffle-key chain (epoch 1 = the +1 affine
+    // constant), per-shard cumulative token cursors, exact div/mod
+    "s12_sequence_pack" ->
+      """WITH m AS (SELECT doc_id AS id,
+        |    1 + length(text)::BIGINT % 997 AS n,
+        |    (48271 * (doc_id % 2147483647) + 1) % 2147483647 AS x1
+        |  FROM documents),
+        |m2 AS (SELECT id, n, xor(x1, x1 >> 13) AS x2 FROM m),
+        |m3 AS (SELECT id, n, (69621 * x2 + 7) % 2147483647 AS x3 FROM m2),
+        |k AS (SELECT id, n, xor(x3, x3 >> 7) AS key FROM m3),
+        |p AS (SELECT id, (key % 8)::INTEGER AS shard, n,
+        |    (key // 8)::BIGINT AS ord FROM k),
+        |c AS (SELECT id, shard, n AS n_tokens,
+        |    coalesce(sum(n) OVER (PARTITION BY shard ORDER BY ord, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS start_tok
+        |  FROM p)
+        |SELECT id, shard, n_tokens, start_tok,
+        |  (start_tok // 2048)::BIGINT AS bin,
+        |  (start_tok % 2048)::BIGINT AS bin_offset
+        |FROM c""".stripMargin,
     // e19 twin: identical lcm-840 per-unit weights, pairable-unit
     // filter, HUGEINT disagreement/margin sums, one round-6 division
     "e19_krippendorff" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data delivery: deterministic epoch shuffling and shard
@@ -66,6 +67,52 @@ object Sharding {
       col(idCol).as("id"),
       pmod(key, lit(nShards.toLong)).cast("int").as("shard"),
       (key.divide(lit(nShards.toLong))).cast("long").as("ord"))
+  }
+
+  /** GPT-style sequence packing — concatenate the shard's documents in
+    * the seeded [[epochShuffle]] order and chunk the token stream into
+    * fixed `contextLen` windows: each document gets its shard-local
+    * token cursor, the context bin it STARTS in and its offset there.
+    * Documents cross bin boundaries by design — this is the standard
+    * concat-and-chunk pretraining packing (one attention-reset stream
+    * per context), NOT a per-bin knapsack (that's
+    * [[graft.operators.Sampling.epochMix]]-territory selection;
+    * [[graft.operators.Retrieval.contextPack]] is the per-query
+    * serving-time variant).
+    *
+    * Deterministic end-to-end: the order is the epoch shuffle key
+    * (tie-broken by id — the [[shuffleKey]] near-bijection contract),
+    * cursors are exact long sums over a SHARD-PARTITIONED window (never
+    * a global sort — shard size, not corpus size, bounds the sort, the
+    * [[writeShards]] posture), and bin/offset are exact integer
+    * div/mod. Non-positive token counts fail loudly (a zero-length doc
+    * in a packing stream is corrupt input — the contextPack
+    * discipline).
+    *
+    * Output: (id, shard, n_tokens, start_tok, bin, bin_offset).
+    */
+  def sequencePack(
+      docs: DataFrame, idCol: String, nTokensCol: String,
+      contextLen: Long, nShards: Int = 64, epoch: Long = 0L): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive (got $contextLen)")
+    require(nShards > 0, "nShards must be positive")
+    requireIntegralId(docs, idCol, "sequencePack")
+    val key = shuffleKey(col(idCol).cast("long"), lit(epoch))
+    val base = docs.select(
+      col(idCol).cast("long").as("id"),
+      when(col(nTokensCol).cast("long").isNull ||
+          col(nTokensCol).cast("long") <= 0,
+        raise_error(lit("sequencePack: token counts must be positive")))
+        .otherwise(col(nTokensCol).cast("long")).as("n_tokens"),
+      pmod(key, lit(nShards.toLong)).cast("int").as("shard"),
+      (key.divide(lit(nShards.toLong))).cast("long").as("ord"))
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("id"), col("shard"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div ${contextLen}L").as("bin"),
+        pmod(col("start_tok"), lit(contextLen)).as("bin_offset"))
   }
 
   /** Write one epoch of the corpus as `nShards` shard directories, each

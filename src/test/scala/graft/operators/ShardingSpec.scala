@@ -63,4 +63,49 @@ class ShardingSpec extends AnyFunSuite {
       assert(ords == ords.sorted, s"shard $sh not ord-sorted")
     }
   }
+  test("sequencePack ≡ brute-force per-shard concatenation cursors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(79)
+    val docs = (0L until 500L).map(i => (i, 1L + rnd.nextInt(300)))
+    val ctx = 128L
+    val got = Sharding.sequencePack(docs.toDF("doc_id", "n"),
+        "doc_id", "n", contextLen = ctx, nShards = 4, epoch = 2L)
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+    assert(got.length == docs.size)
+    // reference: the SAME epochShuffle placement (already spec-pinned),
+    // then a plain-Scala per-shard fold over (ord, id) order
+    val placed = Sharding.epochShuffle(docs.toDF("doc_id", "n"),
+        "doc_id", nShards = 4, epoch = 2L)
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val nOf = docs.toMap
+    val want = placed.groupBy(_._2._1).flatMap { case (_, rows) =>
+      var cursor = 0L
+      rows.toSeq.sortBy { case (id, (_, ord)) => (ord, id) }
+        .map { case (id, (shard, _)) =>
+          val st = cursor
+          cursor += nOf(id)
+          id -> ((shard, nOf(id), st, st / ctx, st % ctx))
+        }
+    }
+    got.foreach { case (id, shard, n, st, bin, off) =>
+      assert(want(id) == ((shard, n, st, bin, off)), s"doc $id")
+    }
+    // boundary crossing happens (some doc spans two bins) — the
+    // concat-and-chunk contract, not a knapsack
+    assert(got.exists { case (_, _, n, _, _, off) => off + n > ctx })
+    // partitioning invariance
+    val re = Sharding.sequencePack(
+        docs.toDF("doc_id", "n").repartition(13),
+        "doc_id", "n", contextLen = ctx, nShards = 4, epoch = 2L)
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+    assert(re.sorted.toSeq == got.sorted.toSeq)
+    // zero-token docs fail loudly
+    val err = intercept[Exception] {
+      Sharding.sequencePack(Seq((1L, 0L)).toDF("doc_id", "n"),
+        "doc_id", "n", contextLen = ctx).collect()
+    }
+    assert(err.getMessage.contains("positive") || err.getCause != null &&
+      err.getCause.getMessage.contains("positive"), err.getMessage)
+  }
 }
