@@ -92,9 +92,17 @@ object Bench {
       val spark = freshSession(cpus)
       warmup(spark, sfDir)
       val famResults = qs.sortBy(_._1).map { case (name, fn) =>
-        def once(): Double = {
+        // A run that throws is a FAILURE, not a timing: recording its
+        // time-to-exception as a normal number silently folds broken
+        // queries into the total (the r9 advice). Failed runs carry
+        // ok=false; downstream they surface in a "failed" list and are
+        // excluded from every total/basket.
+        def once(): (Double, Boolean) = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case t: Throwable =>
+              System.err.println(s"[bench-full] FAILED $name: $t"); false }
           val sec = (System.nanoTime() - t0) / 1e9
           // after EVERY run, not just the last: a run's dropped
           // localCheckpoint references are only released by the
@@ -102,7 +110,7 @@ object Bench {
           // measurably tax their own second run (and every later query)
           // through the retained blocks otherwise
           System.gc()
-          sec
+          (sec, ok)
         }
         name -> Seq.fill(runs)(once())
       }
@@ -122,13 +130,24 @@ object Bench {
     // line to ~1.35 KB. The full-name mapping still goes to stderr for
     // humans reading the raw log.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val mins = results.map { case (k, vs) => k -> vs.min }
-    val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
+    // A query with ANY failed run is "failed" (the code is deterministic;
+    // a single throw means the query is broken, not flaky). Failed
+    // queries report -1 in the per-query maps and are EXCLUDED from
+    // every total/basket so a broken query can never hide inside a sum.
+    val failed = results.collect {
+      case (k, vs) if vs.exists(!_._2) => k }.sorted
+    val failedSet = failed.toSet
+    val mins = results.map { case (k, vs) =>
+      k -> (if (failedSet(k)) -1.0 else vs.map(_._1).min) }
+    val okMins = mins.filter { case (k, _) => !failedSet(k) }
+    val total = if (okMins.nonEmpty) okMins.map(_._2).sum else 0.0
     val fullQs = mins.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"total":${f(total)},"runs":$runs,"sf":"$sfDir","queries":$fullQs,"all_runs":${
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullLine = s"""{"total":${f(total)},"runs":$runs,"sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson,"queries":$fullQs,"all_runs":${
       results.map { case (k, vs) =>
-        "\"" + k + "\":" + vs.map(f).mkString("[", ",", "]")
+        "\"" + k + "\":" + vs.map(r =>
+          if (r._2) f(r._1) else "-1").mkString("[", ",", "]")
       }.mkString("{", ",", "}")}}"""
     System.err.println(s"[bench-full] $fullLine")
     // Durable per-query artifact: the driver's stdout capture keeps only
@@ -148,11 +167,11 @@ object Bench {
     // ("fam_d" = sum of every d* query) — bounded size no matter how
     // many queries the suite grows to. bench_full.json stays the
     // complete per-query record.
-    val families = mins
+    val families = okMins
       .groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
       .toSeq.sortBy(_._1)
       .map { case (fam, kvs) => "\"fam_" + fam + "\":" + f(kvs.map(_._2).sum) }
-    val slowest = mins.sortBy(-_._2).take(15)
+    val slowest = okMins.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
     val qs = (slowest ++ families).mkString("{", ",", "}")
     // Round-over-round comparability: the raw total grows every time a
@@ -190,11 +209,15 @@ object Bench {
       "v10,v11,v12,v13,v14,v15,v16,v17,v18,v2,v3,v4,v5,v6,v7,v8,v9," +
       "w1,w10,w11,w12,w13,w14,w15,w2,w3,w4,w5,w6,w7,w8,w9"
     ).split(",").toSet
-    val r1Total = mins.collect { case (k, v) if r1Set(k) => v }.sum
-    val r7Total = mins.collect {
+    val r1Total = okMins.collect { case (k, v) if r1Set(k) => v }.sum
+    val r7Total = okMins.collect {
       case (k, v) if r7Prefixes(k.takeWhile(_ != '_')) => v }.sum
-    val nR7 = mins.count { case (k, _) => r7Prefixes(k.takeWhile(_ != '_')) }
+    val nR7 = okMins.count { case (k, _) => r7Prefixes(k.takeWhile(_ != '_')) }
+    // Failed queries surface by prefix (bounded like the rest of the
+    // stdout line); a non-empty list means the total EXCLUDES them.
+    val failedPrefixes = failed.map(k =>
+      "\"" + k.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"value_r1_set":${f(r1Total)},"n_r1_set":${mins.map(_._1).count(r1Set)},"value_r7_set":${f(r7Total)},"n_r7_set":$nR7,"keys":"15 slowest + per-family sums; full per-query map in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"n_failed":${failed.size},"failed":$failedPrefixes,"value_r1_set":${f(r1Total)},"n_r1_set":${okMins.map(_._1).count(r1Set)},"value_r7_set":${f(r7Total)},"n_r7_set":$nR7,"keys":"15 slowest + per-family sums; full per-query map in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -95,6 +95,20 @@ object Graph {
   /** UTF8String binary order (unsigned byte-wise) — what Spark's string
     * comparisons use; the driver fast paths must tie-break identically.
     */
+  /** Sub-cap probe for the driver fast paths: rows reach the driver
+    * only AFTER a counted `limit(cap+1)` proves the (localCheckpointed)
+    * edge list fits, so an over-cap graph pays one count job that moves
+    * a single long — never a cap-sized (~1M-row) collect that then gets
+    * discarded. Returns None over-cap (or when the cap is disabled);
+    * the array is stable because every caller probes a checkpointed
+    * DataFrame.
+    */
+  private def subCapRows(
+      df: DataFrame, cap: Int): Option[Array[org.apache.spark.sql.Row]] =
+    if (cap <= 0) None
+    else if (df.limit(cap + 1).count() > cap) None
+    else Some(df.collect())
+
   private def utf8Less(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     val n = math.min(a.length, b.length)
@@ -185,10 +199,9 @@ object Graph {
     // the SAME lattice (identical IEEE multiply/divide/floor order,
     // exact long contribution sums) — bit-identical to the distributed
     // loop below, spec-pinned.
-    val eRows =
-      if (driverCapRows > 0) e.take(driverCapRows + 1)
-      else Array.empty[org.apache.spark.sql.Row]
-    if (driverCapRows > 0 && eRows.length <= driverCapRows) {
+    val eRowsOpt = subCapRows(e, driverCapRows)
+    if (eRowsOpt.isDefined) {
+      val eRows = eRowsOpt.get
       val nodeRows = nodes.collect()
       val names = nodeRows.map(_.getString(0))
       val tele = nodeRows.map(_.getBoolean(1))
@@ -296,10 +309,9 @@ object Graph {
     // bit-identical to the distributed loop, spec-pinned. A node keeps
     // a score entry exactly when the corresponding join would emit it
     // (authority: has in-edges; hub: has out-edges after round 1).
-    val eRows =
-      if (driverCapRows > 0) e.take(driverCapRows + 1)
-      else Array.empty[org.apache.spark.sql.Row]
-    if (driverCapRows > 0 && eRows.length <= driverCapRows) {
+    val eRowsOpt = subCapRows(e, driverCapRows)
+    if (eRowsOpt.isDefined) {
+      val eRows = eRowsOpt.get
       val names = nodes.collect().map(_.getString(0))
       val idx = names.zipWithIndex.toMap
       val nn = names.length
@@ -573,10 +585,9 @@ object Graph {
     // names and the per-round vote is (max count, min label) with ties
     // broken in UTF8String BINARY order — utf8Less mirrors Spark's
     // string comparison so the tie-break is bit-identical, spec-pinned.
-    val eRows =
-      if (driverCapRows > 0) e.take(driverCapRows + 1)
-      else Array.empty[org.apache.spark.sql.Row]
-    if (driverCapRows > 0 && eRows.length <= driverCapRows) {
+    val eRowsOpt = subCapRows(e, driverCapRows)
+    if (eRowsOpt.isDefined) {
+      val eRows = eRowsOpt.get
       val m = eRows.length
       val names = eRows.map(_.getString(0)).distinct.toArray
       val idx = names.zipWithIndex.toMap
@@ -711,10 +722,9 @@ object Graph {
       .unionAll(raw.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
-    val eRows =
-      if (driverCapRows > 0) und.take(driverCapRows + 1)
-      else Array.empty[org.apache.spark.sql.Row]
-    if (driverCapRows > 0 && eRows.length <= driverCapRows) {
+    val eRowsOpt = subCapRows(und, driverCapRows)
+    if (eRowsOpt.isDefined) {
+      val eRows = eRowsOpt.get
       val names = eRows.map(_.getString(0)).distinct.toArray
       val idx = names.zipWithIndex.toMap
       val m = eRows.length

@@ -444,9 +444,16 @@ object Retrieval {
     // integer sums (BigInt ≡ decimal(38,0), both order-free), identical
     // IEEE double ops — instead of ~4 Spark jobs per round. Beyond the
     // cap the distributed loop below is the plan, unchanged.
+    // Sub-cap probe: a counted limit proves the (checkpointed) pair
+    // table fits BEFORE any row moves to the driver — an over-cap run
+    // pays one count job, never a cap-sized collect it then discards.
     val capRows = driverCapRows
-    val bothRows = if (capRows > 0) both.take(capRows + 1) else Array.empty[org.apache.spark.sql.Row]
-    if (capRows > 0 && bothRows.length <= capRows) {
+    val bothRowsOpt =
+      if (capRows > 0 && both.limit(capRows + 1).count() <= capRows)
+        Some(both.collect())
+      else None
+    if (bothRowsOpt.isDefined) {
+      val bothRows = bothRowsOpt.get
       val baseRows = base.collect()
       val ids = baseRows.map(_.getString(0))
       val winsArr = baseRows.map(_.getLong(1))

@@ -372,13 +372,27 @@ object Similarity {
     * values.
     */
   def sqTrain(df: DataFrame, vecCol: String): SqModel = {
-    val rows = df
-      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+    // Fail-loud input discipline (the krippendorffAlpha/mcnemar
+    // convention): a null vector must raise, not vanish through
+    // posexplode; ragged lengths and null elements must raise, not
+    // skew the per-dimension bounds (min/max silently skip nulls, and
+    // a short vector simply contributes nothing to its missing dims).
+    val guarded = df.select(
+      when(col(vecCol).isNull,
+        raise_error(lit("sqTrain: null vector")))
+        .otherwise(col(vecCol)).as("v"))
+    val rows = guarded
+      .select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("i").agg(min(col("x").cast("double")).as("mn"),
-        max(col("x").cast("double")).as("mx"))
+        max(col("x").cast("double")).as("mx"),
+        count(lit(1)).as("n"), count(col("x")).as("nx"))
       .collect()
       .sortBy(_.getInt(0))
     require(rows.nonEmpty, "sqTrain: empty corpus")
+    require(rows.map(_.getLong(3)).distinct.length == 1 &&
+      rows.forall(r => r.getLong(3) == r.getLong(4)),
+      "sqTrain: ragged vector lengths or null elements — every vector " +
+        "must carry the same non-null dimensions")
     SqModel(rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
   }
 
@@ -395,7 +409,17 @@ object Similarity {
       model: SqModel): DataFrame = {
     val mins = typedLit(model.mins)
     val maxs = typedLit(model.maxs)
+    // Fail-loud: a null / short / null-element vector would otherwise
+    // yield NULL (or silently-zero) code elements that sqTopK ranks
+    // last instead of surfacing the bad input.
+    val bad = col(vecCol).isNull ||
+      size(col(vecCol)) < lit(model.dim) ||
+      exists(col(vecCol), _.isNull)
     df.select(col(idCol).as("id"),
+      when(bad, raise_error(concat(
+        lit("sqQuantize: null, short or null-element vector for id "),
+        col(idCol).cast("string"))))
+        .otherwise(
       transform(sequence(lit(1), lit(model.dim)), i =>
         when(element_at(maxs, i) > element_at(mins, i),
           least(lit(255L), greatest(lit(0L),
@@ -403,7 +427,7 @@ object Similarity {
               element_at(mins, i)) /
               (element_at(maxs, i) - element_at(mins, i)) * lit(255.0) +
               lit(0.5)))))
-          .otherwise(lit(0L))).as("qv"))
+          .otherwise(lit(0L)))).as("qv"))
   }
 
   /** Top-k retrieval over int8-quantized vectors — the SQ8 index path

@@ -351,14 +351,29 @@ object TextAnalytics {
     * model state a deployment trains once and applies at ingest.
     * Vocabulary-sized driver state, the same contract as the BPE merge
     * table and k-means centroids (model-sized collects are the one
-    * sanctioned kind).
+    * sanctioned kind) — but an OPEN vocabulary (URLs, hashes, CJK
+    * segmentation failures) grows with the corpus, so the collect is
+    * capped: a sub-cap probe (counted limit, no row transfer) runs
+    * first and an over-cap vocabulary fails loudly. The scale paths are
+    * explicit, not silent: raise `maxVocab`, pre-filter the corpus, or
+    * use the fully distributed [[unigramLogProb]] (the batch scorer,
+    * join-based, no driver model) instead of the frozen-map
+    * [[meanNllColumn]] gate.
     */
   def unigramModel(
-      docs: DataFrame, idCol: String, textCol: String)
-      : (Map[String, Long], Long) = {
-    val m = docs.select(explode(tokens(col(textCol))).as("term"))
+      docs: DataFrame, idCol: String, textCol: String,
+      maxVocab: Int = 1 << 22): (Map[String, Long], Long) = {
+    require(maxVocab > 0, s"maxVocab must be > 0 (got $maxVocab)")
+    val counts = docs.select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .localCheckpoint()
+    val probe = counts.limit(maxVocab + 1).count()
+    require(probe <= maxVocab,
+      s"unigramModel: vocabulary exceeds maxVocab=$maxVocab — a frozen " +
+        "driver-side LM needs a bounded vocabulary; raise the cap, " +
+        "pre-filter the corpus, or score with the distributed " +
+        "unigramLogProb instead")
+    val m = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (m, m.values.sum)
   }
 

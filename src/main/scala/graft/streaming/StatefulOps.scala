@@ -316,6 +316,13 @@ object StatefulOps {
   private[streaming] def advanceGaps(
       user: Long, events: Seq[GapEv], prior: Option[LastGap])
       : (Seq[GapRow], LastGap) = {
+    // NoTimeout invariant: flatMapGroupsWithState only invokes a group
+    // that has data this batch, so events ++ prior is never empty. A
+    // future timeout registration would break that — fail with the
+    // invariant named rather than an anonymous last.get NoSuchElement.
+    require(events.nonEmpty || prior.nonEmpty,
+      "advanceGaps invoked with no events and no prior state — the " +
+        "NoTimeout invariant no longer holds (was a state timeout added?)")
     val sorted = events.sortBy(e => (e.ts_ns, e.eid))
     val out = scala.collection.mutable.ArrayBuffer.empty[GapRow]
     var last = prior

@@ -542,6 +542,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(3L) == Seq(255L, 0L, 128L)) // floor(0.5*255 + 0.5) = 128
   }
 
+  test("sqTrain/sqQuantize reject null, ragged and short vectors loudly") {
+    import spark.implicits._
+    // sqTrain: a null vector used to vanish through posexplode and a
+    // short vector to silently skew per-dim bounds; both must raise.
+    val e1 = intercept[Exception] {
+      Similarity.sqTrain(
+        Seq((1L, Array(1.0f, 2.0f)), (2L, null))
+          .toDF("id", "v"), "v")
+    }
+    assert(e1.getMessage.contains("null vector")
+      || e1.getCause != null &&
+        e1.getCause.getMessage.contains("null vector"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Similarity.sqTrain(
+        Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f)))
+          .toDF("id", "v"), "v")
+    }
+    assert(e2.getMessage.contains("ragged"), e2.getMessage)
+    // sqQuantize: a vector shorter than model.dim used to emit NULL
+    // code elements that sqTopK ranked last instead of failing.
+    val m = Similarity.SqModel(Seq(0.0, 0.0), Seq(1.0, 1.0))
+    val e3 = intercept[Exception] {
+      Similarity.sqQuantize(
+        Seq((1L, Array(0.5f))).toDF("id", "v"), "id", "v", m).collect()
+    }
+    assert(e3.getMessage.contains("sqQuantize")
+      || e3.getCause != null &&
+        e3.getCause.getMessage.contains("sqQuantize"), e3.getMessage)
+  }
+
   test("sqTopK ≡ plain-Scala quantized integer ranking; bounds from data") {
     import spark.implicits._
     val rnd = new scala.util.Random(71)

@@ -777,4 +777,18 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(got(5L) == ((2L, 2L, 1L)))
     assert(got(6L) == ((0L, 0L, 0L)))
   }
+
+  test("unigramModel: frozen LM counts; over-cap vocabulary fails loudly") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    val (m, total) = TextAnalytics.unigramModel(docs, "doc_id", "text")
+    assert(m("the") == 2L && m("cat") == 2L && m("sat") == 1L &&
+      m("ran") == 1L && total == 6L)
+    // open-vocabulary guard: the driver collect must refuse rather
+    // than materialize an unbounded term table
+    val e = intercept[IllegalArgumentException] {
+      TextAnalytics.unigramModel(docs, "doc_id", "text", maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+  }
 }
