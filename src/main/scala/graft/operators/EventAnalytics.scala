@@ -740,9 +740,22 @@ object EventAnalytics {
         raise_error(concat(lit("abSignificance: variant must be a|b, got "),
           col(variantCol).cast("string"))))
         .otherwise(col(variantCol)).as("v"))
-    val exposure = base.select("u", "v").distinct()
+    abReport(base.select("u", "v").distinct(),
+      base.select("u", "v", "event_type").distinct())
+  }
+
+  /** The w18 report over FIRST-SEEN rows — `exposedUsers` (u, v), one
+    * row per exposed user-variant; `convUsers` (u, v, event_type), one
+    * row per converting triple. [[abSignificance]] derives these with
+    * two distincts; the streaming twin
+    * ([[graft.streaming.StatefulOps.abFirstsStream]]) emits exactly
+    * these rows incrementally from per-user state, so its sink feeds
+    * this finisher directly — delegation, the two sides cannot drift.
+    */
+  def abReport(exposedUsers: DataFrame, convUsers: DataFrame): DataFrame = {
+    val exposure = exposedUsers
       .groupBy("v").agg(count(lit(1)).as("n"))
-    val conv = base.select("u", "v", "event_type").distinct()
+    val conv = convUsers
       .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
     def side(s: String, out: String, df: DataFrame, c: String) =
       df.filter(col("v") === s).drop("v").withColumnRenamed(c, out)
@@ -843,16 +856,35 @@ object EventAnalytics {
     * Output: (event_type, hour_of_week, n_events, share_e6, is_peak).
     */
   def seasonalityProfile(
+      events: DataFrame, tsCol: String, typeCol: String): DataFrame =
+    seasonalityFromCounts(
+      seasonHours(events, tsCol, typeCol)
+        .groupBy("event_type", "hour_of_week")
+        .agg(count(lit(1)).as("n_events")))
+
+  /** The w16 hour bucketing alone — (event_type, hour_of_week) rows on
+    * the exact floor idiom. The streaming twin feeds these rows into
+    * [[graft.streaming.StatefulOps.seasonalityStream]] so batch and
+    * stream bucket identically by construction.
+    */
+  def seasonHours(
       events: DataFrame, tsCol: String, typeCol: String): DataFrame = {
     val hourNs = 3600L * 1000 * 1000 * 1000
-    val counts = events
+    events
       .select(col(typeCol).as("event_type"),
         col(tsCol).cast("long").as("__ts"))
       .select(col("event_type"),
         pmod(expr(s"(__ts - pmod(__ts, ${hourNs}L)) div ${hourNs}L")
           - 96L, lit(168L)).as("hour_of_week"))
-      .groupBy("event_type", "hour_of_week")
-      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** The w16 report over a (event_type, hour_of_week, n_events) count
+    * table — shares on the 1e-6 lattice, struct-max argmax peak. The
+    * streaming twin's sink upserts counts per (type, hour) (monotone,
+    * so max(n_events) is the latest) and feeds this finisher —
+    * delegation, the two sides cannot drift.
+    */
+  def seasonalityFromCounts(counts: DataFrame): DataFrame = {
     val totals = counts.groupBy("event_type")
       .agg(sum("n_events").as("total"),
         max(struct(col("n_events"), (-col("hour_of_week")).as("nh")))

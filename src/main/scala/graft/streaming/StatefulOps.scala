@@ -549,6 +549,126 @@ object StatefulOps {
       }
   }
 
+  case class SeasonEv(event_type: String, hour_of_week: Long)
+  case class SeasonCount(
+      event_type: String, hour_of_week: Long, n_events: Long)
+  case class SeasonState(counts: Seq[Long])
+
+  /** One micro-batch of hour-of-week profile advancement — the
+    * streaming twin of
+    * [[graft.operators.EventAnalytics.seasonalityProfile]]'s count
+    * table. State per type is the CALENDAR-bounded 168-long count
+    * vector (fixed-size by construction — the hour index wraps, so no
+    * horizon/watermark is even needed: every arrival, however late,
+    * lands in its hour bucket exactly like the batch groupBy). Each
+    * batch emits one upsert row per (type, hour) touched, carrying the
+    * new cumulative count — counts are monotone, so the sink's
+    * max(n_events) per key IS the latest value.
+    */
+  private[streaming] def advanceSeason(
+      etype: String, hours: Seq[Long], prior: Option[SeasonState])
+      : (Seq[SeasonCount], SeasonState) = {
+    val counts = prior.map(_.counts.toArray).getOrElse(Array.fill(168)(0L))
+    require(counts.length == 168,
+      s"advanceSeason: corrupt state (${counts.length} buckets)")
+    val touched = scala.collection.mutable.SortedSet.empty[Int]
+    hours.foreach { h =>
+      require(h >= 0 && h < 168,
+        s"advanceSeason: hour_of_week out of [0, 168) (got $h)")
+      counts(h.toInt) += 1L
+      touched += h.toInt
+    }
+    (touched.toSeq.map(h => SeasonCount(etype, h.toLong, counts(h))),
+      SeasonState(counts.toSeq))
+  }
+
+  /** Streaming hour-of-week seasonality counts (Append mode): upsert
+    * rows per (type, hour) — downstream, max(n_events) per key +
+    * [[graft.operators.EventAnalytics.seasonalityFromCounts]] over the
+    * sink IS the w16 profile, maintained incrementally (delegation, not
+    * a re-authored twin). Feed it
+    * [[graft.operators.EventAnalytics.seasonHours]] rows so the
+    * bucketing is the batch operator's by construction. State per key:
+    * 168 longs — O(types), never O(events); no timeout registered, so
+    * idle streams run no state-scan micro-batches.
+    */
+  def seasonalityStream(
+      spark: SparkSession, ds: Dataset[SeasonEv]): Dataset[SeasonCount] = {
+    import spark.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[SeasonState, SeasonCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (et: String, evs: Iterator[SeasonEv],
+         state: GroupState[SeasonState]) =>
+          val (rows, st) = advanceSeason(
+            et, evs.map(_.hour_of_week).toIndexedSeq, state.getOption)
+          state.update(st)
+          rows.iterator
+      }
+  }
+
+  case class AbEv(user_id: Long, variant: String, event_type: String)
+  case class AbConv(v: String, event_type: String)
+  case class AbState(exposed: Seq[String], conv: Seq[AbConv])
+  case class AbFirst(u: Long, v: String, event_type: String)
+
+  /** One micro-batch of A/B first-seen emission — the streaming twin of
+    * [[graft.operators.EventAnalytics.abSignificance]]'s two distincts.
+    * State per user: the exposed-variant set (≤ 2) plus the converted
+    * (variant, type) set (≤ 2·|types| fixed-size rows — types are a
+    * bounded taxonomy, the [[advanceRate]] per-key contract). A user's
+    * FIRST event under a variant emits an exposure row (event_type
+    * null); the first of each (variant, type) emits a conversion row —
+    * so the emitted rows ARE the batch distincts, order-independent
+    * (dedup is idempotent; there is no horizon to be late past). A
+    * variant outside a|b fails loudly, the batch raise_error twin.
+    */
+  private[streaming] def advanceAb(
+      user: Long, evs: Seq[(String, String)], prior: Option[AbState])
+      : (Seq[AbFirst], AbState) = {
+    var exposed = prior.map(_.exposed.toSet).getOrElse(Set.empty[String])
+    var conv = prior.map(_.conv.toSet).getOrElse(Set.empty[AbConv])
+    val out = scala.collection.mutable.ArrayBuffer.empty[AbFirst]
+    evs.foreach { case (v, et) =>
+      require(v == "a" || v == "b",
+        s"abFirstsStream: variant must be a|b, got $v")
+      if (!exposed.contains(v)) {
+        out += AbFirst(user, v, null); exposed += v
+      }
+      val c = AbConv(v, et)
+      if (!conv.contains(c)) {
+        out += AbFirst(user, v, et); conv += c
+      }
+    }
+    (out.toSeq,
+      AbState(exposed.toSeq.sorted,
+        conv.toSeq.sortBy(c => (c.v, c.event_type))))
+  }
+
+  /** Streaming A/B first-seen rows (Append mode): exposure rows
+    * (event_type null) and conversion rows — downstream,
+    * [[graft.operators.EventAnalytics.abReport]] over the sink's two
+    * slices IS the w18 significance report, maintained incrementally
+    * (delegation, not a re-authored twin; the exact div/mod z² ladder
+    * runs only in the shared finisher). State per key: ≤ 2 + 2·|types|
+    * fixed-size rows — O(users), never O(events); no timeout
+    * registered, so idle streams run no state-scan micro-batches.
+    */
+  def abFirstsStream(
+      spark: SparkSession, ds: Dataset[AbEv]): Dataset[AbFirst] = {
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AbState, AbFirst](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[AbEv], state: GroupState[AbState]) =>
+          val (rows, st) = advanceAb(
+            user, evs.map(e => (e.variant, e.event_type)).toIndexedSeq,
+            state.getOption)
+          state.update(st)
+          rows.iterator
+      }
+  }
+
   /** Streaming sessionizer: closes a session when the processing-time
     * timeout fires after `gapUs` of silence for the key.
     *
