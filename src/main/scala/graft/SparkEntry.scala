@@ -2844,6 +2844,76 @@ FROM c"""
           .as("n")),
       "doc_id", "n", contextLen = 2048L, nShards = 8, epoch = 1L)
 
+  /** e20: chrF2 over the e11 corruption grid — character n-gram F-score
+    * (n = 1..6, β = 2, whitespace stripped, sacrebleu effective-order
+    * averaging). Full oracle: exact integer gram clips, one fixed IEEE
+    * tree per pair for P/R/chrF2 (the e11 contract).
+    */
+  private def e20Chrf(s: SparkSession, d: String): DataFrame =
+    Retrieval.chrF(evalPairGrid(s, d), "pair_id", "cand", "ref")
+
+  /** e21: Mann–Whitney U rank-sum test — doc lengths bucketed mod 97
+    * (heavy ties) with group b shifted +3, so the verdict is a real
+    * rejection. Exact 2·midrank integers, tie-corrected z² as one
+    * exact div/mod comparison, common-language effect on the 1e-6
+    * lattice. Full oracle (HUGEINT mirror).
+    */
+  private def e21MannWhitney(s: SparkSession, d: String): DataFrame =
+    Classifier.mannWhitney(
+      T(s, d, "documents").select(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("a"))
+          .otherwise(lit("b")).as("g"),
+        (pmod(length(col("text")), lit(97)) +
+          when(pmod(col("doc_id"), lit(2)) === 0, 0).otherwise(3))
+          .cast("double").as("x")),
+      "g", "x")
+
+  /** t38: stupid-backoff trigram scoring with a REAL train/apply split
+    * (train = even docs, score = all), so odd docs genuinely exercise
+    * the 0.4-backoff chain. Full oracle: string-keyed count twins of
+    * the xxhash64 tables, identical per-position IEEE trees, round-4.
+    */
+  private def t38BackoffTrigram(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.stupidBackoffLogProb(
+      T(s, d, "documents").filter(pmod(col("doc_id"), lit(2)) === 0),
+      T(s, d, "documents"), "doc_id", "text")
+
+  /** s13: systematic (low-variance) resampling — 5000 copies drawn
+    * against length-derived integer weights (mod 19, so zero-weight
+    * docs exercise the drop path) by the deterministic u = ½ comb;
+    * counts are exact integer floor-divisions of cumulative weights.
+    * Full oracle: the textbook one-window prefix sum + identical
+    * div algebra.
+    */
+  private def s13SystematicResample(s: SparkSession, d: String): DataFrame =
+    Sampling.systematicResample(
+      T(s, d, "documents").select(col("doc_id"),
+        pmod(length(col("text")), lit(19)).cast("long").as("w")),
+      "doc_id", "w", m = 5000L, shardSize = 1024L)
+
+  /** m10: BMP structure metadata — per-doc BMPs BUILT with real
+    * little-endian DIB headers (dims/bpp/top-down/palette closed-form
+    * in doc_id; every 11th doc non-BMP text bytes) and PARSED back by
+    * the header walk incl. the 4-byte row-stride derivation; a
+    * construct→parse round trip with a closed-form oracle (the m8
+    * discipline).
+    */
+  private def m10BmpMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = T(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes =
+          if (id % 11 == 0) text.getBytes("UTF-8") // non-BMP: dropped
+          else Multimodal.bmpBytes(
+            width = 1 + (id % 640).toInt, height = 1 + (id % 480).toInt,
+            bitsPerPixel = Array(1, 4, 8, 24, 32)((id % 5).toInt),
+            topDown = id % 7 == 0)
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+    Multimodal.bmpMeta(s, payloads, "doc_id")
+  }
+
   /** e19: Krippendorff's alpha (nominal) — docs grouped 4-to-a-unit as
     * "raters", values unit-correlated with per-doc dissent, every 29th
     * rating missing (so unit sizes vary and the 1/(m−1) weights
@@ -3655,7 +3725,12 @@ FROM c"""
     "j19_interval_cluster" -> (j19IntervalCluster _),
     "v19_sq_recall" -> (v19SqRecall _),
     "e19_krippendorff" -> (e19Krippendorff _),
-    "s12_sequence_pack" -> (s12SequencePack _))
+    "s12_sequence_pack" -> (s12SequencePack _),
+    "e20_chrf" -> (e20Chrf _),
+    "e21_mann_whitney" -> (e21MannWhitney _),
+    "t38_backoff_trigram" -> (t38BackoffTrigram _),
+    "s13_systematic_resample" -> (s13SystematicResample _),
+    "m10_bmp_meta" -> (m10BmpMeta _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -8304,6 +8379,210 @@ FROM c"""
         |    + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_chunks,
         |  (doc_id % 4 >= 2 OR doc_id % 7 = 0) AS has_alpha
+        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin,
+    // e20 twin: the e11 pair grid, whitespace-stripped char n-grams
+    // n = 1..6 with exact integer clips, then P/R/chrF2 as the SAME
+    // fixed IEEE tree the Spark operator evaluates (ascending-n term
+    // sums written out, never a float SUM)
+    "e20_chrf" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |    x -> x <> '') AS w FROM documents),
+        |pairs0 AS (SELECT doc_id*4 + k AS q_id,
+        |    CASE WHEN k = 0 THEN w[1:12] WHEN k = 1 THEN w[1:8]
+        |         WHEN k = 2 THEN list_concat(w[1:12], w[1:4])
+        |         ELSE list_reverse(w[1:12]) END AS ct,
+        |    w[1:12] AS rt
+        |  FROM t, (SELECT unnest([0, 1, 2, 3]) AS k)),
+        |pairs AS (SELECT q_id,
+        |    regexp_replace(array_to_string(ct, ' '), '[ \t\n\r]', '',
+        |      'g') AS cs,
+        |    regexp_replace(array_to_string(rt, ' '), '[ \t\n\r]', '',
+        |      'g') AS rs
+        |  FROM pairs0),
+        |cpos AS (SELECT q_id, cs, n,
+        |    unnest(range(1, greatest(length(cs)-n+2, 1))) AS i
+        |  FROM pairs, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n)),
+        |cg AS (SELECT q_id, n, substr(cs, i, n) AS gram, count(*) AS cc
+        |  FROM cpos GROUP BY 1, 2, 3),
+        |rpos AS (SELECT q_id, rs, n,
+        |    unnest(range(1, greatest(length(rs)-n+2, 1))) AS i
+        |  FROM pairs, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n)),
+        |rg AS (SELECT q_id, n, substr(rs, i, n) AS gram, count(*) AS rc
+        |  FROM rpos GROUP BY 1, 2, 3),
+        |clip AS (SELECT cg.q_id, cg.n, sum(least(cc, rc))::BIGINT AS cl
+        |  FROM cg JOIN rg USING (q_id, n, gram) GROUP BY 1, 2),
+        |byq AS (SELECT q_id,
+        |    sum(CASE WHEN n = 1 THEN cl END)::BIGINT AS cl1,
+        |    sum(CASE WHEN n = 2 THEN cl END)::BIGINT AS cl2,
+        |    sum(CASE WHEN n = 3 THEN cl END)::BIGINT AS cl3,
+        |    sum(CASE WHEN n = 4 THEN cl END)::BIGINT AS cl4,
+        |    sum(CASE WHEN n = 5 THEN cl END)::BIGINT AS cl5,
+        |    sum(CASE WHEN n = 6 THEN cl END)::BIGINT AS cl6
+        |  FROM clip GROUP BY 1),
+        |lens AS (SELECT q_id, length(cs)::BIGINT AS c_len,
+        |    length(rs)::BIGINT AS r_len FROM pairs),
+        |f AS (SELECT lens.q_id, c_len, r_len, cl1, cl2, cl3, cl4, cl5,
+        |    cl6 FROM lens LEFT JOIN byq ON lens.q_id = byq.q_id),
+        |pr AS (SELECT q_id, c_len, r_len,
+        |    CASE WHEN c_len > 0 THEN (
+        |      (((((CASE WHEN c_len >= 1 THEN coalesce(cl1, 0)::DOUBLE
+        |          / c_len::DOUBLE ELSE 0.0::DOUBLE END
+        |      + CASE WHEN c_len >= 2 THEN coalesce(cl2, 0)::DOUBLE
+        |          / (c_len - 1)::DOUBLE ELSE 0.0::DOUBLE END)
+        |      + CASE WHEN c_len >= 3 THEN coalesce(cl3, 0)::DOUBLE
+        |          / (c_len - 2)::DOUBLE ELSE 0.0::DOUBLE END)
+        |      + CASE WHEN c_len >= 4 THEN coalesce(cl4, 0)::DOUBLE
+        |          / (c_len - 3)::DOUBLE ELSE 0.0::DOUBLE END)
+        |      + CASE WHEN c_len >= 5 THEN coalesce(cl5, 0)::DOUBLE
+        |          / (c_len - 4)::DOUBLE ELSE 0.0::DOUBLE END)
+        |      + CASE WHEN c_len >= 6 THEN coalesce(cl6, 0)::DOUBLE
+        |          / (c_len - 5)::DOUBLE ELSE 0.0::DOUBLE END)
+        |      / least(c_len, 6)::DOUBLE) END AS p,
+        |    CASE WHEN r_len > 0 THEN (
+        |      (((((CASE WHEN r_len >= 1 THEN coalesce(cl1, 0)::DOUBLE
+        |          / r_len::DOUBLE ELSE 0.0::DOUBLE END
+        |      + CASE WHEN r_len >= 2 THEN coalesce(cl2, 0)::DOUBLE
+        |          / (r_len - 1)::DOUBLE ELSE 0.0::DOUBLE END)
+        |      + CASE WHEN r_len >= 3 THEN coalesce(cl3, 0)::DOUBLE
+        |          / (r_len - 2)::DOUBLE ELSE 0.0::DOUBLE END)
+        |      + CASE WHEN r_len >= 4 THEN coalesce(cl4, 0)::DOUBLE
+        |          / (r_len - 3)::DOUBLE ELSE 0.0::DOUBLE END)
+        |      + CASE WHEN r_len >= 5 THEN coalesce(cl5, 0)::DOUBLE
+        |          / (r_len - 4)::DOUBLE ELSE 0.0::DOUBLE END)
+        |      + CASE WHEN r_len >= 6 THEN coalesce(cl6, 0)::DOUBLE
+        |          / (r_len - 5)::DOUBLE ELSE 0.0::DOUBLE END)
+        |      / least(r_len, 6)::DOUBLE) END AS r
+        |  FROM f)
+        |SELECT q_id, c_len, r_len,
+        |  least(c_len, 6)::BIGINT AS m_c, least(r_len, 6)::BIGINT AS m_r,
+        |  CASE WHEN c_len > 0 THEN
+        |    floor(p * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT
+        |  END AS prec_e6,
+        |  CASE WHEN r_len > 0 THEN
+        |    floor(r * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT
+        |  END AS rec_e6,
+        |  CASE WHEN c_len > 0 AND r_len > 0 THEN
+        |    CASE WHEN 4.0::DOUBLE * p + r > 0.0::DOUBLE THEN
+        |      floor(5.0::DOUBLE * p * r / (4.0::DOUBLE * p + r)
+        |        * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT
+        |    ELSE 0::BIGINT END
+        |  END AS chrf2_e6
+        |FROM pr""".stripMargin,
+    // e21 twin: the same 2·midrank grid, HUGEINT-exact U/tie sums and
+    // the identical A − F div K ladder (r > 0 breaks the equality)
+    "e21_mann_whitney" ->
+      """WITH s AS (SELECT
+        |    CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    (length(text) % 97
+        |      + CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 3 END)::DOUBLE AS x
+        |  FROM documents),
+        |grid AS (SELECT x, count(*)::BIGINT AS cnt,
+        |    sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)::BIGINT AS cnt_a
+        |  FROM s GROUP BY 1),
+        |cum AS (SELECT x, cnt, cnt_a,
+        |    coalesce(sum(cnt) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS cumbefore
+        |  FROM grid),
+        |agg AS (SELECT sum(cnt_a)::HUGEINT AS n_a,
+        |    sum(cnt - cnt_a)::HUGEINT AS n_b,
+        |    sum(cnt_a::HUGEINT
+        |      * (2*cumbefore + cnt + 1)::HUGEINT)::HUGEINT AS r2_a,
+        |    sum(cnt::HUGEINT * cnt::HUGEINT * cnt::HUGEINT
+        |      - cnt::HUGEINT)::HUGEINT AS tie
+        |  FROM cum),
+        |v AS (SELECT n_a, n_b, r2_a, tie,
+        |    r2_a - n_a*(n_a + 1) AS u2, n_a + n_b AS nn FROM agg),
+        |w AS (SELECT n_a, n_b, u2, tie, nn, nn*(nn - 1) AS k,
+        |    u2 - n_a*n_b AS d,
+        |    38416::HUGEINT * n_a * n_b * (nn + 1) AS a_term,
+        |    38416::HUGEINT * n_a * n_b * tie AS f_num FROM v)
+        |SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+        |  u2::BIGINT AS u2_a, tie::BIGINT AS tie_sum,
+        |  CASE WHEN n_a*n_b > 0 THEN
+        |    ((2*u2*1000000 + 2*n_a*n_b) // (4*n_a*n_b))::BIGINT
+        |  END AS cle_e6,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR nn < 2
+        |      OR (nn + 1)*k - tie <= 0 THEN 'undefined'
+        |    WHEN 30000::HUGEINT * d * d > a_term - (f_num // k)
+        |      OR (30000::HUGEINT * d * d = a_term - (f_num // k)
+        |        AND (f_num % k) > 0)
+        |    THEN 'significant' ELSE 'not_significant' END AS verdict
+        |FROM w""".stripMargin,
+    // t38 twin: string-keyed count tables standing in for the xxhash64
+    // ones (the t17 trade), identical per-position backoff CASE tree
+    "t38_backoff_trigram" ->
+      """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |tr AS (SELECT w FROM d WHERE id % 2 = 0),
+        |t3 AS (SELECT w[i] AS a, w[i+1] AS b, w[i+2] AS c
+        |  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM tr)),
+        |ct3 AS (SELECT a, b, c, count(*)::BIGINT AS c_tri
+        |  FROM t3 GROUP BY 1, 2, 3),
+        |t2 AS (SELECT w[i] AS l, w[i+1] AS r
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tr)),
+        |ct2 AS (SELECT l, r, count(*)::BIGINT AS c_bi
+        |  FROM t2 GROUP BY 1, 2),
+        |t1 AS (SELECT unnest(w) AS t FROM tr),
+        |ct1 AS (SELECT t, count(*)::BIGINT AS c_uni FROM t1 GROUP BY 1),
+        |tv AS (SELECT count(*)::BIGINT AS total,
+        |    count(DISTINCT t)::BIGINT AS v FROM t1),
+        |pos AS (SELECT id, w[i] AS a, w[i+1] AS b, w[i+2] AS c
+        |  FROM (SELECT id, w, unnest(range(1, len(w) - 1)) AS i FROM d)),
+        |j AS (SELECT pos.id, ct3.c_tri, b12.c_bi AS c12,
+        |    b23.c_bi AS c23, u2.c_uni AS c2, u3.c_uni AS c3,
+        |    tv.total, tv.v
+        |  FROM pos
+        |  LEFT JOIN ct3 ON ct3.a = pos.a AND ct3.b = pos.b
+        |    AND ct3.c = pos.c
+        |  LEFT JOIN ct2 b12 ON b12.l = pos.a AND b12.r = pos.b
+        |  LEFT JOIN ct2 b23 ON b23.l = pos.b AND b23.r = pos.c
+        |  LEFT JOIN ct1 u2 ON u2.t = pos.b
+        |  LEFT JOIN ct1 u3 ON u3.t = pos.c
+        |  CROSS JOIN tv)
+        |SELECT id, count(*)::BIGINT AS n_trigrams,
+        |  round(sum(-ln(
+        |    CASE WHEN c_tri IS NOT NULL THEN c_tri::DOUBLE / c12::DOUBLE
+        |    WHEN c23 IS NOT NULL THEN
+        |      0.4::DOUBLE * (c23::DOUBLE / c2::DOUBLE)
+        |    ELSE 0.16::DOUBLE * ((coalesce(c3, 0) + 1)::DOUBLE
+        |      / (total + v)::DOUBLE) END)) / count(*), 4) AS mean_nll,
+        |  sum(CASE WHEN c_tri IS NULL AND c23 IS NOT NULL THEN 1
+        |    ELSE 0 END)::BIGINT AS n_bo_bi,
+        |  sum(CASE WHEN c_tri IS NULL AND c23 IS NULL THEN 1
+        |    ELSE 0 END)::BIGINT AS n_bo_uni
+        |FROM j GROUP BY id""".stripMargin,
+    // s13 twin: the textbook one-window prefix sum + the identical
+    // comb floor-division algebra
+    "s13_systematic_resample" ->
+      """WITH b AS (SELECT doc_id AS id,
+        |    (length(text) % 19)::BIGINT AS weight FROM documents),
+        |c AS (SELECT id, weight,
+        |    sum(weight) OVER (ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      ::BIGINT AS cum_w FROM b),
+        |t AS (SELECT sum(weight)::BIGINT AS w_tot FROM b)
+        |SELECT id, weight, cum_w,
+        |  ((2*cum_w*5000 + w_tot) // (2*w_tot)
+        |    - (2*(cum_w - weight)*5000 + w_tot) // (2*w_tot))::BIGINT
+        |    AS n_copies
+        |FROM c CROSS JOIN t
+        |WHERE (2*cum_w*5000 + w_tot) // (2*w_tot)
+        |  - (2*(cum_w - weight)*5000 + w_tot) // (2*w_tot) > 0""".stripMargin,
+    // m10 twin: closed-form in doc_id (the m7/m8 discipline), incl.
+    // the 4-byte-aligned row stride
+    "m10_bmp_meta" ->
+      """SELECT doc_id AS id,
+        |  (1 + doc_id % 640)::BIGINT AS width,
+        |  (1 + doc_id % 480)::BIGINT AS height,
+        |  doc_id % 7 = 0 AS top_down,
+        |  (CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 8
+        |    WHEN 3 THEN 24 ELSE 32 END)::BIGINT AS bits_per_pixel,
+        |  (CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 16 WHEN 2 THEN 256
+        |    ELSE 0 END)::BIGINT AS n_colors,
+        |  (((CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 8
+        |      WHEN 3 THEN 24 ELSE 32 END) * (1 + doc_id % 640) + 31)
+        |    // 32 * 4)::BIGINT AS row_stride
         |FROM documents WHERE doc_id % 11 <> 0""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the

@@ -679,6 +679,114 @@ object Classifier {
         .as("spearman_rho"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
+    * nonparametric "did variant b's scores shift" read next to
+    * [[graft.operators.EventAnalytics.abSignificance]]'s conversion
+    * z-test: quality scores, latencies and reward-model outputs are
+    * rarely normal, and the rank test needs no distributional
+    * assumption. Groups are 'a'|'b' (anything else fails loudly, the
+    * abSignificance contract); null/NaN values fail loudly (engines
+    * order them differently — the [[spearman]] discipline).
+    *
+    * Classic tie handling (midranks) carried exactly: ranks ride as
+    * INTEGER 2·midrank = 2·cumbefore + cnt + 1 over the distinct-value
+    * grid ([[spearman]]'s rank2 idiom), so 2·R_a, 2·U_a = 2·R_a −
+    * n_a(n_a+1) and the tie term ΣT = Σ(t³ − t) are exact decimal
+    * integers in any partition order. The normal-approximation verdict
+    * (two-sided α = 0.05, tie-corrected variance σ² = n_a·n_b·Q/(12K),
+    * Q = (N+1)·K − ΣT, K = N(N−1)) is the EXACT integer comparison
+    *
+    *   3·10⁴·D² > (38416·n_a·n_b·Q) div K,   D = 2U_a − n_a·n_b
+    *
+    * — z² > 1.96² multiplied through with one div/mod descent (the
+    * [[graft.operators.EventAnalytics.withZVerdict]] ladder; the
+    * truncated remainder can only matter at exact equality, where
+    * strict `>` already reads not_significant). Largest intermediate
+    * 38416·n_a·n_b·Q ≈ 10⁴·N⁵ — exact in decimal(38,0) to N = 5·10⁶
+    * ranked items, enforced loudly (past that a rank test is the wrong
+    * tool: everything is "significant").
+    *
+    * Also emitted: the common-language effect size U_a/(n_a·n_b)
+    * (P(a-draw > b-draw) + ½·P(tie) — the AUC identity) on the 1e-6
+    * lattice, exact.
+    *
+    * Scale: one distinct-value aggregate, a cumulative sum over the
+    * value GRID (bounded by distinct scores, the [[spearman]]
+    * envelope), one map-side-combined global fold. Output: one row
+    * (n_a, n_b, u2_a, tie_sum, cle_e6, verdict).
+    */
+  def mannWhitney(
+      scored: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val g = when(!col(groupCol).isin("a", "b"),
+      raise_error(concat(lit("mannWhitney: group must be a|b, got "),
+        col(groupCol).cast("string")))).otherwise(col(groupCol))
+    val v = col(valueCol).cast("double")
+    val x = when(v.isNull || isnan(v),
+      raise_error(lit("mannWhitney: value must be non-null and non-NaN")))
+      .otherwise(v)
+    val base = scored.select(g.as("g"), x.as("x"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = base.groupBy("x").agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("g") === "a", 1L).otherwise(0L)).as("cnt_a"))
+      .withColumn("cumbefore", coalesce(sum("cnt").over(w), lit(0L)))
+    val s = grid.agg(
+        coalesce(sum(col("cnt_a")), lit(0L)).as("n_a"),
+        coalesce(sum(col("cnt") - col("cnt_a")), lit(0L)).as("n_b"),
+        coalesce(sum(dc(col("cnt_a")) *
+          dc(lit(2) * col("cumbefore") + col("cnt") + lit(1))),
+          dc(lit(0))).as("r2_a"),
+        coalesce(sum(dc(col("cnt")) * dc(col("cnt")) * dc(col("cnt")) -
+          dc(col("cnt"))), dc(lit(0))).as("tie_sum_dec"))
+      .withColumn("n_a",
+        when(col("n_a") + col("n_b") > 5000000L,
+          raise_error(lit("mannWhitney: beyond the 5e6-item " +
+            "decimal(38) exactness envelope")))
+          .otherwise(col("n_a")))
+      // 2·U_a, the pair key of every later term — exact decimal
+      .withColumn("u2",
+        col("r2_a") - dc(col("n_a")) * (dc(col("n_a")) + dc(lit(1))))
+    val bigN = dc(col("n_a")) + dc(col("n_b"))
+    val k = bigN * (bigN - dc(lit(1)))
+    val nab = dc(col("n_a")) * dc(col("n_b"))
+    val d = col("u2") - nab
+    // z² > 1.96², tie-corrected, multiplied through by 10⁴ with the
+    // RHS split A − F/K so no product needs more than ~10⁴·N⁵ digits:
+    //   LHS = 3·10⁴·D²
+    //   RHS = 38416·nab·(N+1) − 38416·nab·ΣT / K = A − (f + r/K)
+    // f rides as (F − F mod K)/K — exactly divisible, and the decimal
+    // quotient (≤ 10⁴·N³ digits, 32 at the envelope) fits decimal(38,6)
+    // without rounding. Strict > at r = 0; at r > 0 the true RHS sits
+    // in (A−f−1, A−f), so LHS ≥ A−f already clears it.
+    val lhs = dc(lit(30000)) * d * d
+    val a = dc(lit(38416)) * nab * (bigN + dc(lit(1)))
+    val f0 = dc(lit(38416)) * nab * col("tie_sum_dec")
+    val kSafe = when(k > 0, k).otherwise(dc(lit(1)))
+    val r = f0 % kSafe
+    val f = ((f0 - r) / kSafe).cast(dec)
+    val undef = col("n_a") === 0L || col("n_b") === 0L ||
+      col("n_a") + col("n_b") < 2L ||
+      (bigN + dc(lit(1))) * k - col("tie_sum_dec") <= 0
+    // common-language effect U_a/(n_a·n_b) on the 1e-6 lattice:
+    // round(p/q) = (2p + q) div (2q) with p = u2·10⁶, q = 2·nab — all
+    // decimal-exact, quotient ≤ 10⁶ (the div-to-long contract holds)
+    val cleNum = dc(lit(2)) * col("u2") * dc(lit(1000000)) +
+      dc(lit(2)) * nab
+    val cleDen = dc(lit(4)) * nab
+    val cle = ((cleNum - cleNum % cleDen) / cleDen).cast("long")
+    s.select(col("n_a"), col("n_b"),
+        col("u2").cast("long").as("u2_a"),
+        col("tie_sum_dec").cast("long").as("tie_sum"),
+        when(nab > 0, cle).as("cle_e6"),
+        when(undef, lit("undefined"))
+          .otherwise(when(lhs > a - f || (lhs === a - f && r > 0),
+            lit("significant")).otherwise(lit("not_significant")))
+          .as("verdict"))
+  }
+
   def cohenKappa(
       ratings: DataFrame, aCol: String, bCol: String): DataFrame = {
     def checked(c: String, side: String) =

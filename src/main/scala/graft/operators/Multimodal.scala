@@ -372,6 +372,112 @@ object Multimodal {
         "n_chunks", "has_alpha")
   }
 
+  case class BmpInfo(
+      width: Int, height: Int, topDown: Boolean, bitsPerPixel: Int,
+      compression: Int, nColors: Int, rowStride: Int)
+
+  /** Real BMP header walk (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    * Windows DIB spec): verifies the 'BM' magic, reads the
+    * little-endian 40-byte info header — int32 width, SIGNED int32
+    * height (negative = top-down scanline order), bits/pixel,
+    * compression, palette size — and derives the 4-byte-aligned row
+    * stride ((bpp·width + 31) div 32)·4 that every BMP consumer needs
+    * to address pixels. A palette count of 0 at ≤ 8 bpp means the full
+    * 2^bpp table (the spec default). Truncated / wrong-magic /
+    * non-40-byte-header (OS/2 etc.) files return None — the
+    * [[mp3Info]]/[[pngInfo]] totality contract.
+    */
+  private[operators] def bmpInfo(bytes: Array[Byte]): Option[BmpInfo] = {
+    if (bytes.length < 54) return None
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    def le32(o: Int): Int =
+      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    if (le32(2) != bytes.length) return None // declared file size
+    if (le32(14) != 40) return None // BITMAPINFOHEADER only
+    val w = le32(18)
+    val rawH = le32(22)
+    if (le16(26) != 1) return None // planes must be 1
+    val bpp = le16(28)
+    val comp = le32(30)
+    val used = le32(46)
+    if (w <= 0 || rawH == 0 || rawH == Int.MinValue) return None
+    if (!Seq(1, 4, 8, 16, 24, 32).contains(bpp)) return None
+    val colors =
+      if (bpp > 8) 0
+      else if (used != 0) used
+      else 1 << bpp
+    val stride = ((bpp * w + 31) / 32) * 4
+    Some(BmpInfo(w, math.abs(rawH), rawH < 0, bpp, comp, colors, stride))
+  }
+
+  /** Build a structurally-real BMP (true 'BM' magic, little-endian
+    * headers, declared file size = actual, 4-byte-aligned pixel rows of
+    * deterministic filler, a palette when bpp ≤ 8) — the construct side
+    * of the [[bmpMeta]] construct→parse round trip (the [[pngChunks]]
+    * discipline).
+    */
+  def bmpBytes(
+      width: Int, height: Int, bitsPerPixel: Int,
+      topDown: Boolean = false, nPaletteColors: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, "bmp dims must be positive")
+    require(Seq(1, 4, 8, 16, 24, 32).contains(bitsPerPixel),
+      s"unsupported bpp $bitsPerPixel")
+    val stride = ((bitsPerPixel * width + 31) / 32) * 4
+    val palette =
+      if (bitsPerPixel > 8) 0
+      else if (nPaletteColors > 0) nPaletteColors
+      else 1 << bitsPerPixel
+    val dataOff = 54 + 4 * palette
+    val size = dataOff + stride * height
+    val out = new Array[Byte](size)
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte
+      out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    le32(2, size); le32(10, dataOff)
+    le32(14, 40); le32(18, width)
+    le32(22, if (topDown) -height else height)
+    le16(26, 1); le16(28, bitsPerPixel)
+    le32(30, 0); le32(34, stride * height)
+    le32(38, 2835); le32(42, 2835) // 72 dpi in px/metre
+    le32(46, if (bitsPerPixel <= 8) palette else 0); le32(50, 0)
+    var i = 0
+    while (i < 4 * palette) { out(54 + i) = (i % 249).toByte; i += 1 }
+    i = 0
+    while (i < stride * height) {
+      out(dataOff + i) = (i % 253).toByte; i += 1
+    }
+    out
+  }
+
+  /** BMP structure metadata per payload — the [[pngMeta]] batch shape
+    * over the [[bmpInfo]] walk; non-BMP payloads drop. Output: (id,
+    * width, height, top_down, bits_per_pixel, n_colors, row_stride).
+    */
+  def bmpMeta(
+      spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        bmpInfo(bytes).map(i =>
+          (id, i.width.toLong, i.height.toLong, i.topDown,
+            i.bitsPerPixel.toLong, i.nColors.toLong, i.rowStride.toLong))
+      })
+      .toDF("id", "width", "height", "top_down", "bits_per_pixel",
+        "n_colors", "row_stride")
+  }
+
   /** Decode with the real parser when one applies; deterministic stub
     * otherwise. Video metadata comes from a real ISO-BMFF box walk
     * ([[Mp4]]) — frame count from the sample table, dims from `tkhd` —

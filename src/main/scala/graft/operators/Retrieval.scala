@@ -710,6 +710,93 @@ object Retrieval {
           .otherwise(floor(bp * geo * lit(1e6) + lit(0.5)).cast("long")))
   }
 
+  /** chrF2 (Popović 2015) per (candidate, reference) pair — the
+    * character n-gram F-score that tracks human judgment better than
+    * BLEU on morphology-rich output and needs no tokenizer contract at
+    * all (the metric of record alongside BLEU in WMT evals). ASCII
+    * whitespace ([ \t\n\r] — spelled as an explicit class, never \s:
+    * Java's includes \x0B, RE2's does not) is stripped, character
+    * n-grams n = 1..`maxN` (default 6) are counted exactly, and
+    *
+    *   P = (Σ_{n ≤ min(len_c, maxN)} clip_n / c_tot_n) / m_c,  R dito,
+    *   chrF2 = (1+β²)·P·R / (β²·P + R),  β = 2
+    *
+    * with m_c = min(len_c, maxN) the effective order count (orders
+    * longer than the string contribute nothing, not zeros — the
+    * sacrebleu effective-order convention).
+    *
+    * Determinism: clip/total counts are exact integers; P, R and chrF2
+    * are ONE fixed IEEE expression tree per row — the per-order terms
+    * sum in ascending-n written order (never a SQL SUM whose float
+    * addition order is partition-dependent), divisions and the final
+    * floor(·1e6 + ½) are correctly-rounded double ops any engine
+    * mirrors bit for bit (the [[bleu]] discipline). A side with no
+    * grams at all (empty after stripping) has no defined rate → NULL
+    * score; P = R = 0 scores 0.
+    *
+    * Scale: one gram explode + count per side (grams are scan-side,
+    * rows ≤ maxN·chars), one equi-join on (q, n, gram), a q-keyed
+    * conditional-sum pivot — the rougeN/bleu plan shape exactly.
+    *
+    * Output: (q_id, c_len, r_len, m_c, m_r, prec_e6, rec_e6, chrf2_e6).
+    */
+  def chrF(
+      pairs: DataFrame, idCol: String, candCol: String, refCol: String,
+      maxN: Int = 6): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8] (got $maxN)")
+    def checked(c: String, side: String) =
+      regexp_replace(
+        when(col(c).isNull,
+          raise_error(lit(s"chrF: null $side"))).otherwise(col(c)),
+        "[ \t\n\r]", "")
+    val base = pairs.select(col(idCol).cast("long").as("q_id"),
+      checked(candCol, "candidate").as("cs"),
+      checked(refCol, "reference").as("rs"))
+    def grams(s: Column): Column =
+      flatten(transform(sequence(lit(1), lit(maxN)), n =>
+        when(length(s) >= n,
+          transform(sequence(lit(1), length(s) - n + 1),
+            i => struct(n.as("n"), s.substr(i, n).as("gram"))))
+          .otherwise(array().cast("array<struct<n:int,gram:string>>"))))
+    def counts(c: String, out: String): DataFrame =
+      base.select(col("q_id"), explode(grams(col(c))).as("g"))
+        .groupBy(col("q_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as(out))
+    val clips = counts("cs", "cc")
+      .join(counts("rs", "rc"), Seq("q_id", "n", "gram"))
+      .groupBy("q_id", "n").agg(sum(least(col("cc"), col("rc"))).as("clip"))
+    val pivotCols = (1 to maxN).map(n =>
+      sum(when(col("n") === n, col("clip"))).as(s"clip_$n"))
+    val byQ = clips.groupBy("q_id").agg(pivotCols.head, pivotCols.tail: _*)
+    val lens = base.select(col("q_id"),
+      length(col("cs")).cast("long").as("c_len"),
+      length(col("rs")).cast("long").as("r_len"))
+    // per-order rate terms in ascending-n WRITTEN order — one fixed tree
+    def rateSum(lenC: Column): Column = (1 to maxN).map { n =>
+      when(lenC >= n,
+        coalesce(col(s"clip_$n"), lit(0L)).cast("double") /
+          (lenC - (n - 1)).cast("double"))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val mC = least(col("c_len"), lit(maxN.toLong))
+    val mR = least(col("r_len"), lit(maxN.toLong))
+    val p = rateSum(col("c_len")) / mC.cast("double")
+    val r = rateSum(col("r_len")) / mR.cast("double")
+    lens.join(byQ, Seq("q_id"), "left")
+      .select(col("q_id"), col("c_len"), col("r_len"),
+        mC.as("m_c"), mR.as("m_r"),
+        when(mC > 0, floor(p * lit(1e6) + lit(0.5)).cast("long"))
+          .as("prec_e6"),
+        when(mR > 0, floor(r * lit(1e6) + lit(0.5)).cast("long"))
+          .as("rec_e6"),
+        when(mC > 0 && mR > 0,
+          when(lit(4.0) * p + r > 0.0,
+            floor(lit(5.0) * p * r / (lit(4.0) * p + r) * lit(1e6) +
+              lit(0.5)).cast("long"))
+            .otherwise(lit(0L)))
+          .as("chrf2_e6"))
+  }
+
   /** Character-level edit similarity per (candidate, reference) pair —
     * the cheap generation-eval next to [[bleu]]/[[rougeN]]: exact-match
     * rate and normalized Levenshtein similarity are the standard first

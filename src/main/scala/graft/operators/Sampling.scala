@@ -530,4 +530,71 @@ object Sampling {
           .as("share_raw_e6"),
         expr("(2 * s * 1000000 + ts) div (2 * ts)").as("share_sqrt_e6"))
   }
+
+  /** Systematic (low-variance) resampling — the SMC/particle-filter
+    * comb applied to weighted corpus mixing: draw exactly `m` copies
+    * total, doc i receiving ⌊(2·C_i·m + W)/(2W)⌋ − ⌊(2·C_{i−1}·m + W)/
+    * (2W)⌋ copies, where C_i is the cumulative weight in ascending-id
+    * order and the comb points sit at (j − ½)·W/m. Every count is an
+    * EXACT integer (no rand(), no float: the classic u ~ U[0,1) jitter
+    * is pinned to ½ — runs, engines and repartitions agree exactly),
+    * Σ copies = m by telescoping, and a doc's copies are within 1 of
+    * its exact expectation m·w_i/W — the variance-optimal integer
+    * allocation, which is the whole point over independent multinomial
+    * draws. Zero-weight docs draw zero copies and are not emitted.
+    *
+    * Scale: the prefix sum NEVER runs a corpus-sized window on one
+    * reducer — ids bucket into contiguous `shardSize` ranges, the
+    * within-shard prefix runs partitioned by shard, and shard offsets
+    * come from one window over the SHARD table (corpus/shardSize rows —
+    * the j12 external-sort-rank discipline). Products stay in 64 bits:
+    * 2·W·m must fit a long — enforced loudly (decimal would double the
+    * aggregate cost for an envelope no mixing run hits: total weight ×
+    * copies < 9·10¹⁸).
+    *
+    * Output: (id, weight, cum_w, n_copies) for docs with n_copies > 0.
+    */
+  def systematicResample(
+      df: DataFrame, idCol: String, weightCol: String, m: Long,
+      shardSize: Long = 65536L): DataFrame = {
+    require(m > 0, s"m must be positive (got $m)")
+    require(shardSize > 0, s"shardSize must be positive (got $shardSize)")
+    val base = df.select(
+      when(col(idCol).isNull,
+        raise_error(lit("systematicResample: null id")))
+        .otherwise(col(idCol).cast("long")).as("id"),
+      when(col(weightCol).isNull || col(weightCol).cast("long") < 0,
+        raise_error(lit("systematicResample: weight must be a " +
+          "non-negative integer")))
+        .otherwise(col(weightCol).cast("long")).as("weight"))
+    // sign-correct floor shard for negative ids (the w12 idiom)
+    val sharded = base.withColumn("shard",
+      expr(s"(id - pmod(id, ${shardSize}L)) div ${shardSize}L"))
+    val inShard = Window.partitionBy("shard").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = sharded
+      .withColumn("local_cum", sum("weight").over(inShard))
+    val shardW = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("shard")
+      .agg(sum("weight").as("sw"))
+      .withColumn("offset", coalesce(sum("sw").over(shardW), lit(0L)))
+      .select("shard", "offset")
+    val tot = base.agg(sum("weight").as("w_tot"))
+    val guardedTot = tot.select(
+      when(col("w_tot").isNull || col("w_tot") <= 0,
+        raise_error(lit("systematicResample: total weight must be > 0")))
+        .otherwise(when(col("w_tot") > Long.MaxValue / (2 * m),
+          raise_error(lit("systematicResample: 2·W·m exceeds the 64-bit " +
+            "exactness envelope — rescale the weights")))
+          .otherwise(col("w_tot"))).as("w_tot"))
+    withLocal.join(offsets, "shard")
+      .withColumn("cum_w", col("offset") + col("local_cum"))
+      .crossJoin(broadcast(guardedTot))
+      .withColumn("n_copies",
+        expr(s"(2 * cum_w * $m + w_tot) div (2 * w_tot) - " +
+          s"(2 * (cum_w - weight) * $m + w_tot) div (2 * w_tot)"))
+      .filter(col("n_copies") > 0)
+      .select("id", "weight", "cum_w", "n_copies")
+  }
 }

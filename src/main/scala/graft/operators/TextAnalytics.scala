@@ -501,6 +501,96 @@ object TextAnalytics {
           roundTo).as("mean_nll"))
   }
 
+  /** Stupid-backoff trigram scoring (Brants et al., EMNLP 2007 — the
+    * web-scale LM smoothing: no discounting, a fixed α = 0.4 backoff
+    * multiplier, "stupid" and state of the art at corpus size) with a
+    * REAL train/apply split: counts come from `train`, scores land on
+    * `score`, so held-out text genuinely exercises the backoff chain —
+    * scoring the training corpus with an unsmoothed trigram MLE would
+    * never back off at all (the reason [[bigramLogProb]] add-one
+    * smooths). Per position:
+    *
+    *   S(c|a,b) = c(abc)/c(ab)            seen trigram
+    *            | 0.4 · c(bc)/c(b)        else, seen bigram
+    *            | 0.16 · (c(c)+1)/(T+V)   else (add-one keeps OOV finite)
+    *
+    * mean_nll = Σ −ln S / positions, rounded `roundTo` (the t10/t17
+    * cross-engine contract: exact integer counts, one fixed IEEE tree
+    * per position, rounding at-or-above true precision).
+    *
+    * Scale: n-gram keys ride as xxhash64 (fixed-width shuffle keys, the
+    * t17 trade); count tables are map-side-combined aggregates joined
+    * back by hash key (never a window over hot tokens); the position
+    * table is checkpointed once and feeds all five count joins; AQE
+    * plans the model-sized sides as broadcasts.
+    *
+    * Output: (id, n_trigrams, mean_nll, n_bo_bi, n_bo_uni) — the
+    * backoff-level counts are exact integers (the curation signal:
+    * high n_bo_uni = text unlike the training corpus).
+    */
+  def stupidBackoffLogProb(
+      train: DataFrame, score: DataFrame, idCol: String, textCol: String,
+      roundTo: Int = 4): DataFrame = {
+    def triZip(w: Column): Column =
+      when(size(w) >= 3,
+        arrays_zip(
+          slice(w, lit(1), size(w) - 2).as("a"),
+          slice(w, lit(2), size(w) - 2).as("b"),
+          slice(w, lit(3), size(w) - 2).as("c")))
+        .otherwise(array()
+          .cast("array<struct<a:string,b:string,c:string>>"))
+    val tw = train.select(tokens(col(textCol)).as("w"))
+    val cTri = tw.select(explode(triZip(col("w"))).as("p"))
+      .groupBy(xxhash64(col("p.a"), col("p.b"), col("p.c")).as("h3g"))
+      .agg(count(lit(1)).as("c_tri"))
+    val cBi = tw
+      .select(explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("l"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("r"))).as("p"))
+      .groupBy(xxhash64(col("p.l"), col("p.r")).as("h2g"))
+      .agg(count(lit(1)).as("c_bi"))
+    val cUni = tw.select(explode(col("w")).as("t"))
+      .groupBy(xxhash64(col("t")).as("h1g"))
+      .agg(count(lit(1)).as("c_uni"))
+    val tot = tw.select(explode(col("w")).as("t"))
+      .agg(count(lit(1)).as("total"), countDistinct("t").as("v"))
+    val pos = score
+      .select(col(idCol).as("id"), explode(triZip(tokens(col(textCol))))
+        .as("p"))
+      .select(col("id"),
+        xxhash64(col("p.a"), col("p.b"), col("p.c")).as("h3g"),
+        xxhash64(col("p.a"), col("p.b")).as("h12"),
+        xxhash64(col("p.b"), col("p.c")).as("h23"),
+        xxhash64(col("p.b")).as("h2"),
+        xxhash64(col("p.c")).as("h3"))
+      .localCheckpoint()
+    val j = pos
+      .join(cTri, Seq("h3g"), "left")
+      .join(cBi.select(col("h2g").as("h12"), col("c_bi").as("c12")),
+        Seq("h12"), "left")
+      .join(cBi.select(col("h2g").as("h23"), col("c_bi").as("c23")),
+        Seq("h23"), "left")
+      .join(cUni.select(col("h1g").as("h2"), col("c_uni").as("c2")),
+        Seq("h2"), "left")
+      .join(cUni.select(col("h1g").as("h3"), col("c_uni").as("c3")),
+        Seq("h3"), "left")
+      .crossJoin(broadcast(tot))
+    val sc = when(col("c_tri").isNotNull,
+        col("c_tri").cast("double") / col("c12").cast("double"))
+      .when(col("c23").isNotNull,
+        lit(0.4) * (col("c23").cast("double") / col("c2").cast("double")))
+      .otherwise(lit(0.16) *
+        ((coalesce(col("c3"), lit(0L)) + 1).cast("double") /
+          (col("total") + col("v")).cast("double")))
+    j.groupBy("id").agg(
+      count(lit(1)).as("n_trigrams"),
+      round(sum(-log(sc)) / count(lit(1)), roundTo).as("mean_nll"),
+      sum(when(col("c_tri").isNull && col("c23").isNotNull, 1L)
+        .otherwise(0L)).as("n_bo_bi"),
+      sum(when(col("c_tri").isNull && col("c23").isNull, 1L)
+        .otherwise(0L)).as("n_bo_uni"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document sketch): hash every
     * k-char gram, keep the minimum hash of each sliding window of w
     * grams, emit the distinct kept hashes. Guarantees any shared

@@ -548,4 +548,85 @@ class ClassifierSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.contains(want), s"got $got want $want")
   }
+
+  test("mannWhitney: hand-computed midranks, U, ties and verdict") {
+    import spark.implicits._
+    // a: 1,2,3  b: 2,4,5,6 — pooled midranks 1, 2.5, 2.5, 4, 5, 6, 7
+    // R_a = 7.5 -> 2R_a = 15; 2U_a = 15 - 3·4 = 3; ties: one pair -> 6
+    // z² = 3D²K/(nab·Q) with D = -9, K = 42, Q = 8·42 - 6 = 330:
+    // 2.577 < 3.8416 -> not significant; CLE = 1.5/12 -> 125000
+    val got = Classifier.mannWhitney(
+        Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+          ("b", 2.0), ("b", 4.0), ("b", 5.0), ("b", 6.0))
+          .toDF("g", "x"), "g", "x")
+      .as[(Long, Long, Long, Long, Option[Long], String)].collect().head
+    assert(got == ((3L, 4L, 3L, 6L, Some(125000L), "not_significant")))
+    // clearly separated samples flip the verdict
+    val sep = Classifier.mannWhitney(
+        ((1 to 20).map(i => ("a", i.toDouble)) ++
+          (1 to 20).map(i => ("b", i + 100.0))).toDF("g", "x"), "g", "x")
+      .as[(Long, Long, Long, Long, Option[Long], String)].collect().head
+    assert(sep._6 == "significant" && sep._5 == Some(0L))
+    // all-tied input has zero variance -> undefined
+    val tied = Classifier.mannWhitney(
+        Seq(("a", 1.0), ("b", 1.0), ("b", 1.0)).toDF("g", "x"), "g", "x")
+      .as[(Long, Long, Long, Long, Option[Long], String)].collect().head
+    assert(tied._6 == "undefined")
+    // one-sided input -> undefined
+    val one = Classifier.mannWhitney(
+        Seq(("a", 1.0), ("a", 2.0)).toDF("g", "x"), "g", "x")
+      .as[(Long, Long, Long, Long, Option[Long], String)].collect().head
+    assert(one._6 == "undefined")
+    val e1 = intercept[Exception] {
+      Classifier.mannWhitney(
+        Seq(("c", 1.0)).toDF("g", "x"), "g", "x").collect()
+    }
+    assert(e1.getMessage.contains("a|b")
+      || e1.getCause != null && e1.getCause.getMessage.contains("a|b"))
+    val e2 = intercept[Exception] {
+      Classifier.mannWhitney(
+        Seq(("a", Double.NaN)).toDF("g", "x"), "g", "x").collect()
+    }
+    assert(e2.getMessage.contains("non-NaN")
+      || e2.getCause != null && e2.getCause.getMessage.contains("non-NaN"))
+  }
+
+  test("mannWhitney ≡ plain-Scala reference on random tied panels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    (1 to 5).foreach { trial =>
+      val rows = (0 until 40 + rnd.nextInt(60)).map { _ =>
+        (if (rnd.nextBoolean()) "a" else "b",
+          rnd.nextInt(12).toDouble + (if (rnd.nextBoolean()) 0.0 else 2.0))
+      }
+      val got = Classifier.mannWhitney(rows.toDF("g", "x"), "g", "x")
+        .as[(Long, Long, Long, Long, Option[Long], String)].collect().head
+      // reference: exact BigInt arithmetic, the textbook formulas
+      val sorted = rows.map(_._2).sorted
+      def rank2(v: Double): BigInt = {
+        val before = sorted.count(_ < v)
+        val cnt = sorted.count(_ == v)
+        BigInt(2 * before + cnt + 1)
+      }
+      val na = rows.count(_._1 == "a")
+      val nb = rows.size - na
+      val r2a = rows.filter(_._1 == "a").map(r => rank2(r._2)).sum
+      val u2 = r2a - BigInt(na) * (na + 1)
+      val n = rows.size
+      val tie = sorted.distinct.map { v =>
+        val t = BigInt(sorted.count(_ == v)); t * t * t - t }.sum
+      val k = BigInt(n) * (n - 1)
+      val q = BigInt(n + 1) * k - tie
+      val d = u2 - BigInt(na) * nb
+      val sig = na > 0 && nb > 0 && n >= 2 && q > 0 &&
+        BigInt(30000) * d * d * k > BigInt(38416) * na * nb * q
+      val verdict =
+        if (na == 0 || nb == 0 || n < 2 || q <= 0) "undefined"
+        else if (sig) "significant" else "not_significant"
+      val cle = (BigInt(2) * u2 * 1000000 + BigInt(2) * na * nb) /
+        (BigInt(4) * na * nb)
+      assert(got == ((na.toLong, nb.toLong, u2.toLong, tie.toLong,
+        Some(cle.toLong), verdict)), s"trial $trial")
+    }
+  }
 }

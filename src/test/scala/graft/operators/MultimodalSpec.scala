@@ -350,4 +350,62 @@ class MultimodalSpec extends AnyFunSuite {
         ne == id % 2 && gct == (id % 3 == 0))
     }
   }
+
+  test("bmpInfo: construct→parse round trip, stride, palette, top-down") {
+    for {
+      (w, h) <- Seq((1, 1), (3, 2), (640, 480), (17, 5))
+      bpp <- Seq(1, 4, 8, 24, 32)
+      td <- Seq(false, true)
+    } {
+      val info = Multimodal.bmpInfo(
+        Multimodal.bmpBytes(w, h, bpp, topDown = td)).get
+      assert(info.width == w && info.height == h && info.topDown == td)
+      assert(info.bitsPerPixel == bpp && info.compression == 0)
+      assert(info.nColors == (if (bpp <= 8) 1 << bpp else 0))
+      assert(info.rowStride == ((bpp * w + 31) / 32) * 4)
+      assert(info.rowStride % 4 == 0)
+    }
+    // a REAL encoder's output parses too (ImageIO BMP writer: 24bpp
+    // BITMAPINFOHEADER)
+    val img = new java.awt.image.BufferedImage(
+      7, 3, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", baos))
+    val real = Multimodal.bmpInfo(baos.toByteArray)
+    assert(real.isDefined)
+    assert(real.get.width == 7 && real.get.height == 3 &&
+      real.get.bitsPerPixel == 24)
+  }
+
+  test("bmpInfo rejects corrupt files; bmpMeta drops non-BMP, " +
+      "partitioning-invariant") {
+    val good = Multimodal.bmpBytes(9, 4, 8)
+    assert(Multimodal.bmpInfo("BM but not a bmp".getBytes).isEmpty)
+    assert(Multimodal.bmpInfo(good.take(40)).isEmpty) // truncated
+    assert(Multimodal.bmpInfo(good.drop(1)).isEmpty) // magic gone
+    val wrongSize = good.clone(); wrongSize(2) = (wrongSize(2) + 1).toByte
+    assert(Multimodal.bmpInfo(wrongSize).isEmpty) // declared ≠ actual
+    val os2 = good.clone(); os2(14) = 12 // BITMAPCOREHEADER
+    assert(Multimodal.bmpInfo(os2).isEmpty)
+    val rows = (0L until 40L).map { id =>
+      val bytes =
+        if (id % 5 == 0) s"not a bmp $id".getBytes("UTF-8")
+        else Multimodal.bmpBytes((id + 1).toInt, (id % 9 + 1).toInt,
+          Array(1, 4, 8, 24, 32)((id % 5).toInt), topDown = id % 3 == 0)
+      (id, bytes)
+    }
+    def run(parts: Int) = Multimodal.bmpMeta(spark,
+        rows.toDF("doc_id", "payload").repartition(parts), "doc_id")
+      .as[(Long, Long, Long, Boolean, Long, Long, Long)]
+      .collect().sorted.toSeq
+    val got = run(1)
+    assert(got == run(5))
+    assert(got.size == rows.count(_._1 % 5 != 0))
+    got.foreach { case (id, w, h, td, bpp, nc, stride) =>
+      assert(w == id + 1 && h == id % 9 + 1 && td == (id % 3 == 0))
+      assert(bpp == Array(1, 4, 8, 24, 32)((id % 5).toInt))
+      assert(nc == (if (bpp <= 8) 1L << bpp else 0L))
+      assert(stride == ((bpp * w + 31) / 32) * 4)
+    }
+  }
 }

@@ -523,4 +523,75 @@ class RetrievalSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().sorted.toSeq
     assert(fast == dist)
   }
+
+  test("chrF: hand-computed chrF2, whitespace strip, empty-side NULL") {
+    import spark.implicits._
+    val got = Retrieval.chrF(
+        Seq((1L, "abc", "abd"),   // P = R = (2/3 + 1/2 + 0)/3 = 7/18
+          (2L, "a b", "ab"),      // strip -> identical
+          (3L, "", "ab"),         // empty cand -> no defined P/chrF
+          (4L, "xy", "xy"))
+          .toDF("id", "cand", "ref"),
+        "id", "cand", "ref")
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // 7/18 = 0.388888... -> 388889 on the lattice; chrF2 = P when P = R
+    assert(got(1L) == ((1L, 3L, 3L, 3L, 3L,
+      Some(388889L), Some(388889L), Some(388889L))))
+    assert(got(2L) == ((2L, 2L, 2L, 2L, 2L,
+      Some(1000000L), Some(1000000L), Some(1000000L))))
+    assert(got(3L) == ((3L, 0L, 2L, 0L, 2L, None, Some(0L), None)))
+    assert(got(4L) == ((4L, 2L, 2L, 2L, 2L,
+      Some(1000000L), Some(1000000L), Some(1000000L))))
+  }
+
+  test("chrF ≡ plain-Scala reference on random strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val pairs = (0L until 60L).map { i =>
+      def s() = (0 until rnd.nextInt(20))
+        .map(_ => "ab cd".charAt(rnd.nextInt(5))).mkString
+      (i, s(), s())
+    }
+    def strip(s: String) = s.filterNot(" \t\n\r".contains(_))
+    def grams(s: String, n: Int): Map[String, Int] =
+      if (s.length < n) Map.empty
+      else s.sliding(n).toSeq.groupBy(identity).map { case (g, o) =>
+        g -> o.size }
+    def rate(c: String, r: String, forPrec: Boolean): Option[Double] = {
+      val side = if (forPrec) c else r
+      if (side.isEmpty) None
+      else {
+        val m = math.min(side.length, 6)
+        val terms = (1 to 6).map { n =>
+          val cg = grams(c, n); val rg = grams(r, n)
+          val clip = cg.map { case (g, cc) =>
+            math.min(cc, rg.getOrElse(g, 0)) }.sum
+          val tot = side.length - n + 1
+          if (side.length >= n) clip.toDouble / tot.toDouble else 0.0
+        }
+        Some(terms.foldLeft(0.0)(_ + _) / m.toDouble)
+      }
+    }
+    val got = Retrieval.chrF(pairs.toDF("id", "cand", "ref"),
+        "id", "cand", "ref")
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().map(r => r._1 -> r).toMap
+    pairs.foreach { case (i, c0, r0) =>
+      val c = strip(c0); val r = strip(r0)
+      val p = rate(c, r, forPrec = true)
+      val rr = rate(c, r, forPrec = false)
+      val chrf = for (pv <- p; rv <- rr) yield
+        if (4.0 * pv + rv > 0.0)
+          math.floor(5.0 * pv * rv / (4.0 * pv + rv) * 1e6 + 0.5).toLong
+        else 0L
+      val (_, cl, rl, mc, mr, pe, re, fe) = got(i)
+      assert(cl == c.length && rl == r.length)
+      assert(mc == math.min(c.length, 6) && mr == math.min(r.length, 6))
+      assert(pe == p.map(v => math.floor(v * 1e6 + 0.5).toLong), s"id=$i")
+      assert(re == rr.map(v => math.floor(v * 1e6 + 0.5).toLong), s"id=$i")
+      assert(fe == chrf, s"id=$i")
+    }
+  }
 }

@@ -352,4 +352,43 @@ class SamplingSpec extends AnyFunSuite {
       || err.getCause != null &&
         err.getCause.getMessage.contains("null domain"), err.getMessage)
   }
+
+  test("systematicResample: hand comb, zero-weight drop, exact total") {
+    import spark.implicits._
+    // W = 10, m = 5: comb points 1, 3, 5, 7, 9 over cum 2 | 2 | 5 | 10
+    val got = Sampling.systematicResample(
+        Seq((1L, 2L), (2L, 0L), (3L, 3L), (4L, 5L)).toDF("id", "w"),
+        "id", "w", m = 5L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got == Map(1L -> ((2L, 1L)), 3L -> ((5L, 2L)),
+      4L -> ((10L, 2L))))
+  }
+
+  test("systematicResample: Σcopies = m, within-1 of expectation, " +
+      "partition/shard invariance, zero-total raise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 500L).map(i => (i, rnd.nextInt(20).toLong))
+    val w = rows.map(_._2).sum
+    val m = 777L
+    def run(parts: Int, shardSize: Long) = Sampling.systematicResample(
+        rows.toDF("id", "w").repartition(parts), "id", "w", m, shardSize)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val base = run(1, 64L)
+    assert(base.map(_._4).sum == m)
+    base.foreach { case (id, wi, _, c) =>
+      val exp = m.toDouble * wi / w
+      assert(math.abs(c - exp) < 1.0, s"id=$id copies=$c expected=$exp")
+    }
+    assert(run(7, 64L) == base)
+    assert(run(3, 1024L) == base)
+    val e = intercept[Exception] {
+      Sampling.systematicResample(
+        Seq((1L, 0L)).toDF("id", "w"), "id", "w", m = 5L).collect()
+    }
+    assert(e.getMessage.contains("total weight")
+      || e.getCause != null &&
+        e.getCause.getMessage.contains("total weight"), e.getMessage)
+  }
 }

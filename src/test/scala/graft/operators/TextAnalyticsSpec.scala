@@ -778,6 +778,29 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(got(6L) == ((0L, 0L, 0L)))
   }
 
+  test("stupidBackoffLogProb: hand-checked three-level backoff chain") {
+    val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c x"),  // (a,b,c) seen 1/2; (b,c,x) -> uni x: 0.016
+      (2L, "c a b"),    // (c,a,b) seen -> 1/1, no backoff
+      (3L, "a a b")     // (a,a,b) unseen, (a,b) seen -> 0.4·(2/2)
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics
+      .stupidBackoffLogProb(train, score, "doc_id", "text")
+      .as[(Long, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc1: (-ln(0.5) - ln(0.16·1/10)) / 2 = 2.414157... -> 2.4142
+    assert(got(1L) == ((2L, 2.4142, 0L, 1L)))
+    assert(got(2L) == ((1L, -0.0, 0L, 0L)) ||
+      got(2L) == ((1L, 0.0, 0L, 0L)))
+    // doc3: -ln(0.4) = 0.916290... -> 0.9163
+    assert(got(3L) == ((1L, 0.9163, 1L, 0L)))
+    // a doc with < 3 tokens emits no row at all
+    val short = TextAnalytics.stupidBackoffLogProb(
+      train, Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.count() == 0L)
+  }
+
   test("unigramModel: frozen LM counts; over-cap vocabulary fails loudly") {
     val docs = Seq(
       (1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
