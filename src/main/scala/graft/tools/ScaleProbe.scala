@@ -529,6 +529,41 @@ object ScaleProbe {
         graft.operators.Retrieval.bleu(p, "pair_id", "cand", "ref")
           .count()
       },
+      // round-10 additions
+      "e20_chrf" -> { d =>
+        graft.operators.Retrieval.chrF(
+          evalGrid(d), "pair_id", "cand", "ref").count()
+      },
+      "e21_mannwhitney" -> { d =>
+        Classifier.mannWhitney(
+          d.select(
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("a"))
+              .otherwise(lit("b")).as("g"),
+            (pmod(length(col("text")), lit(97)) +
+              when(pmod(col("doc_id"), lit(2)) === 0, 0).otherwise(3))
+              .cast("double").as("x")),
+          "g", "x").count()
+      },
+      "t38_backoff" -> { d =>
+        TextAnalytics.stupidBackoffLogProb(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0), d,
+          "doc_id", "text").count()
+      },
+      // t38 on the Heaps-law corpus (the t37 artifact-isolation pair:
+      // a frozen vocabulary densifies the n-gram count tables as the
+      // corpus grows; Heaps growth keeps type/token ratios realistic)
+      "t38h_backoff_heaps" -> { _ =>
+        val d = spark.read.parquet(s"/tmp/scaleprobe/docs_heaps_$probeN")
+        TextAnalytics.stupidBackoffLogProb(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0), d,
+          "doc_id", "text").count()
+      },
+      "s13_resample" -> { d =>
+        Sampling.systematicResample(
+          d.select(col("doc_id"),
+            pmod(length(col("text")), lit(19)).cast("long").as("w")),
+          "doc_id", "w", m = probeN / 4, shardSize = 1024L).count()
+      },
       // round-9 additions
       "e15_edit_sim" -> { d =>
         graft.operators.Retrieval.editSimilarity(
@@ -884,7 +919,8 @@ object ScaleProbe {
       val emb = spark.read.parquet(epath)
       // Heaps-law corpus, materialized OUTSIDE any timed region (only
       // when a t37h op is selected — it is that probe's sole consumer)
-      if (ops.exists { case (nm, _) => opFilter(nm) && nm.startsWith("t37h") })
+      if (ops.exists { case (nm, _) =>
+        opFilter(nm) && nm.contains("heaps") })
         synthHeaps(spark, n).write.mode("overwrite")
           .parquet(s"/tmp/scaleprobe/docs_heaps_$n")
       for ((name, run) <- ops if opFilter(name)) {
