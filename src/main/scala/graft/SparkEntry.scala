@@ -2914,6 +2914,46 @@ FROM c"""
     Multimodal.bmpMeta(s, payloads, "doc_id")
   }
 
+  /** e22: average precision @10 of the v10 Hamming retriever against
+    * binary judgments (the exact cosine top-5 per query) — the MAP
+    * building block e1's MRR/nDCG pair doesn't cover. Fully exact:
+    * lcm(1..10) = 2520 integer precision terms, one lattice division.
+    * Full oracle.
+    */
+  private def e22AveragePrecision(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 20)
+    val approx = Similarity.hammingTopK(
+      q, e, "vec_id", "vec_id", "embedding", k = 10)
+    val judged = Similarity.cosineTopK(
+        q, e, "vec_id", "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("c_id"), lit(1).as("rel"))
+    Retrieval.averagePrecision(approx, judged, k = 10)
+  }
+
+  /** w21: Gini coefficient of per-user event concentration — the
+    * one-number "how bot-heavy is this traffic" inequality read, exact
+    * over the distinct-count grid. Full oracle (HUGEINT mirror).
+    */
+  private def w21Gini(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.activityGini(
+      T(s, d, "events").filter(col("user_id").isNotNull), "user_id")
+
+  /** d20: cross-source duplication matrix — exact-fingerprint overlap
+    * + Jaccard per source pair, with every 3rd doc re-hosted under a
+    * planted mirror source so the matrix has real inter-source flows
+    * to find (the s10 discipline). Full oracle.
+    */
+  private def d20CrossSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    Dedup.crossSourceOverlap(
+      docs.select(col("text"), col("source")).unionAll(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("text"),
+            concat(lit("m_"), col("source")).as("source"))),
+      "text", "source")
+  }
+
   /** e19: Krippendorff's alpha (nominal) — docs grouped 4-to-a-unit as
     * "raters", values unit-correlated with per-doc dissent, every 29th
     * rating missing (so unit sizes vary and the 1/(m−1) weights
@@ -3730,7 +3770,10 @@ FROM c"""
     "e21_mann_whitney" -> (e21MannWhitney _),
     "t38_backoff_trigram" -> (t38BackoffTrigram _),
     "s13_systematic_resample" -> (s13SystematicResample _),
-    "m10_bmp_meta" -> (m10BmpMeta _))
+    "m10_bmp_meta" -> (m10BmpMeta _),
+    "e22_average_precision" -> (e22AveragePrecision _),
+    "w21_gini" -> (w21Gini _),
+    "d20_cross_source_overlap" -> (d20CrossSourceOverlap _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -8583,7 +8626,98 @@ FROM c"""
         |  (((CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 8
         |      WHEN 3 THEN 24 ELSE 32 END) * (1 + doc_id % 640) + 31)
         |    // 32 * 4)::BIGINT AS row_stride
-        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin)
+        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin,
+    // e22 twin: the e1 oracle's hamming/cosine ranking CTEs, binary
+    // judgments = cosine top-5, then lcm(1..10)=2520 integer AP terms
+    // over a rank-ordered cumulative window + one lattice division
+    "e22_average_precision" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |ham AS (SELECT q_id, c_id, rank FROM
+        |    (SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY h, c_id)
+        |        AS rank
+        |     FROM (SELECT q_id, c_id,
+        |        len([i for i in range(1, len(q.v) + 1)
+        |             if (q.v[i] > 0) != (c.v[i] > 0)]) AS h
+        |       FROM q CROSS JOIN c) s0) r0
+        |  WHERE rank <= 10),
+        |ex AS (SELECT q_id, c_id FROM
+        |    (SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC,
+        |        c_id) AS rank
+        |     FROM (SELECT q_id, c_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v))
+        |            * sqrt(list_dot_product(c.v, c.v))), 3) AS sim
+        |       FROM q CROSS JOIN c) s1) r1
+        |  WHERE rank <= 5),
+        |reltot AS (SELECT q_id, count(*)::BIGINT AS n_rel
+        |  FROM ex GROUP BY 1),
+        |hits AS (SELECT h.q_id, h.rank,
+        |    CASE WHEN j.c_id IS NULL THEN 0 ELSE 1 END AS rel
+        |  FROM ham h LEFT JOIN ex j USING (q_id, c_id)),
+        |terms AS (SELECT q_id,
+        |    sum(rel * cum * (2520 // rank))::BIGINT AS num,
+        |    sum(rel)::BIGINT AS n_hits
+        |  FROM (SELECT q_id, rank, rel,
+        |      sum(rel) OVER (PARTITION BY q_id ORDER BY rank
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM hits) h2 GROUP BY 1)
+        |SELECT q_id,
+        |  coalesce(n_rel, 0)::BIGINT AS n_rel,
+        |  coalesce(n_hits, 0)::BIGINT AS n_hits,
+        |  CASE WHEN n_rel IS NOT NULL THEN
+        |    ((2 * coalesce(num, 0) * 1000000 + 2520 * least(n_rel, 10))
+        |      // (2 * 2520 * least(n_rel, 10)))::BIGINT
+        |  END AS ap_e6
+        |FROM reltot FULL OUTER JOIN terms USING (q_id)""".stripMargin,
+    // w21 twin: the same distinct-count grid, HUGEINT-exact doubled
+    // rank sum (tie blocks contribute 2·m·cumbefore + m(m+1)), one
+    // lattice division
+    "w21_gini" ->
+      """WITH counts AS (SELECT user_id, count(*)::BIGINT AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |grid AS (SELECT c, count(*)::BIGINT AS m FROM counts GROUP BY 1),
+        |g2 AS (SELECT c, m,
+        |    coalesce(sum(m) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS cumbefore
+        |  FROM grid),
+        |s AS (SELECT sum(m)::HUGEINT AS n_keys,
+        |    sum(c::HUGEINT * m::HUGEINT)::HUGEINT AS s_tot,
+        |    sum(c::HUGEINT * (2::HUGEINT * m * cumbefore
+        |      + m::HUGEINT * (m + 1)))::HUGEINT AS rank2sum,
+        |    max(c)::BIGINT AS max_per_key
+        |  FROM g2)
+        |SELECT n_keys::BIGINT AS n_keys, s_tot::BIGINT AS n_events,
+        |  max_per_key,
+        |  CASE WHEN n_keys * s_tot > 0 THEN
+        |    ((2*(rank2sum - (n_keys + 1)*s_tot)*1000000 + n_keys*s_tot)
+        |      // (2*n_keys*s_tot))::BIGINT
+        |  END AS gini_e6
+        |FROM s""".stripMargin,
+    // d20 twin: the same planted mirror union, md5 fingerprints,
+    // fp-equi pair join + per-source totals + lattice Jaccard
+    "d20_cross_source_overlap" ->
+      """WITH all_docs AS (SELECT text, source FROM documents
+        |  UNION ALL SELECT text, 'm_' || source FROM documents
+        |    WHERE doc_id % 3 = 0),
+        |fps AS (SELECT DISTINCT md5(text) AS fp, source AS src
+        |  FROM all_docs),
+        |pairs AS (SELECT x.src AS source_a, y.src AS source_b,
+        |    count(*)::BIGINT AS n_shared_fps
+        |  FROM fps x JOIN fps y ON x.fp = y.fp AND x.src < y.src
+        |  GROUP BY 1, 2),
+        |totals AS (SELECT src, count(*)::BIGINT AS n FROM fps GROUP BY 1)
+        |SELECT source_a, source_b, n_shared_fps, ta.n AS n_a,
+        |  tb.n AS n_b,
+        |  ((2*n_shared_fps*1000000 + (ta.n + tb.n - n_shared_fps))
+        |    // (2*(ta.n + tb.n - n_shared_fps)))::BIGINT AS jaccard_e6
+        |FROM pairs JOIN totals ta ON ta.src = source_a
+        |  JOIN totals tb ON tb.src = source_b""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

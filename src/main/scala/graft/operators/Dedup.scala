@@ -1274,4 +1274,61 @@ object Dedup {
       tokenHash: Column => Column = defaultTokenHash): DataFrame =
     hammingNearPairs(simHash(docs, idCol, textCol, tokenHash),
       "id", "simhash", maxDist)
+
+  /** Cross-source duplication matrix — which sources copy from each
+    * other: per unordered source pair, how many exact-content
+    * fingerprints both carry and the Jaccard of their fingerprint sets.
+    * The curation read behind mixing decisions ([[exactGroups]] dedups
+    * WITHIN the corpus; this names the inter-source flows — a crawl
+    * that mirrors a dump, two snapshots of the same site) and the
+    * cross-split twin of [[graft.operators.Sampling.splitLeakageReport]].
+    *
+    * Scale: fingerprints are md5 (engine-portable); the (fp, source)
+    * table is distinct-collapsed and checkpointed ONCE (it feeds the
+    * pair self-join twice and the per-source totals). The self-join is
+    * fp-equi; per-fingerprint fan-out is sources²/2 where sources is a
+    * bounded taxonomy — and a fingerprint spanning more than
+    * `maxSourcesPerFp` sources fails LOUDLY (the g9 hub discipline: an
+    * empty-string fingerprint spanning every source would silently
+    * quadratic the join, and it is corrupt input, not signal).
+    *
+    * Output: (source_a, source_b, n_shared_fps, n_a, n_b, jaccard_e6),
+    * source_a < source_b, pairs with ≥ 1 shared fingerprint.
+    */
+  def crossSourceOverlap(
+      docs: DataFrame, textCol: String, sourceCol: String,
+      maxSourcesPerFp: Int = 64): DataFrame = {
+    require(maxSourcesPerFp >= 2,
+      s"maxSourcesPerFp must be >= 2 (got $maxSourcesPerFp)")
+    val fps = docs.select(md5(col(textCol)).as("fp"),
+        when(col(sourceCol).isNull,
+          raise_error(lit("crossSourceOverlap: null source")))
+          .otherwise(col(sourceCol).cast("string")).as("src"))
+      .distinct()
+      .localCheckpoint()
+    val perFp = fps.groupBy("fp").agg(count(lit(1)).as("__ns"))
+    val g = fps.join(perFp, "fp")
+      .select(col("fp"),
+        when(col("__ns") > maxSourcesPerFp,
+          raise_error(concat(
+            lit(s"crossSourceOverlap: a fingerprint spans more than " +
+              s"$maxSourcesPerFp sources ("), col("__ns").cast("string"),
+            lit(") — corrupt or empty content"))))
+          .otherwise(col("src")).as("src"))
+    val pairs = g.as("x")
+      .join(g.as("y"),
+        col("x.fp") === col("y.fp") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("source_a"), col("y.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+    val totals = fps.groupBy("src").agg(count(lit(1)).as("n"))
+    pairs
+      .join(totals.select(col("src").as("source_a"), col("n").as("n_a")),
+        "source_a")
+      .join(totals.select(col("src").as("source_b"), col("n").as("n_b")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared_fps"),
+        col("n_a"), col("n_b"),
+        expr("(2 * n_shared_fps * 1000000 + (n_a + n_b - n_shared_fps))" +
+          " div (2 * (n_a + n_b - n_shared_fps))").as("jaccard_e6"))
+  }
 }

@@ -897,6 +897,64 @@ object EventAnalytics {
           col("hour_of_week") === -col("pk.nh")).as("is_peak"))
   }
 
+  /** Gini coefficient of per-key activity concentration — the
+    * one-number inequality read on "how top-heavy is this corpus":
+    * events per user (bot/power-user skew), docs per domain (does one
+    * host dominate the mix), tokens per source. With per-key counts
+    * x sorted ascending and ranks i = 1..n,
+    *
+    *   G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+    *
+    * computed EXACTLY over the distinct-COUNT grid (the
+    * spearman/aucBinary envelope — never a corpus-keyed window): a tie
+    * block of m keys at count v with `cumbefore` smaller keys
+    * contributes v·(m·cumbefore + m(m+1)/2) to the rank sum regardless
+    * of within-tie order, every product rides in decimal(38,0)
+    * (rank-sum terms ≤ n·Σx ≈ 10³⁰ at a billion keys — exact), and the
+    * single division lands half-up on the 1e-6 lattice. G = 0 ⟺ all
+    * keys equal; → 1 as one key takes everything. Null keys fail
+    * loudly (a silent "null bucket" would absorb exactly the
+    * concentration being measured).
+    *
+    * Scale: one map-side-combined key count, one count-grid aggregate +
+    * cumulative window over grid rows, one fold. Output: one row
+    * (n_keys, n_events, max_per_key, gini_e6).
+    */
+  def activityGini(events: DataFrame, keyCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val counts = events.select(
+        when(col(keyCol).isNull,
+          raise_error(lit("activityGini: null key")))
+          .otherwise(col(keyCol).cast("string")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = counts.groupBy("c").agg(count(lit(1)).as("m"))
+      .withColumn("cumbefore", coalesce(sum("m").over(w), lit(0L)))
+    // 2·Σ i·x carried directly (a tie block's rank sum doubles to
+    // 2·m·cumbefore + m(m+1) — integer, no /2 anywhere)
+    val s = grid.agg(
+      coalesce(sum(col("m")), lit(0L)).as("n_keys"),
+      coalesce(sum(dc(col("c")) * dc(col("m"))), dc(lit(0))).as("s_dec"),
+      coalesce(sum(dc(col("c")) *
+        (dc(lit(2)) * dc(col("m")) * dc(col("cumbefore")) +
+          dc(col("m")) * (dc(col("m")) + dc(lit(1))))),
+        dc(lit(0))).as("rank2sum_dec"),
+      coalesce(max(col("c")), lit(0L)).as("max_per_key"))
+    val num = col("rank2sum_dec") -
+      (dc(col("n_keys")) + dc(lit(1))) * col("s_dec")
+    val den = dc(col("n_keys")) * col("s_dec")
+    s.select(col("n_keys"),
+      col("s_dec").cast("long").as("n_events"),
+      col("max_per_key"),
+      when(den > 0,
+        ((dc(lit(2)) * num * dc(lit(1000000)) + den -
+          (dc(lit(2)) * num * dc(lit(1000000)) + den) %
+            (dc(lit(2)) * den)) / (dc(lit(2)) * den)).cast("long"))
+        .as("gini_e6"))
+  }
+
   /** CUSUM changepoint detector per event type (Page 1954) — the
     * sustained-shift complement to [[rateAnomaly]]'s single-bucket
     * spike test: a rate that drifts up by less than one spike per

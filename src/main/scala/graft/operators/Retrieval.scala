@@ -146,6 +146,68 @@ object Retrieval {
           col("idcg").cast("double"), lit(0.0)), 6).as("ndcg"))
   }
 
+  /** Average precision at k (the MAP building block — the ranking
+    * metric [[rankingMetrics]]'s MRR/nDCG pair doesn't cover: MRR sees
+    * only the first hit, nDCG needs graded judgments; AP is THE
+    * binary-judgment ranking summary):
+    *
+    *   AP@k = Σ_{r ≤ k} rel_r · (hits_≤r / r) / min(R, k)
+    *
+    * computed EXACTLY: each precision term rides as the integer
+    * rel_r · hits_≤r · (L/r) with L = lcm(1..k) (k ≤ 20 keeps L =
+    * 232792560 and the term sum far inside a long), the division by
+    * L·min(R, k) happens once on the 1e-6 lattice — no float anywhere,
+    * no partition-order float sum (the cumulative-hit window is
+    * rank-ordered per query). Duplicate judgments collapse first; a
+    * rank < 1 fails loudly (the [[rankingMetrics]] guard). Judged
+    * queries the retriever missed emit ap = 0 (the TREC convention);
+    * retrieved-but-unjudged queries have no defined denominator → NULL.
+    *
+    * Scale: one (q, c) equi-join of the top-k lists against the judged
+    * set, one per-query rank window over ≤ k rows, one rollup. Output:
+    * (q_id, n_rel, n_hits, ap_e6).
+    */
+  def averagePrecision(
+      ranked: DataFrame, judgments: DataFrame, k: Int,
+      qIdCol: String = "q_id", cIdCol: String = "c_id",
+      rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
+    require(k >= 1 && k <= 20,
+      s"k must be in [1, 20] (got $k) — lcm(1..k) must stay long-exact")
+    val lcmK = (1 to k).map(BigInt(_)).reduce(
+      (a, b) => a * b / a.gcd(b)).toLong
+    val rk = ranked.select(col(qIdCol).cast("long").as("q_id"),
+        col(cIdCol).cast("long").as("c_id"),
+        when(col(rankCol).cast("int") < 1,
+          raise_error(lit("averagePrecision: ranks must be 1-based")))
+          .otherwise(col(rankCol).cast("int")).as("rank"))
+      .filter(col("rank") <= k)
+    val jd = judgments.select(col(qIdCol).cast("long").as("q_id"),
+        col(cIdCol).cast("long").as("c_id"),
+        col(relCol).cast("int").as("rel"))
+      .filter(col("rel") > 0)
+      .select("q_id", "c_id").distinct()
+    val relTotals = jd.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val w = Window.partitionBy("q_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = rk
+      .join(jd.withColumn("__hit", lit(1L)), Seq("q_id", "c_id"), "left")
+      .withColumn("__rel", coalesce(col("__hit"), lit(0L)))
+      .withColumn("__cum", sum("__rel").over(w))
+      .groupBy("q_id").agg(
+        sum(col("__rel") * col("__cum") *
+          expr(s"${lcmK}L div CAST(rank AS BIGINT)")).as("num"),
+        sum("__rel").as("n_hits"))
+    relTotals.join(terms, Seq("q_id"), "full_outer")
+      .select(col("q_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_rel").isNotNull,
+          expr(s"(2 * coalesce(num, 0) * 1000000 + " +
+            s"$lcmK * least(n_rel, $k)) div " +
+            s"(2 * $lcmK * least(n_rel, $k))"))
+          .as("ap_e6"))
+  }
+
   /** Hard-negative mining for contrastive / embedding training: per
     * query, the retriever's candidates ranked in [loRank, hiRank] minus
     * the known positives — the "near the query but not relevant" band.

@@ -558,6 +558,27 @@ object ScaleProbe {
           d.filter(pmod(col("doc_id"), lit(2)) === 0), d,
           "doc_id", "text").count()
       },
+      "w21_gini" -> { d =>
+        EventAnalytics.activityGini(
+          d.select(pmod(xxhash64(col("doc_id")), lit(math.max(probeN / 20, 10L)))
+            .as("u")), "u").count()
+      },
+      "d20_source_overlap" -> { d =>
+        // sources scale with n (the d17 group-knob discipline); every
+        // 3rd doc mirrored so the pair join has real overlap
+        val grp = math.max(probeN / 500, 10L)
+        val tagged = d.select(col("text"),
+          concat(lit("s"), pmod(col("doc_id"), lit(grp)).cast("string"))
+            .as("source"))
+        Dedup.crossSourceOverlap(
+          tagged.unionAll(
+            d.filter(pmod(col("doc_id"), lit(3)) === 0)
+              .select(col("text"),
+                concat(lit("m"),
+                  pmod(col("doc_id"), lit(grp)).cast("string"))
+                  .as("source"))),
+          "text", "source").count()
+      },
       "s13_resample" -> { d =>
         Sampling.systematicResample(
           d.select(col("doc_id"),

@@ -497,4 +497,38 @@ class DedupSpec extends AnyFunSuite {
       || e.getCause != null && e.getCause.getMessage.contains("null domain"),
       e.getMessage)
   }
+
+  test("crossSourceOverlap: hand matrix, Jaccard lattice, hub guard") {
+    import spark.implicits._
+    val docs = Seq(
+      ("t1", "s1"), ("t1", "s2"), ("t1", "s3"),
+      ("t2", "s1"), ("t3", "s2"),
+      ("t2", "s1") // within-source duplicate collapses first
+    ).toDF("text", "source")
+    val got = Dedup.crossSourceOverlap(docs, "text", "source")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // totals: s1 = {t1,t2}, s2 = {t1,t3}, s3 = {t1}
+    assert(got(("s1", "s2")) == ((1L, 2L, 2L, 333333L))) // 1/3
+    assert(got(("s1", "s3")) == ((1L, 2L, 1L, 500000L))) // 1/2
+    assert(got(("s2", "s3")) == ((1L, 2L, 1L, 500000L)))
+    assert(got.size == 3)
+    // a fingerprint spanning > maxSourcesPerFp sources fails loudly
+    val e = intercept[Exception] {
+      Dedup.crossSourceOverlap(docs, "text", "source",
+        maxSourcesPerFp = 2).collect()
+    }
+    assert(e.getMessage.contains("spans more than")
+      || e.getCause != null &&
+        e.getCause.getMessage.contains("spans more than"), e.getMessage)
+    // null source fails loudly
+    val e2 = intercept[Exception] {
+      Dedup.crossSourceOverlap(
+        Seq(("t", Option.empty[String])).toDF("text", "source"),
+        "text", "source").collect()
+    }
+    assert(e2.getMessage.contains("null source")
+      || e2.getCause != null &&
+        e2.getCause.getMessage.contains("null source"), e2.getMessage)
+  }
 }

@@ -629,4 +629,44 @@ class EventAnalyticsSpec extends AnyFunSuite {
         lookback = lit(100L))
     }
   }
+
+  test("activityGini: equal keys 0, hand 0.4 case, null-key raise") {
+    import spark.implicits._
+    def gini(evs: Seq[Long]): (Long, Long, Long, Option[Long]) =
+      EventAnalytics.activityGini(evs.toDF("u"), "u")
+        .as[(Long, Long, Long, Option[Long])].collect().head
+    // two users, two events each -> perfectly equal
+    assert(gini(Seq(1L, 1L, 2L, 2L)) == ((2L, 4L, 2L, Some(0L))))
+    // counts [1, 9]: G = 0.4 exactly
+    assert(gini(Seq(1L) ++ Seq.fill(9)(2L)) ==
+      ((2L, 10L, 9L, Some(400000L))))
+    // single key: n·S > 0 but num = 2·(1·x) − 2·x = 0 -> G = 0
+    assert(gini(Seq(7L, 7L, 7L)) == ((1L, 3L, 3L, Some(0L))))
+    val e = intercept[Exception] {
+      EventAnalytics.activityGini(
+        Seq(Some(1L), None).toDF("u"), "u").collect()
+    }
+    assert(e.getMessage.contains("null key")
+      || e.getCause != null && e.getCause.getMessage.contains("null key"))
+  }
+
+  test("activityGini ≡ BigInt mean-absolute-difference reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    (1 to 4).foreach { trial =>
+      val events = (0 until 300).map(_ => rnd.nextInt(25).toLong)
+      val got = EventAnalytics.activityGini(events.toDF("u"), "u")
+        .as[(Long, Long, Long, Option[Long])].collect().head
+      val counts = events.groupBy(identity).map(_._2.size.toLong).toSeq
+      val n = BigInt(counts.size)
+      val s = BigInt(counts.sum)
+      // G = Σ|xi − xj| / (2 n² μ) = Σ|xi − xj| / (2 n S) exactly
+      val absSum = (for (a <- counts; b <- counts)
+        yield (BigInt(a) - BigInt(b)).abs).sum
+      val num = absSum * 1000000
+      val den = BigInt(2) * n * s
+      val want = (BigInt(2) * num + den) / (BigInt(2) * den)
+      assert(got._4 == Some(want.toLong), s"trial $trial")
+    }
+  }
 }

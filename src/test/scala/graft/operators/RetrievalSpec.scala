@@ -524,6 +524,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(fast == dist)
   }
 
+  test("averagePrecision: hand AP@k, TREC missed-query 0, unjudged NULL") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1L, 11L, 1), (1L, 2L, 2), (1L, 13L, 3), // rel at rank 2 only
+      (3L, 31L, 1), (3L, 32L, 2),              // unjudged query
+      (4L, 4L, 1)                              // perfect single hit
+    ).toDF("q_id", "c_id", "rank")
+    val judged = Seq(
+      (1L, 2L, 1), (1L, 9L, 1), // 9 never retrieved -> R = 2
+      (2L, 5L, 1),              // judged, retriever returned nothing
+      (4L, 4L, 1)
+    ).toDF("q_id", "c_id", "rel")
+    val got = Retrieval.averagePrecision(ranked, judged, k = 10)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, Some(250000L)))) // (1/2)/2 = 0.25
+    assert(got(2L) == ((1L, 0L, Some(0L))))      // missed judged query
+    assert(got(3L) == ((0L, 0L, None)))          // unjudged: undefined
+    assert(got(4L) == ((1L, 1L, Some(1000000L))))
+    // rank < 1 fails loudly (the rankingMetrics guard)
+    val e = intercept[Exception] {
+      Retrieval.averagePrecision(
+        Seq((1L, 2L, 0)).toDF("q_id", "c_id", "rank"), judged, 10)
+        .collect()
+    }
+    assert(e.getMessage.contains("1-based")
+      || e.getCause != null && e.getCause.getMessage.contains("1-based"))
+  }
+
   test("chrF: hand-computed chrF2, whitespace strip, empty-side NULL") {
     import spark.implicits._
     val got = Retrieval.chrF(
