@@ -666,4 +666,44 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bleu must stay equi-keyed:\n$plan")
     assert(!plan.contains("Window"), s"no window belongs here:\n$plan")
   }
+
+  test("chrF: the bleu shape — equi clip join, no window, no cartesian") {
+    val plan = planOf(SparkEntry.queries("e20_chrf")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"chrF must stay equi-keyed:\n$plan")
+    assert(!plan.contains("Window"), s"no window belongs here:\n$plan")
+  }
+
+  test("backoff trigram: five equi count-joins, no token window") {
+    val plan = planOf(
+      SparkEntry.queries("t38_backoff_trigram")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // exactly ONE nested-loop join is sanctioned: the one-row (total, V)
+    // broadcast — the t10/t17 scalar-totals idiom; the five count joins
+    // must all stay hash-keyed
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r
+      .findAllMatchIn(plan).length == 1,
+      s"only the one-row totals broadcast may nested-loop:\n$plan")
+    assert(!plan.contains("Window"),
+      s"counts come from aggregates, never a token window:\n$plan")
+  }
+
+  test("cross-source overlap: fp-equi pair join, never a cartesian") {
+    val plan = planOf(
+      SparkEntry.queries("d20_cross_source_overlap")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join must stay fingerprint-keyed:\n$plan")
+  }
+
+  test("systematic resample: sharded prefix windows, no global sort " +
+      "of the corpus") {
+    val plan = planOf(
+      SparkEntry.queries("s13_systematic_resample")(spark, dir))
+    // the only unpartitioned window runs over the SHARD table
+    // (corpus/shardSize rows); the corpus window is shard-partitioned
+    assert(plan.contains("Window"), s"expected windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
