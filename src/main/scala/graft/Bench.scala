@@ -209,6 +209,13 @@ object Bench {
       "v10,v11,v12,v13,v14,v15,v16,v17,v18,v2,v3,v4,v5,v6,v7,v8,v9," +
       "w1,w10,w11,w12,w13,w14,w15,w2,w3,w4,w5,w6,w7,w8,w9"
     ).split(",").toSet
+    // the round-9 basket: everything except the 8 round-10 additions
+    val r10Additions = Set("e20", "e21", "e22", "t38", "s13", "m10",
+      "w21", "d20")
+    val r9Total = okMins.collect {
+      case (k, v) if !r10Additions(k.takeWhile(_ != '_')) => v }.sum
+    val nR9 = okMins.count {
+      case (k, _) => !r10Additions(k.takeWhile(_ != '_')) }
     val r1Total = okMins.collect { case (k, v) if r1Set(k) => v }.sum
     val r7Total = okMins.collect {
       case (k, v) if r7Prefixes(k.takeWhile(_ != '_')) => v }.sum
@@ -218,6 +225,6 @@ object Bench {
     val failedPrefixes = failed.map(k =>
       "\"" + k.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"n_failed":${failed.size},"failed":$failedPrefixes,"value_r1_set":${f(r1Total)},"n_r1_set":${okMins.map(_._1).count(r1Set)},"value_r7_set":${f(r7Total)},"n_r7_set":$nR7,"keys":"15 slowest + per-family sums; full per-query map in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"n_failed":${failed.size},"failed":$failedPrefixes,"value_r1_set":${f(r1Total)},"n_r1_set":${okMins.map(_._1).count(r1Set)},"value_r7_set":${f(r7Total)},"n_r7_set":$nR7,"value_r9_set":${f(r9Total)},"n_r9_set":$nR9,"keys":"15 slowest + per-family sums; full per-query map in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
   }
 }
