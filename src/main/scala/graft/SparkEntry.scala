@@ -2906,7 +2906,10 @@ FROM c"""
         val bytes =
           if (id % 11 == 0) text.getBytes("UTF-8") // non-BMP: dropped
           else Multimodal.bmpBytes(
-            width = 1 + (id % 640).toInt, height = 1 + (id % 480).toInt,
+            // dims stay small: unlike m8's 16-byte IDAT stub, BMP pixel
+            // rows physically exist (the declared-size check), so
+            // 640x480x32bpp would be ~1.2 MB per doc of filler
+            width = 1 + (id % 64).toInt, height = 1 + (id % 48).toInt,
             bitsPerPixel = Array(1, 4, 8, 24, 32)((id % 5).toInt),
             topDown = id % 7 == 0)
         (id, bytes)
@@ -8616,15 +8619,15 @@ FROM c"""
     // the 4-byte-aligned row stride
     "m10_bmp_meta" ->
       """SELECT doc_id AS id,
-        |  (1 + doc_id % 640)::BIGINT AS width,
-        |  (1 + doc_id % 480)::BIGINT AS height,
+        |  (1 + doc_id % 64)::BIGINT AS width,
+        |  (1 + doc_id % 48)::BIGINT AS height,
         |  doc_id % 7 = 0 AS top_down,
         |  (CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 8
         |    WHEN 3 THEN 24 ELSE 32 END)::BIGINT AS bits_per_pixel,
         |  (CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 16 WHEN 2 THEN 256
         |    ELSE 0 END)::BIGINT AS n_colors,
         |  (((CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 8
-        |      WHEN 3 THEN 24 ELSE 32 END) * (1 + doc_id % 640) + 31)
+        |      WHEN 3 THEN 24 ELSE 32 END) * (1 + doc_id % 64) + 31)
         |    // 32 * 4)::BIGINT AS row_stride
         |FROM documents WHERE doc_id % 11 <> 0""".stripMargin,
     // e22 twin: the e1 oracle's hamming/cosine ranking CTEs, binary
