@@ -155,8 +155,11 @@ object Bench {
     // this file, never from truncated stdout (the r4/r5 parsed-null
     // lesson). Written to the working directory next to the repo's
     // BENCH_r{N}.json history.
+    // A focused `--only` run must NOT clobber the durable full-suite
+    // record — it lands in bench_focused.json instead.
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(
+        if (only.isEmpty) "bench_full.json" else "bench_focused.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // The stdout line must survive the driver's last-2000-chars capture

@@ -719,9 +719,12 @@ object Classifier {
       scored: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val dec = DecimalType(38, 0)
     def dc(c: Column) = c.cast(dec)
-    val g = when(!col(groupCol).isin("a", "b"),
+    // isNull spelled out: NULL.isin(...) is NULL, and when(NULL, raise)
+    // would fall through — a null group would silently land in n_b
+    val g = when(col(groupCol).isNull || !col(groupCol).isin("a", "b"),
       raise_error(concat(lit("mannWhitney: group must be a|b, got "),
-        col(groupCol).cast("string")))).otherwise(col(groupCol))
+        coalesce(col(groupCol).cast("string"), lit("NULL")))))
+      .otherwise(col(groupCol))
     val v = col(valueCol).cast("double")
     val x = when(v.isNull || isnan(v),
       raise_error(lit("mannWhitney: value must be non-null and non-NaN")))

@@ -736,9 +736,12 @@ object EventAnalytics {
         raise_error(lit("abSignificance: null user")))
         .otherwise(col(userCol)).as("u"),
       col(typeCol).as("event_type"),
-      when(!col(variantCol).isin("a", "b"),
+      // isNull spelled out: NULL.isin(...) is NULL and when(NULL, raise)
+      // falls through — a null variant would silently drop from both
+      // exposure counts instead of failing (the mannWhitney guard twin)
+      when(col(variantCol).isNull || !col(variantCol).isin("a", "b"),
         raise_error(concat(lit("abSignificance: variant must be a|b, got "),
-          col(variantCol).cast("string"))))
+          coalesce(col(variantCol).cast("string"), lit("NULL")))))
         .otherwise(col(variantCol)).as("v"))
     abReport(base.select("u", "v").distinct(),
       base.select("u", "v", "event_type").distinct())

@@ -92,9 +92,6 @@ object Graph {
       iterations, damping, grid, op = "trustRank",
       driverCapRows = driverCapRows)
 
-  /** UTF8String binary order (unsigned byte-wise) — what Spark's string
-    * comparisons use; the driver fast paths must tie-break identically.
-    */
   /** Sub-cap probe for the driver fast paths: rows reach the driver
     * only AFTER a counted `limit(cap+1)` proves the (localCheckpointed)
     * edge list fits, so an over-cap graph pays one count job that moves
@@ -109,6 +106,9 @@ object Graph {
     else if (df.limit(cap + 1).count() > cap) None
     else Some(df.collect())
 
+  /** UTF8String binary order (unsigned byte-wise) — what Spark's string
+    * comparisons use; the driver fast paths must tie-break identically.
+    */
   private def utf8Less(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     val n = math.min(a.length, b.length)

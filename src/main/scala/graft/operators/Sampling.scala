@@ -584,9 +584,11 @@ object Sampling {
     val guardedTot = tot.select(
       when(col("w_tot").isNull || col("w_tot") <= 0,
         raise_error(lit("systematicResample: total weight must be > 0")))
-        .otherwise(when(col("w_tot") > Long.MaxValue / (2 * m),
-          raise_error(lit("systematicResample: 2·W·m exceeds the 64-bit " +
-            "exactness envelope — rescale the weights")))
+        // the comb computes 2·C·m + W with C ≤ W, so the bound is
+        // (2m+1)·W ≤ Long.Max, not 2m·W
+        .otherwise(when(col("w_tot") > Long.MaxValue / (2 * m + 1),
+          raise_error(lit("systematicResample: (2m+1)·W exceeds the " +
+            "64-bit exactness envelope — rescale the weights")))
           .otherwise(col("w_tot"))).as("w_tot"))
     withLocal.join(offsets, "shard")
       .withColumn("cum_w", col("offset") + col("local_cum"))

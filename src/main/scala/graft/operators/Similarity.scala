@@ -409,15 +409,18 @@ object Similarity {
       model: SqModel): DataFrame = {
     val mins = typedLit(model.mins)
     val maxs = typedLit(model.maxs)
-    // Fail-loud: a null / short / null-element vector would otherwise
-    // yield NULL (or silently-zero) code elements that sqTopK ranks
-    // last instead of surfacing the bad input.
+    // Fail-loud: a null / wrong-length / null-element vector would
+    // otherwise yield NULL (or silently-zero) code elements that sqTopK
+    // ranks last — and a LONGER vector would silently truncate (the
+    // same skew sqTrain rejects as ragged), so the length check is
+    // strict equality, not a lower bound.
     val bad = col(vecCol).isNull ||
-      size(col(vecCol)) < lit(model.dim) ||
+      size(col(vecCol)) =!= lit(model.dim) ||
       exists(col(vecCol), _.isNull)
     df.select(col(idCol).as("id"),
       when(bad, raise_error(concat(
-        lit("sqQuantize: null, short or null-element vector for id "),
+        lit("sqQuantize: null, wrong-length or null-element vector " +
+          "for id "),
         col(idCol).cast("string"))))
         .otherwise(
       transform(sequence(lit(1), lit(model.dim)), i =>

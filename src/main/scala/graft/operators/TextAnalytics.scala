@@ -552,8 +552,11 @@ object TextAnalytics {
     val cUni = tw.select(explode(col("w")).as("t"))
       .groupBy(xxhash64(col("t")).as("h1g"))
       .agg(count(lit(1)).as("c_uni"))
-    val tot = tw.select(explode(col("w")).as("t"))
-      .agg(count(lit(1)).as("total"), countDistinct("t").as("v"))
+      .localCheckpoint()
+    // totals fold over the unigram table, not a second corpus explode:
+    // total = Σ c_uni and V = its row count (identical modulo the
+    // already-accepted xxhash64 keying)
+    val tot = cUni.agg(sum("c_uni").as("total"), count(lit(1)).as("v"))
     val pos = score
       .select(col(idCol).as("id"), explode(triZip(tokens(col(textCol))))
         .as("p"))

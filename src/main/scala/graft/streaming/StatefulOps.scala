@@ -610,18 +610,22 @@ object StatefulOps {
   case class AbEv(user_id: Long, variant: String, event_type: String)
   case class AbConv(v: String, event_type: String)
   case class AbState(exposed: Seq[String], conv: Seq[AbConv])
-  case class AbFirst(u: Long, v: String, event_type: String)
+  case class AbFirst(u: Long, v: String, kind: String, event_type: String)
 
   /** One micro-batch of A/B first-seen emission — the streaming twin of
     * [[graft.operators.EventAnalytics.abSignificance]]'s two distincts.
     * State per user: the exposed-variant set (≤ 2) plus the converted
     * (variant, type) set (≤ 2·|types| fixed-size rows — types are a
     * bounded taxonomy, the [[advanceRate]] per-key contract). A user's
-    * FIRST event under a variant emits an exposure row (event_type
-    * null); the first of each (variant, type) emits a conversion row —
+    * FIRST event under a variant emits a kind = 'exposure' row; the
+    * first of each (variant, type) emits a kind = 'conversion' row —
     * so the emitted rows ARE the batch distincts, order-independent
-    * (dedup is idempotent; there is no horizon to be late past). A
-    * variant outside a|b fails loudly, the batch raise_error twin.
+    * (dedup is idempotent; there is no horizon to be late past). The
+    * row kind is an explicit column, NOT a null event_type marker: the
+    * batch operator accepts a null type as its own conversion group,
+    * and a marker would make that group indistinguishable from
+    * exposures in the sink. A variant outside a|b fails loudly, the
+    * batch raise_error twin.
     */
   private[streaming] def advanceAb(
       user: Long, evs: Seq[(String, String)], prior: Option[AbState])
@@ -633,20 +637,23 @@ object StatefulOps {
       require(v == "a" || v == "b",
         s"abFirstsStream: variant must be a|b, got $v")
       if (!exposed.contains(v)) {
-        out += AbFirst(user, v, null); exposed += v
+        out += AbFirst(user, v, "exposure", null); exposed += v
       }
       val c = AbConv(v, et)
       if (!conv.contains(c)) {
-        out += AbFirst(user, v, et); conv += c
+        out += AbFirst(user, v, "conversion", et); conv += c
       }
     }
+    // null-safe state order (a null event_type is a legal conversion
+    // group batch-side; Ordering[String] would NPE on it)
     (out.toSeq,
       AbState(exposed.toSeq.sorted,
-        conv.toSeq.sortBy(c => (c.v, c.event_type))))
+        conv.toSeq.sortBy(c =>
+          (c.v, c.event_type == null, Option(c.event_type).getOrElse("")))))
   }
 
-  /** Streaming A/B first-seen rows (Append mode): exposure rows
-    * (event_type null) and conversion rows — downstream,
+  /** Streaming A/B first-seen rows (Append mode): kind-tagged exposure
+    * and conversion rows — downstream,
     * [[graft.operators.EventAnalytics.abReport]] over the sink's two
     * slices IS the w18 significance report, maintained incrementally
     * (delegation, not a re-authored twin; the exact div/mod z² ladder

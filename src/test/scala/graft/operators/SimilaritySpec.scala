@@ -570,6 +570,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e3.getMessage.contains("sqQuantize")
       || e3.getCause != null &&
         e3.getCause.getMessage.contains("sqQuantize"), e3.getMessage)
+    // a LONGER vector must raise too, never silently truncate
+    val e4 = intercept[Exception] {
+      Similarity.sqQuantize(
+        Seq((1L, Array(0.5f, 0.5f, 0.5f))).toDF("id", "v"),
+        "id", "v", m).collect()
+    }
+    assert(e4.getMessage.contains("sqQuantize")
+      || e4.getCause != null &&
+        e4.getCause.getMessage.contains("sqQuantize"), e4.getMessage)
   }
 
   test("sqTopK ≡ plain-Scala quantized integer ranking; bounds from data") {

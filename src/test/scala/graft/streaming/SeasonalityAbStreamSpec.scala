@@ -78,8 +78,8 @@ class SeasonalityAbStreamSpec extends AnyFunSuite {
       val firsts = spark.table("ab_firsts")
         .as[AbFirst].collect().toSeq.toDS().toDF()
       val streamed = EventAnalytics.abReport(
-          firsts.filter(col("event_type").isNull).select("u", "v"),
-          firsts.filter(col("event_type").isNotNull)
+          firsts.filter(col("kind") === "exposure").select("u", "v"),
+          firsts.filter(col("kind") === "conversion")
             .select("u", "v", "event_type"))
         .as[(String, Long, Long, Long, Long,
           Option[Long], Option[Long], String)].collect().toSet
@@ -108,15 +108,27 @@ class SeasonalityAbStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("hour_of_week"), e.getMessage)
   }
 
-  test("advanceAb: first-seen dedup across batches, variant guard") {
+  test("advanceAb: first-seen dedup across batches, variant guard, " +
+      "null conversion type kept distinct from exposure") {
     val (r1, s1) = StatefulOps.advanceAb(
       9L, Seq(("a", "click"), ("a", "click"), ("a", "buy")), None)
-    assert(r1 == Seq(AbFirst(9, "a", null), AbFirst(9, "a", "click"),
-      AbFirst(9, "a", "buy")))
+    assert(r1 == Seq(AbFirst(9, "a", "exposure", null),
+      AbFirst(9, "a", "conversion", "click"),
+      AbFirst(9, "a", "conversion", "buy")))
     // re-delivery dedupes; a new variant re-exposes
-    val (r2, _) = StatefulOps.advanceAb(
+    val (r2, s2) = StatefulOps.advanceAb(
       9L, Seq(("a", "click"), ("b", "click")), Some(s1))
-    assert(r2 == Seq(AbFirst(9, "b", null), AbFirst(9, "b", "click")))
+    assert(r2 == Seq(AbFirst(9, "b", "exposure", null),
+      AbFirst(9, "b", "conversion", "click")))
+    // a genuinely null event_type is a legal conversion group
+    // batch-side: it must emit as a conversion (kind-tagged, never
+    // collapsed into the exposure marker) and not NPE the state sort
+    val (r3, s3) = StatefulOps.advanceAb(
+      9L, Seq(("b", null), ("b", null), ("b", "buy")), Some(s2))
+    assert(r3 == Seq(AbFirst(9, "b", "conversion", null),
+      AbFirst(9, "b", "conversion", "buy")))
+    val (r4, _) = StatefulOps.advanceAb(9L, Seq(("b", null)), Some(s3))
+    assert(r4.isEmpty)
     val e = intercept[IllegalArgumentException] {
       StatefulOps.advanceAb(9L, Seq(("c", "click")), Some(s1))
     }
