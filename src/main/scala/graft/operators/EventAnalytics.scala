@@ -923,14 +923,21 @@ object EventAnalytics {
     * cumulative window over grid rows, one fold. Output: one row
     * (n_keys, n_events, max_per_key, gini_e6).
     */
-  def activityGini(events: DataFrame, keyCol: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    def dc(c: Column) = c.cast(dec)
-    val counts = events.select(
+  def activityGini(events: DataFrame, keyCol: String): DataFrame =
+    giniFromCounts(events.select(
         when(col(keyCol).isNull,
           raise_error(lit("activityGini: null key")))
           .otherwise(col(keyCol).cast("string")).as("k"))
-      .groupBy("k").agg(count(lit(1)).as("c"))
+      .groupBy("k").agg(count(lit(1)).as("c")))
+
+  /** The w21 report over a per-key count table (k, c) — the streaming
+    * twin ([[graft.streaming.StatefulOps.keyCountsStream]]) upserts
+    * running counts per key (monotone, so max(c) per key is the latest)
+    * and feeds this finisher — delegation, the two sides cannot drift.
+    */
+  def giniFromCounts(counts: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
     val w = Window.orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val grid = counts.groupBy("c").agg(count(lit(1)).as("m"))

@@ -676,6 +676,45 @@ object StatefulOps {
       }
   }
 
+  case class KeyEv(k: String)
+  case class KeyCount(k: String, c: Long)
+  case class CountState(c: Long)
+
+  /** One micro-batch of per-key running-count advancement — the
+    * streaming twin of any count-per-key batch aggregate (w21's Gini
+    * input is the consumer here). State per key: ONE long. Each batch a
+    * touched key emits its new cumulative count — monotone, so the
+    * sink's max(c) per key IS the latest value, and
+    * [[graft.operators.EventAnalytics.giniFromCounts]] over that upsert
+    * view is the w21 report, maintained incrementally (delegation, not
+    * a re-authored twin). There is no horizon: every arrival counts,
+    * exactly like the batch groupBy.
+    */
+  private[streaming] def advanceCount(
+      k: String, hits: Long, prior: Option[CountState])
+      : (Seq[KeyCount], CountState) = {
+    val c = prior.map(_.c).getOrElse(0L) + hits
+    (if (hits > 0) Seq(KeyCount(k, c)) else Nil, CountState(c))
+  }
+
+  /** Streaming per-key running counts (Append mode, upsert semantics
+    * downstream via max-per-key). State per key: one long — O(keys),
+    * never O(events); no timeout registered, so idle streams run no
+    * state-scan micro-batches.
+    */
+  def keyCountsStream(
+      spark: SparkSession, ds: Dataset[KeyEv]): Dataset[KeyCount] = {
+    import spark.implicits._
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState[CountState, KeyCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, evs: Iterator[KeyEv], state: GroupState[CountState]) =>
+          val (rows, st) = advanceCount(k, evs.size.toLong, state.getOption)
+          state.update(st)
+          rows.iterator
+      }
+  }
+
   /** Streaming sessionizer: closes a session when the processing-time
     * timeout fires after `gapUs` of silence for the key.
     *

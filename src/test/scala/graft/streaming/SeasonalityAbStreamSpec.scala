@@ -94,6 +94,43 @@ class SeasonalityAbStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed key counts finish to the batch w21 Gini on sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
+      .filter(col("user_id").isNotNull)
+    val keys = events.select(col("user_id").cast("string").as("k"))
+      .as[KeyEv].collect()
+    val mem = MemoryStream[KeyEv]
+    val q = keyCountsStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("gini_counts")
+      .outputMode("append").start()
+    try {
+      keys.grouped(math.max(1, keys.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val upserted = spark.table("gini_counts")
+        .as[KeyCount].collect().toSeq.toDS().toDF()
+        .groupBy("k").agg(max("c").as("c"))
+      val streamed = EventAnalytics.giniFromCounts(upserted)
+        .as[(Long, Long, Long, Option[Long])].collect().head
+      val batch = EventAnalytics.activityGini(events, "user_id")
+        .as[(Long, Long, Long, Option[Long])].collect().head
+      assert(streamed == batch)
+      assert(batch._1 > 0)
+    } finally q.stop()
+  }
+
+  test("advanceCount: running totals, only touched keys emit") {
+    val (r1, s1) = StatefulOps.advanceCount("u7", 3L, None)
+    assert(r1 == Seq(KeyCount("u7", 3L)) && s1 == CountState(3L))
+    val (r2, s2) = StatefulOps.advanceCount("u7", 2L, Some(s1))
+    assert(r2 == Seq(KeyCount("u7", 5L)) && s2 == CountState(5L))
+    val (r3, s3) = StatefulOps.advanceCount("u7", 0L, Some(s2))
+    assert(r3.isEmpty && s3 == CountState(5L))
+  }
+
   test("advanceSeason: cumulative upserts, fixed 168-bucket state, bounds") {
     val (r1, s1) = StatefulOps.advanceSeason("click", Seq(5L, 5L, 7L), None)
     assert(r1 == Seq(SeasonCount("click", 5, 2), SeasonCount("click", 7, 1)))
