@@ -2957,6 +2957,31 @@ FROM c"""
       "text", "source")
   }
 
+  /** w22: event-rate autocorrelation at lags 1..6 — fleet-level
+    * periodicity (daily-cron bots spike at the period lag) over the
+    * densified hourly series, exact n²-scaled integer covariance terms
+    * with a sign-split lattice read-out. Full oracle (HUGEINT mirror,
+    * generated per lag).
+    */
+  private def w22Autocorrelation(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.autocorrelation(T(s, d, "events"), "ts", "event_type",
+      maxLag = 6)
+
+  /** j20: fixed-width genome windows + per-window coverage (bedtools
+    * makewindows + coverage) over the j12 interval synthesis — window
+    * index = bin key, so the join is exactly-once by construction;
+    * covered bases read the merged runs (no double count). Full
+    * oracle: the j12 textbook merge + identical clip algebra.
+    */
+  private def j20GenomeWindows(s: SparkSession, d: String): DataFrame = {
+    val st = pmod(col("doc_id") * 37, lit(20000))
+    IntervalDepth.genomeWindows(
+      T(s, d, "documents").select(
+        col("source").as("chrom"), st.as("start"),
+        (st + 5 + pmod(col("doc_id"), lit(20))).as("stop")),
+      "chrom", "start", "stop", windowBp = 1000L)
+  }
+
   /** e19: Krippendorff's alpha (nominal) — docs grouped 4-to-a-unit as
     * "raters", values unit-correlated with per-doc dissent, every 29th
     * rating missing (so unit sizes vary and the 1/(m−1) weights
@@ -3776,7 +3801,9 @@ FROM c"""
     "m10_bmp_meta" -> (m10BmpMeta _),
     "e22_average_precision" -> (e22AveragePrecision _),
     "w21_gini" -> (w21Gini _),
-    "d20_cross_source_overlap" -> (d20CrossSourceOverlap _))
+    "d20_cross_source_overlap" -> (d20CrossSourceOverlap _),
+    "w22_autocorrelation" -> (w22Autocorrelation _),
+    "j20_genome_windows" -> (j20GenomeWindows _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -4163,6 +4190,52 @@ FROM c"""
     * embeds on the Spark side — no engine log() anywhere — and
     * decimal-exact per-query sums.
     */
+  /** w22's DuckDB twin, generated per lag (the graphRankOracle
+    * discipline): the same hourly bucketing, range-densified series,
+    * lead windows sharing one spec, HUGEINT n²-scaled covariance sums
+    * and the identical sign-split lattice division.
+    */
+  private lazy val w22OracleSql: String = {
+    val lags = 1 to 6
+    val leadCols = lags.map(k => s"lead(x, $k) OVER w AS x$k")
+      .mkString(",\n    ")
+    val numAggs = lags.map(k =>
+      s"""sum(CASE WHEN x$k IS NOT NULL THEN
+         |      (n*x - s)::HUGEINT * (n*x$k - s)::HUGEINT END) AS num_$k,
+         |    sum(CASE WHEN x$k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS cnt_$k""".stripMargin).mkString(",\n    ")
+    val branches = lags.map(k =>
+      s"""SELECT event_type, $k AS lag, cnt_$k AS n_terms,
+         |  CASE WHEN den > 0 AND num_$k IS NOT NULL THEN
+         |    (CASE WHEN num_$k < 0
+         |      THEN -((2*(-num_$k)*1000000 + den) // (2*den))
+         |      ELSE ((2*num_$k*1000000 + den) // (2*den)) END)::BIGINT
+         |  END AS acf_e6 FROM agg""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH c AS (SELECT event_type,
+       |    epoch_us(ts) // 3600000000 AS bucket,
+       |    count(*)::BIGINT AS x
+       |  FROM events GROUP BY 1, 2),
+       |sp AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+       |  FROM c GROUP BY 1),
+       |bk AS (SELECT event_type, unnest(range(b0, b1 + 1)) AS bucket
+       |  FROM sp),
+       |dense AS (SELECT bk.event_type, bk.bucket,
+       |    coalesce(c.x, 0)::BIGINT AS x
+       |  FROM bk LEFT JOIN c USING (event_type, bucket)),
+       |tot AS (SELECT event_type, count(*)::BIGINT AS n,
+       |    sum(x)::BIGINT AS s FROM dense GROUP BY 1),
+       |ld AS (SELECT dense.event_type, bucket, x, n, s,
+       |    $leadCols
+       |  FROM dense JOIN tot USING (event_type)
+       |  WINDOW w AS (PARTITION BY dense.event_type ORDER BY bucket)),
+       |agg AS (SELECT event_type,
+       |    sum((n*x - s)::HUGEINT * (n*x - s)::HUGEINT) AS den,
+       |    $numAggs
+       |  FROM ld GROUP BY 1)
+       |$branches""".stripMargin
+  }
+
   private lazy val e1OracleSql: String = {
     val disc = graft.operators.Retrieval.dcgDiscounts(10)
       .map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
@@ -8720,7 +8793,48 @@ FROM c"""
         |  ((2*n_shared_fps*1000000 + (ta.n + tb.n - n_shared_fps))
         |    // (2*(ta.n + tb.n - n_shared_fps)))::BIGINT AS jaccard_e6
         |FROM pairs JOIN totals ta ON ta.src = source_a
-        |  JOIN totals tb ON tb.src = source_b""".stripMargin)
+        |  JOIN totals tb ON tb.src = source_b""".stripMargin,
+    "w22_autocorrelation" -> w22OracleSql,
+    // j20 twin: the j12 textbook merge, window tiling via range(), the
+    // same bin-index join and clipped closed-interval arithmetic
+    "j20_genome_windows" ->
+      """WITH iv AS (SELECT source AS chrom,
+        |    (doc_id * 37) % 20000 AS s,
+        |    (doc_id * 37) % 20000 + 5 + doc_id % 20 AS e
+        |  FROM documents),
+        |ext AS (SELECT chrom, max(e) AS chrom_end FROM iv GROUP BY 1),
+        |w AS (SELECT chrom, i, i*1000 AS w_start,
+        |    least(i*1000 + 999, chrom_end) AS w_end
+        |  FROM (SELECT chrom, chrom_end,
+        |      unnest(range(0, chrom_end // 1000 + 1)) AS i FROM ext) t),
+        |niv AS (SELECT chrom, i, count(*)::BIGINT AS n_intervals
+        |  FROM (SELECT chrom,
+        |      unnest(range(s // 1000, e // 1000 + 1)) AS i FROM iv) t
+        |  GROUP BY 1, 2),
+        |m AS (SELECT chrom, s, e,
+        |    CASE WHEN s > max(e) OVER (PARTITION BY chrom ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM iv),
+        |g AS (SELECT chrom, s, e,
+        |    sum(brk) OVER (PARTITION BY chrom ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m),
+        |runs AS (SELECT chrom, min(s) AS rs, max(e) AS re
+        |  FROM g GROUP BY chrom, grp),
+        |cov AS (SELECT r.chrom, r.i,
+        |    sum(least(w.w_end, r.re) - greatest(w.w_start, r.rs) + 1)
+        |      ::BIGINT AS covered_bp
+        |  FROM (SELECT chrom, rs, re,
+        |      unnest(range(rs // 1000, re // 1000 + 1)) AS i
+        |    FROM runs) r
+        |  JOIN w ON w.chrom = r.chrom AND w.i = r.i
+        |  GROUP BY 1, 2)
+        |SELECT w.chrom, w_start, w_end,
+        |  coalesce(n_intervals, 0)::BIGINT AS n_intervals,
+        |  coalesce(covered_bp, 0)::BIGINT AS covered_bp
+        |FROM w LEFT JOIN niv ON niv.chrom = w.chrom AND niv.i = w.i
+        |  LEFT JOIN cov ON cov.chrom = w.chrom AND cov.i = w.i""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

@@ -965,6 +965,96 @@ object EventAnalytics {
         .as("gini_e6"))
   }
 
+  /** Per-type autocorrelation of the event-rate series at lags
+    * 1..`maxLag` — the periodicity read [[botRegularity]] takes per
+    * USER, here for the whole traffic class (a daily-cron fleet shows
+    * as a spike at the 24-bucket lag; organic traffic decays smoothly).
+    * The series is the DENSIFIED bucket-count vector from each type's
+    * first to last observed bucket (zero-filled via one
+    * calendar-bounded sequence explode — an ACF over gapped buckets
+    * would silently shift every lag), and
+    *
+    *   r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * is carried EXACTLY: multiplying through by n² makes every term
+    * the integer (n·x_t − S)(n·x_{t+k} − S), summed in decimal(38,0)
+    * (≤ n³·x̂² — exact to ~10⁶ buckets of million-event rates). The
+    * lattice read-out rounds half-AWAY-FROM-ZERO (sign split, so both
+    * engines' truncating integer division agree; r_k is legitimately
+    * negative for alternating series). Zero variance (constant series)
+    * → NULL.
+    *
+    * Scale: one map-side-combined (type, bucket) count, one
+    * calendar-bounded densify, one lead window per lag over
+    * type-partitioned CALENDAR rows (the w12 envelope), one rollup.
+    * Output: (event_type, lag, n_terms, acf_e6).
+    */
+  def autocorrelation(
+      events: DataFrame, tsCol: String, typeCol: String,
+      maxLag: Int = 6, bucketUs: Long = 3600L * 1000 * 1000): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 168,
+      s"maxLag must be in [1, 168] (got $maxLag)")
+    require(bucketUs > 0, s"bucketUs must be positive (got $bucketUs)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val bucketNs = bucketUs * 1000L
+    val counts = events
+      .select(col(typeCol).as("event_type"),
+        col(tsCol).cast("long").as("__ts"))
+      .select(col("event_type"),
+        expr(s"(__ts - pmod(__ts, ${bucketNs}L)) div ${bucketNs}L")
+          .as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("x"))
+    // densify: zero-fill the [min, max] bucket span per type (the span
+    // is calendar-bounded: 8,760 hourly buckets/year)
+    val spans = counts.groupBy("event_type")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    val dense = spans
+      .select(col("event_type"), col("b0"),
+        explode(sequence(col("b0"), col("b1"))).as("bucket"))
+      .join(counts, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val tot = dense.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val withLeads = (1 to maxLag).foldLeft(
+        dense.join(tot, "event_type")) {
+      (df, k) => df.withColumn(s"x_$k", lead(col("x"), k).over(w))
+    }
+    // centered terms in n-scaled integers: (n·x_t − S) exact longs
+    val dev = dc(col("n")) * dc(col("x")) - dc(col("s"))
+    val aggs =
+      (sum(dev * dev).as("den") +: (1 to maxLag).map { k =>
+        sum(when(col(s"x_$k").isNotNull,
+          dev * (dc(col("n")) * dc(col(s"x_$k")) - dc(col("s")))))
+          .as(s"num_$k")
+      }) ++ (1 to maxLag).map { k =>
+        sum(when(col(s"x_$k").isNotNull, 1L).otherwise(0L))
+          .as(s"cnt_$k")
+      }
+    // materialized once: the long-form union below reads it maxLag
+    // times (type-count-sized table)
+    val byType = withLeads.groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    // half-away-from-zero lattice: sign split keeps both engines'
+    // TRUNCATING integer division on non-negative operands
+    def lattice(num: Column, den: Column): Column = {
+      val a = abs(num) * dc(lit(1000000))
+      val q = ((dc(lit(2)) * a + den -
+        (dc(lit(2)) * a + den) % (dc(lit(2)) * den)) /
+        (dc(lit(2)) * den)).cast("long")
+      when(num < 0, -q).otherwise(q)
+    }
+    val longForm = (1 to maxLag).map { k =>
+      byType.select(col("event_type"), lit(k).as("lag"),
+        col(s"cnt_$k").as("n_terms"),
+        when(col("den") > 0 && col(s"num_$k").isNotNull,
+          lattice(col(s"num_$k"), col("den"))).as("acf_e6"))
+    }
+    longForm.reduce(_ unionAll _)
+  }
+
   /** CUSUM changepoint detector per event type (Page 1954) — the
     * sustained-shift complement to [[rateAnomaly]]'s single-bucket
     * spike test: a rate that drifts up by less than one spike per

@@ -298,6 +298,70 @@ object IntervalDepth {
       .select("chrom", "start", "stop")
   }
 
+  /** Fixed-width genome windows with per-window coverage (bedtools
+    * makewindows + coverage): tile each chrom `[0, max stop]` into
+    * `windowBp`-wide closed windows and report, per window, how many
+    * raw intervals overlap it and how many bases are covered by ≥ 1
+    * interval — the binned coverage track behind every genome-browser
+    * heat row and capture-QC report.
+    *
+    * Shape: the window index IS the bin key (windows tile disjointly),
+    * so each interval explodes to exactly the window indexes it
+    * overlaps — `floor(start/W)..floor(stop/W)` — and the equi-join on
+    * (chrom, i) is exactly-once by construction: no distinct, no
+    * residual overlap predicate, no theta join. covered_bp reads the
+    * [[coalesce]]d runs (double-counting overlapping intervals is the
+    * bug this avoids), clipped per window with exact closed-interval
+    * integer arithmetic. The window table is genome/W rows — broadcast
+    * class; per-interval fan-out is span/W + 1 rows (the j2 bin
+    * envelope).
+    *
+    * Input contract as [[depthHistogram]]: closed intervals, inverted
+    * rows raise. Output: (chrom, w_start, w_end, n_intervals,
+    * covered_bp) — every window emitted, zero-filled.
+    */
+  def genomeWindows(
+      intervals: DataFrame, chromCol: String, startCol: String,
+      endCol: String, windowBp: Long): DataFrame = {
+    require(windowBp > 0, s"windowBp must be positive (got $windowBp)")
+    val base = intervals.select(
+        col(chromCol).cast("string").as("chrom"),
+        col(startCol).cast("long").as("start"),
+        when(col(endCol).cast("long") < col(startCol).cast("long"),
+          raise_error(lit("genomeWindows: inverted interval")))
+          .otherwise(col(endCol).cast("long")).as("stop"))
+      .localCheckpoint() // feeds the extent agg, the raw join, coalesce
+    val windows = base.groupBy("chrom").agg(max("stop").as("chrom_end"))
+      .select(col("chrom"), col("chrom_end"),
+        explode(sequence(lit(0L),
+          expr(s"chrom_end div ${windowBp}L"))).as("i"))
+      .select(col("chrom"), col("i"),
+        (col("i") * windowBp).as("w_start"),
+        least(col("i") * windowBp + (windowBp - 1), col("chrom_end"))
+          .as("w_end"))
+      .localCheckpoint() // joined by both measure legs + the final fill
+    def toBins(df: DataFrame): DataFrame =
+      df.withColumn("i", explode(sequence(
+        expr(s"start div ${windowBp}L"), expr(s"stop div ${windowBp}L"))))
+    val nIv = toBins(base)
+      .groupBy("chrom", "i").agg(count(lit(1)).as("n_intervals"))
+    val runs = coalesce(base, "chrom", "start", "stop")
+    val cov = toBins(runs).join(windows, Seq("chrom", "i"))
+      .groupBy("chrom", "i")
+      .agg(sum(least(col("w_end"), col("stop")) -
+        greatest(col("w_start"), col("start")) + 1).as("covered_bp"))
+    windows
+      .join(nIv, Seq("chrom", "i"), "left")
+      .join(cov, Seq("chrom", "i"), "left")
+      .select(col("chrom"), col("w_start"), col("w_end"),
+        // functions.coalesce spelled out: the object's own
+        // coalesce(DataFrame, ...) shadows the import here
+        org.apache.spark.sql.functions.coalesce(
+          col("n_intervals"), lit(0L)).as("n_intervals"),
+        org.apache.spark.sql.functions.coalesce(
+          col("covered_bp"), lit(0L)).as("covered_bp"))
+  }
+
   /** Uncovered-region complement (bedtools complement): the regions of
     * each genome chrom `[1, size]` NOT covered by any interval —
     * capture-kit gap reporting, the inverse of [[coalesce]].

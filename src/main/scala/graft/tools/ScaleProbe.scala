@@ -558,6 +558,28 @@ object ScaleProbe {
           d.filter(pmod(col("doc_id"), lit(2)) === 0), d,
           "doc_id", "text").count()
       },
+      "w22_autocorr" -> { d =>
+        // hourly buckets over a span that scales with n (calendar-
+        // bounded densify is the contract); ~n events across n/50 hours
+        val h = 3600L * 1000 * 1000 * 1000
+        EventAnalytics.autocorrelation(
+          d.select((pmod(col("doc_id"), lit(math.max(probeN / 50, 10L)))
+              * h + 1L).as("ts"),
+            concat(lit("t"), pmod(col("doc_id"), lit(5)).cast("string"))
+              .as("event_type")),
+          "ts", "event_type", maxLag = 6).count()
+      },
+      "j20_windows" -> { d =>
+        val span = math.max(1000L, probeN / 10)
+        val st = pmod(col("doc_id") * 37, lit(span))
+        IntervalDepth.genomeWindows(
+          d.select(
+            concat(lit("c"), pmod(col("doc_id"), lit(20)).cast("string"))
+              .as("chrom"),
+            st.as("start"),
+            (st + 5 + pmod(col("doc_id"), lit(20))).as("stop")),
+          "chrom", "start", "stop", windowBp = 256L).count()
+      },
       "w21_gini" -> { d =>
         EventAnalytics.activityGini(
           d.select(pmod(xxhash64(col("doc_id")), lit(math.max(probeN / 20, 10L)))

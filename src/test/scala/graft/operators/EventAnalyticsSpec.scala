@@ -630,6 +630,61 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("autocorrelation: hand alternating series incl. gap densify") {
+    import spark.implicits._
+    val h = 3600L * 1000 * 1000 * 1000 // 1 hour in nanos
+    // type p: 2 events in hours 0, 2, 4 — hours 1 and 3 are GAPS that
+    // must zero-fill, giving the alternating series [2,0,2,0,2]
+    val evs = Seq(0L, 0L, 2L, 2L, 4L, 4L)
+      .map(hr => (hr * h + 1L, "p")).toDF("ts", "event_type")
+    val got = EventAnalytics.autocorrelation(evs, "ts", "event_type",
+        maxLag = 2)
+      .as[(String, Int, Long, Option[Long])].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    // n=5, S=6, dev = n·x−S = [4,−6,4,−6,4], den = 120
+    // lag1: −96/120 = −0.8; lag2: 68/120 = 0.56666…
+    assert(got(1) == ((4L, Some(-800000L))))
+    assert(got(2) == ((3L, Some(566667L))))
+    // constant series: zero variance -> NULL
+    val const = EventAnalytics.autocorrelation(
+        Seq((1L * h, "q"), (2L * h, "q")).toDF("ts", "event_type"),
+        "ts", "event_type", maxLag = 1)
+      .as[(String, Int, Long, Option[Long])].collect().head
+    assert(const._4.isEmpty)
+  }
+
+  test("autocorrelation ≡ BigInt textbook reference on random series") {
+    import spark.implicits._
+    val h = 3600L * 1000 * 1000 * 1000
+    val rnd = new scala.util.Random(83)
+    val hours = (0 until 40).map(i => i -> rnd.nextInt(5))
+    val evs = hours.flatMap { case (hr, c) =>
+      Seq.fill(c)((hr * h + 7L, "p")) }.toDF("ts", "event_type")
+    val xs = {
+      val present = hours.filter(_._2 > 0)
+      val (lo, hi) = (present.map(_._1).min, present.map(_._1).max)
+      (lo to hi).map(i => BigInt(hours.toMap.getOrElse(i, 0)))
+    }
+    val n = BigInt(xs.size); val s = xs.sum
+    val dev = xs.map(x => n * x - s)
+    val den = dev.map(d => d * d).sum
+    val got = EventAnalytics.autocorrelation(evs, "ts", "event_type",
+        maxLag = 4)
+      .as[(String, Int, Long, Option[Long])].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    (1 to 4).foreach { k =>
+      val num = (0 until xs.size - k).map(t => dev(t) * dev(t + k)).sum
+      val want =
+        if (den <= 0) None
+        else {
+          val a = num.abs * 1000000
+          val q = (BigInt(2) * a + den) / (BigInt(2) * den)
+          Some(if (num < 0) -q.toLong else q.toLong)
+        }
+      assert(got(k) == (((xs.size - k).toLong, want)), s"lag $k")
+    }
+  }
+
   test("activityGini: equal keys 0, hand 0.4 case, null-key raise") {
     import spark.implicits._
     def gini(evs: Seq[Long]): (Long, Long, Long, Option[Long]) =

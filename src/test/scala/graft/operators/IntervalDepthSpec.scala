@@ -202,4 +202,57 @@ class IntervalDepthSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("genomeWindows: hand tiling, zero-filled window, merged coverage") {
+    import spark.implicits._
+    // W = 5, chrom end 18: windows [0,4] [5,9] [10,14] [15,18];
+    // [0,4] and [3,7] overlap (merged run [0,7] — covered bases must
+    // not double-count the overlap), window 2 is empty
+    val got = IntervalDepth.genomeWindows(
+        Seq(("c", 0L, 4L), ("c", 3L, 7L), ("c", 18L, 18L))
+          .toDF("chrom", "start", "stop"),
+        "chrom", "start", "stop", windowBp = 5L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      0L -> ((4L, 2L, 5L)),   // both intervals; run [0,7] clips to 5 bp
+      5L -> ((9L, 1L, 3L)),   // [3,7] reaches in; bases 5..7
+      10L -> ((14L, 0L, 0L)), // zero-filled
+      15L -> ((18L, 1L, 1L))))
+    val e = intercept[Exception] {
+      IntervalDepth.genomeWindows(
+        Seq(("c", 5L, 2L)).toDF("chrom", "start", "stop"),
+        "chrom", "start", "stop", windowBp = 5L).collect()
+    }
+    assert(e.getMessage.contains("inverted")
+      || e.getCause != null && e.getCause.getMessage.contains("inverted"))
+  }
+
+  test("genomeWindows ≡ brute-force per-base coverage on random intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val ivs = (0 until 120).map { _ =>
+      val c = s"c${rnd.nextInt(3)}"
+      val s = rnd.nextInt(200).toLong
+      (c, s, s + rnd.nextInt(30).toLong)
+    }
+    val w = 16L
+    val got = IntervalDepth.genomeWindows(
+        ivs.toDF("chrom", "start", "stop").repartition(7),
+        "chrom", "start", "stop", windowBp = w)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    ivs.groupBy(_._1).foreach { case (c, rows) =>
+      val end = rows.map(_._3).max
+      (0L to end / w).foreach { i =>
+        val lo = i * w; val hi = math.min(lo + w - 1, end)
+        val n = rows.count(r => r._2 <= hi && r._3 >= lo)
+        val cov = (lo to hi).count(p =>
+          rows.exists(r => r._2 <= p && p <= r._3)).toLong
+        assert(got((c, lo)) == ((hi, n.toLong, cov)), s"$c window $lo")
+      }
+      // no extra windows beyond the tiling
+      assert(got.keys.count(_._1 == c) == (end / w + 1))
+    }
+  }
 }
