@@ -697,6 +697,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"pair join must stay fingerprint-keyed:\n$plan")
   }
 
+  test("autocorrelation: all lag leads share ONE window exec") {
+    val plan = planOf(
+      SparkEntry.queries("w22_autocorrelation")(spark, dir))
+    // six lead() columns over the same (type, bucket) spec must plan as
+    // a single Window operator per union branch — not one per lag
+    val windows = """\(\d+\) Window""".r.findAllIn(plan).length
+    assert(windows <= 1,
+      s"expected the lag leads to share one Window, got $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("genome windows: bin-equi joins only, no distinct exchange") {
+    val plan = planOf(
+      SparkEntry.queries("j20_genome_windows")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"window joins must stay (chrom, i)-equi:\n$plan")
+  }
+
   test("systematic resample: sharded prefix windows, no global sort " +
       "of the corpus") {
     val plan = planOf(
