@@ -220,6 +220,18 @@ final case class CorpusPipeline(
         .withColumnRenamed("id", idCol),
       Seq(idCol), "left"))
 
+  /** Systematic low-variance resampling to exactly `m` total copies
+    * against an integer weight column ([[Sampling.systematicResample]]):
+    * each kept row gains `n_copies` (its exact duplication factor for
+    * the training mix) and zero-weight rows drop — the deterministic
+    * "materialize this mixture" step after [[weighted]]-style scoring.
+    */
+  def resample(weightCol: String, m: Long): CorpusPipeline =
+    copy(df = df.join(
+      Sampling.systematicResample(df, idCol, weightCol, m)
+        .select(col("id").as(idCol), col("n_copies")),
+      Seq(idCol)))
+
   /** Materialize the current stage as `nShards` epoch-shuffled shard
     * directories ([[Sharding.writeShards]]).
     */

@@ -236,4 +236,21 @@ class CorpusPipelineFacadeSpec extends AnyFunSuite {
       .filter(col("keep")).select("id").as[Long].collect().toSet
     assert(viaKeep == kept)
   }
+
+  test("resample attaches exact copy counts and drops zero-weight rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 2L), (2L, "b", 0L), (3L, "c", 3L), (4L, "d", 5L))
+      .toDF("doc_id", "text", "w")
+    val got = CorpusPipeline(docs, "doc_id", "text")
+      .resample("w", m = 5L).df
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    // the s13 hand comb: W = 10, m = 5 -> copies 1 / dropped / 2 / 2
+    assert(got == Map(1L -> 1L, 3L -> 2L, 4L -> 2L))
+    assert(got.values.sum == 5L)
+    // original columns survive alongside the new n_copies
+    val cols = CorpusPipeline(docs, "doc_id", "text")
+      .resample("w", m = 5L).df.columns.toSet
+    assert(cols == Set("doc_id", "text", "w", "n_copies"))
+  }
 }
