@@ -2982,6 +2982,43 @@ FROM c"""
       "chrom", "start", "stop", windowBp = 1000L)
   }
 
+  /** w23: seasonally-adjusted rate anomaly — each hourly bucket tested
+    * against its own hour-of-week population (w12 flags Monday mornings
+    * on cyclic traffic; this is the operational fix), exact integer
+    * z² comparison, three-valued verdict. Full oracle (HUGEINT mirror).
+    */
+  private def w23SeasonalAnomaly(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.seasonalAnomaly(T(s, d, "events"), "ts", "event_type")
+
+  /** f11: winsorized summary — values clipped at the exact p05/p95
+    * cutpoints (broadcast one-row, the w15 cutpoint discipline), means
+    * as exact integer-lattice sums (no float sum anywhere), clip
+    * counts. Full oracle: percentile ≡ quantile_cont (the a7 parity)
+    * + identical lattice algebra.
+    */
+  private def f11Winsorize(s: SparkSession, d: String): DataFrame = {
+    val ev = T(s, d, "events").select(col("event_type"),
+      floor(col("value") * lit(1e4) + lit(0.5)).cast("long").as("v4"))
+    val cuts = ev.agg(
+      floor(expr("percentile(v4, 0.05)") + lit(0.5)).cast("long")
+        .as("lo4"),
+      floor(expr("percentile(v4, 0.95)") + lit(0.5)).cast("long")
+        .as("hi4"))
+    ev.crossJoin(broadcast(cuts))
+      .select(col("event_type"), col("v4"),
+        greatest(col("lo4"), least(col("hi4"), col("v4"))).as("w4"),
+        (col("v4") < col("lo4")).as("cl"),
+        (col("v4") > col("hi4")).as("ch"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        expr("(2 * sum(v4) + count(1)) div (2 * count(1))")
+          .as("mean_raw_e4"),
+        expr("(2 * sum(w4) + count(1)) div (2 * count(1))")
+          .as("mean_wins_e4"),
+        sum(when(col("cl"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("ch"), 1L).otherwise(0L)).as("n_clipped_hi"))
+  }
+
   /** e19: Krippendorff's alpha (nominal) — docs grouped 4-to-a-unit as
     * "raters", values unit-correlated with per-doc dissent, every 29th
     * rating missing (so unit sizes vary and the 1/(m−1) weights
@@ -3803,7 +3840,9 @@ FROM c"""
     "w21_gini" -> (w21Gini _),
     "d20_cross_source_overlap" -> (d20CrossSourceOverlap _),
     "w22_autocorrelation" -> (w22Autocorrelation _),
-    "j20_genome_windows" -> (j20GenomeWindows _))
+    "j20_genome_windows" -> (j20GenomeWindows _),
+    "w23_seasonal_anomaly" -> (w23SeasonalAnomaly _),
+    "f11_winsorize" -> (f11Winsorize _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -8795,6 +8834,45 @@ FROM c"""
         |FROM pairs JOIN totals ta ON ta.src = source_a
         |  JOIN totals tb ON tb.src = source_b""".stripMargin,
     "w22_autocorrelation" -> w22OracleSql,
+    // w23 twin: the same hour-of-week keying and exact integer z² test
+    "w23_seasonal_anomaly" ->
+      """WITH c AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS bucket,
+        |    count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT event_type, bucket, x,
+        |    ((bucket - 96) % 168 + 168) % 168 AS hour_of_week FROM c),
+        |ph AS (SELECT event_type, hour_of_week,
+        |    count(*)::BIGINT AS n_h, sum(x)::BIGINT AS s_h,
+        |    sum(x::HUGEINT * x::HUGEINT)::HUGEINT AS q_h
+        |  FROM h GROUP BY 1, 2)
+        |SELECT h.event_type, bucket, h.hour_of_week, x AS n_events,
+        |  n_h AS n_baseline,
+        |  CASE WHEN n_h < 4 THEN 'insufficient'
+        |    WHEN (x::HUGEINT*n_h - s_h)*(x::HUGEINT*n_h - s_h)
+        |      > 9::HUGEINT*(n_h::HUGEINT*q_h - s_h::HUGEINT*s_h)
+        |    THEN 'anomaly' ELSE 'normal' END AS verdict
+        |FROM h JOIN ph USING (event_type, hour_of_week)""".stripMargin,
+    // f11 twin: quantile_cont cutpoints (the a7 parity), identical
+    // 1e-4 lattice clip and exact-integer mean algebra
+    "f11_winsorize" ->
+      """WITH ev AS (SELECT event_type,
+        |    floor(value * 10000::DOUBLE + 0.5::DOUBLE)::BIGINT AS v4
+        |  FROM events),
+        |cuts AS (SELECT
+        |    floor(quantile_cont(v4, 0.05) + 0.5::DOUBLE)::BIGINT AS lo4,
+        |    floor(quantile_cont(v4, 0.95) + 0.5::DOUBLE)::BIGINT AS hi4
+        |  FROM ev)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  ((2 * sum(v4) + count(*)) // (2 * count(*)))::BIGINT
+        |    AS mean_raw_e4,
+        |  ((2 * sum(greatest(lo4, least(hi4, v4))) + count(*))
+        |    // (2 * count(*)))::BIGINT AS mean_wins_e4,
+        |  sum(CASE WHEN v4 < lo4 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_clipped_lo,
+        |  sum(CASE WHEN v4 > hi4 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_clipped_hi
+        |FROM ev CROSS JOIN cuts GROUP BY event_type""".stripMargin,
     // j20 twin: the j12 textbook merge, window tiling via range(), the
     // same bin-index join and clipped closed-interval arithmetic
     "j20_genome_windows" ->

@@ -900,6 +900,66 @@ object EventAnalytics {
           col("hour_of_week") === -col("pk.nh")).as("is_peak"))
   }
 
+  /** Seasonally-adjusted rate anomaly — [[rateAnomaly]] flags a bucket
+    * against its RECENT trailing buckets, which mistakes every Monday
+    * morning for a spike on weekly-cyclic traffic; this flags each
+    * hourly bucket against the same HOUR-OF-WEEK population
+    * ([[seasonalityProfile]]'s calendar), the operational pairing of
+    * the two: |x − μ_h| > z·σ_h with μ_h/σ_h from the type's other
+    * buckets at that hour.
+    *
+    * Exact end-to-end (the w12 discipline): with n_h buckets, S_h =
+    * Σx and Q_h = Σx² per (type, hour-of-week) — map-side-combined
+    * integer sums — the test multiplies through to
+    *
+    *   (x·n_h − S_h)² · n_h  >  z² · n_h·(n_h·Q_h − S_h²) / n_h
+    *   ⟺ (x·n_h − S_h)²  >  z² · (n_h·Q_h − S_h²)
+    *
+    * an exact decimal(38,0) comparison — no sqrt, no float, no engine
+    * can flip a verdict. A bucket's own value stays IN its population
+    * (the profile is the baseline, not a leave-one-out — matching how
+    * w16's profile is consumed); hours with n_h < minBuckets emit
+    * verdict 'insufficient'. Verdict is the three-valued STRING
+    * convention: 'anomaly' / 'normal' / 'insufficient'.
+    *
+    * Scale: one (type, bucket) count, one (type, hour) rollup joined
+    * back (168·|types| rows — AQE broadcasts), zero windows. Output:
+    * (event_type, bucket, hour_of_week, n_events, n_baseline, verdict).
+    */
+  def seasonalAnomaly(
+      events: DataFrame, tsCol: String, typeCol: String,
+      z: Int = 3, minBuckets: Int = 4): DataFrame = {
+    require(z >= 1 && z <= 10, s"z must be in [1, 10] (got $z)")
+    require(minBuckets >= 2,
+      s"minBuckets must be >= 2 (got $minBuckets)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val counts = events
+      .select(col(typeCol).as("event_type"),
+        col(tsCol).cast("long").as("__ts"))
+      .select(col("event_type"),
+        expr(s"(__ts - pmod(__ts, ${hourNs}L)) div ${hourNs}L")
+          .as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("x"))
+      .withColumn("hour_of_week",
+        pmod(col("bucket") - 96L, lit(168L)))
+    val perHour = counts.groupBy("event_type", "hour_of_week").agg(
+      count(lit(1)).as("n_h"),
+      sum("x").as("s_h"),
+      sum(dc(col("x")) * dc(col("x"))).as("q_h"))
+    val dev = dc(col("x")) * dc(col("n_h")) - dc(col("s_h"))
+    val varTerm = dc(col("n_h")) * col("q_h") -
+      dc(col("s_h")) * dc(col("s_h"))
+    counts.join(perHour, Seq("event_type", "hour_of_week"))
+      .select(col("event_type"), col("bucket"), col("hour_of_week"),
+        col("x").as("n_events"), col("n_h").as("n_baseline"),
+        when(col("n_h") < minBuckets, lit("insufficient"))
+          .otherwise(when(dev * dev > dc(lit(z.toLong * z)) * varTerm,
+            lit("anomaly")).otherwise(lit("normal")))
+          .as("verdict"))
+  }
+
   /** Gini coefficient of per-key activity concentration — the
     * one-number inequality read on "how top-heavy is this corpus":
     * events per user (bot/power-user skew), docs per domain (does one

@@ -580,6 +580,15 @@ object ScaleProbe {
             (st + 5 + pmod(col("doc_id"), lit(20))).as("stop")),
           "chrom", "start", "stop", windowBp = 256L).count()
       },
+      "w23_seasonal" -> { d =>
+        val h = 3600L * 1000 * 1000 * 1000
+        EventAnalytics.seasonalAnomaly(
+          d.select((pmod(col("doc_id"), lit(math.max(probeN / 50, 10L)))
+              * h + 1L).as("ts"),
+            concat(lit("t"), pmod(col("doc_id"), lit(5)).cast("string"))
+              .as("event_type")),
+          "ts", "event_type").count()
+      },
       "w21_gini" -> { d =>
         EventAnalytics.activityGini(
           d.select(pmod(xxhash64(col("doc_id")), lit(math.max(probeN / 20, 10L)))

@@ -685,6 +685,55 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonalAnomaly: hand outlier at z = sqrt(n-1), insufficient gate") {
+    import spark.implicits._
+    val h = 3600L * 1000 * 1000 * 1000
+    // type p: 12 weeks at the same hour-of-week, 1 event/week except
+    // week 11 with 9 — outlier z = 3.32 > 3, the others z < 1
+    // type q: only 3 weeks -> insufficient (minBuckets = 4)
+    val evs = ((0 until 11).map(k => Seq((k * 168L * h + 1L, "p"))) :+
+      Seq.fill(9)((11 * 168L * h + 1L, "p"))).flatten ++
+      (0 until 3).map(k => (k * 168L * h + 1L, "q"))
+    val got = EventAnalytics.seasonalAnomaly(
+        evs.toDF("ts", "event_type"), "ts", "event_type")
+      .as[(String, Long, Long, Long, Long, String)].collect()
+    val p = got.filter(_._1 == "p")
+    assert(p.length == 12 && p.forall(_._3 == 72L) && p.forall(_._5 == 12L))
+    assert(p.count(_._6 == "anomaly") == 1)
+    assert(p.find(_._6 == "anomaly").get._4 == 9L)
+    assert(p.count(_._6 == "normal") == 11)
+    assert(got.filter(_._1 == "q").forall(_._6 == "insufficient"))
+  }
+
+  test("seasonalAnomaly ≡ BigInt |x−μ| > zσ reference on random panels") {
+    import spark.implicits._
+    val h = 3600L * 1000 * 1000 * 1000
+    val rnd = new scala.util.Random(101)
+    val weeks = (0 until 10).flatMap { k =>
+      (0 until 4).flatMap { how =>
+        Seq.fill(1 + rnd.nextInt(6))((k * 168L * h + how * h + 1L, "p"))
+      }
+    }
+    val got = EventAnalytics.seasonalAnomaly(
+        weeks.toDF("ts", "event_type"), "ts", "event_type")
+      .as[(String, Long, Long, Long, Long, String)].collect()
+    val counts = weeks.groupBy(e => e._1 / h).map { case (b, es) =>
+      b -> es.size.toLong }
+    val byHow = counts.groupBy { case (b, _) =>
+      ((b - 96) % 168 + 168) % 168 }
+    got.foreach { case (_, b, how, x, nB, verdict) =>
+      val xs = byHow(how).values.map(BigInt(_)).toSeq
+      val n = BigInt(xs.size); val s = xs.sum
+      val q = xs.map(v => v * v).sum
+      val dev = BigInt(x) * n - s
+      val want =
+        if (xs.size < 4) "insufficient"
+        else if (dev * dev > BigInt(9) * (n * q - s * s)) "anomaly"
+        else "normal"
+      assert(verdict == want && nB == xs.size, s"bucket $b")
+    }
+  }
+
   test("activityGini: equal keys 0, hand 0.4 case, null-key raise") {
     import spark.implicits._
     def gini(evs: Seq[Long]): (Long, Long, Long, Option[Long]) =
