@@ -1055,16 +1055,30 @@ object EventAnalytics {
     require(maxLag >= 1 && maxLag <= 168,
       s"maxLag must be in [1, 168] (got $maxLag)")
     require(bucketUs > 0, s"bucketUs must be positive (got $bucketUs)")
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    def dc(c: Column) = c.cast(dec)
     val bucketNs = bucketUs * 1000L
-    val counts = events
+    autocorrelationFromCounts(events
       .select(col(typeCol).as("event_type"),
         col(tsCol).cast("long").as("__ts"))
       .select(col("event_type"),
         expr(s"(__ts - pmod(__ts, ${bucketNs}L)) div ${bucketNs}L")
           .as("bucket"))
-      .groupBy("event_type", "bucket").agg(count(lit(1)).as("x"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("x")),
+      maxLag)
+  }
+
+  /** The w22 report over a (event_type, bucket, x) count table — the
+    * streaming twin ([[graft.streaming.StatefulOps.bucketCountsStream]])
+    * upserts running bucket counts (monotone, so max(x) per key is the
+    * latest) and feeds this finisher — delegation, the two sides cannot
+    * drift.
+    */
+  def autocorrelationFromCounts(
+      countsIn: DataFrame, maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 168,
+      s"maxLag must be in [1, 168] (got $maxLag)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val counts = countsIn
     // densify: zero-fill the [min, max] bucket span per type (the span
     // is calendar-bounded: 8,760 hourly buckets/year)
     val spans = counts.groupBy("event_type")

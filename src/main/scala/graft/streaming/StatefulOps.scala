@@ -715,6 +715,34 @@ object StatefulOps {
       }
   }
 
+  case class TypedBucketCount(event_type: String, bucket: Long, x: Long)
+
+  /** Streaming per-(type, bucket) running counts (Append mode, upsert
+    * semantics downstream via max-per-key) — the w22 twin's input
+    * maintenance: [[graft.operators.EventAnalytics.autocorrelationFromCounts]]
+    * over the sink's max(x) view IS the autocorrelation report,
+    * maintained incrementally (delegation, not a re-authored twin).
+    * State per key: one long; keys are CALENDAR-bounded (8,760 hourly
+    * buckets/year × |types| — the [[advanceSeason]] envelope argument,
+    * unbounded only in wall-clock years). There is no horizon: a late
+    * event bumps its bucket exactly like the batch groupBy.
+    */
+  def bucketCountsStream(
+      spark: SparkSession, ds: Dataset[BucketEv])
+      : Dataset[TypedBucketCount] = {
+    import spark.implicits._
+    ds.groupByKey(e => (e.event_type, e.bucket))
+      .flatMapGroupsWithState[CountState, TypedBucketCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: (String, Long), evs: Iterator[BucketEv],
+         state: GroupState[CountState]) =>
+          val (rows, st) = advanceCount(k._1, evs.size.toLong,
+            state.getOption)
+          state.update(st)
+          rows.iterator.map(r => TypedBucketCount(k._1, k._2, r.c))
+      }
+  }
+
   /** Streaming sessionizer: closes a session when the processing-time
     * timeout fires after `gapUs` of silence for the key.
     *
