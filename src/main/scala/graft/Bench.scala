@@ -214,7 +214,7 @@ object Bench {
     ).split(",").toSet
     // the round-9 basket: everything except the 8 round-10 additions
     val r10Additions = Set("e20", "e21", "e22", "t38", "s13", "m10",
-      "w21", "d20", "w22", "j20", "w23", "f11")
+      "w21", "d20", "w22", "j20", "w23", "f11", "c19")
     val r9Total = okMins.collect {
       case (k, v) if !r10Additions(k.takeWhile(_ != '_')) => v }.sum
     val nR9 = okMins.count {

@@ -3019,6 +3019,18 @@ FROM c"""
         sum(when(col("ch"), 1L).otherwise(0L)).as("n_clipped_hi"))
   }
 
+  /** c19: snapshot retention policy — keep-last-5 + daily thinning for
+    * 7 days over a synthetic registry (one snapshot per 7 h, ~3.4/day,
+    * so within-day thinning genuinely fires). Exact integer day
+    * bucketing, struct-max last-of-day, reason precedence. Full oracle.
+    */
+  private def c19SnapshotRetention(s: SparkSession, d: String): DataFrame =
+    Snapshot.retention(
+      T(s, d, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          (col("doc_id") * lit(25200000000000L)).as("snap_ts")),
+      "doc_id", "snap_ts", keepLast = 5, keepDays = 7)
+
   /** e19: Krippendorff's alpha (nominal) — docs grouped 4-to-a-unit as
     * "raters", values unit-correlated with per-doc dissent, every 29th
     * rating missing (so unit sizes vary and the 1/(m−1) weights
@@ -3842,7 +3854,8 @@ FROM c"""
     "w22_autocorrelation" -> (w22Autocorrelation _),
     "j20_genome_windows" -> (j20GenomeWindows _),
     "w23_seasonal_anomaly" -> (w23SeasonalAnomaly _),
-    "f11_winsorize" -> (f11Winsorize _))
+    "f11_winsorize" -> (f11Winsorize _),
+    "c19_snapshot_retention" -> (c19SnapshotRetention _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -8873,6 +8886,34 @@ FROM c"""
         |  sum(CASE WHEN v4 > hi4 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_clipped_hi
         |FROM ev CROSS JOIN cuts GROUP BY event_type""".stripMargin,
+    // c19 twin: identical day floor-div, last-of-day via a desc
+    // row_number, the same reason precedence
+    "c19_snapshot_retention" ->
+      """WITH b AS (SELECT doc_id AS snapshot_id,
+        |    doc_id * 25200000000000 AS ts
+        |  FROM documents WHERE doc_id < 400),
+        |dd AS (SELECT snapshot_id, ts,
+        |    ts // 86400000000000 AS day FROM b),
+        |r AS (SELECT snapshot_id, ts, day,
+        |    row_number() OVER (ORDER BY ts DESC, snapshot_id DESC)
+        |      ::BIGINT AS rank_desc
+        |  FROM dd),
+        |ld AS (SELECT day, snapshot_id AS keep_id FROM (
+        |    SELECT day, snapshot_id, row_number() OVER (
+        |      PARTITION BY day ORDER BY ts DESC, snapshot_id DESC) AS rn
+        |    FROM dd) t WHERE rn = 1),
+        |nd AS (SELECT max(day) AS d1 FROM dd),
+        |v AS (SELECT r.snapshot_id, r.ts, r.day, r.rank_desc,
+        |    CASE WHEN r.rank_desc <= 5 THEN 'last_n'
+        |      WHEN r.snapshot_id = ld.keep_id AND r.day > nd.d1 - 7
+        |        THEN 'daily'
+        |      ELSE 'expire' END AS reason
+        |  FROM r JOIN ld ON ld.day = r.day CROSS JOIN nd)
+        |SELECT snapshot_id, ts, day, rank_desc,
+        |  CASE WHEN reason = 'expire' THEN 'expire' ELSE 'keep' END
+        |    AS verdict,
+        |  reason
+        |FROM v""".stripMargin,
     // j20 twin: the j12 textbook merge, window tiling via range(), the
     // same bin-index join and clipped closed-interval arithmetic
     "j20_genome_windows" ->

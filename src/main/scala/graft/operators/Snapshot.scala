@@ -139,4 +139,67 @@ object Snapshot {
     rows.toDF("column", "status", "dtype_a", "dtype_b",
       "null_rate_a_e6", "null_rate_b_e6", "null_drift_e6")
   }
+
+  /** Snapshot retention policy (the lakehouse GC decision next to
+    * [[diff]]/[[applyIncrement]]): keep the newest `keepLast` snapshots
+    * unconditionally, plus the LAST snapshot of each UTC day for the
+    * most recent `keepDays` days (relative to the newest snapshot's
+    * day), expire the rest — the standard keep-recent + daily-thinning
+    * schedule every table-format VACUUM implements.
+    *
+    * Deterministic end-to-end: days are exact sign-correct floor
+    * divisions of the nanosecond timestamp; "last of day" is a
+    * struct-max argmax on (ts, id) so a same-timestamp tie breaks on
+    * the id, never on partition order; duplicate snapshot ids fail
+    * loudly (two registries merged badly — corrupt input, not a
+    * tie to break silently). Reason precedence: 'last_n' over 'daily'
+    * over 'expire'.
+    *
+    * Scale: the snapshot REGISTRY is the input — metadata-sized by
+    * definition (thousands of rows for years of hourly snapshots), so
+    * the two global windows here run over registry rows, never corpus
+    * rows (the j12 envelope argument does not even arise).
+    *
+    * Output: (snapshot_id, ts, day, rank_desc, verdict ∈ keep|expire,
+    * reason ∈ last_n|daily|expire).
+    */
+  def retention(
+      snapshots: DataFrame, idCol: String, tsCol: String,
+      keepLast: Int = 5, keepDays: Int = 7): DataFrame = {
+    require(keepLast >= 0, s"keepLast must be >= 0 (got $keepLast)")
+    require(keepDays >= 0, s"keepDays must be >= 0 (got $keepDays)")
+    import org.apache.spark.sql.expressions.Window
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val base = snapshots.select(
+        when(col(idCol).isNull,
+          raise_error(lit("retention: null snapshot id")))
+          .otherwise(col(idCol).cast("long")).as("snapshot_id"),
+        when(col(tsCol).isNull,
+          raise_error(lit("retention: null snapshot ts")))
+          .otherwise(col(tsCol).cast("long")).as("ts"))
+      .withColumn("day",
+        expr(s"(ts - pmod(ts, ${dayNs}L)) div ${dayNs}L"))
+    val dup = base.groupBy("snapshot_id").count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0, "retention: duplicate snapshot ids")
+    val byRecency = Window.orderBy(col("ts").desc, col("snapshot_id").desc)
+    val ranked = base
+      .withColumn("rank_desc", row_number().over(byRecency).cast("long"))
+    val lastOfDay = base.groupBy("day")
+      .agg(max(struct(col("ts"), col("snapshot_id"))).as("mx"))
+      .select(col("day"), col("mx.snapshot_id").as("__keep_id"))
+    val newestDay = base.agg(max("day").as("d1"))
+    ranked
+      .join(lastOfDay, Seq("day"), "left")
+      .crossJoin(broadcast(newestDay))
+      .select(col("snapshot_id"), col("ts"), col("day"), col("rank_desc"),
+        when(col("rank_desc") <= keepLast, lit("last_n"))
+          .when(col("snapshot_id") === col("__keep_id") &&
+            col("day") > col("d1") - keepDays, lit("daily"))
+          .otherwise(lit("expire")).as("reason"))
+      .withColumn("verdict",
+        when(col("reason") === "expire", lit("expire"))
+          .otherwise(lit("keep")))
+      .select("snapshot_id", "ts", "day", "rank_desc", "verdict", "reason")
+  }
 }

@@ -81,4 +81,37 @@ class SnapshotSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("column") -> r).toMap
     assert(e("id").isNullAt(e("id").fieldIndex("null_rate_a_e6")))
   }
+
+  test("retention: last-n precedence, daily thinning window, raises") {
+    import spark.implicits._
+    val h = 3600L * 1000 * 1000 * 1000
+    val d = 24L * h
+    // days 0,0,1,2,2,8,9 — keepLast=1 keeps only id 6 (newest); the
+    // daily window (> 9−3 = 6) keeps the last of days 8 and 9; day 9's
+    // last is already last_n (precedence), day 8's id 7 reads 'daily'
+    val snaps = Seq(
+      (1L, 1 * h), (2L, 5 * h), (3L, d + h), (4L, 2 * d + h),
+      (5L, 2 * d + 3 * h), (7L, 8 * d + h), (6L, 9 * d + h))
+      .toDF("id", "ts")
+    val got = Snapshot.retention(snaps, "id", "ts",
+        keepLast = 1, keepDays = 3)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._4, r._5, r._6))).toMap
+    assert(got(6L) == ((1L, "keep", "last_n")))
+    assert(got(7L) == ((2L, "keep", "daily")))
+    // day 2's last (id 5) is OUTSIDE the daily window -> expires
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(got(_)._2 == "expire"))
+    // same-ts tie inside a day breaks on the higher id, deterministic
+    val tie = Snapshot.retention(
+        Seq((10L, 1 * h), (11L, 1 * h)).toDF("id", "ts"), "id", "ts",
+        keepLast = 0, keepDays = 1)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r._6).toMap
+    assert(tie == Map(10L -> "expire", 11L -> "daily"))
+    val dup = intercept[IllegalArgumentException] {
+      Snapshot.retention(
+        Seq((1L, 1 * h), (1L, 2 * h)).toDF("id", "ts"), "id", "ts")
+    }
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+  }
 }
