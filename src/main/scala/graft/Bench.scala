@@ -212,7 +212,7 @@ object Bench {
       "v10,v11,v12,v13,v14,v15,v16,v17,v18,v2,v3,v4,v5,v6,v7,v8,v9," +
       "w1,w10,w11,w12,w13,w14,w15,w2,w3,w4,w5,w6,w7,w8,w9"
     ).split(",").toSet
-    // the round-9 basket: everything except the 8 round-10 additions
+    // the round-9 basket: everything except the 13 round-10 additions
     val r10Additions = Set("e20", "e21", "e22", "t38", "s13", "m10",
       "w21", "d20", "w22", "j20", "w23", "f11", "c19")
     val r9Total = okMins.collect {

@@ -922,6 +922,16 @@ object EventAnalytics {
     * verdict 'insufficient'. Verdict is the three-valued STRING
     * convention: 'anomaly' / 'normal' / 'insufficient'.
     *
+    * Population contract: the baseline at each hour-of-week is the
+    * type's OBSERVED (non-empty) buckets at that hour only — calendar
+    * hours with zero events contribute no (0-count) baseline row,
+    * unlike [[autocorrelation]]'s densified series. That is the
+    * deliberate read for sparse types ("is this bucket unusual among
+    * the buckets this type actually fires in"); a calendar-complete
+    * baseline (zeros included) is one `autocorrelationFromCounts`-
+    * style densify away upstream if a caller wants absence itself to
+    * count.
+    *
     * Scale: one (type, bucket) count, one (type, hour) rollup joined
     * back (168·|types| rows — AQE broadcasts), zero windows. Output:
     * (event_type, bucket, hour_of_week, n_events, n_baseline, verdict).
@@ -929,19 +939,32 @@ object EventAnalytics {
   def seasonalAnomaly(
       events: DataFrame, tsCol: String, typeCol: String,
       z: Int = 3, minBuckets: Int = 4): DataFrame = {
-    require(z >= 1 && z <= 10, s"z must be in [1, 10] (got $z)")
-    require(minBuckets >= 2,
-      s"minBuckets must be >= 2 (got $minBuckets)")
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    def dc(c: Column) = c.cast(dec)
     val hourNs = 3600L * 1000 * 1000 * 1000
-    val counts = events
+    seasonalAnomalyFromCounts(events
       .select(col(typeCol).as("event_type"),
         col(tsCol).cast("long").as("__ts"))
       .select(col("event_type"),
         expr(s"(__ts - pmod(__ts, ${hourNs}L)) div ${hourNs}L")
           .as("bucket"))
-      .groupBy("event_type", "bucket").agg(count(lit(1)).as("x"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("x")),
+      z, minBuckets)
+  }
+
+  /** The w23 report over a (event_type, bucket, x) hourly count table —
+    * the same feed shape as [[autocorrelationFromCounts]], so the
+    * streaming twin reuses
+    * [[graft.streaming.StatefulOps.bucketCountsStream]]'s per-(type,
+    * bucket) count upserts (monotone, so max(x) per key is the latest)
+    * and finishes here — delegation, the two sides cannot drift.
+    */
+  def seasonalAnomalyFromCounts(
+      countsIn: DataFrame, z: Int = 3, minBuckets: Int = 4): DataFrame = {
+    require(z >= 1 && z <= 10, s"z must be in [1, 10] (got $z)")
+    require(minBuckets >= 2,
+      s"minBuckets must be >= 2 (got $minBuckets)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val counts = countsIn
       .withColumn("hour_of_week",
         pmod(col("bucket") - 96L, lit(168L)))
     val perHour = counts.groupBy("event_type", "hour_of_week").agg(
@@ -1083,9 +1106,14 @@ object EventAnalytics {
     // is calendar-bounded: 8,760 hourly buckets/year)
     val spans = counts.groupBy("event_type")
       .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    // Guarded densify: a corrupt bucket (ns-vs-µs unit mixup = 1000×
+    // span) raises a named error instead of OOMing an executor on a
+    // ~10⁸-element array build. 2²⁰ buckets ≈ 119 years hourly.
     val dense = spans
       .select(col("event_type"), col("b0"),
-        explode(sequence(col("b0"), col("b1"))).as("bucket"))
+        explode(Guards.boundedSequence(col("b0"), col("b1"),
+          Guards.MaxDensifySpan,
+          "autocorrelationFromCounts densify")).as("bucket"))
       .join(counts, Seq("event_type", "bucket"), "left")
       .select(col("event_type"), col("bucket"),
         coalesce(col("x"), lit(0L)).as("x"))

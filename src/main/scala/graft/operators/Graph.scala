@@ -687,12 +687,15 @@ object Graph {
   }
 
   /** Fixed-round k-core peeling (Seidman 1983): repeatedly remove every
-    * node of degree < k, simultaneously, `rounds` times — the density
-    * filter of the link-analysis family (the k-core is where communities
-    * and link farms live; tendrils and chains peel away). Fixed rounds,
-    * not a convergence probe — the [[pageRank]] truncation contract: a
-    * graph still peeling at round `rounds` reports that round's survivor
-    * set, deterministically.
+    * node of degree < k, simultaneously, up to `rounds` times — the
+    * density filter of the link-analysis family (the k-core is where
+    * communities and link farms live; tendrils and chains peel away).
+    * The round cap is the [[pageRank]] truncation contract: a graph
+    * still peeling at round `rounds` reports that round's survivor set,
+    * deterministically. Rounds past the FIXED POINT are skipped — the
+    * survivor set is monotone, so a round that removes no node proves
+    * all later rounds are no-ops; the early exit is output-identical
+    * (idempotent rounds) and deterministic, just cheaper.
     *
     * Exact by construction: each round is integer degree counts and a
     * set filter — no arithmetic to drift. Input normalization as
@@ -737,7 +740,13 @@ object Graph {
       }
       val alive = Array.fill(names.length)(true)
       val deg = new Array[Long](names.length)
-      for (_ <- 1 to rounds) {
+      // fixed-point exit: peeling is monotone (nodes only leave), so a
+      // round that removes nobody makes every later round a no-op —
+      // identical output, fewer passes
+      var round = 1
+      var changed = true
+      while (round <= rounds && changed) {
+        changed = false
         java.util.Arrays.fill(deg, 0L)
         x = 0
         while (x < m) {
@@ -746,9 +755,10 @@ object Graph {
         }
         var i = 0
         while (i < names.length) {
-          if (alive(i) && deg(i) < k) alive(i) = false
+          if (alive(i) && deg(i) < k) { alive(i) = false; changed = true }
           i += 1
         }
+        round += 1
       }
       java.util.Arrays.fill(deg, 0L)
       x = 0
@@ -762,15 +772,35 @@ object Graph {
         .collect { case i if alive(i) && deg(i) > 0 => (names(i), deg(i)) }
         .toDF().toDF("node", "degree")
     }
+    // Distributed peel with a fixed-point exit: the survivor set is
+    // MONOTONE (nodes only ever leave), so survivor-count equality
+    // between consecutive rounds proves set equality and every later
+    // round is a no-op — identical output to the fixed-round contract
+    // (idempotent rounds), strictly fewer jobs on a converged graph.
+    // The survivor set is node-sized and localCheckpointed each round,
+    // so (a) its count is a read of already-materialized partitions,
+    // not a recompute, and (b) BOTH endpoint semi-joins consume the
+    // same materialized table — AQE broadcasts it and the degree
+    // aggregate runs exactly once per round, not once per join leg.
     var cur = und
-    for (r <- 1 to rounds) {
+    var prevSurvivors = -1L
+    var r = 1
+    var converged = false
+    while (r <= rounds && !converged) {
       val keep = cur.groupBy("a").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("a").as("node"))
-      cur = cur
-        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-      if (r % 3 == 0 || r == rounds) cur = cur.localCheckpoint()
+        .localCheckpoint()
+      val nSurvivors = keep.count()
+      if (nSurvivors == prevSurvivors) converged = true
+      else {
+        prevSurvivors = nSurvivors
+        cur = cur
+          .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+        if (r % 3 == 0 || r == rounds) cur = cur.localCheckpoint()
+      }
+      r += 1
     }
     cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
   }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Loud-raise guards for data-derived `explode(sequence(lo, hi))`
+  * spans.
+  *
+  * An unguarded densify/tiling explode builds a per-row array whose
+  * length is an UNVALIDATED function of the data: one corrupt
+  * timestamp (a ns-vs-µs unit mixup inflates a span 1000×) or one
+  * corrupt interval `stop` makes a ~10⁸-element array construction
+  * that dies as an opaque executor OOM mid-stage. The repo's
+  * discipline everywhere else (`maxSourcesPerFp`, `maxItemsPerKey`,
+  * `maxVocab`) is to FAIL LOUDLY with a named, actionable error the
+  * moment the envelope is exceeded — this object extends that
+  * discipline to every span-driven sequence build.
+  *
+  * The caps are generous envelopes, not tuning knobs: sane inputs
+  * never come near them (a year of hourly buckets is 8,760; a human
+  * chromosome at 100 bp windows is 2.5M; a real genomic interval
+  * spans thousands of bins at most), so guarded plans produce
+  * byte-identical output on sane data and the DuckDB oracle rows are
+  * unaffected.
+  */
+object Guards {
+
+  /** Default cap for calendar densifies (w22-class): 2²⁰ ≈ 1.05M
+    * buckets ≈ 119 years of hourly buckets — any span beyond this is
+    * a unit mixup, not a calendar.
+    */
+  val MaxDensifySpan: Long = 1L << 20
+
+  /** Default cap for per-chrom window tiling (j20-class): 2²² ≈ 4.19M
+    * windows — chr1 (249 Mbp) tiles under this down to 60 bp windows;
+    * the per-chrom array is ≤ ~34 MB. Tile finer by splitting chroms
+    * upstream.
+    */
+  val MaxWindowsPerChrom: Long = 1L << 22
+
+  /** Default cap for per-interval bin fan-out (IntervalJoin/j20
+    * toBins class): 2²⁰ bins — a real interval spans span/binWidth+1
+    * bins (thousands); only a corrupt mega-interval (or a stop from a
+    * different coordinate system) explodes past a million.
+    */
+  val MaxBinsPerRow: Long = 1L << 20
+
+  /** `sequence(lo, hi)` that raises a named error instead of building
+    * an over-cap array: the corrupt-input executor OOM becomes a loud
+    * one-line diagnosis carrying the offending span. `lo`/`hi` are
+    * cast to long (every guarded site is a long-typed bucket/bin/
+    * window index). Cost: one comparison per row, fully codegen'd —
+    * the sequence itself is untouched on the sane path.
+    */
+  def boundedSequence(
+      lo: Column, hi: Column, maxLen: Long, site: String): Column = {
+    require(maxLen > 0, s"maxLen must be positive (got $maxLen)")
+    val l = lo.cast("long")
+    val h = hi.cast("long")
+    val span = h - l + lit(1L)
+    sequence(l,
+      when(span > maxLen,
+        raise_error(concat(
+          lit(s"$site: densified span of "), span.cast("string"),
+          lit(s" elements exceeds the $maxLen-element cap — corrupt " +
+            "input (timestamp unit mixup / mega-interval)? Clean or " +
+            "clip the offending rows upstream."))).cast("long"))
+        .otherwise(h))
+  }
+}

@@ -326,23 +326,33 @@ object IntervalDepth {
     require(windowBp > 0, s"windowBp must be positive (got $windowBp)")
     val base = intervals.select(
         col(chromCol).cast("string").as("chrom"),
-        col(startCol).cast("long").as("start"),
+        // Genome coordinates are non-negative by contract; a negative
+        // start would make the `div` bin indexes below truncate toward
+        // zero instead of flooring (mis-binning) and a negative
+        // chrom_end would emit a garbage [0, chrom_end] window — raise
+        // loudly like the inverted-interval case instead.
+        when(col(startCol).cast("long") < 0,
+          raise_error(lit("genomeWindows: negative start (genome " +
+            "coordinates are non-negative by contract)")))
+          .otherwise(col(startCol).cast("long")).as("start"),
         when(col(endCol).cast("long") < col(startCol).cast("long"),
           raise_error(lit("genomeWindows: inverted interval")))
           .otherwise(col(endCol).cast("long")).as("stop"))
       .localCheckpoint() // feeds the extent agg, the raw join, coalesce
     val windows = base.groupBy("chrom").agg(max("stop").as("chrom_end"))
       .select(col("chrom"), col("chrom_end"),
-        explode(sequence(lit(0L),
-          expr(s"chrom_end div ${windowBp}L"))).as("i"))
+        explode(Guards.boundedSequence(lit(0L),
+          expr(s"chrom_end div ${windowBp}L"),
+          Guards.MaxWindowsPerChrom, "genomeWindows tiling")).as("i"))
       .select(col("chrom"), col("i"),
         (col("i") * windowBp).as("w_start"),
         least(col("i") * windowBp + (windowBp - 1), col("chrom_end"))
           .as("w_end"))
       .localCheckpoint() // joined by both measure legs + the final fill
     def toBins(df: DataFrame): DataFrame =
-      df.withColumn("i", explode(sequence(
-        expr(s"start div ${windowBp}L"), expr(s"stop div ${windowBp}L"))))
+      df.withColumn("i", explode(Guards.boundedSequence(
+        expr(s"start div ${windowBp}L"), expr(s"stop div ${windowBp}L"),
+        Guards.MaxBinsPerRow, "genomeWindows binning")))
     val nIv = toBins(base)
       .groupBy("chrom", "i").agg(count(lit(1)).as("n_intervals"))
     val runs = coalesce(base, "chrom", "start", "stop")

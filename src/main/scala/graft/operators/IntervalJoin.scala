@@ -47,9 +47,10 @@ object IntervalJoin {
     val p = points.withColumn(pBin, floor(col(pointCol) / binWidth).cast("long"))
     val r0 = ranges.withColumn(
       rBin,
-      explode(sequence(
+      explode(Guards.boundedSequence(
         floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+        floor(col(hiCol) / binWidth).cast("long"),
+        Guards.MaxBinsPerRow, "pointInRange range bins")))
     val r = if (broadcastRanges) broadcast(r0) else r0
 
     val residual: Column = {
@@ -102,12 +103,14 @@ object IntervalJoin {
       col(rStartCol).cast("long").as("rs"),
       col(rEndCol).cast("long").as("re"),
       col(rIdCol).cast("long").as("r_id"))
-    val qb = q.withColumn("b", explode(sequence(
+    val qb = q.withColumn("b", explode(Guards.boundedSequence(
       floor((col("qs") - maxDist).cast("double") / binWidth).cast("long"),
-      floor((col("qe") + maxDist).cast("double") / binWidth).cast("long"))))
-    val rb = r.withColumn("b", explode(sequence(
+      floor((col("qe") + maxDist).cast("double") / binWidth).cast("long"),
+      Guards.MaxBinsPerRow, "nearestWithin query bins")))
+    val rb = r.withColumn("b", explode(Guards.boundedSequence(
       floor(col("rs").cast("double") / binWidth).cast("long"),
-      floor(col("re").cast("double") / binWidth).cast("long"))))
+      floor(col("re").cast("double") / binWidth).cast("long"),
+      Guards.MaxBinsPerRow, "nearestWithin ref bins")))
     qb.join(rb, Seq("chrom", "b"))
       .withColumn("dist", greatest(lit(0L),
         col("rs") - col("qe"), col("qs") - col("re")))
@@ -159,12 +162,14 @@ object IntervalJoin {
       col(bStartCol).cast("long").as("bs"),
       col(bEndCol).cast("long").as("be"),
       col(bIdCol).cast("long").as("b_id"))
-    val ab = qa.withColumn("bin", explode(sequence(
+    val ab = qa.withColumn("bin", explode(Guards.boundedSequence(
       floor(col("as_").cast("double") / binWidth).cast("long"),
-      floor(col("ae").cast("double") / binWidth).cast("long"))))
-    val bb = qb.withColumn("bin", explode(sequence(
+      floor(col("ae").cast("double") / binWidth).cast("long"),
+      Guards.MaxBinsPerRow, "reciprocalOverlap a bins")))
+    val bb = qb.withColumn("bin", explode(Guards.boundedSequence(
       floor(col("bs").cast("double") / binWidth).cast("long"),
-      floor(col("be").cast("double") / binWidth).cast("long"))))
+      floor(col("be").cast("double") / binWidth).cast("long"),
+      Guards.MaxBinsPerRow, "reciprocalOverlap b bins")))
     val ov = least(col("ae"), col("be")) -
       greatest(col("as_"), col("bs")) + 1
     // owner-bin attribution: a pair overlapping k shared bins would emit
@@ -218,12 +223,14 @@ object IntervalJoin {
       .select(col("chrom"), col("start").as("as_"), col("stop").as("ae"))
     val mb = IntervalDepth.coalesce(b, bChrom, bStartCol, bEndCol)
       .select(col("chrom"), col("start").as("bs"), col("stop").as("be"))
-    val ab = ma.withColumn("bin", explode(sequence(
+    val ab = ma.withColumn("bin", explode(Guards.boundedSequence(
       floor(col("as_").cast("double") / binWidth).cast("long"),
-      floor(col("ae").cast("double") / binWidth).cast("long"))))
-    val bb = mb.withColumn("bin", explode(sequence(
+      floor(col("ae").cast("double") / binWidth).cast("long"),
+      Guards.MaxBinsPerRow, "intervalJaccard a bins")))
+    val bb = mb.withColumn("bin", explode(Guards.boundedSequence(
       floor(col("bs").cast("double") / binWidth).cast("long"),
-      floor(col("be").cast("double") / binWidth).cast("long"))))
+      floor(col("be").cast("double") / binWidth).cast("long"),
+      Guards.MaxBinsPerRow, "intervalJaccard b bins")))
     val ov = least(col("ae"), col("be")) -
       greatest(col("as_"), col("bs")) + 1
     // owner-bin attribution (the reciprocalOverlap residual): exactly one
@@ -339,12 +346,14 @@ object IntervalJoin {
     val bm = IntervalDepth.coalesce(b, bChrom, bStartCol, bEndCol)
       .select(col("chrom").as("b_chrom"), col("start").as("b_s"),
         col("stop").as("b_e"))
-    val qb = q.withColumn("bin", explode(sequence(
+    val qb = q.withColumn("bin", explode(Guards.boundedSequence(
       floor(col("a_s").cast("double") / binWidth).cast("long"),
-      floor(col("a_e").cast("double") / binWidth).cast("long"))))
-    val rb = bm.withColumn("bin", explode(sequence(
+      floor(col("a_e").cast("double") / binWidth).cast("long"),
+      Guards.MaxBinsPerRow, "subtract a bins")))
+    val rb = bm.withColumn("bin", explode(Guards.boundedSequence(
       floor(col("b_s").cast("double") / binWidth).cast("long"),
-      floor(col("b_e").cast("double") / binWidth).cast("long"))))
+      floor(col("b_e").cast("double") / binWidth).cast("long"),
+      Guards.MaxBinsPerRow, "subtract b bins")))
     val ov = qb.join(rb,
         qb("chrom") === rb("b_chrom") && qb("bin") === rb("bin") &&
           col("b_s") <= col("a_e") && col("b_e") >= col("a_s"),

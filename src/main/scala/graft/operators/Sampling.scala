@@ -552,6 +552,15 @@ object Sampling {
     * aggregate cost for an envelope no mixing run hits: total weight ×
     * copies < 9·10¹⁸).
     *
+    * Input contract: ids are UNIQUE — the comb's per-doc allocation is
+    * defined by each id's position in the ascending-id order, so a
+    * duplicated id would make the tied rows' cum_w (hence copy split)
+    * partition-order-dependent, and CorpusPipeline.resample's id
+    * equi-join would fan out. Enforced in-plan and loudly: a lag probe
+    * riding the SAME shard window (duplicates hash to the same shard
+    * and sort adjacent) raises on the first duplicate — zero extra
+    * exchanges, zero extra jobs.
+    *
     * Output: (id, weight, cum_w, n_copies) for docs with n_copies > 0.
     */
   def systematicResample(
@@ -572,8 +581,22 @@ object Sampling {
       expr(s"(id - pmod(id, ${shardSize}L)) div ${shardSize}L"))
     val inShard = Window.partitionBy("shard").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Duplicate-id probe on the same (shard, id-order) window the
+    // prefix sum already pays for: a duplicated id lands in the same
+    // shard and sorts adjacent, so lag(id) == id catches every dup.
+    val dupProbe = Window.partitionBy("shard").orderBy("id")
     val withLocal = sharded
       .withColumn("local_cum", sum("weight").over(inShard))
+      .withColumn("__prev_id", lag(col("id"), 1).over(dupProbe))
+      .withColumn("id",
+        when(col("__prev_id") === col("id"),
+          raise_error(concat(lit("systematicResample: duplicate id "),
+            col("id").cast("string"),
+            lit(" — ids must be unique (the comb's per-row copy " +
+              "allocation and CorpusPipeline.resample's id join " +
+              "assume it)"))).cast("long"))
+          .otherwise(col("id")))
+      .drop("__prev_id")
     val shardW = Window.orderBy("shard")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sharded.groupBy("shard")

@@ -391,4 +391,19 @@ class SamplingSpec extends AnyFunSuite {
       || e.getCause != null &&
         e.getCause.getMessage.contains("total weight"), e.getMessage)
   }
+
+  test("systematicResample: duplicate ids raise loudly (per-row copy " +
+      "allocation would be partition-order-dependent)") {
+    import spark.implicits._
+    val dup = Seq((1L, 2L), (2L, 3L), (2L, 4L), (3L, 1L)).toDF("id", "w")
+    for (parts <- Seq(1, 4)) {
+      val e = intercept[Exception] {
+        Sampling.systematicResample(
+          dup.repartition(parts), "id", "w", m = 5L).collect()
+      }
+      assert(e.getMessage.contains("duplicate id")
+        || e.getCause != null &&
+          e.getCause.getMessage.contains("duplicate id"), e.getMessage)
+    }
+  }
 }

@@ -154,6 +154,42 @@ class SeasonalityAbStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed bucket counts finish to the batch w23 seasonal " +
+      "anomaly on sf0.001, late data included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    // deterministic shuffle: chunks arrive out of bucket order, so
+    // every micro-batch folds LATE rows into already-emitted buckets
+    val buckets = new scala.util.Random(23).shuffle(
+      events.select(col("event_type"),
+          expr(s"(CAST(ts AS LONG) - pmod(CAST(ts AS LONG), ${hourNs}L))" +
+            s" div ${hourNs}L").as("bucket"))
+        .as[BucketEv].collect().toIndexedSeq)
+    val mem = MemoryStream[BucketEv]
+    val q = bucketCountsStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("w23_counts")
+      .outputMode("append").start()
+    try {
+      buckets.grouped(math.max(1, buckets.length / 3 + 1)).foreach { c =>
+        mem.addData(c.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val upserted = spark.table("w23_counts")
+        .as[TypedBucketCount].collect().toSeq.toDS().toDF()
+        .groupBy("event_type", "bucket").agg(max("x").as("x"))
+      val streamed = EventAnalytics
+        .seasonalAnomalyFromCounts(upserted, z = 3, minBuckets = 4)
+        .as[(String, Long, Long, Long, Long, String)].collect().toSet
+      val batch = EventAnalytics.seasonalAnomaly(
+          events, "ts", "event_type", z = 3, minBuckets = 4)
+        .as[(String, Long, Long, Long, Long, String)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("advanceCount: running totals, only touched keys emit") {
     val (r1, s1) = StatefulOps.advanceCount("u7", 3L, None)
     assert(r1 == Seq(KeyCount("u7", 3L)) && s1 == CountState(3L))
