@@ -475,6 +475,27 @@ object SparkEntry {
         round(col("c_ab"), 4).as("c_ab"), round(col("c_ba"), 4).as("c_ba"))
   }
 
+  /** d21: the d2+d14 single-pass suite — Jaccard AND both containments
+    * from ONE shingle index over the d14 corpus (documents plus planted
+    * fragments), what a dedup pipeline wanting both signals runs
+    * instead of d2 then d14 back to back (which would tokenize,
+    * shingle and self-join the corpus twice). Full oracle: identical
+    * corpus construction, one pair CTE, both scores, either-threshold
+    * keep.
+    */
+  private def d21JaccardContainment(s: SparkSession, d: String): DataFrame = {
+    val base = T(s, d, "documents").select(col("doc_id"), col("text"))
+    val frags = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(100000L)).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text"))
+    Dedup.ngramJaccardAndContainment(base.unionByName(frags), "doc_id",
+        "text", n = 3, jaccardThreshold = 0.6, containThreshold = 0.9)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"),
+        round(col("c_ab"), 4).as("c_ab"),
+        round(col("c_ba"), 4).as("c_ba"))
+  }
+
   /** d3: MinHash-LSH near-dup pairs in the *portable* hash family
     * (md5-derived shingle keys, overflow-free permutations, slice-equality
     * band keys) so the DuckDB oracle recomputes the identical signatures,
@@ -3672,6 +3693,7 @@ FROM c"""
     "d13_near_decontam" -> (d13NearDecontam _),
     "d14_containment" -> (d14Containment _),
     "d15_bloom_decontam" -> (d15BloomDecontam _),
+    "d21_jaccard_containment" -> (d21JaccardContainment _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality_score" -> (t2Quality _),
     "t3_lang_id" -> (t3LangId _),
@@ -5085,6 +5107,31 @@ FROM c"""
         |FROM pairs JOIN cnt ca ON ia = ca.doc_id
         |  JOIN cnt cb ON ib = cb.doc_id
         |WHERE greatest(c::DOUBLE / ca.n, c::DOUBLE / cb.n) >= 0.9""".stripMargin,
+    // d21 twin: the d2+d14 union from one pair CTE — same corpus
+    // construction as d14, both scores, either-threshold keep
+    "d21_jaccard_containment" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(string_split(text, ' ')[1:20], ' ')
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     for i in range(1, len(w) - 1)])) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |  round(c::DOUBLE / (ca.n + cb.n - c), 4) AS jaccard,
+        |  round(c::DOUBLE / ca.n, 4) AS c_ab,
+        |  round(c::DOUBLE / cb.n, 4) AS c_ba
+        |FROM pairs JOIN cnt ca ON ia = ca.doc_id
+        |  JOIN cnt cb ON ib = cb.doc_id
+        |WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.6
+        |   OR greatest(c::DOUBLE / ca.n, c::DOUBLE / cb.n) >= 0.9""".stripMargin,
     "d9_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |bm AS (SELECT DISTINCT unnest(

@@ -464,6 +464,25 @@ object Dedup {
     // local disk anyway; the checkpoint trades that same local I/O for a
     // guarantee the upstream pipeline executes exactly once, and
     // truncates lineage so AQE replans only the join stage.
+    shinglePairStats(docs, idCol, textCol, n, maxDf)
+      .select(
+        col("id_a"), col("id_b"),
+        (col("n_common") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The one-pass inverted-index pair statistics every shingle-overlap
+    * score reads off: ONE [[cappedShingleIndex]] (materialized once,
+    * eagerly — the ReuseExchange rationale documented in
+    * [[ngramJaccardPairs]]), ONE self-join, ONE pair aggregate →
+    * (id_a, id_b, n_common, na, nb) with id_a < id_b. Jaccard,
+    * containment, and the combined operator are pure projections of
+    * this table, so a suite computing several scores shingles the
+    * corpus exactly once.
+    */
+  private def shinglePairStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Int): DataFrame = {
     val sh = cappedShingleIndex(docs, idCol, textCol, n, maxDf)
       .localCheckpoint()
     // shuffle_hash hint on both sides: keeps AQE from broadcast-converting
@@ -476,11 +495,38 @@ object Dedup {
       .agg(
         count("*").as("n_common"),
         first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
+  }
+
+  /** Jaccard AND both containments from ONE shingle pass — the
+    * operator a dedup suite that wants both signals (symmetric
+    * near-dup + doc-inside-doc) should run instead of
+    * [[ngramJaccardPairs]] + [[containmentPairs]] back to back, which
+    * would build the inverted index (tokenize, shingle, df-cap,
+    * self-join) twice for the same corpus. Same skeleton, df-cap
+    * contract and exactness posture as the two single-score forms —
+    * all three are projections of [[shinglePairStats]], so the scores
+    * are IDENTICAL to the separate operators' by construction
+    * (spec-pinned anyway).
+    *
+    * A pair is kept when EITHER signal fires: jaccard >=
+    * `jaccardThreshold` OR max(c_ab, c_ba) >= `containThreshold` —
+    * the union of the two operators' outputs, each row carrying all
+    * three scores. Output: (id_a, id_b, jaccard, c_ab, c_ba) with
+    * id_a < id_b.
+    */
+  def ngramJaccardAndContainment(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, jaccardThreshold: Double = 0.6,
+      containThreshold: Double = 0.8, maxDf: Int = 1000): DataFrame =
+    shinglePairStats(docs, idCol, textCol, n, maxDf)
       .select(
         col("id_a"), col("id_b"),
-        (col("n_common") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+        (col("n_common") / (col("na") + col("nb") - col("n_common")))
+          .as("jaccard"),
+        (col("n_common") / col("na")).as("c_ab"),
+        (col("n_common") / col("nb")).as("c_ba"))
+      .filter(col("jaccard") >= jaccardThreshold ||
+        greatest(col("c_ab"), col("c_ba")) >= containThreshold)
 
   /** All document pairs where either side's n-word-shingle *containment*
     * meets the threshold: c(A→B) = |A ∩ B| / |A|, the fraction of A's
@@ -502,23 +548,13 @@ object Dedup {
     */
   def containmentPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
-    // Materialized once for both join sides — see [[ngramJaccardPairs]].
-    val sh = cappedShingleIndex(docs, idCol, textCol, n, maxDf)
-      .localCheckpoint()
-    sh.as("a").hint("shuffle_hash")
-      .join(sh.as("b").hint("shuffle_hash"),
-        col("a.shkey") === col("b.shkey") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(
-        count("*").as("n_common"),
-        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
+      n: Int = 3, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame =
+    shinglePairStats(docs, idCol, textCol, n, maxDf)
       .select(
         col("id_a"), col("id_b"),
         (col("n_common") / col("na")).as("c_ab"),
         (col("n_common") / col("nb")).as("c_ba"))
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
-  }
 
   // Deterministic permutation coefficients for MinHash (seeded, stable
   // across runs — required for reproducible signatures).

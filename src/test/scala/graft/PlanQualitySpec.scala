@@ -300,6 +300,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("d21 combined jaccard+containment: one materialized index feeds a " +
+      "hash self-join — no cartesian, no sort-merge, no second shingle pass") {
+    val plan = planOf(SparkEntry.queries("d21_jaccard_containment")(spark, dir))
+    // the shingle index is localCheckpointed once; both self-join sides
+    // read the materialized RDD, not a re-tokenized parquet subtree
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      s"index not materialized once:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"self-join not shuffle-hash (broadcast would driver-collect the " +
+        s"index):\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("per-term global counts are aggregates, not windows (no hot-key sort)") {
     import org.apache.spark.sql.execution.window.WindowExec
     // windows partitioned by the term key would sort a stop word's whole

@@ -68,6 +68,36 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.isEmpty)
   }
 
+  test("ngramJaccardAndContainment == the two separate operators from " +
+      "one pass (hand case + real corpus)") {
+    // hand case: doc 10 (fragment of 1) fires only containment; docs
+    // 0/1/2/5 of the shared fixture fire Jaccard — the combined output
+    // is exactly the union, each row carrying all three scores
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val f = (1 to 10).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, a), (2L, (1 to 30).map(i => s"z$i").mkString(" ")),
+      (10L, f)).toDF("doc_id", "text")
+    val combined = Dedup.ngramJaccardAndContainment(corpus, "doc_id",
+        "text", n = 3, jaccardThreshold = 0.6, containThreshold = 0.9)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(combined == Seq((1L, 10L, 8.0 / 28.0, 8.0 / 28.0, 1.0)))
+    // equivalence on the real sf0.001 corpus, both projections
+    val real = spark.read.parquet(s"${graft.TestSpark.Sf0001}/documents.parquet")
+    val both = Dedup.ngramJaccardAndContainment(real, "doc_id", "text",
+        n = 3, jaccardThreshold = 0.6, containThreshold = 0.8)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    val jac = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    val con = Dedup.containmentPairs(real, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(both.filter(_._3 >= 0.6).map(r => (r._1, r._2, r._3)) == jac)
+    assert(both.filter(r => math.max(r._4, r._5) >= 0.8)
+      .map(r => (r._1, r._2, r._4, r._5)) == con)
+    // nothing in the combined set outside the union of the two
+    assert(both.forall(r => r._3 >= 0.6 || math.max(r._4, r._5) >= 0.8))
+    assert(jac.nonEmpty)
+  }
+
   test("minHashLshPairs equals exact jaccard pairs on sf0.001 documents") {
     val real = spark.read.parquet(s"${graft.TestSpark.Sf0001}/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.6)
