@@ -213,12 +213,21 @@ object Bench {
       "w1,w10,w11,w12,w13,w14,w15,w2,w3,w4,w5,w6,w7,w8,w9"
     ).split(",").toSet
     // the round-9 basket: everything except the 13 round-10 additions
+    // and the round-11 additions; the round-10 basket (the 239-query
+    // suite the r10 driver measured) excludes only the r11 additions
     val r10Additions = Set("e20", "e21", "e22", "t38", "s13", "m10",
       "w21", "d20", "w22", "j20", "w23", "f11", "c19")
+    val r11Additions = Set("d21", "t39", "t40", "w24", "e23")
     val r9Total = okMins.collect {
-      case (k, v) if !r10Additions(k.takeWhile(_ != '_')) => v }.sum
+      case (k, v) if !r10Additions(k.takeWhile(_ != '_')) &&
+        !r11Additions(k.takeWhile(_ != '_')) => v }.sum
     val nR9 = okMins.count {
-      case (k, _) => !r10Additions(k.takeWhile(_ != '_')) }
+      case (k, _) => !r10Additions(k.takeWhile(_ != '_')) &&
+        !r11Additions(k.takeWhile(_ != '_')) }
+    val r10Total = okMins.collect {
+      case (k, v) if !r11Additions(k.takeWhile(_ != '_')) => v }.sum
+    val nR10 = okMins.count {
+      case (k, _) => !r11Additions(k.takeWhile(_ != '_')) }
     val r1Total = okMins.collect { case (k, v) if r1Set(k) => v }.sum
     val r7Total = okMins.collect {
       case (k, v) if r7Prefixes(k.takeWhile(_ != '_')) => v }.sum
@@ -227,7 +236,13 @@ object Bench {
     // stdout line); a non-empty list means the total EXCLUDES them.
     val failedPrefixes = failed.map(k =>
       "\"" + k.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+    // fam_q session-noise band (r10 VERDICT #4): five min-of-3 fam_q
+    // measurements on identical code — r9 13.7, r10 15.8, three r11
+    // solo-session reruns 12.98/13.76/13.92 — span 13.0-15.8 s at
+    // sf0.1. Swings inside this band are bench-session noise (block
+    // manager / GC history), not regressions; re-flag fam_q only
+    // outside it.
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"n_failed":${failed.size},"failed":$failedPrefixes,"value_r1_set":${f(r1Total)},"n_r1_set":${okMins.map(_._1).count(r1Set)},"value_r7_set":${f(r7Total)},"n_r7_set":$nR7,"value_r9_set":${f(r9Total)},"n_r9_set":$nR9,"keys":"15 slowest + per-family sums; full per-query map in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"n_failed":${failed.size},"failed":$failedPrefixes,"value_r1_set":${f(r1Total)},"n_r1_set":${okMins.map(_._1).count(r1Set)},"value_r7_set":${f(r7Total)},"n_r7_set":$nR7,"value_r9_set":${f(r9Total)},"n_r9_set":$nR9,"value_r10_set":${f(r10Total)},"n_r10_set":$nR10,"fam_q_noise_band_sec":"13.0-15.8","keys":"15 slowest + per-family sums; full per-query map in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -2899,6 +2899,23 @@ FROM c"""
       T(s, d, "documents").filter(pmod(col("doc_id"), lit(2)) === 0),
       T(s, d, "documents"), "doc_id", "text")
 
+  /** t39: Dunning G² keyness of the doc_id % 10 = 0 slice (the s3 DSIR
+    * target split) vs the rest — exact integer counts, one fixed IEEE
+    * ln tree per side (round-4), exact integer cross-compare for the
+    * direction. Full oracle: identical tree in DuckDB.
+    */
+  private def t39Keyness(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.keyness(T(s, d, "documents"), "doc_id", "text",
+      pmod(col("doc_id"), lit(10)) === 0, minCount = 5)
+
+  /** t40: lexical-richness profile — TTR, hapax share and Yule's K per
+    * document, every statistic an exact integer-count rational on a
+    * half-up lattice (no float anywhere). Full oracle: HUGEINT tf
+    * aggregates + the identical (2a + b) // 2b lattice in DuckDB.
+    */
+  private def t40LexicalRichness(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.lexicalRichness(T(s, d, "documents"), "doc_id", "text")
+
   /** s13: systematic (low-variance) resampling — 5000 copies drawn
     * against length-derived integer weights (mod 19, so zero-weight
     * docs exercise the drop path) by the deterministic u = ½ comb;
@@ -2953,6 +2970,32 @@ FROM c"""
         q, e, "vec_id", "vec_id", "embedding", k = 5)
       .select(col("q_id"), col("c_id"), lit(1).as("rel"))
     Retrieval.averagePrecision(approx, judged, k = 10)
+  }
+
+  /** e23: multi-class classification report — true label = source,
+    * predicted = source rotated one class forward for every doc_id % 3
+    * = 0 (deterministic corruption via the sorted-distinct class
+    * index, so every class has real fp/fn mass); per-class P/R/F1 on
+    * exact integer lattices plus micro/macro rows. Full oracle:
+    * identical class-index rotation and lattice algebra.
+    */
+  private def e23MulticlassReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = T(s, d, "documents").select(col("doc_id"), col("source"))
+    // class-index dim: |sources| rows — the dim-sized window class
+    val dim = docs.select(col("source")).distinct()
+      .withColumn("sidx",
+        row_number().over(Window.orderBy("source")).cast("long") - 1)
+    val k = dim.agg(count(lit(1)).as("k"))
+    val pred = docs.join(broadcast(dim), Seq("source"))
+      .crossJoin(broadcast(k))
+      .select(col("source").as("y"),
+        pmod(col("sidx") +
+          when(pmod(col("doc_id"), lit(3)) === 0, 1L).otherwise(0L),
+          col("k")).as("pidx"))
+      .join(broadcast(dim.select(col("source").as("pred"),
+        col("sidx").as("pidx"))), Seq("pidx"))
+    Classifier.multiclassReport(pred, "y", "pred")
   }
 
   /** w21: Gini coefficient of per-user event concentration — the
@@ -3010,6 +3053,15 @@ FROM c"""
     */
   private def w23SeasonalAnomaly(s: SparkSession, d: String): DataFrame =
     EventAnalytics.seasonalAnomaly(T(s, d, "events"), "ts", "event_type")
+
+  /** w24: inter-arrival cadence per event type — per-user consecutive
+    * gaps (floor-bucketed seconds), per-type mean gap and CV² as exact
+    * half-up lattices of integer rationals. Full oracle: the identical
+    * lag window + HUGEINT lattice algebra in DuckDB.
+    */
+  private def w24InterArrival(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.interArrival(T(s, d, "events"),
+      "user_id", "ts", "event_type")
 
   /** f11: winsorized summary — values clipped at the exact p05/p95
     * cutpoints (broadcast one-row, the w15 cutpoint discipline), means
@@ -3868,14 +3920,18 @@ FROM c"""
     "e20_chrf" -> (e20Chrf _),
     "e21_mann_whitney" -> (e21MannWhitney _),
     "t38_backoff_trigram" -> (t38BackoffTrigram _),
+    "t39_keyness" -> (t39Keyness _),
+    "t40_lexical_richness" -> (t40LexicalRichness _),
     "s13_systematic_resample" -> (s13SystematicResample _),
     "m10_bmp_meta" -> (m10BmpMeta _),
     "e22_average_precision" -> (e22AveragePrecision _),
+    "e23_multiclass_report" -> (e23MulticlassReport _),
     "w21_gini" -> (w21Gini _),
     "d20_cross_source_overlap" -> (d20CrossSourceOverlap _),
     "w22_autocorrelation" -> (w22Autocorrelation _),
     "j20_genome_windows" -> (j20GenomeWindows _),
     "w23_seasonal_anomaly" -> (w23SeasonalAnomaly _),
+    "w24_interarrival" -> (w24InterArrival _),
     "f11_winsorize" -> (f11Winsorize _),
     "c19_snapshot_retention" -> (c19SnapshotRetention _))
 
@@ -8770,6 +8826,45 @@ FROM c"""
         |  sum(CASE WHEN c_tri IS NULL AND c23 IS NULL THEN 1
         |    ELSE 0 END)::BIGINT AS n_bo_uni
         |FROM j GROUP BY id""".stripMargin,
+    // t39 twin: exact integer slice counts + the identical fixed IEEE
+    // G² tree (two multiplies, one divide, one ln per side), round-4;
+    // direction from the exact integer cross-compare
+    "t39_keyness" ->
+      """WITH toks AS (SELECT doc_id % 10 = 0 AS tgt,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END)::BIGINT AS b
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb FROM c)
+        |SELECT term, a AS n_target, b AS n_ref,
+        |  round(2.0 * (
+        |    CASE WHEN a > 0 THEN a::DOUBLE * ln(a::DOUBLE *
+        |      (na::DOUBLE + nb::DOUBLE) / (na::DOUBLE *
+        |      (a::DOUBLE + b::DOUBLE))) ELSE 0.0 END +
+        |    CASE WHEN b > 0 THEN b::DOUBLE * ln(b::DOUBLE *
+        |      (na::DOUBLE + nb::DOUBLE) / (nb::DOUBLE *
+        |      (a::DOUBLE + b::DOUBLE))) ELSE 0.0 END), 4) AS g2,
+        |  CASE WHEN a * nb > b * na THEN 'target'
+        |    WHEN a * nb < b * na THEN 'ref' ELSE 'even' END AS direction
+        |FROM c CROSS JOIN tot WHERE a + b >= 5""".stripMargin,
+    // t40 twin: HUGEINT tf aggregates + the identical (2a+b) // 2b
+    // half-up lattices — no float anywhere
+    "t40_lexical_richness" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |a AS (SELECT doc_id AS id, sum(tf)::HUGEINT AS n,
+        |    count(*)::HUGEINT AS v,
+        |    sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::HUGEINT AS v1,
+        |    sum(tf::HUGEINT * tf)::HUGEINT AS s2
+        |  FROM tf GROUP BY 1)
+        |SELECT id, n::BIGINT AS n_tokens, v::BIGINT AS n_distinct,
+        |  v1::BIGINT AS n_hapax,
+        |  ((2*v*1000000 + n) // (2*n))::BIGINT AS ttr_e6,
+        |  ((2*v1*1000000 + v) // (2*v))::BIGINT AS hapax_e6,
+        |  ((2*(s2 - n)*1000000 + n*n) // (2*n*n))::BIGINT AS yule_k_e2
+        |FROM a""".stripMargin,
     // s13 twin: the textbook one-window prefix sum + the identical
     // comb floor-division algebra
     "s13_systematic_resample" ->
@@ -8849,6 +8944,64 @@ FROM c"""
         |      // (2 * 2520 * least(n_rel, 10)))::BIGINT
         |  END AS ap_e6
         |FROM reltot FULL OUTER JOIN terms USING (q_id)""".stripMargin,
+    // e23 twin: identical class-index rotation, (t, p) grid counts,
+    // full-outer per-class join and the (2a+b) // 2b lattices; macro
+    // averages non-null precision/recall and all-class f1
+    "e23_multiclass_report" ->
+      """WITH dim AS (SELECT source,
+        |    row_number() OVER (ORDER BY source) - 1 AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |kk AS (SELECT count(*) AS k FROM dim),
+        |pr AS (SELECT d.source AS t, p.source AS p
+        |  FROM documents d JOIN dim s ON d.source = s.source
+        |  CROSS JOIN kk
+        |  JOIN dim p ON p.sidx = (s.sidx +
+        |    CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END) % kk.k),
+        |grid AS (SELECT t, p, count(*)::BIGINT AS n FROM pr GROUP BY 1, 2),
+        |bt AS (SELECT t AS label, sum(n)::BIGINT AS n_true,
+        |    sum(CASE WHEN t = p THEN n ELSE 0 END)::BIGINT AS tp
+        |  FROM grid GROUP BY 1),
+        |bp AS (SELECT p AS label, sum(n)::BIGINT AS n_pred
+        |  FROM grid GROUP BY 1),
+        |cls AS (SELECT coalesce(bt.label, bp.label) AS label,
+        |    coalesce(n_true, 0) AS support, coalesce(tp, 0) AS tp,
+        |    coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+        |    coalesce(n_true, 0) - coalesce(tp, 0) AS fn
+        |  FROM bt FULL OUTER JOIN bp ON bt.label = bp.label),
+        |cm AS (SELECT label, support, tp, fp, fn,
+        |    CASE WHEN tp + fp > 0 THEN
+        |      (2*tp*1000000 + (tp+fp)) // (2*(tp+fp)) END AS precision_e6,
+        |    CASE WHEN tp + fn > 0 THEN
+        |      (2*tp*1000000 + (tp+fn)) // (2*(tp+fn)) END AS recall_e6,
+        |    CASE WHEN 2*tp + fp + fn > 0 THEN
+        |      (4*tp*1000000 + (2*tp+fp+fn)) // (2*(2*tp+fp+fn))
+        |      END AS f1_e6
+        |  FROM cls),
+        |mic AS (SELECT '__micro' AS label, sum(n)::BIGINT AS support,
+        |    sum(CASE WHEN t = p THEN n ELSE 0 END)::BIGINT AS tp,
+        |    (sum(n) - sum(CASE WHEN t = p THEN n ELSE 0 END))::BIGINT
+        |      AS fp,
+        |    (sum(n) - sum(CASE WHEN t = p THEN n ELSE 0 END))::BIGINT
+        |      AS fn,
+        |    (2*sum(CASE WHEN t = p THEN n ELSE 0 END)*1000000 + sum(n))
+        |      // (2*sum(n)) AS acc
+        |  FROM grid),
+        |mac AS (SELECT '__macro' AS label, count(*)::BIGINT AS support,
+        |    NULL::BIGINT AS tp, NULL::BIGINT AS fp, NULL::BIGINT AS fn,
+        |    (2*sum(precision_e6) + count(precision_e6))
+        |      // (2*count(precision_e6)) AS precision_e6,
+        |    (2*sum(recall_e6) + count(recall_e6))
+        |      // (2*count(recall_e6)) AS recall_e6,
+        |    (2*sum(f1_e6) + count(*)) // (2*count(*)) AS f1_e6
+        |  FROM cm)
+        |SELECT label, support, tp, fp, fn, precision_e6::BIGINT
+        |    AS precision_e6, recall_e6::BIGINT AS recall_e6,
+        |    f1_e6::BIGINT AS f1_e6 FROM cm
+        |UNION ALL SELECT label, support, tp, fp, fn, acc::BIGINT,
+        |  acc::BIGINT, acc::BIGINT FROM mic
+        |UNION ALL SELECT label, support, tp, fp, fn,
+        |  precision_e6::BIGINT, recall_e6::BIGINT, f1_e6::BIGINT
+        |FROM mac""".stripMargin,
     // w21 twin: the same distinct-count grid, HUGEINT-exact doubled
     // rank sum (tie blocks contribute 2·m·cumbefore + m(m+1)), one
     // lattice division
@@ -8913,6 +9066,26 @@ FROM c"""
         |      > 9::HUGEINT*(n_h::HUGEINT*q_h - s_h::HUGEINT*s_h)
         |    THEN 'anomaly' ELSE 'normal' END AS verdict
         |FROM h JOIN ph USING (event_type, hour_of_week)""".stripMargin,
+    // w24 twin: identical (user, type)-keyed lag window, second-floored
+    // gaps, HUGEINT S/Q sums and the (2a+b) // 2b half-up lattices
+    "w24_interarrival" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_ns(ts)::BIGINT AS ts FROM events
+        |  WHERE user_id IS NOT NULL),
+        |g AS (SELECT event_type,
+        |    (ts - lag(ts) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts)) // 1000000000 AS gap_s
+        |  FROM ev),
+        |a AS (SELECT event_type, count(*)::HUGEINT AS n,
+        |    sum(gap_s)::HUGEINT AS s,
+        |    sum(gap_s::HUGEINT * gap_s)::HUGEINT AS q
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n::BIGINT AS n_gaps,
+        |  ((2*s*1000 + n) // (2*n))::BIGINT AS mean_gap_s_e3,
+        |  CASE WHEN s > 0 THEN
+        |    ((2*(n*q - s*s)*1000000 + s*s) // (2*s*s))::BIGINT
+        |    ELSE NULL END AS cv2_e6
+        |FROM a""".stripMargin,
     // f11 twin: quantile_cont cutpoints (the a7 parity), identical
     // 1e-4 lattice clip and exact-integer mean algebra
     "f11_winsorize" ->

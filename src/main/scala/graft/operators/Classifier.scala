@@ -280,6 +280,91 @@ object Classifier {
       e6(f1).as("f1_e6"), e6(acc).as("accuracy_e6")): _*)
   }
 
+  /** Multi-class classification report — per-class precision / recall /
+    * F1 with support, plus the micro and macro summary rows
+    * (scikit-learn's `classification_report` as a DataFrame): the
+    * standard read-out for label-quality audits (language-ID,
+    * source/domain classifiers, licence tagging) where
+    * [[confusionMetrics]]' binary form doesn't apply.
+    *
+    * EXACT end-to-end: every metric is a rational of integer counts on
+    * the half-up 1e-6 lattice via the shared (2a + b) div 2b idiom —
+    * precision tp/(tp+fp), recall tp/(tp+fn), and F1 in its
+    * float-free form 2·tp/(2·tp + fp + fn) (algebraically 2PR/(P+R),
+    * but computed as one integer rational so no engine can drift it).
+    * A class never predicted has NULL precision (0/0); its F1 is still
+    * defined (0) unless the class has neither true nor predicted rows.
+    * The micro row ('__micro') is overall accuracy in all three slots
+    * (micro-P = micro-R = accuracy for single-label classification);
+    * the macro row ('__macro') averages the per-class f1_e6 lattice
+    * values (half-up), support = the class count.
+    *
+    * Scale: ONE map-side-combined (true, pred) grid count — ≤ classes²
+    * rows ever shuffle — then class-keyed rollups and one global fold,
+    * all grid-sized. Null labels raise (a silently dropped row would
+    * inflate every share). Output: (label, support, tp, fp, fn,
+    * precision_e6, recall_e6, f1_e6) — per-class rows ∪ two summary
+    * rows.
+    */
+  def multiclassReport(
+      df: DataFrame, trueCol: String, predCol: String): DataFrame = {
+    def checkedLbl(c: String, what: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"multiclassReport: null $what label")))
+        .otherwise(col(c).cast("string"))
+    val grid = df
+      .select(checkedLbl(trueCol, "true").as("t"),
+        checkedLbl(predCol, "pred").as("p"))
+      .groupBy("t", "p").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // classes²-sized; feeds three rollups + totals
+    val byTrue = grid.groupBy(col("t").as("label"))
+      .agg(sum("n").as("n_true"),
+        sum(when(col("t") === col("p"), col("n")).otherwise(0L)).as("tp_t"))
+    val byPred = grid.groupBy(col("p").as("label"))
+      .agg(sum("n").as("n_pred"))
+    val cls = byTrue.join(byPred, Seq("label"), "full")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("support"),
+        coalesce(col("tp_t"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) -
+          coalesce(col("tp_t"), lit(0L))).as("fp"),
+        (coalesce(col("n_true"), lit(0L)) -
+          coalesce(col("tp_t"), lit(0L))).as("fn"))
+      .select(col("label"), col("support"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("(2 * tp * 1000000 + (tp + fp)) div (2 * (tp + fp))"))
+          .otherwise(lit(null).cast("long")).as("precision_e6"),
+        when(col("tp") + col("fn") > 0,
+          expr("(2 * tp * 1000000 + (tp + fn)) div (2 * (tp + fn))"))
+          .otherwise(lit(null).cast("long")).as("recall_e6"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          expr("(4 * tp * 1000000 + (2 * tp + fp + fn)) " +
+            "div (2 * (2 * tp + fp + fn))"))
+          .otherwise(lit(null).cast("long")).as("f1_e6"))
+      .localCheckpoint() // class-sized; read by macro fold + the union
+    val micro = grid.agg(sum("n").as("nn"),
+        sum(when(col("t") === col("p"), col("n")).otherwise(0L)).as("tpp"))
+      .select(lit("__micro").as("label"), col("nn").as("support"),
+        col("tpp").as("tp"), (col("nn") - col("tpp")).as("fp"),
+        (col("nn") - col("tpp")).as("fn"),
+        expr("(2 * tpp * 1000000 + nn) div (2 * nn)").as("acc"))
+      .select(col("label"), col("support"), col("tp"), col("fp"), col("fn"),
+        col("acc").as("precision_e6"), col("acc").as("recall_e6"),
+        col("acc").as("f1_e6"))
+    val macroRow = cls.agg(count(lit(1)).as("k"),
+        sum("f1_e6").as("sf1"),
+        sum("precision_e6").as("sp"), sum("recall_e6").as("sr"),
+        sum(when(col("precision_e6").isNotNull, 1L).otherwise(0L)).as("kp"),
+        sum(when(col("recall_e6").isNotNull, 1L).otherwise(0L)).as("kr"))
+      .select(lit("__macro").as("label"), col("k").as("support"),
+        lit(null).cast("long").as("tp"), lit(null).cast("long").as("fp"),
+        lit(null).cast("long").as("fn"),
+        expr("(2 * sp + kp) div (2 * kp)").as("precision_e6"),
+        expr("(2 * sr + kr) div (2 * kr)").as("recall_e6"),
+        expr("(2 * sf1 + k) div (2 * k)").as("f1_e6"))
+    cls.unionByName(micro).unionByName(macroRow)
+  }
+
   /** Probabilistic-score diagnostics: Brier score (Brier 1950, the mean
     * squared error of the probability) and log-loss (mean negative
     * log-likelihood) of a [0,1] score column against binary labels —

@@ -634,6 +634,62 @@ object EventAnalytics {
           col("modal_share_e6") >= minShareE6)
   }
 
+  /** Inter-arrival cadence per event type — every user's gaps between
+    * their own consecutive events of the type, rolled up per type into
+    * count, mean gap and CV² (the index-of-dispersion read: CV² ≈ 1 is
+    * Poisson arrivals, > 1 bursty/clumped sessions, < 1 metronome
+    * regularity — the population-level companion to [[botRegularity]]'s
+    * per-user modal share and [[autocorrelation]]'s lag structure; a
+    * type whose CV² collapses toward 0 between snapshots just acquired
+    * a scheduler).
+    *
+    * Exact end-to-end (the w12 discipline): gaps floor-bucket to whole
+    * seconds via the sign-correct pmod idiom, per-type S = Σg and
+    * Q = Σg² ride decimal(38,0), and both read-outs are half-up
+    * lattices of integer rationals — mean_gap_s_e3 = S/n at 3 decimals
+    * and cv2_e6 = 10⁶·(n·Q − S²)/S² (≥ 0 by Cauchy–Schwarz; NULL when
+    * S = 0, a cadence of all-zero gaps has no defined dispersion). No
+    * float anywhere.
+    *
+    * Scale: ONE exchange — the (user, type)-keyed lag window (per-key
+    * volume bounded by one user's activity in one type, the
+    * botRegularity envelope) — then a map-side-combined per-type
+    * rollup. Null users are excluded (no per-user cadence); null
+    * timestamps raise (the botRegularity discipline — a NULLS FIRST
+    * row would poison its neighbor's gap). Equal timestamps are
+    * order-safe: any tie order yields the same gap multiset. Output:
+    * (event_type, n_gaps, mean_gap_s_e3, cv2_e6).
+    */
+  def interArrival(
+      events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy("u", "event_type").orderBy("__ts")
+    val gaps = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"), col(typeCol).as("event_type"),
+        when(col(tsCol).isNull,
+          raise_error(lit("interArrival: null timestamp")))
+          .otherwise(col(tsCol).cast("long")).as("__ts"))
+      .withColumn("prev", lag(col("__ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        expr("((__ts - prev) - pmod(__ts - prev, 1000000000L)) " +
+          "div 1000000000L").as("gap_s"))
+    gaps.groupBy("event_type").agg(
+        count(lit(1)).as("n_gaps"),
+        sum("gap_s").as("s"),
+        sum(col("gap_s").cast(dec) * col("gap_s").cast(dec)).as("q"))
+      .select(col("event_type"), col("n_gaps"),
+        expr("(2 * CAST(s AS DECIMAL(38,0)) * 1000 + n_gaps) " +
+          "div (2 * n_gaps)").as("mean_gap_s_e3"),
+        when(col("s") > 0,
+          expr("(2 * (n_gaps * q - CAST(s AS DECIMAL(38,0)) * s) " +
+            "* 1000000 + CAST(s AS DECIMAL(38,0)) * s) " +
+            "div (2 * CAST(s AS DECIMAL(38,0)) * s)"))
+          .otherwise(lit(null).cast("long")).as("cv2_e6"))
+  }
+
   /** Product stickiness — DAU/MAU per day (the `windowDays`-day rolling
     * distinct-user window ending at each observed day): THE engagement
     * ratio next to [[audience growth]] and [[retentionCohorts]]; ~1

@@ -669,6 +669,114 @@ object TextAnalytics {
         roundTo).as("entropy"))
   }
 
+  /** Corpus keyness — Dunning's log-likelihood ratio G² (Dunning 1993,
+    * "Accurate Methods for the Statistics of Surprise and
+    * Coincidence") for every term between a TARGET slice and the rest
+    * of the corpus: the standard "what words characterize this
+    * subcorpus" report behind domain-shift audits and corpus-linguistics
+    * keyword tables, and the significance-aware upgrade of a raw
+    * frequency-ratio diff (a term seen 3× vs 0× is noise; G² knows).
+    *
+    * With a = target count, b = reference count, N_A/N_B the slice
+    * token totals and T = N_A + N_B:
+    *
+    *   G² = 2·( a·ln(a·T / (N_A·(a+b))) + b·ln(b·T / (N_B·(a+b))) )
+    *
+    * (zero-count terms contribute 0 — the 0·ln 0 limit). Counts are
+    * exact integers; G² itself is the one float read-out, computed on
+    * a FIXED IEEE tree (two multiplies, one divide, one ln per side —
+    * written identically in the SQL twin) and rounded half-up at
+    * `roundTo` — the t10/t38 recipe. `direction` is the exact integer
+    * cross-compare a·N_B vs b·N_A ('target' / 'ref' / 'even'), so the
+    * sign of the keyness never rides the float.
+    *
+    * Scale: one explode into a map-side-combined per-(term, slice)
+    * count, one vocab-sized rollup, one broadcast one-row total —
+    * output is vocab-sized, shuffle is distinct-terms-sized, and a
+    * corpus-hot term collapses to one row per partition before the
+    * wire. `minCount` prunes the long tail (a + b below it carries no
+    * evidence) scan-side after the rollup. Output:
+    * (term, n_target, n_ref, g2, direction).
+    */
+  def keyness(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, minCount: Int = 5,
+      roundTo: Int = 4): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    val counts = docs
+      .select(targetPred.as("tgt"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("b"))
+    val tot = counts.agg(sum("a").as("na"), sum("b").as("nb"))
+    val aD = col("a").cast("double")
+    val bD = col("b").cast("double")
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val tD = naD + nbD
+    val abD = aD + bD
+    val aTerm = when(col("a") > 0, aD * log(aD * tD / (naD * abD)))
+      .otherwise(lit(0.0))
+    val bTerm = when(col("b") > 0, bD * log(bD * tD / (nbD * abD)))
+      .otherwise(lit(0.0))
+    counts.filter(col("a") + col("b") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("a").as("n_target"), col("b").as("n_ref"),
+        round(lit(2.0) * (aTerm + bTerm), roundTo).as("g2"),
+        when(col("a") * col("nb") > col("b") * col("na"), lit("target"))
+          .when(col("a") * col("nb") < col("b") * col("na"), lit("ref"))
+          .otherwise(lit("even")).as("direction"))
+  }
+
+  /** Per-document lexical-richness profile — the vocabulary-diversity
+    * read next to [[tokenEntropy]]'s information density: type-token
+    * ratio (V/N), hapax share (V₁/V) and Yule's K, the length-robust
+    * repetitiveness characteristic
+    *
+    *   K = 10⁴ · (Σ_m m²·V_m − N) / N²  =  10⁴ · (Σ_t tf_t² − N) / N²
+    *
+    * (Yule 1944; V_m = types occurring m times). High K = a few types
+    * dominate (template/boilerplate text, degenerate generations); K
+    * is ~length-invariant where raw TTR decays with N, which is why
+    * corpus-quality suites report both.
+    *
+    * EXACT end-to-end (the w12 discipline): every statistic is a
+    * rational of integer counts — tf, N, V, V₁, Σtf² — carried in
+    * decimal(38,0) and emitted on half-up lattices via the shared
+    * (2a + b) div 2b idiom: `ttr_e6`, `hapax_e6`, and `yule_k_e2`
+    * (= K half-up at 2 decimals, i.e. 10⁶·(Σtf²−N)/N²). No float
+    * enters, so no engine can drift a digit.
+    *
+    * Scale: the [[tokenEntropy]] skeleton exactly — one explode into a
+    * map-side-combined (id, xxhash64(term)) count (8-byte shuffle
+    * keys, no term strings on the wire), one per-doc rollup. Documents
+    * with zero tokens emit no row (nothing to measure). Output:
+    * (id, n_tokens, n_distinct, n_hapax, ttr_e6, hapax_e6, yule_k_e2).
+    */
+  def lexicalRichness(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("id").agg(
+        sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(dc(col("tf")) * dc(col("tf"))).as("s2"))
+      .select(col("id"), col("n_tokens"), col("n_distinct"), col("n_hapax"),
+        expr("(2 * CAST(n_distinct AS DECIMAL(38,0)) * 1000000 + " +
+          "n_tokens) div (2 * n_tokens)").as("ttr_e6"),
+        expr("(2 * CAST(n_hapax AS DECIMAL(38,0)) * 1000000 + " +
+          "n_distinct) div (2 * n_distinct)").as("hapax_e6"),
+        expr("(2 * (s2 - n_tokens) * 1000000 + " +
+          "CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) div " +
+          "(2 * CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)")
+          .as("yule_k_e2"))
+  }
+
   /** Per-group relative quality gate (the FineWeb-style "keep the top
     * X% per source" filter): percent_rank of the quality score within
     * each group — scored descending with the id as tiebreak, so ranks

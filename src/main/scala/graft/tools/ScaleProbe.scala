@@ -842,6 +842,34 @@ object ScaleProbe {
         graft.operators.IntervalJoin.intervalJaccard(
           track(0, 37), track(1, 41),
           "chrom", "s", "e", "chrom", "s", "e").count()
+      },
+      // d21: both shingle-overlap scores from the ONE-pass core — the
+      // d2 probe's cost shape is the contract; this pins the combined
+      // operator to it (a second shingle pass would read as ~2× d2)
+      "d21_jac_contain" -> (d =>
+        Dedup.ngramJaccardAndContainment(d, "doc_id", "text", n = 3,
+          jaccardThreshold = 0.6, containThreshold = 0.9).count()),
+      // VERDICT-r10 #6: the FACADE chain timed as ONE lineage —
+      // curation → exact dedup → near dedup → weight → systematic
+      // resample → sequence pack. The per-operator probes above bound
+      // each stage; this catches CROSS-stage effects (lineage growth
+      // through five stacked joins, checkpoint placement, AQE replans
+      // of replayed subtrees) that no single-stage probe can see.
+      // gateQuality(0.0) keeps the gate expression in the plan without
+      // emptying the synthetic corpus (hash-word text scores near 0).
+      "chain_pipeline" -> { d =>
+        val m = math.max(1000L, probeN / 2)
+        val curated = graft.CorpusPipeline(d, "doc_id", "text")
+          .gateQuality(0.0)
+          .redactPii()
+          .dedupExact()
+          .dedupNear(0.8)
+          .df
+          .withColumn("w", size(split(col("text"), " ")).cast("long"))
+        val resampled = graft.CorpusPipeline(curated, "doc_id", "text")
+          .resample("w", m)
+        graft.operators.Sharding.sequencePack(
+          resampled.df, "doc_id", "w", contextLen = 2048L).count()
       })
 
     // the m2/m4 synthetic image corpus (one 16×18 PNG per embedding)

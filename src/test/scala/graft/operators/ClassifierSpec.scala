@@ -629,4 +629,56 @@ class ClassifierSpec extends AnyFunSuite {
         Some(cle.toLong), verdict)), s"trial $trial")
     }
   }
+
+  test("multiclassReport: hand-checked per-class/micro/macro lattices") {
+    import spark.implicits._
+    val pairs = Seq.fill(3)(("a", "a")) ++ Seq(("a", "b")) ++
+      Seq.fill(2)(("b", "a")) ++ Seq.fill(2)(("b", "b")) ++
+      Seq(("c", "c"), ("c", "a"))
+    val got = Classifier.multiclassReport(
+        pairs.toDF("y", "p"), "y", "p")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8)))
+      .toMap
+    // a: tp 3, fp 3, fn 1 → P 1/2, R 3/4, F1 6/10
+    assert(got("a") == ((4L, Some(3L), Some(3L), Some(1L),
+      Some(500000L), Some(750000L), Some(600000L))))
+    // b: tp 2, fp 1, fn 2 → P 2/3, R 1/2, F1 4/7 (half-up 571429)
+    assert(got("b") == ((4L, Some(2L), Some(1L), Some(2L),
+      Some(666667L), Some(500000L), Some(571429L))))
+    // c: tp 1, fp 0, fn 1 → P 1, R 1/2, F1 2/3
+    assert(got("c") == ((2L, Some(1L), Some(0L), Some(1L),
+      Some(1000000L), Some(500000L), Some(666667L))))
+    // micro = accuracy 6/10 in all three slots
+    assert(got("__micro") == ((10L, Some(6L), Some(4L), Some(4L),
+      Some(600000L), Some(600000L), Some(600000L))))
+    // macro: P (500000+666667+1000000)/3, R (750000+500000+500000)/3,
+    // F1 (600000+571429+666667)/3 — all half-up
+    assert(got("__macro") == ((3L, None, None, None,
+      Some(722222L), Some(583333L), Some(612699L))))
+  }
+
+  test("multiclassReport: never-predicted class has NULL precision, " +
+      "F1 = 0; null labels raise") {
+    import spark.implicits._
+    val got = Classifier.multiclassReport(
+        Seq(("d", "a"), ("a", "a")).toDF("y", "p"), "y", "p")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._6, r._7, r._8))).toMap
+    assert(got("d") == ((1L, None, Some(0L), Some(0L))))
+    assert(got("a") == ((1L, Some(500000L), Some(1000000L),
+      Some(666667L))))
+    // macro precision averages the DEFINED classes only (a alone)
+    assert(got("__macro")._2 == Some(500000L))
+    val e = intercept[Exception] {
+      Classifier.multiclassReport(
+        Seq((Some("a"), Option.empty[String])).toDF("y", "p"),
+        "y", "p").collect()
+    }
+    assert(e.getMessage.contains("null pred")
+      || e.getCause != null &&
+        e.getCause.getMessage.contains("null pred"), e.getMessage)
+  }
 }

@@ -773,4 +773,65 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(got._4 == Some(want.toLong), s"trial $trial")
     }
   }
+
+  test("interArrival: hand gaps, tie safety, null-user drop, null-ts raise") {
+    import spark.implicits._
+    val sec = 1000000000L
+    // (u1, A): 10,25,25,70 s → gaps {15, 0, 45}; (u2, A): 100,103 →
+    // {3}; (u1, B): single event → none; null user excluded
+    val ev = Seq(
+      (Some(1L), 10 * sec, "A"), (Some(1L), 25 * sec, "A"),
+      (Some(1L), 25 * sec, "A"), (Some(1L), 70 * sec, "A"),
+      (Some(2L), 100 * sec, "A"), (Some(2L), 103 * sec, "A"),
+      (Some(1L), 50 * sec, "B"),
+      (Option.empty[Long], 1 * sec, "A")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.interArrival(ev, "user_id", "ts", "event_type")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // type A: n=4, S=63, Q=2259; mean = 63/4 = 15.750 exactly;
+    // cv2_e6 = half-up of 1e6·(4·2259 − 63²)/63² (BigInt model)
+    val s = BigInt(63); val q = BigInt(2259); val n = BigInt(4)
+    val num = (n * q - s * s) * 1000000
+    val den = s * s
+    assert(got("A") == ((4L, 15750L,
+      Some(((2 * num + den) / (2 * den)).toLong))))
+    assert(!got.contains("B")) // a single event has no gap
+    val e = intercept[Exception] {
+      EventAnalytics.interArrival(
+        Seq((Some(1L), Option.empty[Long], "A"), (Some(1L), Some(5L), "A"))
+          .toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type").collect()
+    }
+    assert(e.getMessage.contains("null timestamp")
+      || e.getCause != null &&
+        e.getCause.getMessage.contains("null timestamp"), e.getMessage)
+  }
+
+  test("interArrival ≡ BigInt reference on random cadences") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val rows = for (u <- 0 until 20; _ <- 0 until (1 + rnd.nextInt(15)))
+      yield (u.toLong, (1 + rnd.nextInt(100000)).toLong * 1000000000L +
+        rnd.nextInt(1000000000), Seq("x", "y", "z")(rnd.nextInt(3)))
+    val got = EventAnalytics.interArrival(
+        rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    val want = rows.groupBy(r => (r._1, r._3)).toSeq
+      .flatMap { case ((_, t), es) =>
+        es.map(_._2).sorted.sliding(2).collect {
+          case Seq(a, b) => (t, (b - a) / 1000000000L) }
+      }
+      .groupBy(_._1).map { case (t, gs) =>
+        val n = BigInt(gs.size)
+        val s = gs.map(g => BigInt(g._2)).sum
+        val q = gs.map(g => BigInt(g._2) * g._2).sum
+        def lat(num: BigInt, den: BigInt) =
+          ((2 * num + den) / (2 * den)).toLong
+        (t, gs.size.toLong, lat(s * 1000, n),
+          if (s > 0) Some(lat((n * q - s * s) * 1000000, s * s)) else None)
+      }.toSet
+    assert(got == want)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 import graft.TestSpark
 
@@ -799,6 +800,65 @@ class TextAnalyticsSpec extends AnyFunSuite {
     val short = TextAnalytics.stupidBackoffLogProb(
       train, Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
     assert(short.count() == 0L)
+  }
+
+  test("keyness: hand-checked G² against an independent scalar model") {
+    // target: "a a a b"; ref: "a b b b c" — 'a' leans target, 'b' ref,
+    // 'c' is ref-only (one-sided term exercises the 0·ln0 limit)
+    val docs = Seq((0L, "a a a b"), (1L, "a b b b c")).toDF("doc_id", "text")
+    val got = TextAnalytics.keyness(docs, "doc_id", "text",
+        col("doc_id") === 0, minCount = 1)
+      .as[(String, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // independent model in plain scala (same fixed tree)
+    def g2(a: Long, b: Long, na: Long, nb: Long): Double = {
+      val t = na.toDouble + nb.toDouble
+      val ab = a.toDouble + b.toDouble
+      val at = if (a > 0) a * math.log(a * t / (na * ab)) else 0.0
+      val bt = if (b > 0) b * math.log(b * t / (nb * ab)) else 0.0
+      BigDecimal(2.0 * (at + bt))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("a") == ((3L, 1L, g2(3, 1, 4, 5), "target")))
+    assert(got("b") == ((1L, 3L, g2(1, 3, 4, 5), "ref")))
+    assert(got("c") == ((0L, 1L, g2(0, 1, 4, 5), "ref")))
+    // balanced term: equal rates → direction 'even', G² = 0
+    val even = TextAnalytics.keyness(
+        Seq((0L, "x y"), (1L, "x y")).toDF("doc_id", "text"),
+        "doc_id", "text", col("doc_id") === 0, minCount = 1)
+      .as[(String, Long, Long, Double, String)].collect()
+    assert(even.forall(r => r._5 == "even" && math.abs(r._4) == 0.0))
+    // minCount prunes the tail: a and b total 4 each, c only 1
+    assert(TextAnalytics.keyness(docs, "doc_id", "text",
+      col("doc_id") === 0, minCount = 4).count() == 2)
+  }
+
+  test("lexicalRichness: hand case + BigInt reference model, all exact") {
+    val got = TextAnalytics.lexicalRichness(
+        Seq((7L, "a a b c")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // N=4, V=3, V1=2, S2=6: ttr=750000, hapax=666667 (half-up),
+    // K_e2 = 1e6·(6-4)/16 = 125000 exact
+    assert(got == ((7L, 4L, 3L, 2L, 750000L, 666667L, 125000L)))
+    // randomized parity vs a plain-Scala BigInt model
+    val rnd = new scala.util.Random(41)
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(50))(s"w${rnd.nextInt(12)}").mkString(" "))
+    }
+    val want = docs.map { case (id, text) =>
+      val tf = text.split(" ").groupBy(identity).map(_._2.length.toLong)
+      val n = BigInt(tf.sum); val v = BigInt(tf.size)
+      val v1 = BigInt(tf.count(_ == 1L))
+      val s2 = tf.map(x => BigInt(x) * x).sum
+      def lat(num: BigInt, den: BigInt) =
+        ((2 * num * 1000000 + den) / (2 * den)).toLong
+      (id, tf.sum, v.toLong, v1.toLong, lat(v, n), lat(v1, v),
+        lat(s2 - n, n * n))
+    }.toSet
+    val all = TextAnalytics.lexicalRichness(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(all == want)
   }
 
   test("unigramModel: frozen LM counts; over-cap vocabulary fails loudly") {
