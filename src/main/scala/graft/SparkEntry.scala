@@ -2929,6 +2929,17 @@ FROM c"""
         pmod(length(col("text")), lit(19)).cast("long").as("w")),
       "doc_id", "w", m = 5000L, shardSize = 1024L)
 
+  /** s14: Neyman-optimal budget allocation across sources on the
+    * text-length metric — exact decimal S/Q sums, floor-of-IEEE-sqrt
+    * weights, exact largest-remainder integer allocation summing to m.
+    * Full oracle: identical HUGEINT algebra + sqrt tree.
+    */
+  private def s14NeymanAllocation(s: SparkSession, d: String): DataFrame =
+    Sampling.neymanAllocation(
+      T(s, d, "documents").select(col("source"),
+        length(col("text")).cast("long").as("x")),
+      "source", "x", m = 1000L)
+
   /** m10: BMP structure metadata — per-doc BMPs BUILT with real
     * little-endian DIB headers (dims/bpp/top-down/palette closed-form
     * in doc_id; every 11th doc non-BMP text bytes) and PARSED back by
@@ -3103,6 +3114,37 @@ FROM c"""
         .select(col("doc_id"),
           (col("doc_id") * lit(25200000000000L)).as("snap_ts")),
       "doc_id", "snap_ts", keepLast = 5, keepDays = 7)
+
+  /** c20: licence composition per source — SPDX-ish signature scan
+    * with first-match precedence over documents carrying PLANTED
+    * licence phrases (doc_id % 23 picks the phrase; the % 23 = 2 class
+    * carries BOTH the MIT and Apache phrases so the precedence order
+    * genuinely decides). Exact count/share lattices. Full oracle:
+    * identical planting, regex CASE chain and lattice.
+    */
+  private def c20LicenseScan(s: SparkSession, d: String): DataFrame = {
+    val planted = T(s, d, "documents").select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(23)) === 0,
+          lit(" Licensed under the Apache License, Version 2.0 terms."))
+        .when(pmod(col("doc_id"), lit(23)) === 1,
+          lit(" Permission is hereby granted, free of charge, to any" +
+            " person."))
+        .when(pmod(col("doc_id"), lit(23)) === 2,
+          lit(" Permission is hereby granted, free of charge. Also the" +
+            " Apache License, Version 2.0 applies."))
+        .when(pmod(col("doc_id"), lit(23)) === 3,
+          lit(" This program is free software under the GNU General" +
+            " Public License."))
+        .when(pmod(col("doc_id"), lit(23)) === 4,
+          lit(" Redistribution and use in source and binary forms," +
+            " with or without modification."))
+        .when(pmod(col("doc_id"), lit(23)) === 5,
+          lit(" This work is licensed under a Creative Commons" +
+            " Attribution 4.0 International License."))
+        .otherwise(lit(""))).as("text"))
+    Profiling.licenseScan(planted, "doc_id", "text", "source")
+  }
 
   /** e19: Krippendorff's alpha (nominal) — docs grouped 4-to-a-unit as
     * "raters", values unit-correlated with per-doc dissent, every 29th
@@ -3362,6 +3404,25 @@ FROM c"""
       T(s, d, "events").filter(col("user_id").isNotNull)
         .select(col("user_id"), col("event_type")),
       "user_id", "event_type")
+
+  /** g10: Adamic–Adar link prediction over the g5 hop graph plus a
+    * planted hub (node 0 → every 50th doc; its degree exceeds the
+    * maxDeg=64 cap at sf0.01+, so the df-cap contract genuinely
+    * fires). Integer floor(1e6/ln deg) contributions, exact pair sums.
+    * Full oracle: identical VARCHAR-normalized graph + fixed IEEE tree.
+    */
+  private def g10AdamicAdar(s: SparkSession, d: String): DataFrame = {
+    val ids = T(s, d, "documents").select(col("doc_id"))
+    val hop = ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 1).as("dst"))
+      .unionByName(ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 2).as("dst")))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      .unionByName(ids
+        .filter(pmod(col("doc_id"), lit(50)) === 0 && col("doc_id") > 0)
+        .select(lit(0L).as("src"), col("doc_id").as("dst")))
+    Graph.adamicAdar(hop, "src", "dst", maxDeg = 64)
+  }
 
   /** m9: GIF structure metadata — per-doc GIFs BUILT with real block
     * framing (header/LSD/GCT, image descriptors with LZW sub-blocks,
@@ -3912,6 +3973,7 @@ FROM c"""
     "g8_kcore" -> (g8KCore _),
     "e18_regression_metrics" -> (e18RegressionMetrics _),
     "g9_cooccurrence" -> (g9Cooccurrence _),
+    "g10_adamic_adar" -> (g10AdamicAdar _),
     "m9_gif_meta" -> (m9GifMeta _),
     "j19_interval_cluster" -> (j19IntervalCluster _),
     "v19_sq_recall" -> (v19SqRecall _),
@@ -3923,6 +3985,7 @@ FROM c"""
     "t39_keyness" -> (t39Keyness _),
     "t40_lexical_richness" -> (t40LexicalRichness _),
     "s13_systematic_resample" -> (s13SystematicResample _),
+    "s14_neyman_allocation" -> (s14NeymanAllocation _),
     "m10_bmp_meta" -> (m10BmpMeta _),
     "e22_average_precision" -> (e22AveragePrecision _),
     "e23_multiclass_report" -> (e23MulticlassReport _),
@@ -3933,7 +3996,8 @@ FROM c"""
     "w23_seasonal_anomaly" -> (w23SeasonalAnomaly _),
     "w24_interarrival" -> (w24InterArrival _),
     "f11_winsorize" -> (f11Winsorize _),
-    "c19_snapshot_retention" -> (c19SnapshotRetention _))
+    "c19_snapshot_retention" -> (c19SnapshotRetention _),
+    "c20_license_scan" -> (c20LicenseScan _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -8514,6 +8578,37 @@ FROM c"""
         |  count(*)::BIGINT AS n_keys
         |FROM ki x JOIN ki y ON x.k = y.k AND x.item < y.item
         |GROUP BY 1, 2""".stripMargin,
+    // g10 twin: identical VARCHAR-normalized symmetric graph (string
+    // compares everywhere, matching the triangles normalization), the
+    // same deg-capped wedge index and fixed floor(1e6/ln deg) tree
+    "g10_adamic_adar" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |raw0 AS (
+        |  SELECT doc_id::VARCHAR AS a, (doc_id + 1)::VARCHAR AS b
+        |    FROM ids WHERE doc_id + 1 IN (SELECT doc_id FROM ids)
+        |  UNION ALL
+        |  SELECT doc_id::VARCHAR, (doc_id + 2)::VARCHAR FROM ids
+        |    WHERE doc_id + 2 IN (SELECT doc_id FROM ids)
+        |  UNION ALL
+        |  SELECT '0', doc_id::VARCHAR FROM ids
+        |    WHERE doc_id % 50 = 0 AND doc_id > 0),
+        |raw AS (SELECT a, b FROM raw0 WHERE a <> b),
+        |und AS (SELECT DISTINCT a, b FROM
+        |  (SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw)),
+        |deg AS (SELECT a, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+        |mid AS (SELECT u.a AS z, u.b AS n,
+        |    floor(1000000::DOUBLE / ln(deg::DOUBLE))::BIGINT AS c6
+        |  FROM und u JOIN deg ON deg.a = u.a
+        |  WHERE deg BETWEEN 2 AND 64),
+        |pairs AS (SELECT x.n AS node_a, y.n AS node_b,
+        |    count(*)::BIGINT AS n_common, sum(x.c6)::BIGINT AS aa_e6
+        |  FROM mid x JOIN mid y ON x.z = y.z AND x.n < y.n
+        |  GROUP BY 1, 2)
+        |SELECT p.node_a, p.node_b, p.n_common, p.aa_e6,
+        |  CASE WHEN e.a IS NOT NULL THEN 'edge' ELSE 'candidate' END
+        |    AS status
+        |FROM pairs p LEFT JOIN und e
+        |  ON e.a = p.node_a AND e.b = p.node_b""".stripMargin,
     // s12 twin: the s5 shuffle-key chain (epoch 1 = the +1 affine
     // constant), per-shard cumulative token cursors, exact div/mod
     "s12_sequence_pack" ->
@@ -8882,6 +8977,28 @@ FROM c"""
         |FROM c CROSS JOIN t
         |WHERE (2*cum_w*5000 + w_tot) // (2*w_tot)
         |  - (2*(cum_w - weight)*5000 + w_tot) // (2*w_tot) > 0""".stripMargin,
+    // s14 twin: identical HUGEINT S/Q sums, floor-of-IEEE-sqrt weight,
+    // exact largest-remainder allocation (ties -> stratum ascending)
+    "s14_neyman_allocation" ->
+      """WITH b AS (SELECT source AS stratum, length(text)::BIGINT AS x
+        |  FROM documents),
+        |per AS (SELECT stratum, count(*)::BIGINT AS n_rows,
+        |    sum(x)::BIGINT AS sum_x,
+        |    sum(x::HUGEINT * x)::HUGEINT AS q FROM b GROUP BY 1),
+        |w AS (SELECT stratum, n_rows, sum_x,
+        |    floor(sqrt((n_rows::HUGEINT * q -
+        |      sum_x::HUGEINT * sum_x)::DOUBLE))::BIGINT AS sigma_w
+        |  FROM per),
+        |t AS (SELECT sum(sigma_w)::HUGEINT AS wtot FROM w),
+        |a AS (SELECT stratum, n_rows, sum_x, sigma_w,
+        |    (1000::HUGEINT * sigma_w) // wtot AS nbase,
+        |    (1000::HUGEINT * sigma_w) % wtot AS rem
+        |  FROM w CROSS JOIN t),
+        |l AS (SELECT 1000 - sum(nbase) AS l FROM a)
+        |SELECT stratum, n_rows, sum_x, sigma_w,
+        |  (nbase + CASE WHEN row_number() OVER (ORDER BY rem DESC,
+        |    stratum) <= l.l THEN 1 ELSE 0 END)::BIGINT AS n_alloc
+        |FROM a CROSS JOIN l""".stripMargin,
     // m10 twin: closed-form in doc_id (the m7/m8 discipline), incl.
     // the 4-byte-aligned row stride
     "m10_bmp_meta" ->
@@ -9134,6 +9251,46 @@ FROM c"""
         |    AS verdict,
         |  reason
         |FROM v""".stripMargin,
+    // c20 twin: identical phrase planting, the same ordered regex CASE
+    // chain (first match wins) and the (2a+b) // 2b share lattice
+    "c20_license_scan" ->
+      """WITH docs AS (SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 23 = 0 THEN
+        |      ' Licensed under the Apache License, Version 2.0 terms.'
+        |    WHEN doc_id % 23 = 1 THEN
+        |      ' Permission is hereby granted, free of charge, to any person.'
+        |    WHEN doc_id % 23 = 2 THEN
+        |      ' Permission is hereby granted, free of charge. Also the Apache License, Version 2.0 applies.'
+        |    WHEN doc_id % 23 = 3 THEN
+        |      ' This program is free software under the GNU General Public License.'
+        |    WHEN doc_id % 23 = 4 THEN
+        |      ' Redistribution and use in source and binary forms, with or without modification.'
+        |    WHEN doc_id % 23 = 5 THEN
+        |      ' This work is licensed under a Creative Commons Attribution 4.0 International License.'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |lic AS (SELECT source,
+        |    CASE WHEN regexp_matches(text,
+        |        '(?i)apache license,? version 2\.0') THEN 'Apache-2.0'
+        |      WHEN regexp_matches(text,
+        |        '(?i)permission is hereby granted, free of charge')
+        |        THEN 'MIT'
+        |      WHEN regexp_matches(text,
+        |        '(?i)gnu general public license') THEN 'GPL-3.0'
+        |      WHEN regexp_matches(text,
+        |        '(?i)redistribution and use in source and binary forms')
+        |        THEN 'BSD-3-Clause'
+        |      WHEN regexp_matches(text,
+        |        '(?i)creative commons attribution 4\.0') THEN 'CC-BY-4.0'
+        |      ELSE 'none' END AS license
+        |  FROM docs),
+        |cells AS (SELECT source, license, count(*)::BIGINT AS n_docs
+        |  FROM lic GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(n_docs)::BIGINT AS n_src
+        |  FROM cells GROUP BY 1)
+        |SELECT source, license, n_docs,
+        |  ((2*n_docs*1000000 + n_src) // (2*n_src))::BIGINT AS share_e6
+        |FROM cells JOIN tot USING (source)""".stripMargin,
     // j20 twin: the j12 textbook merge, window tiling via range(), the
     // same bin-index join and clipped closed-interval arithmetic
     "j20_genome_windows" ->

@@ -686,6 +686,70 @@ object Graph {
       .agg(count(lit(1)).as("n_keys"))
   }
 
+  /** Adamic–Adar link-prediction scores (Adamic & Adar 2003): for every
+    * node pair sharing ≥ 1 common neighbor, Σ_z 1/ln(deg z) over the
+    * common neighbors z — the classic "friends-of-friends, weighted
+    * against hubby intermediaries" signal behind crawl-frontier
+    * ranking, citation-graph completion and related-domain suggestion
+    * (a shared 3-degree neighbor says far more than a shared
+    * million-degree one, which is the whole point over raw
+    * common-neighbor counts).
+    *
+    * Determinism contract: each intermediate contributes the INTEGER
+    * floor(10⁶ / ln(deg z)) (one ln and one divide on a fixed IEEE
+    * tree per NODE, not per pair), and per-pair scores are exact
+    * integer sums of those — order-free in any engine; no float ever
+    * accumulates.
+    *
+    * Skew/df-cap contract (the d2 maxDf posture): intermediates with
+    * deg > `maxDeg` are dropped from the wedge index — a hub's
+    * contribution 1/ln(deg) is already asymptotically negligible, and
+    * the cap is what bounds wedge fan-out at Σ min(deg, maxDeg)²
+    * instead of a celebrity hub's deg² (the quadratic blowup this
+    * operator cannot otherwise avoid). Scores are exact for every
+    * pair whose common neighbors all have deg ≤ maxDeg; a capped hub
+    * can only lower a score. deg-1 nodes generate no wedge by
+    * construction.
+    *
+    * Input normalization as [[triangles]] (nulls drop, self-loops
+    * drop, parallel edges collapse, symmetric). Scale: degree table ÷
+    * node-sized (AQE broadcasts it), wedge self-join keyed on the
+    * intermediate with the cap as the volume bound, one
+    * map-side-combined pair aggregate, one edge-flag left join.
+    * Output: (node_a, node_b, n_common, aa_e6, status
+    * 'edge'/'candidate') with node_a < node_b.
+    */
+  def adamicAdar(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxDeg: Int = 64): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg must be >= 2 (got $maxDeg)")
+    val raw = edges.select(
+        col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val und = raw
+      .unionAll(raw.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint() // feeds degree, the wedge index and the flag
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+    val mid = und
+      .join(deg.filter(col("deg") >= 2 && col("deg") <= maxDeg), Seq("a"))
+      .select(col("a").as("z"), col("b").as("n"),
+        floor(lit(1e6) / log(col("deg").cast("double")))
+          .cast("long").as("c6"))
+    val pairs = mid.as("x").join(mid.as("y"),
+        col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("node_a"), col("y.n").as("node_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("x.c6")).as("aa_e6"))
+    pairs
+      .join(und.select(col("a").as("node_a"), col("b").as("node_b"),
+        lit(1).as("__e")), Seq("node_a", "node_b"), "left")
+      .select(col("node_a"), col("node_b"), col("n_common"), col("aa_e6"),
+        when(col("__e").isNotNull, lit("edge"))
+          .otherwise(lit("candidate")).as("status"))
+  }
+
   /** Fixed-round k-core peeling (Seidman 1983): repeatedly remove every
     * node of degree < k, simultaneously, up to `rounds` times — the
     * density filter of the link-analysis family (the k-core is where

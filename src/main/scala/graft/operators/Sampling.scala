@@ -531,6 +531,77 @@ object Sampling {
         expr("(2 * s * 1000000 + ts) div (2 * ts)").as("share_sqrt_e6"))
   }
 
+  /** Neyman-optimal stratified sample allocation (Neyman 1934): split a
+    * total budget of `m` draws across strata proportionally to
+    * N_h·σ_h — variable strata earn more of the budget than uniform
+    * ones of the same size, the variance-minimizing allocation for
+    * estimating a corpus mean (the principled upgrade of proportional
+    * allocation that sampling suites reach for once per-stratum spread
+    * is measurable; [[stratifiedSample]] then draws the rows).
+    *
+    * Arithmetic contract: N_h·σ_h = √(N_h·Q_h − S_h²) with S = Σx,
+    * Q = Σx² exact decimal(38,0) integer sums; the weight is
+    * w_h = floor of the correctly-rounded IEEE sqrt — deterministic
+    * and engine-portable (the sqrtMixingWeights posture; the variance
+    * term must sit in the 2⁵³ double-exact window, enforced loudly —
+    * rescale the metric if it doesn't). The integer budget lands by
+    * LARGEST REMAINDER: base_h = ⌊m·w_h / W⌋ (exact decimal products),
+    * the m − Σbase leftovers to the largest remainders (ties → stratum
+    * name ascending) — Σ n_alloc = m exactly, every step integer.
+    * Zero-variance strata (including singletons) draw 0 by Neyman's
+    * formula — union a floor allocation upstream if every stratum must
+    * appear; an all-zero-variance corpus raises.
+    *
+    * Scale: one map-side-combined stratum aggregate, one broadcast
+    * one-row total, one window over STRATUM rows (dim-sized — the j12
+    * discipline). Null strata and null/negative metrics raise. Output:
+    * (stratum, n_rows, sum_x, sigma_w, n_alloc).
+    */
+  def neymanAllocation(
+      df: DataFrame, stratumCol: String, metricCol: String,
+      m: Long): DataFrame = {
+    require(m > 0, s"m must be positive (got $m)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(
+      when(col(stratumCol).isNull,
+        raise_error(lit("neymanAllocation: null stratum")))
+        .otherwise(col(stratumCol).cast("string")).as("stratum"),
+      when(col(metricCol).isNull || col(metricCol).cast("long") < 0,
+        raise_error(lit("neymanAllocation: metric must be a " +
+          "non-negative integer")))
+        .otherwise(col(metricCol).cast("long")).as("x"))
+    val per = base.groupBy("stratum").agg(
+        count(lit(1)).as("n_rows"), sum("x").as("sum_x"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("q"))
+      .withColumn("v",
+        expr("n_rows * q - CAST(sum_x AS DECIMAL(38,0)) * sum_x"))
+      .withColumn("sigma_w",
+        when(col("v") > lit(9007199254740992L).cast(dec),
+          raise_error(concat(
+            lit("neymanAllocation: variance term "), col("v"),
+            lit(" exceeds the 2^53 double-exact sqrt envelope — " +
+              "rescale the metric"))).cast("long"))
+          .otherwise(floor(sqrt(col("v").cast("double"))).cast("long")))
+      .drop("q", "v")
+    val tot = per.agg(sum("sigma_w").as("wtot"))
+      .select(when(col("wtot").isNull || col("wtot") <= 0,
+        raise_error(lit("neymanAllocation: every stratum has zero " +
+          "variance — Neyman allocation is undefined")))
+        .otherwise(col("wtot")).as("wtot"))
+    val alloc = per.crossJoin(broadcast(tot))
+      .withColumn("nbase",
+        expr(s"(CAST($m AS DECIMAL(38,0)) * sigma_w) div wtot"))
+      .withColumn("rem",
+        expr(s"(CAST($m AS DECIMAL(38,0)) * sigma_w) % wtot"))
+    val leftover = alloc.agg((lit(m) - sum("nbase")).as("l"))
+    alloc.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("stratum"))).cast("long"))
+      .select(col("stratum"), col("n_rows"), col("sum_x"), col("sigma_w"),
+        (col("nbase") +
+          when(col("rk") <= col("l"), 1L).otherwise(0L)).as("n_alloc"))
+  }
+
   /** Systematic (low-variance) resampling — the SMC/particle-filter
     * comb applied to weighted corpus mixing: draw exactly `m` copies
     * total, doc i receiving ⌊(2·C_i·m + W)/(2W)⌋ − ⌊(2·C_{i−1}·m + W)/

@@ -512,4 +512,59 @@ class GraphSpec extends AnyFunSuite {
     }.groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(got == want && want.nonEmpty)
   }
+
+  test("adamicAdar: hand scores, edge/candidate flags, hub cap") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 3-4: wedges through 1 and 2 (deg 2,
+    // c6 = floor(1e6/ln 2)) and through 3 (deg 3)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.adamicAdar(edges, "src", "dst")
+      .as[(String, String, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val c2 = math.floor(1e6 / math.log(2.0)).toLong // 1442695
+    val c3 = math.floor(1e6 / math.log(3.0)).toLong // 910239
+    assert(got == Map(
+      ("2", "3") -> ((1L, c2, "edge")),
+      ("1", "3") -> ((1L, c2, "edge")),
+      ("1", "2") -> ((1L, c3, "edge")),
+      ("1", "4") -> ((1L, c3, "candidate")),
+      ("2", "4") -> ((1L, c3, "candidate"))))
+    // hub cap: a 70-leaf star generates NO pairs at maxDeg 64 (the
+    // center is dropped from the wedge index; leaves are deg 1), and
+    // C(70,2) pairs once the cap admits it
+    val star = (1 to 70).map(i => ("h", s"l$i")).toDF("src", "dst")
+    assert(Graph.adamicAdar(star, "src", "dst", maxDeg = 64).count() == 0)
+    assert(Graph.adamicAdar(star, "src", "dst", maxDeg = 128).count() ==
+      70L * 69 / 2)
+  }
+
+  test("adamicAdar ≡ brute-force scalar model on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val edges = (0 until 150).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val got = Graph.adamicAdar(
+        edges.toDF("src", "dst"), "src", "dst", maxDeg = 10)
+      .as[(String, String, Long, Long, String)].collect().toSet
+    // plain-scala model over the same normalized string graph
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2)
+      .map(e => (e._1.toString, e._2.toString)).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val eSet = und.toSet
+    val want = adj.toSeq
+      .filter { case (_, ns) => ns.size >= 2 && ns.size <= 10 }
+      .flatMap { case (z, ns) =>
+        val c6 = math.floor(1e6 / math.log(adj(z).size.toDouble)).toLong
+        val s = ns.toSeq.sorted
+        for (i <- s.indices; j <- (i + 1) until s.size)
+          yield ((s(i), s(j)), c6)
+      }
+      .groupBy(_._1).map { case ((a, b), cs) =>
+        (a, b, cs.size.toLong, cs.map(_._2).sum,
+          if (eSet((a, b))) "edge" else "candidate")
+      }.toSet
+    assert(got == want && want.nonEmpty)
+  }
 }

@@ -229,4 +229,37 @@ class ProfilingSpec extends AnyFunSuite {
     val rhs = BigInt(1844164) * (a.size + b.size) * k
     assert(verdict == (if (lhs > rhs) "drifted" else "stable"))
   }
+
+  test("licenseScan: first-match precedence, case-insensitive, none " +
+      "bucket, exact shares, null source raises") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web", "code under the APACHE License, Version 2.0 here"),
+      (2L, "web", "Permission is hereby granted, free of charge, to use"),
+      // BOTH phrases: Apache must win by list precedence even though
+      // the MIT phrase appears first in the text
+      (3L, "web", "Permission is hereby granted, free of charge." +
+        " See the Apache License, Version 2.0."),
+      (4L, "web", "no licence text at all"),
+      (5L, "code", "This follows the GNU General Public License v3"),
+      (6L, "code", "This work: Creative Commons Attribution 4.0")
+    ).toDF("doc_id", "source", "text")
+    val got = Profiling.licenseScan(docs, "doc_id", "text", "source")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("web", "Apache-2.0")) == ((2L, 500000L)))
+    assert(got(("web", "MIT")) == ((1L, 250000L)))
+    assert(got(("web", "none")) == ((1L, 250000L)))
+    assert(got(("code", "GPL-3.0")) == ((1L, 500000L)))
+    assert(got(("code", "CC-BY-4.0")) == ((1L, 500000L)))
+    assert(got.size == 5)
+    val e = intercept[Exception] {
+      Profiling.licenseScan(
+        Seq((1L, Option.empty[String], "x")).toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source").collect()
+    }
+    assert(e.getMessage.contains("null source")
+      || e.getCause != null &&
+        e.getCause.getMessage.contains("null source"), e.getMessage)
+  }
 }

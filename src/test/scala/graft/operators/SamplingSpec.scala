@@ -392,6 +392,51 @@ class SamplingSpec extends AnyFunSuite {
         e.getCause.getMessage.contains("total weight"), e.getMessage)
   }
 
+  test("neymanAllocation: hand weights, largest remainder sums to m, " +
+      "zero-variance strata draw 0, raises") {
+    import spark.implicits._
+    // A [1,5]: v=16 → w=4; B [3,3,3]: v=0 → w=0; C [0,10]: v=100 →
+    // w=10. W=14, m=10: base A=2 rem 12, C=7 rem 2, B=0 → leftover 1
+    // to A (largest remainder) → 3/0/7
+    val df = Seq(("A", 1L), ("A", 5L), ("B", 3L), ("B", 3L), ("B", 3L),
+      ("C", 0L), ("C", 10L)).toDF("s", "x")
+    val got = Sampling.neymanAllocation(df, "s", "x", m = 10L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      "A" -> ((2L, 6L, 4L, 3L)),
+      "B" -> ((3L, 9L, 0L, 0L)),
+      "C" -> ((2L, 10L, 10L, 7L))))
+    // BigInt/IEEE reference on a random corpus: Σ n_alloc = m exactly,
+    // weights match floor(IEEE sqrt(N·Q − S²))
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 400).map(i =>
+      (s"s${i % 7}", rnd.nextInt(5000).toLong))
+    val m = 997L
+    val out = Sampling.neymanAllocation(rows.toDF("s", "x"), "s", "x", m)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.map(_._5).sum == m)
+    val wantW = rows.groupBy(_._1).map { case (s, xs) =>
+      val n = BigInt(xs.size); val sx = xs.map(x => BigInt(x._2)).sum
+      val q = xs.map(x => BigInt(x._2) * x._2).sum
+      s -> math.sqrt((n * q - sx * sx).toDouble).floor.toLong
+    }
+    out.foreach(r => assert(r._4 == wantW(r._1), r._1))
+    // all-zero-variance corpus raises
+    val e = intercept[Exception] {
+      Sampling.neymanAllocation(
+        Seq(("A", 2L), ("A", 2L)).toDF("s", "x"), "s", "x", 5L).collect()
+    }
+    assert(e.getMessage.contains("zero") || e.getCause != null &&
+      e.getCause.getMessage.contains("zero"), e.getMessage)
+    val e2 = intercept[Exception] {
+      Sampling.neymanAllocation(
+        Seq(("A", -1L), ("A", 2L)).toDF("s", "x"), "s", "x", 5L).collect()
+    }
+    assert(e2.getMessage.contains("non-negative") || e2.getCause != null &&
+      e2.getCause.getMessage.contains("non-negative"), e2.getMessage)
+  }
+
   test("systematicResample: duplicate ids raise loudly (per-row copy " +
       "allocation would be partition-order-dependent)") {
     import spark.implicits._
