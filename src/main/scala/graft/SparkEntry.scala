@@ -2966,6 +2966,31 @@ FROM c"""
     Multimodal.bmpMeta(s, payloads, "doc_id")
   }
 
+  /** m11: WAV structure metadata — per-doc WAVs BUILT with real RIFF
+    * little-endian headers (channels/rate/bits/frames closed-form in
+    * doc_id; every 4th doc carries an odd-sized LIST chunk so the walk
+    * must honor word alignment; every 11th doc non-WAV text bytes) and
+    * PARSED back by the chunk walk, incl. the exact integer duration.
+    * Closed-form oracle (the m10 discipline).
+    */
+  private def m11WavMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = T(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes =
+          if (id % 11 == 0) text.getBytes("UTF-8") // non-WAV: dropped
+          else Multimodal.wavBytes(
+            channels = 1 + (id % 2).toInt,
+            sampleRate = Array(8000, 16000, 44100)((id % 3).toInt),
+            bitsPerSample = Array(8, 16, 24, 32, 16)((id % 5).toInt),
+            frames = 50 + (id % 200).toInt,
+            extraChunk = id % 4 == 0)
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+    Multimodal.wavMeta(s, payloads, "doc_id")
+  }
+
   /** e22: average precision @10 of the v10 Hamming retriever against
     * binary judgments (the exact cosine top-5 per query) — the MAP
     * building block e1's MRR/nDCG pair doesn't cover. Fully exact:
@@ -2981,6 +3006,27 @@ FROM c"""
         q, e, "vec_id", "vec_id", "embedding", k = 5)
       .select(col("q_id"), col("c_id"), lit(1).as("rel"))
     Retrieval.averagePrecision(approx, judged, k = 10)
+  }
+
+  /** ml2: multinomial naive Bayes with a REAL train/apply split (train
+    * = doc_id % 3 ≠ 0 labeled by source, score the % 3 = 0 holdout,
+    * predict the source), reported through the e23 multiclass report —
+    * two operators composed the way a classifier audit actually runs.
+    * Every log term on the 1e-6 floor lattice (fixed IEEE tree), exact
+    * integer score sums, struct-min argmax. Full oracle: identical NB
+    * CTEs + the e23 report algebra.
+    */
+  private def ml2NaiveBayes(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val train = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val holdout = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val preds = Classifier.naiveBayes(
+      train, holdout, "doc_id", "text", "source")
+    Classifier.multiclassReport(
+      holdout.select(col("doc_id").as("id"), col("source"))
+        .join(preds, Seq("id")),
+      "source", "pred")
   }
 
   /** e23: multi-class classification report — true label = source,
@@ -3989,6 +4035,8 @@ FROM c"""
     "m10_bmp_meta" -> (m10BmpMeta _),
     "e22_average_precision" -> (e22AveragePrecision _),
     "e23_multiclass_report" -> (e23MulticlassReport _),
+    "m11_wav_meta" -> (m11WavMeta _),
+    "ml2_naive_bayes" -> (ml2NaiveBayes _),
     "w21_gini" -> (w21Gini _),
     "d20_cross_source_overlap" -> (d20CrossSourceOverlap _),
     "w22_autocorrelation" -> (w22Autocorrelation _),
@@ -9014,6 +9062,20 @@ FROM c"""
         |      WHEN 3 THEN 24 ELSE 32 END) * (1 + doc_id % 64) + 31)
         |    // 32 * 4)::BIGINT AS row_stride
         |FROM documents WHERE doc_id % 11 <> 0""".stripMargin,
+    // m11 twin: closed-form in doc_id (the m10 discipline), incl. the
+    // exact integer frames·1000 // rate duration
+    "m11_wav_meta" ->
+      """SELECT doc_id AS id,
+        |  (1 + doc_id % 2)::BIGINT AS channels,
+        |  (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |    ELSE 44100 END)::BIGINT AS sample_rate,
+        |  (CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24
+        |    WHEN 3 THEN 32 ELSE 16 END)::BIGINT AS bits_per_sample,
+        |  (50 + doc_id % 200)::BIGINT AS n_frames,
+        |  ((50 + doc_id % 200) * 1000 //
+        |    (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      ELSE 44100 END))::BIGINT AS duration_ms
+        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin,
     // e22 twin: the e1 oracle's hamming/cosine ranking CTEs, binary
     // judgments = cosine top-5, then lcm(1..10)=2520 integer AP terms
     // over a rank-ordered cumulative window + one lattice division
@@ -9061,6 +9123,90 @@ FROM c"""
         |      // (2 * 2520 * least(n_rel, 10)))::BIGINT
         |  END AS ap_e6
         |FROM reltot FULL OUTER JOIN terms USING (q_id)""".stripMargin,
+    // ml2 twin: identical NB training counts, the same fixed
+    // floor(1e6·ln) lattice trees, score-desc/class-asc argmax, then
+    // the e23 report algebra over the (true, pred) grid
+    "ml2_naive_bayes" ->
+      """WITH tr AS (SELECT source AS c, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |pri AS (SELECT c, count(*)::BIGINT AS dc FROM tr GROUP BY 1),
+        |dt AS (SELECT sum(dc)::BIGINT AS d FROM pri),
+        |tfc AS (SELECT c, t, count(*)::BIGINT AS tf FROM
+        |  (SELECT c, unnest(w) AS t FROM tr) GROUP BY 1, 2),
+        |ncc AS (SELECT c, sum(tf)::BIGINT AS n_c FROM tfc GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT t)::BIGINT AS v FROM tfc),
+        |cs AS (SELECT pri.c,
+        |    floor(ln(dc::DOUBLE / d::DOUBLE) * 1000000)::BIGINT
+        |      AS prior_e6,
+        |    floor(ln(1.0::DOUBLE / (n_c + v)::DOUBLE) * 1000000)::BIGINT
+        |      AS default_e6,
+        |    (n_c + v)::BIGINT AS denom
+        |  FROM pri JOIN ncc ON pri.c = ncc.c CROSS JOIN vv CROSS JOIN dt),
+        |model AS (SELECT tfc.c, t,
+        |    floor(ln((tf + 1)::DOUBLE / denom::DOUBLE) * 1000000)
+        |      ::BIGINT AS lp_e6
+        |  FROM tfc JOIN cs ON tfc.c = cs.c),
+        |ho AS (SELECT doc_id AS id, source AS y, text FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |apk AS (SELECT id, t, count(*)::BIGINT AS k FROM
+        |  (SELECT id, unnest(string_split(text, ' ')) AS t FROM ho)
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT apk.id, cs.c,
+        |    sum(k * coalesce(lp_e6, cs.default_e6))::BIGINT AS s
+        |  FROM apk CROSS JOIN cs
+        |  LEFT JOIN model ON model.c = cs.c AND model.t = apk.t
+        |  GROUP BY 1, 2),
+        |preds AS (SELECT id, c AS p FROM
+        |  (SELECT sc.id, sc.c, s + prior_e6 AS score,
+        |     row_number() OVER (PARTITION BY sc.id
+        |       ORDER BY s + prior_e6 DESC, sc.c) AS rn
+        |   FROM sc JOIN cs ON sc.c = cs.c) r WHERE rn = 1),
+        |pr AS (SELECT ho.y AS t, preds.p FROM ho JOIN preds USING (id)),
+        |grid AS (SELECT t, p, count(*)::BIGINT AS n FROM pr GROUP BY 1, 2),
+        |bt AS (SELECT t AS label, sum(n)::BIGINT AS n_true,
+        |    sum(CASE WHEN t = p THEN n ELSE 0 END)::BIGINT AS tp
+        |  FROM grid GROUP BY 1),
+        |bp AS (SELECT p AS label, sum(n)::BIGINT AS n_pred
+        |  FROM grid GROUP BY 1),
+        |cls AS (SELECT coalesce(bt.label, bp.label) AS label,
+        |    coalesce(n_true, 0) AS support, coalesce(tp, 0) AS tp,
+        |    coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+        |    coalesce(n_true, 0) - coalesce(tp, 0) AS fn
+        |  FROM bt FULL OUTER JOIN bp ON bt.label = bp.label),
+        |cm AS (SELECT label, support, tp, fp, fn,
+        |    CASE WHEN tp + fp > 0 THEN
+        |      (2*tp*1000000 + (tp+fp)) // (2*(tp+fp)) END AS precision_e6,
+        |    CASE WHEN tp + fn > 0 THEN
+        |      (2*tp*1000000 + (tp+fn)) // (2*(tp+fn)) END AS recall_e6,
+        |    CASE WHEN 2*tp + fp + fn > 0 THEN
+        |      (4*tp*1000000 + (2*tp+fp+fn)) // (2*(2*tp+fp+fn))
+        |      END AS f1_e6
+        |  FROM cls),
+        |mic AS (SELECT '__micro' AS label, sum(n)::BIGINT AS support,
+        |    sum(CASE WHEN t = p THEN n ELSE 0 END)::BIGINT AS tp,
+        |    (sum(n) - sum(CASE WHEN t = p THEN n ELSE 0 END))::BIGINT
+        |      AS fp,
+        |    (sum(n) - sum(CASE WHEN t = p THEN n ELSE 0 END))::BIGINT
+        |      AS fn,
+        |    (2*sum(CASE WHEN t = p THEN n ELSE 0 END)*1000000 + sum(n))
+        |      // (2*sum(n)) AS acc
+        |  FROM grid),
+        |mac AS (SELECT '__macro' AS label, count(*)::BIGINT AS support,
+        |    NULL::BIGINT AS tp, NULL::BIGINT AS fp, NULL::BIGINT AS fn,
+        |    (2*sum(precision_e6) + count(precision_e6))
+        |      // (2*count(precision_e6)) AS precision_e6,
+        |    (2*sum(recall_e6) + count(recall_e6))
+        |      // (2*count(recall_e6)) AS recall_e6,
+        |    (2*sum(f1_e6) + count(*)) // (2*count(*)) AS f1_e6
+        |  FROM cm)
+        |SELECT label, support, tp, fp, fn, precision_e6::BIGINT
+        |    AS precision_e6, recall_e6::BIGINT AS recall_e6,
+        |    f1_e6::BIGINT AS f1_e6 FROM cm
+        |UNION ALL SELECT label, support, tp, fp, fn, acc::BIGINT,
+        |  acc::BIGINT, acc::BIGINT FROM mic
+        |UNION ALL SELECT label, support, tp, fp, fn,
+        |  precision_e6::BIGINT, recall_e6::BIGINT, f1_e6::BIGINT
+        |FROM mac""".stripMargin,
     // e23 twin: identical class-index rotation, (t, p) grid counts,
     // full-outer per-class join and the (2a+b) // 2b lattices; macro
     // averages non-null precision/recall and all-class f1

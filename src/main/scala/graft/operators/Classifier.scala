@@ -280,6 +280,77 @@ object Classifier {
       e6(f1).as("f1_e6"), e6(acc).as("accuracy_e6")): _*)
   }
 
+  /** Multinomial naive Bayes with Laplace smoothing — train token/class
+    * counts on a labeled slice, score and argmax every apply-side
+    * document (the McCallum & Nigam 1998 event model): the 30-year
+    * workhorse of source/domain/language tagging, and the cheap
+    * baseline every learned corpus classifier must beat.
+    *
+    * Determinism contract (the scoreDiagnostics posture): every log
+    * term is floored onto the 1e-6 lattice PER (class, term) on a
+    * fixed IEEE tree — lp_e6 = ⌊10⁶·ln((tf+1)/(N_c+V))⌋, the unseen
+    * default ⌊10⁶·ln(1/(N_c+V))⌋, the prior ⌊10⁶·ln(D_c/D)⌋ — and a
+    * document's score is prior + Σ tf_d·lp, an exact integer sum in
+    * any partition order. The argmax is a struct-min on
+    * (−score, class) so ties break to the lexicographically smallest
+    * class. No float ever accumulates.
+    *
+    * Scale: training is two map-side-combined counts (per-class docs,
+    * per-(class, term) tokens) + class-sized stats (localCheckpointed,
+    * broadcast); scoring fans each apply-side (doc, term) row out to
+    * |classes| rows (classes are few by construction), left-joins the
+    * (class, term) model — AQE broadcasts it when it fits, hash-join
+    * otherwise — and folds per (doc, class). Scoring is TOTAL: every
+    * apply-side row predicts (an empty text still tokenizes to the
+    * single empty token under split semantics and scores via the
+    * unseen default, i.e. by the priors). Null labels raise.
+    * Output: (id, pred, score_e6).
+    */
+  def naiveBayes(
+      train: DataFrame, applyDf: DataFrame, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val trDocs = train.select(
+      when(col(labelCol).isNull,
+        raise_error(lit("naiveBayes: null train label")))
+        .otherwise(col(labelCol).cast("string")).as("c"),
+      tokens(col(textCol)).as("w"))
+    val priors = trDocs.groupBy("c").agg(count(lit(1)).as("dc"))
+    val dTot = priors.agg(sum("dc").as("d"))
+    val tf = trDocs.select(col("c"), explode(col("w")).as("t"))
+      .groupBy("c", "t").agg(count(lit(1)).as("tf"))
+    val nc = tf.groupBy("c").agg(sum("tf").as("n_c"))
+    val vocab = tf.select("t").distinct().agg(count(lit(1)).as("v"))
+    val classStats = priors.join(nc, Seq("c"))
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(dTot))
+      .select(col("c"),
+        floor(log(col("dc").cast("double") / col("d").cast("double")) *
+          lit(1e6)).cast("long").as("prior_e6"),
+        floor(log(lit(1.0) / (col("n_c") + col("v")).cast("double")) *
+          lit(1e6)).cast("long").as("default_e6"),
+        (col("n_c") + col("v")).as("denom"))
+      .localCheckpoint() // class-sized; feeds the model, fan-out, prior
+    val model = tf.join(classStats.select("c", "denom"), Seq("c"))
+      .select(col("c"), col("t"),
+        floor(log((col("tf") + 1).cast("double") /
+          col("denom").cast("double")) * lit(1e6))
+          .cast("long").as("lp_e6"))
+    val ap = applyDf
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("k"))
+    ap.crossJoin(broadcast(classStats.select("c", "default_e6")))
+      .join(model, Seq("c", "t"), "left")
+      .select(col("id"), col("c"),
+        (col("k") * coalesce(col("lp_e6"), col("default_e6"))).as("term"))
+      .groupBy("id", "c").agg(sum("term").as("s"))
+      .join(broadcast(classStats.select("c", "prior_e6")), Seq("c"))
+      .select(col("id"), col("c"), (col("s") + col("prior_e6")).as("sc"))
+      .groupBy("id")
+      .agg(min(struct((-col("sc")).as("ns"), col("c"))).as("m"))
+      .select(col("id"), col("m.c").as("pred"),
+        (-col("m.ns")).as("score_e6"))
+  }
+
   /** Multi-class classification report — per-class precision / recall /
     * F1 with support, plus the micro and macro summary rows
     * (scikit-learn's `classification_report` as a DataFrame): the

@@ -958,6 +958,69 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** General WAV (RIFF) builder — arbitrary channel count, sample
+    * rate, bit depth and frame count, zero-filled PCM data;
+    * `extraChunk` inserts an ODD-sized LIST chunk between `fmt ` and
+    * `data` so parsers must honor RIFF word alignment to find the
+    * data chunk at all. The construct side of [[wavMeta]]'s
+    * construct→parse round trip (the bmpBytes discipline); real files
+    * with real little-endian headers, not stubs.
+    */
+  def wavBytes(
+      channels: Int, sampleRate: Int, bitsPerSample: Int,
+      frames: Int, extraChunk: Boolean = false): Array[Byte] = {
+    require(channels > 0 && bitsPerSample % 8 == 0 && bitsPerSample > 0,
+      s"bad wav params: channels=$channels bits=$bitsPerSample")
+    require(frames >= 0 && sampleRate > 0,
+      s"bad wav params: frames=$frames rate=$sampleRate")
+    val frameBytes = channels * (bitsPerSample / 8)
+    val dataSize = frames * frameBytes
+    val extra = if (extraChunk) 8 + 5 + 1 else 0 // odd payload + pad
+    val bb = java.nio.ByteBuffer.allocate(44 + extra + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * frameBytes)
+      .putShort(frameBytes.toShort).putShort(bitsPerSample.toShort)
+    if (extraChunk) {
+      bb.put("LIST".getBytes("US-ASCII")).putInt(5)
+        .put("INFO".getBytes("US-ASCII")).put(0.toByte) // 5 data bytes
+        .put(0.toByte) // the word-alignment pad the walk must skip
+    }
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.array() // PCM filler stays zeroed — header-only parse target
+  }
+
+  /** WAV structure metadata per payload — the [[bmpMeta]] shape for
+    * audio: one typed per-partition pass of the [[wavInfo]] RIFF chunk
+    * walk (header-only, O(header) per payload, zero shuffle), emitting
+    * channel count, sample rate, bit depth, PCM frame count and the
+    * exact integer duration frames·1000 div rate. Non-WAV payloads
+    * emit no row (the audit counts what parses; nulls would poison
+    * downstream aggregates). Scale: bytes-scanned-bound per-partition
+    * map, the posture that survives a 100 TB media table.
+    */
+  def wavMeta(
+      spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        wavInfo(bytes)
+          .filter(i => i.frameBytes > 0 && i.sampleRate > 0)
+          .map { i =>
+            (id, i.channels.toLong, i.sampleRate.toLong,
+              i.bitsPerSample.toLong, i.frames.toLong,
+              i.frames.toLong * 1000L / i.sampleRate)
+          }
+      })
+      .toDF("id", "channels", "sample_rate", "bits_per_sample",
+        "n_frames", "duration_ms")
+  }
+
   /** Encode 16-bit PCM samples as a minimal mono WAV (fixtures + the
     * harness's synthetic audio corpus — the exact inverse of
     * [[wavSamples16]]).

@@ -630,6 +630,45 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("naiveBayes: hand corpus matches an independent scalar model; " +
+      "tie breaks to the smallest class") {
+    import spark.implicits._
+    val train = Seq(("spam", "buy pills"), ("spam", "buy now"),
+      ("ham", "meeting now")).toDF("label", "text")
+    val apply_ = Seq((1L, "buy pills now"), (2L, "meeting meeting"))
+      .toDF("doc_id", "text")
+    val got = Classifier.naiveBayes(train, apply_, "doc_id", "text", "label")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // independent scalar model (same floor-lattice trees)
+    def lp(tf: Long, denom: Long) =
+      math.floor(math.log((tf + 1).toDouble / denom.toDouble) * 1e6).toLong
+    def prior(dc: Long, d: Long) =
+      math.floor(math.log(dc.toDouble / d.toDouble) * 1e6).toLong
+    def dflt(denom: Long) =
+      math.floor(math.log(1.0 / denom.toDouble) * 1e6).toLong
+    // V=4; spam: N=4 denom=8; ham: N=2 denom=6
+    val spam1 = prior(2, 3) + lp(2, 8) + lp(1, 8) + lp(1, 8) // buy pills now
+    val ham1 = prior(1, 3) + dflt(6) + dflt(6) + lp(1, 6)
+    assert(got(1L) == (("spam", math.max(spam1, ham1))) && spam1 > ham1)
+    val spam2 = prior(2, 3) + 2 * dflt(8)
+    val ham2 = prior(1, 3) + 2 * lp(1, 6)
+    assert(got(2L) == (("ham", math.max(spam2, ham2))) && ham2 > spam2)
+    // perfectly symmetric classes tie → lexicographically smallest
+    val tied = Classifier.naiveBayes(
+      Seq(("b", "x"), ("a", "x")).toDF("label", "text"),
+      Seq((9L, "x")).toDF("doc_id", "text"), "doc_id", "text", "label")
+      .as[(Long, String, Long)].collect()
+    assert(tied.head._2 == "a")
+    // an empty-string doc still tokenizes to the single empty token
+    // (split semantics), scores via the unseen default and gets the
+    // prior-favored class — total, never a dropped row
+    val empty = Classifier.naiveBayes(train,
+        Seq((3L, "")).toDF("doc_id", "text"), "doc_id", "text", "label")
+      .as[(Long, String, Long)].collect()
+    assert(empty.length == 1 && empty.head._2 == "spam") // prior 2/3
+  }
+
   test("multiclassReport: hand-checked per-class/micro/macro lattices") {
     import spark.implicits._
     val pairs = Seq.fill(3)(("a", "a")) ++ Seq(("a", "b")) ++

@@ -408,4 +408,54 @@ class MultimodalSpec extends AnyFunSuite {
       assert(stride == ((bpp * w + 31) / 32) * 4)
     }
   }
+
+  test("wavBytes -> wavMeta round trip incl. odd LIST chunk, AudioSystem " +
+      "cross-check, non-WAV drop") {
+    import spark.implicits._
+    // construct→parse over the parameter grid, with and without the
+    // odd-sized LIST chunk (word alignment must be honored to even
+    // find the data chunk)
+    for (ch <- Seq(1, 2, 6); rate <- Seq(8000, 44100);
+         bits <- Seq(8, 16, 32); extra <- Seq(false, true)) {
+      val frames = 123
+      val info = Multimodal.wavInfo(
+        Multimodal.wavBytes(ch, rate, bits, frames, extra)).get
+      assert(info.channels == ch && info.sampleRate == rate &&
+        info.bitsPerSample == bits && info.frames == frames,
+        s"ch=$ch rate=$rate bits=$bits extra=$extra")
+    }
+    // independent reference: the JDK's own WAV reader agrees on the
+    // header fields AND the frame count (the ImageIO-cross-check
+    // discipline)
+    val bytes = Multimodal.wavBytes(2, 16000, 16, 250, extraChunk = true)
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(aff.getFormat.getChannels == 2)
+    assert(aff.getFormat.getSampleRate == 16000f)
+    assert(aff.getFormat.getSampleSizeInBits == 16)
+    assert(aff.getFrameLength == 250)
+    // corrupt/non-WAV payloads drop; parse is partitioning-invariant
+    val rows = (0L until 30L).map { id =>
+      val b =
+        if (id % 5 == 0) s"not a wav $id".getBytes("UTF-8")
+        else Multimodal.wavBytes(1 + (id % 2).toInt,
+          Array(8000, 16000, 44100)((id % 3).toInt),
+          Array(8, 16, 24, 32, 16)((id % 5).toInt),
+          50 + (id % 200).toInt, extraChunk = id % 4 == 0)
+      (id, b)
+    }
+    def run(parts: Int) = Multimodal.wavMeta(spark,
+        rows.toDF("doc_id", "payload").repartition(parts), "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val got = run(1)
+    assert(run(4) == got)
+    assert(got.map(_._1) == (0L until 30L).filter(_ % 5 != 0))
+    got.foreach { case (id, ch, rate, bits, frames, durMs) =>
+      assert(ch == 1 + id % 2)
+      assert(rate == Array(8000, 16000, 44100)((id % 3).toInt))
+      assert(bits == Array(8, 16, 24, 32, 16)((id % 5).toInt))
+      assert(frames == 50 + id % 200)
+      assert(durMs == frames * 1000 / rate)
+    }
+  }
 }
