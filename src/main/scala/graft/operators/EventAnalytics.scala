@@ -663,9 +663,8 @@ object EventAnalytics {
   def interArrival(
       events: DataFrame, userCol: String, tsCol: String,
       typeCol: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val w = Window.partitionBy("u", "event_type").orderBy("__ts")
-    val gaps = events
+    interArrivalFromGaps(events
       .filter(col(userCol).isNotNull)
       .select(col(userCol).as("u"), col(typeCol).as("event_type"),
         when(col(tsCol).isNull,
@@ -675,7 +674,17 @@ object EventAnalytics {
       .filter(col("prev").isNotNull)
       .select(col("event_type"),
         expr("((__ts - prev) - pmod(__ts - prev, 1000000000L)) " +
-          "div 1000000000L").as("gap_s"))
+          "div 1000000000L").as("gap_s")))
+  }
+
+  /** The w24 report over (event_type, gap_s) gap rows — the tail of
+    * [[interArrival]] and the read-out of the streaming typed-gap
+    * emitter ([[graft.streaming.StatefulOps.typedGapsStream]]); the
+    * batch operator DELEGATES here, so the stream≡batch parity pair
+    * shares one plan and cannot drift.
+    */
+  def interArrivalFromGaps(gaps: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     gaps.groupBy("event_type").agg(
         count(lit(1)).as("n_gaps"),
         sum("gap_s").as("s"),

@@ -356,6 +356,59 @@ object StatefulOps {
       }
   }
 
+  case class TypedGapEv(user_id: Long, event_type: String, ts_ns: Long)
+  case class LastTypedGap(ts_ns: Long)
+  case class TypedGapRow(event_type: String, gap_s: Long)
+
+  /** One micro-batch of (user, type)-keyed inter-arrival gaps — the
+    * [[advanceGaps]] shape with the event type in the key. Within a
+    * batch events sort by timestamp (ties are gap-multiset-safe, the
+    * batch operator's own argument); a late cross-batch event yields a
+    * negative gap by the [[advanceTransitions]] monotonicity
+    * convention — never a crash — and is reconciled by the batch twin.
+    */
+  private[streaming] def advanceTypedGaps(
+      eventType: String, events: Seq[TypedGapEv],
+      prior: Option[LastTypedGap]): (Seq[TypedGapRow], LastTypedGap) = {
+    require(events.nonEmpty || prior.nonEmpty,
+      "advanceTypedGaps invoked with no events and no prior state — " +
+        "the NoTimeout invariant no longer holds")
+    val sorted = events.sortBy(_.ts_ns)
+    val out = scala.collection.mutable.ArrayBuffer.empty[TypedGapRow]
+    var last = prior
+    for (e <- sorted) {
+      last.foreach(l => out += TypedGapRow(eventType,
+        Math.floorDiv(e.ts_ns - l.ts_ns, 1000000000L)))
+      last = Some(LastTypedGap(e.ts_ns))
+    }
+    (out.toSeq, last.get)
+  }
+
+  /** Streaming per-(user, type) inter-arrival gaps: each closing event
+    * emits its (event_type, gap_s) row the micro-batch it arrives
+    * (Append mode) — downstream,
+    * [[graft.operators.EventAnalytics.interArrivalFromGaps]] over the
+    * sink IS the w24 cadence report, maintained incrementally
+    * (delegation, not a re-authored twin). State per key: ONE
+    * fixed-size last-timestamp row — O(users·types), never O(events);
+    * no timeout, so idle streams run no state-scan micro-batches.
+    */
+  def typedGapsStream(
+      spark: SparkSession, ds: Dataset[TypedGapEv])
+      : Dataset[TypedGapRow] = {
+    import spark.implicits._
+    ds.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[LastTypedGap, TypedGapRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: (Long, String), evs: Iterator[TypedGapEv],
+         state: GroupState[LastTypedGap]) =>
+          val (rows, last) =
+            advanceTypedGaps(k._2, evs.toIndexedSeq, state.getOption)
+          state.update(last)
+          rows.iterator
+      }
+  }
+
   case class DayEv(user_id: Long, day: Long)
   case class DaySet(days: Seq[Long])
 

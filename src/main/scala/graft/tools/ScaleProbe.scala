@@ -843,6 +843,53 @@ object ScaleProbe {
           track(0, 37), track(1, 41),
           "chrom", "s", "e", "chrom", "s", "e").count()
       },
+      // round-11 additions: keyness/lexical richness are the t10/t7
+      // shuffle skeleton (hash-keyed map-side-combined term counts);
+      // w24 is one (user,type)-keyed window + a per-type rollup; s14 is
+      // stratum-aggregate + dim window; c20 is a scan-side regex CASE +
+      // tiny rollup; g10's deg-capped wedge join bounds fan-out; ml2 is
+      // two count passes + a classes-fan-out scoring join; e23 is a
+      // classes²-grid fold
+      "t39_keyness" -> (d =>
+        TextAnalytics.keyness(d, "doc_id", "text",
+          pmod(col("doc_id"), lit(10)) === 0, minCount = 5).count()),
+      "t40_lexrich" -> (d =>
+        TextAnalytics.lexicalRichness(d, "doc_id", "text").count()),
+      "w24_interarrival" -> (d =>
+        EventAnalytics.interArrival(synthEvents(d, probeN),
+          "user_id", "ts", "event_type").count()),
+      "s14_neyman" -> (d =>
+        Sampling.neymanAllocation(
+          d.select(pmod(col("doc_id"), lit(20)).cast("string").as("s"),
+            length(col("text")).cast("long").as("x")),
+          "s", "x", 1000L).count()),
+      "c20_license" -> (d =>
+        Profiling.licenseScan(
+          d.withColumn("source",
+            pmod(col("doc_id"), lit(8)).cast("string")),
+          "doc_id", "text", "source").count()),
+      "g10_adamic" -> { d =>
+        val hop = d
+          .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+          .unionByName(d.select(col("doc_id").as("src"),
+            (col("doc_id") + 2).as("dst")))
+          .filter(col("dst") < lit(probeN))
+        Graph.adamicAdar(hop, "src", "dst").count()
+      },
+      "ml2_nb" -> { d =>
+        Classifier.naiveBayes(
+          d.filter(col("doc_id") % 3 =!= 0)
+            .withColumn("label",
+              pmod(col("doc_id"), lit(5)).cast("string")),
+          d.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", "label").count()
+      },
+      "e23_report" -> { d =>
+        Classifier.multiclassReport(
+          d.select(pmod(col("doc_id"), lit(7)).cast("string").as("y"),
+            pmod(col("doc_id") * 31, lit(7)).cast("string").as("p")),
+          "y", "p").count()
+      },
       // d21: both shingle-overlap scores from the ONE-pass core — the
       // d2 probe's cost shape is the contract; this pins the combined
       // operator to it (a second shingle pass would read as ~2× d2)

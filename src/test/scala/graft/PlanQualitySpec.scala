@@ -314,6 +314,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("r11 additions: no cartesian, no corpus-keyed windows, term " +
+      "counts stay aggregates") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def winKeys(q: String): Seq[String] = SparkEntry.queries(q)(spark, dir)
+      .queryExecution.sparkPlan
+      .collect { case w: WindowExec => w.partitionSpec.map(_.sql).mkString(",") }
+    // t39/t40 term counts are map-side-combined aggregates — a
+    // term-keyed window would sort a stop word on one reducer
+    assert(winKeys("t39_keyness").isEmpty)
+    assert(winKeys("t40_lexical_richness").isEmpty)
+    // w24's only window is (user, type)-keyed — bounded per key
+    val w24 = winKeys("w24_interarrival")
+    assert(w24.nonEmpty && w24.forall(_.contains("u")), w24)
+    // no cartesian anywhere in the new plans (dim fan-outs are
+    // broadcast nested-loop by construction, never CartesianProduct)
+    for (q <- Seq("t39_keyness", "t40_lexical_richness",
+        "w24_interarrival", "s14_neyman_allocation", "c20_license_scan",
+        "g10_adamic_adar", "ml2_naive_bayes", "e23_multiclass_report",
+        "m11_wav_meta", "d21_jaccard_containment")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"), q)
+    }
+  }
+
   test("per-term global counts are aggregates, not windows (no hot-key sort)") {
     import org.apache.spark.sql.execution.window.WindowExec
     // windows partitioned by the term key would sort a stop word's whole

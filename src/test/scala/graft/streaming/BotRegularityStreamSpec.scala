@@ -47,6 +47,53 @@ class BotRegularityStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed typed gaps finish to the batch w24 cadence report " +
+      "on sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables(spark, TestSpark.Sf0001, "events")
+    val ev = events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("ts_ns"))
+      .as[TypedGapEv].collect().sortBy(_.ts_ns)
+    val mem = MemoryStream[TypedGapEv]
+    val q = typedGapsStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("w24_gaps")
+      .outputMode("append").start()
+    try {
+      // per-key in-order delivery (global ts-order chunks), 3 batches
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = graft.operators.EventAnalytics.interArrivalFromGaps(
+          spark.table("w24_gaps").select(col("event_type"), col("gap_s")))
+        .as[(String, Long, Long, Option[Long])].collect().toSet
+      val batch = graft.operators.EventAnalytics.interArrival(
+          events, "user_id", "ts", "event_type")
+        .as[(String, Long, Long, Option[Long])].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("advanceTypedGaps: ts order within a batch, late event floors " +
+      "negative, state is one row") {
+    val s = 1000000000L
+    val (g1, l1) = StatefulOps.advanceTypedGaps("click",
+      Seq(TypedGapEv(7, "click", 25 * s), TypedGapEv(7, "click", 10 * s)),
+      None)
+    assert(g1 == Seq(TypedGapRow("click", 15)) && l1 == LastTypedGap(25 * s))
+    // a late event across batches floor-divides negative (floorDiv):
+    // (10 - 25) s → gap −15, then 10 → 40 appends +30
+    val (g2, l2) = StatefulOps.advanceTypedGaps("click",
+      Seq(TypedGapEv(7, "click", 10 * s), TypedGapEv(7, "click", 40 * s)),
+      Some(l1))
+    assert(g2 == Seq(TypedGapRow("click", -15), TypedGapRow("click", 30)))
+    assert(l2 == LastTypedGap(40 * s))
+  }
+
   test("advanceGaps: (ts, eid) order within a batch, late tail append") {
     val s = 1000000000L // 1 s in nanos
     // batch 1: three events; equal ts orders by eid
