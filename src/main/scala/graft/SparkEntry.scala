@@ -3008,6 +3008,29 @@ FROM c"""
     Retrieval.averagePrecision(approx, judged, k = 10)
   }
 
+  /** e24: Poisson-bootstrap 95% CI for accuracy — portable md5-derived
+    * Poisson(1) weights (exact e6 CDF lattice constants), per-replicate
+    * accuracies and both CI endpoints as exact integer lattices;
+    * correct = doc_id % 5 ≠ 0 (a deterministic 80%-accurate system).
+    * Full oracle: identical md5 fold, thresholds and order statistics.
+    */
+  private def e24BootstrapCI(s: SparkSession, d: String): DataFrame =
+    Classifier.bootstrapAccuracyCI(
+      T(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) =!= 0, 1L).otherwise(0L)
+          .as("correct")),
+      "doc_id", "correct", reps = 200)
+
+  /** g11: co-occurrence lift over the g9 (user, event-type) bipartite
+    * projection — exact distinct-key counts, lift on the 1e-6 lattice
+    * of the exact rational n_ab·N/(n_a·n_b). Full oracle.
+    */
+  private def g11CooccurLift(s: SparkSession, d: String): DataFrame =
+    Graph.cooccurrenceLift(
+      T(s, d, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type")),
+      "user_id", "event_type")
+
   /** ml2: multinomial naive Bayes with a REAL train/apply split (train
     * = doc_id % 3 ≠ 0 labeled by source, score the % 3 = 0 holdout,
     * predict the source), reported through the e23 multiclass report —
@@ -4037,6 +4060,8 @@ FROM c"""
     "e23_multiclass_report" -> (e23MulticlassReport _),
     "m11_wav_meta" -> (m11WavMeta _),
     "ml2_naive_bayes" -> (ml2NaiveBayes _),
+    "e24_bootstrap_ci" -> (e24BootstrapCI _),
+    "g11_cooccur_lift" -> (g11CooccurLift _),
     "w21_gini" -> (w21Gini _),
     "d20_cross_source_overlap" -> (d20CrossSourceOverlap _),
     "w22_autocorrelation" -> (w22Autocorrelation _),
@@ -9123,6 +9148,58 @@ FROM c"""
         |      // (2 * 2520 * least(n_rel, 10)))::BIGINT
         |  END AS ap_e6
         |FROM reltot FULL OUTER JOIN terms USING (q_id)""".stripMargin,
+    // e24 twin: the portable md5 base-16 fold (the v3/d3 idiom), the
+    // byte-identical Poisson CDF e6 thresholds, per-replicate lattice
+    // accuracies and the same ceil(0.025/0.975·B) order statistics
+    "e24_bootstrap_ci" ->
+      """WITH items AS (SELECT doc_id::VARCHAR AS id,
+        |    CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |fan AS (SELECT id, y, unnest(range(1, 201)) AS b FROM items),
+        |u AS (SELECT b, y,
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5('boot:' || b::VARCHAR || ':' || id), i, 1)) - 1
+        |      for i in range(1, 16)]::BIGINT[], (a, x) -> a * 16 + x)
+        |      % 1000000 AS u6
+        |  FROM fan),
+        |w AS (SELECT b, y,
+        |    CASE WHEN u6 < 367879 THEN 0 WHEN u6 < 735758 THEN 1
+        |      WHEN u6 < 919698 THEN 2 WHEN u6 < 981011 THEN 3
+        |      WHEN u6 < 996340 THEN 4 WHEN u6 < 999405 THEN 5
+        |      WHEN u6 < 999916 THEN 6 ELSE 7 END AS w FROM u),
+        |rep AS (SELECT b, sum(w)::HUGEINT AS nw,
+        |    sum(w * y)::HUGEINT AS cw FROM w GROUP BY 1),
+        |rk AS (SELECT ((2 * cw * 1000000 + nw) // (2 * nw))::BIGINT
+        |      AS acc,
+        |    row_number() OVER (ORDER BY
+        |      (2 * cw * 1000000 + nw) // (2 * nw), b) AS rk FROM rep),
+        |pt AS (SELECT count(*)::BIGINT AS n_items,
+        |    ((2 * sum(y) * 1000000 + count(*)) // (2 * count(*)))
+        |      ::BIGINT AS acc_e6
+        |  FROM items)
+        |SELECT n_items, acc_e6, 200::BIGINT AS n_reps,
+        |  (SELECT acc FROM rk WHERE rk = 5) AS ci_lo_e6,
+        |  (SELECT acc FROM rk WHERE rk = 195) AS ci_hi_e6
+        |FROM pt""".stripMargin,
+    // g11 twin: the g9 pair CTE + distinct-key item counts and the
+    // exact HUGEINT lift lattice
+    "g11_cooccur_lift" ->
+      """WITH ki AS (SELECT DISTINCT user_id::VARCHAR AS k,
+        |    event_type AS item
+        |  FROM events WHERE user_id IS NOT NULL),
+        |pairs AS (SELECT x.item AS item_a, y.item AS item_b,
+        |    count(*)::BIGINT AS n_keys
+        |  FROM ki x JOIN ki y ON x.k = y.k AND x.item < y.item
+        |  GROUP BY 1, 2),
+        |ic AS (SELECT item, count(*)::BIGINT AS n_item FROM ki
+        |  GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT k)::BIGINT AS n_total FROM ki)
+        |SELECT item_a, item_b, n_keys, a.n_item AS n_a, b.n_item AS n_b,
+        |  ((2 * n_keys::HUGEINT * n_total * 1000000 +
+        |    a.n_item::HUGEINT * b.n_item) //
+        |    (2 * a.n_item::HUGEINT * b.n_item))::BIGINT AS lift_e6
+        |FROM pairs JOIN ic a ON a.item = pairs.item_a
+        |  JOIN ic b ON b.item = pairs.item_b CROSS JOIN tot""".stripMargin,
     // ml2 twin: identical NB training counts, the same fixed
     // floor(1e6·ln) lattice trees, score-desc/class-asc argmax, then
     // the e23 report algebra over the (true, pred) grid

@@ -280,6 +280,87 @@ object Classifier {
       e6(f1).as("f1_e6"), e6(acc).as("accuracy_e6")): _*)
   }
 
+  /** Cumulative Poisson(1) CDF thresholds on the 1e-6 lattice —
+    * ⌊10⁶·P(X ≤ k)⌋ for k = 0..6 (the tail collapses to weight 7).
+    * Public so the spec and the SQL oracle embed the byte-identical
+    * constants.
+    */
+  val PoissonCdfE6: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L)
+
+  /** Poisson-bootstrap confidence interval for accuracy (the
+    * distributed bootstrap of Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams"): every (item, replicate)
+    * pair draws an independent Poisson(1) resampling weight, each
+    * replicate's weighted accuracy is one bootstrap draw, and the
+    * 2.5%/97.5% order statistics over the `reps` draws are the 95% CI
+    * — the "is this 2-point accuracy gain real or resampling noise"
+    * answer an eval report needs next to its point estimate.
+    *
+    * Fully deterministic and engine-portable: the uniform driving each
+    * weight is the PORTABLE 60-bit md5 integer (the d3/d20 conformance
+    * family — any SQL engine recomputes it) of "boot:<replicate>:<id>"
+    * mod 10⁶, thresholded against the exact integer [[PoissonCdfE6]]
+    * lattice constants — no rand(), no float anywhere; replicate
+    * accuracies and both CI endpoints are half-up integer lattices of
+    * exact integer sums. A replicate whose total weight lands 0
+    * raises loudly (possible only for toy item counts — resample more
+    * items, not fewer).
+    *
+    * Scale: the fan-out is items × reps rows into a map-side-combined
+    * per-replicate fold (≤ reps partial rows per task ever shuffle);
+    * the order-statistic window runs over `reps` rows — dim-sized.
+    * Eval tables are small next to corpora; the md5-per-cell cost is
+    * the portability price, bounded by reps. Output: one row
+    * (n_items, acc_e6, n_reps, ci_lo_e6, ci_hi_e6).
+    */
+  def bootstrapAccuracyCI(
+      df: DataFrame, idCol: String, correctCol: String,
+      reps: Int = 200): DataFrame = {
+    require(reps >= 40 && reps <= 10000,
+      s"reps must be in [40, 10000] (got $reps)")
+    val items = df.select(
+        col(idCol).cast("string").as("id"),
+        when(col(correctCol).isNull ||
+            !col(correctCol).cast("long").isin(0L, 1L),
+          raise_error(lit("bootstrapAccuracyCI: correct must be 0/1")))
+          .otherwise(col(correctCol).cast("long")).as("y"))
+      .localCheckpoint() // feeds the fan-out and the point estimate
+    val u6 = pmod(
+      conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),
+        lit(":"), col("id"))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    val w = PoissonCdfE6.zipWithIndex.foldRight(lit(7L): Column) {
+      case ((t, k), acc) => when(col("u6") < t, k.toLong).otherwise(acc)
+    }
+    val perRep = items
+      .withColumn("b", explode(sequence(lit(1), lit(reps))))
+      .withColumn("u6", u6)
+      .withColumn("w", w)
+      .groupBy("b")
+      .agg(sum("w").as("nw"), sum(col("w") * col("y")).as("cw"))
+      .select(col("b"),
+        when(col("nw") > 0,
+          expr("(2 * cw * 1000000 + nw) div (2 * nw)"))
+          .otherwise(raise_error(lit("bootstrapAccuracyCI: a replicate " +
+            "drew total weight 0 — too few items to bootstrap"))
+            .cast("long")).as("acc_e6"))
+    val ranked = perRep.withColumn("rk",
+      row_number().over(Window.orderBy(col("acc_e6"), col("b")))
+        .cast("long"))
+    val loRank = math.ceil(0.025 * reps).toLong
+    val hiRank = math.ceil(0.975 * reps).toLong
+    items.agg(count(lit(1)).as("n_items"), sum("y").as("nc"))
+      .select(col("n_items"),
+        expr("(2 * nc * 1000000 + n_items) div (2 * n_items)")
+          .as("acc_e6"),
+        lit(reps.toLong).as("n_reps"))
+      .crossJoin(broadcast(ranked.filter(col("rk") === loRank)
+        .select(col("acc_e6").as("ci_lo_e6"))))
+      .crossJoin(broadcast(ranked.filter(col("rk") === hiRank)
+        .select(col("acc_e6").as("ci_hi_e6"))))
+  }
+
   /** Multinomial naive Bayes with Laplace smoothing — train token/class
     * counts on a labeled slice, score and argmax every apply-side
     * document (the McCallum & Nigam 1998 event model): the 30-year

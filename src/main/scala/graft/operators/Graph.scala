@@ -686,6 +686,56 @@ object Graph {
       .agg(count(lit(1)).as("n_keys"))
   }
 
+  /** Co-occurrence lift — [[cooccurrence]]'s pair counts normalized by
+    * the independence baseline: lift(a,b) = P(a,b)/(P(a)·P(b)) =
+    * n_ab·N / (n_a·n_b) over distinct keys (the market-basket
+    * association measure; its log is PMI). Raw pair counts rank
+    * ubiquitous items first; lift surfaces pairs that co-occur MORE
+    * than their popularity predicts — the association signal a
+    * domain/topic co-browse or co-citation analysis actually wants.
+    *
+    * Exact end-to-end: n_ab, n_a, n_b, N are distinct-key integer
+    * counts and lift rides the half-up 1e-6 lattice of their exact
+    * decimal(38,0) rational — no float, no ln (a caller wanting PMI
+    * takes ln(lift) knowingly; the exact rational is the portable
+    * artifact). Delegates candidate generation (and the loud
+    * maxItemsPerKey hub raise) to [[cooccurrence]] — one authored
+    * pair-generation path.
+    *
+    * Scale: the [[cooccurrence]] cost shape plus one item-count
+    * aggregate, two item-keyed joins of the PAIR table against the
+    * item-sized count table (AQE broadcasts it) and a broadcast
+    * one-row total. Output: (item_a, item_b, n_keys, n_a, n_b,
+    * lift_e6).
+    */
+  def cooccurrenceLift(
+      df: DataFrame, keyCol: String, itemCol: String,
+      maxItemsPerKey: Int = 10000): DataFrame = {
+    val pairs = cooccurrence(df, keyCol, itemCol, maxItemsPerKey)
+    val ki = df.select(
+        when(col(keyCol).isNull,
+          raise_error(lit("cooccurrenceLift: null key")))
+          .otherwise(col(keyCol).cast("string")).as("k"),
+        when(col(itemCol).isNull,
+          raise_error(lit("cooccurrenceLift: null item")))
+          .otherwise(col(itemCol).cast("string")).as("item"))
+      .distinct()
+      .localCheckpoint() // feeds item counts and the key total
+    val ic = ki.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val tot = ki.select("k").distinct().agg(count(lit(1)).as("n_total"))
+    pairs
+      .join(ic.select(col("item").as("item_a"), col("n_item").as("n_a")),
+        Seq("item_a"))
+      .join(ic.select(col("item").as("item_b"), col("n_item").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("item_a"), col("item_b"), col("n_keys"),
+        col("n_a"), col("n_b"),
+        expr("(2 * CAST(n_keys AS DECIMAL(38,0)) * n_total * 1000000 + " +
+          "CAST(n_a AS DECIMAL(38,0)) * n_b) div " +
+          "(2 * CAST(n_a AS DECIMAL(38,0)) * n_b)").as("lift_e6"))
+  }
+
   /** Adamic–Adar link-prediction scores (Adamic & Adar 2003): for every
     * node pair sharing ≥ 1 common neighbor, Σ_z 1/ln(deg z) over the
     * common neighbors z — the classic "friends-of-friends, weighted

@@ -890,6 +890,23 @@ object ScaleProbe {
             pmod(col("doc_id") * 31, lit(7)).cast("string").as("p")),
           "y", "p").count()
       },
+      // e24: items×reps md5 fan-out is the deliberate portability
+      // price — CPU-linear in items, map-side-combined per replicate
+      "e24_bootstrap" -> (d =>
+        Classifier.bootstrapAccuracyCI(
+          d.select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(5)) =!= 0, 1L).otherwise(0L)
+              .as("c")),
+          "doc_id", "c", reps = 200).count()),
+      "g11_lift" -> { d =>
+        val grp = math.max(probeN / 50, 20L)
+        Graph.cooccurrenceLift(
+          d.select(pmod(xxhash64(col("doc_id"), lit(21L)), lit(grp))
+              .as("k"),
+            pmod(xxhash64(col("doc_id"), lit(22L)), lit(40L))
+              .cast("string").as("item")),
+          "k", "item").count()
+      },
       // d21: both shingle-overlap scores from the ONE-pass core — the
       // d2 probe's cost shape is the contract; this pins the combined
       // operator to it (a second shingle pass would read as ~2× d2)

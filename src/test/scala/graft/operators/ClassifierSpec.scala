@@ -630,6 +630,44 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrapAccuracyCI ≡ an independent scalar bootstrap model") {
+    import spark.implicits._
+    val items = (0L until 50L).map(i => (i, if (i % 5 != 0) 1L else 0L))
+    val got = Classifier.bootstrapAccuracyCI(
+        items.toDF("doc_id", "correct"), "doc_id", "correct", reps = 40)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // scalar model: same md5-derived uniforms, same CDF thresholds,
+    // same lattices and order statistics
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u6(b: Int, id: Long) =
+      java.lang.Long.parseLong(md5hex(s"boot:$b:$id").take(15), 16) %
+        1000000L
+    def w(u: Long) = {
+      val i = Classifier.PoissonCdfE6.indexWhere(u < _)
+      if (i < 0) 7L else i.toLong
+    }
+    val accs = (1 to 40).map { b =>
+      val ws = items.map { case (id, y) => (w(u6(b, id)), y) }
+      val nw = ws.map(_._1).sum
+      val cw = ws.map { case (wt, y) => wt * y }.sum
+      (2 * cw * 1000000 + nw) / (2 * nw)
+    }.sorted
+    val acc = (2 * items.map(_._2).sum * 1000000 + 50) / (2 * 50)
+    assert(got == ((50L, acc, 40L, accs(0), accs(38))))
+    assert(got._4 <= got._2 && got._2 <= got._5)
+    // weights are a sane Poisson(1) sample: mean weight ~ 1
+    val e = intercept[Exception] {
+      Classifier.bootstrapAccuracyCI(
+        Seq((1L, 2L)).toDF("doc_id", "correct"),
+        "doc_id", "correct", reps = 40).collect()
+    }
+    assert(e.getMessage.contains("0/1")
+      || e.getCause != null && e.getCause.getMessage.contains("0/1"),
+      e.getMessage)
+  }
+
   test("naiveBayes: hand corpus matches an independent scalar model; " +
       "tie breaks to the smallest class") {
     import spark.implicits._

@@ -539,6 +539,28 @@ class GraphSpec extends AnyFunSuite {
       70L * 69 / 2)
   }
 
+  test("cooccurrenceLift: hand lattices, independence baseline = 1e6") {
+    import spark.implicits._
+    // a,b co-occur in 3 of 4 baskets (each appears 3×): lift 4/3;
+    // c,d co-occur once and are rare: lift 4
+    val df = Seq(("k1", "a"), ("k1", "b"), ("k2", "a"), ("k2", "b"),
+      ("k3", "a"), ("k3", "b"), ("k4", "c"), ("k4", "d"))
+      .toDF("k", "item")
+    val got = Graph.cooccurrenceLift(df, "k", "item")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // 3·4·1e6/9 = 1333333.33 → half-up 1333333
+    assert(got == Map(
+      ("a", "b") -> ((3L, 3L, 3L, 1333333L)),
+      ("c", "d") -> ((1L, 1L, 1L, 4000000L))))
+    // a pair at exactly its independence baseline reads 1e6
+    val indep = Seq(("k1", "x"), ("k1", "y"), ("k2", "x"), ("k2", "y"))
+      .toDF("k", "item")
+    val l = Graph.cooccurrenceLift(indep, "k", "item")
+      .as[(String, String, Long, Long, Long, Long)].collect().head
+    assert(l._6 == 1000000L)
+  }
+
   test("adamicAdar ≡ brute-force scalar model on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
