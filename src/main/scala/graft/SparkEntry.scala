@@ -3008,6 +3008,15 @@ FROM c"""
     Retrieval.averagePrecision(approx, judged, k = 10)
   }
 
+  /** v20: pairwise-cosine histogram over the (id, id+1) stride pairing
+    * of the embeddings table — the anisotropy/collapse health read;
+    * cosines snap to the 1e-4 lattice, buckets are exact integer
+    * arithmetic, all 20 bins emitted zero-filled. Full oracle.
+    */
+  private def v20CosineHist(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineHistogram(
+      T(s, d, "embeddings"), "vec_id", "embedding")
+
   /** e24: Poisson-bootstrap 95% CI for accuracy — portable md5-derived
     * Poisson(1) weights (exact e6 CDF lattice constants), per-replicate
     * accuracies and both CI endpoints as exact integer lattices;
@@ -4062,6 +4071,7 @@ FROM c"""
     "ml2_naive_bayes" -> (ml2NaiveBayes _),
     "e24_bootstrap_ci" -> (e24BootstrapCI _),
     "g11_cooccur_lift" -> (g11CooccurLift _),
+    "v20_cosine_hist" -> (v20CosineHist _),
     "w21_gini" -> (w21Gini _),
     "d20_cross_source_overlap" -> (d20CrossSourceOverlap _),
     "w22_autocorrelation" -> (w22Autocorrelation _),
@@ -9148,6 +9158,26 @@ FROM c"""
         |      // (2 * 2520 * least(n_rel, 10)))::BIGINT
         |  END AS ap_e6
         |FROM reltot FULL OUTER JOIN terms USING (q_id)""".stripMargin,
+    // v20 twin: the e22 dot/norm trees, the same 1e-4 half-up snap and
+    // exact integer bucketing, range() densify
+    "v20_cosine_hist" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.v AS va, b.v AS vb FROM e a
+        |  JOIN e b ON b.vec_id = a.vec_id + 1),
+        |c AS (SELECT floor(list_dot_product(va, vb) /
+        |    (sqrt(list_dot_product(va, va)) *
+        |     sqrt(list_dot_product(vb, vb))) * 10000 + 0.5)::BIGINT
+        |    AS c4 FROM p),
+        |bc AS (SELECT least(19, greatest(0,
+        |    ((c4 + 10000) * 20) // 20000)) AS bin,
+        |    count(*)::BIGINT AS n FROM c GROUP BY 1),
+        |g AS (SELECT unnest(range(0, 20)) AS bin)
+        |SELECT g.bin::BIGINT AS bin,
+        |  (-1000000 + g.bin * 100000)::BIGINT AS lo_e6,
+        |  (-1000000 + (g.bin + 1) * 100000)::BIGINT AS hi_e6,
+        |  coalesce(n, 0)::BIGINT AS n_pairs
+        |FROM g LEFT JOIN bc ON g.bin = bc.bin""".stripMargin,
     // e24 twin: the portable md5 base-16 fold (the v3/d3 idiom), the
     // byte-identical Poisson CDF e6 thresholds, per-replicate lattice
     // accuracies and the same ceil(0.025/0.975·B) order statistics

@@ -90,7 +90,15 @@ object IntervalDepth {
       .localCheckpoint()
     // per-(partition, chrom) subtotals and first event per partition:
     // <= partitions + chroms rows — the model-sized driver traffic of
-    // an external scan's offset vector
+    // an external scan's offset vector. KEY-CARDINALITY CONTRACT: this
+    // collect is bounded because the carry key is a CHROMOSOME —
+    // genomes have tens of contigs (a few thousand with scaffolds),
+    // so partitions × chroms stays offset-vector-sized at any corpus
+    // scale. Reusing this sweep for a NON-genomic track key (e.g.
+    // per-document or per-user intervals, millions of keys) would make
+    // the driver map key-cardinality-sized — don't: re-key such data
+    // onto a bounded partition key first, or use the bin-join
+    // operators (IntervalJoin) whose state never leaves the executors.
     val partials = run.groupBy("pid", "chrom")
       .agg(sum("delta").as("sd"), min("pos").as("firstPos"))
       .as[(Int, String, Long, Long)].collect().sortBy(r => (r._2, r._1))

@@ -48,6 +48,58 @@ object Similarity {
       .select("q_id", "c_id", "sim", "rank")
   }
 
+  /** Pairwise-cosine histogram over a deterministic id-stride pairing —
+    * the embedding-space HEALTH read (Ethayarajh 2019's anisotropy
+    * observation turned into a monitoring operator): a healthy space
+    * spreads pair cosines over the mid bins; an anisotropic/collapsing
+    * space (undertrained model, projection bug, all-identical rows)
+    * piles mass against the top bin, and a histogram that shifts
+    * between corpus snapshots means the embedding model changed even
+    * if nobody said so.
+    *
+    * Pairs are (id, id + delta) — both present in the table — so the
+    * sample is deterministic, engine-reproducible and join-sized (no
+    * rand(), no corpus², no global sort). Each pair's cosine snaps to
+    * the 1e-4 half-up lattice (the v-family rounding tolerance) and
+    * buckets by EXACT integer arithmetic from there; `bins` must
+    * divide the 20,000-step lattice span so bin edges are exact
+    * lattice points. Zero-norm vectors raise (their cosine is
+    * undefined — clean upstream). Every bin row is emitted, zero
+    * counts included (a stable histogram shape to diff).
+    *
+    * Scale: one self-equi-join on the shifted id + one
+    * map-side-combined bins-sized count + a broadcast bins-row
+    * densify. Output: (bin, lo_e6, hi_e6, n_pairs).
+    */
+  def cosineHistogram(
+      embs: DataFrame, idCol: String, vecCol: String,
+      bins: Int = 20, delta: Long = 1L): DataFrame = {
+    require(bins >= 2 && 20000 % bins == 0,
+      s"bins must divide the 20000-step cosine lattice (got $bins)")
+    require(delta != 0L, "delta must be non-zero")
+    val spark = embs.sparkSession
+    val a = embs.select(col(idCol).cast("long").as("ida"),
+      col(vecCol).as("va"), fnorm(col(vecCol)).as("na"))
+    val b = embs.select((col(idCol).cast("long") - delta).as("ida"),
+      col(vecCol).as("vb"), fnorm(col(vecCol)).as("nb"))
+    val c4 = floor(fdot(col("va"), col("vb")) /
+      (col("na") * col("nb")) * lit(1e4) + lit(0.5)).cast("long")
+    val counts = a.join(b, Seq("ida"))
+      .select(when(col("na") === 0 || col("nb") === 0,
+        raise_error(lit("cosineHistogram: zero-norm vector")))
+        .otherwise(c4).as("c4"))
+      .select(least(lit(bins - 1L), greatest(lit(0L),
+        expr(s"((c4 + 10000) * $bins) div 20000"))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val step = 2000000L / bins
+    spark.range(bins).select(col("id").as("bin"))
+      .join(broadcast(counts), Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(-1000000L) + col("bin") * step).as("lo_e6"),
+        (lit(-1000000L) + (col("bin") + 1) * step).as("hi_e6"),
+        coalesce(col("n"), lit(0L)).as("n_pairs"))
+  }
+
   /** Margin-based mutual-kNN pair mining (Artetxe & Schwenk, ACL 2019 —
     * the bitext-mining scorer behind large-scale parallel-corpus
     * construction, e.g. CCMatrix/LASER pipelines): a pair (l, r) is

@@ -898,6 +898,10 @@ object ScaleProbe {
             when(pmod(col("doc_id"), lit(5)) =!= 0, 1L).otherwise(0L)
               .as("c")),
           "doc_id", "c", reps = 200).count()),
+      "v20_cosine_hist" -> (d =>
+        Similarity.cosineHistogram(
+          synthEmb(d.sparkSession, probeN), "vec_id", "embedding")
+          .count()),
       "g11_lift" -> { d =>
         val grp = math.max(probeN / 50, 20L)
         Graph.cooccurrenceLift(

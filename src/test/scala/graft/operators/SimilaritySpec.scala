@@ -616,4 +616,49 @@ class SimilaritySpec extends AnyFunSuite {
     // by raw quantized DOT (the MIPS convention), where a larger-norm
     // candidate can legitimately out-score the query itself.
   }
+
+  test("cosineHistogram: hand pairs land in the right bins, zero bins " +
+      "emitted, zero-norm raises, scalar parity") {
+    // pairs (0,1) identical → cos 1 (top bin 19); (1,2) orthogonal →
+    // cos 0 (bin 10); (2,3) opposite → cos −1 (bin 0, clamped)
+    val embs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(2f, 0f)),
+      (2L, Array(0f, 3f)), (3L, Array(0f, -1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.cosineHistogram(embs, "vec_id", "embedding")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 20)
+    assert(got(19) == ((900000L, 1000000L, 1L)))
+    assert(got(10) == ((0L, 100000L, 1L)))
+    assert(got(0) == ((-1000000L, -900000L, 1L)))
+    assert(got.values.map(_._3).sum == 3L)
+    // randomized scalar parity: same lattice snap + bucket arithmetic
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val hist = Similarity.cosineHistogram(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val want = vecs.sliding(2).map { case Seq((_, a), (_, b)) =>
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+          acc + p.toDouble * q.toDouble }
+      val c4 = math.floor(dot(a, b) /
+        (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e4 + 0.5).toLong
+      math.min(19L, math.max(0L, (c4 + 10000L) * 20 / 20000L))
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    (0L until 20L).foreach(b =>
+      assert(hist(b) == want.getOrElse(b, 0L), s"bin $b"))
+    val e = intercept[Exception] {
+      Similarity.cosineHistogram(
+        Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage.contains("zero-norm")
+      || e.getCause != null &&
+        e.getCause.getMessage.contains("zero-norm"), e.getMessage)
+  }
 }
