@@ -378,10 +378,18 @@ object Classifier {
     *
     * Scale: training is two map-side-combined counts (per-class docs,
     * per-(class, term) tokens) + class-sized stats (localCheckpointed,
-    * broadcast); scoring fans each apply-side (doc, term) row out to
-    * |classes| rows (classes are few by construction), left-joins the
-    * (class, term) model — AQE broadcasts it when it fits, hash-join
-    * otherwise — and folds per (doc, class). Scoring is TOTAL: every
+    * broadcast). Scoring uses the smoothing algebra to avoid fanning
+    * every (doc, term) row out by |classes|:
+    *
+    *   score(d, c) = prior(c) + default(c)·N_d
+    *                 + Σ_{t seen in c} k_dt·(lp(c,t) − default(c))
+    *
+    * — the unseen-term mass collapses to one per-(doc, class) closed
+    * form (docs × classes rows, tiny), and the only big join is the
+    * INNER (doc, term) ⋈ (class, term) model join, whose volume is
+    * bounded by terms actually known to each class instead of
+    * tokens × classes. Exactly the same integers, spec-pinned.
+    * Scoring is TOTAL: every
     * apply-side row predicts (an empty text still tokenizes to the
     * single empty token under split semantics and scores via the
     * unseen default, i.e. by the priors). Null labels raise.
@@ -411,21 +419,31 @@ object Classifier {
           lit(1e6)).cast("long").as("default_e6"),
         (col("n_c") + col("v")).as("denom"))
       .localCheckpoint() // class-sized; feeds the model, fan-out, prior
-    val model = tf.join(classStats.select("c", "denom"), Seq("c"))
+    // per-(class, term) adjustment lp − default: what a SEEN term adds
+    // over the unseen baseline — the only per-token scoring input
+    val model = tf.join(classStats.select("c", "denom", "default_e6"),
+        Seq("c"))
       .select(col("c"), col("t"),
-        floor(log((col("tf") + 1).cast("double") /
+        (floor(log((col("tf") + 1).cast("double") /
           col("denom").cast("double")) * lit(1e6))
-          .cast("long").as("lp_e6"))
+          .cast("long") - col("default_e6")).as("adj_e6"))
     val ap = applyDf
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
       .groupBy("id", "t").agg(count(lit(1)).as("k"))
-    ap.crossJoin(broadcast(classStats.select("c", "default_e6")))
-      .join(model, Seq("c", "t"), "left")
+      // lazy: the first consumer's job materializes the cache in
+      // passing (the g3 half-step discipline) — the tokenize+count
+      // pipeline still runs exactly once for both consumers
+      .localCheckpoint(eager = false)
+    val adj = ap.join(model, Seq("t"))
+      .groupBy("id", "c").agg(sum(col("k") * col("adj_e6")).as("sadj"))
+    val base = ap.groupBy("id").agg(sum("k").as("n_d"))
+      .crossJoin(broadcast(classStats.select("c", "prior_e6",
+        "default_e6")))
       .select(col("id"), col("c"),
-        (col("k") * coalesce(col("lp_e6"), col("default_e6"))).as("term"))
-      .groupBy("id", "c").agg(sum("term").as("s"))
-      .join(broadcast(classStats.select("c", "prior_e6")), Seq("c"))
-      .select(col("id"), col("c"), (col("s") + col("prior_e6")).as("sc"))
+        (col("prior_e6") + col("default_e6") * col("n_d")).as("base"))
+    base.join(adj, Seq("id", "c"), "left")
+      .select(col("id"), col("c"),
+        (col("base") + coalesce(col("sadj"), lit(0L))).as("sc"))
       .groupBy("id")
       .agg(min(struct((-col("sc")).as("ns"), col("c"))).as("m"))
       .select(col("id"), col("m.c").as("pred"),
