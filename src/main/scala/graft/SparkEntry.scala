@@ -2991,6 +2991,33 @@ FROM c"""
     Multimodal.wavMeta(s, payloads, "doc_id")
   }
 
+  /** m12: ZIP container metadata — per-doc archives BUILT by the JDK
+    * writer (STORED entries, member count/sizes closed-form in doc_id;
+    * every 11th doc non-ZIP text bytes) and PARSED back by the
+    * independent EOCD + central-directory walk: a genuine
+    * two-implementation cross-check with a closed-form oracle (the
+    * m10/m11 discipline).
+    */
+  private def m12ZipMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = T(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes =
+          if (id % 11 == 0) text.getBytes("UTF-8") // non-ZIP: dropped
+          else {
+            val n = 1 + (id % 5).toInt
+            Multimodal.zipBytes((0 until n).map { i =>
+              val sz = 10 + ((id + i) % 100).toInt
+              (s"f$i.txt",
+                Array.tabulate(sz)(j => ((id + i + j) % 256).toByte))
+            })
+          }
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+    Multimodal.zipMeta(s, payloads, "doc_id")
+  }
+
   /** e22: average precision @10 of the v10 Hamming retriever against
     * binary judgments (the exact cosine top-5 per query) — the MAP
     * building block e1's MRR/nDCG pair doesn't cover. Fully exact:
@@ -3039,6 +3066,18 @@ FROM c"""
       T(s, d, "events").filter(col("user_id").isNotNull)
         .select(col("user_id"), col("event_type")),
       "user_id", "event_type")
+
+  /** e25: PAIRED bootstrap delta-accuracy CI between two deterministic
+    * systems (A: doc_id % 5 ≠ 0 = 80%; B: doc_id % 4 ≠ 0 = 75%) on the
+    * same items — shared Poisson weights per replicate (the pairing),
+    * delta order statistics, three-valued verdict. Full oracle.
+    */
+  private def e25BootstrapDelta(s: SparkSession, d: String): DataFrame =
+    Classifier.bootstrapDeltaCI(
+      T(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) =!= 0, 1L).otherwise(0L).as("a"),
+        when(pmod(col("doc_id"), lit(4)) =!= 0, 1L).otherwise(0L).as("b")),
+      "doc_id", "a", "b", reps = 200)
 
   /** ml2: multinomial naive Bayes with a REAL train/apply split (train
     * = doc_id % 3 ≠ 0 labeled by source, score the % 3 = 0 holdout,
@@ -4068,10 +4107,12 @@ FROM c"""
     "e22_average_precision" -> (e22AveragePrecision _),
     "e23_multiclass_report" -> (e23MulticlassReport _),
     "m11_wav_meta" -> (m11WavMeta _),
+    "m12_zip_meta" -> (m12ZipMeta _),
     "ml2_naive_bayes" -> (ml2NaiveBayes _),
     "e24_bootstrap_ci" -> (e24BootstrapCI _),
     "g11_cooccur_lift" -> (g11CooccurLift _),
     "v20_cosine_hist" -> (v20CosineHist _),
+    "e25_bootstrap_delta" -> (e25BootstrapDelta _),
     "w21_gini" -> (w21Gini _),
     "d20_cross_source_overlap" -> (d20CrossSourceOverlap _),
     "w22_autocorrelation" -> (w22Autocorrelation _),
@@ -9111,6 +9152,16 @@ FROM c"""
         |    (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
         |      ELSE 44100 END))::BIGINT AS duration_ms
         |FROM documents WHERE doc_id % 11 <> 0""".stripMargin,
+    // m12 twin: closed-form in doc_id (STORED entries ⇒ csize ≡ usize;
+    // names are all 6 chars at ≤ 5 members)
+    "m12_zip_meta" ->
+      """SELECT doc_id AS id, (1 + doc_id % 5)::BIGINT AS n_entries,
+        |  list_sum([10 + (doc_id + i) % 100
+        |    for i in range(0, 1 + doc_id % 5)])::BIGINT AS total_usize,
+        |  list_sum([10 + (doc_id + i) % 100
+        |    for i in range(0, 1 + doc_id % 5)])::BIGINT AS total_csize,
+        |  (6 * (1 + doc_id % 5))::BIGINT AS names_len
+        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin,
     // e22 twin: the e1 oracle's hamming/cosine ranking CTEs, binary
     // judgments = cosine top-5, then lcm(1..10)=2520 integer AP terms
     // over a rank-ordered cumulative window + one lattice division
@@ -9210,6 +9261,52 @@ FROM c"""
         |SELECT n_items, acc_e6, 200::BIGINT AS n_reps,
         |  (SELECT acc FROM rk WHERE rk = 5) AS ci_lo_e6,
         |  (SELECT acc FROM rk WHERE rk = 195) AS ci_hi_e6
+        |FROM pt""".stripMargin,
+    // e25 twin: the e24 md5/threshold machinery with SHARED weights
+    // per (item, replicate) feeding both systems' sums, delta order
+    // statistics and the same verdict CASE
+    "e25_bootstrap_delta" ->
+      """WITH items AS (SELECT doc_id::VARCHAR AS id,
+        |    CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS ya,
+        |    CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS yb
+        |  FROM documents),
+        |fan AS (SELECT id, ya, yb, unnest(range(1, 201)) AS b
+        |  FROM items),
+        |u AS (SELECT b, ya, yb,
+        |    list_reduce([strpos('0123456789abcdef',
+        |        substr(md5('boot:' || b::VARCHAR || ':' || id), i, 1)) - 1
+        |      for i in range(1, 16)]::BIGINT[], (a, x) -> a * 16 + x)
+        |      % 1000000 AS u6
+        |  FROM fan),
+        |w AS (SELECT b, ya, yb,
+        |    CASE WHEN u6 < 367879 THEN 0 WHEN u6 < 735758 THEN 1
+        |      WHEN u6 < 919698 THEN 2 WHEN u6 < 981011 THEN 3
+        |      WHEN u6 < 996340 THEN 4 WHEN u6 < 999405 THEN 5
+        |      WHEN u6 < 999916 THEN 6 ELSE 7 END AS w FROM u),
+        |rep AS (SELECT b, sum(w)::HUGEINT AS nw,
+        |    sum(w * ya)::HUGEINT AS ca, sum(w * yb)::HUGEINT AS cb
+        |  FROM w GROUP BY 1),
+        |rk AS (SELECT ((2 * ca * 1000000 + nw) // (2 * nw) -
+        |      (2 * cb * 1000000 + nw) // (2 * nw))::BIGINT AS delta,
+        |    row_number() OVER (ORDER BY
+        |      (2 * ca * 1000000 + nw) // (2 * nw) -
+        |      (2 * cb * 1000000 + nw) // (2 * nw), b) AS rk FROM rep),
+        |pt AS (SELECT count(*)::BIGINT AS n_items,
+        |    ((2 * sum(ya) * 1000000 + count(*)) // (2 * count(*)))
+        |      ::BIGINT AS acc_a_e6,
+        |    ((2 * sum(yb) * 1000000 + count(*)) // (2 * count(*)))
+        |      ::BIGINT AS acc_b_e6
+        |  FROM items)
+        |SELECT n_items, acc_a_e6, acc_b_e6,
+        |  (acc_a_e6 - acc_b_e6)::BIGINT AS delta_e6,
+        |  200::BIGINT AS n_reps,
+        |  (SELECT delta FROM rk WHERE rk = 5) AS ci_lo_e6,
+        |  (SELECT delta FROM rk WHERE rk = 195) AS ci_hi_e6,
+        |  CASE WHEN (SELECT delta FROM rk WHERE rk = 5) > 0
+        |      THEN 'a_better'
+        |    WHEN (SELECT delta FROM rk WHERE rk = 195) < 0
+        |      THEN 'b_better'
+        |    ELSE 'not_significant' END AS verdict
         |FROM pt""".stripMargin,
     // g11 twin: the g9 pair CTE + distinct-key item counts and the
     // exact HUGEINT lift lattice

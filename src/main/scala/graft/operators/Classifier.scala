@@ -361,6 +361,80 @@ object Classifier {
         .select(col("acc_e6").as("ci_hi_e6"))))
   }
 
+  /** PAIRED Poisson-bootstrap CI for an accuracy DELTA between two
+    * systems scored on the same items — the "is A actually better
+    * than B" answer (the per-system CIs of [[bootstrapAccuracyCI]]
+    * overlap ≠ no difference; the paired test resamples the same
+    * items for both sides, so item difficulty cancels and the delta's
+    * CI is the decision). Same deterministic machinery: one portable
+    * md5 Poisson(1) weight per (item, replicate) SHARED by both
+    * systems (that sharing IS the pairing), per-replicate accuracies
+    * on the half-up lattice, delta = acc_a − acc_b, 2.5%/97.5% order
+    * statistics. Verdict is the three-valued string: 'a_better' when
+    * the CI sits wholly above 0, 'b_better' wholly below,
+    * 'not_significant' otherwise.
+    *
+    * Output: one row (n_items, acc_a_e6, acc_b_e6, delta_e6, n_reps,
+    * ci_lo_e6, ci_hi_e6, verdict).
+    */
+  def bootstrapDeltaCI(
+      df: DataFrame, idCol: String, aCol: String, bCol: String,
+      reps: Int = 200): DataFrame = {
+    require(reps >= 40 && reps <= 10000,
+      s"reps must be in [40, 10000] (got $reps)")
+    def checked01(c: String, side: String) =
+      when(col(c).isNull || !col(c).cast("long").isin(0L, 1L),
+        raise_error(lit(s"bootstrapDeltaCI: $side must be 0/1")))
+        .otherwise(col(c).cast("long"))
+    val items = df.select(
+        col(idCol).cast("string").as("id"),
+        checked01(aCol, "a").as("ya"), checked01(bCol, "b").as("yb"))
+      .localCheckpoint() // feeds the fan-out and the point estimates
+    val u6 = pmod(
+      conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),
+        lit(":"), col("id"))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    val w = PoissonCdfE6.zipWithIndex.foldRight(lit(7L): Column) {
+      case ((t, k), acc) => when(col("u6") < t, k.toLong).otherwise(acc)
+    }
+    val perRep = items
+      .withColumn("b", explode(sequence(lit(1), lit(reps))))
+      .withColumn("u6", u6)
+      .withColumn("w", w)
+      .groupBy("b")
+      .agg(sum("w").as("nw"), sum(col("w") * col("ya")).as("ca"),
+        sum(col("w") * col("yb")).as("cb"))
+      .select(col("b"),
+        when(col("nw") > 0,
+          expr("(2 * ca * 1000000 + nw) div (2 * nw) - " +
+            "(2 * cb * 1000000 + nw) div (2 * nw)"))
+          .otherwise(raise_error(lit("bootstrapDeltaCI: a replicate " +
+            "drew total weight 0 — too few items to bootstrap"))
+            .cast("long")).as("delta_e6"))
+    val ranked = perRep.withColumn("rk",
+      row_number().over(Window.orderBy(col("delta_e6"), col("b")))
+        .cast("long"))
+    val loRank = math.ceil(0.025 * reps).toLong
+    val hiRank = math.ceil(0.975 * reps).toLong
+    items.agg(count(lit(1)).as("n_items"),
+        sum("ya").as("na"), sum("yb").as("nb"))
+      .select(col("n_items"),
+        expr("(2 * na * 1000000 + n_items) div (2 * n_items)")
+          .as("acc_a_e6"),
+        expr("(2 * nb * 1000000 + n_items) div (2 * n_items)")
+          .as("acc_b_e6"))
+      .withColumn("delta_e6", col("acc_a_e6") - col("acc_b_e6"))
+      .withColumn("n_reps", lit(reps.toLong))
+      .crossJoin(broadcast(ranked.filter(col("rk") === loRank)
+        .select(col("delta_e6").as("ci_lo_e6"))))
+      .crossJoin(broadcast(ranked.filter(col("rk") === hiRank)
+        .select(col("delta_e6").as("ci_hi_e6"))))
+      .withColumn("verdict",
+        when(col("ci_lo_e6") > 0, lit("a_better"))
+          .when(col("ci_hi_e6") < 0, lit("b_better"))
+          .otherwise(lit("not_significant")))
+  }
+
   /** Multinomial naive Bayes with Laplace smoothing — train token/class
     * counts on a labeled slice, score and argmax every apply-side
     * document (the McCallum & Nigam 1998 event model): the 30-year

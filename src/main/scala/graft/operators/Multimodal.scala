@@ -958,6 +958,99 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  case class ZipInfo(
+    nEntries: Int, totalUsize: Long, totalCsize: Long, namesLen: Long)
+
+  /** ZIP central-directory walk — an INDEPENDENT parse (no
+    * java.util.zip on this side; the construct side uses the JDK, so
+    * round-tripping cross-checks two implementations): scan the tail
+    * window for the End-Of-Central-Directory signature, then walk the
+    * central directory records for entry count, uncompressed /
+    * compressed byte totals and name-length mass. Returns None for
+    * non-ZIP or structurally corrupt bytes (bad signature chain,
+    * truncated record, directory overrunning the buffer) — never
+    * throws, the wavInfo discipline. ZIP64 archives (> 4 GiB or >
+    * 65535 entries) read as non-ZIP by contract; shard archives that
+    * large should be split upstream anyway.
+    */
+  private[operators] def zipInfo(bytes: Array[Byte]): Option[ZipInfo] = {
+    def le16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def le32(o: Int) = (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+      ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def sigAt(o: Int, c: Int, d: Int) =
+      bytes(o) == 0x50 && bytes(o + 1) == 0x4b &&
+        (bytes(o + 2) & 0xFF) == c && (bytes(o + 3) & 0xFF) == d
+    if (bytes.length < 22) return None
+    var e = bytes.length - 22
+    val stop = math.max(0, bytes.length - 22 - 65535)
+    while (e >= stop && !sigAt(e, 0x05, 0x06)) e -= 1
+    if (e < stop || !sigAt(e, 0x05, 0x06)) return None
+    val n = le16(e + 10)
+    val cdSize = le32(e + 12)
+    val cdOff = le32(e + 16)
+    if (cdOff < 0 || cdSize < 0 || cdOff + cdSize > e) return None
+    var off = cdOff.toInt
+    var i = 0
+    var us = 0L; var cs = 0L; var nl = 0L
+    while (i < n) {
+      if (off + 46 > bytes.length || !sigAt(off, 0x01, 0x02)) return None
+      cs += le32(off + 20)
+      us += le32(off + 24)
+      val nlen = le16(off + 28)
+      nl += nlen
+      off += 46 + nlen + le16(off + 30) + le16(off + 32)
+      i += 1
+    }
+    Some(ZipInfo(n, us, cs, nl))
+  }
+
+  /** Minimal deterministic ZIP builder — STORED entries (csize ≡
+    * usize, so structure metadata stays closed-form; DEFLATE output
+    * bytes are zlib-version-dependent and would break reproducible
+    * fixtures) via the JDK's own writer, which is exactly what makes
+    * the [[zipInfo]] round trip a TWO-implementation cross-check.
+    */
+  def zipBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, data) =>
+      val ze = new java.util.zip.ZipEntry(name)
+      ze.setMethod(java.util.zip.ZipEntry.STORED)
+      ze.setSize(data.length.toLong)
+      ze.setCompressedSize(data.length.toLong)
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      ze.setCrc(crc.getValue)
+      zos.putNextEntry(ze)
+      zos.write(data)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** ZIP container metadata per payload — the [[bmpMeta]]/[[wavMeta]]
+    * shape for archives (training corpora routinely arrive as shard
+    * archives; "how many members, how many bytes, how much is names"
+    * is the manifest row before anything is extracted): one typed
+    * per-partition pass of the [[zipInfo]] central-directory walk —
+    * header/directory-only, O(directory) per payload, zero shuffle.
+    * Non-ZIP payloads emit no row. Output: (id, n_entries,
+    * total_usize, total_csize, names_len).
+    */
+  def zipMeta(
+      spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        zipInfo(bytes).map(z => (id, z.nEntries.toLong, z.totalUsize,
+          z.totalCsize, z.namesLen))
+      })
+      .toDF("id", "n_entries", "total_usize", "total_csize", "names_len")
+  }
+
   /** General WAV (RIFF) builder — arbitrary channel count, sample
     * rate, bit depth and frame count, zero-filled PCM data;
     * `extraChunk` inserts an ODD-sized LIST chunk between `fmt ` and

@@ -898,6 +898,29 @@ object ScaleProbe {
             when(pmod(col("doc_id"), lit(5)) =!= 0, 1L).otherwise(0L)
               .as("c")),
           "doc_id", "c", reps = 200).count()),
+      // e25: the e24 fan-out shape with two label columns — same
+      // CPU-linear md5 cost, one extra sum per replicate
+      "e25_bootstrap_delta" -> (d =>
+        Classifier.bootstrapDeltaCI(
+          d.select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(5)) =!= 0, 1L).otherwise(0L)
+              .as("a"),
+            when(pmod(col("doc_id"), lit(4)) =!= 0, 1L).otherwise(0L)
+              .as("b")),
+          "doc_id", "a", "b", reps = 200).count()),
+      // m12: directory-walk-bound construct→parse, the m8/m10/m11
+      // bytes-scanned class — probed for the construct cost envelope
+      "m12_zip_meta" -> { d =>
+        val s2 = d.sparkSession
+        import s2.implicits._
+        val payloads = d.select(col("doc_id")).as[Long].map { id =>
+          (id, graft.operators.Multimodal.zipBytes(
+            (0 until (1 + (id % 4)).toInt).map(i =>
+              (s"e$i", Array.tabulate((5 + id % 9).toInt)(j =>
+                ((id + j) % 128).toByte)))))
+        }.toDF("doc_id", "payload")
+        graft.operators.Multimodal.zipMeta(s2, payloads, "doc_id").count()
+      },
       "v20_cosine_hist" -> (d =>
         Similarity.cosineHistogram(
           synthEmb(d.sparkSession, probeN), "vec_id", "embedding")

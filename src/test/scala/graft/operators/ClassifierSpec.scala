@@ -668,6 +668,48 @@ class ClassifierSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("bootstrapDeltaCI ≡ scalar paired-bootstrap model; identical " +
+      "systems read exactly zero") {
+    import spark.implicits._
+    val items = (0L until 60L).map(i =>
+      (i, if (i % 5 != 0) 1L else 0L, if (i % 3 != 0) 1L else 0L))
+    val got = Classifier.bootstrapDeltaCI(
+        items.toDF("doc_id", "a", "b"), "doc_id", "a", "b", reps = 40)
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().head
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u6(b: Int, id: Long) =
+      java.lang.Long.parseLong(md5hex(s"boot:$b:$id").take(15), 16) %
+        1000000L
+    def w(u: Long) = {
+      val i = Classifier.PoissonCdfE6.indexWhere(u < _)
+      if (i < 0) 7L else i.toLong
+    }
+    val deltas = (1 to 40).map { b =>
+      val ws = items.map { case (id, ya, yb) => (w(u6(b, id)), ya, yb) }
+      val nw = ws.map(_._1).sum
+      def lat(c: Long) = (2 * c * 1000000 + nw) / (2 * nw)
+      lat(ws.map(r => r._1 * r._2).sum) - lat(ws.map(r => r._1 * r._3).sum)
+    }.sorted
+    val accA = (2 * items.map(_._2).sum * 1000000 + 60) / 120
+    val accB = (2 * items.map(_._3).sum * 1000000 + 60) / 120
+    val verdict = if (deltas(0) > 0) "a_better"
+      else if (deltas(38) < 0) "b_better" else "not_significant"
+    assert(got == ((60L, accA, accB, accA - accB, 40L,
+      deltas(0), deltas(38), verdict)))
+    // identical systems: every replicate delta is EXACTLY zero — the
+    // pairing cancels item difficulty by construction
+    val same = Classifier.bootstrapDeltaCI(
+        items.map(r => (r._1, r._2, r._2)).toDF("doc_id", "a", "b"),
+        "doc_id", "a", "b", reps = 40)
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().head
+    assert(same._4 == 0L && same._6 == 0L && same._7 == 0L &&
+      same._8 == "not_significant")
+  }
+
   test("naiveBayes: hand corpus matches an independent scalar model; " +
       "tie breaks to the smallest class") {
     import spark.implicits._

@@ -409,6 +409,54 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("zipBytes -> zipMeta round trip (independent CD walk vs the JDK " +
+      "writer), corrupt/non-ZIP drops, ZipInputStream cross-check") {
+    import spark.implicits._
+    // construct with the JDK, parse with the hand-rolled walk
+    val entries = Seq(
+      ("a.txt", Array.tabulate(17)(_.toByte)),
+      ("dir/longer-name.bin", Array.tabulate(300)(j => (j % 251).toByte)),
+      ("z", Array.empty[Byte]))
+    val z = Multimodal.zipBytes(entries)
+    val info = Multimodal.zipInfo(z).get
+    assert(info.nEntries == 3)
+    assert(info.totalUsize == 17 + 300 + 0)
+    assert(info.totalCsize == 17 + 300 + 0) // STORED
+    assert(info.namesLen == entries.map(_._1.length).sum)
+    // third implementation agrees: the JDK READER's entry walk
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(z))
+    val names = Iterator.continually(zis.getNextEntry)
+      .takeWhile(_ != null).map(_.getName).toList
+    assert(names == entries.map(_._1).toList)
+    // corrupt inputs read as non-ZIP, never throw
+    assert(Multimodal.zipInfo("PK but not a zip".getBytes).isEmpty)
+    assert(Multimodal.zipInfo(z.take(z.length - 5)).isEmpty) // EOCD cut
+    val badSig = z.clone()
+    badSig(0) = 'X' // local header corrupt is fine — CD drives the walk
+    assert(Multimodal.zipInfo(badSig).isDefined)
+    // the operator drops non-ZIP rows, partitioning-invariant
+    val rows = (0L until 30L).map { id =>
+      val b =
+        if (id % 7 == 0) s"nope $id".getBytes("UTF-8")
+        else Multimodal.zipBytes((0 until (1 + (id % 4)).toInt).map(i =>
+          (s"e$i", Array.tabulate((5 + id % 9).toInt)(j =>
+            ((id + j) % 128).toByte))))
+      (id, b)
+    }
+    def run(parts: Int) = Multimodal.zipMeta(spark,
+        rows.toDF("doc_id", "payload").repartition(parts), "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val got = run(1)
+    assert(run(5) == got)
+    assert(got.map(_._1) == (0L until 30L).filter(_ % 7 != 0))
+    got.foreach { case (id, n, us, cs, nl) =>
+      assert(n == 1 + id % 4)
+      assert(us == n * (5 + id % 9) && cs == us)
+      assert(nl == 2 * n) // names "e0".."e3"
+    }
+  }
+
   test("wavBytes -> wavMeta round trip incl. odd LIST chunk, AudioSystem " +
       "cross-check, non-WAV drop") {
     import spark.implicits._
