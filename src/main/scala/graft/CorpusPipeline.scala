@@ -142,6 +142,20 @@ final case class CorpusPipeline(
     copy(df = df.join(keep, col(idCol) === col("__keep"), "left_semi"))
   }
 
+  /** Keep only documents whose detected licence
+    * ([[graft.operators.Profiling.licenseColumn]], first-match
+    * precedence, 'none' when no signature fires) is in `allowed` —
+    * the compliance gate a code/web corpus runs before release (e.g.
+    * `Seq("none", "MIT", "Apache-2.0", "BSD-3-Clause")` keeps
+    * permissive + unmarked text and drops copyleft). Purely scan-side.
+    */
+  def gateLicense(allowed: Seq[String]): CorpusPipeline = {
+    require(allowed.nonEmpty, "gateLicense needs a non-empty allowlist")
+    copy(df = df.filter(
+      graft.operators.Profiling.licenseColumn(col(textCol))
+        .isin(allowed: _*)))
+  }
+
   /** Drop near-duplicates (MinHash-LSH at `threshold`), keeping each
     * cluster's min id.
     */

@@ -855,6 +855,14 @@ object ScaleProbe {
           pmod(col("doc_id"), lit(10)) === 0, minCount = 5).count()),
       "t40_lexrich" -> (d =>
         TextAnalytics.lexicalRichness(d, "doc_id", "text").count()),
+      // t39h: the Heaps-vocab pair (V = 10·√T) — isolates whether
+      // t39's fixed-vocab top-decade slope is pair-space densification
+      // or a plan defect (the t37/t38 artifact-isolation discipline)
+      "t39h_keyness" -> { d =>
+        val s2 = d.sparkSession
+        TextAnalytics.keyness(synthHeaps(s2, probeN), "doc_id", "text",
+          pmod(col("doc_id"), lit(10)) === 0, minCount = 5).count()
+      },
       "w24_interarrival" -> (d =>
         EventAnalytics.interArrival(synthEvents(d, probeN),
           "user_id", "ts", "event_type").count()),

@@ -89,6 +89,28 @@ class CorpusPipelineFacadeSpec extends AnyFunSuite {
     assert(gated <= 3L)
   }
 
+  test("gateLicense keeps the allowlist (incl. 'none'), drops copyleft, " +
+      "first-match precedence decides") {
+    val docs = Seq(
+      (1L, "plain text, no licence markers here"),
+      (2L, "Licensed under the Apache License, Version 2.0 terms"),
+      (3L, "free software under the GNU General Public License v3"),
+      // both MIT and Apache phrases: Apache wins by precedence, so the
+      // doc passes an {none, MIT, Apache-2.0} allowlist via Apache
+      (4L, "Permission is hereby granted, free of charge." +
+        " See the Apache License, Version 2.0."))
+      .toDF("doc_id", "text")
+    val kept = CorpusPipeline(docs, "doc_id", "text")
+      .gateLicense(Seq("none", "MIT", "Apache-2.0"))
+      .df.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 4L))
+    // a copyleft-only allowlist inverts the read
+    val gplOnly = CorpusPipeline(docs, "doc_id", "text")
+      .gateLicense(Seq("GPL-3.0"))
+      .df.select("doc_id").as[Long].collect().toSeq
+    assert(gplOnly == Seq(3L))
+  }
+
   test("weighted keeps target rows with null weights (left join)") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
       .toDF("doc_id", "text")

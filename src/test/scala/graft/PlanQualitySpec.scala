@@ -332,7 +332,9 @@ class PlanQualitySpec extends AnyFunSuite {
     for (q <- Seq("t39_keyness", "t40_lexical_richness",
         "w24_interarrival", "s14_neyman_allocation", "c20_license_scan",
         "g10_adamic_adar", "ml2_naive_bayes", "e23_multiclass_report",
-        "m11_wav_meta", "d21_jaccard_containment")) {
+        "m11_wav_meta", "d21_jaccard_containment", "e24_bootstrap_ci",
+        "e25_bootstrap_delta", "g11_cooccur_lift", "v20_cosine_hist",
+        "m12_zip_meta")) {
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("CartesianProduct"), q)
     }
