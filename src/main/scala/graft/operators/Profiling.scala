@@ -52,13 +52,23 @@ object Profiling {
     */
   def licenseScan(
       docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String): DataFrame = {
-    val cells = docs.select(
+      sourceCol: String): DataFrame =
+    licenseScanFromCounts(docs.select(
         when(col(sourceCol).isNull,
           raise_error(lit("licenseScan: null source")))
           .otherwise(col(sourceCol).cast("string")).as("source"),
         licenseColumn(col(textCol)).as("license"))
-      .groupBy("source", "license").agg(count(lit(1)).as("n_docs"))
+      .groupBy("source", "license").agg(count(lit(1)).as("n_docs")))
+
+  /** The c20 report over a (source, license, n_docs) count table —
+    * detection is stateless, so the streaming twin maps
+    * [[licenseColumn]] over the document stream, upserts running
+    * (source, license) counts
+    * ([[graft.streaming.StatefulOps.pairCountsStream]]; monotone, so
+    * max(n_docs) per key is the latest) and finishes here —
+    * delegation, the two sides cannot drift.
+    */
+  def licenseScanFromCounts(cells: DataFrame): DataFrame = {
     val tot = cells.groupBy("source").agg(sum("n_docs").as("n_src"))
     cells.join(tot, Seq("source"))
       .select(col("source"), col("license"), col("n_docs"),

@@ -356,6 +356,30 @@ object StatefulOps {
       }
   }
 
+  case class PairEv(k1: String, k2: String)
+  case class PairCount(k1: String, k2: String, n_docs: Long)
+
+  /** Streaming (k1, k2)-pair count upserts — the [[bucketCountsStream]]
+    * shape with a two-string composite key (e.g. (source, license)
+    * cells for the c20 twin). Running totals are monotone, so
+    * max(n_docs) per pair in the Append sink is the latest; state per
+    * key: one long.
+    */
+  def pairCountsStream(
+      spark: SparkSession, ds: Dataset[PairEv]): Dataset[PairCount] = {
+    import spark.implicits._
+    ds.groupByKey(e => (e.k1, e.k2))
+      .flatMapGroupsWithState[CountState, PairCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: (String, String), evs: Iterator[PairEv],
+         state: GroupState[CountState]) =>
+          val (rows, st) = advanceCount(k._1, evs.size.toLong,
+            state.getOption)
+          state.update(st)
+          rows.iterator.map(r => PairCount(k._1, k._2, r.c))
+      }
+  }
+
   case class TypedGapEv(user_id: Long, event_type: String, ts_ns: Long)
   case class LastTypedGap(ts_ns: Long)
   case class TypedGapRow(event_type: String, gap_s: Long)

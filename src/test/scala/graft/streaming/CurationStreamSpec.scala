@@ -320,4 +320,48 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(viaKeep == got)
     } finally q.stop()
   }
+
+  test("streamed (source, license) counts finish to the batch c20 " +
+      "report on sf0.001 with planted licences") {
+    import spark.implicits._
+    import StatefulOps._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            lit(" Licensed under the Apache License, Version 2.0."))
+          .when(pmod(col("doc_id"), lit(13)) === 1,
+            lit(" This follows the GNU General Public License."))
+          .otherwise(lit(""))).as("text"))
+    // detection is stateless: the stream side maps licenseColumn per
+    // micro-batch row, then upserts (source, license) counts
+    val cells = docs.select(col("source").as("k1"),
+        graft.operators.Profiling.licenseColumn(col("text")).as("k2"))
+      .as[PairEv].collect()
+    val mem = MemoryStream[PairEv]
+    val q = pairCountsStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("c20_cells")
+      .outputMode("append").start()
+    try {
+      cells.grouped(math.max(1, cells.length / 3 + 1)).foreach { c =>
+        mem.addData(c.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val upserted = spark.table("c20_cells")
+        .as[PairCount].collect().toSeq.toDS().toDF()
+        .groupBy("k1", "k2").agg(max("n_docs").as("n_docs"))
+        .select(col("k1").as("source"), col("k2").as("license"),
+          col("n_docs"))
+      val streamed = graft.operators.Profiling
+        .licenseScanFromCounts(upserted)
+        .as[(String, String, Long, Long)].collect().toSet
+      val batch = graft.operators.Profiling.licenseScan(
+          docs, "doc_id", "text", "source")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.exists(_._2 == "Apache-2.0"))
+      assert(batch.exists(_._2 == "GPL-3.0"))
+    } finally q.stop()
+  }
 }
