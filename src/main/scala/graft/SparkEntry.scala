@@ -3191,6 +3191,14 @@ FROM c"""
     EventAnalytics.interArrival(T(s, d, "events"),
       "user_id", "ts", "event_type")
 
+  /** w25: daily growth accounting — new / retained / resurrected /
+    * churning flows at a 7-day window over the events table; exact
+    * integer day buckets and counts from one user-keyed lag+lead
+    * window. Full oracle.
+    */
+  private def w25GrowthAccounting(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.growthAccounting(T(s, d, "events"), "user_id", "ts")
+
   /** f11: winsorized summary — values clipped at the exact p05/p95
     * cutpoints (broadcast one-row, the w15 cutpoint discipline), means
     * as exact integer-lattice sums (no float sum anywhere), clip
@@ -4119,6 +4127,7 @@ FROM c"""
     "j20_genome_windows" -> (j20GenomeWindows _),
     "w23_seasonal_anomaly" -> (w23SeasonalAnomaly _),
     "w24_interarrival" -> (w24InterArrival _),
+    "w25_growth_accounting" -> (w25GrowthAccounting _),
     "f11_winsorize" -> (f11Winsorize _),
     "c19_snapshot_retention" -> (c19SnapshotRetention _),
     "c20_license_scan" -> (c20LicenseScan _))
@@ -9553,6 +9562,25 @@ FROM c"""
         |    ((2*(n*q - s*s)*1000000 + s*s) // (2*s*s))::BIGINT
         |    ELSE NULL END AS cv2_e6
         |FROM a""".stripMargin,
+    // w25 twin: identical day flooring, one user-keyed lag+lead
+    // window, the same CASE classification
+    "w25_growth_accounting" ->
+      """WITH du AS (SELECT DISTINCT user_id AS u,
+        |    epoch_ns(ts)::BIGINT // 86400000000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT u, day,
+        |    lag(day) OVER (PARTITION BY u ORDER BY day) AS prev,
+        |    lead(day) OVER (PARTITION BY u ORDER BY day) AS next
+        |  FROM du)
+        |SELECT day, count(*)::BIGINT AS n_active,
+        |  sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |  sum(CASE WHEN prev IS NOT NULL AND day - prev <= 7
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+        |  sum(CASE WHEN prev IS NOT NULL AND day - prev > 7
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_resurrected,
+        |  sum(CASE WHEN next IS NULL OR next - day > 7
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_churning
+        |FROM f GROUP BY 1""".stripMargin,
     // f11 twin: quantile_cont cutpoints (the a7 parity), identical
     // 1e-4 lattice clip and exact-integer mean algebra
     "f11_winsorize" ->

@@ -699,6 +699,65 @@ object EventAnalytics {
           .otherwise(lit(null).cast("long")).as("cv2_e6"))
   }
 
+  /** Daily growth accounting — every active day's users classified as
+    * NEW (first activity ever), RETAINED (previous activity within
+    * `windowDays`) or RESURRECTED (returned after a gap longer than
+    * the window), plus CHURNING (today's actives whose next activity
+    * is beyond the window, or never) — the startup-dashboard flows
+    * view next to [[retentionCohorts]]' cohort grid and
+    * [[stickiness]]' ratio: growth is only real when new + resurrected
+    * outruns churning.
+    *
+    * Exact end-to-end: activity floor-buckets to whole days (the
+    * sign-correct pmod idiom), per-user prev/next activity days come
+    * from ONE user-keyed lag+lead window (bounded by a user's active
+    * days — never a calendar or corpus sort), and every output is an
+    * integer count. Null users are excluded (no per-user lifecycle);
+    * null timestamps raise (the botRegularity discipline).
+    *
+    * End-of-data caveat (standard for churn accounting): the trailing
+    * `windowDays` of the observation window cannot distinguish "will
+    * return later" from "churned", so n_churning reads high there —
+    * consumers cut the last window off dashboards, they don't ask the
+    * operator to guess the future.
+    *
+    * Scale: one distinct (user, day) aggregate + one user-keyed window
+    * + one map-side-combined per-day rollup. Output: (day, n_active,
+    * n_new, n_retained, n_resurrected, n_churning).
+    */
+  def growthAccounting(
+      events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7,
+      dayNanos: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays must be in [1, 366] (got $windowDays)")
+    val du = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"),
+        when(col(tsCol).isNull,
+          raise_error(lit("growthAccounting: null timestamp")))
+          .otherwise(col(tsCol).cast("long")).as("__ts"))
+      .select(col("u"),
+        expr(s"(__ts - pmod(__ts, ${dayNanos}L)) div ${dayNanos}L")
+          .as("day"))
+      .distinct()
+    val w = Window.partitionBy("u").orderBy("day")
+    du.withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w))
+      .groupBy("day").agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev").isNotNull &&
+          col("day") - col("prev") <= windowDays, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev").isNotNull &&
+          col("day") - col("prev") > windowDays, 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("next").isNull ||
+          col("next") - col("day") > windowDays, 1L).otherwise(0L))
+          .as("n_churning"))
+  }
+
   /** Product stickiness — DAU/MAU per day (the `windowDays`-day rolling
     * distinct-user window ending at each observed day): THE engagement
     * ratio next to [[audience growth]] and [[retentionCohorts]]; ~1

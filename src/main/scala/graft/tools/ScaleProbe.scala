@@ -866,6 +866,9 @@ object ScaleProbe {
       "w24_interarrival" -> (d =>
         EventAnalytics.interArrival(synthEvents(d, probeN),
           "user_id", "ts", "event_type").count()),
+      "w25_growth" -> (d =>
+        EventAnalytics.growthAccounting(synthEvents(d, probeN),
+          "user_id", "ts").count()),
       "s14_neyman" -> (d =>
         Sampling.neymanAllocation(
           d.select(pmod(col("doc_id"), lit(20)).cast("string").as("s"),

@@ -774,6 +774,49 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("growthAccounting: hand flows, window boundary, end-of-data churn") {
+    import spark.implicits._
+    val day = 86400L * 1000 * 1000 * 1000
+    // u1 active days {1, 2, 15}; u2 active {2} (plus a same-day dup
+    // event that must collapse in the distinct)
+    val ev = Seq((1L, 1 * day), (1L, 2 * day), (1L, 15 * day),
+      (2L, 2 * day), (2L, 2 * day + 5))
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.growthAccounting(ev, "user_id", "ts",
+        windowDays = 7)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // day1: u1 new, next within window → not churning
+    assert(got(1L) == ((1L, 1L, 0L, 0L, 0L)))
+    // day2: u2 new+churning (never returns); u1 retained and churning
+    // (gap to day15 = 13 > 7)
+    assert(got(2L) == ((2L, 1L, 1L, 0L, 2L)))
+    // day15: u1 resurrected; end-of-data → churning by contract
+    assert(got(15L) == ((1L, 0L, 0L, 1L, 1L)))
+    // randomized parity vs a plain-scala model
+    val rnd = new scala.util.Random(83)
+    val rows = for (u <- 0 until 25; _ <- 0 until (1 + rnd.nextInt(10)))
+      yield (u.toLong, (1 + rnd.nextInt(40)).toLong * day + rnd.nextInt(1000))
+    val all = EventAnalytics.growthAccounting(
+        rows.toDF("user_id", "ts"), "user_id", "ts", windowDays = 7)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val model = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val days = es.map(_._2 / day).distinct.sorted
+      days.zipWithIndex.map { case (d, i) =>
+        val prev = if (i > 0) Some(days(i - 1)) else None
+        val next = if (i + 1 < days.size) Some(days(i + 1)) else None
+        (d, prev, next)
+      }
+    }.groupBy(_._1).map { case (d, us) =>
+      (d, us.size.toLong,
+        us.count(_._2.isEmpty).toLong,
+        us.count(r => r._2.exists(p => d - p <= 7)).toLong,
+        us.count(r => r._2.exists(p => d - p > 7)).toLong,
+        us.count(r => r._3.forall(n => n - d > 7)).toLong)
+    }.toSet
+    assert(all == model)
+  }
+
   test("interArrival: hand gaps, tie safety, null-user drop, null-ts raise") {
     import spark.implicits._
     val sec = 1000000000L
