@@ -217,7 +217,7 @@ object Bench {
     // suite the r10 driver measured) excludes only the r11 additions
     val r10Additions = Set("e20", "e21", "e22", "t38", "s13", "m10",
       "w21", "d20", "w22", "j20", "w23", "f11", "c19")
-    val r11Additions = Set("d21", "t39", "t40", "w24", "e23", "s14", "c20", "g10", "m11", "ml2", "e24", "g11", "v20", "e25", "m12", "w25")
+    val r11Additions = Set("d21", "t39", "t40", "w24", "e23", "s14", "c20", "g10", "m11", "ml2", "e24", "g11", "v20", "e25", "m12", "w25", "t41")
     val r9Total = okMins.collect {
       case (k, v) if !r10Additions(k.takeWhile(_ != '_')) &&
         !r11Additions(k.takeWhile(_ != '_')) => v }.sum

@@ -2908,6 +2908,14 @@ FROM c"""
     TextAnalytics.keyness(T(s, d, "documents"), "doc_id", "text",
       pmod(col("doc_id"), lit(10)) === 0, minCount = 5)
 
+  /** t41: vocabulary-growth curve at 8 id-ordered checkpoints — first
+    * doc id per term + per-doc token counts, each fanned only to the
+    * checkpoints at or above it; exact integer curve rows. Full
+    * oracle: same exact checkpoint splits and first-seen semantics.
+    */
+  private def t41VocabGrowth(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.vocabularyGrowth(T(s, d, "documents"), "doc_id", "text")
+
   /** t40: lexical-richness profile — TTR, hapax share and Yule's K per
     * document, every statistic an exact integer-count rational on a
     * half-up lattice (no float anywhere). Full oracle: HUGEINT tf
@@ -4109,6 +4117,7 @@ FROM c"""
     "t38_backoff_trigram" -> (t38BackoffTrigram _),
     "t39_keyness" -> (t39Keyness _),
     "t40_lexical_richness" -> (t40LexicalRichness _),
+    "t41_vocab_growth" -> (t41VocabGrowth _),
     "s13_systematic_resample" -> (s13SystematicResample _),
     "s14_neyman_allocation" -> (s14NeymanAllocation _),
     "m10_bmp_meta" -> (m10BmpMeta _),
@@ -9093,6 +9102,25 @@ FROM c"""
         |  ((2*v1*1000000 + v) // (2*v))::BIGINT AS hapax_e6,
         |  ((2*(s2 - n)*1000000 + n*n) // (2*n*n))::BIGINT AS yule_k_e2
         |FROM a""".stripMargin,
+    // t41 twin: the same exact ⌊maxId·k/8⌋ checkpoint splits,
+    // first-seen-doc term semantics and prefix token sums
+    "t41_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |cps AS (SELECT k AS checkpoint, (mx * k) // 8 AS max_doc_id
+        |  FROM mx CROSS JOIN (SELECT unnest(range(1, 9)) AS k)),
+        |pd AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n
+        |  FROM documents),
+        |ds AS (SELECT checkpoint, max_doc_id, count(*)::BIGINT AS n_docs,
+        |    sum(n)::BIGINT AS n_tokens
+        |  FROM pd JOIN cps ON doc_id <= max_doc_id GROUP BY 1, 2),
+        |fs AS (SELECT tok, min(doc_id) AS first FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |     FROM documents) GROUP BY 1),
+        |ts AS (SELECT checkpoint, count(*)::BIGINT AS n_distinct
+        |  FROM fs JOIN cps ON first <= max_doc_id GROUP BY 1)
+        |SELECT checkpoint::BIGINT AS checkpoint, max_doc_id::BIGINT
+        |    AS max_doc_id, n_docs, n_tokens, n_distinct
+        |FROM ds JOIN ts USING (checkpoint)""".stripMargin,
     // s13 twin: the textbook one-window prefix sum + the identical
     // comb floor-division algebra
     "s13_systematic_resample" ->

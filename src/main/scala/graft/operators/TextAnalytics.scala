@@ -728,6 +728,55 @@ object TextAnalytics {
           .otherwise(lit("even")).as("direction"))
   }
 
+  /** Vocabulary-growth curve (the empirical Heaps-law read): distinct
+    * terms and total tokens at `nCheckpoints` id-ordered corpus
+    * prefixes — the corpus-level duplication/saturation QA next to
+    * [[lexicalRichness]]'s per-doc view. A healthy crawl keeps
+    * V(T) ∝ T^β with β ≈ 0.4–0.6; a curve that flattens early means
+    * the tail of the corpus is re-treading the head's vocabulary
+    * (template/boilerplate mass or outright duplication), and a
+    * near-linear curve means unjoined vocabularies (encoding damage,
+    * language mixing). Emitted as exact integer curve rows — callers
+    * fit β knowingly; no float leaves the operator.
+    *
+    * One pass, NOT n prefix scans: each term carries its FIRST doc id
+    * (min aggregate) and each doc its token count, and both fan out
+    * only to the checkpoints at or above them (≤ nCheckpoints copies —
+    * the stickiness offset-fanout discipline), collapsing map-side.
+    * Checkpoints are the exact integer id-range splits
+    * ⌊maxId·k/n⌋, k = 1..n. Output: (checkpoint, max_doc_id, n_docs,
+    * n_tokens, n_distinct), one row per checkpoint.
+    */
+  def vocabularyGrowth(
+      docs: DataFrame, idCol: String, textCol: String,
+      nCheckpoints: Int = 8): DataFrame = {
+    require(nCheckpoints >= 2 && nCheckpoints <= 64,
+      s"nCheckpoints must be in [2, 64] (got $nCheckpoints)")
+    val toks = tokens(col(textCol))
+    val perDoc = docs.select(col(idCol).cast("long").as("id"),
+      toks.as("w")).select(col("id"), size(col("w")).as("n"))
+    val maxId = perDoc.agg(max("id").as("mx"))
+    val cps = maxId.select(explode(sequence(lit(1), lit(nCheckpoints)))
+        .as("k"), col("mx"))
+      .select(col("k").cast("long").as("checkpoint"),
+        expr(s"(mx * k) div $nCheckpoints").as("max_doc_id"))
+      .localCheckpoint() // n rows; joined by both fan-out legs
+    val docSide = perDoc.join(broadcast(cps),
+        col("id") <= col("max_doc_id"))
+      .groupBy("checkpoint", "max_doc_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+    val firstSeen = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(xxhash64(col("tok")).as("th")).agg(min("id").as("first"))
+    val termSide = firstSeen.join(broadcast(cps),
+        col("first") <= col("max_doc_id"))
+      .groupBy("checkpoint").agg(count(lit(1)).as("n_distinct"))
+    docSide.join(termSide, Seq("checkpoint"))
+      .select(col("checkpoint"), col("max_doc_id"), col("n_docs"),
+        col("n_tokens"), col("n_distinct"))
+  }
+
   /** Per-document lexical-richness profile — the vocabulary-diversity
     * read next to [[tokenEntropy]]'s information density: type-token
     * ratio (V/N), hapax share (V₁/V) and Yule's K, the length-robust

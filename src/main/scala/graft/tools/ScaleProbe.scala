@@ -855,6 +855,8 @@ object ScaleProbe {
           pmod(col("doc_id"), lit(10)) === 0, minCount = 5).count()),
       "t40_lexrich" -> (d =>
         TextAnalytics.lexicalRichness(d, "doc_id", "text").count()),
+      "t41_vocab_growth" -> (d =>
+        TextAnalytics.vocabularyGrowth(d, "doc_id", "text").count()),
       // t39h: the Heaps-vocab pair (V = 10·√T) — isolates whether
       // t39's fixed-vocab top-decade slope is pair-space densification
       // or a plan defect (the t37/t38 artifact-isolation discipline)

@@ -334,7 +334,7 @@ class PlanQualitySpec extends AnyFunSuite {
         "g10_adamic_adar", "ml2_naive_bayes", "e23_multiclass_report",
         "m11_wav_meta", "d21_jaccard_containment", "e24_bootstrap_ci",
         "e25_bootstrap_delta", "g11_cooccur_lift", "v20_cosine_hist",
-        "m12_zip_meta", "w25_growth_accounting")) {
+        "m12_zip_meta", "w25_growth_accounting", "t41_vocab_growth")) {
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("CartesianProduct"), q)
     }

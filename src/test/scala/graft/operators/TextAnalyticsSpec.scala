@@ -861,6 +861,42 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(all == want)
   }
 
+  test("vocabularyGrowth: hand checkpoints, first-seen semantics, " +
+      "monotone curve on a random corpus") {
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "c d e"), (4L, "f"))
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.vocabularyGrowth(docs, "doc_id", "text",
+        nCheckpoints = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // k=1 → ids ≤ 2: 2 docs, 4 tokens, V {a,b,c} = 3; k=2 → all
+    assert(got == Map(1L -> ((2L, 2L, 4L, 3L)),
+      2L -> ((4L, 4L, 8L, 6L))))
+    // random corpus: curve is monotone in docs/tokens/vocab and the
+    // last checkpoint equals the whole-corpus truth
+    val rnd = new scala.util.Random(59)
+    val rows = (1L to 120L).map(i =>
+      (i, Seq.fill(5 + rnd.nextInt(20))(s"w${rnd.nextInt(300)}")
+        .mkString(" ")))
+    val curve = TextAnalytics.vocabularyGrowth(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.length == 8)
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3 && a._4 <= b._4 && a._5 <= b._5)
+    }
+    val allToks = rows.flatMap(_._2.split(" "))
+    assert(curve.last._4 == allToks.size.toLong)
+    assert(curve.last._5 == allToks.distinct.size.toLong)
+    // independent prefix model at every checkpoint
+    curve.foreach { case (_, cap, nd, nt, nv) =>
+      val pre = rows.filter(_._1 <= cap)
+      assert(nd == pre.size.toLong)
+      assert(nt == pre.flatMap(_._2.split(" ")).size.toLong)
+      assert(nv == pre.flatMap(_._2.split(" ")).distinct.size.toLong)
+    }
+  }
+
   test("unigramModel: frozen LM counts; over-cap vocabulary fails loudly") {
     val docs = Seq(
       (1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
