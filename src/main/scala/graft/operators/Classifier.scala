@@ -463,10 +463,13 @@ object Classifier {
     * INNER (doc, term) ⋈ (class, term) model join, whose volume is
     * bounded by terms actually known to each class instead of
     * tokens × classes. Exactly the same integers, spec-pinned.
-    * Scoring is TOTAL: every
+    * Scoring is TOTAL over non-null texts: every
     * apply-side row predicts (an empty text still tokenizes to the
     * single empty token under split semantics and scores via the
-    * unseen default, i.e. by the priors). Null labels raise.
+    * unseen default, i.e. by the priors). Null labels AND null
+    * apply-side texts raise loudly — a null text would otherwise
+    * vanish from the explode and the doc would silently get no
+    * prediction row, breaking totality without a trace.
     * Output: (id, pred, score_e6).
     */
   def naiveBayes(
@@ -502,7 +505,10 @@ object Classifier {
           col("denom").cast("double")) * lit(1e6))
           .cast("long") - col("default_e6")).as("adj_e6"))
     val ap = applyDf
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .select(col(idCol).as("id"), explode(tokens(
+        when(col(textCol).isNull,
+          raise_error(lit("naiveBayes: null apply text")))
+          .otherwise(col(textCol)))).as("t"))
       .groupBy("id", "t").agg(count(lit(1)).as("k"))
       // lazy: the first consumer's job materializes the cache in
       // passing (the g3 half-step discipline) — the tokenize+count

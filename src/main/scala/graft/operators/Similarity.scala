@@ -82,11 +82,22 @@ object Similarity {
       col(vecCol).as("va"), fnorm(col(vecCol)).as("na"))
     val b = embs.select((col(idCol).cast("long") - delta).as("ida"),
       col(vecCol).as("vb"), fnorm(col(vecCol)).as("nb"))
-    val c4 = floor(fdot(col("va"), col("vb")) /
-      (col("na") * col("nb")) * lit(1e4) + lit(0.5)).cast("long")
+    val cosD = fdot(col("va"), col("vb")) / (col("na") * col("nb"))
+    val c4 = floor(cosD * lit(1e4) + lit(0.5)).cast("long")
     val counts = a.join(b, Seq("ida"))
+      // Two raise tiers, checked on the DOUBLE (a NaN cast to long is
+      // silently 0 = mid-bin, so the cast must never see one): exact
+      // zero norms, then NaN/Inf/out-of-range cosines from subnormal
+      // norm products that underflow to 0.0 (or overflow) without
+      // either norm being exactly 0 — both would otherwise clamp into
+      // an edge bin and quietly skew the histogram this operator
+      // exists to keep trustworthy. |cos| ≤ 1.0001 tolerates one
+      // lattice step of IEEE drift; anything past it is corrupt input.
       .select(when(col("na") === 0 || col("nb") === 0,
         raise_error(lit("cosineHistogram: zero-norm vector")))
+        .when(isnan(cosD) || abs(cosD) > lit(1.0001),
+          raise_error(lit(
+            "cosineHistogram: non-finite cosine (norm underflow/overflow)")))
         .otherwise(c4).as("c4"))
       .select(least(lit(bins - 1L), greatest(lit(0L),
         expr(s"((c4 + 10000) * $bins) div 20000"))).as("bin"))

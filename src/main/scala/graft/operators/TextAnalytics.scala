@@ -745,7 +745,15 @@ object TextAnalytics {
     * the stickiness offset-fanout discipline), collapsing map-side.
     * Checkpoints are the exact integer id-range splits
     * ⌊maxId·k/n⌋, k = 1..n. Output: (checkpoint, max_doc_id, n_docs,
-    * n_tokens, n_distinct), one row per checkpoint.
+    * n_tokens, n_distinct), one row per checkpoint — including empty
+    * prefixes (left-joined from the checkpoint spine, zero counts).
+    *
+    * `n_distinct` counts DISTINCT xxhash64(term) buckets, not exact
+    * strings — the 8-byte-key shuffle discipline shared with
+    * [[tokenEntropy]]. A 64-bit collision undercounts by 1; at the
+    * ~10⁹-type scale where that becomes likely (birthday bound
+    * ≈ 2³²), the curve read is unaffected but exact-string parity
+    * (the DuckDB twin) would drift — documented tolerance.
     */
   def vocabularyGrowth(
       docs: DataFrame, idCol: String, textCol: String,
@@ -772,9 +780,16 @@ object TextAnalytics {
     val termSide = firstSeen.join(broadcast(cps),
         col("first") <= col("max_doc_id"))
       .groupBy("checkpoint").agg(count(lit(1)).as("n_distinct"))
-    docSide.join(termSide, Seq("checkpoint"))
-      .select(col("checkpoint"), col("max_doc_id"), col("n_docs"),
-        col("n_tokens"), col("n_distinct"))
+    // LEFT joins from the cps spine, not inner: a checkpoint whose
+    // id-prefix holds no documents (possible when ids start at a large
+    // offset, so min(id) > ⌊maxId·k/n⌋) must still emit its row with
+    // zero counts — "one row per checkpoint" is the contract.
+    cps.join(docSide, Seq("checkpoint", "max_doc_id"), "left")
+      .join(termSide, Seq("checkpoint"), "left")
+      .select(col("checkpoint"), col("max_doc_id"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
   }
 
   /** Per-document lexical-richness profile — the vocabulary-diversity

@@ -749,6 +749,22 @@ class ClassifierSpec extends AnyFunSuite {
     assert(empty.length == 1 && empty.head._2 == "spam") // prior 2/3
   }
 
+  test("naiveBayes: null apply-side text raises (totality is loud, " +
+      "not a silently missing prediction row)") {
+    import spark.implicits._
+    val train = Seq(("spam", "buy pills"), ("ham", "meeting now"))
+      .toDF("label", "text")
+    val e = intercept[Exception] {
+      Classifier.naiveBayes(train,
+        Seq((1L, "buy"), (2L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", "label").collect()
+    }
+    val m = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(m.contains("null apply text"), m)
+  }
+
   test("multiclassReport: hand-checked per-class/micro/macro lattices") {
     import spark.implicits._
     val pairs = Seq.fill(3)(("a", "a")) ++ Seq(("a", "b")) ++

@@ -661,4 +661,25 @@ class SimilaritySpec extends AnyFunSuite {
       || e.getCause != null &&
         e.getCause.getMessage.contains("zero-norm"), e.getMessage)
   }
+
+  test("cosineHistogram: NaN/Inf components raise instead of clamping " +
+      "into a bin") {
+    // A NaN cosine cast to long is silently 0 — the MIDDLE bin — and
+    // an Inf one clamps into an edge bin; both must raise instead.
+    def msg(e: Exception): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    val nan = Seq((0L, Array(1f, 0f)), (1L, Array(Float.NaN, 1f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Similarity.cosineHistogram(nan, "vec_id", "embedding").collect()
+    }
+    assert(msg(e1).contains("non-finite"), msg(e1))
+    val inf = Seq((0L, Array(1f, 0f)),
+        (1L, Array(Float.PositiveInfinity, 0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Similarity.cosineHistogram(inf, "vec_id", "embedding").collect()
+    }
+    assert(msg(e2).contains("non-finite"), msg(e2))
+  }
 }

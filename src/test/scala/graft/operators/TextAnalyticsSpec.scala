@@ -897,6 +897,22 @@ class TextAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabularyGrowth: checkpoints below the smallest id still emit " +
+      "zero rows (one row per checkpoint, always)") {
+    // ids start at a large offset, so the first three id-range splits
+    // ⌊maxId·k/n⌋ hold no documents — an inner join would silently
+    // drop them, breaking the "one row per checkpoint" contract
+    val docs = Seq((100L, "a b"), (101L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalytics.vocabularyGrowth(docs, "doc_id", "text",
+        nCheckpoints = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 4)
+    assert(got(0) == ((1L, 25L, 0L, 0L, 0L)))
+    assert(got(1) == ((2L, 50L, 0L, 0L, 0L)))
+    assert(got(2) == ((3L, 75L, 0L, 0L, 0L)))
+    assert(got(3) == ((4L, 101L, 2L, 4L, 3L)))
+  }
+
   test("unigramModel: frozen LM counts; over-cap vocabulary fails loudly") {
     val docs = Seq(
       (1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
