@@ -475,6 +475,23 @@ object Classifier {
   def naiveBayes(
       train: DataFrame, applyDf: DataFrame, idCol: String,
       textCol: String, labelCol: String): DataFrame = {
+    val (classStats, model) = naiveBayesTrain(train, textCol, labelCol)
+    naiveBayesScore(applyDf, idCol, textCol, classStats, model)
+  }
+
+  /** Training stage of [[naiveBayes]] — the two map-side-combined count
+    * passes, returned as the pair of MODEL-SIZED tables a registry /
+    * model store holds between train and serve (the t16→t20 BPE
+    * train-once/apply-everywhere split):
+    * `classStats` (c, prior_e6, default_e6, denom) — |classes| rows —
+    * and `model` (c, t, adj_e6) — the per-(class, seen-term) lattice
+    * adjustments, Σ_c |vocab_c| rows. Both are pure deterministic
+    * functions of the training frame (floor-lattice integers), so a
+    * cached artifact is bit-identical to a retrain.
+    */
+  def naiveBayesTrain(
+      train: DataFrame, textCol: String, labelCol: String)
+      : (DataFrame, DataFrame) = {
     import graft.functions.TextFunctions.tokens
     val trDocs = train.select(
       when(col(labelCol).isNull,
@@ -504,6 +521,20 @@ object Classifier {
         (floor(log((col("tf") + 1).cast("double") /
           col("denom").cast("double")) * lit(1e6))
           .cast("long") - col("default_e6")).as("adj_e6"))
+    (classStats, model)
+  }
+
+  /** Scoring stage of [[naiveBayes]] over a trained (`classStats`,
+    * `model`) pair — the one-pass apply a serving pipeline runs against
+    * a registry-held model: tokenize + per-(doc, term) count, the INNER
+    * (doc, term) ⋈ (class, term) model join, and the per-(doc, class)
+    * closed-form unseen mass. Exactly the integers [[naiveBayes]]
+    * emits (that facade IS train + this).
+    */
+  def naiveBayesScore(
+      applyDf: DataFrame, idCol: String, textCol: String,
+      classStats: DataFrame, model: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokens
     val ap = applyDf
       .select(col(idCol).as("id"), explode(tokens(
         when(col(textCol).isNull,

@@ -741,8 +741,22 @@ object EventAnalytics {
         expr(s"(__ts - pmod(__ts, ${dayNanos}L)) div ${dayNanos}L")
           .as("day"))
       .distinct()
+    growthAccountingFromDays(du, windowDays)
+  }
+
+  /** Growth-accounting tail over exactly-once per-user activity-day
+    * rows `(u, day)` — the lag/lead classification + per-day rollup of
+    * [[growthAccounting]], split out so the streaming (user, day)
+    * first-seen emitter ([[graft.streaming.StatefulOps.userDayStream]],
+    * the same feed w13/w19 read) gets a twin by DELEGATION: the batch
+    * operator calls here, so stream and batch cannot silently drift.
+    */
+  def growthAccountingFromDays(
+      dayUsers: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays must be in [1, 366] (got $windowDays)")
     val w = Window.partitionBy("u").orderBy("day")
-    du.withColumn("prev", lag(col("day"), 1).over(w))
+    dayUsers.withColumn("prev", lag(col("day"), 1).over(w))
       .withColumn("next", lead(col("day"), 1).over(w))
       .groupBy("day").agg(
         count(lit(1)).as("n_active"),

@@ -749,6 +749,33 @@ class ClassifierSpec extends AnyFunSuite {
     assert(empty.length == 1 && empty.head._2 == "spam") // prior 2/3
   }
 
+  test("naiveBayesTrain → naiveBayesScore emits exactly the facade's " +
+      "integers (train-once/apply-everywhere split, registry-safe)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val labels = Seq("news", "code", "chat")
+    val words = (0 until 40).map(i => s"w$i")
+    val train = (1 to 90).map { i =>
+      (labels(i % 3),
+        Seq.fill(3 + rnd.nextInt(10))(words(rnd.nextInt(40))).mkString(" "))
+    }.toDF("label", "text")
+    val apply_ = (1L to 30L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(8))(words(rnd.nextInt(45) match {
+        case n if n < 40 => n; case n => n - 5 })).mkString(" "))
+    }.toDF("doc_id", "text")
+    val facade = Classifier
+      .naiveBayes(train, apply_, "doc_id", "text", "label")
+      .as[(Long, String, Long)].collect().toSet
+    val (stats, model) = Classifier.naiveBayesTrain(train, "text", "label")
+    // checkpoint both, as the registry's publishTable does — the split
+    // must survive the artifact boundary bit-identically
+    val split = Classifier
+      .naiveBayesScore(apply_, "doc_id", "text",
+        stats.localCheckpoint(), model.localCheckpoint())
+      .as[(Long, String, Long)].collect().toSet
+    assert(split == facade && facade.size == 30)
+  }
+
   test("naiveBayes: null apply-side text raises (totality is loud, " +
       "not a silently missing prediction row)") {
     import spark.implicits._
