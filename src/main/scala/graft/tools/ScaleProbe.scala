@@ -59,6 +59,48 @@ object ScaleProbe {
     * artifact of freezing the vocabulary while growing the corpus) or
     * a plan defect.
     */
+  /** Driver-written synthetic 3-sample gVCF cohort for the
+    * vcf_pipeline probe — the CohortGoldenScaleSpec line shapes (~2/3
+    * of sites called per sample via the splitmix64 state, alt ≠ ref by
+    * construction, one whole-span coverage block each), `n` sites at a
+    * 100 bp stride. Untimed input synthesis; returns the file paths.
+    */
+  def synthCohort(n: Long, dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val bases = Vector("A", "C", "G", "T")
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    (0 until 3).map { s =>
+      val f = new java.io.File(d, s"S$s.chr1.vcf")
+      val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+      try {
+        w.write("#header\n")
+        var i = 0L
+        while (i < n) {
+          val st = (mix(s * 1000003L + i) & Long.MaxValue) % 3
+          if (st < 2) {
+            val p = 100L * i + 7
+            val ri = (mix(i).toInt & 0x7FFFFFFF) % 4
+            val ai =
+              (ri + 1 + (mix(i * 31L + 11).toInt & 0x7FFFFFFF) % 3) % 4
+            val gt = if (st == 0) "0/1" else "1/1"
+            w.write(s"1\t$p\t.\t${bases(ri)}\t${bases(ai)},<NON_REF>\t" +
+              s".\t.\tDP=30\tGT:AD:DP:GQ:PL\t$gt:10,20:30:80:99,0,12\n")
+          }
+          i += 1
+        }
+        w.write(s"1\t1\t.\tA\t<NON_REF>\t.\t.\tEND=${100L * n + 7}\t" +
+          "GT:DP:GQ:MIN_DP:PL\t0/0:25:60:20:0,60,900\n")
+      } finally w.close()
+      f.getPath
+    }
+  }
+
   def synthHeaps(spark: SparkSession, n: Long): DataFrame = {
     val vocab = math.max(1000L, (10.0 * math.sqrt(200.0 * n)).toLong)
     spark.range(n)
@@ -138,7 +180,108 @@ object ScaleProbe {
               concat(col("r12"), slice(col("w"), 1, 4)))
             .otherwise(reverse(col("r12"))), " ").as("cand"))
 
+    // Chaos-probe harness (r11 VERDICT #6): run `body` on an input
+    // with planted corruption and REQUIRE the named guard to fire —
+    // the PROBE time is the time-to-raise (it must be seconds, not a
+    // long partial run ending in an opaque OOM). Wrong error or no
+    // error both fail the probe loudly. The raise text is searched
+    // down the whole cause chain (Spark wraps user raises in
+    // SparkException layers).
+    def expectRaise(op: String, needle: String)(body: => Long): Long = {
+      val fired =
+        try { body; false }
+        catch { case t: Throwable =>
+          val chain = Iterator.iterate(t)(_.getCause)
+            .takeWhile(_ != null).take(12)
+            .flatMap(c => Option(c.getMessage)).mkString(" | ")
+          if (!chain.contains(needle))
+            throw new IllegalStateException(
+              s"$op: raised the WRONG error (wanted '$needle'): $chain")
+          true
+        }
+      if (!fired) throw new IllegalStateException(
+        s"$op: guard did NOT fire on corrupt input")
+      1L
+    }
+
     val ops: Seq[(String, DataFrame => Long)] = Seq(
+      // ---- chaos probes: the guard FAILURE path at scale — ~1%
+      // corrupt rows planted in a probeN-sized input must raise the
+      // named error fast. One op per guard class: calendar densify
+      // span, interval bin fan-out, scan-side null raise, non-finite
+      // cosine.
+      "chaos_densify" -> { d =>
+        // 1% of timestamps jump to ~190 epoch-years (the ns-vs-µs
+        // class of mixup): the hourly densify span becomes ~1.67M
+        // buckets, over Guards.MaxDensifySpan
+        val ev = synthEvents(d, probeN)
+          .select(col("event_type"),
+            when(pmod(xxhash64(col("ts"), lit(3L)), lit(100)) === 0,
+              lit(6000000000000000000L)).otherwise(col("ts")).as("ts"))
+        expectRaise("chaos_densify", "densified span") {
+          EventAnalytics.autocorrelation(ev, "ts", "event_type").count()
+        }
+      },
+      "chaos_bins" -> { d =>
+        // 1% of intervals get a stop 3e9 past their start (a foreign
+        // coordinate system): 3M bins at binWidth 1000, over
+        // Guards.MaxBinsPerRow
+        val ranges = d.select(col("doc_id").as("rid"),
+          (col("doc_id") * 100).as("lo"),
+          when(pmod(col("doc_id"), lit(100)) === 7,
+            col("doc_id") * 100 + 3000000000L)
+            .otherwise(col("doc_id") * 100 + 150).as("hi"))
+        val points = d.select((col("doc_id") * 100 + 25).as("p"))
+        expectRaise("chaos_bins", "range bins") {
+          graft.operators.IntervalJoin.pointInRange(
+            points, ranges, "p", "lo", "hi",
+            binWidth = 1000.0).count()
+        }
+      },
+      "chaos_null_ts" -> { d =>
+        val ev = synthEvents(d, probeN)
+          .select(col("user_id"),
+            when(pmod(xxhash64(col("ts"), lit(5L)), lit(100)) === 0,
+              lit(null).cast("long")).otherwise(col("ts")).as("ts"))
+        expectRaise("chaos_null_ts", "null timestamp") {
+          EventAnalytics.growthAccounting(ev, "user_id", "ts").count()
+        }
+      },
+      "chaos_cosine" -> { d =>
+        // 1% of vectors carry a NaN component — the v20 guard must
+        // raise, not clamp the NaN cosine into the middle bin
+        val emb = d.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(1), lit(8)), i =>
+            when(pmod(col("doc_id"), lit(100)) === 3 && i === 1,
+              lit(Float.NaN))
+              .otherwise(pmod(xxhash64(col("doc_id"), i), lit(1000))
+                .cast("double") / 1000.0d + 0.01d)
+              .cast("float")).as("embedding"))
+        expectRaise("chaos_cosine", "non-finite") {
+          // sum the VALUES, not count(): Catalyst eliminates the final
+          // left join under count() (right side unique per bin) and
+          // the guarded subtree would never evaluate
+          Similarity.cosineHistogram(emb, "vec_id", "embedding")
+            .agg(sum("n_pairs")).collect()
+          1L
+        }
+      },
+      // The ORIGINAL reference DAG as ONE lineage (r11 VERDICT #3):
+      // ingest → parse/qualityGate → group → effects → variants →
+      // publish via PipelineRunner.run — the pipeline a reference user
+      // actually runs — on a synthetic 3-sample cohort of probeN sites
+      // (driver-written UNTIMED in the per-scale setup, the synthHeaps
+      // discipline). Sites stride 100 bp, so band/bin counts GROW with
+      // scale (the partitioned-sink + interval-join shapes at width).
+      "vcf_pipeline" -> { _ =>
+        val root = s"/tmp/scaleprobe/vcfroot_$probeN"
+        graft.vcf.PipelineRunner.run(spark,
+          graft.vcf.PipelineRunner.Config(
+            root = root,
+            gvcfPaths = (0 until 3).map(s =>
+              s"/tmp/scaleprobe/cohort_$probeN/S$s.chr1.vcf")))
+        spark.read.parquet(s"$root/variants").count()
+      },
       "d1_exact" -> (d => Dedup.exactGroups(d, "doc_id", "text").count()),
       "d2_jaccard" -> (d =>
         Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.6)
@@ -1107,6 +1250,11 @@ object ScaleProbe {
         opFilter(nm) && nm.contains("heaps") })
         synthHeaps(spark, n).write.mode("overwrite")
           .parquet(s"/tmp/scaleprobe/docs_heaps_$n")
+      // gVCF cohort files for the vcf_pipeline probe — written on the
+      // driver OUTSIDE the timed region (pipeline INPUT, not pipeline)
+      if (ops.exists { case (nm, _) =>
+        opFilter(nm) && nm.startsWith("vcf") })
+        synthCohort(n, s"/tmp/scaleprobe/cohort_$n")
       for ((name, run) <- ops if opFilter(name)) {
         val t0 = System.nanoTime()
         val rows = run(docs)
