@@ -267,16 +267,24 @@ object Bench {
     val r10Additions = Set("e20", "e21", "e22", "t38", "s13", "m10",
       "w21", "d20", "w22", "j20", "w23", "f11", "c19")
     val r11Additions = Set("d21", "t39", "t40", "w24", "e23", "s14", "c20", "g10", "m11", "ml2", "e24", "g11", "v20", "e25", "m12", "w25", "t41")
+    val r12Additions = Set("t42", "t43", "t44", "w26", "e26", "e27",
+      "g12", "g13", "ml3", "m13")
+    def pfx(k: String) = k.takeWhile(_ != '_')
     val r9Total = okMins.collect {
-      case (k, v) if !r10Additions(k.takeWhile(_ != '_')) &&
-        !r11Additions(k.takeWhile(_ != '_')) => v }.sum
+      case (k, v) if !r10Additions(pfx(k)) && !r11Additions(pfx(k)) &&
+        !r12Additions(pfx(k)) => v }.sum
     val nR9 = okMins.count {
-      case (k, _) => !r10Additions(k.takeWhile(_ != '_')) &&
-        !r11Additions(k.takeWhile(_ != '_')) }
+      case (k, _) => !r10Additions(pfx(k)) && !r11Additions(pfx(k)) &&
+        !r12Additions(pfx(k)) }
     val r10Total = okMins.collect {
-      case (k, v) if !r11Additions(k.takeWhile(_ != '_')) => v }.sum
+      case (k, v) if !r11Additions(pfx(k)) && !r12Additions(pfx(k)) => v
+    }.sum
     val nR10 = okMins.count {
-      case (k, _) => !r11Additions(k.takeWhile(_ != '_')) }
+      case (k, _) => !r11Additions(pfx(k)) && !r12Additions(pfx(k)) }
+    // the round-11 basket: the 256-query suite the r11 driver measured
+    val r11Total = okMins.collect {
+      case (k, v) if !r12Additions(pfx(k)) => v }.sum
+    val nR11 = okMins.count { case (k, _) => !r12Additions(pfx(k)) }
     val r1Total = okMins.collect { case (k, v) if r1Set(k) => v }.sum
     val r7Total = okMins.collect {
       case (k, v) if r7Prefixes(k.takeWhile(_ != '_')) => v }.sum
@@ -302,6 +310,6 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"n_failed":${failed.size},"failed":$failedPrefixes,"value_r1_set":${f(r1Total)},"n_r1_set":${okMins.map(_._1).count(r1Set)},"value_r7_set":${f(r7Total)},"n_r7_set":$nR7,"value_r9_set":${f(r9Total)},"n_r9_set":$nR9,"value_r10_set":${f(r10Total)},"n_r10_set":$nR10,"fam_q_noise_band_sec":"13.0-15.8","n_prior_compared":${prior.size},"n_regressions":${regressions.size},"regressions_vs_prior":$regressionsCompact,"keys":"15 slowest + per-family sums; per_query_min map + fam bands in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"n_failed":${failed.size},"failed":$failedPrefixes,"value_r1_set":${f(r1Total)},"n_r1_set":${okMins.map(_._1).count(r1Set)},"value_r7_set":${f(r7Total)},"n_r7_set":$nR7,"value_r9_set":${f(r9Total)},"n_r9_set":$nR9,"value_r10_set":${f(r10Total)},"n_r10_set":$nR10,"value_r11_set":${f(r11Total)},"n_r11_set":$nR11,"fam_q_noise_band_sec":"13.0-15.8","n_prior_compared":${prior.size},"n_regressions":${regressions.size},"regressions_vs_prior":$regressionsCompact,"keys":"15 slowest + per-family sums; per_query_min map + fam bands in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -2697,6 +2697,34 @@ FROM c"""
     * partial), one chance-corrected agreement row. Full oracle: exact
     * confusion/marginal integers, one round-6 division.
     */
+  /** e26: Fleiss' kappa over a 3-rater panel (deterministic synthetic
+    * judgments: rater r's category rotates with text length, doc id
+    * and r, so agreement is partial and every marginal is busy). One
+    * exact integer rational, half-away-from-zero e6 read. Full oracle.
+    */
+  private def e26FleissKappa(s: SparkSession, d: String): DataFrame =
+    Classifier.fleissKappa(
+      T(s, d, "documents").select(col("doc_id").as("item"),
+        explode(sequence(lit(1), lit(3))).as("r"),
+        col("text"))
+        .select(col("item"),
+          pmod(length(col("text")) +
+            col("r") * pmod(col("item"), lit(5)), lit(4))
+            .cast("string").as("cat")),
+      "item", "cat")
+
+  /** e27: Wilcoxon signed-rank — paired integer scores per doc (two
+    * deterministic judges over length/id), zeros dropped, doubled
+    * average ranks, the exact 30000·D² vs 9604·σ' cross-comparison
+    * (no sqrt, no float — the e21 discipline). Full oracle.
+    */
+  private def e27Wilcoxon(s: SparkSession, d: String): DataFrame =
+    Classifier.wilcoxonSignedRank(
+      T(s, d, "documents").select(col("doc_id"),
+        pmod(length(col("text")), lit(50)).as("a"),
+        pmod(length(col("text")) + col("doc_id") * 7, lit(50)).as("b")),
+      "doc_id", "a", "b")
+
   private def e13CohenKappa(s: SparkSession, d: String): DataFrame = {
     val labels = array(lit("good"), lit("ok"), lit("bad"))
     Classifier.cohenKappa(
@@ -2708,6 +2736,15 @@ FROM c"""
           .as("rater_b")),
       "rater_a", "rater_b")
   }
+
+  /** w26: Markov entropy rate of the user-journey chain — per-state
+    * H(s) plus the '__rate' chain row, every ln floored onto the 1e-6
+    * lattice per transition pair and everything downstream exact
+    * integer algebra (the ml2 discipline). Full oracle.
+    */
+  private def w26EntropyRate(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.entropyRate(
+      T(s, d, "events"), "user_id", "ts", "event_id", "event_type")
 
   /** w17: bot detection by inter-event regularity — the real events
     * stream plus five planted metronome users (exact 60 s cadence);
@@ -2809,6 +2846,76 @@ FROM c"""
         (col("doc_id") + 2).as("dst")))
       .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
     Graph.triangles(hop, "src", "dst")
+  }
+
+  /** g12: rich-club coefficient curve over the g5 hop graph plus 50
+    * hash hubs (so the degree spectrum actually has a club) — φ(k)
+    * densities from two tiny histograms + suffix sums, one pass over
+    * the edges, exact lattice. Full oracle.
+    */
+  private def g12RichClub(s: SparkSession, d: String): DataFrame = {
+    val ids = T(s, d, "documents").select(col("doc_id"))
+    val hop = ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 1).as("dst"))
+      .unionByName(ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 2).as("dst")))
+      .unionByName(ids.select(col("doc_id").as("src"),
+        pmod(col("doc_id"), lit(50)).as("dst")))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    Graph.richClub(hop, "src", "dst")
+  }
+
+  /** g13: directed reciprocity — forward id→id+1 chain plus a reverse
+    * edge on every id ≡ 0 (mod 3); one canonical-pair aggregate,
+    * never an edge⋈transpose self-join. Full oracle.
+    */
+  private def g13Reciprocity(s: SparkSession, d: String): DataFrame = {
+    val ids = T(s, d, "documents").select(col("doc_id"))
+    val dir = ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 1).as("dst"))
+      .unionByName(ids.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst")))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    Graph.reciprocity(dir, "src", "dst")
+  }
+
+  /** ml3: closed-form two-feature OLS (y = text bytes over x1 = token
+    * count, x2 = id mod 100) — exact decimal moment sums, Cramer
+    * solve, half-away-from-zero e6 betas. Full oracle: identical
+    * HUGEINT determinants.
+    */
+  private def ml3Linreg(s: SparkSession, d: String): DataFrame =
+    Classifier.linearRegressionFit(
+      T(s, d, "documents").select(
+        length(col("text")).as("y"),
+        size(split(col("text"), " ")).as("x1"),
+        pmod(col("doc_id"), lit(100)).as("x2")),
+      "y", "x1", "x2")
+
+  /** m13: ustar tar shard metadata — per-doc tar archives BUILT with
+    * real 512-byte headers (octal fields, spec checksum, zero-block
+    * terminator; 1 + id%4 members, non-tar text bytes on every 13th
+    * doc) and PARSED back by the independent header walk (the m12
+    * construct→parse discipline). Closed-form oracle.
+    */
+  private def m13TarMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = T(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes =
+          if (id % 13 == 0) text.getBytes("UTF-8") // non-tar: dropped
+          else {
+            val n = 1 + (id % 4).toInt
+            Multimodal.tarBytes((0 until n).map { i =>
+              val sz = 10 + ((id + i) % 100).toInt
+              (s"f$i.txt",
+                Array.tabulate(sz)(j => ((id + i + j) % 256).toByte))
+            })
+          }
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+    Multimodal.tarMeta(s, payloads, "doc_id")
   }
 
   /** m7: MP3 stream metadata — per-doc Layer III streams are BUILT with
@@ -2915,6 +3022,31 @@ FROM c"""
     */
   private def t41VocabGrowth(s: SparkSession, d: String): DataFrame =
     TextAnalytics.vocabularyGrowth(T(s, d, "documents"), "doc_id", "text")
+
+  /** t42: corpus frequency spectrum — V_m for m = 1..10 plus the
+    * over-cap tail, zero-filled buckets. Exact integer counts; full
+    * oracle (exact-string types vs xxhash64 buckets — the documented
+    * t40/t41 collision tolerance).
+    */
+  private def t42FreqSpectrum(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.frequencySpectrum(T(s, d, "documents"), "text")
+
+  /** t43: Gries' DP dispersion of every term (collection freq ≥ 5)
+    * across the `source` parts — exact integer numer/denom with the
+    * absent-part mass folded closed-form, half-up 1e-6 lattice. Full
+    * oracle: identical HUGEINT algebra.
+    */
+  private def t43Dispersion(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.dispersion(T(s, d, "documents"), "source", "text")
+
+  /** t44: standardized TTR over 20-token segments per document
+    * (segLen 20 keeps full segments plentiful at the harness corpus's
+    * doc lengths), exact half-up lattice, NULL for docs shorter than
+    * one segment. Full oracle: LATERAL generate_series positions +
+    * the identical (2a+b) // 2b lattice.
+    */
+  private def t44Sttr(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.sttr(T(s, d, "documents"), "doc_id", "text", segLen = 20)
 
   /** t40: lexical-richness profile — TTR, hapax share and Yule's K per
     * document, every statistic an exact integer-count rational on a
@@ -4157,7 +4289,17 @@ FROM c"""
     "w25_growth_accounting" -> (w25GrowthAccounting _),
     "f11_winsorize" -> (f11Winsorize _),
     "c19_snapshot_retention" -> (c19SnapshotRetention _),
-    "c20_license_scan" -> (c20LicenseScan _))
+    "c20_license_scan" -> (c20LicenseScan _),
+    "t42_freq_spectrum" -> (t42FreqSpectrum _),
+    "t43_dispersion" -> (t43Dispersion _),
+    "t44_sttr" -> (t44Sttr _),
+    "w26_entropy_rate" -> (w26EntropyRate _),
+    "e26_fleiss_kappa" -> (e26FleissKappa _),
+    "e27_wilcoxon" -> (e27Wilcoxon _),
+    "g12_rich_club" -> (g12RichClub _),
+    "g13_reciprocity" -> (g13Reciprocity _),
+    "ml3_linreg" -> (ml3Linreg _),
+    "m13_tar_meta" -> (m13TarMeta _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -9137,8 +9279,257 @@ FROM c"""
         |ts AS (SELECT checkpoint, count(*)::BIGINT AS n_distinct
         |  FROM fs JOIN cps ON first <= max_doc_id GROUP BY 1)
         |SELECT checkpoint::BIGINT AS checkpoint, max_doc_id::BIGINT
-        |    AS max_doc_id, n_docs, n_tokens, n_distinct
-        |FROM ds JOIN ts USING (checkpoint)""".stripMargin,
+        |    AS max_doc_id, coalesce(n_docs, 0)::BIGINT AS n_docs,
+        |  coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(n_distinct, 0)::BIGINT AS n_distinct
+        |FROM cps LEFT JOIN ds USING (checkpoint, max_doc_id)
+        |  LEFT JOIN ts USING (checkpoint)""".stripMargin,
+    // t42 twin: exact-string types vs Spark's xxhash64 buckets (the
+    // documented t40/t41 64-bit-collision tolerance); zero-filled
+    // bucket spine via generate_series
+    "t42_freq_spectrum" ->
+      """WITH tf AS (SELECT term, count(*) AS tf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents) GROUP BY 1),
+        |spec AS (SELECT least(tf, 11)::BIGINT AS m_bucket,
+        |    count(*)::BIGINT AS n_types, sum(tf)::BIGINT AS n_tokens
+        |  FROM tf GROUP BY 1),
+        |ax AS (SELECT unnest(generate_series(1, 11))::BIGINT AS m_bucket)
+        |SELECT ax.m_bucket, coalesce(n_types, 0)::BIGINT AS n_types,
+        |  coalesce(n_tokens, 0)::BIGINT AS n_tokens
+        |FROM ax LEFT JOIN spec USING (m_bucket)""".stripMargin,
+    // t43 twin: identical HUGEINT numerator/denominator algebra with
+    // the absent-part mass folded closed-form (never terms x parts)
+    "t43_dispersion" ->
+      """WITH counts AS (SELECT part, term, count(*) AS c
+        |  FROM (SELECT source AS part,
+        |      unnest(string_split(text, ' ')) AS term
+        |    FROM documents) GROUP BY 1, 2),
+        |pt AS (SELECT part, sum(c)::HUGEINT AS t FROM counts GROUP BY 1),
+        |g AS (SELECT sum(t)::HUGEINT AS tt FROM pt),
+        |tm AS (SELECT term, sum(c)::HUGEINT AS ctot FROM counts
+        |  GROUP BY 1 HAVING sum(c) >= 5)
+        |SELECT term, ctot::BIGINT AS n_total,
+        |  count(*)::BIGINT AS n_parts_present,
+        |  ((2 * (sum(abs(c::HUGEINT * tt - t * ctot) - t * ctot)
+        |      + ctot * tt) * 1000000 + 2 * ctot * tt)
+        |    // (4 * ctot * tt))::BIGINT AS dp_e6
+        |FROM counts JOIN tm USING (term) JOIN pt USING (part)
+        |  CROSS JOIN g
+        |GROUP BY term, ctot, tt""".stripMargin,
+    // t44 twin: 1-based LATERAL positions mirror the 0-based
+    // posexplode `pos div 20`; exact-string per-segment distincts vs
+    // xxhash64 buckets (documented tolerance); NULL for short docs
+    "t44_sttr" ->
+      """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |tok AS (SELECT id, (i - 1) // 20 AS seg, w[i] AS term
+        |  FROM d, LATERAL unnest(generate_series(1, len(w))) t(i)),
+        |seg AS (SELECT id, seg, count(DISTINCT term)::BIGINT AS v,
+        |    count(*)::BIGINT AS len
+        |  FROM tok GROUP BY 1, 2),
+        |pd AS (SELECT id, sum(len)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN len = 20 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_segments,
+        |    sum(CASE WHEN len = 20 THEN v ELSE 0 END)::BIGINT AS sumv
+        |  FROM seg GROUP BY 1)
+        |SELECT id, n_tokens, n_segments,
+        |  CASE WHEN n_segments > 0 THEN
+        |    ((2 * sumv::HUGEINT * 1000000 + n_segments * 20)
+        |      // (2 * n_segments * 20))::BIGINT
+        |  ELSE NULL END AS sttr_e6
+        |FROM pd""".stripMargin,
+    // w26 twin: identical per-pair floor(1e6·n·ln(tot/n)) lattice
+    // (same left-assoc IEEE tree), exact integer half-up reads
+    "w26_entropy_rate" ->
+      """WITH ev AS (SELECT user_id AS u, ts, event_id AS eid,
+        |    event_type AS cur FROM events WHERE user_id IS NOT NULL),
+        |nx AS (SELECT cur, lead(cur) OVER
+        |    (PARTITION BY u ORDER BY ts, eid) AS nxt FROM ev),
+        |pairs AS (SELECT cur, nxt, count(*) AS n FROM nx
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, sum(n)::BIGINT AS tot FROM pairs GROUP BY 1),
+        |te AS (SELECT p.cur, t.tot,
+        |    floor(1000000.0 * n * ln(tot::DOUBLE / n::DOUBLE))::BIGINT
+        |      AS t_e6
+        |  FROM pairs p JOIN tot t USING (cur)),
+        |per AS (SELECT cur AS state, max(tot)::BIGINT AS n_trans,
+        |    ((2 * sum(t_e6) + max(tot)) // (2 * max(tot)))::BIGINT
+        |      AS h_e6
+        |  FROM te GROUP BY 1),
+        |tall AS (SELECT sum(n)::BIGINT AS t_all FROM pairs),
+        |chain AS (SELECT '__rate' AS state, t_all AS n_trans,
+        |    ((2 * (SELECT sum(t_e6) FROM te) + t_all)
+        |      // (2 * t_all))::BIGINT AS h_e6
+        |  FROM tall)
+        |SELECT * FROM per UNION ALL SELECT * FROM chain""".stripMargin,
+    // e26 twin: identical HUGEINT rational + half-away-from-zero read
+    "e26_fleiss_kappa" ->
+      """WITH r AS (SELECT doc_id AS item,
+        |    ((length(text) + t.r * (doc_id % 5)) % 4)::VARCHAR AS cat
+        |  FROM documents,
+        |    LATERAL unnest(generate_series(1, 3)) t(r)),
+        |nij AS (SELECT item, cat, count(*) AS nij FROM r GROUP BY 1, 2),
+        |per AS (SELECT item, sum(nij) AS ni,
+        |    sum(nij::HUGEINT * nij) AS a_i FROM nij GROUP BY 1),
+        |cj AS (SELECT cat, sum(nij) AS cjn FROM nij GROUP BY 1),
+        |bb AS (SELECT sum(cjn::HUGEINT * cjn) AS b,
+        |    count(*)::BIGINT AS n_categories FROM cj),
+        |s AS (SELECT count(*)::HUGEINT AS n_items,
+        |    min(ni)::HUGEINT AS n_raters, sum(a_i)::HUGEINT AS a
+        |  FROM per),
+        |k AS (SELECT n_items, n_raters, n_categories,
+        |    (a - n_items * n_raters) * (n_items * n_raters)
+        |      * (n_items * n_raters)
+        |      - (n_items * n_raters * (n_raters - 1)) * b AS num,
+        |    (n_items * n_raters * (n_raters - 1))
+        |      * ((n_items * n_raters) * (n_items * n_raters) - b) AS den
+        |  FROM s CROSS JOIN bb)
+        |SELECT n_items::BIGINT AS n_items, n_raters::BIGINT AS n_raters,
+        |  n_categories,
+        |  CASE WHEN den = 0 THEN NULL
+        |    WHEN num >= 0 THEN
+        |      ((2 * num * 1000000 + den) // (2 * den))::BIGINT
+        |    ELSE -((((-2) * num) * 1000000 + den) // (2 * den))::BIGINT
+        |  END AS kappa_e6,
+        |  CASE WHEN den = 0 THEN 'undefined' ELSE 'defined' END
+        |    AS verdict
+        |FROM k""".stripMargin,
+    // e27 twin: identical doubled-rank grid + the exact
+    // 30000·D² vs 9604·σ' cross-comparison
+    "e27_wilcoxon" ->
+      """WITH p AS (SELECT (length(text) % 50)::HUGEINT
+        |    - ((length(text) + doc_id * 7) % 50) AS d FROM documents),
+        |nz AS (SELECT abs(d) AS ad, d > 0 AS pos FROM p WHERE d <> 0),
+        |grid AS (SELECT ad, count(*) AS cnt,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cnt_pos
+        |  FROM nz GROUP BY 1),
+        |g2 AS (SELECT ad, cnt, cnt_pos,
+        |    coalesce(sum(cnt) OVER (ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumbefore FROM grid),
+        |s AS (SELECT coalesce(sum(cnt), 0)::HUGEINT AS n,
+        |    coalesce(sum(cnt_pos::HUGEINT
+        |      * (2 * cumbefore + cnt + 1)), 0)::HUGEINT AS s2_plus,
+        |    coalesce(sum(cnt::HUGEINT * cnt * cnt - cnt), 0)::HUGEINT
+        |      AS tie_sum
+        |  FROM g2),
+        |z AS (SELECT n, s2_plus, tie_sum,
+        |    s2_plus - (n * (n + 1)) // 2 AS dd,
+        |    2 * n * (n + 1) * (2 * n + 1) - tie_sum AS sigma FROM s)
+        |SELECT n::BIGINT AS n_nonzero, s2_plus::BIGINT AS w2_plus,
+        |  (n * (n + 1) - s2_plus)::BIGINT AS w2_minus,
+        |  tie_sum::BIGINT AS tie_sum,
+        |  CASE WHEN n < 2 OR sigma <= 0 THEN 'undefined'
+        |    WHEN 30000 * dd * dd > 9604 * sigma THEN 'significant'
+        |    ELSE 'not_significant' END AS verdict
+        |FROM z""".stripMargin,
+    // g12 twin: same edge synthesis, symmetric-distinct normalization
+    // (string-typed nodes, lexicographic a < b like the operator),
+    // histogram + suffix-sum algebra
+    "g12_rich_club" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |raw AS (SELECT src::VARCHAR AS a, dst::VARCHAR AS b FROM (
+        |    SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+        |    UNION ALL SELECT doc_id, doc_id + 2 FROM ids
+        |    UNION ALL SELECT doc_id, doc_id % 50 FROM ids)
+        |  WHERE dst IN (SELECT doc_id FROM ids) AND src <> dst),
+        |und AS (SELECT DISTINCT a, b FROM
+        |  (SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw)),
+        |deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY 1),
+        |he AS (SELECT least(da.deg, db.deg) AS mindeg FROM und
+        |  JOIN deg da ON da.node = und.a
+        |  JOIN deg db ON db.node = und.b
+        |  WHERE und.a < und.b),
+        |eh AS (SELECT least(mindeg, 17) AS md, count(*) AS ne
+        |  FROM he GROUP BY 1),
+        |dh AS (SELECT least(deg, 17) AS dg, count(*) AS nn
+        |  FROM deg GROUP BY 1),
+        |ks AS (SELECT unnest(generate_series(1, 16))::BIGINT AS k),
+        |nk AS (SELECT k, sum(nn) AS n_nodes FROM ks
+        |  JOIN dh ON dg > k GROUP BY 1),
+        |ek AS (SELECT k, sum(ne) AS n_edges FROM ks
+        |  JOIN eh ON md > k GROUP BY 1)
+        |SELECT ks.k, coalesce(n_nodes, 0)::BIGINT AS n_nodes,
+        |  coalesce(n_edges, 0)::BIGINT AS n_edges,
+        |  CASE WHEN coalesce(n_nodes, 0) >= 2 THEN
+        |    ((2 * (2 * coalesce(n_edges, 0) * 1000000)
+        |      + coalesce(n_nodes, 0) * (coalesce(n_nodes, 0) - 1))
+        |     // (2 * coalesce(n_nodes, 0) * (coalesce(n_nodes, 0) - 1))
+        |    )::BIGINT END AS phi_e6
+        |FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)"""
+        .stripMargin,
+    // g13 twin: canonical lexicographic (lo, hi) pair flags, one
+    // aggregate — identical to the operator's shape
+    "g13_reciprocity" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |dir AS (SELECT DISTINCT src::VARCHAR AS a, dst::VARCHAR AS b
+        |  FROM (SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+        |    UNION ALL SELECT doc_id, doc_id - 1 FROM ids
+        |      WHERE doc_id % 3 = 0)
+        |  WHERE dst IN (SELECT doc_id FROM ids) AND src <> dst),
+        |pairs AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+        |    max(CASE WHEN a < b THEN 1 ELSE 0 END) AS has_f,
+        |    max(CASE WHEN a > b THEN 1 ELSE 0 END) AS has_b
+        |  FROM dir GROUP BY 1, 2),
+        |s AS (SELECT coalesce(sum(has_f + has_b), 0)::BIGINT AS n_edges,
+        |    coalesce(sum(CASE WHEN has_f + has_b = 2 THEN 2 ELSE 0 END),
+        |      0)::BIGINT AS n_mutual FROM pairs)
+        |SELECT n_edges, n_mutual,
+        |  CASE WHEN n_edges > 0 THEN
+        |    ((2 * n_mutual * 1000000 + n_edges) // (2 * n_edges))::BIGINT
+        |  END AS reciprocity_e6
+        |FROM s""".stripMargin,
+    // ml3 twin: identical HUGEINT moment sums + Cramer determinants +
+    // half-away-from-zero lattice
+    "ml3_linreg" ->
+      """WITH b AS (SELECT length(text)::HUGEINT AS y,
+        |    len(string_split(text, ' '))::HUGEINT AS x1,
+        |    (doc_id % 100)::HUGEINT AS x2 FROM documents),
+        |s AS (SELECT count(*)::HUGEINT AS n, sum(x1) AS s1,
+        |    sum(x2) AS s2, sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+        |    sum(x2 * x2) AS s22, sum(y) AS sy, sum(x1 * y) AS s1y,
+        |    sum(x2 * y) AS s2y FROM b),
+        |dets AS (SELECT n,
+        |    n * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS d,
+        |    sy * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS d0,
+        |    n * (s1y * s22 - s2y * s12)
+        |      - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS d1,
+        |    n * (s11 * s2y - s12 * s1y)
+        |      - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS d2
+        |  FROM s)
+        |SELECT n::BIGINT AS n,
+        |  CASE WHEN d = 0 THEN NULL
+        |    WHEN (d0 >= 0) = (d >= 0) THEN
+        |      ((2 * abs(d0) * 1000000 + abs(d)) // (2 * abs(d)))::BIGINT
+        |    ELSE -((2 * abs(d0) * 1000000 + abs(d)) // (2 * abs(d)))
+        |      ::BIGINT END AS b0_e6,
+        |  CASE WHEN d = 0 THEN NULL
+        |    WHEN (d1 >= 0) = (d >= 0) THEN
+        |      ((2 * abs(d1) * 1000000 + abs(d)) // (2 * abs(d)))::BIGINT
+        |    ELSE -((2 * abs(d1) * 1000000 + abs(d)) // (2 * abs(d)))
+        |      ::BIGINT END AS b1_e6,
+        |  CASE WHEN d = 0 THEN NULL
+        |    WHEN (d2 >= 0) = (d >= 0) THEN
+        |      ((2 * abs(d2) * 1000000 + abs(d)) // (2 * abs(d)))::BIGINT
+        |    ELSE -((2 * abs(d2) * 1000000 + abs(d)) // (2 * abs(d)))
+        |      ::BIGINT END AS b2_e6,
+        |  CASE WHEN d = 0 THEN 'singular' ELSE 'defined' END AS verdict
+        |FROM dets""".stripMargin,
+    // m13 twin: the m12 closed-form discipline — member count, sizes
+    // and 6-byte names are pure integer functions of doc_id
+    "m13_tar_meta" ->
+      """SELECT doc_id AS id, (1 + doc_id % 4)::BIGINT AS n_entries,
+        |  list_sum([10 + (doc_id + i) % 100
+        |    for i in range(0, 1 + doc_id % 4)])::BIGINT AS total_size,
+        |  (6 * (1 + doc_id % 4))::BIGINT AS names_len
+        |FROM documents WHERE doc_id % 13 <> 0""".stripMargin,
     // s13 twin: the textbook one-window prefix sum + the identical
     // comb floor-division algebra
     "s13_systematic_resample" ->

@@ -1081,6 +1081,219 @@ object Classifier {
     * envelope), one map-side-combined global fold. Output: one row
     * (n_a, n_b, u2_a, tie_sum, cle_e6, verdict).
     */
+  /** Closed-form ordinary least squares for two integer features —
+    * y ≈ b0 + b1·x1 + b2·x2 via the normal equations, solved by
+    * Cramer's rule over EXACT decimal(38,0) moment sums: the
+    * train-a-calibration-line / dataset-trend-fit primitive
+    * (tokens-per-byte, score-vs-length drifts) that needs no
+    * iteration and no float until the final read-out. At any corpus
+    * size the plan is one map-side-combined 9-sum aggregate — the
+    * same sums a 1000-executor run combines — and a one-row solve.
+    *
+    * Exactness envelope (the mannWhitney posture): moment sums past
+    * 10¹² or n past 2·10⁶ raise loudly rather than risk silent
+    * decimal overflow in the 3×3 determinants (bounded ≤ ~10³⁰
+    * inside the envelope; the 10⁶ lattice read peaks ≤ 4·10³⁶ < 10³⁸).
+    * Betas are half-away-from-zero 1e-6 lattice reads of the exact
+    * determinant rationals; a singular system (collinear features,
+    * constant x) emits NULL betas with verdict 'singular'. Output:
+    * one row (n, b0_e6, b1_e6, b2_e6, verdict).
+    */
+  def linearRegressionFit(
+      df: DataFrame, yCol: String, x1Col: String, x2Col: String)
+      : DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    def in(c: String, what: String) = when(col(c).isNull,
+      raise_error(lit(s"linearRegressionFit: null $what")))
+      .otherwise(col(c).cast("long"))
+    val b = df.select(in(yCol, "y").as("y"), in(x1Col, "x1").as("x1"),
+      in(x2Col, "x2").as("x2"))
+    val s = b.agg(
+        count(lit(1)).as("n"),
+        sum(dc(col("x1"))).as("s1"), sum(dc(col("x2"))).as("s2"),
+        sum(dc(col("x1")) * dc(col("x1"))).as("s11"),
+        sum(dc(col("x1")) * dc(col("x2"))).as("s12"),
+        sum(dc(col("x2")) * dc(col("x2"))).as("s22"),
+        sum(dc(col("y"))).as("sy"),
+        sum(dc(col("x1")) * dc(col("y"))).as("s1y"),
+        sum(dc(col("x2")) * dc(col("y"))).as("s2y"))
+      .withColumn("n",
+        when(col("n") > 2000000L ||
+          greatest(col("s11"), col("s22"), abs(col("sy")),
+            abs(col("s1y")), abs(col("s2y")), abs(col("s12"))) >
+            dc(lit(1000000000000L)),
+          raise_error(lit("linearRegressionFit: beyond the " +
+            "decimal(38) exactness envelope (n > 2e6 or a moment " +
+            "sum > 1e12) — rescale the features upstream")))
+          .otherwise(col("n")))
+    val t = s
+      .withColumn("d",
+        dc(col("n")) * (col("s11") * col("s22") - col("s12") * col("s12"))
+          - col("s1") * (col("s1") * col("s22") - col("s12") * col("s2"))
+          + col("s2") * (col("s1") * col("s12") - col("s11") * col("s2")))
+      .withColumn("d0",
+        col("sy") * (col("s11") * col("s22") - col("s12") * col("s12"))
+          - col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+          + col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y")))
+      .withColumn("d1",
+        dc(col("n")) * (col("s1y") * col("s22") - col("s2y") * col("s12"))
+          - col("sy") * (col("s1") * col("s22") - col("s12") * col("s2"))
+          + col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2")))
+      .withColumn("d2",
+        dc(col("n")) * (col("s11") * col("s2y") - col("s12") * col("s1y"))
+          - col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+          + col("sy") * (col("s1") * col("s12") - col("s11") * col("s2")))
+    def lat(nm: String): Column =
+      when(col("d") === 0, lit(null).cast("long"))
+        .otherwise(
+          when((col(nm) >= 0) === (col("d") >= 0),
+            expr(s"(2 * abs($nm) * 1000000 + abs(d)) div (2 * abs(d))"))
+            .otherwise(
+              -expr(s"(2 * abs($nm) * 1000000 + abs(d)) div (2 * abs(d))")))
+    t.select(col("n"), lat("d0").as("b0_e6"), lat("d1").as("b1_e6"),
+      lat("d2").as("b2_e6"),
+      when(col("d") === 0, lit("singular")).otherwise(lit("defined"))
+        .as("verdict"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for a
+    * FIXED number of raters per item, the multi-rater step between
+    * [[cohenKappa]]'s two raters and [[krippendorffAlpha]]'s
+    * missing-data generality: the standard read for label-quality
+    * audits where every item got exactly n judgments (crowd batches,
+    * n-model LLM-judge panels).
+    *
+    * With n_ij the raters assigning item i to category j, N items,
+    * n raters/item, c_j = Σ_i n_ij, A = Σ_ij n_ij², B = Σ_j c_j²:
+    *
+    *   P̄ = (A − N·n) / (N·n·(n−1)),  P_e = B / (N·n)²,
+    *   κ = (P̄ − P_e) / (1 − P_e)
+    *     = ((A − Nn)·(Nn)² − Nn(n−1)·B) / (Nn(n−1)·((Nn)² − B))
+    *
+    * EXACT end-to-end: one integer rational in decimal(38,0), read out
+    * half-AWAY-FROM-ZERO on the 1e-6 lattice (κ is legitimately
+    * negative below chance — the autocorrelation sign-split idiom).
+    * Unequal per-item rating counts raise loudly (Fleiss is undefined
+    * there — use krippendorffAlpha); perfect unanimity on every item
+    * with one global category makes P_e = 1 → NULL κ, verdict
+    * 'undefined'. Output: one row (n_items, n_raters, n_categories,
+    * kappa_e6, verdict).
+    */
+  def fleissKappa(
+      ratings: DataFrame, itemCol: String, catCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val cat = when(col(catCol).isNull,
+      raise_error(lit("fleissKappa: null category")))
+      .otherwise(col(catCol).cast("string"))
+    val nij = ratings
+      .select(col(itemCol).as("item"), cat.as("cat"))
+      .groupBy("item", "cat").agg(count(lit(1)).as("nij"))
+    val perItem = nij.groupBy("item").agg(sum("nij").as("ni"),
+      sum(dc(col("nij")) * dc(col("nij"))).as("a_i"))
+    val cj = nij.groupBy("cat").agg(sum("nij").as("cjn"))
+    val bAgg = cj.agg(sum(dc(col("cjn")) * dc(col("cjn"))).as("b"),
+      count(lit(1)).as("n_categories"))
+    val s = perItem.agg(
+        count(lit(1)).as("n_items"),
+        min("ni").as("n_min"), max("ni").as("n_max"),
+        sum("a_i").as("a"))
+      .select(col("n_items"),
+        when(col("n_min") =!= col("n_max"),
+          raise_error(concat(
+            lit("fleissKappa: unequal ratings per item ("),
+            col("n_min").cast("string"), lit(".."),
+            col("n_max").cast("string"),
+            lit(") — Fleiss requires a fixed rater count; use " +
+              "krippendorffAlpha for missing data"))))
+          .otherwise(col("n_min")).as("n_raters"), col("a"))
+      .crossJoin(broadcast(bAgg))
+    val nn = dc(col("n_items")) * dc(col("n_raters"))
+    val d1 = nn * (dc(col("n_raters")) - dc(lit(1)))
+    val num = (col("a") - nn) * nn * nn - d1 * col("b")
+    val den = d1 * (nn * nn - col("b"))
+    // half-away-from-zero 1e-6 read of num/den (den ≥ 0; num signed)
+    val e6 = when(num >= 0,
+      expr("(2 * kn * 1000000 + kd) div (2 * kd)"))
+      .otherwise(-expr("(-2 * kn * 1000000 + kd) div (2 * kd)"))
+    s.withColumn("kn", num).withColumn("kd", den)
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        when(col("kd") === 0, lit(null).cast("long")).otherwise(e6)
+          .as("kappa_e6"),
+        when(col("kd") === 0, lit("undefined")).otherwise(lit("defined"))
+          .as("verdict"))
+  }
+
+  /** Wilcoxon signed-rank test (the PAIRED companion of
+    * [[mannWhitney]]): two scores per item, zero differences dropped
+    * (the classical Wilcoxon reduction), |d| ranked with average ranks
+    * for ties, and the normal-approximation significance test executed
+    * as ONE exact integer cross-comparison — no sqrt, no float, the
+    * mannWhitney discipline:
+    *
+    *   z² > 1.96²  ⇔  30000·D² > 9604·(2n(n+1)(2n+1) − ΣT)
+    *
+    * where D = 2W₊ − n(n+1)/2·2/… spelled in doubled-rank integers:
+    * 2·avgrank = 2·cumbefore + cnt + 1 is always integer, S2 = Σ₊
+    * doubled ranks, D = S2 − n(n+1)/2·... (μ in doubled units is
+    * n(n+1)/2·2/2 — concretely D = S2 − n(n+1)/2, with S2 = 2W₊), and
+    * ΣT = Σ(t³ − t) the tie correction. Exact in decimal(38,0) to the
+    * 5e6-item envelope (guarded). Output: one row (n_nonzero,
+    * w2_plus, w2_minus, tie_sum, verdict) with w2_* the DOUBLED rank
+    * sums (always integers) and the w18-style 3-valued verdict.
+    */
+  def wilcoxonSignedRank(
+      pairs: DataFrame, idCol: String, aCol: String, bCol: String)
+      : DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    def scored(c: String, side: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"wilcoxonSignedRank: null $side score")))
+        .otherwise(col(c).cast("long"))
+    val d = pairs
+      .select((scored(aCol, "a") - scored(bCol, "b")).as("d"))
+      .filter(col("d") =!= 0)
+      .select(abs(col("d")).as("ad"), (col("d") > 0).as("pos"))
+    val w = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = d.groupBy("ad").agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("cnt_pos"))
+      .withColumn("cumbefore", coalesce(sum("cnt").over(w), lit(0L)))
+    val s = grid.agg(
+        coalesce(sum("cnt"), lit(0L)).as("n"),
+        coalesce(sum(dc(col("cnt_pos")) *
+          dc(lit(2) * col("cumbefore") + col("cnt") + lit(1))),
+          dc(lit(0))).as("s2_plus"),
+        coalesce(sum(dc(col("cnt")) * dc(col("cnt")) * dc(col("cnt")) -
+          dc(col("cnt"))), dc(lit(0))).as("tie_sum_dec"))
+      .withColumn("n",
+        when(col("n") > 5000000L,
+          raise_error(lit("wilcoxonSignedRank: beyond the 5e6-item " +
+            "decimal(38) exactness envelope"))).otherwise(col("n")))
+    val nD = dc(col("n"))
+    val totalS2 = nD * (nD + dc(lit(1))) // Σ doubled ranks = n(n+1)
+    val mu2 = totalS2 / 2 // decimal(38,6), exact: n(n+1) is even
+    val dd = col("s2_plus").cast(DecimalType(38, 6)) - mu2
+    val sigma = dc(lit(2)) * nD * (nD + dc(lit(1))) *
+      (dc(lit(2)) * nD + dc(lit(1))) - col("tie_sum_dec")
+    // z² > 1.96²: D is 2(W₊−μ) in doubled units so z² = D²·12/(4·48σ²')
+    // … executed as 30000·D² > 9604·σ' (both sides ×10⁴, σ' the
+    // 48-scaled variance above) — exact decimals, one comparison
+    val lhs = dc(lit(30000)) * dd.cast(dec) * dd.cast(dec)
+    val rhs = dc(lit(9604)) * col("sigma")
+    s.withColumn("sigma", sigma)
+      .select(col("n").as("n_nonzero"),
+        col("s2_plus").cast("long").as("w2_plus"),
+        (totalS2.cast(dec) - col("s2_plus")).cast("long").as("w2_minus"),
+        col("tie_sum_dec").cast("long").as("tie_sum"),
+        when(col("n") < 2 || col("sigma") <= 0, lit("undefined"))
+          .otherwise(when(lhs > rhs, lit("significant"))
+            .otherwise(lit("not_significant"))).as("verdict"))
+  }
+
   def mannWhitney(
       scored: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val dec = DecimalType(38, 0)

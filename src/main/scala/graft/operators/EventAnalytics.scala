@@ -338,6 +338,67 @@ object EventAnalytics {
           col("tot").cast("double") + lit(0.5)).cast("long").as("p_e6"))
   }
 
+  /** Markov entropy rate of the user-journey chain — the sequence-
+    * predictability read over [[transitionMatrix]]'s (cur → next)
+    * counts: H(s) = −Σ p(s'|s)·ln p(s'|s) per source state, and the
+    * chain rate Σ π(s)·H(s) with π the empirical source-state mass.
+    * ~0 means deterministic flows (bots, broken UIs funneling
+    * everyone one way); ln(k) means uniform chaos — THE one-number
+    * companion to w11's full matrix when monitoring drift between
+    * snapshots.
+    *
+    * Determinism contract (the naiveBayes floor-lattice discipline):
+    * each transition pair contributes t_e6 = ⌊10⁶·n·ln(tot_s/n)⌋ —
+    * one divide, one ln, one multiply, one floor on a fixed IEEE
+    * tree — and everything after is exact integer algebra:
+    * h_e6(s) = half-up (Σ_next t_e6) / tot_s, and the rate collapses
+    * to ONE rational, rate_e6 = half-up (Σ_all t_e6) / T, because
+    * π(s)·H(s) = (tot_s/T)·(Σt_e6/tot_s)/10⁶ telescopes — no float
+    * ever crosses rows.
+    *
+    * Scale: the transitionMatrix skeleton (one user-keyed lead window,
+    * bounded per user; one map-side-combined (cur, next) count) + a
+    * states-sized rollup. Output: one row per source state
+    * (state, n_trans, h_e6) plus the ('__rate', T, rate_e6) chain row.
+    */
+  def entropyRate(
+      events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy("u").orderBy("t", "eid")
+    val pairs = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"), col(tsCol).as("t"),
+        col(idCol).as("eid"), col(typeCol).as("cur"))
+      .withColumn("next", lead("cur", 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy("cur", "next").agg(count(lit(1)).as("n"))
+    entropyRateFromPairs(pairs)
+  }
+
+  /** Entropy-rate tail over exactly-once (cur, next, n) transition
+    * counts — split out so a streaming pair-count upsert (the c20
+    * pairCountsStream shape) can feed the same finisher by delegation.
+    */
+  def entropyRateFromPairs(pairs: DataFrame): DataFrame = {
+    val tot = pairs.groupBy("cur").agg(sum("n").as("tot"))
+    val te6 = pairs.join(tot, "cur")
+      .select(col("cur"), col("tot"),
+        floor(lit(1e6) * col("n").cast("double") *
+          log(col("tot").cast("double") / col("n").cast("double")))
+          .cast("long").as("t_e6"))
+    val perState = te6.groupBy("cur").agg(
+        first("tot").as("tot"), sum("t_e6").as("s_e6"))
+      .select(col("cur").as("state"), col("tot").as("n_trans"),
+        expr("(2 * s_e6 + tot) div (2 * tot)").as("h_e6"))
+    // tot appears once per (cur, next) row; summing it would overcount
+    // by the out-degree — T is the plain Σn instead
+    val totals = te6.agg(sum("t_e6").as("s_all"))
+      .crossJoin(broadcast(pairs.agg(sum("n").as("t_all"))))
+      .select(lit("__rate").as("state"), col("t_all").as("n_trans"),
+        expr("(2 * s_all + t_all) div (2 * t_all)").as("h_e6"))
+    perState.unionByName(totals)
+  }
+
   def sessionPaths(
       events: DataFrame, userCol: String, tsCol: String,
       idCol: String, typeCol: String,

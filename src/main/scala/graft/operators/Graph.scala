@@ -488,6 +488,111 @@ object Graph {
             "div (2 * deg * (deg - 1))")))
   }
 
+  /** Rich-club coefficient curve (Zhou & Mondragón 2004) — for each
+    * degree threshold k in 1..`maxK`: the density φ(k) = 2·E_k /
+    * (N_k·(N_k−1)) of the subgraph induced by nodes of degree > k.
+    * A rising φ(k) means hubs preferentially interlink (link farms,
+    * SEO rings, mirror meshes); organic webs stay flat-to-falling —
+    * the curve-level companion to [[assortativity]]'s one number.
+    *
+    * Exact and ONE pass over the edges, never a per-k subgraph scan:
+    * an edge belongs to every k < min(deg_a, deg_b) and a node to
+    * every k < deg, so both reduce to suffix sums over two tiny
+    * histograms (min-degree and degree) on the broadcast k spine —
+    * the stickiness offset-fanout discipline applied to thresholds.
+    * Input normalization as [[triangles]] (nulls drop, self-loops
+    * drop, parallel edges collapse, undirected). φ rides the half-up
+    * 1e-6 lattice; k rows with N_k < 2 emit NULL φ (undefined
+    * density, still a counted row — stable curve to diff). Output:
+    * (k, n_nodes, n_edges, phi_e6).
+    */
+  def richClub(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxK: Int = 16): DataFrame = {
+    require(maxK >= 1 && maxK <= 10000, s"maxK must be in [1,10000] (got $maxK)")
+    val spark = edges.sparkSession
+    val raw = edges.select(
+        col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val und = raw
+      .unionAll(raw.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    // one undirected edge = the a < b orientation of the symmetric set
+    val halfEdges = und.filter(col("a") < col("b"))
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(least(col("da"), col("db")).as("mindeg"))
+    // tiny histograms (≤ maxK+1 buckets each), then suffix sums on the
+    // broadcast k spine — never an edges × k fan-out
+    val edgeHist = halfEdges
+      .select(least(col("mindeg"), lit(maxK + 1L)).as("md"))
+      .groupBy("md").agg(count(lit(1)).as("ne"))
+    val degHist = deg
+      .select(least(col("deg"), lit(maxK + 1L)).as("dg"))
+      .groupBy("dg").agg(count(lit(1)).as("nn"))
+    val ks = spark.range(1, maxK + 1).select(col("id").as("k"))
+    val nK = ks.join(broadcast(degHist), col("dg") > col("k"))
+      .groupBy("k").agg(sum("nn").as("n_nodes"))
+    val eK = ks.join(broadcast(edgeHist), col("md") > col("k"))
+      .groupBy("k").agg(sum("ne").as("n_edges"))
+    ks.join(broadcast(nK), Seq("k"), "left")
+      .join(broadcast(eK), Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi_e6",
+        when(col("n_nodes") >= 2,
+          expr("(2 * (2 * n_edges * 1000000) + n_nodes * (n_nodes - 1)) " +
+            "div (2 * n_nodes * (n_nodes - 1))")))
+  }
+
+  /** Directed-graph reciprocity — the share of directed edges whose
+    * reverse edge also exists (r = |E ∩ Eᵀ| / |E|): the one-number
+    * directionality read for citation/link graphs — organic citation
+    * is near-zero-reciprocal, social follows sit ~0.5, and a scraped
+    * mirror pair reciprocates ~1.0. Complements [[assortativity]] and
+    * [[richClub]], which see only the undirected shadow.
+    *
+    * Nulls and self-loops drop, parallel edges collapse (the
+    * [[triangles]] normalization, minus the symmetrization). ONE
+    * map-side-combined aggregate over canonical (min, max) pairs —
+    * each pair arrives with its direction flags and mutuality is a
+    * per-pair AND, never a self-join of the edge table against its
+    * transpose. Exact integers + one half-up 1e-6 read. Output: one
+    * row (n_edges, n_mutual, reciprocity_e6) — NULL on an empty
+    * graph.
+    */
+  def reciprocity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val dir = edges.select(
+        col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    dir
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"),
+        (col("a") < col("b")).as("fwd"))
+      .groupBy("lo", "hi").agg(
+        max(when(col("fwd"), 1L).otherwise(0L)).as("has_f"),
+        max(when(!col("fwd"), 1L).otherwise(0L)).as("has_b"))
+      .agg(sum(col("has_f") + col("has_b")).as("n_edges"),
+        sum(when(col("has_f") + col("has_b") === 2, 2L).otherwise(0L))
+          .as("n_mutual"))
+      .select(
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+      .withColumn("reciprocity_e6",
+        when(col("n_edges") > 0,
+          expr("(2 * n_mutual * 1000000 + n_edges) div (2 * n_edges)")))
+  }
+
   /** Degree distribution summary + discrete power-law exponent (the
     * continuous-approximation MLE of Clauset, Shalizi & Newman 2009,
     * SIAM Rev. eq. 3.7: α = 1 + n / Σ ln(d_i / (d_min − ½))) — the

@@ -1051,6 +1051,140 @@ object Multimodal {
       .toDF("id", "n_entries", "total_usize", "total_csize", "names_len")
   }
 
+  case class TarInfo(nEntries: Int, totalSize: Long, namesLen: Long)
+
+  /** ustar (POSIX.1-1988 tar) header walk — the shard-manifest read
+    * for WebDataset-style tar shards (THE container format of
+    * large-scale multimodal training sets): member count, payload
+    * byte total and name mass from the 512-byte headers alone, data
+    * blocks skipped by arithmetic. Every header must carry the
+    * `ustar` magic, a VALID checksum (sum of header bytes with the
+    * chksum field read as spaces) and well-formed octal size/chksum
+    * fields, and the archive must end in the zero-block terminator —
+    * anything else is None (corrupt/truncated/non-tar; never throws,
+    * the wavInfo discipline). GNU long-name (typeflag L/K) and PAX
+    * extension blocks count as the members they are, by contract.
+    */
+  private[operators] def tarInfo(bytes: Array[Byte]): Option[TarInfo] = {
+    def octal(off: Int, len: Int): Option[Long] = {
+      var i = off; val end = off + len
+      var v = 0L; var seen = false
+      while (i < end && (bytes(i) == ' '.toByte || bytes(i) == 0)) i += 1
+      while (i < end && bytes(i) >= '0'.toByte && bytes(i) <= '7'.toByte) {
+        v = v * 8 + (bytes(i) - '0'.toByte); seen = true; i += 1
+      }
+      while (i < end && (bytes(i) == ' '.toByte || bytes(i) == 0)) i += 1
+      if (seen && i == end) Some(v) else None
+    }
+    if (bytes.length < 1024 || bytes.length % 512 != 0) return None
+    var off = 0
+    var n = 0; var tot = 0L; var nl = 0L
+    while (off + 512 <= bytes.length) {
+      var allZero = true; var j = 0
+      while (allZero && j < 512) {
+        if (bytes(off + j) != 0) allZero = false
+        j += 1
+      }
+      if (allZero)
+        return if (n > 0) Some(TarInfo(n, tot, nl)) else None
+      if (!(bytes(off + 257) == 'u'.toByte && bytes(off + 258) == 's'.toByte &&
+          bytes(off + 259) == 't'.toByte && bytes(off + 260) == 'a'.toByte &&
+          bytes(off + 261) == 'r'.toByte)) return None
+      val stored = octal(off + 148, 8) match {
+        case Some(v) => v
+        case None => return None
+      }
+      var sum = 0L
+      j = 0
+      while (j < 512) {
+        sum += (if (j >= 148 && j < 156) ' '.toInt
+          else bytes(off + j) & 0xFF)
+        j += 1
+      }
+      if (sum != stored) return None
+      val size = octal(off + 124, 12) match {
+        case Some(v) => v
+        case None => return None
+      }
+      if (size < 0) return None
+      var nameLen = 0
+      while (nameLen < 100 && bytes(off + nameLen) != 0) nameLen += 1
+      n += 1; tot += size; nl += nameLen
+      val dataBlocks = ((size + 511) / 512)
+      if (dataBlocks > Int.MaxValue / 512) return None
+      off += 512 + dataBlocks.toInt * 512
+    }
+    None // ran off the end without the zero-block terminator
+  }
+
+  /** Minimal deterministic ustar builder — regular files, mode 0644,
+    * mtime 0 (reproducible fixtures), standard checksum (6-digit
+    * octal + NUL + space), 512-padded data, two-zero-block
+    * terminator. The construct side of [[tarMeta]]'s construct→parse
+    * round trip; the spec additionally pins the emitted header BYTES
+    * (field offsets, octal encodings, checksum) against the published
+    * ustar layout so writer and parser cannot share a bug silently.
+    */
+  def tarBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def writeOctal(h: Array[Byte], off: Int, len: Int, v: Long): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      require(s.length <= len - 1, s"octal field overflow: $v in $len")
+      val padded = ("0" * (len - 1 - s.length)) + s
+      var i = 0
+      while (i < len - 1) { h(off + i) = padded.charAt(i).toByte; i += 1 }
+      h(off + len - 1) = 0
+    }
+    entries.foreach { case (name, data) =>
+      val nb = name.getBytes("UTF-8")
+      require(nb.length <= 100, s"tar name over 100 bytes: $name")
+      val h = new Array[Byte](512)
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      writeOctal(h, 100, 8, 420L) // mode 0644
+      writeOctal(h, 108, 8, 0L) // uid
+      writeOctal(h, 116, 8, 0L) // gid
+      writeOctal(h, 124, 12, data.length.toLong)
+      writeOctal(h, 136, 12, 0L) // mtime
+      h(156) = '0'.toByte // regular file
+      h(257) = 'u'.toByte; h(258) = 's'.toByte; h(259) = 't'.toByte
+      h(260) = 'a'.toByte; h(261) = 'r'.toByte; h(262) = 0
+      h(263) = '0'.toByte; h(264) = '0'.toByte
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L; var i = 0
+      while (i < 512) { sum += h(i) & 0xFF; i += 1 }
+      val cs = java.lang.Long.toOctalString(sum)
+      val csp = ("0" * (6 - cs.length)) + cs
+      var k = 0
+      while (k < 6) { h(148 + k) = csp.charAt(k).toByte; k += 1 }
+      h(154) = 0; h(155) = ' '.toByte
+      bos.write(h)
+      bos.write(data)
+      bos.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    bos.write(new Array[Byte](1024))
+    bos.toByteArray
+  }
+
+  /** tar container metadata per payload — the [[zipMeta]] shape for
+    * WebDataset-style tar shards: one typed per-partition pass of the
+    * [[tarInfo]] header walk (headers only, data skipped by
+    * arithmetic — O(members) per payload, zero shuffle). Non-tar /
+    * corrupt payloads emit no row. Output: (id, n_entries,
+    * total_size, names_len).
+    */
+  def tarMeta(
+      spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        tarInfo(bytes).map(t =>
+          (id, t.nEntries.toLong, t.totalSize, t.namesLen))
+      })
+      .toDF("id", "n_entries", "total_size", "names_len")
+  }
+
   /** General WAV (RIFF) builder — arbitrary channel count, sample
     * rate, bit depth and frame count, zero-filled PCM data;
     * `extraChunk` inserts an ODD-sized LIST chunk between `fmt ` and

@@ -841,6 +841,135 @@ object TextAnalytics {
           .as("yule_k_e2"))
   }
 
+  /** Corpus frequency spectrum — V_m, the number of types occurring
+    * exactly m times, for m = 1..`maxM` plus one over-cap tail bucket
+    * (m > maxM): the classical LNRE read (Baayen 2001) next to
+    * [[lexicalRichness]]'s per-doc Yule's K — V₁/V₂ drive Good–Turing
+    * mass estimates, a bloated V₁ flags OCR/tokenizer damage, and a
+    * dented low-m spectrum flags template mass the curve-level
+    * [[vocabularyGrowth]] only shows in aggregate.
+    *
+    * Exact integer counts end-to-end; every bucket 1..maxM+1 emits a
+    * row (zero-filled from a broadcast bucket spine — a stable
+    * spectrum shape to diff between snapshots). Types are xxhash64
+    * buckets (the [[tokenEntropy]] 8-byte-key shuffle discipline; a
+    * 64-bit collision merges two types — the documented t40/t41
+    * tolerance). Scale: one explode into a map-side-combined
+    * vocab-sized count, one (maxM+1)-sized rollup. Output:
+    * (m_bucket, n_types, n_tokens) where the tail row's n_tokens is
+    * the total occurrence mass of the over-cap types.
+    */
+  def frequencySpectrum(
+      docs: DataFrame, textCol: String, maxM: Int = 10): DataFrame = {
+    require(maxM >= 1 && maxM <= 1000, s"maxM must be in [1,1000] (got $maxM)")
+    val spark = docs.sparkSession
+    val tf = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(xxhash64(col("tok")).as("term")).agg(count(lit(1)).as("tf"))
+    val spec = tf
+      .select(least(col("tf"), lit(maxM + 1L)).as("m_bucket"), col("tf"))
+      .groupBy("m_bucket")
+      .agg(count(lit(1)).as("n_types"), sum("tf").as("n_tokens"))
+    spark.range(1, maxM + 2).select(col("id").as("m_bucket"))
+      .join(broadcast(spec), Seq("m_bucket"), "left")
+      .select(col("m_bucket"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
+  /** Per-term dispersion — Gries' DP (Gries 2008, "Dispersion and
+    * adjusted frequencies"): how evenly a term's occurrences spread
+    * over the corpus PARTS (sources/domains/shards), 0 = perfectly
+    * proportional to part sizes, →1 = concentrated in one part. The
+    * corpus-linguistics companion to [[keyness]]: a high-frequency
+    * term with high DP is one document template, not language — raw
+    * frequency can't tell them apart.
+    *
+    * With c_i the term's count in part i (C = Σc_i), t_i the part's
+    * token total (T = Σt_i):
+    *
+    *   DP = ½ Σ_i |c_i/C − t_i/T|
+    *      = ( Σ_{i: c_i>0} (|c_i·T − t_i·C| − t_i·C) + C·T ) / (2·C·T)
+    *
+    * — the second form folds every ABSENT part's |0 − t_i/T|
+    * contribution into the closed-form C·T term, so the plan never
+    * densifies terms × parts (the naiveBayes unseen-mass discipline).
+    * EXACT end-to-end: the numerator and denominator are integer
+    * decimal(38,0) sums, `dp_e6` is the half-up (2a+b) div 2b lattice
+    * read — no float anywhere.
+    *
+    * Scale: one explode into a map-side-combined (part, term) count,
+    * a broadcast parts-dim join + one corpus-sized term join, one
+    * vocab-sized rollup. `minCount` prunes evidence-free tail terms.
+    * Output: (term, n_total, n_parts_present, dp_e6).
+    */
+  def dispersion(
+      docs: DataFrame, partCol: String, textCol: String,
+      minCount: Int = 5): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val counts = docs
+      .select(col(partCol).as("part"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("part", "term").agg(count(lit(1)).as("c"))
+    val partTotals = counts.groupBy("part").agg(sum("c").as("t"))
+    val grand = partTotals.agg(sum("t").as("tt"))
+    val termTotals = counts.groupBy("term").agg(sum("c").as("ctot"))
+      .filter(col("ctot") >= minCount)
+    counts.join(termTotals, Seq("term"))
+      .join(broadcast(partTotals), Seq("part"))
+      .crossJoin(broadcast(grand))
+      .groupBy("term")
+      .agg(first("ctot").as("n_total"),
+        count(lit(1)).as("n_parts_present"),
+        sum(abs(dc(col("c")) * dc(col("tt")) - dc(col("t")) * dc(col("ctot")))
+          - dc(col("t")) * dc(col("ctot"))).as("presentSum"),
+        first(dc(col("ctot")) * dc(col("tt"))).as("den"))
+      .select(col("term"), col("n_total"), col("n_parts_present"),
+        expr("(2 * (presentSum + den) * 1000000 + 2 * den) div (4 * den)")
+          .as("dp_e6"))
+  }
+
+  /** Per-document standardized type-token ratio (STTR) — mean TTR over
+    * consecutive fixed-length token segments (`segLen`, classically
+    * 100): the length-robust vocabulary-diversity read WordSmith-style
+    * corpus tools report, because raw TTR decays with document length
+    * and cross-length comparisons lie. Partial trailing segments are
+    * excluded (the standard definition); a document shorter than one
+    * full segment emits n_segments = 0 with a NULL sttr_e6 — one row
+    * per document, always (the vocabularyGrowth spine discipline).
+    *
+    * EXACT: per-segment distinct counts are integers, the mean is ONE
+    * half-up lattice read (Σv·10⁶ over n_segments·segLen) — no float.
+    * Types are xxhash64 buckets within a segment (8-byte shuffle keys;
+    * the documented collision tolerance). Scale: one posexplode into a
+    * map-side-combined (id, seg, hash) distinct + per-segment counts +
+    * a per-doc rollup; the position comes from the tokenizer, never a
+    * window over the corpus. Output: (id, n_tokens, n_segments,
+    * sttr_e6 nullable).
+    */
+  def sttr(
+      docs: DataFrame, idCol: String, textCol: String,
+      segLen: Int = 100): DataFrame = {
+    require(segLen >= 2 && segLen <= 100000,
+      s"segLen must be in [2, 100000] (got $segLen)")
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("id"), expr(s"pos div $segLen").as("seg"),
+        xxhash64(col("tok")).as("th"))
+    val perSeg = toks.groupBy("id", "seg")
+      .agg(countDistinct("th").as("v"), count(lit(1)).as("len"))
+    val perDoc = perSeg.groupBy("id").agg(
+      sum("len").as("n_tokens"),
+      sum(when(col("len") === segLen, 1L).otherwise(0L)).as("n_segments"),
+      sum(when(col("len") === segLen, col("v")).otherwise(0L)).as("sumv"))
+    perDoc.select(col("id"), col("n_tokens"), col("n_segments"),
+      when(col("n_segments") > 0,
+        expr(s"(2 * CAST(sumv AS DECIMAL(38,0)) * 1000000 + " +
+          s"n_segments * ${segLen}L) div (2 * n_segments * ${segLen}L)"))
+        .otherwise(lit(null).cast("long")).as("sttr_e6"))
+  }
+
   /** Per-group relative quality gate (the FineWeb-style "keep the top
     * X% per source" filter): percent_rank of the quality score within
     * each group — scored descending with the id as tiebreak, so ranks

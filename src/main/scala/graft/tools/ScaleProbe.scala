@@ -1090,6 +1090,85 @@ object ScaleProbe {
               .cast("string").as("item")),
           "k", "item").count()
       },
+      // ---- round-12 additions -------------------------------------
+      "t42_spectrum" -> { d =>
+        // value action, not count(): the zero-fill spine is a
+        // constant-row left join Catalyst would eliminate under count
+        TextAnalytics.frequencySpectrum(d, "text")
+          .agg(sum("n_types")).collect()
+        11L
+      },
+      "t43_dispersion" -> (d =>
+        TextAnalytics.dispersion(
+          d.select(pmod(xxhash64(col("doc_id"), lit(31L)), lit(8))
+            .cast("string").as("source"), col("text")),
+          "source", "text").count()),
+      "t44_sttr" -> (d =>
+        TextAnalytics.sttr(d, "doc_id", "text", segLen = 20).count()),
+      "w26_entropy" -> (d =>
+        EventAnalytics.entropyRate(
+          synthEvents(d, probeN).withColumn("eid", col("ts")),
+          "user_id", "ts", "eid", "event_type").count()),
+      "e26_fleiss" -> (d =>
+        Classifier.fleissKappa(
+          d.select(col("doc_id").as("item"),
+            explode(sequence(lit(1), lit(3))).as("r"), col("text"))
+            .select(col("item"),
+              pmod(length(col("text")) +
+                col("r") * pmod(col("item"), lit(5)), lit(4))
+                .cast("string").as("cat")),
+          "item", "cat").count()),
+      "e27_wilcoxon" -> (d =>
+        Classifier.wilcoxonSignedRank(
+          d.select(col("doc_id"),
+            pmod(length(col("text")), lit(50)).as("a"),
+            pmod(length(col("text")) + col("doc_id") * 7, lit(50))
+              .as("b")),
+          "doc_id", "a", "b").count()),
+      "g12_rich_club" -> { d =>
+        val ids = d.select(col("doc_id"))
+        val hop = ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 1).as("dst"))
+          .unionByName(ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 2).as("dst")))
+          .unionByName(ids.select(col("doc_id").as("src"),
+            pmod(col("doc_id"), lit(math.max(probeN / 100, 50L)))
+              .as("dst")))
+          .join(ids.select(col("doc_id").as("dst")), Seq("dst"),
+            "left_semi")
+        // value action: the k spine is a constant-row left join
+        Graph.richClub(hop, "src", "dst").agg(sum("n_edges")).collect()
+        16L
+      },
+      "g13_reciprocity" -> { d =>
+        val ids = d.select(col("doc_id"))
+        Graph.reciprocity(
+          ids.select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+            .unionByName(ids.filter(pmod(col("doc_id"), lit(3)) === 0)
+              .select(col("doc_id").as("src"),
+                (col("doc_id") - 1).as("dst")))
+            .join(ids.select(col("doc_id").as("dst")), Seq("dst"),
+              "left_semi"),
+          "src", "dst").count()
+      },
+      "ml3_linreg" -> (d =>
+        Classifier.linearRegressionFit(
+          d.select(pmod(length(col("text")), lit(100000)).as("y"),
+            pmod(size(split(col("text"), " ")), lit(100000)).as("x1"),
+            pmod(col("doc_id"), lit(100)).as("x2")),
+          "y", "x1", "x2").count()),
+      // m13: header-walk-bound construct→parse, the m12 class
+      "m13_tar_meta" -> { d =>
+        val s2 = d.sparkSession
+        import s2.implicits._
+        val payloads = d.select(col("doc_id")).as[Long].map { id =>
+          (id, graft.operators.Multimodal.tarBytes(
+            (0 until (1 + (id % 4)).toInt).map(i =>
+              (s"e$i", Array.tabulate((5 + id % 9).toInt)(j =>
+                ((id + j) % 128).toByte)))))
+        }.toDF("doc_id", "payload")
+        graft.operators.Multimodal.tarMeta(s2, payloads, "doc_id").count()
+      },
       // d21: both shingle-overlap scores from the ONE-pass core — the
       // d2 probe's cost shape is the contract; this pins the combined
       // operator to it (a second shingle pass would read as ~2× d2)

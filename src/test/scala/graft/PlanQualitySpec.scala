@@ -340,6 +340,32 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("r12 additions: no cartesian, term/corpus counts stay aggregates, " +
+      "windows only on bounded keys") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def winKeys(q: String): Seq[String] = SparkEntry.queries(q)(spark, dir)
+      .queryExecution.sparkPlan
+      .collect { case w: WindowExec => w.partitionSpec.map(_.sql).mkString(",") }
+    // corpus-level term counts are map-side-combined aggregates
+    assert(winKeys("t42_freq_spectrum").isEmpty)
+    assert(winKeys("t43_dispersion").isEmpty)
+    assert(winKeys("t44_sttr").isEmpty)
+    assert(winKeys("g12_rich_club").isEmpty)
+    assert(winKeys("g13_reciprocity").isEmpty)
+    assert(winKeys("ml3_linreg").isEmpty)
+    // w26's only window is user-keyed (bounded per user); e27's grid
+    // window rides the |d|-value grid (score-space-sized, never corpus)
+    val w26 = winKeys("w26_entropy_rate")
+    assert(w26.nonEmpty && w26.forall(_.contains("u")), w26)
+    for (q <- Seq("t42_freq_spectrum", "t43_dispersion", "t44_sttr",
+        "w26_entropy_rate", "e26_fleiss_kappa", "e27_wilcoxon",
+        "g12_rich_club", "g13_reciprocity", "ml3_linreg",
+        "m13_tar_meta")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"), q)
+    }
+  }
+
   test("per-term global counts are aggregates, not windows (no hot-key sort)") {
     import org.apache.spark.sql.execution.window.WindowExec
     // windows partitioned by the term key would sort a stop word's whole

@@ -749,6 +749,170 @@ class ClassifierSpec extends AnyFunSuite {
     assert(empty.length == 1 && empty.head._2 == "spam") // prior 2/3
   }
 
+  test("linearRegressionFit: exact plane recovered, singular system, " +
+      "envelope raise; BigInt Cramer parity on noisy data") {
+    import spark.implicits._
+    // exact plane y = 3 + 2·x1 − 5·x2 → betas come back exactly
+    val exact = (0L until 20L).map { i =>
+      val x1 = i % 7; val x2 = i % 4
+      (3 + 2 * x1 - 5 * x2, x1, x2)
+    }.toDF("y", "x1", "x2")
+    val got = Classifier.linearRegressionFit(exact, "y", "x1", "x2")
+      .as[(Long, Option[Long], Option[Long], Option[Long], String)]
+      .collect().head
+    assert(got == ((20L, Some(3000000L), Some(2000000L),
+      Some(-5000000L), "defined")))
+    // collinear features (x2 = 2·x1) → singular, NULL betas
+    val sing = Classifier.linearRegressionFit(
+        (0L until 10L).map(i => (i, i % 5, 2 * (i % 5)))
+          .toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .as[(Long, Option[Long], Option[Long], Option[Long], String)]
+      .collect().head
+    assert(sing._2.isEmpty && sing._3.isEmpty && sing._4.isEmpty &&
+      sing._5 == "singular")
+    // a moment sum past 1e12 raises loudly instead of overflowing
+    val e = intercept[Exception] {
+      Classifier.linearRegressionFit(
+        Seq((1L, 2000000L, 1L), (2L, 1900000L, 2L), (3L, 1L, 3L))
+          .toDF("y", "x1", "x2"), "y", "x1", "x2").collect()
+    }
+    assert((e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("exactness envelope"), e.getMessage)
+    // noisy random data ≡ independent BigInt Cramer model
+    val rnd = new scala.util.Random(107)
+    val rows = (1 to 300).map { _ =>
+      val x1 = rnd.nextInt(40).toLong; val x2 = rnd.nextInt(25).toLong
+      (7 + 3 * x1 + 2 * x2 + rnd.nextInt(9) - 4, x1, x2)
+    }
+    val gotR = Classifier.linearRegressionFit(
+        rows.toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .as[(Long, Option[Long], Option[Long], Option[Long], String)]
+      .collect().head
+    val n = BigInt(rows.size)
+    def S(f: ((Long, Long, Long)) => BigInt) = rows.map(f).sum
+    val (s1, s2) = (S(r => BigInt(r._2)), S(r => BigInt(r._3)))
+    val (s11, s12, s22) = (S(r => BigInt(r._2) * r._2),
+      S(r => BigInt(r._2) * r._3), S(r => BigInt(r._3) * r._3))
+    val (sy, s1y, s2y) = (S(r => BigInt(r._1)),
+      S(r => BigInt(r._2) * r._1), S(r => BigInt(r._3) * r._1))
+    val d = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val d0 = sy * (s11 * s22 - s12 * s12) -
+      s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    val d1 = n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val d2 = n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    def lat(num: BigInt): Long = {
+      val m = (2 * num.abs * 1000000 + d.abs) / (2 * d.abs)
+      (if ((num >= 0) == (d >= 0)) m else -m).toLong
+    }
+    assert(gotR == ((300L, Some(lat(d0)), Some(lat(d1)), Some(lat(d2)),
+      "defined")))
+  }
+
+  test("fleissKappa: hand rational, sign split, undefined unanimity, " +
+      "unequal raters raise; BigInt parity on random panels") {
+    import spark.implicits._
+    // i1 xx, i2 xy, i3 yy: A=10, B=18, Nn=6 → κ = 36/108 = 1/3
+    val got = Classifier.fleissKappa(
+        Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "y"), (3L, "y"),
+          (3L, "y")).toDF("item", "cat"), "item", "cat")
+      .as[(Long, Long, Long, Option[Long], String)].collect().head
+    assert(got == ((3L, 2L, 2L, Some(333333L), "defined")))
+    // perfectly split raters → κ = −1 (the sign-split read)
+    val neg = Classifier.fleissKappa(
+        Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"))
+          .toDF("item", "cat"), "item", "cat")
+      .as[(Long, Long, Long, Option[Long], String)].collect().head
+    assert(neg == ((2L, 2L, 2L, Some(-1000000L), "defined")))
+    // global unanimity → P_e = 1, κ undefined (NULL, loud verdict)
+    val und = Classifier.fleissKappa(
+        Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"))
+          .toDF("item", "cat"), "item", "cat")
+      .as[(Long, Long, Long, Option[Long], String)].collect().head
+    assert(und == ((2L, 2L, 1L, None, "undefined")))
+    // unequal rater counts raise loudly
+    val e = intercept[Exception] {
+      Classifier.fleissKappa(
+        Seq((1L, "x"), (1L, "x"), (2L, "x")).toDF("item", "cat"),
+        "item", "cat").collect()
+    }
+    assert((e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("unequal ratings"), e.getMessage)
+    // random 4-rater panels ≡ independent BigInt model
+    val rnd = new scala.util.Random(83)
+    val ratings = for (i <- 1 to 60; _ <- 1 to 4)
+      yield (i.toLong, s"c${rnd.nextInt(3)}")
+    val gotR = Classifier.fleissKappa(
+        ratings.toDF("item", "cat"), "item", "cat")
+      .as[(Long, Long, Long, Option[Long], String)].collect().head
+    val nij = ratings.groupBy(identity).map { case ((i, c), v) =>
+      (i, c, BigInt(v.size)) }
+    val nI = BigInt(60); val nR = BigInt(4)
+    val a = nij.map(x => x._3 * x._3).sum
+    val b = nij.groupBy(_._2).map { case (_, v) =>
+      val cj = v.map(_._3).sum; cj * cj }.sum
+    val nn = nI * nR
+    val num = (a - nn) * nn * nn - nn * (nR - 1) * b
+    val den = nn * (nR - 1) * (nn * nn - b)
+    val want = if (num >= 0) (2 * num * 1000000 + den) / (2 * den)
+      else -((-2 * num * 1000000 + den) / (2 * den))
+    assert(gotR == ((60L, 4L, 3L, Some(want.toLong), "defined")))
+  }
+
+  test("wilcoxonSignedRank: hand doubled ranks, tie correction, zero " +
+      "drop, verdicts; BigInt parity on random pairs") {
+    import spark.implicits._
+    // d = {2, 0(drop), −2, 5, 4, −1}: W₊ ranks {2.5, 4, 5} → 2W₊=23,
+    // ΣT=6, D=8, σ'=654 → 30000·64 < 9604·654: not significant
+    val got = Classifier.wilcoxonSignedRank(
+        Seq((1L, 5L, 3L), (2L, 4L, 4L), (3L, 3L, 5L), (4L, 6L, 1L),
+          (5L, 7L, 3L), (6L, 2L, 3L)).toDF("doc_id", "a", "b"),
+        "doc_id", "a", "b")
+      .as[(Long, Long, Long, Long, String)].collect().head
+    assert(got == ((5L, 23L, 7L, 6L, "not_significant")))
+    // ten one-sided distinct differences → z ≈ 2.80: significant
+    val sig = Classifier.wilcoxonSignedRank(
+        (1L to 10L).map(i => (i, 10L + i, 10L - i))
+          .toDF("doc_id", "a", "b"), "doc_id", "a", "b")
+      .as[(Long, Long, Long, Long, String)].collect().head
+    assert(sig == ((10L, 110L, 0L, 0L, "significant")))
+    // all-zero differences → n = 0: undefined
+    val und = Classifier.wilcoxonSignedRank(
+        Seq((1L, 2L, 2L), (2L, 9L, 9L)).toDF("doc_id", "a", "b"),
+        "doc_id", "a", "b")
+      .as[(Long, Long, Long, Long, String)].collect().head
+    assert(und == ((0L, 0L, 0L, 0L, "undefined")))
+    // random pairs ≡ independent sort-based BigInt model
+    val rnd = new scala.util.Random(89)
+    val pairs = (1L to 300L).map(i =>
+      (i, rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val gotR = Classifier.wilcoxonSignedRank(
+        pairs.toDF("doc_id", "a", "b"), "doc_id", "a", "b")
+      .as[(Long, Long, Long, Long, String)].collect().head
+    val ds = pairs.map(p => p._2 - p._3).filter(_ != 0)
+    val sorted = ds.map(math.abs).sorted
+    def dblRank(ad: Long): Long = {
+      val before = sorted.count(_ < ad)
+      val ties = sorted.count(_ == ad)
+      2L * before + ties + 1
+    }
+    val s2p = ds.filter(_ > 0).map(d => dblRank(math.abs(d))).sum
+    val n = BigInt(ds.size)
+    val tie = sorted.groupBy(identity).values
+      .map(g => BigInt(g.size).pow(3) - g.size).sum
+    val dd = BigInt(s2p) - n * (n + 1) / 2
+    val sigma = 2 * n * (n + 1) * (2 * n + 1) - tie
+    val verdict = if (n < 2 || sigma <= 0) "undefined"
+      else if (30000 * dd * dd > 9604 * sigma) "significant"
+      else "not_significant"
+    assert(gotR == ((n.toLong, s2p,
+      (n * (n + 1)).toLong - s2p, tie.toLong, verdict)))
+  }
+
   test("naiveBayesTrain → naiveBayesScore emits exactly the facade's " +
       "integers (train-once/apply-everywhere split, registry-safe)") {
     import spark.implicits._

@@ -877,4 +877,51 @@ class EventAnalyticsSpec extends AnyFunSuite {
       }.toSet
     assert(got == want)
   }
+
+  test("entropyRate: hand lattice terms and telescoped chain rate; " +
+      "scalar-model parity on random journeys") {
+    // u1: A,B,A,B; u2: A,A → pairs (A,B):2 (B,A):1 (A,A):1; tot A=3 B=1
+    val ev = Seq((1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"),
+      (1L, 30L, 3L, "A"), (1L, 40L, 4L, "B"),
+      (2L, 10L, 5L, "A"), (2L, 20L, 6L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.entropyRate(
+        ev, "user_id", "ts", "event_id", "event_type")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def t6(n: Long, tot: Long): Long =
+      math.floor(1e6 * n * math.log(tot.toDouble / n)).toLong
+    val hA = { val s = t6(2, 3) + t6(1, 3); (2 * s + 3) / 6 }
+    assert(got("A") == ((3L, hA)))
+    assert(got("B") == ((1L, 0L)))
+    val rate = { val s = t6(2, 3) + t6(1, 3) + t6(1, 1); (2 * s + 4) / 8 }
+    assert(got("__rate") == ((4L, rate)))
+    // random journeys ≡ independent scalar model (explicit per-user
+    // sort + pair counting — no Spark window)
+    val rnd = new scala.util.Random(97)
+    val rows = (1L to 600L).map(i =>
+      (i % 40, rnd.nextInt(100000).toLong, i,
+        s"s${rnd.nextInt(5)}"))
+    val gotR = EventAnalytics.entropyRate(
+        rows.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val pairCounts = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ord = es.sortBy(e => (e._2, e._3))
+      ord.zip(ord.tail).map { case (a, b) => (a._4, b._4) }
+    }.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+    val tots = pairCounts.groupBy(_._1).map { case (s, v) =>
+      s -> v.map(_._3).sum }
+    val te = pairCounts.map { case (s, _, n) => (s, t6(n, tots(s))) }
+    val wantStates = te.groupBy(_._1).map { case (s, v) =>
+      val sum = v.map(_._2).sum
+      s -> ((tots(s), (2 * sum + tots(s)) / (2 * tots(s))))
+    }
+    val tAll = tots.values.sum
+    val sAll = te.map(_._2).sum
+    val want = wantStates ++
+      Map("__rate" -> ((tAll, (2 * sAll + tAll) / (2 * tAll))))
+    assert(gotR == want)
+  }
 }

@@ -589,4 +589,76 @@ class GraphSpec extends AnyFunSuite {
       }.toSet
     assert(got == want && want.nonEmpty)
   }
+
+  test("richClub: hand curve (hub clique + pendant spokes), zero-fill, " +
+      "NULL below two nodes; plain-Scala parity on a random graph") {
+    // K4 on {1,2,3,4} (deg ≥ 3 each) + pendant spokes 1–5, 2–6
+    // (deg 1): k=1,2 keep the K4 + spoke endpoints' hubs... deg: 1:4,
+    // 2:4, 3:3, 4:3, 5:1, 6:1
+    val k4 = for (i <- 1 to 4; j <- (i + 1) to 4) yield (i.toLong, j.toLong)
+    val edges = (k4 ++ Seq((1L, 5L), (2L, 6L))).toDF("src", "dst")
+    val got = Graph.richClub(edges, "src", "dst", maxK = 4)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 4)
+    // k=1/k=2: nodes {1,2,3,4} (deg>2), all 6 K4 edges → φ = 1
+    assert(got(1L) == ((4L, 6L, Some(1000000L))))
+    assert(got(2L) == ((4L, 6L, Some(1000000L))))
+    // k=3: nodes {1,2} (deg 4), edge 1–2 → φ = 1
+    assert(got(3L) == ((2L, 1L, Some(1000000L))))
+    // k=4: no nodes → zero row, NULL φ
+    assert(got(4L) == ((0L, 0L, None)))
+    // random graph ≡ plain-Scala suffix-sum model
+    val rnd = new scala.util.Random(101)
+    val redges = (1 to 400).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val gotR = Graph.richClub(redges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val und = redges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2)
+      .map(e => (e._1.toString, e._2.toString)).distinct
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val half = und.filter(e => e._1 < e._2)
+      .map(e => math.min(deg(e._1), deg(e._2)))
+    val want = (1L to 16L).map { k =>
+      val nn = deg.values.count(_ > k).toLong
+      val ne = half.count(_ > k).toLong
+      val phi = if (nn >= 2)
+        Some((2 * (2 * ne * 1000000L) + nn * (nn - 1)) /
+          (2 * nn * (nn - 1)))
+      else None
+      k -> ((nn, ne, phi))
+    }.toMap
+    assert(gotR == want)
+  }
+
+  test("reciprocity: hand flags (mutual pair, one-way, self-loop and " +
+      "parallel drops); plain-Scala parity on a random digraph") {
+    // 1→2 and 2→1 mutual; 2→3 one-way; 3→3 self-loop drops; 1→2
+    // duplicate collapses → 3 directed edges, 2 mutual
+    val got = Graph.reciprocity(
+        Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 3L), (1L, 2L))
+          .toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(got == ((3L, 2L, Some(666667L))))
+    // empty graph → zero row, NULL share
+    val empty = Graph.reciprocity(
+        Seq((7L, 7L)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(empty == ((0L, 0L, None)))
+    // random digraph ≡ plain-Scala pair-flag model
+    val rnd = new scala.util.Random(103)
+    val redges = (1 to 500).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val gotR = Graph.reciprocity(redges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Option[Long])].collect().head
+    val dir = redges.filter(e => e._1 != e._2)
+      .map(e => (e._1.toString, e._2.toString)).distinct.toSet
+    val nE = dir.size.toLong
+    val nM = dir.count { case (a, b) => dir((b, a)) }.toLong
+    val want = (nE, nM,
+      if (nE > 0) Some((2 * nM * 1000000L + nE) / (2 * nE)) else None)
+    assert(gotR == want && nE > 0)
+  }
 }

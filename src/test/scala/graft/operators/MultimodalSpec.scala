@@ -457,6 +457,69 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("tarBytes -> tarMeta round trip, published-ustar header-byte " +
+      "pins, corrupt/truncated/non-tar drops") {
+    import spark.implicits._
+    val entries = Seq(
+      ("hi.txt", Array.tabulate(5)(_.toByte)),
+      ("dir/longer-name.bin", Array.tabulate(600)(j => (j % 251).toByte)),
+      ("empty", Array.empty[Byte]))
+    val t = Multimodal.tarBytes(entries)
+    val info = Multimodal.tarInfo(t).get
+    assert(info.nEntries == 3)
+    assert(info.totalSize == 5 + 600 + 0)
+    assert(info.namesLen == entries.map(_._1.length).sum)
+    // layout arithmetic: 512 hdr + 512 data, 512 + 1024, 512 + 0,
+    // + 1024 terminator
+    assert(t.length == (512 + 512) + (512 + 1024) + 512 + 1024)
+    // header-byte pins against the PUBLISHED ustar layout (writer and
+    // parser must not share a hidden convention): octal size field at
+    // 124 (11 digits + NUL), mode 0644 at 100, magic at 257,
+    // typeflag '0' at 156, checksum = Σ header bytes with the chksum
+    // field as spaces (6 octal digits + NUL + space at 148)
+    assert(new String(t, 124, 12, "US-ASCII") == "00000000005 ")
+    assert(new String(t, 100, 8, "US-ASCII") == "0000644 ")
+    assert(new String(t, 257, 5, "US-ASCII") == "ustar")
+    assert(t(156) == '0'.toByte)
+    val sum = (0 until 512).map(j =>
+      if (j >= 148 && j < 156) ' '.toInt else t(j) & 0xFF).sum
+    assert(new String(t, 148, 8, "US-ASCII") ==
+      f"${java.lang.Long.toOctalString(sum.toLong)}%6s".replace(' ', '0')
+        + "\u0000 ")
+    // data bytes land right after the header
+    assert((512 until 517).map(t(_)) == (0 until 5).map(_.toByte))
+    // corruption: bad checksum, truncation (no terminator), bad magic,
+    // non-tar, all read as None — never throw
+    val badCk = t.clone()
+    badCk(150) = (if (t(150) == '7'.toByte) '1' else '7').toByte
+    assert(Multimodal.tarInfo(badCk).isEmpty)
+    assert(Multimodal.tarInfo(t.take(t.length - 1024)).isEmpty)
+    val badMagic = t.clone(); badMagic(257) = 'X'.toByte
+    assert(Multimodal.tarInfo(badMagic).isEmpty)
+    assert(Multimodal.tarInfo("just text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.tarInfo(new Array[Byte](1024)).isEmpty) // no members
+    // operator drops non-tar rows; partitioning-invariant
+    val rows = (0L until 30L).map { id =>
+      val b =
+        if (id % 7 == 0) s"nope $id".getBytes("UTF-8")
+        else Multimodal.tarBytes((0 until (1 + (id % 4)).toInt).map(i =>
+          (s"e$i", Array.tabulate((5 + id % 9).toInt)(j =>
+            ((id + j) % 128).toByte))))
+      (id, b)
+    }
+    def run(parts: Int) = Multimodal.tarMeta(spark,
+        rows.toDF("doc_id", "payload").repartition(parts), "doc_id")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val got = run(1)
+    assert(run(5) == got)
+    assert(got.map(_._1) == (0L until 30L).filter(_ % 7 != 0))
+    got.foreach { case (id, n, sz, nl) =>
+      assert(n == 1 + id % 4)
+      assert(sz == n * (5 + id % 9))
+      assert(nl == 2 * n) // names "e0".."e3"
+    }
+  }
+
   test("wavBytes -> wavMeta round trip incl. odd LIST chunk, AudioSystem " +
       "cross-check, non-WAV drop") {
     import spark.implicits._

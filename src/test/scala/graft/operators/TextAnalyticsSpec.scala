@@ -913,6 +913,117 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 101L, 2L, 4L, 3L)))
   }
 
+  test("frequencySpectrum: hand buckets, zero-fill, tail bucket; " +
+      "plain-Scala parity on a random corpus") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = TextAnalytics.frequencySpectrum(docs, "text")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 11)
+    assert(got(1L) == ((1L, 1L)) && got(2L) == ((1L, 2L)) &&
+      got(3L) == ((1L, 3L)))
+    (4L to 11L).foreach(m => assert(got(m) == ((0L, 0L)), s"m=$m"))
+    // tail bucket: a term at 12 occurrences lands in m_bucket 11
+    val tail = TextAnalytics.frequencySpectrum(
+        Seq((1L, Seq.fill(12)("z").mkString(" "))).toDF("doc_id", "text"),
+        "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(tail(11L) == ((1L, 12L)))
+    // random corpus ≡ independent plain-Scala spectrum
+    val rnd = new scala.util.Random(67)
+    val rows = (1L to 150L).map(i =>
+      (i, Seq.fill(5 + rnd.nextInt(30))(s"w${rnd.nextInt(120)}")
+        .mkString(" ")))
+    val spark_ = TextAnalytics.frequencySpectrum(
+        rows.toDF("doc_id", "text"), "text")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val tf = rows.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map(_._2.size.toLong)
+    val want = (1L to 11L).map { m =>
+      val in = tf.filter(f => math.min(f, 11L) == m)
+      m -> ((in.size.toLong, in.sum))
+    }.toMap
+    assert(spark_ == want)
+  }
+
+  test("dispersion: hand-checked Gries DP, closed-form absent-part " +
+      "mass; plain-Scala parity on a random corpus") {
+    // parts X: "a a b", Y: "a c c", Z: "b b b c"; term a: c=(2,1,0),
+    // C=3, t=(3,3,4), T=10 → DP = (|2/3−3/10|+|1/3−3/10|+4/10)/2 = 0.4
+    val docs = Seq(("X", "a a b"), ("Y", "a c c"), ("Z", "b b b c"))
+      .toDF("source", "text")
+    val got = TextAnalytics.dispersion(docs, "source", "text", minCount = 1)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((3L, 2L, 400000L)))
+    // b: c=(1,0,3), C=4, DP = (|1/4−3/10|+3/10+|3/4−4/10|)/2 = 0.35
+    assert(got("b") == ((4L, 2L, 350000L)))
+    // c: c=(0,2,1), C=3, DP = (3/10+|2/3−3/10|+|1/3−4/10|)/2 = 11/30
+    assert(got("c") == ((3L, 2L, 366667L)))
+    // random corpus ≡ independent BigInt rational model
+    val rnd = new scala.util.Random(71)
+    val rows = (1 to 200).map(i =>
+      (s"p${rnd.nextInt(6)}",
+        Seq.fill(4 + rnd.nextInt(20))(s"w${rnd.nextInt(40)}")
+          .mkString(" ")))
+    val gotR = TextAnalytics.dispersion(
+        rows.toDF("source", "text"), "source", "text", minCount = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val counts = rows.flatMap { case (p, txt) =>
+      txt.split(" ", -1).map(w => (p, w)) }
+      .groupBy(identity).map { case ((p, w), v) => (p, w, v.size.toLong) }
+    val pt = counts.groupBy(_._1).map { case (p, v) => p -> v.map(_._3).sum }
+    val tt = BigInt(pt.values.sum)
+    val want = counts.groupBy(_._2)
+      .map { case (w, v) => (w, v.map(_._3).sum, v) }
+      .filter(_._2 >= 3)
+      .map { case (w, ctot, v) =>
+        val c = BigInt(ctot)
+        val present = v.map { case (p, _, ci) =>
+          (BigInt(ci) * tt - BigInt(pt(p)) * c).abs - BigInt(pt(p)) * c
+        }.sum
+        val den = c * tt
+        val dp = (2 * (present + den) * 1000000 + 2 * den) / (4 * den)
+        w -> ((ctot, v.size.toLong, dp.toLong))
+      }.toMap
+    assert(gotR == want && want.nonEmpty)
+  }
+
+  test("sttr: hand segments, partial-segment exclusion, NULL for short " +
+      "docs; plain-Scala parity on a random corpus") {
+    val docs = Seq((1L, "a b a c c d e"), (2L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.sttr(docs, "doc_id", "text", segLen = 3)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: segs [a b a] v=2, [c c d] v=2, partial [e] dropped →
+    // sttr = 4/6, half-up e6 = 666667
+    assert(got(1L) == ((7L, 2L, Some(666667L))))
+    assert(got(2L) == ((2L, 0L, None)))
+    // random corpus ≡ independent plain-Scala segment model
+    val rnd = new scala.util.Random(73)
+    val rows = (1L to 120L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(70))(s"w${rnd.nextInt(15)}")
+        .mkString(" ")))
+    val gotR = TextAnalytics.sttr(
+        rows.toDF("doc_id", "text"), "doc_id", "text", segLen = 10)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = rows.map { case (id, txt) =>
+      val w = txt.split(" ", -1)
+      val full = w.grouped(10).filter(_.length == 10).toSeq
+      val sumv = full.map(_.distinct.length.toLong).sum
+      val sttr = if (full.isEmpty) None
+        else Some((2 * sumv * 1000000L + full.size * 10L) /
+          (2 * full.size * 10L))
+      id -> ((w.length.toLong, full.size.toLong, sttr))
+    }.toMap
+    assert(gotR == want)
+  }
+
   test("unigramModel: frozen LM counts; over-cap vocabulary fails loudly") {
     val docs = Seq(
       (1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
