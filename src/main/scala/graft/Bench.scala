@@ -310,6 +310,6 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"n_failed":${failed.size},"failed":$failedPrefixes,"value_r1_set":${f(r1Total)},"n_r1_set":${okMins.map(_._1).count(r1Set)},"value_r7_set":${f(r7Total)},"n_r7_set":$nR7,"value_r9_set":${f(r9Total)},"n_r9_set":$nR9,"value_r10_set":${f(r10Total)},"n_r10_set":$nR10,"value_r11_set":${f(r11Total)},"n_r11_set":$nR11,"fam_q_noise_band_sec":"13.0-15.8","n_prior_compared":${prior.size},"n_regressions":${regressions.size},"regressions_vs_prior":$regressionsCompact,"keys":"15 slowest + per-family sums; per_query_min map + fam bands in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"n_failed":${failed.size},"failed":$failedPrefixes,"value_r1_set":${f(r1Total)},"n_r1_set":${okMins.map(_._1).count(r1Set)},"value_r7_set":${f(r7Total)},"n_r7_set":$nR7,"value_r9_set":${f(r9Total)},"n_r9_set":$nR9,"value_r10_set":${f(r10Total)},"n_r10_set":$nR10,"value_r11_set":${f(r11Total)},"n_r11_set":$nR11,"fam_q_noise_band_sec":"13.0-15.8","same_code_total_band_sec":"104-133","n_prior_compared":${prior.size},"n_regressions":${regressions.size},"regressions_vs_prior":$regressionsCompact,"keys":"15 slowest + per-family sums; per_query_min map + fam bands in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
   }
 }
