@@ -2746,6 +2746,15 @@ FROM c"""
     EventAnalytics.entropyRate(
       T(s, d, "events"), "user_id", "ts", "event_id", "event_type")
 
+  /** w27: Kaplan–Meier user-survival table — discrete hazard grid over
+    * user lifetimes (first→last active day), right-censored within 7
+    * days of the corpus's final day; per-row ln factors on the 1e-6
+    * floor lattice, exact integer prefix sums (the w26 discipline).
+    * Full oracle.
+    */
+  private def w27Survival(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.survivalCurve(T(s, d, "events"), "user_id", "ts")
+
   /** w17: bot detection by inter-event regularity — the real events
     * stream plus five planted metronome users (exact 60 s cadence);
     * the modal-gap share flags the plants, not the humans. Full
@@ -2916,6 +2925,35 @@ FROM c"""
         (id, bytes)
       }.toDF("doc_id", "payload")
     Multimodal.tarMeta(s, payloads, "doc_id")
+  }
+
+  /** m14: WebDataset pairing audit — per-doc tar shards whose sample
+    * keys need BOTH .txt and .bin; every (id+k) ≡ 0 (mod 5) sample is
+    * missing its .bin and every id ≡ 0 (mod 7) shard carries a stray
+    * .json — the completeness row a loader checks before training.
+    * Closed-form oracle.
+    */
+  private def m14WebdatasetPairing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = T(s, d, "documents").select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val nk = 1 + (id % 3).toInt
+        val members = (0 until nk).flatMap { k =>
+          val txt = Seq((s"s$k.txt",
+            Array.tabulate(8 + ((id + k) % 20).toInt)(j =>
+              ((id + j) % 256).toByte)))
+          val bin = if ((id + k) % 5 == 0) Nil
+            else Seq((s"s$k.bin",
+              Array.tabulate(4 + ((id + k) % 9).toInt)(j =>
+                ((id + k + j) % 256).toByte)))
+          txt ++ bin
+        } ++ (if (id % 7 == 0)
+          Seq(("s0.json", Array.tabulate(3)(_.toByte))) else Nil)
+        (id, Multimodal.tarBytes(members))
+      }.toDF("doc_id", "payload")
+    Multimodal.webdatasetPairing(s, payloads, "doc_id",
+      Seq("txt", "bin"))
   }
 
   /** m7: MP3 stream metadata — per-doc Layer III streams are BUILT with
@@ -4299,7 +4337,9 @@ FROM c"""
     "g12_rich_club" -> (g12RichClub _),
     "g13_reciprocity" -> (g13Reciprocity _),
     "ml3_linreg" -> (ml3Linreg _),
-    "m13_tar_meta" -> (m13TarMeta _))
+    "m13_tar_meta" -> (m13TarMeta _),
+    "w27_survival" -> (w27Survival _),
+    "m14_webdataset_pairing" -> (m14WebdatasetPairing _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -9522,6 +9562,52 @@ FROM c"""
         |      ::BIGINT END AS b2_e6,
         |  CASE WHEN d = 0 THEN 'singular' ELSE 'defined' END AS verdict
         |FROM dets""".stripMargin,
+    // w27 twin: identical per-row floor(1e6·ln((n−d)/n)) lattice +
+    // integer prefix sums; NULL propagates from the first d = n row
+    "w27_survival" ->
+      """WITH du AS (SELECT user_id AS u,
+        |    min(epoch_ns(ts)::BIGINT // 86400000000000) AS f,
+        |    max(epoch_ns(ts)::BIGINT // 86400000000000) AS l
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |h AS (SELECT max(l) AS maxl FROM du),
+        |lives AS (SELECT l - f AS t_days, l <= maxl - 7 AS churned
+        |  FROM du CROSS JOIN h),
+        |grid AS (SELECT t_days,
+        |    sum(CASE WHEN churned THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_churned,
+        |    sum(CASE WHEN churned THEN 0 ELSE 1 END)::BIGINT
+        |      AS n_censored
+        |  FROM lives GROUP BY 1),
+        |g2 AS (SELECT t_days, n_churned, n_censored,
+        |    sum(n_churned + n_censored) OVER () -
+        |      coalesce(sum(n_churned + n_censored) OVER (ORDER BY t_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_at_risk FROM grid),
+        |g3 AS (SELECT *, CASE WHEN n_churned = 0 THEN 0
+        |    WHEN n_churned < n_at_risk THEN
+        |      floor(1000000.0 * ln((n_at_risk - n_churned)::DOUBLE
+        |        / n_at_risk::DOUBLE))::BIGINT
+        |    ELSE NULL END AS l_e6 FROM g2),
+        |g4 AS (SELECT *, max(CASE WHEN l_e6 IS NULL THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS dead,
+        |    sum(l_e6) OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cum FROM g3)
+        |SELECT t_days::BIGINT AS t_days, n_at_risk::BIGINT AS n_at_risk,
+        |  n_churned, n_censored,
+        |  CASE WHEN dead = 0 THEN cum::BIGINT END AS cum_log_s_e6
+        |FROM g4""".stripMargin,
+    // m14 twin: closed form — the stray .json rides an EXISTING key
+    // (s0), so n_keys stays 1 + id%3 and the json counts as stray
+    "m14_webdataset_pairing" ->
+      """SELECT doc_id AS id, (1 + doc_id % 3)::BIGINT AS n_keys,
+        |  len([k for k in range(0, 1 + doc_id % 3)
+        |    if (doc_id + k) % 5 <> 0])::BIGINT AS n_complete,
+        |  len([k for k in range(0, 1 + doc_id % 3)
+        |    if (doc_id + k) % 5 = 0])::BIGINT AS n_incomplete,
+        |  (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_stray
+        |FROM documents""".stripMargin,
     // m13 twin: the m12 closed-form discipline — member count, sizes
     // and 6-byte names are pure integer functions of doc_id
     "m13_tar_meta" ->

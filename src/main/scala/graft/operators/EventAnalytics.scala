@@ -833,6 +833,82 @@ object EventAnalytics {
           .as("n_churning"))
   }
 
+  /** Kaplan–Meier user-survival table (the product-limit estimator,
+    * Kaplan & Meier 1958, as a discrete hazard grid): per distinct
+    * lifetime t (days between a user's first and last activity) —
+    * users at risk, churn events, right-censored users (last activity
+    * within `censorDays` of the corpus's final day: they may still be
+    * alive, the standard cut), and the cumulative log-survival
+    *
+    *   ln S(t) = Σ_{t' ≤ t, d > 0} ln(1 − d_{t'} / n_{t'})
+    *
+    * — THE retention read that w7's fixed cohort grid approximates:
+    * censoring-aware, no arbitrary horizon.
+    *
+    * Determinism contract (the w26 discipline): each grid row's
+    * factor is floored onto the 1e-6 lattice on a fixed IEEE tree —
+    * l_e6 = ⌊10⁶·ln((n−d)/n)⌋ — and the cumulative is an exact
+    * integer prefix sum. A row where every at-risk user churns
+    * (d = n) sends S to exactly 0: its ln is −∞, so cum_log_s_e6 is
+    * NULL from that row on (flagged, not faked). Consumers read
+    * S(t) = exp(cum/10⁶) knowingly.
+    *
+    * Scale: one per-user min/max aggregate, one broadcast one-row
+    * corpus max, one lifetime-grid rollup + ONE unpartitioned window
+    * over the grid (lifetime-space-sized — bounded by observation
+    * days, never by users; the e27 grid-window envelope). Output:
+    * (t_days, n_at_risk, n_churned, n_censored, cum_log_s_e6).
+    */
+  def survivalCurve(
+      events: DataFrame, userCol: String, tsCol: String,
+      censorDays: Int = 7,
+      dayNanos: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
+    require(censorDays >= 0 && censorDays <= 366,
+      s"censorDays must be in [0, 366] (got $censorDays)")
+    val du = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"),
+        when(col(tsCol).isNull,
+          raise_error(lit("survivalCurve: null timestamp")))
+          .otherwise(col(tsCol).cast("long")).as("__ts"))
+      .select(col("u"),
+        expr(s"(__ts - pmod(__ts, ${dayNanos}L)) div ${dayNanos}L")
+          .as("day"))
+      .groupBy("u").agg(min("day").as("f"), max("day").as("l"))
+    val horizon = du.agg(max("l").as("maxl"))
+    val lives = du.crossJoin(broadcast(horizon))
+      .select((col("l") - col("f")).as("t_days"),
+        (col("l") <= col("maxl") - censorDays).as("churned"))
+    val grid = lives.groupBy("t_days").agg(
+      sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"),
+      sum(when(col("churned"), 0L).otherwise(1L)).as("n_censored"))
+    val w = Window.orderBy("t_days")
+    val before = Window.orderBy("t_days")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy("t_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("total", sum(col("n_churned") + col("n_censored"))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("n_at_risk", col("total") -
+        coalesce(sum(col("n_churned") + col("n_censored")).over(before),
+          lit(0L)))
+      .withColumn("l_e6",
+        when(col("n_churned") === 0, lit(0L))
+          .when(col("n_churned") < col("n_at_risk"),
+            floor(lit(1e6) * log(
+              (col("n_at_risk") - col("n_churned")).cast("double") /
+                col("n_at_risk").cast("double"))).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("dead",
+        max(when(col("l_e6").isNull, 1L).otherwise(0L)).over(upto))
+      .select(col("t_days"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"),
+        when(col("dead") === 0, sum("l_e6").over(upto))
+          .otherwise(lit(null).cast("long")).as("cum_log_s_e6"))
+  }
+
   /** Product stickiness — DAU/MAU per day (the `windowDays`-day rolling
     * distinct-user window ending at each observed day): THE engagement
     * ratio next to [[audience growth]] and [[retentionCohorts]]; ~1

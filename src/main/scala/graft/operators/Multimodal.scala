@@ -1065,7 +1065,16 @@ object Multimodal {
     * the wavInfo discipline). GNU long-name (typeflag L/K) and PAX
     * extension blocks count as the members they are, by contract.
     */
-  private[operators] def tarInfo(bytes: Array[Byte]): Option[TarInfo] = {
+  private[operators] def tarInfo(bytes: Array[Byte]): Option[TarInfo] =
+    tarWalk(bytes).map(ms => TarInfo(ms.size, ms.map(_._2).sum,
+      ms.map(_._1.length.toLong).sum))
+
+  /** The [[tarInfo]] walk exposed member-by-member: Some(list of
+    * (name, size)) for a valid archive, None for corrupt/non-tar —
+    * the shared core of [[tarInfo]] and [[tarMemberRows]].
+    */
+  private[operators] def tarWalk(
+      bytes: Array[Byte]): Option[Seq[(String, Long)]] = {
     def octal(off: Int, len: Int): Option[Long] = {
       var i = off; val end = off + len
       var v = 0L; var seen = false
@@ -1078,7 +1087,7 @@ object Multimodal {
     }
     if (bytes.length < 1024 || bytes.length % 512 != 0) return None
     var off = 0
-    var n = 0; var tot = 0L; var nl = 0L
+    val members = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (off + 512 <= bytes.length) {
       var allZero = true; var j = 0
       while (allZero && j < 512) {
@@ -1086,7 +1095,7 @@ object Multimodal {
         j += 1
       }
       if (allZero)
-        return if (n > 0) Some(TarInfo(n, tot, nl)) else None
+        return if (members.nonEmpty) Some(members.toSeq) else None
       if (!(bytes(off + 257) == 'u'.toByte && bytes(off + 258) == 's'.toByte &&
           bytes(off + 259) == 't'.toByte && bytes(off + 260) == 'a'.toByte &&
           bytes(off + 261) == 'r'.toByte)) return None
@@ -1109,7 +1118,7 @@ object Multimodal {
       if (size < 0) return None
       var nameLen = 0
       while (nameLen < 100 && bytes(off + nameLen) != 0) nameLen += 1
-      n += 1; tot += size; nl += nameLen
+      members += ((new String(bytes, off, nameLen, "UTF-8"), size))
       val dataBlocks = ((size + 511) / 512)
       if (dataBlocks > Int.MaxValue / 512) return None
       off += 512 + dataBlocks.toInt * 512
@@ -1183,6 +1192,65 @@ object Multimodal {
           (id, t.nEntries.toLong, t.totalSize, t.namesLen))
       })
       .toDF("id", "n_entries", "total_size", "names_len")
+  }
+
+  /** One row per tar member — the manifest-level view of [[tarMeta]]
+    * (same header-only walk, shared [[tarWalk]] core): (id, member,
+    * size). Non-tar / corrupt payloads emit no rows.
+    */
+  def tarMemberRows(
+      spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        tarWalk(bytes).iterator.flatMap(_.iterator.map { case (m, sz) =>
+          (id, m, sz) })
+      })
+      .toDF("id", "member", "size")
+  }
+
+  /** WebDataset pairing audit — per tar shard, are the samples
+    * COMPLETE? WebDataset groups a sample's modalities by filename
+    * key (everything before the FIRST dot: `s017.txt` + `s017.bin`
+    * are one sample), and a shard where keys are missing a required
+    * extension silently starves training of that modality. Per shard:
+    * sample-key count, complete keys (all `requiredExts` present),
+    * incomplete keys, and stray members carrying an unexpected
+    * extension — the integrity row a loader checks before training.
+    *
+    * Scale: the [[tarMemberRows]] walk + one map-side-combined
+    * (id, key) flag rollup + a per-shard rollup — O(members), zero
+    * joins. Output: (id, n_keys, n_complete, n_incomplete, n_stray).
+    */
+  def webdatasetPairing(
+      spark: SparkSession, df: DataFrame, idCol: String,
+      requiredExts: Seq[String]): DataFrame = {
+    require(requiredExts.nonEmpty && requiredExts.size <= 16,
+      s"requiredExts must have 1..16 entries (got $requiredExts)")
+    val members = tarMemberRows(spark, df, idCol)
+      .select(col("id"),
+        substring_index(col("member"), ".", 1).as("key"),
+        when(instr(col("member"), ".") > 0,
+          expr("substring(member, instr(member, '.') + 1)"))
+          .otherwise(lit("")).as("ext"))
+    val flags = requiredExts.zipWithIndex.map { case (e, i) =>
+      max(when(col("ext") === e, 1L).otherwise(0L)).as(s"has_$i")
+    }
+    val strayAgg =
+      sum(when(!col("ext").isin(requiredExts: _*), 1L).otherwise(0L))
+        .as("stray")
+    val perKey = members.groupBy("id", "key")
+      .agg(flags.head, (flags.tail :+ strayAgg): _*)
+    val complete = requiredExts.indices
+      .map(i => col(s"has_$i"))
+      .reduce(_ + _) === requiredExts.size.toLong
+    perKey.groupBy("id").agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(complete, 1L).otherwise(0L)).as("n_complete"),
+      sum(when(complete, 0L).otherwise(1L)).as("n_incomplete"),
+      sum(col("stray")).as("n_stray"))
   }
 
   /** General WAV (RIFF) builder — arbitrary channel count, sample

@@ -433,6 +433,54 @@ object StatefulOps {
       }
   }
 
+  case class TransEv(
+    user_id: Long, ts_ns: Long, event_id: Long, event_type: String)
+  case class LastTrans(ts_ns: Long, event_id: Long, event_type: String)
+  case class TransPair(cur: String, next: String)
+
+  /** One micro-batch of per-user journey transitions: each event after
+    * the user's first emits ONE (cur → next) pair against the carried
+    * last event — exactly the lead-window pairs of
+    * [[graft.operators.EventAnalytics.entropyRate]]'s batch head under
+    * in-order per-user delivery. In-batch events sort by (ts, eid)
+    * like the batch window's ORDER BY.
+    */
+  private[streaming] def advanceTransitions(
+      events: Seq[TransEv], prior: Option[LastTrans])
+      : (Seq[TransPair], LastTrans) = {
+    val sorted = events.sortBy(e => (e.ts_ns, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[TransPair]
+    var last = prior
+    for (e <- sorted) {
+      last.foreach(l => out += TransPair(l.event_type, e.event_type))
+      last = Some(LastTrans(e.ts_ns, e.event_id, e.event_type))
+    }
+    (out.toSeq, last.get)
+  }
+
+  /** Streaming per-user journey-transition pairs (Append mode) —
+    * downstream, a (cur, next) count of the sink fed to
+    * [[graft.operators.EventAnalytics.entropyRateFromPairs]] IS the
+    * w26 entropy-rate report, maintained incrementally (delegation,
+    * not a re-authored twin; the same pair counts also feed w11's
+    * transition matrix). State per user: ONE fixed-size last-event
+    * row — O(users), never O(events); no timeout, so idle streams run
+    * no state-scan micro-batches.
+    */
+  def transitionPairsStream(
+      spark: SparkSession, ds: Dataset[TransEv]): Dataset[TransPair] = {
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTrans, TransPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[TransEv], state: GroupState[LastTrans]) =>
+          val (rows, last) =
+            advanceTransitions(evs.toIndexedSeq, state.getOption)
+          state.update(last)
+          rows.iterator
+      }
+  }
+
   case class DayEv(user_id: Long, day: Long)
   case class DaySet(days: Seq[Long])
 

@@ -1157,6 +1157,26 @@ object ScaleProbe {
             pmod(size(split(col("text"), " ")), lit(100000)).as("x1"),
             pmod(col("doc_id"), lit(100)).as("x2")),
           "y", "x1", "x2").count()),
+      "w27_survival" -> (d =>
+        EventAnalytics.survivalCurve(
+          synthEvents(d, probeN), "user_id", "ts").count()),
+      "m14_webdataset" -> { d =>
+        val s2 = d.sparkSession
+        import s2.implicits._
+        val payloads = d.select(col("doc_id")).as[Long].map { id =>
+          val nk = 1 + (id % 3).toInt
+          (id, graft.operators.Multimodal.tarBytes(
+            (0 until nk).flatMap { k =>
+              Seq((s"s$k.txt", Array.tabulate(6)(j =>
+                ((id + j) % 128).toByte))) ++
+                (if ((id + k) % 5 == 0) Nil
+                 else Seq((s"s$k.bin", Array.tabulate(4)(j =>
+                   ((id + k + j) % 128).toByte))))
+            }))
+        }.toDF("doc_id", "payload")
+        graft.operators.Multimodal.webdatasetPairing(
+          s2, payloads, "doc_id", Seq("txt", "bin")).count()
+      },
       // m13: header-walk-bound construct→parse, the m12 class
       "m13_tar_meta" -> { d =>
         val s2 = d.sparkSession

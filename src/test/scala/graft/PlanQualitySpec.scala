@@ -357,10 +357,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // window rides the |d|-value grid (score-space-sized, never corpus)
     val w26 = winKeys("w26_entropy_rate")
     assert(w26.nonEmpty && w26.forall(_.contains("u")), w26)
+    // w27's windows ride the lifetime grid (observation-days-sized)
+    // after a per-user min/max aggregate — never a corpus sort
     for (q <- Seq("t42_freq_spectrum", "t43_dispersion", "t44_sttr",
         "w26_entropy_rate", "e26_fleiss_kappa", "e27_wilcoxon",
         "g12_rich_club", "g13_reciprocity", "ml3_linreg",
-        "m13_tar_meta")) {
+        "m13_tar_meta", "w27_survival", "m14_webdataset_pairing")) {
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("CartesianProduct"), q)
     }

@@ -878,6 +878,65 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("survivalCurve: hand hazard grid, censoring cut, d = n sends " +
+      "the log-survival NULL; scalar parity on random lifetimes") {
+    def ts(day: Long) = day * 86400L * 1000 * 1000 * 1000 + 1
+    // u1 t=10 (l=10, censored: 10 > 12−7), u2 t=1 churned (l=1),
+    // u3 t=0 censored (l=8), u4 t=0 censored (l=12, sets the horizon)
+    val ev = Seq((1L, ts(0)), (1L, ts(10)), (2L, ts(0)), (2L, ts(1)),
+      (3L, ts(8)), (4L, ts(12))).toDF("user_id", "ts")
+    val got = EventAnalytics.survivalCurve(ev, "user_id", "ts")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val half = math.floor(1e6 * math.log(1.0 / 2.0)).toLong // −693148
+    assert(got == Map(
+      0L -> ((4L, 0L, 2L, Some(0L))),
+      1L -> ((2L, 1L, 0L, Some(half))),
+      10L -> ((1L, 0L, 1L, Some(half)))))
+    // the last at-risk user churns (d = n): survival hits exactly 0,
+    // so cum_log is NULL from that row — flagged, not faked
+    val ev2 = Seq((1L, ts(20)), (2L, ts(0)), (2L, ts(13)))
+      .toDF("user_id", "ts")
+    val got2 = EventAnalytics.survivalCurve(ev2, "user_id", "ts")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got2 == Map(0L -> ((2L, 0L, 1L, Some(0L))),
+      13L -> ((1L, 1L, 0L, None))))
+    // random lifetimes ≡ independent scalar model
+    val rnd = new scala.util.Random(109)
+    val rows = (1L to 80L).flatMap { u =>
+      val f = rnd.nextInt(30).toLong
+      val l = f + rnd.nextInt(40)
+      Seq((u, ts(f)), (u, ts(l)), (u, ts(f + (l - f) / 2)))
+    }
+    val gotR = EventAnalytics.survivalCurve(
+        rows.toDF("user_id", "ts"), "user_id", "ts")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val perU = rows.groupBy(_._1).toSeq.map { case (_, es) =>
+      val days = es.map(e => e._2 / (86400L * 1000 * 1000 * 1000))
+      (days.max - days.min, days.max)
+    }
+    val maxl = perU.map(_._2).max
+    val lives = perU.map { case (t, l) => (t, l <= maxl - 7) }
+    val grid = lives.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, v) =>
+      (t, v.count(_._2).toLong, v.count(!_._2).toLong) }
+    var atRisk = lives.size.toLong
+    var cum = Option(0L)
+    val want = grid.map { case (t, d, c) =>
+      val l = if (d == 0) Some(0L)
+        else if (d < atRisk)
+          Some(math.floor(1e6 *
+            math.log((atRisk - d).toDouble / atRisk)).toLong)
+        else None
+      cum = for (a <- cum; b <- l) yield a + b
+      val row = t -> ((atRisk, d, c, cum))
+      atRisk -= d + c
+      row
+    }.toMap
+    assert(gotR == want)
+  }
+
   test("entropyRate: hand lattice terms and telescoped chain rate; " +
       "scalar-model parity on random journeys") {
     // u1: A,B,A,B; u2: A,A → pairs (A,B):2 (B,A):1 (A,A):1; tot A=3 B=1

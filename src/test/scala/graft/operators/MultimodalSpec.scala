@@ -520,6 +520,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("tarMemberRows + webdatasetPairing: member manifest, pairing " +
+      "flags, stray extensions, non-tar drops") {
+    import spark.implicits._
+    val tar = Multimodal.tarBytes(Seq(
+      ("s0.txt", Array.tabulate(3)(_.toByte)),
+      ("s0.bin", Array.tabulate(2)(_.toByte)),
+      ("s1.txt", Array.tabulate(4)(_.toByte)),
+      ("s2.txt", Array.tabulate(1)(_.toByte)),
+      ("s2.bin", Array.tabulate(5)(_.toByte)),
+      ("s2.json", Array.tabulate(2)(_.toByte))))
+    val df = Seq((1L, tar), (2L, "not a tar".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val members = Multimodal.tarMemberRows(spark, df, "doc_id")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(members == Seq((1L, "s0.bin", 2L), (1L, "s0.txt", 3L),
+      (1L, "s1.txt", 4L), (1L, "s2.bin", 5L), (1L, "s2.json", 2L),
+      (1L, "s2.txt", 1L)))
+    // pairing: s0 complete, s1 missing .bin, s2 complete + stray json
+    val audit = Multimodal.webdatasetPairing(spark, df, "doc_id",
+        Seq("txt", "bin"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(audit == Seq((1L, 3L, 2L, 1L, 1L)))
+  }
+
   test("wavBytes -> wavMeta round trip incl. odd LIST chunk, AudioSystem " +
       "cross-check, non-WAV drop") {
     import spark.implicits._
