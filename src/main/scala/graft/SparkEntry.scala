@@ -2755,6 +2755,25 @@ FROM c"""
   private def w27Survival(s: SparkSession, d: String): DataFrame =
     EventAnalytics.survivalCurve(T(s, d, "events"), "user_id", "ts")
 
+  /** w28: per-type Fano factor over densified hourly buckets — one
+    * exact integer rational (nQ − S²)/(nS) on the half-up lattice,
+    * zeros included via the guarded calendar explode. Full oracle.
+    */
+  private def w28FanoFactor(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.fanoFactor(T(s, d, "events"), "ts", "event_type")
+
+  /** e28: Kendall's τ-a over the e27 paired judges — exact
+    * concordant/discordant counting on the (a, b) value grid
+    * (score-space², never corpus²), half-away-from-zero e6 read.
+    * Full oracle.
+    */
+  private def e28KendallTau(s: SparkSession, d: String): DataFrame =
+    Classifier.kendallTauA(
+      T(s, d, "documents").select(
+        pmod(length(col("text")), lit(50)).as("a"),
+        pmod(length(col("text")) + col("doc_id") * 7, lit(50)).as("b")),
+      "a", "b")
+
   /** w17: bot detection by inter-event regularity — the real events
     * stream plus five planted metronome users (exact 60 s cadence);
     * the modal-gap share flags the plants, not the humans. Full
@@ -2886,6 +2905,22 @@ FROM c"""
         .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst")))
       .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
     Graph.reciprocity(dir, "src", "dst")
+  }
+
+  /** g14: average-neighbor-degree curve knn(k) over the g12 hub
+    * graph — the assortativity number unrolled; exact integer
+    * rational per degree class. Full oracle.
+    */
+  private def g14AvgNeighborDegree(s: SparkSession, d: String): DataFrame = {
+    val ids = T(s, d, "documents").select(col("doc_id"))
+    val hop = ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 1).as("dst"))
+      .unionByName(ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 2).as("dst")))
+      .unionByName(ids.select(col("doc_id").as("src"),
+        pmod(col("doc_id"), lit(50)).as("dst")))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    Graph.avgNeighborDegree(hop, "src", "dst")
   }
 
   /** ml3: closed-form two-feature OLS (y = text bytes over x1 = token
@@ -4339,7 +4374,10 @@ FROM c"""
     "ml3_linreg" -> (ml3Linreg _),
     "m13_tar_meta" -> (m13TarMeta _),
     "w27_survival" -> (w27Survival _),
-    "m14_webdataset_pairing" -> (m14WebdatasetPairing _))
+    "m14_webdataset_pairing" -> (m14WebdatasetPairing _),
+    "w28_fano_factor" -> (w28FanoFactor _),
+    "g14_avg_neighbor_degree" -> (g14AvgNeighborDegree _),
+    "e28_kendall_tau" -> (e28KendallTau _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -9597,6 +9635,72 @@ FROM c"""
         |  n_churned, n_censored,
         |  CASE WHEN dead = 0 THEN cum::BIGINT END AS cum_log_s_e6
         |FROM g4""".stripMargin,
+    // w28 twin: identical densified counts + (nQ − S²)/(nS) HUGEINT
+    // rational on the half-up lattice
+    "w28_fano_factor" ->
+      """WITH c AS (SELECT event_type,
+        |    epoch_ns(ts)::BIGINT // 3600000000000 AS bucket,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM c GROUP BY 1),
+        |spine AS (SELECT sp.event_type, g.bucket
+        |  FROM sp, LATERAL unnest(generate_series(b0, b1)) g(bucket)),
+        |dense AS (SELECT spine.event_type,
+        |    coalesce(x, 0)::HUGEINT AS x
+        |  FROM spine LEFT JOIN c ON c.event_type = spine.event_type
+        |    AND c.bucket = spine.bucket),
+        |s AS (SELECT event_type, count(*)::HUGEINT AS n,
+        |    sum(x) AS sx, sum(x * x) AS q FROM dense GROUP BY 1)
+        |SELECT event_type, n::BIGINT AS n_buckets,
+        |  sx::BIGINT AS n_events,
+        |  CASE WHEN sx > 0 THEN
+        |    ((2 * (n * q - sx * sx) * 1000000 + n * sx)
+        |      // (2 * n * sx))::BIGINT END AS fano_e6
+        |FROM s""".stripMargin,
+    // g14 twin: same edge synthesis + the knn(k) integer rational
+    "g14_avg_neighbor_degree" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |raw AS (SELECT src::VARCHAR AS a, dst::VARCHAR AS b FROM (
+        |    SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+        |    UNION ALL SELECT doc_id, doc_id + 2 FROM ids
+        |    UNION ALL SELECT doc_id, doc_id % 50 FROM ids)
+        |  WHERE dst IN (SELECT doc_id FROM ids) AND src <> dst),
+        |und AS (SELECT DISTINCT a, b FROM
+        |  (SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw)),
+        |deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY 1),
+        |num AS (SELECT da.deg AS k, sum(db.deg::HUGEINT) AS num
+        |  FROM und JOIN deg da ON da.node = und.a
+        |  JOIN deg db ON db.node = und.b GROUP BY 1),
+        |nk AS (SELECT deg AS k, count(*)::BIGINT AS n_nodes FROM deg
+        |  GROUP BY 1)
+        |SELECT nk.k::BIGINT AS k, n_nodes,
+        |  ((2 * num * 1000000 + n_nodes::HUGEINT * nk.k)
+        |    // (2 * n_nodes::HUGEINT * nk.k))::BIGINT AS knn_e6
+        |FROM nk JOIN num ON num.k = nk.k""".stripMargin,
+    // e28 twin: identical value-grid C/D counting + τ-a lattice
+    "e28_kendall_tau" ->
+      """WITH p AS (SELECT (length(text) % 50)::BIGINT AS a,
+        |    ((length(text) + doc_id * 7) % 50)::BIGINT AS b
+        |  FROM documents),
+        |grid AS (SELECT a, b, count(*)::HUGEINT AS m FROM p
+        |  GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    coalesce(sum(CASE WHEN g1.b < g2.b THEN g1.m * g2.m END), 0)
+        |      AS c,
+        |    coalesce(sum(CASE WHEN g1.b > g2.b THEN g1.m * g2.m END), 0)
+        |      AS d
+        |  FROM grid g1 JOIN grid g2 ON g1.a < g2.a),
+        |t AS (SELECT sum(m)::HUGEINT AS n FROM grid)
+        |SELECT n::BIGINT AS n, c::BIGINT AS n_concordant,
+        |  d::BIGINT AS n_discordant,
+        |  (n * (n - 1) // 2 - c - d)::BIGINT AS n_tied,
+        |  CASE WHEN n < 2 THEN NULL
+        |    WHEN c >= d THEN ((2 * (c - d) * 1000000 + n * (n - 1) // 2)
+        |      // (2 * (n * (n - 1) // 2)))::BIGINT
+        |    ELSE -((2 * (d - c) * 1000000 + n * (n - 1) // 2)
+        |      // (2 * (n * (n - 1) // 2)))::BIGINT END AS tau_a_e6
+        |FROM t CROSS JOIN cd""".stripMargin,
     // m14 twin: closed form — the stray .json rides an EXISTING key
     // (s0), so n_keys stays 1 + id%3 and the json counts as stray
     "m14_webdataset_pairing" ->

@@ -833,6 +833,60 @@ object EventAnalytics {
           .as("n_churning"))
   }
 
+  /** Per-type Fano factor over calendar buckets — burstiness as
+    * variance-to-mean of the DENSIFIED bucket counts (zeros included;
+    * a Poisson-regular stream reads F ≈ 1, human/viral traffic reads
+    * F ≫ 1, a metronome bot F ≈ 0): the count-domain companion to
+    * w24's gap-domain CV² and w12's per-bucket spike test — drift in
+    * F between snapshots flags traffic-shape change even when volume
+    * holds.
+    *
+    * EXACT: with S = Σx, Q = Σx² over n buckets (population variance),
+    *
+    *   F = σ²/μ = (n·Q − S²) / (n·S)
+    *
+    * — one integer rational in decimal(38,0), half-up 1e-6 read; NULL
+    * for an all-zero type (no mean to divide by). The densify is the
+    * w22 guarded calendar explode (a corrupt timestamp raises, never
+    * OOMs). Scale: one map-side-combined (type, bucket) count, one
+    * type-sized guarded densify, one rollup. Output:
+    * (event_type, n_buckets, n_events, fano_e6).
+    */
+  def fanoFactor(
+      events: DataFrame, tsCol: String, typeCol: String,
+      bucketUs: Long = 3600L * 1000 * 1000): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive (got $bucketUs)")
+    val bucketNs = bucketUs * 1000L
+    val counts = events
+      .select(col(typeCol).as("event_type"),
+        col(tsCol).cast("long").as("__ts"))
+      .select(col("event_type"),
+        expr(s"(__ts - pmod(__ts, ${bucketNs}L)) div ${bucketNs}L")
+          .as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("x"))
+    val spans = counts.groupBy("event_type")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    val dense = spans
+      .select(col("event_type"),
+        explode(Guards.boundedSequence(col("b0"), col("b1"),
+          Guards.MaxDensifySpan, "fanoFactor densify")).as("bucket"))
+      .join(counts, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    dense.groupBy("event_type").agg(
+        count(lit(1)).as("n_buckets"),
+        sum("x").as("n_events"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("q"))
+      .select(col("event_type"), col("n_buckets"), col("n_events"),
+        when(col("n_events") > 0,
+          expr("(2 * (n_buckets * q - CAST(n_events AS DECIMAL(38,0)) " +
+            "* n_events) * 1000000 + n_buckets * " +
+            "CAST(n_events AS DECIMAL(38,0))) div " +
+            "(2 * n_buckets * CAST(n_events AS DECIMAL(38,0)))"))
+          .otherwise(lit(null).cast("long")).as("fano_e6"))
+  }
+
   /** Kaplan–Meier user-survival table (the product-limit estimator,
     * Kaplan & Meier 1958, as a discrete hazard grid): per distinct
     * lifetime t (days between a user's first and last activity) —

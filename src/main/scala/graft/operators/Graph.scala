@@ -551,6 +551,51 @@ object Graph {
             "div (2 * n_nodes * (n_nodes - 1))")))
   }
 
+  /** Average-neighbor-degree curve knn(k) (Pastor-Satorras, Vázquez &
+    * Vespignani 2001) — for each degree class k, the mean degree of
+    * the neighbors of degree-k nodes:
+    *
+    *   knn(k) = Σ_{v: deg v = k} Σ_{u ∈ N(v)} deg(u) / (N_k · k)
+    *
+    * — [[assortativity]]'s one number unrolled into the curve that
+    * says WHERE the mixing happens: rising knn(k) = assortative core,
+    * falling = hubs feeding leaves (scraper star-graphs, link farms).
+    *
+    * Exact: numerator and denominator are integer sums in
+    * decimal(38,0) (num ≤ 2E·max-deg), half-up 1e-6 read. Input
+    * normalization as [[triangles]] (nulls drop, self-loops drop,
+    * parallel edges collapse, undirected). Scale: the symmetric edge
+    * table joined to the degree table TWICE on its endpoints (the
+    * exact shape assortativity already runs) + one degree-class
+    * rollup. Output: (k, n_nodes, knn_e6).
+    */
+  def avgNeighborDegree(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val raw = edges.select(
+        col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val und = raw
+      .unionAll(raw.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val numPerK = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .groupBy(col("da").as("k"))
+      .agg(sum(col("db").cast(dec)).as("num"))
+    val nK = deg.groupBy(col("deg").as("k"))
+      .agg(count(lit(1)).as("n_nodes"))
+    nK.join(numPerK, Seq("k"))
+      .select(col("k"), col("n_nodes"),
+        expr("(2 * num * 1000000 + CAST(n_nodes AS DECIMAL(38,0)) * k) " +
+          "div (2 * CAST(n_nodes AS DECIMAL(38,0)) * k)").as("knn_e6"))
+  }
+
   /** Directed-graph reciprocity — the share of directed edges whose
     * reverse edge also exists (r = |E ∩ Eᵀ| / |E|): the one-number
     * directionality read for citation/link graphs — organic citation

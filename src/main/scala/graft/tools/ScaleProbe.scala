@@ -1160,6 +1160,28 @@ object ScaleProbe {
       "w27_survival" -> (d =>
         EventAnalytics.survivalCurve(
           synthEvents(d, probeN), "user_id", "ts").count()),
+      "w28_fano" -> (d =>
+        EventAnalytics.fanoFactor(
+          synthEvents(d, probeN), "ts", "event_type").count()),
+      "g14_knn_curve" -> { d =>
+        val ids = d.select(col("doc_id"))
+        val hop = ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 1).as("dst"))
+          .unionByName(ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 2).as("dst")))
+          .unionByName(ids.select(col("doc_id").as("src"),
+            pmod(col("doc_id"), lit(math.max(probeN / 100, 50L)))
+              .as("dst")))
+          .join(ids.select(col("doc_id").as("dst")), Seq("dst"),
+            "left_semi")
+        Graph.avgNeighborDegree(hop, "src", "dst").count()
+      },
+      "e28_kendall" -> (d =>
+        Classifier.kendallTauA(
+          d.select(pmod(length(col("text")), lit(50)).as("a"),
+            pmod(length(col("text")) + col("doc_id") * 7, lit(50))
+              .as("b")),
+          "a", "b").count()),
       "m14_webdataset" -> { d =>
         val s2 = d.sparkSession
         import s2.implicits._

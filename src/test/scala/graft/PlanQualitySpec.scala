@@ -362,7 +362,9 @@ class PlanQualitySpec extends AnyFunSuite {
     for (q <- Seq("t42_freq_spectrum", "t43_dispersion", "t44_sttr",
         "w26_entropy_rate", "e26_fleiss_kappa", "e27_wilcoxon",
         "g12_rich_club", "g13_reciprocity", "ml3_linreg",
-        "m13_tar_meta", "w27_survival", "m14_webdataset_pairing")) {
+        "m13_tar_meta", "w27_survival", "m14_webdataset_pairing",
+        "w28_fano_factor", "g14_avg_neighbor_degree",
+        "e28_kendall_tau")) {
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("CartesianProduct"), q)
     }

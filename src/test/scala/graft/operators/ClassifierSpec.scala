@@ -749,6 +749,47 @@ class ClassifierSpec extends AnyFunSuite {
     assert(empty.length == 1 && empty.head._2 == "spam") // prior 2/3
   }
 
+  test("kendallTauA: hand concordance, ties count toward neither, " +
+      "sign split; BigInt O(n²) parity on random pairs") {
+    import spark.implicits._
+    val mono = Classifier.kendallTauA(
+        Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(mono == ((3L, 3L, 0L, 0L, Some(1000000L))))
+    val anti = Classifier.kendallTauA(
+        Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(anti == ((3L, 0L, 3L, 0L, Some(-1000000L))))
+    // ties: (1,1)(1,2)(2,2) → one concordant, two tied → τ_a = 1/3
+    val tied = Classifier.kendallTauA(
+        Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(tied == ((3L, 1L, 0L, 2L, Some(333333L))))
+    // a single row: τ undefined (NULL), counts still emitted
+    val one = Classifier.kendallTauA(
+        Seq((5L, 9L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(one == ((1L, 0L, 0L, 0L, None)))
+    // random pairs ≡ direct O(n²) BigInt pair count
+    val rnd = new scala.util.Random(131)
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+    val gotR = Classifier.kendallTauA(
+        rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    var c = BigInt(0); var dscore = BigInt(0)
+    for (i <- rows.indices; j <- (i + 1) until rows.size) {
+      val s = (rows(i)._1 - rows(j)._1) * (rows(i)._2 - rows(j)._2)
+      if (s > 0) c += 1 else if (s < 0) dscore += 1
+    }
+    val n0 = BigInt(400) * 399 / 2
+    val tau =
+      if (c >= dscore) (2 * (c - dscore) * 1000000 + n0) / (2 * n0)
+      else -((2 * (dscore - c) * 1000000 + n0) / (2 * n0))
+    assert(gotR == ((400L, c.toLong, dscore.toLong,
+      (n0 - c - dscore).toLong, Some(tau.toLong))))
+  }
+
   test("linearRegressionFit: exact plane recovered, singular system, " +
       "envelope raise; BigInt Cramer parity on noisy data") {
     import spark.implicits._

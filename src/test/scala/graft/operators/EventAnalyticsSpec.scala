@@ -878,6 +878,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("fanoFactor: hand rational with zero-filled buckets, metronome " +
+      "reads 0; BigInt parity on random streams") {
+    val h = 3600L * 1000 * 1000 * 1000
+    // A: dense counts [3, 0, 1] → F = (3·10 − 16)/(3·4) = 7/6
+    // B: metronome 1/bucket over 4 buckets → F = 0
+    val ev = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 2 * h + 1),
+      ("B", 1L), ("B", h + 1), ("B", 2 * h + 1), ("B", 3 * h + 1))
+      .toDF("event_type", "ts")
+    val got = EventAnalytics.fanoFactor(ev, "ts", "event_type")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("A") == ((3L, 4L, Some(1166667L))))
+    assert(got("B") == ((4L, 4L, Some(0L))))
+    // random streams ≡ independent BigInt model over densified counts
+    val rnd = new scala.util.Random(113)
+    val rows = (1 to 3000).map(_ =>
+      (s"t${rnd.nextInt(4)}",
+        rnd.nextInt(200).toLong * h / 4 + rnd.nextInt(1000)))
+    val gotR = EventAnalytics.fanoFactor(
+        rows.toDF("event_type", "ts"), "ts", "event_type")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = rows.groupBy(_._1).map { case (t, es) =>
+      val bk = es.map(e => e._2 / h)
+      val counts = (bk.min to bk.max).map(b =>
+        BigInt(bk.count(_ == b)))
+      val n = BigInt(counts.size); val s = counts.sum
+      val q = counts.map(x => x * x).sum
+      t -> ((n.toLong, s.toLong,
+        if (s > 0)
+          Some(((2 * (n * q - s * s) * 1000000 + n * s) / (2 * n * s))
+            .toLong)
+        else None))
+    }
+    assert(gotR == want)
+  }
+
   test("survivalCurve: hand hazard grid, censoring cut, d = n sends " +
       "the log-survival NULL; scalar parity on random lifetimes") {
     def ts(day: Long) = day * 86400L * 1000 * 1000 * 1000 + 1

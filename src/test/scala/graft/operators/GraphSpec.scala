@@ -633,6 +633,35 @@ class GraphSpec extends AnyFunSuite {
     assert(gotR == want)
   }
 
+  test("avgNeighborDegree: hand star curve; plain-Scala parity on a " +
+      "random graph") {
+    // star K1,3: knn(3) = 1 (the hub sees only leaves), knn(1) = 3
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val got = Graph.avgNeighborDegree(star, "src", "dst")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(3L -> ((1L, 1000000L)), 1L -> ((3L, 3000000L))))
+    // random graph ≡ plain-Scala rational model
+    val rnd = new scala.util.Random(127)
+    val redges = (1 to 300).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val gotR = Graph.avgNeighborDegree(
+        redges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val und = redges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2)
+      .map(e => (e._1.toString, e._2.toString)).distinct
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = und.groupBy(e => deg(e._1)).map { case (k, es) =>
+      val num = es.map(e => BigInt(deg(e._2))).sum
+      val nk = BigInt(es.map(_._1).distinct.size)
+      k -> ((nk.toLong,
+        ((2 * num * 1000000 + nk * k) / (2 * nk * k)).toLong))
+    }
+    assert(gotR == want && want.nonEmpty)
+  }
+
   test("reciprocity: hand flags (mutual pair, one-way, self-loop and " +
       "parallel drops); plain-Scala parity on a random digraph") {
     // 1→2 and 2→1 mutual; 2→3 one-way; 3→3 self-loop drops; 1→2
