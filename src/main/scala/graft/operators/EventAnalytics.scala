@@ -929,6 +929,20 @@ object EventAnalytics {
         expr(s"(__ts - pmod(__ts, ${dayNanos}L)) div ${dayNanos}L")
           .as("day"))
       .groupBy("u").agg(min("day").as("f"), max("day").as("l"))
+    survivalFromSpans(du, censorDays)
+  }
+
+  /** Survival tail over per-user activity spans `(u, f, l)` — the
+    * hazard grid + lattice of [[survivalCurve]], split out so the
+    * streaming span emitter ([[graft.streaming.StatefulOps
+    * .userSpanStream]], one (first, last) row of state per user) gets
+    * a twin by DELEGATION: the batch operator calls here over its own
+    * min/max aggregate, the stream feeds the latest upsert per user.
+    */
+  def survivalFromSpans(
+      du: DataFrame, censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0 && censorDays <= 366,
+      s"censorDays must be in [0, 366] (got $censorDays)")
     val horizon = du.agg(max("l").as("maxl"))
     val lives = du.crossJoin(broadcast(horizon))
       .select((col("l") - col("f")).as("t_days"),

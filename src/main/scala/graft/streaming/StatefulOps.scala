@@ -433,6 +433,50 @@ object StatefulOps {
       }
   }
 
+  case class SpanEv(user_id: Long, day: Long)
+  case class UserSpan(f: Long, l: Long)
+  case class SpanRow(u: Long, f: Long, l: Long)
+
+  /** One micro-batch of per-user activity-span maintenance: the state
+    * is the (first, last) active-day pair, and a row is emitted ONLY
+    * when the span changes — an upsert stream whose latest row per
+    * user (batch read: min(f), max(l) — both monotone) IS the
+    * survivalCurve head's per-user aggregate.
+    */
+  private[streaming] def advanceSpans(
+      user: Long, days: Seq[Long], prior: Option[UserSpan])
+      : (Seq[SpanRow], UserSpan) = {
+    val lo = days.min; val hi = days.max
+    val next = prior match {
+      case None => UserSpan(lo, hi)
+      case Some(p) => UserSpan(math.min(p.f, lo), math.max(p.l, hi))
+    }
+    val changed = !prior.contains(next)
+    (if (changed) Seq(SpanRow(user, next.f, next.l)) else Nil, next)
+  }
+
+  /** Streaming per-user activity spans (Append mode, change-only
+    * upserts) — downstream, `min(f)/max(l)` per user over the sink fed
+    * to [[graft.operators.EventAnalytics.survivalFromSpans]] IS the
+    * w27 Kaplan–Meier table, maintained incrementally (delegation).
+    * State per user: one (first, last) pair — O(users), never
+    * O(events); no timeout, so idle streams run no state-scan
+    * micro-batches.
+    */
+  def userSpanStream(
+      spark: SparkSession, ds: Dataset[SpanEv]): Dataset[SpanRow] = {
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSpan, SpanRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, evs: Iterator[SpanEv], state: GroupState[UserSpan]) =>
+          val (rows, st) =
+            advanceSpans(u, evs.map(_.day).toIndexedSeq, state.getOption)
+          state.update(st)
+          rows.iterator
+      }
+  }
+
   case class TransEv(
     user_id: Long, ts_ns: Long, event_id: Long, event_type: String)
   case class LastTrans(ts_ns: Long, event_id: Long, event_type: String)
