@@ -878,6 +878,18 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("fanoFactor: a corrupt mega-span timestamp raises the densify " +
+      "guard instead of building the calendar") {
+    val e = intercept[Exception] {
+      EventAnalytics.fanoFactor(
+        Seq(("A", 1L), ("A", 6000000000000000000L))
+          .toDF("event_type", "ts"), "ts", "event_type").collect()
+    }
+    val m = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(m.contains("fanoFactor densify"), m)
+  }
+
   test("fanoFactor: hand rational with zero-filled buckets, metronome " +
       "reads 0; BigInt parity on random streams") {
     val h = 3600L * 1000 * 1000 * 1000
