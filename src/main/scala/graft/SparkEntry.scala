@@ -3096,6 +3096,16 @@ FROM c"""
   private def t41VocabGrowth(s: SparkSession, d: String): DataFrame =
     TextAnalytics.vocabularyGrowth(T(s, d, "documents"), "doc_id", "text")
 
+  /** t45: Jensen–Shannon divergence between the t39 target slice's
+    * term distribution and the rest of the corpus — ONE exact
+    * rational read over per-term 1e-6 ln-lattice contributions (the
+    * w26 discipline); the one-number drift companion to keyness's
+    * per-term table. Full oracle.
+    */
+  private def t45TermJsd(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.termJsd(T(s, d, "documents"), "text",
+      pmod(col("doc_id"), lit(10)) === 0)
+
   /** t42: corpus frequency spectrum — V_m for m = 1..10 plus the
     * over-cap tail, zero-filled buckets. Exact integer counts; full
     * oracle (exact-string types vs xxhash64 buckets — the documented
@@ -4377,7 +4387,8 @@ FROM c"""
     "m14_webdataset_pairing" -> (m14WebdatasetPairing _),
     "w28_fano_factor" -> (w28FanoFactor _),
     "g14_avg_neighbor_degree" -> (g14AvgNeighborDegree _),
-    "e28_kendall_tau" -> (e28KendallTau _))
+    "e28_kendall_tau" -> (e28KendallTau _),
+    "t45_term_jsd" -> (t45TermJsd _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -9362,6 +9373,45 @@ FROM c"""
         |  coalesce(n_distinct, 0)::BIGINT AS n_distinct
         |FROM cps LEFT JOIN ds USING (checkpoint, max_doc_id)
         |  LEFT JOIN ts USING (checkpoint)""".stripMargin,
+    // t45 twin: identical per-term 1e-6 lattice (same left-assoc IEEE
+    // tree: 1e6·cnt·ln(2·cnt·other / (a·nb + b·na))) + the same
+    // sign-split half-away rationals
+    "t45_term_jsd" ->
+      """WITH c AS (SELECT term,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS b
+        |  FROM (SELECT doc_id % 10 = 0 AS tgt,
+        |      unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1),
+        |t AS (SELECT sum(a)::HUGEINT AS na, sum(b)::HUGEINT AS nb
+        |  FROM c),
+        |lat AS (SELECT
+        |    CASE WHEN a = 0 THEN 0 ELSE
+        |      floor(1000000.0 * a * ln((2.0 * a * nb::DOUBLE) /
+        |        (a::DOUBLE * nb::DOUBLE + b::DOUBLE * na::DOUBLE)))
+        |        ::BIGINT END AS tp,
+        |    CASE WHEN b = 0 THEN 0 ELSE
+        |      floor(1000000.0 * b * ln((2.0 * b * na::DOUBLE) /
+        |        (a::DOUBLE * nb::DOUBLE + b::DOUBLE * na::DOUBLE)))
+        |        ::BIGINT END AS tq
+        |  FROM c CROSS JOIN t),
+        |s AS (SELECT (SELECT count(*) FROM c)::BIGINT AS n_terms,
+        |    (SELECT na FROM t) AS na, (SELECT nb FROM t) AS nb,
+        |    sum(tp)::HUGEINT AS sp, sum(tq)::HUGEINT AS sq FROM lat)
+        |SELECT n_terms, na::BIGINT AS n_tokens_target,
+        |  nb::BIGINT AS n_tokens_ref,
+        |  CASE WHEN sp >= 0 THEN ((2 * sp + na) // (2 * na))::BIGINT
+        |    ELSE -(((-2) * sp + na) // (2 * na))::BIGINT END
+        |    AS kl_target_e6,
+        |  CASE WHEN sq >= 0 THEN ((2 * sq + nb) // (2 * nb))::BIGINT
+        |    ELSE -(((-2) * sq + nb) // (2 * nb))::BIGINT END
+        |    AS kl_ref_e6,
+        |  CASE WHEN sp * nb + sq * na >= 0 THEN
+        |    ((2 * (sp * nb + sq * na) + 2 * na * nb)
+        |      // (4 * na * nb))::BIGINT
+        |  ELSE -(((-2) * (sp * nb + sq * na) + 2 * na * nb)
+        |      // (4 * na * nb))::BIGINT END AS jsd_e6
+        |FROM s""".stripMargin,
     // t42 twin: exact-string types vs Spark's xxhash64 buckets (the
     // documented t40/t41 64-bit-collision tolerance); zero-filled
     // bucket spine via generate_series

@@ -930,6 +930,86 @@ object TextAnalytics {
           .as("dp_e6"))
   }
 
+  /** Jensen–Shannon divergence between the term distributions of a
+    * TARGET slice and the rest of the corpus — the ONE-number
+    * distribution-shift read next to [[keyness]]'s per-term table
+    * (Lin 1991): 0 = identical unigram mixes, ln 2 = disjoint
+    * vocabularies; tracked between snapshots it flags crawl drift
+    * before any downstream metric moves, and unlike KL it is finite
+    * on terms one side has never seen.
+    *
+    * With a/b the term counts in the slices (N_A/N_B totals),
+    * p = a/N_A, q = b/N_B, m = (p + q)/2:
+    *
+    *   JSD = ½·KL(P‖M) + ½·KL(Q‖M),
+    *   p/m = 2·a·N_B / (a·N_B + b·N_A)  (an integer rational)
+    *
+    * Determinism (the w26/ml2 discipline): each term contributes
+    * t_p = ⌊10⁶·a·ln(2aN_B/(aN_B + bN_A))⌋ (one integer rational in,
+    * one fixed IEEE divide/ln/multiply/floor — zero-count terms
+    * contribute 0, the 0·ln 0 limit), sums are exact integers, and
+    *
+    *   jsd_e6 = half-away( S_p·N_B + S_q·N_A, 2·N_A·N_B )
+    *
+    * is ONE exact rational read (each floored term sits ≤ true value,
+    * so a ≈0 divergence can read a hair negative — reported honestly,
+    * not clamped). Scale: one explode into a map-side-combined
+    * per-(term, slice) count + a vocab-sized lattice pass + one
+    * rollup; output is ONE row (n_terms, n_tokens_target,
+    * n_tokens_ref, kl_target_e6, kl_ref_e6, jsd_e6 — all NULL-free;
+    * an empty slice raises, a JSD against nothing is upstream
+    * breakage).
+    */
+  def termJsd(
+      docs: DataFrame, textCol: String, targetPred: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val counts = docs
+      .select(targetPred.as("tgt"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(xxhash64(col("term")).as("th"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("b"))
+    val tot = counts.agg(sum("a").as("na"), sum("b").as("nb"))
+      .select(
+        when(col("na") === 0 || col("nb") === 0,
+          raise_error(lit("termJsd: empty slice (target or ref has " +
+            "zero tokens) — fix the slice predicate upstream")))
+          .otherwise(col("na")).as("na"),
+        col("nb"))
+    val withTot = counts.crossJoin(broadcast(tot))
+    // t = ⌊10⁶·cnt·ln(2·cnt·otherTot / (a·N_B + b·N_A))⌋ — the shared
+    // integer-rational denominator of p/m and q/m
+    def latTerm(cnt: Column, otherTot: Column): Column =
+      when(cnt === 0, lit(0L)).otherwise(
+        floor(lit(1e6) * cnt.cast("double") *
+          log((lit(2.0) * cnt.cast("double") * otherTot.cast("double")) /
+            (col("a").cast("double") * col("nb").cast("double") +
+              col("b").cast("double") * col("na").cast("double"))))
+          .cast("long"))
+    val s = withTot.agg(
+      count(lit(1)).as("n_terms"),
+      first(col("na")).as("na"), first(col("nb")).as("nb"),
+      sum(latTerm(col("a"), col("nb"))).as("sp"),
+      sum(latTerm(col("b"), col("na"))).as("sq"))
+    // half-away-from-zero reads via the sign-split (2a+b) div 2b idiom
+    // (the fleissKappa/linearRegressionFit pattern)
+    def halfAway(numName: String, denName: String): Column =
+      when(col(numName) >= 0,
+        expr(s"(2 * CAST($numName AS DECIMAL(38,0)) + $denName) div " +
+          s"(2 * CAST($denName AS DECIMAL(38,0)))"))
+        .otherwise(
+          -expr(s"(-2 * CAST($numName AS DECIMAL(38,0)) + $denName) " +
+            s"div (2 * CAST($denName AS DECIMAL(38,0)))"))
+    s.withColumn("jn", dc(col("sp")) * dc(col("nb")) +
+        dc(col("sq")) * dc(col("na")))
+      .withColumn("jd", lit(2) * dc(col("na")) * dc(col("nb")))
+      .select(col("n_terms"), col("na").as("n_tokens_target"),
+        col("nb").as("n_tokens_ref"),
+        halfAway("sp", "na").as("kl_target_e6"),
+        halfAway("sq", "nb").as("kl_ref_e6"),
+        halfAway("jn", "jd").as("jsd_e6"))
+  }
+
   /** Per-document standardized type-token ratio (STTR) — mean TTR over
     * consecutive fixed-length token segments (`segLen`, classically
     * 100): the length-robust vocabulary-diversity read WordSmith-style

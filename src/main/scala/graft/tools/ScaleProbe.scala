@@ -1176,6 +1176,9 @@ object ScaleProbe {
             "left_semi")
         Graph.avgNeighborDegree(hop, "src", "dst").count()
       },
+      "t45_jsd" -> (d =>
+        TextAnalytics.termJsd(d, "text",
+          pmod(col("doc_id"), lit(10)) === 0).count()),
       "e28_kendall" -> (d =>
         Classifier.kendallTauA(
           d.select(pmod(length(col("text")), lit(50)).as("a"),

@@ -913,6 +913,59 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 101L, 2L, 4L, 3L)))
   }
 
+  test("termJsd: hand lattice terms and rationals, empty-slice raise; " +
+      "scalar parity on a random corpus") {
+    import org.apache.spark.sql.functions.col
+    // target "a a b" vs ref "a c": S_p = ⌊2e6·ln(8/7)⌋ + ⌊1e6·ln 2⌋,
+    // S_q = ⌊1e6·ln(6/7)⌋ + ⌊1e6·ln 2⌋ — hand-checked reads below
+    val docs = Seq((true, "a a b"), (false, "a c")).toDF("tgt", "text")
+    val got = TextAnalytics.termJsd(docs, "text", col("tgt"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((3L, 3L, 2L, 320070L, 269498L, 294784L)))
+    // identical slices → all three reads are ~0 (exact 0 here: every
+    // term has a = b and N_A = N_B, so ln(1) = 0 per term)
+    val same = TextAnalytics.termJsd(
+        Seq((true, "x y z"), (false, "x y z")).toDF("tgt", "text"),
+        "text", col("tgt"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(same == ((3L, 3L, 3L, 0L, 0L, 0L)))
+    // an empty slice raises — JSD against nothing is upstream breakage
+    val e = intercept[Exception] {
+      TextAnalytics.termJsd(
+        Seq((true, "a b")).toDF("tgt", "text"), "text", col("tgt"))
+        .collect()
+    }
+    assert((e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("empty slice"), e.getMessage)
+    // random corpus ≡ independent scalar model (same fixed IEEE trees)
+    val rnd = new scala.util.Random(137)
+    val rows = (1 to 250).map(i =>
+      (i % 9 == 0, Seq.fill(5 + rnd.nextInt(25))(
+        s"w${rnd.nextInt(60)}").mkString(" ")))
+    val gotR = TextAnalytics.termJsd(
+        rows.toDF("tgt", "text"), "text", col("tgt"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val counts = rows.flatMap { case (t, txt) =>
+      txt.split(" ", -1).map(w => (w, t)) }
+      .groupBy(_._1).toSeq.map { case (_, v) =>
+        (v.count(_._2).toLong, v.count(!_._2).toLong) }
+    val na = counts.map(_._1).sum; val nb = counts.map(_._2).sum
+    def lat(cnt: Long, other: Long, a: Long, b: Long): Long =
+      if (cnt == 0) 0L
+      else math.floor(1e6 * cnt *
+        math.log((2.0 * cnt * other) /
+          (a.toDouble * nb + b.toDouble * na))).toLong
+    val sp = counts.map { case (a, b) => lat(a, nb, a, b) }.sum
+    val sq = counts.map { case (a, b) => lat(b, na, a, b) }.sum
+    def ha(num: BigInt, den: BigInt): Long =
+      (if (num >= 0) (2 * num + den) / (2 * den)
+       else -((-2 * num + den) / (2 * den))).toLong
+    assert(gotR == ((counts.size.toLong, na, nb,
+      ha(sp, na), ha(sq, nb),
+      ha(BigInt(sp) * nb + BigInt(sq) * na, 2 * BigInt(na) * nb))))
+  }
+
   test("frequencySpectrum: hand buckets, zero-fill, tail bucket; " +
       "plain-Scala parity on a random corpus") {
     val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
