@@ -268,7 +268,7 @@ object Bench {
       "w21", "d20", "w22", "j20", "w23", "f11", "c19")
     val r11Additions = Set("d21", "t39", "t40", "w24", "e23", "s14", "c20", "g10", "m11", "ml2", "e24", "g11", "v20", "e25", "m12", "w25", "t41")
     val r12Additions = Set("t42", "t43", "t44", "w26", "e26", "e27",
-      "g12", "g13", "ml3", "m13", "w27", "m14", "w28", "g14", "e28", "t45")
+      "g12", "g13", "ml3", "m13", "w27", "m14", "w28", "g14", "e28", "t45", "d22")
     def pfx(k: String) = k.takeWhile(_ != '_')
     val r9Total = okMins.collect {
       case (k, v) if !r10Additions(pfx(k)) && !r11Additions(pfx(k)) &&

@@ -602,6 +602,16 @@ object SparkEntry {
       quality, scoreCol = "q_scaled")
   }
 
+  /** d22: cluster-size histogram over the d6 LSH clusters (registry
+    * consumer — the dedup REPORT a curation run reads before deleting
+    * anything): per size k, clusters / docs / removable docs. Full
+    * oracle: the d6 recursive-CTE fixpoint + the histogram tail.
+    */
+  private def d22ClusterHistogram(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterSizeHistogram(
+      ModelRegistry.lookupTable(ModelRegistry.tableKey(s, s"d6clusters:$d"))
+        .getOrElse(d6DedupClusters(s, d)))
+
   /** d17: URL-level crawl dedup over deterministically injected URLs.
     * Four syntactic variants per doc (uppercase host, `www.`, `:443`,
     * trailing slash, fragment — chosen by doc_id % 4) all canonicalize
@@ -4388,7 +4398,8 @@ FROM c"""
     "w28_fano_factor" -> (w28FanoFactor _),
     "g14_avg_neighbor_degree" -> (g14AvgNeighborDegree _),
     "e28_kendall_tau" -> (e28KendallTau _),
-    "t45_term_jsd" -> (t45TermJsd _))
+    "t45_term_jsd" -> (t45TermJsd _),
+    "d22_cluster_histogram" -> (d22ClusterHistogram _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -9373,6 +9384,25 @@ FROM c"""
         |  coalesce(n_distinct, 0)::BIGINT AS n_distinct
         |FROM cps LEFT JOIN ds USING (checkpoint, max_doc_id)
         |  LEFT JOIN ts USING (checkpoint)""".stripMargin,
+    // d22 twin: the d6 union-find fixpoint + the histogram tail
+    "d22_cluster_histogram" ->
+      s"""WITH RECURSIVE $minHashLshCte,
+         |$minHashLshSelfVer,
+         |jp AS (SELECT id_a AS ia, id_b AS ib FROM ver
+         |  WHERE nc::DOUBLE / (na + nb - nc) >= 0.6),
+         |edges AS (SELECT ia AS src, ib AS dst FROM jp
+         |  UNION ALL SELECT ib, ia FROM jp),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+         |sz AS (SELECT cluster, count(*)::BIGINT AS k FROM cl
+         |  GROUP BY 1)
+         |SELECT k, count(*)::BIGINT AS n_clusters,
+         |  (k * count(*))::BIGINT AS n_docs,
+         |  ((k - 1) * count(*))::BIGINT AS n_removable
+         |FROM sz GROUP BY k""".stripMargin,
     // t45 twin: identical per-term 1e-6 lattice (same left-assoc IEEE
     // tree: 1e6·cnt·ln(2·cnt·other / (a·nb + b·na))) + the same
     // sign-split half-away rationals

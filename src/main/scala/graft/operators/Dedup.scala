@@ -1173,6 +1173,26 @@ object Dedup {
     * mega-cluster means the threshold upstream is wrong, not that this
     * operator should salt).
     */
+  /** Cluster-size histogram — THE dedup report read over a
+    * [[duplicateClusters]] labeling: for each cluster size k, how many
+    * clusters, how many documents they hold, and how many are
+    * removable (k − 1 per cluster — what a keep-one policy deletes).
+    * The k-spectrum is the diagnostic the single removable-count
+    * number hides: mass at k = 2 is near-dup noise, a fat tail of
+    * large k is template/mirror infestation, and ONE giant cluster is
+    * an upstream threshold bug (the resolveClusters caveat).
+    *
+    * Exact integer counts; two map-side-combined aggregates (cluster
+    * → size, size → histogram), output k-spectrum-sized. Output:
+    * (k, n_clusters, n_docs, n_removable).
+    */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters.groupBy("cluster").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_clusters"))
+      .select(col("k"), col("n_clusters"),
+        (col("k") * col("n_clusters")).as("n_docs"),
+        ((col("k") - 1) * col("n_clusters")).as("n_removable"))
+
   def resolveClusters(
       clusters: DataFrame, scores: DataFrame,
       idCol: String = "id", clusterCol: String = "cluster",

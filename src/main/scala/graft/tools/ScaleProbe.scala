@@ -1176,6 +1176,10 @@ object ScaleProbe {
             "left_semi")
         Graph.avgNeighborDegree(hop, "src", "dst").count()
       },
+      "d22_cluster_hist" -> (d =>
+        Dedup.clusterSizeHistogram(Dedup.duplicateClusters(
+          Dedup.minHashLshPairs(d, "doc_id", "text")
+            .select("id_a", "id_b"))).count()),
       "t45_jsd" -> (d =>
         TextAnalytics.termJsd(d, "text",
           pmod(col("doc_id"), lit(10)) === 0).count()),

@@ -364,7 +364,7 @@ class PlanQualitySpec extends AnyFunSuite {
         "g12_rich_club", "g13_reciprocity", "ml3_linreg",
         "m13_tar_meta", "w27_survival", "m14_webdataset_pairing",
         "w28_fano_factor", "g14_avg_neighbor_degree",
-        "e28_kendall_tau", "t45_term_jsd")) {
+        "e28_kendall_tau", "t45_term_jsd", "d22_cluster_histogram")) {
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("CartesianProduct"), q)
     }

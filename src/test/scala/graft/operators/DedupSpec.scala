@@ -561,4 +561,40 @@ class DedupSpec extends AnyFunSuite {
       || e2.getCause != null &&
         e2.getCause.getMessage.contains("null source"), e2.getMessage)
   }
+
+  test("clusterSizeHistogram: hand spectrum over labeled clusters; " +
+      "plain-Scala parity through duplicateClusters on a random graph") {
+    import spark.implicits._
+    // clusters {1,2} (k=2) and {3,4,5} (k=3)
+    val got = Dedup.clusterSizeHistogram(
+        Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L))
+          .toDF("id", "cluster"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(2L -> ((1L, 2L, 1L)), 3L -> ((1L, 3L, 2L))))
+    // random edge set: duplicateClusters → histogram ≡ a plain-Scala
+    // union-find + size spectrum
+    val rnd = new scala.util.Random(139)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(e => e._1 != e._2)
+    val gotR = Dedup.clusterSizeHistogram(
+        Dedup.duplicateClusters(edges.toDF("id_a", "id_b")))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.groupBy(find).toSeq.map(_._2.size.toLong)
+      .groupBy(identity).map { case (k, v) =>
+        k -> ((v.size.toLong, k * v.size, (k - 1) * v.size)) }
+    assert(gotR == want && want.nonEmpty)
+  }
 }
