@@ -9639,7 +9639,10 @@ FROM c"""
         |  END AS reciprocity_e6
         |FROM s""".stripMargin,
     // ml3 twin: identical HUGEINT moment sums + Cramer determinants +
-    // half-away-from-zero lattice
+    // half-away-from-zero lattice via the same quotient+remainder
+    // split the operator uses (2·|dX|·1e6 can overflow HUGEINT's
+    // ~1.7e38 headroom inside the moment envelope, same as
+    // decimal(38,0))
     "ml3_linreg" ->
       """WITH b AS (SELECT length(text)::HUGEINT AS y,
         |    len(string_split(text, ' '))::HUGEINT AS x1,
@@ -9662,24 +9665,29 @@ FROM c"""
         |      - s1 * (s1 * s2y - s1y * s2)
         |      + sy * (s1 * s12 - s11 * s2) AS d2
         |  FROM s)
+        |, lats AS (SELECT n, d, d0, d1, d2,
+        |    (abs(d0) // abs(d)) * 1000000 + (2 * (abs(d0) % abs(d))
+        |      * 1000000 + abs(d)) // (2 * abs(d)) AS m0,
+        |    (abs(d1) // abs(d)) * 1000000 + (2 * (abs(d1) % abs(d))
+        |      * 1000000 + abs(d)) // (2 * abs(d)) AS m1,
+        |    (abs(d2) // abs(d)) * 1000000 + (2 * (abs(d2) % abs(d))
+        |      * 1000000 + abs(d)) // (2 * abs(d)) AS m2
+        |  FROM dets WHERE d <> 0)
         |SELECT n::BIGINT AS n,
         |  CASE WHEN d = 0 THEN NULL
-        |    WHEN (d0 >= 0) = (d >= 0) THEN
-        |      ((2 * abs(d0) * 1000000 + abs(d)) // (2 * abs(d)))::BIGINT
-        |    ELSE -((2 * abs(d0) * 1000000 + abs(d)) // (2 * abs(d)))
-        |      ::BIGINT END AS b0_e6,
+        |    WHEN (d0 >= 0) = (d >= 0) THEN m0::BIGINT
+        |    ELSE (-m0)::BIGINT END AS b0_e6,
         |  CASE WHEN d = 0 THEN NULL
-        |    WHEN (d1 >= 0) = (d >= 0) THEN
-        |      ((2 * abs(d1) * 1000000 + abs(d)) // (2 * abs(d)))::BIGINT
-        |    ELSE -((2 * abs(d1) * 1000000 + abs(d)) // (2 * abs(d)))
-        |      ::BIGINT END AS b1_e6,
+        |    WHEN (d1 >= 0) = (d >= 0) THEN m1::BIGINT
+        |    ELSE (-m1)::BIGINT END AS b1_e6,
         |  CASE WHEN d = 0 THEN NULL
-        |    WHEN (d2 >= 0) = (d >= 0) THEN
-        |      ((2 * abs(d2) * 1000000 + abs(d)) // (2 * abs(d)))::BIGINT
-        |    ELSE -((2 * abs(d2) * 1000000 + abs(d)) // (2 * abs(d)))
-        |      ::BIGINT END AS b2_e6,
+        |    WHEN (d2 >= 0) = (d >= 0) THEN m2::BIGINT
+        |    ELSE (-m2)::BIGINT END AS b2_e6,
         |  CASE WHEN d = 0 THEN 'singular' ELSE 'defined' END AS verdict
-        |FROM dets""".stripMargin,
+        |FROM lats
+        |UNION ALL
+        |SELECT n::BIGINT, NULL, NULL, NULL, 'singular' FROM dets
+        |WHERE d = 0""".stripMargin,
     // w27 twin: identical per-row floor(1e6·ln((n−d)/n)) lattice +
     // integer prefix sums; NULL propagates from the first d = n row
     "w27_survival" ->

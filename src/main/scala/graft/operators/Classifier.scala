@@ -1092,8 +1092,16 @@ object Classifier {
     *
     * Exactness envelope (the mannWhitney posture): moment sums past
     * 10¹² or n past 2·10⁶ raise loudly rather than risk silent
-    * decimal overflow in the 3×3 determinants (bounded ≤ ~10³⁰
-    * inside the envelope; the 10⁶ lattice read peaks ≤ 4·10³⁶ < 10³⁸).
+    * decimal overflow in the 3×3 determinants. Inside the envelope
+    * |d| ≤ ~6·10³⁰ but |dX| can reach ~10³⁶ (large-mean y against an
+    * orthogonal near-max Gram determinant), so the naive lattice read
+    * 2·|dX|·10⁶ would blow past decimal(38,0); the read is therefore a
+    * quotient+remainder descent — q = |dX| div |d|, then the half-up
+    * 10⁶ lattice of the remainder — whose intermediates stay ≤
+    * max(|dX|, (2·10⁶+1)·|d|) < 10³⁸. An ill-conditioned system
+    * (|beta| ≥ ~9·10¹¹, where q·10⁶ would leave the long lattice)
+    * raises loudly; the boundary check runs on the double image of the
+    * exact decimals — lossy only in the guard, never in the read.
     * Betas are half-away-from-zero 1e-6 lattice reads of the exact
     * determinant rationals; a singular system (collinear features,
     * constant x) emits NULL betas with verdict 'singular'. Output:
@@ -1144,13 +1152,29 @@ object Classifier {
         dc(col("n")) * (col("s11") * col("s2y") - col("s12") * col("s1y"))
           - col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
           + col("sy") * (col("s1") * col("s12") - col("s11") * col("s2")))
-    def lat(nm: String): Column =
+    // Quotient+remainder lattice read: |dX|·10⁶ can overflow
+    // decimal(38,0) inside the moment envelope (|dX| up to ~10³⁶), so
+    // split |dX| = q·|d| + r and round only the remainder — every
+    // intermediate stays ≤ max(|dX|, (2·10⁶+1)·|d|) < 10³⁸. The
+    // half-up identity: round(|dX|·10⁶/|d|) = q·10⁶ + (2r·10⁶+|d|)
+    // div (2|d|), exactly the old single-expression read.
+    def lat(nm: String): Column = {
+      val q = expr(s"abs($nm) div abs(d)")
+      val frac =
+        expr(s"(2 * (abs($nm) % abs(d)) * 1000000 + abs(d)) div (2 * abs(d))")
+      val mag = q * lit(1000000L) + frac
       when(col("d") === 0, lit(null).cast("long"))
         .otherwise(
-          when((col(nm) >= 0) === (col("d") >= 0),
-            expr(s"(2 * abs($nm) * 1000000 + abs(d)) div (2 * abs(d))"))
+          when(abs(col(nm)).cast("double") >
+              abs(col("d")).cast("double") * 9.0e11,
+            raise_error(lit("linearRegressionFit: ill-conditioned " +
+              "system (|beta| >= ~9e11) — the 1e-6 lattice read is " +
+              "meaningless; rescale features or drop the " +
+              "near-collinear one")).cast("long"))
             .otherwise(
-              -expr(s"(2 * abs($nm) * 1000000 + abs(d)) div (2 * abs(d))")))
+              when((col(nm) >= 0) === (col("d") >= 0), mag)
+                .otherwise(-mag)))
+    }
     t.select(col("n"), lat("d0").as("b0_e6"), lat("d1").as("b1_e6"),
       lat("d2").as("b2_e6"),
       when(col("d") === 0, lit("singular")).otherwise(lit("defined"))

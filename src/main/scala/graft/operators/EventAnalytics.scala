@@ -846,7 +846,8 @@ object EventAnalytics {
     *   F = σ²/μ = (n·Q − S²) / (n·S)
     *
     * — one integer rational in decimal(38,0), half-up 1e-6 read; NULL
-    * for an all-zero type (no mean to divide by). The densify is the
+    * for an all-zero type (no mean to divide by). A null timestamp
+    * raises loudly (the survivalCurve discipline); the densify is the
     * w22 guarded calendar explode (a corrupt timestamp raises, never
     * OOMs). Scale: one map-side-combined (type, bucket) count, one
     * type-sized guarded densify, one rollup. Output:
@@ -859,7 +860,13 @@ object EventAnalytics {
     val bucketNs = bucketUs * 1000L
     val counts = events
       .select(col(typeCol).as("event_type"),
-        col(tsCol).cast("long").as("__ts"))
+        // null ts raises loudly (the survivalCurve/growthAccounting
+        // discipline) — a silent drop would vanish through the span
+        // min/max and the densify left join, undercounting n_events
+        // with no trace
+        when(col(tsCol).isNull,
+          raise_error(lit("fanoFactor: null timestamp")))
+          .otherwise(col(tsCol).cast("long")).as("__ts"))
       .select(col("event_type"),
         expr(s"(__ts - pmod(__ts, ${bucketNs}L)) div ${bucketNs}L")
           .as("bucket"))

@@ -493,6 +493,21 @@ object StatefulOps {
       events: Seq[TransEv], prior: Option[LastTrans])
       : (Seq[TransPair], LastTrans) = {
     val sorted = events.sortBy(e => (e.ts_ns, e.event_id))
+    // The in-order contract is ENFORCED at the cross-batch boundary,
+    // not just documented: a late event older than (or a redelivered
+    // duplicate of) the carried last event would both emit a reversed
+    // (cur, next) pair and regress the state, silently corrupting
+    // every subsequent pair vs the batch entropyRate head. Raise
+    // loudly instead (the repo discipline); an at-least-once source
+    // needs an upstream dedup/ordering stage before this operator.
+    for (p <- prior; e <- sorted.headOption)
+      if (e.ts_ns < p.ts_ns ||
+          (e.ts_ns == p.ts_ns && e.event_id <= p.event_id))
+        throw new IllegalStateException(
+          "transitionPairsStream: out-of-order delivery — event (ts=" +
+            s"${e.ts_ns}, id=${e.event_id}) is not later than the " +
+            s"carried state (ts=${p.ts_ns}, id=${p.event_id}); " +
+            "dedup/order upstream")
     val out = scala.collection.mutable.ArrayBuffer.empty[TransPair]
     var last = prior
     for (e <- sorted) {

@@ -853,6 +853,62 @@ class ClassifierSpec extends AnyFunSuite {
       "defined")))
   }
 
+  test("linearRegressionFit: lattice read survives |d0| ~ 1e36 inside " +
+      "the moment envelope (the naive 2|dX|·1e6 read overflows " +
+      "decimal(38,0)); ill-conditioned system raises") {
+    import spark.implicits._
+    // three-way pattern: x1 ⊥ x2 ⊥ y in the raw-moment sense (s12 =
+    // s1y = s2y = 0), every guarded sum at ~8-9e11 (inside the 1e12
+    // envelope) → d0 = sy·s11·s22 ≈ 6.5e35, where the pre-fix read
+    // 2·|d0|·1e6 ≈ 1.3e42 blew past decimal(38,0)
+    val rows = (0 until 30000).map { i =>
+      i % 3 match {
+        case 0 => (0L, 9000L, 0L)
+        case 1 => (0L, 0L, 9000L)
+        case _ => (99000000L, 0L, 0L)
+      }
+    }
+    val n = BigInt(rows.size)
+    def S(f: ((Long, Long, Long)) => BigInt) = rows.map(f).sum
+    val (s1, s2) = (S(r => BigInt(r._2)), S(r => BigInt(r._3)))
+    val (s11, s12, s22) = (S(r => BigInt(r._2) * r._2),
+      S(r => BigInt(r._2) * r._3), S(r => BigInt(r._3) * r._3))
+    val (sy, s1y, s2y) = (S(r => BigInt(r._1)),
+      S(r => BigInt(r._2) * r._1), S(r => BigInt(r._3) * r._1))
+    val d = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val d0 = sy * (s11 * s22 - s12 * s12) -
+      s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    val d1 = n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val d2 = n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    // the case must actually exercise the overflow regime
+    assert(d0.abs > BigInt(10).pow(32) &&
+      2 * d0.abs * 1000000 > BigInt(10).pow(38))
+    assert(d1.abs > BigInt(10).pow(31)) // negative-sign big numerator
+    def lat(num: BigInt): Long = {
+      val m = (2 * num.abs * 1000000 + d.abs) / (2 * d.abs)
+      (if ((num >= 0) == (d >= 0)) m else -m).toLong
+    }
+    val got = Classifier.linearRegressionFit(
+        rows.toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .as[(Long, Option[Long], Option[Long], Option[Long], String)]
+      .collect().head
+    assert(got == ((30000L, Some(lat(d0)), Some(lat(d1)),
+      Some(lat(d2)), "defined")))
+    // near-singular with a large y: |beta| ≈ 1.8e12 > the ~9e11
+    // conditioning bound → loud raise, never a garbage lattice value
+    val e = intercept[Exception] {
+      Classifier.linearRegressionFit(
+        Seq((900000000000L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 4L))
+          .toDF("y", "x1", "x2"), "y", "x1", "x2").collect()
+    }
+    assert((e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("ill-conditioned"), e.getMessage)
+  }
+
   test("fleissKappa: hand rational, sign split, undefined unanimity, " +
       "unequal raters raise; BigInt parity on random panels") {
     import spark.implicits._

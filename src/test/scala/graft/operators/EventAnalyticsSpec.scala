@@ -890,6 +890,18 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(m.contains("fanoFactor densify"), m)
   }
 
+  test("fanoFactor: a null timestamp raises loudly instead of " +
+      "silently undercounting n_events") {
+    val e = intercept[Exception] {
+      EventAnalytics.fanoFactor(
+        Seq(("A", Some(1L)), ("A", None), ("A", Some(7200000000001L)))
+          .toDF("event_type", "ts"), "ts", "event_type").collect()
+    }
+    val m = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(m.contains("fanoFactor: null timestamp"), m)
+  }
+
   test("fanoFactor: hand rational with zero-filled buckets, metronome " +
       "reads 0; BigInt parity on random streams") {
     val h = 3600L * 1000 * 1000 * 1000

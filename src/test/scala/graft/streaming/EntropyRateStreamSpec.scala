@@ -71,4 +71,23 @@ class EntropyRateStreamSpec extends AnyFunSuite {
       Seq(TransEv(8, 5, 21, "Y"), TransEv(8, 5, 20, "X")), None)
     assert(p3 == Seq(TransPair("X", "Y")))
   }
+
+  test("advanceTransitions: a late event behind the carried state " +
+      "raises instead of emitting a reversed pair and regressing state") {
+    val st = LastTrans(10, 50, "B")
+    // strictly older ts → raise
+    val e1 = intercept[IllegalStateException] {
+      StatefulOps.advanceTransitions(Seq(TransEv(7, 9, 60, "C")), Some(st))
+    }
+    assert(e1.getMessage.contains("out-of-order"), e1.getMessage)
+    // same ts, event_id not later (redelivered duplicate) → raise
+    val e2 = intercept[IllegalStateException] {
+      StatefulOps.advanceTransitions(Seq(TransEv(7, 10, 50, "B")), Some(st))
+    }
+    assert(e2.getMessage.contains("out-of-order"), e2.getMessage)
+    // same ts with a LATER event_id is legal (the batch tie-break order)
+    val (p, s) = StatefulOps.advanceTransitions(
+      Seq(TransEv(7, 10, 51, "C")), Some(st))
+    assert(p == Seq(TransPair("B", "C")) && s == LastTrans(10, 51, "C"))
+  }
 }
