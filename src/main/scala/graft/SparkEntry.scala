@@ -547,12 +547,49 @@ object SparkEntry {
     * d3, so the DuckDB oracle rebuilds the same pairs and closes them
     * with a recursive CTE (the d7 fixpoint twin, over LSH pairs).
     */
-  private def d6DedupClusters(s: SparkSession, d: String): DataFrame =
-    ModelRegistry.publishTable(ModelRegistry.tableKey(s, s"d6clusters:$d"))(
-      Dedup.duplicateClusters(
-        ModelRegistry.getOrComputeTable(
-            ModelRegistry.tableKey(s, s"lshpairs:$d"))(d3PairsRaw(s, d))
-          .select("id_a", "id_b")))
+  private def d6DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val clusters =
+      ModelRegistry.publishTable(ModelRegistry.tableKey(s, s"d6clusters:$d"))(
+        Dedup.duplicateClusters(
+          ModelRegistry.getOrComputeTable(
+              ModelRegistry.tableKey(s, s"lshpairs:$d"))(d3PairsRaw(s, d))
+            .select("id_a", "id_b")))
+    // durable write-through (r12 verdict #2): a cold-JVM report query
+    // (d16/d22) reads this table instead of re-running the d3+d6 chain
+    Dedup.writeClusterTable(clusters, d6ClusterCacheDir(d),
+      d6ClusterFingerprint(s, d))
+    clusters
+  }
+
+  /** Durable d6 cluster-cache location + staleness fingerprint: row
+    * count is parquet-metadata cheap, mtime catches a regenerated
+    * corpus, and the version constant is bumped whenever the d3 pair
+    * semantics or the cluster labeling change (a lakehouse deployment
+    * would key on the table snapshot id instead).
+    */
+  private val D6ClusterCacheVersion = "v1"
+  private[graft] def d6ClusterCacheDir(d: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_TABLE_CACHE",
+      System.getProperty("java.io.tmpdir") + "/graft-table-cache") +
+      "/d6clusters_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+  private[graft] def d6ClusterFingerprint(s: SparkSession, d: String): String = {
+    val n = T(s, d, "documents").count()
+    val mtime = new java.io.File(s"$d/documents.parquet").lastModified()
+    s"docs=$n:mtime=$mtime:$D6ClusterCacheVersion"
+  }
+
+  /** Session-warm, then durable-cache, then recompute — the consumer
+    * read path for the d6 cluster table (the producer d6 itself always
+    * recomputes and write-throughs, the registry discipline).
+    */
+  private def d6ClustersFor(s: SparkSession, d: String): DataFrame =
+    ModelRegistry.lookupTable(ModelRegistry.tableKey(s, s"d6clusters:$d"))
+      .orElse(
+        Dedup.readClusterTable(s, d6ClusterCacheDir(d),
+            d6ClusterFingerprint(s, d))
+          .map(t => ModelRegistry.publishTable(
+            ModelRegistry.tableKey(s, s"d6clusters:$d"))(t)))
+      .getOrElse(d6DedupClusters(s, d))
 
   /** d8: SemDeDup over the planted-near-dup corpus — IVF-cluster the
     * embeddings, keep one representative per within-cluster semantic
@@ -594,12 +631,8 @@ object SparkEntry {
     val docs = T(s, d, "documents")
     val quality = docs.select(col("doc_id").as("id"),
       TextAnalytics.qualityScaledColumn(col("text")).as("q_scaled"))
-    // lookupTable, not getOrComputeTable: the miss path (d6DedupClusters)
-    // publishes under this same key itself
-    Dedup.resolveClusters(
-      ModelRegistry.lookupTable(ModelRegistry.tableKey(s, s"d6clusters:$d"))
-        .getOrElse(d6DedupClusters(s, d)),
-      quality, scoreCol = "q_scaled")
+    Dedup.resolveClusters(d6ClustersFor(s, d), quality,
+      scoreCol = "q_scaled")
   }
 
   /** d22: cluster-size histogram over the d6 LSH clusters (registry
@@ -608,9 +641,7 @@ object SparkEntry {
     * oracle: the d6 recursive-CTE fixpoint + the histogram tail.
     */
   private def d22ClusterHistogram(s: SparkSession, d: String): DataFrame =
-    Dedup.clusterSizeHistogram(
-      ModelRegistry.lookupTable(ModelRegistry.tableKey(s, s"d6clusters:$d"))
-        .getOrElse(d6DedupClusters(s, d)))
+    Dedup.clusterSizeHistogram(d6ClustersFor(s, d))
 
   /** d17: URL-level crawl dedup over deterministically injected URLs.
     * Four syntactic variants per doc (uppercase host, `www.`, `:443`,

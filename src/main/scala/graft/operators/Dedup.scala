@@ -1193,6 +1193,46 @@ object Dedup {
         (col("k") * col("n_clusters")).as("n_docs"),
         ((col("k") - 1) * col("n_clusters")).as("n_removable"))
 
+  /** Durable write-through for a [[duplicateClusters]] labeling — the
+    * persistence half the MinHash index already has
+    * ([[writeMinHashIndex]]): the cluster table is the artifact every
+    * downstream report consumes (resolve, histogram, decontamination),
+    * and at 100 TB a report query silently re-running the LSH +
+    * fixpoint chain because a session-lifetime checkpoint died is a
+    * foot-gun. A caller-built `fingerprint` (source row count + source
+    * mtime + algorithm version — a lakehouse deployment would use the
+    * table snapshot id) rides in a sidecar written AFTER the data, so
+    * a torn write can never present as a valid cache; [[readClusterTable]]
+    * returns None on any mismatch and the caller recomputes + overwrites.
+    */
+  def writeClusterTable(
+      clusters: DataFrame, dest: String, fingerprint: String): Unit = {
+    import clusters.sparkSession.implicits._
+    clusters.write.mode("overwrite").parquet(s"$dest/clusters")
+    Seq(fingerprint).toDF("fingerprint").coalesce(1)
+      .write.mode("overwrite").json(s"$dest/meta")
+  }
+
+  /** Read back a persisted cluster table iff its sidecar fingerprint
+    * matches — None on a missing, torn, or stale cache (never a silent
+    * wrong answer; the consumer's miss path recomputes).
+    */
+  def readClusterTable(
+      spark: org.apache.spark.sql.SparkSession, dest: String,
+      fingerprint: String): Option[DataFrame] = {
+    val meta = new org.apache.hadoop.fs.Path(s"$dest/meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored =
+      try {
+        if (!fs.exists(meta)) None
+        else Some(spark.read.json(s"$dest/meta")
+          .head().getAs[String]("fingerprint"))
+      } catch { case _: Throwable => None }
+    if (stored.contains(fingerprint))
+      Some(spark.read.parquet(s"$dest/clusters"))
+    else None
+  }
+
   def resolveClusters(
       clusters: DataFrame, scores: DataFrame,
       idCol: String = "id", clusterCol: String = "cluster",

@@ -871,6 +871,18 @@ object EventAnalytics {
         expr(s"(__ts - pmod(__ts, ${bucketNs}L)) div ${bucketNs}L")
           .as("bucket"))
       .groupBy("event_type", "bucket").agg(count(lit(1)).as("x"))
+    fanoFromBucketCounts(counts)
+  }
+
+  /** The w28 finisher over an ALREADY-AGGREGATED (event_type, bucket,
+    * x) count table — shared by the batch head above and the streaming
+    * twin (a stateless (type, bucket) emission whose sink count per
+    * key IS this input; the delegation discipline: one finisher, two
+    * heads, zero re-authored math). Bucket grid densified with the
+    * guarded calendar explode, then the exact (n·Q − S²)/(n·S)
+    * rational on the half-up 1e-6 lattice.
+    */
+  def fanoFromBucketCounts(counts: DataFrame): DataFrame = {
     val spans = counts.groupBy("event_type")
       .agg(min("bucket").as("b0"), max("bucket").as("b1"))
     val dense = spans

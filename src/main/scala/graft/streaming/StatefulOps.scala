@@ -540,6 +540,30 @@ object StatefulOps {
       }
   }
 
+  case class FanoEv(ts_ns: Long, event_type: String)
+  case class TypeBucket(event_type: String, bucket: Long)
+
+  /** Streaming (event_type, bucket) grid-cell emission — the w28 Fano
+    * head. STATELESS by the operator's algebra: each event contributes
+    * exactly one increment to one (type, bucket) cell, so the twin
+    * carries no state and is exact under ANY delivery order (a late
+    * event folds into its own cell — contrast w26's transition pairs,
+    * where order is semantic and violation raises). Downstream, the
+    * sink's count per (event_type, bucket) fed to
+    * [[graft.operators.EventAnalytics.fanoFromBucketCounts]] IS the
+    * batch w28 report — delegation, zero re-authored math. Null
+    * timestamps can't reach this head (the case class is primitive),
+    * matching the batch head's loud-raise contract.
+    */
+  def typeBucketStream(
+      spark: SparkSession, ds: Dataset[FanoEv],
+      bucketUs: Long = 3600L * 1000 * 1000): Dataset[TypeBucket] = {
+    import spark.implicits._
+    require(bucketUs > 0, s"bucketUs must be positive (got $bucketUs)")
+    val bucketNs = bucketUs * 1000L
+    ds.map(e => TypeBucket(e.event_type, Math.floorDiv(e.ts_ns, bucketNs)))
+  }
+
   case class DayEv(user_id: Long, day: Long)
   case class DaySet(days: Seq[Long])
 

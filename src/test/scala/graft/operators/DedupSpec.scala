@@ -234,6 +234,56 @@ class DedupSpec extends AnyFunSuite {
     assert(distributed == want)
   }
 
+  test("cluster table write-through: read-back equals the computed " +
+      "table; stale fingerprint, torn cache, and missing dir all miss") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+    val dir = java.nio.file.Files.createTempDirectory("d6cache").toString
+    Dedup.writeClusterTable(clusters, dir, "fp1")
+    // warm read: same fingerprint → the exact table back
+    val warm = Dedup.readClusterTable(spark, dir, "fp1")
+    assert(warm.isDefined)
+    assert(warm.get.as[(Long, Long)].collect().toSet ==
+      clusters.as[(Long, Long)].collect().toSet)
+    // a different fingerprint (new corpus / new algorithm version) is a
+    // MISS, never a silent stale serve
+    assert(Dedup.readClusterTable(spark, dir, "fp2").isEmpty)
+    // missing cache dir is a miss
+    assert(Dedup.readClusterTable(spark, s"$dir/nope", "fp1").isEmpty)
+    // torn write (data without sidecar — the sidecar is written last)
+    val torn = java.nio.file.Files.createTempDirectory("d6torn").toString
+    clusters.write.parquet(s"$torn/clusters")
+    assert(Dedup.readClusterTable(spark, torn, "fp1").isEmpty)
+    // overwrite with a new fingerprint: the new read wins
+    val clusters2 = Dedup.duplicateClusters(
+      Seq((7L, 8L)).toDF("id_a", "id_b"))
+    Dedup.writeClusterTable(clusters2, dir, "fp2")
+    assert(Dedup.readClusterTable(spark, dir, "fp1").isEmpty)
+    assert(Dedup.readClusterTable(spark, dir, "fp2").get
+      .as[(Long, Long)].collect().toSet == Set((7L, 7L), (8L, 7L)))
+  }
+
+  test("d22 cold start reads the durable cluster cache — no LSH-chain " +
+      "recompute — and matches the warm result") {
+    val d = graft.TestSpark.Sf0001
+    val warm = graft.SparkEntry.queries("d22_cluster_histogram")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(warm.nonEmpty)
+    // the producing run wrote through; simulate a fresh JVM
+    ModelRegistry.clear()
+    assert(Dedup.readClusterTable(spark,
+      graft.SparkEntry.d6ClusterCacheDir(d),
+      graft.SparkEntry.d6ClusterFingerprint(spark, d)).isDefined)
+    val cold = graft.SparkEntry.queries("d22_cluster_histogram")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(cold == warm)
+    // the discriminator: a disk hit never re-runs the d3 chain, so the
+    // lshpairs intermediate must NOT have been (re)published
+    assert(ModelRegistry.lookupTable(
+      ModelRegistry.tableKey(spark, s"lshpairs:$d")).isEmpty,
+      "cold d22 recomputed the LSH chain instead of reading the cache")
+  }
+
   test("simHash is deterministic and separates similar from different") {
     val h = Dedup.simHash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
