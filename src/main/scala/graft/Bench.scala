@@ -111,10 +111,12 @@ object Bench {
       case Array("--only", l) => l
     }.orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // matches either a query prefix ("d2") or a whole family ("d")
     val selected = only match {
       case None => SparkEntry.queries
       case Some(ps) => SparkEntry.queries.filter { case (name, _) =>
-        ps.contains(name.takeWhile(_ != '_')) }
+        val p = name.takeWhile(_ != '_')
+        ps.contains(p) || ps.contains(p.takeWhile(!_.isDigit)) }
     }
     val byFamily = selected.toSeq
       .groupBy { case (k, _) => k.takeWhile(!_.isDigit) }

@@ -1109,11 +1109,38 @@ object Classifier {
     */
   def linearRegressionFit(
       df: DataFrame, yCol: String, x1Col: String, x2Col: String)
-      : DataFrame = {
+      : DataFrame =
+    normalEquationsFit(df, yCol, x1Col, x2Col, lambda = 0L,
+      what = "linearRegressionFit")
+
+  /** Ridge regression for two integer features — [[linearRegressionFit]]
+    * with an integer L2 penalty λ on the feature weights (never the
+    * intercept, the standard parameterization): the normal-equations
+    * Gram gains λ on its (x1, x1) and (x2, x2) diagonal and everything
+    * else — the one-pass 9-sum aggregate, the exact Cramer solve, the
+    * quotient+remainder lattice read — is shared verbatim, so the two
+    * fits cannot drift apart. Integer λ keeps the solve EXACT; λ = 0
+    * IS the OLS fit (proven in spec). λ > 0 also regularizes the
+    * conditioning: the shifted Gram is strictly positive definite, so
+    * 'singular' can only appear at λ = 0. Output: one row
+    * (n, b0_e6, b1_e6, b2_e6, verdict).
+    */
+  def ridgeRegressionFit(
+      df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      lambda: Long): DataFrame = {
+    require(lambda >= 0 && lambda <= 1000000000000L,
+      s"lambda must be in [0, 1e12] (got $lambda)")
+    normalEquationsFit(df, yCol, x1Col, x2Col, lambda,
+      what = "ridgeRegressionFit")
+  }
+
+  private def normalEquationsFit(
+      df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      lambda: Long, what: String): DataFrame = {
     val dec = DecimalType(38, 0)
     def dc(c: Column) = c.cast(dec)
-    def in(c: String, what: String) = when(col(c).isNull,
-      raise_error(lit(s"linearRegressionFit: null $what")))
+    def in(c: String, w: String) = when(col(c).isNull,
+      raise_error(lit(s"$what: null $w")))
       .otherwise(col(c).cast("long"))
     val b = df.select(in(yCol, "y").as("y"), in(x1Col, "x1").as("x1"),
       in(x2Col, "x2").as("x2"))
@@ -1131,10 +1158,15 @@ object Classifier {
           greatest(col("s11"), col("s22"), abs(col("sy")),
             abs(col("s1y")), abs(col("s2y")), abs(col("s12"))) >
             dc(lit(1000000000000L)),
-          raise_error(lit("linearRegressionFit: beyond the " +
+          raise_error(lit(s"$what: beyond the " +
             "decimal(38) exactness envelope (n > 2e6 or a moment " +
             "sum > 1e12) — rescale the features upstream")))
           .otherwise(col("n")))
+      // the ridge shift: λ on the Gram's feature diagonal, after the
+      // envelope check (s11 + λ ≤ 2e12 keeps every bound below intact
+      // to within the documented factor-2 slack)
+      .withColumn("s11", col("s11") + dc(lit(lambda)))
+      .withColumn("s22", col("s22") + dc(lit(lambda)))
     val t = s
       .withColumn("d",
         dc(col("n")) * (col("s11") * col("s22") - col("s12") * col("s12"))
@@ -1167,7 +1199,7 @@ object Classifier {
         .otherwise(
           when(abs(col(nm)).cast("double") >
               abs(col("d")).cast("double") * 9.0e11,
-            raise_error(lit("linearRegressionFit: ill-conditioned " +
+            raise_error(lit(s"$what: ill-conditioned " +
               "system (|beta| >= ~9e11) — the 1e-6 lattice read is " +
               "meaningless; rescale features or drop the " +
               "near-collinear one")).cast("long"))
@@ -1498,5 +1530,172 @@ object Classifier {
               .cast("double") /
               (col("n_items") * col("n_items") - col("pe_num"))
                 .cast("double"), 6)).as("kappa"))
+  }
+  /** Cochran's Q (Cochran 1950) — the k-treatment extension of
+    * [[mcnemar]]: do k classifiers/judges, each scoring the SAME item
+    * set with a binary outcome, differ in success rate? THE panel-level
+    * read before pairwise McNemar drill-downs (k LLM judges over one
+    * eval set, k filter versions over one corpus sample).
+    *
+    * With x_ij ∈ {0,1}, N items × k judges, c_j = per-judge totals,
+    * r_i = per-item totals, T = Σx:
+    *
+    *   Q = (k−1)·(k·Σc_j² − T²) / (k·T − Σr_i²)
+    *
+    * EXACT end-to-end: one integer rational in decimal(38,0) (numerator
+    * ≥ 0 by Cauchy–Schwarz, so the half-up 1e-6 read needs no sign
+    * split); the χ²(k−1) significance verdict is ONE exact integer
+    * cross-comparison against the published 0.95 quantile table
+    * (df ≤ 30 — wider panels raise loudly; at that width the χ²
+    * approximation is not the binding concern, the panel design is).
+    * Incomplete panels raise (every item needs every judge exactly
+    * once — both margins are checked); an all-unanimous panel has
+    * zero denominator → NULL Q, verdict 'undefined'. Output: one row
+    * (n_items, k_judges, df, q_e6, verdict).
+    */
+  def cochranQ(
+      outcomes: DataFrame, itemCol: String, judgeCol: String,
+      successCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val x = when(col(successCol).isNull,
+      raise_error(lit("cochranQ: null outcome")))
+      .otherwise(col(successCol).cast("boolean").cast("long"))
+    val cells = outcomes.select(col(itemCol).as("item"),
+      when(col(judgeCol).isNull,
+        raise_error(lit("cochranQ: null judge")))
+        .otherwise(col(judgeCol).cast("string")).as("judge"),
+      x.as("x"))
+    val items = cells.groupBy("item").agg(
+      count(lit(1)).as("ki"), sum("x").as("r"))
+    val judges = cells.groupBy("judge").agg(
+      count(lit(1)).as("ni"), sum("x").as("c"))
+    val im = items.agg(
+      count(lit(1)).as("n_items"),
+      min("ki").as("k_min"), max("ki").as("k_max"),
+      sum(dc(col("r")) * dc(col("r"))).as("sr2"),
+      sum("r").as("t"))
+    val jm = judges.agg(
+      count(lit(1)).as("k_judges"),
+      min("ni").as("n_min"), max("ni").as("n_max"),
+      sum(dc(col("c")) * dc(col("c"))).as("sc2"))
+    val s = im.crossJoin(broadcast(jm))
+      .withColumn("k_judges",
+        when(col("k_min") =!= col("k_max") ||
+            col("n_min") =!= col("n_max") ||
+            col("k_min") =!= col("k_judges") ||
+            col("n_min") =!= col("n_items"),
+          raise_error(lit("cochranQ: incomplete panel — every item " +
+            "needs every judge exactly once (use mcnemar per pair, " +
+            "or complete the grid upstream)")))
+          .when(col("k_judges") < 2 || col("k_judges") > 31,
+            raise_error(lit("cochranQ: k must be in [2, 31] (the " +
+              "embedded chi-square table covers df <= 30)")))
+          .when(col("n_items") > 1000000000L,
+            raise_error(lit("cochranQ: beyond the 1e9-item " +
+              "decimal(38) exactness envelope")))
+          .otherwise(col("k_judges")))
+    // published upper-0.05 chi-square quantiles, df = 1..30, 1e-6 grid
+    val crit = array(Seq(3841459L, 5991465L, 7814728L, 9487729L,
+      11070498L, 12591587L, 14067140L, 15507313L, 16918978L,
+      18307038L, 19675138L, 21026070L, 22362032L, 23684791L,
+      24995790L, 26296228L, 27587112L, 28869299L, 30143527L,
+      31410433L, 32670573L, 33924438L, 35172462L, 36415028L,
+      37652484L, 38885139L, 40113272L, 41337138L, 42556968L,
+      43772972L).map(v => lit(v)): _*)
+    val num = (dc(col("k_judges")) - dc(lit(1))) *
+      (dc(col("k_judges")) * col("sc2") - dc(col("t")) * dc(col("t")))
+    val den = dc(col("k_judges")) * dc(col("t")) - col("sr2")
+    s.withColumn("qn", num).withColumn("qd", den)
+      .withColumn("df", (col("k_judges") - 1).cast("int"))
+      .select(col("n_items"), col("k_judges"), col("df"),
+        when(col("qd") === 0, lit(null).cast("long"))
+          .otherwise(expr("(2 * qn * 1000000 + qd) div (2 * qd)"))
+          .as("q_e6"),
+        when(col("qd") === 0, lit("undefined"))
+          .otherwise(when(dc(lit(1000000L)) * col("qn") >
+              element_at(crit, col("df")).cast(dec) * col("qd"),
+            lit("different")).otherwise(lit("not_different")))
+          .as("verdict"))
+  }
+
+  /** Cliff's delta (Cliff 1993) — the ordinal effect size the
+    * significance tests ([[mannWhitney]]) do not give: with G pairs
+    * where an a-draw beats a b-draw, L where it loses, over all
+    * n_a·n_b cross pairs,
+    *
+    *   δ = (G − L) / (n_a·n_b) ∈ [−1, 1]
+    *
+    * — P(a > b) − P(a < b), the dominance probability difference. The
+    * standard companion read to a Mann–Whitney verdict ("significant,
+    * but HOW big?"), with the published Romano et al. (2006) magnitude
+    * bands: |δ| < 0.147 negligible, < 0.33 small, < 0.474 medium,
+    * else large — each band edge an EXACT integer cross-comparison
+    * (|G−L|·1000 vs edge·n_a·n_b), never a float threshold.
+    *
+    * EXACT: G, L, ties come from the distinct-value grid of each group
+    * (the [[kendallTauA]] envelope: cost is grid², never corpus²), δ
+    * reads half-away-from-zero on the 1e-6 lattice. An empty group →
+    * NULL δ, magnitude 'undefined'. Groups must literally be 'a'|'b'
+    * (the abSignificance discipline). Output: one row
+    * (n_a, n_b, n_gt, n_lt, n_ties, delta_e6, magnitude).
+    */
+  def cliffsDelta(
+      scores: DataFrame, groupCol: String, scoreCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val g = when(col(groupCol).isNull ||
+        !col(groupCol).cast("string").isin("a", "b"),
+      raise_error(concat(lit("cliffsDelta: group must be a|b, got "),
+        coalesce(col(groupCol).cast("string"), lit("NULL")))))
+      .otherwise(col(groupCol).cast("string"))
+    val v = when(col(scoreCol).isNull,
+      raise_error(lit("cliffsDelta: null score")))
+      .otherwise(col(scoreCol).cast("long"))
+    val grid = scores.select(g.as("g"), v.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("m"))
+      .localCheckpoint() // grid-sized; both sides of the cross pair join
+    val a = grid.filter(col("g") === "a").select(col("v").as("va"),
+      col("m").as("ma"))
+    val b = grid.filter(col("g") === "b").select(col("v").as("vb"),
+      col("m").as("mb"))
+    val cmp = a.crossJoin(broadcast(b)).agg(
+      coalesce(sum(when(col("va") > col("vb"),
+        dc(col("ma")) * dc(col("mb")))), dc(lit(0))).as("g_dec"),
+      coalesce(sum(when(col("va") < col("vb"),
+        dc(col("ma")) * dc(col("mb")))), dc(lit(0))).as("l_dec"))
+    val tot = grid.groupBy("g").agg(sum("m").as("n"))
+      .agg(coalesce(sum(when(col("g") === "a", col("n"))), lit(0L))
+          .as("n_a"),
+        coalesce(sum(when(col("g") === "b", col("n"))), lit(0L))
+          .as("n_b"))
+      .select(
+        when(greatest(col("n_a"), col("n_b")) > 3000000000L,
+          raise_error(lit("cliffsDelta: beyond the 3e9-row " +
+            "decimal(38) exactness envelope"))).otherwise(col("n_a"))
+          .as("n_a"), col("n_b"))
+    val nn = dc(col("n_a")) * dc(col("n_b"))
+    val diff = col("g_dec") - col("l_dec")
+    def band(edgePerMille: Int) =
+      abs(diff) * dc(lit(1000L)) >= dc(lit(edgePerMille.toLong)) * nn
+    tot.crossJoin(broadcast(cmp))
+      .select(col("n_a"), col("n_b"),
+        col("g_dec").cast("long").as("n_gt"),
+        col("l_dec").cast("long").as("n_lt"),
+        (nn - col("g_dec") - col("l_dec")).cast("long").as("n_ties"),
+        when(nn === 0, lit(null).cast("long"))
+          .otherwise(when(diff >= 0,
+            expr("(2 * (g_dec - l_dec) * 1000000 + CAST(n_a AS " +
+              "DECIMAL(38,0)) * n_b) div (2 * CAST(n_a AS " +
+              "DECIMAL(38,0)) * n_b)"))
+            .otherwise(-expr("(2 * (l_dec - g_dec) * 1000000 + " +
+              "CAST(n_a AS DECIMAL(38,0)) * n_b) div (2 * CAST(n_a " +
+              "AS DECIMAL(38,0)) * n_b)")))
+          .as("delta_e6"),
+        when(nn === 0, lit("undefined"))
+          .otherwise(when(band(474), lit("large"))
+            .otherwise(when(band(330), lit("medium"))
+              .otherwise(when(band(147), lit("small"))
+                .otherwise(lit("negligible"))))).as("magnitude"))
   }
 }

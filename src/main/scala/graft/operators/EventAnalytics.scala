@@ -1566,4 +1566,87 @@ object EventAnalytics {
       .select(col("event_type"), col("bucket"), col("n_events"),
         col("cusum"), (col("cusum") > h).as("alarm"))
   }
+  /** Benford first-significant-digit conformance (Benford 1938; the
+    * Nigrini audit screen) — does a value column's leading-digit
+    * distribution follow log10(1 + 1/d)? THE data-forensics drift read
+    * for transaction-like magnitudes: synthetic/fabricated/truncated
+    * feeds break Benford long before their means move (w12/w20 watch
+    * volume; this watches the SHAPE of the values themselves).
+    *
+    * The first significant digit comes from the shortest-round-trip
+    * string of |value| (first [1-9] character — notation-invariant,
+    * and both engines print shortest-round-trip doubles, so the digit
+    * is engine-reproducible with no float log10 near a power-of-ten
+    * boundary). Zeros carry no leading digit: counted and REPORTED
+    * (n_zero), never silently dropped; null values raise.
+    *
+    * The statistic is defined ON the 1e-6 lattice: with p6_d the
+    * published Benford shares ×10⁶ (they sum to exactly 10⁶) and N
+    * the positive-value count,
+    *
+    *   χ²·10⁶ = Σ_d halfup( 10⁶·(10⁶·c_d − N·p6_d)² / (10⁶·N·p6_d) )
+    *
+    * — every term an exact integer rational in decimal(38,0) (N is
+    * guarded to 10⁹; the largest intermediate ~8·10³⁶ < 10³⁸), so the
+    * verdict (vs the published χ²(8) 0.95 quantile 15.507313) is an
+    * exact integer comparison and the twin reproduces it bit-for-bit.
+    * Output: 9 rows (digit, n, n_zero, expected_e6, observed_e6,
+    * chi2_e6, verdict) — digits densified, the global columns repeated.
+    */
+  def benfordFirstDigit(events: DataFrame, valueCol: String): DataFrame = {
+    val spark = events.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val digit = regexp_extract(
+      abs(when(col(valueCol).isNull,
+        raise_error(lit("benfordFirstDigit: null value")))
+        .otherwise(col(valueCol))).cast("string"), "[1-9]", 0)
+    val counts = events
+      .select(when(digit === "", lit(0)).otherwise(digit.cast("int"))
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // 10 rows max
+    val zeros = counts.agg(
+      coalesce(sum(when(col("digit") === 0, col("c"))), lit(0L))
+        .as("n_zero"),
+      coalesce(sum(when(col("digit") > 0, col("c"))), lit(0L)).as("n"))
+      .select(col("n_zero"),
+        when(col("n") > 1000000000L,
+          raise_error(lit("benfordFirstDigit: beyond the 1e9-value " +
+            "decimal(38) exactness envelope"))).otherwise(col("n"))
+          .as("n"))
+    // log10(1 + 1/d) on the 1e-6 grid; the nine entries sum to 10^6
+    val p6 = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"),
+      element_at(array(p6.map(lit): _*), col("id").cast("int"))
+        .as("expected_e6"))
+    val dense = spine
+      .join(broadcast(counts.filter(col("digit") > 0)), Seq("digit"), "left")
+      .crossJoin(broadcast(zeros))
+      .select(col("digit"), col("expected_e6"),
+        coalesce(col("c"), lit(0L)).as("c"), col("n"), col("n_zero"))
+    val num = (dc(col("c")) * dc(lit(1000000L)) -
+      dc(col("n")) * dc(col("expected_e6"))) *
+      (dc(col("c")) * dc(lit(1000000L)) -
+        dc(col("n")) * dc(col("expected_e6")))
+    val den = dc(lit(1000000L)) * dc(col("n")) * dc(col("expected_e6"))
+    val terms = dense
+      .withColumn("tn", num).withColumn("td", den)
+      .withColumn("term_e6",
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(expr("(2 * tn * 1000000 + td) div (2 * td)")))
+    val chi = terms.agg(sum("term_e6").as("chi2_e6"))
+    terms.crossJoin(broadcast(chi))
+      .select(col("digit"), col("c").as("n"), col("n_zero"),
+        col("expected_e6"),
+        when(col("n") > 0,
+          expr("(2 * c * 1000000 + n) div (2 * n)"))
+          .otherwise(lit(null).cast("long")).as("observed_e6"),
+        col("chi2_e6"),
+        when(col("chi2_e6").isNull, lit("undefined"))
+          .otherwise(when(col("chi2_e6") > 15507313L,
+            lit("nonconforming")).otherwise(lit("conforming")))
+          .as("verdict"))
+  }
 }

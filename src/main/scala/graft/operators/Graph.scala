@@ -1127,4 +1127,94 @@ object Graph {
               .cast("double"), 6))
           .as("assortativity"))
   }
+  /** Newman–Girvan modularity (Newman & Girvan 2004) of a node
+    * labeling over an undirected graph — THE quality score for a
+    * community assignment ([[labelPropagation]]'s output, a host
+    * grouping, a dedup clustering projected onto the link graph):
+    * with m undirected edges, e_c intra-community edges and d_c the
+    * community degree sum,
+    *
+    *   Q = Σ_c [ e_c/m − (d_c/2m)² ] = (4m·Σe_c − Σd_c²) / (4m²)
+    *
+    * EXACT: one integer rational in decimal(38,0) read out
+    * half-away-from-zero on the 1e-6 lattice (Q is legitimately
+    * negative for anti-community labelings). Edges symmetrize and
+    * parallel edges collapse to one canonical (lo, hi) pair; self
+    * loops drop (the standard simple-graph convention). A node with
+    * no label raises loudly — an inner join would silently drop its
+    * edges and misreport both m and Σe_c. Output: one row
+    * (n_communities, m_edges, intra_edges, modularity_e6).
+    *
+    * Scale: one canonical-pair distinct, two node-keyed equi joins of
+    * the edge list against the node-sized label table, community- and
+    * one-row rollups — never per-community subgraphs.
+    */
+  def modularity(
+      edges: DataFrame, labels: DataFrame,
+      srcCol: String, dstCol: String,
+      nodeCol: String, labelCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val und = edges.select(
+        col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+      .localCheckpoint() // feeds the label joins AND the degree rollup
+    // one label per node is the caller contract (labelPropagation /
+    // duplicateClusters emit exactly that); exact duplicate rows
+    // collapse here so an upstream union can't fan the edge joins
+    val lbl = labels.select(col(nodeCol).cast("string").as("node"),
+      col(labelCol).cast("string").as("lbl")).distinct()
+    def labeled(side: String) = und
+      .join(lbl.withColumnRenamed("node", side), Seq(side), "left")
+      .withColumn("lbl",
+        when(col("lbl").isNull,
+          raise_error(concat(lit("modularity: unlabeled node "),
+            col(side))))
+          .otherwise(col("lbl")))
+    val both = labeled("lo").withColumnRenamed("lbl", "la")
+      .join(lbl.withColumnRenamed("node", "hi")
+        .withColumnRenamed("lbl", "lb"), Seq("hi"), "left")
+      .withColumn("lb",
+        when(col("lb").isNull,
+          raise_error(concat(lit("modularity: unlabeled node "),
+            col("hi")))).otherwise(col("lb")))
+    val intra = both.agg(
+      count(lit(1)).as("m_edges"),
+      coalesce(sum(when(col("la") === col("lb"), 1L).otherwise(0L)),
+        lit(0L)).as("intra_edges"))
+      .select(
+        when(col("m_edges") > 1000000000L,
+          raise_error(lit("modularity: beyond the 1e9-edge " +
+            "decimal(38) exactness envelope"))).otherwise(col("m_edges"))
+          .as("m_edges"), col("intra_edges"))
+    val degrees = und.select(col("lo").as("node"))
+      .unionAll(und.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .join(lbl, Seq("node"), "left")
+      .withColumn("lbl",
+        when(col("lbl").isNull,
+          raise_error(concat(lit("modularity: unlabeled node "),
+            col("node")))).otherwise(col("lbl")))
+    val comm = degrees.groupBy("lbl").agg(sum("deg").as("dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        coalesce(sum(dc(col("dc")) * dc(col("dc"))), dc(lit(0)))
+          .as("sd2"))
+    intra.crossJoin(broadcast(comm))
+      .withColumn("qn",
+        dc(lit(4)) * dc(col("m_edges")) * dc(col("intra_edges")) -
+          col("sd2"))
+      .withColumn("qd",
+        dc(lit(4)) * dc(col("m_edges")) * dc(col("m_edges")))
+      .select(col("n_communities"), col("m_edges"), col("intra_edges"),
+        when(col("qd") === 0, lit(null).cast("long"))
+          .otherwise(when(col("qn") >= 0,
+            expr("(2 * qn * 1000000 + qd) div (2 * qd)"))
+            .otherwise(-expr("(-2 * qn * 1000000 + qd) div (2 * qd)")))
+          .as("modularity_e6"))
+  }
 }

@@ -1334,4 +1334,132 @@ object Multimodal {
     samples.foreach(bb.putShort)
     bb.array()
   }
+  case class TiffInfo(
+    width: Int, height: Int, bitsPerSample: Int, compression: Int,
+    bigEndian: Boolean, nEntries: Int)
+
+  /** Build a structurally-real TIFF header (true "II*\0" / "MM\0*"
+    * magic in either byte order, one IFD of 12-byte entries per the
+    * published TIFF 6.0 layout, inline SHORT/LONG values left-justified
+    * in the value field exactly as the spec requires) — the construct
+    * side of the [[tiffMeta]] construct→parse round trip (the
+    * [[bmpBytes]] discipline). Dims write as LONG when `longDims`,
+    * SHORT otherwise, so the parser's type handling is exercised on
+    * both. Header-only: no strip data (the walk never needs it).
+    */
+  def tiffBytes(
+      width: Int, height: Int, bitsPerSample: Int, compression: Int,
+      bigEndian: Boolean = false, longDims: Boolean = true): Array[Byte] = {
+    require(width > 0 && height > 0, "tiff dims must be positive")
+    val nEntries = 5
+    val out = new Array[Byte](8 + 2 + nEntries * 12 + 4)
+    def w16(o: Int, v: Int): Unit =
+      if (bigEndian) { out(o) = (v >> 8).toByte; out(o + 1) = v.toByte }
+      else { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def w32(o: Int, v: Int): Unit =
+      if (bigEndian) {
+        out(o) = (v >> 24).toByte; out(o + 1) = (v >> 16).toByte
+        out(o + 2) = (v >> 8).toByte; out(o + 3) = v.toByte
+      } else {
+        out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+        out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+      }
+    if (bigEndian) { out(0) = 'M'.toByte; out(1) = 'M'.toByte }
+    else { out(0) = 'I'.toByte; out(1) = 'I'.toByte }
+    w16(2, 42)
+    w32(4, 8) // IFD0 directly after the header
+    w16(8, nEntries)
+    var o = 10
+    // entry: tag, type (3 = SHORT, 4 = LONG), count, value
+    // (left-justified in the 4-byte field — a count-1 SHORT occupies
+    // the FIRST two bytes in the file's byte order, TIFF 6.0 p.15)
+    def entry(tag: Int, short: Boolean, v: Int): Unit = {
+      w16(o, tag); w16(o + 2, if (short) 3 else 4); w32(o + 4, 1)
+      if (short) w16(o + 8, v) else w32(o + 8, v)
+      o += 12
+    }
+    entry(256, short = !longDims, width)
+    entry(257, short = !longDims, height)
+    entry(258, short = true, bitsPerSample)
+    entry(259, short = true, compression)
+    entry(262, short = true, 1) // PhotometricInterpretation: BlackIsZero
+    w32(o, 0) // no next IFD
+    out
+  }
+
+  /** Header-only TIFF 6.0 IFD walk — endianness from the II/MM magic,
+    * the 42 check, entry scan for ImageWidth(256) / ImageLength(257) /
+    * BitsPerSample(258, first value) / Compression(259), SHORT and
+    * LONG inline values both handled (left-justified per the spec).
+    * None on anything structurally off — truncated header, bad magic,
+    * an entry table past the payload — never a throw (the [[bmpInfo]]
+    * contract). Strip/tile data is never touched: O(IFD) per payload
+    * regardless of image size, the 100 TB posture.
+    */
+  def tiffInfo(bytes: Array[Byte]): Option[TiffInfo] = {
+    if (bytes == null || bytes.length < 8) return None
+    val big =
+      if (bytes(0) == 'M' && bytes(1) == 'M') true
+      else if (bytes(0) == 'I' && bytes(1) == 'I') false
+      else return None
+    def u16(o: Int): Int =
+      if (o + 2 > bytes.length) -1
+      else if (big) ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+      else ((bytes(o + 1) & 0xFF) << 8) | (bytes(o) & 0xFF)
+    def u32(o: Int): Long =
+      if (o + 4 > bytes.length) -1L
+      else if (big)
+        ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+          ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+      else
+        ((bytes(o + 3) & 0xFFL) << 24) | ((bytes(o + 2) & 0xFFL) << 16) |
+          ((bytes(o + 1) & 0xFFL) << 8) | (bytes(o) & 0xFFL)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0 || ifd + 2 + n * 12 + 4 > bytes.length) return None
+    var width = -1L; var height = -1L; var bits = -1; var comp = -1
+    var i = 0
+    while (i < n) {
+      val eo = ifd.toInt + 2 + i * 12
+      val tag = u16(eo); val typ = u16(eo + 2); val cnt = u32(eo + 4)
+      // inline count-1 SHORT/LONG values only — exactly what the four
+      // tags we read carry in every baseline TIFF
+      val v: Long =
+        if (typ == 3 && cnt == 1) u16(eo + 8).toLong
+        else if (typ == 4 && cnt == 1) u32(eo + 8)
+        else -1L
+      tag match {
+        case 256 => width = v
+        case 257 => height = v
+        case 258 => if (v > 0) bits = v.toInt
+        case 259 => comp = v.toInt
+        case _ => ()
+      }
+      i += 1
+    }
+    if (width <= 0 || height <= 0 || bits <= 0 || comp < 0) None
+    else Some(TiffInfo(width.toInt, height.toInt, bits, comp, big, n))
+  }
+
+  /** TIFF structure metadata per payload — the [[bmpMeta]] batch shape
+    * over the [[tiffInfo]] walk; non-TIFF payloads drop. Output: (id,
+    * width, height, bits_per_sample, compression, big_endian,
+    * n_entries).
+    */
+  def tiffMeta(
+      spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        tiffInfo(bytes).map(i =>
+          (id, i.width.toLong, i.height.toLong, i.bitsPerSample.toLong,
+            i.compression.toLong, i.bigEndian, i.nEntries.toLong))
+      })
+      .toDF("id", "width", "height", "bits_per_sample", "compression",
+        "big_endian", "n_entries")
+  }
 }

@@ -693,4 +693,41 @@ object Sampling {
       .filter(col("n_copies") > 0)
       .select("id", "weight", "cum_w", "n_copies")
   }
+  /** Stratified k-fold assignment + balance report — the
+    * cross-validation layout of eval pipelines ([[groupSplit]] is the
+    * one-shot train/val/test cut; k-fold is the variance-aware
+    * version): every row lands in exactly one of k folds by the
+    * engine-portable seeded md5 hash of its GROUP key (so near-dups
+    * sharing a group can never straddle folds — the leakage rule),
+    * and the report shows, per (fold, stratum), the count and its
+    * within-stratum share on the exact 1e-6 lattice — THE number a
+    * reviewer reads to see whether fold 3 accidentally holds half of
+    * one source.
+    *
+    * Deterministic and engine-portable: the md5-prefix hash is the
+    * [[groupSplit]] convention, shares are exact integer rationals.
+    * Null groups/strata raise loudly (the groupSplit discipline).
+    * Output: (fold, stratum, n, share_e6), k × strata rows.
+    */
+  def kFoldReport(
+      df: DataFrame, groupCol: String, stratumCol: String,
+      k: Int = 5, seed: String = "graft"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2, 1000] (got $k)")
+    def checked(c: String, what: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"kFoldReport: null $what")))
+        .otherwise(col(c).cast("string"))
+    val fold = conv(
+      substring(md5(concat(lit(seed), checked(groupCol, "group"))),
+        1, 15), 16, 10).cast("long") % k
+    val counts = df
+      .select(fold.as("fold"), checked(stratumCol, "stratum")
+        .as("stratum"))
+      .groupBy("fold", "stratum").agg(count(lit(1)).as("n"))
+    val strata = counts.groupBy("stratum").agg(sum("n").as("n_stratum"))
+    counts.join(broadcast(strata), Seq("stratum"))
+      .select(col("fold"), col("stratum"), col("n"),
+        expr("(2 * n * 1000000 + n_stratum) div (2 * n_stratum)")
+          .as("share_e6"))
+  }
 }

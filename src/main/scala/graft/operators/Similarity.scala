@@ -1046,4 +1046,56 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "c_id", "dot", "rank")
   }
+  /** Simplified silhouette (the centroid form of Rousseeuw 1987) over
+    * an [[IvfModel]] clustering — per cluster, how cleanly its members
+    * separate from the nearest OTHER centroid: with a² the squared L2
+    * distance to the assigned centroid and b² to the runner-up,
+    *
+    *   s = (b² − a²) / max(a², b²)  ∈ [−1, 1]
+    *
+    * (squared distances throughout — monotone-equivalent to the
+    * classic sqrt form and it keeps the whole read inside the one
+    * fused dot-product kernel, no sqrt anywhere). THE clustering-
+    * quality gate before an IVF index ships: a cluster with mean s
+    * near 0 is a partition boundary through a dense region — recall
+    * will sag there no matter what nprobe is.
+    *
+    * Determinism (the d8/hashed-output discipline): a², b² come from
+    * the same fixed IEEE tree both engines evaluate (|v|² + |c|² −
+    * 2·v·c, sequential dot), each row's s collapses to the 1e4 lattice
+    * half-away-from-zero BEFORE aggregation, and the per-cluster mean
+    * is then an exact integer rational read half-up at 1e-6. The
+    * assignment and the runner-up come from ONE sorted (d, i) array,
+    * so tie-breaking (lowest index) is consistent by construction.
+    * Output: (cluster, n_members, mean_s_e6), nlist rows.
+    */
+  def silhouette(
+      df: DataFrame, idCol: String, vecCol: String,
+      model: IvfModel): DataFrame = {
+    require(model.nlist >= 2, "silhouette needs at least 2 centroids")
+    val v2 = fdot(col(vecCol), col(vecCol))
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x.toDouble * x).sum
+      struct((v2 + lit(c2) - lit(2.0) * fdot(col(vecCol), typedLit(c)))
+        .as("d"), lit(i).as("i"))
+    }
+    val top2 = slice(array_sort(array(scored: _*)), 1, 2)
+    val a2 = element_at(top2, 1).getField("d")
+    val b2 = element_at(top2, 2).getField("d")
+    val sRaw = when(greatest(a2, b2) <= 0.0, lit(0.0))
+      .otherwise((b2 - a2) / greatest(a2, b2))
+    val sE4 = (signum(sRaw) * floor(abs(sRaw) * 10000.0 + 0.5))
+      .cast("long")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    df.select(element_at(top2, 1).getField("i").as("cluster"),
+        sE4.as("s_e4"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum("s_e4").as("ssum"))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n_members"),
+        when(col("ssum") >= 0,
+          expr("(2 * ssum * 100 + n_members) div (2 * n_members)"))
+          .otherwise(-expr("(-2 * ssum * 100 + n_members) div " +
+            "(2 * n_members)")).as("mean_s_e6"))
+  }
 }

@@ -2003,4 +2003,34 @@ object TextAnalytics {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }
+  /** Per-term burstiness (Church & Gale 1995) — the mean number of
+    * occurrences in the documents that contain the term at all:
+    * B = cf/df (collection frequency over document frequency), B ≈ 1
+    * for function-word-like terms that appear once wherever they
+    * appear, B ≫ 1 for bursty content terms that repeat within their
+    * documents. The within-document companion to [[dispersion]]'s
+    * across-part DP: template/boilerplate infestation shows up as
+    * high-B terms long before raw frequency ranks move.
+    *
+    * EXACT: cf and df are one map-side-combined (doc, term) aggregate
+    * + one term rollup; B reads half-up on the 1e-6 lattice
+    * (cf·10⁶/df with df ≥ 1 — no zero case). `minDf` bounds the output
+    * to terms a report can act on. Output: (term, cf, df,
+    * burstiness_e6), vocab-sized before the minDf cut.
+    */
+  def termBurstiness(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 2L): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1 (got $minDf)")
+    val perDoc = docs
+      .select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("__id", "term").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("term")
+      .agg(sum("c").as("cf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("cf"), col("df"),
+        expr("(2 * cf * 1000000 + df) div (2 * df)").as("burstiness_e6"))
+  }
 }
