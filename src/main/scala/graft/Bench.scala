@@ -298,22 +298,29 @@ object Bench {
     val r11Additions = Set("d21", "t39", "t40", "w24", "e23", "s14", "c20", "g10", "m11", "ml2", "e24", "g11", "v20", "e25", "m12", "w25", "t41")
     val r12Additions = Set("t42", "t43", "t44", "w26", "e26", "e27",
       "g12", "g13", "ml3", "m13", "w27", "m14", "w28", "g14", "e28", "t45", "d22")
+    val r13Additions = Set("e29", "e30", "ml4", "w29", "t46", "d23",
+      "g15", "h5", "v21", "s15", "m15")
     def pfx(k: String) = k.takeWhile(_ != '_')
+    def after(k: String, sets: Set[String]*) = sets.exists(_(pfx(k)))
     val r9Total = okMins.collect {
-      case (k, v) if !r10Additions(pfx(k)) && !r11Additions(pfx(k)) &&
-        !r12Additions(pfx(k)) => v }.sum
-    val nR9 = okMins.count {
-      case (k, _) => !r10Additions(pfx(k)) && !r11Additions(pfx(k)) &&
-        !r12Additions(pfx(k)) }
+      case (k, v) if !after(k, r10Additions, r11Additions, r12Additions,
+        r13Additions) => v }.sum
+    val nR9 = okMins.count { case (k, _) =>
+      !after(k, r10Additions, r11Additions, r12Additions, r13Additions) }
     val r10Total = okMins.collect {
-      case (k, v) if !r11Additions(pfx(k)) && !r12Additions(pfx(k)) => v
-    }.sum
-    val nR10 = okMins.count {
-      case (k, _) => !r11Additions(pfx(k)) && !r12Additions(pfx(k)) }
+      case (k, v) if !after(k, r11Additions, r12Additions, r13Additions)
+        => v }.sum
+    val nR10 = okMins.count { case (k, _) =>
+      !after(k, r11Additions, r12Additions, r13Additions) }
     // the round-11 basket: the 256-query suite the r11 driver measured
     val r11Total = okMins.collect {
-      case (k, v) if !r12Additions(pfx(k)) => v }.sum
-    val nR11 = okMins.count { case (k, _) => !r12Additions(pfx(k)) }
+      case (k, v) if !after(k, r12Additions, r13Additions) => v }.sum
+    val nR11 = okMins.count { case (k, _) =>
+      !after(k, r12Additions, r13Additions) }
+    // the round-12 basket: the 273-query suite the r12 driver measured
+    val r12Total = okMins.collect {
+      case (k, v) if !after(k, r13Additions) => v }.sum
+    val nR12 = okMins.count { case (k, _) => !after(k, r13Additions) }
     val r1Total = okMins.collect { case (k, v) if r1Set(k) => v }.sum
     val r7Total = okMins.collect {
       case (k, v) if r7Prefixes(k.takeWhile(_ != '_')) => v }.sum
@@ -339,6 +346,6 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"n_failed":${failed.size},"failed":$failedPrefixes,"value_r1_set":${f(r1Total)},"n_r1_set":${okMins.map(_._1).count(r1Set)},"value_r7_set":${f(r7Total)},"n_r7_set":$nR7,"value_r9_set":${f(r9Total)},"n_r9_set":$nR9,"value_r10_set":${f(r10Total)},"n_r10_set":$nR10,"value_r11_set":${f(r11Total)},"n_r11_set":$nR11,"fam_q_noise_band_sec":"13.0-15.8","same_code_total_band_sec":"104-133","prior_parse":"$priorParse","n_prior_compared":${prior.size},"n_regressions":${regressions.size},"flags_disposition":"${flagsDisposition.takeWhile(_ != ':')}","regressions_vs_prior":$regressionsCompact,"keys":"15 slowest + per-family sums; per_query_min map + fam bands in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${mins.size},"n_failed":${failed.size},"failed":$failedPrefixes,"value_r1_set":${f(r1Total)},"n_r1_set":${okMins.map(_._1).count(r1Set)},"value_r7_set":${f(r7Total)},"n_r7_set":$nR7,"value_r9_set":${f(r9Total)},"n_r9_set":$nR9,"value_r10_set":${f(r10Total)},"n_r10_set":$nR10,"value_r11_set":${f(r11Total)},"n_r11_set":$nR11,"value_r12_set":${f(r12Total)},"n_r12_set":$nR12,"fam_q_noise_band_sec":"13.0-15.8","same_code_total_band_sec":"104-133","prior_parse":"$priorParse","n_prior_compared":${prior.size},"n_regressions":${regressions.size},"flags_disposition":"${flagsDisposition.takeWhile(_ != ':')}","regressions_vs_prior":$regressionsCompact,"keys":"15 slowest + per-family sums; per_query_min map + fam bands in bench_full.json","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -4157,6 +4157,148 @@ FROM c"""
 
   // ---- contract ----------------------------------------------------------
 
+
+  /** e29: Cochran's Q over a synthesized complete 3-judge binary panel
+    * (per-judge success predicates with genuinely different rates, so
+    * the panel-difference verdict does real work). Full oracle: the
+    * identical integer rational + the df = 2 published quantile.
+    */
+  private def e29CochranQ(s: SparkSession, d: String): DataFrame = {
+    val panel = T(s, d, "documents").select(col("doc_id").as("item"),
+        explode(array((0 until 3).map(j => struct(
+          lit(s"j$j").as("judge"),
+          (pmod(col("doc_id") * (7 + j) + j * j, lit(13)) < (5 + j))
+            .as("ok"))): _*)).as("e"))
+      .select(col("item"), col("e.judge").as("judge"), col("e.ok").as("ok"))
+    Classifier.cochranQ(panel, "item", "judge", "ok")
+  }
+
+  /** e30: Cliff's delta between even- and odd-id documents' lengths —
+    * the ordinal effect size companion of e21's Mann–Whitney verdict.
+    * Full oracle: the identical value-grid G/L counts + lattice +
+    * Romano band edges.
+    */
+  private def e30CliffsDelta(s: SparkSession, d: String): DataFrame =
+    Classifier.cliffsDelta(
+      T(s, d, "documents").select(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("a"))
+          .otherwise(lit("b")).as("grp"),
+        col("n_chars").as("score")),
+      "grp", "score")
+
+  /** ml4: ridge fit of the ml3 design (λ = 1000 on the Gram diagonal)
+    * — same 9-sum aggregate, same Cramer solve, shifted moments. Full
+    * oracle: the ml3 twin with the same shift.
+    */
+  private def ml4Ridge(s: SparkSession, d: String): DataFrame =
+    Classifier.ridgeRegressionFit(
+      T(s, d, "documents").select(
+        length(col("text")).cast("long").as("y"),
+        size(split(col("text"), " ")).cast("long").as("x1"),
+        pmod(col("doc_id"), lit(100)).as("x2")),
+      "y", "x1", "x2", lambda = 1000L)
+
+  /** w29: Benford first-digit conformance of the event values — the
+    * value-shape drift screen. Full oracle: same shortest-round-trip
+    * digit extraction, same lattice χ², same published quantile.
+    */
+  private def w29Benford(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.benfordFirstDigit(T(s, d, "events"), "value")
+
+  /** t46: Church–Gale term burstiness (cf/df) at minDf 2 — the
+    * within-document repetition screen next to t43's across-part DP.
+    */
+  private def t46Burstiness(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.termBurstiness(T(s, d, "documents"), "doc_id", "text")
+
+  /** d23: content-defined-chunking near-dup pairs over documents with
+    * planted shifted duplicates: every 40th doc gets a copy (id +
+    * 2·10⁷) with one sentence-ish prefix added — the exact regime
+    * where fixed shingles slide but CDC chunks survive. Full oracle:
+    * the chunk pipeline replayed in SQL (portable md5 hashes).
+    */
+  private def d23CdcDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(pmod(col("doc_id"), lit(40)) === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(lit("prefix shift alpha beta "), col("text")).as("text"))
+    Dedup.cdcChunkPairs(docs.unionByName(planted), "doc_id", "text")
+  }
+
+  /** g15: Newman modularity of the g4 label-propagation communities
+    * over the same doc–host graph — the community-quality gate. Full
+    * oracle: the g4 unrolled-LPA CTEs + the exact modularity rational.
+    */
+  private def g15Modularity(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val g = docs.select(
+      concat(lit("doc:"), col("doc_id")).as("dn"),
+      concat(lit("host:"), pmod(col("doc_id"), lit(29)).cast("string"))
+        .as("h1"),
+      concat(lit("host:"), pmod(col("doc_id") * 7, lit(29)).cast("string"))
+        .as("h2"))
+    val edges = g.select(col("dn").as("src"), col("h1").as("dst"))
+      .unionByName(g.select(col("dn").as("src"), col("h2").as("dst")))
+    Graph.modularity(edges,
+      Graph.labelPropagation(edges, "src", "dst", iterations = 4),
+      "src", "dst", "node", "label")
+  }
+
+  /** h5: Dirichlet-smoothed query likelihood of every document against
+    * the t15 query terms (μ = 2000) — the LM retrieval scorer next to
+    * BM25. Full oracle: identical fixed IEEE probability tree + 1e-6
+    * ln floor lattice + integer sums.
+    */
+  private def h5LmRetrieval(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.queryLikelihood(T(s, d, "documents"), "doc_id", "text",
+      Seq("table", "query", "spark"))
+
+  /** v21: simplified silhouette of the s6 IVF clustering (nlist 8,
+    * 2 Lloyd rounds, portable) — the clustering-quality gate before an
+    * IVF index ships. Full oracle: ivfTrainCte + the same one-sorted-
+    * array assignment/runner-up + per-row 1e4 lattice + exact means.
+    */
+  private def v21Silhouette(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    val model = Similarity.ivfTrain(e, "vec_id", "embedding",
+      nlist = 8, iters = 2, portable = true)
+    Similarity.silhouette(e, "vec_id", "embedding", model)
+  }
+
+  /** s15: stratified 5-fold assignment + balance report (group = the
+    * 29-host synthetic partition of g4, stratum = lang) — the
+    * cross-validation layout check. Full oracle: same portable md5
+    * fold hash + exact shares.
+    */
+  private def s15Kfold(s: SparkSession, d: String): DataFrame =
+    Sampling.kFoldReport(
+      T(s, d, "documents").select(
+        pmod(col("doc_id"), lit(29)).cast("string").as("grp"),
+        col("lang")),
+      "grp", "lang")
+
+  /** m15: TIFF 6.0 IFD metadata walk — per-doc TIFF headers BUILT in
+    * both byte orders with SHORT and LONG dim types exercised, every
+    * 11th doc non-TIFF text bytes (dropped), PARSED back header-only.
+    * Closed-form oracle (the m10 discipline).
+    */
+  private def m15TiffMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = T(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes =
+          if (id % 11 == 0) text.getBytes("UTF-8") // non-TIFF: dropped
+          else Multimodal.tiffBytes(
+            width = 1 + (id % 64).toInt, height = 1 + (id % 48).toInt,
+            bitsPerSample = Array(1, 4, 8, 16, 32)((id % 5).toInt),
+            compression = Array(1, 5, 7, 32773)((id % 4).toInt),
+            bigEndian = id % 3 == 0, longDims = id % 2 == 0)
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+    Multimodal.tiffMeta(s, payloads, "doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q1_pricing_summary" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),
@@ -4430,7 +4572,18 @@ FROM c"""
     "g14_avg_neighbor_degree" -> (g14AvgNeighborDegree _),
     "e28_kendall_tau" -> (e28KendallTau _),
     "t45_term_jsd" -> (t45TermJsd _),
-    "d22_cluster_histogram" -> (d22ClusterHistogram _))
+    "d22_cluster_histogram" -> (d22ClusterHistogram _),
+    "e29_cochran_q" -> (e29CochranQ _),
+    "e30_cliffs_delta" -> (e30CliffsDelta _),
+    "ml4_ridge" -> (ml4Ridge _),
+    "w29_benford" -> (w29Benford _),
+    "t46_burstiness" -> (t46Burstiness _),
+    "d23_cdc_dedup" -> (d23CdcDedup _),
+    "g15_modularity" -> (g15Modularity _),
+    "h5_lm_retrieval" -> (h5LmRetrieval _),
+    "v21_silhouette" -> (v21Silhouette _),
+    "s15_kfold" -> (s15Kfold _),
+    "m15_tiff_meta" -> (m15TiffMeta _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -10454,7 +10607,355 @@ FROM c"""
         |  coalesce(n_intervals, 0)::BIGINT AS n_intervals,
         |  coalesce(covered_bp, 0)::BIGINT AS covered_bp
         |FROM w LEFT JOIN niv ON niv.chrom = w.chrom AND niv.i = w.i
-        |  LEFT JOIN cov ON cov.chrom = w.chrom AND cov.i = w.i""".stripMargin)
+        |  LEFT JOIN cov ON cov.chrom = w.chrom AND cov.i = w.i""".stripMargin,
+    // e29 twin: the identical Q = (k-1)(k·Σc² − T²)/(kT − Σr²)
+    // HUGEINT rational + the published df = 2 quantile on the 1e-6 grid
+    "e29_cochran_q" ->
+      """WITH cells AS (SELECT doc_id AS item, j,
+        |    CASE WHEN (doc_id * (7 + j) + j * j) % 13 < (5 + j)
+        |      THEN 1 ELSE 0 END AS x
+        |  FROM documents CROSS JOIN range(0, 3) t(j)),
+        |r AS (SELECT item, sum(x)::HUGEINT AS r FROM cells GROUP BY 1),
+        |c AS (SELECT j, sum(x)::HUGEINT AS c FROM cells GROUP BY 1),
+        |agg AS (SELECT (SELECT count(*) FROM r)::BIGINT AS n_items,
+        |    (SELECT sum(r) FROM r)::HUGEINT AS t,
+        |    (SELECT sum(r * r) FROM r)::HUGEINT AS sr2,
+        |    (SELECT sum(c * c) FROM c)::HUGEINT AS sc2),
+        |qq AS (SELECT n_items,
+        |    2::HUGEINT * (3 * sc2 - t * t) AS qn,
+        |    3::HUGEINT * t - sr2 AS qd FROM agg)
+        |SELECT n_items, 3::BIGINT AS k_judges, 2::INTEGER AS df,
+        |  CASE WHEN qd = 0 THEN NULL
+        |    ELSE ((2 * qn * 1000000 + qd) // (2 * qd))::BIGINT END
+        |    AS q_e6,
+        |  CASE WHEN qd = 0 THEN 'undefined'
+        |    WHEN 1000000::HUGEINT * qn > 5991465::HUGEINT * qd
+        |      THEN 'different' ELSE 'not_different' END AS verdict
+        |FROM qq""".stripMargin,
+    // e30 twin: the identical value-grid G/L HUGEINT counts, sign-split
+    // lattice, and Romano per-mille band edges as exact comparisons
+    "e30_cliffs_delta" ->
+      """WITH g AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b'
+        |      END AS grp, n_chars AS v FROM documents),
+        |a AS (SELECT v, count(*)::HUGEINT AS m FROM g WHERE grp = 'a'
+        |  GROUP BY 1),
+        |b AS (SELECT v, count(*)::HUGEINT AS m FROM g WHERE grp = 'b'
+        |  GROUP BY 1),
+        |cmp AS (SELECT
+        |    coalesce(sum(CASE WHEN a.v > b.v THEN a.m * b.m END), 0)
+        |      ::HUGEINT AS gt,
+        |    coalesce(sum(CASE WHEN a.v < b.v THEN a.m * b.m END), 0)
+        |      ::HUGEINT AS lt
+        |  FROM a CROSS JOIN b),
+        |tot AS (SELECT (SELECT coalesce(sum(m), 0) FROM a)::HUGEINT
+        |    AS na,
+        |  (SELECT coalesce(sum(m), 0) FROM b)::HUGEINT AS nb)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, gt::BIGINT AS n_gt,
+        |  lt::BIGINT AS n_lt, (na * nb - gt - lt)::BIGINT AS n_ties,
+        |  CASE WHEN na * nb = 0 THEN NULL
+        |    WHEN gt >= lt THEN
+        |      ((2 * (gt - lt) * 1000000 + na * nb) // (2 * na * nb))
+        |        ::BIGINT
+        |    ELSE -(((2 * (lt - gt) * 1000000 + na * nb)
+        |      // (2 * na * nb)))::BIGINT END AS delta_e6,
+        |  CASE WHEN na * nb = 0 THEN 'undefined'
+        |    WHEN abs(gt - lt) * 1000 >= 474 * na * nb THEN 'large'
+        |    WHEN abs(gt - lt) * 1000 >= 330 * na * nb THEN 'medium'
+        |    WHEN abs(gt - lt) * 1000 >= 147 * na * nb THEN 'small'
+        |    ELSE 'negligible' END AS magnitude
+        |FROM tot CROSS JOIN cmp""".stripMargin,
+    // ml4 twin: the ml3 twin with λ = 1000 on the Gram diagonal —
+    // same HUGEINT Cramer + quotient+remainder lattice
+    "ml4_ridge" ->
+      """WITH b AS (SELECT length(text)::HUGEINT AS y,
+        |    len(string_split(text, ' '))::HUGEINT AS x1,
+        |    (doc_id % 100)::HUGEINT AS x2 FROM documents),
+        |s AS (SELECT count(*)::HUGEINT AS n, sum(x1) AS s1,
+        |    sum(x2) AS s2, sum(x1 * x1) + 1000 AS s11,
+        |    sum(x1 * x2) AS s12, sum(x2 * x2) + 1000 AS s22,
+        |    sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+        |  FROM b),
+        |dets AS (SELECT n,
+        |    n * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS d,
+        |    sy * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS d0,
+        |    n * (s1y * s22 - s2y * s12)
+        |      - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS d1,
+        |    n * (s11 * s2y - s12 * s1y)
+        |      - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS d2
+        |  FROM s),
+        |lats AS (SELECT n, d, d0, d1, d2,
+        |    (abs(d0) // abs(d)) * 1000000 + (2 * (abs(d0) % abs(d))
+        |      * 1000000 + abs(d)) // (2 * abs(d)) AS m0,
+        |    (abs(d1) // abs(d)) * 1000000 + (2 * (abs(d1) % abs(d))
+        |      * 1000000 + abs(d)) // (2 * abs(d)) AS m1,
+        |    (abs(d2) // abs(d)) * 1000000 + (2 * (abs(d2) % abs(d))
+        |      * 1000000 + abs(d)) // (2 * abs(d)) AS m2
+        |  FROM dets WHERE d <> 0)
+        |SELECT n::BIGINT AS n,
+        |  CASE WHEN (d0 >= 0) = (d >= 0) THEN m0::BIGINT
+        |    ELSE (-m0)::BIGINT END AS b0_e6,
+        |  CASE WHEN (d1 >= 0) = (d >= 0) THEN m1::BIGINT
+        |    ELSE (-m1)::BIGINT END AS b1_e6,
+        |  CASE WHEN (d2 >= 0) = (d >= 0) THEN m2::BIGINT
+        |    ELSE (-m2)::BIGINT END AS b2_e6,
+        |  'defined' AS verdict
+        |FROM lats
+        |UNION ALL
+        |SELECT n::BIGINT, NULL, NULL, NULL, 'singular' FROM dets
+        |WHERE d = 0""".stripMargin,
+    // w29 twin: same shortest-round-trip first-digit extraction, same
+    // per-digit half-up lattice terms, same published quantile
+    "w29_benford" ->
+      """WITH dg AS (SELECT CASE WHEN value IS NULL THEN NULL
+        |      WHEN regexp_extract(abs(value)::VARCHAR, '[1-9]', 0) = ''
+        |        THEN 0
+        |      ELSE regexp_extract(abs(value)::VARCHAR, '[1-9]', 0)
+        |        ::INTEGER END AS digit
+        |  FROM events),
+        |counts AS (SELECT digit, count(*)::BIGINT AS c FROM dg
+        |  GROUP BY 1),
+        |z AS (SELECT
+        |    coalesce((SELECT sum(c) FROM counts WHERE digit = 0), 0)
+        |      ::BIGINT AS n_zero,
+        |    coalesce((SELECT sum(c) FROM counts WHERE digit > 0), 0)
+        |      ::BIGINT AS n),
+        |spine AS (SELECT i AS digit,
+        |    ([301030, 176091, 124939, 96910, 79181, 66947, 57992,
+        |      51153, 45757])[i] AS expected_e6
+        |  FROM range(1, 10) t(i)),
+        |dense AS (SELECT s.digit, s.expected_e6,
+        |    coalesce(c.c, 0)::HUGEINT AS c, z.n::HUGEINT AS n, z.n_zero
+        |  FROM spine s LEFT JOIN counts c ON c.digit = s.digit
+        |  CROSS JOIN z),
+        |terms AS (SELECT *,
+        |    CASE WHEN n = 0 THEN NULL ELSE
+        |      (2 * (c * 1000000 - n * expected_e6)
+        |         * (c * 1000000 - n * expected_e6) * 1000000
+        |       + 1000000 * n * expected_e6)
+        |      // (2 * 1000000 * n * expected_e6) END AS term_e6
+        |  FROM dense),
+        |chi AS (SELECT sum(term_e6) AS chi2_e6 FROM terms)
+        |SELECT digit::INTEGER AS digit, c::BIGINT AS n, n_zero,
+        |  expected_e6::BIGINT AS expected_e6,
+        |  CASE WHEN n > 0 THEN
+        |    ((2 * c * 1000000 + n) // (2 * n))::BIGINT END
+        |    AS observed_e6,
+        |  chi2_e6::BIGINT AS chi2_e6,
+        |  CASE WHEN chi2_e6 IS NULL THEN 'undefined'
+        |    WHEN chi2_e6 > 15507313 THEN 'nonconforming'
+        |    ELSE 'conforming' END AS verdict
+        |FROM terms CROSS JOIN chi""".stripMargin,
+    // t46 twin: one (doc, term) aggregate + term rollup, exact lattice
+    "t46_burstiness" ->
+      """WITH tok AS (SELECT doc_id, t AS term
+        |  FROM documents, LATERAL unnest(string_split(text, ' ')) u(t)
+        |  WHERE t <> ''),
+        |pd AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok
+        |  GROUP BY 1, 2)
+        |SELECT term, sum(c)::BIGINT AS cf, count(*)::BIGINT AS df,
+        |  ((2 * sum(c)::HUGEINT * 1000000 + count(*))
+        |    // (2 * count(*)))::BIGINT AS burstiness_e6
+        |FROM pd GROUP BY term HAVING count(*) >= 2""".stripMargin,
+    // d23 twin: the CDC chunk pipeline replayed — same portable md5
+    // boundary predicate, same running-boundary chunk index, same
+    // position-ordered chunk bodies, same df cap and containment read
+    "d23_cdc_dedup" ->
+      """WITH src AS (SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, 'prefix shift alpha beta ' || text
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |d AS (SELECT id, string_split(text, ' ') AS w FROM src),
+        |tok AS (SELECT id, i - 1 AS pos, w[i] AS tok
+        |  FROM d, LATERAL unnest(generate_series(1, len(w))) t(i)
+        |  WHERE w[i] <> ''),
+        |marked AS (SELECT id, pos, tok,
+        |    CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 8 = 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM tok),
+        |idx AS (SELECT id, pos, tok,
+        |    coalesce(sum(b) OVER (PARTITION BY id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk
+        |  FROM marked),
+        |bodies AS (SELECT id, chunk, count(*) AS n_tokens,
+        |    string_agg(tok, ' ' ORDER BY pos) AS body
+        |  FROM idx GROUP BY 1, 2),
+        |chunks AS (SELECT DISTINCT id,
+        |    ('0x' || substr(md5(body), 1, 15))::BIGINT AS h
+        |  FROM bodies WHERE n_tokens >= 3),
+        |perdoc AS (SELECT id, count(*)::BIGINT AS n_chunks FROM chunks
+        |  GROUP BY 1),
+        |hot AS (SELECT h, count(*) AS df FROM chunks GROUP BY 1
+        |  HAVING count(*) >= 2 AND count(*) <= 100),
+        |elig AS (SELECT c.h, c.id FROM chunks c JOIN hot USING (h)),
+        |shared AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM elig a JOIN elig b ON a.h = b.h AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared, pa.n_chunks AS chunks_a,
+        |  pb.n_chunks AS chunks_b,
+        |  ((2 * n_shared::HUGEINT * 1000000
+        |    + least(pa.n_chunks, pb.n_chunks))
+        |   // (2 * least(pa.n_chunks, pb.n_chunks)))::BIGINT
+        |    AS containment_e6
+        |FROM shared
+        |JOIN perdoc pa ON pa.id = shared.id_a
+        |JOIN perdoc pb ON pb.id = shared.id_b
+        |WHERE (2 * n_shared::HUGEINT * 1000000
+        |    + least(pa.n_chunks, pb.n_chunks))
+        |  // (2 * least(pa.n_chunks, pb.n_chunks)) >= 500000""".stripMargin,
+    // g15 twin: the g4 unrolled-LPA CTEs + the exact modularity
+    // rational over canonical undirected pairs
+    "g15_modularity" ->
+      """WITH g AS (SELECT 'doc:' || doc_id::VARCHAR AS dn,
+        |    'host:' || (doc_id % 29)::VARCHAR AS h1,
+        |    'host:' || ((doc_id * 7) % 29)::VARCHAR AS h2
+        |  FROM documents),
+        |de AS (SELECT dn AS src, h1 AS dst FROM g
+        |  UNION ALL SELECT dn, h2 FROM g),
+        |e AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM de
+        |  UNION ALL SELECT dst, src FROM de)),
+        |r0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM e),
+        |r1 AS MATERIALIZED (SELECT a AS node,
+        |    struct_extract(min(struct_pack(nc := -c, lbl := lbl)), 'lbl')
+        |      AS lbl
+        |  FROM (SELECT e.a, l.lbl, count(*) AS c
+        |        FROM e JOIN r0 l ON e.b = l.node GROUP BY e.a, l.lbl)
+        |  GROUP BY a),
+        |r2 AS MATERIALIZED (SELECT a AS node,
+        |    struct_extract(min(struct_pack(nc := -c, lbl := lbl)), 'lbl')
+        |      AS lbl
+        |  FROM (SELECT e.a, l.lbl, count(*) AS c
+        |        FROM e JOIN r1 l ON e.b = l.node GROUP BY e.a, l.lbl)
+        |  GROUP BY a),
+        |r3 AS MATERIALIZED (SELECT a AS node,
+        |    struct_extract(min(struct_pack(nc := -c, lbl := lbl)), 'lbl')
+        |      AS lbl
+        |  FROM (SELECT e.a, l.lbl, count(*) AS c
+        |        FROM e JOIN r2 l ON e.b = l.node GROUP BY e.a, l.lbl)
+        |  GROUP BY a),
+        |r4 AS MATERIALIZED (SELECT a AS node,
+        |    struct_extract(min(struct_pack(nc := -c, lbl := lbl)), 'lbl')
+        |      AS lbl
+        |  FROM (SELECT e.a, l.lbl, count(*) AS c
+        |        FROM e JOIN r3 l ON e.b = l.node GROUP BY e.a, l.lbl)
+        |  GROUP BY a),
+        |und AS (SELECT DISTINCT least(src, dst) AS lo,
+        |    greatest(src, dst) AS hi FROM de WHERE src <> dst),
+        |both_lbl AS (SELECT u.lo, u.hi, la.lbl AS la, lb.lbl AS lb
+        |  FROM und u JOIN r4 la ON la.node = u.lo
+        |  JOIN r4 lb ON lb.node = u.hi),
+        |intra AS (SELECT count(*)::HUGEINT AS m_edges,
+        |    coalesce(sum(CASE WHEN la = lb THEN 1 ELSE 0 END), 0)
+        |      ::HUGEINT AS intra_edges FROM both_lbl),
+        |deg AS (SELECT node, count(*)::HUGEINT AS deg FROM (
+        |    SELECT lo AS node FROM und
+        |    UNION ALL SELECT hi FROM und) GROUP BY 1),
+        |comm AS (SELECT count(*)::BIGINT AS n_communities,
+        |    coalesce(sum(dc * dc), 0)::HUGEINT AS sd2 FROM (
+        |    SELECT l.lbl, sum(deg)::HUGEINT AS dc
+        |    FROM deg JOIN r4 l USING (node) GROUP BY 1)),
+        |qq AS (SELECT n_communities, m_edges, intra_edges,
+        |    4 * m_edges * intra_edges - sd2 AS qn,
+        |    4 * m_edges * m_edges AS qd
+        |  FROM intra CROSS JOIN comm)
+        |SELECT n_communities, m_edges::BIGINT AS m_edges,
+        |  intra_edges::BIGINT AS intra_edges,
+        |  CASE WHEN qd = 0 THEN NULL
+        |    WHEN qn >= 0 THEN
+        |      ((2 * qn * 1000000 + qd) // (2 * qd))::BIGINT
+        |    ELSE -(((-2) * qn * 1000000 + qd) // (2 * qd))::BIGINT
+        |    END AS modularity_e6
+        |FROM qq""".stripMargin,
+    // h5 twin: identical fixed IEEE probability tree per (doc, term),
+    // 1e-6 ln floor lattice, exact integer document sums
+    "h5_lm_retrieval" ->
+      """WITH dx AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |compact AS (SELECT id, len(w)::BIGINT AS len,
+        |    list_filter(w, t -> t IN ('table', 'query', 'spark'))
+        |      AS hits FROM dx),
+        |stats AS (SELECT sum(len)::BIGINT AS c_total FROM compact),
+        |tf AS (SELECT id, t AS term, count(*)::BIGINT AS tf
+        |  FROM compact, LATERAL unnest(hits) u(t) GROUP BY 1, 2),
+        |cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+        |spine AS (SELECT t AS term
+        |  FROM unnest(['table', 'query', 'spark']) u(t)),
+        |spinecf AS (SELECT s.term, cf.cf FROM spine s JOIN cf USING (term)),
+        |rws AS (SELECT c.id, s.term, coalesce(tf.tf, 0)::BIGINT AS tf,
+        |    c.len, s.cf
+        |  FROM compact c CROSS JOIN spinecf s
+        |  LEFT JOIN tf ON tf.id = c.id AND tf.term = s.term),
+        |scored AS (SELECT id,
+        |    CASE WHEN tf > 0 THEN 1 ELSE 0 END AS hit,
+        |    floor(ln((tf::DOUBLE + 2000.0 *
+        |        (cf::DOUBLE / (SELECT c_total FROM stats)::DOUBLE)) /
+        |      (len::DOUBLE + 2000.0)) * 1000000.0)::BIGINT AS s_e6
+        |  FROM rws)
+        |SELECT id, sum(hit)::BIGINT AS n_hit_terms,
+        |  sum(s_e6)::BIGINT AS score_e6
+        |FROM scored GROUP BY id""".stripMargin,
+    // v21 twin: ivfTrainCte + per-vector sorted (d, c) distances (one
+    // ordering for assignment AND runner-up), per-row 1e4 lattice,
+    // exact integer per-cluster means
+    "v21_silhouette" -> (
+      """WITH ebase AS (SELECT vec_id::BIGINT AS id,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |""".stripMargin + ivfTrainCte + """,
+        |dist AS (SELECT b.id, k.c,
+        |    list_dot_product(b.v, b.v) + list_dot_product(k.cent, k.cent)
+        |      - 2.0 * list_dot_product(b.v, k.cent) AS d
+        |  FROM base b CROSS JOIN cb2 k),
+        |top2 AS (SELECT id, c, d,
+        |    row_number() OVER (PARTITION BY id ORDER BY d, c) AS rn
+        |  FROM dist QUALIFY rn <= 2),
+        |pairx AS (SELECT a.id, a.c AS cluster, a.d AS a2, b.d AS b2
+        |  FROM top2 a JOIN top2 b USING (id)
+        |  WHERE a.rn = 1 AND b.rn = 2),
+        |srow AS (SELECT cluster,
+        |    CASE WHEN greatest(a2, b2) <= 0 THEN 0.0
+        |      ELSE (b2 - a2) / greatest(a2, b2) END AS s FROM pairx),
+        |se4 AS (SELECT cluster,
+        |    (CASE WHEN s >= 0 THEN floor(abs(s) * 10000.0 + 0.5)
+        |      ELSE -floor(abs(s) * 10000.0 + 0.5) END)::BIGINT AS s_e4
+        |  FROM srow)
+        |SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n_members,
+        |  CASE WHEN sum(s_e4) >= 0 THEN
+        |    ((2 * sum(s_e4) * 100 + count(*)) // (2 * count(*)))::BIGINT
+        |  ELSE -(((-2) * sum(s_e4) * 100 + count(*))
+        |    // (2 * count(*)))::BIGINT END AS mean_s_e6
+        |FROM se4 GROUP BY 1""".stripMargin),
+    // s15 twin: the groupSplit portable md5 fold hash + exact shares
+    "s15_kfold" ->
+      """WITH b AS (SELECT
+        |    ('0x' || substring(md5('graft' || (doc_id % 29)::VARCHAR),
+        |      1, 15))::BIGINT % 5 AS fold, lang AS stratum
+        |  FROM documents),
+        |counts AS (SELECT fold, stratum, count(*)::BIGINT AS n FROM b
+        |  GROUP BY 1, 2),
+        |st AS (SELECT stratum, sum(n)::BIGINT AS n_stratum FROM counts
+        |  GROUP BY 1)
+        |SELECT fold, counts.stratum, n,
+        |  ((2 * n::HUGEINT * 1000000 + n_stratum) // (2 * n_stratum))
+        |    ::BIGINT AS share_e6
+        |FROM counts JOIN st ON st.stratum = counts.stratum""".stripMargin,
+    // m15 twin: the planted header fields computed arithmetically —
+    // the Spark side must ROUND-TRIP them through real TIFF bytes
+    "m15_tiff_meta" ->
+      """SELECT doc_id AS id, (1 + doc_id % 64)::BIGINT AS width,
+        |  (1 + doc_id % 48)::BIGINT AS height,
+        |  ([1, 4, 8, 16, 32])[(doc_id % 5) + 1]::BIGINT
+        |    AS bits_per_sample,
+        |  ([1, 5, 7, 32773])[(doc_id % 4) + 1]::BIGINT AS compression,
+        |  doc_id % 3 = 0 AS big_endian, 5::BIGINT AS n_entries
+        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin)
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

@@ -1158,6 +1158,80 @@ object Dedup {
     labels
   }
 
+  /** Content-defined-chunking near-dup pairs (the CDC scheme of
+    * LBFS/rsync-family dedup storage, Muthitacharoen et al. 2001,
+    * lifted to token streams) — chunk boundaries fall AFTER any token
+    * whose portable hash ≡ 0 (mod `boundaryMod`), so an insertion or
+    * deletion only reshuffles the chunks it touches and every other
+    * chunk hash survives verbatim: the shift-robust complement to
+    * fixed-width shingles ([[ngramJaccardPairs]] candidates die when
+    * everything slides one token; CDC chunks don't). Two documents
+    * pair when the DISTINCT chunk hashes they share cover ≥
+    * `thresholdE6` of the smaller one's chunk set (containment, the
+    * d14 read).
+    *
+    * Scale posture (the MinHash-index rules): chunks whose doc
+    * frequency exceeds `maxDf` are boilerplate and drop BEFORE the
+    * candidate join (the hot-shingle cap); chunks shorter than
+    * `minChunkTokens` are noise and drop at birth; the candidate join
+    * is an equi-join on chunk hash over the 2 ≤ df ≤ maxDf slice —
+    * never all-pairs. Exact integer containment on the half-up 1e-6
+    * lattice. Output: (id_a, id_b, n_shared, chunks_a, chunks_b,
+    * containment_e6).
+    */
+  def cdcChunkPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      boundaryMod: Int = 8, minChunkTokens: Int = 3,
+      maxDf: Long = 100L, thresholdE6: Long = 500000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(boundaryMod >= 2, s"boundaryMod must be >= 2 (got $boundaryMod)")
+    require(minChunkTokens >= 1,
+      s"minChunkTokens must be >= 1 (got $minChunkTokens)")
+    require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf)")
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    // chunk index = boundaries strictly before this token: the window
+    // is per-document (documents are the small unit; a mega-doc is a
+    // p6-explode problem upstream, not a skew class here)
+    val w = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = toks.withColumn("b",
+        when(pmod(portableTokenHash(col("tok")), lit(boundaryMod)) === 0,
+          1L).otherwise(0L))
+      .withColumn("chunk", coalesce(sum("b").over(w), lit(0L)))
+    val chunks = marked.groupBy("id", "chunk")
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("body"))
+      .filter(col("n_tokens") >= minChunkTokens)
+      .select(col("id"),
+        conv(substring(md5(col("body")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+      .distinct() // a chunk repeated within one doc counts once
+      .localCheckpoint() // feeds per-doc sizes AND the candidate join
+    val perDoc = chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))
+    val eligible = chunks
+      .join(chunks.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= maxDf), Seq("h"))
+    val shared = eligible.select(col("h"), col("id").as("id_a"))
+      .join(eligible.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(perDoc.select(col("id").as("id_a"),
+        col("n_chunks").as("chunks_a")), Seq("id_a"))
+      .join(perDoc.select(col("id").as("id_b"),
+        col("n_chunks").as("chunks_b")), Seq("id_b"))
+      .withColumn("containment_e6",
+        expr("(2 * n_shared * 1000000 + least(chunks_a, chunks_b)) div " +
+          "(2 * least(chunks_a, chunks_b))"))
+      .filter(col("containment_e6") >= thresholdE6)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("chunks_a"), col("chunks_b"), col("containment_e6"))
+  }
+
   /** Cluster resolution — the removal-list step a dedup pipeline
     * actually ships: given the near-dup clusters
     * ([[duplicateClusters]]) and a per-document score, keep the

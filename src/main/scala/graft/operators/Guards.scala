@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * spans thousands of bins at most), so guarded plans produce
   * byte-identical output on sane data and the DuckDB oracle rows are
   * unaffected.
+  *
+  * PROBING a guard (the r12 chaos-probe lesson): when the guarded
+  * subtree feeds the probe through a LEFT join, action the probe with
+  * a VALUE aggregate over the guarded columns (`agg(sum(...))`), never
+  * `count()` — Catalyst's join elimination can satisfy a count from
+  * the preserved side alone and skip the guarded subtree entirely, so
+  * the raise never evaluates and the probe reads as "guard missing".
   */
 object Guards {
 

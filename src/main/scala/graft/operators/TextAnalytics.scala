@@ -1475,6 +1475,79 @@ object TextAnalytics {
       .agg(round(sum("s"), roundTo).as("bm25"))
   }
 
+  /** Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the
+    * language-model retrieval scorer next to [[bm25]]'s probabilistic
+    * one: score(q, d) = Σ_t ln( (tf_td + μ·cf_t/|C|) / (|d| + μ) ),
+    * the log-probability of the query under the document's smoothed
+    * unigram LM. EVERY document scores (the background mass gives
+    * no-hit docs a length-dependent score — that is the point of LM
+    * retrieval), so the output is corpus-sized: one select + one
+    * broadcast of the |terms|-row cf table.
+    *
+    * Determinism (the t17/w27 ln-lattice discipline): each term's
+    * smoothed probability is a FIXED tree of correctly-rounded IEEE
+    * ops — (tf + μ·(cf/C)) / (len + μ), four ops both engines evaluate
+    * identically at any corpus size (no 2⁵³ exact-integer constraint) —
+    * the ln lands on the 1e-6 floor lattice per term, and the document
+    * score is the exact INTEGER sum of those lattice points —
+    * order-free, engine-reproducible. A query term absent from the corpus raises
+    * loudly (zero background mass makes the smoothed model undefined
+    * for it — drop the term upstream). Output: (id, n_hit_terms,
+    * score_e6).
+    *
+    * Scale: one corpus scan projected to (id, len, query-term tf),
+    * a |terms|-row broadcast, no shuffle beyond the tf aggregate of
+    * query-term hits only (the bm25 posting-list posture).
+    */
+  def queryLikelihood(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], mu: Long = 2000L): DataFrame = {
+    require(terms.nonEmpty, "queryLikelihood needs at least one term")
+    require(terms.distinct.size == terms.size,
+      "query terms must be distinct (repeat weighting is the caller's " +
+        "concern)")
+    require(mu > 0, s"mu must be positive (got $mu)")
+    val compact = docs.select(
+        col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .select(col("id"), size(col("w")).cast("long").as("len"),
+        filter(col("w"), t => t.isin(terms: _*)).as("hits"))
+      .localCheckpoint()
+    val stats = compact.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("c_total"))
+    val tf = compact
+      .select(col("id"), explode(col("hits")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val termSpine = terms.toDF("term")
+      .join(cf, Seq("term"), "left")
+      .select(col("term"),
+        when(col("cf").isNull || col("cf") === 0,
+          raise_error(concat(lit("queryLikelihood: query term '"),
+            col("term"),
+            lit("' absent from the corpus — Dirichlet smoothing has " +
+              "no background mass for it; drop the term"))))
+          .otherwise(col("cf")).as("cf"))
+    // per (doc, term) incl. zero-tf terms: docs × |terms| via the
+    // broadcast term spine, tf left-joined back
+    compact.select(col("id"), col("len"))
+      .crossJoin(broadcast(termSpine))
+      .join(tf, Seq("id", "term"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        when(coalesce(col("tf"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("hit"),
+        floor(log(
+          (coalesce(col("tf"), lit(0L)).cast("double") +
+            lit(mu).cast("double") *
+              (col("cf").cast("double") / col("c_total").cast("double"))) /
+            (col("len").cast("double") + lit(mu).cast("double")))
+          * 1e6).cast("long").as("s_e6"))
+      .groupBy("id")
+      .agg(sum("hit").as("n_hit_terms"), sum("s_e6").as("score_e6"))
+  }
+
   /** Collocation mining by pointwise mutual information (Church & Hanks
     * 1990) — corpus-wide adjacent bigrams whose co-occurrence exceeds
     * the independence expectation, the phrase-mining step that promotes

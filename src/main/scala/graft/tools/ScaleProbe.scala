@@ -1245,6 +1245,70 @@ object ScaleProbe {
           .resample("w", m)
         graft.operators.Sharding.sequencePack(
           resampled.df, "doc_id", "w", contextLen = 2048L).count()
+      },
+      // ---- round-13 additions ----
+      "e29_cochran" -> (d =>
+        Classifier.cochranQ(
+          d.select(col("doc_id").as("item"),
+            explode(sequence(lit(0), lit(2))).as("j"))
+            .select(col("item"), concat(lit("j"), col("j")).as("judge"),
+              (pmod(col("item") * (lit(7) + col("j")) + col("j") * col("j"),
+                lit(13)) < lit(5) + col("j")).as("ok")),
+          "item", "judge", "ok").count()),
+      "e30_cliffs" -> (d =>
+        Classifier.cliffsDelta(
+          d.select(when(pmod(col("doc_id"), lit(2)) === 0, lit("a"))
+            .otherwise(lit("b")).as("g"),
+            pmod(length(col("text")), lit(200)).as("v")),
+          "g", "v").count()),
+      "ml4_ridge" -> (d =>
+        Classifier.ridgeRegressionFit(
+          d.select(pmod(length(col("text")), lit(100000)).as("y"),
+            pmod(size(split(col("text"), " ")), lit(100000)).as("x1"),
+            pmod(col("doc_id"), lit(100)).as("x2")),
+          "y", "x1", "x2", lambda = 1000L).count()),
+      "w29_benford" -> (d =>
+        EventAnalytics.benfordFirstDigit(
+          synthEvents(d, probeN).select(
+            (col("ts") % 9973 + lit(1)).cast("double").as("value")),
+          "value").count()),
+      "t46_burstiness" -> (d =>
+        TextAnalytics.termBurstiness(d, "doc_id", "text").count()),
+      "d23_cdc" -> (d =>
+        Dedup.cdcChunkPairs(d, "doc_id", "text").count()),
+      "g15_modularity" -> { d =>
+        val g = d.select(
+          concat(lit("doc:"), col("doc_id")).as("dn"),
+          concat(lit("host:"), pmod(col("doc_id"), lit(29)).cast("string"))
+            .as("h1"),
+          concat(lit("host:"),
+            pmod(col("doc_id") * 7, lit(29)).cast("string")).as("h2"))
+        val edges = g.select(col("dn").as("src"), col("h1").as("dst"))
+          .unionByName(g.select(col("dn").as("src"), col("h2").as("dst")))
+        Graph.modularity(edges,
+          Graph.labelPropagation(edges, "src", "dst", iterations = 4),
+          "src", "dst", "node", "label").count()
+      },
+      "h5_query_lm" -> (d =>
+        // synth text is hash words; use three guaranteed-present terms
+        TextAnalytics.queryLikelihood(d, "doc_id", "text",
+          Seq("w0", "w1", "w2")).count()),
+      "s15_kfold" -> (d =>
+        Sampling.kFoldReport(
+          d.select(pmod(col("doc_id"), lit(29)).cast("string").as("g"),
+            pmod(col("doc_id"), lit(3)).cast("string").as("l")),
+          "g", "l").count()),
+      "m15_tiff_meta" -> { d =>
+        val s2 = d.sparkSession
+        import s2.implicits._
+        val payloads = d.select(col("doc_id")).as[Long].map { id =>
+          (id, graft.operators.Multimodal.tiffBytes(
+            width = 1 + (id % 64).toInt, height = 1 + (id % 48).toInt,
+            bitsPerSample = Array(1, 4, 8, 16, 32)((id % 5).toInt),
+            compression = Array(1, 5, 7, 32773)((id % 4).toInt),
+            bigEndian = id % 3 == 0, longDims = id % 2 == 0))
+        }.toDF("doc_id", "payload")
+        graft.operators.Multimodal.tiffMeta(s2, payloads, "doc_id").count()
       })
 
     // the m2/m4 synthetic image corpus (one 16×18 PNG per embedding)
@@ -1299,6 +1363,11 @@ object ScaleProbe {
       // grid is |L|·|R|, so the broadcastable side stays constant and
       // cost tracks |R| ~linearly; corpus×corpus mining swaps the grid
       // for the LSH/IVF gate per SCALE.md)
+      "v21_silhouette" -> { e =>
+        val m = Similarity.ivfTrain(e, "vec_id", "embedding",
+          nlist = 8, iters = 2)
+        Similarity.silhouette(e, "vec_id", "embedding", m).count()
+      },
       "v16_margin" -> (e => Similarity.marginMining(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
         "vec_id", "vec_id", "embedding", k = 5).count()),

@@ -795,4 +795,64 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected windows:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+  test("r13 one-row stat reads (e29/e30/ml4/w29) never leave the " +
+      "rollup-plus-broadcast class") {
+    for (q <- Seq("e29_cochran_q", "e30_cliffs_delta", "ml4_ridge",
+        "w29_benford")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q shuffled a one-row/grid side:\n$plan")
+      assert(!plan.contains("Window"), s"$q window:\n$plan")
+    }
+  }
+
+  test("t46 burstiness: two aggregate exchanges, no join, no window") {
+    val plan = planOf(SparkEntry.queries("t46_burstiness")(spark, dir))
+    assert(exchangeCount(plan) <= 2, s"t46 exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"t46 join:\n$plan")
+    assert(!plan.contains("Window"), s"t46 window:\n$plan")
+  }
+
+  test("d23 CDC dedup: equi-joins on the chunk hash only, never a " +
+      "cartesian or nested loop") {
+    val plan = planOf(SparkEntry.queries("d23_cdc_dedup")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"d23:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"d23:\n$plan")
+  }
+
+  test("g15 modularity: label joins stay equi, no cartesian beyond " +
+      "the one-row broadcast combine") {
+    val plan = planOf(SparkEntry.queries("g15_modularity")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"g15:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BuildRight"), s"g15:\n$plan")
+  }
+
+  test("h5 query likelihood: the term spine broadcasts; no window; " +
+      "no sort-merge against the corpus") {
+    val plan = planOf(SparkEntry.queries("h5_lm_retrieval")(spark, dir))
+    assert(!plan.contains("CartesianProduct") ||
+      plan.contains("Broadcast"), s"h5:\n$plan")
+    assert(!plan.contains("Window"), s"h5:\n$plan")
+  }
+
+  test("v21 silhouette: one fused scan projection + one aggregate " +
+      "exchange — the whole distance matrix never materializes") {
+    val plan = planOf(SparkEntry.queries("v21_silhouette")(spark, dir))
+    assert(exchangeCount(plan) <= 1, s"v21 exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"v21 join:\n$plan")
+  }
+
+  test("s15 kfold: one count exchange + a dim-sized broadcast back-join") {
+    val plan = planOf(SparkEntry.queries("s15_kfold")(spark, dir))
+    assert(!plan.contains("SortMergeJoin"), s"s15:\n$plan")
+    assert(!plan.contains("Window"), s"s15:\n$plan")
+  }
+
+  test("m15 tiff walk is a shuffle-free typed scan pass") {
+    val plan = planOf(SparkEntry.queries("m15_tiff_meta")(spark, dir))
+    assert(exchangeCount(plan) == 0, s"m15 exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"m15 join:\n$plan")
+  }
 }

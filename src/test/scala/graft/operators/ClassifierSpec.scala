@@ -1104,4 +1104,154 @@ class ClassifierSpec extends AnyFunSuite {
       || e.getCause != null &&
         e.getCause.getMessage.contains("null pred"), e.getMessage)
   }
+  test("cochranQ: hand rational and verdict, unanimity undefined, " +
+      "incomplete panel raises; BigInt parity on random panels") {
+    import spark.implicits._
+    // 4 items x 3 judges: rows (1,1,0),(1,0,0),(1,1,1),(0,0,0)
+    // c = (3,2,1), T = 6, Σr² = 4+1+9+0 = 14
+    // Q = 2·(3·14 − 36)/(18 − 14) = 2·6/4 = 3 → not_different (crit 5.99)
+    val hand = Seq(
+      (1, "a", 1), (1, "b", 1), (1, "c", 0),
+      (2, "a", 1), (2, "b", 0), (2, "c", 0),
+      (3, "a", 1), (3, "b", 1), (3, "c", 1),
+      (4, "a", 0), (4, "b", 0), (4, "c", 0))
+      .toDF("item", "judge", "ok")
+    val got = Classifier.cochranQ(hand, "item", "judge", "ok")
+      .as[(Long, Long, Int, Option[Long], String)].collect().head
+    assert(got == ((4L, 3L, 2, Some(3000000L), "not_different")))
+    // unanimous rows only → denominator 0 → undefined
+    val un = Classifier.cochranQ(
+      Seq((1, "a", 1), (1, "b", 1), (2, "a", 0), (2, "b", 0))
+        .toDF("item", "judge", "ok"), "item", "judge", "ok")
+      .as[(Long, Long, Int, Option[Long], String)].collect().head
+    assert(un._4.isEmpty && un._5 == "undefined")
+    // a missing cell raises loudly
+    val e = intercept[Exception] {
+      Classifier.cochranQ(
+        Seq((1, "a", 1), (1, "b", 1), (2, "a", 0))
+          .toDF("item", "judge", "ok"), "item", "judge", "ok").collect()
+    }
+    assert((e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("incomplete panel"), e.getMessage)
+    // random complete panels ≡ independent BigInt model
+    val rnd = new scala.util.Random(211)
+    val k = 4; val items = 300
+    val rows = for (i <- 0 until items; j <- 0 until k)
+      yield (i, s"judge$j", if (rnd.nextInt(10) < 3 + j) 1 else 0)
+    val gotR = Classifier.cochranQ(
+        rows.toDF("item", "judge", "ok"), "item", "judge", "ok")
+      .as[(Long, Long, Int, Option[Long], String)].collect().head
+    val byItem = rows.groupBy(_._1).toSeq.map(_._2.map(_._3).sum)
+    val byJudge = rows.groupBy(_._2).toSeq.map(_._2.map(_._3).sum)
+    val t = BigInt(rows.map(_._3).sum)
+    val sr2 = byItem.map(r => BigInt(r) * r).sum
+    val sc2 = byJudge.map(c => BigInt(c) * c).sum
+    val qn = BigInt(k - 1) * (k * sc2 - t * t)
+    val qd = BigInt(k) * t - sr2
+    val qe6 = (2 * qn * 1000000 + qd) / (2 * qd)
+    val verdict = // χ²(3).95 = 7.814728
+      if (1000000 * qn > BigInt(7814728) * qd) "different"
+      else "not_different"
+    assert(gotR == ((items.toLong, k.toLong, k - 1, Some(qe6.toLong),
+      verdict)))
+  }
+
+  test("cliffsDelta: hand counts and bands; brute-force O(n²) parity " +
+      "on random scores; empty side undefined; bad group raises") {
+    import spark.implicits._
+    // a = (3, 3), b = (1, 2): all 4 cross pairs a > b → δ = 1, large
+    val hand = Classifier.cliffsDelta(
+        Seq(("a", 3L), ("a", 3L), ("b", 1L), ("b", 2L))
+          .toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Long, Long, Long, Option[Long], String)]
+      .collect().head
+    assert(hand == ((2L, 2L, 4L, 0L, 0L, Some(1000000L), "large")))
+    // empty b side → NULL δ, 'undefined'
+    val emp = Classifier.cliffsDelta(
+        Seq(("a", 1L)).toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Long, Long, Long, Option[Long], String)]
+      .collect().head
+    assert(emp._6.isEmpty && emp._7 == "undefined")
+    val e = intercept[Exception] {
+      Classifier.cliffsDelta(Seq(("c", 1L)).toDF("g", "v"), "g", "v")
+        .collect()
+    }
+    assert((e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("group must be a|b"), e.getMessage)
+    // random scores ≡ direct O(n²) BigInt pair count + band edges
+    val rnd = new scala.util.Random(223)
+    val as = Seq.fill(180)(rnd.nextInt(15).toLong)
+    val bs = Seq.fill(140)(rnd.nextInt(15).toLong + 1)
+    val gotR = Classifier.cliffsDelta(
+        (as.map(("a", _)) ++ bs.map(("b", _))).toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Long, Long, Long, Option[Long], String)]
+      .collect().head
+    var gt = BigInt(0); var lt = BigInt(0)
+    for (x <- as; y <- bs) {
+      if (x > y) gt += 1 else if (x < y) lt += 1
+    }
+    val nn = BigInt(as.size) * bs.size
+    val diff = gt - lt
+    val de6 =
+      if (diff >= 0) (2 * diff * 1000000 + nn) / (2 * nn)
+      else -((2 * (-diff) * 1000000 + nn) / (2 * nn))
+    val mag =
+      if (diff.abs * 1000 >= 474 * nn) "large"
+      else if (diff.abs * 1000 >= 330 * nn) "medium"
+      else if (diff.abs * 1000 >= 147 * nn) "small"
+      else "negligible"
+    assert(gotR == ((as.size.toLong, bs.size.toLong, gt.toLong,
+      lt.toLong, (nn - gt - lt).toLong, Some(de6.toLong), mag)))
+  }
+
+  test("ridgeRegressionFit: lambda 0 IS the OLS fit; lambda shrinks " +
+      "the feature betas; BigInt Cramer parity with shifted Gram") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(229)
+    val rows = (1 to 300).map { _ =>
+      val x1 = rnd.nextInt(40).toLong; val x2 = rnd.nextInt(25).toLong
+      (7 + 3 * x1 + 2 * x2 + rnd.nextInt(9) - 4, x1, x2)
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val ols = Classifier.linearRegressionFit(df, "y", "x1", "x2")
+      .as[(Long, Option[Long], Option[Long], Option[Long], String)]
+      .collect().head
+    val l0 = Classifier.ridgeRegressionFit(df, "y", "x1", "x2", 0L)
+      .as[(Long, Option[Long], Option[Long], Option[Long], String)]
+      .collect().head
+    assert(l0 == ols)
+    val ridge = Classifier
+      .ridgeRegressionFit(df, "y", "x1", "x2", 50000L)
+      .as[(Long, Option[Long], Option[Long], Option[Long], String)]
+      .collect().head
+    // L2 shrinks the penalized feature weights toward zero
+    assert(math.abs(ridge._3.get) < math.abs(ols._3.get))
+    assert(math.abs(ridge._4.get) < math.abs(ols._4.get))
+    // BigInt Cramer with the λ-shifted Gram diagonal
+    val lam = 50000L
+    val n = BigInt(rows.size)
+    def S(f: ((Long, Long, Long)) => BigInt) = rows.map(f).sum
+    val (s1, s2) = (S(r => BigInt(r._2)), S(r => BigInt(r._3)))
+    val s11 = S(r => BigInt(r._2) * r._2) + lam
+    val s12 = S(r => BigInt(r._2) * r._3)
+    val s22 = S(r => BigInt(r._3) * r._3) + lam
+    val (sy, s1y, s2y) = (S(r => BigInt(r._1)),
+      S(r => BigInt(r._2) * r._1), S(r => BigInt(r._3) * r._1))
+    val d = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val d0 = sy * (s11 * s22 - s12 * s12) -
+      s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    val d1 = n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val d2 = n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    def lat(num: BigInt): Long = {
+      val m = (2 * num.abs * 1000000 + d.abs) / (2 * d.abs)
+      (if ((num >= 0) == (d >= 0)) m else -m).toLong
+    }
+    assert(ridge == ((300L, Some(lat(d0)), Some(lat(d1)),
+      Some(lat(d2)), "defined")))
+  }
 }

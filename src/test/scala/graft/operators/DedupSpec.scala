@@ -647,4 +647,57 @@ class DedupSpec extends AnyFunSuite {
         k -> ((v.size.toLong, k * v.size, (k - 1) * v.size)) }
     assert(gotR == want && want.nonEmpty)
   }
+  test("cdcChunkPairs: identical docs reach containment 1e6; a shifted " +
+      "prefix still pairs (the CDC claim fixed shingles can't make); " +
+      "plain-Scala chunking parity; hot-chunk cap") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    val docs = Seq(
+      (1L, base), (2L, base), // exact duplicates
+      (3L, "shifted words in front " + base), // prefix-shifted copy
+      (4L, "completely different content with no shared phrasing " +
+        "whatsoever in any chunk of it at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunkPairs(docs, "doc_id", "text",
+        thresholdE6 = 300000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._6).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1000000L)
+    // the shifted copy shares every chunk after the first boundary
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)))
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // independent plain-Scala model of the whole pipeline
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h15(x: String): Long =
+      java.lang.Long.parseLong(md5hex(x).take(15), 16)
+    def chunksOf(text: String): Set[Long] = {
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val bounds = toks.map(t => h15(t) % 8 == 0)
+      val idx = bounds.scanLeft(0L)((a, b) => a + (if (b) 1 else 0))
+      toks.zip(idx).groupBy(_._2).values
+        .map(_.map(_._1))
+        .filter(_.size >= 3)
+        .map(c => h15(c.mkString(" "))).toSet
+    }
+    val model = Seq(1L, 2L, 3L, 4L).map(i =>
+      i -> chunksOf(Seq(base, base,
+        "shifted words in front " + base,
+        "completely different content with no shared phrasing " +
+          "whatsoever in any chunk of it at all")(i.toInt - 1))).toMap
+    val wantPairs = (for {
+      a <- Seq(1L, 2L, 3L); b <- Seq(2L, 3L, 4L) if a < b
+      shared = (model(a) intersect model(b)).size
+      if shared > 0
+      minc = math.min(model(a).size, model(b).size)
+      cont = (2L * shared * 1000000L + minc) / (2L * minc)
+      if cont >= 300000L
+    } yield (a, b) -> cont).toMap
+    assert(got == wantPairs)
+    // a chunk present in MORE than maxDf docs is boilerplate: capped out
+    val many = (0L until 12L).map(i => (i, base)).toDF("doc_id", "text")
+    assert(Dedup.cdcChunkPairs(many, "doc_id", "text", maxDf = 5L)
+      .count() == 0L)
+  }
 }

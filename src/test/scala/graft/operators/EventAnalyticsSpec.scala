@@ -1044,4 +1044,70 @@ class EventAnalyticsSpec extends AnyFunSuite {
       Map("__rate" -> ((tAll, (2 * sAll + tAll) / (2 * tAll))))
     assert(gotR == want)
   }
+  test("benfordFirstDigit: hand lattice chi-square vs BigInt model, " +
+      "zeros reported not dropped, null raises, digit extraction " +
+      "covers scientific notation") {
+    // counts: digit 1 x3, digit 9 x1, zero x1 (0.0 carries no digit);
+    // 1.0E-5 and 12.31 both lead with '1', 9.5e2 with '9'
+    val ev = Seq(0.00001, 12.31, -1.63, 950.0, 0.0)
+      .toDF("value")
+    val got = EventAnalytics.benfordFirstDigit(ev, "value")
+      .as[(Int, Long, Long, Long, Option[Long], Option[Long], String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.size == 9) // densified spine
+    assert(got(1)._2 == 3L && got(9)._2 == 1L && got(2)._2 == 0L)
+    assert(got(1)._3 == 1L) // the zero is REPORTED
+    // independent BigInt model of the lattice chi-square
+    val p6 = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val counts = Map(1 -> 3L, 9 -> 1L).withDefaultValue(0L)
+    val n = BigInt(4)
+    val chi = (1 to 9).map { d =>
+      val num = (BigInt(counts(d)) * 1000000 - n * p6(d - 1)).pow(2)
+      val den = BigInt(1000000) * n * p6(d - 1)
+      (2 * num * 1000000 + den) / (2 * den)
+    }.sum
+    assert(got(1)._6 == Some(chi.toLong))
+    val want1 = (2 * BigInt(3) * 1000000 + 4) / 8
+    assert(got(1)._5 == Some(want1.toLong)) // observed share 750000
+    assert(got(1)._7 ==
+      (if (chi > 15507313L) "nonconforming" else "conforming"))
+    // null value raises loudly
+    val e = intercept[Exception] {
+      EventAnalytics.benfordFirstDigit(
+        Seq(Some(1.0), None).toDF("value"), "value").collect()
+    }
+    assert((e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("null value"), e.getMessage)
+  }
+
+  test("benfordFirstDigit ≡ BigInt model on a realistic value stream") {
+    val rnd = new scala.util.Random(233)
+    val vals = Seq.fill(3000)(math.exp(rnd.nextDouble() * 9.0) / 100.0)
+    val got = EventAnalytics.benfordFirstDigit(
+        vals.toDF("value"), "value")
+      .as[(Int, Long, Long, Long, Option[Long], Option[Long], String)]
+      .collect().map(r => r._1 -> r).toMap
+    val counts = vals
+      .map(v => math.abs(v).toString.dropWhile(c => !('1' to '9')
+        .contains(c)).head.asDigit)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .withDefaultValue(0L)
+    val p6 = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val n = BigInt(3000)
+    val chi = (1 to 9).map { d =>
+      val num = (BigInt(counts(d)) * 1000000 - n * p6(d - 1)).pow(2)
+      val den = BigInt(1000000) * n * p6(d - 1)
+      (2 * num * 1000000 + den) / (2 * den)
+    }.sum
+    (1 to 9).foreach { d =>
+      assert(got(d)._2 == counts(d), s"digit $d")
+      assert(got(d)._6 == Some(chi.toLong))
+    }
+    // exp-uniform magnitudes ARE Benford-ish: the verdict should hold
+    assert(got(1)._7 == (if (chi > 15507313L) "nonconforming"
+      else "conforming"))
+  }
 }

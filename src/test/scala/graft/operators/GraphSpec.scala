@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.TestSpark
 
@@ -689,5 +690,62 @@ class GraphSpec extends AnyFunSuite {
     val want = (nE, nM,
       if (nE > 0) Some((2 * nM * 1000000L + nE) / (2 * nE)) else None)
     assert(gotR == want && nE > 0)
+  }
+  test("modularity: hand two-triangle-plus-bridge graph, unlabeled " +
+      "node raises; BigInt parity on random graphs and labelings") {
+    import spark.implicits._
+    // two triangles {a,b,c} and {d,e,f} joined by one bridge c–d:
+    // m = 7, perfect labeling: intra = 6, degrees (2,2,3,3,2,2),
+    // d_A = d_B = 7 → Q = (4·7·6 − 98)/(4·49) = 70/196 = 0.357142857…
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d"))
+      .toDF("src", "dst")
+    val labels = Seq("a" -> "A", "b" -> "A", "c" -> "A",
+      "d" -> "B", "e" -> "B", "f" -> "B").toDF("node", "label")
+    val got = Graph.modularity(edges, labels, "src", "dst",
+        "node", "label")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(got == ((2L, 7L, 6L, Some(357143L))))
+    // everything in ONE community: Q = (4m·m − (2m)²)/(4m²) = 0
+    val one = Graph.modularity(edges,
+        labels.select(col("node"), lit("X").as("label")),
+        "src", "dst", "node", "label")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(one == ((1L, 7L, 7L, Some(0L))))
+    // an unlabeled node raises loudly
+    val e = intercept[Exception] {
+      Graph.modularity(edges, labels.filter(col("node") =!= "e"),
+        "src", "dst", "node", "label").collect()
+    }
+    assert((e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("unlabeled node"), e.getMessage)
+    // random graph + random labeling ≡ BigInt textbook formula
+    val rnd = new scala.util.Random(241)
+    val redges = Seq.fill(160)(
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+    val rlabels = (0 until 40).map(i => s"n$i" -> s"c${rnd.nextInt(5)}")
+    val gotR = Graph.modularity(redges.toDF("src", "dst"),
+        rlabels.toDF("node", "label"), "src", "dst", "node", "label")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    val und = redges.filter(e2 => e2._1 != e2._2)
+      .map(e2 => (Seq(e2._1, e2._2).min, Seq(e2._1, e2._2).max))
+      .distinct
+    val lm = rlabels.toMap
+    val m = BigInt(und.size)
+    val intra = BigInt(und.count(e2 => lm(e2._1) == lm(e2._2)))
+    val deg = und.flatMap(e2 => Seq(e2._1, e2._2))
+      .groupBy(identity).map { case (k, v) => k -> BigInt(v.size) }
+    val dc = deg.groupBy { case (nd, _) => lm(nd) }
+      .map { case (_, xs) => xs.values.sum }
+    val sd2 = dc.map(x => x * x).sum
+    val nComm = und.flatMap(e2 => Seq(e2._1, e2._2)).distinct
+      .map(lm).distinct.size.toLong
+    val qn = 4 * m * intra - sd2
+    val qd = 4 * m * m
+    val qe6 =
+      if (qn >= 0) (2 * qn * 1000000 + qd) / (2 * qd)
+      else -((2 * (-qn) * 1000000 + qd) / (2 * qd))
+    assert(gotR == ((nComm, m.toLong, intra.toLong, Some(qe6.toLong))))
   }
 }

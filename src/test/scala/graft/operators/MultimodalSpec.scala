@@ -593,4 +593,51 @@ class MultimodalSpec extends AnyFunSuite {
       assert(durMs == frames * 1000 / rate)
     }
   }
+  test("tiff: construct→parse round trip in both byte orders and both " +
+      "dim types; header-byte pins vs the published TIFF 6.0 layout; " +
+      "corrupt headers read None, never throw") {
+    // round trip over a grid of shapes
+    for {
+      big <- Seq(false, true); longDims <- Seq(false, true)
+      (w, h, b, c) <- Seq((1, 1, 1, 1), (640, 480, 8, 5),
+        (13, 7, 16, 7), (65535, 2, 32, 32773))
+    } {
+      val bytes = Multimodal.tiffBytes(w, h, b, c, big, longDims)
+      val got = Multimodal.tiffInfo(bytes)
+      assert(got == Some(Multimodal.TiffInfo(w, h, b, c, big, 5)),
+        s"big=$big longDims=$longDims w=$w")
+    }
+    // header-byte pins against the published layout (TIFF 6.0 §2):
+    // II magic, 42 little-endian, IFD offset 8, entry count 5, first
+    // entry tag 256 type 4 count 1 value w — byte for byte
+    val le = Multimodal.tiffBytes(258, 7, 8, 1, bigEndian = false,
+      longDims = true)
+    assert(le(0) == 'I'.toByte && le(1) == 'I'.toByte)
+    assert(le(2) == 42.toByte && le(3) == 0.toByte)
+    assert(le.slice(4, 8).toSeq ==
+      Seq[Byte](8, 0, 0, 0)) // IFD0 at offset 8
+    assert(le(8) == 5.toByte && le(9) == 0.toByte) // 5 entries
+    assert(le.slice(10, 12).toSeq == Seq[Byte](0, 1)) // tag 256 LE
+    assert(le.slice(12, 14).toSeq == Seq[Byte](4, 0)) // type LONG
+    assert(le.slice(14, 18).toSeq == Seq[Byte](1, 0, 0, 0)) // count 1
+    assert(le.slice(18, 22).toSeq == Seq[Byte](2, 1, 0, 0)) // 258 LE
+    // big-endian: MM magic, 0x002A, and the SHORT value left-justified
+    // in the first two value bytes (the spec's left-justification rule)
+    val be = Multimodal.tiffBytes(300, 7, 8, 1, bigEndian = true,
+      longDims = false)
+    assert(be(0) == 'M'.toByte && be(1) == 'M'.toByte)
+    assert(be(2) == 0.toByte && be(3) == 42.toByte)
+    assert(be.slice(10, 12).toSeq == Seq[Byte](1, 0)) // tag 256 BE
+    assert(be.slice(12, 14).toSeq == Seq[Byte](0, 3)) // type SHORT
+    assert(be.slice(18, 20).toSeq ==
+      Seq[Byte](1, 44)) // 300 BE in the FIRST two bytes
+    // corruption: truncation, bad magic, bad 42, IFD past the end
+    assert(Multimodal.tiffInfo(null) == None)
+    assert(Multimodal.tiffInfo(le.take(6)) == None)
+    assert(Multimodal.tiffInfo("not a tiff at all".getBytes) == None)
+    val bad42 = le.clone(); bad42(2) = 43.toByte
+    assert(Multimodal.tiffInfo(bad42) == None)
+    val badIfd = le.clone(); badIfd(4) = 100.toByte
+    assert(Multimodal.tiffInfo(badIfd) == None)
+  }
 }

@@ -451,4 +451,41 @@ class SamplingSpec extends AnyFunSuite {
           e.getCause.getMessage.contains("duplicate id"), e.getMessage)
     }
   }
+  test("kFoldReport: folds are the portable md5 hash of the group, " +
+      "shares sum to ~1e6 per stratum, null group raises") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i =>
+      (s"g${i % 37}", if (i % 3 == 0) "en" else "de"))
+    val got = Sampling.kFoldReport(rows.toDF("grp", "lang"),
+        "grp", "lang", k = 5)
+      .as[(Long, String, Long, Long)].collect()
+    // independent model: same md5-prefix hash, same counts and lattice
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def fold(g: String): Long =
+      java.lang.Long.parseLong(md5hex("graft" + g).take(15), 16) % 5
+    val counts = rows.groupBy { case (g, l) => (fold(g), l) }
+      .map { case (k, v) => k -> v.size.toLong }
+    val strata = rows.groupBy(_._2).map { case (l, v) => l -> v.size.toLong }
+    val want = counts.map { case ((f, l), n) =>
+      (f, l, n, (2 * n * 1000000L + strata(l)) / (2 * strata(l)))
+    }.toSet
+    assert(got.toSet == want)
+    // every group's rows land in exactly one fold (the leakage rule)
+    assert(got.map(_._1).distinct.size <= 5)
+    // per-stratum shares sum to 1e6 within k half-ulps of rounding
+    strata.keys.foreach { l =>
+      val tot = got.filter(_._2 == l).map(_._4).sum
+      assert(math.abs(tot - 1000000L) <= 5, s"$l shares sum $tot")
+    }
+    val e = intercept[Exception] {
+      Sampling.kFoldReport(
+        Seq((Option.empty[String], "en")).toDF("grp", "lang"),
+        "grp", "lang").collect()
+    }
+    assert((e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("null group"), e.getMessage)
+  }
 }

@@ -682,4 +682,82 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(msg(e2).contains("non-finite"), msg(e2))
   }
+  test("silhouette: hand geometry on fixed centroids; scalar-model " +
+      "parity on random vectors; tight clusters beat a split one") {
+    import spark.implicits._
+    val model = Similarity.IvfModel(Seq(
+      Seq(0.0f, 0.0f), Seq(10.0f, 0.0f), Seq(0.0f, 10.0f)))
+    // a point AT centroid 0: a² = 0, b² = 100 → s = 1
+    // the midpoint of centroids 0 and 1: a² = b² = 25 → s = 0
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(5.0f, 0.0f)),
+      (3L, Seq(9.0f, 0.0f)), (4L, Seq(0.1f, 0.2f)))
+    val got = Similarity.silhouette(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", model)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // scalar model: same fixed IEEE tree, same 1e4 row lattice, same
+    // integer mean read
+    val cents = model.centroids
+    def model1(v: Seq[Float]): (Int, Long) = {
+      val v2 = v.map(x => x.toDouble * x.toDouble).sum
+      val ds = cents.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x.toDouble * x).sum
+        val dot = v.zip(c).map { case (a, b) => a.toDouble * b.toDouble }
+          .sum
+        (v2 + c2 - 2.0 * dot, i)
+      }.sorted
+      val (a2, cl) = ds(0); val (b2, _) = ds(1)
+      val sRaw = if (math.max(a2, b2) <= 0.0) 0.0
+        else (b2 - a2) / math.max(a2, b2)
+      (cl, (math.signum(sRaw) *
+        math.floor(math.abs(sRaw) * 10000.0 + 0.5)).toLong)
+    }
+    val byCluster = vecs.map { case (_, v) => model1(v) }
+      .groupBy(_._1)
+    val want = byCluster.map { case (cl, xs) =>
+      val n = xs.size.toLong; val ssum = xs.map(_._2).sum
+      val mean =
+        if (ssum >= 0) (2 * ssum * 100 + n) / (2 * n)
+        else -((-2 * ssum * 100 + n) / (2 * n))
+      cl.toLong -> ((n, mean))
+    }
+    assert(got == want)
+    // point at its centroid reads s = 1 (1e6 on the lattice)
+    assert(model1(Seq(0.0f, 0.0f))._2 == 10000L)
+    // random vectors, scalar parity
+    val rnd = new scala.util.Random(251)
+    val rvecs = (0L until 300L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 4 - 2)))
+    val model8 = Similarity.IvfModel(
+      Seq.fill(4)(Seq.fill(8)(rnd.nextFloat() * 4 - 2)))
+    val gotR = Similarity.silhouette(
+        rvecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        model8)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def model1x(v: Seq[Float]): (Int, Long) = {
+      val v2 = v.map(x => x.toDouble * x.toDouble).sum
+      val ds = model8.centroids.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x.toDouble * x).sum
+        val dot = v.zip(c).map { case (a, b) => a.toDouble * b.toDouble }
+          .sum
+        (v2 + c2 - 2.0 * dot, i)
+      }.sorted
+      val (a2, cl) = ds(0); val (b2, _) = ds(1)
+      val sRaw = if (math.max(a2, b2) <= 0.0) 0.0
+        else (b2 - a2) / math.max(a2, b2)
+      (cl, (math.signum(sRaw) *
+        math.floor(math.abs(sRaw) * 10000.0 + 0.5)).toLong)
+    }
+    val wantR = rvecs.map { case (_, v) => model1x(v) }
+      .groupBy(_._1).map { case (cl, xs) =>
+        val n = xs.size.toLong; val ssum = xs.map(_._2).sum
+        val mean =
+          if (ssum >= 0) (2 * ssum * 100 + n) / (2 * n)
+          else -((-2 * ssum * 100 + n) / (2 * n))
+        cl.toLong -> ((n, mean))
+      }
+    assert(gotR == wantR)
+  }
 }

@@ -1090,4 +1090,80 @@ class TextAnalyticsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxVocab"), e.getMessage)
   }
+  test("termBurstiness: hand cf/df lattice; plain-Scala parity on a " +
+      "generated corpus; minDf cut") {
+    import spark.implicits._
+    // "a a a b" + "a b" → a: cf 4, df 2, B = 2; b: cf 2, df 2, B = 1
+    val got = TextAnalytics.termBurstiness(
+        Seq((1L, "a a a b"), (2L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map("a" -> ((4L, 2L, 2000000L)),
+      "b" -> ((2L, 2L, 1000000L))))
+    // df = 1 terms cut at the default minDf = 2
+    val cut = TextAnalytics.termBurstiness(
+        Seq((1L, "x x y"), (2L, "y")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect().map(_._1).toSet
+    assert(cut == Set("y"))
+    // generated corpus ≡ independent plain-Scala model
+    val rnd = new scala.util.Random(239)
+    val docs = (0L until 120L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(30))(s"w${rnd.nextInt(40)}")
+        .mkString(" ")))
+    val gotR = TextAnalytics.termBurstiness(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val perDoc = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .toSeq.map { case (w, o) => (w, id, o.length.toLong) }
+    }
+    val want = perDoc.groupBy(_._1).collect {
+      case (w, occ) if occ.size >= 2 =>
+        val cf = occ.map(_._3).sum; val df = occ.size.toLong
+        w -> ((cf, df, (2 * cf * 1000000L + df) / (2 * df)))
+    }.toMap
+    assert(gotR == want)
+  }
+
+  test("queryLikelihood: scalar-model parity (every doc scores, " +
+      "background mass only for no-hit docs), absent term raises") {
+    import spark.implicits._
+    val docs = Seq((1L, "table of data"), (2L, "query the table table"),
+      (3L, "nothing here at all"))
+    val terms = Seq("table", "query")
+    val got = TextAnalytics.queryLikelihood(
+        docs.toDF("doc_id", "text"), "doc_id", "text", terms,
+        mu = 100L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // independent scalar model
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val cTotal = toks.values.map(_.size).sum.toDouble
+    val cf = terms.map(t =>
+      t -> toks.values.map(_.count(_ == t)).sum.toDouble).toMap
+    val want = docs.map { case (id, _) =>
+      val len = toks(id).size.toDouble
+      val hit = terms.count(t => toks(id).contains(t)).toLong
+      val score = terms.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        math.floor(math.log(
+          (tf + 100.0 * (cf(t) / cTotal)) / (len + 100.0)) * 1e6).toLong
+      }.sum
+      id -> ((hit, score))
+    }.toMap
+    assert(got == want)
+    assert(got(3L)._1 == 0L) // no-hit doc still scored
+    val e = intercept[Exception] {
+      TextAnalytics.queryLikelihood(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        Seq("table", "zzzmissing")).collect()
+    }
+    assert((e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("absent from the corpus"), e.getMessage)
+  }
 }
