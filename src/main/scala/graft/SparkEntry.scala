@@ -555,9 +555,15 @@ object SparkEntry {
               ModelRegistry.tableKey(s, s"lshpairs:$d"))(d3PairsRaw(s, d))
             .select("id_a", "id_b")))
     // durable write-through (r12 verdict #2): a cold-JVM report query
-    // (d16/d22) reads this table instead of re-running the d3+d6 chain
-    Dedup.writeClusterTable(clusters, d6ClusterCacheDir(d),
-      d6ClusterFingerprint(s, d))
+    // (d16/d22) reads this table instead of re-running the d3+d6 chain.
+    // The labeling is deterministic in the fingerprinted inputs, so a
+    // matching-fingerprint cache is byte-equivalent and the rewrite is
+    // skipped — the producer recomputes every run (the registry
+    // contract) but only pays the parquet write when the corpus is new
+    val fp = d6ClusterFingerprint(s, d)
+    if (!Dedup.storedClusterFingerprint(s, d6ClusterCacheDir(d))
+        .contains(fp))
+      Dedup.writeClusterTable(clusters, d6ClusterCacheDir(d), fp)
     clusters
   }
 

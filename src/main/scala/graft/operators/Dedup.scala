@@ -1287,25 +1287,35 @@ object Dedup {
       .write.mode("overwrite").json(s"$dest/meta")
   }
 
+  /** The stored sidecar fingerprint, if a structurally-valid cache
+    * exists at `dest` — the cheap probe [[writeClusterTable]] callers
+    * use to SKIP a redundant rewrite: the cluster labeling is a
+    * deterministic function of the fingerprinted inputs, so a
+    * matching-fingerprint cache is byte-equivalent to what a rewrite
+    * would produce and the producer can keep its recompute-always
+    * contract without paying a no-op parquet write every run.
+    */
+  def storedClusterFingerprint(
+      spark: org.apache.spark.sql.SparkSession, dest: String)
+      : Option[String] =
+    try {
+      val meta = new org.apache.hadoop.fs.Path(s"$dest/meta")
+      val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(meta)) None
+      else Some(spark.read.json(s"$dest/meta")
+        .head().getAs[String]("fingerprint"))
+    } catch { case _: Throwable => None }
+
   /** Read back a persisted cluster table iff its sidecar fingerprint
     * matches — None on a missing, torn, or stale cache (never a silent
     * wrong answer; the consumer's miss path recomputes).
     */
   def readClusterTable(
       spark: org.apache.spark.sql.SparkSession, dest: String,
-      fingerprint: String): Option[DataFrame] = {
-    val meta = new org.apache.hadoop.fs.Path(s"$dest/meta")
-    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stored =
-      try {
-        if (!fs.exists(meta)) None
-        else Some(spark.read.json(s"$dest/meta")
-          .head().getAs[String]("fingerprint"))
-      } catch { case _: Throwable => None }
-    if (stored.contains(fingerprint))
+      fingerprint: String): Option[DataFrame] =
+    if (storedClusterFingerprint(spark, dest).contains(fingerprint))
       Some(spark.read.parquet(s"$dest/clusters"))
     else None
-  }
 
   def resolveClusters(
       clusters: DataFrame, scores: DataFrame,

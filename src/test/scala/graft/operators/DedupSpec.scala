@@ -282,6 +282,20 @@ class DedupSpec extends AnyFunSuite {
     assert(ModelRegistry.lookupTable(
       ModelRegistry.tableKey(spark, s"lshpairs:$d")).isEmpty,
       "cold d22 recomputed the LSH chain instead of reading the cache")
+    // the producer skips the byte-equivalent rewrite on a matching
+    // fingerprint: the cache files' mtimes must not change across a
+    // second d6 run
+    def newestMtime(): Long = {
+      def walk(f: java.io.File): Seq[Long] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f.lastModified())
+      walk(new java.io.File(graft.SparkEntry.d6ClusterCacheDir(d))).max
+    }
+    val before = newestMtime()
+    graft.SparkEntry.queries("d6_dedup_clusters")(spark, d).count()
+    assert(newestMtime() == before,
+      "d6 rewrote a matching-fingerprint cache (the skip is broken)")
   }
 
   test("simHash is deterministic and separates similar from different") {
