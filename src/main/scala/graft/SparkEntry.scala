@@ -10798,7 +10798,7 @@ FROM c"""
         |perdoc AS (SELECT id, count(*)::BIGINT AS n_chunks FROM chunks
         |  GROUP BY 1),
         |hot AS (SELECT h, count(*) AS df FROM chunks GROUP BY 1
-        |  HAVING count(*) >= 2 AND count(*) <= 100),
+        |  HAVING count(*) >= 2 AND count(*) <= 32),
         |elig AS (SELECT c.h, c.id FROM chunks c JOIN hot USING (h)),
         |shared AS (SELECT a.id AS id_a, b.id AS id_b,
         |    count(*)::BIGINT AS n_shared

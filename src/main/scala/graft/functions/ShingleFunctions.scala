@@ -172,6 +172,62 @@ object ShingleHashKernel {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Content-defined chunk hashes of one token array in a single pass —
+    * the per-row kernel behind [[graft.operators.Dedup.cdcChunkPairs]].
+    * A chunk is a maximal run of non-empty tokens ending at a boundary
+    * token (`portableTokenHash(tok) % boundaryMod == 0` — the boundary
+    * falls AFTER that token) or at end-of-document; chunks shorter than
+    * `minChunkTokens` drop at birth. The chunk hash is the portable
+    * md5-head60 of the space-joined body — bit-identical to
+    * `conv(substring(md5(array_join(toks, ' ')), 1, 15), 16, 10)`, so
+    * the DuckDB twin and the relational formulation agree. Output may
+    * contain within-document duplicates (a repeated chunk); the caller
+    * dedups after the explode. Null/empty token elements are skipped
+    * (the relational form filters `tok != ''` before chunking).
+    *
+    * The relational formulation (posexplode -> per-id running-sum
+    * window -> groupBy(id, chunk) collect_list) shuffles and sorts
+    * every token occurrence TWICE before the first chunk hash exists;
+    * this kernel emits finished chunk hashes from the scan stage.
+    */
+  def cdcChunkKeys(
+      tokens: ArrayData, boundaryMod: Int, minChunkTokens: Int): ArrayData = {
+    val len = tokens.numElements()
+    val md = md5Local.get()
+    var out = new Array[Long](16)
+    var nOut = 0
+    // token byte slices of the open chunk, digested only at close:
+    // portableTokenHash shares the ThreadLocal digest, and digest()
+    // resets it — an incremental update would be wiped by the
+    // boundary test.
+    val chunk = new scala.collection.mutable.ArrayBuffer[Array[Byte]](32)
+    def close(): Unit = {
+      if (chunk.length >= minChunkTokens) {
+        var j = 0
+        while (j < chunk.length) {
+          if (j > 0) md.update(0x20.toByte)
+          md.update(chunk(j))
+          j += 1
+        }
+        if (nOut == out.length) out = java.util.Arrays.copyOf(out, nOut * 2)
+        out(nOut) = head60(md.digest())
+        nOut += 1
+      }
+      chunk.clear()
+    }
+    var i = 0
+    while (i < len) {
+      val t = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) {
+        chunk += t.getBytes
+        if (portableTokenHash(t) % boundaryMod == 0) close()
+      }
+      i += 1
+    }
+    close()
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, nOut))
+  }
+
   /** 64-bit SimHash over a token array: per-bit sign sums of the token
     * hashes (weighted by occurrence count, which iterating occurrences
     * does implicitly), reassembled into a long. Bit-identical to the
@@ -349,6 +405,31 @@ case class MinHashSigExpr(
     copy(child = newChild)
 }
 
+/** `array<long>` of content-defined chunk hashes of a token array — one
+  * fused per-row loop in whole-stage codegen; see
+  * [[ShingleHashKernel.cdcChunkKeys]].
+  */
+case class CdcChunkKeysExpr(
+    child: Expression, boundaryMod: Int, minChunkTokens: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunk_keys"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashKernel.cdcChunkKeys(
+      input.asInstanceOf[ArrayData], boundaryMod, minChunkTokens)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.ShingleHashKernel.cdcChunkKeys(" +
+        s"$t, $boundaryMod, $minChunkTokens);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array; see [[ShingleHashKernel.simhash64]]. */
 case class SimHash64Expr(child: Expression, portable: Boolean)
     extends UnaryExpression {
@@ -394,6 +475,12 @@ object ShingleFunctions {
     */
   def gramRepetition(tokens: Column): Column =
     ColumnBridge.column(GramRepetitionExpr(ColumnBridge.expression(tokens)))
+
+  /** Content-defined chunk hashes of a token array (portable family). */
+  def cdcChunkKeys(
+      tokens: Column, boundaryMod: Int, minChunkTokens: Int): Column =
+    ColumnBridge.column(CdcChunkKeysExpr(
+      ColumnBridge.expression(tokens), boundaryMod, minChunkTokens))
 
   /** Shingle keys from a pre-hashed token array (default xx64 family). */
   def shingleKeysFromHashes(tokenHashes: Column, n: Int): Column =

@@ -1175,40 +1175,33 @@ object Dedup {
     * candidate join (the hot-shingle cap); chunks shorter than
     * `minChunkTokens` are noise and drop at birth; the candidate join
     * is an equi-join on chunk hash over the 2 ≤ df ≤ maxDf slice —
-    * never all-pairs. Exact integer containment on the half-up 1e-6
+    * never all-pairs. maxDf bounds the per-chunk candidate fan-out at
+    * C(maxDf, 2): the default 32 caps it at 496 pairs per chunk — a
+    * chunk verbatim-shared by MORE docs than that is a template, which
+    * is d1/d18's class (exact/boilerplate dedup), not near-dup
+    * pairing's. The fixed-vocab ScaleProbe corpus densifies chunk dfs
+    * with corpus growth (every df ∝ n — the t37 artifact class); the
+    * paired Heaps-vocabulary probe (d23h) is the realistic read. Exact integer containment on the half-up 1e-6
     * lattice. Output: (id_a, id_b, n_shared, chunks_a, chunks_b,
     * containment_e6).
     */
   def cdcChunkPairs(
       docs: DataFrame, idCol: String, textCol: String,
       boundaryMod: Int = 8, minChunkTokens: Int = 3,
-      maxDf: Long = 100L, thresholdE6: Long = 500000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      maxDf: Long = 32L, thresholdE6: Long = 500000L): DataFrame = {
     require(boundaryMod >= 2, s"boundaryMod must be >= 2 (got $boundaryMod)")
     require(minChunkTokens >= 1,
       s"minChunkTokens must be >= 1 (got $minChunkTokens)")
     require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf)")
-    val toks = docs.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-    // chunk index = boundaries strictly before this token: the window
-    // is per-document (documents are the small unit; a mega-doc is a
-    // p6-explode problem upstream, not a skew class here)
-    val w = Window.partitionBy("id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val marked = toks.withColumn("b",
-        when(pmod(portableTokenHash(col("tok")), lit(boundaryMod)) === 0,
-          1L).otherwise(0L))
-      .withColumn("chunk", coalesce(sum("b").over(w), lit(0L)))
-    val chunks = marked.groupBy("id", "chunk")
-      .agg(count(lit(1)).as("n_tokens"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ").as("body"))
-      .filter(col("n_tokens") >= minChunkTokens)
-      .select(col("id"),
-        conv(substring(md5(col("body")), 1, 15), 16, 10).cast("long")
-          .as("h"))
+    // one codegen'd pass per document: the scan stage emits finished
+    // chunk hashes (ShingleHashKernel.cdcChunkKeys) — the relational
+    // form (posexplode -> per-id running-sum window -> collect_list
+    // groupBy) shuffled and sorted every token occurrence twice and
+    // went superlinear under sort/aggregate memory pressure at 320k
+    // docs (142 s vs ~4 s for this form; ScaleProbe d23h, round 13)
+    val chunks = docs.select(col(idCol).as("id"),
+        explode(graft.functions.ShingleFunctions.cdcChunkKeys(
+          split(col(textCol), " "), boundaryMod, minChunkTokens)).as("h"))
       .distinct() // a chunk repeated within one doc counts once
       .localCheckpoint() // feeds per-doc sizes AND the candidate join
     val perDoc = chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))

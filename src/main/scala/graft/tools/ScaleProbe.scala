@@ -1276,6 +1276,12 @@ object ScaleProbe {
         TextAnalytics.termBurstiness(d, "doc_id", "text").count()),
       "d23_cdc" -> (d =>
         Dedup.cdcChunkPairs(d, "doc_id", "text").count()),
+      // d23 on the Heaps-law corpus: the fixed-vocab synth densifies
+      // chunk dfs ∝ n (the t37/t38h artifact class); this is the
+      // realistic-growth read
+      "d23h_cdc_heaps" -> (d =>
+        Dedup.cdcChunkPairs(synthHeaps(d.sparkSession, probeN),
+          "doc_id", "text").count()),
       "g15_modularity" -> { d =>
         val g = d.select(
           concat(lit("doc:"), col("doc_id")).as("dn"),
