@@ -4305,6 +4305,136 @@ FROM c"""
     Multimodal.tiffMeta(s, payloads, "doc_id")
   }
 
+  /** e31: Matthews correlation between the high-value event truth and
+    * a deterministic detector — exact 4-cell confusion counts, the
+    * signed-square 1e-12 lattice, integer band edges. Full oracle.
+    */
+  private def e31Mcc(s: SparkSession, d: String): DataFrame =
+    Classifier.matthewsCorrelation(
+      T(s, d, "events").select(
+        (col("value") > 50.0).as("truth"),
+        (col("value") + pmod(col("event_id"), lit(20)) > 55.0).as("pred")),
+      "truth", "pred")
+
+  /** e32: Friedman test over a 3-system panel scored on every document
+    * — doubled within-block ranks (exact through ties), one integer
+    * rational, the shared chi-square table verdict. Full oracle.
+    */
+  private def e32Friedman(s: SparkSession, d: String): DataFrame = {
+    val panel = T(s, d, "documents").select(col("doc_id").as("blk"),
+        explode(array((0 until 3).map(j => struct(
+          lit(s"sys$j").as("trt"),
+          pmod(length(col("text")) * (3 + j) + col("doc_id") * j,
+            lit(25)).as("v"))): _*)).as("e"))
+      .select(col("blk"), col("e.trt").as("trt"), col("e.v").as("v"))
+    Classifier.friedmanTest(panel, "blk", "trt", "v")
+  }
+
+  /** e33: Cohen's d between even- and odd-id documents' lengths — the
+    * parametric effect size next to e30's ordinal read, same fixture;
+    * lattice-defined mean-diff/pooled-variance composition, squared
+    * magnitude bands. Full oracle.
+    */
+  private def e33CohensD(s: SparkSession, d: String): DataFrame =
+    Classifier.cohensD(
+      T(s, d, "documents").select(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("a"))
+          .otherwise(lit("b")).as("grp"),
+        col("n_chars").as("score")),
+      "grp", "score")
+
+  /** ml5: exact best decision stump predicting the document source
+    * from (n_chars, n_tokens) — every observed threshold scored on the
+    * 1e-9 Gini lattice, deterministic tie-breaks. Full oracle.
+    */
+  private def ml5Stump(s: SparkSession, d: String): DataFrame =
+    Classifier.decisionStump(
+      T(s, d, "documents").select(col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("source")),
+      Seq("n_chars", "n_tokens"), "source")
+
+  /** w30: Nelson–Aalen cumulative hazard over user lifetimes — w27's
+    * risk grid with hazard SUMS instead of log-survival products
+    * (finite where KM dies), per-row e6/e12 lattice terms, exact
+    * integer prefix sums. Full oracle.
+    */
+  private def w30NelsonAalen(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.nelsonAalen(T(s, d, "events"), "user_id", "ts")
+
+  /** g16: global transitivity + average local clustering of the g5
+    * hop graph — one rollup over the per-node triangle table. Full
+    * oracle (extends the g5 CTE chain).
+    */
+  private def g16Transitivity(s: SparkSession, d: String): DataFrame = {
+    val ids = T(s, d, "documents").select(col("doc_id"))
+    val hop = ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 1).as("dst"))
+      .unionByName(ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 2).as("dst")))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    Graph.transitivity(hop, "src", "dst")
+  }
+
+  /** t47: Good–Turing re-estimation table over the corpus unigrams —
+    * r* and mass shares as exact rationals on the count-of-counts
+    * spine, unseen mass on the r = 0 row. Full oracle.
+    */
+  private def t47GoodTuring(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.goodTuring(T(s, d, "documents"), "text")
+
+  /** m16: WebP (RIFF) structure metadata — all three published
+    * bitstream flavors constructed from doc_id arithmetic and parsed
+    * back by the chunk walk (the m7/m15 construct→parse discipline);
+    * odd-size EXIF chunks exercise word alignment. Oracle re-derives
+    * the closed form.
+    */
+  private def m16WebpMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = T(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes =
+          if (id % 13 == 0) text.getBytes("UTF-8") // non-WebP: dropped
+          else Multimodal.webpBytes(
+            width = 1 + (id % 500).toInt, height = 1 + (id % 333).toInt,
+            variant = Seq("lossy", "lossless", "extended")((id % 3).toInt),
+            alpha = id % 4 == 0, animation = id % 5 == 0,
+            exifChunk = id % 2 == 0)
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+    Multimodal.webpMeta(s, payloads, "doc_id")
+  }
+
+  /** v22: recall@10 of cosine ranking THROUGH the 16-component ±1 JL
+    * projection vs the exact dense ranking — the
+    * dimensionality-reduction scale path's honesty check (the v14/v19
+    * recall-family shape). Full oracle: the twin regenerates the sign
+    * matrix from the same md5 recipe.
+    */
+  private def v22JlRecall(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 20)
+    val signs = Similarity.jlSigns(16, 64)
+    val exact = Similarity.cosineTopK(
+      q, e, "vec_id", "vec_id", "embedding", k = 10)
+    val approx = Similarity.jlTopK(
+      q, e, "vec_id", "vec_id", "embedding", signs, k = 10)
+    Similarity.recallAtK(approx, exact, k = 10)
+  }
+
+  /** h6: Rocchio pseudo-relevance-feedback rerank — each query moved
+    * toward its exact top-10 centroid (α=1, β=0.75), corpus reranked
+    * by cosine to the expanded query; centroid means snapped to the
+    * 1e-6 grid so both engines agree bit-for-bit. Full oracle.
+    */
+  private def h6Rocchio(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 20)
+    Similarity.rocchioRerank(
+      q, e, "vec_id", "vec_id", "embedding", k = 10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q1_pricing_summary" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),
@@ -4589,7 +4719,17 @@ FROM c"""
     "h5_lm_retrieval" -> (h5LmRetrieval _),
     "v21_silhouette" -> (v21Silhouette _),
     "s15_kfold" -> (s15Kfold _),
-    "m15_tiff_meta" -> (m15TiffMeta _))
+    "m15_tiff_meta" -> (m15TiffMeta _),
+    "e31_mcc" -> (e31Mcc _),
+    "e32_friedman" -> (e32Friedman _),
+    "e33_cohens_d" -> (e33CohensD _),
+    "ml5_stump" -> (ml5Stump _),
+    "w30_nelson_aalen" -> (w30NelsonAalen _),
+    "g16_transitivity" -> (g16Transitivity _),
+    "t47_good_turing" -> (t47GoodTuring _),
+    "m16_webp_meta" -> (m16WebpMeta _),
+    "v22_jl_recall" -> (v22JlRecall _),
+    "h6_rocchio" -> (h6Rocchio _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -10961,7 +11101,378 @@ FROM c"""
         |    AS bits_per_sample,
         |  ([1, 5, 7, 32773])[(doc_id % 4) + 1]::BIGINT AS compression,
         |  doc_id % 3 = 0 AS big_endian, 5::BIGINT AS n_entries
-        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin)
+        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin,
+    // e31 twin: the same 4-cell confusion + signed-square e12 lattice
+    // in HUGEINT
+    "e31_mcc" ->
+      """WITH c AS (SELECT (value > 50.0) AS t,
+        |    (value + (event_id % 20) > 55.0) AS p FROM events),
+        |m AS (SELECT
+        |    sum(CASE WHEN t AND p THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)::BIGINT
+        |      AS tn,
+        |    sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)::BIGINT AS fneg
+        |  FROM c),
+        |x AS (SELECT *, (tp::HUGEINT * tn - fp::HUGEINT * fneg) AS num,
+        |    ((tp + fp)::HUGEINT * (tp + fneg) * (tn + fp) * (tn + fneg))
+        |      AS den
+        |  FROM m)
+        |SELECT (tp + tn + fp + fneg)::BIGINT AS n, tp, tn, fp,
+        |  fneg AS fn,
+        |  CASE WHEN den = 0 THEN NULL
+        |    WHEN num >= 0 THEN
+        |      ((2 * num * num * 1000000000000 + den) // (2 * den))::BIGINT
+        |    ELSE -(((2 * num * num * 1000000000000 + den)
+        |      // (2 * den))::BIGINT) END AS mcc_sq_e12,
+        |  CASE WHEN den = 0 THEN 'undefined'
+        |    WHEN 1000000000000::HUGEINT * num * num >=
+        |      490000000000::HUGEINT * den THEN 'strong'
+        |    WHEN 1000000000000::HUGEINT * num * num >=
+        |      90000000000::HUGEINT * den THEN 'moderate'
+        |    ELSE 'weak' END AS band
+        |FROM x""".stripMargin,
+    // e32 twin: identical doubled ranks (2*rank + ties − 1), the one
+    // integer rational, the shared chi-square table
+    "e32_friedman" ->
+      """WITH cells AS (SELECT doc_id AS blk, 'sys' || j AS trt,
+        |    (length(text) * (3 + j) + doc_id * j) % 25 AS v
+        |  FROM documents, (SELECT unnest([0, 1, 2]) AS j)),
+        |r AS (SELECT blk, trt, v,
+        |    2 * rank() OVER (PARTITION BY blk ORDER BY v)
+        |      + count(*) OVER (PARTITION BY blk, v) - 1 AS r2
+        |  FROM cells),
+        |pt AS (SELECT trt, sum(r2)::HUGEINT AS s2 FROM r GROUP BY 1),
+        |tot AS (SELECT sum(r2::HUGEINT * r2) AS sr2 FROM r),
+        |bm AS (SELECT count(DISTINCT blk)::BIGINT AS n_blocks FROM cells),
+        |km AS (SELECT count(DISTINCT trt)::BIGINT AS k FROM cells),
+        |dev AS (SELECT sum((s2 - n_blocks::HUGEINT * (k + 1))
+        |      * (s2 - n_blocks::HUGEINT * (k + 1))) AS sdev
+        |  FROM pt, bm, km),
+        |s AS (SELECT n_blocks, k, (k - 1)::INT AS df,
+        |    (k - 1)::HUGEINT * sdev AS fn,
+        |    sr2 - n_blocks::HUGEINT * k * (k + 1) * (k + 1) AS fd
+        |  FROM bm, km, dev, tot)
+        |SELECT n_blocks, k AS k_treatments, df,
+        |  CASE WHEN fd = 0 THEN NULL
+        |    ELSE ((2 * fn * 1000000 + fd) // (2 * fd))::BIGINT END
+        |    AS chi2_e6,
+        |  CASE WHEN fd = 0 THEN 'undefined'
+        |    WHEN 1000000::HUGEINT * fn > ([3841459, 5991465, 7814728,
+        |      9487729, 11070498, 12591587, 14067140, 15507313,
+        |      16918978, 18307038, 19675138, 21026070, 22362032,
+        |      23684791, 24995790, 26296228, 27587112, 28869299,
+        |      30143527, 31410433, 32670573, 33924438, 35172462,
+        |      36415028, 37652484, 38885139, 40113272, 41337138,
+        |      42556968, 43772972])[df]::HUGEINT * fd THEN 'different'
+        |    ELSE 'not_different' END AS verdict
+        |FROM s""".stripMargin,
+    // e33 twin: the identical lattice-composed mean-diff / pooled-var
+    // / signed-square chain in HUGEINT
+    "e33_cohens_d" ->
+      """WITH s AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b'
+        |      END AS g, n_chars AS v FROM documents),
+        |m AS (SELECT
+        |    sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN g = 'a' THEN v ELSE 0 END)::HUGEINT AS sa,
+        |    sum(CASE WHEN g = 'b' THEN v ELSE 0 END)::HUGEINT AS sb,
+        |    sum(CASE WHEN g = 'a' THEN v * v ELSE 0 END)::HUGEINT AS qa,
+        |    sum(CASE WHEN g = 'b' THEN v * v ELSE 0 END)::HUGEINT AS qb
+        |  FROM s),
+        |x AS (SELECT *, (sa * n_b - sb * n_a) AS mdn,
+        |    n_a::HUGEINT * n_b AS mdd,
+        |    (n_b::HUGEINT * (n_a * qa - sa * sa)
+        |      + n_a::HUGEINT * (n_b * qb - sb * sb)) AS spn,
+        |    n_a::HUGEINT * n_b * (n_a + n_b - 2) AS spd
+        |  FROM m),
+        |y AS (SELECT *,
+        |    CASE WHEN mdn >= 0 THEN
+        |        ((2 * mdn * 1000000 + mdd) // (2 * mdd))::BIGINT
+        |      ELSE -(((-2 * mdn * 1000000 + mdd) // (2 * mdd))::BIGINT)
+        |      END AS md_e6,
+        |    ((2 * spn * 1000000 + spd) // (2 * spd))::BIGINT AS sp2_e6
+        |  FROM x),
+        |z AS (SELECT *,
+        |    CASE WHEN sp2_e6 > 0 THEN
+        |      CASE WHEN md_e6 >= 0 THEN
+        |          ((2 * md_e6::HUGEINT * md_e6 + sp2_e6)
+        |            // (2 * sp2_e6))::BIGINT
+        |        ELSE -(((2 * md_e6::HUGEINT * md_e6 + sp2_e6)
+        |          // (2 * sp2_e6))::BIGINT) END
+        |      END AS d_sq_e6
+        |  FROM y)
+        |SELECT n_a, n_b, md_e6 AS mean_diff_e6, sp2_e6 AS pooled_var_e6,
+        |  d_sq_e6,
+        |  ((2 * (4 * (n_a + n_b) - 12)::HUGEINT * 1000000
+        |    + (4 * (n_a + n_b) - 9))
+        |    // (2 * (4 * (n_a + n_b) - 9)::HUGEINT))::BIGINT
+        |    AS hedges_j_e6,
+        |  CASE WHEN d_sq_e6 IS NULL THEN 'undefined'
+        |    WHEN abs(d_sq_e6) >= 640000 THEN 'large'
+        |    WHEN abs(d_sq_e6) >= 250000 THEN 'medium'
+        |    WHEN abs(d_sq_e6) >= 40000 THEN 'small'
+        |    ELSE 'negligible' END AS magnitude
+        |FROM z""".stripMargin,
+    // ml5 twin: the same value×class grid, cumulative split scan,
+    // 1e-9 Gini lattice and deterministic tie-breaks
+    "ml5_stump" ->
+      """WITH rws AS (SELECT n_chars,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    source AS cls FROM documents),
+        |cells AS (SELECT 'n_chars' AS feat, n_chars AS v, cls FROM rws
+        |  UNION ALL SELECT 'n_tokens', n_tokens, cls FROM rws),
+        |counts AS (SELECT feat, v, cls, count(*)::BIGINT AS n
+        |  FROM cells GROUP BY 1, 2, 3),
+        |vals AS (SELECT DISTINCT feat, v FROM counts),
+        |cl AS (SELECT DISTINCT cls FROM counts),
+        |grid AS (SELECT vals.feat, vals.v, cl.cls,
+        |    coalesce(counts.n, 0)::BIGINT AS n
+        |  FROM vals CROSS JOIN cl
+        |  LEFT JOIN counts ON counts.feat = vals.feat
+        |    AND counts.v = vals.v AND counts.cls = cl.cls),
+        |tt AS (SELECT feat, cls, sum(n)::BIGINT AS t
+        |  FROM grid GROUP BY 1, 2),
+        |cum AS (SELECT g.feat, g.v, g.cls,
+        |    sum(g.n) OVER (PARTITION BY g.feat, g.cls ORDER BY g.v
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS lc, tt.t
+        |  FROM grid g JOIN tt ON tt.feat = g.feat AND tt.cls = g.cls),
+        |splits AS (SELECT feat, v, sum(lc)::BIGINT AS nl,
+        |    sum(lc::HUGEINT * lc) AS ssl, sum(t - lc)::BIGINT AS nr,
+        |    sum((t - lc)::HUGEINT * (t - lc)) AS ssr
+        |  FROM cum GROUP BY 1, 2),
+        |scored AS (SELECT feat, v, nl, nr,
+        |    ((2 * (ssl * nr + ssr * nl) * 1000000000
+        |      + nl::HUGEINT * nr * (nl + nr))
+        |      // (2 * nl::HUGEINT * nr * (nl + nr)))::BIGINT AS score_e9
+        |  FROM splits WHERE nr > 0),
+        |best AS (SELECT feat, v, nl, nr, score_e9 FROM scored
+        |  ORDER BY score_e9 DESC, feat ASC, v ASC LIMIT 1),
+        |nn AS (SELECT sum(n)::BIGINT AS n FROM counts
+        |  WHERE feat = 'n_chars'),
+        |par AS (SELECT ((2 * (SELECT sum(t::HUGEINT * t) FROM tt
+        |      WHERE feat = 'n_chars') * 1000000000
+        |    + (SELECT n::HUGEINT * n FROM nn))
+        |    // (2 * (SELECT n::HUGEINT * n FROM nn)))::BIGINT
+        |    AS parent_e9),
+        |lm AS (SELECT cls FROM cum JOIN best USING (feat, v)
+        |  ORDER BY lc DESC, cls ASC LIMIT 1),
+        |rm AS (SELECT cls FROM cum JOIN best USING (feat, v)
+        |  ORDER BY (t - lc) DESC, cls ASC LIMIT 1)
+        |SELECT best.feat AS feature, best.v AS threshold,
+        |  best.nl AS n_left, best.nr AS n_right, best.score_e9,
+        |  par.parent_e9, (SELECT cls FROM lm) AS left_label,
+        |  (SELECT cls FROM rm) AS right_label
+        |FROM best, par""".stripMargin,
+    // w30 twin: w27's span/grid head verbatim, then the NA hazard
+    // lattice sums instead of the KM log chain
+    "w30_nelson_aalen" ->
+      """WITH du AS (SELECT user_id AS u,
+        |    min(epoch_ns(ts)::BIGINT // 86400000000000) AS f,
+        |    max(epoch_ns(ts)::BIGINT // 86400000000000) AS l
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |h AS (SELECT max(l) AS maxl FROM du),
+        |lives AS (SELECT l - f AS t_days, l <= maxl - 7 AS churned
+        |  FROM du CROSS JOIN h),
+        |grid AS (SELECT t_days,
+        |    sum(CASE WHEN churned THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_churned,
+        |    sum(CASE WHEN churned THEN 0 ELSE 1 END)::BIGINT
+        |      AS n_censored
+        |  FROM lives GROUP BY 1),
+        |g2 AS (SELECT t_days, n_churned, n_censored,
+        |    sum(n_churned + n_censored) OVER () -
+        |      coalesce(sum(n_churned + n_censored) OVER (ORDER BY t_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_at_risk FROM grid),
+        |g3 AS (SELECT *,
+        |    ((2 * n_churned::HUGEINT * 1000000 + n_at_risk)
+        |      // (2 * n_at_risk::HUGEINT))::BIGINT AS h_e6,
+        |    ((2 * n_churned::HUGEINT * 1000000000000
+        |      + n_at_risk::HUGEINT * n_at_risk)
+        |      // (2 * n_at_risk::HUGEINT * n_at_risk))::BIGINT AS v_e12
+        |  FROM g2)
+        |SELECT t_days::BIGINT AS t_days, n_at_risk::BIGINT AS n_at_risk,
+        |  n_churned, n_censored,
+        |  sum(h_e6) OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)::BIGINT AS cum_hazard_e6,
+        |  sum(v_e12) OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)::BIGINT AS cum_var_e12
+        |FROM g3""".stripMargin,
+    // g16 twin: the g5 CTE chain, then the one transitivity rollup
+    "g16_transitivity" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |e0 AS (SELECT doc_id AS s, doc_id + 1 AS t FROM ids
+        |  UNION ALL SELECT doc_id, doc_id + 2 FROM ids),
+        |e1 AS (SELECT s, t FROM e0
+        |  WHERE t IN (SELECT doc_id FROM ids) AND s <> t),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |    SELECT s::VARCHAR AS a, t::VARCHAR AS b FROM e1
+        |    UNION ALL SELECT t::VARCHAR, s::VARCHAR FROM e1)),
+        |deg AS (SELECT a AS node, count(*)::BIGINT AS deg
+        |  FROM und GROUP BY 1),
+        |ord_e AS (SELECT und.a AS u, und.b AS v FROM und
+        |  JOIN deg da ON da.node = und.a
+        |  JOIN deg db ON db.node = und.b
+        |  WHERE da.deg < db.deg
+        |    OR (da.deg = db.deg AND und.a < und.b)),
+        |tri AS (SELECT x.u AS ta, x.v AS tb, y.v AS tc
+        |  FROM ord_e x JOIN ord_e y ON x.u = y.u AND x.v < y.v
+        |  WHERE EXISTS (SELECT 1 FROM und
+        |    WHERE und.a = x.v AND und.b = y.v)),
+        |pn AS (SELECT node, count(*)::BIGINT AS triangles FROM (
+        |    SELECT ta AS node FROM tri
+        |    UNION ALL SELECT tb FROM tri
+        |    UNION ALL SELECT tc FROM tri)
+        |  GROUP BY 1),
+        |tbl AS (SELECT deg.node, deg.deg,
+        |    coalesce(pn.triangles, 0)::BIGINT AS triangles,
+        |    CASE WHEN deg.deg >= 2 THEN
+        |      (2*(2*coalesce(pn.triangles, 0)*1000000)
+        |        + deg.deg*(deg.deg-1)) // (2*deg.deg*(deg.deg-1))
+        |    END AS cc_e6
+        |  FROM deg LEFT JOIN pn ON deg.node = pn.node),
+        |agg AS (SELECT count(*)::BIGINT AS n_nodes,
+        |    sum(deg::HUGEINT * (deg - 1)) AS w2,
+        |    coalesce(sum(triangles), 0)::BIGINT AS t3,
+        |    sum(CASE WHEN deg >= 2 THEN cc_e6 END)::BIGINT AS scc,
+        |    sum(CASE WHEN deg >= 2 THEN 1 ELSE 0 END)::BIGINT AS nd2
+        |  FROM tbl)
+        |SELECT n_nodes, (w2 // 2)::BIGINT AS n_wedges,
+        |  (t3 // 3)::BIGINT AS n_triangles,
+        |  CASE WHEN w2 = 0 THEN NULL
+        |    ELSE ((2 * t3::HUGEINT * 2 * 1000000 + w2)
+        |      // (2 * w2))::BIGINT END AS transitivity_e6,
+        |  CASE WHEN nd2 = 0 THEN NULL
+        |    ELSE ((2 * scc::HUGEINT + nd2) // (2 * nd2::HUGEINT))::BIGINT
+        |    END AS avg_cc_e6
+        |FROM agg""".stripMargin,
+    // t47 twin: count-of-counts spine + lead, exact rationals
+    "t47_good_turing" ->
+      """WITH tf AS (SELECT tok, count(*)::BIGINT AS tf FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS tok
+        |     FROM documents) GROUP BY 1),
+        |spec AS (SELECT tf AS r, count(*)::BIGINT AS nr
+        |  FROM tf GROUP BY 1),
+        |tot AS (SELECT coalesce(sum(r * nr), 0)::BIGINT AS n_tokens
+        |  FROM spec),
+        |spine AS (SELECT unnest(range(0, 12))::BIGINT AS r),
+        |f AS (SELECT spine.r, coalesce(spec.nr, 0)::BIGINT AS nr
+        |  FROM spine LEFT JOIN spec USING (r)),
+        |l AS (SELECT r, nr, lead(nr) OVER (ORDER BY r) AS next_nr
+        |  FROM f)
+        |SELECT r, nr AS n_types,
+        |  CASE WHEN r = 0 OR nr = 0 THEN NULL
+        |    ELSE (2 * (r + 1) * next_nr * 1000000 + nr) // (2 * nr)
+        |    END AS r_star_e6,
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |    WHEN r = 0 THEN
+        |      (2 * next_nr * 1000000 + n_tokens) // (2 * n_tokens)
+        |    ELSE (2 * r * nr * 1000000 + n_tokens) // (2 * n_tokens)
+        |    END AS mass_e6
+        |FROM l, tot WHERE r <= 10""".stripMargin,
+    // m16 twin: closed-form in doc_id (the m7/m15 discipline — the
+    // byte-level truth lives in MultimodalSpec's header pins)
+    "m16_webp_meta" ->
+      """SELECT doc_id AS id,
+        |  (['lossy', 'lossless', 'extended'])[(doc_id % 3) + 1]
+        |    AS variant,
+        |  (1 + doc_id % 500)::BIGINT AS width,
+        |  (1 + doc_id % 333)::BIGINT AS height,
+        |  (doc_id % 3 <> 0 AND doc_id % 4 = 0) AS has_alpha,
+        |  (doc_id % 3 = 2 AND doc_id % 5 = 0) AS has_animation,
+        |  ((CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END)
+        |    + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END))::BIGINT
+        |    AS n_chunks
+        |FROM documents WHERE doc_id % 13 <> 0""".stripMargin,
+    "v22_jl_recall" -> v22OracleSql,
+    // h6 twin: exact top-10 feedback, per-dim means snapped to the
+    // 1e-6 grid, expanded-query rerank — the v19 ranking tail
+    "h6_rocchio" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |dense AS (SELECT q_id, c_id FROM
+        |    (SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+        |        AS rank
+        |     FROM (SELECT q_id, c_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v))
+        |            * sqrt(list_dot_product(c.v, c.v))), 3) AS sim
+        |       FROM q CROSS JOIN c) s0) r0
+        |  WHERE rank <= 10),
+        |relv AS (SELECT d.q_id, c.v FROM dense d
+        |  JOIN c ON c.c_id = d.c_id),
+        |cm AS (SELECT q_id, i, round(sum(v[i]) / count(*), 6) AS m
+        |  FROM relv, (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+        |cv AS (SELECT q_id, list(m ORDER BY i) AS mv FROM cm GROUP BY 1),
+        |ex AS (SELECT q.q_id,
+        |    [q.v[i] * 1.0 + cv.mv[i] * 0.75 for i in range(1, 65)]
+        |      AS qe
+        |  FROM q JOIN cv USING (q_id))
+        |SELECT q_id, c_id, sim, rank FROM
+        |    (SELECT q_id, c_id, sim,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+        |        AS rank
+        |     FROM (SELECT ex.q_id, c.c_id,
+        |        round(list_dot_product(ex.qe, c.v) /
+        |          (sqrt(list_dot_product(ex.qe, ex.qe))
+        |            * sqrt(list_dot_product(c.v, c.v))), 3) AS sim
+        |       FROM ex CROSS JOIN c) s1) r1
+        |WHERE rank <= 10""".stripMargin)
+
+  /** v22's DuckDB twin, GENERATED from the same
+    * [[Similarity.jlSigns]] matrix the Spark query uses (the t32
+    * one-source-of-truth discipline): each projected component is the
+    * IDENTICAL left-associative ±v[j] sum chain, parenthesized so the
+    * IEEE evaluation order matches [[Similarity.jlProjection]]'s
+    * `reduce` tree bit-for-bit; the ranking tail is v19's.
+    */
+  private def v22OracleSql: String = {
+    val signs = Similarity.jlSigns(16, 64)
+    def proj(src: String): String =
+      "[" + signs.map { row =>
+        row.zipWithIndex.map { case (s, j) =>
+          s"$src[${j + 1}] * ${s.toDouble}"
+        }.reduceLeft((a, b) => s"($a + $b)")
+      }.mkString(",\n    ") + "]"
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+    FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+    FROM embeddings),
+qp AS (SELECT q_id, ${proj("v")} AS p FROM q),
+cp AS (SELECT c_id, ${proj("v")} AS p FROM c),
+dense AS (SELECT q_id, c_id FROM
+    (SELECT q_id, c_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+        AS rank
+     FROM (SELECT q_id, c_id,
+        round(list_dot_product(q.v, c.v) /
+          (sqrt(list_dot_product(q.v, q.v))
+            * sqrt(list_dot_product(c.v, c.v))), 3) AS sim
+       FROM q CROSS JOIN c) s0) r0
+  WHERE rank <= 10),
+jl AS (SELECT q_id, c_id FROM
+    (SELECT q_id, c_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+        AS rank
+     FROM (SELECT q_id, c_id,
+        round(list_dot_product(qp.p, cp.p) /
+          (sqrt(list_dot_product(qp.p, qp.p))
+            * sqrt(list_dot_product(cp.p, cp.p))), 3) AS sim
+       FROM qp CROSS JOIN cp) s1) r1
+  WHERE rank <= 10),
+truth AS (SELECT q_id, count(*) AS n_truth FROM dense GROUP BY 1),
+hits AS (SELECT q_id, count(*) AS n_hits FROM dense d
+  WHERE EXISTS (SELECT 1 FROM jl h
+    WHERE h.q_id = d.q_id AND h.c_id = d.c_id)
+  GROUP BY 1)
+SELECT q_id, n_truth, coalesce(n_hits, 0)::BIGINT AS n_hits,
+  round(coalesce(n_hits, 0)::DOUBLE / n_truth, 4) AS recall
+FROM truth LEFT JOIN hits USING (q_id)"""
+  }
 
   /** t32's DuckDB twin, generated from [[NormPlant]] and the
     * [[TextAnalytics.NormFromChars]]/NormToChars/NormDeleteChars maps —

@@ -1553,6 +1553,18 @@ object Classifier {
     * zero denominator → NULL Q, verdict 'undefined'. Output: one row
     * (n_items, k_judges, df, q_e6, verdict).
     */
+  /** Published upper-0.05 chi-square quantiles, df = 1..30, on the
+    * 1e-6 grid — the shared significance spine of [[cochranQ]] and
+    * [[friedmanTest]] (one literal array, so the two verdicts can
+    * never disagree about the table).
+    */
+  private def chi2Crit05E6: Column = array(Seq(3841459L, 5991465L,
+    7814728L, 9487729L, 11070498L, 12591587L, 14067140L, 15507313L,
+    16918978L, 18307038L, 19675138L, 21026070L, 22362032L, 23684791L,
+    24995790L, 26296228L, 27587112L, 28869299L, 30143527L, 31410433L,
+    32670573L, 33924438L, 35172462L, 36415028L, 37652484L, 38885139L,
+    40113272L, 41337138L, 42556968L, 43772972L).map(v => lit(v)): _*)
+
   def cochranQ(
       outcomes: DataFrame, itemCol: String, judgeCol: String,
       successCol: String): DataFrame = {
@@ -1595,14 +1607,7 @@ object Classifier {
             raise_error(lit("cochranQ: beyond the 1e9-item " +
               "decimal(38) exactness envelope")))
           .otherwise(col("k_judges")))
-    // published upper-0.05 chi-square quantiles, df = 1..30, 1e-6 grid
-    val crit = array(Seq(3841459L, 5991465L, 7814728L, 9487729L,
-      11070498L, 12591587L, 14067140L, 15507313L, 16918978L,
-      18307038L, 19675138L, 21026070L, 22362032L, 23684791L,
-      24995790L, 26296228L, 27587112L, 28869299L, 30143527L,
-      31410433L, 32670573L, 33924438L, 35172462L, 36415028L,
-      37652484L, 38885139L, 40113272L, 41337138L, 42556968L,
-      43772972L).map(v => lit(v)): _*)
+    val crit = chi2Crit05E6
     val num = (dc(col("k_judges")) - dc(lit(1))) *
       (dc(col("k_judges")) * col("sc2") - dc(col("t")) * dc(col("t")))
     val den = dc(col("k_judges")) * dc(col("t")) - col("sr2")
@@ -1697,5 +1702,380 @@ object Classifier {
             .otherwise(when(band(330), lit("medium"))
               .otherwise(when(band(147), lit("small"))
                 .otherwise(lit("negligible"))))).as("magnitude"))
+  }
+
+  /** Matthews correlation coefficient (Matthews 1975) — the one-number
+    * binary-confusion read that survives class imbalance (accuracy and
+    * F1 both saturate on a 99:1 corpus-filter eval; MCC does not,
+    * which is why it is the standard gate metric for quality-filter
+    * classifiers):
+    *
+    *   MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+    *
+    * EXACT: the square root never evaluates — the output is the SIGNED
+    * SQUARE on the 1e-12 lattice, mcc_sq_e12 = sign(num)·⌈1e12·num²/den⌋
+    * (half-up), so both engines compare pure integers; consumers read
+    * |MCC| = √(|mcc_sq_e12|/1e12) knowingly. A zero marginal (a class
+    * one side never predicts/has) zeroes the denominator → NULL, verdict
+    * 'undefined' (the cochranQ discipline — flagged, not faked as 0).
+    *
+    * Scale: one 4-cell map-side-combined aggregate; everything after is
+    * a one-row solve. num² ≤ n⁴/16, so the 1e-12 lattice stays inside
+    * decimal(38,0) through n = 3e6 — larger eval sets raise loudly
+    * (an EVAL table beyond that is a sampling problem upstream, not an
+    * arithmetic one). Output: one row
+    * (n, tp, tn, fp, fn, mcc_sq_e12, band).
+    */
+  def matthewsCorrelation(
+      df: DataFrame, trueCol: String, predCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    def checked(c: String, what: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"matthewsCorrelation: null $what")))
+        .otherwise(col(c).cast("boolean"))
+    val cells = df.select(checked(trueCol, "truth").as("t"),
+        checked(predCol, "prediction").as("p"))
+      .agg(
+        sum(when(col("t") && col("p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("t") && !col("p"), 1L).otherwise(0L)).as("tn"),
+        sum(when(!col("t") && col("p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("t") && !col("p"), 1L).otherwise(0L)).as("fn"))
+      .withColumn("n",
+        when(col("tp") + col("tn") + col("fp") + col("fn") > 3000000L,
+          raise_error(lit("matthewsCorrelation: beyond the 3e6-row " +
+            "decimal(38) exactness envelope — sample the eval set " +
+            "upstream")))
+          .otherwise(col("tp") + col("tn") + col("fp") + col("fn")))
+    val num = dc(col("tp")) * dc(col("tn")) - dc(col("fp")) * dc(col("fn"))
+    val den = (dc(col("tp")) + dc(col("fp"))) *
+      (dc(col("tp")) + dc(col("fn"))) *
+      (dc(col("tn")) + dc(col("fp"))) * (dc(col("tn")) + dc(col("fn")))
+    // |MCC| band edges (squared, e12): 0.3² = 0.09, 0.7² = 0.49 — the
+    // conventional weak/moderate/strong read, each an exact integer
+    // cross-comparison on the SQUARE (never a float threshold)
+    def atLeast(sqE12: Long) =
+      dc(lit(1000000000000L)) * num * num >= dc(lit(sqE12)) * den
+    cells
+      .withColumn("mccn", num).withColumn("mccd", den)
+      .select(col("n"), col("tp"), col("tn"), col("fp"), col("fn"),
+        when(col("mccd") === 0, lit(null).cast("long"))
+          .otherwise(
+            when(col("mccn") >= 0,
+              expr("(2 * mccn * mccn * 1000000000000 + mccd) " +
+                "div (2 * mccd)"))
+              .otherwise(-expr("(2 * mccn * mccn * 1000000000000 " +
+                "+ mccd) div (2 * mccd)")))
+          .as("mcc_sq_e12"),
+        when(col("mccd") === 0, lit("undefined"))
+          .otherwise(when(atLeast(490000000000L), lit("strong"))
+            .otherwise(when(atLeast(90000000000L), lit("moderate"))
+              .otherwise(lit("weak")))).as("band"))
+  }
+
+  /** Friedman test (Friedman 1937, tie correction per Conover 1999) —
+    * the ORDINAL k-treatment panel read next to [[cochranQ]]'s binary
+    * one: n blocks (items) each scored by the same k treatments
+    * (systems/judges), ranked WITHIN each block; do the treatments'
+    * rank sums differ beyond chance?
+    *
+    * EXACT via doubled ranks: a cell's average rank with t ties and
+    * `less` strictly-smaller cells in its block is (2·less + t + 1)/2,
+    * so R2 = 2·rank() + t − 1 is always an INTEGER, and the
+    * tie-corrected statistic collapses to one integer rational:
+    *
+    *   χ²_F = (k−1)·Σ_j (S2_j − n(k+1))² / (Σ R2² − n·k·(k+1)²)
+    *
+    * with S2_j the per-treatment doubled-rank sums (the /4 in both the
+    * classical numerator and the tie-correction denominator cancels).
+    * All-tied-everywhere panels have zero denominator → NULL, verdict
+    * 'undefined'. Incomplete panels raise (both margins checked — the
+    * cochranQ discipline); the χ²(k−1) verdict is one exact integer
+    * cross-comparison against the shared published table (df ≤ 30).
+    *
+    * Scale: the rank window partitions per BLOCK (k ≤ 31 rows each —
+    * never a global sort), then one treatment-sized rollup and a
+    * one-row solve. Output: (n_blocks, k_treatments, df, chi2_e6,
+    * verdict).
+    */
+  def friedmanTest(
+      scores: DataFrame, blockCol: String, treatmentCol: String,
+      scoreCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val cells = scores.select(
+      when(col(blockCol).isNull,
+        raise_error(lit("friedmanTest: null block")))
+        .otherwise(col(blockCol).cast("string")).as("blk"),
+      when(col(treatmentCol).isNull,
+        raise_error(lit("friedmanTest: null treatment")))
+        .otherwise(col(treatmentCol).cast("string")).as("trt"),
+      when(col(scoreCol).isNull,
+        raise_error(lit("friedmanTest: null score")))
+        .otherwise(col(scoreCol).cast("long")).as("v"))
+    val wRank = Window.partitionBy("blk").orderBy("v")
+    val wTies = Window.partitionBy("blk", "v")
+    val ranked = cells
+      .withColumn("r2", lit(2L) * rank().over(wRank) +
+        count(lit(1)).over(wTies) - 1L)
+      .localCheckpoint() // feeds per-treatment sums AND the R2² total
+    val perTrt = ranked.groupBy("trt").agg(
+      count(lit(1)).as("nb"), sum("r2").as("s2"))
+    val blocks = ranked.groupBy("blk").agg(count(lit(1)).as("ki"))
+    val bm = blocks.agg(count(lit(1)).as("n_blocks"),
+      min("ki").as("k_min"), max("ki").as("k_max"))
+    val tm = perTrt.agg(count(lit(1)).as("k_trts"),
+      min("nb").as("n_min"), max("nb").as("n_max"))
+    val tot = ranked.agg(sum(dc(col("r2")) * dc(col("r2"))).as("sr2"))
+    val s = bm.crossJoin(broadcast(tm)).crossJoin(broadcast(tot))
+      .withColumn("k",
+        when(col("k_min") =!= col("k_max") ||
+            col("n_min") =!= col("n_max") ||
+            col("k_min") =!= col("k_trts") ||
+            col("n_min") =!= col("n_blocks"),
+          raise_error(lit("friedmanTest: incomplete panel — every " +
+            "block needs every treatment exactly once (complete the " +
+            "grid upstream)")))
+          .when(col("k_trts") < 2 || col("k_trts") > 31,
+            raise_error(lit("friedmanTest: k must be in [2, 31] (the " +
+              "embedded chi-square table covers df <= 30)")))
+          .when(col("n_blocks") > 1000000000L,
+            raise_error(lit("friedmanTest: beyond the 1e9-block " +
+              "decimal(38) exactness envelope")))
+          .otherwise(col("k_trts")))
+    val dev = perTrt.crossJoin(broadcast(s.select("n_blocks", "k")))
+      .select((dc(col("s2")) -
+        dc(col("n_blocks")) * dc(col("k") + 1)).as("d"))
+      .agg(sum(col("d") * col("d")).as("sdev"))
+    s.crossJoin(broadcast(dev))
+      .withColumn("fn", (dc(col("k")) - dc(lit(1))) * col("sdev"))
+      .withColumn("fd", col("sr2") - dc(col("n_blocks")) * dc(col("k")) *
+        dc(col("k") + 1) * dc(col("k") + 1))
+      .withColumn("df", (col("k") - 1).cast("int"))
+      .select(col("n_blocks"), col("k").as("k_treatments"), col("df"),
+        when(col("fd") === 0, lit(null).cast("long"))
+          .otherwise(expr("(2 * fn * 1000000 + fd) div (2 * fd)"))
+          .as("chi2_e6"),
+        when(col("fd") === 0, lit("undefined"))
+          .otherwise(when(dc(lit(1000000L)) * col("fn") >
+              element_at(chi2Crit05E6, col("df")).cast(dec) * col("fd"),
+            lit("different")).otherwise(lit("not_different")))
+          .as("verdict"))
+  }
+
+  /** Cohen's d (Cohen 1988) with the pooled-SD denominator — the
+    * PARAMETRIC effect size next to [[cliffsDelta]]'s ordinal one:
+    * how many pooled standard deviations separate the two groups'
+    * means. The companion read to an [[abSignificance]] verdict on a
+    * numeric metric ("significant, but HOW big in SD units?").
+    *
+    * Determinism contract (lattice-DEFINED, the ml3 discipline): the
+    * mean difference and the pooled variance each read half-up onto
+    * the 1e-6 lattice as exact integer rationals —
+    *
+    *   md_e6  = ±⌈1e6·|Sa·nb − Sb·na| / (na·nb)⌋
+    *   sp2_e6 = ⌈1e6·(nb(na·Qa − Sa²) + na(nb·Qb − Sb²))
+    *            / (na·nb·(N−2))⌋
+    *
+    * — and the signed SQUARE d_sq_e6 = ±⌈md_e6² / sp2_e6⌋ composes the
+    * two (no square root ever evaluates; |d| = √(|d_sq_e6|/1e6)). The
+    * published magnitude bands (0.2 small / 0.5 medium / 0.8 large)
+    * compare d_sq_e6 against the squared edges 40000/250000/640000 —
+    * exact on the lattice the estimator is defined on. Hedges'
+    * small-sample factor ships as its own column
+    * j_e6 = ⌈1e6·(4N−12)/(4N−9)⌋ (J² · d² would overflow the lattice;
+    * the consumer composes knowingly). Identical-constant groups
+    * (sp2_e6 = 0), a missing group, or N ≤ 2 → NULL d, magnitude
+    * 'undefined'. Groups must literally be 'a'|'b' and scores within
+    * |v| ≤ 1e4, groups within 1e6 rows (the decimal(38,0) envelope —
+    * both raise loudly). Output: one row (n_a, n_b, mean_diff_e6,
+    * pooled_var_e6, d_sq_e6, hedges_j_e6, magnitude).
+    */
+  def cohensD(
+      scores: DataFrame, groupCol: String, scoreCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val g = when(col(groupCol).isNull ||
+        !col(groupCol).cast("string").isin("a", "b"),
+      raise_error(concat(lit("cohensD: group must be a|b, got "),
+        coalesce(col(groupCol).cast("string"), lit("NULL")))))
+      .otherwise(col(groupCol).cast("string"))
+    val v = when(col(scoreCol).isNull,
+      raise_error(lit("cohensD: null score")))
+      .when(abs(col(scoreCol).cast("long")) > 10000L,
+        raise_error(lit("cohensD: |score| beyond the 1e4 lattice " +
+          "envelope — rescale upstream")))
+      .otherwise(col(scoreCol).cast("long"))
+    val sums = scores.select(g.as("g"), v.as("v"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(dc(col("v")) * dc(col("v"))).as("q"))
+      .agg(
+        coalesce(sum(when(col("g") === "a", col("n"))), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("g") === "b", col("n"))), lit(0L)).as("n_b"),
+        coalesce(sum(when(col("g") === "a", col("s"))), lit(0L)).as("sa"),
+        coalesce(sum(when(col("g") === "b", col("s"))), lit(0L)).as("sb"),
+        coalesce(sum(when(col("g") === "a", col("q"))), dc(lit(0))).as("qa"),
+        coalesce(sum(when(col("g") === "b", col("q"))), dc(lit(0))).as("qb"))
+      .select(
+        when(greatest(col("n_a"), col("n_b")) > 1000000L,
+          raise_error(lit("cohensD: beyond the 1e6-row decimal(38) " +
+            "exactness envelope"))).otherwise(col("n_a")).as("n_a"),
+        col("n_b"), col("sa"), col("sb"), col("qa"), col("qb"))
+    val defined = col("n_a") > 0 && col("n_b") > 0 &&
+      col("n_a") + col("n_b") > 2
+    val mdNum = dc(col("sa")) * dc(col("n_b")) -
+      dc(col("sb")) * dc(col("n_a"))
+    val mdDen = dc(col("n_a")) * dc(col("n_b"))
+    val spNum = dc(col("n_b")) *
+      (dc(col("n_a")) * col("qa") - dc(col("sa")) * dc(col("sa"))) +
+      dc(col("n_a")) *
+        (dc(col("n_b")) * col("qb") - dc(col("sb")) * dc(col("sb")))
+    val spDen = mdDen * (dc(col("n_a")) + dc(col("n_b")) - dc(lit(2)))
+    val staged = sums
+      .withColumn("md_e6",
+        when(!defined, lit(null).cast("long"))
+          .otherwise(when(mdNum >= 0,
+            expr("(2 * (CAST(sa AS DECIMAL(38,0)) * n_b - " +
+              "CAST(sb AS DECIMAL(38,0)) * n_a) * 1000000 + " +
+              "CAST(n_a AS DECIMAL(38,0)) * n_b) div " +
+              "(2 * CAST(n_a AS DECIMAL(38,0)) * n_b)"))
+            .otherwise(-expr("(2 * (CAST(sb AS DECIMAL(38,0)) * n_a - " +
+              "CAST(sa AS DECIMAL(38,0)) * n_b) * 1000000 + " +
+              "CAST(n_a AS DECIMAL(38,0)) * n_b) div " +
+              "(2 * CAST(n_a AS DECIMAL(38,0)) * n_b)"))))
+      .withColumn("spn", when(!defined, lit(null).cast(dec))
+        .otherwise(spNum))
+      .withColumn("spd", when(!defined, lit(null).cast(dec))
+        .otherwise(spDen))
+      .withColumn("sp2_e6",
+        when(!defined, lit(null).cast("long"))
+          .otherwise(expr("(2 * spn * 1000000 + spd) div (2 * spd)")))
+    val dDefined = defined && col("sp2_e6") > 0
+    def band(sqE6: Long) =
+      abs(col("d_sq_e6")) >= sqE6
+    staged
+      .withColumn("d_sq_e6",
+        when(!dDefined, lit(null).cast("long"))
+          .otherwise(when(col("md_e6") >= 0,
+            expr("(2 * md_e6 * md_e6 + sp2_e6) div (2 * sp2_e6)"))
+            .otherwise(-expr("(2 * md_e6 * md_e6 + sp2_e6) " +
+              "div (2 * sp2_e6)"))))
+      .select(col("n_a"), col("n_b"), col("md_e6").as("mean_diff_e6"),
+        col("sp2_e6").as("pooled_var_e6"), col("d_sq_e6"),
+        when(!defined, lit(null).cast("long"))
+          .otherwise(expr("(2 * (4 * (n_a + n_b) - 12) * 1000000 + " +
+            "(4 * (n_a + n_b) - 9)) div (2 * (4 * (n_a + n_b) - 9))"))
+          .as("hedges_j_e6"),
+        when(!dDefined, lit("undefined"))
+          .otherwise(when(band(640000L), lit("large"))
+            .otherwise(when(band(250000L), lit("medium"))
+              .otherwise(when(band(40000L), lit("small"))
+                .otherwise(lit("negligible"))))).as("magnitude"))
+  }
+
+  /** Exact best decision stump — the one-split CART root (Breiman et
+    * al. 1984) over integer features: for every (feature, threshold)
+    * split `x ≤ v`, the Gini-weighted purity
+
+    *   score = Σ_c L_c²/n_L + Σ_c R_c²/n_R
+    *
+    * (maximizing it ⟺ minimizing weighted Gini impurity), maximized
+    * over ALL distinct observed thresholds of ALL features. THE
+    * interpretable baseline a quality-classifier eval needs next to
+    * [[naiveBayes]]: "what single cut does best, and how good is it?"
+    * — and the exact reference an approximate/histogram split finder
+    * is judged against.
+    *
+    * EXACT end-to-end: class counts via one (feature, value, class)
+    * rollup densified over the value×class grid, cumulative sums by
+    * window, and the score read half-up onto the 1e-9 lattice as one
+    * integer rational — score_e9 = ⌈1e9·(ssl·n_R + ssr·n_L) /
+    * (n_L·n_R·N)⌋. The winner is the lattice-max with the
+    * deterministic (feature asc, threshold asc) tie-break; per-side
+    * majority labels break ties label-asc. The parent's same-lattice
+    * purity Σ_c T_c²/N² ships alongside, so gain = score − parent
+    * reads exactly. Splits with an empty side are not splits and are
+    * excluded; a single-class input still answers (score = parent =
+    * 1e9, gain 0).
+    *
+    * Scale: count rollups are map-side-combined; the densified grid
+    * and its windows are (distinct values × classes)-sized per feature
+    * — the kendallTauA value-grid envelope, never corpus-sized. Null
+    * features/labels raise. Output: one row (feature, threshold,
+    * n_left, n_right, score_e9, parent_e9, left_label, right_label).
+    */
+  def decisionStump(
+      df: DataFrame, featureCols: Seq[String], labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "decisionStump needs >= 1 feature")
+    val dec = DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val lbl = when(col(labelCol).isNull,
+      raise_error(lit("decisionStump: null label")))
+      .otherwise(col(labelCol).cast("string"))
+    val cells = df.select(lbl.as("cls"),
+        explode(array(featureCols.map(f => struct(lit(f).as("feat"),
+          when(col(f).isNull,
+            raise_error(lit(s"decisionStump: null feature $f")))
+            .otherwise(col(f).cast("long")).as("v"))): _*)).as("e"))
+      .select(col("e.feat").as("feat"), col("e.v").as("v"), col("cls"))
+    val counts = cells.groupBy("feat", "v", "cls")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // value-grid-sized; feeds grid, totals, N
+    val values = counts.select("feat", "v").distinct()
+    val classes = counts.select("cls").distinct()
+    val totals = counts.groupBy("feat", "cls").agg(sum("n").as("t"))
+    val nTot = counts.filter(col("feat") === featureCols.head)
+      .agg(sum("n").as("nn"))
+    // densify: every (feat, value) needs every class's cumulative
+    // count, including classes absent at that value
+    val grid = values.crossJoin(broadcast(classes))
+      .join(counts, Seq("feat", "v", "cls"), "left")
+      .select(col("feat"), col("v"), col("cls"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val wCum = Window.partitionBy("feat", "cls").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("lc", sum("n").over(wCum))
+      .join(totals, Seq("feat", "cls"))
+      .localCheckpoint() // feeds the score scan AND the winner's labels
+    val splits = cum.groupBy("feat", "v").agg(
+        sum("lc").as("nl"),
+        sum(dc(col("lc")) * dc(col("lc"))).as("ssl"),
+        sum(col("t") - col("lc")).as("nr"),
+        sum(dc(col("t") - col("lc")) * dc(col("t") - col("lc"))).as("ssr"))
+      .filter(col("nr") > 0) // x <= max(v) is not a split
+      .withColumn("sn", col("ssl") * dc(col("nr")) +
+        col("ssr") * dc(col("nl")))
+      .withColumn("sd", dc(col("nl")) * dc(col("nr")) *
+        (dc(col("nl")) + dc(col("nr"))))
+      .withColumn("score_e9",
+        expr("(2 * sn * 1000000000 + sd) div (2 * sd)"))
+    val wBest = Window.orderBy(col("score_e9").desc, col("feat").asc,
+      col("v").asc)
+    val best = splits
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("feat"), col("v"), col("nl"), col("nr"),
+        col("score_e9"))
+    val parent = totals.filter(col("feat") === featureCols.head)
+      .agg(sum(dc(col("t")) * dc(col("t"))).as("pss"))
+      .crossJoin(broadcast(nTot))
+      .select(expr("(2 * pss * 1000000000 + " +
+        "CAST(nn AS DECIMAL(38,0)) * nn) div " +
+        "(2 * CAST(nn AS DECIMAL(38,0)) * nn)").as("parent_e9"))
+    // majority labels at the winning split, ties label-asc
+    val wSide = Window.partitionBy("feat", "v")
+    val winners = cum.join(best.select("feat", "v"), Seq("feat", "v"))
+      .withColumn("lmaj", first(col("cls")).over(
+        wSide.orderBy(col("lc").desc, col("cls").asc)))
+      .withColumn("rmaj", first(col("cls")).over(
+        wSide.orderBy((col("t") - col("lc")).desc, col("cls").asc)))
+      .select(col("feat"), col("v"), col("lmaj"), col("rmaj"))
+      .distinct()
+    best.join(winners, Seq("feat", "v"))
+      .crossJoin(broadcast(parent))
+      .select(col("feat").as("feature"), col("v").as("threshold"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        col("score_e9"), col("parent_e9"),
+        col("lmaj").as("left_label"), col("rmaj").as("right_label"))
   }
 }

@@ -960,27 +960,9 @@ object EventAnalytics {
     */
   def survivalFromSpans(
       du: DataFrame, censorDays: Int = 7): DataFrame = {
-    require(censorDays >= 0 && censorDays <= 366,
-      s"censorDays must be in [0, 366] (got $censorDays)")
-    val horizon = du.agg(max("l").as("maxl"))
-    val lives = du.crossJoin(broadcast(horizon))
-      .select((col("l") - col("f")).as("t_days"),
-        (col("l") <= col("maxl") - censorDays).as("churned"))
-    val grid = lives.groupBy("t_days").agg(
-      sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"),
-      sum(when(col("churned"), 0L).otherwise(1L)).as("n_censored"))
-    val w = Window.orderBy("t_days")
-    val before = Window.orderBy("t_days")
-      .rowsBetween(Window.unboundedPreceding, -1)
     val upto = Window.orderBy("t_days")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid
-      .withColumn("total", sum(col("n_churned") + col("n_censored"))
-        .over(w.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-      .withColumn("n_at_risk", col("total") -
-        coalesce(sum(col("n_churned") + col("n_censored")).over(before),
-          lit(0L)))
+    riskGrid(du, censorDays)
       .withColumn("l_e6",
         when(col("n_churned") === 0, lit(0L))
           .when(col("n_churned") < col("n_at_risk"),
@@ -994,6 +976,102 @@ object EventAnalytics {
         col("n_censored"),
         when(col("dead") === 0, sum("l_e6").over(upto))
           .otherwise(lit(null).cast("long")).as("cum_log_s_e6"))
+  }
+
+  /** The shared discrete risk grid of [[survivalFromSpans]] and
+    * [[nelsonAalenFromSpans]]: per distinct lifetime t — users at
+    * risk (lifetime ≥ t), churned at t, censored at t. One lifetime
+    * rollup + windows over the GRID (observation-days-sized, never
+    * user-sized).
+    */
+  private def riskGrid(du: DataFrame, censorDays: Int): DataFrame = {
+    require(censorDays >= 0 && censorDays <= 366,
+      s"censorDays must be in [0, 366] (got $censorDays)")
+    val horizon = du.agg(max("l").as("maxl"))
+    val lives = du.crossJoin(broadcast(horizon))
+      .select((col("l") - col("f")).as("t_days"),
+        (col("l") <= col("maxl") - censorDays).as("churned"))
+    val grid = lives.groupBy("t_days").agg(
+      sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"),
+      sum(when(col("churned"), 0L).otherwise(1L)).as("n_censored"))
+    val w = Window.orderBy("t_days")
+    val before = Window.orderBy("t_days")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("total", sum(col("n_churned") + col("n_censored"))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("n_at_risk", col("total") -
+        coalesce(sum(col("n_churned") + col("n_censored")).over(before),
+          lit(0L)))
+      .drop("total")
+  }
+
+  /** Nelson–Aalen cumulative-hazard table (Nelson 1972, Aalen 1978) —
+    * the estimator read NEXT to [[survivalCurve]]'s Kaplan–Meier S(t):
+    * where KM multiplies survival factors, NA sums the discrete
+    * hazards themselves,
+    *
+    *   H(t) = Σ_{t' ≤ t} d_{t'} / n_{t'}
+    *
+    * (plus the standard variance Σ d/n² for confidence bands) — the
+    * additive form survival analysis actually models on, finite even
+    * at a grid row where everyone churns (where KM's log goes −∞), and
+    * the one to difference between corpus snapshots (hazard deltas add;
+    * survival ratios don't).
+    *
+    * Determinism contract (the w26/w27 lattice discipline): each grid
+    * row's hazard reads half-up onto the 1e-6 lattice as an exact
+    * integer rational — h_e6 = ⌈1e6·d/n⌋, v_e12 = ⌈1e12·d/n²⌋ — and
+    * the cumulatives are exact integer prefix sums of those lattice
+    * terms. The lattice-then-sum composition IS the defined estimator
+    * (both engines sum identical integers; no float accumulates).
+    *
+    * Scale: identical to KM — one per-user span aggregate upstream,
+    * then grid-sized windows (observation-days-bounded). The streaming
+    * twin delegates exactly like w27: `userSpanStream` upserts feed
+    * this same finisher. Output: (t_days, n_at_risk, n_churned,
+    * n_censored, cum_hazard_e6, cum_var_e12).
+    */
+  def nelsonAalenFromSpans(
+      du: DataFrame, censorDays: Int = 7): DataFrame = {
+    val upto = Window.orderBy("t_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    riskGrid(du, censorDays)
+      // decimal(38,0) intermediates: 2·d·1e12 wraps a LONG past
+      // ~4.6e6 churns; `div` on decimals still returns BIGINT and the
+      // quotient is lattice-bounded (≤ 1e12)
+      .withColumn("h_e6",
+        expr("(2 * CAST(n_churned AS DECIMAL(38,0)) * 1000000 + " +
+          "n_at_risk) div (2 * CAST(n_at_risk AS DECIMAL(38,0)))"))
+      .withColumn("v_e12",
+        expr("(2 * CAST(n_churned AS DECIMAL(38,0)) * 1000000000000 + " +
+          "CAST(n_at_risk AS DECIMAL(38,0)) * n_at_risk) div " +
+          "(2 * CAST(n_at_risk AS DECIMAL(38,0)) * n_at_risk)"))
+      .select(col("t_days"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"),
+        sum("h_e6").over(upto).as("cum_hazard_e6"),
+        sum("v_e12").over(upto).as("cum_var_e12"))
+  }
+
+  /** [[nelsonAalenFromSpans]] over raw events — the [[survivalCurve]]
+    * head (per-user first/last active day) feeding the NA finisher.
+    */
+  def nelsonAalen(
+      events: DataFrame, userCol: String, tsCol: String,
+      censorDays: Int = 7,
+      dayNanos: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
+    val du = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"),
+        when(col(tsCol).isNull,
+          raise_error(lit("nelsonAalen: null timestamp")))
+          .otherwise(col(tsCol).cast("long")).as("__ts"))
+      .select(col("u"),
+        expr(s"(__ts - pmod(__ts, ${dayNanos}L)) div ${dayNanos}L")
+          .as("day"))
+      .groupBy("u").agg(min("day").as("f"), max("day").as("l"))
+    nelsonAalenFromSpans(du, censorDays)
   }
 
   /** Product stickiness — DAU/MAU per day (the `windowDays`-day rolling

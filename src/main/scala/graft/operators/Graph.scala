@@ -1217,4 +1217,48 @@ object Graph {
             .otherwise(-expr("(-2 * qn * 1000000 + qd) div (2 * qd)")))
           .as("modularity_e6"))
   }
+
+  /** Global transitivity and average local clustering (Watts & Strogatz
+    * 1998 / Newman 2003 §III.B — the two standard one-number
+    * clustering reads, which genuinely differ on hub-heavy graphs):
+    *
+    *   C_global = 3·T / W       (closed wedges over all wedges)
+    *   C_avg    = mean over deg≥2 nodes of 2·t_v / (d_v(d_v−1))
+    *
+    * The whole-graph companion to [[triangles]]'s per-node table — the
+    * one number to TRACK between corpus snapshots (a co-occurrence
+    * graph whose transitivity jumps grew a template cluster; one whose
+    * C_avg collapses lost its community structure).
+    *
+    * EXACT: Σ_v t_v = 3T and W = Σ_v C(d_v, 2) are integer aggregates
+    * of the triangles output, so transitivity_e6 = ⌈1e6·Σt_v/W⌋ is one
+    * exact rational; avg_cc_e6 = ⌈Σ cc_e6 / n_{deg≥2}⌋ composes the
+    * per-node 1e-6 lattice reads (lattice-defined, the w26
+    * discipline). Wedge-free graphs (every component an edge or a
+    * point) → NULL transitivity, verdict-free NULL avg. Output: one
+    * row (n_nodes, n_wedges, n_triangles, transitivity_e6, avg_cc_e6).
+    *
+    * Scale: inherits [[triangles]]'s join plan, then ONE
+    * map-side-combined rollup — nothing new shuffles.
+    */
+  def transitivity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    triangles(edges, srcCol, dstCol)
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(dc(col("deg")) * dc(col("deg") - 1)).as("w2"),
+        coalesce(sum("triangles"), lit(0L)).as("t3"),
+        sum(when(col("deg") >= 2, col("cc_e6"))).as("scc"),
+        sum(when(col("deg") >= 2, 1L).otherwise(0L)).as("nd2"))
+      .select(col("n_nodes"),
+        expr("w2 div 2").as("n_wedges"),
+        expr("t3 div 3").as("n_triangles"),
+        when(col("w2") === 0, lit(null).cast("long"))
+          .otherwise(expr("(2 * CAST(t3 AS DECIMAL(38,0)) * 2 * 1000000" +
+            " + w2) div (2 * w2)")).as("transitivity_e6"),
+        when(col("nd2") === 0, lit(null).cast("long"))
+          .otherwise(expr("(2 * scc + nd2) div (2 * nd2)"))
+          .as("avg_cc_e6"))
+  }
 }

@@ -1462,4 +1462,160 @@ object Multimodal {
       .toDF("id", "width", "height", "bits_per_sample", "compression",
         "big_endian", "n_entries")
   }
+
+  case class WebpInfo(
+    variant: String, width: Int, height: Int, hasAlpha: Boolean,
+    hasAnimation: Boolean, nChunks: Int)
+
+  /** Build a structurally-real WebP container (published RIFF layout:
+    * "RIFF" + LE32 riff size + "WEBP" form, then fourCC/LE32-size
+    * chunks with word-alignment padding) in all three published
+    * bitstream flavors — the construct side of [[webpMeta]]'s
+    * construct→parse round trip (the [[wavBytes]] discipline):
+    *
+    *  - `lossy`: a `VP8 ` chunk with the 0x9D 0x01 0x2A sync code at
+    *    payload offset 3 and 14-bit LE dims at offsets 6/8
+    *  - `lossless`: a `VP8L` chunk, 0x2F signature then width−1 /
+    *    height−1 packed as 14+14 bits (alpha = bit 28)
+    *  - `extended`: a `VP8X` chunk (feature flags byte — 0x10 alpha,
+    *    0x02 animation — 3 reserved bytes, canvas dims as 24-bit LE
+    *    minus-one) followed by a minimal inner `VP8 ` image chunk
+    *
+    * `exifChunk` appends an ODD-sized `EXIF` chunk so the walk must
+    * honor RIFF padding to count chunks correctly.
+    */
+  def webpBytes(
+      width: Int, height: Int, variant: String, alpha: Boolean = false,
+      animation: Boolean = false, exifChunk: Boolean = false): Array[Byte] = {
+    require(width >= 1 && width <= 16383 && height >= 1 && height <= 16383,
+      s"webp dims must fit 14 bits (got $width x $height)")
+    require(Seq("lossy", "lossless", "extended").contains(variant),
+      s"unknown webp variant $variant")
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val out = java.nio.ByteBuffer
+        .allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(cc.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      out.array() // trailing pad byte stays zeroed
+    }
+    val body: Array[Byte] = variant match {
+      case "lossy" =>
+        val p = new Array[Byte](10)
+        p(3) = 0x9D.toByte; p(4) = 0x01; p(5) = 0x2A
+        p(6) = (width & 0xFF).toByte; p(7) = ((width >> 8) & 0x3F).toByte
+        p(8) = (height & 0xFF).toByte; p(9) = ((height >> 8) & 0x3F).toByte
+        chunk("VP8 ", p)
+      case "lossless" =>
+        val w1 = width - 1; val h1 = height - 1
+        val bits = (w1.toLong & 0x3FFF) | ((h1.toLong & 0x3FFF) << 14) |
+          (if (alpha) 1L << 28 else 0L)
+        val p = new Array[Byte](5)
+        p(0) = 0x2F
+        p(1) = (bits & 0xFF).toByte
+        p(2) = ((bits >> 8) & 0xFF).toByte
+        p(3) = ((bits >> 16) & 0xFF).toByte
+        p(4) = ((bits >> 24) & 0xFF).toByte
+        chunk("VP8L", p)
+      case "extended" =>
+        val p = new Array[Byte](10)
+        p(0) = ((if (alpha) 0x10 else 0) | (if (animation) 0x02 else 0))
+          .toByte
+        val w1 = width - 1; val h1 = height - 1
+        p(4) = (w1 & 0xFF).toByte; p(5) = ((w1 >> 8) & 0xFF).toByte
+        p(6) = ((w1 >> 16) & 0xFF).toByte
+        p(7) = (h1 & 0xFF).toByte; p(8) = ((h1 >> 8) & 0xFF).toByte
+        p(9) = ((h1 >> 16) & 0xFF).toByte
+        val inner = new Array[Byte](10)
+        inner(3) = 0x9D.toByte; inner(4) = 0x01; inner(5) = 0x2A
+        inner(6) = (width & 0xFF).toByte
+        inner(7) = ((width >> 8) & 0x3F).toByte
+        inner(8) = (height & 0xFF).toByte
+        inner(9) = ((height >> 8) & 0x3F).toByte
+        chunk("VP8X", p) ++ chunk("VP8 ", inner)
+    }
+    val tail = if (exifChunk) chunk("EXIF", Array[Byte](1, 2, 3, 4, 5))
+      else Array.emptyByteArray
+    val payload = body ++ tail
+    val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + payload.length)
+      .put("WEBP".getBytes("US-ASCII")).put(payload)
+    bb.array()
+  }
+
+  /** WebP (RIFF) chunk walk: variant + dims from whichever of
+    * VP8 /VP8L/VP8X leads (VP8X canvas wins over the inner image
+    * chunk, per the spec's extended-format rule), feature flags, and
+    * the top-level chunk count. The [[wavInfo]] corrupt-size guards
+    * verbatim: a negative or past-the-buffer chunk size reads as
+    * non-WebP, never a stalled walk. Returns None for non-WebP bytes.
+    */
+  private[operators] def webpInfo(bytes: Array[Byte]): Option[WebpInfo] = {
+    def le32(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+      ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    def le24(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+      ((bytes(o + 2) & 0xFF) << 16)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 20 || tag(0) != "RIFF" || tag(8) != "WEBP")
+      return None
+    var off = 12
+    var variant: String = null
+    var width = -1; var height = -1
+    var hasAlpha = false; var hasAnimation = false
+    var n = 0
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val sz = le32(off + 4)
+      if (sz < 0 || sz > bytes.length - off - 8) return None
+      val p = off + 8
+      id match {
+        case "VP8 " if sz >= 10 && variant == null =>
+          if ((bytes(p + 3) & 0xFF) != 0x9D || bytes(p + 4) != 0x01 ||
+            (bytes(p + 5) & 0xFF) != 0x2A) return None
+          variant = "lossy"
+          width = (bytes(p + 6) & 0xFF) | ((bytes(p + 7) & 0x3F) << 8)
+          height = (bytes(p + 8) & 0xFF) | ((bytes(p + 9) & 0x3F) << 8)
+        case "VP8L" if sz >= 5 && variant == null =>
+          if ((bytes(p) & 0xFF) != 0x2F) return None
+          variant = "lossless"
+          val b = le32(p + 1).toLong & 0xFFFFFFFFL
+          width = ((b & 0x3FFF) + 1).toInt
+          height = (((b >> 14) & 0x3FFF) + 1).toInt
+          hasAlpha = ((b >> 28) & 1) == 1
+        case "VP8X" if sz >= 10 && variant == null =>
+          variant = "extended"
+          hasAlpha = (bytes(p) & 0x10) != 0
+          hasAnimation = (bytes(p) & 0x02) != 0
+          width = le24(p + 4) + 1
+          height = le24(p + 7) + 1
+        case _ => ()
+      }
+      n += 1
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (variant != null && width > 0 && height > 0)
+      Some(WebpInfo(variant, width, height, hasAlpha, hasAnimation, n))
+    else None
+  }
+
+  /** WebP structure metadata per payload — the [[bmpMeta]] batch shape
+    * over the [[webpInfo]] walk (header-only, O(header) per payload,
+    * zero shuffle); non-WebP payloads drop. Output: (id, variant,
+    * width, height, has_alpha, has_animation, n_chunks).
+    */
+  def webpMeta(
+      spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        webpInfo(bytes).map(i =>
+          (id, i.variant, i.width.toLong, i.height.toLong, i.hasAlpha,
+            i.hasAnimation, i.nChunks.toLong))
+      })
+      .toDF("id", "variant", "width", "height", "has_alpha",
+        "has_animation", "n_chunks")
+  }
 }

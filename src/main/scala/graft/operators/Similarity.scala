@@ -1098,4 +1098,143 @@ object Similarity {
           .otherwise(-expr("(-2 * ssum * 100 + n_members) div " +
             "(2 * n_members)")).as("mean_s_e6"))
   }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (Achlioptas
+    * 2003's database-friendly projection, the sign variant): entry
+    * (i, j) is +1 iff the portable md5-head60 of "seed:i:j" is even.
+    * Model-sized (k × dim ints) and derivable by ANY engine from the
+    * same string recipe — the twin regenerates it in SQL, so there is
+    * no codebook to ship (the jlSigns ↔ twin contract mirrors the
+    * portable MinHash coefficient recipe).
+    */
+  def jlSigns(k: Int, dim: Int, seed: String = "jl"): Array[Array[Int]] = {
+    require(k >= 1 && dim >= 1 && k * dim <= 65536,
+      s"jl sign matrix must stay model-sized (got $k x $dim)")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, dim) { (i, j) =>
+      val hex = md.digest(s"$seed:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+  }
+
+  /** k-dim ±1 projection of a float vector: component i is the
+    * LEFT-ASSOCIATIVE sum Σ_j signs(i)(j)·v_j in ascending j — the
+    * IEEE evaluation order is part of the contract (the twin writes
+    * the identical parenthesized chain, so both engines produce
+    * bit-equal doubles). Codegen'd arithmetic, no UDF.
+    */
+  def jlProjection(vec: Column, signs: Array[Array[Int]]): Column =
+    array(signs.map { row =>
+      row.zipWithIndex.map { case (s, j) =>
+        element_at(vec, j + 1).cast("double") * lit(s.toDouble)
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Left-fold dot product over two array<double> columns (the
+    * [[jlProjection]] order contract; `aggregate` folds in element
+    * order, matching the twin's list_dot_product).
+    */
+  private def ddot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Approximate cosine top-k THROUGH the JL sign projection — the
+    * dimensionality-reduction scale path next to the IVF/LSH ones:
+    * project queries and candidates to k_proj ±1-sum components at
+    * the scan (dim multiplies per row, once), rank by PROJECTED
+    * cosine (k_proj multiplies per pair instead of dim — the
+    * candidate-scoring saving), verify recall against
+    * [[cosineTopK]] via [[recallAtK]]. Ties and rounding follow the
+    * v-family contract (round to `roundTo`, c_id tie-break). Output:
+    * (q_id, c_id, sim, rank).
+    */
+  def jlTopK(
+      queries: DataFrame, candidates: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      signs: Array[Array[Int]], k: Int, roundTo: Int = 3): DataFrame = {
+    val q = queries.select(col(qIdCol).as("q_id"),
+      jlProjection(col(vecCol), signs).as("qp"))
+    val c = candidates.select(col(cIdCol).as("c_id"),
+      jlProjection(col(vecCol), signs).as("cp"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+        round(ddot(col("qp"), col("cp")) /
+          (sqrt(ddot(col("qp"), col("qp"))) *
+            sqrt(ddot(col("cp"), col("cp")))), roundTo).as("sim"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
+
+  /** Rocchio pseudo-relevance feedback rerank (Rocchio 1971, the
+    * positive-feedback form): take each query's [[cosineTopK]] top-k
+    * as assumed-relevant, move the query toward their centroid —
+    *
+    *   q′ = α·q + β·mean(top-k doc vectors)
+    *
+    * — and re-rank the corpus by cosine to q′. THE classical
+    * query-expansion baseline a dense-retrieval eval wants next to
+    * the raw ranking (and the first thing to try when recall@k is the
+    * bottleneck).
+    *
+    * Determinism contract: the centroid's per-dimension mean snaps to
+    * the 1e-6 grid (both engines' round(); half-way cases cannot
+    * arise from a 10-double mean at this grid) BEFORE
+    * entering q′ — the one float sum whose order crosses a shuffle is
+    * rounded where 10-vector accumulation error (~1e-15) cannot reach,
+    * so q′ is bit-equal across engines; everything after follows the
+    * v-family contract (left-fold dots, round-3 sims, c_id
+    * tie-break). α/β ride as e3 integers (1000/750 = the textbook
+    * 1.0/0.75). Output: (q_id, c_id, sim, rank) — the reranked top-k.
+    *
+    * Scale: one feedback join (queries×k rows), one dim-explode
+    * aggregate over it (queries×dim out), one broadcast of the
+    * expanded queries against the corpus — the cosineTopK plan with a
+    * feedback preamble; nothing corpus² anywhere.
+    */
+  def rocchioRerank(
+      queries: DataFrame, candidates: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      k: Int, alphaE3: Int = 1000, betaE3: Int = 750,
+      roundTo: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val alpha = alphaE3.toDouble / 1000.0
+    val beta = betaE3.toDouble / 1000.0
+    val rel = cosineTopK(queries, candidates, qIdCol, cIdCol, vecCol, k)
+      .select(col("q_id"), col("c_id"))
+    val relVecs = rel.join(
+      candidates.select(col(cIdCol).as("c_id"),
+        col(vecCol).as("cv")), Seq("c_id"))
+    val centroid = relVecs
+      .select(col("q_id"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy("q_id", "pos")
+      .agg(round(sum(col("x").cast("double")) / count(lit(1)), 6).as("m"))
+      .groupBy("q_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("pm"))
+      .select(col("q_id"),
+        transform(col("pm"), s => s.getField("m")).as("mv"))
+    val expanded = queries.select(col(qIdCol).as("q_id"),
+        col(vecCol).as("qv"))
+      .join(centroid, Seq("q_id"))
+      .select(col("q_id"),
+        zip_with(col("qv"), col("mv"),
+          (x, m) => x.cast("double") * lit(alpha) + m * lit(beta))
+          .as("qe"))
+    val c = candidates.select(col(cIdCol).as("c_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cd"))
+    val scored = c.crossJoin(broadcast(expanded))
+      .select(col("q_id"), col("c_id"),
+        round(ddot(col("qe"), col("cd")) /
+          (sqrt(ddot(col("qe"), col("qe"))) *
+            sqrt(ddot(col("cd"), col("cd")))), roundTo).as("sim"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "sim", "rank")
+  }
 }

@@ -2106,4 +2106,59 @@ object TextAnalytics {
       .select(col("term"), col("cf"), col("df"),
         expr("(2 * cf * 1000000 + df) div (2 * df)").as("burstiness_e6"))
   }
+
+  /** Good–Turing frequency re-estimation table (Good 1953) — the
+    * smoothing read OVER [[frequencySpectrum]]'s raw count-of-counts:
+    * for each observed count r, the adjusted count
+    *
+    *   r* = (r+1) · N_{r+1} / N_r
+    *
+    * plus each count class's share of the token mass, and — the
+    * headline number, on the r = 0 row — the estimated UNSEEN mass
+    * P₀ = N₁/N (how much probability the corpus's vocabulary has NOT
+    * shown yet; the quantity every smoothed LM divides up, and the
+    * honest "how incomplete is this crawl's vocabulary" read next to
+    * [[vocabularyGrowth]]).
+    *
+    * EXACT: N_r, N and the spine are integer aggregates;
+    * r_star_e6 = ⌈1e6·(r+1)·N_{r+1}/N_r⌋ and mass_e6 = ⌈1e6·r·N_r/N⌋
+    * are half-up integer rationals (the raw Turing estimate — a
+    * count class with N_{r+1} = 0 reads r* = 0 exactly, published
+    * smoothing variants interpolate from there; N_r = 0 → NULL).
+    * Token convention is t42's: raw space-split, no empty filter.
+    *
+    * Scale: one map-side-combined term count, one tf-grid rollup
+    * (distinct tf values ≤ O(√tokens)), a broadcast spine join and a
+    * lead window over the spine (maxR-sized). Output:
+    * (r, n_types, r_star_e6, mass_e6) for r = 0..maxR.
+    */
+  def goodTuring(
+      docs: DataFrame, textCol: String, maxR: Int = 10): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, s"maxR must be in [1,1000] (got $maxR)")
+    val spark = docs.sparkSession
+    val tf = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    val spec = tf.groupBy(col("tf").as("r")).agg(count(lit(1)).as("nr"))
+      .localCheckpoint() // tf-grid-sized; feeds the spine AND the mass total
+    val totals = spec.agg(
+      coalesce(sum(col("r") * col("nr")), lit(0L)).as("n_tokens"))
+    val spine = spark.range(0, maxR + 2L).select(col("id").as("r"))
+      .join(broadcast(spec), Seq("r"), "left")
+      .select(col("r"), coalesce(col("nr"), lit(0L)).as("nr"))
+    val lead1 = org.apache.spark.sql.expressions.Window.orderBy("r")
+    spine
+      .withColumn("next_nr", lead("nr", 1).over(lead1))
+      .filter(col("r") <= maxR)
+      .crossJoin(broadcast(totals))
+      .select(col("r"), col("nr").as("n_types"),
+        when(col("r") === 0 || col("nr") === 0, lit(null).cast("long"))
+          .otherwise(expr("(2 * (r + 1) * next_nr * 1000000 + nr) " +
+            "div (2 * nr)")).as("r_star_e6"),
+        when(col("n_tokens") === 0, lit(null).cast("long"))
+          .when(col("r") === 0,
+            expr("(2 * next_nr * 1000000 + n_tokens) div (2 * n_tokens)"))
+          .otherwise(expr("(2 * r * nr * 1000000 + n_tokens) " +
+            "div (2 * n_tokens)")).as("mass_e6"))
+  }
 }

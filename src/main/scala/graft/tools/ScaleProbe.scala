@@ -1315,6 +1315,71 @@ object ScaleProbe {
             bigEndian = id % 3 == 0, longDims = id % 2 == 0))
         }.toDF("doc_id", "payload")
         graft.operators.Multimodal.tiffMeta(s2, payloads, "doc_id").count()
+      },
+      // ---- round-13 additions, second batch ----
+      "e31_mcc" -> (d =>
+        Classifier.matthewsCorrelation(
+          d.select((pmod(col("doc_id"), lit(7)) < 3).as("t"),
+            (pmod(length(col("text")) + col("doc_id"), lit(7)) < 3)
+              .as("p")),
+          "t", "p").count()),
+      "e32_friedman" -> (d =>
+        Classifier.friedmanTest(
+          d.select(col("doc_id").as("blk"),
+            explode(sequence(lit(0), lit(2))).as("j"))
+            .select(col("blk"), concat(lit("s"), col("j")).as("trt"),
+              pmod(col("blk") * (lit(3) + col("j")) + col("j"), lit(25))
+                .as("v")),
+          "blk", "trt", "v").count()),
+      "e33_cohens_d" -> (d =>
+        Classifier.cohensD(
+          d.select(when(pmod(col("doc_id"), lit(2)) === 0, lit("a"))
+            .otherwise(lit("b")).as("g"),
+            pmod(length(col("text")), lit(5000)).as("v")),
+          "g", "v").count()),
+      "ml5_stump" -> (d =>
+        Classifier.decisionStump(
+          d.select(length(col("text")).cast("long").as("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            pmod(col("doc_id"), lit(5)).cast("string").as("cls")),
+          Seq("n_chars", "n_tokens"), "cls").count()),
+      "w30_nelson_aalen" -> (d =>
+        EventAnalytics.nelsonAalen(
+          synthEvents(d, probeN), "user_id", "ts").count()),
+      "g16_transitivity" -> { d =>
+        val ids = d.select(col("doc_id"))
+        val hop = ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 1).as("dst"))
+          .unionByName(ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 2).as("dst")))
+          .join(ids.select(col("doc_id").as("dst")), Seq("dst"),
+            "left_semi")
+        Graph.transitivity(hop, "src", "dst").count()
+      },
+      "t47_good_turing" -> (d =>
+        TextAnalytics.goodTuring(d, "text").count()),
+      "m16_webp_meta" -> { d =>
+        val s2 = d.sparkSession
+        import s2.implicits._
+        val payloads = d.select(col("doc_id")).as[Long].map { id =>
+          (id, graft.operators.Multimodal.webpBytes(
+            width = 1 + (id % 500).toInt, height = 1 + (id % 333).toInt,
+            variant = Seq("lossy", "lossless", "extended")((id % 3).toInt),
+            alpha = id % 4 == 0, animation = id % 5 == 0,
+            exifChunk = id % 2 == 0))
+        }.toDF("doc_id", "payload")
+        graft.operators.Multimodal.webpMeta(s2, payloads, "doc_id").count()
+      },
+      "v22_jl" -> { d =>
+        val e = synthEmb(d.sparkSession, probeN)
+        val signs = Similarity.jlSigns(16, 64)
+        Similarity.jlTopK(e.filter(col("vec_id") < 20), e,
+          "vec_id", "vec_id", "embedding", signs, k = 10).count()
+      },
+      "h6_rocchio" -> { d =>
+        val e = synthEmb(d.sparkSession, probeN)
+        Similarity.rocchioRerank(e.filter(col("vec_id") < 20), e,
+          "vec_id", "vec_id", "embedding", k = 10).count()
       })
 
     // the m2/m4 synthetic image corpus (one 16×18 PNG per embedding)

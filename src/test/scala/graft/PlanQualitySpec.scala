@@ -855,4 +855,74 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchangeCount(plan) == 0, s"m15 exchanges:\n$plan")
     assert(!plan.contains("Join"), s"m15 join:\n$plan")
   }
+
+  test("r13 one-row stat reads batch 2 (e31/e33): pure rollups — no " +
+      "join, no window") {
+    for (q <- Seq("e31_mcc", "e33_cohens_d")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("Join"), s"$q join:\n$plan")
+      assert(!plan.contains("Window"), s"$q window:\n$plan")
+    }
+  }
+
+  test("e32 friedman: block-partitioned rank windows, one-row " +
+      "broadcast combines only — no shuffled join") {
+    val plan = planOf(SparkEntry.queries("e32_friedman")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"e32:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"e32:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BuildRight"), s"e32:\n$plan")
+  }
+
+  test("ml5 stump: value-grid windows and equi joins, the only " +
+      "nested-loop the broadcast class dim") {
+    val plan = planOf(SparkEntry.queries("ml5_stump")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"ml5:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BuildRight"), s"ml5:\n$plan")
+  }
+
+  test("w30 nelson-aalen: w27's grid-window class — one-row horizon " +
+      "broadcast, no shuffled join") {
+    val plan = planOf(SparkEntry.queries("w30_nelson_aalen")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"w30:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"w30:\n$plan")
+  }
+
+  test("g16 transitivity: inherits the g5 triangle joins — equi only, " +
+      "never cartesian") {
+    val plan = planOf(SparkEntry.queries("g16_transitivity")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"g16:\n$plan")
+  }
+
+  test("t47 good-turing: aggregate chain + broadcast spine, lead " +
+      "window over the maxR spine only") {
+    val plan = planOf(SparkEntry.queries("t47_good_turing")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"t47:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"t47:\n$plan")
+  }
+
+  test("m16 webp walk is a shuffle-free typed scan pass") {
+    val plan = planOf(SparkEntry.queries("m16_webp_meta")(spark, dir))
+    assert(exchangeCount(plan) == 0, s"m16 exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"m16 join:\n$plan")
+  }
+
+  test("v22 jl and h6 rocchio: broadcast-query candidate scans (the " +
+      "cosineTopK class); any equi join is top-k-sized") {
+    // The corpus-sized work is the candidate scan against the
+    // BROADCAST query/expanded-query side (BNLJ BuildRight). The
+    // recall/feedback tails equi-join k-bounded tables — the static
+    // plan may pick SMJ there (AQE broadcasts at runtime), which is
+    // fine; what must never appear is a cartesian or a build-left
+    // nested loop over the corpus.
+    for (q <- Seq("v22_jl_recall", "h6_rocchio")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin Cross BuildRight"),
+        s"$q lost the broadcast candidate scan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin Cross BuildLeft"),
+        s"$q nested-loops with the corpus broadcast:\n$plan")
+    }
+  }
 }

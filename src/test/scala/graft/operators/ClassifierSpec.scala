@@ -1254,4 +1254,209 @@ class ClassifierSpec extends AnyFunSuite {
     assert(ridge == ((300L, Some(lat(d0)), Some(lat(d1)),
       Some(lat(d2)), "defined")))
   }
+
+  test("matthewsCorrelation: hand confusion, signed-square lattice, " +
+      "zero-marginal undefined, null raise, BigInt parity") {
+    import spark.implicits._
+    // tp=4 tn=3 fp=2 fn=1: num=10, den=6·5·5·4=600, mcc²=1/6
+    val hand = (Seq.fill(4)((true, true)) ++ Seq.fill(3)((false, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(1)((true, false)))
+      .toDF("t", "p")
+    val got = Classifier.matthewsCorrelation(hand, "t", "p")
+      .as[(Long, Long, Long, Long, Long, Option[Long], String)]
+      .collect().head
+    assert(got == ((10L, 4L, 3L, 2L, 1L, Some(166666666667L), "moderate")))
+    // every prediction positive -> (tn+fn) marginal 0 -> undefined
+    val degen = Seq((true, true), (false, true)).toDF("t", "p")
+    val u = Classifier.matthewsCorrelation(degen, "t", "p")
+      .as[(Long, Long, Long, Long, Long, Option[Long], String)]
+      .collect().head
+    assert(u._6.isEmpty && u._7 == "undefined")
+    val err = intercept[Exception] {
+      Seq((Some(true), None: Option[Boolean])).toDF("t", "p")
+        .transform(Classifier.matthewsCorrelation(_, "t", "p")).collect()
+    }
+    assert(err.getMessage.contains("null prediction") ||
+      Option(err.getCause).exists(_.getMessage.contains("null prediction")))
+    // BigInt parity on a random confusion
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 400).map(_ => (rnd.nextBoolean(), rnd.nextBoolean()))
+    val g2 = Classifier.matthewsCorrelation(rows.toDF("t", "p"), "t", "p")
+      .as[(Long, Long, Long, Long, Long, Option[Long], String)]
+      .collect().head
+    val tp = BigInt(rows.count(r => r._1 && r._2))
+    val tn = BigInt(rows.count(r => !r._1 && !r._2))
+    val fp = BigInt(rows.count(r => !r._1 && r._2))
+    val fn = BigInt(rows.count(r => r._1 && !r._2))
+    val num = tp * tn - fp * fn
+    val den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    val want =
+      if (den == 0) None
+      else {
+        val m = (2 * num * num * BigInt(1000000000000L) + den) / (2 * den)
+        Some((if (num >= 0) m else -m).toLong)
+      }
+    assert(g2._6 == want)
+  }
+
+  test("friedmanTest: textbook no-tie panel chi2=2; ties via doubled " +
+      "ranks match the plain-Scala rational; incomplete panel raises") {
+    import spark.implicits._
+    // 3 blocks × 3 treatments, ranks (1,2,3),(1,2,3),(1,2,3):
+    // chi2 = 12/(3·3·4)·(9+36+81) − 3·3·4 = 42 − 36 = 6
+    val clean = (for (b <- 1 to 3; t <- 0 until 3)
+      yield (s"b$b", s"s$t", (t + 1).toLong)).toDF("blk", "trt", "v")
+    val g1 = Classifier.friedmanTest(clean, "blk", "trt", "v")
+      .as[(Long, Long, Int, Option[Long], String)].collect().head
+    // 6.0 clears the df=2 upper-0.05 quantile 5.991465 exactly
+    assert(g1 == ((3L, 3L, 2, Some(6000000L), "different")))
+    // random panel WITH ties: plain-Scala doubled-rank rational parity
+    val rnd = new scala.util.Random(47)
+    val k = 4
+    val panel = (1 to 60).flatMap(b =>
+      (0 until k).map(t => (s"b$b", s"s$t", rnd.nextInt(5).toLong)))
+    val g2 = Classifier.friedmanTest(panel.toDF("blk", "trt", "v"),
+        "blk", "trt", "v")
+      .as[(Long, Long, Int, Option[Long], String)].collect().head
+    val byBlock = panel.groupBy(_._1)
+    val r2 = panel.map { case (b, t, v) =>
+      val cells = byBlock(b).map(_._3)
+      val less = cells.count(_ < v); val ties = cells.count(_ == v)
+      (t, BigInt(2 * less + ties + 1))
+    }
+    val s2 = r2.groupBy(_._1).map { case (_, xs) => xs.map(_._2).sum }
+    val n = BigInt(60)
+    val sdev = s2.map(s => (s - n * (k + 1)) * (s - n * (k + 1))).sum
+    val sr2 = r2.map(x => x._2 * x._2).sum
+    val fn = BigInt(k - 1) * sdev
+    val fd = sr2 - n * k * (k + 1) * (k + 1)
+    val wantChi = (2 * fn * 1000000 + fd) / (2 * fd)
+    assert(g2._1 == 60L && g2._2 == k.toLong && g2._4 == Some(wantChi.toLong))
+    // all-tied panel: zero denominator -> undefined
+    val flat = (for (b <- 1 to 4; t <- 0 until 3)
+      yield (s"b$b", s"s$t", 7L)).toDF("blk", "trt", "v")
+    val g3 = Classifier.friedmanTest(flat, "blk", "trt", "v")
+      .as[(Long, Long, Int, Option[Long], String)].collect().head
+    assert(g3._4.isEmpty && g3._5 == "undefined")
+    val err = intercept[Exception] {
+      Classifier.friedmanTest(
+        clean.filter(!(col("blk") === "b2" && col("trt") === "s1")),
+        "blk", "trt", "v").collect()
+    }
+    def chain(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+    assert(chain(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("incomplete panel"))))
+  }
+
+  test("cohensD: hand groups d²=1.6 large; constant groups undefined; " +
+      "score envelope raises; BigInt parity with signs") {
+    import spark.implicits._
+    val hand = Seq(("a", 2L), ("a", 4L), ("a", 6L),
+      ("b", 1L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val g1 = Classifier.cohensD(hand, "g", "v")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], String)].collect().head
+    assert(g1 == ((3L, 3L, Some(2000000L), Some(2500000L),
+      Some(1600000L), Some(800000L), "large")))
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "v")
+    val g2 = Classifier.cohensD(const, "g", "v")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], String)].collect().head
+    assert(g2._5.isEmpty && g2._7 == "undefined")
+    val err = intercept[Exception] {
+      Classifier.cohensD(Seq(("a", 20000L), ("b", 1L)).toDF("g", "v"),
+        "g", "v").collect()
+    }
+    def chain(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+    assert(chain(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("1e4 lattice"))))
+    // BigInt parity, including a negative mean difference
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 500).map(i =>
+      (if (i % 2 == 0) "a" else "b",
+        (rnd.nextInt(2000) - (if (i % 2 == 0) 1000 else 400)).toLong))
+    val g3 = Classifier.cohensD(rows.toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], String)].collect().head
+    val a = rows.filter(_._1 == "a").map(r => BigInt(r._2))
+    val b = rows.filter(_._1 == "b").map(r => BigInt(r._2))
+    val (na, nb) = (BigInt(a.size), BigInt(b.size))
+    val (sa, sb) = (a.sum, b.sum)
+    val (qa, qb) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+    def latt(num: BigInt, den: BigInt): BigInt = {
+      val m = (2 * num.abs * 1000000 + den) / (2 * den)
+      if (num >= 0) m else -m
+    }
+    val md = latt(sa * nb - sb * na, na * nb)
+    val sp2 = latt(nb * (na * qa - sa * sa) + na * (nb * qb - sb * sb),
+      na * nb * (na + nb - 2))
+    val dsq = {
+      val m = (2 * md * md + sp2) / (2 * sp2)
+      if (md >= 0) m else -m
+    }
+    assert(g3._3 == Some(md.toLong) && g3._4 == Some(sp2.toLong) &&
+      g3._5 == Some(dsq.toLong))
+  }
+
+  test("decisionStump: perfect split scores 1e9; two-feature argmax; " +
+      "deterministic tie-break; brute-force BigInt parity; null raise") {
+    import spark.implicits._
+    // x separates perfectly at 2; y is noise
+    val hand = Seq((1L, 9L, "a"), (2L, 3L, "a"), (3L, 9L, "b"),
+      (4L, 3L, "b")).toDF("x", "y", "cls")
+    val g1 = Classifier.decisionStump(hand, Seq("x", "y"), "cls")
+      .as[(String, Long, Long, Long, Long, Long, String, String)]
+      .collect().head
+    assert(g1 == (("x", 2L, 2L, 2L, 1000000000L, 500000000L, "a", "b")))
+    // brute-force parity on a random table: every (feat, threshold)
+    // scored as an exact rational, argmax with (score, feat, v) order
+    val rnd = new scala.util.Random(61)
+    val rows = (1 to 300).map(_ => (rnd.nextInt(12).toLong,
+      rnd.nextInt(9).toLong, s"c${rnd.nextInt(3)}"))
+    val got = Classifier.decisionStump(rows.toDF("f1", "f2", "cls"),
+        Seq("f1", "f2"), "cls")
+      .as[(String, Long, Long, Long, Long, Long, String, String)]
+      .collect().head
+    val n = rows.size
+    val cands = for {
+      (feat, fv) <- Seq(("f1", (r: (Long, Long, String)) => r._1),
+        ("f2", (r: (Long, Long, String)) => r._2))
+      v <- rows.map(fv).distinct.sorted
+      left = rows.filter(r => fv(r) <= v)
+      if left.size < n
+    } yield {
+      val right = rows.filterNot(r => fv(r) <= v)
+      def ssq(xs: Seq[(Long, Long, String)]) =
+        xs.groupBy(_._3).values.map(g => BigInt(g.size) * g.size).sum
+      val (nl, nr) = (BigInt(left.size), BigInt(right.size))
+      val score = (2 * (ssq(left) * nr + ssq(right) * nl) *
+        BigInt(1000000000L) + nl * nr * n) / (2 * nl * nr * n)
+      (feat, v, left, right, score)
+    }
+    val best = cands.minBy { case (f, v, _, _, s) => (-s, f, v) }
+    def major(xs: Seq[(Long, Long, String)]): String =
+      xs.groupBy(_._3).toSeq
+        .minBy { case (c, g) => (-g.size, c) }._1
+    assert(got == ((best._1, best._2, best._3.size.toLong,
+      best._4.size.toLong, best._5.toLong,
+      {
+        val pss = rows.groupBy(_._3).values
+          .map(g => BigInt(g.size) * g.size).sum
+        ((2 * pss * BigInt(1000000000L) + BigInt(n) * n) /
+          (2 * BigInt(n) * n)).toLong
+      },
+      major(best._3), major(best._4))))
+    val err = intercept[Exception] {
+      Classifier.decisionStump(
+        Seq((Some(1L), "a"), (None: Option[Long], "b")).toDF("x", "cls"),
+        Seq("x"), "cls").collect()
+    }
+    def chain(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+    assert(chain(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("null feature"))))
+  }
 }

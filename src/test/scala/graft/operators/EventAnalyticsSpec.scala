@@ -1110,4 +1110,55 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(1)._7 == (if (chi > 15507313L) "nonconforming"
       else "conforming"))
   }
+
+  test("nelsonAalen: hand hazard sums; FINITE where KM's log dies; " +
+      "scalar parity on random lifetimes") {
+    def ts(day: Long) = day * 86400L * 1000 * 1000 * 1000 + 1
+    // the survivalCurve hand fixture: same spans, additive hazards
+    val ev = Seq((1L, ts(0)), (1L, ts(10)), (2L, ts(0)), (2L, ts(1)),
+      (3L, ts(8)), (4L, ts(12))).toDF("user_id", "ts")
+    val got = EventAnalytics.nelsonAalen(ev, "user_id", "ts")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == Map(
+      0L -> ((4L, 0L, 2L, 0L, 0L)),
+      1L -> ((2L, 1L, 0L, 500000L, 250000000000L)),
+      10L -> ((1L, 0L, 1L, 500000L, 250000000000L))))
+    // the d = n grid row that NULLs KM's log-survival: NA stays finite
+    val ev2 = Seq((1L, ts(20)), (2L, ts(0)), (2L, ts(13)))
+      .toDF("user_id", "ts")
+    val got2 = EventAnalytics.nelsonAalen(ev2, "user_id", "ts")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got2 == Map(0L -> ((2L, 0L, 1L, 0L, 0L)),
+      13L -> ((1L, 1L, 0L, 1000000L, 1000000000000L))))
+    // random lifetimes ≡ independent scalar model (the w27 harness)
+    val rnd = new scala.util.Random(127)
+    val rows = (1L to 80L).flatMap { u =>
+      val f = rnd.nextInt(30).toLong
+      val l = f + rnd.nextInt(40)
+      Seq((u, ts(f)), (u, ts(l)), (u, ts(f + (l - f) / 2)))
+    }
+    val gotR = EventAnalytics.nelsonAalen(
+        rows.toDF("user_id", "ts"), "user_id", "ts")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5, r._6))).toMap
+    val perU = rows.groupBy(_._1).toSeq.map { case (_, es) =>
+      val days = es.map(e => e._2 / (86400L * 1000 * 1000 * 1000))
+      (days.max - days.min, days.max)
+    }
+    val maxl = perU.map(_._2).max
+    val lives = perU.map { case (t, l) => (t, l <= maxl - 7) }
+    val grid = lives.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, v) =>
+      (t, v.count(_._2).toLong, v.count(!_._2).toLong) }
+    var atRisk = lives.size.toLong
+    var cumH = 0L; var cumV = 0L
+    grid.foreach { case (t, d, c) =>
+      cumH += (2 * d * 1000000L + atRisk) / (2 * atRisk)
+      cumV += ((2 * BigInt(d) * BigInt(1000000000000L) +
+        BigInt(atRisk) * atRisk) / (2 * BigInt(atRisk) * atRisk)).toLong
+      assert(gotR(t) == ((atRisk, d, cumH, cumV)), s"t=$t")
+      atRisk -= d + c
+    }
+  }
 }

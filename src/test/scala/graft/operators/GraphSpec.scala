@@ -748,4 +748,46 @@ class GraphSpec extends AnyFunSuite {
       else -((2 * (-qn) * 1000000 + qd) / (2 * qd))
     assert(gotR == ((nComm, m.toLong, intra.toLong, Some(qe6.toLong))))
   }
+
+  test("transitivity: triangle+pendant hand graph; wedge-free NULL; " +
+      "plain-Scala parity on a random graph") {
+    val hand = Seq(("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"))
+      .toDF("s", "t")
+    val g1 = Graph.transitivity(hand, "s", "t")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    // degs A2 B2 C3 D1 → wedges 5; one triangle; 3T/W = 0.6;
+    // avg cc over {A,B,C} = (1 + 1 + 1/3)/3 → 777778 half-up
+    assert(g1 == ((4L, 5L, 1L, Some(600000L), Some(777778L))))
+    // a single edge has no wedge and no deg-2 node
+    val g2 = Graph.transitivity(Seq(("X", "Y")).toDF("s", "t"), "s", "t")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    assert(g2 == ((2L, 0L, 0L, None, None)))
+    // random graph ≡ independent adjacency-set model
+    val rnd = new scala.util.Random(71)
+    val edges = (1 to 150).map(_ =>
+      (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))
+      .filter(e => e._1 != e._2)
+    val got = Graph.transitivity(edges.toDF("s", "t"), "s", "t")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    val und = edges.flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = und.keys.toSeq.sorted
+    val triPer = nodes.map { v =>
+      val nb = und(v).toSeq
+      v -> nb.combinations(2).count(p => und(p(0)).contains(p(1)))
+    }.toMap
+    val w2 = nodes.map(v => BigInt(und(v).size) * (und(v).size - 1)).sum
+    val t3 = BigInt(triPer.values.sum)
+    val d2 = nodes.filter(v => und(v).size >= 2)
+    val scc = d2.map { v =>
+      val deg = BigInt(und(v).size)
+      ((2 * (2 * BigInt(triPer(v)) * 1000000) + deg * (deg - 1)) /
+        (2 * deg * (deg - 1))).toLong
+    }.sum
+    val wantTrans = ((2 * t3 * 2 * 1000000 + w2) / (2 * w2)).toLong
+    val wantAvg = ((2 * BigInt(scc) + d2.size) / (2 * BigInt(d2.size)))
+      .toLong
+    assert(got == ((nodes.size.toLong, (w2 / 2).toLong, (t3 / 3).toLong,
+      Some(wantTrans), Some(wantAvg))))
+  }
 }

@@ -640,4 +640,85 @@ class MultimodalSpec extends AnyFunSuite {
     val badIfd = le.clone(); badIfd(4) = 100.toByte
     assert(Multimodal.tiffInfo(badIfd) == None)
   }
+
+  test("webpBytes -> webpInfo round trip, published-layout byte pins " +
+      "for all three flavors, word alignment, corrupt drops") {
+    import spark.implicits._
+    // lossy: RIFF/WEBP magic, VP8 chunk, sync code 9D 01 2A at
+    // payload+3, 14-bit LE dims (the published VP8 frame header)
+    val lossy = Multimodal.webpBytes(322, 199, "lossy")
+    assert(new String(lossy, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(lossy, 8, 4, "US-ASCII") == "WEBP")
+    assert(new String(lossy, 12, 4, "US-ASCII") == "VP8 ")
+    // riff size = total − 8 (LE32 at offset 4)
+    assert(((lossy(4) & 0xFF) | ((lossy(5) & 0xFF) << 8)) ==
+      lossy.length - 8)
+    assert((lossy(23) & 0xFF) == 0x9D && lossy(24) == 0x01 &&
+      (lossy(25) & 0xFF) == 0x2A)
+    assert(((lossy(26) & 0xFF) | ((lossy(27) & 0x3F) << 8)) == 322)
+    assert(((lossy(28) & 0xFF) | ((lossy(29) & 0x3F) << 8)) == 199)
+    assert(Multimodal.webpInfo(lossy) ==
+      Some(Multimodal.WebpInfo("lossy", 322, 199, false, false, 1)))
+    // lossless: 0x2F signature, 14+14 bit packing, alpha bit 28
+    val ll = Multimodal.webpBytes(5, 3, "lossless", alpha = true)
+    assert(new String(ll, 12, 4, "US-ASCII") == "VP8L")
+    assert((ll(20) & 0xFF) == 0x2F)
+    // bits = (5−1) | (3−1)<<14 | 1<<28 = 4 + 0x8000 + 0x10000000
+    assert((ll(21) & 0xFF) == 0x04 && (ll(22) & 0xFF) == 0x80 &&
+      (ll(23) & 0xFF) == 0x00 && (ll(24) & 0xFF) == 0x10)
+    assert(Multimodal.webpInfo(ll) ==
+      Some(Multimodal.WebpInfo("lossless", 5, 3, true, false, 1)))
+    // extended: VP8X flags byte (0x10 alpha | 0x02 animation), canvas
+    // dims as 24-bit LE minus-one, inner image chunk counted
+    val ext = Multimodal.webpBytes(1000, 700, "extended", alpha = true,
+      animation = true, exifChunk = true)
+    assert(new String(ext, 12, 4, "US-ASCII") == "VP8X")
+    assert((ext(20) & 0xFF) == 0x12)
+    assert(((ext(24) & 0xFF) | ((ext(25) & 0xFF) << 8) |
+      ((ext(26) & 0xFF) << 16)) == 999)
+    assert(((ext(27) & 0xFF) | ((ext(28) & 0xFF) << 8) |
+      ((ext(29) & 0xFF) << 16)) == 699)
+    assert(Multimodal.webpInfo(ext) ==
+      Some(Multimodal.WebpInfo("extended", 1000, 700, true, true, 3)))
+    // the odd-size EXIF chunk pads to even: total length is even and
+    // the walk still counts 2 chunks
+    val oddTail = Multimodal.webpBytes(7, 7, "lossy", exifChunk = true)
+    assert(oddTail.length % 2 == 0)
+    assert(Multimodal.webpInfo(oddTail).get.nChunks == 2)
+    // corruption: bad sync, bad VP8L signature, corrupt chunk size,
+    // truncation, non-webp — all None, never a throw or stall
+    val badSync = lossy.clone(); badSync(23) = 0x42
+    assert(Multimodal.webpInfo(badSync) == None)
+    val badSig = ll.clone(); badSig(20) = 0x30
+    assert(Multimodal.webpInfo(badSig) == None)
+    val badSz = lossy.clone(); badSz(19) = 0x7F
+    assert(Multimodal.webpInfo(badSz) == None)
+    assert(Multimodal.webpInfo(lossy.take(18)) == None)
+    assert(Multimodal.webpInfo("plain text here".getBytes("UTF-8")) == None)
+    // operator drops non-webp rows; partitioning-invariant
+    val rows = (0L until 36L).map { id =>
+      val b =
+        if (id % 6 == 0) s"nope $id".getBytes("UTF-8")
+        else Multimodal.webpBytes((1 + id % 9).toInt, (1 + id % 5).toInt,
+          Seq("lossy", "lossless", "extended")((id % 3).toInt),
+          alpha = id % 2 == 0, animation = id % 4 == 0,
+          exifChunk = id % 5 == 0)
+      (id, b)
+    }
+    def run(parts: Int) = Multimodal.webpMeta(spark,
+        rows.toDF("doc_id", "payload").repartition(parts), "doc_id")
+      .as[(Long, String, Long, Long, Boolean, Boolean, Long)]
+      .collect().sortBy(_._1).toSeq
+    val got = run(1)
+    assert(run(5) == got)
+    assert(got.map(_._1) == (0L until 36L).filter(_ % 6 != 0))
+    got.foreach { case (id, variant, w, h, al, an, nc) =>
+      assert(variant == Seq("lossy", "lossless", "extended")((id % 3).toInt))
+      assert(w == 1 + id % 9 && h == 1 + id % 5)
+      assert(al == (id % 3 != 0 && id % 2 == 0))
+      assert(an == (id % 3 == 2 && id % 4 == 0))
+      assert(nc == (if (id % 3 == 2) 2 else 1) +
+        (if (id % 5 == 0) 1 else 0))
+    }
+  }
 }

@@ -760,4 +760,100 @@ class SimilaritySpec extends AnyFunSuite {
       }
     assert(gotR == wantR)
   }
+
+  test("jlSigns: md5-recipe parity and balance; jlProjection bit-equal " +
+      "to the plain-Scala left fold; identical vectors rank first") {
+    val signs = Similarity.jlSigns(16, 64)
+    // independent recompute of a few entries straight from the recipe
+    def md5sign(i: Int, j: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+    for (i <- Seq(0, 7, 15); j <- Seq(0, 31, 63))
+      assert(signs(i)(j) == md5sign(i, j))
+    // a hash-derived matrix should be roughly balanced
+    val plus = signs.flatten.count(_ == 1)
+    assert(plus > 400 && plus < 624, s"plus=$plus of 1024")
+    // projection ≡ plain-Scala left fold, bit-for-bit
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), Similarity.jlProjection(col("v"), signs).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val want = signs.map(row =>
+        row.zipWithIndex.map { case (s, j) => v(j).toDouble * s.toDouble }
+          .reduceLeft(_ + _)).toSeq
+      assert(got(id) == want, s"id=$id")
+    }
+    // self-similarity: every query present in the candidate set ranks
+    // itself first through the projection (projected cosine 1.0)
+    val df = vecs.toDF("id", "v")
+    val top = Similarity.jlTopK(df.filter(col("id") < 5), df,
+        "id", "id", "v", signs, k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+      .filter(_._4 == 1).map(r => r._1 -> r._2).toMap
+    assert((0L until 5L).forall(q => top(q) == q))
+  }
+
+  test("rocchioRerank: all-duplicate feedback is a fixpoint; " +
+      "plain-Scala end-to-end parity on random vectors") {
+    import spark.implicits._
+    // fixpoint: candidates = queries themselves + noise; top-k
+    // centroid of k duplicates IS the query, so q' = 1.75·q and the
+    // reranked list equals the exact cosine list
+    val rnd = new scala.util.Random(17)
+    val base = (0L until 12L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val dups = base.take(3).flatMap { case (i, v) =>
+      Seq((i, v), (i + 100, v.clone()), (i + 200, v.clone()))
+    }
+    val cands = (dups ++ base.drop(3)).toDF("id", "v")
+    val qs = base.take(3).toDF("id", "v")
+    val exact = Similarity.cosineTopK(qs, cands, "id", "id", "v", k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val rr = Similarity.rocchioRerank(qs, cands, "id", "id", "v", k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(rr.map(r => (r._1, r._2, r._4)).toSeq ==
+      exact.map(r => (r._1, r._2, r._4)).toSeq)
+    // independent plain-Scala model of the WHOLE pipeline on random
+    // vectors: exact top-k (round-3 sims, id tie-break), per-dim
+    // centroid snapped to the 1e-6 grid, q' = q + 0.75·m, left-fold
+    // dots — rank lists and sims must match exactly
+    val all = (0L until 20L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val k = 5
+    val gotM = Similarity.rocchioRerank(
+        all.take(4).toDF("id", "v"), all.toDF("id", "v"),
+        "id", "id", "v", k = k)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._4) -> ((r._2, r._3))).toMap
+    def r3(x: Double) = BigDecimal(x)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.reduceLeft(_ + _)
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      r3(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val cd = all.map { case (i, v) => (i, v.map(_.toDouble).toSeq) }
+    all.take(4).foreach { case (qid, qv) =>
+      val qd = qv.map(_.toDouble).toSeq
+      val topk = cd.map { case (ci, cv) => (ci, cos(qd, cv)) }
+        .sortBy { case (ci, s) => (-s, ci) }.take(k)
+      val rel = topk.map(t => cd.find(_._1 == t._1).get._2)
+      val m = (0 until 64).map { j =>
+        BigDecimal(rel.map(_(j)).sum / k)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val qe = qd.zip(m).map { case (x, mm) => x * 1.0 + mm * 0.75 }
+      val want = cd.map { case (ci, cv) => (ci, cos(qe, cv)) }
+        .sortBy { case (ci, s) => (-s, ci) }.take(k)
+      want.zipWithIndex.foreach { case ((ci, s), idx) =>
+        assert(gotM((qid, idx + 1)) == ((ci, s)),
+          s"q=$qid rank=${idx + 1}")
+      }
+    }
+  }
 }

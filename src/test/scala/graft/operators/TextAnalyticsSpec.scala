@@ -1166,4 +1166,43 @@ class TextAnalyticsSpec extends AnyFunSuite {
       Option(e.getCause).map(_.getMessage).getOrElse(""))
       .contains("absent from the corpus"), e.getMessage)
   }
+
+  test("goodTuring: hand spectrum with unseen mass on the r=0 row; " +
+      "plain-Scala parity on a random corpus") {
+    // "a a b c": N=4, N1=2, N2=1 → P0 = 2/4, r*(1) = 2·1/2 = 1,
+    // r*(2) = 3·0/1 = 0 (the raw Turing read), masses 1/2 each
+    val hand = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    val got = TextAnalytics.goodTuring(hand, "text")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((0L, None, Some(500000L))))
+    assert(got(1L) == ((2L, Some(1000000L), Some(500000L))))
+    assert(got(2L) == ((1L, Some(0L), Some(500000L))))
+    assert(got(5L) == ((0L, None, Some(0L))))
+    assert(got.size == 11)
+    // random corpus ≡ independent scalar model
+    val rnd = new scala.util.Random(83)
+    val docs = (1L to 40L).map(i => (i, (0 until rnd.nextInt(30))
+      .map(_ => s"w${rnd.nextInt(40)}").mkString(" ")))
+    val gotR = TextAnalytics.goodTuring(docs.toDF("doc_id", "text"), "text")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val toks = docs.flatMap(_._2.split(" "))
+    val tf = toks.groupBy(identity).map(_._2.size)
+    val spec = tf.groupBy(identity).map { case (r, v) => r -> v.size }
+      .withDefaultValue(0)
+    val n = toks.size.toLong
+    (0 to 10).foreach { r =>
+      val nr = spec(r).toLong
+      val next = spec(r + 1).toLong
+      val rstar =
+        if (r == 0 || nr == 0) None
+        else Some((2 * (r + 1) * next * 1000000L + nr) / (2 * nr))
+      val mass =
+        if (n == 0) None
+        else if (r == 0) Some((2 * next * 1000000L + n) / (2 * n))
+        else Some((2 * r * nr * 1000000L + n) / (2 * n))
+      assert(gotR(r.toLong) == ((nr, rstar, mass)), s"r=$r")
+    }
+  }
 }
