@@ -4406,6 +4406,46 @@ FROM c"""
     Multimodal.webpMeta(s, payloads, "doc_id")
   }
 
+  /** e34: Kruskal–Wallis H over four independent document slices —
+    * global doubled ranks off the value grid, lattice-composed terms,
+    * exact tie correction, shared chi-square table. Full oracle.
+    */
+  private def e34KruskalWallis(s: SparkSession, d: String): DataFrame =
+    Classifier.kruskalWallis(
+      T(s, d, "documents").select(
+        concat(lit("s"), pmod(col("doc_id"), lit(4))).as("g"),
+        pmod(col("n_chars"), lit(200)).as("v")),
+      "g", "v")
+
+  /** w31: Lorenz activity curve over per-user event counts — the
+    * count-grid cumulative + broadcast decile spine, exact partial
+    * blocks at each cut. Full oracle.
+    */
+  private def w31Lorenz(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.lorenzCurve(T(s, d, "events"), "user_id")
+
+  /** g17: per-edge triangle support over the g5 hop graph — each
+    * enumerated triangle exploded to its three canonical edges,
+    * support-0 edges emitted. Full oracle (extends the g5 chain).
+    */
+  private def g17EdgeSupport(s: SparkSession, d: String): DataFrame = {
+    val ids = T(s, d, "documents").select(col("doc_id"))
+    val hop = ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 1).as("dst"))
+      .unionByName(ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 2).as("dst")))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    Graph.edgeSupport(hop, "src", "dst")
+  }
+
+  /** h7: Jelinek–Mercer smoothed query likelihood — h5's query over
+    * the λ = 0.5 mixture smoothing, fixed IEEE probability tree +
+    * 1e-6 ln floor lattice. Full oracle.
+    */
+  private def h7JmRetrieval(s: SparkSession, d: String): DataFrame =
+    TextAnalytics.queryLikelihoodJm(T(s, d, "documents"), "doc_id",
+      "text", Seq("table", "query", "spark"))
+
   /** v22: recall@10 of cosine ranking THROUGH the 16-component ±1 JL
     * projection vs the exact dense ranking — the
     * dimensionality-reduction scale path's honesty check (the v14/v19
@@ -4729,7 +4769,11 @@ FROM c"""
     "t47_good_turing" -> (t47GoodTuring _),
     "m16_webp_meta" -> (m16WebpMeta _),
     "v22_jl_recall" -> (v22JlRecall _),
-    "h6_rocchio" -> (h6Rocchio _))
+    "h6_rocchio" -> (h6Rocchio _),
+    "e34_kruskal_wallis" -> (e34KruskalWallis _),
+    "w31_lorenz" -> (w31Lorenz _),
+    "g17_edge_support" -> (g17EdgeSupport _),
+    "h7_jm_retrieval" -> (h7JmRetrieval _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -11386,6 +11430,137 @@ FROM c"""
         |    AS n_chunks
         |FROM documents WHERE doc_id % 13 <> 0""".stripMargin,
     "v22_jl_recall" -> v22OracleSql,
+    // e34 twin: identical value-grid doubled ranks, lattice-composed
+    // group terms, exact tie correction, shared chi-square table
+    "e34_kruskal_wallis" ->
+      """WITH cells AS (SELECT 's' || (doc_id % 4) AS g,
+        |    n_chars % 200 AS v FROM documents),
+        |gv AS (SELECT g, v, count(*)::BIGINT AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |vg AS (SELECT v, sum(cnt)::BIGINT AS t FROM gv GROUP BY 1),
+        |vg2 AS (SELECT v, t, coalesce(sum(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cumb FROM vg),
+        |vg3 AS (SELECT v, t, 2 * cumb + t + 1 AS r2 FROM vg2),
+        |tie AS (SELECT sum(t::HUGEINT * t * t - t) AS sum_t,
+        |    sum(t)::BIGINT AS n_total FROM vg3),
+        |pg AS (SELECT g, sum(cnt)::BIGINT AS nj,
+        |    sum(cnt::HUGEINT * r2) AS s2
+        |  FROM gv JOIN vg3 USING (v) GROUP BY 1),
+        |km AS (SELECT count(*)::BIGINT AS k_groups FROM pg),
+        |trm AS (SELECT sum((2 * 3000000 * s2 * s2
+        |      + nj::HUGEINT * n_total * (n_total + 1))
+        |      // (2 * nj::HUGEINT * n_total * (n_total + 1))) AS usum
+        |  FROM pg, tie),
+        |x AS (SELECT n_total, k_groups, (k_groups - 1)::INT AS df,
+        |    usum - 3000000::HUGEINT * (n_total + 1) AS u_e6,
+        |    n_total::HUGEINT * n_total * n_total - n_total AS nnn,
+        |    sum_t
+        |  FROM tie, km, trm),
+        |y AS (SELECT *, nnn - sum_t AS cd FROM x)
+        |SELECT n_total, k_groups, df,
+        |  CASE WHEN cd = 0 THEN NULL
+        |    WHEN u_e6 >= 0 THEN ((2 * u_e6 * nnn + cd) // (2 * cd))::BIGINT
+        |    ELSE -(((-2 * u_e6 * nnn + cd) // (2 * cd))::BIGINT)
+        |    END AS h_e6,
+        |  CASE WHEN cd = 0 THEN 'undefined'
+        |    WHEN u_e6 * nnn > ([3841459, 5991465, 7814728, 9487729,
+        |      11070498, 12591587, 14067140, 15507313, 16918978,
+        |      18307038, 19675138, 21026070, 22362032, 23684791,
+        |      24995790, 26296228, 27587112, 28869299, 30143527,
+        |      31410433, 32670573, 33924438, 35172462, 36415028,
+        |      37652484, 38885139, 40113272, 41337138, 42556968,
+        |      43772972])[df]::HUGEINT * cd THEN 'different'
+        |    ELSE 'not_different' END AS verdict
+        |FROM y""".stripMargin,
+    // w31 twin: the w21 count grid + decile-spine range join, exact
+    // partial blocks
+    "w31_lorenz" ->
+      """WITH counts AS (SELECT user_id AS k, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1),
+        |grid AS (SELECT c, count(*)::BIGINT AS m FROM counts GROUP BY 1),
+        |g2 AS (SELECT c, m,
+        |    coalesce(sum(m) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cumu,
+        |    coalesce(sum(c::HUGEINT * m) OVER (ORDER BY c ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0::HUGEINT) AS cume
+        |  FROM grid),
+        |tot AS (SELECT sum(m)::BIGINT AS n_keys,
+        |    sum(c::HUGEINT * m) AS total FROM grid),
+        |spine AS (SELECT unnest(range(1, 11))::BIGINT AS p),
+        |cuts AS (SELECT p, (p * n_keys) // 10 AS cut, total
+        |  FROM spine, tot),
+        |j AS (SELECT cuts.p, cuts.cut, cuts.total,
+        |    coalesce(g2.cume, 0::HUGEINT) + coalesce(g2.c, 0)::HUGEINT
+        |      * (cuts.cut - coalesce(g2.cumu, 0)) AS ev
+        |  FROM cuts LEFT JOIN g2 ON g2.cumu < cuts.cut
+        |    AND cuts.cut <= g2.cumu + g2.m)
+        |SELECT p AS decile, cut AS n_keys_cut, ev::BIGINT AS cum_events,
+        |  CASE WHEN total = 0 THEN NULL
+        |    ELSE ((2 * ev * 1000000 + total) // (2 * total))::BIGINT
+        |    END AS share_e6
+        |FROM j""".stripMargin,
+    // g17 twin: the g5 triangle chain, each triple exploded to its
+    // three canonical edges, zero-fill left join
+    "g17_edge_support" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |e0 AS (SELECT doc_id AS s, doc_id + 1 AS t FROM ids
+        |  UNION ALL SELECT doc_id, doc_id + 2 FROM ids),
+        |e1 AS (SELECT s, t FROM e0
+        |  WHERE t IN (SELECT doc_id FROM ids) AND s <> t),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |    SELECT s::VARCHAR AS a, t::VARCHAR AS b FROM e1
+        |    UNION ALL SELECT t::VARCHAR, s::VARCHAR FROM e1)),
+        |deg AS (SELECT a AS node, count(*)::BIGINT AS deg
+        |  FROM und GROUP BY 1),
+        |ord_e AS (SELECT und.a AS u, und.b AS v FROM und
+        |  JOIN deg da ON da.node = und.a
+        |  JOIN deg db ON db.node = und.b
+        |  WHERE da.deg < db.deg
+        |    OR (da.deg = db.deg AND und.a < und.b)),
+        |tri AS (SELECT x.u AS ta, x.v AS tb, y.v AS tc
+        |  FROM ord_e x JOIN ord_e y ON x.u = y.u AND x.v < y.v
+        |  WHERE EXISTS (SELECT 1 FROM und
+        |    WHERE und.a = x.v AND und.b = y.v)),
+        |es AS (SELECT least(ta, tb) AS a, greatest(ta, tb) AS b FROM tri
+        |  UNION ALL SELECT least(ta, tc), greatest(ta, tc) FROM tri
+        |  UNION ALL SELECT least(tb, tc), greatest(tb, tc) FROM tri),
+        |pe AS (SELECT a, b, count(*)::BIGINT AS support
+        |  FROM es GROUP BY 1, 2),
+        |canon AS (SELECT a, b FROM und WHERE a < b)
+        |SELECT canon.a AS node_a, canon.b AS node_b,
+        |  coalesce(pe.support, 0)::BIGINT AS support
+        |FROM canon LEFT JOIN pe USING (a, b)""".stripMargin,
+    // h7 twin: the h5 skeleton with the λ = 0.5 JM mixture — fixed
+    // IEEE tree mirrored term by term
+    "h7_jm_retrieval" ->
+      """WITH dx AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |compact AS (SELECT id, len(w)::BIGINT AS len,
+        |    list_filter(w, t -> t IN ('table', 'query', 'spark'))
+        |      AS hits FROM dx),
+        |stats AS (SELECT sum(len)::BIGINT AS c_total FROM compact),
+        |tf AS (SELECT id, t AS term, count(*)::BIGINT AS tf
+        |  FROM compact, LATERAL unnest(hits) u(t) GROUP BY 1, 2),
+        |cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+        |spine AS (SELECT t AS term
+        |  FROM unnest(['table', 'query', 'spark']) u(t)),
+        |spinecf AS (SELECT s.term, cf.cf FROM spine s JOIN cf USING (term)),
+        |rws AS (SELECT c.id, s.term, coalesce(tf.tf, 0)::BIGINT AS tf,
+        |    c.len, s.cf
+        |  FROM compact c CROSS JOIN spinecf s
+        |  LEFT JOIN tf ON tf.id = c.id AND tf.term = s.term),
+        |scored AS (SELECT id,
+        |    CASE WHEN tf > 0 THEN 1 ELSE 0 END AS hit,
+        |    floor(ln((CASE WHEN len = 0 THEN 0.0
+        |        ELSE (500.0 * tf::DOUBLE) / (1000.0 * len::DOUBLE) END) +
+        |      (500.0 * cf::DOUBLE) /
+        |        (1000.0 * (SELECT c_total FROM stats)::DOUBLE))
+        |      * 1000000.0)::BIGINT AS s_e6
+        |  FROM rws)
+        |SELECT id, sum(hit)::BIGINT AS n_hit_terms,
+        |  sum(s_e6)::BIGINT AS score_e6
+        |FROM scored GROUP BY 1""".stripMargin,
     // h6 twin: exact top-10 feedback, per-dim means snapped to the
     // 1e-6 grid, expanded-query rerank — the v19 ranking tail
     "h6_rocchio" ->

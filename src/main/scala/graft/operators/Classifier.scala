@@ -1863,6 +1863,93 @@ object Classifier {
           .as("verdict"))
   }
 
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952, tie correction per
+    * Conover 1999) — the INDEPENDENT-groups counterpart of
+    * [[friedmanTest]]'s blocked design, and the k-group extension of
+    * [[mannWhitney]]: do k systems' score distributions differ, with
+    * nothing paired? THE first read over a slice-metrics table (k
+    * model variants × one eval metric each).
+    *
+    * Determinism contract (the cohensD lattice-composition
+    * discipline): global doubled ranks come EXACTLY off the value
+    * grid (R2(v) = 2·cumbefore(v) + t(v) + 1 — one integer per
+    * distinct value, never a corpus-sized rank window), each group's
+    * uncorrected term reads half-up onto the 1e-6 lattice,
+    *
+    *   u_e6 = Σ_j ⌈3e6·S2_j² / (n_j·N·(N+1))⌋ − 3e6·(N+1)
+    *
+    * and the tie correction composes as one more exact rational:
+    * h_e6 = ⌈u_e6·(N³−N) / (N³−N − ΣT)⌋ with ΣT = Σ(t³−t) off the
+    * same grid. All-tied input (ΣT = N³−N) → NULL, verdict
+    * 'undefined'; the χ²(k−1) verdict is an exact integer
+    * cross-comparison against the shared table (k ≤ 31). Output: one
+    * row (n_total, k_groups, df, h_e6, verdict).
+    *
+    * Scale: one (group, value) count, one value-grid window, two
+    * rollups, a one-row solve — the w21 count-grid posture; N ≤ 1e6
+    * guards the decimal(38,0) envelope (3e6·S2² ≤ ~1.2e31 there).
+    */
+  def kruskalWallis(
+      scores: DataFrame, groupCol: String, scoreCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val cells = scores.select(
+      when(col(groupCol).isNull,
+        raise_error(lit("kruskalWallis: null group")))
+        .otherwise(col(groupCol).cast("string")).as("g"),
+      when(col(scoreCol).isNull,
+        raise_error(lit("kruskalWallis: null score")))
+        .otherwise(col(scoreCol).cast("long")).as("v"))
+    val gv = cells.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // value-grid-sized; feeds ranks AND group sums
+    val wBefore = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vgrid = gv.groupBy("v").agg(sum("cnt").as("t"))
+      .withColumn("cumb", coalesce(sum("t").over(wBefore), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cumb") + col("t") + 1L)
+    val ties = vgrid.agg(
+      coalesce(sum(dc(col("t")) * dc(col("t")) * dc(col("t")) -
+        dc(col("t"))), dc(lit(0))).as("sum_t"),
+      coalesce(sum("t"), lit(0L)).as("n_total"))
+    val perGroup = gv.join(vgrid.select("v", "r2"), Seq("v"))
+      .groupBy("g").agg(sum("cnt").as("nj"),
+        sum(dc(col("cnt")) * dc(col("r2"))).as("s2"))
+    val km = perGroup.agg(count(lit(1)).as("k_groups"))
+    val staged = ties.crossJoin(broadcast(km))
+      .withColumn("k_groups",
+        when(col("k_groups") < 2 || col("k_groups") > 31,
+          raise_error(lit("kruskalWallis: k must be in [2, 31] (the " +
+            "embedded chi-square table covers df <= 30)")))
+          .when(col("n_total") > 1000000L,
+            raise_error(lit("kruskalWallis: beyond the 1e6-row " +
+              "decimal(38) exactness envelope")))
+          .otherwise(col("k_groups")))
+    val terms = perGroup.crossJoin(broadcast(staged.select("n_total")))
+      .select(expr("(2 * 3000000 * s2 * s2 + " +
+        "CAST(nj AS DECIMAL(38,0)) * n_total * (n_total + 1)) div " +
+        "(2 * CAST(nj AS DECIMAL(38,0)) * n_total * (n_total + 1))")
+        .as("a"))
+      .agg(sum("a").as("usum"))
+    staged.crossJoin(broadcast(terms))
+      .withColumn("u_e6", col("usum") -
+        lit(3000000L) * (dc(col("n_total")) + dc(lit(1))))
+      .withColumn("nnn", dc(col("n_total")) * dc(col("n_total")) *
+        dc(col("n_total")) - dc(col("n_total")))
+      .withColumn("cd", col("nnn") - col("sum_t"))
+      .withColumn("df", (col("k_groups") - 1).cast("int"))
+      .select(col("n_total"), col("k_groups"), col("df"),
+        when(col("cd") === 0, lit(null).cast("long"))
+          .otherwise(when(col("u_e6") >= 0,
+            expr("(2 * u_e6 * nnn + cd) div (2 * cd)"))
+            .otherwise(-expr("(-2 * u_e6 * nnn + cd) div (2 * cd)")))
+          .as("h_e6"),
+        when(col("cd") === 0, lit("undefined"))
+          .otherwise(when(col("u_e6") * col("nnn") >
+              element_at(chi2Crit05E6, col("df")).cast(dec) * col("cd"),
+            lit("different")).otherwise(lit("not_different")))
+          .as("verdict"))
+  }
+
   /** Cohen's d (Cohen 1988) with the pooled-SD denominator — the
     * PARAMETRIC effect size next to [[cliffsDelta]]'s ordinal one:
     * how many pooled standard deviations separate the two groups'

@@ -1488,6 +1488,67 @@ object EventAnalytics {
         .as("gini_e6"))
   }
 
+  /** Lorenz concentration curve over per-key activity (Lorenz 1905) —
+    * the CURVE behind [[activityGini]]'s one number: for each decile
+    * cut p/`deciles`, the share of all events produced by the bottom
+    * p-fraction of keys (ordered by count, ties in one block). The
+    * shape diagnosis gini can't give: a curve hugging zero until the
+    * last decile is a bot/SEO hub regime; a gentle bow is organic
+    * traffic — and the curve is the artifact to DIFF between corpus
+    * snapshots.
+    *
+    * EXACT on the count grid (the w21 discipline): the cut index is
+    * k_p = ⌊p·n/deciles⌋ keys; the grid row spanning it contributes
+    * its partial block c·(k_p − cumbefore); share_e6 reads half-up.
+    * Keys tie-order inside a count block is immaterial — every member
+    * contributes the same c. Null keys raise. Output: (decile,
+    * n_keys_cut, cum_events, share_e6) — `deciles` rows, the p = full
+    * row reading exactly 1e6.
+    *
+    * Scale: one map-side-combined key count, one count-grid rollup +
+    * grid-sized cumulative window, a broadcast deciles-row spine range
+    * join. Never a per-key sort.
+    */
+  def lorenzCurve(
+      events: DataFrame, keyCol: String, deciles: Int = 10): DataFrame = {
+    require(deciles >= 2 && deciles <= 1000,
+      s"deciles must be in [2, 1000] (got $deciles)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val spark = events.sparkSession
+    val counts = events.select(
+        when(col(keyCol).isNull,
+          raise_error(lit("lorenzCurve: null key")))
+          .otherwise(col(keyCol).cast("string")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = counts.groupBy("c").agg(count(lit(1)).as("m"))
+      .withColumn("cumu", coalesce(sum("m").over(w), lit(0L)))
+      .withColumn("cume", coalesce(sum(dc(col("c")) * dc(col("m")))
+        .over(w), dc(lit(0))))
+      .localCheckpoint() // grid-sized; range-joined by the spine
+    val tot = grid.agg(coalesce(sum("m"), lit(0L)).as("n_keys"),
+      coalesce(sum(dc(col("c")) * dc(col("m"))), dc(lit(0))).as("total"))
+    val spine = spark.range(1, deciles + 1L).select(col("id").as("p"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cut", expr(s"(p * n_keys) div $deciles"))
+    spine.join(grid,
+        col("cumu") < col("cut") && col("cut") <= col("cumu") + col("m"),
+        "left")
+      .select(col("p").as("decile"), col("cut").as("n_keys_cut"),
+        (coalesce(col("cume"), dc(lit(0))) +
+          dc(coalesce(col("c"), lit(0L))) *
+            (dc(col("cut")) - dc(coalesce(col("cumu"), lit(0L)))))
+          .as("ev"),
+        col("total"))
+      .select(col("decile"), col("n_keys_cut"),
+        col("ev").cast("long").as("cum_events"),
+        when(col("total") === 0, lit(null).cast("long"))
+          .otherwise(expr("(2 * ev * 1000000 + total) div (2 * total)"))
+          .as("share_e6"))
+  }
+
   /** Per-type autocorrelation of the event-rate series at lags
     * 1..`maxLag` — the periodicity read [[botRegularity]] takes per
     * USER, here for the whole traffic class (a daily-cron fleet shows

@@ -451,6 +451,27 @@ object Graph {
     */
   def triangles(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (_, deg, tri) = triangleTriples(edges, srcCol, dstCol)
+    val perNode = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_e6",
+        when(col("deg") >= 2,
+          expr("(2 * (2 * triangles * 1000000) + deg * (deg - 1)) " +
+            "div (2 * deg * (deg - 1))")))
+  }
+
+  /** The shared triangle-enumeration head of [[triangles]] and
+    * [[edgeSupport]]: normalized symmetric edge set, degrees, and the
+    * each-triangle-once triple list (degree-ordered orientation +
+    * closing-edge semi-join — the standard compact-forward algorithm).
+    */
+  private def triangleTriples(
+      edges: DataFrame, srcCol: String, dstCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val raw = edges.select(
         col(srcCol).cast("string").as("a"),
         col(dstCol).cast("string").as("b"))
@@ -476,16 +497,39 @@ object Graph {
       // closing edge: (tb, tc) present in the symmetric edge set
       .join(und.select(col("a").as("tb"), col("b").as("tc")),
         Seq("tb", "tc"), "left_semi")
-    val perNode = tri
-      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
-    deg.join(perNode, Seq("node"), "left")
-      .select(col("node"), col("deg"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"))
-      .withColumn("cc_e6",
-        when(col("deg") >= 2,
-          expr("(2 * (2 * triangles * 1000000) + deg * (deg - 1)) " +
-            "div (2 * deg * (deg - 1))")))
+    (und, deg, tri)
+  }
+
+  /** Per-edge triangle support — |N(a) ∩ N(b)| for every undirected
+    * edge (a < b): the k-truss building block (Cohen 2008) and the
+    * edge-level strength read [[triangles]]' node table can't give
+    * (an edge with zero support is a bridge-like link; a high-support
+    * edge sits inside a dense community — the first cut for
+    * graph-aware dedup cluster splitting).
+    *
+    * EXACT and one pass over the shared [[triangleTriples]] head:
+    * each enumerated triangle contributes to its three canonical
+    * edges (explode of 3), counted map-side-combined and left-joined
+    * back so support-0 edges are EMITTED (a bridge you can see, the
+    * richClub zero-fill discipline). Output: (node_a, node_b,
+    * support) with node_a < node_b.
+    */
+  def edgeSupport(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (und, _, tri) = triangleTriples(edges, srcCol, dstCol)
+    val canon = und.filter(col("a") < col("b"))
+    val perEdge = tri.select(explode(array(
+        struct(least(col("ta"), col("tb")).as("a"),
+          greatest(col("ta"), col("tb")).as("b")),
+        struct(least(col("ta"), col("tc")).as("a"),
+          greatest(col("ta"), col("tc")).as("b")),
+        struct(least(col("tb"), col("tc")).as("a"),
+          greatest(col("tb"), col("tc")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    canon.join(perEdge, Seq("a", "b"), "left")
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        coalesce(col("support"), lit(0L)).as("support"))
   }
 
   /** Rich-club coefficient curve (Zhou & Mondragón 2004) — for each

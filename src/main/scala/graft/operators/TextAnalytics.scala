@@ -1548,6 +1548,82 @@ object TextAnalytics {
       .agg(sum("hit").as("n_hit_terms"), sum("s_e6").as("score_e6"))
   }
 
+  /** Jelinek–Mercer smoothed query likelihood (Jelinek & Mercer 1980;
+    * Zhai & Lafferty 2001's λ-mixture form) — [[queryLikelihood]]'s
+    * Dirichlet sibling with the OTHER standard smoothing:
+    *
+    *   score(d) = Σ_q ln( (1−λ)·tf/|d| + λ·cf/C )
+    *
+    * — a fixed-weight mixture of document and background models, the
+    * better choice for VERBOSE queries where Dirichlet's length
+    * adaptivity over-penalizes long documents (Zhai & Lafferty's
+    * empirical split). λ rides as an e3 integer (default 500 = the
+    * classic 0.5).
+    *
+    * Determinism contract (h5's discipline): each term's probability
+    * is a FIXED IEEE double tree — ((1000−λ)·tf)/(1000·len) +
+    * (λ·cf)/(1000·C), each factor exact in double — floored onto the
+    * 1e-6 ln lattice; the per-doc score is an exact integer sum. A
+    * zero-length document's first addend is pinned to 0.0 (its tf is
+    * 0 anyway; 0/0 would poison the ln). Query terms absent from the
+    * corpus raise (no background mass — same as h5). Output:
+    * (id, n_hit_terms, score_e6).
+    *
+    * Scale: identical to h5 — one corpus scan projected to (id, len,
+    * query-term hits), a |terms|-row broadcast spine, no shuffle
+    * beyond the query-term tf aggregate.
+    */
+  def queryLikelihoodJm(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], lambdaE3: Long = 500L): DataFrame = {
+    require(terms.nonEmpty, "queryLikelihoodJm needs at least one term")
+    require(terms.distinct.size == terms.size,
+      "query terms must be distinct (repeat weighting is the caller's " +
+        "concern)")
+    require(lambdaE3 >= 1 && lambdaE3 <= 999,
+      s"lambdaE3 must be in [1, 999] (got $lambdaE3)")
+    val compact = docs.select(
+        col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .select(col("id"), size(col("w")).cast("long").as("len"),
+        filter(col("w"), t => t.isin(terms: _*)).as("hits"))
+      .localCheckpoint()
+    val stats = compact.agg(sum("len").as("c_total"))
+    val tf = compact
+      .select(col("id"), explode(col("hits")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val termSpine = terms.toDF("term")
+      .join(cf, Seq("term"), "left")
+      .select(col("term"),
+        when(col("cf").isNull || col("cf") === 0,
+          raise_error(concat(lit("queryLikelihoodJm: query term '"),
+            col("term"),
+            lit("' absent from the corpus — the background model has " +
+              "no mass for it; drop the term"))))
+          .otherwise(col("cf")).as("cf"))
+    val lam = lambdaE3.toDouble
+    val oneMinus = (1000L - lambdaE3).toDouble
+    compact.select(col("id"), col("len"))
+      .crossJoin(broadcast(termSpine))
+      .join(tf, Seq("id", "term"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        when(coalesce(col("tf"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("hit"),
+        floor(log(
+          when(col("len") === 0, lit(0.0))
+            .otherwise((lit(oneMinus) *
+              coalesce(col("tf"), lit(0L)).cast("double")) /
+              (lit(1000.0) * col("len").cast("double"))) +
+            (lit(lam) * col("cf").cast("double")) /
+              (lit(1000.0) * col("c_total").cast("double")))
+          * 1e6).cast("long").as("s_e6"))
+      .groupBy("id")
+      .agg(sum("hit").as("n_hit_terms"), sum("s_e6").as("score_e6"))
+  }
+
   /** Collocation mining by pointwise mutual information (Church & Hanks
     * 1990) — corpus-wide adjacent bigrams whose co-occurrence exceeds
     * the independence expectation, the phrase-mining step that promotes

@@ -1380,7 +1380,28 @@ object ScaleProbe {
         val e = synthEmb(d.sparkSession, probeN)
         Similarity.rocchioRerank(e.filter(col("vec_id") < 20), e,
           "vec_id", "vec_id", "embedding", k = 10).count()
-      })
+      },
+      "e34_kruskal" -> (d =>
+        Classifier.kruskalWallis(
+          d.select(concat(lit("s"), pmod(col("doc_id"), lit(5))).as("g"),
+            pmod(length(col("text")), lit(200)).as("v")),
+          "g", "v").count()),
+      "w31_lorenz" -> (d =>
+        EventAnalytics.lorenzCurve(
+          synthEvents(d, probeN), "user_id").count()),
+      "g17_edge_support" -> { d =>
+        val ids = d.select(col("doc_id"))
+        val hop = ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 1).as("dst"))
+          .unionByName(ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 2).as("dst")))
+          .join(ids.select(col("doc_id").as("dst")), Seq("dst"),
+            "left_semi")
+        Graph.edgeSupport(hop, "src", "dst").count()
+      },
+      "h7_jm_lm" -> (d =>
+        TextAnalytics.queryLikelihoodJm(d, "doc_id", "text",
+          Seq("w0", "w1", "w2")).count()))
 
     // the m2/m4 synthetic image corpus (one 16×18 PNG per embedding)
     def probeImages(e: DataFrame): DataFrame = {

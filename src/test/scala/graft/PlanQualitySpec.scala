@@ -925,4 +925,32 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$q nested-loops with the corpus broadcast:\n$plan")
     }
   }
+
+  test("e34 kruskal-wallis: value-grid windows + one-row broadcast " +
+      "combines, no corpus-sized rank window") {
+    val plan = planOf(SparkEntry.queries("e34_kruskal_wallis")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"e34:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"e34:\n$plan")
+  }
+
+  test("w31 lorenz: count-grid window + broadcast decile spine range " +
+      "join — never a per-key sort") {
+    val plan = planOf(SparkEntry.queries("w31_lorenz")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"w31:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"w31:\n$plan")
+  }
+
+  test("g17 edge support: the g5 triangle joins + one map-side edge " +
+      "count, equi only") {
+    val plan = planOf(SparkEntry.queries("g17_edge_support")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"g17:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"g17:\n$plan")
+  }
+
+  test("h7 jm retrieval: the h5 posting-list posture — broadcast term " +
+      "spine, no shuffled join") {
+    val plan = planOf(SparkEntry.queries("h7_jm_retrieval")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"h7:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"h7:\n$plan")
+  }
 }

@@ -1459,4 +1459,48 @@ class ClassifierSpec extends AnyFunSuite {
     assert(chain(err).exists(c =>
       Option(c.getMessage).exists(_.contains("null feature"))))
   }
+
+  test("kruskalWallis: textbook two-group H=3.857 rejects at df=1; " +
+      "plain-Scala lattice parity with ties; all-tied undefined") {
+    import spark.implicits._
+    val clean = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val g1 = Classifier.kruskalWallis(clean, "g", "v")
+      .as[(Long, Long, Int, Option[Long], String)].collect().head
+    // H = 12/(6·7)·(36/3 + 225/3) − 21 = 27/7 ≈ 3.857143, composed
+    // from the two half-up e6 group terms 3428571 + 21428571
+    assert(g1 == ((6L, 2L, 1, Some(3857142L), "different")))
+    // random grouped scores WITH ties ≡ the independent scalar model
+    val rnd = new scala.util.Random(137)
+    val rows = (1 to 400).map(_ =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(40).toLong))
+    val g2 = Classifier.kruskalWallis(rows.toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Int, Option[Long], String)].collect().head
+    val n = BigInt(rows.size)
+    val byV = rows.groupBy(_._2)
+    val r2 = byV.map { case (v, xs) =>
+      val cumb = rows.count(_._2 < v)
+      v -> BigInt(2 * cumb + xs.size + 1)
+    }
+    val sumT = byV.values.map(xs =>
+      BigInt(xs.size) * xs.size * xs.size - xs.size).sum
+    val usum = rows.groupBy(_._1).values.map { xs =>
+      val s2 = xs.map(x => r2(x._2)).sum
+      val nj = BigInt(xs.size)
+      (2 * 3000000 * s2 * s2 + nj * n * (n + 1)) / (2 * nj * n * (n + 1))
+    }.sum
+    val u = usum - 3000000 * (n + 1)
+    val nnn = n * n * n - n
+    val cd = nnn - sumT
+    val want = {
+      val m = (2 * u.abs * nnn + cd) / (2 * cd)
+      (if (u >= 0) m else -m).toLong
+    }
+    assert(g2._1 == 400L && g2._2 == 5L && g2._4 == Some(want))
+    // all values equal: tie correction denominator hits zero
+    val flat = Seq(("a", 9L), ("a", 9L), ("b", 9L)).toDF("g", "v")
+    val g3 = Classifier.kruskalWallis(flat, "g", "v")
+      .as[(Long, Long, Int, Option[Long], String)].collect().head
+    assert(g3._4.isEmpty && g3._5 == "undefined")
+  }
 }

@@ -1161,4 +1161,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
       atRisk -= d + c
     }
   }
+
+  test("lorenzCurve: hand grid with partial blocks; equal counts give " +
+      "the diagonal; sorted-cumulative parity on random activity") {
+    // counts 1,1,2,6 → shares at cuts 0,0,1,1,2,2,2,3,3,4 users
+    val hand = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++
+      Seq.fill(2)("c") ++ Seq.fill(6)("d")).toDF("k")
+    val got = EventAnalytics.lorenzCurve(hand, "k")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((0L, 0L, Some(0L))))
+    assert(got(3L) == ((1L, 1L, Some(100000L))))
+    assert(got(5L) == ((2L, 2L, Some(200000L))))
+    assert(got(8L) == ((3L, 4L, Some(400000L))))
+    assert(got(10L) == ((4L, 10L, Some(1000000L))))
+    // perfectly equal activity reads the diagonal exactly
+    val eq = (1 to 40).flatMap(u => Seq.fill(3)(s"u$u")).toDF("k")
+    val gotEq = EventAnalytics.lorenzCurve(eq, "k")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    gotEq.foreach(r => assert(r._4 == Some(r._1 * 100000L), r))
+    // random activity ≡ independent sorted-cumulative scalar model
+    val rnd = new scala.util.Random(149)
+    val ev = (1 to 2000).map(_ => s"u${rnd.nextInt(120)}")
+    val gotR = EventAnalytics.lorenzCurve(ev.toDF("k"), "k")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val counts = ev.groupBy(identity).values.map(_.size.toLong)
+      .toSeq.sorted
+    val total = counts.sum
+    (1 to 10).foreach { p =>
+      val cut = p * counts.size / 10
+      val cum = counts.take(cut).sum
+      val share = (2 * cum * 1000000L + total) / (2 * total)
+      assert(gotR(p.toLong) == ((cut.toLong, cum, Some(share))), s"p=$p")
+    }
+  }
 }

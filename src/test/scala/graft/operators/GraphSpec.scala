@@ -790,4 +790,37 @@ class GraphSpec extends AnyFunSuite {
     assert(got == ((nodes.size.toLong, (w2 / 2).toLong, (t3 / 3).toLong,
       Some(wantTrans), Some(wantAvg))))
   }
+
+  test("edgeSupport: hand triangle+pendant; support sums to 3T; " +
+      "common-neighbor parity on a random graph") {
+    val hand = Seq(("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"))
+      .toDF("s", "t")
+    val g1 = Graph.edgeSupport(hand, "s", "t")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(g1 == Map(("A", "B") -> 1L, ("A", "C") -> 1L,
+      ("B", "C") -> 1L, ("C", "D") -> 0L))
+    // random graph: support(a,b) ≡ |N(a) ∩ N(b)|, support-0 edges
+    // present, and Σ support = 3 · triangle count
+    val rnd = new scala.util.Random(157)
+    val edges = (1 to 200).map(_ =>
+      (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}"))
+      .filter(e => e._1 != e._2)
+    val got = Graph.edgeSupport(edges.toDF("s", "t"), "s", "t")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val adj = edges.flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val canon = edges.flatMap(e => Seq(e, e.swap)).distinct
+      .filter(e => e._1 < e._2)
+    assert(got.keySet == canon.toSet)
+    canon.foreach { case (a, b) =>
+      assert(got((a, b)) == (adj(a) intersect adj(b)).size.toLong,
+        s"edge ($a,$b)")
+    }
+    val t3 = Graph.triangles(edges.toDF("s", "t"), "s", "t")
+      .agg(org.apache.spark.sql.functions.sum("triangles"))
+      .as[Long].collect().head
+    assert(got.values.sum == t3)
+  }
 }

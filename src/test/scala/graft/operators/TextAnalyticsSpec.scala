@@ -1205,4 +1205,51 @@ class TextAnalyticsSpec extends AnyFunSuite {
       assert(gotR(r.toLong) == ((nr, rstar, mass)), s"r=$r")
     }
   }
+
+  test("queryLikelihoodJm: hand mixture scores; zero-tf term finite " +
+      "(JM's point); absent term raises; IEEE-tree parity") {
+    // corpus: "q q w" + "w w"; cf(q)=2, C=5, λ=0.5
+    val docs = Seq((1L, "q q w"), (2L, "w w")).toDF("doc_id", "text")
+    val got = TextAnalytics.queryLikelihoodJm(
+        docs, "doc_id", "text", Seq("q"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    def s(tf: Long, len: Long, cf: Long, c: Long): Long =
+      math.floor(math.log(
+        (if (len == 0) 0.0 else (500.0 * tf) / (1000.0 * len)) +
+          (500.0 * cf) / (1000.0 * c)) * 1e6).toLong
+    assert(got(1L) == ((1L, s(2, 3, 2, 5))))
+    // the zero-tf doc still scores (background mass only) — where
+    // unsmoothed likelihood and pure-doc models read −∞
+    assert(got(2L) == ((0L, s(0, 2, 2, 5))))
+    val err = intercept[Exception] {
+      TextAnalytics.queryLikelihoodJm(
+        docs, "doc_id", "text", Seq("q", "zzz")).collect()
+    }
+    assert((err.getMessage +
+      Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("absent from the corpus"))
+    // random corpus ≡ the same fixed double tree in plain Scala
+    val rnd = new scala.util.Random(163)
+    val corpus = (1L to 60L).map(i => (i, (0 until rnd.nextInt(25))
+      .map(_ => s"w${rnd.nextInt(12)}").mkString(" ")))
+    val terms = Seq("w0", "w1", "w2")
+    val gotR = TextAnalytics.queryLikelihoodJm(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", terms)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val toks = corpus.map { case (i, t) => i -> t.split(" ").toSeq }
+    val cTotal = toks.map(_._2.size).sum.toLong
+    val cfm = terms.map(t =>
+      t -> toks.map(_._2.count(_ == t)).sum.toLong).toMap
+    corpus.foreach { case (i, _) =>
+      val w = toks.find(_._1 == i).get._2
+      val scores = terms.map { t =>
+        val tf = w.count(_ == t).toLong
+        (if (tf > 0) 1L else 0L, s(tf, w.size, cfm(t), cTotal))
+      }
+      assert(gotR(i) == ((scores.map(_._1).sum, scores.map(_._2).sum)),
+        s"doc $i")
+    }
+  }
 }
