@@ -1510,17 +1510,26 @@ object EventAnalytics {
     * join. Never a per-key sort.
     */
   def lorenzCurve(
-      events: DataFrame, keyCol: String, deciles: Int = 10): DataFrame = {
+      events: DataFrame, keyCol: String, deciles: Int = 10): DataFrame =
+    lorenzFromCounts(events.select(
+        when(col(keyCol).isNull,
+          raise_error(lit("lorenzCurve: null key")))
+          .otherwise(col(keyCol).cast("string")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c")), deciles)
+
+  /** The w31 curve over a per-key count table (k, c) — the same
+    * delegation seam as [[giniFromCounts]]: the streaming
+    * [[graft.streaming.StatefulOps.keyCountsStream]] upserts running
+    * counts (monotone, max(c) per key is the latest) and ONE sink
+    * feeds both the w21 number and this curve.
+    */
+  def lorenzFromCounts(
+      counts: DataFrame, deciles: Int = 10): DataFrame = {
     require(deciles >= 2 && deciles <= 1000,
       s"deciles must be in [2, 1000] (got $deciles)")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     def dc(c: Column) = c.cast(dec)
-    val spark = events.sparkSession
-    val counts = events.select(
-        when(col(keyCol).isNull,
-          raise_error(lit("lorenzCurve: null key")))
-          .otherwise(col(keyCol).cast("string")).as("k"))
-      .groupBy("k").agg(count(lit(1)).as("c"))
+    val spark = counts.sparkSession
     val w = Window.orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val grid = counts.groupBy("c").agg(count(lit(1)).as("m"))

@@ -119,6 +119,14 @@ class SeasonalityAbStreamSpec extends AnyFunSuite {
         .as[(Long, Long, Long, Option[Long])].collect().head
       assert(streamed == batch)
       assert(batch._1 > 0)
+      // the SAME sink feeds the w31 Lorenz curve — one state shape,
+      // two finishers (the delegation dividend)
+      val curveS = EventAnalytics.lorenzFromCounts(upserted)
+        .as[(Long, Long, Long, Option[Long])].collect().toSet
+      val curveB = EventAnalytics.lorenzCurve(events, "user_id")
+        .as[(Long, Long, Long, Option[Long])].collect().toSet
+      assert(curveS == curveB)
+      assert(curveB.size == 10)
     } finally q.stop()
   }
 
