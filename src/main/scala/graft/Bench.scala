@@ -301,7 +301,7 @@ object Bench {
     val r13Additions = Set("e29", "e30", "ml4", "w29", "t46", "d23",
       "g15", "h5", "v21", "s15", "m15",
       "e31", "e32", "e33", "ml5", "w30", "g16", "t47", "m16", "v22", "h6",
-      "e34", "w31", "g17", "h7")
+      "e34", "w31", "g17", "h7", "e35", "g18", "t48")
     def pfx(k: String) = k.takeWhile(_ != '_')
     def after(k: String, sets: Set[String]*) = sets.exists(_(pfx(k)))
     val r9Total = okMins.collect {

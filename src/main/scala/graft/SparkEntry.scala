@@ -4446,6 +4446,56 @@ FROM c"""
     TextAnalytics.queryLikelihoodJm(T(s, d, "documents"), "doc_id",
       "text", Seq("table", "query", "spark"))
 
+  /** e35: Nemenyi post-hoc over the e32 Friedman panel — pairwise
+    * mean-rank gaps vs the published Demšar critical difference,
+    * squared/cross-multiplied to pure integers. Full oracle.
+    */
+  private def e35Nemenyi(s: SparkSession, d: String): DataFrame = {
+    val panel = T(s, d, "documents").select(col("doc_id").as("blk"),
+        explode(array((0 until 3).map(j => struct(
+          lit(s"sys$j").as("trt"),
+          pmod(length(col("text")) * (3 + j) + col("doc_id") * j,
+            lit(25)).as("v"))): _*)).as("e"))
+      .select(col("blk"), col("e.trt").as("trt"), col("e.v").as("v"))
+    Classifier.nemenyiPosthoc(panel, "blk", "trt", "v")
+  }
+
+  /** g18: multi-source BFS distances from eight seed docs over the g5
+    * hop graph, radius 10 — exact first-arrival frontier expansion.
+    * Full oracle: recursive-CTE level enumeration + min(dist).
+    */
+  private def g18BfsDistances(s: SparkSession, d: String): DataFrame = {
+    val ids = T(s, d, "documents").select(col("doc_id"))
+    val hop = ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 1).as("dst"))
+      .unionByName(ids.select(col("doc_id").as("src"),
+        (col("doc_id") + 2).as("dst")))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    Graph.bfsDistances(hop, "src", "dst",
+      seeds = (0 until 8).map(_.toString), maxDepth = 10)
+  }
+
+  /** t48: code-switching report over documents with deterministically
+    * planted second-language sentences (every third doc en/es/de, a
+    * French tail sentence on multiples of five → genuinely mixed
+    * docs). Full oracle: the t30 sentence chain + marker argmax +
+    * struct-max rollup.
+    */
+  private def t48CodeSwitch(s: SparkSession, d: String): DataFrame = {
+    val planted = T(s, d, "documents").select(col("doc_id"),
+      concat(col("text"), lit(". "),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("the cat of the house is big and the dog is small."))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            lit("el perro de la casa es que grande el gato es."))
+          .otherwise(
+            lit("der hund und die katze das ist der haus ist.")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" le chat et le chien est les animaux est."))
+          .otherwise(lit(""))).as("text"))
+    TextAnalytics.codeSwitchReport(planted, "doc_id", "text")
+  }
+
   /** v22: recall@10 of cosine ranking THROUGH the 16-component ±1 JL
     * projection vs the exact dense ranking — the
     * dimensionality-reduction scale path's honesty check (the v14/v19
@@ -4773,7 +4823,10 @@ FROM c"""
     "e34_kruskal_wallis" -> (e34KruskalWallis _),
     "w31_lorenz" -> (w31Lorenz _),
     "g17_edge_support" -> (g17EdgeSupport _),
-    "h7_jm_retrieval" -> (h7JmRetrieval _))
+    "h7_jm_retrieval" -> (h7JmRetrieval _),
+    "e35_nemenyi" -> (e35Nemenyi _),
+    "g18_bfs_distances" -> (g18BfsDistances _),
+    "t48_code_switch" -> (t48CodeSwitch _))
 
   /** DuckDB twin of [[g1GraphRank]]: the same doc ↔ host ↔ source edge
     * construction, then ten unrolled (MATERIALIZED — DuckDB re-evaluates
@@ -11531,6 +11584,129 @@ FROM c"""
         |SELECT canon.a AS node_a, canon.b AS node_b,
         |  coalesce(pe.support, 0)::BIGINT AS support
         |FROM canon LEFT JOIN pe USING (a, b)""".stripMargin,
+    // e35 twin: the e32 doubled-rank chain, pairwise gaps vs the
+    // Demšar critical difference squared/cross-multiplied
+    "e35_nemenyi" ->
+      """WITH cells AS (SELECT doc_id AS blk, 'sys' || j AS trt,
+        |    (length(text) * (3 + j) + doc_id * j) % 25 AS v
+        |  FROM documents, (SELECT unnest([0, 1, 2]) AS j)),
+        |r AS (SELECT blk, trt, v,
+        |    2 * rank() OVER (PARTITION BY blk ORDER BY v)
+        |      + count(*) OVER (PARTITION BY blk, v) - 1 AS r2
+        |  FROM cells),
+        |pt AS (SELECT trt, sum(r2)::HUGEINT AS s2 FROM r GROUP BY 1),
+        |bm AS (SELECT count(DISTINCT blk)::BIGINT AS n FROM cells),
+        |km AS (SELECT count(DISTINCT trt)::BIGINT AS k FROM cells),
+        |q AS (SELECT ([1960000, 2343000, 2569000, 2728000, 2850000,
+        |    2949000, 3031000, 3102000, 3164000])[k - 1]::HUGEINT
+        |    AS q_e6 FROM km)
+        |SELECT a.trt AS trt_a, b.trt AS trt_b,
+        |  CASE WHEN a.s2 - b.s2 >= 0 THEN
+        |      ((2 * (a.s2 - b.s2) * 1000000 + 2 * n) // (4 * n))::BIGINT
+        |    ELSE -(((-2 * (a.s2 - b.s2) * 1000000 + 2 * n)
+        |      // (4 * n))::BIGINT) END AS mean_rank_diff_e6,
+        |  CASE WHEN 3 * (a.s2 - b.s2) * (a.s2 - b.s2) * 1000000000000
+        |      > n::HUGEINT * q_e6 * q_e6 * k * (k + 1)
+        |    THEN 'different' ELSE 'not_different' END AS verdict
+        |FROM pt a, pt b, bm, km, q WHERE a.trt < b.trt""".stripMargin,
+    // g18 twin: recursive-CTE BFS level enumeration over the g5
+    // graph, min(dist) per (seed, node), radius 10
+    "g18_bfs_distances" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        |e0 AS (SELECT doc_id AS s, doc_id + 1 AS t FROM ids
+        |  UNION ALL SELECT doc_id, doc_id + 2 FROM ids),
+        |e1 AS (SELECT s, t FROM e0
+        |  WHERE t IN (SELECT doc_id FROM ids) AND s <> t),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |    SELECT s::VARCHAR AS a, t::VARCHAR AS b FROM e1
+        |    UNION ALL SELECT t::VARCHAR, s::VARCHAR FROM e1)),
+        |sd AS (SELECT doc_id::VARCHAR AS seed FROM documents
+        |  WHERE doc_id < 8),
+        |bfs AS (
+        |  SELECT seed, seed AS node, 0 AS dist FROM sd
+        |  UNION
+        |  SELECT bfs.seed, und.b AS node, bfs.dist + 1
+        |  FROM bfs JOIN und ON und.a = bfs.node
+        |  WHERE bfs.dist < 10)
+        |SELECT seed, node, min(dist)::BIGINT AS dist
+        |FROM bfs GROUP BY 1, 2""".stripMargin,
+    // t48 twin: planted second-language sentences + the t30 sentence
+    // chain + per-sentence marker argmax + struct-max rollup
+    "t48_code_switch" ->
+      """WITH p AS (SELECT doc_id, text || '. ' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |        'the cat of the house is big and the dog is small.'
+        |      WHEN doc_id % 3 = 1 THEN
+        |        'el perro de la casa es que grande el gato es.'
+        |      ELSE 'der hund und die katze das ist der haus ist.' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      ' le chat et le chien est les animaux est.'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |    replace(text,
+        |      'Mr.', 'Mr' || chr(2)), 'Mrs.', 'Mrs' || chr(2)),
+        |      'Ms.', 'Ms' || chr(2)), 'Dr.', 'Dr' || chr(2)),
+        |      'Prof.', 'Prof' || chr(2)), 'St.', 'St' || chr(2)),
+        |      'Jr.', 'Jr' || chr(2)), 'Sr.', 'Sr' || chr(2)),
+        |      'vs.', 'vs' || chr(2)), 'etc.', 'etc' || chr(2)),
+        |      'e.g.', 'e.g' || chr(2)), 'i.e.', 'i.e' || chr(2)),
+        |      'Fig.', 'Fig' || chr(2)), 'No.', 'No' || chr(2)),
+        |      'al.', 'al' || chr(2)) AS t
+        |  FROM p),
+        |m AS (SELECT doc_id,
+        |    regexp_replace(t, '([.!?]+)\s+', '\1' || chr(1), 'g') AS t
+        |  FROM g),
+        |s AS (SELECT doc_id,
+        |    unnest(string_split(t, chr(1))) AS raw
+        |  FROM m),
+        |c AS (SELECT doc_id,
+        |    trim(regexp_replace(replace(raw, chr(2), '.'), '\s+', ' ', 'g'))
+        |      AS sentence
+        |  FROM s),
+        |sc AS (SELECT doc_id, string_split(sentence, ' ') AS w
+        |  FROM c WHERE sentence <> ''),
+        |h AS (SELECT doc_id,
+        |    len(list_filter(w, t -> t IN ('the','a','of','and','is')))
+        |      AS en,
+        |    len(list_filter(w, t -> t IN ('el','la','de','que','es')))
+        |      AS es,
+        |    len(list_filter(w, t -> t IN ('der','die','und','das','ist')))
+        |      AS de,
+        |    len(list_filter(w, t -> t IN ('le','la','et','les','est')))
+        |      AS fr
+        |  FROM sc),
+        |lg AS (SELECT doc_id,
+        |    CASE WHEN en = greatest(en, es, de, fr) AND en > 0 THEN 'en'
+        |      WHEN es = greatest(en, es, de, fr) AND es > 0 THEN 'es'
+        |      WHEN de = greatest(en, es, de, fr) AND de > 0 THEN 'de'
+        |      WHEN fr = greatest(en, es, de, fr) AND fr > 0 THEN 'fr'
+        |      ELSE 'und' END AS lang
+        |  FROM h),
+        |pl AS (SELECT doc_id AS id, lang, count(*)::BIGINT AS n
+        |  FROM lg GROUP BY 1, 2),
+        |dom AS (SELECT id, lang, n, row_number() OVER (PARTITION BY id
+        |    ORDER BY n DESC, lang ASC) AS rk
+        |  FROM pl WHERE lang <> 'und'),
+        |agg AS (SELECT id, sum(n)::BIGINT AS n_sentences,
+        |    sum(CASE WHEN lang <> 'und' THEN n ELSE 0 END)::BIGINT
+        |      AS n_identified,
+        |    sum(CASE WHEN lang <> 'und' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_langs
+        |  FROM pl GROUP BY 1)
+        |SELECT agg.id, n_sentences, n_identified, n_langs,
+        |  coalesce(d.lang, 'none') AS dominant_lang,
+        |  CASE WHEN n_identified = 0 THEN NULL
+        |    ELSE (2 * d.n * 1000000 + n_identified)
+        |      // (2 * n_identified) END AS dominant_share_e6,
+        |  CASE WHEN n_identified = 0 THEN 'unknown'
+        |    WHEN n_langs >= 2 AND 5 * d.n <= 4 * n_identified
+        |      THEN 'mixed'
+        |    ELSE 'mono' END AS verdict
+        |FROM agg LEFT JOIN (SELECT id, lang, n FROM dom WHERE rk = 1) d
+        |  USING (id)""".stripMargin,
     // h7 twin: the h5 skeleton with the λ = 0.5 JM mixture — fixed
     // IEEE tree mirrored term by term
     "h7_jm_retrieval" ->

@@ -1863,6 +1863,92 @@ object Classifier {
           .as("verdict"))
   }
 
+  /** Nemenyi post-hoc test (Nemenyi 1963; the k-system formulation and
+    * critical-value table of Demšar 2006, "Statistical comparisons of
+    * classifiers over multiple data sets") — the pairwise follow-up a
+    * significant [[friedmanTest]] demands: WHICH systems differ? Two
+    * treatments differ when their mean-rank gap clears the critical
+    * difference CD = q_α·√(k(k+1)/(12n)).
+    *
+    * EXACT: with doubled rank sums S2_j (the friedman machinery), the
+    * comparison squares and cross-multiplies to pure integers —
+    *
+    *   |R̄_i − R̄_j| > CD  ⟺  3·(S2_i − S2_j)²·1e12 > n·q_e6²·k(k+1)
+    *
+    * — with q_e6 the published Demšar table value (α = 0.05, k ≤ 10)
+    * on the 1e-6 grid; no square root ever evaluates. The mean-rank
+    * gap ships as the half-away-from-zero lattice read
+    * ⌈1e6·(S2_i−S2_j)/(2n)⌋. Incomplete panels raise (the cochranQ
+    * margins); k outside [2, 10] raises (the published table's range —
+    * wider panels want the Bonferroni–Dunn route). Output: one row per
+    * ordered pair trt_a < trt_b (k(k−1)/2 rows):
+    * (trt_a, trt_b, mean_rank_diff_e6, verdict).
+    *
+    * Scale: the friedman shape (per-block rank windows, k ≤ 10 rows of
+    * rank sums) + a broadcast k×k self-join of the treatment dim.
+    */
+  def nemenyiPosthoc(
+      scores: DataFrame, blockCol: String, treatmentCol: String,
+      scoreCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dc(c: Column) = c.cast(dec)
+    val cells = scores.select(
+      when(col(blockCol).isNull,
+        raise_error(lit("nemenyiPosthoc: null block")))
+        .otherwise(col(blockCol).cast("string")).as("blk"),
+      when(col(treatmentCol).isNull,
+        raise_error(lit("nemenyiPosthoc: null treatment")))
+        .otherwise(col(treatmentCol).cast("string")).as("trt"),
+      when(col(scoreCol).isNull,
+        raise_error(lit("nemenyiPosthoc: null score")))
+        .otherwise(col(scoreCol).cast("long")).as("v"))
+    val wRank = Window.partitionBy("blk").orderBy("v")
+    val wTies = Window.partitionBy("blk", "v")
+    val ranked = cells
+      .withColumn("r2", lit(2L) * rank().over(wRank) +
+        count(lit(1)).over(wTies) - 1L)
+    val perTrt = ranked.groupBy("trt").agg(
+      count(lit(1)).as("nb"), sum("r2").as("s2"))
+      .localCheckpoint() // k rows; both sides of the pair join
+    val blocks = ranked.groupBy("blk").agg(count(lit(1)).as("ki"))
+    val bm = blocks.agg(count(lit(1)).as("n_blocks"),
+      min("ki").as("k_min"), max("ki").as("k_max"))
+    val tm = perTrt.agg(count(lit(1)).as("k_trts"),
+      min("nb").as("n_min"), max("nb").as("n_max"))
+    // Demšar 2006 Table 5(a): q_{0.05} for k = 2..10, 1e-6 grid
+    val q05 = array(Seq(1960000L, 2343000L, 2569000L, 2728000L,
+      2850000L, 2949000L, 3031000L, 3102000L, 3164000L)
+      .map(v => lit(v)): _*)
+    val s = bm.crossJoin(broadcast(tm))
+      .withColumn("k",
+        when(col("k_min") =!= col("k_max") ||
+            col("n_min") =!= col("n_max") ||
+            col("k_min") =!= col("k_trts") ||
+            col("n_min") =!= col("n_blocks"),
+          raise_error(lit("nemenyiPosthoc: incomplete panel — every " +
+            "block needs every treatment exactly once (complete the " +
+            "grid upstream)")))
+          .when(col("k_trts") < 2 || col("k_trts") > 10,
+            raise_error(lit("nemenyiPosthoc: k must be in [2, 10] " +
+              "(the published q table's range)")))
+          .otherwise(col("k_trts")))
+      .withColumn("q_e6", element_at(q05, (col("k") - 1).cast("int")))
+    val a = perTrt.select(col("trt").as("trt_a"), col("s2").as("s2a"))
+    val b = perTrt.select(col("trt").as("trt_b"), col("s2").as("s2b"))
+    a.crossJoin(broadcast(b)).filter(col("trt_a") < col("trt_b"))
+      .crossJoin(broadcast(s.select("n_blocks", "k", "q_e6")))
+      .withColumn("d2", dc(col("s2a")) - dc(col("s2b")))
+      .select(col("trt_a"), col("trt_b"),
+        when(col("d2") >= 0,
+          expr("(2 * d2 * 1000000 + 2 * n_blocks) div (4 * n_blocks)"))
+          .otherwise(-expr("(-2 * d2 * 1000000 + 2 * n_blocks) " +
+            "div (4 * n_blocks)")).as("mean_rank_diff_e6"),
+        when(dc(lit(3)) * col("d2") * col("d2") * dc(lit(1000000000000L)) >
+            dc(col("n_blocks")) * dc(col("q_e6")) * dc(col("q_e6")) *
+              dc(col("k")) * dc(col("k") + 1),
+          lit("different")).otherwise(lit("not_different")).as("verdict"))
+  }
+
   /** Kruskal–Wallis H test (Kruskal & Wallis 1952, tie correction per
     * Conover 1999) — the INDEPENDENT-groups counterpart of
     * [[friedmanTest]]'s blocked design, and the k-group extension of

@@ -500,6 +500,69 @@ object Graph {
     (und, deg, tri)
   }
 
+  /** Multi-source BFS distance table — exact unweighted shortest-path
+    * distances from a SEED set, capped at `maxDepth` hops: the
+    * shortest-path primitive the family was missing (how far is every
+    * page from the seed domains; which docs sit within 3 citation hops
+    * of a trusted core — the [[trustRank]] seed idea, with DISTANCES
+    * instead of mass).
+    *
+    * Distributed frontier expansion (the [[labelPropagation]] loop
+    * discipline): each round joins the current frontier to the
+    * symmetric edge set, anti-joins everything already reached (so a
+    * node's FIRST arrival — the BFS minimum — is the only one kept),
+    * and localCheckpoints the round (a growing iterative lineage would
+    * otherwise replan from scratch each round). The driver holds one
+    * count per round, never rows. Rounds stop early when a frontier
+    * empties; `maxDepth` bounds the loop and the OUTPUT contract —
+    * nodes farther than the cap are absent, by design (the caller
+    * asked for a radius, not a transitive closure).
+    *
+    * Seeds must be ≤ 64 (a distance table is seeds × reachable-nodes —
+    * radius queries, not all-pairs; all-pairs at corpus scale is a
+    * different algorithm). Output: (seed, node, dist), dist 0 at the
+    * seed itself. Seeds absent from the graph still emit their dist-0
+    * row (asking "how far from X" when X has no edges answers "X
+    * alone", not silence).
+    */
+  def bfsDistances(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[String], maxDepth: Int = 10): DataFrame = {
+    require(seeds.nonEmpty && seeds.size <= 64,
+      s"seeds must be 1..64 (got ${seeds.size})")
+    require(seeds.distinct.size == seeds.size, "seeds must be distinct")
+    require(maxDepth >= 1 && maxDepth <= 64,
+      s"maxDepth must be in [1, 64] (got $maxDepth)")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val raw = edges.select(
+        col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val und = raw
+      .unionAll(raw.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var reached = seeds.map(s => (s, s, 0))
+      .toDF("seed", "node", "dist").localCheckpoint()
+    var frontier = reached
+    var depth = 0
+    while (depth < maxDepth && frontier.limit(1).count() > 0) {
+      depth += 1
+      val d = depth
+      frontier = frontier
+        .join(und, frontier("node") === und("a"))
+        .select(col("seed"), col("b").as("node"), lit(d).as("dist"))
+        .distinct()
+        .join(reached.select("seed", "node"), Seq("seed", "node"),
+          "left_anti")
+        .localCheckpoint()
+      reached = reached.unionByName(frontier).localCheckpoint()
+    }
+    reached
+  }
+
   /** Per-edge triangle support — |N(a) ∩ N(b)| for every undirected
     * edge (a < b): the k-truss building block (Cohen 2008) and the
     * edge-level strength read [[triangles]]' node table can't give

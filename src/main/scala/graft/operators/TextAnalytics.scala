@@ -1912,6 +1912,72 @@ object TextAnalytics {
       .where(col("sentence") =!= "")
   }
 
+  /** Code-switching report — per-document language mixture at SENTENCE
+    * granularity: [[sentenceSplit]] then [[langIdColumn]] per
+    * sentence, rolled up to how many languages the document actually
+    * switches between and who dominates. THE curation read [[langId]]'s
+    * one whole-doc label hides: a 60/40 en/es document gets a
+    * confident 'en' from the doc-level argmax and then poisons both
+    * monolingual training buckets; this operator is the filter that
+    * catches it (the mC4/CCNet pipelines run exactly this check).
+    *
+    * EXACT: marker-count argmax per sentence (langIdColumn's fixed
+    * precedence), integer rollups, dominant = (count desc, lang asc)
+    * struct-max, share on the half-up 1e-6 lattice over IDENTIFIED
+    * sentences ('und' sentences counted separately — no-evidence is
+    * not a language). Verdict: 'mixed' when ≥ 2 languages are seen
+    * and the dominant holds ≤ 80% of identified sentences;
+    * 'mono' otherwise; 'unknown' when nothing identified. Output:
+    * (id, n_sentences, n_identified, n_langs, dominant_lang,
+    * dominant_share_e6, verdict) — dominant_lang reads the sentinel
+    * 'none' on 'unknown' (a nullable label column would force every
+    * consumer into three-valued string logic); a document with no
+    * sentences at all emits no row (nothing to classify).
+    *
+    * Scale: sentenceSplit's scan-side explode + two map-side-combined
+    * rollups; nothing joins the corpus to itself.
+    */
+  def codeSwitchReport(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sent = sentenceSplit(docs, idCol, textCol)
+      .select(col("id"), langIdColumn(col("sentence")).as("lang"))
+    val perLang = sent.groupBy("id", "lang")
+      .agg(count(lit(1)).as("n"))
+    perLang.groupBy("id").agg(
+        sum("n").as("n_sentences"),
+        sum(when(col("lang") =!= "und", col("n")).otherwise(0L))
+          .as("n_identified"),
+        sum(when(col("lang") =!= "und", 1L).otherwise(0L)).as("n_langs"),
+        max(when(col("lang") =!= "und",
+          struct(col("n"), reverseLangOrder(col("lang")).as("ro"),
+            col("lang")))).as("dom"))
+      .select(col("id"), col("n_sentences"), col("n_identified"),
+        col("n_langs"),
+        coalesce(col("dom.lang"), lit("none")).as("dominant_lang"),
+        when(col("n_identified") === 0, lit(null).cast("long"))
+          .otherwise(expr("(2 * dom.n * 1000000 + n_identified) div " +
+            "(2 * n_identified)")).as("dominant_share_e6"),
+        when(col("n_identified") === 0, lit("unknown"))
+          .when(col("n_langs") >= 2 &&
+            lit(5L) * col("dom.n") <= lit(4L) * col("n_identified"),
+            lit("mixed"))
+          .otherwise(lit("mono")).as("verdict"))
+  }
+
+  /** Ties in the dominant-language struct-max break LOWEST lang first
+    * (asc) — encoded as a descending-safe key: the max over
+    * (n, reverseOrder(lang)) picks highest n, then the
+    * alphabetically-first language.
+    */
+  private def reverseLangOrder(lang: Column): Column = {
+    // languages are from the fixed LangMarkers vocabulary (+ 'und',
+    // excluded upstream): map each to a rank DESCENDING in name order
+    val names = LangMarkers.map(_._1).sorted.reverse // desc names
+    names.zipWithIndex.foldLeft(lit(-1)) { case (acc, (l, i)) =>
+      when(lang === l, lit(i)).otherwise(acc)
+    }
+  }
+
   /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
     * word n-grams that appear in no other document — the complement of
     * the duplication signal the d-family flags pairs with. High novelty

@@ -1401,7 +1401,39 @@ object ScaleProbe {
       },
       "h7_jm_lm" -> (d =>
         TextAnalytics.queryLikelihoodJm(d, "doc_id", "text",
-          Seq("w0", "w1", "w2")).count()))
+          Seq("w0", "w1", "w2")).count()),
+      "e35_nemenyi" -> (d =>
+        Classifier.nemenyiPosthoc(
+          d.select(col("doc_id").as("blk"),
+            explode(sequence(lit(0), lit(2))).as("j"))
+            .select(col("blk"), concat(lit("s"), col("j")).as("trt"),
+              pmod(col("blk") * (lit(3) + col("j")) + col("j"), lit(25))
+                .as("v")),
+          "blk", "trt", "v").count()),
+      "g18_bfs" -> { d =>
+        val ids = d.select(col("doc_id"))
+        val hop = ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 1).as("dst"))
+          .unionByName(ids.select(col("doc_id").as("src"),
+            (col("doc_id") + 2).as("dst")))
+          .join(ids.select(col("doc_id").as("dst")), Seq("dst"),
+            "left_semi")
+        Graph.bfsDistances(hop, "src", "dst",
+          seeds = (0 until 8).map(_.toString), maxDepth = 10).count()
+      },
+      "t48_code_switch" -> (d =>
+        // plant sentence boundaries + markers so the rollup has
+        // something to classify (the synth corpus has neither)
+        TextAnalytics.codeSwitchReport(
+          d.select(col("doc_id"),
+            concat(col("text"), lit(". "),
+              when(pmod(col("doc_id"), lit(2)) === 0,
+                lit("the cat of the house is big."))
+                .otherwise(lit("el perro de la casa es que grande.")),
+              when(pmod(col("doc_id"), lit(5)) === 0,
+                lit(" le chat et les chiens est."))
+                .otherwise(lit(""))).as("text")),
+          "doc_id", "text").count()))
 
     // the m2/m4 synthetic image corpus (one 16×18 PNG per embedding)
     def probeImages(e: DataFrame): DataFrame = {

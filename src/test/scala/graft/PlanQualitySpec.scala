@@ -953,4 +953,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"h7:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"h7:\n$plan")
   }
+
+  test("e35 nemenyi: the friedman window class + a k×k broadcast pair " +
+      "join, nothing shuffled") {
+    val plan = planOf(SparkEntry.queries("e35_nemenyi")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"e35:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"e35:\n$plan")
+  }
+
+  test("g18 bfs: frontier rounds are equi joins + anti joins, never a " +
+      "cartesian") {
+    val plan = planOf(SparkEntry.queries("g18_bfs_distances")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"g18:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"g18:\n$plan")
+  }
+
+  test("t48 code-switch: scan-side sentence explode + two rollups, " +
+      "no join at all") {
+    val plan = planOf(SparkEntry.queries("t48_code_switch")(spark, dir))
+    assert(!plan.contains("Join"), s"t48:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"t48:\n$plan")
+  }
 }

@@ -1503,4 +1503,60 @@ class ClassifierSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Option[Long], String)].collect().head
     assert(g3._4.isEmpty && g3._5 == "undefined")
   }
+
+  test("nemenyiPosthoc: separated systems clear the Demšar CD, equal " +
+      "ones don't; BigInt cross-comparison parity; k>10 raises") {
+    import spark.implicits._
+    // sysA always worst, sysB/sysC identical: A differs from both,
+    // B/C don't differ (ranks per block: A=1, B=C tie at 2.5)
+    val panel = (1 to 40).flatMap(b => Seq(
+      (s"b$b", "sysA", 0L), (s"b$b", "sysB", 5L), (s"b$b", "sysC", 5L)))
+      .toDF("blk", "trt", "v")
+    val got = Classifier.nemenyiPosthoc(panel, "blk", "trt", "v")
+      .as[(String, String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // doubled ranks: A=2, B=C=5 → mean gap 1.5 exactly
+    assert(got(("sysA", "sysB")) == ((-1500000L, "different")))
+    assert(got(("sysA", "sysC")) == ((-1500000L, "different")))
+    assert(got(("sysB", "sysC")) == ((0L, "not_different")))
+    // CD at k=3, n=40: q=2.343, CD = 2.343·√(12/(12·40)) ≈ 0.370 —
+    // BigInt cross-comparison on a borderline pair
+    val rnd = new scala.util.Random(173)
+    val panel2 = (1 to 40).flatMap(b => (0 until 3).map(j =>
+      (s"b$b", s"s$j", rnd.nextInt(4).toLong + (if (j == 2) 1 else 0))))
+      .toDF("blk", "trt", "v")
+    val got2 = Classifier.nemenyiPosthoc(panel2, "blk", "trt", "v")
+      .as[(String, String, Long, String)].collect()
+    // independent doubled-rank model straight from the panel rows
+    val rows = panel2.as[(String, String, Long)].collect()
+    val byBlk = rows.groupBy(_._1)
+    val s2 = rows.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.map { case (b, _, v) =>
+        val cells = byBlk(b).map(_._3)
+        BigInt(2 * cells.count(_ < v) + cells.count(_ == v) + 1)
+      }.sum
+    }
+    val n = BigInt(40); val k = BigInt(3); val q = BigInt(2343000)
+    got2.foreach { case (ta, tb, gap, verdict) =>
+      val d = s2(ta) - s2(tb)
+      val wantGap = {
+        val m = (2 * d.abs * 1000000 + 2 * n) / (4 * n)
+        (if (d >= 0) m else -m).toLong
+      }
+      val wantV =
+        if (3 * d * d * BigInt(1000000000000L) > n * q * q * k * (k + 1))
+          "different" else "not_different"
+      assert((gap, verdict) == ((wantGap, wantV)), s"$ta vs $tb")
+    }
+    val err = intercept[Exception] {
+      Classifier.nemenyiPosthoc(
+        (1 to 4).flatMap(b => (0 until 11).map(j =>
+          (s"b$b", s"s$j", j.toLong))).toDF("blk", "trt", "v"),
+        "blk", "trt", "v").collect()
+    }
+    def chain(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+    assert(chain(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("[2, 10]"))))
+  }
 }

@@ -823,4 +823,41 @@ class GraphSpec extends AnyFunSuite {
       .as[Long].collect().head
     assert(got.values.sum == t3)
   }
+
+  test("bfsDistances: hand path graph, radius cap, edgeless seed " +
+      "emits dist-0, plain-Scala BFS parity on a random graph") {
+    // path A-B-C-D-E plus isolated F; seeds A and F, cap 2
+    val path = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"))
+      .toDF("s", "t")
+    val g1 = Graph.bfsDistances(path, "s", "t", Seq("A", "F"),
+        maxDepth = 2)
+      .as[(String, String, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(g1 == Map(("A", "A") -> 0, ("A", "B") -> 1, ("A", "C") -> 2,
+      ("F", "F") -> 0)) // D is 3 hops: beyond the radius, absent
+    // random graph ≡ plain-Scala BFS from each seed, same cap
+    val rnd = new scala.util.Random(179)
+    val edges = (1 to 120).map(_ =>
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+      .filter(e => e._1 != e._2)
+    val seeds = Seq("n0", "n1", "n2", "n3")
+    val cap = 4
+    val got = Graph.bfsDistances(edges.toDF("s", "t"), "s", "t",
+        seeds, maxDepth = cap)
+      .as[(String, String, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val adj = edges.flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty[String])
+    val want = seeds.flatMap { s =>
+      var dist = Map(s -> 0)
+      var frontier = Set(s)
+      for (d <- 1 to cap) {
+        frontier = frontier.flatMap(adj).diff(dist.keySet)
+        dist ++= frontier.map(_ -> d)
+      }
+      dist.map { case (node, dd) => (s, node) -> dd }
+    }.toMap
+    assert(got == want)
+  }
 }

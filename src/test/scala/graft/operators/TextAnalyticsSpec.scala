@@ -1252,4 +1252,32 @@ class TextAnalyticsSpec extends AnyFunSuite {
         s"doc $i")
     }
   }
+
+  test("codeSwitchReport: mixed/mono/unknown verdicts, dominant " +
+      "tie-break lang-asc, 80% mixed boundary") {
+    val docs = Seq(
+      // 2 en + 1 es identified + 1 und: dominant en 2/3, 5·2 ≤ 4·3
+      // fails (10 > 12 false → 10 <= 12 true) → mixed
+      (1L, "the cat is big and the dog. el perro de la casa es. " +
+        "xyzzy plugh. a boy of the town is here."),
+      // all en → mono
+      (2L, "the cat is big. a dog of the house is small."),
+      // nothing identified → unknown, sentinel dominant
+      (3L, "xyzzy plugh. qwerty asdf."),
+      // en and fr tie 1-1 → dominant 'en' (asc), share 1/2 → mixed
+      (4L, "the cat is big and of. le chien et les chats est."),
+      // dominant 5/6 > 80% → mono despite a second language
+      (5L, "the a of. the is a. of and the. is the of. and a is. " +
+        "el la de que es."))
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.codeSwitchReport(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String, Option[Long], String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7)))
+      .toMap
+    assert(got(1L) == ((4L, 3L, 2L, "en", Some(666667L), "mixed")))
+    assert(got(2L) == ((2L, 2L, 1L, "en", Some(1000000L), "mono")))
+    assert(got(3L) == ((2L, 0L, 0L, "none", None, "unknown")))
+    assert(got(4L) == ((2L, 2L, 2L, "en", Some(500000L), "mixed")))
+    assert(got(5L) == ((6L, 6L, 2L, "en", Some(833333L), "mono")))
+  }
 }
