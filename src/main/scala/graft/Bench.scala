@@ -131,11 +131,16 @@ object Bench {
         // ok=false; downstream they surface in a "failed" list and are
         // excluded from every total/basket.
         def once(): (Double, Boolean) = {
+          // Label the jobs (guide §1.5) so event-log profiling attributes
+          // every job/stage to its query; description is thread-local and
+          // untimed metadata — it does not change what is measured.
+          spark.sparkContext.setJobDescription(name)
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
             catch { case t: Throwable =>
               System.err.println(s"[bench-full] FAILED $name: $t"); false }
+          spark.sparkContext.setJobDescription(null)
           val sec = (System.nanoTime() - t0) / 1e9
           // after EVERY run, not just the last: a run's dropped
           // localCheckpoint references are only released by the

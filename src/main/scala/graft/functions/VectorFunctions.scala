@@ -54,6 +54,51 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product of two `array<double>` columns — the double-input sibling
+  * of [[FloatDotProduct]], with the SAME left-to-right accumulation order:
+  * s = ((0 + x0·y0) + x1·y1) + …, bit-identical to the left-fold
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` tree it replaces in the
+  * hot pair-scoring paths (which allocated an intermediate array and paid
+  * interpreted per-element lambda evaluation PER PAIR — the exact
+  * anti-pattern the [[FloatDotProduct]] scaladoc names).
+  */
+case class DoubleDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dvec_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All banded sign-LSH keys of a vector in one fused loop: `bands` keys,
   * each the `planesPerBand` sign bits of dot products against seeded
   * random hyperplanes (`planes` is the flattened bands × planesPerBand ×
@@ -237,6 +282,11 @@ object VectorFunctions {
   /** dot(a, b) over array<float>, double result. */
   def fdot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** dot(a, b) over array<double> — left-fold accumulation order, codegen. */
+  def dvecdot(a: Column, b: Column): Column =
+    ColumnBridge.column(DoubleDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** array<int> of per-subspace nearest-centroid codes;

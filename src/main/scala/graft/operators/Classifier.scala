@@ -21,6 +21,17 @@ object Classifier {
   case class LinearModel(
       bias: Double, weights: Array[Double], lr: Double, grid: Int)
 
+  /** Ensure enough partitions to use the cluster for fan-out-heavy work
+    * (the [[Dedup]] spread discipline). A no-op at real scale (many input
+    * splits); matters for the harness's single-row-group files, which
+    * Spark cannot split — without it the items × reps md5 fan-out of the
+    * bootstrap operators runs in ONE task.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, p / 2)) df.repartition(p) else df
+  }
+
   /** The softsign link σ(z) = 0.5·(1 + z/(1+|z|)) — a logistic-shaped
     * squashing onto (0,1) built from +,·,/,|·| only. Chosen over exp's
     * logistic because it is bit-reproducible across engines: IEEE
@@ -319,12 +330,12 @@ object Classifier {
       reps: Int = 200): DataFrame = {
     require(reps >= 40 && reps <= 10000,
       s"reps must be in [40, 10000] (got $reps)")
-    val items = df.select(
+    val items = spread(df.select(
         col(idCol).cast("string").as("id"),
         when(col(correctCol).isNull ||
             !col(correctCol).cast("long").isin(0L, 1L),
           raise_error(lit("bootstrapAccuracyCI: correct must be 0/1")))
-          .otherwise(col(correctCol).cast("long")).as("y"))
+          .otherwise(col(correctCol).cast("long")).as("y")))
       .localCheckpoint() // feeds the fan-out and the point estimate
     val u6 = pmod(
       conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),
@@ -386,9 +397,9 @@ object Classifier {
       when(col(c).isNull || !col(c).cast("long").isin(0L, 1L),
         raise_error(lit(s"bootstrapDeltaCI: $side must be 0/1")))
         .otherwise(col(c).cast("long"))
-    val items = df.select(
+    val items = spread(df.select(
         col(idCol).cast("string").as("id"),
-        checked01(aCol, "a").as("ya"), checked01(bCol, "b").as("yb"))
+        checked01(aCol, "a").as("ya"), checked01(bCol, "b").as("yb")))
       .localCheckpoint() // feeds the fan-out and the point estimates
     val u6 = pmod(
       conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),

@@ -544,23 +544,41 @@ object Graph {
       .unionAll(raw.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
-    var reached = seeds.map(s => (s, s, 0))
+    // Each round's frontier is checkpointed once and never re-materialized,
+    // and the "already reached" filter uses the undirected-BFS invariant:
+    // a neighbor of a node at distance d has distance ≥ d − 1 (the edge set
+    // is symmetrized above), so the only previously-reached nodes the
+    // expansion can regenerate are in the PREVIOUS and CURRENT frontiers —
+    // the anti-join scans two frontier-sized cached tables per round
+    // instead of the whole growing `reached` set, and `reached` is never
+    // re-checkpointed (that re-cache was O(depth²) I/O: at corpus scale
+    // the reached table is the whole radius and rewriting it per hop
+    // dominates the expansion itself). The per-round distinct runs on
+    // (seed, node) only — `dist` is a round constant added afterwards — so
+    // the anti-join immediately downstream reuses the distinct's
+    // hash(seed, node) partitioning instead of paying a second exchange.
+    var frontier = seeds.map(s => (s, s, 0))
       .toDF("seed", "node", "dist").localCheckpoint()
-    var frontier = reached
+    var prev = frontier
+    var frontiers = List(frontier)
     var depth = 0
     while (depth < maxDepth && frontier.limit(1).count() > 0) {
       depth += 1
       val d = depth
-      frontier = frontier
+      val recent = prev.select("seed", "node")
+        .unionByName(frontier.select("seed", "node"))
+      val next = frontier
         .join(und, frontier("node") === und("a"))
-        .select(col("seed"), col("b").as("node"), lit(d).as("dist"))
+        .select(col("seed"), col("b").as("node"))
         .distinct()
-        .join(reached.select("seed", "node"), Seq("seed", "node"),
-          "left_anti")
+        .join(recent, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(d).as("dist"))
         .localCheckpoint()
-      reached = reached.unionByName(frontier).localCheckpoint()
+      prev = frontier
+      frontier = next
+      frontiers ::= frontier
     }
-    reached
+    frontiers.map(_.select("seed", "node", "dist")).reduce(_ unionByName _)
   }
 
   /** Per-edge triangle support — |N(a) ∩ N(b)| for every undirected

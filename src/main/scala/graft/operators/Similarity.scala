@@ -1132,12 +1132,13 @@ object Similarity {
     }: _*)
 
   /** Left-fold dot product over two array<double> columns (the
-    * [[jlProjection]] order contract; `aggregate` folds in element
-    * order, matching the twin's list_dot_product).
+    * [[jlProjection]] order contract; the codegen kernel accumulates in
+    * element order, bit-identical to the `aggregate(zip_with(...))`
+    * left-fold it replaces and to the twin's list_dot_product — that
+    * interpreted form allocated a zipped array and paid per-element
+    * lambda eval PER PAIR inside the cross-join hot loop).
     */
-  private def ddot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
-      (acc, x) => acc + x)
+  private def ddot(a: Column, b: Column): Column = dvecdot(a, b)
 
   /** Approximate cosine top-k THROUGH the JL sign projection — the
     * dimensionality-reduction scale path next to the IVF/LSH ones:
@@ -1153,15 +1154,20 @@ object Similarity {
       queries: DataFrame, candidates: DataFrame,
       qIdCol: String, cIdCol: String, vecCol: String,
       signs: Array[Array[Int]], k: Int, roundTo: Int = 3): DataFrame = {
+    // Norms are per-ROW values: compute them once per query/candidate row
+    // here, not per (q, c) pair inside the cross join (same expression on
+    // the same input — identical IEEE values, |Q|+|C| evaluations instead
+    // of |Q|·|C|).
     val q = queries.select(col(qIdCol).as("q_id"),
-      jlProjection(col(vecCol), signs).as("qp"))
+        jlProjection(col(vecCol), signs).as("qp"))
+      .withColumn("qn", sqrt(ddot(col("qp"), col("qp"))))
     val c = candidates.select(col(cIdCol).as("c_id"),
-      jlProjection(col(vecCol), signs).as("cp"))
+        jlProjection(col(vecCol), signs).as("cp"))
+      .withColumn("cn", sqrt(ddot(col("cp"), col("cp"))))
     val scored = c.crossJoin(broadcast(q))
       .select(col("q_id"), col("c_id"),
-        round(ddot(col("qp"), col("cp")) /
-          (sqrt(ddot(col("qp"), col("qp"))) *
-            sqrt(ddot(col("cp"), col("cp")))), roundTo).as("sim"))
+        round(ddot(col("qp"), col("cp")) / (col("qn") * col("cn")),
+          roundTo).as("sim"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -1224,13 +1230,17 @@ object Similarity {
         zip_with(col("qv"), col("mv"),
           (x, m) => x.cast("double") * lit(alpha) + m * lit(beta))
           .as("qe"))
+    // Per-row norms hoisted out of the cross join (identical IEEE values,
+    // |Q|+|C| evaluations instead of |Q|·|C| — the jlTopK discipline).
+    val expandedN = expanded
+      .withColumn("qn", sqrt(ddot(col("qe"), col("qe"))))
     val c = candidates.select(col(cIdCol).as("c_id"),
-      transform(col(vecCol), x => x.cast("double")).as("cd"))
-    val scored = c.crossJoin(broadcast(expanded))
+        transform(col(vecCol), x => x.cast("double")).as("cd"))
+      .withColumn("cn", sqrt(ddot(col("cd"), col("cd"))))
+    val scored = c.crossJoin(broadcast(expandedN))
       .select(col("q_id"), col("c_id"),
-        round(ddot(col("qe"), col("cd")) /
-          (sqrt(ddot(col("qe"), col("qe"))) *
-            sqrt(ddot(col("cd"), col("cd")))), roundTo).as("sim"))
+        round(ddot(col("qe"), col("cd")) / (col("qn") * col("cn")),
+          roundTo).as("sim"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
