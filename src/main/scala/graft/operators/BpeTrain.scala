@@ -53,10 +53,27 @@ object BpeTrain {
   /** Learned merge table: (rank, left, right, pair_count), rank 1 = first
     * merge. Stops early when no pair reaches `minCount`.
     */
+  /** UTF-8 unsigned byte order — what Spark's UTF8String comparison
+    * (and so the distributed argmax's `max(struct(cnt, l, r))` string
+    * tie-break) uses. Scala's default String ordering compares UTF-16
+    * code units, which diverges for non-BMP symbols, so the driver
+    * fast path must not use it.
+    */
+  private val Utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    var res = 0
+    while (i < n && res == 0) { res = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+    if (res != 0) res else x.length - y.length
+  }
+
   def learnMerges(
       docs: DataFrame, textCol: String,
       numMerges: Int, minCount: Long = 2L,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4,
+      driverCapRows: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -79,6 +96,48 @@ object BpeTrain {
       .as[(Seq[String], Long)]
       .repartition(vocabParts)
       .localCheckpoint()
+
+    // Sub-cap driver fast path — the [[Graph.propagate]] /
+    // [[Dedup.resolveClusters]] discipline: the loop state is the vocab
+    // (already driver-collectable when small) and the arithmetic exact
+    // longs, so a sub-cap vocabulary iterates as plain Scala — ZERO
+    // Spark jobs per merge round instead of one argmax job each — with
+    // bit-identical merges (pair counts are exact; the argmax tie-break
+    // replays max(struct(cnt, l, r))'s UTF8 binary string order via
+    // [[Utf8Order]]). Over the cap (or cap 0, the spec's override) the
+    // distributed loop below runs unchanged; the probe costs one count
+    // job that moves a single long.
+    if (driverCapRows > 0 &&
+        vocab.limit(driverCapRows + 1).count() <= driverCapRows) {
+      var v = vocab.collect()
+      val out = ArrayBuffer.empty[(Int, String, String, Long)]
+      var rk = 1
+      var stop = false
+      while (rk <= numMerges && !stop) {
+        val counts = scala.collection.mutable.HashMap
+          .empty[(String, String), Long]
+        for ((syms, wc) <- v) {
+          var i = 0
+          while (i + 1 < syms.length) {
+            val k = (syms(i), syms(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + wc)
+            i += 1
+          }
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val ((l, r), cnt) = counts.maxBy { case ((l, r), c) => (c, l, r) }(
+            Ordering.Tuple3(Ordering.Long, Utf8Order, Utf8Order))
+          if (cnt < minCount) stop = true
+          else {
+            out += ((rk, l, r, cnt))
+            v = v.map { case (syms, wc) => (mergePair(syms, l, r), wc) }
+            rk += 1
+          }
+        }
+      }
+      return out.toSeq.toDF("rank", "left", "right", "pair_count")
+    }
 
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1

@@ -527,7 +527,8 @@ object Graph {
     */
   def bfsDistances(
       edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: Seq[String], maxDepth: Int = 10): DataFrame = {
+      seeds: Seq[String], maxDepth: Int = 10,
+      driverCapRows: Int = DefaultDriverCap): DataFrame = {
     require(seeds.nonEmpty && seeds.size <= 64,
       s"seeds must be 1..64 (got ${seeds.size})")
     require(seeds.distinct.size == seeds.size, "seeds must be distinct")
@@ -544,6 +545,44 @@ object Graph {
       .unionAll(raw.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
+    // Sub-cap driver fast path — the [[propagate]] discipline: BFS
+    // distances are exact integers and the state is the (already
+    // checkpointed) edge list, so a sub-cap graph runs the textbook
+    // queue BFS per seed in plain Scala — ZERO Spark jobs per hop
+    // instead of 2 (expand + emptiness probe) — emitting the identical
+    // (seed, node, dist) set: both forms assign each reached node its
+    // first-arrival depth exactly once, and the result is compared as a
+    // set. Over the cap the frontier loop below runs unchanged; the
+    // probe is one count job on the checkpoint.
+    subCapRows(und, driverCapRows) match {
+      case Some(rows) =>
+        val adj = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+        for (r <- rows) adj.getOrElseUpdate(r.getString(0),
+          scala.collection.mutable.ArrayBuffer.empty[String]) += r.getString(1)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Int)]
+        for (s0 <- seeds) {
+          val dist = scala.collection.mutable.HashMap.empty[String, Int]
+          dist(s0) = 0
+          out += ((s0, s0, 0))
+          var frontier = List(s0)
+          var d = 0
+          while (d < maxDepth && frontier.nonEmpty) {
+            d += 1
+            val next = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (u <- frontier; vs <- adj.get(u); v <- vs)
+              if (!dist.contains(v)) {
+                dist(v) = d
+                out += ((s0, v, d))
+                next += v
+              }
+            frontier = next.toList
+          }
+        }
+        return out.toSeq.toDF("seed", "node", "dist")
+      case None => ()
+    }
     // Each round's frontier is checkpointed once and never re-materialized,
     // and the "already reached" filter uses the undirected-BFS invariant:
     // a neighbor of a node at distance d has distance ≥ d − 1 (the edge set

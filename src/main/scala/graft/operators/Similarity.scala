@@ -233,17 +233,115 @@ object Similarity {
   def mmrRerank(
       candidates: DataFrame, qIdCol: String, cIdCol: String,
       relE3Col: String, vectors: DataFrame, vIdCol: String,
-      vecCol: String, k: Int, lambdaPct: Int): DataFrame = {
+      vecCol: String, k: Int, lambdaPct: Int,
+      driverCapRows: Int = 1 << 18): DataFrame = {
     require(k >= 1 && k <= 100, s"k must be in [1, 100] (got $k)")
     require(lambdaPct >= 0 && lambdaPct <= 100,
       s"lambdaPct must be in [0, 100] (got $lambdaPct)")
     val cands = candidates.select(
       col(qIdCol).as("q_id"), col(cIdCol).as("c_id"),
       col(relE3Col).cast("long").as("rel_e3"))
+    // Sub-cap driver fast path — the [[Graph.propagate]] discipline: the
+    // greedy loop's state is the candidate table (queries × k rows) and
+    // every score an exact long on a fixed IEEE lattice, so a sub-cap
+    // candidate set runs the k rounds in plain Scala — zero Spark jobs
+    // per round instead of ~4 (anti join, semi join + max, argmax,
+    // checkpoint) — with bit-identical output: sim_e3 replays the
+    // codegen kernel's left-fold dot product, float→double widening and
+    // floor(x·1000 + 0.5) lattice literally, and the argmax tie-break
+    // (max score, then smallest c_id — both integral here, the gate
+    // below) is Long ordering on both paths. Gated to integral id
+    // columns and array<float> vectors so driver ordering/arithmetic
+    // provably match Spark's; anything else (and over-cap inputs) takes
+    // the distributed loop unchanged.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      def ok(dt: DataType) = dt == LongType || dt == IntegerType
+      val vt = vectors.select(col(vecCol)).schema.head.dataType
+      ok(cands.schema("q_id").dataType) && ok(cands.schema("c_id").dataType) &&
+        (vt == ArrayType(FloatType, containsNull = true) ||
+          vt == ArrayType(FloatType, containsNull = false))
+    }
+    var candsEff = cands
+    if (driverCapRows > 0 && integralIds) {
+      val candsCk = cands.localCheckpoint()
+      candsEff = candsCk
+      if (candsCk.limit(driverCapRows + 1).count() <= driverCapRows) {
+        def idOf(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+          case l: Long => l
+          case n: Int => n.toLong
+        }
+        val cRows = candsCk.collect().map(r => (idOf(r, 0), idOf(r, 1), r.getLong(2)))
+        val vRows = vectors
+          .select(col(vIdCol).as("id"), col(vecCol).as("v"))
+          .join(candsCk.select(col("c_id")).distinct(),
+            col("id") === col("c_id"), "left_semi")
+          .collect()
+        val vecs = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
+        val norms = scala.collection.mutable.HashMap.empty[Long, Double]
+        for (r <- vRows) {
+          val id = idOf(r, 0)
+          val v: Array[Float] =
+            if (r.isNullAt(1)) null
+            else r.getSeq[Float](1).toArray
+          val n =
+            if (v == null) Double.NaN
+            else {
+              var s = 0.0; var i = 0
+              while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+              math.sqrt(s)
+            }
+          if (n.isNaN || n == 0.0)
+            throw new RuntimeException(
+              s"mmrRerank: zero/null-norm vector for id $id")
+          vecs(id) = v; norms(id) = n
+        }
+        def simE3(a: Long, b: Long): Long = {
+          val x = vecs(a); val y = vecs(b)
+          val m = math.min(x.length, y.length)
+          var s = 0.0; var i = 0
+          while (i < m) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+          math.floor(s / (norms(a) * norms(b)) * 1000 + 0.5).toLong
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        for ((q, group0) <- cRows.filter(c => vecs.contains(c._2)).groupBy(_._1)) {
+          val group = group0.map(c => (c._2, c._3)) // (c_id, rel)
+          val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var round = 1
+          while (round <= k && selected.size < group.length) {
+            val remaining = group.filterNot(c => selected.contains(c._1))
+            val pick =
+              if (round == 1) remaining.minBy { case (cid, rel) => (-rel, cid) }
+              else remaining.minBy { case (cid, rel) =>
+                val ms = selected.map(o => simE3(cid, o)).max
+                (-(lambdaPct.toLong * rel - (100 - lambdaPct).toLong * ms), cid)
+              }
+            selected += pick._1
+            out += ((q, pick._1, round))
+            round += 1
+          }
+        }
+        val spark0 = candidates.sparkSession
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("q_id", candsCk.schema("q_id").dataType),
+          StructField("c_id", candsCk.schema("c_id").dataType),
+          StructField("mmr_round", IntegerType, nullable = false)))
+        def backId(dt: DataType, v: Long): Any =
+          if (dt == LongType) v else v.toInt
+        val rows = out.toSeq.map { case (q, c, r) =>
+          org.apache.spark.sql.Row(
+            backId(schema(0).dataType, q), backId(schema(1).dataType, c), r)
+        }
+        return spark0.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      }
+    }
     // Same zero-norm contract as marginMining: a zero/null-norm vector
     // would NaN→NULL the pairwise sim and silently skew the
     // redundancy penalty — fail loudly instead.
-    val cv = cands.join(
+    val cv = candsEff.join(
         vectors.select(col(vIdCol).as("c_id"), col(vecCol).as("v"),
           when(fnorm(col(vecCol)).isNull || fnorm(col(vecCol)) === 0.0,
             raise_error(concat(

@@ -76,6 +76,19 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("driver fast path ≡ distributed loop (cap 0) on sf0.001 docs") {
+    // the r13 sub-cap driver loop must be merge-for-merge identical to
+    // the distributed argmax rounds — including the UTF8-binary string
+    // tie-break and the minCount early stop
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val fast = BpeTrain.learnMerges(docs, "text", numMerges = 12)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val dist = BpeTrain.learnMerges(docs, "text", numMerges = 12,
+        driverCapRows = 0)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(fast == dist)
+  }
+
   test("learnMerges stops cleanly when the vocabulary fully merges") {
     // one word: after (a, </w>) merges, no pairs remain — rounds 2..10
     // must stop on the empty pair table, not crash decoding a null argmax

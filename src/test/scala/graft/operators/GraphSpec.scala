@@ -859,5 +859,11 @@ class GraphSpec extends AnyFunSuite {
       dist.map { case (node, dd) => (s, node) -> dd }
     }.toMap
     assert(got == want)
+    // driver fast path (default cap) ≡ distributed frontier loop (cap 0)
+    val dist0 = Graph.bfsDistances(edges.toDF("s", "t"), "s", "t",
+        seeds, maxDepth = cap, driverCapRows = 0)
+      .as[(String, String, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(dist0 == got)
   }
 }

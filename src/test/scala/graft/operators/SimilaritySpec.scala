@@ -489,6 +489,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(small == Seq((2L, 103L, 1)))
   }
 
+  test("mmrRerank: driver fast path ≡ distributed loop (cap 0) on sf0.001") {
+    val emb = spark.read
+      .parquet(s"${graft.TestSpark.Sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cands = Similarity.cosineTopK(
+        emb.filter($"vec_id" < 10), emb.filter($"vec_id" >= 10),
+        "vec_id", "vec_id", "embedding", k = 8)
+      .select($"q_id", $"c_id",
+        floor($"sim" * 1000 + lit(0.5)).cast("long").as("rel_e3"))
+    def run(cap: Int) = Similarity.mmrRerank(cands, "q_id", "c_id",
+        "rel_e3", emb, "vec_id", "embedding", k = 4, lambdaPct = 70,
+        driverCapRows = cap)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(run(1 << 18) == run(0))
+  }
+
   test("marginMining is invariant to input partitioning") {
     val emb = spark.read
       .parquet(s"${graft.TestSpark.Sf0001}/embeddings.parquet")
