@@ -2214,21 +2214,24 @@ SELECT q_id, c_id, mmr_round FROM sel5"""
       .join(broadcast(T(s, d, "region").filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    // materialized once: both the per-part min and the join-back read
-    // it, and without the checkpoint the lineitem pair aggregate runs
-    // twice; the frame is the type/size/region-filtered slice — tiny
-    // next to lineitem at any scale
+    // per-part min as an unordered window over the filtered slice: ONE
+    // exchange on p_partkey and no materialization — the aggregate +
+    // equality-join-back form this replaces consumed the slice twice
+    // (forcing an eager localCheckpoint so the lineitem pair aggregate
+    // ran once) and paid three more exchanges (min aggregate, both join
+    // sides). Row set is identical by construction: rows whose
+    // supplycost equals their part's min are exactly the rows the
+    // equality join kept.
     val cand = T(s, d, "part")
       .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
       .join(ps, col("p_partkey") === col("l_partkey"))
       .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("s_name"), col("s_acctbal"),
         col("n_name"), col("supplycost"))
-      .localCheckpoint()
-    val mins = cand.groupBy(col("p_partkey").as("mp"))
-      .agg(min(col("supplycost")).as("mc"))
-    cand.join(mins,
-        col("p_partkey") === col("mp") && col("supplycost") === col("mc"))
+    cand
+      .withColumn("mc", min(col("supplycost")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))))
+      .filter(col("supplycost") === col("mc"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("supplycost"))
   }

@@ -71,7 +71,8 @@ object Classifier {
     */
   def trainSoftsign(
       df: DataFrame, featureCols: Seq[String], labelCol: String,
-      rounds: Int = 8, lr: Double = 0.5, grid: Int = 12): LinearModel = {
+      rounds: Int = 8, lr: Double = 0.5, grid: Int = 12,
+      driverCapRows: Int = 1 << 20): LinearModel = {
     require(featureCols.nonEmpty, "need at least one feature column")
     require(rounds >= 1 && rounds <= 64, s"rounds in [1, 64] (got $rounds)")
     require(grid >= 6 && grid <= 15,
@@ -85,6 +86,49 @@ object Classifier {
     require(n > 0, "empty training input")
     val scale = math.pow(10.0, grid)
     val dec = DecimalType(38, 0)
+    // Sub-cap driver fast path — the propagate/learnMerges discipline:
+    // the per-round state is the weight vector and every gradient an
+    // exact integer (each row's floor(·) lands on an integer-valued
+    // double ≤ 2^53, summed exactly), so a sub-cap feature table runs
+    // the full-batch rounds in plain Scala — zero Spark jobs per round
+    // instead of one aggregate each — with bit-identical weights: z
+    // replays zExpr's left fold, p the softsign IEEE sequence, the sums
+    // accumulate in BigInt (the decimal(38,0) twin), and a row with ANY
+    // null field contributes nothing on either path (a null feature
+    // nulls z, hence every gradient of that row). Over the cap (or cap
+    // 0, the spec override) the aggregate loop runs unchanged.
+    if (driverCapRows > 0 && n <= driverCapRows) {
+      val k = featureCols.size
+      val rows0 = m.collect()
+      val data = rows0.flatMap { r =>
+        if ((0 to k).exists(r.isNullAt)) None
+        else Some(Array.tabulate(k + 1)(r.getDouble))
+      }
+      require(data.nonEmpty, "trainSoftsign: every row has a null field")
+      var bS0 = 0.0
+      var wS0 = Array.fill(k)(0.0)
+      for (_ <- 1 to rounds) {
+        val gs = Array.fill(k + 1)(BigInt(0))
+        for (a <- data) {
+          var z = bS0 / scale
+          var j = 0
+          while (j < k) { z = z + (wS0(j) / scale) * a(j + 1); j += 1 }
+          val p = 0.5 * (1.0 + z / (1.0 + math.abs(z)))
+          val diff = p - a(0)
+          gs(0) += BigInt(math.floor(diff * scale + 0.5).toLong)
+          j = 0
+          while (j < k) {
+            gs(j + 1) += BigInt(math.floor(diff * a(j + 1) * scale + 0.5).toLong)
+            j += 1
+          }
+        }
+        def upd0(cur: Double, i: Int): Double =
+          math.floor(cur - lr * (gs(i).toDouble / n) + 0.5)
+        bS0 = upd0(bS0, 0)
+        wS0 = Array.tabulate(k)(j => upd0(wS0(j), j + 1))
+      }
+      return LinearModel(bS0 / scale, wS0.map(_ / scale), lr, grid)
+    }
     // Scaled-integer weights; the z expression always consumes the
     // natural-unit quotients (wS / scale) so scoring and engine twins
     // share one expression shape.
@@ -546,8 +590,8 @@ object Classifier {
       applyDf: DataFrame, idCol: String, textCol: String,
       classStats: DataFrame, model: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val ap = applyDf
-      .select(col(idCol).as("id"), explode(tokens(
+    val ap = spread(applyDf.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(tokens(
         when(col(textCol).isNull,
           raise_error(lit("naiveBayes: null apply text")))
           .otherwise(col(textCol)))).as("t"))

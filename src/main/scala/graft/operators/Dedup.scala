@@ -236,7 +236,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val L = minTokens
     val toks = TextFunctions.tokens(col(textCol))
-    val grams = docs
+    val grams = spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).cast("long").as("id"), toks.as("w"), size(toks).as("n"))
       .filter(col("n") >= L)
       .select(col("id"), col("w"),

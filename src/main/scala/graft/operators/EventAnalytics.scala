@@ -1589,9 +1589,11 @@ object EventAnalytics {
       s"maxLag must be in [1, 168] (got $maxLag)")
     require(bucketUs > 0, s"bucketUs must be positive (got $bucketUs)")
     val bucketNs = bucketUs * 1000L
-    autocorrelationFromCounts(events
+    // spread before the bucket aggregate (Guards.spread scaladoc): the
+    // count is exact, so partition layout cannot change it
+    autocorrelationFromCounts(Guards.spread(events
       .select(col(typeCol).as("event_type"),
-        col(tsCol).cast("long").as("__ts"))
+        col(tsCol).cast("long").as("__ts")))
       .select(col("event_type"),
         expr(s"(__ts - pmod(__ts, ${bucketNs}L)) div ${bucketNs}L")
           .as("bucket"))

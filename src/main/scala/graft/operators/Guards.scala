@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Loud-raise guards for data-derived `explode(sequence(lo, hi))`
@@ -31,6 +31,23 @@ import org.apache.spark.sql.functions._
   * the raise never evaluates and the probe reads as "guard missing".
   */
 object Guards {
+
+  /** Ensure enough partitions to use the cluster for CPU-heavy per-row
+    * work (tokenize/hash/fold) and explode fan-outs — the shared form of
+    * the [[Dedup]]/[[Classifier]] spread discipline. A no-op at real
+    * scale (many input splits already); it matters for small
+    * single-row-group files, which the parquet reader cannot split, so
+    * without it a corpus-CPU pipeline runs in ONE task regardless of
+    * cluster size (measured: t37's whole skipgram fan-out in one task).
+    * Only safe where downstream results are partitioning-invariant —
+    * every caller here computes exact-lattice aggregates or
+    * deterministically-keyed windows.
+    */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, p / 2)) df.repartition(p)
+    else df
+  }
 
   /** Default cap for calendar densifies (w22-class): 2²⁰ ≈ 1.05M
     * buckets ≈ 119 years of hourly buckets — any span beyond this is

@@ -177,10 +177,13 @@ object Pca {
       dim: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(
+    // spread before the d×d per-row Gram fold (Guards.spread scaladoc):
+    // exact long/BigInteger accumulators, so the partition layout cannot
+    // change a single output bit
+    val vecs = Guards.spread(emb.select(
         transform(finiteVec(vecCol, "gramMoments"),
           x => floor(x * grid + lit(0.5))).as("varr"))
-      .where(col("varr").isNotNull)
+      .where(col("varr").isNotNull))
       .as[Seq[Long]]
     val partials = vecs.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty

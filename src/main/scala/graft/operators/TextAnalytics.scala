@@ -234,6 +234,10 @@ object TextAnalytics {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, roundTo: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT spread (Guards.spread scaladoc): the tf subtree is consumed
+    // twice (per-doc tf and the df rollup), and the added repartition
+    // measured slower than the single-task tokenize it parallelized
+    // (t7 0.94-1.01 -> 1.31 s at sf0.1)
     val tf = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
@@ -2198,8 +2202,12 @@ object TextAnalytics {
       window: Int = 2, minCount: Long = 1L): DataFrame = {
     require(window >= 1 && window <= 8,
       s"window must be in [1, 8] (got $window)")
-    val toksB = docs
-      .select(filter(tokens(col(textCol)), t => t =!= "").as("w"))
+    // spread before the tokenize + window-offset fan-out (the Guards
+    // spread discipline): profiled at sf0.1, the whole skipgram
+    // pipeline ran in ONE task off the unsplittable single-row-group
+    // scan
+    val toksB = Guards.spread(docs.select(col(textCol).as("__sg_t")))
+      .select(filter(tokens(col("__sg_t")), t => t =!= "").as("w"))
     // one generator pass emits BOTH directions (zip_with pairs each
     // offset, each pair fans to its two orientations, one flatten +
     // explode) — a union of two selects would re-run the whole

@@ -272,9 +272,11 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = planOf(df)
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"span detection must not cross-join:\n$plan")
-    // gram hashing happens scan-side: at most the gh window, the id
-    // window and the final agg move data
-    assert(exchangeCount(plan) <= 3, s"too many shuffles:\n$plan")
+    // gram hashing happens scan-side: at most the Guards.spread
+    // repartition (r13 — parallelizes the sliding-gram hashing off an
+    // unsplittable single-row-group scan; no-op at real scale), the gh
+    // window, the id window and the final agg move data
+    assert(exchangeCount(plan) <= 4, s"too many shuffles:\n$plan")
   }
 
   test("segment dedup never goes quadratic (window + group-by only)") {
@@ -707,11 +709,15 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("skip-gram pairs: fan-out scan-side, exactly one count exchange") {
+  test("skip-gram pairs: spread + fan-out scan-side, one count exchange") {
     val plan = planOf(
       SparkEntry.queries("t37_skipgram_pairs")(spark, dir))
-    assert(exchangeCount(plan) == 1,
-      s"skip-grams must shuffle once (the pair count):\n$plan")
+    // two exchanges by design since r13: the Guards.spread repartition
+    // (parallelizes the tokenize/fan-out off an unsplittable
+    // single-row-group scan — a no-op at real scale) plus the pair
+    // count; the fan-out itself still never shuffles
+    assert(exchangeCount(plan) == 2,
+      s"skip-grams: spread + pair count exchanges only:\n$plan")
     assert(!plan.contains("Join"), s"no join belongs here:\n$plan")
   }
 

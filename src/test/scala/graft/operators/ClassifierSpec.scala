@@ -61,6 +61,19 @@ class ClassifierSpec extends AnyFunSuite {
     assert(m1.bias == m7.bias && m1.weights.toSeq == m7.weights.toSeq)
   }
 
+  test("driver fast path ≡ distributed aggregate loop (cap 0)") {
+    // the r13 sub-cap driver loop must reproduce the distributed rounds
+    // bit for bit, including the BigInt gradient sums and null-row skips
+    val df = (sep.map { case (y, a, b) => (Some(y), Some(a), Some(b)) } :+
+        ((Some(1.0), Option.empty[Double], Some(0.5))))
+      .toDF("y", "x1", "x2")
+    val fast = Classifier.trainSoftsign(df, Seq("x1", "x2"), "y", rounds = 16)
+    val dist = Classifier.trainSoftsign(df, Seq("x1", "x2"), "y", rounds = 16,
+      driverCapRows = 0)
+    assert(fast.bias == dist.bias)
+    assert(fast.weights.toSeq == dist.weights.toSeq)
+  }
+
   test("learns the separable concept and scores accordingly") {
     val df = sep.toDF("y", "x1", "x2")
     val m = Classifier.trainSoftsign(df, Seq("x1", "x2"), "y", rounds = 40)
