@@ -726,10 +726,66 @@ object Similarity {
     * Only centroid summaries (nlist × dim doubles) ever reach the driver;
     * assignments and means stay distributed.
     */
+  /** Driver-side replica of [[graft.functions.NearestSubCentroids]]'s
+    * eval — the sub-cap k-means fast paths must assign bit-identically
+    * to the distributed expression (same cent2 summation order, same
+    * strict `<` tie-break keeping the lowest index, same short-vector
+    * guard).
+    */
+  private def assignSubDriver(
+      v: Array[Float], codebook: Array[Float], cent2: Array[Double],
+      m: Int, ksub: Int, dsub: Int): Array[Int] = {
+    val n = v.length
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = Double.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < ksub) {
+        val off = (j * ksub + c) * dsub
+        var dot = 0.0
+        var i = 0
+        while (i < dsub && j * dsub + i < n) {
+          dot += v(j * dsub + i).toDouble * codebook(off + i).toDouble
+          i += 1
+        }
+        val d = cent2(j * ksub + c) - 2.0 * dot
+        if (d < best) { best = d; bestC = c }
+        c += 1
+      }
+      codes(j) = bestC
+      j += 1
+    }
+    codes
+  }
+
+  private def cent2Of(
+      codebook: Array[Float], m: Int, ksub: Int, dsub: Int): Array[Double] = {
+    val out = new Array[Double](m * ksub)
+    var jc = 0
+    while (jc < m * ksub) {
+      var s = 0.0
+      var i = 0
+      while (i < dsub) { val x = codebook(jc * dsub + i).toDouble; s += x * x; i += 1 }
+      out(jc) = s
+      jc += 1
+    }
+    out
+  }
+
+  /** The [[gridMean]] lattice, driver-side: the distributed sum adds
+    * integer-valued doubles (exact below 2^53), so a Long accumulator
+    * reproduces it bit for bit; the two divisions replay the same IEEE
+    * sequence.
+    */
+  private def gridMeanDriver(sum: Long, cnt: Long, grid: Double = 1e7): Double =
+    sum.toDouble / cnt / grid
+
   def ivfTrain(
       df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, iters: Int = 3, seed: Long = 42L,
-      portable: Boolean = false): IvfModel = {
+      portable: Boolean = false, driverCapRows: Int = 1 << 18): IvfModel = {
     val spark = df.sparkSession
     import spark.implicits._
     // Deterministic seeded init without a corpus-wide ordering: a hash
@@ -747,6 +803,41 @@ object Similarity {
       d.orderBy("h", "id").limit(nlist).select("v").as[Seq[Float]].collect().toSeq
     var centroids: Seq[Seq[Float]] = takeOrdered(base.filter(col("h") < cut))
     if (centroids.size < nlist) centroids = takeOrdered(base)
+    // Sub-cap driver fast path — the propagate/trainSoftsign discipline:
+    // Lloyd state is the centroid table, assignments replay the fused
+    // expression's loop ([[assignSubDriver]]) and the mean the exact
+    // [[gridMean]] lattice, so a sub-cap corpus runs the iterations in
+    // plain Scala (zero Spark jobs per round instead of one
+    // assignment+mean aggregate each) with bit-identical centroids.
+    // Over the cap (or cap 0) the distributed loop runs unchanged.
+    if (driverCapRows > 0 && n <= driverCapRows) {
+      val vecs = df.select(col(vecCol)).collect()
+        .flatMap(r => if (r.isNullAt(0)) None
+          else Some(r.getSeq[Float](0).toArray))
+      val dimMax = if (vecs.isEmpty) 0 else vecs.iterator.map(_.length).max
+      for (_ <- 1 to iters) {
+        val dim = centroids.head.size
+        val cb = centroids.flatten.toArray
+        val c2 = cent2Of(cb, 1, nlist, dim)
+        val sums = Array.ofDim[Long](nlist, dimMax)
+        val cnts = Array.ofDim[Long](nlist, dimMax)
+        for (v <- vecs) {
+          val c = assignSubDriver(v, cb, c2, 1, nlist, dim)(0)
+          var i = 0
+          while (i < v.length) {
+            sums(c)(i) += math.floor(v(i).toDouble * 1e7 + 0.5).toLong
+            cnts(c)(i) += 1
+            i += 1
+          }
+        }
+        centroids = centroids.indices.map { c =>
+          val ms = (0 until dimMax).filter(i => cnts(c)(i) > 0)
+            .map(i => gridMeanDriver(sums(c)(i), cnts(c)(i)).toFloat)
+          if (ms.nonEmpty) ms else centroids(c) // empty cluster keeps its centroid
+        }
+      }
+      return IvfModel(centroids)
+    }
     for (_ <- 1 to iters) {
       val assigned = df.withColumn("__c", nearestCentroid(col(vecCol), centroids))
       val means = assigned
@@ -880,7 +971,7 @@ object Similarity {
   def pqTrain(
       df: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 16, iters: Int = 3, seed: Long = 42L,
-      portable: Boolean = false): PqModel = {
+      portable: Boolean = false, driverCapRows: Int = 1 << 18): PqModel = {
     val spark = df.sparkSession
     import spark.implicits._
     val dim = df.select(size(col(vecCol))).head.getInt(0)
@@ -900,6 +991,47 @@ object Similarity {
     if (sample.size < ksub) sample = takeOrdered(base)
     var model: Seq[Seq[Seq[Float]]] =
       (0 until m).map(j => sample.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    // Sub-cap driver fast path — same contract as [[ivfTrain]]'s: the
+    // per-subspace assignment replays [[assignSubDriver]] and the means
+    // the exact gridMean lattice, so the rounds run driver-side with
+    // bit-identical codebooks; cap 0 / over-cap takes the distributed
+    // loop unchanged.
+    if (driverCapRows > 0 && n <= driverCapRows) {
+      val vecs = df.select(col(vecCol)).collect()
+        .flatMap(r => if (r.isNullAt(0)) None
+          else Some(r.getSeq[Float](0).toArray))
+      for (_ <- 1 to iters) {
+        val cb = model.flatten.flatten.toArray
+        val c2 = cent2Of(cb, m, ksub, dsub)
+        val sums = Array.ofDim[Long](m, ksub, dsub)
+        val cnts = Array.ofDim[Long](m, ksub, dsub)
+        for (v <- vecs) {
+          val codes = assignSubDriver(v, cb, c2, m, ksub, dsub)
+          var j = 0
+          while (j < m) {
+            val c = codes(j)
+            var i = 0
+            // the distributed slice(v, j*dsub+1, dsub) clips to the
+            // vector's actual length — replicate the clip
+            while (i < dsub && j * dsub + i < v.length) {
+              sums(j)(c)(i) +=
+                math.floor(v(j * dsub + i).toDouble * 1e7 + 0.5).toLong
+              cnts(j)(c)(i) += 1
+              i += 1
+            }
+            j += 1
+          }
+        }
+        model = (0 until m).map { j =>
+          (0 until ksub).map { c =>
+            val ms = (0 until dsub).filter(i => cnts(j)(c)(i) > 0)
+              .map(i => gridMeanDriver(sums(j)(c)(i), cnts(j)(c)(i)).toFloat)
+            if (ms.nonEmpty) ms else model(j)(c) // empty cell keeps its centroid
+          }
+        }
+      }
+      return PqModel(model)
+    }
     for (_ <- 1 to iters) {
       // one plan: fused all-subspace assignment (single eval per row), then
       // explode (subspace, code) and the subvector, average per component

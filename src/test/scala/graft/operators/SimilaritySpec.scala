@@ -489,6 +489,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(small == Seq((2L, 103L, 1)))
   }
 
+  test("ivfTrain/pqTrain: driver fast path ≡ distributed loop (cap 0)") {
+    val emb = spark.read
+      .parquet(s"${graft.TestSpark.Sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val i1 = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nlist = 8, iters = 3)
+    val i0 = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nlist = 8, iters = 3, driverCapRows = 0)
+    assert(i1.centroids == i0.centroids)
+    val p1 = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    val p0 = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2, driverCapRows = 0)
+    assert(p1.subCentroids == p0.subCentroids)
+  }
+
   test("mmrRerank: driver fast path ≡ distributed loop (cap 0) on sf0.001") {
     val emb = spark.read
       .parquet(s"${graft.TestSpark.Sf0001}/embeddings.parquet")
