@@ -942,12 +942,103 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, roundTo: Int = 3,
       bands: Int = 32, planesPerBand: Int = 8,
-      dim: Int = -1, seed: Long = 42L): DataFrame = {
+      dim: Int = -1, seed: Long = 42L,
+      driverCapRows: Int = 1 << 18): DataFrame = {
     import graft.functions.VectorFunctions._
     // Mirror the SQL registration's guard (GraftExtensions.scala): keys are
     // packed into a Long, so >64 planes would silently alias key bits.
     require(planesPerBand >= 1 && planesPerBand <= 64,
       "planesPerBand must be in [1, 64] (long key bits)")
+    // Sub-cap driver fast path — the propagate/kmeans discipline: a
+    // sub-cap vector corpus runs band keying, candidate bucketing and
+    // the exact verify in plain Scala (zero Spark jobs instead of the
+    // ~10-stage key/join/dedup/checkpoint/verify chain) with
+    // bit-identical pairs: keys replay SignBandKeys' loop (same
+    // hyperplanes, same strict `> 0` sign test), sims the fdot
+    // left-fold, and the rounding Spark's Round (BigDecimal.valueOf +
+    // HALF_UP). Null-vector rows produce no keys and null sims on both
+    // paths — skipped. Gated to integral ids + array<float> vectors;
+    // over the cap (one column-pruned count probe) the distributed
+    // chain runs unchanged.
+    val idIntegral = {
+      import org.apache.spark.sql.types._
+      val it = df.select(col(idCol)).schema.head.dataType
+      val vt = df.select(col(vecCol)).schema.head.dataType
+      (it == LongType || it == IntegerType) &&
+        (vt == ArrayType(FloatType, true) || vt == ArrayType(FloatType, false))
+    }
+    if (driverCapRows > 0 && idIntegral &&
+        df.select(col(idCol)).limit(driverCapRows + 1).count() <= driverCapRows) {
+      val rows = df.select(col(idCol), col(vecCol)).collect()
+      def idOf(r: org.apache.spark.sql.Row): Long = r.get(0) match {
+        case l: Long => l
+        case n: Int => n.toLong
+      }
+      val vdim =
+        if (dim > 0) dim
+        else rows.headOption.map(_.getSeq[Float](1).size).getOrElse(0)
+      val planes = Similarity.flatPlanes(bands, planesPerBand, vdim, seed)
+      val vecs = rows.iterator
+        .filter(r => !r.isNullAt(1))
+        .map(r => (idOf(r), r.getSeq[Float](1).toArray)).toArray
+      val buckets = scala.collection.mutable.HashMap
+        .empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Int]]
+      for (k <- vecs.indices) {
+        val v = vecs(k)._2
+        val d0 = math.min(v.length, vdim)
+        var b = 0
+        while (b < bands) {
+          var key = 0L
+          var p = 0
+          while (p < planesPerBand) {
+            val off = (b * planesPerBand + p) * vdim
+            var s = 0.0
+            var i = 0
+            while (i < d0) { s += v(i).toDouble * planes(off + i).toDouble; i += 1 }
+            if (s > 0) key |= (1L << p)
+            p += 1
+          }
+          buckets.getOrElseUpdate((b, key),
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += k
+          b += 1
+        }
+      }
+      val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      def normOf(v: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+      val norms = vecs.map(x => normOf(x._2))
+      for (ids <- buckets.valuesIterator; ai <- ids; bi <- ids) {
+        val (ia, va) = vecs(ai); val (ib, vb) = vecs(bi)
+        if (ia < ib && seen.add((ia, ib))) {
+          val m = math.min(va.length, vb.length)
+          var s = 0.0; var i = 0
+          while (i < m) { s += va(i).toDouble * vb(i).toDouble; i += 1 }
+          val q = s / (norms(ai) * norms(bi))
+          // Spark's Round passes NaN/Infinity through unchanged
+          val sim =
+            if (q.isNaN || q.isInfinite) q
+            else java.math.BigDecimal.valueOf(q)
+              .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (sim >= threshold) out += ((ia, ib, sim))
+        }
+      }
+      val spark0 = df.sparkSession
+      import org.apache.spark.sql.types._
+      val idt = df.select(col(idCol)).schema.head.dataType
+      def backId(v: Long): Any = if (idt == LongType) v else v.toInt
+      val schema = StructType(Seq(
+        StructField("id_a", idt), StructField("id_b", idt),
+        StructField("sim", DoubleType)))
+      val outRows = out.toSeq.map { case (a, b, s) =>
+        org.apache.spark.sql.Row(backId(a), backId(b), s) }
+      return spark0.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava), schema)
+    }
     // dim <= 0 means "derive from the data": a shorter hardcoded default
     // would silently truncate longer vectors for bucketing and break the
     // documented recall formula. One column-pruned head() — driver-bounded.

@@ -160,6 +160,14 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.size >= 50) // every planted copy pairs with its original
     assert(blocked == exact)
+    // driver fast path ≡ distributed band-join chain (cap 0), including
+    // the rounded sims, not just the pair set
+    val fast = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.85)
+      .as[(Long, Long, Double)].collect().toSet
+    val dist = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.85,
+        driverCapRows = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == dist)
   }
 
   test("semanticDedup drops exactly the non-min members of semantic groups") {
