@@ -115,6 +115,12 @@ object Classifier {
           while (j < k) { z = z + (wS0(j) / scale) * a(j + 1); j += 1 }
           val p = 0.5 * (1.0 + z / (1.0 + math.abs(z)))
           val diff = p - a(0)
+          // `.toLong` is the exact twin of the distributed floor(·): Spark's
+          // floor over a double returns LongType via a raw `(long)Math.floor`
+          // cast, which saturates at Long.MaxValue — so past ~9.2e18 BOTH
+          // paths saturate identically before the decimal(38,0) cast/sum
+          // (pinned by the grid-15 ClassifierSpec parity test; a BigDecimal
+          // accumulator here would DIVERGE from the engine).
           gs(0) += BigInt(math.floor(diff * scale + 0.5).toLong)
           j = 0
           while (j < k) {

@@ -1017,13 +1017,25 @@ object Dedup {
           val m = math.min(va.length, vb.length)
           var s = 0.0; var i = 0
           while (i < m) { s += va(i).toDouble * vb(i).toDouble; i += 1 }
+          // ANSI mode (the Spark 4 default this engine runs with) makes
+          // the distributed verify throw DIVIDE_BY_ZERO when a candidate
+          // pair touches a zero-norm vector (they pair up at key 0 in
+          // every band) — fail identically here instead of emitting a
+          // quiet 0/0 = NaN sim the distributed path can never produce.
+          if (norms(ai) * norms(bi) == 0.0)
+            throw new ArithmeticException(
+              s"embeddingNearDupPairs: [DIVIDE_BY_ZERO] zero-norm vector in " +
+                s"candidate pair ($ia, $ib)")
           val q = s / (norms(ai) * norms(bi))
           // Spark's Round passes NaN/Infinity through unchanged
           val sim =
             if (q.isNaN || q.isInfinite) q
             else java.math.BigDecimal.valueOf(q)
               .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (sim >= threshold) out += ((ia, ib, sim))
+          // Spark SQL orders NaN above every value, so a NaN sim (can't
+          // arise from the division — zero norms throw above — but kept
+          // as defense) passes the distributed `>= threshold` filter.
+          if (sim.isNaN || sim >= threshold) out += ((ia, ib, sim))
         }
       }
       val spark0 = df.sparkSession

@@ -308,8 +308,12 @@ object Similarity {
           val group = group0.map(c => (c._2, c._3)) // (c_id, rel)
           val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
           var round = 1
-          while (round <= k && selected.size < group.length) {
-            val remaining = group.filterNot(c => selected.contains(c._1))
+          // Gate on remaining.nonEmpty, not selected.size < group.length:
+          // duplicate (q_id, c_id) candidate rows inflate group.length, and
+          // once every DISTINCT id is picked the distributed anti-join loop
+          // just stops emitting — minBy on an empty remaining would throw.
+          var remaining = group
+          while (round <= k && remaining.nonEmpty) {
             val pick =
               if (round == 1) remaining.minBy { case (cid, rel) => (-rel, cid) }
               else remaining.minBy { case (cid, rel) =>
@@ -318,6 +322,7 @@ object Similarity {
               }
             selected += pick._1
             out += ((q, pick._1, round))
+            remaining = remaining.filterNot(_._1 == pick._1)
             round += 1
           }
         }
@@ -817,6 +822,12 @@ object Similarity {
       val dimMax = if (vecs.isEmpty) 0 else vecs.iterator.map(_.length).max
       for (_ <- 1 to iters) {
         val dim = centroids.head.size
+        // Ragged inputs can update centroids to unequal lengths; the
+        // distributed loop fails loudly via nearestSubCentroids' uniformity
+        // require — fail identically here instead of silently mis-indexing
+        // the flattened codebook.
+        require(centroids.forall(_.size == dim),
+          "codebook must be a uniform m × ksub × dsub matrix")
         val cb = centroids.flatten.toArray
         val c2 = cent2Of(cb, 1, nlist, dim)
         val sums = Array.ofDim[Long](nlist, dimMax)
@@ -1001,6 +1012,11 @@ object Similarity {
         .flatMap(r => if (r.isNullAt(0)) None
           else Some(r.getSeq[Float](0).toArray))
       for (_ <- 1 to iters) {
+        // Same uniformity contract as nearestSubCentroids on the
+        // distributed path: ragged updated centroids must fail loudly,
+        // not silently mis-index the flattened codebook.
+        require(model.forall(s => s.size == ksub && s.forall(_.size == dsub)),
+          "codebook must be a uniform m × ksub × dsub matrix")
         val cb = model.flatten.flatten.toArray
         val c2 = cent2Of(cb, m, ksub, dsub)
         val sums = Array.ofDim[Long](m, ksub, dsub)

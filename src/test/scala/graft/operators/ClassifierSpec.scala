@@ -74,6 +74,25 @@ class ClassifierSpec extends AnyFunSuite {
     assert(fast.weights.toSeq == dist.weights.toSeq)
   }
 
+  test("driver gradient twin stays exact past Long range (grid 15)") {
+    // |diff|·x·scale exceeds ~9.2e18 with grid 15 and features in the
+    // tens of thousands. Spark's floor over a double returns LongType via
+    // a raw (long)Math.floor cast that saturates at Long.MaxValue, so the
+    // distributed path saturates too — `.toLong` is the exact twin and a
+    // BigDecimal accumulator would diverge (measured: bias 3.51e-9 vs
+    // 3.19e-9 on this fixture). This pins the saturation regime.
+    val df = Seq(
+      (1.0, 25000.0, -18000.0), (0.0, -22000.0, 30000.0),
+      (1.0, 16000.0, 12000.0), (0.0, -28000.0, -9000.0))
+      .toDF("y", "x1", "x2")
+    val fast = Classifier.trainSoftsign(df, Seq("x1", "x2"), "y",
+      rounds = 8, grid = 15)
+    val dist = Classifier.trainSoftsign(df, Seq("x1", "x2"), "y",
+      rounds = 8, grid = 15, driverCapRows = 0)
+    assert(fast.bias == dist.bias)
+    assert(fast.weights.toSeq == dist.weights.toSeq)
+  }
+
   test("learns the separable concept and scores accordingly") {
     val df = sep.toDF("y", "x1", "x2")
     val m = Classifier.trainSoftsign(df, Seq("x1", "x2"), "y", rounds = 40)

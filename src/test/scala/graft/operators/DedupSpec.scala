@@ -170,6 +170,27 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == dist)
   }
 
+  test("embeddingNearDupPairs fails loudly on zero-norm pairs on both paths") {
+    // Two zero vectors share key 0 in every band, so they always form a
+    // candidate pair, and the exact verify divides by a zero norm
+    // product. Under ANSI mode (the Spark 4 default this engine runs
+    // with) the distributed verify throws DIVIDE_BY_ZERO; the driver
+    // fast path used to emit a quiet 0/0 = NaN sim and silently drop it
+    // (the r13 advice) — both paths must now fail loudly.
+    val corpus = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array(0.9f, 0.1f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    def run(cap: Int) =
+      Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.85,
+        driverCapRows = cap).collect()
+    val eFast = intercept[Exception] { run(1 << 18) }
+    assert(eFast.getMessage.contains("DIVIDE_BY_ZERO"), eFast.getMessage)
+    val eDist = intercept[Exception] { run(0) }
+    assert(eDist.getMessage.contains("DIVIDE_BY_ZERO"), eDist.getMessage)
+  }
+
   test("semanticDedup drops exactly the non-min members of semantic groups") {
     val dim = 8
     def vec(axis: Int, unique: Int): Seq[Float] = {

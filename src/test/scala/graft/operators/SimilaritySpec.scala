@@ -521,6 +521,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(1 << 18) == run(0))
   }
 
+  test("mmrRerank tolerates duplicate (q_id, c_id) candidate rows") {
+    // group.length counted duplicate rows, so after every DISTINCT id was
+    // picked the driver loop ran one more round and minBy threw on an
+    // empty remaining; the distributed anti-join loop just stops emitting
+    // (the r13 advice) — both paths must emit rounds 1..n_distinct.
+    val vectors = Seq(
+      (101L, Array(1.0f, 0.0f)),
+      (102L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cands = Seq((1L, 101L, 900L), (1L, 101L, 900L), (1L, 102L, 500L))
+      .toDF("q_id", "c_id", "rel_e3")
+    def run(cap: Int) = Similarity.mmrRerank(cands, "q_id", "c_id", "rel_e3",
+        vectors, "vec_id", "embedding", k = 3, lambdaPct = 70,
+        driverCapRows = cap)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val fast = run(1 << 18)
+    assert(fast == Seq((1L, 101L, 1), (1L, 102L, 2)))
+    assert(fast == run(0))
+  }
+
+  test("ivfTrain fails loudly on ragged vectors on both paths") {
+    // Ragged vectors make the updated centroids ragged; the distributed
+    // loop fails via nearestSubCentroids' uniformity require while the
+    // driver path used to silently mis-index the flattened codebook
+    // (the r13 advice) — both must now throw the same require.
+    val ragged = Seq(
+      (1L, Array(1.0f)),
+      (2L, Array(0.5f, 2.0f)),
+      (3L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
+    def run(cap: Int) = Similarity.ivfTrain(ragged, "vec_id", "embedding",
+      nlist = 2, iters = 2, driverCapRows = cap)
+    val eFast = intercept[IllegalArgumentException] { run(1 << 18) }
+    assert(eFast.getMessage.contains("uniform"))
+    val eDist = intercept[IllegalArgumentException] { run(0) }
+    assert(eDist.getMessage.contains("uniform"))
+  }
+
   test("marginMining is invariant to input partitioning") {
     val emb = spark.read
       .parquet(s"${graft.TestSpark.Sf0001}/embeddings.parquet")
