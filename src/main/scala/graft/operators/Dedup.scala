@@ -981,75 +981,141 @@ object Dedup {
       val vecs = rows.iterator
         .filter(r => !r.isNullAt(1))
         .map(r => (idOf(r), r.getSeq[Float](1).toArray)).toArray
-      val buckets = scala.collection.mutable.HashMap
-        .empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Int]]
-      for (k <- vecs.indices) {
-        val v = vecs(k)._2
-        val d0 = math.min(v.length, vdim)
-        var b = 0
-        while (b < bands) {
-          var key = 0L
-          var p = 0
-          while (p < planesPerBand) {
-            val off = (b * planesPerBand + p) * vdim
-            var s = 0.0
-            var i = 0
-            while (i < d0) { s += v(i).toDouble * planes(off + i).toDouble; i += 1 }
-            if (s > 0) key |= (1L << p)
-            p += 1
+      // Duplicate ids would need a global (id_a, id_b) dedup — the
+      // distributed chain's dropDuplicates; the first-collision band
+      // dedup below is per ROW pair, so duplicate-id inputs (pathological
+      // — a corpus keys vectors uniquely) fall through to the distributed
+      // chain instead.
+      val idsSeen = new java.util.HashSet[java.lang.Long](vecs.length * 2)
+      if (vecs.forall(v => idsSeen.add(v._1))) {
+        // All band keys per vector (flat, k·bands + b): the bucket map below
+        // groups collisions, and the verify dedups a pair by its FIRST
+        // colliding band (skip if any earlier band also matched) — the
+        // standard LSH trick that replaces the r13 (Long, Long) HashSet
+        // whose ~32M boxed-tuple inserts dominated d5 at the sf1 scale
+        // (38 s measured; the set itself held 27.5M entries).
+        val bandKeys = new Array[Long](vecs.length * bands)
+        // Keying, parallel over vectors (each k owns its bandKeys slice;
+        // ~n·bands·planes·dim FMAs — the second-heaviest loop here);
+        // bucket inserts stay sequential (n·bands cheap map ops).
+        Guards.parallelIndexLoop(vecs.length,
+          df.sparkSession.sparkContext.defaultParallelism) { k =>
+          val v = vecs(k)._2
+          val d0 = math.min(v.length, vdim)
+          var b = 0
+          while (b < bands) {
+            var key = 0L
+            var p = 0
+            while (p < planesPerBand) {
+              val off = (b * planesPerBand + p) * vdim
+              var s = 0.0
+              var i = 0
+              while (i < d0) { s += v(i).toDouble * planes(off + i).toDouble; i += 1 }
+              if (s > 0) key |= (1L << p)
+              p += 1
+            }
+            bandKeys(k * bands + b) = key
+            b += 1
           }
-          buckets.getOrElseUpdate((b, key),
-            scala.collection.mutable.ArrayBuffer.empty[Int]) += k
-          b += 1
         }
-      }
-      val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      def normOf(v: Array[Float]): Double = {
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-        math.sqrt(s)
-      }
-      val norms = vecs.map(x => normOf(x._2))
-      for (ids <- buckets.valuesIterator; ai <- ids; bi <- ids) {
-        val (ia, va) = vecs(ai); val (ib, vb) = vecs(bi)
-        if (ia < ib && seen.add((ia, ib))) {
-          val m = math.min(va.length, vb.length)
+        val buckets = scala.collection.mutable.HashMap
+          .empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Int]]
+        for (k <- vecs.indices) {
+          var b = 0
+          while (b < bands) {
+            buckets.getOrElseUpdate((b, bandKeys(k * bands + b)),
+              scala.collection.mutable.ArrayBuffer.empty[Int]) += k
+            b += 1
+          }
+        }
+        def normOf(v: Array[Float]): Double = {
           var s = 0.0; var i = 0
-          while (i < m) { s += va(i).toDouble * vb(i).toDouble; i += 1 }
-          // ANSI mode (the Spark 4 default this engine runs with) makes
-          // the distributed verify throw DIVIDE_BY_ZERO when a candidate
-          // pair touches a zero-norm vector (they pair up at key 0 in
-          // every band) — fail identically here instead of emitting a
-          // quiet 0/0 = NaN sim the distributed path can never produce.
-          if (norms(ai) * norms(bi) == 0.0)
-            throw new ArithmeticException(
-              s"embeddingNearDupPairs: [DIVIDE_BY_ZERO] zero-norm vector in " +
-                s"candidate pair ($ia, $ib)")
-          val q = s / (norms(ai) * norms(bi))
-          // Spark's Round passes NaN/Infinity through unchanged
-          val sim =
-            if (q.isNaN || q.isInfinite) q
-            else java.math.BigDecimal.valueOf(q)
-              .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
-          // Spark SQL orders NaN above every value, so a NaN sim (can't
-          // arise from the division — zero norms throw above — but kept
-          // as defense) passes the distributed `>= threshold` filter.
-          if (sim.isNaN || sim >= threshold) out += ((ia, ib, sim))
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(s)
         }
+        val norms = vecs.map(x => normOf(x._2))
+        // Verify, parallel over buckets: every input (vecs/norms/bandKeys/
+        // entries) is read-only here and each worker appends to its own
+        // buffer, so the result SET is deterministic (row order is not —
+        // same contract as the distributed shuffle). Candidate volume is
+        // quadratic in bucket occupancy, the one heavy loop of this path.
+        val entries = buckets.iterator
+          .map { case ((b, _), ids) => (b, ids.toArray) }.toArray
+        val parts = new Array[
+          scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]](entries.length)
+        Guards.parallelIndexLoop(entries.length,
+          df.sparkSession.sparkContext.defaultParallelism) { ei =>
+              val buf = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Long, Double)]
+              val (b, ids) = entries(ei)
+              locally {
+                var x = 0
+                while (x < ids.length) {
+                  var y = x + 1
+                  while (y < ids.length) {
+                    val k1 = ids(x); val k2 = ids(y)
+                    // process each distinct pair exactly once: in its first
+                    // colliding band only (replaces the global seen-set)
+                    var bp = 0
+                    while (bp < b &&
+                        bandKeys(k1 * bands + bp) != bandKeys(k2 * bands + bp))
+                      bp += 1
+                    if (bp == b) {
+                      val (ia0, va0) = vecs(k1); val (ib0, vb0) = vecs(k2)
+                      if (ia0 != ib0) {
+                        val (ia, va, ai2, ib, vb, bi2) =
+                          if (ia0 < ib0) (ia0, va0, k1, ib0, vb0, k2)
+                          else (ib0, vb0, k2, ia0, va0, k1)
+                        val m = math.min(va.length, vb.length)
+                        var s = 0.0; var i = 0
+                        while (i < m) { s += va(i).toDouble * vb(i).toDouble; i += 1 }
+                        // ANSI mode (the Spark 4 default this engine runs
+                        // with) makes the distributed verify throw
+                        // DIVIDE_BY_ZERO when a candidate pair touches a
+                        // zero-norm vector (they pair up at key 0 in every
+                        // band) — fail identically here instead of emitting
+                        // a quiet 0/0 = NaN sim the distributed path can
+                        // never produce.
+                        if (norms(ai2) * norms(bi2) == 0.0)
+                          throw new ArithmeticException(
+                            "embeddingNearDupPairs: [DIVIDE_BY_ZERO] " +
+                              s"zero-norm vector in candidate pair ($ia, $ib)")
+                        val q = s / (norms(ai2) * norms(bi2))
+                        // Spark's Round passes NaN/Infinity through unchanged
+                        val sim =
+                          if (q.isNaN || q.isInfinite) q
+                          else java.math.BigDecimal.valueOf(q)
+                            .setScale(roundTo, java.math.RoundingMode.HALF_UP)
+                            .doubleValue()
+                        // Spark SQL orders NaN above every value, so a NaN
+                        // sim (can't arise from the division — zero norms
+                        // throw above — but kept as defense) passes the
+                        // distributed `>= threshold` filter.
+                        if (sim.isNaN || sim >= threshold) buf += ((ia, ib, sim))
+                      }
+                    }
+                    y += 1
+                  }
+                  x += 1
+                }
+              }
+              parts(ei) = buf
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        parts.foreach(p => if (p != null) out ++= p)
+        val spark0 = df.sparkSession
+        import org.apache.spark.sql.types._
+        val idt = df.select(col(idCol)).schema.head.dataType
+        def backId(v: Long): Any = if (idt == LongType) v else v.toInt
+        val schema = StructType(Seq(
+          StructField("id_a", idt), StructField("id_b", idt),
+          StructField("sim", DoubleType)))
+        val outRows = out.toSeq.map { case (a, b, s) =>
+          org.apache.spark.sql.Row(backId(a), backId(b), s) }
+        return spark0.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava), schema)
       }
-      val spark0 = df.sparkSession
-      import org.apache.spark.sql.types._
-      val idt = df.select(col(idCol)).schema.head.dataType
-      def backId(v: Long): Any = if (idt == LongType) v else v.toInt
-      val schema = StructType(Seq(
-        StructField("id_a", idt), StructField("id_b", idt),
-        StructField("sim", DoubleType)))
-      val outRows = out.toSeq.map { case (a, b, s) =>
-        org.apache.spark.sql.Row(backId(a), backId(b), s) }
-      return spark0.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava), schema)
     }
     // dim <= 0 means "derive from the data": a shorter hardcoded default
     // would silently truncate longer vectors for bucketing and break the

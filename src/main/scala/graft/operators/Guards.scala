@@ -49,6 +49,35 @@ object Guards {
     else df
   }
 
+  /** Strided parallel `for (i <- 0 until n)` for CPU-heavy loops inside
+    * sub-cap driver fast paths (the d5 keying/verify class): plain
+    * daemon threads over disjoint index strides, first failure
+    * propagated. The body must only write state owned by its own index
+    * (or a per-thread buffer) — same read-only-inputs contract as a
+    * Spark task. Thread count is clamped to the session's
+    * defaultParallelism so a driver loop never oversubscribes the
+    * machine the executors share in local mode.
+    */
+  private[operators] def parallelIndexLoop(
+      n: Int, parallelism: Int)(body: Int => Unit): Unit = {
+    val nT = math.max(1, math.min(64, math.min(parallelism, n)))
+    if (nT == 1) {
+      var i = 0; while (i < n) { body(i); i += 1 }
+    } else {
+      val firstErr =
+        new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+      val threads = (0 until nT).map { t =>
+        val th = new Thread(() => {
+          try { var i = t; while (i < n) { body(i); i += nT } }
+          catch { case e: Throwable => firstErr.compareAndSet(null, e); () }
+        })
+        th.setDaemon(true); th.start(); th
+      }
+      threads.foreach(_.join())
+      if (firstErr.get() != null) throw firstErr.get()
+    }
+  }
+
   /** Default cap for calendar densifies (w22-class): 2²⁰ ≈ 1.05M
     * buckets ≈ 119 years of hourly buckets — any span beyond this is
     * a unit mixup, not a calendar.

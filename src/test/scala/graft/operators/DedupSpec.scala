@@ -170,6 +170,25 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == dist)
   }
 
+  test("embeddingNearDupPairs: duplicate ids fall back to the distributed path") {
+    // The fast path's per-row-pair dedup can't replay the distributed
+    // chain's duplicate-id multiplicity (dropDuplicates dedups the pair,
+    // but the verify join then re-multiplies it per duplicate row), so
+    // the unique-id gate must route such input to the distributed chain —
+    // both paths then agree by construction. The r13 seen-set driver
+    // path silently emitted ONE row here where the engine emits two.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // duplicated id
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    def run(cap: Int) = Dedup.embeddingNearDupPairs(
+        corpus, "vec_id", "embedding", 0.85, driverCapRows = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    val got = run(1 << 18)
+    assert(got == Seq((1L, 2L), (1L, 2L)), got.toString)
+    assert(got == run(0))
+  }
+
   test("embeddingNearDupPairs fails loudly on zero-norm pairs on both paths") {
     // Two zero vectors share key 0 in every band, so they always form a
     // candidate pair, and the exact verify divides by a zero norm
