@@ -594,13 +594,63 @@ object Classifier {
     */
   def naiveBayesScore(
       applyDf: DataFrame, idCol: String, textCol: String,
-      classStats: DataFrame, model: DataFrame): DataFrame = {
+      classStats: DataFrame, model: DataFrame,
+      broadcastModelCapRows: Int = 1 << 21): DataFrame = {
     import graft.functions.TextFunctions.tokens
+    val checkedText =
+      when(col(textCol).isNull,
+        raise_error(lit("naiveBayes: null apply text")))
+        .otherwise(col(textCol))
+    // Sub-cap single-exchange path (guide §2.3/§2.4): the model is
+    // vocab-sized by contract, so when it fits a broadcast the whole
+    // score collapses to tokenize → broadcast-join the per-term adj
+    // row (model pivoted to one column per class — summed, so even
+    // duplicate (c, t) rows contribute identically to the join form) →
+    // ONE map-side-combined groupBy(id) carrying n_d and the per-class
+    // adj sums → a row-wise least(struct(-sc, c)) argmax, the exact
+    // ordering of the old min(struct) aggregate. Replaces 4 exchanges
+    // (apply-side (id,t) count, t-join, (id,c) sum, id argmax) + an
+    // (id,c) join + a checkpoint with ONE id exchange. Same integers:
+    // sc = prior + default·n_d + Σ_tokens adj(c, t), every term an
+    // exact long on both shapes. Over the cap (or cap 0) the join
+    // chain below runs unchanged.
+    if (broadcastModelCapRows > 0 &&
+        model.select(col("t")).limit(broadcastModelCapRows + 1).count()
+          <= broadcastModelCapRows) {
+      val statsRows = classStats.select("c", "prior_e6", "default_e6")
+        .collect().sortBy(_.getString(0))
+      val spark0 = applyDf.sparkSession
+      if (statsRows.isEmpty) {
+        // no trained classes — the join chain yields no rows either
+        import org.apache.spark.sql.types._
+        val idt = applyDf.select(col(idCol)).schema.head.dataType
+        return spark0.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("id", idt),
+            StructField("pred", StringType),
+            StructField("score_e6", LongType))))
+      }
+      val adjCols = statsRows.zipWithIndex.map { case (r, i) =>
+        sum(when(col("c") === r.getString(0), col("adj_e6"))).as(s"__adj$i") }
+      val pivot = model.groupBy("t").agg(adjCols.head, adjCols.tail: _*)
+      val tok = spread(applyDf.select(col(idCol).as("id"), col(textCol)))
+        .select(col("id"), explode(tokens(checkedText)).as("t"))
+      val aggCols = count(lit(1)).as("n_d") +:
+        statsRows.indices.map(i =>
+          sum(coalesce(col(s"__adj$i"), lit(0L))).as(s"__sadj$i"))
+      val agg = tok.join(broadcast(pivot), Seq("t"), "left")
+        .groupBy("id").agg(aggCols.head, aggCols.tail: _*)
+      val scs = statsRows.zipWithIndex.map { case (r, i) =>
+        struct(
+          (-(lit(r.getLong(1)) + lit(r.getLong(2)) * col("n_d") +
+            col(s"__sadj$i"))).as("ns"),
+          lit(r.getString(0)).as("c")) }
+      val m = if (scs.size == 1) scs.head else least(scs: _*)
+      return agg.select(col("id"), m.getField("c").as("pred"),
+        (-m.getField("ns")).as("score_e6"))
+    }
     val ap = spread(applyDf.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), explode(tokens(
-        when(col(textCol).isNull,
-          raise_error(lit("naiveBayes: null apply text")))
-          .otherwise(col(textCol)))).as("t"))
+      .select(col("id"), explode(tokens(checkedText)).as("t"))
       .groupBy("id", "t").agg(count(lit(1)).as("k"))
       // lazy: the first consumer's job materializes the cache in
       // passing (the g3 half-step discipline) — the tokenize+count

@@ -380,6 +380,125 @@ object IntervalDepth {
           col("covered_bp"), lit(0L)).as("covered_bp"))
   }
 
+  /** Two-track covered/intersection base counts in ONE sweep — the
+    * [[IntervalJoin.intervalJaccard]] engine. Both interval sets' events
+    * ride one (chrom, pos) range exchange as tagged deltas (da, db);
+    * the partition-local pass tracks both running depths and sums, per
+    * segment [pos, next pos): its length into a_bp when depth_a > 0,
+    * into b_bp when depth_b > 0, into inter_bp when both — exactly the
+    * per-position counts the old shape derived from TWO [[coalesce]]
+    * sweeps plus a merged-run bin join (a covered position is a
+    * position with positive depth; disjoint merged runs count it once;
+    * the clipped-overlap sum counts it once in the intersection). All
+    * integer sums — engine-bit-identical. Same input contract and
+    * model-sized driver state as [[depthHistogram]].
+    *
+    * Output: one row (a_bp, b_bp, inter_bp), zeros when empty.
+    */
+  private[operators] def twoTrackCoveredBp(
+      a: DataFrame, aChrom: String, aStartCol: String, aEndCol: String,
+      b: DataFrame, bChrom: String, bStartCol: String, bEndCol: String,
+      numPartitions: Int, op: String): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def iv(df: DataFrame, chromCol: String, startCol: String,
+        endCol: String): DataFrame = df.select(
+      when(col(chromCol).isNull,
+        raise_error(lit(s"$op: null chrom")))
+        .otherwise(col(chromCol).cast("string")).as("chrom"),
+      col(startCol).cast("long").as("s"),
+      when(col(endCol).cast("long") < col(startCol).cast("long"),
+        raise_error(concat(lit(s"$op: interval with end < "
+          + "start at chrom "), col(chromCol).cast("string"))))
+        .otherwise(col(endCol).cast("long")).as("e"))
+    def ev(df: DataFrame, tagA: Boolean): DataFrame = {
+      val (da, db) = if (tagA) (lit(1L), lit(0L)) else (lit(0L), lit(1L))
+      df.select(col("chrom"), col("s").as("pos"), da.as("da"), db.as("db"))
+        .unionAll(df.select(col("chrom"), (col("e") + 1L).as("pos"),
+          (-da).as("da"), (-db).as("db")))
+    }
+    val agg = ev(iv(a, aChrom, aStartCol, aEndCol), tagA = true)
+      .unionAll(ev(iv(b, bChrom, bStartCol, bEndCol), tagA = false))
+      .groupBy("chrom", "pos")
+      .agg(sum("da").as("da"), sum("db").as("db"))
+    val run = agg
+      .repartitionByRange(parts, col("chrom"), col("pos"))
+      .sortWithinPartitions("chrom", "pos")
+      .select(spark_partition_id().as("pid"), col("chrom"), col("pos"),
+        col("da"), col("db"))
+      .as[(Int, String, Long, Long, Long)]
+      .localCheckpoint()
+    // same KEY-CARDINALITY CONTRACT as sweepRuns: carry keys are
+    // chromosomes, so the collect is offset-vector-sized at any scale
+    val partials = run.groupBy("pid", "chrom")
+      .agg(sum("da").as("sa"), sum("db").as("sb"), min("pos").as("firstPos"))
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+    val offsets: Map[(Int, String), (Long, Long)] = {
+      val m = scala.collection.mutable.Map.empty[(Int, String), (Long, Long)]
+      partials.groupBy(_._2).foreach { case (chrom, rows) =>
+        var accA = 0L; var accB = 0L
+        rows.sortBy(_._1).foreach { case (pid, _, sa, sb, _) =>
+          m((pid, chrom)) = (accA, accB); accA += sa; accB += sb
+        }
+      }
+      m.toMap
+    }
+    val firstOf: Map[Int, (String, Long)] = partials
+      .groupBy(_._1)
+      .map { case (pid, rows) =>
+        val f = rows.minBy(r => (r._2, r._5)); pid -> ((f._2, f._5))
+      }
+    val nextFirst: Map[Int, (String, Long)] = {
+      val pids = firstOf.keys.toArray.sorted
+      pids.zipWithIndex.flatMap { case (pid, i) =>
+        if (i + 1 < pids.length) Some(pid -> firstOf(pids(i + 1)))
+        else None
+      }.toMap
+    }
+    val segs = run.mapPartitions { it =>
+      val buf = it.buffered
+      var curChrom: String = null
+      var depthA = 0L
+      var depthB = 0L
+      buf.flatMap { case (pid, chrom, pos, da, db) =>
+        if (chrom != curChrom) {
+          curChrom = chrom
+          val (oa, ob) = offsets.getOrElse((pid, chrom), (0L, 0L))
+          depthA = oa; depthB = ob
+        }
+        depthA += da
+        depthB += db
+        val nextPos: Option[Long] =
+          if (buf.hasNext && buf.head._2 == chrom) Some(buf.head._3)
+          else nextFirst.get(pid) match {
+            case Some((c, p)) if c == chrom => Some(p)
+            case _ => None
+          }
+        nextPos match {
+          case Some(np) if depthA > 0 || depthB > 0 =>
+            val len = np - pos
+            Iterator((
+              if (depthA > 0) len else 0L,
+              if (depthB > 0) len else 0L,
+              if (depthA > 0 && depthB > 0) len else 0L))
+          case _ => Iterator.empty[(Long, Long, Long)]
+        }
+      }
+    }.toDF("la", "lb", "li")
+    segs.agg(
+      coalesce2(sum("la")).as("a_bp"),
+      coalesce2(sum("lb")).as("b_bp"),
+      coalesce2(sum("li")).as("inter_bp"))
+  }
+
+  // functions.coalesce with a zero default, named to dodge this
+  // object's own `coalesce` (the merge operator) shadowing it
+  private def coalesce2(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.coalesce(c, lit(0L))
+
   /** Uncovered-region complement (bedtools complement): the regions of
     * each genome chrom `[1, size]` NOT covered by any interval —
     * capture-kit gap reporting, the inverse of [[coalesce]].

@@ -218,35 +218,22 @@ object IntervalJoin {
       aChrom: String, aStartCol: String, aEndCol: String,
       bChrom: String, bStartCol: String, bEndCol: String,
       binWidth: Long = 1024L): DataFrame = {
+    // binWidth is retained for signature compatibility: the r14 shape
+    // runs both tracks through ONE tagged-delta sweep
+    // ([[IntervalDepth.twoTrackCoveredBp]]) — one range exchange, no
+    // merged-run materialization per side, no bin fan-out, no bin join —
+    // instead of two [[IntervalDepth.coalesce]] sweeps (2 range
+    // exchanges + 2 boundary checkpoints + 2 rank regroups) plus the
+    // owner-bin intersection join. Per-position counts are identical by
+    // construction: a_bp/b_bp sum segment lengths at positive per-track
+    // depth (= merged-run lengths), inter_bp at both-positive (= the
+    // clipped overlap sum over disjoint runs) — all exact longs, and
+    // the union/jaccard lattice algebra below is unchanged.
     require(binWidth > 0, s"binWidth must be positive (got $binWidth)")
-    val ma = IntervalDepth.coalesce(a, aChrom, aStartCol, aEndCol)
-      .select(col("chrom"), col("start").as("as_"), col("stop").as("ae"))
-    val mb = IntervalDepth.coalesce(b, bChrom, bStartCol, bEndCol)
-      .select(col("chrom"), col("start").as("bs"), col("stop").as("be"))
-    val ab = ma.withColumn("bin", explode(Guards.boundedSequence(
-      floor(col("as_").cast("double") / binWidth).cast("long"),
-      floor(col("ae").cast("double") / binWidth).cast("long"),
-      Guards.MaxBinsPerRow, "intervalJaccard a bins")))
-    val bb = mb.withColumn("bin", explode(Guards.boundedSequence(
-      floor(col("bs").cast("double") / binWidth).cast("long"),
-      floor(col("be").cast("double") / binWidth).cast("long"),
-      Guards.MaxBinsPerRow, "intervalJaccard b bins")))
-    val ov = least(col("ae"), col("be")) -
-      greatest(col("as_"), col("bs")) + 1
-    // owner-bin attribution (the reciprocalOverlap residual): exactly one
-    // shared bin — the one containing the overlap start — emits each
-    // overlapping run pair, so the clipped lengths sum directly with no
-    // distinct exchange between the join and the aggregate
-    val inter = ab.join(bb, Seq("chrom", "bin"))
-      .where(ov >= 1 && col("bin") ===
-        floor(greatest(col("as_"), col("bs")).cast("double") / binWidth)
-          .cast("long"))
-      .agg(coalesce(sum(ov), lit(0L)).as("inter_bp"))
-    val aBp = ma.agg(coalesce(sum(col("ae") - col("as_") + 1), lit(0L))
-      .as("a_bp"))
-    val bBp = mb.agg(coalesce(sum(col("be") - col("bs") + 1), lit(0L))
-      .as("b_bp"))
-    aBp.crossJoin(bBp).crossJoin(inter)
+    IntervalDepth.twoTrackCoveredBp(
+        a, aChrom, aStartCol, aEndCol,
+        b, bChrom, bStartCol, bEndCol,
+        numPartitions = 0, op = "intervalJaccard")
       .select(col("a_bp"), col("b_bp"), col("inter_bp"),
         (col("a_bp") + col("b_bp") - col("inter_bp")).as("union_bp"))
       .withColumn("jaccard_e6",

@@ -1069,6 +1069,28 @@ class ClassifierSpec extends AnyFunSuite {
     assert(split == facade && facade.size == 30)
   }
 
+  test("naiveBayesScore: broadcast-pivot path ≡ join chain (cap 0) on sf0.001") {
+    // The r14 single-exchange score (model pivoted per term, broadcast,
+    // one groupBy(id), least(struct) argmax) must emit exactly the join
+    // chain's integers — including the UTF8 tie-break — on the real
+    // corpus with ml2's train/holdout split.
+    import spark.implicits._
+    val docs = spark.read
+      .parquet(s"${graft.TestSpark.Sf0001}/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val train = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val holdout = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val (stats, model) = Classifier.naiveBayesTrain(train, "text", "source")
+    val st = stats.localCheckpoint(); val mo = model.localCheckpoint()
+    def run(cap: Int) = Classifier
+      .naiveBayesScore(holdout, "doc_id", "text", st, mo,
+        broadcastModelCapRows = cap)
+      .as[(Long, String, Long)].collect().toSet
+    val fast = run(1 << 21)
+    assert(fast.nonEmpty)
+    assert(fast == run(0))
+  }
+
   test("naiveBayes: null apply-side text raises (totality is loud, " +
       "not a silently missing prediction row)") {
     import spark.implicits._
