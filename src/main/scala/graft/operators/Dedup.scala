@@ -413,11 +413,29 @@ object Dedup {
       n: Int, maxDf: Int): DataFrame = {
     val sh0 = shingleRows(docs, idCol, textCol, n)
     if (maxDf <= 0) sh0
-    else sh0.join(
-      sh0.groupBy("shkey").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf)
-        .select("shkey"),
-      Seq("shkey"), "left_anti")
+    else {
+      // The df pass and the index BOTH consume the occurrence table, so
+      // without a materialization the corpus tokenizes+shingles twice per
+      // score. Whether materializing wins is data-sized: the checkpoint's
+      // fixed write+read overhead loses to a second pass over a small
+      // corpus (measured: sf0.1's 0.6 MB/5k docs — d14 2.4 → 3.6 s) and
+      // wins once the tokenize pass dominates (the 10x corpus — ~1 s per
+      // query; at 100 TB a second corpus pass is never the right trade).
+      // Gate on the scan's Catalyst size estimate — driver metadata, no
+      // probe job — with the crossover overridable per deployment.
+      val minBytes = BigInt(docs.sparkSession.conf.get(
+        "spark.graft.shingle.materializeOccurrencesMinBytes",
+        (2L * 1024 * 1024).toString))
+      val once =
+        if (docs.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes)
+          sh0.localCheckpoint()
+        else sh0
+      once.join(
+        once.groupBy("shkey").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select("shkey"),
+        Seq("shkey"), "left_anti")
+    }
   }
 
   /** All document pairs with n-word-shingle Jaccard >= threshold.
@@ -483,6 +501,10 @@ object Dedup {
   private def shinglePairStats(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxDf: Int): DataFrame = {
+    // Still materialized AFTER the cap too: the self-join consumes the
+    // capped index twice, and a B2 variant relying on ReuseExchange
+    // alone measured noisier and no faster (d21 spiking 4.6 → 6.8 s when
+    // reuse missed) — both materializations earn their I/O.
     val sh = cappedShingleIndex(docs, idCol, textCol, n, maxDf)
       .localCheckpoint()
     // shuffle_hash hint on both sides: keeps AQE from broadcast-converting

@@ -165,56 +165,68 @@ object Graph {
           "positive integers, got "), col(c).cast("string"))))
         .otherwise(d.cast("long"))
     }.getOrElse(lit(1L))
-    // Parallel edges collapse to one summed-weight edge up front (exact
-    // long sums) so the per-round join moves one row per distinct edge.
-    val e0 = edges.select(
-        col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"), w.as("w"))
-      .groupBy("src", "dst").agg(sum("w").as("w"))
-    val outW = e0.groupBy("src").agg(sum("w").as("outw"))
-    // Checkpointed once: the edge list is re-joined every round, and
-    // without the checkpoint each round would re-run the collapse + outW
-    // aggregation subtree.
-    val e = e0.join(outW, "src").localCheckpoint()
-    // Node table carries the teleport membership flag (all nodes for
-    // PageRank, the seed intersection for TrustRank) — checkpointed once,
-    // re-joined every round.
-    val allNodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val nodes = (seeds match {
-      case None => allNodes.withColumn("tele", lit(true))
-      case Some(s) =>
-        allNodes.join(s.distinct().withColumn("__s", lit(1)),
-            Seq("node"), "left")
-          .select(col("node"), col("__s").isNotNull.as("tele"))
-    }).localCheckpoint()
-    // |teleport set| — drives both the init mass and the per-round base.
-    val n = nodes.filter(col("tele")).count()
-    require(n > 0,
-      if (seeds.isEmpty) "graph has no nodes (empty or all-null edge list)"
-      else "teleport set is empty (no seed appears in the graph)")
+    val raw = edges.select(
+      col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"), w.as("w"))
     val scale = math.pow(10.0, grid) // exact: 10^grid < 2^53 for grid <= 15
-    val baseS = (1.0 - damping) / n * scale
     // Driver fast path: sub-cap edge lists iterate as plain Scala on
     // the SAME lattice (identical IEEE multiply/divide/floor order,
     // exact long contribution sums) — bit-identical to the distributed
-    // loop below, spec-pinned.
-    val eRowsOpt = subCapRows(e, driverCapRows)
-    if (eRowsOpt.isDefined) {
-      val eRows = eRowsOpt.get
-      val nodeRows = nodes.collect()
-      val names = nodeRows.map(_.getString(0))
-      val tele = nodeRows.map(_.getBoolean(1))
+    // loop below, spec-pinned. The probe is on the RAW projected edges
+    // (the weight guard evaluates during the collect, as loud as the
+    // distributed scan) so the sub-cap path never builds the collapse/
+    // outW/node-distinct chain at all — the parallel-edge collapse,
+    // out-weight totals, node set and teleport count are all exact
+    // integer/set algebra, computed here from the collected rows
+    // (measured: that Spark preamble was ~2.5 s of g1's 4.4 s on the
+    // 10x corpus while the rank loop itself is milliseconds). Rows with
+    // a null src are dropped exactly as the distributed outW inner join
+    // drops them.
+    val rawRowsOpt = subCapRows(raw, driverCapRows)
+    val seedSetOpt: Option[Option[Set[String]]] =
+      if (rawRowsOpt.isEmpty) None
+      else seeds match {
+        case None => Some(None)
+        case Some(s) =>
+          subCapRows(s.distinct(), driverCapRows)
+            .map(rows => Some(rows.map(_.getString(0)).toSet))
+      }
+    if (rawRowsOpt.isDefined && seedSetOpt.isDefined) {
+      val rawRows = rawRowsOpt.get.filter(!_.isNullAt(0))
+      val seedSet = seedSetOpt.get
+      // parallel-edge collapse + out-weights: exact long sums, any order
+      val wByEdge = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), Long]
+      val outw = scala.collection.mutable.HashMap.empty[String, Long]
+      for (r <- rawRows) {
+        val s0 = r.getString(0); val d0 = r.getString(1); val w0 = r.getLong(2)
+        val k = (s0, d0)
+        wByEdge(k) = wByEdge.getOrElse(k, 0L) + w0
+        outw(s0) = outw.getOrElse(s0, 0L) + w0
+      }
+      // node set = distinct src ∪ dst of the surviving edges
+      val nameSet = scala.collection.mutable.LinkedHashSet.empty[String]
+      for (((s0, d0), _) <- wByEdge) { nameSet += s0; nameSet += d0 }
+      val names = nameSet.toArray
+      val tele = seedSet match {
+        case None => Array.fill(names.length)(true)
+        case Some(ss) => names.map(ss.contains)
+      }
+      val n = tele.count(identity)
+      require(n > 0,
+        if (seeds.isEmpty) "graph has no nodes (empty or all-null edge list)"
+        else "teleport set is empty (no seed appears in the graph)")
+      val baseS = (1.0 - damping) / n * scale
       val idx = names.zipWithIndex.toMap
-      val m = eRows.length
+      val m = wByEdge.size
       val es = new Array[Int](m); val ed = new Array[Int](m)
       val ew = new Array[Long](m); val eo = new Array[Long](m)
       var x = 0
-      while (x < m) {
-        es(x) = idx(eRows(x).getString(0))
-        ed(x) = idx(eRows(x).getString(1))
-        ew(x) = eRows(x).getLong(2)
-        eo(x) = eRows(x).getLong(3)
+      for (((s0, d0), w0) <- wByEdge) {
+        es(x) = idx(s0)
+        ed(x) = idx(d0)
+        ew(x) = w0
+        eo(x) = outw(s0)
         x += 1
       }
       val p = Array.tabulate(names.length)(i =>
@@ -238,6 +250,32 @@ object Graph {
       return names.indices.map(i => (names(i), p(i) / scale)).toDF()
         .toDF("node", "pr")
     }
+    // Parallel edges collapse to one summed-weight edge up front (exact
+    // long sums) so the per-round join moves one row per distinct edge.
+    val e0 = raw.groupBy("src", "dst").agg(sum("w").as("w"))
+    val outW = e0.groupBy("src").agg(sum("w").as("outw"))
+    // Checkpointed once: the edge list is re-joined every round, and
+    // without the checkpoint each round would re-run the collapse + outW
+    // aggregation subtree.
+    val e = e0.join(outW, "src").localCheckpoint()
+    // Node table carries the teleport membership flag (all nodes for
+    // PageRank, the seed intersection for TrustRank) — checkpointed once,
+    // re-joined every round.
+    val allNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = (seeds match {
+      case None => allNodes.withColumn("tele", lit(true))
+      case Some(s) =>
+        allNodes.join(s.distinct().withColumn("__s", lit(1)),
+            Seq("node"), "left")
+          .select(col("node"), col("__s").isNotNull.as("tele"))
+    }).localCheckpoint()
+    // |teleport set| — drives both the init mass and the per-round base.
+    val n = nodes.filter(col("tele")).count()
+    require(n > 0,
+      if (seeds.isEmpty) "graph has no nodes (empty or all-null edge list)"
+      else "teleport set is empty (no seed appears in the graph)")
+    val baseS = (1.0 - damping) / n * scale
     // Ranks as integer-valued doubles in units of 1/scale (see the
     // determinism note above). Contribution floors stay >= 0; per-dst
     // sums are bounded by the total mass (~scale) — integer-exact.
@@ -295,13 +333,10 @@ object Graph {
       s"iterations must be in [1, 100] (got $iterations)")
     require(grid >= 6 && grid <= 15,
       s"grid must be in [6, 15] (got $grid)")
-    val e = edges.select(
+    val raw = edges.select(
         col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
-      .na.drop().distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    require(!nodes.isEmpty, "graph has no nodes (empty or all-null edges)")
+      .na.drop()
     val scale = math.pow(10.0, grid)
     // Driver fast path (the propagate discipline): the half-step state
     // is two node-sized score arrays; sub-cap edge lists iterate as
@@ -309,18 +344,26 @@ object Graph {
     // bit-identical to the distributed loop, spec-pinned. A node keeps
     // a score entry exactly when the corresponding join would emit it
     // (authority: has in-edges; hub: has out-edges after round 1).
-    val eRowsOpt = subCapRows(e, driverCapRows)
-    if (eRowsOpt.isDefined) {
-      val eRows = eRowsOpt.get
-      val names = nodes.collect().map(_.getString(0))
+    // The probe is on the RAW null-dropped edges so this path never
+    // runs the Spark edge-distinct/node-distinct/checkpoint preamble
+    // (the propagate measurement: that preamble dwarfs the loop) —
+    // the distinct edge and node sets are plain set algebra here.
+    val rawRowsOpt = subCapRows(raw, driverCapRows)
+    if (rawRowsOpt.isDefined) {
+      val eSet = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+      for (r <- rawRowsOpt.get) eSet += ((r.getString(0), r.getString(1)))
+      val nameSet = scala.collection.mutable.LinkedHashSet.empty[String]
+      for ((s0, d0) <- eSet) { nameSet += s0; nameSet += d0 }
+      require(nameSet.nonEmpty, "graph has no nodes (empty or all-null edges)")
+      val names = nameSet.toArray
       val idx = names.zipWithIndex.toMap
       val nn = names.length
-      val m = eRows.length
+      val m = eSet.size
       val es = new Array[Int](m); val ed = new Array[Int](m)
       var x = 0
-      while (x < m) {
-        es(x) = idx(eRows(x).getString(0))
-        ed(x) = idx(eRows(x).getString(1))
+      for ((s0, d0) <- eSet) {
+        es(x) = idx(s0)
+        ed(x) = idx(d0)
         x += 1
       }
       // norm over the PRESENT entries only — the distributed norm sees
@@ -367,6 +410,10 @@ object Graph {
           (if (aSet(i)) a(i) else 0.0) / scale)).toDF()
         .toDF("node", "hub", "auth")
     }
+    val e = raw.distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    require(!nodes.isEmpty, "graph has no nodes (empty or all-null edges)")
     // Normalize a score column to Σ = scale on the integer lattice. The
     // input is materialized FIRST (one node-sized localCheckpoint per
     // half-step): norm consumes its input twice (the L1 sum and the
