@@ -31,7 +31,18 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // Join planning (guide §3.1): the STATIC threshold works on Catalyst
+    // size estimates, which for compressed column-pruned parquet scans
+    // understate in-memory size severalfold — at 64 MB the planner was
+    // broadcasting the 6M-row lineitem FACT side of q3 at the 10x scale
+    // (a ~150 MB driver-built hash relation; the build alone cost more
+    // than the join it replaced, and at 1 GB driver heap it OOMs). Keep
+    // the static threshold conservative for dim tables and let AQE —
+    // which sees REAL post-shuffle sizes — upgrade mid-size joins to
+    // broadcast at runtime, where 64 MB of true bytes is safe.
+    .config("spark.sql.autoBroadcastJoinThreshold", (16L * 1024 * 1024).toString)
+    .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+      (64L * 1024 * 1024).toString)
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs. */
